@@ -1,0 +1,281 @@
+"""Sources / sinks / stores (SURVEY.md §1.3, §2.1).
+
+A bubbles ``DataStore`` is a named container of data objects
+(bubbles/stores.py::DataStore, open_store).  Here a store wraps
+``spark.read`` / ``df.write`` for one location+format; the extension
+registry (bubbles/extensions.py) maps to the ``open_store(type=...)``
+factory below plus Spark's own DataSource registry for anything else.
+
+Scale posture: readers take explicit schemas (no inferSchema on the
+100 TB path), writers partition by user-chosen columns, and the
+parquet store relies on Catalyst pushdown (PushedFilters/ReadSchema)
+rather than any engine-side filtering.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bubbles_spark.schema import FieldList
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    Handles parquet TIMESTAMP(NANOS) (events.ts), which Spark has no
+    native type for: read as long (legacy conf) and truncate to a µs
+    timestamp — matching DuckDB, which also truncates ns → µs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+class DataStore:
+    """Abstract store (bubbles/stores.py::DataStore): get_object /
+    objects / create / exists."""
+
+    def get_object(self, name: str) -> DataFrame:
+        raise NotImplementedError
+
+    def objects(self) -> list[str]:
+        raise NotImplementedError
+
+    def exists(self, name: str) -> bool:
+        return name in self.objects()
+
+    def create(
+        self,
+        name: str,
+        fields: FieldList | None = None,
+        replace: bool = False,
+        from_obj: DataFrame | None = None,
+    ) -> None:
+        raise NotImplementedError
+
+
+class FileStore(DataStore):
+    """Directory of files, one object per basename.  Covers the
+    reference's CSV backend (bubbles/backends/text/objects.py::
+    CSVSource/CSVTarget — S1/S2) and adds parquet/json (the scale
+    formats the reference never had)."""
+
+    format: str = "parquet"
+    extension: str = ".parquet"
+
+    def __init__(self, spark: SparkSession, path: str, **reader_options: Any):
+        self.spark = spark
+        self.path = path
+        self.reader_options = reader_options
+
+    def _file(self, name: str) -> str:
+        return os.path.join(self.path, f"{name}{self.extension}")
+
+    def objects(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            f[: -len(self.extension)]
+            for f in os.listdir(self.path)
+            if f.endswith(self.extension)
+        )
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._file(name))
+
+    def get_object(self, name: str, fields: FieldList | None = None) -> DataFrame:
+        reader = self.spark.read
+        if fields is not None:
+            reader = reader.schema(fields.to_struct())
+        for k, v in self.reader_options.items():
+            reader = reader.option(k, v)
+        return reader.format(self.format).load(self._file(name))
+
+    def create(
+        self,
+        name: str,
+        fields: FieldList | None = None,
+        replace: bool = False,
+        from_obj: DataFrame | None = None,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        if from_obj is None:
+            raise ValueError("create() requires from_obj (a DataFrame)")
+        writer = from_obj.write.format(self.format)
+        writer = writer.mode("overwrite" if replace else "errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(self._file(name))
+
+
+class ParquetStore(FileStore):
+    format = "parquet"
+    extension = ".parquet"
+
+
+class CSVStore(FileStore):
+    """CSV store (S1/S2).  Reference options map: read_header →
+    header, dialect/encoding → Spark CSV options, infer_fields →
+    inferSchema (A4 path; avoid at scale — pass fields=)."""
+
+    format = "csv"
+    extension = ".csv"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        read_header: bool = True,
+        infer_fields: bool = False,
+        encoding: str = "utf-8",
+        delimiter: str = ",",
+        **options: Any,
+    ):
+        options.setdefault("header", str(read_header).lower())
+        options.setdefault("inferSchema", str(infer_fields).lower())
+        options.setdefault("encoding", encoding)
+        options.setdefault("sep", delimiter)
+        super().__init__(spark, path, **options)
+
+
+class JSONStore(FileStore):
+    format = "json"
+    extension = ".json"
+
+
+class MemoryStore(DataStore):
+    """In-memory scratch objects (bubbles/objects.py::
+    IterableDataSource / RowListDataObject — S9).  Consumability
+    bookkeeping from the reference disappears: DataFrames are always
+    re-iterable (lineage recomputes)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._objects: dict[str, DataFrame] = {}
+
+    def objects(self) -> list[str]:
+        return sorted(self._objects)
+
+    def get_object(self, name: str) -> DataFrame:
+        return self._objects[name]
+
+    def create(
+        self,
+        name: str,
+        fields: FieldList | None = None,
+        replace: bool = False,
+        from_obj: DataFrame | Iterable | None = None,
+    ) -> None:
+        if name in self._objects and not replace:
+            raise ValueError(f"object {name!r} exists (pass replace=True)")
+        if isinstance(from_obj, DataFrame):
+            df = from_obj
+        else:
+            if fields is None:
+                raise ValueError("row-iterable create() requires fields=")
+            df = self.spark.createDataFrame(list(from_obj or []), fields.to_struct())
+        self._objects[name] = df
+
+
+class JDBCStore(DataStore):
+    """SQL backend (bubbles/backends/sql/objects.py::SQLDataStore —
+    S3/S4/S5) via Spark's JDBC source.  ``statement`` mirrors
+    SQLDataStore.statement: an arbitrary query pushed to the database.
+    Untested in this container (no JDBC driver baked in)."""
+
+    def __init__(self, spark: SparkSession, url: str, **options: Any):
+        self.spark = spark
+        self.url = url
+        self.options = options
+
+    def objects(self) -> list[str]:
+        raise NotImplementedError("enumerate via information_schema on your DB")
+
+    def get_object(self, name: str) -> DataFrame:
+        return (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", name)
+            .options(**self.options)
+            .load()
+        )
+
+    def statement(self, sql: str) -> DataFrame:
+        return (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", sql)
+            .options(**self.options)
+            .load()
+        )
+
+    def create(
+        self,
+        name: str,
+        fields: FieldList | None = None,
+        replace: bool = False,
+        from_obj: DataFrame | None = None,
+    ) -> None:
+        if from_obj is None:
+            raise ValueError("create() requires from_obj")
+        (
+            from_obj.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", name)
+            .options(**self.options)
+            .mode("overwrite" if replace else "errorifexists")
+            .save()
+        )
+
+
+_STORE_TYPES = {
+    "parquet": ParquetStore,
+    "csv": CSVStore,
+    "json": JSONStore,
+    "memory": MemoryStore,
+    "sql": JDBCStore,
+    "jdbc": JDBCStore,
+}
+
+
+def open_store(type: str, spark: SparkSession | None = None, **options: Any) -> DataStore:
+    """Factory (bubbles/stores.py::open_store + extension registry).
+    Unknown types fall through to Spark's own DataSource registry via
+    FileStore(format=type)."""
+    if spark is None:
+        from bubbles_spark.session import get_spark
+
+        spark = get_spark()
+    cls = _STORE_TYPES.get(type)
+    if cls is not None:
+        return cls(spark, **options)
+    store = FileStore(spark, options.pop("path"), **options)
+    store.format = type
+    store.extension = f".{type}"
+    return store

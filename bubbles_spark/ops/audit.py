@@ -1,0 +1,136 @@
+"""Data profiling operators (SURVEY.md §2.6 A3/A4).
+
+basic_audit is the reference's per-field profiler
+(bubbles/ops/rows.py::basic_audit): record count, null count, null
+ratio, empty-string count, distinct count — one OUTPUT ROW PER FIELD.
+
+Spark-first design: ONE pass over the data computing all per-field
+aggregates in a single job (wide agg), then an unpivot (stack) of the
+single result row into field-per-row shape.  The unpivot runs on one
+row, so it costs nothing; the scan parallelizes.  The reference
+instead keeps a Python dict of accumulators per field in one
+single-threaded pass.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def basic_audit(
+    df: DataFrame,
+    fields: Sequence[str] | None = None,
+    distinct_threshold: int = 10,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-field audit → rows (field, record_count, null_count,
+    null_ratio, empty_string_count, distinct_count).
+
+    ``distinct_count`` is capped at ``distinct_threshold`` like the
+    reference (which stops collecting the seen-set past the cap).  At
+    100 TB set ``exact_distinct=False`` to use HLL sketches
+    (approx_count_distinct) instead of exact distincts — the exact
+    path is one shuffle-free wide aggregate either way, but HLL keeps
+    state O(1) per field.
+    """
+    target = list(fields) if fields else df.columns
+    dtypes = dict(df.dtypes)
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in target:
+        col = F.col(f)
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__null_{f}"))
+        if dtypes.get(f) == "string":
+            empty = F.sum(F.when(col == "", 1).otherwise(0))
+        else:
+            empty = F.lit(0)
+        aggs.append(empty.alias(f"__empty_{f}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(col).alias(f"__dist_{f}"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"__dist_{f}"))
+
+    row = df.agg(*aggs)
+
+    # unpivot the single summary row into one row per audited field
+    per_field = []
+    for f in target:
+        per_field.append(
+            F.struct(
+                F.lit(f).alias("field"),
+                F.col("__n").alias("record_count"),
+                F.col(f"__null_{f}").cast("long").alias("null_count"),
+                F.col(f"__empty_{f}").cast("long").alias("empty_string_count"),
+                F.least(F.col(f"__dist_{f}"), F.lit(distinct_threshold))
+                .cast("long")
+                .alias("distinct_count"),
+            )
+        )
+    exploded = row.select(F.explode(F.array(*per_field)).alias("a")).select("a.*")
+    return exploded.withColumn(
+        "null_ratio",
+        F.when(
+            F.col("record_count") > 0,
+            F.round(F.col("null_count") / F.col("record_count"), 6),
+        ).otherwise(F.lit(None).cast("double")),
+    )
+
+
+_PROBE_ORDER = ["integer", "number", "boolean", "date", "datetime", "string"]
+
+
+def infer_types(
+    df: DataFrame, fields: Sequence[str] | None = None, sample_rows: int = 1000
+) -> DataFrame:
+    """Infer the narrowest storage type per string field by try-cast
+    voting over a row sample (bubbles/ops/rows.py::infer_types —
+    SURVEY.md §2.6 A4).  Returns rows (field, inferred_type).
+
+    The vote runs as one aggregate over the sample: a field infers to
+    type t if every non-null value casts cleanly to t.
+    """
+    target = list(fields) if fields else [
+        name for name, dtype in df.dtypes if dtype == "string"
+    ]
+    sample = df.select(*target).limit(sample_rows)
+
+    # try_cast, not cast: Spark 4 runs ANSI mode by default, where a
+    # failed cast is an error instead of NULL
+    casts = {
+        "integer": lambda c: c.try_cast(T.LongType()),
+        "number": lambda c: c.try_cast(T.DoubleType()),
+        "boolean": lambda c: c.try_cast(T.BooleanType()),
+        "date": lambda c: c.try_cast(T.DateType()),
+        "datetime": lambda c: c.try_cast(T.TimestampType()),
+    }
+    aggs = []
+    for f in target:
+        col = F.col(f)
+        nonnull = F.sum(F.when(col.isNotNull() & (col != ""), 1).otherwise(0))
+        aggs.append(nonnull.alias(f"__nn_{f}"))
+        for tname, fn in casts.items():
+            ok = F.sum(
+                F.when(
+                    col.isNotNull() & (col != "") & fn(col).isNotNull(), 1
+                ).otherwise(0)
+            )
+            aggs.append(ok.alias(f"__{tname}_{f}"))
+    row = sample.agg(*aggs)
+
+    per_field = []
+    for f in target:
+        nn = F.col(f"__nn_{f}")
+        inferred = F.lit("string")
+        # narrowest wins: check in reverse priority so earlier probes override
+        for tname in reversed(["integer", "number", "boolean", "date", "datetime"]):
+            inferred = F.when(
+                (nn > 0) & (F.col(f"__{tname}_{f}") == nn), F.lit(tname)
+            ).otherwise(inferred)
+        per_field.append(
+            F.struct(F.lit(f).alias("field"), inferred.alias("inferred_type"))
+        )
+    return row.select(F.explode(F.array(*per_field)).alias("a")).select("a.*")

@@ -1,0 +1,473 @@
+"""Core relational operators (SURVEY.md §2.2–§2.8).
+
+Parity with the reference's row/sql operation catalog
+(bubbles/ops/rows.py, bubbles/backends/sql/ops.py), one Spark-first
+implementation each.  Design rules:
+
+- Every function is pure ``DataFrame -> DataFrame`` — no actions, no
+  ``collect()``, no driver-side loops — so plans compose and Catalyst
+  sees the whole pipeline (pushdown/pruning across operator
+  boundaries, which the reference only got on its SQL path).
+- Joins against dimension tables default to broadcast hints (the
+  reference's join_details builds an in-memory dict of the detail
+  side — the moral equivalent of a broadcast hash join; at 100 TB the
+  fact side must never shuffle for a 25-row nation table).
+- Nothing here assumes single-node: no monotonically-increasing-id
+  without an explicit ordering contract, no ``first`` without sort.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Any, Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------
+# Projection / renaming (SURVEY.md §2.2; bubbles/ops/rows.py::field_filter)
+# ---------------------------------------------------------------------
+
+
+def field_filter(
+    df: DataFrame,
+    keep: Iterable[str] | None = None,
+    drop: Iterable[str] | None = None,
+    rename: dict[str, str] | None = None,
+) -> DataFrame:
+    """Keep/drop/rename columns (bubbles/ops/rows.py::field_filter,
+    bubbles/metadata.py::FieldFilter).
+
+    Compiles to one ``select`` so column pruning reaches the scan.
+    """
+    from bubbles_spark.schema import FieldFilter
+
+    return FieldFilter(keep=keep, drop=drop, rename=rename).apply(df)
+
+
+def rename_fields(df: DataFrame, rename: dict[str, str]) -> DataFrame:
+    """Rename map (field_filter(rename=...) in the reference)."""
+    return field_filter(df, rename=rename)
+
+
+def derive(df: DataFrame, name: str, expr: Column | str) -> DataFrame:
+    """Engine extension (SURVEY.md §2.2 note): general computed column.
+
+    The reference has no scalar-expression operator; derived values
+    only ever happen inside specific ops.  ``expr`` may be a Column or
+    a SQL expression string (parsed by Catalyst, JVM-side codegen).
+    """
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    return df.withColumn(name, col)
+
+
+# ---------------------------------------------------------------------
+# Filters (SURVEY.md §2.3; bubbles/ops/rows.py::filter_by_*)
+# ---------------------------------------------------------------------
+
+
+def filter_by_value(df: DataFrame, key: str, value: Any, discard: bool = False) -> DataFrame:
+    """Equality filter; discard=True inverts
+    (bubbles/ops/rows.py::filter_by_value).
+
+    Null semantics: rows with NULL in ``key`` never satisfy either
+    side (SQL three-valued logic), matching the oracle's ``=`` / ``<>``.
+    """
+    cond = F.col(key) == F.lit(value)
+    return df.filter(~cond if discard else cond)
+
+
+def filter_by_set(
+    df: DataFrame, key: str, values: Sequence[Any], discard: bool = False
+) -> DataFrame:
+    """Membership filter (bubbles/ops/rows.py::filter_by_set)."""
+    cond = F.col(key).isin(list(values))
+    return df.filter(~cond if discard else cond)
+
+
+def filter_by_range(
+    df: DataFrame, key: str, low: Any, high: Any, discard: bool = False
+) -> DataFrame:
+    """Interval filter, half-open ``low <= x < high``
+    (bubbles/ops/rows.py::filter_by_range; bound closure pinned
+    half-open and encoded identically in the oracle SQL —
+    SURVEY.md §7.4a)."""
+    cond = (F.col(key) >= F.lit(low)) & (F.col(key) < F.lit(high))
+    return df.filter(~cond if discard else cond)
+
+
+def filter_not_empty(df: DataFrame, field: str) -> DataFrame:
+    """Drop rows where ``field`` is NULL or empty string
+    (bubbles/ops/rows.py::filter_not_empty)."""
+    col = F.col(field)
+    cond = col.isNotNull()
+    if dict(df.dtypes).get(field) == "string":
+        cond = cond & (col != F.lit(""))
+    return df.filter(cond)
+
+
+def filter_by_predicate(
+    df: DataFrame,
+    predicate: Callable[..., bool],
+    fields: Sequence[str],
+    discard: bool = False,
+) -> DataFrame:
+    """Arbitrary Python predicate over selected fields
+    (bubbles/ops/rows.py::filter_by_predicate).
+
+    The reference's escape hatch.  Implemented as an Arrow-batched
+    mapInPandas filter (vectorized transfer, row-wise apply) rather
+    than a row-at-a-time Python UDF.  Prefer translating common
+    predicates to Column expressions — this is the slow path.
+    """
+    field_list = list(fields)
+
+    def _filter(batches):
+        for pdf in batches:
+            mask = pdf[field_list].apply(
+                lambda row: bool(predicate(*row.tolist())), axis=1
+            )
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            yield pdf[~mask if discard else mask]
+
+    return df.mapInPandas(_filter, schema=df.schema)
+
+
+# ---------------------------------------------------------------------
+# Dedup / uniqueness (SURVEY.md §2.4)
+# ---------------------------------------------------------------------
+
+
+def distinct(df: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
+    """Unique rows by key, whole row if no key
+    (bubbles/ops/rows.py::distinct).
+
+    With a key, output is the key columns only (reference semantics:
+    the rows impl emits the key tuple).  Hash-aggregate shuffle on the
+    key — Spark's map-side partial aggregation bounds shuffle volume.
+    """
+    if key is None:
+        return df.distinct()
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.select(*keys).distinct()
+
+
+def duplicates(
+    df: DataFrame,
+    keys: str | Sequence[str] | None = None,
+    threshold: int = 1,
+    record_count_label: str = "record_count",
+) -> DataFrame:
+    """Keys occurring more than ``threshold`` times, with counts
+    (bubbles/ops/rows.py::duplicates; SQL GROUP BY..HAVING count>t)."""
+    key_list = (
+        df.columns if keys is None else [keys] if isinstance(keys, str) else list(keys)
+    )
+    return (
+        df.groupBy(*key_list)
+        .agg(F.count(F.lit(1)).alias(record_count_label))
+        .filter(F.col(record_count_label) > threshold)
+    )
+
+
+def duplicate_stats(
+    df: DataFrame, keys: str | Sequence[str] | None = None, threshold: int = 1
+) -> DataFrame:
+    """Summary of duplicates (bubbles/ops/rows.py — SURVEY.md §2.4 D3):
+    one row with duplicate-key count and total surplus records."""
+    dups = duplicates(df, keys, threshold)
+    return dups.agg(
+        F.count(F.lit(1)).alias("duplicate_key_count"),
+        F.coalesce(F.sum(F.col("record_count") - threshold), F.lit(0)).alias(
+            "surplus_record_count"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# Sampling / limit / sort (SURVEY.md §2.5)
+# ---------------------------------------------------------------------
+
+
+def sort(df: DataFrame, orderby: Sequence[tuple[str, str] | str]) -> DataFrame:
+    """Order by list of (field, 'asc'|'desc') (bubbles/ops/rows.py::sort).
+
+    Spark sort is a range-partitioned distributed sort (sampled
+    boundaries), not the reference's full in-memory ``sorted()``.
+    """
+    cols = []
+    for item in orderby:
+        if isinstance(item, str):
+            cols.append(F.col(item).asc())
+        else:
+            name, direction = item
+            col = F.col(name)
+            cols.append(col.desc() if str(direction).lower().startswith("d") else col.asc())
+    return df.orderBy(*cols)
+
+
+def sample(
+    df: DataFrame,
+    value: float | int,
+    mode: str = "first",
+    discard: bool = False,
+    order_by: Sequence[tuple[str, str] | str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Row sampling (bubbles/ops/rows.py::sample). Modes:
+
+    - ``first``: head N.  In a distributed engine "first" is undefined
+      without an ordering, so an explicit ``order_by`` is REQUIRED
+      (SURVEY.md §7.4b); the reference gets implicit order from its
+      single-threaded iterator.
+    - ``nth``: every Nth row under ``order_by`` (row_number % n == 1).
+    - ``random``: Bernoulli sample with fixed seed; ``value`` is the
+      fraction.
+
+    ``discard=True`` returns the complement (reference semantics).
+    """
+    if mode == "random":
+        if discard:
+            # complement of a seeded sample: anti-join would shuffle; use
+            # the deterministic rand() predicate inverse instead
+            return df.filter(F.rand(seed) >= float(value))
+        return df.sample(fraction=float(value), seed=seed)
+
+    if order_by is None:
+        raise ValueError(
+            f"sample(mode={mode!r}) requires order_by= for deterministic "
+            "results on a distributed engine"
+        )
+    ordered = sort(df, order_by)
+    if mode == "first":
+        n = int(value)
+        if not discard:
+            return ordered.limit(n)
+        w = Window.orderBy(*_order_cols(order_by))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > n)
+            .drop("__rn")
+        )
+    if mode == "nth":
+        n = int(value)
+        w = Window.orderBy(*_order_cols(order_by))
+        cond = (F.col("__rn") - 1) % n == 0
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(~cond if discard else cond)
+            .drop("__rn")
+        )
+    raise ValueError(f"unknown sample mode: {mode!r}")
+
+
+def _order_cols(orderby: Sequence[tuple[str, str] | str]) -> list[Column]:
+    cols = []
+    for item in orderby:
+        if isinstance(item, str):
+            cols.append(F.col(item).asc())
+        else:
+            name, direction = item
+            col = F.col(name)
+            cols.append(col.desc() if str(direction).lower().startswith("d") else col.asc())
+    return cols
+
+
+def top_k(df: DataFrame, orderby: Sequence[tuple[str, str] | str], k: int) -> DataFrame:
+    """Top-k (sort + sample-first composition in the reference,
+    SURVEY.md §2.5 O2).  Spark turns orderBy+limit into TakeOrdered —
+    a per-partition heap + driver merge, no full sort at any scale."""
+    return sort(df, orderby).limit(k)
+
+
+# ---------------------------------------------------------------------
+# Aggregation (SURVEY.md §2.6; bubbles/ops/rows.py::aggregate)
+# ---------------------------------------------------------------------
+
+_AGG_FUNCS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "average": F.avg,
+    "avg": F.avg,
+    "count": F.count,
+    # extensions beyond the reference's four funcs
+    "count_distinct": F.countDistinct,
+    "approx_count_distinct": F.approx_count_distinct,
+    "stddev": F.stddev,
+    "variance": F.variance,
+    "first": F.first,
+    "last": F.last,
+}
+
+
+def aggregate(
+    df: DataFrame,
+    key: str | Sequence[str] | None,
+    measures: Sequence[tuple[str, str]] = (),
+    include_count: bool = True,
+    count_field: str = "record_count",
+) -> DataFrame:
+    """Group by ``key`` with ``(field, func)`` measures
+    (bubbles/ops/rows.py::aggregate — a dict-of-accumulators hash agg
+    in the reference; Spark's partial-aggregate + shuffle + final
+    here).  Output naming matches the reference: ``{field}_{func}``.
+
+    Null semantics: Spark/SQL aggregates skip NULLs (the reference's
+    Python ``sum`` would raise); pinned to SQL semantics and encoded
+    in the oracle (SURVEY.md §7.4a).
+    """
+    keys = [] if key is None else [key] if isinstance(key, str) else list(key)
+    aggs: list[Column] = []
+    for field, func in measures:
+        fname = func.lower()
+        try:
+            fn = _AGG_FUNCS[fname]
+        except KeyError:
+            raise ValueError(f"unknown aggregate function: {func!r}")
+        aggs.append(fn(field).alias(f"{field}_{fname}"))
+    if include_count:
+        aggs.append(F.count(F.lit(1)).alias(count_field))
+    if not aggs:
+        raise ValueError("aggregate() needs measures or include_count=True")
+    return df.groupBy(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------------
+# Joins & set ops (SURVEY.md §2.7)
+# ---------------------------------------------------------------------
+
+
+def join_details(
+    master: DataFrame,
+    detail: DataFrame,
+    master_key: str | Sequence[str],
+    detail_key: str | Sequence[str] | None = None,
+    how: str = "inner",
+    broadcast_detail: bool = True,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Master–detail join: enrich master rows with the matching detail
+    row's columns (bubbles/ops/rows.py::join_details — the reference
+    builds an in-memory dict on the detail key, i.e. a broadcast hash
+    join with inner semantics; SURVEY.md §2.7 J1).
+
+    ``broadcast_detail=True`` (default) hints the dimension side —
+    at 100 TB the fact table must never shuffle for a dimension
+    lookup.  Set False for detail sides too big to broadcast; Catalyst
+    then picks sort-merge/shuffled-hash, and AQE may still convert to
+    broadcast at runtime if the built side turns out small.
+
+    Output: all master columns + detail columns minus the detail key
+    (it duplicates the master key).  ``prefix`` optionally prefixes
+    detail columns to avoid collisions.
+    """
+    mkeys = [master_key] if isinstance(master_key, str) else list(master_key)
+    dkeys = (
+        mkeys
+        if detail_key is None
+        else [detail_key] if isinstance(detail_key, str) else list(detail_key)
+    )
+    if len(mkeys) != len(dkeys):
+        raise ValueError("master_key and detail_key arity mismatch")
+
+    d = detail
+    keep = [c for c in d.columns if c not in dkeys]
+    if prefix:
+        d = d.select(*dkeys, *[F.col(c).alias(prefix + c) for c in keep])
+        keep = [prefix + c for c in keep]
+    else:
+        collisions = set(keep) & set(master.columns)
+        if collisions:
+            raise ValueError(
+                f"detail columns collide with master: {sorted(collisions)}; "
+                "pass prefix="
+            )
+    cond = reduce(
+        lambda a, b: a & b,
+        [master[mk] == d[dk] for mk, dk in zip(mkeys, dkeys)],
+    )
+    right = F.broadcast(d) if broadcast_detail else d
+    joined = master.join(right, cond, how)
+    return joined.select(*[master[c] for c in master.columns], *[d[c] for c in keep])
+
+
+def append(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Concatenate N objects with identical field lists — UNION ALL
+    (bubbles/ops/rows.py::append, itertools.chain in the reference).
+
+    unionByName so field order differences don't silently mis-bind.
+    A union is shuffle-free in Spark (partitions concatenate).
+    """
+    if not dfs:
+        raise ValueError("append() needs at least one DataFrame")
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set intersection (engine extension; absent in reference —
+    SURVEY.md §2.7 U2)."""
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Multiset difference (engine extension)."""
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------
+# CDC / dimension-loading (SURVEY.md §2.8;
+# bubbles/backends/sql/ops.py::added_keys/added_rows/changed_rows)
+# ---------------------------------------------------------------------
+
+
+def added_keys(
+    src: DataFrame, target: DataFrame, src_key: str, target_key: str | None = None
+) -> DataFrame:
+    """Key values present in src but absent from target
+    (bubbles/backends/sql/ops.py::added_keys).  Distinct both sides
+    first so the anti-join shuffles key columns only."""
+    tk = target_key or src_key
+    s = src.select(src_key).distinct()
+    t = target.select(F.col(tk).alias(src_key)).distinct()
+    return s.join(t, on=src_key, how="left_anti")
+
+
+def added_rows(
+    src: DataFrame, target: DataFrame, src_key: str, target_key: str | None = None
+) -> DataFrame:
+    """Full src rows whose key is absent from target
+    (bubbles/backends/sql/ops.py::added_rows) — left anti join."""
+    tk = target_key or src_key
+    t = target.select(F.col(tk).alias(src_key)).distinct()
+    return src.join(t, on=src_key, how="left_anti")
+
+
+def changed_rows(
+    src: DataFrame,
+    target: DataFrame,
+    keys: str | Sequence[str],
+    fields: Sequence[str],
+) -> DataFrame:
+    """Src rows whose key matches a target row but at least one tracked
+    field differs (bubbles/backends/sql/ops.py::changed_rows).
+
+    NULL-safe comparison: NULL→value and value→NULL count as changes
+    (``eqNullSafe`` negated), unlike a bare ``!=`` which would miss
+    them — semantics pinned per SURVEY.md §7.4a.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    t = target.select(
+        *key_list, *[F.col(f).alias(f"__t_{f}") for f in fields]
+    )
+    diff = reduce(
+        lambda a, b: a | b,
+        [~F.col(f).eqNullSafe(F.col(f"__t_{f}")) for f in fields],
+    )
+    return (
+        src.join(t, on=key_list, how="inner")
+        .filter(diff)
+        .select(*src.columns)
+    )

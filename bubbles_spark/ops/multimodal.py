@@ -1,0 +1,185 @@
+"""Multimodal column operators (SURVEY.md §2.14).
+
+Image/audio/video as opaque ``binary`` columns wrapped in a typed
+struct — ``{uri, mime, data, meta}`` — so pipelines can carry media
+through filters/joins/dedup without touching bytes until a decode
+stage.
+
+The decode/extract kernels need codec libraries that are NOT in this
+container, so the decode step is STUBBED: ``decode_image`` raises
+NotImplementedError unless ``fake=True``, in which case a clearly
+marked deterministic fake (dimensions derived from a content hash)
+exercises the full Spark-side plumbing — schema, batching, partition
+behavior — which IS real and tested.
+
+Design notes for the real thing at 100 TB:
+- media bytes go through ``mapInPandas`` (arrow batches), never a
+  row-at-a-time UDF; batch size bounded by
+  spark.sql.execution.arrow.maxRecordsPerBatch to cap executor RSS.
+- decoded features (dims, duration, frames) are small scalar structs;
+  frames themselves re-emerge as new binary rows via the iterator
+  (one in-batch → many out-rows is native to mapInPandas).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_STRUCT = T.StructType(
+    [
+        T.StructField("uri", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame,
+    data_col: str,
+    mime: str = "application/octet-stream",
+    uri_col: str | None = None,
+    out: str = "media",
+) -> DataFrame:
+    """Wrap a binary (or string→utf8) column into the media struct."""
+    data = F.col(data_col).cast("binary")
+    uri = F.col(uri_col) if uri_col else F.lit(None).cast("string")
+    return df.withColumn(
+        out,
+        F.struct(
+            uri.alias("uri"),
+            F.lit(mime).alias("mime"),
+            data.alias("data"),
+            F.map_from_arrays(
+                F.array(F.lit("n_bytes")),
+                F.array(F.length(data).cast("string")),
+            ).alias("meta"),
+        ),
+    )
+
+
+IMAGE_META_SCHEMA = "width int, height int, channels int, format string"
+
+
+def decode_image(
+    df: DataFrame, media_col: str = "media", fake: bool = False
+) -> DataFrame:
+    """Decode image headers → (width, height, channels, format) columns.
+
+    REAL DECODE IS STUBBED (no image libraries in this container).
+    ``fake=True`` runs a deterministic placeholder that derives
+    dimensions from the content hash — for plumbing tests only.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires a codec library (e.g. Pillow) not "
+            "present in this environment; pass fake=True for the "
+            "deterministic plumbing stub"
+        )
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("format", T.StringType()),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # DETERMINISTIC FAKE: dims from md5 of bytes — not a decoder
+            def dims(m):
+                data = m["data"] if isinstance(m, dict) else m.data
+                h = hashlib.md5(bytes(data or b"")).digest()
+                return (
+                    64 + h[0] % 192,
+                    64 + h[1] % 192,
+                    3,
+                    "fake",
+                )
+            decoded = pdf[media_col].apply(dims)
+            pdf = pdf.assign(
+                width=[d[0] for d in decoded],
+                height=[d[1] for d in decoded],
+                channels=[d[2] for d in decoded],
+                format=[d[3] for d in decoded],
+            )
+            yield pdf
+
+    return df.mapInPandas(_decode, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    media_col: str = "media",
+    every_n: int = 10,
+    max_frames: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample frames from video media → one output row per frame
+    (id columns preserved, plus frame_index + frame struct).
+
+    STUBBED like decode_image; the fake emits ``max_frames``
+    deterministic pseudo-frames so the one-row-in/many-rows-out
+    mapInPandas shape is exercised for real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video frame extraction requires codec libraries not in this "
+            "environment; pass fake=True for the plumbing stub"
+        )
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", MEDIA_STRUCT),
+        ]
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                m = row[media_col]
+                data = bytes((m["data"] if isinstance(m, dict) else m.data) or b"")
+                n = min(max_frames, max(1, len(data) // max(every_n, 1)))
+                for i in range(n):
+                    r = row.to_dict()
+                    r["frame_index"] = i * every_n
+                    r["frame"] = {
+                        "uri": None,
+                        "mime": "image/fake-frame",
+                        "data": hashlib.md5(data + i.to_bytes(4, "little")).digest(),
+                        "meta": {"frame": str(i * every_n)},
+                    }
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(_frames, schema=out_schema)
+
+
+def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Byte-size stats per mime type — pure Column ops over the
+    struct (no decode): (mime, n_items, total_bytes, avg_bytes)."""
+    m = F.col(media_col)
+    return (
+        df.select(
+            m["mime"].alias("mime"), F.length(m["data"]).alias("__n")
+        )
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("__n").cast("long").alias("total_bytes"),
+            F.round(F.avg("__n"), 6).alias("avg_bytes"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""Fluent Pipeline facade (SURVEY.md §1.4, §3.1).
+
+API parity with bubbles/execution/pipeline.py::Pipeline — the
+reference builds a Graph of nodes, topo-sorts it into an
+ExecutionPlan, and dispatches each operation by the representations
+of its inputs (bubbles/execution/graph.py, engine.py, context.py).
+
+None of that machinery survives the Spark rewrite: chaining DataFrame
+transformations *is* the dataflow DAG (Catalyst's logical plan), the
+topological sort is Catalyst's, and representation dispatch is
+Catalyst strategy selection.  The facade below therefore just binds
+the operator catalog onto a held DataFrame; ``run()`` triggers the
+terminal action.  The reference's consumable-object accounting
+(engine.py's outlet counting) maps to ``cache()`` on explicit forks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bubbles_spark import io as bio
+from bubbles_spark import probes as _probes
+from bubbles_spark.ops import audit as _audit
+from bubbles_spark.ops import core as _core
+from bubbles_spark.ops import text as _text
+
+# operation catalog: name -> fn(df, *args, **kwargs) -> df
+# (≈ the reference's ExecutionContext operation registry;
+# bubbles/execution/context.py)
+_CATALOG: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_operation(name: str, fn: Callable[..., DataFrame]) -> None:
+    """Register a custom operation (bubbles/operation.py::@operation).
+    Any ``(df, *args) -> df`` function becomes a Pipeline method."""
+    _CATALOG[name] = fn
+
+
+for _mod in (_core, _text, _audit):
+    for _name in dir(_mod):
+        _fn = getattr(_mod, _name)
+        if callable(_fn) and not _name.startswith("_") and _fn.__module__ == _mod.__name__:
+            _CATALOG.setdefault(_name, _fn)
+
+for _name in ("assert_unique", "assert_contains", "assert_missing"):
+    _CATALOG.setdefault(_name, getattr(_probes, _name))
+
+
+class Pipeline:
+    """Fluent pipeline over one head DataFrame.
+
+    >>> p = Pipeline(stores={"default": open_store("parquet", path=...)})
+    >>> p.source("default", "orders")
+    >>> p.filter_by_value("o_orderstatus", "F")
+    >>> p.aggregate("o_custkey", [("o_totalprice", "sum")])
+    >>> p.run()   # or p.df for the lazy DataFrame
+    """
+
+    def __init__(
+        self,
+        stores: dict[str, bio.DataStore] | None = None,
+        spark: SparkSession | None = None,
+        df: DataFrame | None = None,
+    ):
+        self.stores = stores or {}
+        self._spark = spark
+        self._df = df
+
+    # -- source / fork ------------------------------------------------
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            from bubbles_spark.session import get_spark
+
+            self._spark = get_spark()
+        return self._spark
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            raise ValueError("pipeline has no source yet")
+        return self._df
+
+    def source(self, store: str, name: str) -> "Pipeline":
+        """SourceNode analog: head = store object."""
+        self._df = self.stores[store].get_object(name)
+        return self
+
+    def source_df(self, df: DataFrame) -> "Pipeline":
+        """ObjectNode analog: adopt an existing DataFrame."""
+        self._df = df
+        return self
+
+    def fork(self, cache: bool = True) -> "Pipeline":
+        """Branch the pipeline (reference: an object consumed by >1
+        outlet is retained — engine.py's accounting; here an explicit
+        cache() so both branches reuse one computation)."""
+        head = self.df.cache() if cache else self.df
+        self._df = head
+        return Pipeline(stores=self.stores, spark=self._spark, df=head)
+
+    # -- operation dispatch -------------------------------------------
+    def __getattr__(self, opname: str) -> Callable[..., "Pipeline"]:
+        # mirrors Pipeline.__getattr__ in the reference: resolve the
+        # operation by name from the catalog, return a closure that
+        # appends it (here: applies it to the head DataFrame)
+        if opname.startswith("_"):
+            raise AttributeError(opname)
+        try:
+            fn = _CATALOG[opname]
+        except KeyError:
+            raise AttributeError(f"no operation named {opname!r}") from None
+
+        def apply(*args: Any, **kwargs: Any) -> "Pipeline":
+            self._df = fn(self.df, *args, **kwargs)
+            return self
+
+        apply.__name__ = opname
+        return apply
+
+    def apply(self, fn: Callable[..., DataFrame], *args: Any, **kwargs: Any) -> "Pipeline":
+        """Apply any (df, ...) -> df function inline."""
+        self._df = fn(self.df, *args, **kwargs)
+        return self
+
+    # -- joins take a second pipeline/DataFrame ------------------------
+    def join_details(
+        self, detail: "Pipeline | DataFrame", master_key: str, detail_key: str | None = None, **kw: Any
+    ) -> "Pipeline":
+        d = detail.df if isinstance(detail, Pipeline) else detail
+        self._df = _core.join_details(self.df, d, master_key, detail_key, **kw)
+        return self
+
+    def append(self, *others: "Pipeline | DataFrame") -> "Pipeline":
+        dfs = [self.df] + [o.df if isinstance(o, Pipeline) else o for o in others]
+        self._df = _core.append(dfs)
+        return self
+
+    # -- terminals (CreateTargetNode / pretty_print / fetch_all) -------
+    def create(self, store: str, name: str, replace: bool = True, **kw: Any) -> "Pipeline":
+        self.stores[store].create(name, replace=replace, from_obj=self.df, **kw)
+        return self
+
+    def pretty_print(self, n: int = 20) -> "Pipeline":
+        """bubbles/ops/rows.py::pretty_print → df.show."""
+        self.df.show(n, truncate=False)
+        return self
+
+    def fetch_all(self) -> list:
+        """Materialize rows (bubbles fetch_all)."""
+        return self.df.collect()
+
+    def as_records(self) -> list[dict]:
+        """Materialize dicts (records representation)."""
+        return [r.asDict(recursive=True) for r in self.df.collect()]
+
+    def as_dict(self, key: str, value: str, max_rows: int = 1_000_000) -> dict:
+        """rows → lookup dict (bubbles/ops/rows.py — SURVEY.md §2.11 V3).
+        Driver-side by definition; guarded against unbounded collects
+        (the 100 TB posture: refuse, don't OOM)."""
+        picked = self.df.select(key, value).limit(max_rows + 1).collect()
+        if len(picked) > max_rows:
+            raise ValueError(
+                f"as_dict() would collect more than {max_rows} rows; "
+                "aggregate first or raise max_rows explicitly"
+            )
+        return {r[0]: r[1] for r in picked}
+
+    def run(self) -> list:
+        """Terminal action (reference Pipeline.run).  Without an
+        explicit target the result materializes to the driver."""
+        return self.fetch_all()
