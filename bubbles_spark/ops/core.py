@@ -245,22 +245,60 @@ def sample(
         n = int(value)
         if not discard:
             return ordered.limit(n)
-        w = Window.orderBy(*_order_cols(order_by))
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") > n)
-            .drop("__rn")
-        )
+        ranked = _with_global_row_number(df, order_by)
+        return ranked.filter(F.col("__rn") > n).drop("__rn")
     if mode == "nth":
         n = int(value)
-        w = Window.orderBy(*_order_cols(order_by))
+        ranked = _with_global_row_number(df, order_by)
         cond = (F.col("__rn") - 1) % n == 0
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(~cond if discard else cond)
-            .drop("__rn")
-        )
+        return ranked.filter(~cond if discard else cond).drop("__rn")
     raise ValueError(f"unknown sample mode: {mode!r}")
+
+
+def _with_global_row_number(
+    df: DataFrame, order_by: Sequence[tuple[str, str] | str]
+) -> DataFrame:
+    """Scale-safe global row_number as ``__rn``.
+
+    A bare ``Window.orderBy`` funnels EVERY row through one task — the
+    round-1 scale-killer.  Two-phase rank instead: range-repartition on
+    the sort key (each partition owns a contiguous key range), rank
+    within partitions in parallel, then add per-partition prefix-sum
+    offsets.  The offsets come from a partition-count collect — that
+    is O(#partitions) metadata on the driver, not data.  The input is
+    persisted so both jobs (count + rank) see identical partition
+    assignment.  Ties across rows with equal sort keys are
+    partition-stable (range partitioner keeps equal keys together);
+    within equal keys order is undefined, as with any row_number.
+    """
+    cols = _order_cols(order_by)
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    parted.persist()
+    sizes = {
+        r["__pid"]: r["__cnt"]
+        for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        parted.withColumn(
+            "__rn",
+            F.row_number().over(w) + F.coalesce(off_map[F.col("__pid")], F.lit(0)),
+        )
+        .drop("__pid")
+    )
 
 
 def _order_cols(orderby: Sequence[tuple[str, str] | str]) -> list[Column]:
@@ -335,6 +373,25 @@ def aggregate(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def grouped_apply(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    fn: Callable,
+    schema: str,
+) -> DataFrame:
+    """Grouped pandas transform — the UDAF analog of the reference's
+    @operation escape hatch (SURVEY.md §2.12: aggregation UDFs via
+    applyInPandas over groups).
+
+    ``fn(pandas.DataFrame) -> pandas.DataFrame`` runs once per key
+    group, Arrow-batched.  One shuffle on the keys, then embarrassingly
+    parallel per group — but a single giant group lands on one task,
+    so keys must have bounded cardinality-per-key at scale (same
+    contract as any groupBy-apply)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    return df.groupBy(*key_list).applyInPandas(fn, schema=schema)
+
+
 # ---------------------------------------------------------------------
 # Joins & set ops (SURVEY.md §2.7)
 # ---------------------------------------------------------------------
@@ -346,7 +403,7 @@ def join_details(
     master_key: str | Sequence[str],
     detail_key: str | Sequence[str] | None = None,
     how: str = "inner",
-    broadcast_detail: bool = True,
+    broadcast_detail: bool | None = None,
     prefix: str | None = None,
 ) -> DataFrame:
     """Master–detail join: enrich master rows with the matching detail
@@ -354,11 +411,13 @@ def join_details(
     builds an in-memory dict on the detail key, i.e. a broadcast hash
     join with inner semantics; SURVEY.md §2.7 J1).
 
-    ``broadcast_detail=True`` (default) hints the dimension side —
-    at 100 TB the fact table must never shuffle for a dimension
-    lookup.  Set False for detail sides too big to broadcast; Catalyst
-    then picks sort-merge/shuffled-hash, and AQE may still convert to
-    broadcast at runtime if the built side turns out small.
+    ``broadcast_detail=None`` (default) leaves the strategy to
+    Catalyst statistics + AQE: a detail side under
+    ``autoBroadcastJoinThreshold`` broadcasts automatically, and AQE
+    can still convert a shuffle join at runtime.  ``True`` forces the
+    hint (only when the caller KNOWS the side stays small at every
+    scale — a forced hint ignores the threshold and OOMs at sf100 if
+    the "dimension" grows with the data); ``False`` forbids it.
 
     Output: all master columns + detail columns minus the detail key
     (it duplicates the master key).  ``prefix`` optionally prefixes
@@ -389,7 +448,7 @@ def join_details(
         lambda a, b: a & b,
         [master[mk] == d[dk] for mk, dk in zip(mkeys, dkeys)],
     )
-    right = F.broadcast(d) if broadcast_detail else d
+    right = F.broadcast(d) if broadcast_detail else d.hint("shuffle_merge") if broadcast_detail is False else d
     joined = master.join(right, cond, how)
     return joined.select(*[master[c] for c in master.columns], *[d[c] for c in keep])
 

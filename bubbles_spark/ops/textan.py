@@ -8,6 +8,14 @@ fingerprinting) over the `documents` table shape
 Everything below is built-in Column expressions (JVM, codegen) — no
 Python UDFs — so each operator is a map-only stage that scales
 linearly with input splits at 100 TB.
+
+CODEGEN RULE (round-2 lesson, measured): higher-order functions
+(transform/filter/aggregate lambdas) are NEVER whole-stage-codegen'd;
+they evaluate interpreted at ~10µs per lambda call, which is
+milliseconds per row once a lambda runs per token.  Everything here
+therefore uses regex counting (`regexp_extract_all` + `size`),
+arithmetic on `length()`, and non-lambda collection expressions
+(`split`, `array_distinct`, `array_sort`) — all JVM-codegen'd.
 """
 
 from __future__ import annotations
@@ -20,30 +28,60 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------
 
 
+def _norm_ws(text: Column) -> Column:
+    """Whitespace-normalized text: trimmed, runs collapsed to one
+    space.  Token i is then the i-th space-separated piece — the
+    shared normal form for every token-level expression below."""
+    return F.regexp_replace(F.trim(text), r"\s+", " ")
+
+
 def _tokens(text: Column) -> Column:
-    """Whitespace tokens, empties removed."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    """Whitespace tokens, empties removed — codegen'd (split on the
+    normalized form; no lambda filter)."""
+    norm = _norm_ws(text)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def _token_count(text: Column) -> Column:
+    """Token count without materializing the token array."""
+    norm = _norm_ws(text)
+    return F.when(norm == "", F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+
+
+def _word_alt(words: list[str]) -> str:
+    """Regex alternation matching any of ``words`` as a whole token
+    (space-delimited, non-consuming lookahead on the right so two
+    adjacent matches both count)."""
+    return "(?:^| )(?:" + "|".join(words) + ")(?= |$)"
 
 
 def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
     """Whitespace token count."""
-    return df.withColumn(out, F.size(_tokens(F.col(text_col))).cast("long"))
+    return df.withColumn(out, _token_count(F.col(text_col)).cast("long"))
 
 
 def bpe_token_estimate(
     df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
 ) -> DataFrame:
     """BPE-ish token-count estimate without a tokenizer model: count
-    regex word/number/punct pieces, then add a length correction
+    regex word/number pieces, then add a length correction
     (≈1 token per 4 chars within long words — the usual BPE budget
     heuristic).  Deterministic and cheap; swap in a real tokenizer via
-    mapInPandas when the model file is available."""
+    mapInPandas when the model file is available.
+
+    ``pieces`` counts \\w+ runs directly (codegen'd regex scan); the
+    long-word correction sums floor((len-1)/4) over words of 5+ word
+    chars.  The fold is the one lambda here, but it runs over the few
+    long words per doc, not every token."""
     text = F.col(text_col)
-    pieces = F.size(
-        F.filter(F.split(text, r"[^\w]+"), lambda t: t != "")
-    )
+    pieces = F.size(F.regexp_extract_all(text, F.lit(r"\w+"), 0))
+    long_words = F.regexp_extract_all(text, F.lit(r"\w{5,}"), 0)
     long_word_extra = F.aggregate(
-        F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 4),
+        long_words,
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.floor((F.length(t) - 1) / 4).cast("long"),
     )
@@ -64,23 +102,27 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     C4/Gopher-style cheap filters): length, token stats, stopword
     ratio, punctuation density, repetition (distinct-token ratio).
 
-    Adds columns: n_chars_q, n_tokens, mean_token_len,
-    stopword_ratio, punct_ratio, distinct_token_ratio, quality.
-    All ratios rounded to 6dp for cross-engine comparability.
-    """
+    Adds columns: n_tokens, mean_token_len, stopword_ratio,
+    punct_ratio, distinct_token_ratio, quality.  All ratios rounded
+    to 6dp for cross-engine comparability.
+
+    Fully codegen'd: stopword hits are a regex count over the
+    lowercased normal form; mean token length is arithmetic on the
+    normalized length (total chars minus the n-1 single spaces);
+    distinct ratio uses the non-lambda array_distinct."""
     text = F.col(text_col)
-    toks = _tokens(text)
-    n_tok = F.size(toks)
+    norm = _norm_ws(F.lower(text))
+    n_tok = F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " ")))
     n_chars = F.length(text)
-    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(list(_STOPWORDS))))
+    stop_hits = F.size(F.regexp_extract_all(norm, F.lit(_word_alt(_STOPWORDS)), 0))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     distinct_ratio = F.when(
-        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
+        n_tok > 0, F.size(F.array_distinct(F.split(norm, " "))) / n_tok
     ).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    # sum of token lengths = len(norm) - (n_tok - 1) single spaces
     mean_tok = F.when(
-        n_tok > 0,
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)) / n_tok,
+        n_tok > 0, (F.length(norm) - (n_tok - 1)) / n_tok
     ).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
 
@@ -101,7 +143,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# language ID (n-gram/charset heuristic)
+# language ID (marker-word/charset heuristic)
 # ---------------------------------------------------------------------
 
 # charset cues first (CJK, Cyrillic...), then tiny per-language marker
@@ -118,12 +160,13 @@ _LANG_MARKERS: dict[str, list[str]] = {
 def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
     """Predict language: CJK/Cyrillic/Greek by script range, else the
     latin language whose marker-word hit-count is highest (ties break
-    by fixed language order; no hits → 'und')."""
+    by fixed language order; no hits → 'und').  One codegen'd regex
+    count per language."""
     text = F.col(text_col)
-    toks = F.transform(_tokens(text), lambda t: F.lower(t))
+    norm = _norm_ws(F.lower(text))
 
     scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        lang: F.size(F.regexp_extract_all(norm, F.lit(_word_alt(markers)), 0))
         for lang, markers in _LANG_MARKERS.items()
     }
     best_lang = F.lit("und")
@@ -153,11 +196,12 @@ def fingerprint(
     df: DataFrame, text_col: str = "text", out: str = "fingerprint"
 ) -> DataFrame:
     """Canonical document fingerprint: md5 of the sorted distinct
-    token multiset-free form (the "key collision" fingerprint —
-    normalization + sort makes word order and repetition irrelevant,
-    so it catches shuffled/duplicated-content docs that exact-hash
-    misses).  md5 (not xxhash) so external engines can reproduce it.
-    """
+    token set (the "key collision" fingerprint — normalization + sort
+    makes word order and repetition irrelevant, so it catches
+    shuffled/duplicated-content docs that exact-hash misses).
+    md5 (not xxhash) so external engines can reproduce it.
+    array_sort/array_distinct are non-lambda collection expressions —
+    codegen'd."""
     toks = F.array_sort(F.array_distinct(_tokens(F.lower(F.col(text_col)))))
     return df.withColumn(out, F.md5(F.array_join(toks, " ").cast("binary")))
 

@@ -25,7 +25,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product in double precision.
+
+    With ``dim`` known, unrolls into element_at products — plain
+    codegen'd expressions (~ns per term).  The zip_with/aggregate
+    fallback evaluates interpreted at ~10µs per element (round-1
+    measured ~1ms per 64-dim pair — 1000× slower), so every hot path
+    passes dim."""
+    if dim:
+        terms = [
+            F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -33,7 +49,16 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm_col(v: Column) -> Column:
+def _norm_col(v: Column, dim: int | None = None) -> Column:
+    if dim:
+        terms = [
+            F.element_at(v, i + 1).cast("double") * F.element_at(v, i + 1).cast("double")
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return F.sqrt(out)
     return F.sqrt(
         F.aggregate(
             v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
@@ -46,13 +71,44 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return rng.randn(bits, dim).tolist()
 
 
-def _hyperplane_bucket(v: Column, bits: int, seed: int, dim: int = 64) -> Column:
-    """Sign-pattern bucket id: bit i = (v · h_i) >= 0."""
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimension from the data (one tiny limit-1 job)."""
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("__d"))
+        .filter(F.col("__d") > 0)
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"cannot infer dim: no non-empty vectors in {vec_col!r}")
+    return int(row[0])
+
+
+def _hyperplane_bucket(v: Column, bits: int, seed: int, dim: int) -> Column:
+    """Sign-pattern bucket id: bit i = (v · h_i) >= 0.
+
+    ``dim`` must match the vector length — a mismatch fails loudly at
+    runtime (assert_true) instead of null-padding the dot product and
+    silently collapsing every vector into bucket 0 (the round-1
+    latent bug: dim was hardcoded to 64)."""
     planes = _hyperplanes(dim, bits, seed)
-    bucket = F.lit(0).cast("long")
+    # assert_true returns NULL when the check passes, raises otherwise;
+    # NULL vectors pass the guard (callers filter them on norm anyway)
+    guard = F.assert_true(
+        v.isNull() | (F.size(v) == dim),
+        F.concat(F.lit(f"embedding dim != {dim}: got "), F.size(v).cast("string")),
+    )
+    bucket = F.coalesce(guard.cast("long"), F.lit(0).cast("long"))
     for i, plane in enumerate(planes):
-        h = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(v, h) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+        # Σ v[j] * plane[j] with the plane values inlined as literals
+        # (no literal-array construction, one element_at per term)
+        terms = [
+            F.element_at(v, j + 1).cast("double") * float(plane[j])
+            for j in range(dim)
+        ]
+        dot = terms[0]
+        for t in terms[1:]:
+            dot = dot + t
+        bit = F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket + bit
@@ -67,6 +123,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
@@ -74,24 +131,30 @@ def cosine_topk(
     neighbor id (deterministic).  The query side is broadcast — the
     corpus never shuffles; the only wide op is the per-query top-k,
     which TakeOrdered-style window-ranks on (query, -cosine).
+    ``dim`` (inferred when absent) unrolls the dot product into
+    codegen'd expressions — see ``_dot``.
     """
     qid = query_id_col or id_col
+    dim = dim or _infer_dim(corpus, vec_col)
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _norm_col(F.col(vec_col)).alias("__qn"),
+        _norm_col(F.col(vec_col), dim).alias("__qn"),
     ).filter(F.col("__qn") > 0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _norm_col(F.col(vec_col)).alias("__cn"),
+        _norm_col(F.col(vec_col), dim).alias("__cn"),
     ).filter(F.col("__cn") > 0)
 
     joined = c.join(F.broadcast(q), F.lit(True))
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     sim = joined.withColumn(
-        "cosine", F.round(_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6)
+        "cosine",
+        F.round(
+            _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")), 6
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -114,24 +177,28 @@ def cosine_topk_lsh(
     seed: int = 42,
     multiprobe: bool = True,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: corpus bucketed by random-hyperplane sign
     pattern; each query probes its own bucket plus (multiprobe) all
     Hamming-distance-1 buckets.  Candidate set shrinks ~2^bits/(bits+1)
-    fold; recall measured against cosine_topk in tests."""
+    fold; recall measured against cosine_topk in tests.
+
+    ``dim`` inferred from the corpus when not given (one tiny job)."""
     qid = query_id_col or id_col
+    dim = dim or _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _norm_col(F.col(vec_col)).alias("__cn"),
-        _hyperplane_bucket(F.col(vec_col), bits, seed).alias("__bucket"),
+        _norm_col(F.col(vec_col), dim).alias("__cn"),
+        _hyperplane_bucket(F.col(vec_col), bits, seed, dim).alias("__bucket"),
     ).filter(F.col("__cn") > 0)
 
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _norm_col(F.col(vec_col)).alias("__qn"),
-        _hyperplane_bucket(F.col(vec_col), bits, seed).alias("__qb"),
+        _norm_col(F.col(vec_col), dim).alias("__qn"),
+        _hyperplane_bucket(F.col(vec_col), bits, seed, dim).alias("__qb"),
     ).filter(F.col("__qn") > 0)
 
     if multiprobe:
@@ -151,7 +218,9 @@ def cosine_topk_lsh(
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     sim = joined.withColumn(
         "cosine",
-        F.round(_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6),
+        F.round(
+            _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")), 6
+        ),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
