@@ -385,6 +385,730 @@ def q_changed_rows(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Round 2: oracle coverage for every remaining operator
+# =====================================================================
+
+# --- derive (§2.2 extension) ------------------------------------------
+@_q(
+    "derive_expr",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def q_derive(spark, sf_dir):
+    # no ROUND here: both engines compute the identical IEEE product,
+    # but their ROUND implementations disagree on decimal-boundary
+    # doubles (Spark rounds the shortest decimal rendering, DuckDB the
+    # raw binary); the verifier's 9-sig-digit normalization compares
+    # the unrounded doubles exactly
+    li = _t(spark, sf_dir, "lineitem")
+    d = core.derive(li, "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return core.field_filter(d, keep=["l_orderkey", "l_linenumber", "revenue"])
+
+
+# --- T1 string_strip ---------------------------------------------------
+@_q(
+    "string_strip",
+    "SELECT c_custkey, TRIM(CONCAT('  ', c_name, '  ')) AS stripped FROM customer",
+)
+def q_string_strip(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    padded = core.derive(c, "stripped", F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")))
+    return core.field_filter(
+        text.string_strip(padded, ["stripped"]), keep=["c_custkey", "stripped"]
+    )
+
+
+# --- T2 text_substitute ------------------------------------------------
+@_q(
+    "text_substitute",
+    """
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(c_name, '[0-9]', '#', 'g'), '#+', 'N', 'g')
+             AS c_name
+    FROM customer
+    """,
+)
+def q_text_substitute(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    out = text.text_substitute(c, "c_name", [(r"[0-9]", "#"), (r"#+", "N")])
+    return core.field_filter(out, keep=["c_custkey", "c_name"])
+
+
+# --- T3 split_date -----------------------------------------------------
+@_q(
+    "split_date",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)  AS o_orderdate_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_orderdate_month,
+           CAST(day(o_orderdate) AS INTEGER)   AS o_orderdate_day
+    FROM orders
+    """,
+)
+def q_split_date(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return core.field_filter(
+        text.split_date(o, "o_orderdate"),
+        keep=["o_orderkey", "o_orderdate_year", "o_orderdate_month", "o_orderdate_day"],
+    )
+
+
+# --- T4 empty_to_missing ----------------------------------------------
+@_q(
+    "empty_to_missing",
+    """
+    SELECT doc_id,
+           NULLIF(CASE WHEN doc_id % 5 = 0 THEN '' ELSE lang END, '') AS maybe_lang
+    FROM documents
+    """,
+)
+def q_empty_to_missing(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    d = core.derive(
+        d,
+        "maybe_lang",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.col("lang")),
+    )
+    return core.field_filter(
+        text.empty_to_missing(d, ["maybe_lang"]), keep=["doc_id", "maybe_lang"]
+    )
+
+
+# --- T5 threshold ------------------------------------------------------
+@_q(
+    "threshold_bins",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal IS NULL THEN NULL
+                WHEN c_acctbal < 0 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'normal'
+                ELSE 'high' END AS c_acctbal_bin
+    FROM customer
+    """,
+)
+def q_threshold(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return core.field_filter(
+        text.threshold(c, "c_acctbal", 0, 5000), keep=["c_custkey", "c_acctbal_bin"]
+    )
+
+
+# --- T6 transliterate --------------------------------------------------
+_ACCENTS_SQL = text._ACCENTS.replace("'", "''")
+_PLAIN_SQL = text._PLAIN.replace("'", "''")
+
+
+@_q(
+    "transliterate",
+    f"""
+    SELECT c_custkey,
+           translate(CONCAT('Áçcèntéd Ñamé: ', c_name),
+                     '{_ACCENTS_SQL}', '{_PLAIN_SQL}') AS folded
+    FROM customer
+    """,
+)
+def q_transliterate(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    c = core.derive(c, "folded", F.concat(F.lit("Áçcèntéd Ñamé: "), F.col("c_name")))
+    return core.field_filter(text.transliterate(c, "folded"), keep=["c_custkey", "folded"])
+
+
+# --- A3 basic_audit ----------------------------------------------------
+def _audit_oracle_field(fld: str, is_string: bool) -> str:
+    empty = (
+        f"CAST(SUM(CASE WHEN {fld} = '' THEN 1 ELSE 0 END) AS BIGINT)"
+        if is_string
+        else "CAST(0 AS BIGINT)"
+    )
+    return f"""
+    SELECT '{fld}' AS field,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           CAST(SUM(CASE WHEN {fld} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+           {empty} AS empty_string_count,
+           CAST(LEAST(COUNT(DISTINCT {fld}), 10) AS BIGINT) AS distinct_count,
+           ROUND(SUM(CASE WHEN {fld} IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS null_ratio
+    FROM customer
+    """
+
+
+@_q(
+    "basic_audit",
+    " UNION ALL ".join(
+        [
+            _audit_oracle_field("c_name", True),
+            _audit_oracle_field("c_acctbal", False),
+            _audit_oracle_field("c_mktsegment", True),
+        ]
+    ),
+)
+def q_basic_audit(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return audit_ops.basic_audit(c, ["c_name", "c_acctbal", "c_mktsegment"])
+
+
+# --- A4 infer_types ----------------------------------------------------
+@_q(
+    "infer_types",
+    """
+    SELECT * FROM (VALUES
+      ('k_str', 'integer'), ('price_str', 'number'),
+      ('status_str', 'string'), ('date_str', 'date')
+    ) AS t(field, inferred_type)
+    """,
+)
+def q_infer_types(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k_str"),
+        F.col("o_totalprice").cast("string").alias("price_str"),
+        F.col("o_orderstatus").alias("status_str"),
+        F.col("o_orderdate").cast("string").alias("date_str"),
+    )
+    return audit_ops.infer_types(o)
+
+
+# --- F5 filter_by_predicate (mapInPandas escape hatch) -----------------
+@_q(
+    "filter_by_predicate",
+    "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05",
+)
+def q_filter_by_predicate(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return core.filter_by_predicate(
+        li, lambda q, d: q > 30 and d < 0.05, ["l_quantity", "l_discount"]
+    )
+
+
+# --- Q1/Q2/Q3 probes (pass-through operators) --------------------------
+@_q("probe_assert_unique", "SELECT CAST(COUNT(*) AS BIGINT) AS record_count FROM customer")
+def q_probe_unique(spark, sf_dir):
+    from bubbles_spark import probes
+
+    c = probes.assert_unique(_t(spark, sf_dir, "customer"), "c_custkey")
+    return core.aggregate(c, None, [], include_count=True)
+
+
+@_q("probe_assert_contains", "SELECT DISTINCT event_type FROM events")
+def q_probe_contains(spark, sf_dir):
+    from bubbles_spark import probes
+
+    e = probes.assert_contains(_t(spark, sf_dir, "events"), "event_type", "error")
+    return core.distinct(e, "event_type")
+
+
+@_q("probe_assert_missing", "SELECT DISTINCT c_mktsegment FROM customer")
+def q_probe_missing(spark, sf_dir):
+    from bubbles_spark import probes
+
+    c = probes.assert_missing(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", "NO_SUCH_SEGMENT"
+    )
+    return core.distinct(c, "c_mktsegment")
+
+
+# --- U2 intersect / except_all ----------------------------------------
+@_q(
+    "intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def q_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return core.intersect(
+        core.filter_by_value(o, "o_orderstatus", "F").select("o_custkey"),
+        o.filter(F.col("o_totalprice") > 100000).select("o_custkey"),
+    )
+
+
+@_q(
+    "except_all",
+    """
+    SELECT l_orderkey FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderkey AS l_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_except_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = (
+        core.filter_by_value(_t(spark, sf_dir, "orders"), "o_orderstatus", "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return core.except_all(li, o)
+
+
+# --- L1 sample: random (rows-only: seeded, engine-specific) ------------
+@_q("sample_random")
+def q_sample_random(spark, sf_dir):
+    return core.sample(_t(spark, sf_dir, "customer"), 0.1, mode="random")
+
+
+# --- L1 sample: first+discard (two-phase global rank path) -------------
+@_q(
+    "sample_first_discard",
+    """
+    SELECT * EXCLUDE (__rn) FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY c_custkey) AS __rn FROM customer
+    ) WHERE __rn > 100
+    """,
+)
+def q_sample_first_discard(spark, sf_dir):
+    return core.sample(
+        _t(spark, sf_dir, "customer"), 100, mode="first", discard=True,
+        order_by=["c_custkey"],
+    )
+
+
+# --- §2.13 batch event-time windows ------------------------------------
+@_q(
+    "tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           ROUND(SUM(value), 2) AS value_sum,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM events GROUP BY 1
+    """,
+)
+def q_tumbling(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = events.tumbling_window(e, "ts", "1 hour", measures=[("value", "sum")])
+    return w.withColumn("value_sum", F.round("value_sum", 2))
+
+
+@_q(
+    "sliding_window",
+    """
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS ws, value
+      FROM events
+    )
+    SELECT ws AS window_start, ws + INTERVAL '2 hours' AS window_end,
+           ROUND(SUM(value), 2) AS value_sum,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM starts GROUP BY ws
+    """,
+)
+def q_sliding(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = events.sliding_window(e, "ts", "2 hours", "1 hour", measures=[("value", "sum")])
+    return w.withColumn("value_sum", F.round("value_sum", 2))
+
+
+@_q(
+    "session_window",
+    """
+    WITH b AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           ROUND(SUM(value), 2) AS value_sum,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = events.session_window(e, "ts", "30 minutes", keys=["user_id"], measures=[("value", "sum")])
+    return w.withColumn("value_sum", F.round("value_sum", 2))
+
+
+@_q(
+    "sessionize",
+    """
+    WITH b AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM b
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = events.sessionize(e, "ts", "user_id", 30.0)
+    return out.select("event_id", "user_id", "ts", F.col("session_id").cast("long").alias("session_id"))
+
+
+@_q(
+    "parse_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_parse_props(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return events.parse_props(e, "props", "k INT").select("event_id", "k")
+
+
+# --- §2.14 text analysis ----------------------------------------------
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_NTOK_SQL = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END"
+
+
+@_q(
+    "token_count",
+    f"SELECT doc_id, CAST({_NTOK_SQL} AS BIGINT) AS n_tokens FROM documents",
+)
+def q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textan.token_count(d).select("doc_id", "n_tokens")
+
+
+@_q(
+    "bpe_token_estimate",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\w+'))
+                + COALESCE(list_sum(list_transform(
+                      regexp_extract_all(text, '\w{5,}'),
+                      w -> CAST(floor((length(w) - 1) / 4) AS BIGINT))), 0)
+             AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_bpe(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textan.bpe_token_estimate(d).select("doc_id", "n_bpe_tokens")
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in textan._STOPWORDS)
+
+
+@_q(
+    "quality_score",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             {_NTOK_SQL} AS n_tok,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN (length({_NORM_SQL}) - ({_NTOK_SQL} - 1)) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS mean_tok,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_filter({_TOKS_SQL}, t -> t IN ({_STOP_IN})))
+                       * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_distinct({_TOKS_SQL})) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS dist_ratio,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       * 1.0 / length(text)
+                  ELSE 0.0 END AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           ROUND(mean_tok, 6) AS mean_token_len,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(punct, 6) AS punct_ratio,
+           ROUND(dist_ratio, 6) AS distinct_token_ratio,
+           ROUND(CAST(CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END
+                 + CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.25 ELSE 0 END
+                 + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0 END
+                 + CASE WHEN dist_ratio >= 0.1 THEN 0.25 ELSE 0 END AS DOUBLE), 6)
+             AS quality
+    FROM f
+    """,
+)
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textan.quality_score(d).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio",
+        "distinct_token_ratio", "quality",
+    )
+
+
+_LANG_SCORES_SQL = {
+    lang: (
+        f"len(list_filter({_TOKS_SQL}, t -> t IN "
+        f"({', '.join(chr(39) + w + chr(39) for w in words)})))"
+    )
+    for lang, words in textan._LANG_MARKERS.items()
+}
+
+
+@_q(
+    "lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN 0 ELSE {_LANG_SCORES_SQL['en']} END AS s_en,
+             CASE WHEN trim(text) = '' THEN 0 ELSE {_LANG_SCORES_SQL['es']} END AS s_es,
+             CASE WHEN trim(text) = '' THEN 0 ELSE {_LANG_SCORES_SQL['de']} END AS s_de,
+             CASE WHEN trim(text) = '' THEN 0 ELSE {_LANG_SCORES_SQL['fr']} END AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+                WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                WHEN regexp_matches(text, '[Ͱ-Ͽ]') THEN 'el'
+                WHEN GREATEST(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+                WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textan.lang_id(d).select("doc_id", "lang_pred")
+
+
+@_q(
+    "fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             CASE WHEN trim(text) = '' THEN [] ELSE {_TOKS_SQL} END)), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textan.fingerprint(d).select("doc_id", "fingerprint")
+
+
+@_q("content_hash", "SELECT doc_id, md5(text) AS content_hash FROM documents")
+def q_content_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textan.content_hash(d).select("doc_id", "content_hash")
+
+
+# --- §2.14 dedup -------------------------------------------------------
+_DOC_UNION_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def _doc_union(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    shifted = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return core.append([d, shifted])
+
+
+@_q(
+    "exact_dedup",
+    f"""
+    WITH u AS ({_DOC_UNION_SQL})
+    SELECT u.* FROM u
+    JOIN (SELECT md5(text) AS k, MIN(doc_id) AS m FROM u GROUP BY 1) w
+      ON md5(u.text) = w.k AND u.doc_id = w.m
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_doc_union(spark, sf_dir))
+
+
+@_q(
+    "exact_dup_groups",
+    f"""
+    WITH u AS ({_DOC_UNION_SQL})
+    SELECT md5(text) AS content_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_id
+    FROM u GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def q_exact_dup_groups(spark, sf_dir):
+    return dedup.exact_dup_groups(_doc_union(spark, sf_dir))
+
+
+@_q(
+    "ngram_jaccard_unigram",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN trim(text) = '' THEN [] ELSE {_TOKS_SQL} END) AS g
+      FROM documents
+    ),
+    e0 AS (SELECT doc_id, unnest(g) AS g FROM t),
+    f AS (SELECT g FROM e0 GROUP BY g HAVING COUNT(*) <= 50),
+    e AS (SELECT e0.* FROM e0 JOIN f USING (g)),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, n=1, threshold=0.5, max_doc_freq=50)
+
+
+# minhash / simhash pairs: xxhash64 is not reproducible in DuckDB →
+# rows-only driver check; exactness is covered by pytest fixtures.
+@_q("minhash_dedup_pairs")
+def q_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_q("minhash_dedup")
+def q_minhash_dedup(spark, sf_dir):
+    return dedup.minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@_q("simhash_dedup_pairs")
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_q(
+    "embedding_dup_pairs_exact",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= 0.4
+    """,
+)
+def q_embedding_dup_exact(spark, sf_dir):
+    # lsh_bits=0 (exact all-pairs) is an EXPLICIT opt-in — only sane at
+    # this sf0.01 scale (500 vectors); the operator default is LSH
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(e, threshold=0.4, lsh_bits=0)
+
+
+@_q("embedding_dup_pairs_lsh")
+def q_embedding_dup_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(e, threshold=0.4, lsh_bits=8)
+
+
+# --- §2.14 similarity search ------------------------------------------
+@_q(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine
+           FROM q JOIN c ON q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM s)
+    WHERE rn <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return vector.cosine_topk(e, e.filter(F.col("vec_id") < 20), k=5)
+
+
+@_q("cosine_topk_lsh")
+def q_cosine_topk_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return vector.cosine_topk_lsh(e, e.filter(F.col("vec_id") < 20), k=5)
+
+
+# --- §2.12 grouped applyInPandas (UDAF surface) ------------------------
+@_q(
+    "grouped_median",
+    """
+    SELECT c_mktsegment, ROUND(MEDIAN(c_acctbal), 6) AS acctbal_median
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_grouped_median(spark, sf_dir):
+    import pandas as pd
+
+    def seg_median(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "acctbal_median": [round(float(pdf["c_acctbal"].median()), 6)],
+            }
+        )
+
+    return core.grouped_apply(
+        _t(spark, sf_dir, "customer"),
+        "c_mktsegment",
+        seg_median,
+        "c_mktsegment string, acctbal_median double",
+    )
+
+
+# --- §2.14 multimodal --------------------------------------------------
+@_q(
+    "media_stats",
+    """
+    SELECT 'text/plain' AS mime,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           ROUND(AVG(octet_length(encode(text))), 6) AS avg_bytes
+    FROM documents
+    """,
+)
+def q_media_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.media_stats(multimodal.attach_media(d, "text", mime="text/plain"))
+
+
+@_q("decode_image_fake")
+def q_decode_image(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    m = multimodal.attach_media(d, "text", mime="image/fake")
+    return multimodal.decode_image(m, fake=True).select(
+        "doc_id", "width", "height", "channels", "format"
+    )
+
+
+@_q("frame_sample_fake")
+def q_frame_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    m = multimodal.attach_media(d, "text", mime="video/fake")
+    return multimodal.frame_sample(m, fake=True).select(
+        "doc_id", "frame_index", F.col("frame")["mime"].alias("frame_mime")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

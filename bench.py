@@ -1,0 +1,90 @@
+"""Benchmark entry point (driver contract: ONE JSON line on stdout).
+
+Times the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.  Each query is forced end-to-end with
+the noop datasource (``count()`` alone would let Catalyst prune every
+computed column).  One warm-up pass of the flagship query absorbs
+JIT/codegen compilation so the reported numbers are steady-state —
+the regime that matters at 100 TB.
+
+Usage: python bench.py            # prints {"metric": ...} as the
+                                  # LAST stdout line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the relational flagship + one per operator family,
+# weighted toward the scale-critical paths (dedup, similarity, text)
+BENCH_QUERIES = [
+    "flagship_revenue_by_nation",
+    "aggregate_q1",
+    "join_details",
+    "top_k",
+    "filter_by_predicate",
+    "tumbling_window",
+    "sessionize",
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "simhash_dedup_pairs",
+    "ngram_jaccard_unigram",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "embedding_dup_pairs_lsh",
+    "cosine_topk",
+    "cosine_topk_lsh",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from bubbles_spark.session import get_spark
+
+    spark = get_spark("bubbles_spark_bench")
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # warm-up: JIT + parquet footer cache + codegen compile
+    run("flagship_revenue_by_nation")
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            print(f"# skip {name}: not registered", file=sys.stderr)
+            continue
+        times[name] = round(run(name), 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

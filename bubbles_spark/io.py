@@ -128,6 +128,9 @@ class FileStore(DataStore):
         if from_obj is None:
             raise ValueError("create() requires from_obj (a DataFrame)")
         writer = from_obj.write.format(self.format)
+        for k, v in self.reader_options.items():
+            if k != "inferSchema":  # reader-only option
+                writer = writer.option(k, v)
         writer = writer.mode("overwrite" if replace else "errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -254,6 +257,163 @@ class JDBCStore(DataStore):
         )
 
 
+class XLSStore(DataStore):
+    """XLS/XLSX source (bubbles/backends/xls — S6, read-only in the
+    reference too).  Spark has no built-in Excel reader; the sheet is
+    read driver-side via pandas (Excel files are small by nature —
+    they cap at ~1M rows — so a driver read then createDataFrame is
+    the honest scale story; a 100 TB pipeline does not start from
+    .xls).  Requires openpyxl/xlrd, which this container lacks: the
+    import is gated and raises a clear error."""
+
+    def __init__(self, spark: SparkSession, path: str, **read_excel_options: Any):
+        self.spark = spark
+        self.path = path
+        self.options = read_excel_options
+
+    def objects(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            f.rsplit(".", 1)[0]
+            for f in os.listdir(self.path)
+            if f.endswith((".xls", ".xlsx"))
+        )
+
+    def get_object(self, name: str, sheet: str | int = 0) -> DataFrame:
+        import pandas as pd
+
+        try:
+            import openpyxl  # noqa: F401 — engine probe
+        except ImportError:
+            try:
+                import xlrd  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "XLS reading needs openpyxl or xlrd, neither of which "
+                    "is installed in this environment"
+                ) from e
+        for ext in (".xlsx", ".xls"):
+            f = os.path.join(self.path, f"{name}{ext}")
+            if os.path.exists(f):
+                pdf = pd.read_excel(f, sheet_name=sheet, **self.options)
+                return self.spark.createDataFrame(pdf)
+        raise FileNotFoundError(f"no {name}.xls[x] under {self.path}")
+
+    def create(self, *a: Any, **kw: Any) -> None:
+        raise NotImplementedError("XLS store is read-only (as in the reference)")
+
+
+class MongoStore(DataStore):
+    """MongoDB collections (bubbles/backends/mongo — S7).  Needs the
+    mongo-spark connector jar + a running server, neither present
+    here; the store resolves the format lazily so the plumbing is
+    real and the error is explicit."""
+
+    def __init__(self, spark: SparkSession, uri: str, database: str, **options: Any):
+        self.spark = spark
+        self.uri = uri
+        self.database = database
+        self.options = options
+
+    def objects(self) -> list[str]:
+        raise NotImplementedError("enumerate collections via a Mongo client")
+
+    def get_object(self, name: str) -> DataFrame:
+        return (
+            self.spark.read.format("mongodb")
+            .option("connection.uri", self.uri)
+            .option("database", self.database)
+            .option("collection", name)
+            .options(**self.options)
+            .load()
+        )
+
+    def create(
+        self,
+        name: str,
+        fields: FieldList | None = None,
+        replace: bool = False,
+        from_obj: DataFrame | None = None,
+    ) -> None:
+        if from_obj is None:
+            raise ValueError("create() requires from_obj")
+        (
+            from_obj.write.format("mongodb")
+            .option("connection.uri", self.uri)
+            .option("database", self.database)
+            .option("collection", name)
+            .mode("overwrite" if replace else "errorifexists")
+            .save()
+        )
+
+
+class DataPackageStore(DataStore):
+    """Frictionless Data Package source (bubbles/datapackage.py — S8):
+    a ``datapackage.json`` descriptor whose resources become objects.
+    Pure stdlib JSON + the Spark CSV reader with the descriptor's
+    Table Schema mapped onto an explicit StructType — no inferSchema
+    scan, which is the scale-correct reading of the reference's
+    schema-first philosophy."""
+
+    _TYPE_MAP = {
+        "string": "string",
+        "integer": "long",
+        "number": "double",
+        "boolean": "boolean",
+        "date": "date",
+        "datetime": "timestamp",
+        "year": "int",
+    }
+
+    def __init__(self, spark: SparkSession, path: str):
+        import json
+
+        self.spark = spark
+        self.path = path
+        desc_file = (
+            path if path.endswith(".json") else os.path.join(path, "datapackage.json")
+        )
+        with open(desc_file) as fh:
+            self.descriptor = json.load(fh)
+        self.base = os.path.dirname(desc_file)
+        self._resources = {
+            r["name"]: r for r in self.descriptor.get("resources", []) if "name" in r
+        }
+
+    def objects(self) -> list[str]:
+        return sorted(self._resources)
+
+    def _schema_ddl(self, resource: dict) -> str | None:
+        fields = resource.get("schema", {}).get("fields")
+        if not fields:
+            return None
+        cols = [
+            f"`{f['name']}` {self._TYPE_MAP.get(f.get('type', 'string'), 'string')}"
+            for f in fields
+        ]
+        return ", ".join(cols)
+
+    def get_object(self, name: str) -> DataFrame:
+        r = self._resources[name]
+        path = os.path.join(self.base, r.get("path", f"{name}.csv"))
+        dialect = r.get("dialect", {})
+        reader = (
+            self.spark.read.option("header", "true")
+            .option("sep", dialect.get("delimiter", ","))
+            .option("quote", dialect.get("quoteChar", '"'))
+        )
+        ddl = self._schema_ddl(r)
+        if ddl:
+            reader = reader.schema(ddl)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(path)
+
+    def create(self, *a: Any, **kw: Any) -> None:
+        raise NotImplementedError("data packages are a read-only source (S8)")
+
+
 _STORE_TYPES = {
     "parquet": ParquetStore,
     "csv": CSVStore,
@@ -261,6 +421,9 @@ _STORE_TYPES = {
     "memory": MemoryStore,
     "sql": JDBCStore,
     "jdbc": JDBCStore,
+    "xls": XLSStore,
+    "mongo": MongoStore,
+    "datapackage": DataPackageStore,
 }
 
 

@@ -103,9 +103,11 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60.0
     prev = F.lag(ts_col).over(w)
+    # >= gap starts a new session — the same closure as
+    # F.session_window, whose [start, last+gap) interval is half-open
     is_new = F.when(
         prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_s),
+        | (F.col(ts_col).cast("double") - prev.cast("double") >= gap_s),
         1,
     ).otherwise(0)
     return df.withColumn("__new", is_new).withColumn(

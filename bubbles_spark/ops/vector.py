@@ -21,6 +21,7 @@ results are deterministic across runs and cluster sizes.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,6 +82,43 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     if row is None:
         raise ValueError(f"cannot infer dim: no non-empty vectors in {vec_col!r}")
     return int(row[0])
+
+
+def _bucketize_udf(bits: int, tables: int, seed: int, dim: int):
+    """Vectorized multi-table bucketizer: embedding → array<long> of
+    ``tables`` sign-pattern bucket ids.
+
+    One Arrow-batched numpy matmul computes every (table, plane) dot
+    — (batch × dim) @ (dim × tables·bits) — instead of unrolling
+    tables·bits·dim multiply expressions into the Catalyst tree
+    (measured: the expression form put ~20k nodes in one Project,
+    blew past janino's 64 KB method limit AND made optimizer passes
+    take minutes).  This is the sanctioned Pandas-UDF case: built-in
+    operators cannot express a 96-way dot product efficiently.
+
+    Deterministic: hyperplanes from a fixed seed per table, generated
+    on the driver and closed over (broadcast with the task binary).
+    Wrong-dimension vectors fail loudly in the matmul."""
+    planes = np.vstack(
+        [_hyperplanes(dim, bits, seed + 7919 * t) for t in range(tables)]
+    )  # (tables*bits, dim)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def bucketize(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(v.to_numpy())
+        if mat.shape[1] != dim:
+            raise ValueError(
+                f"embedding dim mismatch: expected {dim}, got {mat.shape[1]}"
+            )
+        signs = (mat.astype("float64") @ planes.T) >= 0  # (n, tables*bits)
+        signs = signs.reshape(len(v), tables, bits)
+        buckets = (signs * weights).sum(axis=2)  # (n, tables)
+        return pd.Series(list(buckets))
+
+    return bucketize
 
 
 def _hyperplane_bucket(v: Column, bits: int, seed: int, dim: int) -> Column:
@@ -174,32 +212,45 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     bits: int = 8,
+    tables: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
     exclude_self: bool = True,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: corpus bucketed by random-hyperplane sign
-    pattern; each query probes its own bucket plus (multiprobe) all
-    Hamming-distance-1 buckets.  Candidate set shrinks ~2^bits/(bits+1)
-    fold; recall measured against cosine_topk in tests.
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH:
+    ``tables`` independent ``bits``-plane sign hashes (AND within a
+    table, OR across — the band construction).  The corpus is
+    bucketed once per table; each query probes its bucket in every
+    table plus (multiprobe) the Hamming-1 neighbors.  A single table
+    caps recall at p_agree^bits — ~10% for mid-cosine neighbors on
+    random data (measured AND theoretical); the OR across 8 tables
+    lifts it to 1-(1-p_t)^8.  Candidate set still shrinks ~2^bits/
+    (tables·(bits+1)) fold vs brute force.
 
     ``dim`` inferred from the corpus when not given (one tiny job)."""
     qid = query_id_col or id_col
     dim = dim or _infer_dim(corpus, vec_col)
+    bucketize = _bucketize_udf(bits, tables, seed, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm_col(F.col(vec_col), dim).alias("__cn"),
-        _hyperplane_bucket(F.col(vec_col), bits, seed, dim).alias("__bucket"),
+        bucketize(F.col(vec_col)).alias("__bkts"),
     ).filter(F.col("__cn") > 0)
+    c = c.select(
+        "neighbor_id", "__cv", "__cn", F.posexplode("__bkts").alias("__t", "__bucket")
+    )
 
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         _norm_col(F.col(vec_col), dim).alias("__qn"),
-        _hyperplane_bucket(F.col(vec_col), bits, seed, dim).alias("__qb"),
+        bucketize(F.col(vec_col)).alias("__bkts"),
     ).filter(F.col("__qn") > 0)
+    q = q.select(
+        "query_id", "__qv", "__qn", F.posexplode("__bkts").alias("__t", "__qb")
+    )
 
     if multiprobe:
         probes = F.array(
@@ -213,7 +264,7 @@ def cosine_topk_lsh(
     else:
         q = q.withColumn("__bucket", F.col("__qb"))
 
-    joined = c.join(F.broadcast(q.drop("__qb")), "__bucket")
+    joined = c.join(F.broadcast(q.drop("__qb")), ["__t", "__bucket"])
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     sim = joined.withColumn(

@@ -1,0 +1,174 @@
+"""Core operator unit tests (SURVEY.md §5: tiny-fixture style +
+property checks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bubbles_spark.ops import core
+
+
+def test_field_filter_keep_drop_rename(people):
+    out = core.field_filter(people, keep=["id", "label"], rename={"label": "tag"})
+    assert out.columns == ["id", "tag"]
+    out2 = core.field_filter(people, drop=["amount"])
+    assert out2.columns == ["id", "label"]
+
+
+def test_filter_partition_property(people):
+    """|keep| + |discard| == |input| for every filter op."""
+    n = people.count()
+    keep = core.filter_by_value(people, "label", "a").count()
+    disc = core.filter_by_value(people, "label", "a", discard=True).count()
+    # NULL label rows satisfy neither side (SQL three-valued logic)
+    nulls = people.filter(F.col("label").isNull()).count()
+    assert keep + disc + nulls == n
+
+    keep = core.filter_by_range(people, "amount", 10, 30).count()
+    disc = core.filter_by_range(people, "amount", 10, 30, discard=True).count()
+    nulls = people.filter(F.col("amount").isNull()).count()
+    assert keep + disc + nulls == n
+
+
+def test_filter_by_range_half_open(people):
+    got = {
+        r["id"]
+        for r in core.filter_by_range(people, "amount", 10, 30).select("id").collect()
+    }
+    assert got == {1, 2, 6}  # 30 excluded (half-open), NULL excluded
+
+
+def test_filter_not_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, ""), (3, None)], "id long, s string"
+    )
+    assert {r["id"] for r in core.filter_not_empty(df, "s").collect()} == {1}
+
+
+def test_filter_by_predicate(people):
+    out = core.filter_by_predicate(
+        people.filter(F.col("amount").isNotNull()),
+        lambda a: a >= 20,
+        ["amount"],
+    )
+    assert {r["id"] for r in out.collect()} == {2, 3, 4}
+
+
+def test_distinct_idempotent(people):
+    d1 = core.distinct(people, "label")
+    assert sorted(r["label"] for r in d1.collect() if r["label"]) == ["a", "b", "c"]
+    assert core.distinct(d1, "label").count() == d1.count()
+
+
+def test_duplicates_and_stats(people):
+    dups = core.duplicates(people, "label")
+    rows = {r["label"]: r["record_count"] for r in dups.collect()}
+    assert rows == {"a": 3}
+    stats = core.duplicate_stats(people, "label").collect()[0]
+    assert stats["duplicate_key_count"] == 1
+    assert stats["surplus_record_count"] == 2
+
+
+def test_sample_first_nth_discard(people):
+    first2 = core.sample(people, 2, mode="first", order_by=["id"])
+    assert [r["id"] for r in first2.orderBy("id").collect()] == [1, 2]
+    rest = core.sample(people, 2, mode="first", discard=True, order_by=["id"])
+    assert [r["id"] for r in rest.orderBy("id").collect()] == [3, 4, 5, 6]
+    nth = core.sample(people, 2, mode="nth", order_by=["id"])
+    assert [r["id"] for r in nth.orderBy("id").collect()] == [1, 3, 5]
+    nth_d = core.sample(people, 2, mode="nth", discard=True, order_by=["id"])
+    assert [r["id"] for r in nth_d.orderBy("id").collect()] == [2, 4, 6]
+
+
+def test_sample_requires_order(people):
+    with pytest.raises(ValueError):
+        core.sample(people, 2, mode="first")
+
+
+def test_sample_random_bounds(people):
+    n = core.sample(people, 0.5, mode="random", seed=7).count()
+    assert 0 <= n <= people.count()
+
+
+def test_two_phase_rank_matches_window(spark):
+    """The distributed two-phase global rank must equal a naive rank."""
+    df = spark.range(0, 1000).withColumn("k", (F.col("id") * 37) % 1000)
+    ranked = core._with_global_row_number(df, ["k"])
+    rows = ranked.select("k", "__rn").collect()
+    expect = {r["k"]: i + 1 for i, r in enumerate(sorted(rows, key=lambda r: r["k"]))}
+    for r in rows:
+        assert r["__rn"] == expect[r["k"]]
+
+
+def test_top_k(people):
+    out = core.top_k(people, [("amount", "desc"), ("id", "asc")], 2).collect()
+    assert [r["id"] for r in out] == [4, 3]
+
+
+def test_aggregate_naming_and_nulls(people):
+    agg = core.aggregate(people, "label", [("amount", "sum"), ("amount", "avg")])
+    row = {r["label"]: r for r in agg.collect()}
+    assert row["a"]["amount_sum"] == 50.0
+    assert row["a"]["record_count"] == 3
+    # NULL amounts are skipped (SQL semantics)
+    assert row["c"]["amount_sum"] is None
+    glob = core.aggregate(people, None, [("amount", "max")]).collect()[0]
+    assert glob["amount_max"] == 40.0
+
+
+def test_join_details_inner_and_prefix(spark, people):
+    dim = spark.createDataFrame(
+        [("a", "Alpha"), ("b", "Beta")], "label string, name string"
+    )
+    out = core.join_details(people, dim, "label")
+    assert set(out.columns) == {"id", "label", "amount", "name"}
+    assert out.count() == 4  # inner: NULL + 'c' rows dropped
+    # colliding detail columns need a prefix
+    dim2 = spark.createDataFrame([("a", 1.0)], "label string, amount double")
+    with pytest.raises(ValueError):
+        core.join_details(people, dim2, "label")
+    pre = core.join_details(people, dim2, "label", prefix="d_")
+    assert "d_amount" in pre.columns
+
+
+def test_append_additivity(people):
+    assert core.append([people, people]).count() == 2 * people.count()
+
+
+def test_intersect_except(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "x long")
+    assert {r["x"] for r in core.intersect(a, b).collect()} == {2, 3}
+    assert sorted(r["x"] for r in core.except_all(a, b).collect()) == [1, 2]
+
+
+def test_cdc_ops(spark):
+    src = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, v string"
+    )
+    tgt = spark.createDataFrame(
+        [(1, "x"), (2, "OLD")], "k long, v string"
+    )
+    assert {r["k"] for r in core.added_keys(src, tgt, "k").collect()} == {3}
+    assert {r["k"] for r in core.added_rows(src, tgt, "k").collect()} == {3}
+    assert {r["k"] for r in core.changed_rows(src, tgt, "k", ["v"]).collect()} == {2}
+
+
+def test_changed_rows_null_safe(spark):
+    src = spark.createDataFrame([(1, None), (2, "b")], "k long, v string")
+    tgt = spark.createDataFrame([(1, "a"), (2, None)], "k long, v string")
+    assert {r["k"] for r in core.changed_rows(src, tgt, "k", ["v"]).collect()} == {1, 2}
+
+
+def test_grouped_apply(spark, people):
+    import pandas as pd
+
+    def count_rows(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"label": [pdf["label"].iloc[0]], "n": [len(pdf)]})
+
+    out = core.grouped_apply(
+        people.filter(F.col("label").isNotNull()), "label", count_rows,
+        "label string, n long",
+    )
+    assert {r["label"]: r["n"] for r in out.collect()} == {"a": 3, "b": 1, "c": 1}

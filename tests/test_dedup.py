@@ -1,0 +1,129 @@
+"""Dedup family: shingles vs a Python reference, minhash/simhash
+sanity, exact-Jaccard vs brute force, embedding LSH recall + the
+dim-mismatch guard."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from bubbles_spark.ops import dedup
+
+
+def _py_shingles(text: str, n: int) -> set[str]:
+    toks = text.lower().split()
+    if n <= 1:
+        return set(toks)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_shingles_match_python_reference(docs):
+    for n in (1, 2, 3):
+        got = {
+            r["doc_id"]: set(r["shingles"])
+            for r in dedup.with_shingles(docs, n=n).collect()
+        }
+        for r in docs.collect():
+            assert got[r["doc_id"]] == _py_shingles(r["text"], n), (n, r["doc_id"])
+
+
+def test_minhash_identical_docs_est_one(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert by_pair[(1, 4)] == 1.0  # exact duplicates agree on every slot
+    # docs 1 and 2 share 7 of 9 unigram-tokens; at 3-gram level ~0.5
+    assert (1, 2) in by_pair or (2, 4) in by_pair
+
+
+def test_minhash_signature_column(docs):
+    out = dedup.minhash_signature(docs, num_hashes=32)
+    rows = {r["doc_id"]: r["minhash"] for r in out.collect()}
+    assert rows[1] == rows[4]  # identical text → identical signature
+    assert rows[5] is None  # empty doc → NULL signature
+    assert len(rows[1]) == 32
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {1, 2, 3, 5}  # 4 is a dup of 1
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["min_id"] == 1
+
+
+def test_simhash_pairs(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[5] is None
+    pairs = dedup.simhash_dedup_pairs(docs, max_hamming=10).collect()
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert ham[(1, 4)] == 0
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(docs):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.01).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = _py_shingles(texts[a], 1), _py_shingles(texts[b], 1)
+        if not sa or not sb:
+            continue
+        jac = len(sa & sb) / len(sa | sb)
+        if jac >= 0.01:
+            assert round(jac, 6) == got[(a, b)], (a, b)
+        else:
+            assert (a, b) not in got
+
+
+def test_embedding_dim_mismatch_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [1.0] * 16), (3, [1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception):  # assert_true → runtime error, not bucket 0
+        dedup.embedding_dup_pairs(df, lsh_bits=4, dim=16).collect()
+
+
+def test_embedding_dup_non64_dim(spark):
+    """Regression: round-1 hardcoded dim=64 silently broke other dims."""
+    rows = [(i, [float(i == j) for j in range(16)]) for i in range(8)]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]  # two exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_dup_pairs(df, threshold=0.99, lsh_bits=4).collect()
+    }
+    assert pairs[(0, 100)] == 1.0 and pairs[(1, 101)] == 1.0
+
+
+def test_embedding_lsh_recall_planted_near_dups(spark):
+    """Multi-table LSH must recover >= 95% of PLANTED near-duplicates
+    (cosine >= ~0.95 — the regime the operator exists for; recall at
+    low cosine is theoretically capped for any hyperplane scheme)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.limit(200).collect()
+    rng = np.random.RandomState(3)
+    rows = [(r["vec_id"], r["embedding"]) for r in base]
+    for r in base:
+        v = np.array(r["embedding"], dtype="float64")
+        noisy = v + rng.randn(len(v)) * 0.05 * np.linalg.norm(v) / np.sqrt(len(v))
+        rows.append((r["vec_id"] + 10000, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_dup_pairs(df, threshold=0.95, lsh_bits=0).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert set(approx) <= set(exact)  # LSH never invents pairs
+    assert len(exact) >= 150  # the planted copies really are near-dups
+    assert len(approx & set(exact)) / len(exact) >= 0.95

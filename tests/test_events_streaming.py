@@ -1,0 +1,81 @@
+"""Batch event-time windows + sessionization + the streaming twin."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bubbles_spark.ops import events
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def _fixture(spark):
+    rows = [
+        (1, _ts(0), 10, "a", 1.0),
+        (2, _ts(5), 10, "a", 2.0),
+        (3, _ts(65), 10, "b", 3.0),   # next hour; 60-min gap from prev
+        (4, _ts(70), 20, "a", 4.0),
+        (5, _ts(130), 20, "a", 5.0),  # exactly 60 min after event 4
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_tumbling_window(spark):
+    df = _fixture(spark)
+    out = events.tumbling_window(df, "ts", "1 hour", measures=[("value", "sum")])
+    got = {r["window_start"].minute + 60 * r["window_start"].hour: r for r in out.collect()}
+    assert got[0]["value_sum"] == 3.0 and got[0]["record_count"] == 2
+    assert got[60]["value_sum"] == 7.0
+    assert got[120]["value_sum"] == 5.0
+
+
+def test_sliding_window_counts(spark):
+    df = _fixture(spark)
+    out = events.sliding_window(df, "ts", "2 hours", "1 hour", measures=[("value", "sum")])
+    # every event lands in exactly 2 windows
+    assert sum(r["record_count"] for r in out.collect()) == 2 * df.count()
+
+
+def test_session_window_and_sessionize_agree(spark):
+    df = _fixture(spark)
+    sw = events.session_window(df, "ts", "30 minutes", keys=["user_id"])
+    # user 10: [0,5] then [65]; user 20: [70], [130]
+    assert sw.count() == 4
+    lab = events.sessionize(df, "ts", "user_id", 30.0)
+    sessions = (
+        lab.groupBy("user_id", "session_id").count().orderBy("user_id", "session_id")
+    ).collect()
+    assert [(r["user_id"], r["count"]) for r in sessions] == [
+        (10, 2), (10, 1), (20, 1), (20, 1),
+    ]
+
+
+def test_parse_props(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, "not json"), (3, None)], "event_id long, props string"
+    )
+    got = {r["event_id"]: r["k"] for r in events.parse_props(df).collect()}
+    assert got == {1: 7, 2: None, 3: None}
+
+
+def test_streaming_twin_tumbling(spark, tmp_path):
+    """The same window plan runs as a Structured Streaming query
+    (availableNow trigger + memory sink, driven to completion)."""
+    from bubbles_spark.streaming import events as sevents
+
+    df = _fixture(spark).withColumn("props", F.lit('{"k": 1}'))
+    src_dir = str(tmp_path / "src")
+    df.write.parquet(src_dir)
+    stream = sevents.read_event_stream(spark, src_dir)
+    agg = sevents.windowed_agg_stream(
+        stream, "ts", "1 hour", keys=(), watermark="2 hours"
+    )
+    out = sevents.run_batchlike(agg, "t_tumbling", output_mode="complete").collect()
+    assert sum(r["record_count"] for r in out) == df.count()
+    assert sum(r["value_sum"] for r in out) == 15.0

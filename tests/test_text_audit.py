@@ -1,0 +1,89 @@
+"""Scalar transforms (T1–T6), audit (A3/A4), probes (Q1–Q3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bubbles_spark.ops import audit, text
+from bubbles_spark import probes
+
+
+def test_string_strip(spark):
+    df = spark.createDataFrame([(1, "  hi  ", "xxay")], "id long, a string, b string")
+    out = text.string_strip(df, ["a"]).collect()[0]
+    assert out["a"] == "hi"
+    out = text.string_strip(df, ["b"], chars="x").collect()[0]
+    assert out["b"] == "ay"
+
+
+def test_text_substitute(spark):
+    df = spark.createDataFrame([(1, "a1b22c")], "id long, s string")
+    out = text.text_substitute(df, "s", [(r"\d+", "#"), ("#", "N")]).collect()[0]
+    assert out["s"] == "aNbNc"
+
+
+def test_split_date(spark):
+    df = spark.createDataFrame([(1, "2024-03-15 10:30:00")], "id long, d string")
+    df = df.withColumn("d", F.to_timestamp("d"))
+    out = text.split_date(df, "d", ["year", "month", "day", "hour"]).collect()[0]
+    assert (out["d_year"], out["d_month"], out["d_day"], out["d_hour"]) == (
+        2024, 3, 15, 10,
+    )
+
+
+def test_empty_to_missing(spark):
+    df = spark.createDataFrame([(1, ""), (2, " "), (3, "x")], "id long, s string")
+    vals = {r["id"]: r["s"] for r in text.empty_to_missing(df, ["s"]).collect()}
+    assert vals == {1: None, 2: " ", 3: "x"}
+    strict = {r["id"]: r["s"] for r in text.empty_to_missing(df, ["s"], strict=True).collect()}
+    assert strict == {1: None, 2: None, 3: "x"}
+
+
+def test_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, 3.0), (3, 100.0), (4, None)], "id long, x double"
+    )
+    out = {r["id"]: r["x_bin"] for r in text.threshold(df, "x", 0, 10).collect()}
+    assert out == {1: "low", 2: "normal", 3: "high", 4: None}
+
+
+def test_transliterate(spark):
+    df = spark.createDataFrame([(1, "Çafé Ñoño")], "id long, s string")
+    assert text.transliterate(df, "s").collect()[0]["s"] == "Cafe Nono"
+
+
+def test_basic_audit(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, ""), (3, None), (4, "x")], "id long, s string"
+    )
+    rows = {r["field"]: r for r in audit.basic_audit(df, ["s"]).collect()}
+    r = rows["s"]
+    assert r["record_count"] == 4
+    assert r["null_count"] == 1
+    assert r["empty_string_count"] == 1
+    assert r["distinct_count"] == 2  # 'x', '' (NULL not counted)
+    assert r["null_ratio"] == 0.25
+
+
+def test_infer_types(spark):
+    df = spark.createDataFrame(
+        [("1", "1.5", "true", "2024-01-02", "zzz")],
+        "i string, f string, b string, d string, s string",
+    )
+    got = {r["field"]: r["inferred_type"] for r in audit.infer_types(df).collect()}
+    assert got == {
+        "i": "integer", "f": "number", "b": "boolean", "d": "date", "s": "string",
+    }
+
+
+def test_probes(people):
+    with pytest.raises(probes.ProbeAssertionError):
+        probes.assert_unique(people, "label")
+    assert probes.assert_unique(people, "id") is people
+    assert probes.assert_contains(people, "label", "a") is people
+    with pytest.raises(probes.ProbeAssertionError):
+        probes.assert_contains(people, "label", "zz")
+    assert probes.assert_missing(people, "label", "zz") is people
+    with pytest.raises(probes.ProbeAssertionError):
+        probes.assert_missing(people, "label", "a")

@@ -1,0 +1,75 @@
+"""Text-analysis operators: reference values computed by hand /
+pure Python."""
+
+from __future__ import annotations
+
+import hashlib
+
+from bubbles_spark.ops import textan
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "one two  three"), (2, ""), (3, "   "), (4, "x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in textan.token_count(df).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_quality_score_values(spark):
+    text = "the cat sat on the mat and looked at the dog ."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = textan.quality_score(df).collect()[0]
+    toks = text.lower().split()
+    assert r["n_tokens"] == len(toks)
+    stop = sum(1 for t in toks if t in textan._STOPWORDS)
+    assert r["stopword_ratio"] == round(stop / len(toks), 6)
+    assert r["distinct_token_ratio"] == round(len(set(toks)) / len(toks), 6)
+    assert r["mean_token_len"] == round(sum(len(t) for t in toks) / len(toks), 6)
+    assert r["quality"] == 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it was good"),
+            (2, "el perro es de la casa que en un dia"),
+            (3, "der hund ist von der frau und das kind"),
+            (4, "zzz qqq www"),
+            (5, "这是中文文本"),
+            (6, "это русский текст"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textan.lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und", 5: "zh", 6: "ru"}
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a a"), (3, "a b x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in textan.fingerprint(df).collect()}
+    assert got[1] == got[2]  # order + repetition invariant
+    assert got[1] != got[3]
+    assert got[1] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_content_hash(spark):
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    got = textan.content_hash(df).collect()[0]["content_hash"]
+    assert got == hashlib.md5(b"hello").hexdigest()
+
+
+def test_bpe_estimate_monotone(spark):
+    df = spark.createDataFrame(
+        [(1, "short words here"), (2, "extraordinarily incomprehensible")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in textan.bpe_token_estimate(df).collect()}
+    # 3 pieces, no long words... 'short'(5)->1 extra, 'words'(5)->1
+    assert got[1] == 3 + 2
+    # 2 pieces + floor(16/4)... 'extraordinarily' len 15 -> 3, 'incomprehensible' 16 -> 3
+    assert got[2] == 2 + 3 + 3

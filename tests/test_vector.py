@@ -1,0 +1,72 @@
+"""Similarity search: exact top-k vs numpy brute force, LSH recall,
+dimension inference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bubbles_spark.ops import vector
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    mat = rng.randn(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    out = vector.cosine_topk(df, df.filter("vec_id < 3"), k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    m = mat.astype("float64")
+    norms = np.linalg.norm(m, axis=1)
+    for q in range(3):
+        cos = (m @ m[q]) / (norms * norms[q])
+        order = sorted(
+            (i for i in range(30) if i != q),
+            key=lambda i: (-round(cos[i], 6), i),
+        )[:4]
+        got_ids = [nid for _, nid, _ in sorted(got[q])]
+        assert got_ids == order, q
+        for rank, nid, c in got[q]:
+            assert c == pytest.approx(round(cos[nid], 6), abs=2e-6)
+
+
+def test_infer_dim(emb):
+    assert vector._infer_dim(emb, "embedding") == 64
+
+
+def test_lsh_recall_vs_exact(emb):
+    """Multi-table LSH recall on random data: theory for 8-bit tables
+    at mid-cosine neighbors gives p_table ≈ 0.10 (measured: a SINGLE
+    table recalls 25/250 = 10%, which is why round-1's single-table
+    design was insufficient); 16 OR'd tables lift it to
+    1-(1-p_t)^16 ≈ 0.8."""
+    k = 10
+    exact = vector.cosine_topk(emb, emb.filter("vec_id < 25"), k=k)
+    approx = vector.cosine_topk_lsh(
+        emb, emb.filter("vec_id < 25"), k=k, bits=8, tables=16
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.5
+
+
+def test_lsh_non64_dim(spark):
+    rng = np.random.RandomState(1)
+    mat = rng.randn(40, 12).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = vector.cosine_topk_lsh(df, df.filter("vec_id < 2"), k=3, bits=4)
+    assert out.count() == 6  # plumbing works at dim != 64
