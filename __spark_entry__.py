@@ -409,6 +409,115 @@ def q_derive(spark, sf_dir):
     return core.field_filter(d, keep=["l_orderkey", "l_linenumber", "revenue"])
 
 
+# --- window-function extensions (§2.6: absent in reference) -----------
+@_q(
+    "rank_in_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INTEGER) AS rank
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          FROM orders)
+    WHERE rank <= 3
+    """,
+)
+def q_rank_in_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    r = core.rank_in_group(
+        o, "o_custkey", [("o_totalprice", "desc"), ("o_orderkey", "asc")], k=3
+    )
+    return core.field_filter(
+        r, keep=["o_custkey", "o_orderkey", "o_totalprice", "rank"]
+    )
+
+
+@_q(
+    "running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS o_totalprice_running_sum
+    FROM orders
+    """,
+)
+def q_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    r = core.running_agg(
+        o, "o_custkey", [("o_orderdate", "asc"), ("o_orderkey", "asc")],
+        "o_totalprice", "sum",
+    )
+    return core.field_filter(
+        r, keep=["o_custkey", "o_orderkey", "o_totalprice_running_sum"]
+    )
+
+
+@_q(
+    "lag_delta",
+    """
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS o_totalprice_delta
+    FROM orders
+    """,
+)
+def q_lag_delta(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    r = core.lag_delta(
+        o, "o_custkey", [("o_orderdate", "asc"), ("o_orderkey", "asc")], "o_totalprice"
+    )
+    return core.field_filter(r, keep=["o_custkey", "o_orderkey", "o_totalprice_delta"])
+
+
+@_q(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS l_quantity_sum,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return core.rollup_aggregate(
+        li, ["l_returnflag", "l_linestatus"], [("l_quantity", "sum")]
+    )
+
+
+@_q(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS l_quantity_sum,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return core.rollup_aggregate(
+        li, ["l_returnflag", "l_linestatus"], [("l_quantity", "sum")], mode="cube"
+    )
+
+
+@_q(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           SUM(l_quantity) FILTER (l_linestatus = 'O') AS "O",
+           SUM(l_quantity) FILTER (l_linestatus = 'F') AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return core.pivot_aggregate(
+        li, "l_returnflag", "l_linestatus", ["O", "F"], "l_quantity"
+    )
+
+
 # --- T1 string_strip ---------------------------------------------------
 @_q(
     "string_strip",

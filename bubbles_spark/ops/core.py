@@ -373,6 +373,111 @@ def aggregate(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def rank_in_group(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    orderby: Sequence[tuple[str, str] | str],
+    k: int | None = None,
+    rank_field: str = "rank",
+    method: str = "row_number",
+) -> DataFrame:
+    """Per-group ranking / top-k-per-group (engine extension — the
+    reference has no window functions, SURVEY.md §2.6).
+
+    ``method``: row_number | rank | dense_rank.  With ``k`` the result
+    keeps only ranks <= k — the partitioned analog of top_k.  The
+    window is PARTITIONED, so at scale each group sorts independently
+    after one hash shuffle; no global single-task sort (contrast the
+    round-1 sample-nth finding)."""
+    from pyspark.sql import Window
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    fns = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+    w = Window.partitionBy(*parts).orderBy(*_order_cols(orderby))
+    out = df.withColumn(rank_field, fns[method]().over(w))
+    return out.filter(F.col(rank_field) <= k) if k else out
+
+
+def running_agg(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    orderby: Sequence[tuple[str, str] | str],
+    field: str,
+    func: str = "sum",
+    out_field: str | None = None,
+) -> DataFrame:
+    """Cumulative aggregate over an ordered partition (running total).
+    Rows between UNBOUNDED PRECEDING and CURRENT ROW — the SQL
+    default for ordered windows, pinned explicitly."""
+    from pyspark.sql import Window
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(*_order_cols(orderby))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fn = _AGG_FUNCS[func.lower()]
+    return df.withColumn(out_field or f"{field}_running_{func}", fn(field).over(w))
+
+
+def lag_delta(
+    df: DataFrame,
+    partition_by: str | Sequence[str],
+    orderby: Sequence[tuple[str, str] | str],
+    field: str,
+    out_field: str | None = None,
+) -> DataFrame:
+    """Difference from the previous row in the ordered partition
+    (NULL for the first row) — the CDC-adjacent 'what changed since
+    last time' primitive."""
+    from pyspark.sql import Window
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = Window.partitionBy(*parts).orderBy(*_order_cols(orderby))
+    return df.withColumn(
+        out_field or f"{field}_delta", F.col(field) - F.lag(field).over(w)
+    )
+
+
+def rollup_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: Sequence[tuple[str, str]],
+    mode: str = "rollup",
+    include_count: bool = True,
+    count_field: str = "record_count",
+) -> DataFrame:
+    """ROLLUP / CUBE aggregation (engine extension; same measure
+    naming as aggregate()).  Subtotal rows carry NULL key values —
+    SQL-standard, matches DuckDB's GROUP BY ROLLUP/CUBE output."""
+    aggs = [
+        _AGG_FUNCS[func.lower()](field).alias(f"{field}_{func.lower()}")
+        for field, func in measures
+    ]
+    if include_count:
+        aggs.append(F.count(F.lit(1)).alias(count_field))
+    grouped = df.rollup(*keys) if mode == "rollup" else df.cube(*keys)
+    return grouped.agg(*aggs)
+
+
+def pivot_aggregate(
+    df: DataFrame,
+    key: str | Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[Any],
+    field: str,
+    func: str = "sum",
+) -> DataFrame:
+    """groupBy().pivot() aggregation.  ``pivot_values`` is REQUIRED:
+    with explicit values Spark skips the extra distinct-scan job and
+    the output schema is stable (at 100 TB an unbounded pivot is a
+    schema explosion waiting to happen)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    fn = _AGG_FUNCS[func.lower()]
+    return df.groupBy(*keys).pivot(pivot_col, list(pivot_values)).agg(fn(field))
+
+
 def grouped_apply(
     df: DataFrame,
     keys: str | Sequence[str],

@@ -77,6 +77,117 @@ def windowed_agg_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: keeps the first arrival of
+    each key and drops later duplicates, with per-key state expired
+    once the watermark passes (bounded state — the non-watermarked
+    dropDuplicates would grow state forever at 100 TB/day).
+
+    Batch twin: ops.core.distinct(df, keys)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+SESSION_STATE_SCHEMA = "start timestamp, last timestamp, n long, value_sum double"
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "record_count long, value_sum double"
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: float = 30.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState — the
+    arbitrary-state escape hatch for semantics F.session_window cannot
+    express (e.g. emitting ONE closed-session row per session with
+    custom accumulators).
+
+    Per-user state = the open session (start, last, count, sum).  A
+    batch of events either extends it or closes it and opens a new one;
+    a state timeout (gap past the watermark) flushes the final session.
+    State is one tiny tuple per active user — bounded by the watermark,
+    not by history, so a 1000-executor cluster shards it by user hash.
+
+    Batch twin: ops.events.sessionize (gap-and-island over a window).
+    """
+    import pandas as pd  # noqa: F401 — used inside the worker fn
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = int(gap_minutes * 60_000)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        out = []
+        if state.hasTimedOut:
+            start, last, n, vsum = state.get
+            out.append((key[0], start, last, n, vsum))
+            state.remove()
+        else:
+            rows = []
+            for pdf in pdf_iter:
+                rows.append(pdf[["__ts", "__val"]])
+            if rows:
+                ev = pd.concat(rows).sort_values("__ts")
+                if state.exists:
+                    start, last, n, vsum = state.get
+                else:
+                    start = last = None
+                    n, vsum = 0, 0.0
+                for ts, val in ev.itertuples(index=False):
+                    if last is not None and (ts - last).total_seconds() * 1000 > gap_ms:
+                        out.append((key[0], start, last, n, vsum))
+                        start, n, vsum = ts, 0, 0.0
+                    if start is None:
+                        start = ts
+                    last = ts
+                    n += 1
+                    vsum += float(val) if val == val else 0.0  # NaN-safe
+                state.update((start, last, n, vsum))
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+        return iter(
+            [
+                pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id",
+                        "session_start",
+                        "session_end",
+                        "record_count",
+                        "value_sum",
+                    ],
+                )
+            ]
+            if out
+            else []
+        )
+
+    prepared = events.select(
+        F.col(user_col).alias("__user"),
+        F.col(ts_col).alias("__ts"),
+        F.col(value_col).alias("__val"),
+    ).withWatermark("__ts", watermark)
+    return prepared.groupBy("__user").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def run_batchlike(
     stream_df: DataFrame,
     query_name: str = "stream_out",

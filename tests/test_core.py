@@ -172,3 +172,53 @@ def test_grouped_apply(spark, people):
         "label string, n long",
     )
     assert {r["label"]: r["n"] for r in out.collect()} == {"a": 3, "b": 1, "c": 1}
+
+
+# --- window-analytics extensions (§2.6) --------------------------------
+
+
+def test_rank_in_group_topk(people):
+    out = core.rank_in_group(
+        people.filter(F.col("label").isNotNull() & F.col("amount").isNotNull()),
+        "label",
+        [("amount", "desc"), ("id", "asc")],
+        k=1,
+    )
+    got = {(r["label"], r["id"]) for r in out.collect()}
+    assert got == {("a", 3), ("b", 2)}  # c's only row has NULL amount... filtered
+
+
+def test_running_agg_cumulative(people):
+    out = core.running_agg(
+        people.filter(F.col("label") == "a"), "label", ["id"], "amount", "sum"
+    )
+    vals = [r["amount_running_sum"] for r in out.orderBy("id").collect()]
+    assert vals == [10.0, 40.0, 50.0]
+
+
+def test_lag_delta_first_row_null(people):
+    out = core.lag_delta(
+        people.filter(F.col("label") == "a"), "label", ["id"], "amount"
+    )
+    vals = [r["amount_delta"] for r in out.orderBy("id").collect()]
+    assert vals == [None, 20.0, -20.0]
+
+
+def test_rollup_and_cube_row_counts(people):
+    df = people.filter(F.col("label").isNotNull())
+    # rollup on 1 key: one row per label + grand total
+    r = core.rollup_aggregate(df, ["label"], [("amount", "sum")])
+    assert r.count() == 3 + 1
+    c = core.rollup_aggregate(df, ["label"], [("amount", "sum")], mode="cube")
+    assert c.count() == 3 + 1  # cube == rollup for a single key
+    total = {r2["label"]: r2["amount_sum"] for r2 in r.collect()}
+    assert total[None] == 70.0  # grand-total row (10+20+30+10; NULL amount skipped)
+
+
+def test_pivot_aggregate(people):
+    out = core.pivot_aggregate(
+        people.filter(F.col("amount").isNotNull()),
+        "amount", "label", ["a", "b"], "id", func="count",
+    )
+    by_amount = {r["amount"]: (r["a"], r["b"]) for r in out.collect()}
+    assert by_amount[10.0] == (2, None)  # ids 1 and 6; no b at 10.0

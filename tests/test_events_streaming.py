@@ -79,3 +79,52 @@ def test_streaming_twin_tumbling(spark, tmp_path):
     out = sevents.run_batchlike(agg, "t_tumbling", output_mode="complete").collect()
     assert sum(r["record_count"] for r in out) == df.count()
     assert sum(r["value_sum"] for r in out) == 15.0
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from bubbles_spark.streaming import events as sevents
+
+    df = _fixture(spark).withColumn("props", F.lit("{}"))
+    dup = df.union(df)  # every event twice
+    src_dir = str(tmp_path / "dupsrc")
+    dup.write.parquet(src_dir)
+    stream = sevents.read_event_stream(spark, src_dir)
+    clean = sevents.dedup_stream(stream, keys=("event_id",))
+    out = sevents.run_batchlike(clean, "t_dedup", output_mode="append").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization emits the same closed
+    sessions as the batch gap-and-island operator (final open sessions
+    flush via the event-time timeout once the watermark passes)."""
+    from bubbles_spark.streaming import events as sevents
+
+    df = _fixture(spark).withColumn("props", F.lit("{}"))
+    # a far-future heartbeat event per user advances the watermark past
+    # every real session's gap so timeouts fire within the run
+    flush = spark.createDataFrame(
+        [(98, _ts(10_000), 10, "x", 0.0, "{}"), (99, _ts(10_000), 20, "x", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    src_dir = str(tmp_path / "sess_src")
+    # one micro-batch holding data + heartbeats: the per-user in-batch
+    # gap logic closes every real session (heartbeat is 30+ min later),
+    # so emission does not depend on file ordering or timeout batches
+    df.unionByName(flush).coalesce(1).write.parquet(src_dir)
+    stream = sevents.read_event_stream(spark, src_dir)
+    sess = sevents.sessionize_stream(
+        stream, gap_minutes=30.0, watermark="0 seconds"
+    )
+    out = sevents.run_batchlike(sess, "t_sess", output_mode="append").collect()
+    got = {
+        (r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour):
+        (r["record_count"], r["value_sum"])
+        for r in out
+    }
+    # batch truth: user 10 -> [0,5] (2 ev, 3.0) + [65] (1 ev, 3.0);
+    # user 20 -> [70] (4.0), [130] (5.0); heartbeats form their own sessions
+    assert got[(10, 0)] == (2, 3.0)
+    assert got[(10, 65)] == (1, 3.0)
+    assert got[(20, 70)] == (1, 4.0)
+    assert got[(20, 130)] == (1, 5.0)
