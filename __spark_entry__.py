@@ -518,6 +518,28 @@ def q_pivot(spark, sf_dir):
     )
 
 
+# --- as-of join (engine extension; DuckDB: native ASOF JOIN) ----------
+@_q(
+    "asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS r_ts, c.value AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return core.asof_join(purchases, clicks, on="ts", by="user_id")
+
+
 # --- T1 string_strip ---------------------------------------------------
 @_q(
     "string_strip",
@@ -1122,10 +1144,29 @@ def q_embedding_dup_exact(spark, sf_dir):
     return dedup.embedding_dup_pairs(e, threshold=0.4, lsh_bits=0)
 
 
-@_q("embedding_dup_pairs_lsh")
+@_q(
+    "embedding_dup_pairs_lsh",
+    """
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
 def q_embedding_dup_lsh(spark, sf_dir):
+    # The synthetic embeddings are uniform-random (max pairwise cosine
+    # ~0.6) — no natural near-dup regime, and LSH only prunes above
+    # ~0.8 (at threshold 0.4, an 8-bit table admitted 26% of ALL pairs
+    # as candidates).  So the scale-path query PLANTS its near-dups:
+    # 200 exact copies under shifted ids.  Identical vectors share
+    # every bucket in every table, so LSH recall here is exactly 1.0
+    # BY CONSTRUCTION — which makes this oracle-checkable, not
+    # rows-only: output must be precisely the 200 planted pairs
+    # (random pairs sit far below threshold 0.95).
     e = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs(e, threshold=0.4, lsh_bits=8)
+    planted = e.filter(F.col("vec_id") < 200).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return dedup.embedding_dup_pairs(e.unionByName(planted), threshold=0.95)
 
 
 # --- §2.14 similarity search ------------------------------------------

@@ -502,6 +502,91 @@ def grouped_apply(
 # ---------------------------------------------------------------------
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """As-of join (engine extension — absent in both the reference and
+    stock Spark): every left row picks the nearest right row at or
+    before (``backward``) / at or after (``forward``) its ``on`` value,
+    within the same ``by`` group.  Left-outer semantics: unmatched left
+    rows keep NULL right columns.
+
+    NOT implemented as a range join — a time-range theta join explodes
+    to |L|·|R| per key before pruning.  Instead the merge formulation:
+    union both sides tagged, one hash shuffle on ``by``, per-key sort
+    on (on, side), and ``last(right_payload, ignorenulls)`` over the
+    ordered window carries the most recent right row forward.  That is
+    O((|L|+|R|) log) per key with exactly one shuffle — the same shape
+    as sessionize, and the plan a hand-written merge-asof would want.
+    Equal ``on`` values match (right sorts before left at ties, per
+    the conventional asof-backward closure; mirrored for forward).
+
+    ``tolerance_seconds`` (timestamp ``on`` only) nulls matches older
+    (newer) than the window — rows are kept, left-outer style.
+    Right payload columns land as ``{prefix}{col}``.
+
+    Without ``by`` the window is a single global sort (one task) —
+    acceptable only for small inputs; at scale always pass the key.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    from pyspark.sql import Window
+
+    by_list = [] if by is None else [by] if isinstance(by, str) else list(by)
+    payload = [c for c in (right_cols or right.columns) if c not in by_list]
+    if on not in payload:
+        payload = [on, *payload]
+
+    r_struct = F.struct(*[F.col(c) for c in payload]).alias("__r")
+    right_u = right.select(
+        *by_list,
+        F.col(on).alias("__on"),
+        F.lit(0 if direction == "backward" else 1).alias("__side"),
+        r_struct,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    left_u = left.select(
+        *by_list,
+        F.col(on).alias("__on"),
+        F.lit(1 if direction == "backward" else 0).alias("__side"),
+        F.lit(None).cast(right_u.schema["__r"].dataType).alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    u = right_u.unionByName(left_u)
+
+    w = Window.partitionBy(*by_list).orderBy("__on", "__side") if by_list else (
+        Window.orderBy("__on", "__side")
+    )
+    if direction == "backward":
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        match = F.last("__r", ignorenulls=True).over(frame)
+    else:
+        frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        match = F.first("__r", ignorenulls=True).over(frame)
+
+    out = u.withColumn("__m", match).filter(
+        F.col("__side") == (1 if direction == "backward" else 0)
+    )
+    if tolerance_seconds is not None:
+        gap = F.col("__on").cast("double") - F.col("__m")[on].cast("double")
+        if direction == "forward":
+            gap = -gap
+        out = out.withColumn(
+            "__m", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__m"))
+        )
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__m")[c].alias(f"{prefix}{c}") for c in payload],
+    )
+
+
 def join_details(
     master: DataFrame,
     detail: DataFrame,

@@ -490,9 +490,11 @@ def embedding_dup_pairs(
     if lsh_bits > 0:
         # all tables·bits plane dots in one Arrow-batched numpy matmul
         # (see _bucketize_udf: the pure-expression form was a ~20k-node
-        # Catalyst tree — minutes of planning + no codegen)
+        # Catalyst tree — minutes of planning + no codegen); persisted
+        # because both join sides consume it — without the persist the
+        # UDF (the only Python stage here) runs twice per vector
         bucketize = _bucketize_udf(lsh_bits, lsh_tables, seed, dim)
-        bkts = v.select("__id", bucketize("__v").alias("__bkts"))
+        bkts = v.select("__id", bucketize("__v").alias("__bkts")).persist()
         # b-side: one (table, bucket) entry per table — ids only
         b_side = bkts.select(
             "__id", F.posexplode("__bkts").alias("__t", "__bucket")

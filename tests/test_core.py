@@ -222,3 +222,46 @@ def test_pivot_aggregate(people):
     )
     by_amount = {r["amount"]: (r["a"], r["b"]) for r in out.collect()}
     assert by_amount[10.0] == (2, None)  # ids 1 and 6; no b at 10.0
+
+
+# --- as-of join --------------------------------------------------------
+
+
+def _asof_fixture(spark):
+    import datetime as dt
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "p1"), (1, ts(30), "p2"), (2, ts(5), "p3")],
+        "uid long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(8), 1.0), (1, ts(10), 2.0), (1, ts(29), 3.0), (2, ts(50), 4.0)],
+        "uid long, ts timestamp, quote double",
+    )
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _asof_fixture(spark)
+    out = core.asof_join(left, right, on="ts", by="uid")
+    got = {r["tag"]: r["r_quote"] for r in out.collect()}
+    # p1@10 matches quote@10 (equal ts included), p2@30 -> quote@29,
+    # p3@5 has no earlier quote -> NULL
+    assert got == {"p1": 2.0, "p2": 3.0, "p3": None}
+
+
+def test_asof_forward_and_tolerance(spark):
+    left, right = _asof_fixture(spark)
+    out = core.asof_join(left, right, on="ts", by="uid", direction="forward")
+    got = {r["tag"]: r["r_quote"] for r in out.collect()}
+    assert got == {"p1": 2.0, "p2": None, "p3": 4.0}
+
+    out = core.asof_join(
+        left, right, on="ts", by="uid", tolerance_seconds=30.0
+    )
+    got = {r["tag"]: r["r_quote"] for r in out.collect()}
+    # p2@30 -> quote@29 is 60s away > 30s tolerance -> nulled, row kept
+    assert got == {"p1": 2.0, "p2": None, "p3": None}
