@@ -518,6 +518,24 @@ def q_pivot(spark, sf_dir):
     )
 
 
+# --- salted join (skew pattern; semantics must equal the plain join) --
+@_q(
+    "salted_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    return core.salted_join(o, c, "o_custkey", salt=8).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
 # --- as-of join (engine extension; DuckDB: native ASOF JOIN) ----------
 @_q(
     "asof_join",
@@ -1031,6 +1049,46 @@ def q_fingerprint(spark, sf_dir):
     return textan.fingerprint(d).select("doc_id", "fingerprint")
 
 
+@_q(
+    "term_doc_freq",
+    f"""
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS term
+          FROM documents WHERE trim(text) <> '')
+    GROUP BY term HAVING COUNT(*) >= 5
+    """,
+)
+def q_term_doc_freq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textan.term_doc_freq(d, min_doc_freq=5)
+
+
+@_q(
+    "tf_idf",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS term_count
+           FROM terms GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_len
+           FROM terms GROUP BY doc_id),
+    dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.term_count, dl.doc_len, dfq.doc_freq,
+           ROUND((tf.term_count::DOUBLE / dl.doc_len)
+                 * (ln((n.n_docs + 1.0) / (dfq.doc_freq + 1.0)) + 1.0), 9)
+             AS tf_idf
+    FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n
+    """,
+)
+def q_tf_idf(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textan.tf_idf(d)
+
+
 @_q("content_hash", "SELECT doc_id, md5(text) AS content_hash FROM documents")
 def q_content_hash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -1124,6 +1182,43 @@ def q_minhash_dedup(spark, sf_dir):
 @_q("simhash_dedup_pairs")
 def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_dedup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _planted_docs(spark, sf_dir):
+    """documents ∪ exact copies of doc_id < 200 under id+1,000,000 —
+    identical text gives identical shingles, signatures, and buckets,
+    so a correct dedup pipeline recovers every planted pair (recall 1
+    BY CONSTRUCTION, which makes the check oracle-expressible)."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 200).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return d.unionByName(planted)
+
+
+_PLANTED_ORACLE = """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@_q("minhash_planted_recall", _PLANTED_ORACLE)
+def q_minhash_planted(spark, sf_dir):
+    # restrict to the planted-pair shape (id_b = id_a + 1e6): natural
+    # near-dups in the corpus are legitimate output but not
+    # SQL-predictable; the planted subset must be EXACTLY complete
+    pairs = dedup.minhash_dedup_pairs(_planted_docs(spark, sf_dir), threshold=0.99)
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select(
+        "id_a", "id_b"
+    )
+
+
+@_q("simhash_planted_recall", _PLANTED_ORACLE)
+def q_simhash_planted(spark, sf_dir):
+    pairs = dedup.simhash_dedup_pairs(_planted_docs(spark, sf_dir), max_hamming=0)
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select(
+        "id_a", "id_b"
+    )
 
 
 @_q(

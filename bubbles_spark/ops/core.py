@@ -587,6 +587,45 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-defeating equi-join: the hot-key pattern for when one join
+    key holds a disproportionate share of the left side (at 100 TB a
+    single hot key pins one reducer for hours).
+
+    Left rows get a deterministic salt in [0, salt) hashed from the
+    full row (xxhash64 — stable across task retries, unlike a random
+    salt, so speculative execution and stage reruns stay consistent);
+    the right side is replicated ``salt`` times via explode.  The join
+    key becomes (key, salt) — a hot key's rows now spread over
+    ``salt`` reducers.  Cost: right side shuffles ``salt``× — use for
+    modest right sides against a skewed big left, and prefer plain
+    broadcast when the right side fits in memory.  AQE's skew-join
+    split only helps sort-merge partitions after the fact; salting
+    fixes the key distribution itself.
+
+    Semantics identical to ``left.join(right, on, how)`` for
+    inner/left joins (verified by oracle).  Right/full joins would
+    duplicate unmatched right rows per salt replica — rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    on_list = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int"),
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, [*on_list, "__salt"], how).drop("__salt")
+
+
 def join_details(
     master: DataFrame,
     detail: DataFrame,

@@ -209,3 +209,66 @@ def fingerprint(
 def content_hash(df: DataFrame, text_col: str = "text", out: str = "content_hash") -> DataFrame:
     """Exact-content hash (md5 of raw text) — the exact-dedup key."""
     return df.withColumn(out, F.md5(F.col(text_col).cast("binary")))
+
+
+# ---------------------------------------------------------------------
+# corpus statistics: term frequency / document frequency / tf-idf
+# ---------------------------------------------------------------------
+
+
+def term_doc_freq(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Corpus document frequency per lowercase token: (term, doc_freq).
+
+    explode(distinct tokens) → groupBy(term) — one shuffle keyed by
+    term.  Zipf guarantees head-term skew, but a count-only aggregate
+    partial-aggregates map-side, so each reducer receives at most one
+    partial row per (term, mapper): skew-safe without salting."""
+    toks = df.select(
+        F.explode(F.array_distinct(_tokens(F.lower(F.col(text_col))))).alias("term")
+    )
+    out = toks.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return out.filter(F.col("doc_freq") >= min_doc_freq)
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Per (doc, term) tf-idf over the corpus: tf = in-doc term count /
+    doc token count; idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn
+    convention).  Two shuffles total: (doc, term) counts, then the
+    doc-frequency join — the idf side is tiny after aggregation, so
+    Spark broadcasts it (AQE decides; no forced hint).
+
+    The N (corpus size) scalar comes from a count() action — one job,
+    driver-side scalar, broadcast with the plan; at 100 TB that is a
+    metadata-cheap columnar count."""
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("term_count"))
+    doc_len = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("doc_len"))
+    dfreq = terms.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    if min_doc_freq > 1:
+        dfreq = dfreq.filter(F.col("doc_freq") >= min_doc_freq)
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("doc_freq") + 1.0)) + 1.0
+    return (
+        tf.join(doc_len, id_col)
+        .join(dfreq.withColumn("idf", idf), "term")
+        .withColumn(
+            "tf_idf",
+            F.round((F.col("term_count") / F.col("doc_len")) * F.col("idf"), 9),
+        )
+        .select(id_col, "term", "term_count", "doc_len", "doc_freq", "tf_idf")
+    )

@@ -265,3 +265,21 @@ def test_asof_forward_and_tolerance(spark):
     got = {r["tag"]: r["r_quote"] for r in out.collect()}
     # p2@30 -> quote@29 is 60s away > 30s tolerance -> nulled, row kept
     assert got == {"p1": 2.0, "p2": None, "p3": None}
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.range(0, 500).withColumn("k", (F.col("id") % 3).cast("long"))
+    right = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (5, "z")], "k long, v string"
+    )
+    plain = left.join(right, "k", "inner")
+    salted = core.salted_join(left, right, "k", salt=8)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain.select(*salted.columns)).isEmpty()
+    # left join keeps unmatched left rows exactly once
+    lplain = left.join(right, "k", "left")
+    lsalted = core.salted_join(left, right, "k", how="left", salt=8)
+    assert lsalted.count() == lplain.count() == 500
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        core.salted_join(left, right, "k", how="full")

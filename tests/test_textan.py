@@ -73,3 +73,28 @@ def test_bpe_estimate_monotone(spark):
     assert got[1] == 3 + 2
     # 2 pieces + floor(16/4)... 'extraordinarily' len 15 -> 3, 'incomprehensible' 16 -> 3
     assert got[2] == 2 + 3 + 3
+
+
+def test_term_doc_freq(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog"), (3, "THE the the")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r["doc_freq"] for r in textan.term_doc_freq(df).collect()}
+    # per-doc distinct: doc 3 counts 'the' once
+    assert got == {"the": 3, "cat": 1, "sat": 1, "dog": 1}
+
+
+def test_tf_idf_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    rows = {(r["doc_id"], r["term"]): r for r in textan.tf_idf(df).collect()}
+    r = rows[(1, "a")]
+    assert r["term_count"] == 2 and r["doc_len"] == 3 and r["doc_freq"] == 1
+    expect = (2 / 3) * (math.log(3 / 2) + 1.0)
+    assert abs(r["tf_idf"] - expect) < 1e-9
+    # 'b' appears in both docs -> higher df, lower idf
+    assert rows[(2, "b")]["doc_freq"] == 2
