@@ -518,6 +518,21 @@ def q_pivot(spark, sf_dir):
     )
 
 
+# --- median measure (JVM-native F.median in aggregate()) --------------
+@_q(
+    "aggregate_median",
+    """
+    SELECT c_mktsegment, MEDIAN(c_acctbal) AS c_acctbal_median,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_aggregate_median(spark, sf_dir):
+    return core.aggregate(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", [("c_acctbal", "median")]
+    )
+
+
 # --- salted join (skew pattern; semantics must equal the plain join) --
 @_q(
     "salted_join",

@@ -338,6 +338,9 @@ _AGG_FUNCS: dict[str, Callable[[str], Column]] = {
     "variance": F.variance,
     "first": F.first,
     "last": F.last,
+    "median": F.median,
+    "p90": lambda c: F.percentile_approx(c, 0.9),
+    "p99": lambda c: F.percentile_approx(c, 0.99),
 }
 
 
