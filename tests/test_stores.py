@@ -67,3 +67,63 @@ def test_mongo_store_plumbing(spark):
     # data-source-not-found error, proving the wiring reaches Spark
     with pytest.raises(Exception):
         store.get_object("c").count()
+
+
+def test_xls_store_gated(spark, tmp_path):
+    """No Excel engine in this container: the store must fail loudly
+    at read time, not import time."""
+    import pytest
+
+    from bubbles_spark import io as bio
+
+    store = bio.open_store("xls", path=str(tmp_path), spark=spark)
+    assert store.objects() == []
+    (tmp_path / "sheet.xlsx").write_bytes(b"not a real workbook")
+    assert store.objects() == ["sheet"]
+    try:
+        import openpyxl  # noqa: F401
+        has_engine = True
+    except ImportError:
+        try:
+            import xlrd  # noqa: F401
+            has_engine = True
+        except ImportError:
+            has_engine = False
+    if not has_engine:
+        with pytest.raises(NotImplementedError):
+            store.get_object("sheet")
+
+
+def test_datapackage_store(spark, tmp_path):
+    import json
+
+    from bubbles_spark import io as bio
+
+    (tmp_path / "people.csv").write_text("id,name,score\n1,ann,2.5\n2,bo,3.5\n")
+    desc = {
+        "name": "tiny",
+        "resources": [
+            {
+                "name": "people",
+                "path": "people.csv",
+                "schema": {
+                    "fields": [
+                        {"name": "id", "type": "integer"},
+                        {"name": "name", "type": "string"},
+                        {"name": "score", "type": "number"},
+                    ]
+                },
+            }
+        ],
+    }
+    (tmp_path / "datapackage.json").write_text(json.dumps(desc))
+    store = bio.open_store("datapackage", path=str(tmp_path), spark=spark)
+    assert store.objects() == ["people"]
+    df = store.get_object("people")
+    # Table Schema mapped to an explicit StructType — no inferSchema scan
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string", "score": "double"}
+    assert df.count() == 2
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        store.create("x", from_obj=df)

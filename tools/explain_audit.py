@@ -1,0 +1,141 @@
+"""Physical-plan audit: assert the headline queries compile to the
+plans a 100 TB deployment needs.
+
+Checks are grep-style assertions over ``explain("formatted")`` output:
+
+- scans read only the projected columns (column pruning reached the
+  parquet reader) and carry PushedFilters for selective predicates;
+- aggregations partial-aggregate before the exchange (map-side
+  combine);
+- small dimension joins broadcast, the big fact join does not;
+- top-k compiles to TakeOrderedAndProject (no global sort);
+- no CartesianProduct / BroadcastNestedLoopJoin anywhere except the
+  explicitly-exact brute-force similarity baseline.
+
+Usage: python tools/explain_audit.py  [query ...]
+Exits non-zero if a required plan property is missing.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+# (query, [(must_regex, why)], [(must_not_regex, why)])
+CHECKS = [
+    (
+        "flagship_revenue_by_nation",
+        [
+            (r"PushedFilters: .*(EqualTo|IsNotNull)\(l_returnflag", "returnflag filter reaches lineitem scan"),
+            (r"BroadcastHashJoin", "dimension joins broadcast"),
+            (r"HashAggregate", "hash aggregation"),
+        ],
+        [(r"CartesianProduct", "no cross product")],
+    ),
+    (
+        "field_filter_keep_rename",
+        [(r"ReadSchema: struct<c_custkey:bigint,c_name:string", "scan prunes to kept columns")],
+        [],
+    ),
+    (
+        "top_k",
+        [(r"TakeOrderedAndProject", "top-k avoids a global sort")],
+        [(r"\bSort \[", "no full sort stage")],
+    ),
+    (
+        "aggregate_q1",
+        [
+            (r"Functions \[\d+\]: \[partial_", "map-side partial aggregation"),
+            (r"ReadSchema: struct<l_quantity:double,l_extendedprice", "scan prunes to the 6 referenced columns"),
+        ],
+        [],
+    ),
+    (
+        "join_details",
+        [(r"BroadcastHashJoin", "small detail side broadcasts")],
+        [(r"SortMergeJoin", "no shuffle join for a broadcastable dim")],
+    ),
+    (
+        "added_keys",
+        [(r"LeftAnti", "anti join for CDC")],
+        [(r"CartesianProduct", "no cross product")],
+    ),
+    (
+        "exact_dedup",
+        [(r"(?s)partial_first|HashAggregate", "dedup = hash agg, not sort")],
+        [],
+    ),
+    (
+        "tumbling_window",
+        [(r"HashAggregate", "window agg is a hash agg on the window struct")],
+        [],
+    ),
+    (
+        "token_count",
+        [(r"Project", "map-only stage")],
+        [(r"Exchange", "no shuffle for a per-row expression"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "no Python in the hot path")],
+    ),
+    (
+        "minhash_dedup_pairs",
+        [(r"(ArrowEvalPython|HashAggregate)", "arrow-batched or agg stages only")],
+        [(r"CartesianProduct", "banding join is an equi join, never a cross product")],
+    ),
+    (
+        "cosine_topk_lsh",
+        [(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "bucket join is an equi join")],
+        [(r"BroadcastNestedLoopJoin", "LSH path must not fall back to NL join"),
+         (r"CartesianProduct", "no cross product")],
+    ),
+    (
+        "asof_join",
+        [(r"(?s)Window[\s\S]*?last", "merge formulation via ordered window")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no range-join explosion")],
+    ),
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from bubbles_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    qs = entrymod.queries()
+    only = set(sys.argv[1:])
+    failures = 0
+    for name, must, must_not in CHECKS:
+        if only and name not in only:
+            continue
+        plan = plan_of(qs[name](spark, SF_DIR))
+        for pat, why in must:
+            if not re.search(pat, plan):
+                print(f"FAIL {name}: missing [{why}] (/{pat}/)")
+                failures += 1
+            else:
+                print(f"ok   {name}: {why}")
+        for pat, why in must_not:
+            if re.search(pat, plan):
+                print(f"FAIL {name}: forbidden [{why}] (/{pat}/)")
+                failures += 1
+            else:
+                print(f"ok   {name}: {why}")
+    print(f"\n{'AUDIT FAILED' if failures else 'AUDIT CLEAN'} ({failures} failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
