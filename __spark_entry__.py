@@ -1308,6 +1308,58 @@ def q_cosine_topk_lsh(spark, sf_dir):
     return vector.cosine_topk_lsh(e, e.filter(F.col("vec_id") < 20), k=5)
 
 
+@_q(
+    "cosine_topk_lsh_planted",
+    """
+    SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def q_cosine_topk_lsh_planted(spark, sf_dir):
+    # deterministic LSH check: 20 exact-copy queries under shifted ids
+    # — an identical vector shares every table bucket with its twin,
+    # so the twin is always a candidate and wins rank 1 at cosine 1.0
+    # (all natural pairs sit below 0.65); ranks 2..k stay approximate
+    # and are excluded
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    out = vector.cosine_topk_lsh(e.unionByName(q), q, k=3)
+    return out.filter(F.col("rank") == 1)
+
+
+# --- SQL surface (§3: Spark SQL is free; the reference has no parser) --
+_Q5_SQL = """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+"""
+
+
+@_q("sql_q5_local_supplier", _Q5_SQL)
+def q_sql_q5(spark, sf_dir):
+    # the IDENTICAL SQL text runs on both engines — Spark's parser +
+    # Catalyst vs DuckDB — exercising the spark.sql() entry point over
+    # registered views (TPC-H Q5 shape: 6-table join, selective
+    # region/date filters, agg).  Catalyst broadcast-joins the four
+    # dimension tables and pushes both filters to the scans.
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q5_SQL)
+
+
 # --- §2.12 grouped applyInPandas (UDAF surface) ------------------------
 @_q(
     "grouped_median",

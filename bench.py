@@ -26,8 +26,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # weighted toward the scale-critical paths (dedup, similarity, text)
 BENCH_QUERIES = [
     "flagship_revenue_by_nation",
+    "sql_q5_local_supplier",
     "aggregate_q1",
+    "aggregate_median",
     "join_details",
+    "salted_join",
+    "asof_join",
+    "rank_in_group",
     "top_k",
     "filter_by_predicate",
     "tumbling_window",
@@ -40,6 +45,8 @@ BENCH_QUERIES = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "tf_idf",
+    "term_doc_freq",
     "embedding_dup_pairs_lsh",
     "cosine_topk",
     "cosine_topk_lsh",
