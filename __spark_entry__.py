@@ -518,6 +518,27 @@ def q_pivot(spark, sf_dir):
     )
 
 
+# --- multi-detail star join (J1 multi-detail variant) -----------------
+@_q(
+    "join_details_multi",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+           c.c_nationkey, n.n_name, n.n_regionkey, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_details_multi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return core.join_details_multi(
+        c,
+        [(n, "c_nationkey", "n_nationkey"), (r, "n_regionkey", "r_regionkey")],
+    )
+
+
 # --- median measure (JVM-native F.median in aggregate()) --------------
 @_q(
     "aggregate_median",
@@ -1401,6 +1422,37 @@ def q_grouped_median(spark, sf_dir):
 def q_media_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return multimodal.media_stats(multimodal.attach_media(d, "text", mime="text/plain"))
+
+
+@_q(
+    "decode_image_netpbm",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           'pgm' AS format
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_decode_image_netpbm(spark, sf_dir):
+    # REAL decode path: valid binary PGM bytes synthesized per doc
+    # (width varies with doc_id), decoded by the pure-stdlib netpbm
+    # decoder inside mapInPandas — the oracle predicts the parsed
+    # dimensions, so a header/raster bug fails the hash
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pgm = F.concat(
+        F.concat_ws(
+            "", F.lit("P5\n"), (F.lit(8) + F.col("doc_id") % 16), F.lit(" 4\n255\n")
+        ).cast("binary"),
+        F.expr("repeat('.', CAST((8 + doc_id % 16) * 4 AS INT))").cast("binary"),
+    )
+    img = multimodal.attach_media(
+        d.withColumn("__pgm", pgm), "__pgm", mime="image/x-portable-graymap"
+    )
+    return multimodal.decode_image(img).select(
+        "doc_id", "width", "height", "channels", "format"
+    )
 
 
 @_q("decode_image_fake")

@@ -685,6 +685,29 @@ def join_details(
     return joined.select(*[master[c] for c in master.columns], *[d[c] for c in keep])
 
 
+def join_details_multi(
+    master: DataFrame,
+    details: Sequence[tuple],
+    how: str = "inner",
+) -> DataFrame:
+    """Multi-detail star join (the reference's join_details accepts
+    several details in one call — SURVEY.md §2.7 J1 [M]): each entry
+    is ``(detail_df, master_key)`` or ``(detail_df, master_key,
+    detail_key)`` or ``(detail_df, master_key, detail_key, prefix)``.
+
+    Joins apply left-to-right; Catalyst/AQE is free to broadcast every
+    small dimension and reorder — a chain of independent equi-joins
+    against one fact is exactly the shape its join-reorder rule
+    handles."""
+    out = master
+    for entry in details:
+        detail, mkey, *rest = entry
+        dkey = rest[0] if len(rest) >= 1 else None
+        prefix = rest[1] if len(rest) >= 2 else None
+        out = join_details(out, detail, mkey, dkey, how=how, prefix=prefix)
+    return out
+
+
 def append(dfs: Sequence[DataFrame]) -> DataFrame:
     """Concatenate N objects with identical field lists — UNION ALL
     (bubbles/ops/rows.py::append, itertools.chain in the reference).

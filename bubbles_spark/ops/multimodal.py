@@ -5,12 +5,12 @@ struct — ``{uri, mime, data, meta}`` — so pipelines can carry media
 through filters/joins/dedup without touching bytes until a decode
 stage.
 
-The decode/extract kernels need codec libraries that are NOT in this
-container, so the decode step is STUBBED: ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a clearly
-marked deterministic fake (dimensions derived from a content hash)
-exercises the full Spark-side plumbing — schema, batching, partition
-behavior — which IS real and tested.
+``decode_image`` decodes netpbm (PGM/PPM) FOR REAL with pure stdlib
+(header parse + raster-length validation).  Formats that need codec
+libraries (JPEG/PNG/video) are STUBBED — NotImplementedError unless
+``fake=True``, which substitutes a clearly marked deterministic fake
+(dimensions from a content hash) so the full Spark-side plumbing —
+schema, batching, partition behavior — stays exercised and tested.
 
 Design notes for the real thing at 100 TB:
 - media bytes go through ``mapInPandas`` (arrow batches), never a
@@ -67,23 +67,66 @@ def attach_media(
 
 IMAGE_META_SCHEMA = "width int, height int, channels int, format string"
 
+_NETPBM_CHANNELS = {b"P2": 1, b"P5": 1, b"P3": 3, b"P6": 3}
+_NETPBM_FORMAT = {b"P2": "pgm", b"P5": "pgm", b"P3": "ppm", b"P6": "ppm"}
+
+
+def _decode_netpbm(data: bytes):
+    """REAL netpbm (PGM/PPM, ascii + binary) decoder — pure stdlib,
+    no codec libraries.  Returns (width, height, channels, format) or
+    None if the bytes are not a valid netpbm image.  Validates the
+    raster length, not just the header, so truncated files fail."""
+    magic = data[:2]
+    if magic not in _NETPBM_CHANNELS:
+        return None
+    # header = magic + 3 ints (w, h, maxval), '#' comments allowed
+    tokens: list[int] = []
+    i = 2
+    try:
+        while len(tokens) < 3:
+            while i < len(data) and data[i : i + 1].isspace():
+                i += 1
+            if data[i : i + 1] == b"#":
+                while i < len(data) and data[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(data[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+    except (ValueError, IndexError):
+        return None
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        return None
+    ch = _NETPBM_CHANNELS[magic]
+    raster = data[i:]
+    if magic in (b"P5", b"P6"):
+        per = 1 if maxval < 256 else 2
+        if len(raster) < w * h * ch * per:
+            return None
+    else:
+        if len(raster.split()) < w * h * ch:
+            return None
+    return (w, h, ch, _NETPBM_FORMAT[magic])
+
 
 def decode_image(
     df: DataFrame, media_col: str = "media", fake: bool = False
 ) -> DataFrame:
-    """Decode image headers → (width, height, channels, format) columns.
+    """Decode images → (width, height, channels, format) columns via
+    Arrow-batched mapInPandas.
 
-    REAL DECODE IS STUBBED (no image libraries in this container).
-    ``fake=True`` runs a deterministic placeholder that derives
-    dimensions from the content hash — for plumbing tests only.
+    netpbm (PGM/PPM) decodes FOR REAL — pure stdlib header + raster
+    validation, no codec libraries needed.  Other formats (JPEG/PNG/
+    ...) need codec libraries that are NOT in this container: with
+    ``fake=True`` they get a clearly-marked deterministic placeholder
+    (dims from the content hash) so the Spark-side plumbing stays
+    exercised; with ``fake=False`` (default) a non-netpbm input raises
+    NotImplementedError naming the missing dependency.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires a codec library (e.g. Pillow) not "
-            "present in this environment; pass fake=True for the "
-            "deterministic plumbing stub"
-        )
-
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -96,16 +139,22 @@ def decode_image(
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # DETERMINISTIC FAKE: dims from md5 of bytes — not a decoder
             def dims(m):
-                data = m["data"] if isinstance(m, dict) else m.data
-                h = hashlib.md5(bytes(data or b"")).digest()
-                return (
-                    64 + h[0] % 192,
-                    64 + h[1] % 192,
-                    3,
-                    "fake",
-                )
+                data = bytes((m["data"] if isinstance(m, dict) else m.data) or b"")
+                real = _decode_netpbm(data)
+                if real is not None:
+                    return real
+                if not fake:
+                    raise NotImplementedError(
+                        "only netpbm (PGM/PPM) decodes without codec "
+                        "libraries (e.g. Pillow), which this environment "
+                        "lacks; pass fake=True for the deterministic "
+                        "plumbing stub on other formats"
+                    )
+                # DETERMINISTIC FAKE: dims from md5 — not a decoder
+                h = hashlib.md5(data).digest()
+                return (64 + h[0] % 192, 64 + h[1] % 192, 3, "fake")
+
             decoded = pdf[media_col].apply(dims)
             pdf = pdf.assign(
                 width=[d[0] for d in decoded],

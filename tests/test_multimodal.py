@@ -1,0 +1,61 @@
+"""Multimodal struct plumbing + the REAL netpbm decoder."""
+
+from __future__ import annotations
+
+import pytest
+
+from bubbles_spark.ops import multimodal
+from bubbles_spark.ops.multimodal import _decode_netpbm
+
+
+def _pgm(w: int, h: int, binary: bool = True) -> bytes:
+    if binary:
+        return f"P5\n{w} {h}\n255\n".encode() + bytes(range(256))[: w * h].ljust(
+            w * h, b"\0"
+        )
+    vals = " ".join(str(i % 256) for i in range(w * h))
+    return f"P2\n{w} {h}\n255\n{vals}\n".encode()
+
+
+def _ppm(w: int, h: int) -> bytes:
+    return f"P6\n# a comment\n{w} {h}\n255\n".encode() + b"\1" * (3 * w * h)
+
+
+def test_netpbm_decoder_pure():
+    assert _decode_netpbm(_pgm(8, 4)) == (8, 4, 1, "pgm")
+    assert _decode_netpbm(_pgm(3, 2, binary=False)) == (3, 2, 1, "pgm")
+    assert _decode_netpbm(_ppm(5, 5)) == (5, 5, 3, "ppm")
+    # truncated raster must FAIL, not decode the header blindly
+    assert _decode_netpbm(_pgm(8, 4)[:-1]) is None
+    assert _decode_netpbm(b"\x89PNG\r\n") is None
+    assert _decode_netpbm(b"P5\n-3 2\n255\nxxxxxx") is None
+
+
+def test_decode_image_real_and_gated(spark):
+    rows = [(1, _pgm(8, 4)), (2, _ppm(5, 5))]
+    df = spark.createDataFrame(rows, "id long, raw binary")
+    m = multimodal.attach_media(df, "raw", mime="image/x-portable-anymap")
+    out = {r["id"]: (r["width"], r["height"], r["channels"], r["format"])
+           for r in multimodal.decode_image(m).collect()}
+    assert out == {1: (8, 4, 1, "pgm"), 2: (5, 5, 3, "ppm")}
+
+    # non-netpbm without fake -> loud failure inside the task
+    bad = multimodal.attach_media(
+        spark.createDataFrame([(1, b"\x89PNG...")], "id long, raw binary"), "raw"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|netpbm"):
+        multimodal.decode_image(bad).collect()
+    # with fake=True the placeholder path still flows
+    fake = multimodal.decode_image(bad, fake=True).collect()
+    assert fake[0]["format"] == "fake"
+
+
+def test_media_stats_and_frame_sample(spark):
+    df = spark.createDataFrame([(1, b"abc"), (2, b"defgh")], "id long, raw binary")
+    m = multimodal.attach_media(df, "raw", mime="application/x-test")
+    stats = multimodal.media_stats(m).collect()[0]
+    assert stats["n_items"] == 2 and stats["total_bytes"] == 8
+
+    frames = multimodal.frame_sample(m, every_n=2, max_frames=3, fake=True)
+    got = frames.groupBy("id").count().collect()
+    assert {r["id"]: r["count"] for r in got} == {1: 1, 2: 2}
