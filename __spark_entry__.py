@@ -1455,6 +1455,49 @@ def q_decode_image_netpbm(spark, sf_dir):
     )
 
 
+@_q(
+    "decode_audio_wav",
+    """
+    SELECT doc_id,
+           CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST(0.5 AS DOUBLE) AS duration_s,
+           'wav' AS format
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_decode_audio_wav(spark, sf_dir):
+    # REAL RIFF/WAVE decode: half-second PCM files synthesized per doc
+    # (rate and channel count vary with doc_id), then parsed back by
+    # the stdlib chunk walker — the oracle predicts every field
+    import pandas as pd
+
+    from bubbles_spark.ops.multimodal import make_wav
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            rates = 8000 * (1 + pdf["doc_id"] % 3)
+            chans = 1 + pdf["doc_id"] % 2
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "wav": [
+                        make_wav(int(r), int(c), int(r) // 2)
+                        for r, c in zip(rates, chans)
+                    ],
+                }
+            )
+
+    wavs = d.mapInPandas(synth, schema="doc_id long, wav binary")
+    m = multimodal.attach_media(wavs, "wav", mime="audio/wav")
+    return multimodal.decode_audio(m).select(
+        "doc_id", "sample_rate", "channels", "bits_per_sample", "duration_s", "format"
+    )
+
+
 @_q("decode_image_fake")
 def q_decode_image(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)

@@ -59,3 +59,30 @@ def test_media_stats_and_frame_sample(spark):
     frames = multimodal.frame_sample(m, every_n=2, max_frames=3, fake=True)
     got = frames.groupBy("id").count().collect()
     assert {r["id"]: r["count"] for r in got} == {1: 1, 2: 2}
+
+
+def test_wav_decoder_pure():
+    from bubbles_spark.ops.multimodal import _decode_wav, make_wav
+
+    wav = make_wav(16000, 2, 16000)  # 1 second stereo
+    assert _decode_wav(wav) == (16000, 2, 16, 1.0, "wav")
+    assert _decode_wav(wav[:20]) is None
+    assert _decode_wav(b"ID3\x03mp3data") is None
+    # mono 8kHz half-second
+    assert _decode_wav(make_wav(8000, 1, 4000)) == (8000, 1, 16, 0.5, "wav")
+
+
+def test_decode_audio_spark(spark):
+    from bubbles_spark.ops.multimodal import make_wav
+
+    rows = [(1, make_wav(16000, 1, 8000)), (2, make_wav(44100, 2, 44100))]
+    df = spark.createDataFrame(rows, "id long, raw binary")
+    m = multimodal.attach_media(df, "raw", mime="audio/wav")
+    out = {r["id"]: (r["sample_rate"], r["channels"], r["duration_s"])
+           for r in multimodal.decode_audio(m).collect()}
+    assert out == {1: (16000, 1, 0.5), 2: (44100, 2, 1.0)}
+    bad = multimodal.attach_media(
+        spark.createDataFrame([(1, b"ID3mp3")], "id long, raw binary"), "raw"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|WAV"):
+        multimodal.decode_audio(bad).collect()
