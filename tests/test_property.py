@@ -1,0 +1,83 @@
+"""Property-based differential tests (hypothesis) — small example
+counts because every example runs Spark jobs; the value is the
+adversarial shapes hypothesis finds (empty sides, singleton groups,
+all-equal keys), not volume."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bubbles_spark.ops import core
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (uid, t, v) rows; t unique per (side, uid) to keep tie semantics
+# deterministic in both engines
+_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # uid
+        st.integers(0, 50),  # t
+        st.integers(-5, 5),  # v
+    ),
+    max_size=12,
+).map(lambda rs: list({(u, t): (u, t, v) for u, t, v in rs}.values()))
+
+
+@_slow
+@given(left=_rows, right=_rows, direction=st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    ldf = spark.createDataFrame(left, "uid long, t long, lv long")
+    rdf = spark.createDataFrame(right, "uid long, t long, rv long")
+    got = {
+        (r["uid"], r["t"]): r["r_rv"]
+        for r in core.asof_join(
+            ldf, rdf, on="t", by="uid", direction=direction
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left, columns=["uid", "t", "lv"]).sort_values("t")
+    rp = pd.DataFrame(right, columns=["uid", "t", "rv"]).sort_values("t")
+    if len(lp) == 0:
+        assert got == {}
+        return
+    if len(rp) == 0:
+        expect = {(u, t): None for u, t, _ in left}
+    else:
+        m = pd.merge_asof(lp, rp, on="t", by="uid", direction=direction)
+        expect = {
+            (r.uid, r.t): (None if pd.isna(r.rv) else int(r.rv))
+            for r in m.itertuples()
+        }
+    assert got == expect
+
+
+@_slow
+@given(rows=_rows, low=st.integers(-2, 3), span=st.integers(0, 4))
+def test_filter_range_partition_property(spark, rows, low, span):
+    """keep + discard == total for arbitrary range bounds."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "uid long, t long, v long")
+    keep = core.filter_by_range(df, "v", low, low + span).count()
+    disc = core.filter_by_range(df, "v", low, low + span, discard=True).count()
+    assert keep + disc == df.count()
+
+
+@_slow
+@given(rows=_rows)
+def test_distinct_dedup_agreement(spark, rows):
+    """distinct-by-key row count == number of distinct keys, and
+    duplicates-op surplus accounts for the difference."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "uid long, t long, v long")
+    n_keys = len({u for u, _, _ in rows})
+    assert core.distinct(df, "uid").count() == n_keys
+    dups = core.duplicate_stats(df, "uid").collect()[0]
+    assert dups["surplus_record_count"] == df.count() - n_keys
