@@ -1249,6 +1249,30 @@ def q_minhash_planted(spark, sf_dir):
     )
 
 
+@_q(
+    "dup_clusters_planted",
+    """
+    SELECT doc_id AS node_id, doc_id AS component
+    FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT doc_id + 1000000 AS node_id, doc_id AS component
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_dup_clusters_planted(spark, sf_dir):
+    # connected-components over the planted exact-dup pair graph: each
+    # {a, a+1e6} pair is its own 2-node cluster labeled min(a) — fully
+    # deterministic, so the transitive-closure op gets a real oracle
+    # (the chain/union-find tests in tests/test_dedup.py cover deep
+    # transitivity)
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1000000)).alias("id_b"),
+    )
+    return dedup.connected_components(planted)
+
+
 @_q("simhash_planted_recall", _PLANTED_ORACLE)
 def q_simhash_planted(spark, sf_dir):
     pairs = dedup.simhash_dedup_pairs(_planted_docs(spark, sf_dir), max_hamming=0)

@@ -278,6 +278,85 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive closure of a similarity-pair graph → (node_id,
+    component), component = min node id in the cluster.  This is the
+    step that turns pairwise near-dup hits into DUP CLUSTERS (chain
+    a~b, b~c ⇒ {a,b,c} even when a and c never matched directly).
+
+    Min-label propagation: every node repeatedly takes the smallest
+    label among itself and its neighbors until a fixed point —
+    O(cluster diameter) rounds, and near-dup clusters are
+    shallow (diameter ≤ ~5) so 3–4 rounds typically converge.  Each
+    round is one shuffle of (node, label) edges; ``localCheckpoint``
+    truncates lineage so round N's plan does not replay rounds
+    1..N-1 (the classic iterative-Spark trap).  Convergence is
+    detected with a count of changed labels (one cheap action per
+    round); raises after ``max_iter`` rather than returning a wrong
+    (unconverged) answer.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node_id"))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node_id"])
+            .groupBy(F.col("u").alias("node_id"))
+            .agg(F.min("component").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce("__nmin", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("__nmin", F.col("component")) < F.col("component")
+                ).alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "pathologically deep cluster chain; raise max_iter"
+    )
+
+
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Attach a ``component`` column: transitive dup-cluster id for
+    every row (singletons get their own id).  pairs is any
+    (id_a, id_b) output — minhash/simhash/ngram/embedding."""
+    comp = connected_components(pairs, src, dst)
+    return df.join(
+        comp.withColumnRenamed("node_id", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+
+
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------

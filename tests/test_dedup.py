@@ -127,3 +127,49 @@ def test_embedding_lsh_recall_planted_near_dups(spark):
     assert set(approx) <= set(exact)  # LSH never invents pairs
     assert len(exact) >= 150  # the planted copies really are near-dups
     assert len(approx & set(exact)) / len(exact) >= 0.95
+
+
+def test_connected_components_chain(spark):
+    """a~b, b~c, d~e: transitivity must merge {1,2,3} without a
+    direct 1-3 edge."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node_id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(40))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expect = {n: find(n) for n in nodes}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node_id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == expect
+
+
+def test_dup_clusters_singletons(spark):
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(5)],
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"]
+           for r in dedup.dup_clusters(df, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4}
