@@ -1354,6 +1354,44 @@ def q_cosine_topk_lsh(spark, sf_dir):
 
 
 @_q(
+    "cosine_topk_ivf",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine
+           FROM q JOIN c ON q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM s)
+    WHERE rn <= 5
+    """,
+)
+def q_cosine_topk_ivf(spark, sf_dir):
+    # exhaustive probing (n_probe = n_centroids) makes IVF exact BY
+    # CONSTRUCTION, so the full pipeline — k-means training, list
+    # assignment matmul, probe join, rescoring — is oracle-checked
+    # against the brute-force SQL; recall at partial probing is
+    # covered by tests/test_vector.py
+    e = _t(spark, sf_dir, "embeddings")
+    return vector.cosine_topk_ivf(
+        e, e.filter(F.col("vec_id") < 20), k=5, n_centroids=16, n_probe=16
+    )
+
+
+@_q("cosine_topk_ivf_probed")
+def q_cosine_topk_ivf_probed(spark, sf_dir):
+    # the actual ANN operating point (probe half the lists) — rows-only
+    e = _t(spark, sf_dir, "embeddings")
+    return vector.cosine_topk_ivf(
+        e, e.filter(F.col("vec_id") < 20), k=5, n_centroids=16, n_probe=8
+    )
+
+
+@_q(
     "cosine_topk_lsh_planted",
     """
     SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,

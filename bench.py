@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "embedding_dup_pairs_lsh",
     "cosine_topk",
     "cosine_topk_lsh",
+    "cosine_topk_ivf_probed",
 ]
 
 

@@ -335,3 +335,128 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    train_sample: int = 20000,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning — the
+    second ANN scale path next to cosine_topk_lsh.
+
+    1. TRAIN (driver): spherical k-means on ≤ ``train_sample``
+       corpus vectors (seeded sample → deterministic) — a few numpy
+       Lloyd rounds on unit vectors; tiny next to the corpus scan.
+    2. ASSIGN (one map-only pass): every corpus vector gets its
+       nearest-centroid list id via one Arrow-batched matmul against
+       the broadcast centroid matrix — the corpus never shuffles.
+    3. PROBE: each query scores the centroids driver-side and keeps
+       the top ``n_probe`` lists; candidates = corpus rows whose list
+       is probed (an equi join on list id — at 100 TB this is the
+       fraction n_probe/n_centroids of the corpus, not all of it).
+    4. RESCORE exactly (unrolled dot on the pruned candidates) and
+       window-rank per query.
+
+    Recall rises with n_probe (n_probe = n_centroids ⇒ exhaustive =
+    exact); clustered real-world embeddings need far fewer probes
+    than uniform-random test data.  Ties after the 6dp round break by
+    neighbor id — same contract as cosine_topk.
+    """
+    import numpy as np
+
+    qid = query_id_col or id_col
+    dim = dim or _infer_dim(corpus, vec_col)
+
+    # -- 1. train centroids on a seeded sample (driver numpy) ---------
+    n_total = corpus.count()
+    frac = min(1.0, train_sample / max(n_total, 1))
+    sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    mat = np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    if mat.shape[1] != dim:
+        raise ValueError(f"sample dim {mat.shape[1]} != {dim}")
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat[norms > 0] / norms[norms > 0, None]
+    n_c = min(n_centroids, len(mat))
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=n_c, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(n_c):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+
+    # -- 2. assign corpus rows to lists (map-only, Arrow matmul) ------
+    import pandas as pd
+
+    def assign_lists(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["__cv"].to_numpy()).astype(np.float64)
+            if m.shape[1] != dim:
+                raise ValueError(f"corpus dim {m.shape[1]} != {dim}")
+            cn = np.linalg.norm(m, axis=1)
+            ok = cn > 0
+            lists = np.full(len(pdf), -1, dtype=np.int64)
+            if ok.any():
+                lists[ok] = ((m[ok] / cn[ok, None]) @ cent.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "__cv": pdf["__cv"],
+                    "__list": lists,
+                }
+            )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    assigned = c.mapInPandas(
+        assign_lists,
+        schema=f"neighbor_id long, __cv array<{c.schema['__cv'].dataType.elementType.simpleString()}>, __list long",
+    ).filter(F.col("__list") >= 0)
+
+    # -- 3. probe lists per query (queries are small by contract) -----
+    qrows = queries.select(qid, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        nq = np.linalg.norm(qv)
+        if nq == 0:
+            continue
+        top = np.argsort(-((qv / nq) @ cent.T))[: min(n_probe, n_c)]
+        probe_rows.extend((int(r[0]), list(map(float, qv)), int(c_)) for c_ in top)
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id long, __qv array<double>, __list long"
+    )
+
+    # -- 4. candidate join on list id + exact rescore -----------------
+    joined = assigned.join(F.broadcast(probes), "__list")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("__qv"), F.col("__cv"), dim) / (
+        _norm_col(F.col("__qv"), dim) * _norm_col(F.col("__cv"), dim)
+    )
+    sim = joined.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

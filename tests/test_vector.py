@@ -70,3 +70,28 @@ def test_lsh_non64_dim(spark):
     )
     out = vector.cosine_topk_lsh(df, df.filter("vec_id < 2"), k=3, bits=4)
     assert out.count() == 6  # plumbing works at dim != 64
+
+
+def test_ivf_recall_vs_exact(emb):
+    """IVF with wide probing on uniform-random data: probing half the
+    lists must recover well over half the exact top-k (exhaustive
+    probing would be exact by construction)."""
+    k = 10
+    exact = vector.cosine_topk(emb, emb.filter("vec_id < 25"), k=k)
+    ivf = vector.cosine_topk_ivf(
+        emb, emb.filter("vec_id < 25"), k=k, n_centroids=16, n_probe=8
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    assert len(a & e) / len(e) >= 0.6
+
+
+def test_ivf_exhaustive_probe_is_exact(emb):
+    k = 5
+    exact = vector.cosine_topk(emb, emb.filter("vec_id < 10"), k=k)
+    ivf = vector.cosine_topk_ivf(
+        emb, emb.filter("vec_id < 10"), k=k, n_centroids=8, n_probe=8
+    )
+    e = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf.collect()}
+    assert a == e
