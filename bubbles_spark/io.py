@@ -141,6 +141,44 @@ class ParquetStore(FileStore):
     format = "parquet"
     extension = ".parquet"
 
+    def create_bucketed(
+        self,
+        name: str,
+        from_obj: DataFrame,
+        bucket_by: str | Sequence[str],
+        num_buckets: int = 32,
+        sort_by: str | Sequence[str] | None = None,
+        replace: bool = False,
+    ) -> None:
+        """Write a BUCKETED parquet table (external, files under this
+        store's path; metadata in the session catalog).  Two tables
+        bucketed on the same key with the same bucket count join with
+        NO shuffle on either side — the pre-partitioning strategy for
+        repeated big-fact joins at 100 TB, where one Exchange of the
+        fact table costs more than the entire rest of the query.
+        Bucketing requires the catalog (saveAsTable); plain .save()
+        cannot record bucket metadata."""
+        spark = from_obj.sparkSession
+        keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        if replace:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        writer = (
+            from_obj.write.format("parquet")
+            .option("path", self._file(name))
+            .bucketBy(num_buckets, *keys)
+        )
+        if sort_by:
+            sk = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            writer = writer.sortBy(*sk)
+        writer.mode("overwrite" if replace else "errorifexists").saveAsTable(name)
+
+    def get_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed table back THROUGH THE CATALOG — reading
+        the files directly would drop the bucket metadata and
+        reintroduce the shuffle."""
+        spark = SparkSession.getActiveSession()
+        return spark.table(name)
+
 
 class CSVStore(FileStore):
     """CSV store (S1/S2).  Reference options map: read_header →

@@ -255,6 +255,21 @@ def sample(
     raise ValueError(f"unknown sample mode: {mode!r}")
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[Any, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``df.sampleBy``) — the
+    source-rebalancing primitive for training-data pipelines (e.g.
+    downsample an over-represented crawl domain to a target mix).
+    Map-only: each row flips a seeded coin for its stratum; no
+    shuffle, no count pass.  Strata absent from ``fractions`` are
+    DROPPED (sampleBy semantics) — pass 1.0 to keep one unchanged."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
 def _with_global_row_number(
     df: DataFrame, order_by: Sequence[tuple[str, str] | str]
 ) -> DataFrame:

@@ -283,3 +283,16 @@ def test_salted_join_matches_plain(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         core.salted_join(left, right, "k", how="full")
+
+
+def test_stratified_sample(spark):
+    df = spark.range(0, 2000).withColumn(
+        "src", F.when(F.col("id") % 4 == 0, "rare").otherwise("common")
+    )
+    out = core.stratified_sample(df, "src", {"rare": 1.0, "common": 0.1}, seed=3)
+    counts = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert counts["rare"] == 500            # fraction 1.0 keeps all
+    assert 50 <= counts["common"] <= 350    # Bernoulli around 150
+    # absent stratum is dropped
+    out2 = core.stratified_sample(df, "src", {"rare": 1.0}, seed=3)
+    assert out2.filter(F.col("src") == "common").count() == 0

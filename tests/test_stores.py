@@ -127,3 +127,32 @@ def test_datapackage_store(spark, tmp_path):
 
     with pytest.raises(NotImplementedError):
         store.create("x", from_obj=df)
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    no Exchange on either side — the co-located-join contract."""
+    from pyspark.sql import functions as F
+
+    from bubbles_spark import io as bio
+
+    store = bio.open_store("parquet", path=str(tmp_path), spark=spark)
+    a = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") * 3)
+    store.create_bucketed("bt_a", a, "id", num_buckets=8, replace=True)
+    store.create_bucketed("bt_b", b, "id", num_buckets=8, replace=True)
+    ta, tb = store.get_bucketed("bt_a"), store.get_bucketed("bt_b")
+    # tiny tables would broadcast (bucketing "disabled by query
+    # planner"); force the sort-merge regime bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.join(tb, "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
