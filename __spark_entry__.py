@@ -1250,6 +1250,19 @@ def q_minhash_planted(spark, sf_dir):
 
 
 @_q(
+    "minhash_dedup_planted",
+    "SELECT doc_id FROM documents WHERE FALSE",
+)
+def q_minhash_dedup_planted(spark, sf_dir):
+    # dedup RECALL as an oracle: every planted copy matches its
+    # lower-id original, so NO doc_id >= 1e6 may survive minhash_dedup
+    # — the oracle is the empty set, and any survivor is a recall
+    # failure the row-count catches
+    out = dedup.minhash_dedup(_planted_docs(spark, sf_dir), threshold=0.99)
+    return out.filter(F.col("doc_id") >= 1000000).select("doc_id")
+
+
+@_q(
     "dup_clusters_planted",
     """
     SELECT doc_id AS node_id, doc_id AS component
@@ -1441,6 +1454,70 @@ def q_sql_q5(spark, sf_dir):
     for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q5_SQL)
+
+
+# --- end-to-end training-data prep pipeline ---------------------------
+@_q(
+    "docs_prep_pipeline",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text, source,
+             {_NTOK_SQL} AS n_tok,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN (length({_NORM_SQL}) - ({_NTOK_SQL} - 1)) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS mean_tok,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_filter({_TOKS_SQL}, t -> t IN ({_STOP_IN})))
+                       * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_distinct({_TOKS_SQL})) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS dist_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, source, n_tok,
+             CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END
+             + CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.25 ELSE 0 END
+             + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0 END
+             + CASE WHEN dist_ratio >= 0.1 THEN 0.25 ELSE 0 END AS quality
+      FROM f
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.75),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM dedup GROUP BY source
+    """,
+)
+def q_docs_prep(spark, sf_dir):
+    # the composed LLM-data flow every piece above exists for:
+    # quality-score -> threshold filter -> exact dedup (min-id winner)
+    # -> per-source corpus stats.  One map stage for scoring, one
+    # (hash,id) shuffle for dedup, one partial-agg shuffle for stats —
+    # the whole prep pass costs ~3 shuffles of metadata-sized rows at
+    # any corpus size.  Every stage is the SAME operator the
+    # individual queries verify; the oracle re-derives the pipeline
+    # end-to-end in SQL.
+    d = _t(spark, sf_dir, "documents")
+    scored = textan.quality_score(d)
+    kept = scored.filter(F.col("quality") >= 0.75)
+    deduped = dedup.exact_dedup(kept)
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
 
 
 # --- §2.12 grouped applyInPandas (UDAF surface) ------------------------

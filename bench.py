@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "tumbling_window",
     "sessionize",
     "exact_dedup",
+    "docs_prep_pipeline",
     "minhash_dedup_pairs",
     "simhash_dedup_pairs",
     "ngram_jaccard_unigram",
