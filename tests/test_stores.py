@@ -156,3 +156,22 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """partition_by writes hive-style directories; a filter on the
+    partition column must become a PartitionFilter (pruned listing),
+    not a data filter over every file."""
+    from pyspark.sql import functions as F
+
+    from bubbles_spark import io as bio
+
+    store = bio.open_store("parquet", path=str(tmp_path), spark=spark)
+    df = spark.range(0, 300).withColumn(
+        "bucket", F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b").otherwise("c")
+    )
+    store.create("parts", from_obj=df, replace=True, partition_by=["bucket"])
+    back = store.get_object("parts").filter(F.col("bucket") == "a")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == 100
