@@ -1655,6 +1655,100 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# --- §2.13 Structured Streaming (availableNow → memory sink) ----------
+# Deterministic streaming correctness: drive the SAME streaming plans
+# used for the live path over the finite testdata input and oracle the
+# result against batch SQL.  The testdata events table is a single
+# parquet file ⇒ exactly one microbatch, which pins the watermark /
+# state semantics (documented per query below).
+
+_STREAM_SEQ = [0]
+
+
+def _stream_name(base: str) -> str:
+    # memory-sink table names must be unique within a SparkSession
+    _STREAM_SEQ[0] += 1
+    return f"{base}_{_STREAM_SEQ[0]}"
+
+
+@_q(
+    "stream_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    # complete output mode ⇒ every window emits regardless of the
+    # watermark ⇒ identical to the batch tumbling aggregation
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    agg = sevents.windowed_agg_stream(stream, "ts", "1 hour", keys=(), watermark="2 hours")
+    out = sevents.run_batchlike(
+        agg, _stream_name("s_tumbling"), output_mode="complete"
+    )
+    return out.withColumn("value_sum", F.round("value_sum", 2))
+
+
+@_q(
+    "stream_dedup_keys",
+    "SELECT DISTINCT event_type, user_id FROM events",
+)
+def q_stream_dedup(spark, sf_dir):
+    # dropDuplicatesWithinWatermark keeps the FIRST arrival per key —
+    # projecting to the key columns makes the result order-independent
+    # (any surviving row has the same key values)
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    clean = sevents.dedup_stream(stream, keys=("event_type", "user_id"))
+    return sevents.run_batchlike(
+        clean.select("event_type", "user_id"), _stream_name("s_dedup")
+    )
+
+
+@_q(
+    "stream_sessionize",
+    """
+    WITH b AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_sessionize(spark, sf_dir):
+    # Stateful applyInPandasWithState sessionize over ONE microbatch:
+    # sessions closed by a >30min in-batch gap emit during the batch;
+    # each user's final open session flushes in the trailing no-data
+    # batch (its event-time timeout — set from the batch-start
+    # watermark — is far below the post-batch watermark).  Net:
+    # EVERY session emits exactly once, so the oracle is the full
+    # batch gap-and-island sessionization.  Deterministic because the
+    # input is one file ⇒ one data microbatch.
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    sess = sevents.sessionize_stream(stream, gap_minutes=30.0, watermark="2 hours")
+    out = sevents.run_batchlike(sess, _stream_name("s_sess"))
+    return out.withColumn("value_sum", F.round("value_sum", 2))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

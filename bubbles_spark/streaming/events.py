@@ -36,13 +36,52 @@ def read_event_stream(
     path: str,
     schema: T.StructType = EVENTS_SCHEMA,
     max_files_per_trigger: int | None = None,
+    glob_filter: str | None = None,
 ) -> DataFrame:
     """File-source stream over a parquet directory (swap for kafka in
-    production — the downstream plan is identical)."""
+    production — the downstream plan is identical).
+
+    ``glob_filter`` selects files inside the directory (the file
+    source requires a directory basePath, so a single-file layout like
+    ``sf_dir/events.parquet`` streams as ``(sf_dir,
+    glob_filter='events.parquet')``)."""
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
     return reader.load(path)
+
+
+def read_testdata_event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Stream the driver-generated events table (TESTDATA.md layout:
+    ``sf_dir/events.parquet`` single file, TIMESTAMP(NANOS) ts).
+
+    Mirrors io.load_table's ns handling: legacy nanosAsLong conf +
+    declare ts as long in the stream schema, then truncate to a µs
+    timestamp — same value DuckDB sees, so streaming results stay
+    oracle-comparable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = read_event_stream(
+        spark,
+        sf_dir,
+        schema=schema,
+        max_files_per_trigger=max_files_per_trigger,
+        glob_filter="events.parquet",
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_agg_stream(

@@ -128,3 +128,24 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got[(10, 65)] == (1, 3.0)
     assert got[(20, 70)] == (1, 4.0)
     assert got[(20, 130)] == (1, 5.0)
+
+
+def test_read_testdata_event_stream(spark):
+    """Streaming read of the driver testdata (single-file layout,
+    TIMESTAMP(NANOS) ts) matches the batch loader's row count and
+    µs-truncated timestamps."""
+    import os
+
+    from bubbles_spark.io import load_table
+    from bubbles_spark.streaming import events as sevents
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    assert stream.isStreaming
+    out = sevents.run_batchlike(stream, "t_testdata_stream")
+    batch = load_table(spark, sf_dir, "events")
+    assert out.count() == batch.count()
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    s_min = out.agg(F.min("ts"), F.max("ts")).collect()[0]
+    b_min = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert tuple(s_min) == tuple(b_min)
