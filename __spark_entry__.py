@@ -1655,6 +1655,184 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# --- §2.2/§2.6/§2.7/§2.8 reshape / range / rollup / SCD2 extensions ---
+@_q(
+    "unpivot_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    from bubbles_spark.ops import reshape
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    )
+    return reshape.unpivot(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@_q(
+    "range_join_price_tiers",
+    """
+    SELECT o_orderkey, tier
+    FROM orders
+    JOIN (VALUES ('budget', 0.0, 50000.0),
+                 ('mid', 50000.0, 150000.0),
+                 ('premium', 150000.0, 300000.0),
+                 ('luxury', 300000.0, 600000.0)) AS b(tier, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    """,
+)
+def q_range_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50000.0),
+            ("mid", 50000.0, 150000.0),
+            ("premium", 150000.0, 300000.0),
+            ("luxury", 300000.0, 600000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    return core.range_join(o, tiers, "o_totalprice", "lo", "hi").select(
+        "o_orderkey", "tier"
+    )
+
+
+@_q(
+    "time_bucket_rollup",
+    """
+    SELECT '1 hour' AS grain,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           ROUND(SUM(value), 2) AS value_sum,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT '1 day',
+           time_bucket(INTERVAL '1 day', ts),
+           ROUND(SUM(value), 2),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events GROUP BY 2
+    """,
+)
+def q_time_bucket_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = events.time_bucket_rollup(
+        e, "ts", ["1 hour", "1 day"], measures=[("value", "sum")]
+    )
+    return out.withColumn("value_sum", F.round("value_sum", 2))
+
+
+@_q(
+    "histogram_totalprice",
+    """
+    WITH h AS (
+      SELECT CASE WHEN o_totalprice < 0 THEN -1
+                  WHEN o_totalprice >= 600000 THEN 20
+                  ELSE CAST(FLOOR((o_totalprice - 0) / 30000.0) AS BIGINT) END AS bin
+      FROM orders
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM h GROUP BY bin
+    """,
+)
+def q_histogram(spark, sf_dir):
+    from bubbles_spark.ops import reshape
+
+    o = _t(spark, sf_dir, "orders")
+    binned = reshape.histogram(o, "o_totalprice", 0.0, 600000.0, 20)
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("record_count"))
+
+
+@_q(
+    "zscore_by_segment",
+    """
+    SELECT c_custkey,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER w)
+                 / STDDEV_SAMP(c_acctbal) OVER w, 6) AS c_acctbal_z
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+)
+def q_zscore(spark, sf_dir):
+    from bubbles_spark.ops import reshape
+
+    c = _t(spark, sf_dir, "customer")
+    out = reshape.zscore_normalize(c, "c_acctbal", by="c_mktsegment")
+    return out.select(
+        "c_custkey", F.round("c_acctbal_z", 6).alias("c_acctbal_z")
+    )
+
+
+@_q(
+    "scd2_merge",
+    """
+    -- dim = all customers current since 2020-01-01; snapshot =
+    --   %10 in 1..8 unchanged, %10 == 0 acctbal+100 (changed),
+    --   %10 == 9 absent (gone), plus brand-new keys custkey+1000000
+    -- expected merged dimension:
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS segment,
+           DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+           TRUE AS is_current
+    FROM customer WHERE c_custkey % 10 BETWEEN 1 AND 8
+    UNION ALL   -- closed-out versions (changed or vanished)
+    SELECT c_custkey, ROUND(c_acctbal, 2), c_mktsegment,
+           DATE '2020-01-01', DATE '2021-01-01', FALSE
+    FROM customer WHERE c_custkey % 10 IN (0, 9)
+    UNION ALL   -- new version of changed keys
+    SELECT c_custkey, ROUND(c_acctbal + 100, 2), c_mktsegment,
+           DATE '2021-01-01', NULL, TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL   -- brand-new keys
+    SELECT c_custkey + 1000000, 0.0, 'NEW',
+           DATE '2021-01-01', NULL, TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def q_scd2_merge(spark, sf_dir):
+    import datetime as _dt
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim = (
+        c.withColumn("valid_from", F.lit(_dt.date(2020, 1, 1)))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    mod10 = F.col("c_custkey") % 10
+    unchanged = c.filter(mod10.between(1, 8))
+    changed = c.filter(mod10 == 0).withColumn(
+        "acctbal", F.round(F.col("acctbal") + 100, 2)
+    )
+    brand_new = (
+        c.filter(mod10 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("acctbal", F.lit(0.0))
+        .withColumn("segment", F.lit("NEW"))
+    )
+    snapshot = unchanged.unionByName(changed).unionByName(brand_new)
+    return core.scd2_merge(
+        dim, snapshot, "c_custkey", ["acctbal", "segment"], _dt.date(2021, 1, 1)
+    )
+
+
 # --- §2.13 Structured Streaming (availableNow → memory sink) ----------
 # Deterministic streaming correctness: drive the SAME streaming plans
 # used for the live path over the finite testdata input and oracle the

@@ -23,11 +23,14 @@ from bubbles_spark.ops.core import (
     filter_by_value,
     filter_not_empty,
     join_details,
+    range_join,
     rename_fields,
     sample,
+    scd2_merge,
     sort,
     top_k,
 )
+from bubbles_spark.ops.reshape import histogram, unpivot, zscore_normalize
 from bubbles_spark.ops.text import (
     empty_to_missing,
     split_date,
@@ -59,12 +62,17 @@ __all__ = [
     "filter_by_set",
     "filter_by_value",
     "filter_not_empty",
+    "histogram",
     "infer_types",
     "join_details",
     "multimodal",
+    "range_join",
     "rename_fields",
     "sample",
+    "scd2_merge",
     "sort",
+    "unpivot",
+    "zscore_normalize",
     "split_date",
     "string_strip",
     "text_substitute",

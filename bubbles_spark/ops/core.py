@@ -723,6 +723,130 @@ def join_details_multi(
     return out
 
 
+def range_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    closed: str = "left",
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Interval containment join: each fact row matches dim rows whose
+    [lo, hi) interval contains ``value_col`` (engine extension — the
+    banding/bucketing join behind rate tables, SLA tiers, histogram
+    dims; absent in the reference, SURVEY.md §2.7).
+
+    ``closed``: 'left' = [lo, hi), 'right' = (lo, hi], 'both' =
+    [lo, hi].
+
+    Physical shape: a theta join.  With ``broadcast_dims`` (the
+    default, and the only sane option for a band table) Spark plans a
+    BroadcastNestedLoopJoin — each task scans its facts once against
+    the in-memory band list, no shuffle of the fact side at all, which
+    is exactly right at 100 TB when |dims| is O(100) bands.  For a
+    LARGE dim side, pre-bucket both sides on a shared grid and
+    equi-join the bucket key instead (see histogram()) — a raw
+    non-broadcast theta join degenerates to a cartesian stream and is
+    refused by default.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports inner/left joins only")
+    v = facts[value_col]
+    conds = {
+        "left": (v >= dims[lo_col]) & (v < dims[hi_col]),
+        "right": (v > dims[lo_col]) & (v <= dims[hi_col]),
+        "both": (v >= dims[lo_col]) & (v <= dims[hi_col]),
+    }
+    try:
+        cond = conds[closed]
+    except KeyError:
+        raise ValueError("closed must be 'left', 'right' or 'both'")
+    d = F.broadcast(dims) if broadcast_dims else dims
+    return facts.join(d, cond, how)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: str | Sequence[str],
+    tracked: Sequence[str],
+    load_ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (engine extension — the
+    dimension-loading workflow the reference's added/changed_rows CDC
+    ops feed, SURVEY.md §2.8; here completed into one operator).
+
+    Inputs: ``dim`` — the versioned dimension (business ``keys`` +
+    ``tracked`` attributes + ``valid_from``/``valid_to``/
+    ``current_flag``); ``updates`` — today's snapshot (keys +
+    tracked).  Output: the new dimension content =
+
+    * history rows (not current) — unchanged,
+    * current rows with no change — unchanged,
+    * current rows whose tracked attrs differ (NULL-safe) or whose key
+      vanished from the snapshot — closed out (valid_to = load_ts,
+      is_current = false),
+    * changed + brand-new keys — inserted as the new current version
+      (valid_from = load_ts, open-ended valid_to).
+
+    Plan shape: ONE left-outer equi-join of current rows against the
+    (deduplicated) snapshot computes the change classification, plus
+    one anti-join for inserts — both shuffle on the business key (or
+    broadcast when the snapshot is small; AQE decides).  Unions are
+    shuffle-free.  No window functions, no driver loop — at 100 TB
+    the dimension rewrite is bounded by two key-partitioned joins.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    ts = F.lit(load_ts) if not isinstance(load_ts, Column) else load_ts
+    open_end = F.lit(None).cast(dim.schema[valid_to].dataType)
+
+    # dropDuplicates (not distinct(), which projects to the keys —
+    # bubbles semantics): one snapshot row per business key, full row
+    up = updates.select(*key_list, *tracked).dropDuplicates(key_list)
+    up_t = up.select(
+        *key_list, *[F.col(f).alias(f"__u_{f}") for f in tracked],
+        F.lit(True).alias("__in_snap"),
+    )
+
+    history = dim.filter(~F.col(current_flag))
+    current = dim.filter(F.col(current_flag))
+
+    j = current.join(up_t, on=key_list, how="left")
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(f).eqNullSafe(F.col(f"__u_{f}")) for f in tracked],
+    )
+    gone = F.col("__in_snap").isNull()
+    close = changed | gone
+
+    kept_current = j.filter(~close).select(*dim.columns)
+    closed_out = (
+        j.filter(close)
+        .select(*dim.columns)
+        .withColumn(valid_to, ts.cast(dim.schema[valid_to].dataType))
+        .withColumn(current_flag, F.lit(False))
+    )
+
+    # new version rows: changed keys (from the join) + brand-new keys
+    changed_new = j.filter(changed & ~gone).select(
+        *key_list, *[F.col(f"__u_{f}").alias(f) for f in tracked]
+    )
+    brand_new = up.join(current.select(*key_list), on=key_list, how="left_anti")
+    inserts = (
+        changed_new.unionByName(brand_new)
+        .withColumn(valid_from, ts.cast(dim.schema[valid_from].dataType))
+        .withColumn(valid_to, open_end)
+        .withColumn(current_flag, F.lit(True))
+        .select(*dim.columns)
+    )
+    return history.unionByName(kept_current).unionByName(closed_out).unionByName(inserts)
+
+
 def append(dfs: Sequence[DataFrame]) -> DataFrame:
     """Concatenate N objects with identical field lists — UNION ALL
     (bubbles/ops/rows.py::append, itertools.chain in the reference).

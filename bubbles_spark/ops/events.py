@@ -115,6 +115,72 @@ def sessionize(
     ).drop("__new")
 
 
+def time_bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    granularities: Sequence[str],
+    keys: Sequence[str] = (),
+    measures: Sequence[tuple[str, str]] = (),
+) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable continuous-
+    aggregate pattern): ONE result holding the same measures bucketed
+    at each granularity, tagged by a ``grain`` column.
+
+    Scale shape: the raw input is aggregated ONCE at the finest
+    granularity; every coarser grain re-aggregates the (tiny) fine
+    result, not the raw data — the rollup pyramid.  At 100 TB that is
+    one full shuffle + k-1 metadata-sized shuffles instead of k full
+    passes.  Requires pyramid-compatible measures: sum/min/max/count
+    re-aggregate exactly (avg would need sum+count carried — refused).
+
+    ``granularities`` must be coarsening multiples, finest first
+    (e.g. ["1 hour", "1 day"]).  Output: grain, window_start, *keys,
+    ``{field}_{func}``, record_count.
+    """
+    allowed = {"sum", "min", "max", "count"}
+    bad = [f for _, f in measures if f.lower() not in allowed]
+    if bad:
+        raise ValueError(
+            f"time_bucket_rollup needs pyramid-safe measures (sum/min/max/count), got {bad}"
+        )
+    finest, *coarser = list(granularities)
+
+    fine = (
+        df.groupBy(F.window(ts_col, finest).alias("__w"), *keys)
+        .agg(*_window_aggs(measures, include_count=True))
+        .select(
+            F.lit(finest).alias("grain"),
+            F.col("__w.start").alias("window_start"),
+            *keys,
+            *[f"{f}_{fn.lower()}" for f, fn in measures],
+            "record_count",
+        )
+    )
+
+    out = fine
+    level = fine
+    for g in coarser:
+        reaggs = []
+        for f, fn in measures:
+            name = f"{f}_{fn.lower()}"
+            refn = _AGG_FUNCS["sum" if fn.lower() == "count" else fn.lower()]
+            reaggs.append(refn(name).alias(name))
+        reaggs.append(F.sum("record_count").alias("record_count"))
+        level = (
+            level.groupBy(F.window("window_start", g).alias("__w"), *keys)
+            .agg(*reaggs)
+            .select(
+                F.lit(g).alias("grain"),
+                F.col("__w.start").alias("window_start"),
+                *keys,
+                *[f"{f}_{fn.lower()}" for f, fn in measures],
+                "record_count",
+            )
+        )
+        out = out.unionByName(level)
+    return out
+
+
 def parse_props(
     df: DataFrame, props_col: str = "props", schema: str = "k INT"
 ) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Reshaping / statistical normalization operators (engine
+extensions — the reference's field-operation catalog stops at
+projection/rename, SURVEY.md §2.2; these cover the melt/bin/scale
+trio every analytics pipeline reinvents).
+
+All pure Column expressions — codegen'd, shuffle-free except where a
+grouped aggregate is semantically required.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unpivot(
+    df: DataFrame,
+    ids: str | Sequence[str],
+    values: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long (melt): one output row per (id row, value column).
+
+    Uses the native ``DataFrame.unpivot`` (Expand physical node) — a
+    map-side row generator, no shuffle, no UDF; at 100 TB output is
+    |values|× the input rows but each scan row is visited once.
+    Value columns must share a least-common type (Spark enforces);
+    cast beforehand when mixing decimals/doubles.
+    """
+    id_list = [ids] if isinstance(ids, str) else list(ids)
+    return df.unpivot(id_list, list(values), var_name, value_name)
+
+
+def histogram(
+    df: DataFrame,
+    field: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    out: str = "bin",
+    closed_upper: bool = True,
+) -> DataFrame:
+    """Fixed-width binning: adds an integer bin index in [0, bins) for
+    ``field`` values in [lo, hi); values outside land in -1 / ``bins``
+    (width_bucket convention shifted to 0-base).  With
+    ``closed_upper`` the exact upper bound folds into the last bin
+    (histogram convention).
+
+    A single arithmetic expression — codegen'd, no shuffle; the usual
+    follow-up ``groupBy(bin).count()`` partial-aggregates map-side to
+    at most ``bins`` rows per task, so the shuffle is metadata-sized
+    even at 100 TB.
+    """
+    if bins <= 0 or not hi > lo:
+        raise ValueError("need bins > 0 and hi > lo")
+    width = (hi - lo) / bins
+    x = F.col(field).cast("double")
+    idx = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("long")
+    idx = F.when(x < lo, F.lit(-1)).when(x >= hi, F.lit(bins)).otherwise(idx)
+    if closed_upper:
+        idx = F.when(x == hi, F.lit(bins - 1)).otherwise(idx)
+    return df.withColumn(out, idx.cast("long"))
+
+
+def zscore_normalize(
+    df: DataFrame,
+    fields: str | Sequence[str],
+    by: str | Sequence[str] | None = None,
+    suffix: str = "_z",
+    ddof: int = 1,
+) -> DataFrame:
+    """Standard-score normalization: (x - mean) / stddev per field,
+    optionally within ``by`` groups (the feature-scaling primitive).
+
+    Global case: one tiny aggregate row cross-joined back (Spark plans
+    a broadcast nested loop of a 1-row side — effectively free) — NOT
+    a Window over an unpartitioned frame, which would serialize the
+    whole input through one task.  Grouped case: groupBy + broadcast
+    the per-group stats back onto the input — two scans but both
+    shuffle only the small stats side; AQE broadcasts it.
+
+    Zero-variance fields yield NULL z-scores (SQL division semantics:
+    x/0.0 on doubles is NULL under try_divide; we guard explicitly so
+    ANSI mode doesn't raise).
+    """
+    field_list = [fields] if isinstance(fields, str) else list(fields)
+    by_list = [] if by is None else [by] if isinstance(by, str) else list(by)
+    std_fn = F.stddev_samp if ddof == 1 else F.stddev_pop
+
+    stats = [
+        c
+        for f in field_list
+        for c in (F.avg(f).alias(f"__mu_{f}"), std_fn(f).alias(f"__sd_{f}"))
+    ]
+    if by_list:
+        agg = df.groupBy(*by_list).agg(*stats)
+        joined = df.join(F.broadcast(agg), by_list, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*stats)))
+    for f in field_list:
+        sd = F.col(f"__sd_{f}")
+        joined = joined.withColumn(
+            f"{f}{suffix}",
+            F.when(sd > 0, (F.col(f) - F.col(f"__mu_{f}")) / sd),
+        )
+    drop = [c for f in field_list for c in (f"__mu_{f}", f"__sd_{f}")]
+    return joined.drop(*drop)
