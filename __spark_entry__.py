@@ -1833,6 +1833,146 @@ def q_scd2_merge(spark, sf_dir):
     )
 
 
+# --- §2.14 text cleaning / redaction ----------------------------------
+# The documents table is synthetic word soup with no PII/URLs, so
+# these queries STAMP deterministic patterns derived from doc_id into
+# the text first (same oracle pattern as decode_image_netpbm) — the
+# oracle then predicts the full masked/extracted output exactly.
+
+_PII_SYNTH_SPARK = (
+    "concat('u', doc_id, '@ex.com call 555-123-', "
+    "lpad(cast(doc_id % 10000 as string), 4, '0'), "
+    "' ssn 123-45-6789 ip 10.0.0.', doc_id % 256, ' ', substr(text, 1, 60))"
+)
+_PII_SYNTH_DUCK = (
+    "'u' || doc_id || '@ex.com call 555-123-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' ssn 123-45-6789 ip 10.0.0.' || (doc_id % 256) || ' ' || text[1:60]"
+)
+
+
+@_q(
+    "pii_mask",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             {_PII_SYNTH_DUCK},
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\d{{3}}-\\d{{2}}-\\d{{4}}', '<SSN>', 'g'),
+             '\\+?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}', '<PHONE>', 'g'),
+             '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '<IP>', 'g')
+           AS masked
+    FROM documents
+    """,
+)
+def q_pii_mask(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents").withColumn("__t", F.expr(_PII_SYNTH_SPARK))
+    return textprep.pii_mask(d, "__t", out="masked").select("doc_id", "masked")
+
+
+_URL_SYNTH_SPARK = (
+    "concat('see http://site', doc_id % 50, '.com/p/', doc_id, "
+    "' and https://common.org/x page')"
+)
+
+
+@_q(
+    "extract_urls",
+    """
+    SELECT doc_id,
+           'http://site' || (doc_id % 50) || '.com/p/' || doc_id AS url,
+           'site' || (doc_id % 50) || '.com' AS domain
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'https://common.org/x', 'common.org' FROM documents
+    """,
+)
+def q_extract_urls(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents").withColumn("text", F.expr(_URL_SYNTH_SPARK))
+    return textprep.extract_urls(d)
+
+
+@_q(
+    "url_dedup",
+    """
+    SELECT 'http://site' || (doc_id % 50) || '.com/p/' || doc_id AS url,
+           doc_id,
+           'site' || (doc_id % 50) || '.com' AS domain
+    FROM documents
+    UNION ALL
+    SELECT 'https://common.org/x', MIN(doc_id), 'common.org' FROM documents
+    """,
+)
+def q_url_dedup(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents").withColumn("text", F.expr(_URL_SYNTH_SPARK))
+    return textprep.url_dedup(textprep.extract_urls(d))
+
+
+@_q(
+    "repetition_ratio",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(grams) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                ELSE 0.0 END AS repetition_ratio
+    FROM g
+    """,
+)
+def q_repetition_ratio(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.repetition_ratio(d, "text", n=2).select(
+        "doc_id", "repetition_ratio"
+    )
+
+
+@_q(
+    "paragraph_dedup",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id = (SELECT MIN(doc_id) FROM documents)
+                THEN 'A' || doc_id || ':' || text[1:40]
+                     || chr(10) || chr(10) || 'COMMON BOILERPLATE'
+                     || chr(10) || chr(10) || 'B' || doc_id || ':' || text[41:80]
+                ELSE 'A' || doc_id || ':' || text[1:40]
+                     || chr(10) || chr(10) || 'B' || doc_id || ':' || text[41:80]
+           END AS text
+    FROM documents
+    """,
+)
+def q_paragraph_dedup(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr(
+            "concat('A', doc_id, ':', substr(text, 1, 40), '\\n\\n', "
+            "'COMMON BOILERPLATE', '\\n\\n', "
+            "'B', doc_id, ':', substr(text, 41, 40))"
+        ),
+    )
+    return textprep.paragraph_dedup(d)
+
+
 # --- §2.13 Structured Streaming (availableNow → memory sink) ----------
 # Deterministic streaming correctness: drive the SAME streaming plans
 # used for the live path over the finite testdata input and oracle the

@@ -40,7 +40,7 @@ from bubbles_spark.ops.text import (
     transliterate,
 )
 from bubbles_spark.ops.audit import basic_audit, infer_types
-from bubbles_spark.ops import dedup, events, textan, vector, multimodal
+from bubbles_spark.ops import dedup, events, textan, textprep, vector, multimodal
 
 __all__ = [
     "added_keys",
@@ -77,6 +77,7 @@ __all__ = [
     "string_strip",
     "text_substitute",
     "textan",
+    "textprep",
     "threshold",
     "top_k",
     "transliterate",

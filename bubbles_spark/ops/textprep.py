@@ -1,0 +1,170 @@
+"""Text cleaning / redaction operators for LLM training-data
+pipelines (SURVEY.md §2.14 extensions; not in the reference).
+
+Same codegen discipline as textan.py: regex scans and collection
+expressions only — every operator here is a map-only stage except the
+corpus-level paragraph dedup, which shuffles (hash, id) pairs only.
+
+Regex portability rule: patterns avoid lookaround and backreferences
+so the SAME pattern runs on Java regex (Spark) and RE2 (DuckDB and
+most external engines) — that keeps every operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed application order: more-specific patterns first so e.g. an
+# SSN never half-matches as a phone number
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    "phone": (r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+    "ipv4": (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+}
+
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def pii_mask(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    kinds: Sequence[str] = ("email", "ssn", "phone", "ipv4"),
+) -> DataFrame:
+    """Redact PII-shaped spans with typed placeholder tokens (the
+    standard pre-training scrub).  One regexp_replace per kind,
+    applied in the declared order — a single codegen'd map stage, no
+    shuffle, ~regex-scan cost per kind.
+
+    Heuristic by design (regex PII detection is recall-limited);
+    deterministic and cross-engine reproducible.
+    """
+    col = F.col(text_col)
+    for kind in kinds:
+        try:
+            pattern, token = PII_PATTERNS[kind]
+        except KeyError:
+            raise ValueError(f"unknown PII kind: {kind!r}")
+        col = F.regexp_replace(col, pattern, token)
+    return df.withColumn(out or text_col, col)
+
+
+def extract_urls(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, url) with the registrable host split out:
+    (id, url, domain).  regexp_extract_all + explode — map-only, the
+    fan-out is bounded by URLs-per-doc."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)).alias(
+            "url"
+        ),
+    )
+    return urls.withColumn("domain", F.regexp_extract("url", DOMAIN_PATTERN, 1))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per URL — the min-id winner (deterministic, same
+    contract as exact_dedup).  Shuffles (url, id) only; min_by is a
+    partial-aggregating min, so the reduce side sees one candidate
+    per (url, mapper)."""
+    winners = df.groupBy(url_col).agg(F.min(id_col).alias(id_col))
+    return winners.join(df, on=[url_col, id_col], how="inner")
+
+
+def repetition_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    out: str = "repetition_ratio",
+) -> DataFrame:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    in the same document: 1 - distinct/total (Gopher-style repetition
+    quality signal; 0 = no repetition).  Rounded to 6dp for
+    cross-engine comparability.
+
+    The n-gram array is materialized ONCE as a column before the
+    distinct count (the round-1 MinHash lesson: never inline an
+    expression tree inside repeated evaluation).  Map-only stage.
+    """
+    from bubbles_spark.ops.textan import _tokens
+
+    toks = _tokens(F.lower(F.col(text_col)))
+    if n == 1:
+        grams = toks
+    else:
+        # slice-join per position — transform lambda runs per n-gram,
+        # but over the materialized token array (no re-tokenization).
+        # Guarded: F.sequence(0, -1) would generate a DESCENDING
+        # sequence (not an empty one) for docs shorter than n tokens.
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(0.0)
+    return df.withColumn("__g", grams).withColumn(out, ratio).drop("__g")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    out: str | None = None,
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the boilerplate-removal pass):
+    split each doc on ``sep``, keep only the FIRST occurrence of each
+    distinct paragraph across the corpus (ordered by (doc id,
+    position)), drop the rest, and reassemble each doc in original
+    paragraph order.  Docs whose every paragraph was seen earlier
+    come back as the empty string (filter afterwards as needed).
+
+    Plan: posexplode → one shuffle keyed by paragraph hash (xxhash64 —
+    ids only, never the text twice) → min-struct winner per hash →
+    semi-join back → groupBy(doc) ordered reassembly via sort_array
+    over (pos, paragraph) structs.  Two shuffles total, both carrying
+    hashes/ids + surviving paragraphs only.
+    """
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    keyed = parts.withColumn("__h", F.xxhash64("para"))
+    winners = keyed.groupBy("__h").agg(
+        F.min(F.struct(id_col, "pos")).alias("__first")
+    )
+    kept = keyed.join(
+        winners,
+        (keyed["__h"] == winners["__h"])
+        & (keyed[id_col] == winners["__first"][id_col])
+        & (keyed["pos"] == winners["__first"]["pos"]),
+    ).select(keyed[id_col], keyed["pos"], keyed["para"])
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(out or text_col)
+    )
+    return df.select(id_col).distinct().join(rebuilt, id_col, "left").fillna(
+        {out or text_col: ""}
+    )

@@ -1,0 +1,84 @@
+"""Text-cleaning operator unit tests (tiny fixtures)."""
+
+import pytest
+
+from bubbles_spark.ops import textprep
+
+
+def test_pii_mask_all_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com ssn 123-45-6789 tel +555-123-4567 ip 10.0.0.1 ok")],
+        "id long, text string",
+    )
+    out = textprep.pii_mask(df).collect()[0]["text"]
+    assert out == "mail <EMAIL> ssn <SSN> tel <PHONE> ip <IP> ok"
+
+
+def test_pii_mask_order_ssn_before_phone(spark):
+    # an SSN must not be half-eaten by the phone pattern
+    df = spark.createDataFrame([(1, "078-05-1120")], "id long, text string")
+    assert textprep.pii_mask(df).collect()[0]["text"] == "<SSN>"
+
+
+def test_pii_mask_unknown_kind(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        textprep.pii_mask(df, kinds=("dna",))
+
+
+def test_extract_urls_and_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see http://a.com/x and https://b.org/y end"),
+            (2, "again http://a.com/x here"),
+            (3, "no links"),
+        ],
+        "doc_id long, text string",
+    )
+    urls = textprep.extract_urls(df)
+    got = {(r["doc_id"], r["url"], r["domain"]) for r in urls.collect()}
+    assert got == {
+        (1, "http://a.com/x", "a.com"),
+        (1, "https://b.org/y", "b.org"),
+        (2, "http://a.com/x", "a.com"),
+    }
+    deduped = {(r["url"], r["doc_id"]) for r in textprep.url_dedup(urls).collect()}
+    assert deduped == {("http://a.com/x", 1), ("https://b.org/y", 1)}
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab ba ab ba ab → 2 distinct of 5
+            (2, "all words differ here now"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["repetition_ratio"]
+           for r in textprep.repetition_ratio(df, n=2).collect()}
+    assert abs(got[1] - (1 - 2 / 5)) < 1e-6
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+
+
+def test_repetition_ratio_unigram(spark):
+    df = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    got = textprep.repetition_ratio(df, n=1).collect()[0]["repetition_ratio"]
+    assert abs(got - (1 - 2 / 3)) < 1e-6
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    sep = "\n\n"
+    df = spark.createDataFrame(
+        [
+            (1, sep.join(["one", "COMMON", "two"])),
+            (2, sep.join(["COMMON", "three"])),
+            (3, "COMMON"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in textprep.paragraph_dedup(df).collect()}
+    assert got[1] == sep.join(["one", "COMMON", "two"])   # first occurrence kept
+    assert got[2] == "three"                              # COMMON dropped
+    assert got[3] == ""                                   # fully-duplicate doc → empty
