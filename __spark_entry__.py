@@ -1973,6 +1973,64 @@ def q_paragraph_dedup(spark, sf_dir):
     return textprep.paragraph_dedup(d)
 
 
+# --- §2.6 sketches with verifiable bounds ------------------------------
+@_q(
+    "approx_distinct_bounds",
+    """
+    SELECT 'x' AS field, CAST(0 AS BIGINT) AS approx_distinct,
+           CAST(0 AS BIGINT) AS exact_distinct, 0.0 AS rel_err
+    WHERE FALSE
+    """,
+)
+def q_approx_distinct_bounds(spark, sf_dir):
+    # HLL++ must hit its published rsd on every column class: dense
+    # keys (custkey), low cardinality (orderstatus), dates, doubles.
+    # Any violation row = the sketch broke its guarantee.
+    from bubbles_spark.ops import sketch
+
+    o = _t(spark, sf_dir, "orders")
+    return sketch.approx_distinct_violations(
+        o, ["o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice"], rsd=0.05
+    )
+
+
+@_q(
+    "approx_quantile_bounds",
+    """
+    SELECT 0.0 AS prob, 0.0 AS approx_value, CAST(0 AS BIGINT) AS true_rank,
+           CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS rank_err
+    WHERE FALSE
+    """,
+)
+def q_approx_quantile_bounds(spark, sf_dir):
+    from bubbles_spark.ops import sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sketch.approx_quantile_violations(
+        li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99], accuracy=1000
+    )
+
+
+@_q(
+    "heavy_hitters",
+    """
+    WITH c AS (
+      SELECT event_type AS value, CAST(COUNT(*) AS BIGINT) AS record_count
+      FROM events GROUP BY 1
+    )
+    SELECT value, record_count,
+           ROUND(record_count * 1.0 / (SELECT COUNT(*) FROM events), 6) AS share
+    FROM c
+    WHERE record_count >= 0.05 * (SELECT COUNT(*) FROM events)
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    from bubbles_spark.ops import sketch
+
+    e = _t(spark, sf_dir, "events")
+    return sketch.heavy_hitters(e, "event_type", 0.05)
+
+
 # --- §2.13 Structured Streaming (availableNow → memory sink) ----------
 # Deterministic streaming correctness: drive the SAME streaming plans
 # used for the live path over the finite testdata input and oracle the

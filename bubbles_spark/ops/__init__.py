@@ -40,7 +40,7 @@ from bubbles_spark.ops.text import (
     transliterate,
 )
 from bubbles_spark.ops.audit import basic_audit, infer_types
-from bubbles_spark.ops import dedup, events, textan, textprep, vector, multimodal
+from bubbles_spark.ops import dedup, events, sketch, textan, textprep, vector, multimodal
 
 __all__ = [
     "added_keys",
@@ -70,6 +70,7 @@ __all__ = [
     "rename_fields",
     "sample",
     "scd2_merge",
+    "sketch",
     "sort",
     "unpivot",
     "zscore_normalize",

@@ -29,6 +29,7 @@ from bubbles_spark.ops import events as _events
 from bubbles_spark.ops import multimodal as _multimodal
 from bubbles_spark.ops import reshape as _reshape
 from bubbles_spark.ops import textprep as _textprep
+from bubbles_spark.ops import sketch as _sketch
 from bubbles_spark.ops import text as _text
 from bubbles_spark.ops import textan as _textan
 from bubbles_spark.ops import vector as _vector
@@ -45,7 +46,7 @@ def register_operation(name: str, fn: Callable[..., DataFrame]) -> None:
     _CATALOG[name] = fn
 
 
-for _mod in (_core, _text, _audit, _textan, _dedup, _vector, _events, _multimodal, _reshape, _textprep):
+for _mod in (_core, _text, _audit, _textan, _dedup, _vector, _events, _multimodal, _reshape, _textprep, _sketch):
     for _name in dir(_mod):
         _fn = getattr(_mod, _name)
         if callable(_fn) and not _name.startswith("_") and _fn.__module__ == _mod.__name__:
