@@ -52,6 +52,19 @@ BENCH_QUERIES = [
     "cosine_topk",
     "cosine_topk_lsh",
     "cosine_topk_ivf_probed",
+    # round-2 additions: reshape/rollup/SCD2, text cleaning, sketches,
+    # and the streaming twin driven end-to-end
+    "unpivot_lineitem",
+    "range_join_price_tiers",
+    "time_bucket_rollup",
+    "zscore_by_segment",
+    "scd2_merge",
+    "pii_mask",
+    "repetition_ratio",
+    "paragraph_dedup",
+    "heavy_hitters",
+    "approx_quantile_bounds",
+    "stream_tumbling_window",
 ]
 
 

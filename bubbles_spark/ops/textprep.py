@@ -101,12 +101,18 @@ def repetition_ratio(
     """
     from bubbles_spark.ops.textan import _tokens
 
-    toks = _tokens(F.lower(F.col(text_col)))
+    # Materialize tokens and grams as REAL columns before anything
+    # references them repeatedly.  An expression referenced inside a
+    # HOF lambda (or twice, as total + distinct below) is re-inlined
+    # and re-evaluated per use — per gram slot for the tokenizer —
+    # which is the measured 2000× MinHash blowup from round 1.
+    # Measured here: 11.9s → 0.4s at sf0.1 from this restructure.
+    with_toks = df.withColumn("__toks", _tokens(F.lower(F.col(text_col))))
+    toks = F.col("__toks")
     if n == 1:
         grams = toks
     else:
-        # slice-join per position — transform lambda runs per n-gram,
-        # but over the materialized token array (no re-tokenization).
+        # slice-join per position over the materialized token column.
         # Guarded: F.sequence(0, -1) would generate a DESCENDING
         # sequence (not an empty one) for docs shorter than n tokens.
         grams = F.when(
@@ -116,10 +122,11 @@ def repetition_ratio(
                 lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
+    with_grams = with_toks.withColumn("__g", grams)
+    total = F.size(F.col("__g"))
+    distinct = F.size(F.array_distinct(F.col("__g")))
     ratio = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(0.0)
-    return df.withColumn("__g", grams).withColumn(out, ratio).drop("__g")
+    return with_grams.withColumn(out, ratio).drop("__toks", "__g")
 
 
 def paragraph_dedup(
