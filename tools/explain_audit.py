@@ -106,6 +106,61 @@ CHECKS = [
         [(r"(?s)Window[\s\S]*?last", "merge formulation via ordered window")],
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no range-join explosion")],
     ),
+    # --- round-2 additions -------------------------------------------
+    (
+        "unpivot_lineitem",
+        [(r"Expand", "unpivot compiles to the Expand row generator")],
+        [(r"Exchange", "melt is map-only — no shuffle"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "no Python")],
+    ),
+    (
+        "range_join_price_tiers",
+        [(r"BroadcastNestedLoopJoin", "band dim broadcasts; fact side never shuffles")],
+        [(r"Exchange hashpartitioning", "no fact-side shuffle for an O(100)-band join")],
+    ),
+    (
+        "zscore_by_segment",
+        [(r"BroadcastHashJoin", "per-group stats broadcast back onto the input")],
+        [(r"Window", "no unpartitioned/global window for normalization")],
+    ),
+    (
+        "histogram_totalprice",
+        [(r"Functions \[\d+\]: \[partial_", "bin counts partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "binning is pure arithmetic, no Python")],
+    ),
+    (
+        "time_bucket_rollup",
+        [(r"(?s)HashAggregate.*HashAggregate", "pyramid: coarse grain re-aggregates the fine result")],
+        [(r"CartesianProduct", "no cross product")],
+    ),
+    (
+        "scd2_merge",
+        [(r"Union", "merged dimension is a union of classified row sets")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "classification is equi-join only")],
+    ),
+    (
+        "pii_mask",
+        [(r"Project", "map-only stage")],
+        [(r"Exchange", "regex redaction never shuffles"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "no Python")],
+    ),
+    (
+        "repetition_ratio",
+        [(r"Project", "map-only stage")],
+        [(r"Exchange", "per-doc ratio never shuffles"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "no Python")],
+    ),
+    (
+        "paragraph_dedup",
+        [(r"posexplode", "paragraph split via posexplode"),
+         (r"xxhash64", "dedup keyed on paragraph hash, not text equality")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "winner join is an equi join")],
+    ),
+    (
+        "heavy_hitters",
+        [(r"Functions \[\d+\]: \[partial_", "counts partial-aggregate map-side")],
+        [(r"Window", "no global window")],
+    ),
 ]
 
 
