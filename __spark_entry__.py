@@ -2012,6 +2012,24 @@ def q_approx_quantile_bounds(spark, sf_dir):
 
 
 @_q(
+    "quantile_bin_bounds",
+    """
+    SELECT CAST(0 AS BIGINT) AS qbin, CAST(0 AS BIGINT) AS record_count,
+           0.0 AS expected, 0.0 AS slack
+    WHERE FALSE
+    """,
+)
+def q_quantile_bin_bounds(spark, sf_dir):
+    # equal-frequency binning must produce ~n/k rows per bin (within
+    # the GK sketch guarantee) — violations = the scale-path binning
+    # diverged from what a global ntile would produce
+    from bubbles_spark.ops import sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sketch.quantile_bin_violations(li, "l_extendedprice", 10, accuracy=1000)
+
+
+@_q(
     "heavy_hitters",
     """
     WITH c AS (

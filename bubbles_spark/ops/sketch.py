@@ -112,6 +112,58 @@ def approx_quantile_violations(
     ).filter(F.col("rank_err") > budget)
 
 
+def quantile_bins(
+    df: DataFrame,
+    field: str,
+    k: int,
+    accuracy: int = 10000,
+    out: str = "qbin",
+) -> DataFrame:
+    """Equal-frequency binning: assign each row to one of ``k``
+    quantile bins of ``field`` (bin i covers (q_i, q_{i+1}]; the
+    lowest bin is closed below).
+
+    The SQL-class formulation — ``ntile() OVER (ORDER BY field)`` —
+    is a GLOBAL window: every row through one task, a non-starter at
+    scale.  Here: one percentile_approx agg for the k-1 cut points
+    (driver-side scalar list, metadata-cheap), then a codegen'd
+    when-cascade assigns bins map-only.  Ties at a cut land in the
+    lower bin deterministically; with heavy ties bins are
+    correspondingly uneven (same as any value-based split).
+    """
+    if k < 2:
+        raise ValueError("need k >= 2 bins")
+    probs = [i / k for i in range(1, k)]
+    cuts = df.agg(F.percentile_approx(field, probs, accuracy).alias("q")).collect()[
+        0
+    ]["q"]
+    col = F.col(field)
+    expr = F.lit(0)
+    for i, c in enumerate(cuts):
+        expr = F.when(col > F.lit(float(c)), F.lit(i + 1)).otherwise(expr)
+    return df.withColumn(out, expr.cast("long"))
+
+
+def quantile_bin_violations(
+    df: DataFrame, field: str, k: int, accuracy: int = 10000
+) -> DataFrame:
+    """Bound check for quantile_bins: every bin's row count must be
+    within n/accuracy + ties-at-the-cut slack of n/k.  Emits
+    (qbin, record_count, expected, slack) violations; expected EMPTY
+    on continuous-ish data."""
+    binned = quantile_bins(df, field, k, accuracy)
+    n = df.count()
+    counts = binned.groupBy("qbin").agg(F.count(F.lit(1)).alias("record_count"))
+    expected = n / k
+    # 2 sketch errors (each cut off by up to n/accuracy) per bin edge
+    slack = 2.0 * n / accuracy + 1
+    return (
+        counts.withColumn("expected", F.lit(float(expected)))
+        .withColumn("slack", F.lit(float(slack)))
+        .filter(F.abs(F.col("record_count") - expected) > slack)
+    )
+
+
 def heavy_hitters(
     df: DataFrame, field: str, min_share: float = 0.01
 ) -> DataFrame:

@@ -37,3 +37,20 @@ def test_heavy_hitters(spark):
     df = spark.createDataFrame(rows, "v string")
     got = {r["value"]: (r["record_count"], r["share"]) for r in sketch.heavy_hitters(df, "v", 0.10).collect()}
     assert got == {"a": (60, 0.6), "b": (35, 0.35)}  # c below 10% share
+
+
+def test_quantile_bins_shape(spark):
+    df = _nums(spark, 1000)
+    out = sketch.quantile_bins(df, "x", 4, accuracy=100000)
+    counts = {r["qbin"]: r["cnt"] for r in out.groupBy("qbin").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    for c in counts.values():
+        assert abs(c - 250) <= 2
+    assert sketch.quantile_bin_violations(df, "x", 4, accuracy=1000).count() == 0
+
+
+def test_quantile_bins_rejects_k1(spark):
+    df = _nums(spark, 10)
+    import pytest
+    with pytest.raises(ValueError):
+        sketch.quantile_bins(df, "x", 1)
