@@ -1637,6 +1637,65 @@ def q_decode_audio_wav(spark, sf_dir):
     )
 
 
+@_q(
+    "frame_sample_y4m",
+    """
+    SELECT doc_id,
+           f.frame_index,
+           CAST(8 + 2 * (doc_id % 4) AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(6 * (8 + 2 * (doc_id % 4)) AS INTEGER) AS frame_len,
+           CAST((doc_id * 7 + f.frame_index * 13) % 256 AS INTEGER) AS first_byte
+    FROM documents
+    CROSS JOIN (VALUES (0), (2), (4)) AS f(frame_index)
+    WHERE doc_id < 100
+    """,
+)
+def q_frame_sample_y4m(spark, sf_dir):
+    # REAL video decode: uncompressed YUV4MPEG2 streams synthesized
+    # per doc (dims + frame count + per-frame fill derived from
+    # doc_id), frame-sampled by the pure-stdlib Y4M chunk walker in
+    # mapInPandas.  The oracle predicts every sampled frame's index,
+    # dimensions, byte length (C420 = 1.5·w·h) and first raster byte —
+    # a header-parse or plane-slicing bug fails the hash.
+    import pandas as pd
+
+    from bubbles_spark.ops.multimodal import make_y4m
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "vid": [
+                        make_y4m(
+                            8 + 2 * (int(i) % 4),
+                            4,
+                            5 + int(i) % 6,
+                            fill=lambda k, i=i: (int(i) * 7 + k * 13) % 256,
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    vids = d.mapInPandas(synth, schema="doc_id long, vid binary")
+    m = multimodal.attach_media(vids, "vid", mime="video/x-yuv4mpeg")
+    out = multimodal.frame_sample(m, every_n=2, max_frames=3)
+    return out.select(
+        "doc_id",
+        "frame_index",
+        F.col("frame")["meta"]["width"].cast("int").alias("width"),
+        F.col("frame")["meta"]["height"].cast("int").alias("height"),
+        F.length(F.col("frame")["data"]).cast("int").alias("frame_len"),
+        F.expr("cast(conv(hex(substring(frame.data, 1, 1)), 16, 10) as int)").alias(
+            "first_byte"
+        ),
+    )
+
+
 @_q("decode_image_fake")
 def q_decode_image(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)

@@ -24,7 +24,7 @@ Design notes for the real thing at 100 TB:
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -272,6 +272,66 @@ def decode_audio(
     return df.mapInPandas(_decode, schema=out_schema)
 
 
+_Y4M_CHROMA_DIV = {
+    # chroma tag -> (x_div, y_div); frame bytes = Y + 2 * (w/xd * h/yd)
+    "420": (2, 2),
+    "422": (2, 1),
+    "444": (1, 1),
+}
+
+
+def _decode_y4m(data: bytes):
+    """Parse an uncompressed YUV4MPEG2 stream: returns (width, height,
+    chroma, [frame_bytes...]).  Pure stdlib — Y4M is the one video
+    container that needs no codec (raw planar YUV with text headers),
+    which makes the REAL many-rows-out decode path testable here."""
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii", "replace")
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    chroma = "420"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C":
+            chroma = tok[1:4] if tok[1:4] in _Y4M_CHROMA_DIV else ("mono" if tok[1:].startswith("mono") else tok[1:4])
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if chroma == "mono":
+        frame_size = w * h
+    else:
+        xd, yd = _Y4M_CHROMA_DIV[chroma]
+        frame_size = w * h + 2 * ((w // xd) * (h // yd))
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        start = fnl + 1
+        frames.append(data[start : start + frame_size])
+        pos = start + frame_size
+    return w, h, chroma, frames
+
+
+def make_y4m(
+    width: int, height: int, n_frames: int, fill: Callable[[int], int] = None
+) -> bytes:
+    """Synthesize a C420 YUV4MPEG2 stream; frame i's planes are filled
+    with ``fill(i)`` (default i % 256).  Test/oracle generator twin of
+    _decode_y4m."""
+    fill = fill or (lambda i: i % 256)
+    frame_size = width * height + 2 * ((width // 2) * (height // 2))
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    for i in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(bytes([fill(i) % 256]) * frame_size)
+    return b"".join(out)
+
+
 def frame_sample(
     df: DataFrame,
     media_col: str = "media",
@@ -280,17 +340,70 @@ def frame_sample(
     fake: bool = False,
 ) -> DataFrame:
     """Sample frames from video media → one output row per frame
-    (id columns preserved, plus frame_index + frame struct).
+    (id columns preserved, plus frame_index + frame struct whose data
+    is the raw planar frame and whose meta carries width/height/
+    chroma).
 
-    STUBBED like decode_image; the fake emits ``max_frames``
-    deterministic pseudo-frames so the one-row-in/many-rows-out
-    mapInPandas shape is exercised for real.
+    REAL decode path for uncompressed YUV4MPEG2 (``video/x-yuv4mpeg``
+    or a stream starting with the YUV4MPEG2 magic) — parsed by the
+    pure-stdlib chunk walker above inside Arrow-batched mapInPandas;
+    the one-row-in/many-rows-out fan-out is native to mapInPandas.
+    Compressed codecs (mp4/h264/vp9) need libraries absent in this
+    environment → ``fake=True`` keeps the deterministic plumbing stub
+    for those.
     """
-    if not fake:
-        raise NotImplementedError(
-            "video frame extraction requires codec libraries not in this "
-            "environment; pass fake=True for the plumbing stub"
-        )
+    if fake:
+        return _frame_sample_fake(df, media_col, every_n, max_frames)
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", MEDIA_STRUCT),
+        ]
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                m = row[media_col]
+                data = bytes((m["data"] if isinstance(m, dict) else m.data) or b"")
+                if not data.startswith(b"YUV4MPEG2"):
+                    raise NotImplementedError(
+                        "only uncompressed YUV4MPEG2 video is decodable "
+                        "without codec libraries; pass fake=True to stub"
+                    )
+                w, h, chroma, frames = _decode_y4m(data)
+                picked = frames[::every_n][:max_frames]
+                for k, frame in enumerate(picked):
+                    r = row.to_dict()
+                    r["frame_index"] = k * every_n
+                    r["frame"] = {
+                        "uri": None,
+                        "mime": "image/x-raw-yuv",
+                        "data": frame,
+                        "meta": {
+                            "width": str(w),
+                            "height": str(h),
+                            "chroma": chroma,
+                        },
+                    }
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(_frames, schema=out_schema)
+
+
+def _frame_sample_fake(
+    df: DataFrame,
+    media_col: str = "media",
+    every_n: int = 10,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Deterministic pseudo-frame stub for compressed codecs (absent
+    here): emits hash-derived frames so the fan-out shape is
+    exercised for real."""
 
     out_schema = T.StructType(
         list(df.schema.fields)

@@ -86,3 +86,35 @@ def test_decode_audio_spark(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|WAV"):
         multimodal.decode_audio(bad).collect()
+
+
+def test_y4m_roundtrip_and_frame_sample(spark):
+    """Real Y4M decode: synthesized stream → sampled frames with
+    correct indices, dims, plane sizes, and raster bytes."""
+    from bubbles_spark.ops.multimodal import (
+        _decode_y4m,
+        attach_media,
+        frame_sample,
+        make_y4m,
+    )
+
+    b = make_y4m(6, 4, 7, fill=lambda i: 10 * i)
+    w, h, chroma, frames = _decode_y4m(b)
+    assert (w, h, chroma, len(frames)) == (6, 4, "420", 7)
+    assert all(len(f) == 6 * 4 * 3 // 2 for f in frames)
+    assert [f[0] for f in frames] == [0, 10, 20, 30, 40, 50, 60]
+
+    df = spark.createDataFrame([(1, bytearray(b))], "vid_id long, vid binary")
+    m = attach_media(df, "vid", mime="video/x-yuv4mpeg")
+    out = frame_sample(m, every_n=3, max_frames=2).collect()
+    assert [(r["frame_index"], r["frame"]["data"][0]) for r in out] == [(0, 0), (3, 30)]
+    assert out[0]["frame"]["meta"]["width"] == "6"
+
+
+def test_y4m_rejects_garbage(spark):
+    import pytest
+
+    from bubbles_spark.ops.multimodal import _decode_y4m
+
+    with pytest.raises(ValueError):
+        _decode_y4m(b"RIFFnotavideo\n")
