@@ -2032,6 +2032,61 @@ def q_paragraph_dedup(spark, sf_dir):
     return textprep.paragraph_dedup(d)
 
 
+# --- §2.14 training-set preparation ------------------------------------
+_BENCH_SENTENCE = "zq1 zq2 zq3 zq4 zq5 zq6"  # tokens absent from the corpus vocab
+
+
+@_q(
+    "decontaminate",
+    """
+    SELECT doc_id, (doc_id % 20 = 0) AS contaminated FROM documents
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    # plant the benchmark sentence into every 20th doc; the 5-gram
+    # overlap join must flag exactly those docs
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(_BENCH_SENTENCE)),
+        ).otherwise(F.col("text")),
+    )
+    bench = spark.createDataFrame([(_BENCH_SENTENCE,)], "text string")
+    out = textprep.decontaminate(d, bench, n=5)
+    return out.select("doc_id", "contaminated")
+
+
+@_q("shuffle_rows", "SELECT * FROM customer")
+def q_shuffle_rows(spark, sf_dir):
+    # the order-insensitive value hash verifies the deterministic
+    # global shuffle is a pure permutation (no dropped/duplicated
+    # rows); determinism itself is unit-tested
+    from bubbles_spark.ops import textprep
+
+    return textprep.shuffle_rows(_t(spark, sf_dir, "customer"), seed=42)
+
+
+@_q(
+    "pack_sequences",
+    f"""
+    SELECT doc_id, source,
+           CAST(FLOOR((SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - ntok)
+                      / 500.0) AS BIGINT) AS seq_id
+    FROM (SELECT doc_id, source, {_NTOK_SQL} AS ntok FROM documents)
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    out = textprep.pack_sequences(d, 500, by="source", order_by="doc_id")
+    return out.select("doc_id", "source", "seq_id")
+
+
 # --- §2.6 sketches with verifiable bounds ------------------------------
 @_q(
     "approx_distinct_bounds",

@@ -129,6 +129,101 @@ def repetition_ratio(
     return with_grams.withColumn(out, ratio).drop("__toks", "__g")
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """Train/test decontamination: flag documents sharing any word
+    n-gram with a benchmark corpus (the standard 13-gram overlap
+    check).  Adds a boolean ``flag_col``.
+
+    Plan: both sides shingle (distinct n-grams via the codegen'd
+    regex scan from ops.dedup), explode, and hash — the join carries
+    (gram_hash, id) only, never text.  The benchmark side distincts
+    to a tiny hash set, so AQE broadcasts it and the document side
+    NEVER shuffles; flagged ids (a small set) broadcast back onto the
+    input.  Total cost at 100 TB: one map scan of the corpus + two
+    broadcast joins.
+    """
+    from bubbles_spark.ops.dedup import with_shingles
+
+    bench_grams = (
+        with_shingles(benchmark.select(bench_text_col), bench_text_col, n, "__sh")
+        .select(F.explode("__sh").alias("__g"))
+        .select(F.xxhash64("__g").alias("__h"))
+        .distinct()
+    )
+    doc_grams = (
+        with_shingles(docs.select(id_col, text_col), text_col, n, "__sh")
+        .select(id_col, F.explode("__sh").alias("__g"))
+        .select(id_col, F.xxhash64("__g").alias("__h"))
+    )
+    flagged = doc_grams.join(bench_grams, "__h").select(id_col).distinct()
+    return docs.join(
+        flagged.withColumn(flag_col, F.lit(True)), id_col, "left"
+    ).fillna({flag_col: False})
+
+
+def shuffle_rows(df: DataFrame, seed: int = 0, partitions: int | None = None) -> DataFrame:
+    """Deterministic global shuffle (the pre-training randomization
+    pass): order rows by a seeded xxhash of the full row.  Same seed ⇒
+    same permutation on every run and every retry (unlike
+    ``F.rand``-based shuffles, which break task-retry determinism).
+
+    repartitionByRange on the hash + sortWithinPartitions gives a
+    total order across output files without a single-task global
+    sort — each range partition sorts independently at any scale."""
+    key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    out = df.withColumn("__shuffle_key", key)
+    out = (
+        out.repartitionByRange(partitions, "__shuffle_key")
+        if partitions
+        else out.repartitionByRange("__shuffle_key")
+    )
+    return out.sortWithinPartitions("__shuffle_key").drop("__shuffle_key")
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    by: str = "source",
+    order_by: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences
+    (concat-then-chunk packing): within each ``by`` group, documents
+    in ``order_by`` order fill sequence ``floor(prefix_tokens /
+    max_tokens)`` — a document straddling a boundary belongs to the
+    sequence where it starts (standard packing-with-overflow).
+
+    One shuffle on ``by`` + per-group ordered window (the sessionize
+    shape); groups pack independently, so 1000 executors pack 1000
+    sources at once.  ``token_col`` defaults to a whitespace token
+    count computed on the fly."""
+    from bubbles_spark.ops.textan import _token_count
+
+    if token_col is None:
+        df = df.withColumn("__ntok", _token_count(F.col(text_col)).cast("long"))
+        token_col = "__ntok"
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix_excl = F.sum(token_col).over(w) - F.col(token_col)
+    out = df.withColumn(
+        seq_col, F.floor(prefix_excl / F.lit(int(max_tokens))).cast("long")
+    )
+    return out.drop("__ntok") if "__ntok" in out.columns else out
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

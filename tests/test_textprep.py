@@ -82,3 +82,41 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
     assert got[1] == sep.join(["one", "COMMON", "two"])   # first occurrence kept
     assert got[2] == "three"                              # COMMON dropped
     assert got[3] == ""                                   # fully-duplicate doc → empty
+
+
+def test_decontaminate_flags_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally clean document with safe words"),
+            (3, "prefix alpha beta gamma delta epsilon suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string"
+    )
+    got = {r["doc_id"]: r["contaminated"]
+           for r in textprep.decontaminate(docs, bench, n=5).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_shuffle_rows_deterministic_permutation(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select("id", (F.col("id") * 3).alias("v"))
+    a = [tuple(r) for r in textprep.shuffle_rows(df, seed=7).collect()]
+    b = [tuple(r) for r in textprep.shuffle_rows(df, seed=7).collect()]
+    c = [tuple(r) for r in textprep.shuffle_rows(df, seed=8).collect()]
+    assert a == b                         # same seed -> same permutation
+    assert sorted(a) == sorted(c)         # multiset preserved
+    assert a != c                         # different seed -> different order
+    assert a != sorted(a)                 # actually shuffled
+
+
+def test_pack_sequences_greedy_bins(spark):
+    rows = [(i, "g", " ".join(["w"] * 40)) for i in range(10)]  # 40 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["seq_id"] for r in textprep.pack_sequences(df, 100).collect()}
+    # prefix-exclusive tokens: 0,40,80,...,360 -> bins 0,0,0,1,1,2,2,2,3,3
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2, 8: 3, 9: 3}
