@@ -81,3 +81,88 @@ def test_distinct_dedup_agreement(spark, rows):
     assert core.distinct(df, "uid").count() == n_keys
     dups = core.duplicate_stats(df, "uid").collect()[0]
     assert dups["surplus_record_count"] == df.count() - n_keys
+
+
+_docs = st.lists(
+    st.tuples(
+        st.integers(0, 20),                       # doc id (dups possible pre-dedup)
+        st.sampled_from(["a", "b"]),              # source
+        st.lists(st.sampled_from("xyz"), max_size=6).map(" ".join),
+    ),
+    max_size=12,
+).map(lambda rs: [(i, s, t) for i, (_, s, t) in enumerate(rs)])  # unique ids
+
+
+@_slow
+@given(docs=_docs, max_tokens=st.integers(1, 8))
+def test_pack_sequences_matches_greedy(spark, docs, max_tokens):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r["seq_id"]
+        for r in textprep.pack_sequences(df, max_tokens).collect()
+    }
+    expect = {}
+    for src in {s for _, s, _ in docs}:
+        prefix = 0
+        for i, s, t in sorted(docs):
+            if s != src:
+                continue
+            ntok = len(t.split()) if t.strip() else 0
+            expect[i] = prefix // max_tokens
+            prefix += ntok
+    assert got == expect
+
+
+@_slow
+@given(
+    vals=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=20),
+    bins=st.integers(1, 5),
+)
+def test_histogram_matches_numpy_convention(spark, vals, bins):
+    import math
+
+    from bubbles_spark.ops import reshape
+
+    lo, hi = -100.0, 100.0
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["x"]: r["bin"] for r in reshape.histogram(df, "x", lo, hi, bins).collect()}
+    width = (hi - lo) / bins
+    for v in vals:
+        if v == hi:
+            expect = bins - 1
+        elif v < lo:
+            expect = -1
+        elif v >= hi:
+            expect = bins
+        else:
+            expect = int(math.floor((v - lo) / width))
+        assert got[v] == expect, (v, got[v], expect)
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("pq"), st.integers(-50, 50)), max_size=14
+    )
+)
+def test_zscore_matches_pandas(spark, rows):
+    import math
+
+    from bubbles_spark.ops import reshape
+
+    data = [(i, g, float(v)) for i, (g, v) in enumerate(rows)]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "i long, g string, x double")
+    got = {r["i"]: r["x_z"] for r in reshape.zscore_normalize(df, "x", by="g").collect()}
+    pdf = pd.DataFrame(data, columns=["i", "g", "x"])
+    for g, grp in pdf.groupby("g"):
+        sd = grp["x"].std(ddof=1)
+        for _, r in grp.iterrows():
+            if pd.isna(sd) or sd == 0:
+                assert got[r["i"]] is None
+            else:
+                assert got[r["i"]] is not None
+                assert math.isclose(got[r["i"]], (r["x"] - grp["x"].mean()) / sd, rel_tol=1e-9, abs_tol=1e-12)
