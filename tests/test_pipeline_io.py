@@ -79,3 +79,24 @@ def test_memory_store(spark):
     assert store.get_object("t").count() == 2
     with pytest.raises(ValueError):
         store.create("t", fields=fields, from_obj=[(3, "c")])  # no replace
+
+
+def test_pipeline_dispatches_round2_ops(spark):
+    """The catalog-driven __getattr__ surface picks up every new
+    operator module (reshape/textprep/sketch) without registration."""
+    from bubbles_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, g string, x double",
+    )
+    p = Pipeline(spark=spark).source_df(df)
+    out = p.histogram("x", 0.0, 40.0, 4).zscore_normalize("x", by="g").df
+    assert "bin" in out.columns and "x_z" in out.columns
+    assert out.count() == 3
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com here")], "doc_id long, text string"
+    )
+    masked = Pipeline(spark=spark).source_df(docs).pii_mask().fetch_all()
+    assert masked[0]["text"] == "mail <EMAIL> here"
