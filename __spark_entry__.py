@@ -1892,6 +1892,74 @@ def q_scd2_merge(spark, sf_dir):
     )
 
 
+# --- §2.14 composed training-set pipeline ------------------------------
+@_q(
+    "training_set_pipeline",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text, source,
+             {_NTOK_SQL} AS n_tok,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN (length({_NORM_SQL}) - ({_NTOK_SQL} - 1)) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS mean_tok,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_filter({_TOKS_SQL}, t -> t IN ({_STOP_IN})))
+                       * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_distinct({_TOKS_SQL})) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS dist_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, source, n_tok,
+             CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END
+             + CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.25 ELSE 0 END
+             + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0 END
+             + CASE WHEN dist_ratio >= 0.1 THEN 0.25 ELSE 0 END AS quality
+      FROM f
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.75),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 500.0) AS BIGINT) AS seq_id
+      FROM dedup
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+    FROM packed GROUP BY source, seq_id
+    """,
+)
+def q_training_set_pipeline(spark, sf_dir):
+    # the full prepare-a-training-set flow, every stage an operator
+    # verified on its own elsewhere: quality filter → exact dedup →
+    # sequence packing → per-sequence stats.  Plan cost: one map scan
+    # for scoring, one (hash,id) shuffle for dedup, one per-source
+    # window, one partial-agg shuffle — nothing touches text after
+    # the dedup hash.
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    kept = textan.quality_score(d).filter(F.col("quality") >= 0.75)
+    deduped = dedup.exact_dedup(kept)
+    packed = textprep.pack_sequences(
+        deduped, 500, by="source", order_by="doc_id", token_col="n_tokens"
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+    )
+
+
 # --- §2.14 text cleaning / redaction ----------------------------------
 # The documents table is synthetic word soup with no PII/URLs, so
 # these queries STAMP deterministic patterns derived from doc_id into

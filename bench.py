@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "approx_quantile_bounds",
     "stream_tumbling_window",
+    "decontaminate",
+    "pack_sequences",
+    "training_set_pipeline",
 ]
 
 
