@@ -1509,7 +1509,7 @@ def q_docs_prep(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     scored = textan.quality_score(d)
     kept = scored.filter(F.col("quality") >= 0.75)
-    deduped = dedup.exact_dedup(kept)
+    deduped = dedup.exact_dedup(kept, strategy="shuffle")
     return (
         deduped.groupBy("source")
         .agg(
@@ -1950,7 +1950,9 @@ def q_training_set_pipeline(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     kept = textan.quality_score(d).filter(F.col("quality") >= 0.75)
-    deduped = dedup.exact_dedup(kept)
+    # shuffle strategy: the scored pipeline upstream is expensive —
+    # one payload shuffle beats re-evaluating the scoring twice
+    deduped = dedup.exact_dedup(kept, strategy="shuffle")
     packed = textprep.pack_sequences(
         deduped, 500, by="source", order_by="doc_id", token_col="n_tokens"
     )

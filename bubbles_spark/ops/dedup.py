@@ -42,14 +42,40 @@ from bubbles_spark.ops.textan import _tokens
 
 
 def exact_dedup(
-    df: DataFrame, content_cols: Sequence[str] = ("text",), id_col: str = "doc_id"
+    df: DataFrame,
+    content_cols: Sequence[str] = ("text",),
+    id_col: str = "doc_id",
+    strategy: str = "rescan",
 ) -> DataFrame:
     """Keep exactly one row per distinct content: the one with the
-    smallest id (deterministic at any parallelism).  Implemented as a
-    min-id aggregate on the content hash + self-join back, so the
-    shuffle carries (hash, id) pairs, not payloads."""
+    smallest id (deterministic at any parallelism).
+
+    Two physical strategies, same result:
+
+    * ``rescan`` (default) — min-id aggregate on the content hash +
+      semi-join back.  The shuffle carries (hash, id) pairs only, but
+      the INPUT PLAN EVALUATES TWICE (both semi-join sides).  Right
+      choice when df is a plain scan: parquet re-reads are cheap and
+      payload never shuffles.
+    * ``shuffle`` — window row_number over (hash, id): ONE evaluation
+      of the input, at the cost of shuffling full rows once.  Right
+      choice when df is an expensive upstream pipeline (scoring,
+      joins) that would be recomputed by ``rescan`` — the composed
+      training-set pipelines use this.
+    """
     key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
     hashed = df.withColumn("__key", key)
+    if strategy == "shuffle":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__key").orderBy(id_col)
+        return (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__key", "__rn")
+        )
+    if strategy != "rescan":
+        raise ValueError("strategy must be 'rescan' or 'shuffle'")
     winners = hashed.groupBy("__key").agg(F.min(id_col).alias(id_col))
     return (
         hashed.join(winners, ["__key", id_col], "left_semi").drop("__key")

@@ -173,3 +173,19 @@ def test_dup_clusters_singletons(spark):
     got = {r["doc_id"]: r["component"]
            for r in dedup.dup_clusters(df, pairs).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4}
+
+
+def test_exact_dedup_strategies_agree(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "doc_id long, text string",
+    )
+    from bubbles_spark.ops import dedup as dd
+
+    rescan = sorted(tuple(r) for r in dd.exact_dedup(df).collect())
+    shuffle = sorted(tuple(r) for r in dd.exact_dedup(df, strategy="shuffle").collect())
+    assert rescan == shuffle == [(1, "a"), (3, "b"), (5, "c")]
+    import pytest
+
+    with pytest.raises(ValueError):
+        dd.exact_dedup(df, strategy="sort")
