@@ -2290,6 +2290,46 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @_q(
+    "stream_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT event_type AS value, CAST(COUNT(*) AS BIGINT) AS record_count
+      FROM events GROUP BY 1
+    )
+    SELECT value, record_count,
+           ROUND(record_count * 1.0 / (SELECT COUNT(*) FROM events), 6) AS share
+    FROM c
+    WHERE record_count >= 0.05 * (SELECT COUNT(*) FROM events)
+    """,
+)
+def q_stream_heavy_hitters(spark, sf_dir):
+    # streaming twin of heavy_hitters: the running per-value counts
+    # are the STREAMING aggregation (complete mode — no watermark
+    # needed for a keyed running count); the share filter is batch
+    # post-processing over the drained sink, where the total is just
+    # a sum over the (tiny) count table
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    counts = stream.groupBy(F.col("event_type").alias("value")).agg(
+        F.count(F.lit(1)).alias("record_count")
+    )
+    out = sevents.run_batchlike(
+        counts, _stream_name("s_hh"), output_mode="complete"
+    )
+    total = out.agg(F.sum("record_count").alias("t"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .filter(F.col("record_count") >= 0.05 * F.col("t"))
+        .select(
+            "value",
+            "record_count",
+            F.round(F.col("record_count") / F.col("t"), 6).alias("share"),
+        )
+    )
+
+
+@_q(
     "stream_sessionize",
     """
     WITH b AS (
