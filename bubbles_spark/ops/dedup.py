@@ -552,11 +552,12 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    lsh_bits: int = 12,
+    lsh_bits: int | None = 12,
     lsh_tables: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
     dim: int | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine similarity.
 
@@ -581,10 +582,24 @@ def embedding_dup_pairs(
     expression instead of silently hashing to bucket 0 (the round-1
     latent bug).  Cosine computed in double precision.
     Returns (id_a, id_b, cosine).
+
+    Fixed ``lsh_bits`` does NOT scale: random-pair collisions grow
+    n²/2^bits, so the candidate set is quadratic once n outgrows the
+    bucket space (measured via tools/scale_smoke.py: alpha ≈ 1.5 at
+    16k vectors with 12 bits).  ``lsh_bits=None`` auto-sizes bits to
+    ceil(log2(n)) (clamped [8, 24]) for ~O(1) expected bucket
+    occupancy — candidates then grow ~n·tables·(bits+1) and the
+    multi-table OR keeps recall high.  The default stays fixed at 12
+    for plan determinism; pass None on corpora of unknown size.
     """
+    import math as _math
+
     from bubbles_spark.ops.vector import _bucketize_udf, _dot, _infer_dim, _norm_col
 
     dim = dim or _infer_dim(df, vec_col)
+    if lsh_bits is None:
+        n_vecs = df.count()
+        lsh_bits = min(24, max(8, _math.ceil(_math.log2(max(n_vecs, 2)))))
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -604,6 +619,23 @@ def embedding_dup_pairs(
         b_side = bkts.select(
             "__id", F.posexplode("__bkts").alias("__t", "__bucket")
         )
+        # skew guard (same contract as minhash max_bucket): REAL
+        # embedding distributions are anisotropic — a dense direction
+        # cone can put thousands of vectors in one (table, bucket),
+        # and the candidate join grows |bucket|² .  Measured via
+        # tools/scale_smoke.py with adversarially-concentrated
+        # vectors: alpha 2.45 (156s at 16k vectors) without the cap.
+        # A bucket that big means degenerate near-identical content,
+        # which exact dedup should have removed first; capped buckets
+        # drop out of THIS table but the pair can still collide in
+        # the other lsh_tables.
+        bucket_sizes = b_side.groupBy("__t", "__bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        b_side = b_side.join(
+            bucket_sizes.filter(F.col("__bn") <= max_bucket),
+            ["__t", "__bucket"],
+        ).drop("__bn")
         if multiprobe:
             # a-side probes each table's bucket plus its Hamming-1
             # neighbors: catches pairs whose sign patterns differ in

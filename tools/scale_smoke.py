@@ -1,0 +1,148 @@
+"""Scale-stress smoke: measure how the heavy operator family scales
+when the corpus is synthetically multiplied in memory.
+
+Builds k shifted copies of the sf documents/embeddings tables (ids
+offset per copy so dedup semantics stay meaningful) and times each
+heavy operator at k=1 and k=K, reporting the empirical scaling
+exponent alpha = log(t_K / t_1) / log(K).  Linear-time operators show
+alpha ≈ 1 (plus fixed overhead pulling it below 1 on small inputs);
+a quadratic blowup shows alpha ≈ 2 and is a design regression.
+
+Usage: python tools/scale_smoke.py [K]       (default 8)
+Prints one JSON line: {"k": K, "ops": {name: {"t1": s, "tk": s,
+"alpha": a}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def scaled(df, k: int, id_col: str):
+    """k shifted copies, each PERTURBED to be dissimilar to the other
+    copies: an exact union would plant k-cliques of duplicates, making
+    the operator's OUTPUT grow as k² and poisoning the timing exponent
+    (measured: alpha 1.5 with exact copies vs ~1 with perturbed ones).
+    Text copies rotate the consonant alphabet (every token changes,
+    within-copy near-dup structure intact); embedding copies apply a
+    distinct per-copy diagonal ±1 orthogonal transform (within-copy
+    cosines preserved exactly, cross-copy decorrelated)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    alpha = "bcdfghjklm"
+    copies = []
+    for i in range(k):
+        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
+        if "text" in df.columns:
+            rot = alpha[i % len(alpha) :] + alpha[: i % len(alpha)]
+            c = c.withColumn("text", F.translate("text", alpha, rot))
+        if "embedding" in df.columns and i > 0:
+            # per-copy diagonal ±1 transform: ORTHOGONAL, so every
+            # within-copy pairwise cosine is preserved exactly (the
+            # dup structure each copy contributes stays identical),
+            # while cross-copy cosines decorrelate.  An additive
+            # shift instead concentrates each copy into one direction
+            # cone and manufactures O(n²) GENUINE near-dup pairs —
+            # that measures output explosion, not operator scaling.
+            # The sign pattern must be DISTINCT per copy (a parity
+            # formula gives only 2 patterns → same-parity copies
+            # carry identical vectors → cross-copy dup cliques).
+            import random as _random
+
+            rng = _random.Random(7_654_321 + i)
+            signs = [float(rng.choice((-1.0, 1.0))) for _ in range(64)]
+            sign_arr = F.array(*[F.lit(s) for s in signs])
+
+            def _flip(arr):
+                return lambda x, j: (x * F.element_at(arr, j + 1)).cast("float")
+
+            c = c.withColumn("embedding", F.transform("embedding", _flip(sign_arr)))
+        copies.append(c)
+    return reduce(lambda a, b: a.unionByName(b), copies)
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.io import load_table
+    from bubbles_spark.ops import dedup, textan, textprep, vector
+    from bubbles_spark.session import get_spark
+
+    spark = get_spark("scale_smoke")
+    docs = load_table(spark, SF_DIR, "documents")
+    embs = load_table(spark, SF_DIR, "embeddings")
+
+    def run(build, df):
+        out = build(df)
+        t0 = time.time()
+        out.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    OPS = {
+        "exact_dedup": (docs, "doc_id", lambda d: dedup.exact_dedup(d)),
+        "minhash_dedup_pairs": (
+            docs,
+            "doc_id",
+            lambda d: dedup.minhash_dedup_pairs(d, threshold=0.8),
+        ),
+        "simhash_dedup_pairs": (
+            docs,
+            "doc_id",
+            lambda d: dedup.simhash_dedup_pairs(d),
+        ),
+        "quality_score": (docs, "doc_id", lambda d: textan.quality_score(d)),
+        "repetition_ratio": (
+            docs,
+            "doc_id",
+            lambda d: textprep.repetition_ratio(d, n=2),
+        ),
+        "paragraph_dedup": (docs, "doc_id", lambda d: textprep.paragraph_dedup(d)),
+        "embedding_dup_pairs_lsh": (
+            embs,
+            "emb_id",
+            lambda d: dedup.embedding_dup_pairs(d, id_col="emb_id", threshold=0.99, lsh_bits=None),
+        ),
+    }
+    # fix the embeddings id column name to whatever the table has
+    emb_id = "doc_id" if "doc_id" in embs.columns else embs.columns[0]
+
+    results = {}
+    for name, (df, id_col, build) in OPS.items():
+        if df is embs:
+            id_col = emb_id
+            build_fixed = lambda d: dedup.embedding_dup_pairs(
+                d, id_col=emb_id, threshold=0.99, lsh_bits=None
+            )
+        else:
+            build_fixed = build
+        # warm once at k=1 (JIT/codegen), then measure
+        run(build_fixed, df)
+        t1 = run(build_fixed, df)
+        tk = run(build_fixed, scaled(df, k, id_col))
+        alpha = math.log(max(tk, 1e-3) / max(t1, 1e-3)) / math.log(k)
+        results[name] = {
+            "t1": round(t1, 2),
+            "tk": round(tk, 2),
+            "alpha": round(alpha, 2),
+        }
+        print(f"# {name}: t1={t1:.2f}s t{k}={tk:.2f}s alpha={alpha:.2f}", file=sys.stderr)
+
+    print(json.dumps({"k": k, "sf_dir": SF_DIR, "ops": results}))
+    worst = max(r["alpha"] for r in results.values())
+    return 0 if worst < 1.5 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
