@@ -265,12 +265,13 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
-    bits: int = 8,
+    bits: int | None = 8,
     tables: int = 8,
     seed: int = 42,
     multiprobe: bool = True,
     exclude_self: bool = True,
     dim: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE random-hyperplane LSH:
     ``tables`` independent ``bits``-plane sign hashes (AND within a
@@ -282,9 +283,22 @@ def cosine_topk_lsh(
     lifts it to 1-(1-p_t)^8.  Candidate set still shrinks ~2^bits/
     (tables·(bits+1)) fold vs brute force.
 
-    ``dim`` inferred from the corpus when not given (one tiny job)."""
+    ``dim`` inferred from the corpus when not given (one tiny job).
+    ``bits=None`` auto-sizes to ceil(log2(|corpus|)) (clamped
+    [8, 24]) so expected bucket occupancy — and with it per-query
+    candidate cost — stays O(1) as the corpus grows (same collision
+    math as embedding_dup_pairs; see tools/scale_smoke.py).
+    ``broadcast_queries=True`` (the contract: a query batch fits in
+    executor memory) keeps the probe join map-side over the corpus —
+    no corpus shuffle at any size; set False for huge query sets to
+    fall back to a shuffled equi-join on (table, bucket)."""
+    import math as _math
+
     qid = query_id_col or id_col
     dim = dim or _infer_dim(corpus, vec_col)
+    if bits is None:
+        n_corpus = corpus.count()
+        bits = min(24, max(8, _math.ceil(_math.log2(max(n_corpus, 2)))))
     bucketize = _bucketize_udf(bits, tables, seed, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -318,7 +332,10 @@ def cosine_topk_lsh(
     else:
         q = q.withColumn("__bucket", F.col("__qb"))
 
-    joined = c.join(F.broadcast(q.drop("__qb")), ["__t", "__bucket"])
+    q_side = q.drop("__qb")
+    joined = c.join(
+        F.broadcast(q_side) if broadcast_queries else q_side, ["__t", "__bucket"]
+    )
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
     sim = joined.withColumn(
