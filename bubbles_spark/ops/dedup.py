@@ -499,7 +499,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int = 10000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity join on word-n-gram sets via inverted
     index: explode distinct shingles → self-join on shingle →
@@ -507,11 +507,19 @@ def ngram_jaccard_pairs(
 
     ``max_doc_freq`` drops stop-shingles (doc frequency above the cap)
     before the join — the standard skew guard; a shingle in m docs
-    contributes m² join rows.  Set sizes are computed AFTER the
+    contributes m² join rows.  The default (None) auto-sizes the cap
+    to 1% of the corpus (min 100) — the classic stop-term df cut.  A
+    FIXED absolute cap is scale-fragile in both directions: 10k
+    never fires on a small corpus with a small vocabulary (measured
+    via tools/scale_smoke.py: 75s for 5000 word-soup docs at n=1,
+    every term in ~half the docs) and fires on every shingle once
+    the corpus is big enough.  Set sizes are computed AFTER the
     frequency filter, so the result is the exact Jaccard of the
     frequency-filtered shingle sets (standard practice; mixing
     pre-filter sizes with post-filter intersections would
     systematically underestimate).  Returns (id_a, id_b, jaccard)."""
+    if max_doc_freq is None:
+        max_doc_freq = max(100, int(0.01 * df.count()))
     sh = with_shingles(df, text_col, n).select(
         F.col(id_col).alias("__id"), F.explode("shingles").alias("__g")
     )

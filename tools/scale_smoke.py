@@ -109,6 +109,12 @@ def main() -> int:
             lambda d: textprep.repetition_ratio(d, n=2),
         ),
         "paragraph_dedup": (docs, "doc_id", lambda d: textprep.paragraph_dedup(d)),
+        "ngram_jaccard_pairs": (
+            docs,
+            "doc_id",
+            lambda d: dedup.ngram_jaccard_pairs(d, n=1, threshold=0.5),
+        ),
+        "tf_idf": (docs, "doc_id", lambda d: textan.tf_idf(d)),
         "embedding_dup_pairs_lsh": (
             embs,
             "emb_id",
