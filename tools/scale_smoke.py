@@ -83,6 +83,11 @@ def main() -> int:
     spark = get_spark("scale_smoke")
     docs = load_table(spark, SF_DIR, "documents")
     embs = load_table(spark, SF_DIR, "embeddings")
+    events = load_table(spark, SF_DIR, "events")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    nation = load_table(spark, SF_DIR, "nation")
+    customer = load_table(spark, SF_DIR, "customer")
 
     def run(build, df):
         out = build(df)
@@ -124,7 +129,74 @@ def main() -> int:
     # fix the embeddings id column name to whatever the table has
     emb_id = "doc_id" if "doc_id" in embs.columns else embs.columns[0]
 
+    # --- relational family: facts scaled with CONSISTENT keys --------
+    # (copies offset every join/group key by the same stride, so the
+    # join fan-out per key is invariant and only the row count grows —
+    # the "more customers, more orders" scale-out axis)
+    def scaled_rel(k: int):
+        from functools import reduce as _reduce
+
+        def copies(df, key_cols):
+            out = []
+            for i in range(k):
+                c = df
+                for col in key_cols:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * 100_000_000))
+                out.append(c)
+            return _reduce(lambda a, b: a.unionByName(b), out)
+
+        return {
+            "lineitem": copies(lineitem, ["l_orderkey"]),
+            "orders": copies(orders, ["o_orderkey", "o_custkey"]),
+            "customer": copies(customer, ["c_custkey"]),
+            "events": copies(events, ["event_id", "user_id"]),
+        }
+
+    def flagship(t):
+        from bubbles_spark.ops import core
+
+        e = core.join_details(
+            core.join_details(
+                core.join_details(
+                    core.filter_by_value(t["lineitem"], "l_returnflag", "R"),
+                    t["orders"], "l_orderkey", "o_orderkey", broadcast_detail=False,
+                ),
+                t["customer"], "o_custkey", "c_custkey", broadcast_detail=False,
+            ),
+            nation, "c_nationkey", "n_nationkey",
+        )
+        rev = e.withColumn("rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        return rev.groupBy("n_name").agg(F.sum("rev").alias("rev_sum"))
+
+    def sessionize_op(t):
+        from bubbles_spark.ops import events as ev
+
+        return ev.sessionize(t["events"], "ts", "user_id", 30.0)
+
+    def rollup_op(t):
+        from bubbles_spark.ops import events as ev
+
+        return ev.time_bucket_rollup(
+            t["events"], "ts", ["1 hour", "1 day"], measures=[("value", "sum")]
+        )
+
+    REL_OPS = {
+        "flagship_join_agg": flagship,
+        "sessionize": sessionize_op,
+        "time_bucket_rollup": rollup_op,
+    }
+
     results = {}
+    base = scaled_rel(1)
+    big = scaled_rel(k)
+    for name, build in REL_OPS.items():
+        run(build, base)
+        t1 = run(build, base)
+        tk = run(build, big)
+        alpha = math.log(max(tk, 1e-3) / max(t1, 1e-3)) / math.log(k)
+        results[name] = {"t1": round(t1, 2), "tk": round(tk, 2), "alpha": round(alpha, 2)}
+        print(f"# {name}: t1={t1:.2f}s t{k}={tk:.2f}s alpha={alpha:.2f}", file=sys.stderr)
+
     for name, (df, id_col, build) in OPS.items():
         if df is embs:
             id_col = emb_id
