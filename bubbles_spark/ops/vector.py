@@ -361,7 +361,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
-    n_centroids: int = 64,
+    n_centroids: int | None = 64,
     n_probe: int = 8,
     train_sample: int = 20000,
     kmeans_iters: int = 8,
@@ -389,7 +389,14 @@ def cosine_topk_ivf(
     exact); clustered real-world embeddings need far fewer probes
     than uniform-random test data.  Ties after the 6dp round break by
     neighbor id — same contract as cosine_topk.
+
+    ``n_centroids=None`` auto-sizes to ceil(sqrt(n)) (the standard
+    IVF sizing, clamped [16, 65536]): probed candidates then stay
+    ~n_probe·sqrt(n) instead of a fixed fraction of the corpus —
+    same growth discipline as the auto-sized LSH bits.
     """
+    import math as _math
+
     import numpy as np
 
     qid = query_id_col or id_col
@@ -397,6 +404,8 @@ def cosine_topk_ivf(
 
     # -- 1. train centroids on a seeded sample (driver numpy) ---------
     n_total = corpus.count()
+    if n_centroids is None:
+        n_centroids = min(65536, max(16, _math.ceil(_math.sqrt(max(n_total, 1)))))
     frac = min(1.0, train_sample / max(n_total, 1))
     sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).collect()
     mat = np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample])

@@ -227,6 +227,41 @@ def sessionize_stream(
     )
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_s: int = 120,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Streaming sink to a parquet directory (availableNow — drain
+    everything currently available, then stop) and return a batch
+    reader over the written files.
+
+    The checkpoint directory gives exactly-once file-sink semantics:
+    a restart resumes from the last committed offsets and never
+    rewrites a committed file — the production streaming→lake path
+    (this is the streaming twin of FileStore.create).  Partitioning
+    columns propagate to the directory layout, so downstream batch
+    reads get partition pruning over the streamed output."""
+    spark = stream_df.sparkSession
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(path)
+
+
 def run_batchlike(
     stream_df: DataFrame,
     query_name: str = "stream_out",
