@@ -1892,6 +1892,60 @@ def q_scd2_merge(spark, sf_dir):
     )
 
 
+# --- §2.9 retype / missing-value / date parsing ------------------------
+@_q(
+    "fill_missing",
+    """
+    SELECT doc_id, COALESCE(lang, 'und') AS lang,
+           COALESCE(source, 'unknown') AS source
+    FROM documents
+    """,
+)
+def q_fill_missing(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.fill_missing(d, {"lang": "und", "source": "unknown"}).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_q(
+    "retype",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS l_quantity,
+           CAST(l_orderkey AS VARCHAR) AS okey_str,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_num
+    FROM lineitem
+    """,
+)
+def q_retype(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "okey_str", F.col("l_orderkey")
+    ).withColumn("flag_num", F.col("l_returnflag"))
+    out = text.retype(
+        li, {"l_quantity": "bigint", "okey_str": "string", "flag_num": "double"}
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "okey_str", "flag_num"
+    )
+
+
+@_q(
+    "parse_date",
+    """
+    SELECT o_orderkey, TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS parsed
+    FROM orders
+    """,
+)
+def q_parse_date(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "datestr", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    return text.parse_date(o, "datestr", "yyyy-MM-dd", out="parsed").select(
+        "o_orderkey", "parsed"
+    )
+
+
 # --- §2.14 composed training-set pipeline ------------------------------
 @_q(
     "training_set_pipeline",

@@ -128,3 +128,33 @@ def transliterate(df: DataFrame, fields: str | Sequence[str]) -> DataFrame:
     field_list = [fields] if isinstance(fields, str) else list(fields)
     cols = {f: F.translate(F.col(f), _ACCENTS, _PLAIN) for f in field_list}
     return df.withColumns(cols)
+
+
+def fill_missing(df: DataFrame, values: dict) -> DataFrame:
+    """Substitute each field's declared missing value for NULLs —
+    the operator form of the reference's ``Field.missing_value``
+    metadata (bubbles/metadata.py::Field carries missing_value per
+    field; the reference applies it inside sources).  One coalesce
+    per field, map-only."""
+    cols = {f: F.coalesce(F.col(f), F.lit(v)) for f, v in values.items()}
+    return df.withColumns(cols)
+
+
+def retype(df: DataFrame, types: dict) -> DataFrame:
+    """Cast fields to new storage types (the reference's ``retype``
+    metadata operation — bubbles field storage_type changes; Spark
+    ANSI mode makes bad casts ERRORS, so ``try_cast`` keeps the
+    reference's lenient coerce-or-None semantics).  Map-only."""
+    cols = {f: F.col(f).try_cast(t) for f, t in types.items()}
+    return df.withColumns(cols)
+
+
+def parse_date(
+    df: DataFrame, field: str, fmt: str = "yyyy-MM-dd", out: str | None = None
+) -> DataFrame:
+    """Parse a string field into a date with an explicit format —
+    lenient (NULL on mismatch, matching the reference's coercion
+    behavior; ``to_date`` under ANSI raises, so try_to_date)."""
+    return df.withColumn(
+        out or field, F.expr(f"try_to_date({field}, '{fmt}')")
+    )

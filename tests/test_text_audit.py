@@ -87,3 +87,22 @@ def test_probes(people):
     assert probes.assert_missing(people, "label", "zz") is people
     with pytest.raises(probes.ProbeAssertionError):
         probes.assert_missing(people, "label", "a")
+
+
+def test_fill_missing_retype_parse_date(spark):
+    from bubbles_spark.ops import text as tx
+
+    df = spark.createDataFrame(
+        [(1, None, "12", "2024-01-31"), (2, "x", "bad", "nope")],
+        "id long, s string, num string, d string",
+    )
+    filled = {r["id"]: r["s"] for r in tx.fill_missing(df, {"s": "?"}).collect()}
+    assert filled == {1: "?", 2: "x"}
+
+    typed = {r["id"]: r["num"] for r in tx.retype(df, {"num": "int"}).collect()}
+    assert typed == {1: 12, 2: None}  # lenient: bad cast -> NULL, not ANSI error
+
+    parsed = {r["id"]: r["d"] for r in tx.parse_date(df, "d").collect()}
+    import datetime as dt
+
+    assert parsed == {1: dt.date(2024, 1, 31), 2: None}
