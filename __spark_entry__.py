@@ -2384,6 +2384,40 @@ def q_stream_heavy_hitters(spark, sf_dir):
 
 
 @_q(
+    "stream_static_join",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    # stream-static enrichment: the event stream joins a static
+    # dimension (re-read per microbatch — the standard streaming
+    # lookup-join; Spark broadcasts the dim side under the
+    # autoBroadcastJoinThreshold exactly as in batch), then a
+    # complete-mode keyed aggregation.  Deterministic: no watermark
+    # semantics involved.
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        customer, stream["user_id"] == customer["c_custkey"], "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.sum("value").alias("value_sum"),
+    )
+    out = sevents.run_batchlike(
+        agg, _stream_name("s_static_join"), output_mode="complete"
+    )
+    return out.withColumn("value_sum", F.round("value_sum", 2))
+
+
+@_q(
     "stream_sessionize",
     """
     WITH b AS (
