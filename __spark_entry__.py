@@ -2418,6 +2418,71 @@ def q_stream_static_join(spark, sf_dir):
 
 
 @_q(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           ROUND((epoch(p.ts) - epoch(c.ts)) / 60.0, 3) AS minutes_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    # stream-stream interval join (click → purchase attribution):
+    # both sides watermarked, the join condition carries the
+    # event-time bound that lets Spark expire buffered state.  With
+    # the finite one-batch input every qualifying pair emits —
+    # deterministic, so the oracle is the plain batch interval join.
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "inner",
+    )
+    out = sevents.run_batchlike(joined, _stream_name("s_ssj"))
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round(
+            (
+                F.col("purchase_ts").cast("double")
+                - F.col("click_ts").cast("double")
+            )
+            / 60.0,
+            3,
+        ).alias("minutes_to_purchase"),
+    )
+
+
+@_q(
     "stream_sessionize",
     """
     WITH b AS (
