@@ -136,6 +136,42 @@ class FileStore(DataStore):
             writer = writer.partitionBy(*partition_by)
         writer.save(self._file(name))
 
+    def upsert(
+        self,
+        name: str,
+        updates: DataFrame,
+        keys: str | Sequence[str],
+    ) -> None:
+        """SCD type-1 merge into a stored object: rows whose key
+        matches an update are REPLACED, new keys are appended,
+        unmatched existing rows are kept (the MERGE
+        WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT shape — the
+        dimension-maintenance twin of ops.core.scd2_merge, which
+        versions instead of replacing).
+
+        Without a transactional table format this is read-merge-
+        rewrite: an anti-join keeps the non-matching rows, the
+        updates union on, and the result REWRITES the object (staged
+        to a temp object then renamed, so a mid-write failure leaves
+        the original intact; concurrent writers still need a real
+        lakehouse format — at 100 TB use partition_by so only touched
+        partitions rewrite via dynamic overwrite).
+        """
+        key_list = [keys] if isinstance(keys, str) else list(keys)
+        if not self.exists(name):
+            self.create(name, from_obj=updates)
+            return
+        current = self.get_object(name)
+        merged = current.join(
+            updates.select(*key_list).dropDuplicates(key_list), key_list, "left_anti"
+        ).unionByName(updates)
+        tmp = f"__upsert_tmp_{name}"
+        self.create(tmp, from_obj=merged, replace=True)
+        import shutil
+
+        shutil.rmtree(self._file(name))
+        os.rename(self._file(tmp), self._file(name))
+
 
 class ParquetStore(FileStore):
     format = "parquet"

@@ -175,3 +175,30 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
     assert back.count() == 100
+
+
+def test_filestore_upsert(spark, tmp_path):
+    """SCD1 merge: matched keys replaced, new keys appended, others
+    kept; a repeated identical upsert is idempotent."""
+    from bubbles_spark.io import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    store.create("dim", from_obj=base)
+
+    ups = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    store.upsert("dim", ups, "k")
+    got = {r["k"]: (r["v"], r["x"]) for r in store.get_object("dim").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    store.upsert("dim", ups, "k")  # idempotent
+    again = {r["k"]: (r["v"], r["x"]) for r in store.get_object("dim").collect()}
+    assert again == got
+
+    # upsert into a missing object just creates it
+    store.upsert("fresh", ups, "k")
+    assert store.get_object("fresh").count() == 2
