@@ -17,7 +17,7 @@ repository; /root/reference was empty at survey time).
 
 from bubbles_spark.schema import Field, FieldList, FieldFilter, to_field
 from bubbles_spark.session import get_spark
-from bubbles_spark.pipeline import Pipeline
+from bubbles_spark.pipeline import ExecutionContext, Pipeline
 from bubbles_spark import io, ops, probes
 
 __version__ = "0.1.0"
@@ -29,6 +29,7 @@ __all__ = [
     "to_field",
     "get_spark",
     "Pipeline",
+    "ExecutionContext",
     "io",
     "ops",
     "probes",

@@ -203,3 +203,36 @@ class Pipeline:
             except Exception:
                 return self.df.count()
         return self.df.count()
+
+
+class _OpNamespace:
+    """Attribute-dispatch view over the operation catalog."""
+
+    def __getattr__(self, name: str) -> Callable[..., DataFrame]:
+        try:
+            return _CATALOG[name]
+        except KeyError:
+            raise AttributeError(f"no operation named {name!r}") from None
+
+    def __dir__(self):  # tab-completion over the catalog
+        return sorted(_CATALOG)
+
+
+class ExecutionContext:
+    """Direct operation-call surface (SURVEY.md §3.2 —
+    bubbles/execution/context.py::ExecutionContext): ``ctx.op.<name>(
+    df, ...)`` resolves the operation from the same catalog the
+    Pipeline facade uses and calls it immediately (lazily — it
+    returns a DataFrame).  The reference's representation dispatch
+    and RetryOperation re-dispatch disappear: Catalyst is the single
+    representation.
+
+    >>> ctx = ExecutionContext()
+    >>> out = ctx.op.distinct(df, "c_mktsegment")
+    """
+
+    def __init__(self) -> None:
+        self.op = _OpNamespace()
+
+    def operation_names(self) -> list[str]:
+        return sorted(_CATALOG)

@@ -100,3 +100,17 @@ def test_pipeline_dispatches_round2_ops(spark):
     )
     masked = Pipeline(spark=spark).source_df(docs).pii_mask().fetch_all()
     assert masked[0]["text"] == "mail <EMAIL> here"
+
+
+def test_execution_context_direct_calls(spark):
+    from bubbles_spark.pipeline import ExecutionContext
+
+    ctx = ExecutionContext()
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, g string")
+    out = ctx.op.distinct(df, "g")
+    assert sorted(r["g"] for r in out.collect()) == ["a", "b"]
+    assert "aggregate" in ctx.operation_names()
+    import pytest
+
+    with pytest.raises(AttributeError):
+        ctx.op.no_such_operation
