@@ -166,3 +166,70 @@ def test_zscore_matches_pandas(spark, rows):
             else:
                 assert got[r["i"]] is not None
                 assert math.isclose(got[r["i"]], (r["x"] - grp["x"].mean()) / sd, rel_tol=1e-9, abs_tol=1e-12)
+
+
+_scd_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.sampled_from(["a", "b", "c"])), max_size=8
+).map(lambda rs: list({k: (k, v) for k, v in rs}.values()))  # unique keys
+
+
+@_slow
+@given(dim0=_scd_rows, snap=_scd_rows)
+def test_scd2_merge_matches_brute_force(spark, dim0, snap):
+    import datetime as dt
+
+    from bubbles_spark.ops import core
+
+    t0, t1 = dt.date(2020, 1, 1), dt.date(2021, 1, 1)
+    dim = spark.createDataFrame(
+        [(k, v, t0, None, True) for k, v in dim0],
+        "k long, attr string, valid_from date, valid_to date, is_current boolean",
+    )
+    sdf = spark.createDataFrame(snap or [(99, "z")], "k long, attr string")
+    if not snap:
+        sdf = sdf.limit(0)
+    got = {tuple(r) for r in core.scd2_merge(dim, sdf, "k", ["attr"], t1).collect()}
+
+    cur = dict(dim0)
+    new = dict(snap)
+    expect = set()
+    for k, v in cur.items():
+        if k in new and new[k] == v:
+            expect.add((k, v, t0, None, True))          # unchanged
+        else:
+            expect.add((k, v, t0, t1, False))           # changed or gone → closed
+            if k in new:
+                expect.add((k, new[k], t1, None, True)) # new version
+    for k, v in new.items():
+        if k not in cur:
+            expect.add((k, v, t1, None, True))          # brand new
+    assert got == expect
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=1, max_size=4),
+        max_size=6,
+    )
+)
+def test_paragraph_dedup_matches_brute_force(spark, docs):
+    from bubbles_spark.ops import textprep
+
+    sep = "\n\n"
+    rows = [(i, sep.join(ps)) for i, ps in enumerate(docs)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in textprep.paragraph_dedup(df).collect()}
+
+    seen = set()
+    expect = {}
+    for i, ps in enumerate(docs):
+        kept = []
+        for p in ps:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        expect[i] = sep.join(kept)
+    assert got == expect
