@@ -96,8 +96,12 @@ def zscore_normalize(
         for c in (F.avg(f).alias(f"__mu_{f}"), std_fn(f).alias(f"__sd_{f}"))
     ]
     if by_list:
+        # no forced broadcast: the stats side is |groups| rows — tiny
+        # for typical segmentations (AQE broadcasts it), but a forced
+        # hint would OOM on million-group keys (round-1 lesson: size-
+        # gate hints, don't hardcode them)
         agg = df.groupBy(*by_list).agg(*stats)
-        joined = df.join(F.broadcast(agg), by_list, "left")
+        joined = df.join(agg, by_list, "left")
     else:
         joined = df.crossJoin(F.broadcast(df.agg(*stats)))
     for f in field_list:
