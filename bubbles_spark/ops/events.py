@@ -16,7 +16,6 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from bubbles_spark.ops.core import _AGG_FUNCS
 

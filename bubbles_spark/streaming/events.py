@@ -12,7 +12,6 @@ documented pattern for deterministic streaming tests.
 
 from __future__ import annotations
 
-import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession

@@ -77,7 +77,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from bubbles_spark.io import load_table
-    from bubbles_spark.ops import dedup, textan, textprep, vector
+    from bubbles_spark.ops import dedup, textan, textprep
     from bubbles_spark.session import get_spark
 
     spark = get_spark("scale_smoke")
