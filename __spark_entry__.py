@@ -2211,6 +2211,136 @@ def q_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "source", "seq_id")
 
 
+@_q(
+    "normalize_text",
+    r"""
+    SELECT doc_id,
+           lower(trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                   '[!-/:-@\[-`{-~]', ' ', 'g'),
+               '\s+', ' ', 'g'))) AS text
+    FROM documents
+    """,
+)
+def q_normalize_text(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.normalize_text(d, strip_punct=True).select("doc_id", "text")
+
+
+@_q(
+    "chunk_documents",
+    """
+    WITH n AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0,
+                   greatest(1, CAST(ceil((length(text) - 20) / 80.0) AS BIGINT)) - 1
+               )) AS chunk_id
+        FROM documents)
+    SELECT doc_id, chunk_id,
+           substr(text, CAST(chunk_id * 80 + 1 AS INT), 100) AS chunk
+    FROM n
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    # chunk 100 chars, 20 overlap (step 80); oracle recomputes the
+    # identical offsets with generate_series + substr
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.chunk_documents(d, chunk_size=100, overlap=20)
+
+
+_MIX_BUDGETS = {"src0": 800, "src1": 1500, "src2": 300}
+
+
+@_q(
+    "mixture_sample",
+    f"""
+    WITH t AS (
+        SELECT *, {_NTOK_SQL} AS __ntok,
+               md5(CAST(doc_id AS VARCHAR)) AS __ord
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+    p AS (
+        SELECT *,
+               SUM(__ntok) OVER (PARTITION BY source ORDER BY __ord, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - __ntok AS __pre,
+               CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 1500
+                           ELSE 300 END AS __b
+        FROM t)
+    SELECT doc_id, text, lang, source, n_chars FROM p WHERE __pre < __b
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    # deterministic md5-order token-budget fill — the oracle replays
+    # the same hash order and running sum, so the admitted set is
+    # exact, not statistical
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.mixture_sample(d, _MIX_BUDGETS)
+
+
+@_q(
+    "fuzzy_dedup_pairs",
+    """
+    WITH t AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM t a JOIN t b
+      ON a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 3
+    """,
+)
+def q_fuzzy_dedup_pairs(spark, sf_dir):
+    # PassJoin candidates + bounded verify vs the oracle's O(n²)
+    # brute force — an exact completeness check of the segment
+    # pigeonhole candidate generation (40-char keys keep the oracle's
+    # quadratic side affordable at sf0.01)
+    from bubbles_spark.ops import dedup as dd
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "t", F.expr("substr(text, 1, 40)")
+    )
+    return dd.fuzzy_dedup_pairs(d, text_col="t", max_dist=3)
+
+
+@_q(
+    "stratified_sample_bounds",
+    """
+    SELECT '' AS lang, CAST(0 AS BIGINT) AS sampled,
+           CAST(0 AS BIGINT) AS stratum_n, 0.0 AS fraction
+    WHERE FALSE
+    """,
+)
+def q_stratified_sample_bounds(spark, sf_dir):
+    # Bernoulli stratified sampling is seeded-random, so the admitted
+    # set is engine-specific — but its GUARANTEES are exact: no rows
+    # from unlisted strata, and per-stratum counts within 6σ binomial
+    # bounds.  Violations survive; oracle = the empty set.
+    d = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "es": 0.2}
+    s = core.stratified_sample(d, "lang", fractions, seed=42)
+    per = s.groupBy("lang").agg(F.count(F.lit(1)).alias("sampled"))
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("stratum_n"))
+    frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    joined = (
+        per.join(totals, "lang", "left")
+        .withColumn("fraction", frac[F.col("lang")])
+        .withColumn("__mu", F.col("stratum_n") * F.col("fraction"))
+        .withColumn(
+            "__sigma",
+            F.sqrt(F.col("stratum_n") * F.col("fraction") * (1 - F.col("fraction"))),
+        )
+    )
+    bad = joined.filter(
+        F.col("fraction").isNull()  # sampled a stratum not in fractions
+        | (F.abs(F.col("sampled") - F.col("__mu")) > 6 * F.col("__sigma") + 1)
+    )
+    return bad.select("lang", "sampled", "stratum_n", F.col("fraction").cast("double").alias("fraction"))
+
+
 # --- §2.6 sketches with verifiable bounds ------------------------------
 @_q(
     "approx_distinct_bounds",

@@ -694,3 +694,172 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------
+# Edit-distance similarity join (PassJoin-style)
+# ---------------------------------------------------------------------
+
+
+def fuzzy_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT edit-distance similarity join: all pairs with
+    ``levenshtein(a, b) <= max_dist``, found WITHOUT the O(n²)
+    cross join.  Returns (id_a, id_b, dist) with id_a < id_b.
+
+    Candidate generation is the partition/pigeonhole scheme of
+    PassJoin (Li, Deng, Feng, Wang, VLDB 2012 — public literature):
+    split every string into ``d+1`` contiguous even segments; if
+    edit(s, t) <= d then at least one segment of s occurs VERBATIM in
+    t, shifted by at most d — so an equality join on (source length,
+    segment index, segment text) against substrings of the other side
+    at the (2d+1) allowed shifts finds every true pair.  Candidates
+    are then verified with the threshold-bounded ``levenshtein(l, r,
+    d)`` (early-exit band DP, JVM-side).
+
+    Scale shape: the index side emits d+1 rows/doc, the probe side
+    O(d³) rows/doc (75 at d=2) — the join shuffles (key, id) pairs
+    only, never full texts; texts are joined back only onto surviving
+    candidate pairs.  Strings shorter than ~4d chars (degenerate
+    segments) fall back to an exact length-band self-join — bounded,
+    since only |len diff| <= d pairs are admitted.  ``max_bucket``
+    optionally drops candidate keys hotter than the cap (the minhash
+    skew guard); it is OFF by default because a firing cap breaks the
+    exactness guarantee — turn it on when near-identical boilerplate
+    makes single segments corpus-frequent.
+    """
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError("max_dist must be >= 0")
+    P = d + 1
+    # below this length the even split degenerates (zero-length
+    # segments match everywhere); above SHORT - d every segment has
+    # >= 1 char.  The band (SHORT-d, SHORT] belongs to BOTH paths so
+    # short/long straddling pairs are never missed.
+    SHORT = 4 * d + 4
+
+    t = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__s"),
+    ).withColumn("__l", F.length("__s"))
+    long_t = t.filter(F.col("__l") > SHORT - d)
+    short_t = t.filter(F.col("__l") <= SHORT)
+
+    # --- index side: the d+1 even segments of each long string
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(d)),
+        lambda i: F.struct(
+            i.cast("int").alias("i"),
+            F.col("__s")
+            .substr(
+                (F.floor(i * F.col("__l") / P) + 1).cast("int"),
+                (
+                    F.floor((i + 1) * F.col("__l") / P)
+                    - F.floor(i * F.col("__l") / P)
+                ).cast("int"),
+            )
+            .alias("seg"),
+        ),
+    )
+    idx = (
+        long_t.select("__id", "__l", F.explode(seg_structs).alias("g"))
+        .select(
+            "__id",
+            F.col("__l").alias("__kl"),
+            F.col("g.i").alias("__ki"),
+            F.col("g.seg").alias("__kseg"),
+        )
+    )
+
+    # --- probe side: substrings of each long string at every
+    # (indexed-length delta, segment index, shift) combination
+    combos = F.array(
+        *[
+            F.struct(
+                F.lit(dl).alias("dl"), F.lit(i).alias("i"), F.lit(sh).alias("sh")
+            )
+            for dl in range(-d, d + 1)
+            for i in range(0, d + 1)
+            for sh in range(-d, d + 1)
+        ]
+    )
+    probe = long_t.select("__id", "__s", "__l", F.explode(combos).alias("__c"))
+    kl = F.col("__l") + F.col("__c.dl")
+    start = (F.floor(F.col("__c.i") * kl / P) + F.col("__c.sh")).cast("int")
+    seglen = (
+        F.floor((F.col("__c.i") + 1) * kl / P) - F.floor(F.col("__c.i") * kl / P)
+    ).cast("int")
+    probe = (
+        probe.withColumn("__kl", kl)
+        .withColumn("__start", start)
+        .withColumn("__seglen", seglen)
+        .filter(
+            (F.col("__kl") > SHORT - d)
+            & (F.col("__start") >= 0)
+            & (F.col("__seglen") > 0)
+            & (F.col("__start") + F.col("__seglen") <= F.col("__l"))
+        )
+        .select(
+            F.col("__id").alias("__pid"),
+            "__kl",
+            F.col("__c.i").alias("__ki"),
+            F.col("__s")
+            .substr(F.col("__start") + 1, F.col("__seglen"))
+            .alias("__kseg"),
+        )
+    )
+
+    if max_bucket is not None:
+        hot = (
+            idx.groupBy("__kl", "__ki", "__kseg")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("__kl", "__ki", "__kseg")
+        )
+        idx = idx.join(hot, ["__kl", "__ki", "__kseg"])
+
+    cand_long = (
+        idx.join(probe, ["__kl", "__ki", "__kseg"])
+        .filter(F.col("__id") != F.col("__pid"))
+        .select(
+            F.least("__id", "__pid").alias("id_a"),
+            F.greatest("__id", "__pid").alias("id_b"),
+        )
+    )
+
+    # --- short-string fallback: length-band keys l-d..l; two strings
+    # with |len diff| <= d always share a key
+    sk = short_t.select(
+        "__id",
+        F.explode(
+            F.sequence(F.greatest(F.lit(0), F.col("__l") - d), F.col("__l"))
+        ).alias("__k"),
+    )
+    cand_short = (
+        sk.alias("a")
+        .join(
+            sk.alias("b"),
+            (F.col("a.__k") == F.col("b.__k")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    )
+
+    cand = cand_long.unionByName(cand_short).dropDuplicates(["id_a", "id_b"])
+
+    # --- verify: threshold-bounded levenshtein on candidates only
+    ta = t.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    tb = t.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "dist", F.levenshtein(F.col("__sa"), F.col("__sb"), d)
+        )
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -224,6 +224,133 @@ def pack_sequences(
     return out.drop("__ntok") if "__ntok" in out.columns else out
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    strip_punct: bool = False,
+    ascii_only: bool = False,
+) -> DataFrame:
+    """Canonical text normalization (the first pass of most training
+    pipelines): lowercase, strip control characters, collapse runs of
+    whitespace to single spaces, trim; optionally drop punctuation
+    and/or non-ASCII bytes.  A single chained-regexp map stage — no
+    shuffle, codegen'd end to end, and every pattern is RE2-safe so
+    the same normalization is reproducible in any external engine.
+
+    Order matters and is fixed: control-strip → punct-strip →
+    ascii-strip → whitespace-collapse → case-fold; whitespace collapse
+    runs after the removals so holes they open are closed."""
+    col = F.col(text_col)
+    if strip_control:
+        col = F.regexp_replace(col, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if strip_punct:
+        col = F.regexp_replace(col, r"[!-/:-@\[-`{-~]", " ")
+    if ascii_only:
+        col = F.regexp_replace(col, r"[^\x00-\x7f]", "")
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    if lowercase:
+        col = F.lower(col)
+    return df.withColumn(out or text_col, col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_id_col: str = "chunk_id",
+    chunk_col: str = "chunk",
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with
+    ``overlap`` characters of context carried between consecutive
+    chunks (the RAG / long-context windowing primitive).  Chunk ``i``
+    covers ``[i*step, i*step + chunk_size)`` with ``step = chunk_size
+    - overlap``; every document yields at least one chunk (empty text
+    ⇒ one empty chunk), and the last chunk is short rather than
+    padded.
+
+    Returns (id, chunk_id, chunk).  Map-only: an in-row sequence →
+    substr transform → posexplode; no shuffle, fan-out bounded by
+    ceil(len/step), and Catalyst keeps the whole stage in codegen.
+    At 100 TB this is embarrassingly parallel — output partitioning
+    simply inherits the input's."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.coalesce(F.col(text_col), F.lit(""))) - overlap) / step),
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.coalesce(F.col(text_col), F.lit("")).substr(
+            i * step + 1, F.lit(chunk_size)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias(chunk_id_col, chunk_col),
+    ).withColumn(chunk_id_col, F.col(chunk_id_col).cast("long"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict,
+    by: str = "source",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "",
+) -> DataFrame:
+    """Token-budget mixture sampling: compose a training mix by
+    admitting documents per ``by`` group — in a deterministic
+    pseudo-random order — until each group's token budget is spent.
+    ``budgets`` maps group value → token budget; groups absent from
+    it are DROPPED (same contract as ``stratified_sample``).  A
+    document that straddles its budget boundary is admitted if it
+    STARTS under the budget (the ``pack_sequences`` overflow rule),
+    so every non-empty budget admits at least one document.
+
+    The admission order is ``md5(id || seed)`` — a seeded hash total
+    order, not ``F.rand`` (hash order is retry-deterministic AND
+    reproducible bit-for-bit in any engine with md5, which keeps this
+    operator oracle-checkable).  Plan: one shuffle on ``by`` + a
+    per-group ordered running sum — groups fill independently, so
+    1000 executors fill 1000 sources at once.  The per-group window
+    sort is the scale bound: a single group at 100 TB should be
+    pre-bucketed by source (ParquetStore.create_bucketed) so the
+    window sorts within buckets instead of one task."""
+    from bubbles_spark.ops.textan import _token_count
+
+    if token_col is None:
+        df = df.withColumn("__ntok", _token_count(F.col(text_col)).cast("long"))
+        token_col = "__ntok"
+    budget_map = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    out = (
+        df.withColumn("__budget", budget_map[F.col(by)])
+        .filter(F.col("__budget").isNotNull())
+        .withColumn(
+            "__ord", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed)))
+        )
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("__pre", F.sum(token_col).over(w) - F.col(token_col))
+    out = out.filter(F.col("__pre") < F.col("__budget"))
+    return out.drop("__budget", "__ord", "__pre", "__ntok")
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from bubbles_spark.ops import dedup
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def _py_shingles(text: str, n: int) -> set[str]:
     toks = text.lower().split()
@@ -189,3 +191,90 @@ def test_exact_dedup_strategies_agree(spark):
 
     with pytest.raises(ValueError):
         dd.exact_dedup(df, strategy="sort")
+
+
+# --- fuzzy_dedup_pairs (PassJoin edit-distance join) ------------------
+
+
+def _fuzzy_fixture(spark):
+    # base strings + planted 1- and 2-edit mutants + unrelated strings
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dot"),   # 1 sub of 0
+        (2, "the quick brown fox jump over the lazy dog"),    # 1 del of 0
+        (3, "xthe quick brown fox jumps over the lazy dogx"), # 2 ins of 0
+        (4, "completely different text with no relation at all"),
+        (5, "completely different text with no relation at all"),  # 1 edit of 4
+        (6, "short"),
+        (7, "shirt"),                                          # 1 sub of 6
+        (8, "sh"),                                             # short-path
+        (9, "s"),                                              # short-path, dist 1 to 8
+        (10, ""),                                              # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_pairs(rows, d):
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        dd = lev(ta, tb)
+        if dd <= d:
+            out.add((min(ia, ib), max(ia, ib), dd))
+    return out
+
+
+def test_fuzzy_pairs_match_brute_force(spark):
+    df = _fuzzy_fixture(spark)
+    rows = [(r["doc_id"], r["text"]) for r in df.collect()]
+    for d in (1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in dedup.fuzzy_dedup_pairs(df, max_dist=d).collect()
+        }
+        assert got == _brute_pairs(rows, d), f"mismatch at max_dist={d}"
+
+
+def test_fuzzy_pairs_zero_distance_is_exact_dup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "other")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"], r["dist"])
+           for r in dedup.fuzzy_dedup_pairs(df, max_dist=0).collect()}
+    assert got == {(1, 2, 0)}
+
+
+def test_fuzzy_pairs_sf0001_planted(spark):
+    # every 25th doc gets a 2-edit mutant appended as id+10000; all
+    # planted pairs must be recovered with their exact distance
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet(SF0001 + "/documents.parquet").select(
+        "doc_id", F.expr("substr(text, 1, 60)").alias("text")
+    )
+    mut = (
+        base.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.expr("substr(text, 2, 59)"), F.lit("Z")).alias("text"),
+        )
+    )
+    got = dedup.fuzzy_dedup_pairs(base.unionByName(mut), max_dist=2)
+    planted = {
+        (r["id_a"], r["id_b"]) for r in got.filter(F.col("id_b") >= 10000).collect()
+    }
+    want = {(i, i + 10000) for i in range(0, 500, 25)}
+    assert planted >= want
