@@ -597,7 +597,17 @@ def asof_join(
         F.col("__side") == (1 if direction == "backward" else 0)
     )
     if tolerance_seconds is not None:
-        gap = F.col("__on").cast("double") - F.col("__m")[on].cast("double")
+        # TIMESTAMP_NTZ can't cast straight to DOUBLE — route timestamp-
+        # family `on` columns through TIMESTAMP (session tz pinned UTC;
+        # only the difference matters).  Same fix as events.epoch_seconds.
+        on_dt = dict(u.dtypes).get("__on", "")
+        if on_dt.startswith("timestamp") or on_dt == "date":
+            on_s = F.col("__on").cast("timestamp").cast("double")
+            m_s = F.col("__m")[on].cast("timestamp").cast("double")
+        else:
+            on_s = F.col("__on").cast("double")
+            m_s = F.col("__m")[on].cast("double")
+        gap = on_s - m_s
         if direction == "forward":
             gap = -gap
         out = out.withColumn(

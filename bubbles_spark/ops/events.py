@@ -91,6 +91,20 @@ def session_window(
     )
 
 
+def epoch_seconds(df: DataFrame, ts_col: str):
+    """NTZ-safe epoch-seconds Column for ``ts_col``.
+
+    TIMESTAMP_NTZ cannot cast straight to DOUBLE; route it through
+    TIMESTAMP first (session tz is pinned UTC, and only *differences*
+    matter for gap logic anyway).  Numeric columns pass through.
+    """
+    dt = dict(df.dtypes).get(ts_col, "")
+    c = F.col(ts_col)
+    if dt.startswith("timestamp") or dt == "date":
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
 def sessionize(
     df: DataFrame, ts_col: str, user_col: str, gap_minutes: float
 ) -> DataFrame:
@@ -101,17 +115,17 @@ def sessionize(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60.0
-    prev = F.lag(ts_col).over(w)
+    sec = epoch_seconds(df, ts_col)
+    tagged = df.withColumn("__ts_s", sec)
+    prev = F.lag("__ts_s").over(w)
     # >= gap starts a new session — the same closure as
     # F.session_window, whose [start, last+gap) interval is half-open
     is_new = F.when(
-        prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") >= gap_s),
-        1,
+        prev.isNull() | (F.col("__ts_s") - prev >= gap_s), 1
     ).otherwise(0)
-    return df.withColumn("__new", is_new).withColumn(
+    return tagged.withColumn("__new", is_new).withColumn(
         "session_id", F.sum("__new").over(w)
-    ).drop("__new")
+    ).drop("__new", "__ts_s")
 
 
 def time_bucket_rollup(

@@ -56,17 +56,34 @@ def read_testdata_event_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Stream the driver-generated events table (TESTDATA.md layout:
-    ``sf_dir/events.parquet`` single file, TIMESTAMP(NANOS) ts).
+    ``sf_dir/events.parquet`` single file).
 
-    Mirrors io.load_table's ns handling: legacy nanosAsLong conf +
-    declare ts as long in the stream schema, then truncate to a µs
-    timestamp — same value DuckDB sees, so streaming results stay
-    oracle-comparable."""
+    The testdata's physical ts type has varied across driver versions
+    (TIMESTAMP(NANOS) → µs).  Probe with a metadata-only batch read
+    (same path io.load_table takes) and only apply the legacy
+    nanos-as-long → µs truncation when the file actually carries ns.
+    µs files read as TIMESTAMP_NTZ, which Spark's watermark machinery
+    rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — cast to TIMESTAMP,
+    a value-preserving move under the session's pinned UTC timezone.
+    Either way the wall-clock values match what DuckDB sees, so
+    streaming results stay oracle-comparable."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_dt = dict(probe.dtypes).get("ts", "timestamp")
+
+    if ts_dt == "bigint":  # legacy TIMESTAMP(NANOS) read as long
+        ts_field = T.StructField("ts", T.LongType())
+    elif ts_dt == "timestamp_ntz":
+        ts_field = T.StructField("ts", T.TimestampNTZType())
+    else:
+        ts_field = T.StructField("ts", T.TimestampType())
+
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            ts_field,
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -80,7 +97,11 @@ def read_testdata_event_stream(
         max_files_per_trigger=max_files_per_trigger,
         glob_filter="events.parquet",
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_dt == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dt == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_agg_stream(

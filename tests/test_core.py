@@ -267,6 +267,19 @@ def test_asof_forward_and_tolerance(spark):
     assert got == {"p1": 2.0, "p2": None, "p3": None}
 
 
+def test_asof_tolerance_ntz(spark):
+    """tolerance on a TIMESTAMP_NTZ `on` column (the driver testdata's
+    events.ts type) — used to crash with an NTZ->DOUBLE cast error."""
+    left, right = _asof_fixture(spark)
+    left = left.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = right.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = core.asof_join(
+        left, right, on="ts", by="uid", tolerance_seconds=30.0
+    )
+    got = {r["tag"]: r["r_quote"] for r in out.collect()}
+    assert got == {"p1": 2.0, "p2": None, "p3": None}
+
+
 def test_salted_join_matches_plain(spark):
     left = spark.range(0, 500).withColumn("k", (F.col("id") % 3).cast("long"))
     right = spark.createDataFrame(

@@ -131,9 +131,9 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
 
 
 def test_read_testdata_event_stream(spark):
-    """Streaming read of the driver testdata (single-file layout,
-    TIMESTAMP(NANOS) ts) matches the batch loader's row count and
-    µs-truncated timestamps."""
+    """Streaming read of the driver testdata (single-file layout)
+    matches the batch loader's row count, ts dtype, and timestamp
+    range — whatever physical ts type the driver wrote (ns or µs)."""
     import os
 
     from bubbles_spark.io import load_table
@@ -145,6 +145,8 @@ def test_read_testdata_event_stream(spark):
     out = sevents.run_batchlike(stream, "t_testdata_stream")
     batch = load_table(spark, sf_dir, "events")
     assert out.count() == batch.count()
+    # reader always emits a watermark-compatible TIMESTAMP (NTZ files
+    # are cast under the pinned UTC session tz — same wall-clock)
     assert dict(out.dtypes)["ts"] == "timestamp"
     s_min = out.agg(F.min("ts"), F.max("ts")).collect()[0]
     b_min = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
