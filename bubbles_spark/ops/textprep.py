@@ -376,12 +376,15 @@ def paragraph_dedup(
         F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
     ).filter(F.col("para") != "")
     keyed = parts.withColumn("__h", F.xxhash64("para"))
-    winners = keyed.groupBy("__h").agg(
+    # explicit alias: winners derives from keyed, so an unaliased
+    # keyed["__h"] == winners["__h"] is self-join-ambiguous (Spark
+    # warns "trivially true predicate") — rename the join key instead
+    winners = keyed.groupBy(F.col("__h").alias("__wh")).agg(
         F.min(F.struct(id_col, "pos")).alias("__first")
     )
     kept = keyed.join(
         winners,
-        (keyed["__h"] == winners["__h"])
+        (keyed["__h"] == winners["__wh"])
         & (keyed[id_col] == winners["__first"][id_col])
         & (keyed["pos"] == winners["__first"]["pos"]),
     ).select(keyed[id_col], keyed["pos"], keyed["para"])
