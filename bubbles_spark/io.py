@@ -284,7 +284,15 @@ class JDBCStore(DataStore):
     """SQL backend (bubbles/backends/sql/objects.py::SQLDataStore —
     S3/S4/S5) via Spark's JDBC source.  ``statement`` mirrors
     SQLDataStore.statement: an arbitrary query pushed to the database.
-    Untested in this container (no JDBC driver baked in)."""
+
+    Tested offline against the Derby embedded driver that ships inside
+    Spark's own jars (tests/test_stores.py::TestJDBCStore) — full
+    round-trip: create → objects → get_object → statement, plus
+    partitioned parallel reads.  Scale posture: reads accept the
+    standard ``partitionColumn/lowerBound/upperBound/numPartitions``
+    options so a big table fans out over executors instead of
+    streaming through one JDBC cursor; ``query``/``dbtable`` predicates
+    push down to the database."""
 
     def __init__(self, spark: SparkSession, url: str, **options: Any):
         self.spark = spark
@@ -292,7 +300,28 @@ class JDBCStore(DataStore):
         self.options = options
 
     def objects(self) -> list[str]:
-        raise NotImplementedError("enumerate via information_schema on your DB")
+        """Enumerate user tables via the portable JDBC DatabaseMetaData
+        API (works on any JDBC database — no per-dialect
+        information_schema query needed).  Runs driver-side over py4j:
+        metadata-sized, never a data path."""
+        jvm = self.spark._jvm
+        props = jvm.java.util.Properties()
+        for k in ("user", "password"):
+            if k in self.options:
+                props.setProperty(k, str(self.options[k]))
+        if "driver" in self.options:
+            # ensure the driver class is registered with DriverManager
+            jvm.java.lang.Class.forName(self.options["driver"])
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            rs = conn.getMetaData().getTables(None, None, "%", None)
+            out = []
+            while rs.next():
+                if rs.getString("TABLE_TYPE") == "TABLE":
+                    out.append(rs.getString("TABLE_NAME"))
+            return sorted(out)
+        finally:
+            conn.close()
 
     def get_object(self, name: str) -> DataFrame:
         return (
@@ -334,11 +363,15 @@ class JDBCStore(DataStore):
 class XLSStore(DataStore):
     """XLS/XLSX source (bubbles/backends/xls — S6, read-only in the
     reference too).  Spark has no built-in Excel reader; the sheet is
-    read driver-side via pandas (Excel files are small by nature —
-    they cap at ~1M rows — so a driver read then createDataFrame is
-    the honest scale story; a 100 TB pipeline does not start from
-    .xls).  Requires openpyxl/xlrd, which this container lacks: the
-    import is gated and raises a clear error."""
+    read driver-side (Excel files are small by nature — they cap at
+    ~1M rows — so a driver read then createDataFrame is the honest
+    scale story; a 100 TB pipeline does not start from .xls).
+
+    .xlsx reads FOR REAL with no third-party engine: OOXML is a zip
+    of XML parts, parsed by bubbles_spark/xlsx.py on the stdlib
+    (pandas.read_excel via openpyxl/xlrd is preferred when installed —
+    it covers more of the format).  Legacy binary .xls (BIFF) stays
+    gated behind xlrd with a clear error."""
 
     def __init__(self, spark: SparkSession, path: str, **read_excel_options: Any):
         self.spark = spark
@@ -359,19 +392,40 @@ class XLSStore(DataStore):
 
         try:
             import openpyxl  # noqa: F401 — engine probe
+
+            has_engine = True
         except ImportError:
             try:
                 import xlrd  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "XLS reading needs openpyxl or xlrd, neither of which "
-                    "is installed in this environment"
-                ) from e
+
+                has_engine = True
+            except ImportError:
+                has_engine = False
         for ext in (".xlsx", ".xls"):
             f = os.path.join(self.path, f"{name}{ext}")
-            if os.path.exists(f):
+            if not os.path.exists(f):
+                continue
+            if has_engine:
                 pdf = pd.read_excel(f, sheet_name=sheet, **self.options)
                 return self.spark.createDataFrame(pdf)
+            if ext == ".xlsx":
+                # stdlib OOXML path: first row = header, rest = data
+                from bubbles_spark.xlsx import read_rows
+
+                rows = read_rows(f, sheet)
+                if not rows:
+                    raise ValueError(f"{f}: empty sheet")
+                header = [str(c) for c in rows[0]]
+                width = len(header)
+                body = [
+                    tuple((r + [None] * width)[:width]) for r in rows[1:]
+                ]
+                pdf = pd.DataFrame(body, columns=header)
+                return self.spark.createDataFrame(pdf)
+            raise NotImplementedError(
+                "legacy binary .xls (BIFF) needs xlrd, which is not "
+                "installed; convert to .xlsx for the stdlib reader"
+            )
         raise FileNotFoundError(f"no {name}.xls[x] under {self.path}")
 
     def create(self, *a: Any, **kw: Any) -> None:

@@ -11,54 +11,6 @@ import pytest
 from bubbles_spark import io as bio
 
 
-def test_datapackage_store(spark, tmp_path):
-    csv = tmp_path / "sales.csv"
-    csv.write_text("id,amount,day\n1,10.5,2024-01-01\n2,20.0,2024-01-02\n")
-    desc = {
-        "name": "test-pkg",
-        "resources": [
-            {
-                "name": "sales",
-                "path": "sales.csv",
-                "schema": {
-                    "fields": [
-                        {"name": "id", "type": "integer"},
-                        {"name": "amount", "type": "number"},
-                        {"name": "day", "type": "date"},
-                    ]
-                },
-            }
-        ],
-    }
-    (tmp_path / "datapackage.json").write_text(json.dumps(desc))
-    store = bio.open_store("datapackage", spark=spark, path=str(tmp_path))
-    assert store.objects() == ["sales"]
-    df = store.get_object("sales")
-    assert [f.dataType.simpleString() for f in df.schema.fields] == [
-        "bigint", "double", "date",
-    ]
-    assert df.count() == 2
-    with pytest.raises(NotImplementedError):
-        store.create("x")
-
-
-def test_xls_store_gated(spark, tmp_path):
-    (tmp_path / "book.xlsx").write_bytes(b"not a real workbook")
-    store = bio.open_store("xls", spark=spark, path=str(tmp_path))
-    assert store.objects() == ["book"]
-    try:
-        import openpyxl  # noqa: F401
-
-        has_engine = True
-    except ImportError:
-        has_engine = False
-    if not has_engine:
-        with pytest.raises(NotImplementedError):
-            store.get_object("book")
-    with pytest.raises(NotImplementedError):
-        store.create("x")
-
-
 def test_mongo_store_plumbing(spark):
     store = bio.open_store(
         "mongo", spark=spark, uri="mongodb://localhost:0/", database="d"
@@ -69,29 +21,78 @@ def test_mongo_store_plumbing(spark):
         store.get_object("c").count()
 
 
-def test_xls_store_gated(spark, tmp_path):
-    """No Excel engine in this container: the store must fail loudly
-    at read time, not import time."""
-    import pytest
+def _write_min_xlsx(path, sheet_name="data"):
+    """Handcraft a minimal ECMA-376 workbook: shared + inline strings,
+    ints, floats, a gap cell — the shapes the stdlib reader covers."""
+    import zipfile
 
-    from bubbles_spark import io as bio
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{sheet_name}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    ss = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>id</t></si><si><t>name</t></si><si><t>score</t></si>"
+        "<si><t>ann</t></si></sst>"
+    )
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="s"><v>2</v></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c>'
+        '<c r="C2"><v>2.5</v></c></row>'
+        '<row r="3"><c r="A3"><v>2</v></c><c r="B3" t="inlineStr">'
+        '<is><t>bo</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", ss)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
 
+
+def test_xlsx_store_stdlib_read(spark, tmp_path):
+    """S6: .xlsx reads for real on the stdlib (no openpyxl/xlrd in
+    this container) — OOXML zip+XML parse to a typed DataFrame."""
+    _write_min_xlsx(tmp_path / "book.xlsx")
     store = bio.open_store("xls", path=str(tmp_path), spark=spark)
-    assert store.objects() == []
-    (tmp_path / "sheet.xlsx").write_bytes(b"not a real workbook")
-    assert store.objects() == ["sheet"]
+    assert store.objects() == ["book"]
+    df = store.get_object("book")
+    rows = {r["name"]: (r["id"], r["score"]) for r in df.collect()}
+    assert rows == {"ann": (1, 2.5), "bo": (2, None)}
+    # sheet addressable by name too
+    assert store.get_object("book", sheet="data").count() == 2
+
+
+def test_xls_legacy_gated(spark, tmp_path):
+    """Legacy binary .xls still needs xlrd — clear error, and the
+    store stays read-only as in the reference."""
+    (tmp_path / "old.xls").write_bytes(b"\xd0\xcf\x11\xe0 not parseable")
+    store = bio.open_store("xls", path=str(tmp_path), spark=spark)
     try:
-        import openpyxl  # noqa: F401
-        has_engine = True
+        import xlrd  # noqa: F401
+
+        has_xlrd = True
     except ImportError:
-        try:
-            import xlrd  # noqa: F401
-            has_engine = True
-        except ImportError:
-            has_engine = False
-    if not has_engine:
+        has_xlrd = False
+    if not has_xlrd:
         with pytest.raises(NotImplementedError):
-            store.get_object("sheet")
+            store.get_object("old")
+    with pytest.raises(NotImplementedError):
+        store.create("x")
 
 
 def test_datapackage_store(spark, tmp_path):
@@ -202,3 +203,70 @@ def test_filestore_upsert(spark, tmp_path):
     # upsert into a missing object just creates it
     store.upsert("fresh", ups, "k")
     assert store.get_object("fresh").count() == 2
+
+
+# --- S3/S4/S5: real JDBC round-trip against the Derby embedded -------
+# driver that ships inside Spark's own jars (no network, no install).
+
+DERBY_OPTS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture(scope="module")
+def jdbc_store(spark, tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    url = f"jdbc:derby:{db};create=true"
+    store = bio.open_store("sql", spark=spark, url=url, **DERBY_OPTS)
+    df = spark.createDataFrame(
+        [(1, "ann", 2.5), (2, "bo", 3.5), (3, "cy", None)],
+        "id int, name string, score double",
+    )
+    store.create("people", from_obj=df, replace=True)
+    return store
+
+
+def test_jdbc_roundtrip(spark, jdbc_store):
+    """create → objects → get_object: S5 write + S3 table read."""
+    assert "PEOPLE" in jdbc_store.objects()  # Derby upper-cases identifiers
+    back = jdbc_store.get_object("people")
+    assert back.count() == 3
+    assert {r["name"] for r in back.collect()} == {"ann", "bo", "cy"}
+    assert dict(back.dtypes)["score"] == "double"
+
+
+def test_jdbc_statement_pushdown(spark, jdbc_store):
+    """S4: arbitrary SQL executes IN the database, not in Spark.
+    Spark's JDBC writer quotes column identifiers, so Derby stores
+    them case-sensitively — statements must quote them back."""
+    got = jdbc_store.statement(
+        'SELECT "name", "score" * 2 AS dbl FROM people WHERE "id" < 3'
+    )
+    rows = {r["name"]: r["DBL"] for r in got.collect()}
+    assert rows == {"ann": 5.0, "bo": 7.0}
+
+
+def test_jdbc_partitioned_read(spark, jdbc_store):
+    """Scale path: partitionColumn fans the read out over N parallel
+    JDBC cursors — one per executor slice, not one global cursor."""
+    url = jdbc_store.url
+    big = spark.range(0, 1000).selectExpr("CAST(id AS INT) AS id", "id * 2.0 AS v")
+    jdbc_store.create("wide", from_obj=big, replace=True)
+    part = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "wide")
+        .option("partitionColumn", "id")
+        .option("lowerBound", "0")
+        .option("upperBound", "1000")
+        .option("numPartitions", "4")
+        .options(**DERBY_OPTS)
+        .load()
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 1000
+    assert part.agg({"v": "sum"}).collect()[0][0] == sum(i * 2.0 for i in range(1000))
+
+
+def test_jdbc_create_errorifexists(spark, jdbc_store):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(Exception):
+        jdbc_store.create("people", from_obj=df)  # replace not passed
