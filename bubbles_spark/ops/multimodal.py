@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bubbles_spark.ops import codecs
+
 MEDIA_STRUCT = T.StructType(
     [
         T.StructField("uri", T.StringType()),
@@ -71,11 +73,11 @@ _NETPBM_CHANNELS = {b"P2": 1, b"P5": 1, b"P3": 3, b"P6": 3}
 _NETPBM_FORMAT = {b"P2": "pgm", b"P5": "pgm", b"P3": "ppm", b"P6": "ppm"}
 
 
-def _decode_netpbm(data: bytes):
-    """REAL netpbm (PGM/PPM, ascii + binary) decoder — pure stdlib,
-    no codec libraries.  Returns (width, height, channels, format) or
-    None if the bytes are not a valid netpbm image.  Validates the
-    raster length, not just the header, so truncated files fail."""
+def _parse_netpbm(data: bytes):
+    """Parse a netpbm (PGM/PPM, ascii + binary) header and validate
+    the raster — pure stdlib.  Returns (w, h, maxval, channels,
+    format, magic, raster_start) or None.  Validates the raster
+    length, not just the header, so truncated files fail."""
     magic = data[:2]
     if magic not in _NETPBM_CHANNELS:
         return None
@@ -110,7 +112,35 @@ def _decode_netpbm(data: bytes):
     else:
         if len(raster.split()) < w * h * ch:
             return None
-    return (w, h, ch, _NETPBM_FORMAT[magic])
+    return (w, h, maxval, ch, _NETPBM_FORMAT[magic], magic, i)
+
+
+def _decode_netpbm(data: bytes):
+    """(width, height, channels, format) or None — see _parse_netpbm."""
+    parsed = _parse_netpbm(data)
+    if parsed is None:
+        return None
+    w, h, _maxval, ch, fmt, _magic, _start = parsed
+    return (w, h, ch, fmt)
+
+
+def _netpbm_pixels(data: bytes):
+    """Full netpbm raster decode → (H, W, C) numpy array, or None."""
+    import numpy as np
+
+    parsed = _parse_netpbm(data)
+    if parsed is None:
+        return None
+    w, h, maxval, ch, _fmt, magic, start = parsed
+    n = w * h * ch
+    if magic in (b"P5", b"P6"):
+        if maxval < 256:
+            arr = np.frombuffer(data, np.uint8, count=n, offset=start)
+        else:
+            arr = np.frombuffer(data, ">u2", count=n, offset=start).astype(np.int32)
+    else:
+        arr = np.array(data[start:].split()[:n], dtype=np.int32)
+    return arr.reshape(h, w, ch)
 
 
 def decode_image(
@@ -119,13 +149,17 @@ def decode_image(
     """Decode images → (width, height, channels, format) columns via
     Arrow-batched mapInPandas.
 
-    netpbm (PGM/PPM) decodes FOR REAL — pure stdlib header + raster
-    validation, no codec libraries needed.  Other formats (JPEG/PNG/
-    ...) need codec libraries that are NOT in this container: with
-    ``fake=True`` they get a clearly-marked deterministic placeholder
-    (dims from the content hash) so the Spark-side plumbing stays
-    exercised; with ``fake=False`` (default) a non-netpbm input raises
-    NotImplementedError naming the missing dependency.
+    Real, stdlib-only decode paths (ops/codecs.py):
+      - netpbm (PGM/PPM): header + raster-length validation;
+      - PNG: IHDR parse + full zlib raster-length validation;
+      - JPEG: SOFn frame-header dimensions (ITU T.81 marker walk).
+    If Pillow is installed it upgrades everything else (WEBP, GIF,
+    full JPEG pixel validation) — probed per batch, never required.
+    Remaining undecodable bytes: with ``fake=True`` they get a
+    clearly-marked deterministic placeholder (dims from the content
+    hash) so the Spark-side plumbing stays exercised; with
+    ``fake=False`` (default) they raise NotImplementedError naming
+    the missing dependency.
     """
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -141,13 +175,18 @@ def decode_image(
         for pdf in batches:
             def dims(m):
                 data = bytes((m["data"] if isinstance(m, dict) else m.data) or b"")
-                real = _decode_netpbm(data)
+                real = (
+                    _decode_netpbm(data)
+                    or codecs.png_dims(data)
+                    or codecs.jpeg_dims(data)
+                    or codecs.try_pillow_decode(data)
+                )
                 if real is not None:
                     return real
                 if not fake:
                     raise NotImplementedError(
-                        "only netpbm (PGM/PPM) decodes without codec "
-                        "libraries (e.g. Pillow), which this environment "
+                        "netpbm/PNG/JPEG-header decode stdlib-side; other "
+                        "formats need Pillow, which this environment "
                         "lacks; pass fake=True for the deterministic "
                         "plumbing stub on other formats"
                     )
@@ -165,6 +204,67 @@ def decode_image(
             yield pdf
 
     return df.mapInPandas(_decode, schema=out_schema)
+
+
+def image_pixel_stats(
+    df: DataFrame, media_col: str = "media"
+) -> DataFrame:
+    """REAL pixel-level feature extraction — decodes the full raster
+    (netpbm via stdlib, PNG via ops/codecs.py zlib+unfilter) and
+    appends per-image statistics: width/height/channels + pixel
+    mean/min/max.  The first rung of an image-quality ladder for a
+    multimodal training pipeline (dark/blank/clipped-image filters
+    build directly on these columns).
+
+    Arrow-batched mapInPandas: each worker decodes its batch of
+    images with numpy; no Pillow required for netpbm/PNG.  Images
+    that don't decode yield NULL stats (filter on them downstream) —
+    decode failures are data, not exceptions, at 100 TB.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("px_mean", T.DoubleType()),
+            T.StructField("px_min", T.IntegerType()),
+            T.StructField("px_max", T.IntegerType()),
+        ]
+    )
+    NULLS = (None, None, None, None, None, None)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def stats(m):
+                data = bytes((m["data"] if isinstance(m, dict) else m.data) or b"")
+                arr = _netpbm_pixels(data)
+                if arr is None and data[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        arr = codecs.decode_png(data)
+                    except Exception:
+                        arr = None
+                if arr is None:
+                    return NULLS
+                h, w, ch = arr.shape
+                return (
+                    w, h, ch,
+                    float(np.mean(arr)), int(np.min(arr)), int(np.max(arr)),
+                )
+
+            decoded = pdf[media_col].apply(stats)
+            yield pdf.assign(
+                width=[d[0] for d in decoded],
+                height=[d[1] for d in decoded],
+                channels=[d[2] for d in decoded],
+                px_mean=[d[3] for d in decoded],
+                px_min=[d[4] for d in decoded],
+                px_max=[d[5] for d in decoded],
+            )
+
+    return df.mapInPandas(_stats, schema=out_schema)
 
 
 AUDIO_META_SCHEMA = (

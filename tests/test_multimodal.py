@@ -118,3 +118,83 @@ def test_y4m_rejects_garbage(spark):
 
     with pytest.raises(ValueError):
         _decode_y4m(b"RIFFnotavideo\n")
+
+
+# --- stdlib PNG / JPEG-header codecs (ops/codecs.py) -----------------
+
+
+def test_png_roundtrip_all_color_types():
+    import numpy as np
+
+    from bubbles_spark.ops.codecs import decode_png, encode_png, png_dims
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 9, c), dtype=np.uint8)
+        data = encode_png(img)
+        assert np.array_equal(decode_png(data), img)
+        assert png_dims(data) == (9, 13, c, "png")
+
+
+def test_png_rejects_garbage_and_truncation():
+    import numpy as np
+
+    from bubbles_spark.ops.codecs import encode_png, png_dims
+
+    assert png_dims(b"not a png") is None
+    img = np.zeros((4, 4, 3), np.uint8)
+    data = encode_png(img)
+    assert png_dims(data[:-20]) is None  # truncated IDAT/IEND
+
+
+def test_jpeg_sof_dims():
+    import struct
+
+    from bubbles_spark.ops.codecs import jpeg_dims
+
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 480, 640, 3) + b"\x00" * 4
+    )
+    assert jpeg_dims(jpg) == (640, 480, 3, "jpeg")
+    assert jpeg_dims(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no frame
+    assert jpeg_dims(b"nope") is None
+
+
+def test_decode_image_png_path(spark):
+    import numpy as np
+
+    from bubbles_spark.ops import multimodal
+    from bubbles_spark.ops.codecs import encode_png
+
+    img = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    df = spark.createDataFrame([(1, bytearray(encode_png(img)))], "id long, raw binary")
+    m = multimodal.attach_media(df, "raw", mime="image/png")
+    got = multimodal.decode_image(m).select("width", "height", "channels", "format").collect()[0]
+    assert tuple(got) == (4, 3, 3, "png")
+
+
+def test_image_pixel_stats_real_rasters(spark):
+    import numpy as np
+
+    from bubbles_spark.ops import multimodal
+    from bubbles_spark.ops.codecs import encode_png
+
+    # PNG with known stats + PGM with uniform raster + undecodable
+    img = np.array([[0, 100], [200, 255]], np.uint8)[:, :, None]
+    png = encode_png(img)
+    pgm = b"P5\n2 2\n255\n\x2e\x2e\x2e\x2e"  # all pixels 46
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(pgm)), (3, bytearray(b"junk"))],
+        "id long, raw binary",
+    )
+    m = multimodal.attach_media(df, "raw")
+    got = {
+        r["id"]: (r["width"], r["height"], r["channels"], r["px_mean"], r["px_min"], r["px_max"])
+        for r in multimodal.image_pixel_stats(m).collect()
+    }
+    assert got[1] == (2, 2, 1, (0 + 100 + 200 + 255) / 4.0, 0, 255)
+    assert got[2] == (2, 2, 1, 46.0, 46, 46)
+    assert got[3] == (None, None, None, None, None, None)
