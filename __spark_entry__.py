@@ -829,10 +829,45 @@ def q_except_all(spark, sf_dir):
     return core.except_all(li, o)
 
 
-# --- L1 sample: random (rows-only: seeded, engine-specific) ------------
-@_q("sample_random")
+# --- L1 sample: random (violations-style oracle) -----------------------
+@_q(
+    "sample_random",
+    """
+    SELECT '' AS violation, CAST(0 AS BIGINT) AS n WHERE FALSE
+    """,
+)
 def q_sample_random(spark, sf_dir):
-    return core.sample(_t(spark, sf_dir, "customer"), 0.1, mode="random")
+    # The admitted set of a seeded Bernoulli sample is engine-specific,
+    # so the driver can't hash the rows — but the sample's GUARANTEES
+    # are checkable: (a) every sampled row exists in the input (keys ⊆
+    # input keys, same multiplicity bound), and (b) the sampled count
+    # sits within 6σ binomial bounds of p·n.  Violations survive;
+    # oracle = the empty set (same pattern as the sketch family).
+    cust = _t(spark, sf_dir, "customer")
+    p = 0.1
+    s = core.sample(cust, p, mode="random")
+    not_subset = (
+        s.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("__sn"))
+        .join(
+            cust.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("__cn")),
+            "c_custkey",
+            "left",
+        )
+        .filter(F.col("__cn").isNull() | (F.col("__sn") > F.col("__cn")))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("rows_not_in_input").alias("violation"), "n")
+        .filter(F.col("n") > 0)
+    )
+    stats = cust.agg(F.count(F.lit(1)).alias("__n")).crossJoin(
+        s.agg(F.count(F.lit(1)).alias("__k"))
+    )
+    mu = F.col("__n") * F.lit(p)
+    sigma = F.sqrt(F.col("__n") * F.lit(p * (1 - p)))
+    out_of_bounds = (
+        stats.filter(F.abs(F.col("__k") - mu) > 6 * sigma + 1)
+        .select(F.lit("count_out_of_bounds").alias("violation"), F.col("__k").alias("n"))
+    )
+    return not_subset.unionByName(out_of_bounds)
 
 
 # --- L1 sample: first+discard (two-phase global rank path) -------------
@@ -1591,6 +1626,79 @@ def q_decode_image_netpbm(spark, sf_dir):
     )
     return multimodal.decode_image(img).select(
         "doc_id", "width", "height", "channels", "format"
+    )
+
+
+@_q(
+    "decode_image_png",
+    """
+    SELECT doc_id,
+           CAST(4 + doc_id % 8 AS INTEGER) AS width,
+           CAST(3 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           'png' AS format
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_decode_image_png(spark, sf_dir):
+    # REAL PNG decode path — stdlib zlib encoder synthesizes a valid
+    # RGB PNG per doc (width varies with doc_id), the stdlib decoder
+    # (ops/codecs.py) parses it back inside mapInPandas; the oracle
+    # predicts the parsed dimensions, so a chunk-walk or raster-length
+    # bug fails the hash
+    import numpy as np
+    import pandas as pd
+
+    from bubbles_spark.ops.codecs import encode_png
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            pngs = []
+            for did in pdf["doc_id"]:
+                w = 4 + int(did) % 8
+                img = (np.arange(3 * w * 3, dtype=np.int64) + int(did)) % 256
+                pngs.append(encode_png(img.astype(np.uint8).reshape(3, w, 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "png": pngs})
+
+    pngs = d.mapInPandas(synth, schema="doc_id long, png binary")
+    m = multimodal.attach_media(pngs, "png", mime="image/png")
+    return multimodal.decode_image(m).select(
+        "doc_id", "width", "height", "channels", "format"
+    )
+
+
+@_q(
+    "image_pixel_stats",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 16 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(46.0 AS DOUBLE) AS px_mean,
+           CAST(46 AS INTEGER) AS px_min,
+           CAST(46 AS INTEGER) AS px_max
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_image_pixel_stats(spark, sf_dir):
+    # REAL raster decode: the PGM synth fills the raster with '.'
+    # (byte 46), so every pixel statistic is exactly predictable —
+    # a wrong offset, stride, or dtype in the numpy raster decode
+    # shifts the stats and fails the hash
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pgm = F.concat(
+        F.concat_ws(
+            "", F.lit("P5\n"), (F.lit(8) + F.col("doc_id") % 16), F.lit(" 4\n255\n")
+        ).cast("binary"),
+        F.expr("repeat('.', CAST((8 + doc_id % 16) * 4 AS INT))").cast("binary"),
+    )
+    img = multimodal.attach_media(
+        d.withColumn("__pgm", pgm), "__pgm", mime="image/x-portable-graymap"
+    )
+    return multimodal.image_pixel_stats(img).select(
+        "doc_id", "width", "height", "channels", "px_mean", "px_min", "px_max"
     )
 
 
@@ -2650,9 +2758,106 @@ def q_stream_sessionize(spark, sf_dir):
     return out.withColumn("value_sum", F.round("value_sum", 2))
 
 
+# Driver-side correctness checks cover a bounded prefix of queries()
+# (~50 per round).  Round 2 verified exactly the first 50 registered —
+# all relational-core — leaving the dedup/vector/textprep/multimodal/
+# streaming families with no hard signal.  Rotate coverage: the
+# never-driver-checked queries go first (highest-risk families at the
+# very front), the round-2-green core moves to the back.  Next round,
+# rotate again based on CORRECTNESS_r03.
+_DRIVER_PRIORITY = [
+    # streaming (failed r2 via the ns-reader bug — now fixed; verify first)
+    "stream_tumbling_window",
+    "stream_sessionize",
+    "stream_stream_join",
+    "stream_dedup_keys",
+    "stream_static_join",
+    "stream_heavy_hitters",
+    "sessionize",
+    "parse_props",
+    # sample_random: new violations-style oracle this round
+    "sample_random",
+    # dedup family (the engine's reason to exist)
+    "exact_dedup",
+    "exact_dup_groups",
+    "minhash_dedup_pairs",
+    "minhash_dedup",
+    "minhash_planted_recall",
+    "minhash_dedup_planted",
+    "dup_clusters_planted",
+    "simhash_dedup_pairs",
+    "simhash_planted_recall",
+    "ngram_jaccard_unigram",
+    "fuzzy_dedup_pairs",
+    # vector / ANN
+    "embedding_dup_pairs_exact",
+    "embedding_dup_pairs_lsh",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "cosine_topk_ivf_probed",
+    "cosine_topk_lsh_planted",
+    # textprep / LLM pipeline
+    "decontaminate",
+    "paragraph_dedup",
+    "pii_mask",
+    "extract_urls",
+    "url_dedup",
+    "repetition_ratio",
+    "shuffle_rows",
+    "pack_sequences",
+    "normalize_text",
+    "chunk_documents",
+    "mixture_sample",
+    "training_set_pipeline",
+    "docs_prep_pipeline",
+    # text analysis
+    "token_count",
+    "bpe_token_estimate",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "term_doc_freq",
+    "tf_idf",
+    "content_hash",
+    # multimodal
+    "media_stats",
+    "decode_image_netpbm",
+    "decode_image_png",
+    "image_pixel_stats",
+    "decode_audio_wav",
+    "frame_sample_y4m",
+    "decode_image_fake",
+    "frame_sample_fake",
+    # sketches / bounds oracles
+    "stratified_sample_bounds",
+    "approx_distinct_bounds",
+    "approx_quantile_bounds",
+    "quantile_bin_bounds",
+    "heavy_hitters",
+    # remaining locally-verified-only queries
+    "sql_q5_local_supplier",
+    "grouped_median",
+    "unpivot_lineitem",
+    "range_join_price_tiers",
+    "time_bucket_rollup",
+    "histogram_totalprice",
+    "zscore_by_segment",
+    "scd2_merge",
+    "fill_missing",
+    "retype",
+    "parse_date",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so
+    a bounded driver-side correctness prefix hits the queries with the
+    least prior hard-signal coverage first (see _DRIVER_PRIORITY)."""
+    order = [n for n in _DRIVER_PRIORITY if n in _QUERIES]
+    seen = set(order)
+    order += [n for n in _QUERIES if n not in seen]
+    return {n: _QUERIES[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -161,6 +161,32 @@ CHECKS = [
         [(r"Functions \[\d+\]: \[partial_", "counts partial-aggregate map-side")],
         [(r"Window", "no global window")],
     ),
+    # --- round-3 additions -------------------------------------------
+    # sessionize regressed in round 2 (TIMESTAMP_NTZ cast crash) and
+    # the audit never looked at it; plan_of() forces full analysis, so
+    # any type regression on the driver testdata now fails here first.
+    (
+        "sessionize",
+        [(r"(?s)Window", "gap-and-island via one ordered window per user")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join at all"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+]
+
+# Streaming queries return their drained batch result, so auditing
+# them through queries() would explain the memory-sink table.  Build
+# the live streaming plan directly instead (analysis also re-checks
+# the watermark/timestamp-type contract that broke in round 2).
+STREAM_CHECKS = [
+    (
+        "stream_tumbling_window(plan)",
+        lambda spark: __import__("bubbles_spark.streaming.events", fromlist=["x"]).windowed_agg_stream(
+            __import__("bubbles_spark.streaming.events", fromlist=["x"]).read_testdata_event_stream(spark, SF_DIR)
+        ),
+        [(r"EventTimeWatermark", "watermark present (bounded state)"),
+         (r"HashAggregate|StateStore", "windowed agg plan")],
+        [(r"CartesianProduct", "no cross product")],
+    ),
 ]
 
 
@@ -172,10 +198,17 @@ def main() -> int:
     qs = entrymod.queries()
     only = set(sys.argv[1:])
     failures = 0
-    for name, must, must_not in CHECKS:
+    targets = [(n, lambda s, n=n: qs[n](s, SF_DIR), m, mn) for n, m, mn in CHECKS]
+    targets += [(n, b, m, mn) for n, b, m, mn in STREAM_CHECKS]
+    for name, build, must, must_not in targets:
         if only and name not in only:
             continue
-        plan = plan_of(qs[name](spark, SF_DIR))
+        try:
+            plan = plan_of(build(spark))
+        except Exception as exc:  # analysis failure IS an audit failure
+            print(f"FAIL {name}: plan does not analyze: {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
         for pat, why in must:
             if not re.search(pat, plan):
                 print(f"FAIL {name}: missing [{why}] (/{pat}/)")
