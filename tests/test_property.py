@@ -233,3 +233,80 @@ def test_paragraph_dedup_matches_brute_force(spark, docs):
                 kept.append(p)
         expect[i] = sep.join(kept)
     assert got == expect
+
+
+@_slow
+@given(
+    left=_rows,
+    right=_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.integers(0, 10),
+)
+def test_asof_tolerance_matches_pandas(spark, left, right, direction, tol):
+    """tolerance_seconds mirrors pandas merge_asof(tolerance=...):
+    matches farther than the window are nulled, rows kept."""
+    ldf = spark.createDataFrame(left, "uid long, t long, lv long")
+    rdf = spark.createDataFrame(right, "uid long, t long, rv long")
+    got = {
+        (r["uid"], r["t"]): r["r_rv"]
+        for r in core.asof_join(
+            ldf, rdf, on="t", by="uid", direction=direction,
+            tolerance_seconds=float(tol),
+        ).collect()
+    }
+    lp = pd.DataFrame(left, columns=["uid", "t", "lv"]).sort_values("t")
+    rp = pd.DataFrame(right, columns=["uid", "t", "rv"]).sort_values("t")
+    if len(lp) == 0:
+        assert got == {}
+        return
+    if len(rp) == 0:
+        expect = {(u, t): None for u, t, _ in left}
+    else:
+        m = pd.merge_asof(
+            lp, rp, on="t", by="uid", direction=direction, tolerance=tol
+        )
+        expect = {
+            (r.uid, r.t): (None if pd.isna(r.rv) else int(r.rv))
+            for r in m.itertuples()
+        }
+    assert got == expect
+
+
+@_slow
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),  # (user, ts seconds)
+        max_size=20,
+    ).map(lambda rs: list({(u, t) for u, t in rs})),
+    gap_minutes=st.floats(0.5, 5.0),
+)
+def test_sessionize_matches_python_reference(spark, events, gap_minutes):
+    """Gap-and-island session ids match a brute-force single-threaded
+    pass (the reference-style iterator semantics sessionize re-expresses
+    as one window per user)."""
+    import datetime as dt
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t)) for u, t in events
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    from bubbles_spark.ops.events import sessionize
+
+    got = {
+        (r["uid"], r["ts"]): r["session_id"]
+        for r in sessionize(df, "ts", "uid", gap_minutes).collect()
+    }
+
+    gap_s = gap_minutes * 60.0
+    expect = {}
+    by_user: dict[int, list] = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        sid, prev = 0, None
+        for ts in sorted(tss):
+            if prev is None or (ts - prev).total_seconds() >= gap_s:
+                sid += 1
+            expect[(u, ts)] = sid
+            prev = ts
+    assert got == expect
