@@ -2188,6 +2188,22 @@ def q_extract_urls(spark, sf_dir):
 
 
 @_q(
+    "domain_filter",
+    """
+    SELECT doc_id FROM documents WHERE doc_id % 50 NOT IN (7, 13)
+    """,
+)
+def q_domain_filter(spark, sf_dir):
+    # blocklist broadcast anti-join: every doc links to
+    # site{doc_id%50}.com, so blocking two of the 50 synthetic domains
+    # must drop exactly the docs whose id lands on them
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents").withColumn("text", F.expr(_URL_SYNTH_SPARK))
+    return textprep.domain_filter(d, ["site7.com", "site13.com"]).select("doc_id")
+
+
+@_q(
     "url_dedup",
     """
     SELECT 'http://site' || (doc_id % 50) || '.com/p/' || doc_id AS url,
@@ -2802,6 +2818,7 @@ _DRIVER_PRIORITY = [
     "paragraph_dedup",
     "pii_mask",
     "extract_urls",
+    "domain_filter",
     "url_dedup",
     "repetition_ratio",
     "shuffle_rows",

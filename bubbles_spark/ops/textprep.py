@@ -84,6 +84,45 @@ def url_dedup(
     return winners.join(df, on=[url_col, id_col], how="inner")
 
 
+def domain_filter(
+    df: DataFrame,
+    blocklist,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "discard",
+) -> DataFrame:
+    """Drop (``discard``) or keep-only (``keep``) documents that link
+    to a listed registrable domain — the URL-blocklist pass every web
+    training corpus runs (spam/adult/SEO domain lists).
+
+    Scale shape: the blocklist is dimension-sized (thousands to a few
+    million domains) against a 100 TB corpus — it BROADCASTS; the
+    corpus never shuffles.  Domains extract map-side (extract_urls is
+    regex codegen), the flagged-doc set is a broadcast semi-join, and
+    the final filter is a doc-id anti/semi join that AQE plans against
+    the (small, already-aggregated) flagged set.
+
+    ``blocklist``: an iterable of domain strings or a single-column
+    DataFrame.
+    """
+    if mode not in ("discard", "keep"):
+        raise ValueError("mode must be 'discard' or 'keep'")
+    if isinstance(blocklist, DataFrame):
+        bl = blocklist.toDF("domain")
+    else:
+        bl = df.sparkSession.createDataFrame(
+            [(d,) for d in blocklist], "domain string"
+        )
+    doms = extract_urls(df, id_col, text_col).select(id_col, "domain")
+    flagged = (
+        doms.join(F.broadcast(bl), "domain", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    how = "left_anti" if mode == "discard" else "left_semi"
+    return df.join(flagged, id_col, how)
+
+
 def repetition_ratio(
     df: DataFrame,
     text_col: str = "text",

@@ -226,3 +226,30 @@ def test_mixture_sample_deterministic(spark):
     # and respect the same budget machinery (set may or may not differ)
     c = {r["doc_id"] for r in textprep.mixture_sample(df, {"s0": 25}, seed="x").collect()}
     assert len(c) >= 1
+
+
+def test_domain_filter_modes(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [
+            (1, "go to http://bad.example/x now"),
+            (2, "see https://ok.org/page"),
+            (3, "both http://bad.example/y and https://ok.org/z"),
+            (4, "no links at all"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = textprep.domain_filter(df, ["bad.example"])
+    assert {r["doc_id"] for r in kept.collect()} == {2, 4}
+    only = textprep.domain_filter(df, ["bad.example"], mode="keep")
+    assert {r["doc_id"] for r in only.collect()} == {1, 3}
+    # DataFrame blocklist works too
+    bl = spark.createDataFrame([("ok.org",)], "d string")
+    assert {
+        r["doc_id"] for r in textprep.domain_filter(df, bl).collect()
+    } == {1, 4}
+    import pytest
+
+    with pytest.raises(ValueError):
+        textprep.domain_filter(df, ["x"], mode="nope")

@@ -162,6 +162,13 @@ CHECKS = [
         [(r"Window", "no global window")],
     ),
     # --- round-3 additions -------------------------------------------
+    (
+        "domain_filter",
+        [(r"BroadcastHashJoin.*LeftSemi|BroadcastHashJoin.*LeftAnti",
+          "blocklist broadcasts; corpus-side join is semi/anti")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "regex extraction is codegen, no Python")],
+    ),
     # sessionize regressed in round 2 (TIMESTAMP_NTZ cast crash) and
     # the audit never looked at it; plan_of() forces full analysis, so
     # any type regression on the driver testdata now fails here first.
