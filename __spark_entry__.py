@@ -2598,6 +2598,67 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @_q(
+    "stream_docs_pipeline",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text, source,
+             {_NTOK_SQL} AS n_tok,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN (length({_NORM_SQL}) - ({_NTOK_SQL} - 1)) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS mean_tok,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_filter({_TOKS_SQL}, t -> t IN ({_STOP_IN})))
+                       * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_distinct({_TOKS_SQL})) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END AS dist_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, source, n_tok,
+             CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END
+             + CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.25 ELSE 0 END
+             + CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0 END
+             + CASE WHEN dist_ratio >= 0.1 THEN 0.25 ELSE 0 END AS quality
+      FROM f
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.75),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source, md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM dedup GROUP BY source
+    """,
+)
+def q_stream_docs_pipeline(spark, sf_dir):
+    # the live twin of docs_prep_pipeline: documents STREAM in,
+    # quality-gate + per-shard exact dedup run incrementally with
+    # per-key state, and the drained survivor set aggregates to the
+    # same per-source stats the batch pipeline (and the oracle)
+    # derives — dedup keyed (source, content-hash) so the surviving
+    # stats are arrival-order-independent (see
+    # docs_ingest_dedup_stream's determinism note)
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_table_stream(spark, sf_dir, "documents")
+    clean = sevents.docs_ingest_dedup_stream(stream)
+    drained = sevents.run_batchlike(clean, _stream_name("s_docs_prep"))
+    return drained.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@_q(
     "stream_heavy_hitters",
     """
     WITH c AS (
@@ -2789,6 +2850,7 @@ _DRIVER_PRIORITY = [
     "stream_dedup_keys",
     "stream_static_join",
     "stream_heavy_hitters",
+    "stream_docs_pipeline",
     "sessionize",
     "parse_props",
     # sample_random: new violations-style oracle this round

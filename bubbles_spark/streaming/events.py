@@ -247,6 +247,62 @@ def sessionize_stream(
     )
 
 
+def read_testdata_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over any driver-generated testdata table
+    (single-file layout ``sf_dir/{name}.parquet``).  Schema comes
+    from a metadata-only batch probe — file-source streams require an
+    explicit schema, and probing keeps it in lockstep with whatever
+    the driver wrote."""
+    import os
+
+    probe = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_event_stream(
+        spark,
+        sf_dir,
+        schema=probe.schema,
+        max_files_per_trigger=max_files_per_trigger,
+        glob_filter=f"{name}.parquet",
+    )
+
+
+def docs_ingest_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+    min_quality: float = 0.75,
+) -> DataFrame:
+    """Streaming document-ingestion prep: quality-gate then
+    exact-dedup each arriving micro-batch against all previously-seen
+    content — the live twin of the batch docs_prep pipeline
+    (quality_score → filter → exact_dedup).
+
+    Dedup state is keyed (shard, content-hash): per-shard dedup at
+    ingestion (every survivor's stats are deterministic — duplicate
+    texts within a shard carry identical tokens/quality, so WHICH
+    arrival wins doesn't change any downstream aggregate), with
+    global cross-shard dedup left to the nightly batch pass — the
+    standard two-tier design, since global first-arrival-wins across
+    shards is arrival-order-dependent and therefore not reproducible.
+
+    State note: content hashes accumulate for the stream's lifetime.
+    On an unbounded production stream, add an ingestion-time column
+    and use dropDuplicatesWithinWatermark to bound state to the
+    dedup horizon; for bounded backfills (this shape) the full-state
+    form is exact."""
+    from bubbles_spark.ops import textan
+
+    scored = textan.quality_score(docs, text_col)
+    kept = scored.filter(F.col("quality") >= min_quality)
+    keyed = kept.withColumn("__content_h", F.md5(F.col(text_col)))
+    return keyed.dropDuplicates([shard_col, "__content_h"]).drop("__content_h")
+
+
 def stream_to_parquet(
     stream_df: DataFrame,
     path: str,

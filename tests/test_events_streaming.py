@@ -179,3 +179,45 @@ def test_stream_to_parquet_sink(spark, tmp_path):
     stream2 = sevents.read_testdata_event_stream(spark, sf_dir)
     again = sevents.stream_to_parquet(stream2, out_dir, ckpt)
     assert again.count() == batch.count()
+
+
+def test_docs_ingest_dedup_stream(spark, tmp_path):
+    """Streaming quality-gate + per-shard exact dedup: within-shard
+    duplicates collapse, cross-shard duplicates survive (global dedup
+    is the batch pass's job), junk quality is filtered."""
+    from bubbles_spark.streaming import events as sevents
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "back home to rest for a while before dinner is served"
+    )
+    rows = [
+        (1, good, "web"),
+        (2, good, "web"),        # within-shard dup of 1
+        (3, good, "books"),      # cross-shard dup: KEPT
+        (4, "zzz", "web"),       # junk: fails the quality gate
+        (5, good + " extended with more words", "web"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # single-FILE layout (like the driver testdata), not a spark dir
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+            }
+        ),
+        str(src / "documents.parquet"),
+    )
+
+    stream = sevents.read_testdata_table_stream(spark, str(src), "documents")
+    clean = sevents.docs_ingest_dedup_stream(stream)
+    got = sevents.run_batchlike(clean, "t_docs_ingest")
+    kept = {(r["source"], r["text"][:20]) for r in got.collect()}
+    assert got.count() == 3
+    assert ("web", good[:20]) in kept and ("books", good[:20]) in kept
