@@ -2188,6 +2188,38 @@ def q_extract_urls(spark, sf_dir):
 
 
 @_q(
+    "unigram_perplexity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token
+      FROM documents WHERE trim(text) != ''
+    ),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY token
+    ),
+    tot AS (SELECT SUM(c) AS n FROM counts),
+    vocab AS (SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 500),
+    vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             ln((COALESCE(vb.c, 0) + 1.0) / (tot.n + 1.0 * (vs.v + 1))) AS lp
+      FROM toks t
+      LEFT JOIN vocab vb USING (token)
+      CROSS JOIN tot CROSS JOIN vs
+    )
+    SELECT doc_id, ROUND(exp(-AVG(lp)), 6) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_perplexity(spark, sf_dir):
+    # vocab capped at 500 so the OOV bucket is genuinely exercised at
+    # sf0.01 (the corpus has more distinct tokens than that); the
+    # oracle re-derives the smoothed LM end-to-end in SQL
+    d = _t(spark, sf_dir, "documents")
+    return textan.unigram_perplexity(d, vocab_size=500)
+
+
+@_q(
     "domain_filter",
     """
     SELECT doc_id FROM documents WHERE doc_id % 50 NOT IN (7, 13)
@@ -2898,6 +2930,7 @@ _DRIVER_PRIORITY = [
     "fingerprint",
     "term_doc_freq",
     "tf_idf",
+    "unigram_perplexity",
     "content_hash",
     # multimodal
     "media_stats",

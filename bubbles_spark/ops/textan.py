@@ -307,3 +307,57 @@ def tf_idf(
         )
         .select(id_col, "term", "term_count", "doc_len", "doc_freq", "tf_idf")
     )
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 65536,
+    alpha: float = 1.0,
+    out: str = "perplexity",
+) -> DataFrame:
+    """Per-document perplexity under a corpus-trained unigram LM —
+    the CCNet-style cheap perplexity filter (docs far from the
+    corpus distribution are boilerplate, menus, or noise).
+
+    Model: add-``alpha`` smoothed unigram over the top-``vocab_size``
+    lowercased tokens (ties at the cutoff broken by token string, so
+    the vocabulary is deterministic); everything else shares one OOV
+    bucket.  logp(t) = ln((c_t + alpha) / (N + alpha·(V+1))), and
+    ppl(doc) = exp(-mean logp over its tokens).
+
+    Scale shape (100 TB corpus):
+      - token counts: one shuffle with map-side combine (the classic
+        word-count), output ≈ vocabulary-sized;
+      - vocabulary: global TakeOrdered of the counts — bounded by
+        ``vocab_size``, never corpus-sized;
+      - N and V are two metadata-sized driver scalars (same contract
+        as tf_idf's corpus count);
+      - scoring: tokens explode map-side and join the BROADCAST
+        (token → logp) table, then groupBy(doc) partial-aggregates —
+        the reduce shuffle carries per-doc partial sums, not tokens.
+
+    Returns the skinny (id_col, out) frame; empty docs are absent
+    (no tokens → no perplexity).  Join back to the corpus as needed.
+    """
+    import math
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.lower(F.col(text_col)))).alias("__tok")
+    )
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    n_total = counts.agg(F.sum("__c")).collect()[0][0] or 0
+    vocab = counts.orderBy(F.col("__c").desc(), F.col("__tok")).limit(vocab_size)
+    v = vocab.count()
+    denom = float(n_total) + alpha * (v + 1)
+    vocab_lp = vocab.select(
+        "__tok", F.log((F.col("__c") + F.lit(alpha)) / F.lit(denom)).alias("__lp")
+    )
+    oov_lp = math.log(alpha / denom)
+    scored = toks.join(F.broadcast(vocab_lp), "__tok", "left").withColumn(
+        "__lp", F.coalesce(F.col("__lp"), F.lit(oov_lp))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.exp(-F.avg("__lp")), 6).alias(out)
+    )

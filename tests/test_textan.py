@@ -98,3 +98,30 @@ def test_tf_idf_values(spark):
     assert abs(r["tf_idf"] - expect) < 1e-9
     # 'b' appears in both docs -> higher df, lower idf
     assert rows[(2, "b")]["doc_freq"] == 2
+
+
+def test_unigram_perplexity_hand_computed(spark):
+    """Tiny corpus where the smoothed LM is computable by hand:
+    vocab cap forces an OOV bucket; a doc of only top tokens scores
+    lower perplexity than one full of rare/OOV tokens."""
+    import math
+
+    from bubbles_spark.ops import textan
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b"), (3, "zz qq")],
+        "doc_id long, text string",
+    )
+    # counts: a=4, b=2, zz=1, qq=1, N=8.  vocab_size=2 -> {a, b}, V=2
+    # denom = 8 + 1*(2+1) = 11
+    lp_a, lp_b = math.log(5 / 11), math.log(3 / 11)
+    lp_oov = math.log(1 / 11)
+    got = {
+        r["doc_id"]: r["perplexity"]
+        for r in textan.unigram_perplexity(df, vocab_size=2).collect()
+    }
+    exp1 = round(math.exp(-(3 * lp_a + lp_b) / 4), 6)
+    exp2 = round(math.exp(-(lp_a + lp_b) / 2), 6)
+    exp3 = round(math.exp(-lp_oov), 6)
+    assert got == {1: exp1, 2: exp2, 3: exp3}
+    assert got[1] < got[2] < got[3]  # fluent < mixed < OOV-only
