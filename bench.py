@@ -68,6 +68,13 @@ BENCH_QUERIES = [
     "decontaminate",
     "pack_sequences",
     "training_set_pipeline",
+    # round-3 additions: LM perplexity (full-corpus model train +
+    # score), blocklist filtering, the streaming prep pipeline, and
+    # the real raster decode path
+    "unigram_perplexity",
+    "domain_filter",
+    "stream_docs_pipeline",
+    "image_pixel_stats",
 ]
 
 
