@@ -1372,6 +1372,32 @@ def q_embedding_dup_lsh(spark, sf_dir):
     return dedup.embedding_dup_pairs(e.unionByName(planted), threshold=0.95)
 
 
+@_q(
+    "embedding_dup_clusters_planted",
+    """
+    SELECT vec_id AS node_id, vec_id AS component
+    FROM embeddings WHERE vec_id < 200
+    UNION ALL
+    SELECT vec_id + 1000000 AS node_id, vec_id AS component
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q_embedding_dup_clusters(spark, sf_dir):
+    # the full fuzzy-dedup flow for vectors, end-to-end: LSH candidate
+    # pairs -> exact cosine verify -> connected components.  On the
+    # planted exact-copy graph every cluster is the 2-node {v, v+1e6}
+    # labeled min(v), so transitive closure over the LSH output gets a
+    # deterministic oracle (the same composition a 100 TB embedding
+    # dedup runs: pairs shuffle hashes/ids only, components iterate on
+    # the edge list, never the vectors)
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 200).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    pairs = dedup.embedding_dup_pairs(e.unionByName(planted), threshold=0.95)
+    return dedup.connected_components(pairs.select("id_a", "id_b"))
+
+
 # --- §2.14 similarity search ------------------------------------------
 @_q(
     "cosine_topk",
@@ -2902,6 +2928,7 @@ _DRIVER_PRIORITY = [
     # vector / ANN
     "embedding_dup_pairs_exact",
     "embedding_dup_pairs_lsh",
+    "embedding_dup_clusters_planted",
     "cosine_topk",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
