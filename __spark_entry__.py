@@ -2989,14 +2989,57 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS_r*.json contains it.
+    The external driver records per-round correctness for a bounded
+    prefix of queries(); reading its own artifacts back makes the
+    rotation self-maintaining — each round, never-checked queries
+    rise to the front and the longest-ago-checked go next."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(f) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for n, row in rows.items():
+            # only a clean PASS counts as covered — failing rows and
+            # no-oracle rows stay at the front of the next window so
+            # their fix (or new oracle) gets re-verified
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("err") is None and row.get("rows_match") and (
+                row.get("hash_match") is not False
+            )
+            if ok:
+                seen[n] = max(seen.get(n, 0), rnd)
+    return seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     a bounded driver-side correctness prefix hits the queries with the
-    least prior hard-signal coverage first (see _DRIVER_PRIORITY)."""
-    order = [n for n in _DRIVER_PRIORITY if n in _QUERIES]
-    seen = set(order)
-    order += [n for n in _QUERIES if n not in seen]
-    return {n: _QUERIES[n] for n in order}
+    least prior hard-signal coverage first: never-driver-checked
+    queries lead (in _DRIVER_PRIORITY family order), then
+    previously-checked ones, least-recently-checked first."""
+    base = [n for n in _DRIVER_PRIORITY if n in _QUERIES]
+    seen = set(base)
+    base += [n for n in _QUERIES if n not in seen]
+    checked = _driver_checked_rounds()
+    order = sorted(
+        range(len(base)), key=lambda i: (checked.get(base[i], 0), i)
+    )
+    return {base[i]: _QUERIES[base[i]] for i in order}
 
 
 def oracle_sql() -> dict[str, str]:
