@@ -178,6 +178,13 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join at all"),
          (r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
+    (
+        "unigram_perplexity",
+        [(r"BroadcastHashJoin", "token->logprob table broadcasts"),
+         (r"Functions \[\d+\]: \[partial_", "per-doc scoring partial-aggregates map-side")],
+        [(r"SortMergeJoin", "scoring join must not shuffle the token stream"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "tokenization is codegen, no Python")],
+    ),
 ]
 
 # Streaming queries return their drained batch result, so auditing
