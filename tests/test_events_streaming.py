@@ -221,3 +221,46 @@ def test_docs_ingest_dedup_stream(spark, tmp_path):
     kept = {(r["source"], r["text"][:20]) for r in got.collect()}
     assert got.count() == 3
     assert ("web", good[:20]) in kept and ("books", good[:20]) in kept
+
+
+def test_docs_ingest_dedup_across_microbatches(spark, tmp_path):
+    """Dedup state must persist ACROSS micro-batches: the same content
+    arriving in a later file (maxFilesPerTrigger=1 forces one file per
+    batch) is dropped by the state store, not just within-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles_spark.streaming import events as sevents
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "back home to rest for a while before dinner is served"
+    )
+    src = tmp_path / "mb_src"
+    src.mkdir()
+
+    def write(fname, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "text": [r[1] for r in rows],
+                    "source": [r[2] for r in rows],
+                }
+            ),
+            str(src / fname),
+        )
+
+    write("documents.parquet", [(1, good, "web")])
+    write("documents2.parquet", [(2, good, "web"), (3, good + " but longer now", "web")])
+
+    probe_schema = spark.read.parquet(str(src / "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(probe_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    clean = sevents.docs_ingest_dedup_stream(stream)
+    got = sevents.run_batchlike(clean, "t_docs_mb")
+    assert {r["doc_id"] for r in got.collect()} == {1, 3}
