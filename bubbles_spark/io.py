@@ -141,6 +141,7 @@ class FileStore(DataStore):
         name: str,
         updates: DataFrame,
         keys: str | Sequence[str],
+        partition_by: Sequence[str] | None = None,
     ) -> None:
         """SCD type-1 merge into a stored object: rows whose key
         matches an update are REPLACED, new keys are appended,
@@ -149,18 +150,68 @@ class FileStore(DataStore):
         dimension-maintenance twin of ops.core.scd2_merge, which
         versions instead of replacing).
 
-        Without a transactional table format this is read-merge-
-        rewrite: an anti-join keeps the non-matching rows, the
-        updates union on, and the result REWRITES the object (staged
-        to a temp object then renamed, so a mid-write failure leaves
-        the original intact; concurrent writers still need a real
-        lakehouse format — at 100 TB use partition_by so only touched
-        partitions rewrite via dynamic overwrite).
+        Without ``partition_by`` this is read-merge-rewrite: an
+        anti-join keeps the non-matching rows, the updates union on,
+        and the result REWRITES the object (staged to a temp object
+        then renamed, so a mid-write failure leaves the original
+        intact; concurrent writers still need a real lakehouse
+        format).
+
+        With ``partition_by`` (the object must have been created with
+        the same partitioning) the merge is PARTITION-PRUNED — the
+        100 TB path: only the hive partitions that appear in the
+        updates batch are read (partition filter → pruned listing),
+        merged, and rewritten via dynamic partition overwrite; the
+        rest of the table is untouched.  Constraint inherent to the
+        layout: a key's partition values must be stable across
+        upserts (a row "moving" partitions would leave its old
+        version behind) — use the full-rewrite form when partition
+        values can change.
         """
+        from pyspark.sql import functions as F
+
         key_list = [keys] if isinstance(keys, str) else list(keys)
         if not self.exists(name):
-            self.create(name, from_obj=updates)
+            self.create(name, from_obj=updates, partition_by=partition_by)
             return
+
+        if partition_by:
+            part_cols = list(partition_by)
+            # affected partition values: metadata-sized collect (the
+            # updates batch touches a bounded set of partitions)
+            touched = updates.select(*part_cols).distinct().collect()
+            pred = None
+            for row in touched:
+                clause = None
+                for c in part_cols:
+                    term = (
+                        F.col(c).isNull()
+                        if row[c] is None
+                        else (F.col(c) == F.lit(row[c]))
+                    )
+                    clause = term if clause is None else (clause & term)
+                pred = clause if pred is None else (pred | clause)
+            affected = self.get_object(name).filter(pred)
+            merged = affected.join(
+                updates.select(*key_list).dropDuplicates(key_list),
+                key_list,
+                "left_anti",
+            ).unionByName(updates)
+            spark = updates.sparkSession
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                writer = merged.write.format(self.format).mode("overwrite")
+                for k, v in self.reader_options.items():
+                    if k != "inferSchema":
+                        writer = writer.option(k, v)
+                writer.partitionBy(*part_cols).save(self._file(name))
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            return
+
         current = self.get_object(name)
         merged = current.join(
             updates.select(*key_list).dropDuplicates(key_list), key_list, "left_anti"

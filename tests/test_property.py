@@ -1,9 +1,14 @@
 """Property-based differential tests (hypothesis) — small example
 counts because every example runs Spark jobs; the value is the
 adversarial shapes hypothesis finds (empty sides, singleton groups,
-all-equal keys), not volume."""
+all-equal keys), not volume.
+
+Set PROP_EXAMPLES=50 (etc.) for an occasional deep fuzz pass — CI
+stays fast at the default 8."""
 
 from __future__ import annotations
+
+import os
 
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
@@ -12,7 +17,7 @@ from hypothesis import strategies as st
 from bubbles_spark.ops import core
 
 _slow = settings(
-    max_examples=8,
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -270,3 +270,43 @@ def test_jdbc_create_errorifexists(spark, jdbc_store):
     df = spark.createDataFrame([(1,)], "id int")
     with pytest.raises(Exception):
         jdbc_store.create("people", from_obj=df)  # replace not passed
+
+
+def test_filestore_upsert_partition_pruned(spark, tmp_path):
+    """Partitioned upsert rewrites ONLY the partitions the updates
+    touch: untouched partition files keep their inode (mtime check),
+    and the merge semantics match the full-rewrite form."""
+    import os
+    import time
+
+    from bubbles_spark.io import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k long, part string, x double",
+    )
+    store.create("dim", from_obj=base, partition_by=["part"])
+    obj_dir = os.path.join(str(tmp_path), "dim.parquet")
+    untouched = os.path.join(obj_dir, "part=c")
+    before = max(
+        os.path.getmtime(os.path.join(untouched, f)) for f in os.listdir(untouched)
+    )
+    time.sleep(1.1)
+
+    ups = spark.createDataFrame(
+        [(2, "a", 99.0), (5, "b", 50.0)], "k long, part string, x double"
+    )
+    store.upsert("dim", ups, "k", partition_by=["part"])
+    got = {r["k"]: (r["part"], r["x"]) for r in store.get_object("dim").collect()}
+    assert got == {
+        1: ("a", 10.0), 2: ("a", 99.0), 3: ("b", 30.0), 4: ("c", 40.0), 5: ("b", 50.0),
+    }
+    after = max(
+        os.path.getmtime(os.path.join(untouched, f)) for f in os.listdir(untouched)
+    )
+    assert after == before  # partition c was never rewritten
+
+    # idempotent like the full-rewrite form
+    store.upsert("dim", ups, "k", partition_by=["part"])
+    assert {r["k"] for r in store.get_object("dim").collect()} == {1, 2, 3, 4, 5}

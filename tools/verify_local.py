@@ -60,9 +60,23 @@ def main(only: list[str]) -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
-    from bubbles_spark.session import get_spark
 
-    spark = get_spark("verify_local")
+    if "--vanilla" in only:
+        # driver-fidelity mode: the external driver builds its OWN
+        # plain SparkSession, so nothing may depend on get_spark()'s
+        # configs (tz pin, AQE, Arrow, shuffle partitions)
+        only = [n for n in only if n != "--vanilla"]
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify_vanilla")
+            .getOrCreate()
+        )
+    else:
+        from bubbles_spark.session import get_spark
+
+        spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
