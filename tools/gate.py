@@ -7,8 +7,11 @@ hole: it runs the FULL local verification stack — pytest, the DuckDB
 oracle mirror over every registered query, and the physical-plan
 audit — and fails non-zero if any layer fails.
 
-Usage:  python tools/gate.py [--fast]
+Usage:  python tools/gate.py [--fast | --deep]
   --fast skips pytest (verify_local + explain_audit only).
+  --deep adds driver-fidelity layers: verify_local --vanilla (plain
+         SparkSession, no engine configs) and a PROP_EXAMPLES=40
+         property-fuzz pass.
 
 Each layer runs as a subprocess so one layer's Spark session teardown
 can't poison the next.
@@ -36,6 +39,7 @@ def run(name: str, cmd: list[str]) -> bool:
 
 def main() -> int:
     fast = "--fast" in sys.argv[1:]
+    deep = "--deep" in sys.argv[1:]
     py = sys.executable
     layers = []
     if not fast:
@@ -44,6 +48,16 @@ def main() -> int:
         ("verify_local (all queries)", [py, os.path.join(HERE, "verify_local.py")]),
         ("explain_audit", [py, os.path.join(HERE, "explain_audit.py")]),
     ]
+    if deep:
+        layers += [
+            ("verify_local --vanilla (driver fidelity)",
+             [py, os.path.join(HERE, "verify_local.py"), "--vanilla"]),
+        ]
+        os.environ["PROP_EXAMPLES"] = "40"
+        layers += [
+            ("property fuzz (PROP_EXAMPLES=40)",
+             [py, "-m", "pytest", "tests/test_property.py", "-q"]),
+        ]
     failed = [name for name, cmd in layers if not run(name, cmd)]
     if failed:
         print(f"\nGATE FAILED: {', '.join(failed)}")
