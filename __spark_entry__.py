@@ -2717,6 +2717,34 @@ def q_stream_docs_pipeline(spark, sf_dir):
 
 
 @_q(
+    "stream_asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS r_ts, c.value AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_stream_asof_join(spark, sf_dir):
+    # streaming point-in-time lookup: must produce EXACTLY the batch
+    # asof_join result (same oracle) — lefts hold in state until the
+    # watermark finalizes their match, the availableNow drain's final
+    # timeout batch flushes the rest
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    lefts = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rights = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = sevents.asof_join_stream(lefts, rights, on="ts", by="user_id")
+    return sevents.run_batchlike(joined, _stream_name("s_asof"))
+
+
+@_q(
     "stream_heavy_hitters",
     """
     WITH c AS (
@@ -2909,6 +2937,7 @@ _DRIVER_PRIORITY = [
     "stream_static_join",
     "stream_heavy_hitters",
     "stream_docs_pipeline",
+    "stream_asof_join",
     "sessionize",
     "parse_props",
     # sample_random: new violations-style oracle this round

@@ -247,6 +247,156 @@ def sessionize_stream(
     )
 
 
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    tolerance_seconds: float | None = None,
+    watermark: str = "2 hours",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Streaming as-of join — the point-in-time lookup a feature
+    store serves: every left event picks the nearest right event at
+    or before its ``on`` time (optionally within
+    ``tolerance_seconds``), per ``by`` key.  Batch twin:
+    ops.core.asof_join (same backward/left-outer closure).
+
+    Correctness under event time: a left row is NOT emitted until the
+    watermark passes its timestamp — after that, watermark semantics
+    guarantee no earlier-timestamped right can still arrive, so the
+    match is final (the same discipline that makes the batch result
+    reproducible).  Pending lefts buffer in per-key state; buffered
+    rights prune to the tolerance horizon (with no tolerance, to the
+    single latest right at-or-before the watermark plus everything
+    newer) — state stays bounded by the watermark, not history.
+
+    Both sides union into one tagged stream (payloads carried as JSON
+    and parsed back with the original schemas), one shuffle on
+    ``by`` — the same plan shape a 1000-executor deployment shards.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lpay = [c for c in left.columns if c not in (by, on)]
+    rpay = [c for c in right.columns if c not in (by, on)]
+    l_schema = left.select(*lpay).schema
+    r_schema = right.select(*rpay).schema
+    by_type = left.schema[by].dataType.simpleString()
+    tol_ms = None if tolerance_seconds is None else int(tolerance_seconds * 1000)
+
+    tagged = left.select(
+        F.col(by).alias("__by"),
+        F.col(on).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.to_json(F.struct(*lpay)).alias("__json"),
+    ).unionByName(
+        right.select(
+            F.col(by).alias("__by"),
+            F.col(on).cast("timestamp").alias("__ts"),
+            F.lit(1).alias("__side"),
+            F.to_json(F.struct(*rpay)).alias("__json"),
+        )
+    )
+    prepared = tagged.withWatermark("__ts", watermark)
+
+    out_schema = (
+        f"__by {by_type}, l_ts timestamp, l_json string, "
+        "r_ts timestamp, r_json string"
+    )
+    state_schema = (
+        "rts array<timestamp>, rjson array<string>, "
+        "lts array<timestamp>, ljson array<string>"
+    )
+
+    def _ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def fn(key, pdf_iter, state: GroupState):
+        rights: list[tuple] = []
+        lefts: list[tuple] = []
+        if state.exists:
+            rts, rjson, lts, ljson = state.get
+            rights = sorted(zip(rts, rjson))
+            lefts = sorted(zip(lts, ljson))
+        flush_all = state.hasTimedOut
+        if not flush_all:
+            for pdf in pdf_iter:
+                for ts, side, js in zip(pdf["__ts"], pdf["__side"], pdf["__json"]):
+                    (rights if side == 1 else lefts).append((ts, js))
+            rights.sort(key=lambda t: t[0])
+            lefts.sort(key=lambda t: t[0])
+        wm = state.getCurrentWatermarkMs()
+
+        out_rows = []
+        pending = []
+        for lts_v, ljs in lefts:
+            if flush_all or _ms(lts_v) < wm:
+                # final match: nearest right at-or-before, within tol
+                match = None
+                for r_ts, r_js in reversed(rights):
+                    if r_ts <= lts_v:
+                        if tol_ms is None or _ms(lts_v) - _ms(r_ts) <= tol_ms:
+                            match = (r_ts, r_js)
+                        break
+                out_rows.append(
+                    (key[0], lts_v, ljs, match[0] if match else None,
+                     match[1] if match else None)
+                )
+            else:
+                pending.append((lts_v, ljs))
+
+        if flush_all or (not pending and not rights):
+            state.remove()
+        else:
+            # prune rights to what future lefts (ts >= wm) can match:
+            # everything newer than the horizon + the single latest at
+            # or before it
+            horizon = wm - (tol_ms or 0)
+            keep = [r for r in rights if _ms(r[0]) >= horizon]
+            if tol_ms is None:
+                older = [r for r in rights if _ms(r[0]) < horizon]
+                if older:
+                    keep = [older[-1]] + keep
+            state.update(
+                (
+                    [r[0] for r in keep],
+                    [r[1] for r in keep],
+                    [p[0] for p in pending],
+                    [p[1] for p in pending],
+                )
+            )
+            state.setTimeoutTimestamp(wm + 1)
+
+        if not out_rows:
+            return iter([])
+        return iter(
+            [
+                pd.DataFrame(
+                    out_rows,
+                    columns=["__by", "l_ts", "l_json", "r_ts", "r_json"],
+                )
+            ]
+        )
+
+    raw = prepared.groupBy("__by").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    l_struct = F.from_json("l_json", l_schema)
+    r_struct = F.from_json("r_json", r_schema)
+    return raw.select(
+        F.col("__by").alias(by),
+        F.col("l_ts").alias(on),
+        *[l_struct[c].alias(c) for c in lpay],
+        F.col("r_ts").alias(f"{prefix}{on}"),
+        *[r_struct[c].alias(f"{prefix}{c}") for c in rpay],
+    )
+
+
 def read_testdata_table_stream(
     spark: SparkSession,
     sf_dir: str,

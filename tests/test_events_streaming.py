@@ -264,3 +264,55 @@ def test_docs_ingest_dedup_across_microbatches(spark, tmp_path):
     clean = sevents.docs_ingest_dedup_stream(stream)
     got = sevents.run_batchlike(clean, "t_docs_mb")
     assert {r["doc_id"] for r in got.collect()} == {1, 3}
+
+
+def test_asof_join_stream_matches_batch(spark, tmp_path):
+    """Streaming point-in-time join emits the same matches as the
+    batch asof_join on the same data (single availableNow drain; the
+    final timeout batch flushes lefts still above the watermark)."""
+    from bubbles_spark.ops import core
+    from bubbles_spark.streaming import events as sevents
+
+    rows = [
+        (1, _ts(10), 10, "purchase", 100.0),
+        (2, _ts(30), 10, "purchase", 200.0),
+        (3, _ts(5), 20, "purchase", 300.0),   # no earlier click -> NULL
+        (4, _ts(8), 10, "click", 1.0),
+        (5, _ts(10), 10, "click", 2.0),       # equal ts matches (backward)
+        (6, _ts(29), 10, "click", 3.0),
+        (7, _ts(50), 20, "click", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).withColumn("props", F.lit("{}"))
+    src_dir = str(tmp_path / "asof_src")
+    df.coalesce(1).write.parquet(src_dir)
+    stream = sevents.read_event_stream(spark, src_dir)
+
+    def split(d):
+        l = d.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        r = d.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+        return l, r
+
+    sl, sr = split(stream)
+    got_stream = sevents.run_batchlike(
+        sevents.asof_join_stream(sl, sr, on="ts", by="user_id"), "t_asof_stream"
+    )
+    bl, br = split(df)
+    want = core.asof_join(bl, br, on="ts", by="user_id")
+    g = {r["event_id"]: (r["r_ts"], r["r_value"]) for r in got_stream.collect()}
+    w = {r["event_id"]: (r["r_ts"], r["r_value"]) for r in want.collect()}
+    assert g == w
+    assert g[1] == (_ts(10), 2.0) and g[3] == (None, None)
+
+    # tolerance: click@29 is 60s before purchase@30 -> nulled at tol=30
+    got_tol = sevents.run_batchlike(
+        sevents.asof_join_stream(
+            sl, sr, on="ts", by="user_id", tolerance_seconds=30.0
+        ),
+        "t_asof_stream_tol",
+    )
+    gt = {r["event_id"]: r["r_value"] for r in got_tol.collect()}
+    assert gt == {1: 2.0, 2: None, 3: None}
