@@ -977,6 +977,54 @@ def q_sessionize(spark, sf_dir):
 
 
 @_q(
+    "time_bucket_rollup_distinct",
+    """
+    SELECT '' AS grain, CAST(NULL AS TIMESTAMP) AS window_start,
+           CAST(0 AS BIGINT) AS approx_distinct,
+           CAST(0 AS BIGINT) AS exact_distinct
+    WHERE FALSE
+    """,
+)
+def q_time_bucket_rollup_distinct(spark, sf_dir):
+    # HLL sketches are approximate, so the driver can't hash the
+    # estimates — but the ERROR CONTRACT is checkable: every bucket's
+    # estimate must sit within 5% of the exact distinct (lgk=12 is
+    # ~1.6% rel. std. error; 5% ≈ 3σ).  Violations survive; oracle =
+    # the empty set (sketch-family pattern).
+    e = _t(spark, sf_dir, "events")
+    roll = events.time_bucket_rollup_distinct(
+        e, "ts", ["1 hour", "1 day"], "user_id"
+    )
+    exact = None
+    for grain in ("1 hour", "1 day"):
+        g = (
+            e.groupBy(F.window("ts", grain).alias("__w"))
+            .agg(F.count_distinct("user_id").alias("exact_distinct"))
+            .select(
+                F.lit(grain).alias("grain"),
+                F.col("__w.start").alias("window_start"),
+                "exact_distinct",
+            )
+        )
+        exact = g if exact is None else exact.unionByName(g)
+    joined = roll.join(exact, ["grain", "window_start"], "full")
+    bad = joined.filter(
+        F.col("approx_distinct").isNull()
+        | F.col("exact_distinct").isNull()
+        | (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            > 0.05 * F.col("exact_distinct") + 1
+        )
+    )
+    return bad.select(
+        "grain",
+        F.col("window_start").cast("timestamp"),
+        F.col("approx_distinct").cast("long"),
+        F.col("exact_distinct").cast("long"),
+    )
+
+
+@_q(
     "parse_props",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -2940,6 +2988,7 @@ _DRIVER_PRIORITY = [
     "stream_asof_join",
     "sessionize",
     "parse_props",
+    "time_bucket_rollup_distinct",
     # sample_random: new violations-style oracle this round
     "sample_random",
     # dedup family (the engine's reason to exist)

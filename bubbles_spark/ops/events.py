@@ -194,6 +194,60 @@ def time_bucket_rollup(
     return out
 
 
+def time_bucket_rollup_distinct(
+    df: DataFrame,
+    ts_col: str,
+    granularities: Sequence[str],
+    distinct_col: str,
+    keys: Sequence[str] = (),
+    lgk: int = 12,
+) -> DataFrame:
+    """Multi-granularity APPROX-DISTINCT rollup via mergeable HLL
+    sketches (Apache DataSketches, built into Spark) — the measure
+    time_bucket_rollup must refuse (plain count_distinct does not
+    re-aggregate: distinct-per-hour can't sum to distinct-per-day).
+
+    Pyramid shape, same as time_bucket_rollup: the raw input is
+    sketched ONCE at the finest grain (hll_sketch_agg — partial-
+    aggregates map-side like any agg); every coarser grain UNIONS the
+    fine sketches (hll_union_agg over kilobyte-sized binaries), so at
+    100 TB the k-grain rollup costs one full pass + k-1 sketch-sized
+    shuffles, and the same sketch column can keep merging upward
+    (day → month → year) without ever rescanning raw data.
+
+    ``lgk`` = log2 of sketch buckets (12 → ~1.6% rel. std. error).
+    Output: grain, window_start, *keys, approx_distinct.
+    """
+    finest, *coarser = list(granularities)
+
+    fine_sk = (
+        df.groupBy(F.window(ts_col, finest).alias("__w"), *keys)
+        .agg(F.hll_sketch_agg(distinct_col, F.lit(lgk)).alias("__sk"))
+        .select(
+            F.col("__w.start").alias("window_start"), *keys, "__sk"
+        )
+    )
+
+    def finish(level: DataFrame, grain: str) -> DataFrame:
+        return level.select(
+            F.lit(grain).alias("grain"),
+            "window_start",
+            *keys,
+            F.hll_sketch_estimate("__sk").alias("approx_distinct"),
+        )
+
+    out = finish(fine_sk, finest)
+    level = fine_sk
+    for g in coarser:
+        level = (
+            level.groupBy(F.window("window_start", g).alias("__w"), *keys)
+            .agg(F.hll_union_agg("__sk").alias("__sk"))
+            .select(F.col("__w.start").alias("window_start"), *keys, "__sk")
+        )
+        out = out.unionByName(finish(level, g))
+    return out
+
+
 def parse_props(
     df: DataFrame, props_col: str = "props", schema: str = "k INT"
 ) -> DataFrame:

@@ -316,3 +316,26 @@ def test_asof_join_stream_matches_batch(spark, tmp_path):
     )
     gt = {r["event_id"]: r["r_value"] for r in got_tol.collect()}
     assert gt == {1: 2.0, 2: None, 3: None}
+
+
+def test_time_bucket_rollup_distinct_pyramid(spark):
+    """HLL-sketch rollup: tiny cardinalities estimate exactly, and the
+    day grain must equal the distinct over the WHOLE day (not the sum
+    of hourly distincts — that's why plain count_distinct refuses)."""
+    rows = []
+    # hour 0: users 1,2; hour 1: users 2,3 -> day distinct = 3, not 4
+    for eid, (minute, uid) in enumerate(
+        [(0, 1), (10, 2), (20, 2), (70, 2), (80, 3)]
+    ):
+        rows.append((eid, _ts(minute), uid, "a", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = events.time_bucket_rollup_distinct(df, "ts", ["1 hour", "1 day"], "user_id")
+    got = {
+        (r["grain"], r["window_start"].hour): r["approx_distinct"]
+        for r in out.collect()
+    }
+    assert got[("1 hour", 0)] == 2
+    assert got[("1 hour", 1)] == 2
+    assert got[("1 day", 0)] == 3  # union of sketches, not sum (2+2)
