@@ -2262,6 +2262,28 @@ def q_extract_urls(spark, sf_dir):
 
 
 @_q(
+    "bpe_tokenize_count",
+    """
+    SELECT doc_id, CAST(doc_id % 7 + 3 AS BIGINT) AS n_bpe FROM documents
+    """,
+)
+def q_bpe_tokenize_count(spark, sf_dir):
+    # REAL greedy BPE over a controlled alphabet so the token count is
+    # exactly predictable: each 'abc' word fully merges to ONE token
+    # (a+b -> ab+c -> abc+</w>), the trailing 'abd' merges partially
+    # to THREE (ab, d, </w>) — a wrong merge order, missed cascade, or
+    # broken end-of-word handling all shift the count
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(repeat('abc ', CAST(doc_id % 7 AS INT)), 'abd')"
+        ).alias("text"),
+    )
+    out = textan.bpe_tokenize(d, [("a", "b"), ("ab", "c"), ("abc", "</w>")])
+    return out.select("doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe"))
+
+
+@_q(
     "unigram_perplexity",
     f"""
     WITH toks AS (
@@ -3036,6 +3058,7 @@ _DRIVER_PRIORITY = [
     "term_doc_freq",
     "tf_idf",
     "unigram_perplexity",
+    "bpe_tokenize_count",
     "content_hash",
     # multimodal
     "media_stats",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------
 # tokens
@@ -361,3 +362,82 @@ def unigram_perplexity(
     return scored.groupBy(id_col).agg(
         F.round(F.exp(-F.avg("__lp")), 6).alias(out)
     )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out: str = "bpe_tokens",
+    lowercase: bool = True,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """REAL byte-pair-encoding tokenization from a user-supplied
+    merge table — no tokenizer library needed; this is the standard
+    greedy-merge algorithm (Sennrich et al.) every BPE vocabulary
+    file encodes.
+
+    ``merges``: an ordered list of (left, right) pairs — merge rank =
+    list position — or a path to a merges.txt (one space-separated
+    pair per line, '#' comments skipped; the GPT-2/RoBERTa layout).
+    Each whitespace word splits to characters (+``end_of_word``
+    marker), then the lowest-rank adjacent pair merges repeatedly
+    until no listed pair remains.  Deterministic by construction.
+
+    Scale shape: the merge table is a model artifact (≤ ~50k rows) —
+    it rides to executors inside the task closure (one broadcast);
+    tokenization runs in Arrow-batched mapInPandas, map-only, no
+    shuffle.  Swap in a C-backed tokenizer via the same mapInPandas
+    seam when throughput demands it; the semantics stay pinned by
+    these tests.
+
+    Output: ``out`` column, array<string> of BPE tokens.
+    """
+    if isinstance(merges, (str, bytes)):
+        pairs = []
+        with open(merges) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                a, b = line.split()[:2]
+                pairs.append((a, b))
+    else:
+        pairs = [tuple(p) for p in merges]
+    ranks = {p: i for i, p in enumerate(pairs)}
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out, T.ArrayType(T.StringType()))]
+    )
+
+    def _encode_word(word: str) -> list:
+        symbols = list(word) + ([end_of_word] if end_of_word else [])
+        while len(symbols) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(symbols) - 1):
+                r = ranks.get((symbols[i], symbols[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            symbols[best_i : best_i + 2] = [
+                symbols[best_i] + symbols[best_i + 1]
+            ]
+        return symbols
+
+    def _tokenize(batches):
+        for pdf in batches:
+            col = []
+            for text in pdf[text_col]:
+                if text is None:
+                    col.append(None)
+                    continue
+                s = text.lower() if lowercase else text
+                toks = []
+                for w in s.split():
+                    toks.extend(_encode_word(w))
+                col.append(toks)
+            yield pdf.assign(**{out: col})
+
+    return df.mapInPandas(_tokenize, schema=out_schema)

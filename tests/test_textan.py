@@ -125,3 +125,33 @@ def test_unigram_perplexity_hand_computed(spark):
     exp3 = round(math.exp(-lp_oov), 6)
     assert got == {1: exp1, 2: exp2, 3: exp3}
     assert got[1] < got[2] < got[3]  # fluent < mixed < OOV-only
+
+
+def test_bpe_tokenize_greedy_merges(spark):
+    """Classic BPE greedy merging: rank order wins, merges cascade,
+    end-of-word marker participates, unknown pairs stay split."""
+    from bubbles_spark.ops import textan
+
+    merges = [("t", "h"), ("th", "e"), ("the", "</w>")]
+    df = spark.createDataFrame(
+        [(1, "the then tooth x"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bpe_tokens"] for r in textan.bpe_tokenize(df, merges).collect()}
+    # "the": t,h,e,</w> -> th,e,</w> -> the,</w> -> the</w>
+    # "then": t,h,e,n,</w> -> the,n,</w> (the+</w> not adjacent)
+    # "tooth": t,o,o,t,h,</w> -> t,o,o,th,</w>
+    assert got[1] == ["the</w>", "the", "n", "</w>", "t", "o", "o", "th", "</w>", "x", "</w>"]
+    assert got[2] is None
+    assert got[3] == []
+
+
+def test_bpe_tokenize_from_file(spark, tmp_path):
+    from bubbles_spark.ops import textan
+
+    p = tmp_path / "merges.txt"
+    p.write_text("# version: test\na b\nab c\n")
+    df = spark.createDataFrame([(1, "abc abd")], "doc_id long, text string")
+    got = textan.bpe_tokenize(df, str(p)).collect()[0]["bpe_tokens"]
+    # "abc": a,b,c,</w> -> ab,c,</w> -> abc,</w>; "abd": ab,d,</w>
+    assert got == ["abc", "</w>", "ab", "d", "</w>"]
