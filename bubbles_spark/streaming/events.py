@@ -346,7 +346,14 @@ def asof_join_stream(
             else:
                 pending.append((lts_v, ljs))
 
-        if flush_all or (not pending and not rights):
+        if flush_all:
+            # drain semantics: the timeout batch finalized every
+            # pending left above — but KEEP the (pruned) right buffer:
+            # after a checkpointed restart, new lefts must still match
+            # rights seen before the shutdown.  Already-emitted lefts
+            # never re-emit (append mode).
+            pending = []
+        if not pending and not rights:
             state.remove()
         else:
             # prune rights to what future lefts (ts >= wm) can match:
@@ -366,7 +373,8 @@ def asof_join_stream(
                     [p[1] for p in pending],
                 )
             )
-            state.setTimeoutTimestamp(wm + 1)
+            if pending:
+                state.setTimeoutTimestamp(wm + 1)
 
         if not out_rows:
             return iter([])

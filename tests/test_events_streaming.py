@@ -339,3 +339,57 @@ def test_time_bucket_rollup_distinct_pyramid(spark):
     assert got[("1 hour", 0)] == 2
     assert got[("1 hour", 1)] == 2
     assert got[("1 day", 0)] == 3  # union of sketches, not sum (2+2)
+
+
+def test_asof_join_stream_state_survives_restart(spark, tmp_path):
+    """Checkpointed restart: rights seen before a shutdown must still
+    match lefts that arrive after the restart — per-key state (the
+    right buffer and pending lefts) restores from the checkpoint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles_spark.streaming import events as sevents
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write(fname, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": [r[0] for r in rows],
+                    "ts": [r[1] for r in rows],
+                    "user_id": [r[2] for r in rows],
+                    "event_type": [r[3] for r in rows],
+                    "value": [float(r[4]) for r in rows],
+                    "props": ["{}" for _ in rows],
+                }
+            ),
+            str(src / fname),
+        )
+
+    def run_once():
+        stream = sevents.read_event_stream(spark, str(src))
+        lefts = stream.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        rights = stream.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        joined = sevents.asof_join_stream(lefts, rights, on="ts", by="user_id")
+        return sevents.stream_to_parquet(joined, out_dir, ckpt)
+
+    # run 1: a click and one purchase; purchase@30 emits only via the
+    # final timeout batch OR stays pending — either way the click must
+    # survive in state for run 2's purchase
+    write("f1.parquet", [(4, _ts(8), 10, "click", 1.0), (1, _ts(30), 10, "purchase", 100.0)])
+    run_once()
+
+    # run 2 (same checkpoint = restart): a later purchase, no new
+    # clicks — must still match the run-1 click from restored state
+    write("f2.parquet", [(2, _ts(60), 10, "purchase", 200.0)])
+    got = run_once()
+    rows = {r["event_id"]: (r["r_ts"], r["r_value"]) for r in got.collect()}
+    assert rows.get(1) == (_ts(8), 1.0)
+    assert rows.get(2) == (_ts(8), 1.0)
