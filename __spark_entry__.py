@@ -870,6 +870,67 @@ def q_sample_random(spark, sf_dir):
     return not_subset.unionByName(out_of_bounds)
 
 
+# --- L1 sample: reservoir (exact-k) + weighted (A-ES) ------------------
+@_q(
+    "sample_reservoir",
+    """
+    SELECT '' AS violation, CAST(0 AS BIGINT) AS n WHERE FALSE
+    """,
+)
+def q_sample_reservoir(spark, sf_dir):
+    # exact-size seeded uniform sample via TakeOrdered: the driver
+    # can't hash the admitted set, but the guarantees are exact —
+    # count == min(k, n) (not binomial-approximate), and every row
+    # comes from the input.  Violations survive; oracle = empty.
+    cust = _t(spark, sf_dir, "customer")
+    k = 100
+    s = core.sample(cust, k, mode="reservoir")
+    bad_count = (
+        s.agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(cust.agg(F.count(F.lit(1)).alias("__t")))
+        .filter(F.col("n") != F.least(F.lit(k), F.col("__t")))
+        .select(F.lit("wrong_size").alias("violation"), "n")
+    )
+    not_subset = (
+        s.join(cust, "c_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(F.lit("rows_not_in_input").alias("violation"), "n")
+    )
+    return bad_count.unionByName(not_subset)
+
+
+@_q(
+    "sample_weighted",
+    """
+    SELECT '' AS violation, CAST(0 AS BIGINT) AS n WHERE FALSE
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    # Efraimidis–Spirakis weighted sample: plant extreme weights (100
+    # heavy rows carry ~10^12× the mass of the rest) — every selected
+    # row must be heavy, and the size must be exactly k.  Violations
+    # survive; oracle = empty.
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "__w",
+        F.when(F.col("c_custkey") <= 100, F.lit(1e6)).otherwise(F.lit(1e-6)),
+    )
+    k = 50
+    s = core.sample(cust, k, mode="weighted", weight_col="__w")
+    bad_count = (
+        s.agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") != k)
+        .select(F.lit("wrong_size").alias("violation"), "n")
+    )
+    light_picked = (
+        s.filter(F.col("c_custkey") > 100)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(F.lit("light_row_selected").alias("violation"), "n")
+    )
+    return bad_count.unionByName(light_picked)
+
+
 # --- L1 sample: first+discard (two-phase global rank path) -------------
 @_q(
     "sample_first_discard",
@@ -3011,8 +3072,10 @@ _DRIVER_PRIORITY = [
     "sessionize",
     "parse_props",
     "time_bucket_rollup_distinct",
-    # sample_random: new violations-style oracle this round
+    # sampling: new violations-style oracles this round
     "sample_random",
+    "sample_reservoir",
+    "sample_weighted",
     # dedup family (the engine's reason to exist)
     "exact_dedup",
     "exact_dup_groups",

@@ -219,6 +219,7 @@ def sample(
     discard: bool = False,
     order_by: Sequence[tuple[str, str] | str] | None = None,
     seed: int = 42,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Row sampling (bubbles/ops/rows.py::sample). Modes:
 
@@ -228,7 +229,18 @@ def sample(
       single-threaded iterator.
     - ``nth``: every Nth row under ``order_by`` (row_number % n == 1).
     - ``random``: Bernoulli sample with fixed seed; ``value`` is the
-      fraction.
+      fraction (approximate size — binomial).
+    - ``reservoir``: EXACT-size uniform sample of ``value`` rows —
+      seeded rand key + top-k, which compiles to
+      TakeOrderedAndProject: O(n log k) map-side heaps, no global
+      sort, no shuffle of non-winners.  The distributed twin of the
+      classic reservoir algorithm.
+    - ``weighted``: exact-size sample where row i is selected with
+      probability proportional to ``weight_col`` (required; positive
+      weights — others never selected) — the Efraimidis–Spirakis
+      A-ES key (u^(1/w), here as log(u)/w for stability), again via
+      top-k.  The mixture/temperature-sampling primitive at corpus
+      scale.
 
     ``discard=True`` returns the complement (reference semantics).
     """
@@ -238,6 +250,31 @@ def sample(
             # the deterministic rand() predicate inverse instead
             return df.filter(F.rand(seed) >= float(value))
         return df.sample(fraction=float(value), seed=seed)
+    if mode in ("reservoir", "weighted"):
+        if discard:
+            raise ValueError(f"sample(mode={mode!r}) has no discard form")
+        k = int(value)
+        if mode == "reservoir":
+            key = F.rand(seed)
+        else:
+            if weight_col is None:
+                raise ValueError(
+                    "sample(mode='weighted') requires weight_col="
+                )
+            w = F.col(weight_col).cast("double")
+            # A-ES: larger log(u)/w  ⇔ larger u^(1/w); rows with
+            # non-positive/null weight are never selected
+            key = F.when(w > 0, F.log(F.rand(seed)) / w).otherwise(
+                F.lit(float("-inf"))
+            )
+        ranked = df.withColumn("__samp_key", key)
+        if mode == "weighted":
+            ranked = ranked.filter(F.col("__samp_key") != float("-inf"))
+        return (
+            ranked.orderBy(F.col("__samp_key").desc())
+            .limit(k)
+            .drop("__samp_key")
+        )
 
     if order_by is None:
         raise ValueError(

@@ -309,3 +309,41 @@ def test_stratified_sample(spark):
     # absent stratum is dropped
     out2 = core.stratified_sample(df, "src", {"rare": 1.0}, seed=3)
     assert out2.filter(F.col("src") == "common").count() == 0
+
+
+def test_sample_reservoir_exact_size_and_plan(spark):
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    got = core.sample(df, 37, mode="reservoir")
+    rows = got.collect()
+    assert len(rows) == 37
+    assert {r["id"] for r in rows} <= set(range(1000))
+    # deterministic under a fixed seed
+    again = core.sample(df, 37, mode="reservoir").collect()
+    assert {r["id"] for r in rows} == {r["id"] for r in again}
+    # top-k, not a global sort
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # k > n returns everything
+    assert core.sample(df, 5000, mode="reservoir").count() == 1000
+
+
+def test_sample_weighted_proportional(spark):
+    import pytest
+
+    rows = [(i, 1000.0 if i < 10 else 0.001) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = core.sample(df, 10, mode="weighted", weight_col="w").collect()
+    assert len(got) == 10
+    # the 10 heavy rows carry ~all the mass -> expect (nearly) all picked
+    heavy = sum(1 for r in got if r["id"] < 10)
+    assert heavy >= 8
+    # zero/negative/null weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0), (3, -5.0), (4, None)], "id long, w double"
+    )
+    picked = {r["id"] for r in core.sample(df2, 4, mode="weighted", weight_col="w").collect()}
+    assert picked == {1}
+    with pytest.raises(ValueError):
+        core.sample(df, 5, mode="weighted")
+    with pytest.raises(ValueError):
+        core.sample(df, 5, mode="reservoir", discard=True)
