@@ -191,6 +191,21 @@ CHECKS = [
 # them through queries() would explain the memory-sink table.  Build
 # the live streaming plan directly instead (analysis also re-checks
 # the watermark/timestamp-type contract that broke in round 2).
+def _build_stream_asof(spark):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, SF_DIR)
+    lefts = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rights = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return sevents.asof_join_stream(lefts, rights, on="ts", by="user_id")
+
+
 STREAM_CHECKS = [
     (
         "stream_tumbling_window(plan)",
@@ -200,6 +215,14 @@ STREAM_CHECKS = [
         [(r"EventTimeWatermark", "watermark present (bounded state)"),
          (r"HashAggregate|StateStore", "windowed agg plan")],
         [(r"CartesianProduct", "no cross product")],
+    ),
+    (
+        "stream_asof_join(plan)",
+        _build_stream_asof,
+        [(r"EventTimeWatermark", "watermark present (state bounded by horizon)"),
+         (r"FlatMapGroupsInPandasWithState", "stateful asof via applyInPandasWithState"),
+         (r"Union", "both sides union into ONE tagged stream (one shuffle on the key)")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join explosion")],
     ),
 ]
 
