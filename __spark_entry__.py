@@ -1939,8 +1939,23 @@ def q_frame_sample_y4m(spark, sf_dir):
     )
 
 
-@_q("decode_image_fake")
+@_q(
+    "decode_image_fake",
+    """
+    SELECT doc_id,
+           CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 192
+                AS INTEGER) AS width,
+           CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 192
+                AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           'fake' AS format
+    FROM documents WHERE doc_id < 50
+    """,
+)
 def q_decode_image(spark, sf_dir):
+    # The "fake" placeholder is DETERMINISTIC (dims from the md5 of the
+    # bytes), so even the plumbing stub gets an exact oracle: DuckDB
+    # recomputes width/height from md5(text) hex digits.
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     m = multimodal.attach_media(d, "text", mime="image/fake")
     return multimodal.decode_image(m, fake=True).select(
@@ -1948,8 +1963,20 @@ def q_decode_image(spark, sf_dir):
     )
 
 
-@_q("frame_sample_fake")
+@_q(
+    "frame_sample_fake",
+    """
+    SELECT doc_id,
+           CAST(i * 10 AS INTEGER) AS frame_index,
+           'image/fake-frame' AS frame_mime
+    FROM documents, range(8) t(i)
+    WHERE doc_id < 20 AND i < least(8, greatest(1, strlen(text) // 10))
+    """,
+)
 def q_frame_sample(spark, sf_dir):
+    # Fake frame fan-out is deterministic too: n = min(8, max(1,
+    # byte_len // 10)) frames at indices 0,10,20,... — oracle rebuilds
+    # the exact fan-out from strlen(text).
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     m = multimodal.attach_media(d, "text", mime="video/fake")
     return multimodal.frame_sample(m, fake=True).select(
@@ -3200,8 +3227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     seen = set(base)
     base += [n for n in _QUERIES if n not in seen]
     checked = _driver_checked_rounds()
+    # Queries with no oracle SQL can only ever record a rows-only
+    # "no_oracle" row — never a hard pass — so they must not occupy the
+    # driver's bounded window ahead of hash-checkable queries. Their
+    # exactness is pinned by planted-oracle twins instead.
+    oracleless = {n for n in base if n not in _ORACLES}
     order = sorted(
-        range(len(base)), key=lambda i: (checked.get(base[i], 0), i)
+        range(len(base)),
+        key=lambda i: (base[i] in oracleless, checked.get(base[i], 0), i),
     )
     return {base[i]: _QUERIES[base[i]] for i in order}
 
