@@ -36,6 +36,32 @@ from pyspark.sql import functions as F
 
 from bubbles_spark.ops.textan import _tokens
 
+# At most ONE MinHash signature cache is live at a time: each
+# minhash_dedup_pairs call releases the previous call's persisted
+# signatures before persisting its own, so repeated calls in a long
+# session don't leak executor storage.  Call release_signature_cache()
+# to free the last one once its consumers are materialized.
+_SIG_CACHE: list[DataFrame] = []
+
+
+def _persist_sig_cache(df: DataFrame) -> DataFrame:
+    release_signature_cache()
+    df.persist()
+    _SIG_CACHE.append(df)
+    return df
+
+
+def release_signature_cache() -> None:
+    """Unpersist the MinHash signature cache held by the most recent
+    ``minhash_dedup_pairs`` call.  Unpersisting is always safe — a
+    still-lazy consumer just recomputes the signatures."""
+    while _SIG_CACHE:
+        try:
+            _SIG_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
 # ---------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------
@@ -225,8 +251,10 @@ def minhash_dedup_pairs(
     )
     # signatures feed three consumers (banding, est-join ×2); persist
     # so the text scan + shingling runs once (at 100 TB recomputing
-    # the signature means re-reading the corpus)
-    sigs.persist()
+    # the signature means re-reading the corpus).  Scoped: each call
+    # releases the previous call's cache (see _persist_sig_cache), so
+    # long sessions don't accumulate cached signature RDDs.
+    _persist_sig_cache(sigs)
 
     # band the signature: bucket key = hash of the band's slot values.
     # rows_per_band is a Python constant, so the whole banding unrolls
@@ -483,8 +511,11 @@ def simhash_dedup_pairs(
             F.col("b.__id").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming BEFORE the distinct: the filter is map-side (a bit_count
+        # on columns already in hand), so pairs about to be discarded
+        # never enter the dropDuplicates shuffle
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
