@@ -347,3 +347,36 @@ def test_sample_weighted_proportional(spark):
         core.sample(df, 5, mode="weighted")
     with pytest.raises(ValueError):
         core.sample(df, 5, mode="reservoir", discard=True)
+
+
+def test_sample_threshold_select_path(spark):
+    # takeordered_cutoff=0 forces the large-k two-phase threshold
+    # select; same guarantees must hold: exact size, subset of input,
+    # deterministic under a fixed seed, no TakeOrdered in the plan
+    df = spark.range(0, 20000).withColumn("v", F.col("id") * 3)
+    got = core.sample(df, 5000, mode="reservoir", takeordered_cutoff=0)
+    ids = {r["id"] for r in got.collect()}
+    assert len(ids) == 5000
+    assert ids <= set(range(20000))
+    again = core.sample(df, 5000, mode="reservoir", takeordered_cutoff=0)
+    assert {r["id"] for r in again.collect()} == ids
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    # both paths draw the SAME sample (key is path-independent)
+    small = core.sample(df, 5000, mode="reservoir")
+    assert {r["id"] for r in small.collect()} == ids
+    # weighted threshold path: heavy rows dominate, exact k
+    w = df.withColumn(
+        "w", F.when(F.col("id") < 6000, 1e9).otherwise(1e-9)
+    )
+    got_w = core.sample(
+        w, 5000, mode="weighted", weight_col="w", takeordered_cutoff=0
+    )
+    rows = got_w.collect()
+    assert len(rows) == 5000
+    assert all(r["id"] < 6000 for r in rows)
+    # k >= n returns everything
+    assert (
+        core.sample(df, 30000, mode="reservoir", takeordered_cutoff=0).count()
+        == 20000
+    )

@@ -90,8 +90,12 @@ def main() -> int:
     customer = load_table(spark, SF_DIR, "customer")
 
     def run(build, df):
-        out = build(df)
+        # time build + write: most builds are lazy plan construction,
+        # but sample(mode=weighted/reservoir) at large k runs its
+        # count/approx-quantile passes eagerly inside build — those
+        # passes are part of the operator's true cost
         t0 = time.time()
+        out = build(df)
         out.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
@@ -180,10 +184,27 @@ def main() -> int:
             t["events"], "ts", ["1 hour", "1 day"], measures=[("value", "sum")]
         )
 
+    def sample_weighted_big_k(t):
+        from bubbles_spark.ops import core
+
+        e = t["events"]
+        # k proportional to the input (a quarter of it), cutoff forced
+        # to 0 so the threshold-select path runs at every scale;
+        # linear-time expectation, so alpha ≈ 1
+        n = e.count()
+        return core.sample(
+            e.withColumn("__w", (F.col("value") + F.lit(1.0))),
+            n // 4,
+            mode="weighted",
+            weight_col="__w",
+            takeordered_cutoff=0,
+        )
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
         "time_bucket_rollup": rollup_op,
+        "sample_weighted_big_k": sample_weighted_big_k,
     }
 
     results = {}
