@@ -180,6 +180,8 @@ class FileStore(DataStore):
             # affected partition values: metadata-sized collect (the
             # updates batch touches a bounded set of partitions)
             touched = updates.select(*part_cols).distinct().collect()
+            if not touched:
+                return  # empty updates batch: nothing to merge
             pred = None
             for row in touched:
                 clause = None

@@ -146,8 +146,13 @@ def jpeg_dims(data: bytes):
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 return None
+            # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+            # the space before a marker code
+            while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+                pos += 1
             marker = data[pos + 1]
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+            # standalone markers (no length segment): SOI, RSTn, TEM
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 pos += 2
                 continue
             (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])

@@ -12,6 +12,7 @@ documented pattern for deterministic streaming tests.
 
 from __future__ import annotations
 
+import threading
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,7 +101,18 @@ def read_testdata_event_stream(
     if ts_dt == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_dt == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        # A bare NTZ→TIMESTAMP cast interprets the wall-clock in the
+        # SESSION zone — value-preserving only when that happens to be
+        # UTC (the driver's vanilla session doesn't pin one).  Shift
+        # the wall-clock from UTC into the session zone first, so the
+        # cast always lands on the instant whose UTC rendering equals
+        # the stored NTZ value, matching the DuckDB oracle on any host.
+        raw = raw.withColumn(
+            "ts",
+            F.convert_timezone(
+                F.lit("UTC"), F.expr("current_timezone()"), F.col("ts")
+            ).cast("timestamp"),
+        )
     return raw
 
 
@@ -461,6 +473,11 @@ def docs_ingest_dedup_stream(
     return keyed.dropDuplicates([shard_col, "__content_h"]).drop("__content_h")
 
 
+_SHARD_TUNE_LOCK = threading.Lock()
+_SHARD_TUNE_DEPTH = 0
+_SHARD_TUNE_PREV: str | None = None
+
+
 def _sane_state_shards(spark: SparkSession) -> str | None:
     """Stateful streaming shards its state store by
     spark.sql.shuffle.partitions AT QUERY START — AQE never coalesces
@@ -468,24 +485,52 @@ def _sane_state_shards(spark: SparkSession) -> str | None:
     200 near-empty state partitions and pure task-scheduling overhead
     on a local run (measured 29.7s → ~3s for sessionize_stream).  If
     the session still has the stock default, drop to ~2×cores for the
-    duration of the query; returns the previous value to restore (or
-    None if the session was already tuned)."""
+    duration of the query; returns a token for _restore_state_shards.
+
+    SCOPE CAVEAT — SQLConf is session-global and OSS Spark offers no
+    per-query override (the state partition count is read from the
+    session conf when the first micro-batch plans, then pinned in the
+    checkpoint): while a tuned streaming query is draining, any OTHER
+    query planned in the same SparkSession sees the reduced partition
+    count.  Sessions that care should set shuffle.partitions
+    explicitly (any value < 100 disables this tuning).  Overlapping
+    streaming helpers in one session are safe: the save/restore is
+    depth-counted under a lock, so only the outermost call restores.
+    """
     import os
 
+    global _SHARD_TUNE_DEPTH, _SHARD_TUNE_PREV
     try:
         cur = spark.conf.get("spark.sql.shuffle.partitions")
     except Exception:
         return None
-    if cur is not None and cur.isdigit() and int(cur) >= 100:
-        n = max(8, 2 * (os.cpu_count() or 8))
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
-        return cur
+    with _SHARD_TUNE_LOCK:
+        if _SHARD_TUNE_DEPTH > 0:
+            # already tuned by an outer/concurrent helper: just nest
+            _SHARD_TUNE_DEPTH += 1
+            return "__nested__"
+        if cur is not None and cur.isdigit() and int(cur) >= 100:
+            n = max(8, 2 * (os.cpu_count() or 8))
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            _SHARD_TUNE_DEPTH = 1
+            _SHARD_TUNE_PREV = cur
+            return "__outer__"
     return None
 
 
 def _restore_state_shards(spark: SparkSession, prev: str | None) -> None:
-    if prev is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    global _SHARD_TUNE_DEPTH, _SHARD_TUNE_PREV
+    if prev is None:
+        return
+    with _SHARD_TUNE_LOCK:
+        _SHARD_TUNE_DEPTH -= 1
+        if _SHARD_TUNE_DEPTH <= 0:
+            _SHARD_TUNE_DEPTH = 0
+            if _SHARD_TUNE_PREV is not None:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", _SHARD_TUNE_PREV
+                )
+                _SHARD_TUNE_PREV = None
 
 
 def stream_to_parquet(
