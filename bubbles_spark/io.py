@@ -154,8 +154,9 @@ class FileStore(DataStore):
         anti-join keeps the non-matching rows, the updates union on,
         and the result REWRITES the object (staged to a temp object
         then renamed, so a mid-write failure leaves the original
-        intact; concurrent writers still need a real lakehouse
-        format).
+        intact; concurrent writers need a real lakehouse format —
+        ``lakehouse.DeltaStore``/``IcebergStore`` push this same
+        merge down to an ACID MERGE INTO).
 
         With ``partition_by`` (the object must have been created with
         the same partitioning) the merge is PARTITION-PRUNED — the
@@ -485,11 +486,26 @@ class XLSStore(DataStore):
         raise NotImplementedError("XLS store is read-only (as in the reference)")
 
 
+MONGO_COORD = "org.mongodb.spark:mongo-spark-connector_2.13:10.5.0"
+
+
+def mongo_available(spark: SparkSession) -> bool:
+    """True when the mongo-spark connector is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "com.mongodb.spark.sql.connector.MongoTableProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 class MongoStore(DataStore):
     """MongoDB collections (bubbles/backends/mongo — S7).  Needs the
-    mongo-spark connector jar + a running server, neither present
-    here; the store resolves the format lazily so the plumbing is
-    real and the error is explicit."""
+    mongo-spark connector jar (``--packages`` coordinate in
+    ``MONGO_COORD``) + a running server, neither present here; the
+    store probes the classpath lazily so the plumbing is real and the
+    missing-jar error is explicit."""
 
     def __init__(self, spark: SparkSession, uri: str, database: str, **options: Any):
         self.spark = spark
@@ -497,10 +513,19 @@ class MongoStore(DataStore):
         self.database = database
         self.options = options
 
+    def _require(self) -> None:
+        if not mongo_available(self.spark):
+            raise NotImplementedError(
+                "mongo-spark connector not on the classpath; start the "
+                f"session with --packages {MONGO_COORD} (and a reachable "
+                "mongod)"
+            )
+
     def objects(self) -> list[str]:
         raise NotImplementedError("enumerate collections via a Mongo client")
 
     def get_object(self, name: str) -> DataFrame:
+        self._require()
         return (
             self.spark.read.format("mongodb")
             .option("connection.uri", self.uri)
@@ -519,6 +544,7 @@ class MongoStore(DataStore):
     ) -> None:
         if from_obj is None:
             raise ValueError("create() requires from_obj")
+        self._require()
         (
             from_obj.write.format("mongodb")
             .option("connection.uri", self.uri)
@@ -616,6 +642,12 @@ def open_store(type: str, spark: SparkSession | None = None, **options: Any) -> 
         from bubbles_spark.session import get_spark
 
         spark = get_spark()
+    if type in ("delta", "iceberg"):
+        # local import: lakehouse.py imports this module
+        from bubbles_spark import lakehouse
+
+        cls_lh = lakehouse.DeltaStore if type == "delta" else lakehouse.IcebergStore
+        return cls_lh(spark, **options)
     cls = _STORE_TYPES.get(type)
     if cls is not None:
         return cls(spark, **options)
