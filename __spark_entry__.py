@@ -1086,6 +1086,79 @@ def q_time_bucket_rollup_distinct(spark, sf_dir):
 
 
 @_q(
+    "time_bucket_rollup_quantiles",
+    """
+    WITH b AS (
+      SELECT MIN(CAST(value AS DOUBLE)) AS lo, MAX(CAST(value AS DOUBLE)) AS hi
+      FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CASE WHEN hi > lo THEN
+               LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - lo)
+                     / ((hi - lo) / 1024)) AS INTEGER), 0), 1023)
+             ELSE 0 END AS bin
+      FROM events, b WHERE value IS NOT NULL
+    ),
+    fine AS (
+      SELECT window_start, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2
+    ),
+    coarse AS (
+      SELECT time_bucket(INTERVAL '1 day', window_start) AS window_start,
+             bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM fine GROUP BY 1, 2
+    ),
+    fine_c AS (
+      SELECT window_start, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY window_start ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY window_start) AS tot
+      FROM fine
+    ),
+    coarse_c AS (
+      SELECT window_start, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY window_start ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY window_start) AS tot
+      FROM coarse
+    ),
+    levels AS (
+      SELECT '1 hour' AS grain, window_start,
+             MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN bin END) AS b50,
+             MIN(CASE WHEN cum >= CEIL(0.95 * tot) THEN bin END) AS b95,
+             CAST(SUM(cnt) AS BIGINT) AS record_count
+      FROM fine_c GROUP BY 2
+      UNION ALL
+      SELECT '1 day', window_start,
+             MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN bin END),
+             MIN(CASE WHEN cum >= CEIL(0.95 * tot) THEN bin END),
+             CAST(SUM(cnt) AS BIGINT)
+      FROM coarse_c GROUP BY 2
+    )
+    SELECT grain, window_start,
+           ROUND(lo + b50 * ((hi - lo) / 1024), 6) AS p50,
+           ROUND(lo + b95 * ((hi - lo) / 1024), 6) AS p95,
+           record_count
+    FROM levels, b
+    """,
+)
+def q_time_bucket_rollup_quantiles(spark, sf_dir):
+    # The histogram-sketch quantile pyramid is DETERMINISTIC (lower
+    # bin edge at rank ceil(q·N), plain IEEE floor binning), so unlike
+    # the HLL family it gets a full hash-checkable oracle: DuckDB
+    # replays the identical binning + cumulative-rank walk.
+    e = _t(spark, sf_dir, "events")
+    roll = events.time_bucket_rollup_quantiles(
+        e, "ts", ["1 hour", "1 day"], "value", qs=(0.5, 0.95), bins=1024
+    )
+    return roll.select(
+        "grain",
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        "p50",
+        "p95",
+        F.col("record_count").cast("long").alias("record_count"),
+    )
+
+
+@_q(
     "parse_props",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -248,6 +248,136 @@ def time_bucket_rollup_distinct(
     return out
 
 
+def time_bucket_rollup_quantiles(
+    df: DataFrame,
+    ts_col: str,
+    granularities: Sequence[str],
+    value_col: str,
+    keys: Sequence[str] = (),
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    bins: int = 4096,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Multi-granularity APPROX-QUANTILE rollup via a mergeable
+    histogram sketch — the quantile twin of
+    ``time_bucket_rollup_distinct``'s HLL pyramid, completing the
+    mergeable-sketch story (quantiles, like count-distinct, are a
+    measure ``time_bucket_rollup`` must refuse: a p95-per-hour can't
+    re-aggregate into a p95-per-day).
+
+    The sketch is an equi-width bin-count histogram over the value
+    domain: rows bin map-side, the raw input aggregates ONCE at the
+    finest grain into (window, key, bin) counts, and every coarser
+    grain just SUMS the fine counts — vector addition, the exact
+    mergeability property, so day → month → year keeps rolling up
+    without rescanning raw data.  At 100 TB: one full shuffle +
+    (k-1) histogram-sized shuffles.
+
+    The estimate is DETERMINISTIC, not sampled: quantile q of a
+    group with N rows is the lower edge of the first bin whose
+    cumulative count reaches ceil(q·N).  Value error is bounded by
+    one bin width, (hi−lo)/bins; rank error is zero at bin
+    granularity.  The binning formula is plain IEEE arithmetic
+    (floor((v−lo)/step)) so an external SQL engine reproduces the
+    output exactly — the operator is hash-checkable, unlike a
+    randomized KLL/t-digest.
+
+    ``bounds``: optional (lo, hi) domain override; default probes
+    min/max with one metadata-sized pre-pass (two scalars to the
+    driver).  Values outside a supplied domain clamp to the edge
+    bins.  NULL values are excluded.  Output: grain, window_start,
+    *keys, p<pct> per quantile, record_count.
+    """
+    if bounds is None:
+        row = df.select(
+            F.min(F.col(value_col).cast("double")).alias("lo"),
+            F.max(F.col(value_col).cast("double")).alias("hi"),
+        ).first()
+        lo, hi = row["lo"], row["hi"]
+        if lo is None:  # all-null input: empty result, schema intact
+            lo, hi = 0.0, 0.0
+    else:
+        lo, hi = float(bounds[0]), float(bounds[1])
+    step = (hi - lo) / bins if hi > lo else 0.0
+
+    v = F.col(value_col).cast("double")
+    if step > 0.0:
+        bin_col = F.least(
+            F.greatest(
+                F.floor((v - F.lit(lo)) / F.lit(step)).cast("int"), F.lit(0)
+            ),
+            F.lit(bins - 1),
+        )
+    else:
+        bin_col = F.lit(0)
+
+    finest, *coarser = list(granularities)
+    fine = (
+        df.filter(v.isNotNull())
+        .withColumn("__bin", bin_col)
+        .groupBy(F.window(ts_col, finest).alias("__w"), *keys, F.col("__bin"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            F.col("__w.start").alias("window_start"), *keys, "__bin", "__cnt"
+        )
+    )
+
+    def names() -> list[str]:
+        out = []
+        for q in qs:
+            pct = q * 100
+            out.append(
+                f"p{int(pct)}" if float(pct).is_integer() else
+                f"p{str(pct).replace('.', '_')}"
+            )
+        return out
+
+    qnames = names()
+
+    def finish(level: DataFrame, grain: str) -> DataFrame:
+        grp = ["window_start", *keys]
+        w_cum = (
+            Window.partitionBy(*grp)
+            .orderBy("__bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*grp)
+        lvl = level.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+            "__tot", F.sum("__cnt").over(w_all)
+        )
+        aggs = []
+        for q, name in zip(qs, qnames):
+            rank = F.ceil(F.lit(float(q)) * F.col("__tot"))
+            aggs.append(
+                F.min(
+                    F.when(F.col("__cum") >= rank, F.col("__bin"))
+                ).alias(f"__b_{name}")
+            )
+        aggs.append(F.sum("__cnt").alias("record_count"))
+        done = lvl.groupBy(*grp).agg(*aggs)
+        sel = [F.lit(grain).alias("grain"), "window_start", *keys]
+        for name in qnames:
+            est = F.lit(lo) + F.col(f"__b_{name}") * F.lit(step)
+            sel.append(F.round(est, 6).alias(name))
+        sel.append("record_count")
+        return done.select(*sel)
+
+    out = finish(fine, finest)
+    level = fine
+    for g in coarser:
+        level = (
+            level.groupBy(
+                F.window("window_start", g).alias("__w"), *keys, "__bin"
+            )
+            .agg(F.sum("__cnt").alias("__cnt"))
+            .select(
+                F.col("__w.start").alias("window_start"), *keys, "__bin", "__cnt"
+            )
+        )
+        out = out.unionByName(finish(level, g))
+    return out
+
+
 def parse_props(
     df: DataFrame, props_col: str = "props", schema: str = "k INT"
 ) -> DataFrame:

@@ -411,22 +411,59 @@ def bpe_tokenize(
         + [T.StructField(out, T.ArrayType(T.StringType()))]
     )
 
-    def _encode_word(word: str) -> list:
+    def _encode_word(word: str) -> tuple:
+        # O(L log L) heap merge over a doubly-linked symbol list (vs
+        # the naive O(L²) rescan per merge): pop the lowest-rank pair,
+        # drop stale entries via per-node versions, merge, push the
+        # two new neighbor pairs.  Ties break leftmost-first — (rank,
+        # position) heap order — exactly like the linear-scan greedy.
+        import heapq
+
         symbols = list(word) + ([end_of_word] if end_of_word else [])
-        while len(symbols) > 1:
-            best_rank, best_i = None, None
-            for i in range(len(symbols) - 1):
-                r = ranks.get((symbols[i], symbols[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_i is None:
-                break
-            symbols[best_i : best_i + 2] = [
-                symbols[best_i] + symbols[best_i + 1]
-            ]
-        return symbols
+        n = len(symbols)
+        if n <= 1:
+            return tuple(symbols)
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        alive = [True] * n
+        ver = [0] * n
+        heap = []
+        for i in range(n - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None:
+                heap.append((r, i, 0, 0, i + 1))
+        heapq.heapify(heap)
+        while heap:
+            r, i, vi, vj, j = heapq.heappop(heap)
+            if (
+                not alive[i]
+                or not alive[j]
+                or nxt[i] != j
+                or ver[i] != vi
+                or ver[j] != vj
+            ):
+                continue  # stale: one endpoint already merged away
+            symbols[i] += symbols[j]
+            ver[i] += 1
+            alive[j] = False
+            nj = nxt[j]
+            nxt[i] = nj
+            if nj != -1:
+                prv[nj] = i
+                r2 = ranks.get((symbols[i], symbols[nj]))
+                if r2 is not None:
+                    heapq.heappush(heap, (r2, i, ver[i], ver[nj], nj))
+            pi = prv[i]
+            if pi != -1:
+                r3 = ranks.get((symbols[pi], symbols[i]))
+                if r3 is not None:
+                    heapq.heappush(heap, (r3, pi, ver[pi], ver[i], i))
+        return tuple(s for k, s in enumerate(symbols) if alive[k])
 
     def _tokenize(batches):
+        # per-partition word cache: natural text repeats words heavily
+        # (Zipf), so most words encode via one dict hit
+        cache: dict = {}
         for pdf in batches:
             col = []
             for text in pdf[text_col]:
@@ -436,7 +473,12 @@ def bpe_tokenize(
                 s = text.lower() if lowercase else text
                 toks = []
                 for w in s.split():
-                    toks.extend(_encode_word(w))
+                    enc = cache.get(w)
+                    if enc is None:
+                        if len(cache) > 1_000_000:
+                            cache.clear()  # bound executor memory
+                        enc = cache[w] = _encode_word(w)
+                    toks.extend(enc)
                 col.append(toks)
             yield pdf.assign(**{out: col})
 

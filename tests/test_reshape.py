@@ -104,6 +104,59 @@ def test_time_bucket_rollup_pyramid_matches_direct(spark):
     assert sum(hour_counts) == 40
 
 
+def test_time_bucket_rollup_quantiles_pyramid(spark):
+    """Mergeability: the day-grain quantiles rolled up from hour-bin
+    counts must equal quantiles computed directly at day grain with
+    the same bins (bin counts sum exactly — the sketch is lossless
+    across grains).  Accuracy: each estimate is within one bin width
+    of the exact quantile."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=13 * i), float((i * 37) % 500))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = events.time_bucket_rollup_quantiles(
+        df, "ts", ["1 hour", "1 day"], "value", qs=(0.5, 0.9), bins=256
+    )
+    day = {
+        r["window_start"]: (r["p50"], r["p90"], r["record_count"])
+        for r in out.filter(F.col("grain") == "1 day").collect()
+    }
+    direct = {
+        r["window_start"]: (r["p50"], r["p90"], r["record_count"])
+        for r in events.time_bucket_rollup_quantiles(
+            df, "ts", ["1 day"], "value", qs=(0.5, 0.9), bins=256
+        ).collect()
+    }
+    assert day == direct
+    # error bound: one bin width of the exact ceil(q·N)-th order
+    # statistic (the discrete quantile the estimator is defined on)
+    import math as _math
+
+    lo, hi = 0.0, max(v for _, v in rows)
+    width = (hi - lo) / 256
+    per_day: dict = {}
+    for ts, v in rows:
+        day_start = dt.datetime(ts.year, ts.month, ts.day)
+        per_day.setdefault(day_start, []).append(v)
+    for ws, (p50, _, _) in day.items():
+        vals = sorted(per_day[ws])
+        exact50 = vals[_math.ceil(0.5 * len(vals)) - 1]
+        assert abs(p50 - exact50) <= width + 1e-9
+    # record counts survive the pyramid
+    assert sum(r[2] for r in day.values()) == 300
+    # null values are excluded, constant column degenerates safely
+    df2 = spark.createDataFrame(
+        [(base, 5.0), (base, 5.0), (base, None)], "ts timestamp, value double"
+    )
+    got = events.time_bucket_rollup_quantiles(
+        df2, "ts", ["1 hour"], "value", qs=(0.5,), bins=16
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["p50"] == 5.0 and got[0]["record_count"] == 2
+
+
 def test_time_bucket_rollup_rejects_avg(spark):
     df = spark.createDataFrame([(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, value double")
     with pytest.raises(ValueError):

@@ -146,6 +146,72 @@ def test_bpe_tokenize_greedy_merges(spark):
     assert got[3] == []
 
 
+def test_bpe_heap_matches_linear_scan_greedy():
+    """The O(L log L) heap merge must reproduce the textbook
+    linear-scan greedy on random words and random merge tables —
+    including overlap chains like 'aaaa' where tie-breaking (leftmost
+    occurrence of the lowest rank) is what defines the answer."""
+    import itertools
+    import random
+
+    def scan_encode(word, ranks, eow="</w>"):
+        symbols = list(word) + [eow]
+        while len(symbols) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(symbols) - 1):
+                r = ranks.get((symbols[i], symbols[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+        return symbols
+
+    rng = random.Random(7)
+    alphabet = "abc"
+    for trial in range(200):
+        # random merge table over growing symbol strings
+        units = list(alphabet) + ["</w>"]
+        pairs = []
+        for _ in range(rng.randint(1, 12)):
+            a, b = rng.choice(units), rng.choice(units)
+            if (a, b) not in pairs:
+                pairs.append((a, b))
+                units.append(a + b)
+        ranks = {p: i for i, p in enumerate(pairs)}
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+
+        # drive the shipped heap encoder via its closure
+        captured = {}
+
+        def fake_map_in_pandas(fn, schema):
+            captured["fn"] = fn
+            return None
+
+        import types
+
+        from bubbles_spark.ops import textan as ta
+
+        df = types.SimpleNamespace(
+            schema=types.SimpleNamespace(fields=[]),
+            mapInPandas=fake_map_in_pandas,
+        )
+        ta.bpe_tokenize(df, pairs, text_col="text")
+        import pandas as pd
+
+        (out_pdf,) = list(
+            captured["fn"](iter([pd.DataFrame({"text": [word]})]))
+        )
+        got = out_pdf["bpe_tokens"][0]
+        assert list(got) == scan_encode(word, ranks), (
+            trial,
+            word,
+            pairs,
+            list(got),
+            scan_encode(word, ranks),
+        )
+
+
 def test_bpe_tokenize_from_file(spark, tmp_path):
     from bubbles_spark.ops import textan
 
