@@ -736,6 +736,48 @@ def q_basic_audit(spark, sf_dir):
     return audit_ops.basic_audit(c, ["c_name", "c_acctbal", "c_mktsegment"])
 
 
+@_q(
+    "grouped_audit",
+    """
+    SELECT o_orderpriority, 'o_totalprice' AS field,
+           CAST(COUNT(*) AS BIGINT) AS record_count,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_count,
+           CAST(0 AS BIGINT) AS empty_string_count,
+           CAST(LEAST(COUNT(DISTINCT o_totalprice), 10) AS BIGINT)
+             AS distinct_count,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_value,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_value,
+           ROUND(AVG(CAST(o_totalprice AS DOUBLE)), 4) AS mean,
+           ROUND(STDDEV_SAMP(CAST(o_totalprice AS DOUBLE)), 4) AS stddev,
+           ROUND(CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS null_ratio
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'o_orderstatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus = '' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(LEAST(COUNT(DISTINCT o_orderstatus), 10) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           ROUND(CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6)
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_grouped_audit(spark, sf_dir):
+    # per-group data-quality profile: one grouped wide aggregate, all
+    # stats partial-aggregated map-side
+    o = _t(spark, sf_dir, "orders")
+    return audit_ops.grouped_audit(
+        o,
+        "o_orderpriority",
+        ["o_totalprice", "o_orderstatus"],
+        numeric_stats=True,
+    )
+
+
 # --- A4 infer_types ----------------------------------------------------
 @_q(
     "infer_types",

@@ -21,23 +21,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def basic_audit(
-    df: DataFrame,
-    fields: Sequence[str] | None = None,
-    distinct_threshold: int = 10,
-    exact_distinct: bool = True,
-) -> DataFrame:
-    """Per-field audit → rows (field, record_count, null_count,
-    null_ratio, empty_string_count, distinct_count).
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
 
-    ``distinct_count`` is capped at ``distinct_threshold`` like the
-    reference (which stops collecting the seen-set past the cap).  At
-    100 TB set ``exact_distinct=False`` to use HLL sketches
-    (approx_count_distinct) instead of exact distincts — the exact
-    path is one shuffle-free wide aggregate either way, but HLL keeps
-    state O(1) per field.
-    """
-    target = list(fields) if fields else df.columns
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.startswith(_NUMERIC_PREFIXES)
+
+
+def _audit(
+    df: DataFrame,
+    by: Sequence[str],
+    fields: Sequence[str] | None,
+    distinct_threshold: int,
+    exact_distinct: bool,
+    numeric_stats: bool,
+) -> DataFrame:
+    """Shared audit kernel: ONE wide aggregate (optionally grouped)
+    computing every per-field stat, then a per-row explode into
+    field-per-row shape.  The explode runs on #groups rows — nothing;
+    the scan parallelizes and partial-aggregates map-side."""
+    by = list(by)
+    target = [f for f in (list(fields) if fields else df.columns) if f not in by]
     dtypes = dict(df.dtypes)
 
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -53,30 +59,94 @@ def basic_audit(
             aggs.append(F.countDistinct(col).alias(f"__dist_{f}"))
         else:
             aggs.append(F.approx_count_distinct(col).alias(f"__dist_{f}"))
+        if numeric_stats and _is_numeric(dtypes.get(f, "")):
+            d = col.cast("double")
+            aggs.append(F.min(d).alias(f"__min_{f}"))
+            aggs.append(F.max(d).alias(f"__max_{f}"))
+            aggs.append(F.round(F.avg(d), 4).alias(f"__mean_{f}"))
+            aggs.append(F.round(F.stddev_samp(d), 4).alias(f"__std_{f}"))
 
-    row = df.agg(*aggs)
+    row = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 
-    # unpivot the single summary row into one row per audited field
+    nulld = F.lit(None).cast("double")
     per_field = []
     for f in target:
-        per_field.append(
-            F.struct(
-                F.lit(f).alias("field"),
-                F.col("__n").alias("record_count"),
-                F.col(f"__null_{f}").cast("long").alias("null_count"),
-                F.col(f"__empty_{f}").cast("long").alias("empty_string_count"),
-                F.least(F.col(f"__dist_{f}"), F.lit(distinct_threshold))
-                .cast("long")
-                .alias("distinct_count"),
-            )
-        )
-    exploded = row.select(F.explode(F.array(*per_field)).alias("a")).select("a.*")
+        struct_fields = [
+            F.lit(f).alias("field"),
+            F.col("__n").alias("record_count"),
+            F.col(f"__null_{f}").cast("long").alias("null_count"),
+            F.col(f"__empty_{f}").cast("long").alias("empty_string_count"),
+            F.least(F.col(f"__dist_{f}"), F.lit(distinct_threshold))
+            .cast("long")
+            .alias("distinct_count"),
+        ]
+        if numeric_stats:
+            is_num = _is_numeric(dtypes.get(f, ""))
+            struct_fields += [
+                (F.col(f"__min_{f}") if is_num else nulld).alias("min_value"),
+                (F.col(f"__max_{f}") if is_num else nulld).alias("max_value"),
+                (F.col(f"__mean_{f}") if is_num else nulld).alias("mean"),
+                (F.col(f"__std_{f}") if is_num else nulld).alias("stddev"),
+            ]
+        per_field.append(F.struct(*struct_fields))
+    exploded = row.select(
+        *by, F.explode(F.array(*per_field)).alias("a")
+    ).select(*by, "a.*")
     return exploded.withColumn(
         "null_ratio",
         F.when(
             F.col("record_count") > 0,
             F.round(F.col("null_count") / F.col("record_count"), 6),
         ).otherwise(F.lit(None).cast("double")),
+    )
+
+
+def basic_audit(
+    df: DataFrame,
+    fields: Sequence[str] | None = None,
+    distinct_threshold: int = 10,
+    exact_distinct: bool = True,
+    numeric_stats: bool = False,
+) -> DataFrame:
+    """Per-field audit → rows (field, record_count, null_count,
+    null_ratio, empty_string_count, distinct_count).
+
+    ``distinct_count`` is capped at ``distinct_threshold`` like the
+    reference (which stops collecting the seen-set past the cap).  At
+    100 TB set ``exact_distinct=False`` to use HLL sketches
+    (approx_count_distinct) instead of exact distincts — the exact
+    path is one shuffle-free wide aggregate either way, but HLL keeps
+    state O(1) per field.
+
+    ``numeric_stats=True`` appends min_value / max_value / mean /
+    stddev columns (NULL for non-numeric fields) — still the same
+    single pass, just a wider aggregate.
+    """
+    return _audit(
+        df, [], fields, distinct_threshold, exact_distinct, numeric_stats
+    )
+
+
+def grouped_audit(
+    df: DataFrame,
+    by: Sequence[str] | str,
+    fields: Sequence[str] | None = None,
+    distinct_threshold: int = 10,
+    exact_distinct: bool = True,
+    numeric_stats: bool = True,
+) -> DataFrame:
+    """Per-GROUP per-field audit → rows (*by, field, stats...) — the
+    data-quality-by-source primitive for training pipelines (null
+    ratios and value ranges per crawl domain / shard / day, in one
+    pass).  Same wide-aggregate shape as basic_audit but grouped:
+    one hash-partitioned aggregate over the group keys; every stat
+    partial-aggregates map-side (count/sum/min/max/avg/stddev and,
+    with ``exact_distinct=False``, HLL sketches — all mergeable), so
+    group count, not data size, bounds reducer state.
+    """
+    by_list = [by] if isinstance(by, str) else list(by)
+    return _audit(
+        df, by_list, fields, distinct_threshold, exact_distinct, numeric_stats
     )
 
 

@@ -389,6 +389,27 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+# One-slot cache for the rank input (same lifecycle discipline as
+# dedup's signature cache): each _with_global_row_number call releases
+# the previous call's persisted partitioning, so long sessions don't
+# accumulate cached inputs.  Releasing early is safe — a still-lazy
+# consumer recomputes; per-partition counts are reproducible because
+# the range boundaries and sort are deterministic for a deterministic
+# input plan (ties within equal sort keys are undefined either way).
+_RANK_CACHE: list[DataFrame] = []
+
+
+def release_rank_cache() -> None:
+    """Unpersist the partitioned input held by the most recent
+    global-row-number call (sample first/nth discard paths, top-k
+    trims)."""
+    while _RANK_CACHE:
+        try:
+            _RANK_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
 def _with_global_row_number(
     df: DataFrame, order_by: Sequence[tuple[str, str] | str]
 ) -> DataFrame:
@@ -412,7 +433,9 @@ def _with_global_row_number(
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
     )
+    release_rank_cache()
     parted.persist()
+    _RANK_CACHE.append(parted)
     sizes = {
         r["__pid"]: r["__cnt"]
         for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()

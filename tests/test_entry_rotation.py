@@ -31,12 +31,20 @@ def test_queries_rotation_puts_unchecked_first():
 
     allq = list(e.queries())
     assert len(allq) == len(set(allq))
+    oracles = e.oracle_sql()
+    # oracle-less queries can never record a driver pass: they must
+    # sit at the very back, never burning bounded-window slots
+    oracleless = [n for n in allq if n not in oracles]
+    assert allq[len(allq) - len(oracleless):] == oracleless
     checked = e._driver_checked_rounds()
     if checked:
-        last_checked_round = [checked.get(n, 0) for n in allq]
-        # never-checked (0) must form a prefix before any checked query
+        hashable = [n for n in allq if n in oracles]
+        last_checked_round = [checked.get(n, 0) for n in hashable]
+        # within the hash-checkable group, never-checked (0) must form
+        # a prefix before any checked query
         first_checked = next(
-            (i for i, r in enumerate(last_checked_round) if r > 0), len(allq)
+            (i for i, r in enumerate(last_checked_round) if r > 0),
+            len(hashable),
         )
         assert all(r > 0 for r in last_checked_round[first_checked:])
 

@@ -66,6 +66,45 @@ def test_basic_audit(spark):
     assert r["null_ratio"] == 0.25
 
 
+def test_basic_audit_numeric_stats(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (3.0, "b"), (None, "c")], "v double, s string"
+    )
+    rows = {
+        r["field"]: r
+        for r in audit.basic_audit(df, numeric_stats=True).collect()
+    }
+    v = rows["v"]
+    assert (v["min_value"], v["max_value"], v["mean"]) == (1.0, 3.0, 2.0)
+    assert abs(v["stddev"] - 1.4142) < 1e-9
+    # non-numeric fields carry NULL stats, same schema
+    s = rows["s"]
+    assert s["min_value"] is None and s["mean"] is None
+
+
+def test_grouped_audit(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0, "x"), ("a", 3.0, None), ("a", None, ""),
+            ("b", 10.0, "y"),
+        ],
+        "grp string, v double, s string",
+    )
+    out = audit.grouped_audit(df, "grp", ["v", "s"], numeric_stats=True)
+    rows = {(r["grp"], r["field"]): r for r in out.collect()}
+    a_v = rows[("a", "v")]
+    assert a_v["record_count"] == 3
+    assert a_v["null_count"] == 1
+    assert (a_v["min_value"], a_v["max_value"], a_v["mean"]) == (1.0, 3.0, 2.0)
+    a_s = rows[("a", "s")]
+    assert a_s["empty_string_count"] == 1 and a_s["null_count"] == 1
+    b_v = rows[("b", "v")]
+    assert b_v["record_count"] == 1 and b_v["mean"] == 10.0
+    assert b_v["stddev"] is None  # stddev_samp of 1 row
+    # the group key never audits itself
+    assert ("a", "grp") not in rows
+
+
 def test_infer_types(spark):
     df = spark.createDataFrame(
         [("1", "1.5", "true", "2024-01-02", "zzz")],
