@@ -1622,6 +1622,69 @@ def q_embedding_dup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs.select("id_a", "id_b"))
 
 
+@_q(
+    "semantic_dup_pairs_exact",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+          >= 0.4
+    """,
+)
+def q_semantic_dup_exact(spark, sf_dir):
+    # n_clusters=1 collapses SemDeDup to exact all-pairs (explicit
+    # opt-in, same contract as embedding_dup_pairs lsh_bits=0) — the
+    # verify join, cosine expression, and threshold filter get a full
+    # value-hash oracle; the clustered path's recall is pinned by the
+    # planted twin below
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dup_pairs(e, threshold=0.4, n_clusters=1)
+
+
+@_q(
+    "semantic_dup_pairs_planted",
+    """
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cosine
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q_semantic_dup_planted(spark, sf_dir):
+    # the SemDeDup scale path (sqrt-n clusters, map-only assignment,
+    # within-cluster verify): identical planted vectors always share a
+    # nearest centroid, so recall on the planted subset is 1.0 BY
+    # CONSTRUCTION — natural pairs (max cosine ~0.65) sit far below
+    # the 0.99 threshold and the planted id-gap filter keeps the
+    # output SQL-predictable
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 200).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    pairs = dedup.semantic_dup_pairs(e.unionByName(planted), threshold=0.99)
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+@_q(
+    "semantic_dedup_planted",
+    "SELECT vec_id FROM embeddings WHERE FALSE",
+)
+def q_semantic_dedup_planted(spark, sf_dir):
+    # dedup recall as an oracle: every planted copy matches its
+    # lower-id original within its cluster, so NO vec_id >= 1e6 may
+    # survive — the oracle is the empty set (same pattern as
+    # minhash_dedup_planted)
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 200).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    out = dedup.semantic_dedup(e.unionByName(planted), threshold=0.99)
+    return out.filter(F.col("vec_id") >= 1000000).select("vec_id")
+
+
 # --- §2.14 similarity search ------------------------------------------
 @_q(
     "cosine_topk",
@@ -2609,6 +2672,55 @@ def q_paragraph_dedup(spark, sf_dir):
         ),
     )
     return textprep.paragraph_dedup(d)
+
+
+@_q(
+    "duplicated_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE trim(text) <> ''),
+    s AS (SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+12], ' ') for i in range(1, len(w)-11)]) AS spans
+          FROM t WHERE len(w) >= 13),
+    e AS (SELECT doc_id, unnest(spans) AS g FROM s),
+    freq AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) >= 2),
+    tot AS (SELECT doc_id, CAST(len(spans) AS BIGINT) AS total_spans FROM s),
+    dup AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans
+            FROM e JOIN freq USING (g) GROUP BY e.doc_id)
+    SELECT tot.doc_id, total_spans,
+           COALESCE(dup_spans, 0) AS dup_spans,
+           ROUND(COALESCE(dup_spans, 0) / total_spans, 6) AS dup_fraction
+    FROM tot LEFT JOIN dup USING (doc_id)
+    """,
+)
+def q_duplicated_spans(spark, sf_dir):
+    # the corpus carries NATURAL boilerplate (901 duplicated 13-grams
+    # across 486 docs at sf0.01), so the full stat — totals, dup
+    # counts, fractions — gets a discriminative value-hash oracle
+    # without planting
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.duplicated_spans(d, lowercase=True)
+
+
+@_q(
+    "top_duplicated_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE trim(text) <> ''),
+    s AS (SELECT doc_id,
+                 list_distinct([array_to_string(w[i:i+12], ' ') for i in range(1, len(w)-11)]) AS spans
+          FROM t WHERE len(w) >= 13),
+    e AS (SELECT doc_id, unnest(spans) AS g FROM s)
+    SELECT g AS span, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM e GROUP BY g HAVING COUNT(*) >= 2
+    ORDER BY doc_freq DESC, span ASC LIMIT 20
+    """,
+)
+def q_top_duplicated_spans(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.top_duplicated_spans(d, k=20, lowercase=True)
 
 
 # --- §2.14 training-set preparation ------------------------------------

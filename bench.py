@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "domain_filter",
     "stream_docs_pipeline",
     "image_pixel_stats",
+    # round-4 additions: SemDeDup clustered near-dup on the planted
+    # corpus (the scale path: sqrt-n clusters, map-only assignment)
+    "semantic_dup_pairs_planted",
 ]
 
 

@@ -727,6 +727,133 @@ def embedding_dup_pairs(
     )
 
 
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int | None = None,
+    train_sample: int = 20000,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    max_cluster: int = 5000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al.
+    2023, arXiv:2303.09540 — public literature): spherical k-means
+    over the embedding column, then EXACT pairwise cosine *within
+    each cluster only*.  Returns (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    Why this next to ``embedding_dup_pairs`` (hyperplane LSH): LSH
+    answers "which pairs collide at cosine ≥ ~0.9"; SemDeDup's
+    cluster-then-compare finds *semantic* duplicates at lower
+    thresholds (0.7–0.9) where hyperplane collision probabilities
+    decay too fast for banding to stay cheap.  The cluster step costs
+    one bounded driver-side training sample plus one map-only
+    assignment pass — the corpus never shuffles until the per-cluster
+    candidate join, which shuffles (id, cluster) pairs only.
+
+    Scale shape at 100 TB: ``n_clusters=None`` auto-sizes to
+    ceil(sqrt(n)) (shared trainer with cosine_topk_ivf), so expected
+    cluster size is ~sqrt(n) and per-cluster all-pairs work totals
+    ~n·sqrt(n) — not n².  ``max_cluster`` is the same skew contract
+    as the LSH ``max_bucket``: a cluster above the cap (degenerate
+    near-identical content that exact dedup should have removed
+    first) is dropped from the candidate join rather than detonating
+    an O(cap²) hot task; the cap is counted on cluster ids, never on
+    materialized pairs.  ``n_clusters=1`` is the explicit exact
+    all-pairs opt-in (same contract as ``embedding_dup_pairs(
+    lsh_bits=0)``).
+
+    Boundary pairs split across two clusters are missed — the
+    documented SemDeDup trade (its recall target is within-cluster
+    duplicates); pair recall for *identical* vectors is 1.0 by
+    construction because identical vectors always share a nearest
+    centroid.  Deterministic for a fixed seed.
+    """
+    from bubbles_spark.ops.vector import (
+        _assign_centroids,
+        _dot,
+        _infer_dim,
+        _norm_col,
+        _train_spherical_kmeans,
+    )
+
+    dim = dim or _infer_dim(df, vec_col)
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm_col(F.col(vec_col), dim).alias("__n"),
+    ).filter(F.col("__n") > 0)
+
+    if n_clusters == 1:
+        cand = (
+            v.alias("a")
+            .join(v.alias("b"), F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        )
+    else:
+        cent = _train_spherical_kmeans(
+            df, vec_col, n_clusters, train_sample, kmeans_iters, seed, dim
+        )
+        ids = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        assigned = _assign_centroids(ids, "__id", "__v", cent, dim).select(
+            "__id", "__list"
+        )
+        # skew guard on cluster ids (ids only — no pair blow-up first)
+        sizes = assigned.groupBy("__list").agg(F.count(F.lit(1)).alias("__cn"))
+        capped = assigned.join(
+            sizes.filter(F.col("__cn") <= max_cluster), "__list"
+        ).drop("__cn")
+        cand = (
+            capped.alias("a")
+            .join(
+                capped.alias("b"),
+                (F.col("a.__list") == F.col("b.__list"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        )
+
+    va = v.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    vb = v.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    cos = _dot(F.col("__va"), F.col("__vb"), dim) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **kw,
+) -> DataFrame:
+    """Drop semantic near-duplicates: every row whose embedding
+    matches a lower-id row within its cluster (same single-link
+    one-step contract as ``minhash_dedup``; feed the pairs through
+    ``connected_components`` / ``dup_clusters`` for full transitive
+    closure).  Keeping min-id rather than SemDeDup's
+    farthest-from-centroid pick makes the survivor set deterministic
+    and oracle-checkable; the paper notes the choice of keeper
+    barely moves downstream quality (§4.1)."""
+    pairs = semantic_dup_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold, **kw
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------
 # Edit-distance similarity join (PassJoin-style)
 # ---------------------------------------------------------------------

@@ -208,6 +208,122 @@ def decontaminate(
     ).fillna({flag_col: False})
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 13,
+    min_docs: int = 2,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the distributed
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1 ExactSubstr — public literature): a doc's
+    span is "duplicated" when the same ``span_words``-word window
+    occurs verbatim in at least ``min_docs`` distinct documents.
+
+    Returns (id_col, total_spans, dup_spans, dup_fraction) for every
+    doc with at least one span (≥ ``span_words`` whitespace tokens);
+    counts are over the doc's DISTINCT spans.  Use dup_fraction as a
+    removal/trim signal the way ExactSubstr uses repeated 50-token
+    substrings — rolling word windows make the check shuffle-friendly
+    where a true distributed suffix array is not.
+
+    Scale shape: spans materialize map-side (the same guarded
+    slice-join as repetition_ratio — no lambda re-inlining), dedup
+    per-doc BEFORE the explode, and leave the executor only as
+    (doc_id, xxhash64) pairs — text never shuffles.  Span doc-
+    frequency is one partial-aggregated groupBy on the hash; the
+    dup-span set joins back as ONE row per hash (no pair explosion,
+    boilerplate spans stay safe), then a groupBy on doc_id.  ~3
+    shuffles of fixed-width rows total at any corpus size.
+    """
+    from bubbles_spark.ops.textan import _tokens
+
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    with_toks = df.select(
+        F.col(id_col), _tokens(text).alias("__toks")
+    ).filter(F.size("__toks") >= span_words)
+    spans = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - span_words),
+            lambda i: F.xxhash64(F.array_join(F.slice(F.col("__toks"), i + 1, span_words), " ")),
+        )
+    )
+    per_doc = with_toks.select(
+        id_col, F.explode(spans).alias("__h")
+    )  # distinct (doc, hash) rows by construction
+    totals = per_doc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("total_spans")
+    )
+    dup_hashes = (
+        per_doc.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__h")
+    )
+    dups = (
+        per_doc.join(dup_hashes, "__h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_spans"))
+    )
+    return (
+        totals.join(dups, id_col, "left")
+        .fillna({"dup_spans": 0})
+        .select(
+            id_col,
+            "total_spans",
+            "dup_spans",
+            F.round(F.col("dup_spans") / F.col("total_spans"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+def top_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 13,
+    k: int = 20,
+    lowercase: bool = False,
+) -> DataFrame:
+    """The k most cross-document-duplicated spans WITH their text —
+    the diagnostic twin of ``duplicated_spans`` (what boilerplate is
+    poisoning the corpus?).  Returns (span, doc_freq) ordered by
+    doc_freq desc, span asc (deterministic ties).
+
+    This one does shuffle span text (needed in the output), but only
+    after per-partition partial aggregation of per-doc-distinct
+    spans; the result is bounded by TakeOrdered k."""
+    from bubbles_spark.ops.textan import _tokens
+
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    with_toks = df.select(
+        F.col(id_col), _tokens(text).alias("__toks")
+    ).filter(F.size("__toks") >= span_words)
+    spans = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - span_words),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, span_words), " "),
+        )
+    )
+    return (
+        with_toks.select(F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+        .orderBy(F.col("doc_freq").desc(), F.col("span").asc())
+        .limit(k)
+    )
+
+
 def shuffle_rows(df: DataFrame, seed: int = 0, partitions: int | None = None) -> DataFrame:
     """Deterministic global shuffle (the pre-training randomization
     pass): order rows by a seeded xxhash of the full row.  Same seed ⇒

@@ -84,6 +84,89 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     return int(row[0])
 
 
+def _train_spherical_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int | None,
+    train_sample: int,
+    iters: int,
+    seed: int,
+    dim: int,
+    n_total: int | None = None,
+) -> "np.ndarray":
+    """Driver-side spherical k-means on a seeded corpus sample →
+    unit-norm centroid matrix (n_c, dim).
+
+    Shared by ``cosine_topk_ivf`` (IVF list training) and
+    ``semantic_dup_pairs`` (SemDeDup clustering).  The sample is tiny
+    next to the corpus (≤ ``train_sample`` rows through the driver —
+    a documented, bounded collect); Lloyd rounds on unit vectors use
+    the cosine/argmax assignment.  ``n_centroids=None`` auto-sizes to
+    ceil(sqrt(n)) clamped [16, 65536] — the standard IVF sizing.
+    Deterministic for a fixed seed."""
+    import math as _math
+
+    if n_total is None:
+        n_total = df.count()
+    if n_centroids is None:
+        n_centroids = min(65536, max(16, _math.ceil(_math.sqrt(max(n_total, 1)))))
+    frac = min(1.0, train_sample / max(n_total, 1))
+    sample = df.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    mat = np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    if mat.shape[1] != dim:
+        raise ValueError(f"sample dim {mat.shape[1]} != {dim}")
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat[norms > 0] / norms[norms > 0, None]
+    n_c = min(n_centroids, len(mat))
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=n_c, replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(n_c):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def _assign_centroids(
+    df: DataFrame, id_alias: str, vec_alias: str, cent: "np.ndarray", dim: int
+) -> DataFrame:
+    """Map-only nearest-centroid assignment: one Arrow-batched numpy
+    matmul per batch against the closure-broadcast centroid matrix —
+    the corpus never shuffles.  Zero-norm vectors get list -1 and are
+    filtered.  Returns (id_alias, vec_alias, __list)."""
+
+    def assign_lists(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf[vec_alias].to_numpy()).astype(np.float64)
+            if m.shape[1] != dim:
+                raise ValueError(f"corpus dim {m.shape[1]} != {dim}")
+            cn = np.linalg.norm(m, axis=1)
+            ok = cn > 0
+            lists = np.full(len(pdf), -1, dtype=np.int64)
+            if ok.any():
+                lists[ok] = ((m[ok] / cn[ok, None]) @ cent.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_alias: pdf[id_alias],
+                    vec_alias: pdf[vec_alias],
+                    "__list": lists,
+                }
+            )
+
+    elem = df.schema[vec_alias].dataType.elementType.simpleString()
+    return df.mapInPandas(
+        assign_lists,
+        schema=f"{id_alias} long, {vec_alias} array<{elem}>, __list long",
+    ).filter(F.col("__list") >= 0)
+
+
 def _bucketize_udf(bits: int, tables: int, seed: int, dim: int):
     """Vectorized multi-table bucketizer: embedding → array<long> of
     ``tables`` sign-pattern bucket ids.
@@ -395,65 +478,18 @@ def cosine_topk_ivf(
     ~n_probe·sqrt(n) instead of a fixed fraction of the corpus —
     same growth discipline as the auto-sized LSH bits.
     """
-    import math as _math
-
-    import numpy as np
-
     qid = query_id_col or id_col
     dim = dim or _infer_dim(corpus, vec_col)
 
     # -- 1. train centroids on a seeded sample (driver numpy) ---------
-    n_total = corpus.count()
-    if n_centroids is None:
-        n_centroids = min(65536, max(16, _math.ceil(_math.sqrt(max(n_total, 1)))))
-    frac = min(1.0, train_sample / max(n_total, 1))
-    sample = corpus.select(vec_col).sample(fraction=frac, seed=seed).collect()
-    mat = np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample])
-    if mat.shape[1] != dim:
-        raise ValueError(f"sample dim {mat.shape[1]} != {dim}")
-    norms = np.linalg.norm(mat, axis=1)
-    mat = mat[norms > 0] / norms[norms > 0, None]
-    n_c = min(n_centroids, len(mat))
-    rng = np.random.RandomState(seed)
-    cent = mat[rng.choice(len(mat), size=n_c, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = (mat @ cent.T).argmax(axis=1)
-        for c in range(n_c):
-            members = mat[assign == c]
-            if len(members):
-                v = members.sum(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cent[c] = v / nv
+    cent = _train_spherical_kmeans(
+        corpus, vec_col, n_centroids, train_sample, kmeans_iters, seed, dim
+    )
+    n_c = len(cent)
 
     # -- 2. assign corpus rows to lists (map-only, Arrow matmul) ------
-    import pandas as pd
-
-    def assign_lists(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.vstack(pdf["__cv"].to_numpy()).astype(np.float64)
-            if m.shape[1] != dim:
-                raise ValueError(f"corpus dim {m.shape[1]} != {dim}")
-            cn = np.linalg.norm(m, axis=1)
-            ok = cn > 0
-            lists = np.full(len(pdf), -1, dtype=np.int64)
-            if ok.any():
-                lists[ok] = ((m[ok] / cn[ok, None]) @ cent.T).argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["neighbor_id"],
-                    "__cv": pdf["__cv"],
-                    "__list": lists,
-                }
-            )
-
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    assigned = c.mapInPandas(
-        assign_lists,
-        schema=f"neighbor_id long, __cv array<{c.schema['__cv'].dataType.elementType.simpleString()}>, __list long",
-    ).filter(F.col("__list") >= 0)
+    assigned = _assign_centroids(c, "neighbor_id", "__cv", cent, dim)
 
     # -- 3. probe lists per query (queries are small by contract) -----
     qrows = queries.select(qid, vec_col).collect()

@@ -278,3 +278,85 @@ def test_fuzzy_pairs_sf0001_planted(spark):
     }
     want = {(i, i + 10000) for i in range(0, 500, 25)}
     assert planted >= want
+
+
+# --- SemDeDup (semantic_dup_pairs / semantic_dedup) -------------------
+
+
+def test_semantic_pairs_exact_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in dedup.semantic_dup_pairs(df, threshold=0.5, n_clusters=1).collect()
+    }
+    m = mat.astype("float64")
+    norms = np.linalg.norm(m, axis=1)
+    want = set()
+    for a in range(40):
+        for b in range(a + 1, 40):
+            c = round(float(m[a] @ m[b] / (norms[a] * norms[b])), 6)
+            if c >= 0.5:
+                want.add((a, b, c))
+    assert {(a, b) for a, b, _ in got} == {(a, b) for a, b, _ in want}
+    wantd = {(a, b): c for a, b, c in want}
+    for a, b, c in got:
+        assert c == pytest.approx(wantd[(a, b)], abs=2e-6)
+
+
+def test_semantic_pairs_planted_recall(spark):
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(SF0001 + "/embeddings.parquet")
+    planted = e.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    pairs = dedup.semantic_dup_pairs(e.unionByName(planted), threshold=0.99)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in pairs.filter(F.col("id_b") - F.col("id_a") == 100000).collect()
+    }
+    assert got == {(i, i + 100000) for i in range(20)}
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    import pyspark.sql.functions as F
+
+    e = spark.read.parquet(SF0001 + "/embeddings.parquet")
+    planted = e.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    out = dedup.semantic_dedup(e.unionByName(planted), threshold=0.99)
+    assert out.filter(F.col("vec_id") >= 100000).count() == 0
+    # originals all survive (nothing below threshold with a lower id)
+    assert out.count() == e.count()
+
+
+def test_semantic_pairs_max_cluster_cap(spark):
+    # 30 identical vectors land in one cluster; cap below that size
+    # must drop the cluster entirely (documented skew contract) while
+    # a distinct small pair elsewhere still matches
+    base = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]
+    far = [(100, [0.0, 1.0, 0.0, 0.001]), (101, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        base + far, "vec_id long, embedding array<float>"
+    )
+    pairs = dedup.semantic_dup_pairs(
+        df, threshold=0.9, n_clusters=4, max_cluster=10, train_sample=100
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert not any(a < 30 and b < 30 for a, b in got)
+
+
+def test_semantic_pairs_deterministic(spark):
+    e = spark.read.parquet(SF0001 + "/embeddings.parquet").limit(100)
+    a = sorted(map(tuple, dedup.semantic_dup_pairs(e, threshold=0.3).collect()))
+    b = sorted(map(tuple, dedup.semantic_dup_pairs(e, threshold=0.3).collect()))
+    assert a == b

@@ -253,3 +253,68 @@ def test_domain_filter_modes(spark):
 
     with pytest.raises(ValueError):
         textprep.domain_filter(df, ["x"], mode="nope")
+
+
+# --- duplicated_spans / top_duplicated_spans --------------------------
+
+
+def test_duplicated_spans_basic(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # spans(3): abc bcd cde def
+            (2, "a b c x y z"),     # spans: abc bcx cxy xyz -> shares abc
+            (3, "p q r s"),         # spans: pqr qrs -> unique
+            (4, "a b"),             # too short: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["total_spans"], r["dup_spans"], r["dup_fraction"])
+        for r in textprep.duplicated_spans(df, span_words=3).collect()
+    }
+    assert out == {
+        1: (4, 1, 0.25),
+        2: (4, 1, 0.25),
+        3: (2, 0, 0.0),
+    }
+
+
+def test_duplicated_spans_within_doc_repeat_not_dup(spark):
+    from bubbles_spark.ops import textprep
+
+    # the same span repeated WITHIN one doc is not a cross-doc dup
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["dup_spans"]
+        for r in textprep.duplicated_spans(df, span_words=3).collect()
+    }
+    assert out == {1: 0, 2: 0}
+
+
+def test_top_duplicated_spans(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a b c f"), (4, "b c d g")],
+        "doc_id long, text string",
+    )
+    rows = textprep.top_duplicated_spans(df, span_words=3, k=5).collect()
+    assert [(r["span"], r["doc_freq"]) for r in rows] == [("a b c", 3), ("b c d", 2)]
+
+
+def test_duplicated_spans_lowercase_flag(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [(1, "A b C d"), (2, "a B c e")],
+        "doc_id long, text string",
+    )
+    cs = textprep.duplicated_spans(df, span_words=3)
+    ci = textprep.duplicated_spans(df, span_words=3, lowercase=True)
+    assert sum(r["dup_spans"] for r in cs.collect()) == 0
+    assert sum(r["dup_spans"] for r in ci.collect()) == 2
