@@ -421,11 +421,15 @@ class XLSStore(DataStore):
     ~1M rows — so a driver read then createDataFrame is the honest
     scale story; a 100 TB pipeline does not start from .xls).
 
-    .xlsx reads FOR REAL with no third-party engine: OOXML is a zip
-    of XML parts, parsed by bubbles_spark/xlsx.py on the stdlib
+    Both formats read FOR REAL with no third-party engine
     (pandas.read_excel via openpyxl/xlrd is preferred when installed —
-    it covers more of the format).  Legacy binary .xls (BIFF) stays
-    gated behind xlrd with a clear error."""
+    it covers more of the format):
+
+    - .xlsx: OOXML is a zip of XML parts, parsed by
+      bubbles_spark/xlsx.py on the stdlib.
+    - .xls: the legacy OLE2/BIFF8 binary, parsed by
+      bubbles_spark/xls_biff.py on the stdlib ([MS-CFB]+[MS-XLS];
+      cell values incl. cached formula results and date XFs)."""
 
     def __init__(self, spark: SparkSession, path: str, **read_excel_options: Any):
         self.spark = spark
@@ -444,42 +448,41 @@ class XLSStore(DataStore):
     def get_object(self, name: str, sheet: str | int = 0) -> DataFrame:
         import pandas as pd
 
-        try:
-            import openpyxl  # noqa: F401 — engine probe
-
-            has_engine = True
-        except ImportError:
-            try:
-                import xlrd  # noqa: F401
-
-                has_engine = True
-            except ImportError:
-                has_engine = False
         for ext in (".xlsx", ".xls"):
             f = os.path.join(self.path, f"{name}{ext}")
             if not os.path.exists(f):
                 continue
-            if has_engine:
-                pdf = pd.read_excel(f, sheet_name=sheet, **self.options)
-                return self.spark.createDataFrame(pdf)
+            # engine preference per format: openpyxl reads OOXML only,
+            # xlrd reads BIFF only — probe the right one, fall back to
+            # the matching stdlib parser
             if ext == ".xlsx":
-                # stdlib OOXML path: first row = header, rest = data
-                from bubbles_spark.xlsx import read_rows
+                try:
+                    import openpyxl  # noqa: F401 — engine probe
 
-                rows = read_rows(f, sheet)
-                if not rows:
-                    raise ValueError(f"{f}: empty sheet")
-                header = [str(c) for c in rows[0]]
-                width = len(header)
-                body = [
-                    tuple((r + [None] * width)[:width]) for r in rows[1:]
-                ]
-                pdf = pd.DataFrame(body, columns=header)
-                return self.spark.createDataFrame(pdf)
-            raise NotImplementedError(
-                "legacy binary .xls (BIFF) needs xlrd, which is not "
-                "installed; convert to .xlsx for the stdlib reader"
-            )
+                    pdf = pd.read_excel(f, sheet_name=sheet, **self.options)
+                    return self.spark.createDataFrame(pdf)
+                except ImportError:
+                    from bubbles_spark.xlsx import read_rows
+            else:
+                try:
+                    import xlrd  # noqa: F401
+
+                    pdf = pd.read_excel(
+                        f, sheet_name=sheet, engine="xlrd", **self.options
+                    )
+                    return self.spark.createDataFrame(pdf)
+                except ImportError:
+                    from bubbles_spark.xls_biff import read_rows
+
+            # stdlib path: first row = header, rest = data
+            rows = read_rows(f, sheet)
+            if not rows:
+                raise ValueError(f"{f}: empty sheet")
+            header = [str(c) for c in rows[0]]
+            width = len(header)
+            body = [tuple((r + [None] * width)[:width]) for r in rows[1:]]
+            pdf = pd.DataFrame(body, columns=header)
+            return self.spark.createDataFrame(pdf)
         raise FileNotFoundError(f"no {name}.xls[x] under {self.path}")
 
     def create(self, *a: Any, **kw: Any) -> None:

@@ -77,20 +77,14 @@ def test_xlsx_store_stdlib_read(spark, tmp_path):
     assert store.get_object("book", sheet="data").count() == 2
 
 
-def test_xls_legacy_gated(spark, tmp_path):
-    """Legacy binary .xls still needs xlrd — clear error, and the
-    store stays read-only as in the reference."""
+def test_xls_corrupt_and_readonly(spark, tmp_path):
+    """Legacy .xls now parses on the stdlib (tests/test_xls_biff.py);
+    a corrupt container fails loudly, and the store stays read-only
+    as in the reference."""
     (tmp_path / "old.xls").write_bytes(b"\xd0\xcf\x11\xe0 not parseable")
     store = bio.open_store("xls", path=str(tmp_path), spark=spark)
-    try:
-        import xlrd  # noqa: F401
-
-        has_xlrd = True
-    except ImportError:
-        has_xlrd = False
-    if not has_xlrd:
-        with pytest.raises(NotImplementedError):
-            store.get_object("old")
+    with pytest.raises(ValueError, match="magic"):
+        store.get_object("old")
     with pytest.raises(NotImplementedError):
         store.create("x")
 
