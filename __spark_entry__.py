@@ -2016,6 +2016,89 @@ def q_image_pixel_stats(spark, sf_dir):
 
 
 @_q(
+    "image_pixel_stats_jpeg",
+    """
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(130 + 2 * (doc_id % 50) AS DOUBLE) AS px_mean,
+           CAST(130 + 2 * (doc_id % 50) AS INTEGER) AS px_min,
+           CAST(130 + 2 * (doc_id % 50) AS INTEGER) AS px_max
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_image_pixel_stats_jpeg(spark, sf_dir):
+    # REAL baseline-JPEG entropy decode (ops/codecs.py decode_jpeg):
+    # each doc gets a hand-rolled solid-gray JPEG whose quantized DC
+    # is exact ((v-128)*8 divisible by q00=16, zero AC), so every
+    # decoded pixel is EXACTLY v and the stats are hand-derivable —
+    # a Huffman, dequant, zigzag, or IDCT bug shifts them and fails
+    # the hash.  The in-query builder writes the marker stream
+    # directly (fixed-length canonical tables); it shares no code
+    # with the decoder under test.
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    DC_COUNTS = bytes([0, 0, 0, 12] + [0] * 12)
+    DC_VALS = bytes(range(12))
+    AC_VALS = bytes([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+    AC_COUNTS = bytes([0] * 7 + [len(AC_VALS)] + [0] * 8)
+
+    def _seg(marker, body):
+        import struct
+
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def _solid_jpeg(v, wb, hb):
+        """Baseline JPEG, wb x hb blocks, every pixel exactly v."""
+        import struct
+
+        d0 = (v - 128) // 2  # quantized DC of the first block (q00=16)
+        bits = []
+        s = d0.bit_length()
+        bits += [(s, 4), (d0, s), (0, 8)]  # DC cat s + mag, then EOB
+        for _ in range(wb * hb - 1):
+            bits += [(0, 4), (0, 8)]  # DC diff 0 + EOB
+        acc = n = 0
+        scan = bytearray()
+        for val, ln in bits:
+            for i in range(ln - 1, -1, -1):
+                acc = (acc << 1) | ((val >> i) & 1)
+                n += 1
+                if n == 8:
+                    scan.append(acc)
+                    if acc == 0xFF:
+                        scan.append(0x00)
+                    acc = n = 0
+        if n:
+            scan.append(((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF)
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, bytes([0]) + bytes([16] * 64))
+        out += _seg(0xC0, struct.pack(">BHHB", 8, hb * 8, wb * 8, 1) + bytes([1, 0x11, 0]))
+        out += _seg(0xC4, bytes([0x00]) + DC_COUNTS + DC_VALS)
+        out += _seg(0xC4, bytes([0x10]) + AC_COUNTS + AC_VALS)
+        out += _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        out += scan + b"\xff\xd9"
+        return bytes(out)
+
+    def synth(batches):
+        for pdf in batches:
+            jpgs = [
+                _solid_jpeg(130 + 2 * (int(did) % 50), 1 + int(did) % 3, 1 + int(did) % 2)
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "jpg": jpgs})
+
+    jpgs = d.mapInPandas(synth, schema="doc_id long, jpg binary")
+    m = multimodal.attach_media(jpgs, "jpg", mime="image/jpeg")
+    return multimodal.image_pixel_stats(m).select(
+        "doc_id", "width", "height", "channels", "px_mean", "px_min", "px_max"
+    )
+
+
+@_q(
     "decode_audio_wav",
     """
     SELECT doc_id,

@@ -7,11 +7,12 @@ image formats are decodable from public specs with stdlib only:
   ``decode_png`` fully decodes to an (H, W, C) uint8 numpy array;
   ``png_dims`` parses IHDR + validates the decompressed raster length
   (cheap metadata path for decode_image).
-- JPEG (ITU T.81): full entropy decode is out of scope, but the frame
-  header (SOFn marker) carries exact dimensions + component count —
-  ``jpeg_dims`` walks the marker stream, which is a *real* metadata
-  decode, not a guess.  Full pixel decode stays gated behind Pillow
-  (``try_pillow_decode``).
+- JPEG (ITU T.81): ``jpeg_dims`` walks the marker stream for the
+  SOFn frame header (a *real* metadata decode, not a guess), and
+  ``decode_jpeg`` fully decodes sequential-baseline streams — Huffman
+  entropy decode with restarts, dequant, de-zigzag, 8×8 IDCT,
+  chroma upsample, YCbCr→RGB.  Progressive/12-bit/arithmetic/CMYK
+  stay gated behind Pillow (``try_pillow_decode``).
 
 These run inside Arrow-batched mapInPandas workers (multimodal.py) —
 per-image Python cost is fine there; the batch transfer is the part
@@ -167,6 +168,284 @@ def jpeg_dims(data: bytes):
     except (struct.error, IndexError):
         return None
     return None
+
+
+# ---------------------------------------------------------------------
+# Baseline JPEG pixel decode (ITU T.81) — stdlib + numpy only
+# ---------------------------------------------------------------------
+
+# stream position k holds the coefficient at raster index _ZIGZAG[k]
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II basis: spatial = A.T @ coef @ A
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _huff_table(counts: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman per T.81 Annex C: {(length, code): value}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = values[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over one (unstuffed) entropy segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted mid-block")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            val = table.get((length, code))
+            if val is not None:
+                return val
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s-bit magnitude to its signed value."""
+    if s and v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def _decode_block(
+    bits: _BitReader,
+    dc: dict[tuple[int, int], int],
+    ac: dict[tuple[int, int], int],
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    coef = np.zeros(64, dtype=np.float64)
+    t = bits.decode(dc)
+    pred += _extend(bits.receive(t), t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = bits.decode(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        coef[k] = _extend(bits.receive(s), s)
+        k += 1
+    return coef, pred
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Full baseline-DCT JPEG decode → (H, W, C) uint8, C ∈ {1, 3};
+    stdlib + numpy, no libjpeg.  ITU T.81 sequential baseline:
+    Huffman entropy decode (per-segment restart handling, 0xFF00
+    unstuffing), dequantize, de-zigzag, orthonormal 8×8 IDCT via two
+    matmuls, sampling-factor upsample (4:2:0 / 4:2:2), BT.601
+    YCbCr→RGB.  Progressive (SOF2), 12-bit, arithmetic-coded, and
+    CMYK streams raise NotImplementedError — this is the verify-path
+    twin of jpeg_dims, not a libjpeg replacement; Pillow upgrades
+    those when installed (try_pillow_decode).
+
+    Pure-Python block loop: ~ms per 64×64 image — fine inside the
+    Arrow-batched multimodal workers where images are small and
+    correctness (real pixels for quality stats) is the point.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    h = w = 0
+    restart = 0
+    scan_comps: list[tuple[int, int, int]] = []  # (comp index, td, ta)
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        while data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0x0F
+                o += 1
+                if pq:
+                    vals = np.frombuffer(seg[o : o + 128], ">u2").astype(np.float64)
+                    o += 128
+                else:
+                    vals = np.frombuffer(seg[o : o + 64], np.uint8).astype(np.float64)
+                    o += 64
+                q = np.zeros(64)
+                q[_ZIGZAG] = vals
+                qtabs[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0x0F
+                counts = list(seg[o + 1 : o + 17])
+                n = sum(counts)
+                tbl = _huff_table(counts, seg[o + 17 : o + 17 + n])
+                (ac_tabs if tc else dc_tabs)[th] = tbl
+                o += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} (8 only)")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"JPEG with {ncomp} components")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in _JPEG_SOF:
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError("non-interleaved JPEG scans unsupported")
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                ci = next(i for i, cm in enumerate(comps) if cm[0] == cs)
+                scan_comps.append((ci, tt >> 4, tt & 0x0F))
+            pos += 2 + seglen
+            break
+        pos += 2 + seglen
+    if not comps or not scan_comps:
+        raise ValueError("JPEG without SOF/SOS frame")
+
+    # --- split entropy data at restart markers, unstuffing 0xFF00 ----
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif nxt == 0xFF:
+            i += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or any other marker ends the scan
+            break
+    segments.append(bytes(cur))
+
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    rasters = [
+        np.zeros((mcus_y * 8 * c[2], mcus_x * 8 * c[1]), np.float64) for c in comps
+    ]
+    preds = [0] * len(comps)
+    seg_idx = 0
+    bits = _BitReader(segments[0])
+    for m in range(mcus_x * mcus_y):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            bits = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, td, ta in scan_comps:
+            _cid, ch, cv, tq = comps[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    coef, preds[ci] = _decode_block(
+                        bits, dc_tabs[td], ac_tabs[ta], preds[ci]
+                    )
+                    deq = np.zeros(64)
+                    deq[_ZIGZAG] = coef
+                    blk = deq.reshape(8, 8) * qtabs[tq]
+                    spatial = _DCT_A.T @ blk @ _DCT_A + 128.0
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    rasters[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+
+    # --- upsample to full resolution, crop, color-convert ------------
+    planes = []
+    for (cid, ch, cv, _tq), r in zip(comps, rasters):
+        if ch != max_h or cv != max_v:
+            r = np.repeat(np.repeat(r, max_v // cv, axis=0), max_h // ch, axis=1)
+        planes.append(r[:h, :w])
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    else:
+        y, cb, cr = planes
+        out = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def encode_png(img: np.ndarray) -> bytes:

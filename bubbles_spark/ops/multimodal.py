@@ -210,11 +210,12 @@ def image_pixel_stats(
     df: DataFrame, media_col: str = "media"
 ) -> DataFrame:
     """REAL pixel-level feature extraction — decodes the full raster
-    (netpbm via stdlib, PNG via ops/codecs.py zlib+unfilter) and
-    appends per-image statistics: width/height/channels + pixel
-    mean/min/max.  The first rung of an image-quality ladder for a
-    multimodal training pipeline (dark/blank/clipped-image filters
-    build directly on these columns).
+    (netpbm via stdlib, PNG via ops/codecs.py zlib+unfilter, baseline
+    JPEG via ops/codecs.py Huffman+IDCT) and appends per-image
+    statistics: width/height/channels + pixel mean/min/max.  The
+    first rung of an image-quality ladder for a multimodal training
+    pipeline (dark/blank/clipped-image filters build directly on
+    these columns).
 
     Arrow-batched mapInPandas: each worker decodes its batch of
     images with numpy; no Pillow required for netpbm/PNG.  Images
@@ -244,6 +245,11 @@ def image_pixel_stats(
                 if arr is None and data[:8] == b"\x89PNG\r\n\x1a\n":
                     try:
                         arr = codecs.decode_png(data)
+                    except Exception:
+                        arr = None
+                if arr is None and data[:2] == b"\xff\xd8":
+                    try:
+                        arr = codecs.decode_jpeg(data)
                     except Exception:
                         arr = None
                 if arr is None:

@@ -198,3 +198,20 @@ def test_image_pixel_stats_real_rasters(spark):
     assert got[1] == (2, 2, 1, (0 + 100 + 200 + 255) / 4.0, 0, 255)
     assert got[2] == (2, 2, 1, 46.0, 46, 46)
     assert got[3] == (None, None, None, None, None, None)
+
+
+def test_image_pixel_stats_jpeg(spark):
+    """Baseline JPEG flows through the pixel-stats operator (wiring
+    for ops/codecs.py decode_jpeg; exactness is tests/test_jpeg.py)."""
+    import numpy as np
+
+    from tests.test_jpeg import encode_jpeg
+
+    img = np.full((8, 16), 130, np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, quant=16)))], "doc_id long, jpg binary"
+    )
+    m = multimodal.attach_media(df, "jpg", mime="image/jpeg")
+    row = multimodal.image_pixel_stats(m).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (16, 8, 1)
+    assert (row["px_mean"], row["px_min"], row["px_max"]) == (130.0, 130, 130)
