@@ -2758,6 +2758,38 @@ def q_paragraph_dedup(spark, sf_dir):
 
 
 @_q(
+    "quality_classifier_planted",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+             AS quality_pred
+    FROM documents
+    """,
+)
+def q_quality_classifier(spark, sf_dir):
+    # the GPT-3-style trained quality filter (MLlib logistic
+    # regression over hashed bag-of-words) must RECOVER a planted
+    # separable rule: docs with the planted marker token are the
+    # "curated" class, and every prediction must match the plant —
+    # optimizer, hashing, and scoring path are all on the hook.
+    # (Held-out generalization is pytest's job; the oracle pins the
+    # full-corpus fit exactly.)
+    from bubbles_spark.ops import textan as _ta
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit("qz7zq qz7zq qz7zq")),
+        ).otherwise(F.col("text")),
+    )
+    model = _ta.train_quality_classifier(
+        d.filter(F.col("doc_id") % 7 == 0), d.filter(F.col("doc_id") % 7 != 0)
+    )
+    return _ta.quality_classifier_scores(d, model).select("doc_id", "quality_pred")
+
+
+@_q(
     "duplicated_spans",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE trim(text) <> ''),

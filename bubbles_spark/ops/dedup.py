@@ -755,9 +755,16 @@ def semantic_dup_pairs(
     candidate join, which shuffles (id, cluster) pairs only.
 
     Scale shape at 100 TB: ``n_clusters=None`` auto-sizes to
-    ceil(sqrt(n)) (shared trainer with cosine_topk_ivf), so expected
-    cluster size is ~sqrt(n) and per-cluster all-pairs work totals
-    ~n·sqrt(n) — not n².  ``max_cluster`` is the same skew contract
+    ceil(n / 256) clamped [16, 65536] — BOUNDED expected cluster
+    size, so per-cluster all-pairs work totals ~n·128, LINEAR in
+    corpus size (sqrt(n) clusters — the IVF sizing — would give
+    sqrt(n)-sized clusters and n^1.5 pair work; SemDeDup at paper
+    scale likewise fixes ~100k clusters to bound cluster size).
+    Above the 65536-centroid clamp cluster sizes grow again —
+    shard the corpus first at that point (≥ 16M rows), and raise
+    ``train_sample`` toward ~8·n_clusters (the trainer caps the
+    centroid count at the sample size).
+    ``max_cluster`` is the same skew contract
     as the LSH ``max_bucket``: a cluster above the cap (degenerate
     near-identical content that exact dedup should have removed
     first) is dropped from the candidate join rather than detonating
@@ -794,6 +801,9 @@ def semantic_dup_pairs(
             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         )
     else:
+        if n_clusters is None:
+            n_total = df.count()
+            n_clusters = min(65536, max(16, -(-n_total // 256)))
         cent = _train_spherical_kmeans(
             df, vec_col, n_clusters, train_sample, kmeans_iters, seed, dim
         )

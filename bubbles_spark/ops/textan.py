@@ -483,3 +483,102 @@ def bpe_tokenize(
             yield pdf.assign(**{out: col})
 
     return df.mapInPandas(_tokenize, schema=out_schema)
+
+
+# ---------------------------------------------------------------------
+# Trained quality filter (GPT-3 / CCNet style)
+# ---------------------------------------------------------------------
+
+
+def _hashed_token_features(
+    df: DataFrame, text_col: str, num_features: int, out: str = "__features"
+):
+    """Hashed bag-of-words features over the shared whitespace
+    tokenizer (HashingTF is a pure transformer — no fit, fully
+    deterministic, map-only)."""
+    from pyspark.ml.feature import HashingTF
+
+    toks = df.withColumn("__toks", _tokens(_norm_ws(F.lower(F.col(text_col)))))
+    tf = HashingTF(inputCol="__toks", outputCol=out, numFeatures=num_features)
+    return tf.transform(toks).drop("__toks")
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    num_features: int = 1 << 20,
+    reg_param: float = 0.0,
+    max_iter: int = 50,
+):
+    """Train the GPT-3-style document-quality filter (Brown et al.
+    2020 appendix A; CCNet, Wenzek et al. 2020 — public literature):
+    logistic regression over hashed bag-of-words, positive = curated
+    reference corpus, negative = raw crawl sample.  Returns the
+    fitted ``LogisticRegressionModel``.
+
+    Spark-first shape: HashingTF is map-only (no vocabulary fit, no
+    driver state), and MLlib's LogisticRegression optimizes with
+    distributed treeAggregate gradient passes — both sides scale to
+    corpus-sized training sets without collecting anything.  1M hash
+    buckets keeps collision probability per discriminative token
+    ~vocab/2^20 while the coefficient vector stays ~8 MB broadcast.
+
+    Deterministic: hashing is seedless murmur3, L-BFGS from a fixed
+    zero start.  Score with ``quality_classifier_scores``; the
+    standard pipeline keeps documents above a probability threshold
+    or importance-samples on the score (the GPT-3 Pareto trick).
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    train = _hashed_token_features(
+        positive.select(F.col(text_col)).withColumn("label", F.lit(1.0)).unionByName(
+            negative.select(F.col(text_col)).withColumn("label", F.lit(0.0))
+        ),
+        text_col,
+        num_features,
+    )
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol="label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+    )
+    return lr.fit(train)
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    prob_col: str = "quality_prob",
+    pred_col: str = "quality_pred",
+) -> DataFrame:
+    """Score documents with a trained quality classifier: appends the
+    positive-class probability (rounded 6dp for cross-engine
+    comparability) and the 0/1 prediction.  Map-only: the coefficient
+    vector broadcasts with the plan; nothing shuffles."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _hashed_token_features(
+        df, text_col, model.numFeatures if hasattr(model, "numFeatures") else 1 << 20
+    )
+    scored = model.transform(
+        feats.withColumnRenamed("__features", model.getFeaturesCol())
+        if model.getFeaturesCol() != "__features"
+        else feats
+    )
+    return (
+        scored.withColumn(
+            prob_col,
+            F.round(vector_to_array(F.col(model.getProbabilityCol()))[1], 6),
+        )
+        .withColumn(pred_col, F.col(model.getPredictionCol()))
+        .drop(
+            model.getFeaturesCol(),
+            model.getRawPredictionCol(),
+            model.getProbabilityCol(),
+            model.getPredictionCol(),
+        )
+    )

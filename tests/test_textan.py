@@ -221,3 +221,37 @@ def test_bpe_tokenize_from_file(spark, tmp_path):
     got = textan.bpe_tokenize(df, str(p)).collect()[0]["bpe_tokens"]
     # "abc": a,b,c,</w> -> ab,c,</w> -> abc,</w>; "abd": ab,d,</w>
     assert got == ["abc", "</w>", "ab", "d", "</w>"]
+
+
+# --- trained quality classifier ---------------------------------------
+
+
+def test_quality_classifier_planted_rule(spark):
+    """LR over hashed BoW recovers a planted token rule on held-out
+    docs (train on the first half, score the second)."""
+    import pyspark.sql.functions as F
+
+    from bubbles_spark.ops import textan
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit("qz7zq qz7zq qz7zq")),
+        ).otherwise(F.col("text")),
+    )
+    train = d.filter(F.col("doc_id") < 250)
+    test = d.filter(F.col("doc_id") >= 250)
+    model = textan.train_quality_classifier(
+        train.filter(F.col("doc_id") % 7 == 0),
+        train.filter(F.col("doc_id") % 7 != 0),
+    )
+    scored = textan.quality_classifier_scores(test, model)
+    wrong = scored.filter(
+        (F.col("quality_pred") == 1.0) != (F.col("doc_id") % 7 == 0)
+    ).count()
+    assert wrong == 0
+    probs = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    hi = [p for i, p in probs.items() if i % 7 == 0]
+    lo = [p for i, p in probs.items() if i % 7 != 0]
+    assert min(hi) > 0.5 > max(lo)

@@ -185,6 +185,22 @@ CHECKS = [
         [(r"SortMergeJoin", "scoring join must not shuffle the token stream"),
          (r"(BatchEvalPython|ArrowEvalPython)", "tokenization is codegen, no Python")],
     ),
+    # --- round-4 additions -------------------------------------------
+    (
+        "semantic_dup_pairs_planted",
+        [(r"ArrowEvalPython|MapInPandas", "centroid assignment is the Arrow-batched matmul"),
+         (r"xxhash64|HashAggregate|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+          "cluster candidate join is an equi join")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin",
+          "clustered path must never cross-join (n_clusters=1 is the explicit opt-in)")],
+    ),
+    (
+        "duplicated_spans",
+        [(r"xxhash64", "spans shuffle as hashes, never text"),
+         (r"Functions \[\d+\]: \[partial_", "doc-frequency partial-aggregates map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "dup-set join is an equi join"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "span hashing is codegen, no Python")],
+    ),
 ]
 
 # Streaming queries return their drained batch result, so auditing

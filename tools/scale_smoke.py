@@ -124,10 +124,22 @@ def main() -> int:
             lambda d: dedup.ngram_jaccard_pairs(d, n=1, threshold=0.5),
         ),
         "tf_idf": (docs, "doc_id", lambda d: textan.tf_idf(d)),
+        "duplicated_spans": (
+            docs,
+            "doc_id",
+            lambda d: textprep.duplicated_spans(d),
+        ),
         "embedding_dup_pairs_lsh": (
             embs,
             "emb_id",
-            lambda d: dedup.embedding_dup_pairs(d, id_col="emb_id", threshold=0.99, lsh_bits=None),
+            lambda d, idc: dedup.embedding_dup_pairs(
+                d, id_col=idc, threshold=0.99, lsh_bits=None
+            ),
+        ),
+        "semantic_dup_pairs": (
+            embs,
+            "emb_id",
+            lambda d, idc: dedup.semantic_dup_pairs(d, id_col=idc, threshold=0.99),
         ),
     }
     # fix the embeddings id column name to whatever the table has
@@ -221,11 +233,12 @@ def main() -> int:
     for name, (df, id_col, build) in OPS.items():
         if df is embs:
             id_col = emb_id
-            build_fixed = lambda d: dedup.embedding_dup_pairs(
-                d, id_col=emb_id, threshold=0.99, lsh_bits=None
-            )
-        else:
-            build_fixed = build
+        # embeddings builders take (df, id_col); docs builders take (df)
+        build_fixed = (
+            (lambda d, _b=build, _i=id_col: _b(d, _i))
+            if df is embs
+            else build
+        )
         # warm once at k=1 (JIT/codegen), then measure
         run(build_fixed, df)
         t1 = run(build_fixed, df)
