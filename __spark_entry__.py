@@ -2819,6 +2819,47 @@ def q_duplicated_spans(spark, sf_dir):
 
 
 @_q(
+    "remove_duplicated_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE trim(text) <> ''),
+    s AS (SELECT doc_id, i, array_to_string(w[i:i+12], ' ') AS g
+          FROM t, UNNEST(range(1, GREATEST(len(w) - 11, 1))) AS u(i)),
+    win AS (SELECT g, MIN(doc_id) AS wdoc, COUNT(DISTINCT doc_id) AS nd
+            FROM s GROUP BY g),
+    rem AS (SELECT s.doc_id, s.i FROM s JOIN win USING (g)
+            WHERE nd >= 2 AND s.doc_id <> wdoc),
+    cov AS (SELECT DISTINCT doc_id, j FROM rem, UNNEST(range(i, i + 13)) AS r(j)),
+    covl AS (SELECT doc_id, list(j) AS js FROM cov GROUP BY doc_id),
+    rebuilt AS (
+      SELECT t.doc_id,
+             -- array_to_string([]) is NULL in DuckDB, not '' — a
+             -- fully-covered doc must rebuild to the empty string
+             COALESCE(array_to_string(
+               [w[k] for k in range(1, len(w) + 1) if NOT list_contains(js, k)],
+               ' '), '') AS text,
+             CAST(len(js) AS BIGINT) AS n_removed_tokens
+      FROM t JOIN covl USING (doc_id))
+    SELECT d.doc_id,
+           COALESCE(r.text, d.text) AS text,
+           COALESCE(r.n_removed_tokens, 0) AS n_removed_tokens
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_remove_duplicated_spans(spark, sf_dir):
+    # the full ExactSubstr removal on the natural corpus boilerplate:
+    # losers' covered tokens cut, winner text verbatim — the oracle
+    # replays the identical winner rule and coverage-union in SQL, so
+    # position bookkeeping, interval merging, and ordered reassembly
+    # are all on the hook
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.remove_duplicated_spans(d, lowercase=True).select(
+        "doc_id", "text", "n_removed_tokens"
+    )
+
+
+@_q(
     "top_duplicated_spans",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents WHERE trim(text) <> ''),

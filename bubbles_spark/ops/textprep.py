@@ -324,6 +324,117 @@ def top_duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 13,
+    lowercase: bool = False,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2022, arXiv:2107.06499 §4.1 —
+    the step beyond ``duplicated_spans``' statistics): every token
+    covered by a ``span_words``-word window that also occurs in
+    another document is CUT from all but the lowest-``id_col``
+    document containing that span; the winner keeps its text intact.
+    Overlapping removals merge naturally (coverage is a position
+    set).  Returns the input with ``text_col`` rewritten and an
+    appended ``n_removed_tokens``.
+
+    Contract: untouched documents keep their original text verbatim;
+    a rewritten document's text is rebuilt from its tokens (i.e.
+    whitespace-normalized, and lowercased when ``lowercase``).
+
+    Scale shape: span hashes and positions move as fixed-width rows
+    (never text); the winner table is one row per duplicated hash
+    (no pair explosion — a boilerplate span in a million docs still
+    aggregates to a single row); only documents that actually lose
+    tokens pay the explode + ordered-reassembly path (the same
+    collect/sort rebuild contract as paragraph_dedup, bounded per
+    doc).
+    """
+    from bubbles_spark.ops.textan import _tokens
+
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    toks = df.select(F.col(id_col).alias("__id"), _tokens(text).alias("__toks"))
+    with_spans = toks.filter(F.size("__toks") >= span_words)
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - span_words),
+        lambda i: F.xxhash64(
+            F.array_join(F.slice(F.col("__toks"), i + 1, span_words), " ")
+        ),
+    )
+    spans = with_spans.select(
+        "__id", F.posexplode(span_hashes).alias("__pos", "__h")
+    )
+    # one row per (hash): winner id + distinct-doc count
+    per_doc = spans.select("__id", "__h").distinct()
+    winners = per_doc.groupBy("__h").agg(
+        F.min("__id").alias("__w"), F.count(F.lit(1)).alias("__nd")
+    )
+    dup_hashes = winners.filter(F.col("__nd") >= 2).select("__h", "__w")
+    # covered token positions in losing docs (winner keeps its copy)
+    covered = (
+        spans.join(dup_hashes, "__h")
+        .filter(F.col("__id") != F.col("__w"))
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + span_words - 1)
+            ).alias("__k"),
+        )
+        .distinct()
+    )
+    removed_counts = covered.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed_tokens")
+    )
+    # rebuild ONLY the losing docs: explode their tokens, anti-join
+    # the covered positions, ordered reassembly.  covered descends
+    # from the SAME toks lineage as the exploded side — without the
+    # explicit rename the name-based join degenerates into the
+    # ambiguous-self-join trap (the id equality resolves both sides
+    # to one attribute and every position covered in ANY doc strips
+    # every doc — paragraph_dedup hit the same hazard in round 2)
+    cov = covered.select(
+        F.col("__id").alias("__cov_id"), F.col("__k").alias("__cov_k")
+    )
+    losing = toks.join(removed_counts.select("__id"), "__id")
+    kept = (
+        losing.select("__id", F.posexplode("__toks").alias("__k", "__tok"))
+        .join(
+            cov,
+            (F.col("__id") == F.col("__cov_id"))
+            & (F.col("__k") == F.col("__cov_k")),
+            "left_anti",
+        )
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__k", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("__newtext")
+        )
+    )
+    rewritten = removed_counts.join(kept, "__id", "left").withColumn(
+        "__newtext", F.coalesce("__newtext", F.lit(""))
+    )
+    out = (
+        df.join(
+            rewritten.withColumnRenamed("__id", id_col),
+            id_col,
+            "left",
+        )
+        .withColumn(text_col, F.coalesce("__newtext", F.col(text_col)))
+        .fillna({"n_removed_tokens": 0})
+        .drop("__newtext")
+    )
+    return out
+
+
 def shuffle_rows(df: DataFrame, seed: int = 0, partitions: int | None = None) -> DataFrame:
     """Deterministic global shuffle (the pre-training randomization
     pass): order rows by a seeded xxhash of the full row.  Same seed ⇒

@@ -318,3 +318,93 @@ def test_duplicated_spans_lowercase_flag(spark):
     ci = textprep.duplicated_spans(df, span_words=3, lowercase=True)
     assert sum(r["dup_spans"] for r in cs.collect()) == 0
     assert sum(r["dup_spans"] for r in ci.collect()) == 2
+
+
+# --- remove_duplicated_spans ------------------------------------------
+
+
+def test_remove_duplicated_spans_basic(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # winner: keeps text verbatim
+            (2, "x a b c y"),      # loses "a b c" -> "x y"
+            (3, "p q r s t"),      # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in textprep.remove_duplicated_spans(df, span_words=3).collect()
+    }
+    assert out[1] == ("a b c d e", 0)
+    assert out[2] == ("x y", 3)
+    assert out[3] == ("p q r s t", 0)
+
+
+def test_remove_duplicated_spans_overlap_merges(spark):
+    from bubbles_spark.ops import textprep
+
+    # doc2 shares two overlapping spans ("a b c", "b c d") -> coverage
+    # is the union {a b c d}, not 6 tokens
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "z a b c d z2")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in textprep.remove_duplicated_spans(df, span_words=3).collect()
+    }
+    assert out[1] == ("a b c d", 0)
+    assert out[2] == ("z z2", 4)
+
+
+def test_remove_duplicated_spans_full_coverage_empties(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in textprep.remove_duplicated_spans(df, span_words=3).collect()
+    }
+    assert out[1] == ("a b c", 0)
+    assert out[2] == ("", 3)
+
+
+def test_remove_duplicated_spans_untouched_keeps_raw_whitespace(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [(1, "  spaced   out  "), (2, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in textprep.remove_duplicated_spans(df, span_words=3).collect()}
+    assert out[1] == "  spaced   out  "  # untouched docs stay verbatim
+
+
+def test_remove_duplicated_spans_per_doc_coverage_isolated(spark):
+    from bubbles_spark.ops import textprep
+
+    # REGRESSION (ambiguous self-join): two losing docs with different
+    # covered positions — doc2 must NOT lose tokens at positions that
+    # are only covered in doc3, and vice versa
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c x1 x2"),   # loses pos 0-2 only
+            (3, "y1 c d e y2"),   # loses pos 1-3 only
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in textprep.remove_duplicated_spans(df, span_words=3).collect()
+    }
+    assert out[1] == ("a b c d e", 0)
+    assert out[2] == ("x1 x2", 3)
+    assert out[3] == ("y1 y2", 3)
