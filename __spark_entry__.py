@@ -2245,6 +2245,101 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# --- §2.14 perceptual image hashing (ops/imagehash.py) ---------------
+def _planted_images(spark, sf_dir, n=150):
+    """Deterministic smooth PGM images per doc (two 2-D cosines whose
+    frequencies/amplitudes derive from doc_id by integer arithmetic —
+    no RNG), plus planted brightness twins (+9 gray levels) for
+    doc_id < n under id+1,000,000.  pHash/dHash are EXACTLY invariant
+    to a global brightness offset (DC zeroed before the median /
+    pixel differences cancel constants — pinned in
+    tests/test_imagehash.py), so a correct decode→hash→banded-join
+    pipeline recovers every planted pair at hamming 0 BY MATH, which
+    makes image near-dup recall oracle-expressible."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < n).select("doc_id")
+    ids = d.unionByName(
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        h, w = 40, 56
+        y = np.arange(h)[:, None] / h
+        x = np.arange(w)[None, :] / w
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                b = int(i) % 1000000
+                img = (
+                    128.0
+                    + (12 + b % 9)
+                    * np.cos(np.pi * ((1 + b % 5) * y + (1 + (b // 5) % 5) * x))
+                    + (10 + (b // 9) % 8)
+                    * np.cos(np.pi * ((1 + (b // 25) % 6) * y - (2 + (b // 7) % 3) * x))
+                )
+                a = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+                if int(i) >= 1000000:
+                    # brightness twin: offset AFTER quantization so the
+                    # twin raster is exactly base+9 (rint is half-even,
+                    # which is not shift-invariant pre-quantization);
+                    # amplitudes keep rasters in [91, 174] so +9 can't
+                    # overflow uint8
+                    a = a + np.uint8(9)
+                out.append(b"P5\n%d %d\n255\n" % (w, h) + a.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": out})
+
+    imgs = ids.mapInPandas(synth, schema="doc_id long, raw binary")
+    return multimodal.attach_media(imgs, "raw", mime="image/x-portable-graymap")
+
+
+_IMG_PLANTED_ORACLE = """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM documents WHERE doc_id < 150
+"""
+
+
+@_q("image_phash_planted_recall", _IMG_PLANTED_ORACLE)
+def q_image_phash_planted(spark, sf_dir):
+    from bubbles_spark.ops import imagehash
+
+    pairs = imagehash.image_dup_pairs(
+        _planted_images(spark, sf_dir), max_hamming=0, method="phash"
+    )
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select(
+        "id_a", "id_b"
+    )
+
+
+@_q("image_dhash_planted_recall", _IMG_PLANTED_ORACLE)
+def q_image_dhash_planted(spark, sf_dir):
+    from bubbles_spark.ops import imagehash
+
+    pairs = imagehash.image_dup_pairs(
+        _planted_images(spark, sf_dir), max_hamming=0, method="dhash"
+    )
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select(
+        "id_a", "id_b"
+    )
+
+
+@_q(
+    "image_dedup_planted",
+    "SELECT doc_id FROM documents WHERE FALSE",
+)
+def q_image_dedup_planted(spark, sf_dir):
+    # dedup RECALL as an oracle: every brightness twin hashes
+    # identically to its lower-id original, so NO doc_id >= 1e6 may
+    # survive image_dedup — any survivor is a recall failure the
+    # row-count catches
+    from bubbles_spark.ops import imagehash
+
+    out = imagehash.image_dedup(_planted_images(spark, sf_dir), max_hamming=0)
+    return out.filter(F.col("doc_id") >= 1000000).select("doc_id")
+
+
 # --- §2.2/§2.6/§2.7/§2.8 reshape / range / rollup / SCD2 extensions ---
 @_q(
     "unpivot_lineitem",

@@ -461,35 +461,48 @@ def simhash(
     return df.join(sigs, id_col, "left")
 
 
-def simhash_dedup_pairs(
+def hamming_pairs(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    sig_col: str,
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into
-    ``bands`` chunks (pigeonhole: hamming <= bands-1 guarantees an
-    exact match in some band; default 4 bands catches hamming <= 3),
-    bucket-join, then verify exact hamming distance bit-wise.
-    Returns (id_a, id_b, hamming)."""
+    """Generic hamming-distance similarity join over a signed 64-bit
+    signature column: band the signature into ``bands`` chunks
+    (pigeonhole: hamming <= bands-1 guarantees an exact match in some
+    band), bucket-join within (band, bucket), then verify exact
+    hamming bit-wise.  Returns (id_a, id_b, hamming).
+
+    The banded equi-join is the scale contract: only (id, band,
+    bucket, sig) rows shuffle — never payloads — and ``max_bucket``
+    caps any one bucket's quadratic blow-up (a skew guard identical
+    to the MinHash-LSH one).  Shared by ``simhash_dedup_pairs`` (text)
+    and ``ops.imagehash.image_dup_pairs`` (perceptual image hashes)."""
+    if not 1 <= bands <= 64 or 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
     width = 64 // bands
-    sigs = simhash(df, id_col, text_col).select(
-        F.col(id_col).alias("__id"), F.col("simhash")
-    ).filter(F.col("simhash").isNotNull())
+    sigs = df.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
+    ).filter(F.col("__sig").isNotNull())
 
     # band chunks with int-literal shifts (Python loop, not a HOF —
-    # the round-1 version passed Column bit counts and crashed)
-    mask = (1 << width) - 1
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ]
-    )
+    # the round-1 simhash version passed Column bit counts and crashed)
+    if bands == 1:
+        # single band = the whole signature (a 64-bit mask literal
+        # would overflow Spark's signed long)
+        chunks = F.array(F.col("__sig"))
+    else:
+        mask = (1 << width) - 1
+        chunks = F.array(
+            *[
+                F.shiftright(F.col("__sig"), b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ]
+        )
     banded = sigs.select(
-        "__id", "simhash", F.posexplode(chunks).alias("band", "bucket")
+        "__id", "__sig", F.posexplode(chunks).alias("band", "bucket")
     )
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
     banded = banded.join(
@@ -497,7 +510,7 @@ def simhash_dedup_pairs(
     ).drop("__bn")
 
     a, b = banded.alias("a"), banded.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    xor = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
     hamming = F.bit_count(xor)
     return (
         a.join(
@@ -516,6 +529,29 @@ def simhash_dedup_pairs(
         # never enter the dropDuplicates shuffle
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: compute 64-bit signatures, then run
+    the generic banded ``hamming_pairs`` join (pigeonhole banding +
+    skew-capped buckets + bit-wise verify).  Returns
+    (id_a, id_b, hamming)."""
+    sigs = simhash(df, id_col, text_col).select(id_col, "simhash")
+    return hamming_pairs(
+        sigs,
+        id_col,
+        "simhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
     )
 
 
