@@ -1774,6 +1774,57 @@ def q_cosine_topk_lsh_planted(spark, sf_dir):
     return out.filter(F.col("rank") == 1)
 
 
+@_q(
+    "cosine_topk_pq",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine
+           FROM q JOIN c ON q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM s)
+    WHERE rn <= 5
+    """,
+)
+def q_cosine_topk_pq(spark, sf_dir):
+    # rescore=None disables ADC pruning, so PQ is exact BY
+    # CONSTRUCTION (same trick as the exhaustive-probe IVF oracle):
+    # codebook training, the encode matmul, the LUT scan, and the
+    # exact-rescore join are all on the checked path; pruned-recall
+    # behavior is pinned by cosine_topk_pq_selfmatch and pytest
+    e = _t(spark, sf_dir, "embeddings")
+    return vector.cosine_topk_pq(
+        e, e.filter(F.col("vec_id") < 20), k=5, rescore=None, ks=64
+    )
+
+
+@_q(
+    "cosine_topk_pq_selfmatch",
+    """
+    SELECT vec_id AS query_id, vec_id AS neighbor_id,
+           CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS INTEGER) AS rank
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_cosine_topk_pq_selfmatch(spark, sf_dir):
+    # the ADC-pruned operating point, deterministically checkable: a
+    # query that IS a corpus vector has (near-)maximal ADC score, so
+    # it survives the rescore cut and exact rescore puts it at rank 1
+    # with cosine exactly 1.0 (no other corpus vector reaches 1.0 at
+    # 6dp — verified against the data); ranks 2..k stay approximate
+    # and are excluded
+    e = _t(spark, sf_dir, "embeddings")
+    out = vector.cosine_topk_pq(
+        e, e.filter(F.col("vec_id") < 50), k=3, exclude_self=False, ks=64
+    )
+    return out.filter(F.col("rank") == 1)
+
+
 # --- SQL surface (§3: Spark SQL is free; the reference has no parser) --
 _Q5_SQL = """
     SELECT n_name,

@@ -522,3 +522,227 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 256,
+    train_sample: int = 20000,
+    iters: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+) -> "np.ndarray":
+    """Train product-quantization codebooks on a seeded corpus sample
+    (driver-side numpy, bounded by ``train_sample`` — same documented
+    contract as ``_train_spherical_kmeans``).
+
+    Vectors are unit-normalized, split into ``m`` contiguous
+    subspaces of dim/m, and each subspace gets its own ``ks``-entry
+    k-means codebook (standard PQ, Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).  Returns
+    (m, ks, dim/m) float64 — deterministic for a fixed seed.
+
+    Why PQ at 100 TB: a 64-dim float32 embedding is 256 B; its PQ code
+    is ``m`` bytes (8 here, a 32× compression).  The ADC scan in
+    ``cosine_topk_pq`` then reads ONLY the code column — the wide
+    vector column is never scanned again after encoding, which is the
+    difference between scanning 100 TB and scanning 3 TB per query
+    batch."""
+    dim = dim or _infer_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    n_total = df.count()
+    frac = min(1.0, train_sample / max(n_total, 1))
+    sample = df.select(vec_col).sample(fraction=frac, seed=seed).collect()
+    mat = np.vstack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    if mat.shape[1] != dim:
+        raise ValueError(f"sample dim {mat.shape[1]} != {dim}")
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat[norms > 0] / norms[norms > 0, None]
+    rng = np.random.RandomState(seed)
+    ks_eff = min(ks, len(mat))
+    books = np.empty((m, ks_eff, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=ks_eff, replace=False)]
+        for _ in range(iters):
+            # argmin ||x-c||^2 == argmax x·c - ||c||^2/2
+            assign = (sub @ cent.T - 0.5 * (cent * cent).sum(1)).argmax(1)
+            for c in range(ks_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Encode each corpus vector to its ``m``-byte PQ code — a map-only
+    Arrow-batched pass (one numpy matmul per subspace per batch); the
+    corpus never shuffles.  Zero-norm vectors are dropped (they have
+    no cosine direction).  Returns (id_col, out: array<int>); a
+    production sink would persist ``out`` as m tinyints or a binary —
+    the 32× storage cut that makes the ADC scan cheap."""
+    m, ks, dsub = codebooks.shape
+    dim = m * dsub
+    half = 0.5 * (codebooks * codebooks).sum(2)  # (m, ks)
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if mat.shape[1] != dim:
+                raise ValueError(f"corpus dim {mat.shape[1]} != {dim}")
+            nrm = np.linalg.norm(mat, axis=1)
+            ok = nrm > 0
+            if not ok.any():
+                continue
+            unit = mat[ok] / nrm[ok, None]
+            codes = np.empty((len(unit), m), dtype=np.int64)
+            for j in range(m):
+                sub = unit[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (sub @ codebooks[j].T - half[j]).argmax(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[ok], out: list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, {out} array<long>"
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    m: int = 8,
+    ks: int = 256,
+    rescore: int | None = 4,
+    train_sample: int = 20000,
+    kmeans_iters: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+    dim: int | None = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Approximate top-k cosine via product quantization — the
+    compressed-domain ANN path next to LSH and IVF.
+
+    1. TRAIN (driver, bounded sample): per-subspace codebooks
+       (``train_pq``) unless ``codebooks`` is passed in (train once,
+       reuse across query batches — the production shape).
+    2. ENCODE (map-only): corpus → m-byte codes (``pq_encode``).
+    3. ADC SCAN (map-only): queries collect to the driver (small BY
+       CONTRACT, as in ``cosine_topk``); each query precomputes an
+       (m × ks) lookup table of subspace dot products, so scoring a
+       code is m table lookups — no float vector is touched.  Each
+       Arrow batch emits only its local top-``rescore``·k rows per
+       query, so the shuffle carries ≤ rescore·k·q·n_batches rows.
+    4. EXACT RESCORE: candidates (a broadcast-sized id list) join
+       back to the corpus scan, true cosines computed with the
+       unrolled codegen dot, final per-query window rank → top-k.
+
+    ``rescore=None`` disables ADC pruning (every corpus row is
+    exactly rescored) — PQ becomes exact BY CONSTRUCTION, which is
+    what lets the driver oracle-check the whole train/encode/LUT/ADC
+    pipeline against brute-force SQL; pruned-recall behavior is
+    covered by the planted self-match query and tests/test_vector.py.
+
+    Returns (query_id, neighbor_id, cosine, rank) — the shared ANN
+    contract (ties after the 6dp round break by neighbor id)."""
+    qid = query_id_col or id_col
+    dim = dim or _infer_dim(corpus, vec_col)
+    if codebooks is None:
+        codebooks = train_pq(
+            corpus, vec_col, m, ks, train_sample, kmeans_iters, seed, dim
+        )
+    m, ks_eff, dsub = codebooks.shape
+
+    qrows = queries.select(qid, vec_col).collect()
+    q_ids, qm = [], []
+    for r in qrows:
+        v = np.asarray(r[1], dtype=np.float64)
+        n = np.linalg.norm(v)
+        if n > 0:
+            q_ids.append(int(r[0]))
+            qm.append(v / n)
+    spark = corpus.sparkSession
+    if not q_ids:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    qm = np.vstack(qm)
+    if qm.shape[1] != dim:
+        raise ValueError(f"query dim {qm.shape[1]} != corpus dim {dim}")
+    q_ids_arr = np.array(q_ids, dtype=np.int64)
+    # (q, m, ks) lookup tables: ADC score = Σ_j lut[q, j, code_j]
+    lut = np.stack(
+        [qm[:, j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)],
+        axis=1,
+    )
+    n_keep = None if rescore is None else max(k * rescore, 32)
+
+    coded = pq_encode(corpus, codebooks, id_col, vec_col, out="__code")
+    jdx = np.arange(m)
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["__code"].to_numpy())  # (n, m)
+            nids = pdf[id_col].to_numpy()
+            out_q, out_n = [], []
+            for qi in range(len(q_ids_arr)):
+                s = lut[qi][jdx[None, :], codes].sum(1)
+                idx = np.arange(len(s))
+                if exclude_self:
+                    idx = idx[nids != q_ids_arr[qi]]
+                if len(idx) == 0:
+                    continue
+                if n_keep is not None and len(idx) > n_keep:
+                    kth = -np.partition(-s[idx], n_keep - 1)[n_keep - 1]
+                    idx = idx[s[idx] >= kth]
+                out_q.extend([q_ids_arr[qi]] * len(idx))
+                out_n.extend(nids[idx])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cands = coded.mapInPandas(adc, schema="query_id long, neighbor_id long")
+
+    # exact rescore: candidate ids are broadcast-sized (≤ rescore·k·q·
+    # batches); the corpus is filtered by a broadcast semi-ish join,
+    # never shuffled
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in qm[j]]) for j, i in enumerate(q_ids)],
+        "query_id long, __qv array<double>",
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    joined = c.join(F.broadcast(cands.dropDuplicates(["query_id", "neighbor_id"])),
+                    "neighbor_id").join(F.broadcast(qdf), "query_id")
+    cos = _dot(F.col("__qv"), F.col("__cv"), dim) / _norm_col(F.col("__cv"), dim)
+    sim = joined.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -95,3 +95,60 @@ def test_ivf_exhaustive_probe_is_exact(emb):
     e = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in ivf.collect()}
     assert a == e
+
+
+def test_pq_exact_mode_matches_brute_force(emb):
+    q = emb.filter("vec_id < 5")
+    exact = vector.cosine_topk(emb, q, k=5)
+    pq = vector.cosine_topk_pq(emb, q, k=5, rescore=None, ks=64)
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rows)
+    assert key(pq.collect()) == key(exact.collect())
+
+
+def test_pq_self_match(emb):
+    # a query that IS a corpus vector: its own code has (near-)maximal
+    # ADC score, survives the rescore candidate cut, and exact rescore
+    # puts it at rank 1 with cosine 1.0
+    q = emb.filter("vec_id < 10")
+    out = vector.cosine_topk_pq(emb, q, k=3, exclude_self=False, ks=64)
+    top1 = {r.query_id: (r.neighbor_id, r.cosine) for r in out.collect() if r.rank == 1}
+    assert set(top1) == set(range(10))
+    for qid, (nid, cos) in top1.items():
+        assert nid == qid and cos == 1.0
+
+
+def test_pq_recall_vs_exact(emb):
+    q = emb.filter("vec_id < 20")
+    exact = vector.cosine_topk(emb, q, k=5)
+    pq = vector.cosine_topk_pq(emb, q, k=5, rescore=8, ks=64)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in pq.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, recall  # ADC-pruned; exact rescore fixes ordering
+
+
+def test_pq_encode_shape_and_determinism(emb):
+    books = vector.train_pq(emb, ks=32, train_sample=200)
+    assert books.shape[0] == 8 and books.shape[2] == 8
+    coded = vector.pq_encode(emb, books).collect()
+    assert len(coded) == emb.count()
+    for r in coded[:20]:
+        assert len(r.pq_code) == 8
+        assert all(0 <= c < books.shape[1] for c in r.pq_code)
+    coded2 = {r.vec_id: list(r.pq_code) for r in vector.pq_encode(emb, books).collect()}
+    assert {r.vec_id: list(r.pq_code) for r in coded} == coded2
+
+
+def test_pq_m_must_divide_dim(emb):
+    with pytest.raises(ValueError):
+        vector.train_pq(emb, m=7, train_sample=100)
+
+
+def test_pq_zero_norm_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0] + [0.0] * 7)],
+        "vec_id long, embedding array<float>",
+    )
+    books = vector.train_pq(df, m=4, ks=2, train_sample=10)
+    coded = vector.pq_encode(df, books).collect()
+    assert {r.vec_id for r in coded} == {2}
