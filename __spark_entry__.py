@@ -57,19 +57,24 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "n_nationkey",
     )
+    # decimal-cast the per-row revenue so the sum is exact and
+    # independent of partition order (a double sum rounds
+    # nondeterministically at .005 boundaries across sessions)
     revenue = core.derive(
-        enriched, "rev", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        enriched,
+        "rev",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,4)"),
     )
     agg = core.aggregate(revenue, "n_name", [("rev", "sum")], include_count=True)
     return core.sort(
-        core.derive(agg, "rev_sum", F.round(F.col("rev_sum"), 2)),
+        core.derive(agg, "rev_sum", F.round(F.col("rev_sum").cast("double"), 2)),
         [("rev_sum", "desc"), ("n_name", "asc")],
     )
 
 
 FLAGSHIP_SQL = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev_sum,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE), 2) AS rev_sum,
        COUNT(*) AS record_count
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1828,7 +1833,7 @@ def q_cosine_topk_pq_selfmatch(spark, sf_dir):
 # --- SQL surface (§3: Spark SQL is free; the reference has no parser) --
 _Q5_SQL = """
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE), 2) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS record_count
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -1853,6 +1858,196 @@ def q_sql_q5(spark, sf_dir):
     for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_Q5_SQL)
+
+
+# --- TPC-H classics as DataFrame plans (dates shifted to the synthetic
+# 1995–2001 range of the testdata).  These pin the RELATIONAL plan
+# quality story: Catalyst must broadcast the small sides, push every
+# filter into the parquet scans, and partial-aggregate map-side —
+# tools/explain_audit.py asserts all three for the flagship/Q5 shapes.
+@_q(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(20,4))) AS DOUBLE) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    # single-table scan-agg: the filter reaches the parquet scan and
+    # every SUM/AVG partial-aggregates map-side (one shuffle of
+    # 4-ish groups × partials)
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # decimal-cast terms make the sums EXACT and therefore
+            # independent of partition/accumulation order — a 2dp
+            # round of a double sum flips at .005 boundaries when the
+            # driver session partitions differently (both engines
+            # round the identical per-row double to the same decimal:
+            # 4dp halves are not dyadic, so rounding-mode differences
+            # can never engage)
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+            .cast("double").alias("sum_base_price"),
+            F.sum(disc.cast("decimal(20,4)")).cast("double").alias("sum_disc_price"),
+            F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(20,4)"))
+            .cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    # the segment-filtered customer side is small → broadcast into
+    # orders, then one shuffle joins lineitem on orderkey; no LIMIT
+    # (the classic top-10 cut ties on rounded revenue, which is not
+    # deterministic cross-engine — top_k is oracle-checked separately)
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(20,4)")
+            ).cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@_q(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    # quarter-filtered orders join return-filtered lineitem on the
+    # shuffle key; customer and nation broadcast (dim-sized)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(20,4)")
+            ).cast("double").alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@_q(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    # the HAVING subquery reduces to a tiny key set → broadcast
+    # semi-join prunes lineitem AND orders before the final agg; the
+    # heavy per-orderkey aggregation happens once and is reused for
+    # both the filter and the sum
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 300)
+        .select(F.col("l_orderkey").alias("__bigkey"))
+    )
+    per_order = (
+        li.join(F.broadcast(big), li.l_orderkey == F.col("__bigkey"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        per_order.join(F.broadcast(orders), per_order.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
 
 
 # --- end-to-end training-data prep pipeline ---------------------------
