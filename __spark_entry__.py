@@ -3521,6 +3521,47 @@ def q_stream_tumbling(spark, sf_dir):
 
 
 @_q(
+    "stream_quantile_window",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 1.0) AS INTEGER), 0), 499) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT window_start, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT window_start, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY window_start ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY window_start) AS tot
+      FROM c
+    )
+    SELECT window_start,
+           ROUND(CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN bin END) AS DOUBLE), 6) AS p50,
+           ROUND(CAST(MIN(CASE WHEN cum >= CEIL(0.95 * tot) THEN bin END) AS DOUBLE), 6) AS p95,
+           CAST(SUM(cnt) AS BIGINT) AS record_count
+    FROM cum GROUP BY window_start
+    """,
+)
+def q_stream_quantile(spark, sf_dir):
+    # per-window p50/p95 from the streaming histogram sketch: the
+    # stream emits mergeable (window, bin) counts (bounded state;
+    # percentile_approx can't stream and can't merge), the finisher
+    # extracts quantiles from the sunk histogram — and because the
+    # sketch is deterministic (floor-binning, not sampling), DuckDB
+    # reproduces the exact output
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    hist = sevents.histogram_stream(
+        stream, "ts", "value", "1 hour", bins=500, bounds=(0.0, 500.0)
+    )
+    sunk = sevents.run_batchlike(
+        hist, _stream_name("s_quant"), output_mode="complete"
+    )
+    return sevents.finish_quantiles(sunk, qs=(0.5, 0.95), bins=500, bounds=(0.0, 500.0))
+
+
+@_q(
     "stream_dedup_keys",
     "SELECT DISTINCT event_type, user_id FROM events",
 )

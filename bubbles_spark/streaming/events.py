@@ -148,6 +148,112 @@ def windowed_agg_stream(
     )
 
 
+def histogram_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    duration: str = "1 hour",
+    bins: int = 256,
+    bounds: tuple[float, float] = (0.0, 1.0),
+    keys: Sequence[str] = (),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming equi-width histogram sketch per event-time window —
+    the streaming half of the mergeable-quantile story
+    (``ops.events.time_bucket_rollup_quantiles`` is the batch twin).
+
+    Emits (window_start, window_end, *keys, bin, bin_count).  The
+    histogram IS the streaming state and output: per-window state is
+    ≤ ``bins`` counters (bounded, watermark-expired), each micro-batch
+    folds in map-side partial counts, and downstream consumers — the
+    ``finish_quantiles`` view, a dashboard, a coarser-grain rollup —
+    merge histograms by vector addition without touching raw events
+    again.  That is exactly why a raw percentile can't stream
+    (Spark rejects percentile_approx on an update stream; a p95 per
+    hour can't merge into a p95 per day) but this can.
+
+    ``bounds`` must be a static domain (a stream can't be
+    min/max-probed); out-of-range values clamp to the edge bins.  The
+    binning formula is plain IEEE arithmetic, identical to the batch
+    operator, so results stay oracle-checkable."""
+    lo, hi = float(bounds[0]), float(bounds[1])
+    if not hi > lo:
+        raise ValueError(f"bounds must satisfy lo < hi, got {bounds}")
+    step = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    bin_col = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(step)).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    out = (
+        events.filter(v.isNotNull())
+        .withColumn("__bin", bin_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("__w"), *keys, F.col("__bin"))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *keys,
+        F.col("__bin").alias("bin"),
+        "bin_count",
+    )
+
+
+def finish_quantiles(
+    hist: DataFrame,
+    qs: Sequence[float] = (0.5, 0.95),
+    bins: int = 256,
+    bounds: tuple[float, float] = (0.0, 1.0),
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Batch finisher over a (streamed or stored) histogram: quantile
+    q of a group with N rows = lower edge of the first bin whose
+    cumulative count reaches ceil(q·N) — the deterministic estimate
+    shared with ``time_bucket_rollup_quantiles`` (value error ≤ one
+    bin width, zero rank error at bin granularity).  Runs on the
+    memory-sink/table output of ``histogram_stream``; histogram-sized
+    input, so the window cumsum is trivial at any corpus scale.
+    Output: window_start, *keys, p<pct>..., record_count."""
+    from pyspark.sql import Window as W
+
+    lo, hi = float(bounds[0]), float(bounds[1])
+    step = (hi - lo) / bins
+    grp = ["window_start", *keys]
+    w_cum = (
+        W.partitionBy(*grp)
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(*grp)
+    lvl = hist.withColumn("__cum", F.sum("bin_count").over(w_cum)).withColumn(
+        "__tot", F.sum("bin_count").over(w_all)
+    )
+    aggs = []
+    names = []
+    for q in qs:
+        pct = q * 100
+        name = (
+            f"p{int(pct)}" if float(pct).is_integer()
+            else f"p{str(pct).replace('.', '_')}"
+        )
+        names.append(name)
+        rank = F.ceil(F.lit(float(q)) * F.col("__tot"))
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= rank, F.col("bin"))).alias(f"__b_{name}")
+        )
+    aggs.append(F.sum("bin_count").alias("record_count"))
+    done = lvl.groupBy(*grp).agg(*aggs)
+    sel = ["window_start", *keys]
+    for name in names:
+        sel.append(
+            F.round(F.lit(lo) + F.col(f"__b_{name}") * F.lit(step), 6).alias(name)
+        )
+    sel.append("record_count")
+    return done.select(*sel)
+
+
 def dedup_stream(
     events: DataFrame,
     keys: Sequence[str] = ("event_id",),

@@ -393,3 +393,50 @@ def test_asof_join_stream_state_survives_restart(spark, tmp_path):
     rows = {r["event_id"]: (r["r_ts"], r["r_value"]) for r in got.collect()}
     assert rows.get(1) == (_ts(8), 1.0)
     assert rows.get(2) == (_ts(8), 1.0)
+
+
+def test_streaming_histogram_quantiles_match_batch(spark):
+    """histogram_stream + finish_quantiles over the event stream must
+    equal the batch time_bucket_rollup_quantiles at the same
+    bins/bounds — both are the identical deterministic sketch, so the
+    match is exact, not approximate."""
+    from bubbles_spark.ops import events as bevents
+    from bubbles_spark.streaming import events as sevents
+
+    sf_dir = "/root/testdata/sf0.001"
+    bins, bounds = 500, (0.0, 500.0)
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    hist = sevents.histogram_stream(
+        stream, "ts", "value", "1 hour", bins=bins, bounds=bounds
+    )
+    sunk = sevents.run_batchlike(hist, "t_hist_q", output_mode="complete")
+    got = sevents.finish_quantiles(
+        sunk, qs=(0.5, 0.95), bins=bins, bounds=bounds
+    ).collect()
+
+    from bubbles_spark.io import load_table
+
+    batch = bevents.time_bucket_rollup_quantiles(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        ["1 hour"],
+        "value",
+        qs=(0.5, 0.95),
+        bins=bins,
+        bounds=bounds,
+    ).collect()
+    key = lambda rows: sorted(
+        (r.window_start, r.p50, r.p95, r.record_count) for r in rows
+    )
+    assert len(got) > 0
+    assert key(got) == key(batch)
+
+
+def test_histogram_stream_rejects_bad_bounds(spark):
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, "/root/testdata/sf0.001")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sevents.histogram_stream(stream, bounds=(1.0, 1.0))
