@@ -76,8 +76,16 @@ BENCH_QUERIES = [
     "stream_docs_pipeline",
     "image_pixel_stats",
     # round-4 additions: SemDeDup clustered near-dup on the planted
-    # corpus (the scale path: sqrt-n clusters, map-only assignment)
+    # corpus (the scale path: sqrt-n clusters, map-only assignment),
+    # perceptual image dedup, PQ compressed-domain ANN, the TPC-H
+    # classics, and the streaming histogram-quantile pipeline
     "semantic_dup_pairs_planted",
+    "image_phash_planted_recall",
+    "cosine_topk_pq_selfmatch",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "stream_quantile_window",
 ]
 
 

@@ -201,6 +201,40 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "dup-set join is an equi join"),
          (r"(BatchEvalPython|ArrowEvalPython)", "span hashing is codegen, no Python")],
     ),
+    (
+        "tpch_q1_pricing_summary",
+        [(r"Functions \[\d+\]: \[partial_", "sums partial-aggregate map-side"),
+         (r"PushedFilters: .*LessThanOrEqual\(l_shipdate", "shipdate filter reaches the scan"),
+         (r"ReadSchema: struct<l_quantity", "scan prunes to referenced columns")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
+        "tpch_q3_shipping_priority",
+        [(r"BroadcastHashJoin", "segment-filtered customer side broadcasts"),
+         (r"PushedFilters: .*GreaterThan\(l_shipdate", "shipdate filter reaches the lineitem scan")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "equi joins only")],
+    ),
+    (
+        "tpch_q18_large_orders",
+        [(r"BroadcastHashJoin", "the tiny HAVING key set broadcasts"),
+         (r"Functions \[\d+\]: \[partial_", "quantity sums partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "equi joins only")],
+    ),
+    (
+        "image_phash_planted_recall",
+        [(r"MapInPandas", "decode+hash is the Arrow-batched map-only pass"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin",
+          "hamming candidate join is an equi join on (band, bucket)")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin",
+          "banded hamming join must never cross-join")],
+    ),
+    (
+        "cosine_topk_pq_selfmatch",
+        [(r"MapInPandas", "encode + ADC scan are Arrow-batched map-only passes"),
+         (r"BroadcastHashJoin", "candidate ids and query vectors broadcast for the exact rescore")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join explosion"),
+         (r"SortMergeJoin", "the corpus must never shuffle for the rescore")],
+    ),
 ]
 
 # Streaming queries return their drained batch result, so auditing
@@ -231,6 +265,17 @@ STREAM_CHECKS = [
         [(r"EventTimeWatermark", "watermark present (bounded state)"),
          (r"HashAggregate|StateStore", "windowed agg plan")],
         [(r"CartesianProduct", "no cross product")],
+    ),
+    (
+        "stream_quantile_histogram(plan)",
+        lambda spark: __import__("bubbles_spark.streaming.events", fromlist=["x"]).histogram_stream(
+            __import__("bubbles_spark.streaming.events", fromlist=["x"]).read_testdata_event_stream(spark, SF_DIR),
+            bins=500, bounds=(0.0, 500.0),
+        ),
+        [(r"EventTimeWatermark", "watermark present (per-window bin state is expired)"),
+         (r"HashAggregate|StateStore", "bin counts aggregate in state")],
+        [(r"CartesianProduct", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "binning is codegen, no Python")],
     ),
     (
         "stream_asof_join(plan)",
