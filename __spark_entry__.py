@@ -2491,6 +2491,23 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# --- physical layout (ops/layout.py) ---------------------------------
+@_q(
+    "zorder_cluster_roundtrip",
+    "SELECT * FROM orders",
+)
+def q_zorder_roundtrip(spark, sf_dir):
+    # Z-order clustering is a pure layout transform: after the Morton
+    # range-shuffle + within-partition sort, the ROWS are unchanged —
+    # the identity oracle pins that, pyarrow footer-stat tests pin the
+    # actual envelope tightening (tests/test_layout.py)
+    from bubbles_spark.ops import layout
+
+    return layout.zorder_by(
+        _t(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice"], num_partitions=8
+    )
+
+
 # --- §2.14 perceptual image hashing (ops/imagehash.py) ---------------
 def _planted_images(spark, sf_dir, n=150):
     """Deterministic smooth PGM images per doc (two 2-D cosines whose

@@ -124,9 +124,19 @@ class FileStore(DataStore):
         replace: bool = False,
         from_obj: DataFrame | None = None,
         partition_by: Sequence[str] | None = None,
+        zorder: Sequence[str] | None = None,
     ) -> None:
         if from_obj is None:
             raise ValueError("create() requires from_obj (a DataFrame)")
+        if zorder:
+            # cluster along the Morton curve of these columns before
+            # writing so every file gets a tight min-max envelope on
+            # each of them — multi-column file skipping on vanilla
+            # parquet (ops/layout.py; the Delta OPTIMIZE ZORDER BY
+            # counterpart for this store)
+            from bubbles_spark.ops.layout import zorder_by
+
+            from_obj = zorder_by(from_obj, list(zorder))
         writer = from_obj.write.format(self.format)
         for k, v in self.reader_options.items():
             if k != "inferSchema":  # reader-only option
