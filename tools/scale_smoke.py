@@ -99,6 +99,52 @@ def main() -> int:
         out.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def _image_pairs(d):
+        """Synthesize a distinct smooth PGM per doc_id (full id in the
+        frequency/amplitude params so scaled copies stay visually
+        distinct — identical cross-copy images would plant k-cliques
+        and measure output explosion, not scaling), then the
+        perceptual-hash banded hamming join."""
+        import pandas as pd
+
+        from bubbles_spark.ops import imagehash
+        from bubbles_spark.ops.multimodal import attach_media
+
+        def synth(batches):
+            import numpy as np
+
+            h, w = 32, 40
+            y = np.arange(h)[:, None] / h
+            x = np.arange(w)[None, :] / w
+            for pdf in batches:
+                out = []
+                for i in pdf["doc_id"]:
+                    b = int(i)
+                    img = 128.0 + (10 + b % 13) * np.cos(
+                        np.pi * ((1 + b % 7) * y + (1 + (b // 7) % 7) * x)
+                    ) + (8 + (b // 13) % 11) * np.cos(
+                        np.pi * ((1 + (b // 49) % 5) * y - (1 + (b // 11) % 5) * x)
+                    )
+                    a = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+                    out.append(b"P5\n%d %d\n255\n" % (w, h) + a.tobytes())
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": out})
+
+        imgs = d.select("doc_id").mapInPandas(synth, schema="doc_id long, raw binary")
+        return imagehash.image_dup_pairs(attach_media(imgs, "raw"), max_hamming=2)
+
+    def _pq_topk(d, idc):
+        from pyspark.sql import functions as FF
+
+        from bubbles_spark.ops import vector
+
+        q = d.filter(FF.col(idc) < 20)
+        return vector.cosine_topk_pq(d, q, k=5, id_col=idc, ks=64)
+
+    def _zorder(d):
+        from bubbles_spark.ops import layout
+
+        return layout.zorder_by(d, ["doc_id", "source"])
+
     OPS = {
         "exact_dedup": (docs, "doc_id", lambda d: dedup.exact_dedup(d)),
         "minhash_dedup_pairs": (
@@ -141,6 +187,13 @@ def main() -> int:
             "emb_id",
             lambda d, idc: dedup.semantic_dup_pairs(d, id_col=idc, threshold=0.99),
         ),
+        "image_dup_pairs": (docs, "doc_id", lambda d: _image_pairs(d)),
+        "cosine_topk_pq": (
+            embs,
+            "emb_id",
+            lambda d, idc: _pq_topk(d, idc),
+        ),
+        "zorder_by": (docs, "doc_id", lambda d: _zorder(d)),
     }
     # fix the embeddings id column name to whatever the table has
     emb_id = "doc_id" if "doc_id" in embs.columns else embs.columns[0]
