@@ -2686,6 +2686,85 @@ def q_time_bucket_rollup(spark, sf_dir):
 
 
 @_q(
+    "funnel_view_click_purchase",
+    """
+    WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (SELECT e.user_id, s0.t0, MIN(e.ts) AS t1
+                FROM events e JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1, 2),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+    SELECT CAST(0 AS INTEGER) AS step, 'view' AS step_name,
+           (SELECT COUNT(*) FROM s0) AS users
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), 'click', (SELECT COUNT(*) FROM s1)
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s2)
+    """,
+)
+def q_funnel(spark, sf_dir):
+    # first-touch funnel: stepwise earliest-completion mins make the
+    # definition deterministic, so the oracle replays the identical
+    # CTE chain
+    e = _t(spark, sf_dir, "events")
+    return events.funnel(e, ["view", "click", "purchase"])
+
+
+@_q(
+    "funnel_within_day",
+    """
+    WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (SELECT e.user_id, s0.t0, MIN(e.ts) AS t1
+                FROM events e JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'click' AND e.ts > s0.t0
+                  AND EXTRACT(EPOCH FROM (e.ts - s0.t0)) <= 86400.0
+                GROUP BY 1, 2),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                  AND EXTRACT(EPOCH FROM (e.ts - s1.t0)) <= 86400.0
+                GROUP BY 1)
+    SELECT CAST(0 AS INTEGER) AS step, 'view' AS step_name,
+           (SELECT COUNT(*) FROM s0) AS users
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), 'click', (SELECT COUNT(*) FROM s1)
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s2)
+    """,
+)
+def q_funnel_within(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return events.funnel(
+        e, ["view", "click", "purchase"], within_seconds=86400.0
+    )
+
+
+@_q(
+    "retention_cohorts",
+    """
+    WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+               FROM events),
+         f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1)
+    SELECT f.cohort AS cohort_day,
+           CAST(FLOOR((epoch(d.day) - epoch(f.cohort)) / 604800.0)
+                AS INTEGER) AS period,
+           CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS active_users
+    FROM d JOIN f ON d.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark, sf_dir):
+    # day-truncated cohorts: both engines agree on midnight, and the
+    # weekly period index is plain integer arithmetic from there —
+    # week BUCKETS would disagree (Spark windows align to 1970-01-01,
+    # a Thursday; DuckDB time_bucket to 2000-01-03, a Monday)
+    return events.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "histogram_totalprice",
     """
     WITH h AS (

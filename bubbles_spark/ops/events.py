@@ -387,3 +387,105 @@ def parse_props(
     return df.withColumn("__p", F.from_json(F.col(props_col), schema)).select(
         *df.columns, "__p.*"
     ).drop("__p")
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis (first-touch semantics): for each step
+    i, count the users who performed steps[0..i] in timestamp order —
+    step i must occur strictly AFTER the user's earliest completion
+    of step i-1, and (with ``within_seconds``) no later than
+    ``within_seconds`` after their step-0 time.
+
+    Returns (step int, step_name, users bigint), step 0-indexed; a
+    user converts greedily on earliest timestamps, the standard
+    product-analytics funnel definition, which makes the result
+    deterministic and SQL-expressible (the driver oracle replays the
+    same stepwise mins).
+
+    Scale shape: one filtered groupBy per step (k tiny) + an equi
+    join per step on the user key — k·2 shuffles of (user, ts) pairs
+    only; no windows over the full event stream, no collect."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ts = F.col(ts_col).cast("timestamp")
+    reached = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("__t0"))
+    )
+    prev_t = "__t0"
+    levels = [reached]
+    for i, step in enumerate(steps[1:], start=1):
+        cand = df.filter(F.col(type_col) == step).select(
+            user_col, ts.alias("__ts")
+        )
+        joined = cand.join(reached, user_col).filter(F.col("__ts") > F.col(prev_t))
+        if within_seconds is not None:
+            joined = joined.filter(
+                F.col("__ts").cast("double") - F.col("__t0").cast("double")
+                <= float(within_seconds)
+            )
+        reached = joined.groupBy(user_col, "__t0").agg(
+            F.min("__ts").alias(f"__t{i}")
+        )
+        prev_t = f"__t{i}"
+        levels.append(reached)
+    # one lazy plan: a union of per-step count aggregates.  Branch i
+    # re-derives steps 0..i (O(k²) filtered scans for a k-step
+    # funnel) — k is 3-5 in practice and each branch reads only its
+    # step's rows; persist the shared prefixes if k ever grows.
+    parts = [
+        lvl.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(s).alias("step_name"),
+            F.col("users").cast("long"),
+        )
+        for i, (s, lvl) in enumerate(zip(steps, levels))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the DAY of
+    their first event; for each (cohort_day, period) — period =
+    floor(days-since-cohort / period_days) — count the distinct
+    cohort users active in that period.
+
+    Day truncation (not week buckets) keeps the arithmetic
+    origin-free: Spark's window origin (1970-01-01, a Thursday) and
+    DuckDB's time_bucket origin (2000-01-03, a Monday) disagree on
+    week alignment, but both truncate days at midnight, and the
+    period index is plain integer arithmetic from there — exact
+    cross-engine.
+
+    Scale shape: one groupBy(user) for first-events, one shuffle join
+    back on the user key (at 100 TB: sort-merge on user, or broadcast
+    when the cohort table is filtered small), one partial-aggregated
+    count-distinct per (cohort, period)."""
+    day = F.date_trunc("DAY", F.col(ts_col).cast("timestamp"))
+    firsts = df.groupBy(user_col).agg(F.min(day).alias("__cohort"))
+    period = F.floor(
+        (day.cast("double") - F.col("__cohort").cast("double"))
+        / F.lit(86400.0 * period_days)
+    ).cast("int")
+    return (
+        df.join(firsts, user_col)
+        .select(F.col("__cohort").alias("cohort_day"), period.alias("period"), user_col)
+        .groupBy("cohort_day", "period")
+        .agg(F.count_distinct(F.col(user_col)).alias("active_users"))
+    )

@@ -440,3 +440,68 @@ def test_histogram_stream_rejects_bad_bounds(spark):
 
     with _pytest.raises(ValueError):
         sevents.histogram_stream(stream, bounds=(1.0, 1.0))
+
+
+def test_funnel_ordering_and_window(spark):
+    from bubbles_spark.ops import events
+
+    rows = [
+        # u1 completes view->click->purchase in order
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:05:00", 1, "click"),
+        (3, "2024-01-01 10:10:00", 1, "purchase"),
+        # u2 clicks BEFORE viewing: click must not count
+        (4, "2024-01-01 09:00:00", 2, "click"),
+        (5, "2024-01-01 10:00:00", 2, "view"),
+        # u3 views only
+        (6, "2024-01-01 11:00:00", 3, "view"),
+        # u4 converts but outside a 1-hour window
+        (7, "2024-01-01 08:00:00", 4, "view"),
+        (8, "2024-01-01 12:00:00", 4, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    )
+    out = {
+        r.step_name: r.users
+        for r in events.funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+    within = {
+        r.step_name: r.users
+        for r in events.funnel(
+            df, ["view", "click", "purchase"], within_seconds=3600
+        ).collect()
+    }
+    assert within == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_funnel_validation(spark):
+    from bubbles_spark.ops import events
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        events.funnel(df, [])
+
+
+def test_retention_cohorts(spark):
+    from bubbles_spark.ops import events
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),   # cohort day 1, period 0
+        (2, "2024-01-09 10:00:00", 1),   # 8 days later -> period 1
+        (3, "2024-01-22 10:00:00", 1),   # 21 days -> period 3
+        (4, "2024-01-02 10:00:00", 2),   # cohort day 2, period 0
+        (5, "2024-01-02 23:00:00", 2),   # same day -> still period 0
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long")
+    out = events.retention_cohorts(df).collect()
+    got = {(str(r.cohort_day)[:10], r.period): r.active_users for r in out}
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+    }
