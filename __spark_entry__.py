@@ -3658,6 +3658,54 @@ def q_stream_quantile(spark, sf_dir):
 
 
 @_q(
+    "stream_distinct_window",
+    """
+    SELECT CAST(NULL AS TIMESTAMP) AS window_start,
+           CAST(0 AS BIGINT) AS approx_users,
+           CAST(0 AS BIGINT) AS exact_users
+    WHERE FALSE
+    """,
+)
+def q_stream_distinct(spark, sf_dir):
+    # streaming HLL distinct per window, checked by its ERROR
+    # CONTRACT: every window's estimate must sit within 5% of the
+    # batch-exact distinct (rsd=0.02 ⇒ 5% ≈ 2.5σ); violations
+    # survive, oracle = the empty set (sketch-family pattern)
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    # rsd=0.01: at these per-window cardinalities the HLL++ register
+    # array resolves tiny counts exactly (rsd=0.02 showed one -18%
+    # small-range-bias window); the 5% contract stays the same
+    agg = sevents.distinct_count_stream(
+        stream, "ts", "user_id", "1 hour", rsd=0.01
+    )
+    sunk = sevents.run_batchlike(
+        agg, _stream_name("s_distinct"), output_mode="complete"
+    )
+    e = _t(spark, sf_dir, "events")
+    exact = (
+        e.groupBy(F.window("ts", "1 hour").alias("__w"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .select(F.col("__w.start").alias("window_start"), "exact_users")
+    )
+    joined = sunk.join(exact, ["window_start"], "full")
+    bad = joined.filter(
+        F.col("approx_users").isNull()
+        | F.col("exact_users").isNull()
+        | (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            > 0.05 * F.col("exact_users") + 1
+        )
+    )
+    return bad.select(
+        F.col("window_start").cast("timestamp"),
+        F.col("approx_users").cast("long"),
+        F.col("exact_users").cast("long"),
+    )
+
+
+@_q(
     "stream_dedup_keys",
     "SELECT DISTINCT event_type, user_id FROM events",
 )

@@ -254,6 +254,42 @@ def finish_quantiles(
     return done.select(*sel)
 
 
+def distinct_count_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    count_col: str = "user_id",
+    duration: str = "1 hour",
+    keys: Sequence[str] = (),
+    watermark: str = "2 hours",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Streaming distinct-count per event-time window via HLL++
+    (``approx_count_distinct``) — the third leg of the streaming
+    sketch family next to the histogram quantiles and windowed sums.
+
+    An exact streaming COUNT(DISTINCT) would hold every key in state;
+    the HLL sketch keeps O(1/rsd²) bytes per window, merges across
+    micro-batches/shards, and is expired by the watermark.  Batch
+    twin: `ops.events.time_bucket_rollup_distinct` (the HLL pyramid).
+    Emits (window_start, window_end, *keys, approx_users,
+    record_count)."""
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("__w"), *keys)
+        .agg(
+            F.approx_count_distinct(count_col, rsd).alias("approx_users"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+    )
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *keys,
+        "approx_users",
+        "record_count",
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: Sequence[str] = ("event_id",),

@@ -505,3 +505,39 @@ def test_retention_cohorts(spark):
         ("2024-01-01", 3): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_streaming_distinct_count_matches_batch_sketch(spark):
+    """The streaming HLL per window must equal the BATCH HLL at the
+    same rsd — same sketch, same merges, deterministic — and sit
+    within the documented 5% of exact."""
+    from bubbles_spark.io import load_table
+    from bubbles_spark.streaming import events as sevents
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    agg = sevents.distinct_count_stream(stream, "ts", "user_id", "1 hour", rsd=0.01)
+    got = {
+        r.window_start: (r.approx_users, r.record_count)
+        for r in sevents.run_batchlike(
+            agg, "t_distinct_hll", output_mode="complete"
+        ).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    batch = {
+        r.ws: (r.a, r.ex, r.n)
+        for r in e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("a"),
+            F.count_distinct("user_id").alias("ex"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("ws"), "a", "ex", "n")
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for ws, (a, n) in got.items():
+        ba, ex, bn = batch[ws]
+        assert a == ba, ws          # identical sketch result
+        assert n == bn, ws          # no dropped rows
+        assert abs(a - ex) <= 0.05 * ex + 1, (ws, a, ex)
