@@ -2588,6 +2588,26 @@ def q_image_dhash_planted(spark, sf_dir):
     )
 
 
+@_q("image_feature_dup_planted", _IMG_PLANTED_ORACLE)
+def q_image_feature_dup_planted(spark, sf_dir):
+    # the multimodal→vector bridge end to end: image → grid-mean
+    # feature vector → the STANDARD embedding near-dup pipeline (no
+    # image-specific join code); brightness twins produce bitwise-
+    # identical vectors (min-shift before resize), so every planted
+    # pair reappears at cosine 1.0
+    from bubbles_spark.ops import imagehash
+
+    feats = imagehash.image_features(_planted_images(spark, sf_dir)).filter(
+        F.col("img_vec").isNotNull()
+    )
+    pairs = dedup.embedding_dup_pairs(
+        feats, id_col="doc_id", vec_col="img_vec", threshold=0.999999, dim=64
+    )
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select(
+        "id_a", "id_b"
+    )
+
+
 @_q(
     "image_dedup_planted",
     "SELECT doc_id FROM documents WHERE FALSE",

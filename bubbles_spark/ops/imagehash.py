@@ -234,3 +234,40 @@ def image_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def image_features(
+    df: DataFrame,
+    media_col: str = "media",
+    grid: tuple[int, int] = (8, 8),
+    out: str = "img_vec",
+) -> DataFrame:
+    """Append a grid-mean feature vector (``array<double>``, length
+    grid[0]·grid[1]; NULL when the bytes don't decode) — the bridge
+    from multimodal columns into the vector-search family: the output
+    column feeds `vector.cosine_topk*`, `dedup.embedding_dup_pairs`,
+    or `dedup.semantic_dup_pairs` unchanged, giving image semantic
+    dedup / similarity search without any image-specific join code.
+
+    The raster is min-shifted (`_gray`) before the area resize, so —
+    exactly as for the hashes — an integer raster and its brightness
+    twin produce the IDENTICAL vector (cosine 1.0), which keeps the
+    planted-pair oracle exact.  Map-only Arrow-batched pass."""
+    gh, gw = grid
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out, T.ArrayType(T.DoubleType()))]
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(m):
+                data = bytes((m["data"] if isinstance(m, dict) else m.data) or b"")
+                arr = _decode_raster(data)
+                if arr is None:
+                    return None
+                return [float(v) for v in _resize(_gray(arr), gh, gw).ravel()]
+
+            yield pdf.assign(**{out: pdf[media_col].apply(one)})
+
+    return df.mapInPandas(_feat, schema=out_schema)

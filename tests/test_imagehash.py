@@ -169,3 +169,36 @@ def test_bands_for_pigeonhole():
     assert imagehash._bands_for(3) == 4
     assert imagehash._bands_for(4) == 8
     assert imagehash._bands_for(15) == 16
+
+
+def test_image_features_brightness_twin_identical(spark):
+    base = np.rint(_smooth(21))
+    df = _pgm_df(spark, [(1, base), (2, base + 9.0), (3, _smooth(22))])
+    out = {r.doc_id: r.img_vec for r in imagehash.image_features(df).collect()}
+    assert out[1] == out[2]            # exact twin vector
+    assert out[1] != out[3]
+    assert len(out[1]) == 64
+
+
+def test_image_features_null_on_undecodable(spark):
+    df = spark.createDataFrame([(1, b"junk")], "doc_id long, raw binary")
+    out = imagehash.image_features(attach_media(df, "raw")).collect()
+    assert out[0].img_vec is None
+
+
+def test_image_features_feed_embedding_dedup(spark):
+    """The composition the op exists for: image -> feature vector ->
+    the standard embedding near-dup pipeline recovers the planted
+    brightness twins at cosine ~1."""
+    from bubbles_spark.ops import dedup
+
+    base = [(i, np.rint(_smooth(i))) for i in range(1, 6)]
+    twins = [(i + 100, img + 9.0) for i, img in base]
+    feats = imagehash.image_features(_pgm_df(spark, base + twins)).filter(
+        "img_vec IS NOT NULL"
+    )
+    pairs = dedup.embedding_dup_pairs(
+        feats, id_col="doc_id", vec_col="img_vec", threshold=0.999999, dim=64
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 100) for i in range(1, 6)} <= got
