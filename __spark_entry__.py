@@ -2388,6 +2388,69 @@ def q_decode_audio_wav(spark, sf_dir):
 
 
 @_q(
+    "audio_stats_wav",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+             (40 + doc_id % 20) * (1 + doc_id % 2) AS n
+      FROM documents WHERE doc_id < 100
+    ),
+    s AS (
+      SELECT p.doc_id, p.ch, p.n, t.i,
+             ((p.doc_id * 7 + t.i * 13) % 256 - 128) * 128 AS v,
+             ((p.doc_id * 7 + (t.i - 1) * 13) % 256 - 128) * 128 AS pv
+      FROM p, range(200) t(i) WHERE t.i < p.n
+    )
+    SELECT doc_id,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(MIN(ch) AS INTEGER) AS channels,
+           CAST(MIN(n) AS BIGINT) AS n_samples,
+           ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+           CAST(SUM(CASE WHEN i >= 1 AND ((v < 0) != (pv < 0)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_audio_stats(spark, sf_dir):
+    # REAL PCM feature extraction: 16-bit sample streams synthesized
+    # per doc from integer arithmetic, decoded back by the stdlib
+    # RIFF walker, features (rms/peak/zero-crossings) computed in
+    # numpy — the oracle regenerates the identical samples with a
+    # range() table and recomputes every feature in SQL.  Sums of
+    # squares are integer-exact in both engines, so even the 6dp rms
+    # round is deterministic.
+    import pandas as pd
+
+    from bubbles_spark.ops.multimodal import make_wav
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                b = int(i)
+                ch = 1 + b % 2
+                frames = 40 + b % 20
+                out.append(
+                    make_wav(
+                        16000, ch, frames,
+                        fill=lambda k, b=b: ((b * 7 + k * 13) % 256 - 128) * 128,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": out})
+
+    wavs = d.mapInPandas(synth, schema="doc_id long, wav binary")
+    m = multimodal.attach_media(wavs, "wav", mime="audio/wav")
+    return multimodal.audio_stats(m).select(
+        "doc_id", "sample_rate", "channels", "n_samples", "rms", "peak",
+        "zero_crossings",
+    )
+
+
+@_q(
     "frame_sample_y4m",
     """
     SELECT doc_id,

@@ -215,3 +215,60 @@ def test_image_pixel_stats_jpeg(spark):
     row = multimodal.image_pixel_stats(m).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == (16, 8, 1)
     assert (row["px_mean"], row["px_min"], row["px_max"]) == (130.0, 130, 130)
+
+
+def test_wav_samples_roundtrip_16bit():
+    import numpy as np
+
+    from bubbles_spark.ops.multimodal import _wav_samples, make_wav
+
+    vals = [0, 100, -100, 32767, -32768, 7, -7, 0]
+    wav = make_wav(8000, 1, len(vals), fill=lambda i: vals[i])
+    rate, ch, s = _wav_samples(wav)
+    assert (rate, ch) == (8000, 1)
+    assert list(s) == vals
+
+
+def test_wav_samples_8bit_recenters():
+    import struct
+
+    from bubbles_spark.ops.multimodal import _wav_samples
+
+    body = bytes([128, 255, 0, 128])
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE",
+        b"fmt ", 16, 1, 1, 8000, 8000, 1, 8,
+        b"data", len(body),
+    )
+    rate, ch, s = _wav_samples(hdr + body)
+    assert list(s) == [0, 127, -128, 0]
+
+
+def test_audio_stats_matches_numpy(spark):
+    import numpy as np
+
+    from bubbles_spark.ops.multimodal import attach_media, audio_stats, make_wav
+
+    vals = [(i * 37) % 200 - 100 for i in range(64)]
+    wav = make_wav(16000, 1, 64, fill=lambda i: vals[i])
+    df = spark.createDataFrame([(1, wav), (2, b"not audio")], "id long, raw binary")
+    out = {r.id: r for r in audio_stats(attach_media(df, "raw")).collect()}
+    a = np.array(vals, dtype=np.float64)
+    assert out[1].n_samples == 64
+    assert out[1].rms == round(float(np.sqrt(np.mean(a * a))), 6)
+    assert out[1].peak == int(np.max(np.abs(a)))
+    neg = a < 0
+    assert out[1].zero_crossings == int(np.count_nonzero(neg[1:] != neg[:-1]))
+    assert out[2].rms is None and out[2].n_samples is None
+
+
+def test_audio_stats_silence(spark):
+    from bubbles_spark.ops.multimodal import attach_media, audio_stats, make_wav
+
+    df = spark.createDataFrame(
+        [(1, make_wav(8000, 2, 100))], "id long, raw binary"
+    )
+    [r] = audio_stats(attach_media(df, "raw")).collect()
+    assert (r.rms, r.peak, r.zero_crossings) == (0.0, 0, 0)
+    assert r.n_samples == 200 and r.channels == 2
