@@ -2651,6 +2651,57 @@ def q_image_dhash_planted(spark, sf_dir):
     )
 
 
+@_q(
+    "video_dup_planted",
+    """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def q_video_dup_planted(spark, sf_dir):
+    # video near-dup end to end: structured Y4M streams synthesized
+    # per doc, luma twins (+9 on every pixel of every frame) planted
+    # under id+1e6; the summed-luma pHash is exactly invariant to the
+    # offset (integer plane sums shift by a constant, removed by the
+    # min-shift), so the banded hamming join must recover every
+    # planted pair at hamming 0
+    import pandas as pd
+
+    from bubbles_spark.ops import imagehash
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+    ids = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+
+    def synth(batches):
+        import numpy as np
+
+        w, h, n_frames = 32, 24, 6
+        uv = (w // 2) * (h // 2)
+        hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+        x = np.arange(w)[None, :]
+        yy = np.arange(h)[:, None]
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                b = int(i) % 1000000
+                off = 9 if int(i) >= 1000000 else 0
+                parts = [hdr]
+                for f in range(n_frames):
+                    y = ((x * 3 + yy * 5 + b * 11 + f * 7) % 200 + 20 + off).astype(
+                        np.uint8
+                    )
+                    parts.append(b"FRAME\n" + y.tobytes() + b"\x80" * (2 * uv))
+                out.append(b"".join(parts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": out})
+
+    vids = ids.mapInPandas(synth, schema="doc_id long, raw binary")
+    m = multimodal.attach_media(vids, "raw", mime="video/x-yuv4mpeg")
+    pairs = imagehash.video_dup_pairs(m, max_hamming=0)
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select(
+        "id_a", "id_b"
+    )
+
+
 @_q("image_feature_dup_planted", _IMG_PLANTED_ORACLE)
 def q_image_feature_dup_planted(spark, sf_dir):
     # the multimodal→vector bridge end to end: image → grid-mean

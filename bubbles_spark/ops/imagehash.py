@@ -271,3 +271,83 @@ def image_features(
             yield pdf.assign(**{out: pdf[media_col].apply(one)})
 
     return df.mapInPandas(_feat, schema=out_schema)
+
+
+def video_fingerprint(
+    df: DataFrame,
+    media_col: str = "media",
+    every_n: int = 2,
+    max_frames: int = 8,
+    out: str = "vid_hash",
+) -> DataFrame:
+    """Append a 64-bit perceptual fingerprint per VIDEO (``long``;
+    NULL when the bytes aren't decodable YUV4MPEG2): sample every
+    ``every_n``-th frame (≤ ``max_frames``), SUM their luma planes as
+    integers, and pHash the summed raster.
+
+    Why the integer sum: (a) pHash bits are invariant under positive
+    scaling (DCT is linear and the median threshold scales with it),
+    so the sum is equivalent to the mean without a float division;
+    (b) integer summation keeps the brightness-twin property
+    bitwise-exact (a +c luma offset on every frame shifts the summed
+    raster by exactly c·n_frames — a constant, which `_gray`'s
+    min-shift removes).  Same Arrow-batched map-only shape as
+    `image_hash`; the per-frame Y-plane slice reuses the stdlib Y4M
+    walker from `ops/multimodal.py`."""
+    import numpy as np
+
+    from bubbles_spark.ops.multimodal import _decode_y4m
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.LongType())]
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(m):
+                data = bytes((m["data"] if isinstance(m, dict) else m.data) or b"")
+                if not data.startswith(b"YUV4MPEG2"):
+                    return None
+                try:
+                    w, h, _chroma, frames = _decode_y4m(data)
+                except Exception:
+                    return None
+                picked = frames[::every_n][:max_frames]
+                if not picked:
+                    return None
+                acc = np.zeros((h, w), dtype=np.int64)
+                for fr in picked:
+                    if len(fr) < w * h:
+                        return None
+                    acc += np.frombuffer(fr, np.uint8, count=w * h).reshape(h, w)
+                return phash64(acc)
+
+            yield pdf.assign(**{out: pdf[media_col].apply(one).astype("object")})
+
+    return df.mapInPandas(_fp, schema=out_schema)
+
+
+def video_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    max_hamming: int = 4,
+    every_n: int = 2,
+    max_frames: int = 8,
+    bands: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate video pairs: fingerprint each video (map only),
+    then the shared banded `dedup.hamming_pairs` join.  Returns
+    (id_a, id_b, hamming)."""
+    fps = video_fingerprint(df, media_col, every_n, max_frames).select(
+        id_col, "vid_hash"
+    )
+    return dedup.hamming_pairs(
+        fps,
+        id_col,
+        "vid_hash",
+        max_hamming=max_hamming,
+        bands=bands if bands is not None else _bands_for(max_hamming),
+        max_bucket=max_bucket,
+    )

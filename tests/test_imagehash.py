@@ -202,3 +202,46 @@ def test_image_features_feed_embedding_dedup(spark):
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert {(i, i + 100) for i in range(1, 6)} <= got
+
+
+def _y4m(doc: int, off: int = 0, w: int = 32, h: int = 24, n_frames: int = 6):
+    """Structured C420 Y4M stream: per-pixel luma pattern varies with
+    (doc, frame, x, y); ``off`` adds a constant luma offset AFTER the
+    base pattern (values stay in [20, 229] so uint8 never wraps)."""
+    frame_uv = (w // 2) * (h // 2)
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+    for f in range(n_frames):
+        y = bytes(
+            ((x * 3 + yy * 5 + doc * 11 + f * 7) % 200) + 20 + off
+            for yy in range(h)
+            for x in range(w)
+        )
+        out.append(b"FRAME\n" + y + b"\x80" * (2 * frame_uv))
+    return b"".join(out)
+
+
+def test_video_fingerprint_brightness_twin(spark):
+    df = spark.createDataFrame(
+        [(1, _y4m(1)), (2, _y4m(1, off=9)), (3, _y4m(3))],
+        "doc_id long, raw binary",
+    )
+    m = attach_media(df, "raw", mime="video/x-yuv4mpeg")
+    out = {r.doc_id: r.vid_hash for r in imagehash.video_fingerprint(m).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_video_fingerprint_null_on_non_y4m(spark):
+    df = spark.createDataFrame([(1, b"mp4garbage")], "doc_id long, raw binary")
+    out = imagehash.video_fingerprint(attach_media(df, "raw")).collect()
+    assert out[0].vid_hash is None
+
+
+def test_video_dup_pairs_planted(spark):
+    base = [(i, _y4m(i)) for i in range(1, 5)]
+    twins = [(i + 100, _y4m(i, off=9)) for i in range(1, 5)]
+    df = spark.createDataFrame(base + twins, "doc_id long, raw binary")
+    m = attach_media(df, "raw", mime="video/x-yuv4mpeg")
+    pairs = imagehash.video_dup_pairs(m, max_hamming=0).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert {(i, i + 100) for i in range(1, 5)} <= got
