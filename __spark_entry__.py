@@ -2702,6 +2702,53 @@ def q_video_dup_planted(spark, sf_dir):
     )
 
 
+@_q(
+    "audio_dup_planted",
+    """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def q_audio_dup_planted(spark, sf_dir):
+    # audio near-dup end to end: PCM streams synthesized per doc,
+    # gain-×2 twins planted under id+1e6; the windowed-energy
+    # fingerprint is exactly invariant to a positive gain (energies
+    # and their median scale together), so the banded hamming join
+    # must recover every planted pair at hamming 0 — the audio
+    # analogue of the brightness-twin image oracles
+    import pandas as pd
+
+    from bubbles_spark.ops import imagehash
+    from bubbles_spark.ops.multimodal import make_wav
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id")
+    ids = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                b = int(i) % 1000000
+                gain = 2 if int(i) >= 1000000 else 1
+                n = 192 + b % 64
+                out.append(
+                    make_wav(
+                        8000, 1, n,
+                        fill=lambda k, b=b, g=gain: (
+                            ((b * 7 + k * 13) % 256 - 128) * g
+                        ),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": out})
+
+    wavs = ids.mapInPandas(synth, schema="doc_id long, raw binary")
+    m = multimodal.attach_media(wavs, "raw", mime="audio/wav")
+    pairs = imagehash.audio_dup_pairs(m, max_hamming=0)
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select(
+        "id_a", "id_b"
+    )
+
+
 @_q("image_feature_dup_planted", _IMG_PLANTED_ORACLE)
 def q_image_feature_dup_planted(spark, sf_dir):
     # the multimodal→vector bridge end to end: image → grid-mean

@@ -351,3 +351,76 @@ def video_dup_pairs(
         bands=bands if bands is not None else _bands_for(max_hamming),
         max_bucket=max_bucket,
     )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    media_col: str = "media",
+    out: str = "audio_hash",
+) -> DataFrame:
+    """Append a 64-bit audio fingerprint per PCM WAV (``long``; NULL
+    when not decodable PCM): split the sample stream into 64 equal
+    windows, bit i = window-i energy > median window energy.
+
+    Exactly invariant to a positive GAIN (every energy scales by g²,
+    and so does the median — comparisons are scale-free), the audio
+    analogue of the brightness-invariant image hashes; robust to
+    codec-level amplitude normalization, the common cause of
+    byte-level dedup misses on audio.  Map-only Arrow-batched pass;
+    pairs go through the shared `dedup.hamming_pairs` banded join."""
+    import numpy as np
+
+    from bubbles_spark.ops.multimodal import _wav_samples
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.LongType())]
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(m):
+                data = bytes((m["data"] if isinstance(m, dict) else m.data) or b"")
+                dec = _wav_samples(data)
+                if dec is None:
+                    return None
+                _rate, _ch, s = dec
+                if len(s) < 64:
+                    return None
+                # integer window energies: exact, so a gain-g twin has
+                # energies g²·e_i and the SAME comparison outcomes
+                bounds = (np.arange(65) * len(s)) // 64
+                sq = s.astype(np.int64) ** 2
+                cum = np.concatenate(([0], np.cumsum(sq)))
+                e = cum[bounds[1:]] - cum[bounds[:-1]]
+                med = float(np.median(e))
+                h = 0
+                for b in range(64):
+                    if e[b] > med:
+                        h |= 1 << b
+                return _to_signed64(h)
+
+            yield pdf.assign(**{out: pdf[media_col].apply(one).astype("object")})
+
+    return df.mapInPandas(_fp, schema=out_schema)
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    max_hamming: int = 4,
+    bands: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate audio pairs: fingerprint each clip (map only),
+    then the shared banded hamming join.  Returns
+    (id_a, id_b, hamming)."""
+    fps = audio_fingerprint(df, media_col).select(id_col, "audio_hash")
+    return dedup.hamming_pairs(
+        fps,
+        id_col,
+        "audio_hash",
+        max_hamming=max_hamming,
+        bands=bands if bands is not None else _bands_for(max_hamming),
+        max_bucket=max_bucket,
+    )

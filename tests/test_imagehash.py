@@ -245,3 +245,53 @@ def test_video_dup_pairs_planted(spark):
     pairs = imagehash.video_dup_pairs(m, max_hamming=0).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert {(i, i + 100) for i in range(1, 5)} <= got
+
+
+def _wav_vals(doc: int, n: int = 256, gain: int = 1):
+    return [(((doc * 7 + k * 13) % 256) - 128) * gain for k in range(n)]
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    from bubbles_spark.ops.multimodal import make_wav
+
+    rows = []
+    for doc, gain in ((1, 1), (2, 4), (3, 1)):
+        base = _wav_vals(1 if doc in (1, 2) else 3, gain=gain)
+        rows.append((doc, make_wav(8000, 1, len(base), fill=lambda i, b=base: b[i])))
+    df = spark.createDataFrame(rows, "doc_id long, raw binary")
+    m = attach_media(df, "raw", mime="audio/wav")
+    out = {r.doc_id: r.audio_hash for r in imagehash.audio_fingerprint(m).collect()}
+    assert out[1] == out[2]            # gain x4 twin
+    assert out[1] != out[3]
+
+
+def test_audio_fingerprint_null_paths(spark):
+    from bubbles_spark.ops.multimodal import make_wav
+
+    df = spark.createDataFrame(
+        [(1, b"mp3junk"), (2, make_wav(8000, 1, 10))], "doc_id long, raw binary"
+    )
+    out = {
+        r.doc_id: r.audio_hash
+        for r in imagehash.audio_fingerprint(attach_media(df, "raw")).collect()
+    }
+    assert out[1] is None
+    assert out[2] is None  # < 64 samples: too short to window
+
+
+def test_audio_dup_pairs_planted(spark):
+    from bubbles_spark.ops.multimodal import make_wav
+
+    rows = []
+    for i in range(1, 5):
+        base = _wav_vals(i)
+        rows.append((i, make_wav(8000, 1, len(base), fill=lambda k, b=base: b[k])))
+        twin = _wav_vals(i, gain=2)
+        rows.append(
+            (i + 100, make_wav(8000, 1, len(twin), fill=lambda k, b=twin: b[k]))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, raw binary")
+    m = attach_media(df, "raw", mime="audio/wav")
+    pairs = imagehash.audio_dup_pairs(m, max_hamming=0).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert {(i, i + 100) for i in range(1, 5)} <= got
