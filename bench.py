@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "tpch_q3_shipping_priority",
     "tpch_q18_large_orders",
     "stream_quantile_window",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "image_feature_dup_planted",
+    "video_dup_planted",
+    "audio_stats_wav",
+    "zorder_cluster_roundtrip",
 ]
 
 

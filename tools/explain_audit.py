@@ -235,6 +235,38 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join explosion"),
          (r"SortMergeJoin", "the corpus must never shuffle for the rescore")],
     ),
+    (
+        "funnel_view_click_purchase",
+        [(r"PushedFilters: .*EqualTo\(event_type", "per-step filters reach the scan"),
+         (r"Functions \[\d+\]: \[partial_", "stepwise mins partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "step joins are equi joins on the user key"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "retention_cohorts",
+        [(r"Functions \[\d+\]: \[partial_", "first-event mins partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "cohort join is an equi join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "video_dup_planted",
+        [(r"MapInPandas", "Y4M decode + fingerprint is the Arrow-batched map-only pass"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "hamming join is an equi join")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
+    ),
+    (
+        "audio_dup_planted",
+        [(r"MapInPandas", "PCM decode + fingerprint is the Arrow-batched map-only pass"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "hamming join is an equi join")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
+    ),
+    (
+        "zorder_cluster_roundtrip",
+        [(r"rangepartitioning\(__zkey", "Z-order clusters via ONE range shuffle"),
+         (r"Arguments: \[__zkey#\d+L ASC", "within-partition sort on the Morton key")],
+        [(r"hashpartitioning\(__zkey", "no extra hash shuffle"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "Morton key is codegen, no Python")],
+    ),
 ]
 
 # Streaming queries return their drained batch result, so auditing
