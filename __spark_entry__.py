@@ -3887,6 +3887,47 @@ def q_stream_distinct(spark, sf_dir):
 
 
 @_q(
+    "stream_funnel",
+    """
+    WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (SELECT e.user_id, s0.t0, MIN(e.ts) AS t1
+                FROM events e JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1, 2),
+         s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+    SELECT CAST(0 AS INTEGER) AS step, (SELECT COUNT(*) FROM s0) AS users
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), (SELECT COUNT(*) FROM s1)
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), (SELECT COUNT(*) FROM s2)
+    """,
+)
+def q_stream_funnel(spark, sf_dir):
+    # the stateful streaming funnel, watermark-final per user, must
+    # reproduce the batch stepwise-min funnel EXACTLY — same oracle
+    # CTEs as funnel_view_click_purchase (steps with zero converts
+    # still appear: counts left-join onto a static step frame)
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    fs = sevents.funnel_stream(stream, ["view", "click", "purchase"])
+    out = sevents.run_batchlike(
+        fs, _stream_name("s_funnel"), output_mode="append"
+    )
+    counts = out.groupBy("step").agg(F.count(F.lit(1)).alias("__n"))
+    frame = spark.createDataFrame([(0,), (1,), (2,)], "step int")
+    return (
+        frame.join(counts, "step", "left")
+        .select(
+            "step",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("users"),
+        )
+    )
+
+
+@_q(
     "stream_dedup_keys",
     "SELECT DISTINCT event_type, user_id FROM events",
 )

@@ -559,6 +559,129 @@ def asof_join_stream(
     )
 
 
+def funnel_stream(
+    events: DataFrame,
+    steps: Sequence[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    within_seconds: float | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming conversion funnel — the stateful twin of
+    ``ops.events.funnel`` (first-touch semantics): per user, step i
+    completes at the earliest event of ``steps[i]`` strictly after
+    the user's step-(i-1) time (and within ``within_seconds`` of
+    their step-0 time).  Emits one (user, step, step_ts) row per
+    completed step, append mode.
+
+    Correctness under event time: per-user events buffer in state and
+    are processed in timestamp order only once the watermark passes
+    them — after that no earlier event can arrive, so each step
+    completion is FINAL and equals the batch funnel exactly
+    (arrival-order independence by construction, same discipline as
+    ``asof_join_stream``).  State per user = completed-step times
+    (≤ k timestamps) + the not-yet-final event buffer (bounded by the
+    watermark horizon); fully-converted users drop their state.
+
+    One shuffle on the user key; counts per step come from a trivial
+    aggregation of the output."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not steps:
+        raise ValueError("funnel_stream needs at least one step")
+    step_idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+    by_type = events.schema[user_col].dataType.simpleString()
+    within_ms = None if within_seconds is None else int(within_seconds * 1000)
+
+    prepared = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("__by"),
+            F.col(ts_col).cast("timestamp").alias("__ts"),
+            F.col(type_col).alias("__step"),
+        )
+        .withWatermark("__ts", watermark)
+    )
+
+    out_schema = f"__by {by_type}, step int, step_ts timestamp"
+    state_schema = (
+        "times array<timestamp>, pts array<timestamp>, pstep array<int>"
+    )
+
+    def _ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def fn(key, pdf_iter, state: GroupState):
+        times: list = []
+        pending: list[tuple] = []
+        if state.exists:
+            t, pts, pstep = state.get
+            times = list(t)
+            pending = list(zip(pts, pstep))
+        flush_all = state.hasTimedOut
+        if not flush_all:
+            for pdf in pdf_iter:
+                for ts, s in zip(pdf["__ts"], pdf["__step"]):
+                    pending.append((ts, step_idx[s]))
+        wm = state.getCurrentWatermarkMs()
+
+        # events final under the watermark run through the step
+        # machine in (ts, step) order — identical to the batch
+        # stepwise mins; the rest stay buffered
+        final = sorted(
+            (p for p in pending if flush_all or _ms(p[0]) < wm),
+            key=lambda p: (p[0], p[1]),
+        )
+        rest = [p for p in pending if not (flush_all or _ms(p[0]) < wm)]
+        out_rows = []
+        for ts, si in final:
+            have = len(times)
+            if have >= k or si != have:
+                continue
+            if have > 0 and not (ts > times[-1]):
+                continue
+            if (
+                within_ms is not None
+                and have > 0
+                and _ms(ts) - _ms(times[0]) > within_ms
+            ):
+                continue
+            times.append(ts)
+            out_rows.append((key[0], have, ts))
+
+        # converted users KEEP their (k-timestamp) state: dropping it
+        # would let a later event restart the funnel and over-count a
+        # step vs the batch twin.  Only a drain flush removes state.
+        if flush_all and not rest:
+            state.remove()
+        else:
+            state.update(
+                (times, [p[0] for p in rest], [p[1] for p in rest])
+            )
+            if rest:
+                state.setTimeoutTimestamp(wm + 1)
+
+        if not out_rows:
+            return iter([])
+        return iter(
+            [pd.DataFrame(out_rows, columns=["__by", "step", "step_ts"])]
+        )
+
+    raw = prepared.groupBy("__by").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return raw.select(
+        F.col("__by").alias(user_col), "step", "step_ts"
+    )
+
+
 def read_testdata_table_stream(
     spark: SparkSession,
     sf_dir: str,

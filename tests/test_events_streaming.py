@@ -541,3 +541,72 @@ def test_streaming_distinct_count_matches_batch_sketch(spark):
         assert a == ba, ws          # identical sketch result
         assert n == bn, ws          # no dropped rows
         assert abs(a - ex) <= 0.05 * ex + 1, (ws, a, ex)
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Watermark-final streaming funnel == batch funnel counts on the
+    real event table, regardless of arrival order."""
+    from bubbles_spark.io import load_table
+    from bubbles_spark.ops import events as bevents
+    from bubbles_spark.streaming import events as sevents
+
+    sf_dir = "/root/testdata/sf0.001"
+    steps = ["view", "click", "purchase"]
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    fs = sevents.funnel_stream(stream, steps)
+    out = sevents.run_batchlike(fs, "t_funnel_stream", output_mode="append")
+    got = {
+        r.step: r.n
+        for r in out.groupBy("step").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch = {
+        r.step: r.users
+        for r in bevents.funnel(load_table(spark, sf_dir, "events"), steps).collect()
+    }
+    assert got == {k: v for k, v in batch.items() if v > 0}
+
+
+def test_funnel_stream_within_window(spark, tmp_path):
+    from bubbles_spark.io import load_table
+    from bubbles_spark.ops import events as bevents
+    from bubbles_spark.streaming import events as sevents
+
+    sf_dir = "/root/testdata/sf0.001"
+    steps = ["view", "click", "purchase"]
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    fs = sevents.funnel_stream(stream, steps, within_seconds=86400.0)
+    out = sevents.run_batchlike(fs, "t_funnel_within", output_mode="append")
+    got = {
+        r.step: r.n
+        for r in out.groupBy("step").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch = {
+        r.step: r.users
+        for r in bevents.funnel(
+            load_table(spark, sf_dir, "events"), steps, within_seconds=86400.0
+        ).collect()
+    }
+    assert got == {k: v for k, v in batch.items() if v > 0}
+
+
+def test_funnel_stream_no_restart_after_conversion(spark, tmp_path):
+    """Events after full conversion must not re-open the funnel."""
+    from bubbles_spark.streaming import events as sevents
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "view", 0.0, "{}"),
+        (4, "2024-01-01 10:03:00", 1, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "funnel_src")
+    df.write.parquet(src)
+    stream = sevents.read_event_stream(spark, src)
+    fs = sevents.funnel_stream(stream, ["view", "click"])
+    out = sevents.run_batchlike(fs, "t_funnel_once", output_mode="append").collect()
+    assert sorted((r.step for r in out)) == [0, 1]
