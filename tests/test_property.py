@@ -315,3 +315,123 @@ def test_sessionize_matches_python_reference(spark, events, gap_minutes):
             expect[(u, ts)] = sid
             prev = ts
     assert got == expect
+
+
+@_slow
+@given(
+    sigs=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=10, unique=True),
+    max_hamming=st.integers(0, 8),
+    bands=st.sampled_from([1, 2, 4, 8]),
+)
+def test_hamming_pairs_matches_brute_force(spark, sigs, max_hamming, bands):
+    """The banded pigeonhole join finds EXACTLY the brute-force pair
+    set whenever the guarantee holds (hamming <= bands-1 … relaxed:
+    banding may legitimately MISS pairs above the pigeonhole bound, so
+    assert equality only when bands > max_hamming, and soundness —
+    no false pairs — always)."""
+    from bubbles_spark.ops import dedup
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id long, sig long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.hamming_pairs(
+            df, "id", "sig", max_hamming=max_hamming, bands=bands
+        ).collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    truth = {
+        (i, j): ham(a, b)
+        for i, a in enumerate(sigs)
+        for j, b in enumerate(sigs)
+        if i < j and ham(a, b) <= max_hamming
+    }
+    for pair, h in got.items():
+        assert truth.get(pair) == h  # soundness: every reported pair real
+    if bands > max_hamming:
+        assert got == truth          # completeness under pigeonhole
+
+
+@_slow
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=20
+    ),
+)
+def test_zorder_key_locality_and_determinism(spark, pts):
+    """Morton keys are deterministic, and equal cells get equal keys."""
+    from bubbles_spark.ops import layout
+
+    if not pts:
+        return
+    df = spark.createDataFrame(pts, "x long, y long")
+    b = {"x": (0, 16), "y": (0, 16)}
+    k1 = [r.z for r in df.withColumn(
+        "z", layout.zorder_key(df, ["x", "y"], bits=4, bounds=b)).collect()]
+    k2 = [r.z for r in df.withColumn(
+        "z", layout.zorder_key(df, ["x", "y"], bits=4, bounds=b)).collect()]
+    assert k1 == k2
+    by_pt = {}
+    for (x, y), z in zip(pts, k1):
+        by_pt.setdefault((x, y), set()).add(z)
+    assert all(len(zs) == 1 for zs in by_pt.values())
+
+
+@_slow
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),           # user
+            st.integers(0, 30),          # ts minute
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        max_size=16,
+    ),
+    within=st.sampled_from([None, 300.0, 600.0]),
+)
+def test_funnel_matches_python_reference(spark, events, within):
+    """Batch funnel == a direct python implementation of the
+    first-touch stepwise-min definition."""
+    from bubbles_spark.ops import events as ev
+
+    rows = [
+        (i, f"2024-01-01 10:{t:02d}:00", u, s)
+        for i, (u, t, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    )
+    steps = ["a", "b", "c"]
+    got = {
+        r.step: r.users
+        for r in ev.funnel(df, steps, within_seconds=within).collect()
+    }
+
+    import datetime as dt
+
+    by_user: dict = {}
+    for _i, (u, t, s) in enumerate(events):
+        by_user.setdefault(u, []).append(
+            (dt.datetime(2024, 1, 1, 10, t), steps.index(s))
+        )
+    counts = [0, 0, 0]
+    for u, evs in by_user.items():
+        times: list = []
+        for ts, si in sorted(evs):
+            if si != len(times) or len(times) >= 3:
+                continue
+            if times and not ts > times[-1]:
+                continue
+            if (
+                within is not None
+                and times
+                and (ts - times[0]).total_seconds() > within
+            ):
+                continue
+            times.append(ts)
+        for i in range(len(times)):
+            counts[i] += 1
+    assert got == {i: counts[i] for i in range(3)}

@@ -310,6 +310,17 @@ STREAM_CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "binning is codegen, no Python")],
     ),
     (
+        "stream_funnel(plan)",
+        lambda spark: __import__("bubbles_spark.streaming.events", fromlist=["x"]).funnel_stream(
+            __import__("bubbles_spark.streaming.events", fromlist=["x"]).read_testdata_event_stream(spark, SF_DIR),
+            ["view", "click", "purchase"],
+        ),
+        [(r"EventTimeWatermark", "watermark present (buffer bounded, completions final)"),
+         (r"FlatMapGroupsInPandasWithState", "stateful step machine per user"),
+         (r"Condition : event_type#\d+ IN", "step filter applies before the shuffle (streaming FileSource shows no PushedFilters block)")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join at all")],
+    ),
+    (
         "stream_asof_join(plan)",
         _build_stream_asof,
         [(r"EventTimeWatermark", "watermark present (state bounded by horizon)"),
