@@ -2867,6 +2867,66 @@ def q_time_bucket_rollup(spark, sf_dir):
 
 
 @_q(
+    "moving_sum_1h",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS value_trailing_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_sum(spark, sf_dir):
+    # RANGE-frame trailing window (irregular event spacing — a ROWS
+    # frame can't express "last hour"); decimal-cast sum keeps the
+    # per-frame aggregation order-independent
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = core.moving_agg_time(e, "ts", "user_id", "value", 3600.0, "sum")
+    out = core.moving_agg_time(
+        out, "ts", "user_id", "value", 3600.0, "count", out_field="trailing_n"
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        "value_trailing_sum",
+        F.col("trailing_n").cast("long").alias("trailing_n"),
+    )
+
+
+@_q(
+    "decile_rank",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_decile_rank(spark, sf_dir):
+    # ntile/percent_rank per group under a TOTAL order (totalprice
+    # ties broken by orderkey) — deterministic in both engines; the
+    # window is partitioned, so no global single-task sort
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = core.rank_in_group(
+        o, "o_orderpriority", [("o_totalprice", "asc"), ("o_orderkey", "asc")],
+        rank_field="decile", method="ntile:10",
+    )
+    out = core.rank_in_group(
+        out, "o_orderpriority", [("o_totalprice", "asc"), ("o_orderkey", "asc")],
+        rank_field="pct_rank", method="percent_rank",
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("decile").cast("int"),
+        F.round("pct_rank", 6).alias("pct_rank"),
+    )
+
+
+@_q(
     "funnel_view_click_purchase",
     """
     WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events

@@ -544,17 +544,29 @@ def rank_in_group(
     """Per-group ranking / top-k-per-group (engine extension — the
     reference has no window functions, SURVEY.md §2.6).
 
-    ``method``: row_number | rank | dense_rank.  With ``k`` the result
-    keeps only ranks <= k — the partitioned analog of top_k.  The
-    window is PARTITIONED, so at scale each group sorts independently
-    after one hash shuffle; no global single-task sort (contrast the
-    round-1 sample-nth finding)."""
+    ``method``: row_number | rank | dense_rank | percent_rank |
+    cume_dist | ntile:<n> (e.g. "ntile:10" for deciles).  With ``k``
+    the result keeps only ranks <= k — the partitioned analog of
+    top_k.  The window is PARTITIONED, so at scale each group sorts
+    independently after one hash shuffle; no global single-task sort
+    (contrast the round-1 sample-nth finding)."""
     from pyspark.sql import Window
 
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    fns = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}
+    fns = {
+        "row_number": F.row_number,
+        "rank": F.rank,
+        "dense_rank": F.dense_rank,
+        "percent_rank": F.percent_rank,
+        "cume_dist": F.cume_dist,
+    }
+    if method.startswith("ntile:"):
+        n = int(method.split(":", 1)[1])
+        fn = lambda: F.ntile(n)
+    else:
+        fn = fns[method]
     w = Window.partitionBy(*parts).orderBy(*_order_cols(orderby))
-    out = df.withColumn(rank_field, fns[method]().over(w))
+    out = df.withColumn(rank_field, fn().over(w))
     return out.filter(F.col(rank_field) <= k) if k else out
 
 
@@ -579,6 +591,50 @@ def running_agg(
     )
     fn = _AGG_FUNCS[func.lower()]
     return df.withColumn(out_field or f"{field}_running_{func}", fn(field).over(w))
+
+
+def moving_agg_time(
+    df: DataFrame,
+    ts_col: str,
+    partition_by: str | Sequence[str],
+    field: str,
+    window_seconds: float,
+    func: str = "sum",
+    out_field: str | None = None,
+) -> DataFrame:
+    """Trailing time-window aggregate: for each row, ``func`` over the
+    partition's rows with ts in [row.ts − window_seconds, row.ts] —
+    the RANGE-frame moving average/sum (7-day revenue, 1-hour event
+    rate) that ``running_agg``'s ROWS frame can't express when event
+    spacing is irregular.
+
+    The frame orders on the timestamp as EPOCH MILLISECONDS (Spark
+    RANGE frames need a numeric sort key with integer offsets;
+    integer ms are exact where an epoch double would round).  For
+    ``sum`` over floating columns the frame sums
+    decimal-cast terms — frame sums are recomputed per row, so
+    order-dependent double rounding would otherwise make results
+    nondeterministic across partitionings (same discipline as the
+    TPC-H revenue aggregates).
+
+    One hash shuffle on the partition key; each partition sorts once
+    and the frame slides — no self-join, no explode."""
+    from pyspark.sql import Window
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(order)
+        .rangeBetween(-int(window_seconds * 1000), 0)
+    )
+    fn = _AGG_FUNCS[func.lower()]
+    col = F.col(field)
+    if func.lower() == "sum" and dict(df.dtypes).get(field) in ("double", "float"):
+        agg = F.sum(col.cast("decimal(20,6)")).over(w).cast("double")
+    else:
+        agg = fn(field).over(w)
+    return df.withColumn(out_field or f"{field}_trailing_{func}", agg)
 
 
 def lag_delta(

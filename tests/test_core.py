@@ -380,3 +380,40 @@ def test_sample_threshold_select_path(spark):
         core.sample(df, 30000, mode="reservoir", takeordered_cutoff=0).count()
         == 20000
     )
+
+
+def test_moving_agg_time_trailing_window(spark):
+    from bubbles_spark.ops import core
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-01 10:30:00", 2.0),
+        (3, "2024-01-01 11:00:00", 4.0),   # includes 10:00 (inclusive edge)
+        (4, "2024-01-01 12:30:00", 8.0),   # alone
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, v double").withColumn(
+        "u", F.lit(1)
+    )
+    out = {
+        r.id: r.v_trailing_sum
+        for r in core.moving_agg_time(df, "ts", "u", "v", 3600.0).collect()
+    }
+    assert out == {1: 1.0, 2: 3.0, 3: 7.0, 4: 8.0}
+
+
+def test_rank_in_group_ntile_and_percent_rank(spark):
+    from bubbles_spark.ops import core
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(10)], "id long, g string, v double"
+    )
+    deciles = {
+        r.id: r.rank
+        for r in core.rank_in_group(df, "g", ["v"], method="ntile:5").collect()
+    }
+    assert sorted(deciles.values()) == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+    pr = {
+        r.id: r.rank
+        for r in core.rank_in_group(df, "g", ["v"], method="percent_rank").collect()
+    }
+    assert pr[0] == 0.0 and pr[9] == 1.0
