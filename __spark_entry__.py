@@ -2867,6 +2867,75 @@ def q_time_bucket_rollup(spark, sf_dir):
 
 
 @_q(
+    "resample_hourly_ffill",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS bk,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(bk) AS lo, MAX(bk) AS hi FROM b GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bk
+             FROM span),
+    j AS (SELECT g.user_id, g.bk, b.v
+          FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bk = b.bk)
+    SELECT user_id, bk AS bucket_start,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           (v IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def q_resample(spark, sf_dir):
+    # gap-filled hourly per-user series with forward fill — the grid
+    # materializes the EMPTY buckets (rows the raw table doesn't
+    # have), so the oracle must regenerate the same grid and replay
+    # the same last-non-null fill
+    e = _t(spark, sf_dir, "events")
+    return events.resample_time(e, "ts", "user_id", "1 hour")
+
+
+@_q(
+    "interval_join_events",
+    """
+    WITH l AS (SELECT event_id, user_id, epoch(ts) AS s, epoch(ts) + 7200 AS e
+               FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT event_id, user_id, epoch(ts) AS s, epoch(ts) + 3600 AS e
+               FROM events WHERE event_type = 'click')
+    SELECT l.event_id AS l_id, l.user_id, r.event_id AS r_id
+    FROM l JOIN r ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
+    """,
+)
+def q_interval_join(spark, sf_dir):
+    # interval-OVERLAP join (2h purchase windows × 1h click windows
+    # per user) via the banded grid equi-join — the oracle's plain
+    # inequality join is the O(n²)-per-key brute force this operator
+    # replaces at scale
+    e = _t(spark, sf_dir, "events")
+    # epoch_seconds is NTZ-safe; a non-UTC session shifts both sides
+    # by the same constant, and overlap is shift-invariant (the output
+    # carries ids only), so the oracle comparison is unaffected
+    sec = events.epoch_seconds(e, "ts")
+    lft = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_id"),
+        "user_id",
+        sec.alias("s"),
+        (sec + F.lit(7200.0)).alias("e"),
+    )
+    rgt = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_id"),
+        "user_id",
+        sec.alias("s"),
+        (sec + F.lit(3600.0)).alias("e"),
+    )
+    out = core.interval_join(
+        lft, rgt, "s", "e", "s", "e", by="user_id", bucket_width=3600.0
+    )
+    return out.select("l_id", "user_id", F.col("r_r_id").alias("r_id"))
+
+
+@_q(
     "moving_sum_1h",
     """
     SELECT event_id, user_id, ts,

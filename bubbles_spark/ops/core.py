@@ -975,6 +975,89 @@ def range_join(
     return facts.join(d, cond, how)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    by: str | Sequence[str] | None = None,
+    bucket_width: float | None = None,
+    suffix: str = "r_",
+) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) pair whose
+    [start, end) intervals intersect — sessions × promotions,
+    downtime × deployments, reads × gene annotations.  Half-open
+    overlap predicate: l_start < r_end AND r_start < l_end.
+
+    Scale shape — a banded equi-join, not a theta join: both sides
+    explode each interval into the coarse grid cells it touches
+    (``bucket_width``; default = a driver-probed median interval
+    span, clamped sane), equi-join on (by..., cell), dedupe the pairs
+    that overlap several shared cells, and verify the exact overlap
+    predicate.  Shuffle carries (key, cell) tagged rows only; a pair
+    is generated at most once per shared cell — intervals spanning k
+    cells cost k rows, NOT k² — and no cross product ever forms.
+    Long intervals cap their fan-out via the grid (pathological
+    full-range intervals should be filtered or bucketed wider).
+
+    ``by``: optional equality keys joined alongside the cell (the
+    usual tenant/user scoping, which also bounds skew)."""
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+
+    ls, le = F.col(l_start).cast("double"), F.col(l_end).cast("double")
+    rs, re_ = F.col(r_start).cast("double"), F.col(r_end).cast("double")
+    if bucket_width is None:
+        probe = left.select(
+            F.expr(
+                f"percentile_approx(cast({l_end} as double) - "
+                f"cast({l_start} as double), 0.5)"
+            ).alias("m")
+        ).first()
+        m = probe["m"] if probe and probe["m"] else None
+        bucket_width = float(m) if m and m > 0 else 1.0
+    bw = float(bucket_width)
+
+    def cells(s: Column, e: Column) -> Column:
+        # grid cells [floor(s/bw) .. floor(max(s, e-ε)/bw)]; empty or
+        # inverted intervals touch their start cell only
+        lo = F.floor(s / F.lit(bw)).cast("long")
+        hi = F.floor((F.greatest(s, e - F.lit(1e-9))) / F.lit(bw)).cast("long")
+        return F.sequence(lo, F.greatest(lo, hi))
+
+    lt = left.withColumn("__cell", F.explode(cells(ls, le)))
+    rt = right.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[
+            F.col(c).alias(f"{suffix}{c}")
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    rt = rt.withColumn(
+        "__cell",
+        F.explode(
+            cells(
+                F.col(f"{suffix}{r_start}").cast("double"),
+                F.col(f"{suffix}{r_end}").cast("double"),
+            )
+        ),
+    )
+    joined = lt.join(rt, [*keys, "__cell"])
+    overlap = (ls < F.col(f"{suffix}{r_end}").cast("double")) & (
+        F.col(f"{suffix}{r_start}").cast("double") < le
+    )
+    # a pair sharing k cells appears k times: keep the smallest shared
+    # cell only — a map-side predicate (both cell ranges are in hand),
+    # cheaper than a dropDuplicates shuffle over the pair id space
+    first_shared = F.col("__cell") == F.greatest(
+        F.floor(ls / F.lit(bw)).cast("long"),
+        F.floor(F.col(f"{suffix}{r_start}").cast("double") / F.lit(bw)).cast("long"),
+    )
+    return joined.filter(overlap & first_shared).drop("__cell")
+
+
 def scd2_merge(
     dim: DataFrame,
     updates: DataFrame,

@@ -489,3 +489,76 @@ def retention_cohorts(
         .groupBy("cohort_day", "period")
         .agg(F.count_distinct(F.col(user_col)).alias("active_users"))
     )
+
+
+def resample_time(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    interval: str = "1 hour",
+    value_col: str = "value",
+    agg: str = "sum",
+    fill: str = "prev",
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed time grid —
+    the resample/gap-fill step every timeseries consumer (forecasting
+    features, dashboards, rate alerting) needs before window math is
+    meaningful: per key, aggregate events into ``interval`` buckets,
+    MATERIALIZE the empty buckets between each key's first and last
+    event, and fill them (``fill``: 'prev' = forward-fill last seen
+    value, 'zero', or 'null').
+
+    Scale shape: one groupBy to buckets, one tiny per-key span agg,
+    the grid generates with sequence+explode (rows ∝ output, never a
+    cross join), one left join back on (key, bucket), and the forward
+    fill is a partitioned ordered window — each key's timeline sorts
+    independently after one hash shuffle.
+
+    Aggregated float sums are decimal-cast (order-independent — the
+    same determinism discipline as the TPC-H revenue sums).  Output:
+    (key, bucket_start, value, is_gap)."""
+    from bubbles_spark.ops.core import _AGG_FUNCS
+
+    if fill not in ("prev", "zero", "null"):
+        raise ValueError("fill must be 'prev', 'zero' or 'null'")
+    v = F.col(value_col)
+    if agg == "sum" and dict(df.dtypes).get(value_col) in ("double", "float"):
+        agg_col = F.sum(v.cast("decimal(20,6)")).cast("double")
+    elif agg == "count":
+        agg_col = F.count(F.lit(1)).cast("long")
+    else:
+        agg_col = _AGG_FUNCS[agg.lower()](value_col)
+
+    bucket = F.window(ts_col, interval)["start"]
+    b = (
+        df.groupBy(F.col(key_col).alias("__k"), bucket.alias("__bk"))
+        .agg(agg_col.alias("__v"))
+    )
+    span = b.groupBy("__k").agg(
+        F.min("__bk").alias("__lo"), F.max("__bk").alias("__hi")
+    )
+    grid = span.select(
+        "__k",
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"interval {interval}"))
+        ).alias("__bk"),
+    )
+    j = grid.join(b, ["__k", "__bk"], "left")
+    is_gap = F.col("__v").isNull()
+    if fill == "prev":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__bk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = F.last("__v", ignorenulls=True).over(w)
+    elif fill == "zero":
+        filled = F.coalesce(F.col("__v"), F.lit(0).cast("double"))
+    else:
+        filled = F.col("__v")
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__bk").alias("bucket_start"),
+        filled.alias(value_col),
+        is_gap.alias("is_gap"),
+    )

@@ -417,3 +417,53 @@ def test_rank_in_group_ntile_and_percent_rank(spark):
         for r in core.rank_in_group(df, "g", ["v"], method="percent_rank").collect()
     }
     assert pr[0] == 0.0 and pr[9] == 1.0
+
+
+def test_interval_join_matches_brute_force(spark):
+    from bubbles_spark.ops import core
+
+    import random
+
+    rng = random.Random(7)
+    lrows = [
+        (i, rng.uniform(0, 100), 0.0) for i in range(40)
+    ]
+    lrows = [(i, s, s + rng.uniform(0.1, 25)) for i, s, _ in lrows]
+    rrows = [
+        (j, rng.uniform(0, 100), 0.0) for j in range(30)
+    ]
+    rrows = [(j, s, s + rng.uniform(0.1, 25)) for j, s, _ in rrows]
+    ldf = spark.createDataFrame(lrows, "lid long, ls double, le double")
+    rdf = spark.createDataFrame(rrows, "rid long, rs double, re double")
+    for bw in (None, 5.0, 50.0):
+        got = {
+            (r.lid, r.r_rid)
+            for r in core.interval_join(
+                ldf, rdf, "ls", "le", "rs", "re", bucket_width=bw
+            ).collect()
+        }
+        truth = {
+            (i, j)
+            for i, ls, le in lrows
+            for j, rs, re in rrows
+            if ls < re and rs < le
+        }
+        assert got == truth, bw
+
+
+def test_interval_join_with_by_key(spark):
+    from bubbles_spark.ops import core
+
+    ldf = spark.createDataFrame(
+        [(1, "a", 0.0, 10.0), (2, "b", 0.0, 10.0)], "lid long, k string, ls double, le double"
+    )
+    rdf = spark.createDataFrame(
+        [(7, "a", 5.0, 6.0), (8, "b", 20.0, 30.0)], "rid long, k string, rs double, re double"
+    )
+    got = {
+        (r.lid, r.r_rid)
+        for r in core.interval_join(
+            ldf, rdf, "ls", "le", "rs", "re", by="k", bucket_width=4.0
+        ).collect()
+    }
+    assert got == {(1, 7)}  # same-key overlap only; (2,8) doesn't overlap

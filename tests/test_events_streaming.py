@@ -610,3 +610,41 @@ def test_funnel_stream_no_restart_after_conversion(spark, tmp_path):
     fs = sevents.funnel_stream(stream, ["view", "click"])
     out = sevents.run_batchlike(fs, "t_funnel_once", output_mode="append").collect()
     assert sorted((r.step for r in out)) == [0, 1]
+
+
+def test_resample_time_gap_fill(spark):
+    from bubbles_spark.ops import events as ev
+
+    rows = [
+        (1, "2024-01-01 10:15:00", 1.0),
+        (2, "2024-01-01 10:45:00", 2.0),
+        # 11:00 and 12:00 hours empty
+        (3, "2024-01-01 13:05:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double").withColumn(
+        "user_id", F.lit(7)
+    )
+    out = {
+        str(r.bucket_start): (r.value, r.is_gap)
+        for r in ev.resample_time(df, "ts", "user_id", "1 hour").collect()
+    }
+    assert out == {
+        "2024-01-01 10:00:00": (3.0, False),
+        "2024-01-01 11:00:00": (3.0, True),   # forward-filled
+        "2024-01-01 12:00:00": (3.0, True),
+        "2024-01-01 13:00:00": (8.0, False),
+    }
+    zero = {
+        str(r.bucket_start): r.value
+        for r in ev.resample_time(df, "ts", "user_id", "1 hour", fill="zero").collect()
+    }
+    assert zero["2024-01-01 11:00:00"] == 0.0
+    nulls = {
+        str(r.bucket_start): r.value
+        for r in ev.resample_time(df, "ts", "user_id", "1 hour", fill="null").collect()
+    }
+    assert nulls["2024-01-01 12:00:00"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ev.resample_time(df, "ts", "user_id", fill="bogus")
