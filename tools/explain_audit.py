@@ -261,6 +261,27 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
     ),
     (
+        "moving_sum_1h",
+        [(r"Window", "RANGE-frame trailing window"),
+         (r"rangepartitioning|hashpartitioning\(user_id", "one shuffle on the partition key")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no self-join for a sliding frame"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "interval_join_events",
+        [(r"explode\(sequence\(", "intervals explode into grid cells"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "cell join is an equi join")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin",
+          "overlap join must never fall back to a theta/NL join")],
+    ),
+    (
+        "resample_hourly_ffill",
+        [(r"explode\(sequence\(", "grid generates via sequence+explode (rows ∝ output)"),
+         (r"Window", "forward fill is a partitioned ordered window")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "grid join is an equi join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "zorder_cluster_roundtrip",
         [(r"rangepartitioning\(__zkey", "Z-order clusters via ONE range shuffle"),
          (r"Arguments: \[__zkey#\d+L ASC", "within-partition sort on the Morton key")],
