@@ -26,6 +26,8 @@ from bubbles_spark.ops import audit as _audit
 from bubbles_spark.ops import core as _core
 from bubbles_spark.ops import dedup as _dedup
 from bubbles_spark.ops import events as _events
+from bubbles_spark.ops import imagehash as _imagehash
+from bubbles_spark.ops import layout as _layout
 from bubbles_spark.ops import multimodal as _multimodal
 from bubbles_spark.ops import reshape as _reshape
 from bubbles_spark.ops import textprep as _textprep
@@ -46,7 +48,7 @@ def register_operation(name: str, fn: Callable[..., DataFrame]) -> None:
     _CATALOG[name] = fn
 
 
-for _mod in (_core, _text, _audit, _textan, _dedup, _vector, _events, _multimodal, _reshape, _textprep, _sketch):
+for _mod in (_core, _text, _audit, _textan, _dedup, _vector, _events, _imagehash, _layout, _multimodal, _reshape, _textprep, _sketch):
     for _name in dir(_mod):
         _fn = getattr(_mod, _name)
         if callable(_fn) and not _name.startswith("_") and _fn.__module__ == _mod.__name__:
