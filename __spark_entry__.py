@@ -2897,6 +2897,50 @@ def q_resample(spark, sf_dir):
 
 
 @_q(
+    "resample_hourly_interp",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS bk,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(bk) AS lo, MAX(bk) AS hi FROM b GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bk
+             FROM span),
+    j AS (SELECT g.user_id, g.bk, b.v
+          FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bk = b.bk),
+    n AS (
+      SELECT user_id, bk, v,
+             LAST_VALUE(v IGNORE NULLS) OVER past AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN bk END IGNORE NULLS)
+                 OVER past AS pb,
+             FIRST_VALUE(v IGNORE NULLS) OVER futr AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bk END IGNORE NULLS)
+                 OVER futr AS nb
+      FROM j
+      WINDOW past AS (PARTITION BY user_id ORDER BY bk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             futr AS (PARTITION BY user_id ORDER BY bk
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bk AS bucket_start,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) * ((epoch(bk) - epoch(pb))
+                                       / (epoch(nb) - epoch(pb))) END AS value,
+           (v IS NULL) AS is_gap
+    FROM n
+    """,
+)
+def q_resample_interp(spark, sf_dir):
+    # linear interpolation across gaps: every gap has both neighbors
+    # (the grid spans observed buckets), and the interpolation
+    # formula is written with identical parenthesization in both
+    # engines so the doubles match bit-for-bit before the 6dp round
+    e = _t(spark, sf_dir, "events")
+    return events.resample_time(e, "ts", "user_id", "1 hour", fill="interp")
+
+
+@_q(
     "interval_join_events",
     """
     WITH l AS (SELECT event_id, user_id, epoch(ts) AS s, epoch(ts) + 7200 AS e

@@ -506,7 +506,9 @@ def resample_time(
     meaningful: per key, aggregate events into ``interval`` buckets,
     MATERIALIZE the empty buckets between each key's first and last
     event, and fill them (``fill``: 'prev' = forward-fill last seen
-    value, 'zero', or 'null').
+    value, 'interp' = linear interpolation between the neighboring
+    observed buckets (every gap has both neighbors — the grid spans
+    each key's first..last OBSERVED bucket), 'zero', or 'null').
 
     Scale shape: one groupBy to buckets, one tiny per-key span agg,
     the grid generates with sequence+explode (rows ∝ output, never a
@@ -519,8 +521,8 @@ def resample_time(
     (key, bucket_start, value, is_gap)."""
     from bubbles_spark.ops.core import _AGG_FUNCS
 
-    if fill not in ("prev", "zero", "null"):
-        raise ValueError("fill must be 'prev', 'zero' or 'null'")
+    if fill not in ("prev", "interp", "zero", "null"):
+        raise ValueError("fill must be 'prev', 'interp', 'zero' or 'null'")
     v = F.col(value_col)
     if agg == "sum" and dict(df.dtypes).get(value_col) in ("double", "float"):
         agg_col = F.sum(v.cast("decimal(20,6)")).cast("double")
@@ -552,6 +554,36 @@ def resample_time(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = F.last("__v", ignorenulls=True).over(w)
+    elif fill == "interp":
+        past = (
+            Window.partitionBy("__k")
+            .orderBy("__bk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        futr = (
+            Window.partitionBy("__k")
+            .orderBy("__bk")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        vcol = F.col("__v").cast("double")
+        known_bk = F.when(vcol.isNotNull(), F.col("__bk"))
+        pv = F.last(vcol, ignorenulls=True).over(past)
+        pb = F.last(known_bk, ignorenulls=True).over(past)
+        nv = F.first(vcol, ignorenulls=True).over(futr)
+        nb = F.first(known_bk, ignorenulls=True).over(futr)
+        span = nb.cast("timestamp").cast("double") - pb.cast("timestamp").cast(
+            "double"
+        )
+        frac = (
+            F.col("__bk").cast("timestamp").cast("double")
+            - pb.cast("timestamp").cast("double")
+        ) / span
+        # NO final round: the interpolated double is bit-identical in
+        # any engine evaluating the same parenthesization, while a 6dp
+        # round can straddle a half boundary where rounding MODES
+        # differ (observed: Spark HALF_UP vs DuckDB half-even at
+        # x.5578125)
+        filled = F.when(vcol.isNotNull(), vcol).otherwise(pv + (nv - pv) * frac)
     elif fill == "zero":
         filled = F.coalesce(F.col("__v"), F.lit(0).cast("double"))
     else:

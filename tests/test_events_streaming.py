@@ -648,3 +648,27 @@ def test_resample_time_gap_fill(spark):
 
     with _pytest.raises(ValueError):
         ev.resample_time(df, "ts", "user_id", fill="bogus")
+
+
+def test_resample_time_interp(spark):
+    from bubbles_spark.ops import events as ev
+
+    rows = [
+        (1, "2024-01-01 10:30:00", 2.0),
+        # 11,12,13 empty -> interpolate 2 -> 10 over 4 hours
+        (2, "2024-01-01 14:10:00", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double").withColumn(
+        "user_id", F.lit(1)
+    )
+    out = {
+        str(r.bucket_start): r.value
+        for r in ev.resample_time(df, "ts", "user_id", "1 hour", fill="interp").collect()
+    }
+    assert out == {
+        "2024-01-01 10:00:00": 2.0,
+        "2024-01-01 11:00:00": 4.0,
+        "2024-01-01 12:00:00": 6.0,
+        "2024-01-01 13:00:00": 8.0,
+        "2024-01-01 14:00:00": 10.0,
+    }
