@@ -2867,6 +2867,29 @@ def q_time_bucket_rollup(spark, sf_dir):
 
 
 @_q(
+    "train_test_split_docs",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS b
+      FROM documents
+    )
+    """,
+)
+def q_train_test_split(spark, sf_dir):
+    # deterministic seeded-md5 split: a pure function of the data
+    # (randomSplit changes under retries/repartitioning), so the
+    # oracle recomputes every row's assignment exactly
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return core.train_test_split(d, key_col="doc_id")
+
+
+@_q(
     "resample_hourly_ffill",
     """
     WITH b AS (

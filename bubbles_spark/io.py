@@ -236,6 +236,73 @@ class FileStore(DataStore):
         shutil.rmtree(self._file(name))
         os.rename(self._file(tmp), self._file(name))
 
+    def overwrite_partitions(
+        self, name: str, updates: DataFrame, partition_by: Sequence[str]
+    ) -> None:
+        """Idempotent partition backfill: replace EXACTLY the hive
+        partitions present in ``updates`` (dynamic partition
+        overwrite), leave every other partition byte-identical.  The
+        re-run-a-day shape: recomputing one day of a 100 TB table
+        must not rewrite — or even list — the other days.  Creates
+        the object if absent."""
+        part_cols = list(partition_by)
+        if not self.exists(name):
+            self.create(name, from_obj=updates, partition_by=part_cols)
+            return
+        spark = updates.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer = updates.write.format(self.format).mode("overwrite")
+            for k, v in self.reader_options.items():
+                if k != "inferSchema":
+                    writer = writer.option(k, v)
+            writer.partitionBy(*part_cols).save(self._file(name))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def _bytes_on_disk(self, name: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(self._file(name)):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def compact(
+        self,
+        name: str,
+        target_mb: int = 128,
+        partition_by: Sequence[str] | None = None,
+    ) -> int:
+        """Small-files compaction: rewrite the object into
+        ceil(bytes/target_mb) right-sized files (staged rewrite, same
+        crash discipline as upsert).  Streaming sinks and incremental
+        upserts accrete small files until listing + per-file overhead
+        dominates scan time; a 100 TB deployment schedules this the
+        way it schedules vacuum.  Returns the new file count."""
+        import math
+        import shutil
+
+        if not self.exists(name):
+            raise FileNotFoundError(name)
+        n_files = max(
+            1, math.ceil(self._bytes_on_disk(name) / (target_mb * 1024 * 1024))
+        )
+        df = self.get_object(name).repartition(n_files)
+        tmp = f"__compact_tmp_{name}"
+        if partition_by:
+            writer = df.write.format(self.format).mode("overwrite")
+            for k, v in self.reader_options.items():
+                if k != "inferSchema":
+                    writer = writer.option(k, v)
+            writer.partitionBy(*list(partition_by)).save(self._file(tmp))
+        else:
+            self.create(tmp, from_obj=df, replace=True)
+        shutil.rmtree(self._file(name))
+        os.rename(self._file(tmp), self._file(name))
+        return n_files
+
 
 class ParquetStore(FileStore):
     format = "parquet"

@@ -389,6 +389,61 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def train_test_split(
+    df: DataFrame,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    key_col: str | None = None,
+    group_col: str | None = None,
+    seed: int = 42,
+    split_names: Sequence[str] | None = None,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment — the split a
+    training pipeline must be able to REPRODUCE and AUDIT (Bernoulli
+    randomSplit changes under retries and repartitioning; this one is
+    a pure function of the data).
+
+    Each row's split comes from a seeded md5 of its ``key_col`` (or
+    ``group_col``): bucket = md5(seed || key) mod 10000, cut by the
+    cumulative weights.  With ``group_col`` every row of a group lands
+    in the SAME split — the leakage guard (near-duplicate documents
+    from one source crawl must not straddle train/test; SURVEY §2.14's
+    decontaminate is the cross-corpus version of the same concern).
+
+    Map-only (a hash per row, no shuffle, no count pass); exact split
+    fractions are approximate (multinomial over buckets) but FIXED —
+    rerunning on any cluster layout reassigns identically, which is
+    the property retries/backfills need.  md5, not xxhash64, so any
+    external engine can recompute the assignment row for row."""
+    w = [float(x) for x in weights]
+    if not w or any(x < 0 for x in w) or sum(w) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    names = list(split_names) if split_names is not None else (
+        ["train", "val", "test"][: len(w)]
+        if len(w) <= 3
+        else [f"split_{i}" for i in range(len(w))]
+    )
+    if len(names) != len(w):
+        raise ValueError("split_names must match weights length")
+    basis = group_col or key_col
+    if basis is None:
+        raise ValueError("pass key_col (row id) or group_col (leakage unit)")
+    total = sum(w)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(basis).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    expr = None
+    acc = 0.0
+    for name, frac in zip(names, w):
+        acc += frac / total
+        hi = int(round(acc * 10000))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out, expr.otherwise(names[-1]))
+
+
 # One-slot cache for the rank input (same lifecycle discipline as
 # dedup's signature cache): each _with_global_row_number call releases
 # the previous call's persisted partitioning, so long sessions don't

@@ -467,3 +467,44 @@ def test_interval_join_with_by_key(spark):
         ).collect()
     }
     assert got == {(1, 7)}  # same-key overlap only; (2,8) doesn't overlap
+
+
+def test_train_test_split_deterministic_and_grouped(spark):
+    from bubbles_spark.ops import core
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id: r.split for r in core.train_test_split(df, key_col="doc_id").collect()}
+    b = {r.doc_id: r.split for r in core.train_test_split(df, key_col="doc_id").collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert 0.7 < c["train"] / n < 0.9  # ~0.8 multinomial
+
+    g = core.train_test_split(df, group_col="source").collect()
+    by_src = {}
+    for r in g:
+        by_src.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_src.values())  # no group straddles
+
+    c2 = {
+        r.doc_id: r.split
+        for r in core.train_test_split(df, key_col="doc_id", seed=7).collect()
+    }
+    assert a != c2  # seed changes the assignment
+
+
+def test_train_test_split_validation(spark):
+    from bubbles_spark.ops import core
+
+    df = spark.createDataFrame([(1,)], "id long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        core.train_test_split(df, weights=[])
+    with _pytest.raises(ValueError):
+        core.train_test_split(df, key_col="id", weights=[0.5, 0.5], split_names=["a"])
+    with _pytest.raises(ValueError):
+        core.train_test_split(df)

@@ -304,3 +304,53 @@ def test_filestore_upsert_partition_pruned(spark, tmp_path):
     # idempotent like the full-rewrite form
     store.upsert("dim", ups, "k", partition_by=["part"])
     assert {r["k"] for r in store.get_object("dim").collect()} == {1, 2, 3, 4, 5}
+
+
+def test_overwrite_partitions_touches_only_updated(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.io import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, part string, v double",
+    )
+    store.create("t", from_obj=df, partition_by=["part"])
+    import glob
+    import os
+
+    b_files_before = sorted(glob.glob(os.path.join(str(tmp_path), "t.parquet", "part=b", "*")))
+
+    upd = spark.createDataFrame([(9, "a", 99.0)], "id long, part string, v double")
+    store.overwrite_partitions("t", upd, ["part"])
+    got = {(r.id, r.part, r.v) for r in store.get_object("t").collect()}
+    assert got == {(9, "a", 99.0), (3, "b", 30.0)}  # a replaced, b intact
+    b_files_after = sorted(glob.glob(os.path.join(str(tmp_path), "t.parquet", "part=b", "*")))
+    assert b_files_before == b_files_after  # b's files untouched
+
+    # creating-from-nothing path
+    store.overwrite_partitions("fresh", upd, ["part"])
+    assert store.get_object("fresh").count() == 1
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    import glob
+    import os
+
+    from bubbles_spark.io import ParquetStore
+
+    store = ParquetStore(spark, str(tmp_path))
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v").repartition(64)
+    store.create("many", from_obj=df)
+    before = len(glob.glob(os.path.join(str(tmp_path), "many.parquet", "*.parquet")))
+    assert before >= 32
+    n = store.compact("many", target_mb=128)
+    after = len(glob.glob(os.path.join(str(tmp_path), "many.parquet", "*.parquet")))
+    assert n == 1 and after == 1
+    assert store.get_object("many").count() == 10000
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.compact("missing")
