@@ -2867,6 +2867,53 @@ def q_time_bucket_rollup(spark, sf_dir):
 
 
 @_q(
+    "skew_report_orders",
+    """
+    WITH c AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS key_count
+               FROM orders GROUP BY 1),
+         t AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT o_orderpriority, key_count,
+           ROUND(key_count / total, 6) AS fraction
+    FROM c, t
+    ORDER BY key_count DESC, o_orderpriority ASC
+    LIMIT 5
+    """,
+)
+def q_skew_report(spark, sf_dir):
+    # hot-key diagnosis (the first tool out when a join stalls on a
+    # straggler): top-k keys by count with table fraction
+    from bubbles_spark.ops import audit as _audit
+
+    return _audit.skew_report(_t(spark, sf_dir, "orders"), "o_orderpriority", k=5)
+
+
+@_q(
+    "table_fingerprint_orders",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS record_count,
+           SUM(CAST(('0x' || substr(md5(concat_ws('|',
+                 COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)),
+                 COALESCE(CAST(o_custkey AS VARCHAR), chr(1)),
+                 COALESCE(o_orderstatus, chr(1)),
+                 COALESCE(o_orderpriority, chr(1)))), 1, 8)) AS BIGINT))
+             % 4611686018427387904 AS checksum
+    FROM orders
+    """,
+)
+def q_table_fingerprint(spark, sf_dir):
+    # order-insensitive cross-engine checksum: DuckDB recomputes the
+    # identical md5-slice sum — the validate-a-migration primitive.
+    # Int/string columns only: float/timestamp → string formatting is
+    # engine-specific (documented caveat on the operator)
+    from bubbles_spark.ops import audit as _audit
+
+    o = _t(spark, sf_dir, "orders")
+    return _audit.table_fingerprint(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@_q(
     "train_test_split_docs",
     """
     SELECT doc_id,

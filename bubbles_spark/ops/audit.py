@@ -204,3 +204,60 @@ def infer_types(
             F.struct(F.lit(f).alias("field"), inferred.alias("inferred_type"))
         )
     return row.select(F.explode(F.array(*per_field)).alias("a")).select("a.*")
+
+
+def skew_report(
+    df: DataFrame,
+    key: str | Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Hot-key diagnosis for join/groupBy planning: the ``k`` heaviest
+    key values with their row counts and fraction of the table.
+    This is the FIRST thing to run when a 100 TB join stalls on a
+    straggler task — the output tells you whether to salt
+    (ops.core.salted_join), filter a sentinel key (NULL/empty-string
+    floods are the classic), or broadcast the other side.
+
+    One partial-aggregated groupBy + a TakeOrdered of k rows; the
+    total is a scalar subquery-style cross join of one row (no
+    driver collect in the plan)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("key_count"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    top = (
+        counts.orderBy(F.col("key_count").desc(), *[F.col(c).asc_nulls_first() for c in keys])
+        .limit(k)
+    )
+    return top.crossJoin(total).select(
+        *keys,
+        "key_count",
+        F.round(F.col("key_count") / F.col("__total"), 6).alias("fraction"),
+    )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Order-insensitive table checksum — one row
+    (record_count, checksum) where checksum = SUM of a 32-bit slice
+    of md5 over the row's pipe-joined string form, mod 2^62.
+
+    The cross-environment validation primitive: run it here and on
+    the system you migrated from/to, compare two numbers, know the
+    tables match — without moving either table.  md5-on-strings (not
+    xxhash64) precisely so ANY engine can recompute it; addition is
+    commutative so partitioning/order never matters.  NULLs render as
+    the \x01 sentinel (expressible as chr(1) in SQL engines, unlike
+    NUL).  Caveat for floats/timestamps: cast-to-string formatting
+    differs across engines (Spark prints 1e8 as '1.0E8') — format
+    such columns explicitly before fingerprinting cross-engine."""
+    cols = list(columns) if columns else df.columns
+    joined = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("record_count"),
+        (F.sum(h) % F.lit(2**62)).alias("checksum"),
+    )

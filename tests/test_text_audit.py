@@ -145,3 +145,29 @@ def test_fill_missing_retype_parse_date(spark):
     import datetime as dt
 
     assert parsed == {1: dt.date(2024, 1, 31), 2: None}
+
+
+def test_skew_report_orders_hot_keys(spark):
+    from bubbles_spark.ops import audit
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], "k string"
+    )
+    rows = audit.skew_report(df, "k", k=2).collect()
+    assert [(r.k, r.key_count, r.fraction) for r in rows] == [
+        ("a", 5, 0.5),
+        ("b", 3, 0.3),
+    ]
+
+
+def test_table_fingerprint_order_insensitive(spark):
+    from bubbles_spark.ops import audit
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id long, s string")
+    a = audit.table_fingerprint(df).first()
+    b = audit.table_fingerprint(df.orderBy(F.col("id").desc()).repartition(3)).first()
+    assert (a.record_count, a.checksum) == (b.record_count, b.checksum)
+    c = audit.table_fingerprint(
+        spark.createDataFrame([(1, "x"), (2, "")], "id long, s string")
+    ).first()
+    assert c.checksum != a.checksum  # NULL != empty string
