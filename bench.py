@@ -92,6 +92,11 @@ BENCH_QUERIES = [
     "video_dup_planted",
     "audio_stats_wav",
     "zorder_cluster_roundtrip",
+    "interval_join_events",
+    "resample_hourly_ffill",
+    "moving_sum_1h",
+    "train_test_split_docs",
+    "stream_funnel",
 ]
 
 
