@@ -265,11 +265,42 @@ def main() -> int:
             takeordered_cutoff=0,
         )
 
+    def funnel_op(t):
+        from bubbles_spark.ops import events as ev
+
+        return ev.funnel(t["events"], ["view", "click", "purchase"])
+
+    def interval_join_op(t):
+        from bubbles_spark.ops import core as c
+        from bubbles_spark.ops import events as ev
+
+        e = t["events"]
+        sec = ev.epoch_seconds(e, "ts")
+        lft = e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("l_id"), "user_id",
+            sec.alias("s"), (sec + F.lit(7200.0)).alias("e"),
+        )
+        rgt = e.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("r_id"), "user_id",
+            sec.alias("s"), (sec + F.lit(3600.0)).alias("e"),
+        )
+        return c.interval_join(
+            lft, rgt, "s", "e", "s", "e", by="user_id", bucket_width=3600.0
+        )
+
+    def resample_op(t):
+        from bubbles_spark.ops import events as ev
+
+        return ev.resample_time(t["events"], "ts", "user_id", "1 hour")
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
         "time_bucket_rollup": rollup_op,
         "sample_weighted_big_k": sample_weighted_big_k,
+        "funnel": funnel_op,
+        "interval_join": interval_join_op,
+        "resample_ffill": resample_op,
     }
 
     results = {}
