@@ -2867,6 +2867,41 @@ def q_time_bucket_rollup(spark, sf_dir):
 
 
 @_q(
+    "cdc_diff_orders",
+    """
+    SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, 'insert' AS op
+    FROM orders WHERE o_orderkey < 100
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete' FROM orders WHERE o_orderkey < 5000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 2, 'update'
+    FROM orders WHERE o_orderkey >= 5000 AND o_orderkey % 7 = 0
+    """,
+)
+def q_cdc_diff(spark, sf_dir):
+    # snapshot diff as a tagged change feed: src = orders with keys
+    # < 5000 dropped (deletes), every 7th price doubled (updates),
+    # and key<100 clones under +1e7 (inserts) — the oracle
+    # reconstructs each class directly
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    src = (
+        o.filter(F.col("o_orderkey") >= 5000)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") < 100).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10000000)
+            )
+        )
+    )
+    return core.cdc_diff(src, o, "o_orderkey", ["o_totalprice"])
+
+
+@_q(
     "skew_report_orders",
     """
     WITH c AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS key_count

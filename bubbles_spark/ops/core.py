@@ -1222,6 +1222,55 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
+def cdc_diff(
+    src: DataFrame,
+    target: DataFrame,
+    keys: str | Sequence[str],
+    fields: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Full snapshot diff as a tagged change feed — one DataFrame with
+    ``op`` ∈ {insert, update, delete}: src keys absent from target
+    (insert), keys in both with a tracked-field difference (update,
+    src values carried), target keys absent from src (delete, target
+    values carried).  The composition of added_rows / changed_rows /
+    the reverse anti-join that turns two snapshots into the event
+    stream a downstream MERGE or audit log consumes.
+
+    NULL-safe field comparison (eqNullSafe), same contract as
+    changed_rows.  Scale shape: ONE full outer join on the key
+    (both snapshots shuffle once), row classification is map-side
+    expressions over the joined row — not three separate joins."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    s = src.select(
+        *key_list, *[F.col(f).alias(f"__s_{f}") for f in fields]
+    ).withColumn("__in_s", F.lit(1))
+    t = target.select(
+        *key_list, *[F.col(f).alias(f"__t_{f}") for f in fields]
+    ).withColumn("__in_t", F.lit(1))
+    j = s.join(t, key_list, "full_outer")
+    diff = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"__s_{f}").eqNullSafe(F.col(f"__t_{f}")) for f in fields],
+    )
+    op = (
+        F.when(F.col("__in_t").isNull(), F.lit("insert"))
+        .when(F.col("__in_s").isNull(), F.lit("delete"))
+        .when(diff, F.lit("update"))
+    )
+    out_fields = [
+        F.when(F.col("__in_s").isNotNull(), F.col(f"__s_{f}"))
+        .otherwise(F.col(f"__t_{f}"))
+        .alias(f)
+        for f in fields
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*key_list, *out_fields, op_col)
+    )
+
+
 def added_keys(
     src: DataFrame, target: DataFrame, src_key: str, target_key: str | None = None
 ) -> DataFrame:

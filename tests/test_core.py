@@ -508,3 +508,33 @@ def test_train_test_split_validation(spark):
         core.train_test_split(df, key_col="id", weights=[0.5, 0.5], split_names=["a"])
     with _pytest.raises(ValueError):
         core.train_test_split(df)
+
+
+def test_cdc_diff_tags_all_ops(spark):
+    from bubbles_spark.ops import core
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "id long, s string, v double",
+    )
+    src = spark.createDataFrame(
+        [(2, "b", 25.0),   # update (v changed)
+         (3, "c", None),   # unchanged -> excluded
+         (4, "d", 40.0)],  # insert
+        "id long, s string, v double",
+    )
+    out = {r.id: (r.op, r.s, r.v) for r in core.cdc_diff(src, target, "id", ["s", "v"]).collect()}
+    assert out == {
+        2: ("update", "b", 25.0),
+        4: ("insert", "d", 40.0),
+        1: ("delete", "a", 10.0),
+    }
+
+
+def test_cdc_diff_null_transitions_are_updates(spark):
+    from bubbles_spark.ops import core
+
+    target = spark.createDataFrame([(1, None)], "id long, v double")
+    src = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    [r] = core.cdc_diff(src, target, "id", ["v"]).collect()
+    assert (r.op, r.v) == ("update", 5.0)
