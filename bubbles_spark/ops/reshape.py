@@ -112,3 +112,35 @@ def zscore_normalize(
         )
     drop = [c for f in field_list for c in (f"__mu_{f}", f"__sd_{f}")]
     return joined.drop(*drop)
+
+
+def flatten_struct(
+    df: DataFrame, sep: str = "_", max_depth: int = 8
+) -> DataFrame:
+    """Flatten every struct column to top-level scalar columns
+    (``a.b.c`` → ``a_b_c``), recursively to ``max_depth`` — the
+    ingestion normalizer for nested sources (JSON events, protobuf
+    exports, the media struct's meta) so downstream relational ops
+    and parquet column pruning see plain columns.  Arrays are left
+    intact (explode is a row-multiplying decision the caller owns).
+    Pure projection — map-only, no shuffle, prunes at the scan."""
+    import pyspark.sql.types as T
+
+    def expand(prefix: str, dt, path: str, depth: int):
+        if isinstance(dt, T.StructType) and depth < max_depth:
+            out = []
+            for f in dt.fields:
+                out += expand(
+                    f"{prefix}{sep}{f.name}", f.dataType, f"{path}.{f.name}",
+                    depth + 1,
+                )
+            return out
+        return [F.col(path).alias(prefix)]
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            cols += expand(f.name, f.dataType, f.name, 0)
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

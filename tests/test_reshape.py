@@ -203,3 +203,26 @@ def test_scd2_merge_idempotent(spark):
     once = core.scd2_merge(dim, snap, "k", ["attr"], dt.date(2021, 1, 1))
     twice = core.scd2_merge(once, snap, "k", ["attr"], dt.date(2022, 1, 1))
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_flatten_struct_recursive(spark):
+    from bubbles_spark.ops import reshape
+
+    df = spark.createDataFrame(
+        [(1, {"a": 2, "b": {"c": "x"}}, [1, 2])],
+        "id long, s struct<a: long, b: struct<c: string>>, arr array<long>",
+    )
+    out = reshape.flatten_struct(df)
+    assert out.columns == ["id", "s_a", "s_b_c", "arr"]
+    [r] = out.collect()
+    assert (r.id, r.s_a, r.s_b_c, list(r.arr)) == (1, 2, "x", [1, 2])
+
+
+def test_flatten_struct_depth_cap(spark):
+    from bubbles_spark.ops import reshape
+
+    df = spark.createDataFrame(
+        [({"x": {"y": 1}},)], "s struct<x: struct<y: long>>"
+    )
+    out = reshape.flatten_struct(df, max_depth=1)
+    assert out.columns == ["s_x"]  # stops before y
