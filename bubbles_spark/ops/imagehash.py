@@ -1,10 +1,21 @@
-"""Perceptual image hashing + image near-duplicate detection.
+"""Perceptual media fingerprints + near-duplicate detection for
+every non-text modality (SURVEY.md §2.14 extension).
 
-Image-level dedup for a multimodal training pipeline: exact byte
-dedup misses re-encoded / brightness-shifted / resized copies, so the
-standard tool is a *perceptual hash* — a 64-bit signature whose
-hamming distance tracks visual similarity (SURVEY.md §2.14 extension;
-same role MinHash/SimHash play for text in `ops/dedup.py`).
+Media-level dedup for a multimodal training pipeline: exact byte
+dedup misses re-encoded / brightness-shifted / gain-normalized
+copies, so each modality gets a 64-bit perceptual signature whose
+hamming distance tracks perceptual similarity (the role
+MinHash/SimHash play for text in `ops/dedup.py`):
+
+- images: DCT pHash / gradient dHash (below), plus `image_features`
+  grid-mean vectors that feed the embedding ANN/dedup family;
+- video: `video_fingerprint` — summed-luma pHash over sampled
+  YUV4MPEG2 frames;
+- audio: `audio_fingerprint` — gain-invariant windowed-energy bits
+  over decoded PCM.
+
+All pair joins share `dedup.hamming_pairs` (banded pigeonhole
+equi-join, per-bucket skew cap).
 
 Two classic hashes, both pure numpy (no Pillow / scipy needed):
 
