@@ -3482,6 +3482,68 @@ def q_pii_mask(spark, sf_dir):
     return textprep.pii_mask(d, "__t", out="masked").select("doc_id", "masked")
 
 
+# synthetic HTML page stamped per-doc; identical string built on both
+# engines, then both run the IDENTICAL strip chain (generated from
+# textprep.HTML_STRIP_STAGES so the oracle can't drift from the code)
+_HTML_SYNTH_SPARK = (
+    "concat('<html><head><title>t</title>"
+    "<style a=b>body color red</style>"
+    "<script>if (1 < 2 && x) run(); </script></head><body>"
+    "<!-- hidden ', doc_id, ' --><h1>Doc ', doc_id, '</h1>"
+    "<p>alpha &amp; <b>beta</b>  gamma</p>"
+    "<div>x &lt;tag&gt; y</div><br>', substr(text, 1, 40), "
+    "'</body></html>')"
+)
+_HTML_SYNTH_DUCK = (
+    "'<html><head><title>t</title>"
+    "<style a=b>body color red</style>"
+    "<script>if (1 < 2 && x) run(); </script></head><body>"
+    "<!-- hidden ' || doc_id || ' --><h1>Doc ' || doc_id || '</h1>"
+    "<p>alpha &amp; <b>beta</b>  gamma</p>"
+    "<div>x &lt;tag&gt; y</div><br>' || text[1:40] || "
+    "'</body></html>'"
+)
+
+
+def _duck_estr(s: str) -> str:
+    """Render a Python string as a DuckDB E'...' literal."""
+    return "E'" + s.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n") + "'"
+
+
+def _html_to_text_duck(expr: str) -> str:
+    """DuckDB mirror of textprep.html_to_text, generated from the same
+    stage tables the Spark operator compiles from."""
+    from bubbles_spark.ops import textprep as _tp
+
+    col = expr
+    for pat, rep in _tp.HTML_STRIP_STAGES:
+        col = f"regexp_replace({col}, {_duck_estr(pat)}, {_duck_estr(rep)}, 'g')"
+    for ent, ch in _tp.HTML_ENTITIES:
+        col = f"replace({col}, {_duck_estr(ent)}, {_duck_estr(ch)})"
+    for pat, rep in (
+        (r"[ \t\r\f]+", " "),
+        (r" ?\n ?", "\n"),
+        (r"\n{3,}", "\n\n"),
+        (r"^\s+|\s+$", ""),
+    ):
+        col = f"regexp_replace({col}, {_duck_estr(pat)}, {_duck_estr(rep)}, 'g')"
+    return col
+
+
+@_q(
+    "html_to_text",
+    f"""
+    SELECT doc_id, {_html_to_text_duck(_HTML_SYNTH_DUCK)} AS clean
+    FROM documents
+    """,
+)
+def q_html_to_text(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents").withColumn("__h", F.expr(_HTML_SYNTH_SPARK))
+    return textprep.html_to_text(d, "__h", out="clean").select("doc_id", "clean")
+
+
 _URL_SYNTH_SPARK = (
     "concat('see http://site', doc_id % 50, '.com/p/', doc_id, "
     "' and https://common.org/x page')"

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "moving_sum_1h",
     "train_test_split_docs",
     "stream_funnel",
+    "html_to_text",
 ]
 
 

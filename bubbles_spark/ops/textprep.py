@@ -617,6 +617,69 @@ def mixture_sample(
     return out.drop("__budget", "__ord", "__pre", "__ntok")
 
 
+# html_to_text pipeline: (pattern, replacement) pairs applied in
+# order.  Patterns are RE2-safe (no lookaround/backreferences) so the
+# identical chain runs under Java regex and DuckDB; inline (?is)
+# flags work in both engines.
+HTML_STRIP_STAGES: list[tuple[str, str]] = [
+    # 1. opaque blocks whose CONTENT must go, not just the tags
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # 2. structural breaks -> newline so paragraph shape survives
+    (r"(?i)<(?:br|hr)[^>]*>", "\n"),
+    (r"(?i)</(?:p|div|li|tr|h[1-6]|ul|ol|table|blockquote|section|article)\s*>", "\n"),
+    # 3. every remaining tag -> single space (inline tags must not
+    #    glue neighboring words together)
+    (r"<[^>]*>", " "),
+]
+
+# literal entity decodes, applied AFTER tag stripping; &amp; goes
+# last so "&amp;lt;" decodes to "&lt;" (one level), never to "<"
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+) -> DataFrame:
+    """Extract readable text from raw HTML (the CommonCrawl-style
+    WET step of a pre-training pipeline): drop script/style/comment
+    blocks wholesale, convert structural tags to newlines, strip all
+    remaining markup, decode the common literal entities, and
+    normalize whitespace (runs of blanks -> one space, blank-padded
+    newlines tightened, 3+ newlines -> paragraph break, ends trimmed).
+
+    Heuristic by design — a regex extractor, not an HTML5 tree parser
+    (malformed nesting is handled by the "strip every tag" backstop,
+    CDATA and exotic entities are not special-cased).  The entire
+    chain is codegen'd ``regexp_replace``/``replace`` Column
+    expressions: a single map-only stage, no UDF, no shuffle, and
+    cross-engine reproducible (every pattern is RE2-safe, so the
+    DuckDB oracle runs the identical chain).
+    """
+    col = F.col(text_col)
+    for pattern, repl in HTML_STRIP_STAGES:
+        col = F.regexp_replace(col, pattern, repl)
+    for entity, ch in HTML_ENTITIES:
+        col = F.replace(col, F.lit(entity), F.lit(ch))
+    # whitespace normalization (same chain mirrored in the oracle)
+    col = F.regexp_replace(col, r"[ \t\r\f]+", " ")
+    col = F.regexp_replace(col, r" ?\n ?", "\n")
+    col = F.regexp_replace(col, r"\n{3,}", "\n\n")
+    col = F.regexp_replace(col, r"^\s+|\s+$", "")
+    return df.withColumn(out or text_col, col)
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

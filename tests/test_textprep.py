@@ -408,3 +408,48 @@ def test_remove_duplicated_spans_per_doc_coverage_isolated(spark):
     assert out[1] == ("a b c d e", 0)
     assert out[2] == ("x1 x2", 3)
     assert out[3] == ("y1 y2", 3)
+
+
+def _clean(spark, html):
+    df = spark.createDataFrame([(1, html)], "id long, text string")
+    return textprep.html_to_text(df).collect()[0]["text"]
+
+
+def test_html_to_text_basic_page(spark):
+    html = (
+        "<html><head><style>b{c:d}</style><script>if(1<2){x()}</script>"
+        "</head><body><h1>Title</h1><p>alpha <b>beta</b> gamma</p>"
+        "<div>second</div></body></html>"
+    )
+    assert _clean(spark, html) == "Title\nalpha beta gamma\nsecond"
+
+
+def test_html_to_text_entities_single_level(spark):
+    # one decode level only: &amp;lt; -> &lt;, never <
+    assert _clean(spark, "a &amp; b &lt;tag&gt; &amp;lt;x&amp;gt; &quot;q&quot;") == (
+        'a & b <tag> &lt;x&gt; "q"'
+    )
+
+
+def test_html_to_text_script_content_removed_not_just_tags(spark):
+    out = _clean(spark, "keep<script type='x'>var secret = 1 < 2;</script>this")
+    assert out == "keep this"
+    assert "secret" not in out
+
+
+def test_html_to_text_comment_and_br(spark):
+    assert _clean(spark, "a<!-- note\nspanning -->b<br>c<br/>d") == "a b\nc\nd"
+
+
+def test_html_to_text_whitespace_collapse(spark):
+    html = "<p>a    b</p>\n\n\n\n<p>  c\t d  </p>"
+    assert _clean(spark, html) == "a b\n\nc d"
+
+
+def test_html_to_text_inline_tags_do_not_glue_words(spark):
+    assert _clean(spark, "one<span>two</span>three") == "one two three"
+
+
+def test_html_to_text_malformed_unclosed_tag_backstop(spark):
+    # unclosed <em never matches <[^>]*> … text after it survives as-is
+    assert _clean(spark, "x <em broken y") == "x <em broken y"
