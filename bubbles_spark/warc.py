@@ -1,0 +1,208 @@
+"""WARC source — CommonCrawl-style web-archive ingestion (SURVEY.md
+§2.1 extension; the reference's closest row is the CSV source S1,
+`bubbles/backends/text/objects.py`, but WARC is what a pre-training
+corpus actually arrives as).
+
+Execution model at 100 TB: WARC files are read WHOLE, one task per
+file, via Spark's ``binaryFile`` source — a CommonCrawl segment is
+~1 GB of per-record-gzipped members, which is NOT block-splittable
+(each record is its own gzip member, but the offsets index lives in
+a separate .idx sidecar we don't require).  One-file-per-task is the
+standard Spark/warcio deployment shape; parallelism comes from the
+file count (a CC crawl is ~64k files), not intra-file splits.  The
+parse itself is an Arrow-batched ``mapInPandas`` that yields one
+BOUNDED pandas batch per file, so a 1 GB archive never materializes
+more than one file's records in Python memory at a time.  Downstream
+ops should ``repartition`` if record-level parallelism is needed.
+
+Payloads stay ``binary`` end-to-end (the multimodal rule from
+ops/multimodal.py): no charset guessing in the source; decode at the
+point of use (``F.decode`` / html_to_text after a try_cast).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("record_id", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("content_length", LongType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record from a raw (already
+    decompressed) WARC byte stream.  Tolerant scanner: a malformed
+    record header stops the scan of THAT file rather than raising —
+    web archives routinely contain truncated tails, and losing the
+    tail beats failing the task (count surviving records to audit).
+    """
+    pos, n = 0, len(data)
+    while pos < n:
+        # records are separated by \r\n\r\n; skip any blank run
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        head = data[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            return
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            key, _, val = ln.partition(":")
+            headers[key.strip().lower()] = val.strip()
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            return
+        body = data[head_end + 4 : head_end + 4 + clen]
+        yield {"headers": headers, "body": body}
+        pos = head_end + 4 + clen
+
+
+def split_http_payload(body: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an HTTP response payload into (status, content-type,
+    body).  Non-HTTP payloads come back as (None, None, body)."""
+    if not body.startswith(b"HTTP/"):
+        return None, None, body
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, None, body
+    head = body[:sep].decode("utf-8", "replace")
+    lines = head.split("\r\n")
+    status: int | None = None
+    parts = lines[0].split(None, 2)
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    ctype: str | None = None
+    for ln in lines[1:]:
+        key, _, val = ln.partition(":")
+        if key.strip().lower() == "content-type":
+            ctype = val.strip()
+            break
+    return status, ctype, body[sep + 4 :]
+
+
+def _decompress_if_gzip(data: bytes) -> bytes:
+    """Decompress (possibly multi-member) gzip; pass through raw."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    # CC archives are concatenated per-record members; GzipFile
+    # iterates members transparently
+    with gzip.GzipFile(fileobj=_io.BytesIO(data)) as fh:
+        return fh.read()
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: Sequence[str] = ("response",),
+    http_parse: bool = True,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """Read WARC archives under ``path`` into a typed DataFrame (one
+    row per record), keeping only ``record_types`` (empty/None =
+    all).  ``http_parse`` splits HTTP response payloads into
+    (http_status, http_content_type, body) so the downstream
+    text-extraction stage gets the raw HTML, not the wire bytes.
+
+    Plan: binaryFile scan (one task per archive — gzip members are
+    not splittable) → mapInPandas parse (one bounded batch per file)
+    → record-type filter applied INSIDE the parser so non-matching
+    records never cross into Arrow.  Follow with ``html_to_text``
+    (ops/textprep.py) for the WET step.
+    """
+    keep = {t.lower() for t in record_types} if record_types else None
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                data = _decompress_if_gzip(bytes(row["content"]))
+                out: list[dict] = []
+                for rec in parse_warc_bytes(data):
+                    h = rec["headers"]
+                    wtype = h.get("warc-type", "")
+                    if keep is not None and wtype.lower() not in keep:
+                        continue
+                    status, ctype_http, body = (
+                        split_http_payload(rec["body"])
+                        if http_parse
+                        else (None, None, rec["body"])
+                    )
+                    out.append(
+                        {
+                            "file": row["path"],
+                            "record_id": h.get("warc-record-id"),
+                            "warc_type": wtype,
+                            "target_uri": h.get("warc-target-uri"),
+                            "warc_date": h.get("warc-date"),
+                            "content_type": h.get("content-type"),
+                            "content_length": len(rec["body"]),
+                            "http_status": status,
+                            "http_content_type": ctype_http,
+                            "payload": body,
+                        }
+                    )
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in WARC_SCHEMA.fields]
+                )
+
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_to_documents(
+    df: DataFrame,
+    min_status: int = 200,
+    max_status: int = 299,
+    content_type_like: str = "text/html%",
+) -> DataFrame:
+    """WARC records → (doc_id, url, date, text) document table: keep
+    2xx HTML responses, UTF-8-decode the payload (lossy decode — a
+    charset sniffer is a policy choice, not a source concern), and
+    run ``html_to_text``.  Map-only end-to-end; ``doc_id`` is the
+    WARC record id (globally unique by spec)."""
+    from bubbles_spark.ops.textprep import html_to_text
+
+    kept = df.filter(
+        F.col("http_status").between(min_status, max_status)
+        & F.col("http_content_type").like(content_type_like)
+    ).select(
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("date"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+    return html_to_text(kept)

@@ -1,0 +1,123 @@
+"""WARC source tests: synthetic archives written per-test (plain +
+gzip), read back through the binaryFile → mapInPandas path."""
+
+import gzip
+
+import pytest
+
+from bubbles_spark import warc as bw
+
+
+def _record(
+    wtype="response",
+    uri="http://example.com/a",
+    body=b"hello",
+    rec_id="<urn:uuid:1>",
+    extra_headers=(),
+):
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: {rec_id}\r\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+    )
+    for k, v in extra_headers:
+        head += f"{k}: {v}\r\n"
+    head += f"Content-Length: {len(body)}\r\n\r\n"
+    return head.encode() + body + b"\r\n\r\n"
+
+
+def _http(body=b"<p>hi</p>", status=200, ctype="text/html; charset=utf-8"):
+    head = (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body
+
+
+def _write_archive(path, records, compress=False):
+    data = b"".join(records)
+    if compress:
+        # CC-style: each record its own gzip member
+        data = b"".join(gzip.compress(r) for r in records)
+    path.write_bytes(data)
+
+
+def test_read_warc_response_records(spark, tmp_path):
+    recs = [
+        _record(wtype="warcinfo", uri="", body=b"software: test"),
+        _record(uri="http://a.com/", body=_http(b"<p>alpha</p>"), rec_id="<urn:1>"),
+        _record(uri="http://b.com/", body=_http(b"<p>beta</p>", 404), rec_id="<urn:2>"),
+    ]
+    _write_archive(tmp_path / "x.warc", recs)
+    df = bw.read_warc(spark, str(tmp_path))
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert set(rows) == {"<urn:1>", "<urn:2>"}  # warcinfo filtered in-parser
+    r = rows["<urn:1>"]
+    assert r["target_uri"] == "http://a.com/"
+    assert r["http_status"] == 200
+    assert r["http_content_type"].startswith("text/html")
+    assert bytes(r["payload"]) == b"<p>alpha</p>"
+    assert rows["<urn:2>"]["http_status"] == 404
+
+
+def test_read_warc_gzip_multimember(spark, tmp_path):
+    recs = [
+        _record(uri=f"http://s.com/{i}", body=_http(f"<p>{i}</p>".encode()),
+                rec_id=f"<urn:{i}>")
+        for i in range(5)
+    ]
+    _write_archive(tmp_path / "x.warc.gz", recs, compress=True)
+    df = bw.read_warc(spark, str(tmp_path))
+    assert df.count() == 5
+
+
+def test_read_warc_all_types_and_no_http_parse(spark, tmp_path):
+    recs = [
+        _record(wtype="request", body=b"GET / HTTP/1.1\r\n\r\n"),
+        _record(wtype="response", body=_http(b"x")),
+    ]
+    _write_archive(tmp_path / "x.warc", recs)
+    df = bw.read_warc(spark, str(tmp_path), record_types=(), http_parse=False)
+    got = {r["warc_type"]: bytes(r["payload"]) for r in df.collect()}
+    assert set(got) == {"request", "response"}
+    assert got["response"].startswith(b"HTTP/1.1 200")  # wire bytes kept
+
+
+def test_read_warc_truncated_tail_keeps_prefix(spark, tmp_path):
+    good = _record(uri="http://ok.com/", body=_http(b"fine"), rec_id="<urn:ok>")
+    truncated = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Le"
+    (tmp_path / "x.warc").write_bytes(good + truncated)
+    df = bw.read_warc(spark, str(tmp_path))
+    assert [r["record_id"] for r in df.collect()] == ["<urn:ok>"]
+
+
+def test_warc_to_documents_end_to_end(spark, tmp_path):
+    html = b"<html><body><h1>Title</h1><p>one &amp; two</p></body></html>"
+    recs = [
+        _record(uri="http://a.com/", body=_http(html), rec_id="<urn:1>"),
+        _record(uri="http://b.com/img", rec_id="<urn:2>",
+                body=_http(b"\x89PNG...", ctype="image/png")),
+        _record(uri="http://c.com/gone", rec_id="<urn:3>",
+                body=_http(b"nope", status=404)),
+    ]
+    _write_archive(tmp_path / "x.warc", recs)
+    docs = bw.warc_to_documents(bw.read_warc(spark, str(tmp_path)))
+    rows = docs.collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == "<urn:1>"
+    assert rows[0]["url"] == "http://a.com/"
+    assert rows[0]["text"] == "Title\none & two"
+
+
+def test_parse_warc_bytes_pure():
+    data = _record(body=b"abc") + _record(body=b"defg", rec_id="<urn:x>")
+    recs = list(bw.parse_warc_bytes(data))
+    assert [r["body"] for r in recs] == [b"abc", b"defg"]
+    assert recs[1]["headers"]["warc-record-id"] == "<urn:x>"
+
+
+def test_split_http_payload_non_http_passthrough():
+    assert bw.split_http_payload(b"raw bytes") == (None, None, b"raw bytes")
