@@ -1514,6 +1514,91 @@ def q_minhash_planted(spark, sf_dir):
 
 
 @_q(
+    "index_pairs_planted_recall",
+    """
+    SELECT doc_id + 1000000 AS batch_id, doc_id AS index_id
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_index_pairs_planted(spark, sf_dir):
+    # incremental dedup: index the corpus once, then check a batch of
+    # exact copies (doc_id < 200 under id+1e6) against the INDEX ONLY
+    # — every planted batch doc must match its original (copy ⇒ same
+    # signature ⇒ same buckets ⇒ est_jaccard 1.0), so the planted
+    # subset is exactly SQL-predictable
+    d = _t(spark, sf_dir, "documents")
+    index = dedup.minhash_index(d)
+    batch = d.filter(F.col("doc_id") < 200).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    hits = dedup.pairs_against_index(batch, index, threshold=0.99)
+    return hits.filter(F.col("batch_id") - F.col("index_id") == 1000000).select(
+        "batch_id", "index_id"
+    )
+
+
+@_q(
+    "dedup_against_index_planted",
+    """
+    SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id < 100
+    """,
+)
+def q_dedup_against_index_planted(spark, sf_dir):
+    # admission gate oracle: a batch of 200 known copies + 100 novel
+    # docs (id-stamped gibberish — every 3-shingle embeds the id, so
+    # cross-novel Jaccard is 0) checked against the corpus index; the
+    # survivors must be EXACTLY the novel docs
+    d = _t(spark, sf_dir, "documents")
+    index = dedup.minhash_index(d)
+    copies = d.filter(F.col("doc_id") < 200).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    novel = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(
+            F.lit("novel marker "), F.col("doc_id"), F.lit(" xylophone quantum")
+        ).alias("text"),
+    )
+    batch = copies.select("doc_id", "text").unionByName(novel)
+    out = dedup.dedup_against_index(batch, index, threshold=0.9)
+    return out.select("doc_id")
+
+
+@_q(
+    "exact_dedup_against_index",
+    """
+    WITH index_keys AS (
+      SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text
+      FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100
+    )
+    SELECT doc_id FROM batch
+    WHERE md5(text) NOT IN (SELECT k FROM index_keys)
+    """,
+)
+def q_exact_dedup_against_index(spark, sf_dir):
+    # split the corpus: even ids are the indexed history, odd ids plus
+    # replayed copies of even ids < 100 are the incoming batch — the
+    # anti-join must admit exactly the content not in the index
+    d = _t(spark, sf_dir, "documents")
+    index = dedup.exact_index(d.filter(F.col("doc_id") % 2 == 0))
+    batch = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)).select(
+                (F.col("doc_id") + F.lit(2000000)).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup.exact_dedup_against_index(batch, index).select("doc_id")
+
+
+@_q(
     "minhash_dedup_planted",
     "SELECT doc_id FROM documents WHERE FALSE",
 )

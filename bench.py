@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "train_test_split_docs",
     "stream_funnel",
     "html_to_text",
+    "dedup_against_index_planted",
 ]
 
 

@@ -226,6 +226,27 @@ def minhash_signature(
     return df.join(sigs, id_col, "left")
 
 
+def _band_chunks(num_hashes: int, bands: int, sig_col: str = "minhash") -> Column:
+    """LSH banding expression: array of ``bands`` bucket keys, each
+    the xxhash64 of that band's signature slots.  rows_per_band is a
+    Python constant, so the whole banding unrolls into element_at +
+    multi-arg xxhash64 — plain codegen'd expressions, no interpreted
+    HOF lambdas (measured ~20ms/row for the nested-transform
+    formulation vs ~0 for this one)."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.element_at(F.col(sig_col), b * rows_per_band + i + 1)
+                    for i in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -257,21 +278,7 @@ def minhash_dedup_pairs(
     _persist_sig_cache(sigs)
 
     # band the signature: bucket key = hash of the band's slot values.
-    # rows_per_band is a Python constant, so the whole banding unrolls
-    # into element_at + multi-arg xxhash64 — plain codegen'd
-    # expressions, no interpreted HOF lambdas (measured ~20ms/row for
-    # the nested-transform formulation vs ~0 for this one)
-    chunks = F.array(
-        *[
-            F.xxhash64(
-                *[
-                    F.element_at(F.col("minhash"), b * rows_per_band + i + 1)
-                    for i in range(rows_per_band)
-                ]
-            )
-            for b in range(bands)
-        ]
-    )
+    chunks = _band_chunks(num_hashes, bands)
     # only (id, band, bucket) moves through the shuffle — never the
     # signature array, never the text
     banded = sigs.select("__id", F.posexplode(chunks).alias("band", "bucket"))
@@ -1067,3 +1074,173 @@ def fuzzy_dedup_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------
+# incremental dedup against a persisted index
+# ---------------------------------------------------------------------
+# The production shape of corpus dedup: the historical corpus is
+# indexed ONCE (signatures persisted via FileStore/lakehouse), and
+# each incoming batch is checked against the index without ever
+# re-reading historical text.  At 100 TB the index table is ~1e9 rows
+# × (id + 128×8B) — re-shingling the corpus per batch would be a full
+# scan; these ops touch only the signature table.
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """Build the persistable MinHash index: (id, minhash) one row per
+    doc with >=1 shingle.  Persist it partitioned/bucketed by id and
+    append each accepted batch's signatures (``minhash_signature``
+    output) to keep it current.  ``num_hashes``/``n`` are part of the
+    index contract — batches must be signed with the same values."""
+    return _minhash_sigs(df, id_col, text_col, n, num_hashes)
+
+
+def pairs_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    broadcast_batch: bool = False,
+) -> DataFrame:
+    """Near-duplicate matches of an incoming batch against a
+    persisted MinHash index (``minhash_index`` output): returns
+    (batch_id, index_id, est_jaccard) with est_jaccard >= threshold.
+
+    Plan: sign the batch (one scan of the BATCH only), band both
+    sides with the shared ``_band_chunks`` expression, equi-join on
+    (band, bucket) — the index side shuffles (id, band, bucket)
+    triples only, never signatures or text — then verify candidates
+    by slot-agreement Jaccard against both signature tables.  With
+    ``broadcast_batch=True`` the batch's banded keys and signatures
+    broadcast instead, so the INDEX NEVER SHUFFLES AT ALL (the right
+    call when the batch is ≪ executor memory; AQE usually picks this
+    up on its own from size stats).
+
+    The per-(band, bucket) cap bounds skew exactly as in
+    ``minhash_dedup_pairs``; bucket sizes are computed on the UNION
+    of both sides so a degenerate bucket is dropped no matter which
+    side bloats it."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+
+    bsig = _minhash_sigs(batch, id_col, text_col, n, num_hashes).select(
+        F.col(id_col).alias("__bid"), F.col("minhash").alias("__bsig")
+    )
+    isig = index.select(
+        F.col(id_col).alias("__iid"), F.col("minhash").alias("__isig")
+    ).filter(F.col("__isig").isNotNull())
+    if broadcast_batch:
+        # hint only — no persist: the batch-signature subtree is
+        # rebuilt per consuming join (2×), which for a batch-sized
+        # side is cheaper than parking an executor-storage cache the
+        # caller would have to remember to release
+        bsig = F.broadcast(bsig)
+
+    bband = bsig.select(
+        "__bid",
+        F.posexplode(
+            _band_chunks(num_hashes, bands, sig_col="__bsig")
+        ).alias("band", "bucket"),
+    )
+    iband = isig.select(
+        "__iid",
+        F.posexplode(
+            _band_chunks(num_hashes, bands, sig_col="__isig")
+        ).alias("band", "bucket"),
+    )
+
+    sizes = (
+        bband.select("band", "bucket")
+        .unionByName(iband.select("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket)
+        .select("band", "bucket")
+    )
+    iband = iband.join(sizes, ["band", "bucket"], "left_semi")
+
+    cand = (
+        iband.join(F.broadcast(bband) if broadcast_batch else bband, ["band", "bucket"])
+        .select("__bid", "__iid")
+        .dropDuplicates(["__bid", "__iid"])
+    )
+
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("__bsig"), F.col("__isig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(F.broadcast(bsig) if broadcast_batch else bsig, "__bid")
+        .join(isig, "__iid")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("__bid").alias("batch_id"),
+            F.col("__iid").alias("index_id"),
+            "est_jaccard",
+        )
+    )
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **kw,
+) -> DataFrame:
+    """Admit only the batch rows with NO near-duplicate in the index
+    (left_anti on the match set).  Compose with ``minhash_dedup`` /
+    ``exact_dedup`` first for intra-batch duplicates; append the
+    survivors' ``minhash_signature`` rows to the index afterwards."""
+    hits = pairs_against_index(
+        batch, index, id_col, text_col, threshold=threshold, **kw
+    ).select(F.col("batch_id").alias(id_col)).distinct()
+    return batch.join(hits, id_col, "left_anti")
+
+
+def exact_index(
+    df: DataFrame,
+    content_cols: Sequence[str] = ("text",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Persistable exact-dedup index: (id, content_key) md5 over the
+    content columns (same key expression as ``exact_dedup``)."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    return df.select(F.col(id_col), key.alias("content_key"))
+
+
+def exact_dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    content_cols: Sequence[str] = ("text",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch rows whose exact content does not appear in the index:
+    hash the batch (map-only), left_anti join on content_key.  The
+    index side carries (key) only; at 100 TB bucket the index table
+    by content_key so the anti-join co-locates without a shuffle of
+    the index."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]))
+    hashed = batch.withColumn("__key", key)
+    return hashed.join(
+        index.select(F.col("content_key").alias("__key")),
+        "__key",
+        "left_anti",
+    ).drop("__key")

@@ -360,3 +360,67 @@ def test_semantic_pairs_deterministic(spark):
     a = sorted(map(tuple, dedup.semantic_dup_pairs(e, threshold=0.3).collect()))
     b = sorted(map(tuple, dedup.semantic_dup_pairs(e, threshold=0.3).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------
+# incremental dedup against a persisted index
+# ---------------------------------------------------------------------
+
+
+def test_pairs_against_index_finds_known_docs(spark, docs):
+    index = dedup.minhash_index(docs)
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # == doc 1/4
+            (101, "totally novel text about spark execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = dedup.pairs_against_index(batch, index, threshold=0.9).collect()
+    assert {(r["batch_id"], r["index_id"]) for r in hits} == {(100, 1), (100, 4)}
+    assert all(r["est_jaccard"] == 1.0 for r in hits)
+
+
+def test_dedup_against_index_admits_only_novel(spark, docs):
+    index = dedup.minhash_index(docs)
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "totally novel text about spark execution plans"),
+            (102, ""),  # no shingles -> no signature -> admitted
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_against_index(batch, index, threshold=0.9)
+    assert sorted(r["doc_id"] for r in out.collect()) == [101, 102]
+
+
+def test_pairs_against_index_broadcast_same_result(spark, docs):
+    index = dedup.minhash_index(docs)
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    plain = dedup.pairs_against_index(batch, index, threshold=0.9)
+    bcast = dedup.pairs_against_index(batch, index, threshold=0.9, broadcast_batch=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, bcast.collect()))
+
+
+def test_pairs_against_index_bands_must_divide(spark, docs):
+    index = dedup.minhash_index(docs)
+    with pytest.raises(ValueError):
+        dedup.pairs_against_index(docs, index, num_hashes=128, bands=33).collect()
+
+
+def test_exact_dedup_against_index(spark, docs):
+    index = dedup.exact_index(docs)
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (101, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),  # case differs
+            (102, "fresh content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_dedup_against_index(batch, index)
+    assert sorted(r["doc_id"] for r in out.collect()) == [101, 102]
