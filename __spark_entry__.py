@@ -1296,6 +1296,64 @@ def q_quality(spark, sf_dir):
     )
 
 
+# exported-model weights for the linear_score deployment path; both
+# engines apply them to the 6dp-ROUNDED feature columns so the inputs
+# are decimal-identical before the sigmoid
+_LINSCORE_W = {
+    "mean_token_len": 0.1,
+    "stopword_ratio": 2.0,
+    "punct_ratio": -1.5,
+    "distinct_token_ratio": 1.0,
+    "n_tokens": 0.0001,
+}
+_LINSCORE_B = -1.0
+
+
+@_q(
+    "linear_score_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             {_NTOK_SQL} AS n_tok,
+             ROUND(CASE WHEN {_NTOK_SQL} > 0
+                  THEN (length({_NORM_SQL}) - ({_NTOK_SQL} - 1)) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END, 6) AS mean_tok,
+             ROUND(CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_filter({_TOKS_SQL}, t -> t IN ({_STOP_IN})))
+                       * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END, 6) AS stop_ratio,
+             ROUND(CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_distinct({_TOKS_SQL})) * 1.0 / {_NTOK_SQL}
+                  ELSE 0.0 END, 6) AS dist_ratio,
+             ROUND(CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       * 1.0 / length(text)
+                  ELSE 0.0 END, 6) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(
+             {_LINSCORE_B}
+             + {_LINSCORE_W["mean_token_len"]} * mean_tok
+             + {_LINSCORE_W["stopword_ratio"]} * stop_ratio
+             + {_LINSCORE_W["punct_ratio"]} * punct
+             + {_LINSCORE_W["distinct_token_ratio"]} * dist_ratio
+             + {_LINSCORE_W["n_tokens"]} * n_tok
+           ))), 6) AS prob
+    FROM f
+    """,
+)
+def q_linear_score(spark, sf_dir):
+    # the exported-weights scoring path: features from quality_score
+    # (already 6dp-rounded, so both engines see identical inputs),
+    # one codegen'd sigmoid — no MLlib at deploy time
+    d = _t(spark, sf_dir, "documents")
+    feats = textan.quality_score(d)
+    return textan.linear_score(
+        feats, _LINSCORE_W, bias=_LINSCORE_B, out="prob"
+    ).select("doc_id", "prob")
+
+
 _LANG_SCORES_SQL = {
     lang: (
         f"len(list_filter({_TOKS_SQL}, t -> t IN "

@@ -582,3 +582,33 @@ def quality_classifier_scores(
             model.getPredictionCol(),
         )
     )
+
+
+def linear_score(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    out: str = "score",
+    link: str = "logistic",
+    decimals: int = 6,
+) -> DataFrame:
+    """Apply an EXPORTED linear model over existing feature columns:
+    ``out = link(bias + Σ w_c · col_c)``.
+
+    The deployment half of a model trained anywhere (sklearn
+    ``coef_``, a fasttext projection, `train_quality_classifier`
+    coefficients): the weights compile into one codegen'd arithmetic
+    expression — map-only, nothing broadcast, no MLlib requirement at
+    scoring time, cross-engine reproducible (rounded to ``decimals``).
+    ``link``: 'logistic' (sigmoid probability) or 'identity' (raw
+    margin)."""
+    z: Column = F.lit(float(bias))
+    for col_name, w in weights.items():
+        z = z + F.col(col_name) * F.lit(float(w))
+    if link == "logistic":
+        val = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    elif link == "identity":
+        val = z
+    else:
+        raise ValueError(f"unknown link: {link!r}")
+    return df.withColumn(out, F.round(val, decimals))

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from bubbles_spark.ops import textan
 
 
@@ -255,3 +257,25 @@ def test_quality_classifier_planted_rule(spark):
     hi = [p for i, p in probs.items() if i % 7 == 0]
     lo = [p for i, p in probs.items() if i % 7 != 0]
     assert min(hi) > 0.5 > max(lo)
+
+
+def test_linear_score_logistic_matches_python(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 0.5), (2, -1.0, 0.0), (3, 0.0, 10.0)], "id long, a double, b double"
+    )
+    w = {"a": 0.7, "b": -0.2}
+    out = {r["id"]: r["s"] for r in
+           textan.linear_score(df, w, bias=0.1, out="s").collect()}
+    for i, a, b in [(1, 2.0, 0.5), (2, -1.0, 0.0), (3, 0.0, 10.0)]:
+        z = 0.1 + 0.7 * a - 0.2 * b
+        assert out[i] == round(1.0 / (1.0 + math.exp(-z)), 6)
+
+
+def test_linear_score_identity_and_bad_link(spark):
+    df = spark.createDataFrame([(1, 3.0)], "id long, a double")
+    got = textan.linear_score(df, {"a": 2.0}, bias=1.0, link="identity").collect()
+    assert got[0]["score"] == 7.0
+    with pytest.raises(ValueError):
+        textan.linear_score(df, {"a": 1.0}, link="probit")
