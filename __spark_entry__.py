@@ -1623,6 +1623,53 @@ def q_dedup_against_index_planted(spark, sf_dir):
 
 
 @_q(
+    "stream_admit_against_index",
+    """
+    SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id < 100
+    """,
+)
+def q_stream_admit_against_index(spark, sf_dir):
+    # live twin of dedup_against_index_planted: the SAME planted batch
+    # STREAMS in (filter/union/concat are all stream-safe projections)
+    # and the foreachBatch admission gate must admit exactly the novel
+    # docs — admission depends only on the static index, so the
+    # streamed result equals the batch result by construction
+    import shutil
+    import tempfile
+
+    from bubbles_spark.streaming import events as sevents
+
+    d = _t(spark, sf_dir, "documents")
+    index = dedup.minhash_index(d)
+    stream = sevents.read_testdata_table_stream(spark, sf_dir, "documents")
+    copies = stream.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    novel = stream.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(
+            F.lit("novel marker "), F.col("doc_id"), F.lit(" xylophone quantum")
+        ).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="admit_gate_")
+    try:
+        got = sevents.admit_stream_against_index(
+            copies.unionByName(novel),
+            index,
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            threshold=0.9,
+        )
+        # materialize before the tmp dir vanishes (the driver only
+        # collects the returned frame, after this function exits)
+        rows = got.select("doc_id")
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@_q(
     "exact_dedup_against_index",
     """
     WITH index_keys AS (

@@ -869,3 +869,68 @@ def run_batchlike(
     finally:
         _restore_state_shards(spark, prev)
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def admit_stream_against_index(
+    docs: DataFrame,
+    index: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    timeout_s: int = 120,
+    **dedup_kw,
+) -> DataFrame:
+    """Streaming admission gate — the live half of the incremental
+    dedup story (ops/dedup.py::dedup_against_index): documents STREAM
+    in, and each micro-batch runs the batch near-dup check against
+    the STATIC persisted MinHash index, admitting only novel docs.
+
+    Semantics contract: admission depends ONLY on the index, never on
+    arrival order (a doc's fate is identical whether it arrives first
+    or last), so the drained result is deterministic and equals the
+    batch ``dedup_against_index`` over the same input — which is what
+    makes the oracle exact.  Intra-stream duplicates are deliberately
+    NOT admitted-against here (first-arrival-wins across shards is
+    order-dependent); chain ``docs_ingest_dedup_stream`` upstream for
+    per-shard exactness or run the nightly batch pass.
+
+    Execution: ``foreachBatch`` — the standard production recipe for
+    "batch operator inside a stream".  Exactly-once on retry: each
+    batch writes to a DETERMINISTIC per-batch directory in overwrite
+    mode, so a replayed epoch overwrites its own output instead of
+    appending duplicates.  No stateful operators → no state store,
+    no shard tuning needed; the index side re-plans per batch, so at
+    scale persist the signature table (or let AQE broadcast the
+    micro-batch side via ``broadcast_batch=True`` in dedup_kw)."""
+    import os
+
+    from bubbles_spark.ops import dedup as _dedup
+
+    spark = docs.sparkSession
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        out = _dedup.dedup_against_index(
+            batch_df, index, id_col, text_col, threshold=threshold, **dedup_kw
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(path, f"admit_batch={batch_id}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not os.path.isdir(path) or not any(
+        p.startswith("admit_batch=") for p in os.listdir(path)
+    ):
+        return spark.createDataFrame([], docs.schema)
+    return spark.read.option("basePath", path).parquet(path).drop("admit_batch")

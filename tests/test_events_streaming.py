@@ -672,3 +672,44 @@ def test_resample_time_interp(spark):
         "2024-01-01 13:00:00": 8.0,
         "2024-01-01 14:00:00": 10.0,
     }
+
+
+def test_admit_stream_against_index(spark, tmp_path):
+    """Streaming admission vs static index: copies rejected, novel
+    admitted; retry with same checkpoint does not duplicate."""
+    from bubbles_spark.ops import dedup
+    from bubbles_spark.streaming import events as sevents
+
+    hist = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely separate document about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    index = dedup.minhash_index(hist)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (101, "novel words never before seen in this corpus"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = sevents.admit_stream_against_index(
+        stream, index, out_dir, ckpt, threshold=0.9
+    )
+    assert [r["doc_id"] for r in got.collect()] == [101]
+
+    # replay with the same checkpoint: no new input -> same rows
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    again = sevents.admit_stream_against_index(
+        stream2, index, out_dir, ckpt, threshold=0.9
+    )
+    assert [r["doc_id"] for r in again.collect()] == [101]
