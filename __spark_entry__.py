@@ -1589,7 +1589,7 @@ def q_index_pairs_planted(spark, sf_dir):
     batch = d.filter(F.col("doc_id") < 200).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
-    hits = dedup.pairs_against_index(batch, index, threshold=0.99)
+    hits = dedup.pairs_against_index(batch, index, threshold=0.99, cache_index=True)
     return hits.filter(F.col("batch_id") - F.col("index_id") == 1000000).select(
         "batch_id", "index_id"
     )
@@ -1618,7 +1618,7 @@ def q_dedup_against_index_planted(spark, sf_dir):
         ).alias("text"),
     )
     batch = copies.select("doc_id", "text").unionByName(novel)
-    out = dedup.dedup_against_index(batch, index, threshold=0.9)
+    out = dedup.dedup_against_index(batch, index, threshold=0.9, cache_index=True)
     return out.select("doc_id")
 
 
@@ -1659,6 +1659,7 @@ def q_stream_admit_against_index(spark, sf_dir):
             f"{tmp}/out",
             f"{tmp}/ckpt",
             threshold=0.9,
+            cache_index=True,
         )
         # materialize before the tmp dir vanishes (the driver only
         # collects the returned frame, after this function exits)

@@ -1113,10 +1113,20 @@ def pairs_against_index(
     threshold: float = 0.7,
     max_bucket: int = 1000,
     broadcast_batch: bool = False,
+    cache_index: bool = False,
 ) -> DataFrame:
     """Near-duplicate matches of an incoming batch against a
     persisted MinHash index (``minhash_index`` output): returns
     (batch_id, index_id, est_jaccard) with est_jaccard >= threshold.
+
+    The index side has TWO consumers (banding + candidate verify).
+    When ``index`` is a parquet signature table — the production
+    shape — the double evaluation is two column-pruned scans: cheap,
+    leave ``cache_index`` off.  When the index is a COMPUTED pipeline
+    (e.g. ``minhash_index`` called inline, which re-shingles the
+    corpus per evaluation), pass ``cache_index=True`` to persist the
+    signatures across the two consumers (shares the single-slot
+    signature cache — ``release_signature_cache()`` frees it).
 
     Plan: sign the batch (one scan of the BATCH only), band both
     sides with the shared ``_band_chunks`` expression, equi-join on
@@ -1142,6 +1152,8 @@ def pairs_against_index(
     isig = index.select(
         F.col(id_col).alias("__iid"), F.col("minhash").alias("__isig")
     ).filter(F.col("__isig").isNotNull())
+    if cache_index:
+        isig = _persist_sig_cache(isig)
     if broadcast_batch:
         # hint only — no persist: the batch-signature subtree is
         # rebuilt per consuming join (2×), which for a batch-sized
