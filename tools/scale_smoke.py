@@ -188,6 +188,21 @@ def main() -> int:
             lambda d, idc: dedup.semantic_dup_pairs(d, id_col=idc, threshold=0.99),
         ),
         "image_dup_pairs": (docs, "doc_id", lambda d: _image_pairs(d)),
+        # incremental index check: the INDEX side scales (the corpus
+        # grows), the incoming batch stays fixed — alpha measures how
+        # the banded join + verify degrade with index size
+        "pairs_against_index": (
+            docs,
+            "doc_id",
+            lambda d: dedup.pairs_against_index(
+                d.limit(200).select(
+                    (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+                ),
+                dedup.minhash_index(d),
+                threshold=0.8,
+                cache_index=True,
+            ),
+        ),
         "cosine_topk_pq": (
             embs,
             "emb_id",
