@@ -3735,6 +3735,94 @@ def q_html_to_text(spark, sf_dir):
     return textprep.html_to_text(d, "__h", out="clean").select("doc_id", "clean")
 
 
+# messy-variant URL per doc; the canonical form is directly
+# constructible, so the oracle is an exact string build (no regex)
+_CANON_URL_SYNTH_SPARK = (
+    "concat('HTTP://WWW.Site', doc_id % 50, '.COM:80/Page/', doc_id, "
+    "'/?utm_source=x&id=', doc_id, '#frag')"
+)
+
+
+@_q(
+    "canonicalize_url",
+    """
+    SELECT doc_id,
+           'http://site' || (doc_id % 50) || '.com/Page/' || doc_id ||
+           '/?id=' || doc_id AS url
+    FROM documents
+    """,
+)
+def q_canonicalize_url(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_CANON_URL_SYNTH_SPARK)
+    )
+    return textprep.canonicalize_url(d).select("doc_id", "url")
+
+
+def _script_profile_duck() -> str:
+    """DuckDB mirror of textan.script_profile, generated from the
+    same SCRIPT_BLOCKS table the Spark operator compiles from."""
+    from bubbles_spark.ops.textan import SCRIPT_BLOCKS
+
+    cnt = {
+        n: f"length(regexp_replace(t, '[^{b}]', '', 'g'))"
+        for n, b in SCRIPT_BLOCKS.items()
+    }
+    ratios = ",\n           ".join(
+        f"ROUND(CASE WHEN nsp > 0 THEN c_{n} * 1.0 / nsp ELSE 0.0 END, 6)"
+        f" AS {n}_ratio"
+        for n in SCRIPT_BLOCKS
+    )
+    best = "greatest(" + ", ".join(f"c_{n}" for n in SCRIPT_BLOCKS) + ")"
+    dom = "CASE " + " ".join(
+        f"WHEN c_{n} = best AND best > 0 THEN '{n}'" for n in SCRIPT_BLOCKS
+    ) + " ELSE 'other' END"
+    counts = ",\n             ".join(f"{e} AS c_{n}" for n, e in cnt.items())
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' привет мир'
+                  WHEN doc_id % 3 = 1 THEN text || ' 你好世界'
+                  ELSE text END AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             length(regexp_replace(t, '\\s', '', 'g')) AS nsp,
+             {counts}
+      FROM s
+    ), b AS (
+      SELECT *, {best} AS best FROM c
+    )
+    SELECT doc_id,
+           {ratios},
+           {dom} AS dominant_script
+    FROM b
+    """
+
+
+@_q("script_profile", _script_profile_duck())
+def q_script_profile(spark, sf_dir):
+    # mixed-script synthetic corpus (cyrillic / cjk suffix by id) so
+    # the profile exercises non-latin blocks; both engines build the
+    # identical string then run the identical generated count chain
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" привет мир"))
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" 你好世界")))
+        .otherwise(F.col("text")),
+    )
+    prof = textan.script_profile(d)
+    from bubbles_spark.ops.textan import SCRIPT_BLOCKS
+
+    return prof.select(
+        "doc_id", *[f"{n}_ratio" for n in SCRIPT_BLOCKS], "dominant_script"
+    )
+
+
 _URL_SYNTH_SPARK = (
     "concat('see http://site', doc_id % 50, '.com/p/', doc_id, "
     "' and https://common.org/x page')"

@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",
+    "canonicalize_url",
+    "script_profile",
+    "linear_score_quality",
 ]
 
 

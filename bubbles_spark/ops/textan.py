@@ -612,3 +612,55 @@ def linear_score(
     else:
         raise ValueError(f"unknown link: {link!r}")
     return df.withColumn(out, F.round(val, decimals))
+
+
+# Unicode script blocks profiled by script_profile.  \x{...} escapes
+# parse identically under Java regex and RE2, keeping the op
+# oracle-checkable; blocks are the dominant base ranges, not full
+# Unicode script properties (a heuristic profile, not ICU)
+SCRIPT_BLOCKS: dict[str, str] = {
+    "latin": r"A-Za-z",
+    "cyrillic": r"\x{0400}-\x{04FF}",
+    "greek": r"\x{0370}-\x{03FF}",
+    "arabic": r"\x{0600}-\x{06FF}",
+    "hebrew": r"\x{0590}-\x{05FF}",
+    "devanagari": r"\x{0900}-\x{097F}",
+    "cjk": r"\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document writing-system profile: for each block in
+    ``SCRIPT_BLOCKS`` the fraction of NON-SPACE characters falling in
+    that block (``<name>_ratio``, 6dp), plus ``dominant_script`` —
+    the first block in declaration order holding a strict-or-equal
+    maximum, or 'other' when no block matches anything (pure
+    digits/punctuation/empty).
+
+    The multilingual-corpus routing signal that runs BEFORE lang_id:
+    script is a single regex count per block (codegen'd, map-only, no
+    vocabulary), and most routing decisions (CJK tokenizer vs Latin
+    BPE, RTL handling) need only the script.  Counts share one
+    materialized ``__nsp`` char-total column — the usual
+    CollapseProject guard."""
+    text = F.col(text_col)
+    staged = df.withColumn(
+        "__nsp", F.length(F.regexp_replace(text, r"\s", ""))
+    )
+    nsp = F.col("__nsp")
+    for name, block in SCRIPT_BLOCKS.items():
+        cnt = F.length(F.regexp_replace(text, f"[^{block}]", ""))
+        staged = staged.withColumn(f"__c_{name}", cnt)
+    for name in SCRIPT_BLOCKS:
+        ratio = F.when(
+            nsp > 0, F.round(F.col(f"__c_{name}") / nsp, 6)
+        ).otherwise(F.lit(0.0))
+        staged = staged.withColumn(f"{name}_ratio", ratio)
+    best = F.greatest(*[F.col(f"__c_{n}") for n in SCRIPT_BLOCKS])
+    dom = F.lit("other")
+    for name in reversed(list(SCRIPT_BLOCKS)):
+        dom = F.when(
+            (F.col(f"__c_{name}") == best) & (best > 0), F.lit(name)
+        ).otherwise(dom)
+    staged = staged.withColumn("dominant_script", dom)
+    return staged.drop("__nsp", *[f"__c_{n}" for n in SCRIPT_BLOCKS])

@@ -729,3 +729,49 @@ def paragraph_dedup(
     return df.select(id_col).distinct().join(rebuilt, id_col, "left").fillna(
         {out or text_col: ""}
     )
+
+
+# tracking query parameters stripped by canonicalize_url (the usual
+# analytics/click-id noise); alternation kept RE2-safe
+TRACKING_PARAMS = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|yclid|mc_eid|ref|ref_src)"
+
+
+def canonicalize_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out: str | None = None,
+) -> DataFrame:
+    """Normalize URLs to a canonical form so URL-keyed dedup
+    (``url_dedup``) and domain joins don't fracture on cosmetic
+    variants: drop the fragment, lowercase scheme and host, strip a
+    default port (:80 http / :443 https) and a ``www.`` prefix,
+    remove tracking query parameters (``TRACKING_PARAMS``), and trim
+    trailing ``?``/``&``/``/``.
+
+    URL-shaped strings without a scheme pass through unchanged (no
+    guessing).  Entirely codegen'd regexp/conditional expressions —
+    map-only, RE2-safe, cross-engine reproducible.  Heuristic by
+    design: percent-encoding normalization and IDN are out of scope
+    (they need per-byte tables, not a cleanup pass).
+    """
+    u = F.regexp_replace(F.col(url_col), r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(after, r"^([^/?]+)", 1))
+    pathq = F.regexp_replace(after, r"^[^/?]+", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    rebuilt = F.concat(scheme, F.lit("://"), host, pathq)
+    # tracking params: non-first (&k=v) drop; first-with-successor
+    # (?k=v&) collapses to "?"; first-and-only (?k=v$) drops
+    rebuilt = F.regexp_replace(rebuilt, r"&" + TRACKING_PARAMS + r"=[^&]*", "")
+    rebuilt = F.regexp_replace(rebuilt, r"\?" + TRACKING_PARAMS + r"=[^&]*&", "?")
+    rebuilt = F.regexp_replace(rebuilt, r"\?" + TRACKING_PARAMS + r"=[^&]*$", "")
+    rebuilt = F.regexp_replace(rebuilt, r"[?&]+$", "")
+    rebuilt = F.regexp_replace(rebuilt, r"/$", "")
+    result = F.when(scheme == "", F.col(url_col)).otherwise(rebuilt)
+    return df.withColumn(out or url_col, result)

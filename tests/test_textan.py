@@ -279,3 +279,30 @@ def test_linear_score_identity_and_bad_link(spark):
     assert got[0]["score"] == 7.0
     with pytest.raises(ValueError):
         textan.linear_score(df, {"a": 1.0}, link="probit")
+
+
+def test_script_profile_dominant_and_ratios(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "привет мир"),
+            (3, "你好 世界"),
+            (4, "12345 !!!"),
+            (5, "abc привет"),  # tie at 3? latin=3, cyrillic=6 -> cyrillic
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in textan.script_profile(df).collect()}
+    assert rows[1]["dominant_script"] == "latin"
+    assert rows[1]["latin_ratio"] == 1.0
+    assert rows[2]["dominant_script"] == "cyrillic"
+    assert rows[3]["dominant_script"] == "cjk"
+    assert rows[3]["cjk_ratio"] == 1.0
+    assert rows[4]["dominant_script"] == "other"
+    assert rows[5]["dominant_script"] == "cyrillic"
+
+
+def test_script_profile_tie_prefers_declaration_order(spark):
+    df = spark.createDataFrame([(1, "ab пр")], "id long, text string")
+    r = textan.script_profile(df).collect()[0]
+    assert r["dominant_script"] == "latin"  # 2 == 2, latin declared first

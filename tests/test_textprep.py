@@ -453,3 +453,34 @@ def test_html_to_text_inline_tags_do_not_glue_words(spark):
 def test_html_to_text_malformed_unclosed_tag_backstop(spark):
     # unclosed <em never matches <[^>]*> … text after it survives as-is
     assert _clean(spark, "x <em broken y") == "x <em broken y"
+
+
+def _canon(spark, url):
+    df = spark.createDataFrame([(1, url)], "id long, url string")
+    return textprep.canonicalize_url(df).collect()[0]["url"]
+
+
+def test_canonicalize_url_host_scheme_port_www(spark):
+    assert _canon(spark, "HTTP://WWW.Example.COM:80/Path/Stuff") == (
+        "http://example.com/Path/Stuff"
+    )
+    assert _canon(spark, "https://Site.org:443/") == "https://site.org"
+    # non-default port survives
+    assert _canon(spark, "http://a.com:8080/x") == "http://a.com:8080/x"
+
+
+def test_canonicalize_url_tracking_params(spark):
+    assert _canon(spark, "http://a.com/p?utm_source=x&id=3") == "http://a.com/p?id=3"
+    assert _canon(spark, "http://a.com/p?id=3&utm_source=x") == "http://a.com/p?id=3"
+    assert _canon(spark, "http://a.com/p?utm_a=1&utm_b=2") == "http://a.com/p"
+    assert _canon(spark, "http://a.com/p?gclid=zz") == "http://a.com/p"
+
+
+def test_canonicalize_url_fragment_and_trailing(spark):
+    assert _canon(spark, "http://a.com/x#section") == "http://a.com/x"
+    assert _canon(spark, "http://a.com/x/") == "http://a.com/x"
+    assert _canon(spark, "http://a.com/x?") == "http://a.com/x"
+
+
+def test_canonicalize_url_schemeless_passthrough(spark):
+    assert _canon(spark, "Example.com/Path?utm_a=1") == "Example.com/Path?utm_a=1"
