@@ -288,6 +288,43 @@ CHECKS = [
         [(r"hashpartitioning\(__zkey", "no extra hash shuffle"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "Morton key is codegen, no Python")],
     ),
+    # --- round-4 session-2 additions ---------------------------------
+    (
+        "html_to_text",
+        [(r"Project", "map-only stage")],
+        [(r"Exchange", "no shuffle for a per-row regex chain"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "no Python in the strip chain")],
+    ),
+    (
+        "canonicalize_url",
+        [(r"Project", "map-only stage")],
+        [(r"Exchange", "no shuffle for URL normalization"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "no Python")],
+    ),
+    (
+        "script_profile",
+        [(r"Project", "map-only stage")],
+        [(r"Exchange", "no shuffle for per-row block counts"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "no Python")],
+    ),
+    (
+        "linear_score_quality",
+        [(r"Project", "map-only stage")],
+        [(r"Exchange", "scoring never shuffles"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "exported-model scoring is codegen")],
+    ),
+    (
+        "dedup_against_index_planted",
+        [(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "band join is an equi join"),
+         (r"LeftAnti", "admission is an anti join on match ids")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin",
+          "index check must never fall back to NL join")],
+    ),
+    (
+        "exact_dedup_against_index",
+        [(r"LeftAnti", "exact admission is a hash anti join")],
+        [(r"CartesianProduct", "no cross product")],
+    ),
 ]
 
 # Streaming queries return their drained batch result, so auditing
