@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "canonicalize_url",
     "script_profile",
     "linear_score_quality",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q19_disjunctive_revenue",
 ]
 
 
