@@ -4008,6 +4008,73 @@ def q_script_profile(spark, sf_dir):
     )
 
 
+@_q(
+    "warc_pipeline",
+    f"""
+    SELECT 'urn:doc:' || doc_id AS doc_id,
+           'http://ex.com/' || doc_id AS url,
+           '2024-01-01T00:00:00Z' AS warc_date,
+           {_html_to_text_duck(_HTML_SYNTH_DUCK)} AS text
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def q_warc_pipeline(spark, sf_dir):
+    # end-to-end web ingestion: synthesize REAL WARC archives (one
+    # plain, one per-record-gzipped — both wire formats) carrying the
+    # same doc-stamped HTML the html_to_text oracle uses, then run
+    # the full binaryFile → record parse → HTTP split → WET pipeline;
+    # the oracle rebuilds the expected clean text from documents
+    import gzip as _gzip
+    import shutil
+    import tempfile
+
+    from bubbles_spark import warc as bw
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.filter(F.col("doc_id") < 300).select("doc_id", "text").collect()
+
+    def _record(i: int, text: str) -> bytes:
+        html = (
+            "<html><head><title>t</title>"
+            "<style a=b>body color red</style>"
+            "<script>if (1 < 2 && x) run(); </script></head><body>"
+            f"<!-- hidden {i} --><h1>Doc {i}</h1>"
+            "<p>alpha &amp; <b>beta</b>  gamma</p>"
+            f"<div>x &lt;tag&gt; y</div><br>{text[:40]}</body></html>"
+        ).encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+        )
+        head = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: urn:doc:{i}\r\n"
+            "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"WARC-Target-URI: http://ex.com/{i}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    tmp = tempfile.mkdtemp(prefix="warc_q_")
+    try:
+        plain = [_record(r["doc_id"], r["text"]) for r in rows if r["doc_id"] % 2 == 0]
+        gzipped = [
+            _record(r["doc_id"], r["text"]) for r in rows if r["doc_id"] % 2 == 1
+        ]
+        with open(f"{tmp}/a.warc", "wb") as fh:
+            fh.write(b"".join(plain))
+        with open(f"{tmp}/b.warc.gz", "wb") as fh:
+            fh.write(b"".join(_gzip.compress(rec) for rec in gzipped))
+        docs = bw.warc_to_documents(bw.read_warc(spark, tmp))
+        out = docs.select(
+            "doc_id", "url", F.col("date").alias("warc_date"), "text"
+        )
+        res = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
 _URL_SYNTH_SPARK = (
     "concat('see http://site', doc_id % 50, '.com/p/', doc_id, "
     "' and https://common.org/x page')"
