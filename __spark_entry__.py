@@ -4008,6 +4008,94 @@ def q_script_profile(spark, sf_dir):
     )
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+    f"ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i:]
+)
+
+
+@_q("correlation_matrix_lineitem", _CORR_ORACLE)
+def q_correlation_matrix(spark, sf_dir):
+    from bubbles_spark.ops import audit as audit_ops
+
+    return audit_ops.correlation_matrix(
+        _t(spark, sf_dir, "lineitem"), _CORR_COLS
+    )
+
+
+_STOPW_DUCK_LIST = None  # built lazily below from the shared list
+
+
+def _remove_stopwords_duck() -> str:
+    from bubbles_spark.ops.textan import _STOPWORDS
+
+    lst = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN ''
+                ELSE array_to_string(
+                  list_filter(
+                    string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                    t -> NOT list_contains([{lst}], lower(t))),
+                  ' ')
+           END AS text
+    FROM documents
+    """
+
+
+@_q("remove_stopwords", _remove_stopwords_duck())
+def q_remove_stopwords(spark, sf_dir):
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.remove_stopwords(d).select("doc_id", "text")
+
+
+@_q(
+    "dedup_eval_planted",
+    """
+    WITH p AS (
+      SELECT DISTINCT doc_id AS id_a, doc_id + 1 AS id_b
+      FROM documents WHERE doc_id % 2 = 0
+    ), t AS (
+      SELECT DISTINCT doc_id AS id_a, doc_id + 1 AS id_b
+      FROM documents WHERE doc_id % 3 = 0
+    ), c AS (
+      SELECT (SELECT COUNT(*) FROM p) AS n_pred,
+             (SELECT COUNT(*) FROM t) AS n_truth,
+             (SELECT COUNT(*) FROM p JOIN t USING (id_a, id_b)) AS n_hit
+    )
+    SELECT n_pred, n_truth, n_hit,
+           ROUND(CASE WHEN n_pred > 0 THEN n_hit * 1.0 / n_pred ELSE 0 END, 6)
+             AS precision,
+           ROUND(CASE WHEN n_truth > 0 THEN n_hit * 1.0 / n_truth ELSE 0 END, 6)
+             AS recall,
+           ROUND(CASE WHEN (CASE WHEN n_pred > 0 THEN n_hit * 1.0 / n_pred ELSE 0 END
+                          + CASE WHEN n_truth > 0 THEN n_hit * 1.0 / n_truth ELSE 0 END) > 0
+                 THEN 2.0 * (CASE WHEN n_pred > 0 THEN n_hit * 1.0 / n_pred ELSE 0 END)
+                          * (CASE WHEN n_truth > 0 THEN n_hit * 1.0 / n_truth ELSE 0 END)
+                      / ((CASE WHEN n_pred > 0 THEN n_hit * 1.0 / n_pred ELSE 0 END)
+                       + (CASE WHEN n_truth > 0 THEN n_hit * 1.0 / n_truth ELSE 0 END))
+                 ELSE 0 END, 6) AS f1
+    FROM c
+    """,
+)
+def q_dedup_eval(spark, sf_dir):
+    # LSH-tuning harness oracle: synthetic pair sets from documents
+    # (evens vs thirds — the hit set is the sixths, exactly)
+    d = _t(spark, sf_dir, "documents")
+    pred = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    truth = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return dedup.dedup_eval(pred, truth)
+
+
 @_q(
     "warc_pipeline",
     f"""

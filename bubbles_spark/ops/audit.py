@@ -261,3 +261,46 @@ def table_fingerprint(
         F.count(F.lit(1)).alias("record_count"),
         (F.sum(h) % F.lit(2**62)).alias("checksum"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    method: str = "pearson",
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise sample correlation over numeric columns, long form:
+    (col_a, col_b, corr) for every a <= b pair in the given order
+    (diagonal included, corr = 1 when the column varies).
+
+    One aggregate pass computes all N(N+1)/2 ``corr`` aggregates
+    map-side-partial in a single job (the basic_audit pattern: wide
+    agg on one row, then a free stack unpivot of that row) — no
+    per-pair scans, no driver-side math.  Use on feature tables
+    (N in the tens); N² agg slots, not N² passes.
+
+    Only ``pearson`` is supported: Spearman needs a rank transform —
+    rank the columns first (core.rank_in_group / a Window) and call
+    this on the ranks."""
+    if method != "pearson":
+        raise ValueError("only method='pearson' is supported (rank first for spearman)")
+    cols = list(cols)
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.round(
+                    F.corr(F.col(a).cast("double"), F.col(b).cast("double")),
+                    decimals,
+                ).alias(f"{a}\x1f{b}")
+            )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `{a}\x1f{b}`"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    )
+    n_pairs = len(cols) * (len(cols) + 1) // 2
+    return wide.selectExpr(
+        f"stack({n_pairs}, {stack_args}) AS (col_a, col_b, corr)"
+    )

@@ -1256,3 +1256,52 @@ def exact_dedup_against_index(
         "__key",
         "left_anti",
     ).drop("__key")
+
+
+def dedup_eval(
+    predicted: DataFrame,
+    truth: DataFrame,
+    decimals: int = 6,
+) -> DataFrame:
+    """Precision / recall / F1 of a detected duplicate-pair set
+    against ground truth — the "measure, don't guess" harness for
+    tuning LSH parameters (bands, thresholds, bits) on a labeled
+    sample before a corpus run.
+
+    Both inputs are (id_a, id_b) pair frames; pairs are normalized to
+    unordered (min, max) form first, so orientation never miscounts.
+    Plan: two distinct pair sets, one inner join for the hit count,
+    metadata-sized single-row result.  Run on samples — ground truth
+    at 100 TB doesn't exist by definition."""
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        ).distinct()
+
+    p, t = norm(predicted), norm(truth)
+    hits = p.join(t, ["id_a", "id_b"], "left_semi")
+    counts = (
+        p.agg(F.count(F.lit(1)).alias("n_pred"))
+        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("n_hit") / F.col("n_pred")).otherwise(
+        F.lit(0.0)
+    )
+    rec = F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")).otherwise(
+        F.lit(0.0)
+    )
+    return counts.select(
+        "n_pred",
+        "n_truth",
+        "n_hit",
+        F.round(prec, decimals).alias("precision"),
+        F.round(rec, decimals).alias("recall"),
+        F.round(
+            F.when(
+                (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0)),
+            decimals,
+        ).alias("f1"),
+    )

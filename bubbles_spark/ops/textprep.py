@@ -775,3 +775,31 @@ def canonicalize_url(
     rebuilt = F.regexp_replace(rebuilt, r"/$", "")
     result = F.when(scheme == "", F.col(url_col)).otherwise(rebuilt)
     return df.withColumn(out or url_col, result)
+
+
+def remove_stopwords(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Rebuild text with stopword tokens removed (case-insensitive
+    match, original casing of surviving tokens kept, single-space
+    rejoin).  Defaults to the shared ``textan._STOPWORDS`` list so
+    the filter agrees with ``quality_score``'s stopword ratio.
+
+    Codegen'd split → filter(token ∉ set) → array_join: the stopword
+    set is a literal array in the plan (list-sized, like a broadcast
+    but cheaper), map-only, no shuffle."""
+    from bubbles_spark.ops.textan import _STOPWORDS
+
+    words = list(stopwords) if stopwords is not None else list(_STOPWORDS)
+    stop_arr = F.array(*[F.lit(w.lower()) for w in words])
+    toks = F.split(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+    )
+    kept = F.filter(toks, lambda t: ~F.array_contains(stop_arr, F.lower(t)))
+    result = F.when(
+        F.trim(F.col(text_col)) == "", F.lit("")
+    ).otherwise(F.array_join(kept, " "))
+    return df.withColumn(out or text_col, result)

@@ -424,3 +424,24 @@ def test_exact_dedup_against_index(spark, docs):
     )
     out = dedup.exact_dedup_against_index(batch, index)
     assert sorted(r["doc_id"] for r in out.collect()) == [101, 102]
+
+
+def test_dedup_eval_metrics(spark):
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5), (4, 3)], "id_a long, id_b long"
+    )  # 3 distinct normalized pairs
+    truth = spark.createDataFrame(
+        [(2, 1), (5, 6), (7, 8)], "id_a long, id_b long"
+    )
+    r = dedup.dedup_eval(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_truth"], r["n_hit"]) == (3, 3, 2)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(2 / 3, 6)
+
+
+def test_dedup_eval_empty_predictions(spark):
+    pred = spark.createDataFrame([], "id_a long, id_b long")
+    truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = dedup.dedup_eval(pred, truth).collect()[0]
+    assert (r["precision"], r["recall"], r["f1"]) == (0.0, 0.0, 0.0)

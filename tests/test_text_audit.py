@@ -171,3 +171,33 @@ def test_table_fingerprint_order_insensitive(spark):
         spark.createDataFrame([(1, "x"), (2, "")], "id long, s string")
     ).first()
     assert c.checksum != a.checksum  # NULL != empty string
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from bubbles_spark.ops import audit as audit_ops
+
+    data = [(float(i), float(i * 2 + 1), float((-1) ** i * i)) for i in range(20)]
+    df = spark.createDataFrame(data, "a double, b double, c double")
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in audit_ops.correlation_matrix(df, ["a", "b", "c"]).collect()
+    }
+    arr = np.array(data)
+    for i, x in enumerate("abc"):
+        for j, y in enumerate("abc"):
+            if i <= j:
+                exp = np.corrcoef(arr[:, i], arr[:, j])[0, 1]
+                assert abs(got[(x, y)] - exp) < 1e-6, (x, y)
+    assert got[("a", "b")] == 1.0  # perfectly linear
+
+
+def test_correlation_matrix_rejects_spearman(spark):
+    import pytest
+
+    from bubbles_spark.ops import audit as audit_ops
+
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    with pytest.raises(ValueError):
+        audit_ops.correlation_matrix(df, ["a", "b"], method="spearman")

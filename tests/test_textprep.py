@@ -484,3 +484,20 @@ def test_canonicalize_url_fragment_and_trailing(spark):
 
 def test_canonicalize_url_schemeless_passthrough(spark):
     assert _canon(spark, "Example.com/Path?utm_a=1") == "Example.com/Path?utm_a=1"
+
+
+def test_remove_stopwords_keeps_case_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick fox AND the lazy dog"), (2, ""), (3, "the and of")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["text"] for r in textprep.remove_stopwords(df).collect()}
+    assert got[1] == "quick fox lazy dog"
+    assert got[2] == ""
+    assert got[3] == ""
+
+
+def test_remove_stopwords_custom_list(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")
+    out = textprep.remove_stopwords(df, stopwords=["BETA"]).collect()[0]["text"]
+    assert out == "alpha gamma"
