@@ -435,3 +435,80 @@ def test_funnel_matches_python_reference(spark, events, within):
         for i in range(len(times)):
             counts[i] += 1
     assert got == {i: counts[i] for i in range(3)}
+
+
+# messy URL generator: optional scheme-case, www, default/explicit
+# port, path, tracking + real params in random order, fragment
+_url_parts = st.tuples(
+    st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    st.booleans(),  # www
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/a", "/a/b", "/a/"]),
+    st.lists(
+        st.sampled_from(
+            ["utm_source=x", "utm_b=2", "gclid=g", "id=3", "q=spark", "ref=r"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    st.sampled_from(["", "#frag", "#x/y?z"]),
+)
+
+
+def _mk_url(parts):
+    scheme, www, port, path, params, frag = parts
+    host = ("WWW." if www else "") + "Example.COM"
+    q = ("?" + "&".join(params)) if params else ""
+    return f"{scheme}://{host}{port}{path}{q}{frag}"
+
+
+@_slow
+@given(parts=st.lists(_url_parts, min_size=1, max_size=6))
+def test_canonicalize_url_idempotent(spark, parts):
+    from bubbles_spark.ops import textprep
+
+    urls = [(i, _mk_url(p)) for i, p in enumerate(parts)]
+    df = spark.createDataFrame(urls, "id long, url string")
+    once = textprep.canonicalize_url(df).collect()
+    twice = textprep.canonicalize_url(
+        textprep.canonicalize_url(df)
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+    for r in once:
+        u = r["url"]
+        assert "#" not in u
+        assert "utm_" not in u and "gclid" not in u
+        assert not u.endswith("?") and not u.endswith("&") and not u.endswith("/")
+        assert "://www." not in u
+        # default ports strip only for THEIR scheme (:80 on https is
+        # a real non-default port and must survive)
+        bare = u.replace(":8080", "")
+        if u.startswith("http://"):
+            assert ":80" not in bare
+        if u.startswith("https://"):
+            assert ":443" not in bare
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab <>&;!/\"'=xyz\n")), max_size=60
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_html_to_text_never_leaves_complete_tags(spark, texts):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    for r in textprep.html_to_text(df).collect():
+        t = r["text"] or ""
+        # no complete <...> tag can survive the strip chain
+        import re
+
+        assert not re.search(r"<[^<>]*>", t), (t,)
+        assert t == t.strip()
