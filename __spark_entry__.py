@@ -4008,6 +4008,23 @@ def q_script_profile(spark, sf_dir):
     )
 
 
+@_q(
+    "hash_sample_quarter",
+    """
+    SELECT doc_id FROM documents
+    WHERE lpad(substring(md5(CAST(doc_id AS VARCHAR) || chr(31) || '0'), 1, 8),
+               9, '0') < '040000000'
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    # engine-portable deterministic sampling: the DuckDB oracle runs
+    # the IDENTICAL md5-prefix predicate, so membership must agree
+    # row-for-row — the property that makes a sampled eval set
+    # reproducible outside Spark
+    d = _t(spark, sf_dir, "documents")
+    return core.hash_sample(d, 0.25, ["doc_id"]).select("doc_id")
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _CORR_ORACLE = "\nUNION ALL\n".join(
     f"SELECT '{a}' AS col_a, '{b}' AS col_b, "

@@ -374,6 +374,49 @@ def _threshold_topk(ranked: DataFrame, key_col: str, k: int) -> DataFrame:
     return trimmed.filter(F.col("__rn") <= k).drop("__rn", key_col)
 
 
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: Sequence[str],
+    salt: int = 0,
+    digits: int = 8,
+    discard: bool = False,
+) -> DataFrame:
+    """Deterministic fraction sample by content-hash threshold: keep
+    rows whose md5(key ⊕ salt) hex PREFIX sorts below the fraction
+    cutoff.  Same guarantees as ``sample(mode='random')``'s seeded
+    key but CONTENT-keyed and engine-portable: the identical predicate
+    runs anywhere md5 exists, so a sample drawn here reproduces
+    byte-for-byte in another engine, another run, or after a task
+    retry — the property that matters when a sampled subset becomes a
+    published eval set.
+
+    Map-only (no shuffle, no count); rows with equal keys sample
+    together (consistent-sampling semantics — key on a doc id to make
+    membership per-document).  ``fraction`` resolves at hex-prefix
+    granularity: 16^-digits (~2.3e-10 at the default 8).  ``salt``
+    selects a disjoint-in-distribution replica; ``discard=True``
+    returns the exact complement (the two partitions are a clean
+    train/eval cut of the keyspace)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = int(round(fraction * (16**digits)))
+    threshold = format(cut, "x").rjust(digits + 1, "0")
+    prefix = F.substring(
+        F.md5(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in key_cols], F.lit(str(salt))
+            )
+        ),
+        1,
+        digits,
+    )
+    # pad the row prefix to the threshold's width so the compare is
+    # lexicographic-numeric even when cut == 16^digits (fraction 1.0)
+    pred = F.lpad(prefix, digits + 1, "0") < F.lit(threshold)
+    return df.filter(~pred if discard else pred)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

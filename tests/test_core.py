@@ -538,3 +538,31 @@ def test_cdc_diff_null_transitions_are_updates(spark):
     src = spark.createDataFrame([(1, 5.0)], "id long, v double")
     [r] = core.cdc_diff(src, target, "id", ["v"]).collect()
     assert (r.op, r.v) == ("update", 5.0)
+
+
+def test_hash_sample_deterministic_and_complement(spark):
+    from bubbles_spark.ops import core as core_ops
+
+    df = spark.range(0, 2000).withColumn("k", F.col("id").cast("string"))
+    a = core_ops.hash_sample(df, 0.25, ["k"])
+    b = core_ops.hash_sample(df, 0.25, ["k"])
+    ids_a = sorted(r["id"] for r in a.collect())
+    assert ids_a == sorted(r["id"] for r in b.collect())  # run-to-run stable
+    # roughly a quarter (binomial bounds, generous)
+    assert 380 <= len(ids_a) <= 620
+    comp = core_ops.hash_sample(df, 0.25, ["k"], discard=True)
+    assert len(ids_a) + comp.count() == 2000
+    assert not set(ids_a) & {r["id"] for r in comp.collect()}
+
+
+def test_hash_sample_fraction_edges_and_salt(spark):
+    from bubbles_spark.ops import core as core_ops
+
+    df = spark.range(0, 300).withColumn("k", F.col("id").cast("string"))
+    assert core_ops.hash_sample(df, 1.0, ["k"]).count() == 300
+    assert core_ops.hash_sample(df, 0.0, ["k"]).count() == 0
+    s0 = {r["id"] for r in core_ops.hash_sample(df, 0.5, ["k"], salt=0).collect()}
+    s1 = {r["id"] for r in core_ops.hash_sample(df, 0.5, ["k"], salt=1).collect()}
+    assert s0 != s1  # different replica
+    with pytest.raises(ValueError):
+        core_ops.hash_sample(df, 1.5, ["k"])
