@@ -2426,6 +2426,545 @@ def q_tpch_q19_like(spark, sf_dir):
     )
 
 
+# --- TPC-H tail: the remaining classics expressible on this schema.
+# (q2/q11/q20 need partsupp, which the testdata does not ship; q4/q21
+# substitute a shipdate-lateness predicate for the missing
+# commitdate/receiptdate; q13 substitutes o_orderpriority for the
+# missing o_comment; q16/q17 substitute p_size for p_container; q22
+# substitutes c_nationkey for the missing c_phone country code.)
+@_q(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_like(spark, sf_dir):
+    # Q4's EXISTS shape (late-line predicate stands in for the
+    # missing commitdate < receiptdate): the correlated EXISTS
+    # compiles to a LEFT SEMI join on orderkey with the lateness
+    # conjunct evaluated join-side — no second scan, no distinct
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    # the canonical scan-only query: every predicate reaches the
+    # parquet scan (PushedFilters on shipdate/discount/quantity) and
+    # the single global sum partial-aggregates map-side — at 100 TB
+    # this is bounded purely by scan bandwidth
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(20,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                               ELSE 0 END) / SUM(volume), 6) AS DOUBLE)
+             AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))
+               AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    # the national-market-share 8-table join: every dimension side
+    # (part, supplier, customer-nation-region cut) broadcasts, so
+    # the only shuffle is lineitem⋈orders on orderkey; decimal sums
+    # keep the share ratio exact until the one rounded division
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,4)"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust_in_region),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", F.col("volume"))
+                    .otherwise(F.lit(0))
+                )
+                / F.sum("volume"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year, CAST(SUM(volume) AS DOUBLE) AS profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))
+               AS volume
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE p_type = 'PROMO'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9_like(spark, sf_dir):
+    # Q9's profit-by-nation-and-year shape (no partsupp in the
+    # testdata, so revenue stands in for revenue-minus-supplycost):
+    # part filter broadcasts, supplier⋈nation broadcasts, one
+    # orderkey shuffle joins orders for the year
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,4)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.sum(vol).cast("double").alias("profit"))
+    )
+
+
+@_q(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+           AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13_like(spark, sf_dir):
+    # Q13's order-count histogram including zero-order customers
+    # (the priority filter stands in for the missing o_comment NOT
+    # LIKE, preserving the filter-in-join-condition placement that
+    # makes the LEFT JOIN semantics matter): customers broadcast
+    # into orders, COUNT(o_orderkey) counts only matched rows
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@_q(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark, sf_dir):
+    # the top-supplier view: one shuffle builds per-supplier quarter
+    # revenue; the scalar-subquery MAX is a single-row broadcast
+    # joined back on EXACT decimal equality (doubles would make the
+    # tie test partition-order-dependent) — ties all surface, as in
+    # the spec
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(20,4)"
+            )
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(
+            F.broadcast(top), rev.total_revenue == F.col("__max_rev")
+        )
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@_q(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16_like(spark, sf_dir):
+    # Q16's supplier-count-per-part-class shape (lineitem supplies
+    # the part↔supplier pairs the missing partsupp table would):
+    # the filtered part side broadcasts, the count-distinct is the
+    # one shuffle (partial distinct map-side via Spark's two-phase
+    # distinct aggregation)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH per_part AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN per_part ON pk = l_partkey
+    WHERE p_brand = 'Brand#2' AND p_size < 10
+      AND CAST(l_quantity AS BIGINT) * cnt * 5 < sum_qty
+    """,
+)
+def q_tpch_q17_like(spark, sf_dir):
+    # Q17's small-quantity predicate `qty < 0.2 * avg(qty per part)`
+    # rewritten as EXACT integer cross-multiplication (qty*cnt*5 <
+    # sum_qty) so no float average can flip a boundary row between
+    # engines; the correlated scalar subquery becomes one
+    # per-partkey aggregate joined back (p_size stands in for the
+    # missing p_container)
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).join(
+        per_part, F.col("l_partkey") == F.col("pk")
+    )
+    return (
+        j.filter(
+            F.col("l_quantity").cast("bigint") * F.col("cnt") * 5
+            < F.col("sum_qty")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(20,4)"))
+                .cast("double")
+                / 7.0
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH f AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+      FROM f GROUP BY l_orderkey
+    ),
+    blame AS (
+      SELECT DISTINCT f.l_orderkey, f.l_suppkey
+      FROM f JOIN per_order p ON p.l_orderkey = f.l_orderkey
+      WHERE f.late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM blame JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21_like(spark, sf_dir):
+    # Q21's EXISTS/NOT-EXISTS pair (another supplier delivered on
+    # time / no other supplier was late) collapses to one per-order
+    # aggregate — n_supp >= 2 and n_late = 1 pins the blamed
+    # supplier uniquely — so the double self-join of the textbook
+    # plan becomes a single orderkey shuffle reused by the join back
+    # (shipdate lateness stands in for commit/receipt dates)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("late"),
+    )
+    per_order = f.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    blame = (
+        f.filter(F.col("late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blame.join(F.broadcast(supp), blame.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(20,6)) AS bal
+      FROM customer
+    ),
+    thr AS (
+      SELECT SUM(bal) AS s, COUNT(*) AS n
+      FROM pos WHERE bal > 0 AND c_nationkey < 10
+    )
+    SELECT c_nationkey AS cntry,
+           COUNT(*) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM pos, thr
+    WHERE c_nationkey < 10 AND bal * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22_like(spark, sf_dir):
+    # Q22's above-average-balance-but-never-ordered shape
+    # (c_nationkey stands in for the missing c_phone country code):
+    # the `bal > avg(bal)` test cross-multiplies through EXACT
+    # decimals (bal*n > sum) so no float mean can flip a boundary
+    # customer; the NOT EXISTS ("no orders since 1999", the spec's
+    # dormant-customer cut) is a LEFT ANTI join against the
+    # date-filtered orders — the filter pushes to the orders scan
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(20,6)").alias("bal"),
+    )
+    scope = cust.filter(F.col("c_nationkey") < 10)
+    thr = (
+        scope.filter(F.col("bal") > 0)
+        .agg(
+            F.sum("bal").alias("__s"), F.count(F.lit(1)).alias("__n")
+        )
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    return (
+        scope.crossJoin(F.broadcast(thr))
+        .filter(F.col("bal") * F.col("__n") > F.col("__s"))
+        .join(
+            orders, F.col("c_custkey") == orders.o_custkey, "left_anti"
+        )
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
 # --- end-to-end training-data prep pipeline ---------------------------
 @_q(
     "docs_prep_pipeline",
