@@ -4798,6 +4798,56 @@ def q_unigram_perplexity(spark, sf_dir):
 
 
 @_q(
+    "dsir_logratio",
+    f"""
+    WITH raw_toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS token
+      FROM documents WHERE trim(text) != ''
+    ),
+    tgt_toks AS (
+      SELECT unnest({_TOKS_SQL}) AS token
+      FROM documents
+      WHERE source IN ('src0', 'src1') AND trim(text) != ''
+    ),
+    tgt_counts AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS ct FROM tgt_toks GROUP BY token
+    ),
+    tgt_tot AS (SELECT SUM(ct) AS nt FROM tgt_counts),
+    vocab AS (SELECT token, ct FROM tgt_counts ORDER BY ct DESC, token LIMIT 300),
+    vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+    raw_counts AS (
+      SELECT token, CAST(COUNT(*) AS DOUBLE) AS cr FROM raw_toks GROUP BY token
+    ),
+    raw_tot AS (SELECT SUM(cr) AS nr FROM raw_counts),
+    scored AS (
+      SELECT t.doc_id,
+             CASE WHEN vb.token IS NULL
+                  THEN ln(1.0 / (tgt_tot.nt + 1.0 * (vs.v + 1)))
+                       - ln(1.0 / (raw_tot.nr + 1.0 * (vs.v + 1)))
+                  ELSE ln((vb.ct + 1.0) / (tgt_tot.nt + 1.0 * (vs.v + 1)))
+                       - ln((COALESCE(rc.cr, 0) + 1.0)
+                            / (raw_tot.nr + 1.0 * (vs.v + 1)))
+             END AS lr
+      FROM raw_toks t
+      LEFT JOIN vocab vb USING (token)
+      LEFT JOIN raw_counts rc ON rc.token = vb.token
+      CROSS JOIN tgt_tot CROSS JOIN raw_tot CROSS JOIN vs
+    )
+    SELECT doc_id, ROUND(AVG(lr), 6) AS dsir_logratio
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_dsir_logratio(spark, sf_dir):
+    # DSIR domain-selection weights with src0/src1 as the target
+    # domain; vocab capped at 300 so the shared OOV bucket is
+    # genuinely exercised — the oracle re-derives both smoothed LMs
+    # and the log importance ratio end-to-end in SQL
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("source").isin("src0", "src1"))
+    return textan.dsir_logratio(d, tgt, vocab_size=300)
+
+
+@_q(
     "domain_filter",
     """
     SELECT doc_id FROM documents WHERE doc_id % 50 NOT IN (7, 13)

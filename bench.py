@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
+    "dsir_logratio",
 ]
 
 

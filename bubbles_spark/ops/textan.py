@@ -364,6 +364,92 @@ def unigram_perplexity(
     )
 
 
+def dsir_logratio(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 10000,
+    alpha: float = 1.0,
+    out: str = "dsir_logratio",
+) -> DataFrame:
+    """Per-document importance weight for domain-targeted data
+    selection — the DSIR recipe (Data Selection via Importance
+    Resampling, Xie et al. 2023): score raw documents by how much
+    more likely they are under a TARGET-domain unigram LM than under
+    the RAW-corpus LM, then keep the top slice (or Gumbel-sample
+    proportionally) as domain-matched training data.
+
+    Model: vocabulary = top-``vocab_size`` lowercased tokens of the
+    TARGET corpus (ties at the cutoff broken by token string);
+    add-``alpha`` smoothed unigram probabilities on both corpora
+    share one OOV bucket.  score(doc) = mean over its tokens of
+    ln(p_target(t) / p_raw(t)) — the length-normalized log
+    importance ratio (DSIR's sum-form weight divided by doc length,
+    so long documents don't dominate the cut).  Positive = more
+    target-like than the corpus average.
+
+    Scale shape (100 TB corpus):
+      - two word-count shuffles (target + raw), each with map-side
+        combine and vocabulary-bounded output;
+      - the (token → log ratio) table is vocabulary-sized and
+        BROADCASTS into the exploded raw tokens — the corpus never
+        shuffles for the lookup;
+      - per-doc mean partial-aggregates, so the reduce shuffle
+        carries partial sums, not tokens;
+      - N/V totals are metadata-sized driver scalars (same contract
+        as ``unigram_perplexity``).
+
+    Selection is deliberately separate: feed the returned
+    (id, score) frame to ``core.top_k`` for the deterministic cut or
+    ``core.sample(mode="weighted")`` for temperature sampling.
+
+    Returns the skinny (id_col, out) frame; empty docs are absent.
+    """
+    import math
+
+    raw_toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("__tok"),
+    )
+    tgt_toks = target_df.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("__tok")
+    )
+
+    tgt_counts = tgt_toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__ct"))
+    n_tgt = tgt_counts.agg(F.sum("__ct")).collect()[0][0] or 0
+    vocab = tgt_counts.orderBy(F.col("__ct").desc(), F.col("__tok")).limit(
+        vocab_size
+    )
+    v = vocab.count()
+
+    raw_counts = raw_toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cr"))
+    n_raw = raw_counts.agg(F.sum("__cr")).collect()[0][0] or 0
+
+    denom_t = float(n_tgt) + alpha * (v + 1)
+    denom_r = float(n_raw) + alpha * (v + 1)
+    # vocabulary-sized join: raw counts restricted to the target vocab
+    ratio = (
+        vocab.join(raw_counts, "__tok", "left")
+        .select(
+            "__tok",
+            (
+                F.log((F.col("__ct") + F.lit(alpha)) / F.lit(denom_t))
+                - F.log(
+                    (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(alpha))
+                    / F.lit(denom_r)
+                )
+            ).alias("__lr"),
+        )
+    )
+    # OOV mass: all non-vocab tokens share one bucket in BOTH models
+    oov_lr = math.log(alpha / denom_t) - math.log(alpha / denom_r)
+    scored = raw_toks.join(F.broadcast(ratio), "__tok", "left").withColumn(
+        "__lr", F.coalesce(F.col("__lr"), F.lit(oov_lr))
+    )
+    return scored.groupBy(id_col).agg(F.round(F.avg("__lr"), 6).alias(out))
+
+
 def bpe_tokenize(
     df: DataFrame,
     merges,

@@ -306,3 +306,49 @@ def test_script_profile_tie_prefers_declaration_order(spark):
     df = spark.createDataFrame([(1, "ab пр")], "id long, text string")
     r = textan.script_profile(df).collect()[0]
     assert r["dominant_script"] == "latin"  # 2 == 2, latin declared first
+
+
+def test_dsir_logratio_prefers_target_domain(spark):
+    # target domain talks about physics; raw corpus mixes physics and
+    # cooking — physics docs must score strictly higher, and a doc of
+    # pure OOV gibberish scores the (shared-bucket) OOV ratio exactly
+    target = spark.createDataFrame(
+        [(100 + i, "quantum field theory energy momentum") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum energy momentum"),
+            (2, "field theory energy"),
+            (3, "butter flour sugar oven"),
+            (4, "whisk dough oven butter"),
+            (5, "zzqx vvrgh"),  # pure OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in textan.dsir_logratio(raw, target, vocab_size=50).collect()
+    }
+    assert len(out) == 5
+    assert min(out[1], out[2]) > max(out[3], out[4])
+    # docs of ONLY out-of-vocabulary tokens (cooking words and
+    # gibberish alike — neither appears in the target) all land on
+    # the identical shared-bucket log ratio ln(denom_raw/denom_tgt)
+    assert out[3] == out[4] == out[5]
+    import math
+    denom_t = 25 + 1.0 * (5 + 1)  # 25 target tokens, V=5 distinct
+    denom_r = 16 + 1.0 * (5 + 1)  # 16 raw tokens
+    assert out[5] == round(math.log(denom_r / denom_t), 6)
+
+
+def test_dsir_logratio_empty_docs_absent(spark):
+    target = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    got = textan.dsir_logratio(raw, target).collect()
+    assert {r["doc_id"] for r in got} == {1}
