@@ -4941,6 +4941,41 @@ def q_paragraph_dedup(spark, sf_dir):
 
 
 @_q(
+    "remove_boilerplate_lines",
+    """
+    SELECT doc_id,
+           'U' || doc_id || ':' || text[1:30]
+           || chr(10) || 'PAIR ' || CAST(doc_id // 2 AS VARCHAR)
+           || CASE WHEN 3 * (doc_id // 3) + 2 > (SELECT MAX(doc_id) FROM documents)
+                   THEN chr(10) || 'TRIO ' || CAST(doc_id // 3 AS VARCHAR)
+                   ELSE '' END AS text
+    FROM documents
+    """,
+)
+def q_remove_boilerplate_lines(spark, sf_dir):
+    # planted 4-line docs exercising every side of the min_docs=3
+    # threshold: 'COOKIE BANNER' is in EVERY doc (vanishes from ALL —
+    # unlike paragraph_dedup, no first-copy survivor); 'U<id>:' is
+    # unique (survives); 'PAIR <id//2>' is shared by exactly 2 docs
+    # (below threshold — survives); 'TRIO <id//3>' by exactly 3
+    # (AT threshold — removed), except the incomplete final group
+    # when N%3 != 0, whose 1-2 members keep it.  The oracle writes
+    # the expected reassembly (original line order) directly.
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr(
+            "concat('COOKIE BANNER', '\\n', "
+            "'U', doc_id, ':', substr(text, 1, 30), '\\n', "
+            "'PAIR ', CAST(doc_id DIV 2 AS STRING), '\\n', "
+            "'TRIO ', CAST(doc_id DIV 3 AS STRING))"
+        ),
+    )
+    return textprep.remove_boilerplate_lines(d, min_docs=3)
+
+
+@_q(
     "quality_classifier_planted",
     """
     SELECT doc_id,

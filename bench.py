@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
     "dsir_logratio",
+    "remove_boilerplate_lines",
 ]
 
 

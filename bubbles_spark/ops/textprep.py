@@ -731,6 +731,64 @@ def paragraph_dedup(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 3,
+    scope_col: str | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """C4/CCNet-style boilerplate-line removal: drop every line that
+    appears in at least ``min_docs`` DISTINCT documents — navigation
+    menus, cookie banners, footers — and keep everything else in
+    original order.  Unlike ``paragraph_dedup`` (which keeps the
+    FIRST copy of repeated text), boilerplate lines vanish from ALL
+    documents: a line shared that widely is template chrome, not
+    content anyone authored once.
+
+    ``scope_col`` (e.g. a domain/source column) counts repetition
+    within each scope instead of globally — a line legitimately
+    common across the whole web may still be boilerplate only within
+    one site.  Empty lines never count and never come back (same
+    contract as ``paragraph_dedup``).
+
+    Plan: posexplode → ONE shuffle keyed by (scope, line hash) with a
+    two-phase count-distinct of doc ids → the boilerplate key set
+    (vocabulary-sized, far smaller than the corpus) anti-joins back —
+    AQE broadcasts it when it fits — → groupBy(doc) ordered
+    reassembly.  The corpus text shuffles once (reassembly); counting
+    moves only hashes and ids.
+    """
+    scope = [scope_col] if scope_col else []
+    parts = df.select(
+        F.col(id_col),
+        *scope,
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+    ).filter(F.col("line") != "")
+    keyed = parts.withColumn("__h", F.xxhash64("line"))
+    boiler = (
+        keyed.groupBy(*scope, "__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select(*scope, "__h")
+    )
+    kept = keyed.join(boiler, [*scope, "__h"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(out or text_col)
+    )
+    return df.select(id_col).distinct().join(rebuilt, id_col, "left").fillna(
+        {out or text_col: ""}
+    )
+
+
 # tracking query parameters stripped by canonicalize_url (the usual
 # analytics/click-id noise); alternation kept RE2-safe
 TRACKING_PARAMS = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|yclid|mc_eid|ref|ref_src)"

@@ -501,3 +501,63 @@ def test_remove_stopwords_custom_list(spark):
     df = spark.createDataFrame([(1, "alpha beta gamma")], "id long, text string")
     out = textprep.remove_stopwords(df, stopwords=["BETA"]).collect()[0]["text"]
     assert out == "alpha gamma"
+
+
+def test_remove_boilerplate_lines_threshold_and_order(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [
+            (1, "FOOTER\nalpha one\nshared"),
+            (2, "FOOTER\nbeta two\nshared"),
+            (3, "FOOTER\ngamma three\nshared"),
+            (4, "FOOTER\ndelta four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in textprep.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    # FOOTER in 4 docs -> gone; 'shared' in 3 docs -> gone (at
+    # threshold); unique lines survive in position
+    assert out == {
+        1: "alpha one",
+        2: "beta two",
+        3: "gamma three",
+        4: "delta four",
+    }
+
+
+def test_remove_boilerplate_lines_scoped_by_domain(spark):
+    from bubbles_spark.ops import textprep
+
+    rows = [(i, "a.com", "MENU\nbody a " + str(i)) for i in range(3)] + [
+        (10, "b.com", "MENU\nbody b")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in textprep.remove_boilerplate_lines(
+            df, min_docs=3, scope_col="domain"
+        ).collect()
+    }
+    # MENU is boilerplate within a.com (3 docs) but NOT within b.com
+    # (1 doc) — global counting would wrongly strip b.com's copy
+    assert out[0] == "body a 0"
+    assert out[10] == "MENU\nbody b"
+
+
+def test_remove_boilerplate_lines_all_boiler_doc_empty(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [(1, "X\nY"), (2, "X\nY"), (3, "X\nY"), (4, "X\nkeep me")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in textprep.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1] == "" and out[2] == "" and out[3] == ""
+    assert out[4] == "keep me"
