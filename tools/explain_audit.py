@@ -221,6 +221,47 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "equi joins only")],
     ),
     (
+        "tpch_q6_forecast_revenue",
+        [(r"PushedFilters: .*GreaterThanOrEqual\(l_shipdate", "shipdate filter reaches the scan"),
+         (r"PushedFilters: .*LessThan\(l_quantity", "quantity filter reaches the scan"),
+         (r"Functions \[\d+\]: \[partial_", "the single sum partial-aggregates map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python"),
+         (r"SortMergeJoin|CartesianProduct", "scan-only: no join at all")],
+    ),
+    (
+        "tpch_q8_market_share",
+        [(r"BroadcastHashJoin", "part/supplier-nation/customer-region sides broadcast"),
+         (r"Functions \[\d+\]: \[partial_", "volume sums partial-aggregate map-side"),
+         (r"PushedFilters: .*(GreaterThanOrEqual|IsNotNull)\(o_orderdate", "order-date window reaches the orders scan")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "equi joins only")],
+    ),
+    (
+        "tpch_q4_order_priority",
+        [(r"LeftSemi", "the correlated EXISTS compiles to LEFT SEMI"),
+         (r"PushedFilters: .*(GreaterThanOrEqual|IsNotNull)\(o_orderdate", "date window reaches the orders scan")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join explosion")],
+    ),
+    (
+        "tpch_q22_global_sales_opportunity",
+        [(r"LeftAnti", "NOT EXISTS compiles to LEFT ANTI against orders"),
+         (r"PushedFilters: .*GreaterThanOrEqual\(o_orderdate", "the dormancy cutoff reaches the orders scan")],
+        [(r"CartesianProduct", "the one-row threshold broadcast is the only nested-loop side")],
+    ),
+    (
+        "dsir_logratio",
+        [(r"BroadcastHashJoin", "the vocabulary-sized log-ratio table broadcasts into the tokens"),
+         (r"Functions \[\d+\]: \[partial_", "per-doc means partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "scoring is codegen, no Python"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no join explosion")],
+    ),
+    (
+        "remove_boilerplate_lines",
+        [(r"partial_count\(distinct ", "doc-count per line partial-aggregates (two-phase count-distinct)"),
+         (r"LeftAnti", "boilerplate key set anti-joins back")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "splitting/hashing is codegen, no Python"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no join explosion")],
+    ),
+    (
         "image_phash_planted_recall",
         [(r"MapInPandas", "decode+hash is the Arrow-batched map-only pass"),
          (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin",
