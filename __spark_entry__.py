@@ -4798,6 +4798,126 @@ def q_unigram_perplexity(spark, sf_dir):
 
 
 @_q(
+    "gopher_rules",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 50 = 0
+                   THEN '- alpha item' || chr(10) || '- beta item'
+                        || chr(10) || '- gamma item'
+                   ELSE text END)
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || '- bullet one' || chr(10)
+                          || '- bullet two' || chr(10) || '- bullet three'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' #### #### ####' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN chr(10) || 'trailing thought...' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' to be of and that have with' ELSE '' END
+               AS text
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             {_NTOK_SQL} AS n_words,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN (length({_NORM_SQL}) - ({_NTOK_SQL} - 1)) * 1.0
+                       / {_NTOK_SQL}
+                  ELSE 0.0 END AS mean_len,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0
+                       / {_NTOK_SQL}
+                  ELSE 0.0 END AS sym_r,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        s -> trim(s)), s -> s != '') AS lines,
+             CASE WHEN {_NTOK_SQL} > 0
+                  THEN len(list_filter({_TOKS_SQL},
+                                       w -> regexp_matches(w, '[a-z]'))) * 1.0
+                       / {_NTOK_SQL}
+                  ELSE 0.0 END AS alpha_r,
+             (CASE WHEN regexp_matches({_NORM_SQL}, '\\bthe\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches({_NORM_SQL}, '\\bbe\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches({_NORM_SQL}, '\\bto\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches({_NORM_SQL}, '\\bof\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches({_NORM_SQL}, '\\band\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches({_NORM_SQL}, '\\bthat\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches({_NORM_SQL}, '\\bhave\\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches({_NORM_SQL}, '\\bwith\\b') THEN 1 ELSE 0 END)
+               AS stop_h
+      FROM aug
+    ),
+    rat AS (
+      SELECT doc_id, n_words, mean_len, sym_r, alpha_r, stop_h,
+             CASE WHEN len(lines) > 0
+                  THEN len(list_filter(lines,
+                                       s -> regexp_matches(s, '^[-*•]'))) * 1.0
+                       / len(lines)
+                  ELSE 0.0 END AS bull_r,
+             CASE WHEN len(lines) > 0
+                  THEN len(list_filter(lines,
+                                       s -> regexp_matches(s, '(\\.\\.\\.|…)$')))
+                       * 1.0 / len(lines)
+                  ELSE 0.0 END AS ell_r
+      FROM feat
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS rule_mean_word_len,
+           sym_r <= 0.1 AS rule_symbol_ratio,
+           bull_r <= 0.9 AS rule_bullet_lines,
+           ell_r <= 0.3 AS rule_ellipsis_lines,
+           alpha_r >= 0.8 AS rule_alpha_words,
+           stop_h >= 2 AS rule_stop,
+           ROUND(mean_len, 6) AS mean_word_len,
+           ROUND(sym_r, 6) AS symbol_ratio,
+           ROUND(bull_r, 6) AS bullet_line_ratio,
+           ROUND(ell_r, 6) AS ellipsis_line_ratio,
+           ROUND(alpha_r, 6) AS alpha_word_ratio,
+           CAST(stop_h AS BIGINT) AS stopword_hits,
+           (n_words >= 50 AND n_words <= 100000)
+           AND (mean_len >= 3.0 AND mean_len <= 10.0)
+           AND sym_r <= 0.1 AND bull_r <= 0.9 AND ell_r <= 0.3
+           AND alpha_r >= 0.8 AND stop_h >= 2 AS gopher_pass
+    FROM rat
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    # the verbatim Gopher rule set over planted rule triggers: 1/50
+    # of docs become bullet-only (rule 4 fails), 1/5 gain bullet
+    # appendices (still under 90%), 1/7 gain symbol runs (rule 3
+    # fails), 1/11 gain a trailing-ellipsis line (rule 5 fails),
+    # 1/13 gain all 8 required words (rule 7 passes); word counts
+    # straddle min_words=50 naturally (corpus median 56)
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr(
+            "concat("
+            "CASE WHEN doc_id % 50 = 0 "
+            "THEN concat('- alpha item', '\\n', '- beta item', '\\n', '- gamma item') "
+            "ELSE text END, "
+            "CASE WHEN doc_id % 5 = 0 "
+            "THEN concat('\\n', '- bullet one', '\\n', '- bullet two', '\\n', '- bullet three') "
+            "ELSE '' END, "
+            "CASE WHEN doc_id % 7 = 0 THEN ' #### #### ####' ELSE '' END, "
+            "CASE WHEN doc_id % 11 = 0 THEN concat('\\n', 'trailing thought...') ELSE '' END, "
+            "CASE WHEN doc_id % 13 = 0 THEN ' to be of and that have with' ELSE '' END)"
+        ),
+    )
+    out = textan.gopher_rules(d)
+    return out.select(
+        "doc_id", "n_words",
+        "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+        "rule_stop",
+        "mean_word_len", "symbol_ratio", "bullet_line_ratio",
+        "ellipsis_line_ratio", "alpha_word_ratio", "stopword_hits",
+        "gopher_pass",
+    )
+
+
+@_q(
     "dsir_logratio",
     f"""
     WITH raw_toks AS (

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "tpch_q22_global_sales_opportunity",
     "dsir_logratio",
     "remove_boilerplate_lines",
+    "gopher_rules",
 ]
 
 

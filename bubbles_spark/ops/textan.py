@@ -164,6 +164,131 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# the 8 "required" words of the Gopher rule set (Rae et al. 2021,
+# Appendix A1) — a document must contain at least 2 of them
+_GOPHER_STOPWORDS = "the be to of and that have with".split()
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    Appendix A1) as boolean flags + an overall ``gopher_pass`` — the
+    named rule set, verbatim, where ``quality_score`` is the generic
+    feature bundle:
+
+      1. ``min_words`` ≤ word count ≤ ``max_words``
+      2. mean word length in [3, 10]
+      3. symbol-to-word ratio (# or ellipsis) ≤ 0.1
+      4. ≤ 90% of lines start with a bullet (-, *, •)
+      5. ≤ 30% of lines end with an ellipsis
+      6. ≥ 80% of words contain at least one alphabetic character
+      7. at least 2 of the 8 required words {the, be, to, of, and,
+         that, have, with} appear (whole-word, case-insensitive)
+
+    Adds the per-rule flags (``rule_word_count`` ... ``rule_stop``),
+    the underlying ratios (rounded 6dp for cross-engine
+    comparability), and ``gopher_pass`` = AND of all seven.  Empty
+    documents fail rule 1 and carry zero ratios.
+
+    Fully codegen'd column expressions — no UDFs, map-only, no
+    shuffle; shared subexpressions are materialized as real columns
+    (see ``quality_score``'s CollapseProject note).  At 100 TB this
+    is scan-bandwidth-bound like every other row-local filter.
+    """
+    text = F.col(text_col)
+    staged = df.withColumn("__norm", _norm_ws(F.lower(text)))
+    norm = F.col("__norm")
+    staged = staged.withColumn(
+        "__ntok",
+        F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))),
+    )
+    n_tok = F.col("__ntok")
+    mean_len = F.when(
+        n_tok > 0, (F.length(norm) - (n_tok - 1)) / n_tok
+    ).otherwise(F.lit(0.0))
+    n_sym = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), 0))
+    sym_ratio = F.when(n_tok > 0, n_sym / n_tok).otherwise(F.lit(0.0))
+    # non-empty trimmed lines are the denominators for rules 4-5
+    lines = F.filter(
+        F.transform(F.split(text, F.lit("\n")), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    staged = staged.withColumn("__lines", lines)
+    n_lines = F.size(F.col("__lines"))
+    bullet_ratio = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                F.col("__lines"), lambda s: s.rlike(r"^[-*•]")
+            )
+        )
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                F.col("__lines"), lambda s: s.rlike(r"(\.\.\.|…)$")
+            )
+        )
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_tok > 0,
+        F.size(
+            F.filter(
+                F.split(norm, " "), lambda w: w.rlike(r"[a-z]")
+            )
+        )
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_hits = sum(
+        F.when(norm.rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        for w in _GOPHER_STOPWORDS
+    )
+    staged = (
+        staged.withColumn("__meanlen", mean_len)
+        .withColumn("__symr", sym_ratio)
+        .withColumn("__bullr", bullet_ratio)
+        .withColumn("__ellr", ellipsis_ratio)
+        .withColumn("__alphar", alpha_ratio)
+        .withColumn("__stoph", stop_hits)
+    )
+    flags = {
+        "rule_word_count": (n_tok >= min_words) & (n_tok <= max_words),
+        "rule_mean_word_len": (F.col("__meanlen") >= 3.0)
+        & (F.col("__meanlen") <= 10.0),
+        "rule_symbol_ratio": F.col("__symr") <= 0.1,
+        "rule_bullet_lines": F.col("__bullr") <= 0.9,
+        "rule_ellipsis_lines": F.col("__ellr") <= 0.3,
+        "rule_alpha_words": F.col("__alphar") >= 0.8,
+        "rule_stop": F.col("__stoph") >= 2,
+    }
+    out = staged.withColumn("n_words", n_tok.cast("long"))
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    passed = None
+    for name in flags:
+        passed = F.col(name) if passed is None else (passed & F.col(name))
+    return (
+        out.withColumn("mean_word_len", F.round(F.col("__meanlen"), 6))
+        .withColumn("symbol_ratio", F.round(F.col("__symr"), 6))
+        .withColumn("bullet_line_ratio", F.round(F.col("__bullr"), 6))
+        .withColumn("ellipsis_line_ratio", F.round(F.col("__ellr"), 6))
+        .withColumn("alpha_word_ratio", F.round(F.col("__alphar"), 6))
+        .withColumn("stopword_hits", F.col("__stoph").cast("long"))
+        .withColumn("gopher_pass", passed)
+        .drop(
+            "__norm", "__ntok", "__lines", "__meanlen", "__symr",
+            "__bullr", "__ellr", "__alphar", "__stoph",
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # language ID (marker-word/charset heuristic)
 # ---------------------------------------------------------------------

@@ -352,3 +352,43 @@ def test_dsir_logratio_empty_docs_absent(spark):
     )
     got = textan.dsir_logratio(raw, target).collect()
     assert {r["doc_id"] for r in got} == {1}
+
+
+def test_gopher_rules_each_rule_isolated(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "some more words follow here to pad this document out "
+            "with enough length that every other published rule is "
+            "satisfied by construction of this plain prose passage")
+    df = spark.createDataFrame(
+        [
+            (1, base),                                  # passes everything
+            (2, "too short to count"),                  # rule 1
+            (3, base + " #### #### #### #### ####"),    # rule 3: symbols
+            (4, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),  # rule 4
+            (5, base + "\nwait...\nhmm...\nmaybe..."),  # rule 5: ellipses
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textan.gopher_rules(df, min_words=30).collect()}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[2]["rule_word_count"] is False and not rows[2]["gopher_pass"]
+    assert rows[3]["rule_symbol_ratio"] is False
+    assert rows[4]["rule_bullet_lines"] is False  # 10/10 lines > 90%
+    assert rows[5]["rule_ellipsis_lines"] is False  # 3/4 lines > 30%
+    # symbols-only tokens also drag the alphabetic-word ratio down
+    assert rows[3]["alpha_word_ratio"] < 1.0
+
+
+def test_gopher_rules_stopword_and_empty(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(["lorem"] * 60)),               # 0 of the 8 words
+            (2, " ".join(["lorem"] * 60) + " the with"), # exactly 2
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textan.gopher_rules(df).collect()}
+    assert rows[1]["rule_stop"] is False and rows[1]["stopword_hits"] == 0
+    assert rows[2]["rule_stop"] is True and rows[2]["stopword_hits"] == 2
+    assert rows[3]["n_words"] == 0 and rows[3]["gopher_pass"] is False

@@ -164,6 +164,19 @@ def main() -> int:
             lambda d: textprep.repetition_ratio(d, n=2),
         ),
         "paragraph_dedup": (docs, "doc_id", lambda d: textprep.paragraph_dedup(d)),
+        "remove_boilerplate_lines": (
+            docs,
+            "doc_id",
+            lambda d: textprep.remove_boilerplate_lines(d, min_docs=3),
+        ),
+        "dsir_logratio": (
+            docs,
+            "doc_id",
+            # target = a fixed slice of the corpus; the raw side scales
+            lambda d: textan.dsir_logratio(
+                d, d.limit(200), vocab_size=300
+            ),
+        ),
         "ngram_jaccard_pairs": (
             docs,
             "doc_id",
