@@ -105,17 +105,21 @@ BENCH_QUERIES = [
     "tpch_q7_volume_shipping",
     "tpch_q14_promo_effect",
     "tpch_q19_disjunctive_revenue",
-    # the TPC-H tail (q2/q11/q20 need the partsupp table the
-    # testdata does not ship; all others run, adapted where a column
-    # is absent — see __spark_entry__.py docstrings)
+    # the TPC-H tail (q2/q11/q20 run against a supplier-part table
+    # DERIVED from lineitem since the testdata ships no partsupp; all
+    # others run directly, adapted where a column is absent — see
+    # __spark_entry__.py docstrings)
+    "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q20_dominant_supplier",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
     "dsir_logratio",

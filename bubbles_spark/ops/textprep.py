@@ -789,15 +789,20 @@ def remove_boilerplate_lines(
     )
 
 
-# tracking query parameters stripped by canonicalize_url (the usual
-# analytics/click-id noise); alternation kept RE2-safe
-TRACKING_PARAMS = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|yclid|mc_eid|ref|ref_src)"
+# tracking query parameters stripped by canonicalize_url — ONLY
+# unambiguous analytics/click ids.  Generic names like `ref` carry
+# real semantics on many sites (?ref=<branch> on code hosts, referral
+# content ids) and stripping them would merge genuinely distinct URLs,
+# making url_dedup drop distinct documents — pass
+# ``extra_params=("ref", "ref_src")`` to opt in.  Alternation RE2-safe.
+TRACKING_PARAMS = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|yclid|mc_eid)"
 
 
 def canonicalize_url(
     df: DataFrame,
     url_col: str = "url",
     out: str | None = None,
+    extra_params: Sequence[str] = (),
 ) -> DataFrame:
     """Normalize URLs to a canonical form so URL-keyed dedup
     (``url_dedup``) and domain joins don't fracture on cosmetic
@@ -811,7 +816,19 @@ def canonicalize_url(
     map-only, RE2-safe, cross-engine reproducible.  Heuristic by
     design: percent-encoding normalization and IDN are out of scope
     (they need per-byte tables, not a cleanup pass).
+
+    ``extra_params``: additional query-parameter names to strip
+    beyond ``TRACKING_PARAMS`` (literal names, regex-escaped) — e.g.
+    ``("ref", "ref_src")`` for corpora where those are known noise.
     """
+    params = TRACKING_PARAMS
+    if extra_params:
+        import re as _re
+
+        params = (
+            "(?:" + TRACKING_PARAMS + "|"
+            + "|".join(_re.escape(p) for p in extra_params) + ")"
+        )
     u = F.regexp_replace(F.col(url_col), r"#.*", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -826,9 +843,9 @@ def canonicalize_url(
     rebuilt = F.concat(scheme, F.lit("://"), host, pathq)
     # tracking params: non-first (&k=v) drop; first-with-successor
     # (?k=v&) collapses to "?"; first-and-only (?k=v$) drops
-    rebuilt = F.regexp_replace(rebuilt, r"&" + TRACKING_PARAMS + r"=[^&]*", "")
-    rebuilt = F.regexp_replace(rebuilt, r"\?" + TRACKING_PARAMS + r"=[^&]*&", "?")
-    rebuilt = F.regexp_replace(rebuilt, r"\?" + TRACKING_PARAMS + r"=[^&]*$", "")
+    rebuilt = F.regexp_replace(rebuilt, r"&" + params + r"=[^&]*", "")
+    rebuilt = F.regexp_replace(rebuilt, r"\?" + params + r"=[^&]*&", "?")
+    rebuilt = F.regexp_replace(rebuilt, r"\?" + params + r"=[^&]*$", "")
     rebuilt = F.regexp_replace(rebuilt, r"[?&]+$", "")
     rebuilt = F.regexp_replace(rebuilt, r"/$", "")
     result = F.when(scheme == "", F.col(url_col)).otherwise(rebuilt)

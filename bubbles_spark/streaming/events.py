@@ -900,12 +900,19 @@ def admit_stream_against_index(
     "batch operator inside a stream".  Exactly-once on retry: each
     batch writes to a DETERMINISTIC per-batch directory in overwrite
     mode, so a replayed epoch overwrites its own output instead of
-    appending duplicates.  No stateful operators → no state store,
-    no shard tuning needed; the index side re-plans per batch, so at
-    scale persist the signature table (or let AQE broadcast the
-    micro-batch side via ``broadcast_batch=True`` in dedup_kw)."""
-    import os
-
+    appending duplicates.  The drained result is assembled from the
+    CHECKPOINT's commit log, not a directory listing: only
+    ``admit_batch=<id>`` directories whose id this checkpoint actually
+    committed are read, so a reused output directory holding stale
+    batches from an earlier run (different checkpoint, different
+    micro-batch boundaries) can never double-count admitted docs.
+    All filesystem access goes through the Hadoop FileSystem API, so
+    ``path``/``checkpoint`` may be any supported scheme (s3a://,
+    hdfs://, file:), not just the local disk.  No stateful operators
+    → no state store, no shard tuning needed; the index side re-plans
+    per batch, so at scale persist the signature table (or let AQE
+    broadcast the micro-batch side via ``broadcast_batch=True`` in
+    dedup_kw)."""
     from bubbles_spark.ops import dedup as _dedup
 
     spark = docs.sparkSession
@@ -915,7 +922,7 @@ def admit_stream_against_index(
             batch_df, index, id_col, text_col, threshold=threshold, **dedup_kw
         )
         out.write.mode("overwrite").parquet(
-            os.path.join(path, f"admit_batch={batch_id}")
+            path.rstrip("/") + f"/admit_batch={batch_id}"
         )
 
     q = (
@@ -925,12 +932,43 @@ def admit_stream_against_index(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
     finally:
         if q.isActive:
             q.stop()
-    if not os.path.isdir(path) or not any(
-        p.startswith("admit_batch=") for p in os.listdir(path)
-    ):
+    if not finished:
+        # a silent partial drain would masquerade as "these docs were
+        # duplicates" — surface it instead
+        raise TimeoutError(
+            f"admit_stream_against_index: stream did not drain within "
+            f"{timeout_s}s; partial results left under {path!r} are "
+            f"safe to resume from (same checkpoint)"
+        )
+    committed = {
+        name
+        for name in _hadoop_ls(spark, checkpoint.rstrip("/") + "/commits")
+        if name.isdigit()
+    }
+    keep = [
+        path.rstrip("/") + "/" + name
+        for name in _hadoop_ls(spark, path)
+        if name.startswith("admit_batch=")
+        and name.split("=", 1)[1] in committed
+    ]
+    if not keep:
         return spark.createDataFrame([], docs.schema)
-    return spark.read.option("basePath", path).parquet(path).drop("admit_batch")
+    return (
+        spark.read.option("basePath", path).parquet(*keep).drop("admit_batch")
+    )
+
+
+def _hadoop_ls(spark: SparkSession, path: str) -> list[str]:
+    """Child basenames of ``path`` via the Hadoop FileSystem API —
+    works for every scheme the session can read (s3a, hdfs, file),
+    unlike ``os.listdir``.  Missing path → empty list."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]

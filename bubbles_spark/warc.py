@@ -53,24 +53,47 @@ WARC_SCHEMA = StructType(
 )
 
 
-def parse_warc_bytes(data: bytes) -> Iterator[dict]:
-    """Yield one dict per WARC record from a raw (already
-    decompressed) WARC byte stream.  Tolerant scanner: a malformed
-    record header stops the scan of THAT file rather than raising —
-    web archives routinely contain truncated tails, and losing the
-    tail beats failing the task (count surviving records to audit).
-    """
-    pos, n = 0, len(data)
-    while pos < n:
+_READ_CHUNK = 1 << 20  # decompressed-read granularity (1 MiB)
+
+
+def parse_warc_stream(fh) -> Iterator[dict]:
+    """Yield one dict per WARC record from a FILE-LIKE byte stream,
+    holding only the in-flight record (plus ≤1 read chunk) in memory —
+    a ~1 GB CommonCrawl gzip (~4–5 GB decompressed) never
+    materializes; peak Python memory is the largest single record.
+    Tolerant scanner: a malformed record header (or a truncated tail,
+    routine in web archives) stops the scan of THAT stream rather
+    than raising — losing the tail beats failing the task (count
+    surviving records to audit)."""
+    buf = bytearray()
+
+    def fill() -> bool:
+        chunk = fh.read(_READ_CHUNK)
+        if not chunk:
+            return False
+        buf.extend(chunk)
+        return True
+
+    while True:
         # records are separated by \r\n\r\n; skip any blank run
-        while pos < n and data[pos] in (0x0D, 0x0A):
-            pos += 1
-        if pos >= n:
-            return
-        head_end = data.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            return
-        head = data[pos:head_end].decode("utf-8", "replace")
+        i = 0
+        while True:
+            while i < len(buf) and buf[i] in (0x0D, 0x0A):
+                i += 1
+            if i < len(buf):
+                break
+            del buf[:]
+            i = 0
+            if not fill():
+                return
+        del buf[:i]
+        while True:
+            head_end = buf.find(b"\r\n\r\n")
+            if head_end >= 0:
+                break
+            if not fill():
+                return
+        head = bytes(buf[:head_end]).decode("utf-8", "replace")
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
             return
@@ -82,9 +105,24 @@ def parse_warc_bytes(data: bytes) -> Iterator[dict]:
             clen = int(headers.get("content-length", "0"))
         except ValueError:
             return
-        body = data[head_end + 4 : head_end + 4 + clen]
+        need = head_end + 4 + clen
+        truncated = False
+        while len(buf) < need:
+            if not fill():
+                truncated = True
+                break
+        body = bytes(buf[head_end + 4 : need])
+        del buf[:need]
         yield {"headers": headers, "body": body}
-        pos = head_end + 4 + clen
+        if truncated:
+            return
+
+
+def parse_warc_bytes(data: bytes) -> Iterator[dict]:
+    """Yield one dict per WARC record from raw (already decompressed)
+    WARC bytes — the in-memory convenience wrapper over
+    ``parse_warc_stream``."""
+    return parse_warc_stream(_io.BytesIO(data))
 
 
 def split_http_payload(body: bytes) -> tuple[int | None, str | None, bytes]:
@@ -110,12 +148,22 @@ def split_http_payload(body: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body[sep + 4 :]
 
 
+def _open_warc_stream(data: bytes):
+    """File-like view over raw-or-gzipped archive bytes.  Gzip is
+    decompressed INCREMENTALLY as the parser reads (GzipFile iterates
+    CC's concatenated per-record members transparently) — the full
+    decompressed archive never exists as one object."""
+    if data[:2] != b"\x1f\x8b":
+        return _io.BytesIO(data)
+    return gzip.GzipFile(fileobj=_io.BytesIO(data))
+
+
 def _decompress_if_gzip(data: bytes) -> bytes:
-    """Decompress (possibly multi-member) gzip; pass through raw."""
+    """Decompress (possibly multi-member) gzip; pass through raw.
+    Whole-buffer convenience for tests/tools — the read path streams
+    via ``_open_warc_stream`` instead."""
     if data[:2] != b"\x1f\x8b":
         return data
-    # CC archives are concatenated per-record members; GzipFile
-    # iterates members transparently
     with gzip.GzipFile(fileobj=_io.BytesIO(data)) as fh:
         return fh.read()
 
@@ -126,6 +174,8 @@ def read_warc(
     record_types: Sequence[str] = ("response",),
     http_parse: bool = True,
     path_glob: str | None = None,
+    batch_records: int = 2000,
+    batch_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Read WARC archives under ``path`` into a typed DataFrame (one
     row per record), keeping only ``record_types`` (empty/None =
@@ -134,21 +184,28 @@ def read_warc(
     text-extraction stage gets the raw HTML, not the wire bytes.
 
     Plan: binaryFile scan (one task per archive — gzip members are
-    not splittable) → mapInPandas parse (one bounded batch per file)
-    → record-type filter applied INSIDE the parser so non-matching
-    records never cross into Arrow.  Follow with ``html_to_text``
-    (ops/textprep.py) for the WET step.
+    not splittable) → mapInPandas parse → record-type filter applied
+    INSIDE the parser so non-matching records never cross into Arrow.
+    Memory bound per Python worker: the COMPRESSED archive (binaryFile
+    row) + one decompression chunk + one output batch — gzip is
+    decompressed member-at-a-time as the record scanner consumes it,
+    and output batches flush at ``batch_records`` rows or
+    ``batch_bytes`` of payload, whichever first, so a ~1 GB archive
+    (~4–5 GB decompressed) never materializes in Python.  Follow with
+    ``html_to_text`` (ops/textprep.py) for the WET step.
     """
     keep = {t.lower() for t in record_types} if record_types else None
 
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        out: list[dict] = []
+        out_bytes = 0
         for pdf in batches:
             for _, row in pdf.iterrows():
-                data = _decompress_if_gzip(bytes(row["content"]))
-                out: list[dict] = []
-                for rec in parse_warc_bytes(data):
+                fh = _open_warc_stream(bytes(row["content"]))
+                for rec in parse_warc_stream(fh):
                     h = rec["headers"]
                     wtype = h.get("warc-type", "")
                     if keep is not None and wtype.lower() not in keep:
@@ -172,9 +229,12 @@ def read_warc(
                             "payload": body,
                         }
                     )
-                yield pd.DataFrame(
-                    out, columns=[f.name for f in WARC_SCHEMA.fields]
-                )
+                    out_bytes += len(body)
+                    if len(out) >= batch_records or out_bytes >= batch_bytes:
+                        yield pd.DataFrame(out, columns=cols)
+                        out, out_bytes = [], 0
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
     reader = spark.read.format("binaryFile")
     if path_glob:

@@ -713,3 +713,14 @@ def test_admit_stream_against_index(spark, tmp_path):
         stream2, index, out_dir, ckpt, threshold=0.9
     )
     assert [r["doc_id"] for r in again.collect()] == [101]
+
+    # a STALE admit_batch dir from some earlier run (a batch id this
+    # checkpoint never committed) must not be unioned into the result
+    spark.createDataFrame([(999, "stale leftovers")], "doc_id long, text string").write.parquet(
+        out_dir + "/admit_batch=999"
+    )
+    stream3 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    third = sevents.admit_stream_against_index(
+        stream3, index, out_dir, ckpt, threshold=0.9
+    )
+    assert [r["doc_id"] for r in third.collect()] == [101]

@@ -69,9 +69,14 @@ def test_mongo_store_gate_names_coordinate(spark):
     )
     if bio.mongo_available(spark):
         pytest.skip("mongo connector present: gate-error branch not applicable")
-    with pytest.raises(NotImplementedError, match="mongo-spark-connector"):
+    # the error must name the EXACT tested coordinate so docs/MONGO.md
+    # and the runtime error can never drift apart
+    import re
+
+    coord = re.escape(bio.MONGO_COORD)
+    with pytest.raises(NotImplementedError, match=coord):
         store.get_object("c")
-    with pytest.raises(NotImplementedError, match="mongo-spark-connector"):
+    with pytest.raises(NotImplementedError, match=coord):
         store.create("c", from_obj=spark.range(1))
 
 

@@ -476,6 +476,18 @@ def test_canonicalize_url_tracking_params(spark):
     assert _canon(spark, "http://a.com/p?gclid=zz") == "http://a.com/p"
 
 
+def test_canonicalize_url_ref_kept_by_default(spark):
+    # `ref` carries real semantics on many sites (?ref=<branch> on
+    # code hosts) — stripping it by default would merge distinct URLs
+    assert _canon(spark, "http://a.com/repo?ref=main") == "http://a.com/repo?ref=main"
+    # opt-in via extra_params
+    df = spark.createDataFrame(
+        [(1, "http://a.com/repo?ref=main&utm_source=x")], "id long, url string"
+    )
+    got = textprep.canonicalize_url(df, extra_params=("ref",)).collect()[0]["url"]
+    assert got == "http://a.com/repo"
+
+
 def test_canonicalize_url_fragment_and_trailing(spark):
     assert _canon(spark, "http://a.com/x#section") == "http://a.com/x"
     assert _canon(spark, "http://a.com/x/") == "http://a.com/x"

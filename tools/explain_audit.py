@@ -248,6 +248,28 @@ CHECKS = [
         [(r"CartesianProduct", "the one-row threshold broadcast is the only nested-loop side")],
     ),
     (
+        "tpch_q2_min_cost_supplier",
+        [(r"BroadcastHashJoin", "supplier-nation-region and part dimensions broadcast"),
+         (r"\bWindow\b", "the correlated min-cost subquery compiles to ONE window pass"),
+         (r"Functions \[\d+\]: \[partial_", "the (partkey,suppkey) min partial-aggregates map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "equi joins only"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
+        "tpch_q11_important_stock",
+        [(r"BroadcastHashJoin", "the nation-scoped supplier set broadcasts"),
+         (r"Functions \[\d+\]: \[partial_", "value sums partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
+        "tpch_q20_dominant_supplier",
+        [(r"LeftSemi", "the IN-subquery compiles to LEFT SEMI"),
+         (r"PushedFilters: .*GreaterThanOrEqual\(l_shipdate", "the 1997 window reaches the lineitem scan"),
+         (r"BroadcastHashJoin", "part and nation dimensions broadcast")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join explosion"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "dsir_logratio",
         [(r"BroadcastHashJoin", "the vocabulary-sized log-ratio table broadcasts into the tokens"),
          (r"Functions \[\d+\]: \[partial_", "per-doc means partial-aggregate map-side")],

@@ -28,13 +28,31 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
-def run(name: str, cmd: list[str]) -> bool:
+def run(name: str, cmd: list[str], env: dict | None = None) -> bool:
     t0 = time.time()
     print(f"=== {name}: {' '.join(cmd)}", flush=True)
-    r = subprocess.run(cmd, cwd=REPO)
+    full_env = dict(os.environ, **env) if env else None
+    r = subprocess.run(cmd, cwd=REPO, env=full_env)
     ok = r.returncode == 0
     print(f"=== {name}: {'PASS' if ok else f'FAIL rc={r.returncode}'} [{time.time() - t0:.0f}s]", flush=True)
     return ok
+
+
+# queries whose cross-engine contract is BIT-EXACT values (decimal
+# sums, integer aggregates) — these also run under --strict (full
+# float precision + dtype tags) and under a non-UTC JVM timezone,
+# the two environment axes that produced round 4's driver-only
+# hash mismatches (tpch_q1 / tpch_q12)
+EXACT_FAMILY = [
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_late_lines", "tpch_q14_promo_effect",
+    "tpch_q18_large_orders", "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier", "table_fingerprint_orders",
+    "grouped_audit", "running_total", "flagship_revenue_by_nation",
+]
 
 
 def main() -> int:
@@ -47,18 +65,25 @@ def main() -> int:
     layers += [
         ("verify_local (all queries)", [py, os.path.join(HERE, "verify_local.py")]),
         ("explain_audit", [py, os.path.join(HERE, "explain_audit.py")]),
+        ("oracle_type_audit (dtype parity)",
+         [py, os.path.join(HERE, "oracle_type_audit.py")]),
     ]
     if deep:
         layers += [
             ("verify_local --vanilla (driver fidelity)",
              [py, os.path.join(HERE, "verify_local.py"), "--vanilla"]),
+            ("verify_local --strict (bit-exact family)",
+             [py, os.path.join(HERE, "verify_local.py"), "--strict", *EXACT_FAMILY]),
+            ("verify_local --vanilla, TZ=America/New_York (exact family)",
+             [py, os.path.join(HERE, "verify_local.py"), "--vanilla", *EXACT_FAMILY],
+             {"TZ": "America/New_York"}),
         ]
         os.environ["PROP_EXAMPLES"] = "40"
         layers += [
             ("property fuzz (PROP_EXAMPLES=40)",
              [py, "-m", "pytest", "tests/test_property.py", "-q"]),
         ]
-    failed = [name for name, cmd in layers if not run(name, cmd)]
+    failed = [spec[0] for spec in layers if not run(*spec)]
     if failed:
         print(f"\nGATE FAILED: {', '.join(failed)}")
         return 1

@@ -5,7 +5,17 @@ on DuckDB at sf0.01, comparing row count, sorted column names, and an
 order-insensitive value hash (values normalized: floats rounded to
 9 significant-ish decimals, timestamps to isoformat, None → "NULL").
 
-Usage:  python tools/verify_local.py [query_name ...]
+Usage:  python tools/verify_local.py [--vanilla] [--strict] [query_name ...]
+
+``--strict`` hashes floats at FULL round-trip precision (repr) and
+tags numeric values with their Python type class (int vs float), so
+a 1-ulp cross-engine difference or an int-vs-float dtype skew — both
+invisible at the default 9-sig-fig normalization, and both real
+driver failure modes (tpch_q1 / tpch_q12 in round 4) — show up
+locally.  Strict failures on queries whose contract is only
+approximate equality are expected; use it as a diagnostic for
+queries that claim BIT-EXACT cross-engine values (the decimal-path
+TPC-H family, integer aggregates, string/hash outputs).
 """
 
 from __future__ import annotations
@@ -24,16 +34,24 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+STRICT = False
+
 
 def norm(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if STRICT:
+            return f"f{v!r}"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.9g}"
+    if STRICT and isinstance(v, int):
+        return f"i{v}"
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
@@ -61,6 +79,10 @@ def main(only: list[str]) -> int:
 
     import __spark_entry__ as entrymod
 
+    global STRICT
+    if "--strict" in only:
+        STRICT = True
+        only = [n for n in only if n != "--strict"]
     if "--vanilla" in only:
         # driver-fidelity mode: the external driver builds its OWN
         # plain SparkSession, so nothing may depend on get_spark()'s
