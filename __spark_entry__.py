@@ -4918,6 +4918,10 @@ def q_warc_pipeline(spark, sf_dir):
     # same doc-stamped HTML the html_to_text oracle uses, then run
     # the full binaryFile → record parse → HTTP split → WET pipeline;
     # the oracle rebuilds the expected clean text from documents
+    return _run_warc_pipeline(spark, sf_dir, splittable=False)
+
+
+def _run_warc_pipeline(spark, sf_dir, splittable: bool):
     import gzip as _gzip
     import shutil
     import tempfile
@@ -4959,7 +4963,14 @@ def q_warc_pipeline(spark, sf_dir):
             fh.write(b"".join(plain))
         with open(f"{tmp}/b.warc.gz", "wb") as fh:
             fh.write(b"".join(_gzip.compress(rec) for rec in gzipped))
-        docs = bw.warc_to_documents(bw.read_warc(spark, tmp))
+        if splittable:
+            # small split size so the plain archive fans out across
+            # many byte-range tasks (intra-file parallelism); the gz
+            # archive falls back to one whole-file task
+            raw = bw.read_warc_splittable(spark, tmp, split_bytes=16 * 1024)
+        else:
+            raw = bw.read_warc(spark, tmp)
+        docs = bw.warc_to_documents(raw)
         out = docs.select(
             "doc_id", "url", F.col("date").alias("warc_date"), "text"
         )
@@ -4967,6 +4978,25 @@ def q_warc_pipeline(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res
+
+
+@_q(
+    "warc_pipeline_splittable",
+    f"""
+    SELECT 'urn:doc:' || doc_id AS doc_id,
+           'http://ex.com/' || doc_id AS url,
+           '2024-01-01T00:00:00Z' AS warc_date,
+           {_html_to_text_duck(_HTML_SYNTH_DUCK)} AS text
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def q_warc_pipeline_splittable(spark, sf_dir):
+    # same WET pipeline through the byte-range-split reader: one
+    # plain archive fans out over many tasks (each aligns to the
+    # \\r\\n\\r\\nWARC/ boundary and owns the records STARTING in its
+    # range), proving split ownership is exact — identical output to
+    # the task-per-file path, record for record
+    return _run_warc_pipeline(spark, sf_dir, splittable=True)
 
 
 _URL_SYNTH_SPARK = (

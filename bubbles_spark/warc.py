@@ -54,18 +54,38 @@ WARC_SCHEMA = StructType(
 
 
 _READ_CHUNK = 1 << 20  # decompressed-read granularity (1 MiB)
+_ANCHOR = b"\r\n\r\nWARC/"  # record-boundary anchor for split alignment
 
 
-def parse_warc_stream(fh) -> Iterator[dict]:
+def parse_warc_range(
+    fh, pos: int = 0, start: int = 0, end: int | None = None
+) -> Iterator[dict]:
     """Yield one dict per WARC record from a FILE-LIKE byte stream,
     holding only the in-flight record (plus ≤1 read chunk) in memory —
     a ~1 GB CommonCrawl gzip (~4–5 GB decompressed) never
     materializes; peak Python memory is the largest single record.
+
+    Range semantics (the splittable path): ``pos`` is the absolute
+    file offset ``fh`` is currently positioned at; only records whose
+    header starts at an absolute offset in ``[start, end)`` are
+    yielded (``end=None`` = to EOF).  When ``pos < start`` the scanner
+    first aligns to the ``\\r\\n\\r\\nWARC/`` record boundary — seek
+    the caller to ``start - 4`` so a record starting exactly at
+    ``start`` keeps its separator visible.  A record that STARTS
+    before ``end`` is read to completion even when its body crosses
+    ``end`` (the next split skips it — same contract as Hadoop text
+    splits).  Caveat, documented: a payload that embeds the anchor
+    byte sequence can fake a boundary; splits then drop the remainder
+    of that archive's range (the scanner validates the header shape
+    and stops on mismatch rather than yielding garbage).  Archives
+    needing byte-perfect recovery use the task-per-file path.
+
     Tolerant scanner: a malformed record header (or a truncated tail,
     routine in web archives) stops the scan of THAT stream rather
     than raising — losing the tail beats failing the task (count
     surviving records to audit)."""
     buf = bytearray()
+    base = pos  # absolute file offset of buf[0]
 
     def fill() -> bool:
         chunk = fh.read(_READ_CHUNK)
@@ -73,6 +93,31 @@ def parse_warc_stream(fh) -> Iterator[dict]:
             return False
         buf.extend(chunk)
         return True
+
+    def compact(n: int) -> None:
+        nonlocal base
+        if n:
+            del buf[:n]
+            base += n
+
+    if base < start:
+        # align: find the first record boundary at/after `start`
+        while True:
+            idx = buf.find(_ANCHOR)
+            if idx >= 0:
+                rec_start = base + idx + 4
+                compact(idx + 4)
+                if rec_start < start:
+                    continue
+                if end is not None and rec_start >= end:
+                    return
+                break
+            if len(buf) >= len(_ANCHOR):
+                compact(len(buf) - len(_ANCHOR) + 1)
+            if end is not None and base >= end:
+                return
+            if not fill():
+                return
 
     while True:
         # records are separated by \r\n\r\n; skip any blank run
@@ -82,11 +127,13 @@ def parse_warc_stream(fh) -> Iterator[dict]:
                 i += 1
             if i < len(buf):
                 break
-            del buf[:]
+            compact(len(buf))
             i = 0
             if not fill():
                 return
-        del buf[:i]
+        compact(i)
+        if end is not None and base >= end:
+            return  # next record belongs to the following split
         while True:
             head_end = buf.find(b"\r\n\r\n")
             if head_end >= 0:
@@ -112,10 +159,16 @@ def parse_warc_stream(fh) -> Iterator[dict]:
                 truncated = True
                 break
         body = bytes(buf[head_end + 4 : need])
-        del buf[:need]
+        compact(min(need, len(buf)))
         yield {"headers": headers, "body": body}
         if truncated:
             return
+
+
+def parse_warc_stream(fh) -> Iterator[dict]:
+    """Yield one dict per WARC record from a file-like byte stream —
+    the whole-stream form of ``parse_warc_range``."""
+    return parse_warc_range(fh, pos=0, start=0, end=None)
 
 
 def parse_warc_bytes(data: bytes) -> Iterator[dict]:
@@ -205,31 +258,11 @@ def read_warc(
         for pdf in batches:
             for _, row in pdf.iterrows():
                 fh = _open_warc_stream(bytes(row["content"]))
-                for rec in parse_warc_stream(fh):
-                    h = rec["headers"]
-                    wtype = h.get("warc-type", "")
-                    if keep is not None and wtype.lower() not in keep:
-                        continue
-                    status, ctype_http, body = (
-                        split_http_payload(rec["body"])
-                        if http_parse
-                        else (None, None, rec["body"])
-                    )
-                    out.append(
-                        {
-                            "file": row["path"],
-                            "record_id": h.get("warc-record-id"),
-                            "warc_type": wtype,
-                            "target_uri": h.get("warc-target-uri"),
-                            "warc_date": h.get("warc-date"),
-                            "content_type": h.get("content-type"),
-                            "content_length": len(rec["body"]),
-                            "http_status": status,
-                            "http_content_type": ctype_http,
-                            "payload": body,
-                        }
-                    )
-                    out_bytes += len(body)
+                for rec_row in _record_rows(
+                    parse_warc_stream(fh), row["path"], keep, http_parse
+                ):
+                    out.append(rec_row)
+                    out_bytes += len(rec_row["payload"])
                     if len(out) >= batch_records or out_bytes >= batch_bytes:
                         yield pd.DataFrame(out, columns=cols)
                         out, out_bytes = [], 0
@@ -241,6 +274,144 @@ def read_warc(
         reader = reader.option("pathGlobFilter", path_glob)
     files = reader.load(path).select("path", "content")
     return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def _record_rows(records, file_path, keep, http_parse):
+    """Parsed records → output-row dicts (shared by the task-per-file
+    and splittable paths)."""
+    for rec in records:
+        h = rec["headers"]
+        wtype = h.get("warc-type", "")
+        if keep is not None and wtype.lower() not in keep:
+            continue
+        status, ctype_http, body = (
+            split_http_payload(rec["body"])
+            if http_parse
+            else (None, None, rec["body"])
+        )
+        yield {
+            "file": file_path,
+            "record_id": h.get("warc-record-id"),
+            "warc_type": wtype,
+            "target_uri": h.get("warc-target-uri"),
+            "warc_date": h.get("warc-date"),
+            "content_type": h.get("content-type"),
+            "content_length": len(rec["body"]),
+            "http_status": status,
+            "http_content_type": ctype_http,
+            "payload": body,
+        }
+
+
+def _open_input_at(path: str, offset: int):
+    """Open ``path`` (local path, file:, or any pyarrow-supported
+    scheme: hdfs://, s3://) positioned at ``offset``."""
+    import pyarrow.fs as pafs
+
+    if path.startswith("file:"):
+        local = path[5:]
+        if local.startswith("//"):
+            local = local[2:] or "/"
+        fs, rel = pafs.LocalFileSystem(), local
+    elif "://" in path:
+        fs, rel = pafs.FileSystem.from_uri(path)
+    else:
+        fs, rel = pafs.LocalFileSystem(), path
+    fh = fs.open_input_file(rel)
+    if offset:
+        fh.seek(offset)
+    return fh
+
+
+def read_warc_splittable(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+    split_bytes: int = 128 * 1024 * 1024,
+    record_types: Sequence[str] = ("response",),
+    http_parse: bool = True,
+    batch_records: int = 2000,
+    batch_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """``read_warc`` with INTRA-FILE parallelism for uncompressed
+    ``.warc`` archives: one giant plain archive no longer serializes
+    into a single task.
+
+    Plan: the driver lists files (Hadoop FileSystem metadata — works
+    on any scheme) and fabricates byte-range splits of
+    ``split_bytes``; each task opens its file directly (pyarrow
+    filesystem), seeks to its range, aligns forward to the next
+    ``\\r\\n\\r\\nWARC/`` record boundary, and parses exactly the
+    records that START inside its range (``parse_warc_range``) — the
+    Hadoop-text-split contract, so every record lands in exactly one
+    task.  Gzip members are not seekable, so ``*.gz`` files fall back
+    to one whole-file split each (identical to ``read_warc``);
+    parallelism for gzip remains the file count, the industry shape
+    for CommonCrawl.  Peak task memory: one read chunk + the largest
+    record + one bounded output batch."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    import fnmatch
+
+    if fs.isDirectory(hpath):
+        statuses = list(fs.listStatus(hpath))
+    else:
+        statuses = [fs.getFileStatus(hpath)]
+    splits: list[tuple[str, int, int]] = []
+    for st in statuses:
+        if st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if path_glob and not fnmatch.fnmatch(name, path_glob):
+            continue
+        p, size = st.getPath().toString(), st.getLen()
+        if size == 0:
+            continue
+        if name.endswith(".gz"):
+            splits.append((p, 0, size))  # gzip: whole-file task
+        else:
+            s = 0
+            while s < size:
+                splits.append((p, s, min(s + split_bytes, size)))
+                s += split_bytes
+    if not splits:
+        return spark.createDataFrame([], WARC_SCHEMA)
+    keep = {t.lower() for t in record_types} if record_types else None
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        out: list[dict] = []
+        out_bytes = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                p = row["path"]
+                s, e = int(row["start"]), int(row["end"])
+                if p.endswith(".gz"):
+                    fh = _open_input_at(p, 0)
+                    records = parse_warc_stream(
+                        gzip.GzipFile(fileobj=fh)
+                    )
+                else:
+                    pos = max(0, s - len(_ANCHOR))
+                    records = parse_warc_range(
+                        _open_input_at(p, pos), pos, s, e
+                    )
+                for rec_row in _record_rows(records, p, keep, http_parse):
+                    out.append(rec_row)
+                    out_bytes += len(rec_row["payload"])
+                    if len(out) >= batch_records or out_bytes >= batch_bytes:
+                        yield pd.DataFrame(out, columns=cols)
+                        out, out_bytes = [], 0
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    sdf = spark.createDataFrame(
+        splits, "path string, start long, end long"
+    ).repartition(len(splits))
+    return sdf.mapInPandas(parse, WARC_SCHEMA)
 
 
 def warc_to_documents(

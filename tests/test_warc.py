@@ -121,3 +121,83 @@ def test_parse_warc_bytes_pure():
 
 def test_split_http_payload_non_http_passthrough():
     assert bw.split_http_payload(b"raw bytes") == (None, None, b"raw bytes")
+
+
+def test_read_warc_splittable_equivalence(spark, tmp_path):
+    """Byte-range splits over a plain .warc: every record lands in
+    exactly ONE split regardless of where boundaries fall, and the
+    result equals the task-per-file reader."""
+    recs = [
+        _record(
+            uri=f"http://e.com/{i}",
+            rec_id=f"<urn:uuid:{i}>",
+            body=_http(body=b"x" * (20 + 7 * i) + str(i).encode()),
+        )
+        for i in range(40)
+    ]
+    _write_archive(tmp_path / "big.warc", recs)
+
+    whole = sorted(
+        r["record_id"] for r in bw.read_warc(spark, str(tmp_path)).collect()
+    )
+    # split far smaller than a record so boundaries land mid-record,
+    # mid-header, and inside separators
+    for split_bytes in (64, 301, 4096):
+        split = sorted(
+            r["record_id"]
+            for r in bw.read_warc_splittable(
+                spark, str(tmp_path), split_bytes=split_bytes
+            ).collect()
+        )
+        assert split == whole, f"split_bytes={split_bytes}"
+
+
+def test_read_warc_splittable_parallelism_exceeds_file_count(spark, tmp_path):
+    """The round-4 scale note: plain-warc job parallelism is no longer
+    capped at the archive count — one file fans out to many tasks."""
+    recs = [
+        _record(uri=f"http://e.com/{i}", rec_id=f"<urn:uuid:{i}>", body=_http())
+        for i in range(30)
+    ]
+    _write_archive(tmp_path / "one.warc", recs)
+    df = bw.read_warc_splittable(spark, str(tmp_path), split_bytes=256)
+    n_tasks = df.rdd.getNumPartitions()
+    assert n_tasks > 1  # 1 file, many byte-range tasks
+    assert df.count() == 30
+
+
+def test_read_warc_splittable_gzip_fallback(spark, tmp_path):
+    """*.gz archives are not seekable: whole-file task, same rows."""
+    recs = [
+        _record(uri=f"http://e.com/{i}", rec_id=f"<urn:uuid:{i}>", body=_http())
+        for i in range(5)
+    ]
+    _write_archive(tmp_path / "a.warc.gz", recs, compress=True)
+    got = sorted(
+        r["record_id"]
+        for r in bw.read_warc_splittable(
+            spark, str(tmp_path), split_bytes=64
+        ).collect()
+    )
+    assert got == sorted(f"<urn:uuid:{i}>" for i in range(5))
+
+
+def test_parse_warc_range_boundary_ownership():
+    """A record starting exactly AT a split boundary belongs to the
+    split that starts there; the preceding split stops before it."""
+    import io
+
+    recs = [
+        _record(uri=f"http://e.com/{i}", rec_id=f"<urn:uuid:{i}>", body=b"b" * 10)
+        for i in range(3)
+    ]
+    data = b"".join(recs)
+    # boundary exactly at the start of record 1
+    cut = len(recs[0])
+    left = list(bw.parse_warc_range(io.BytesIO(data), 0, 0, cut))
+    pos = max(0, cut - len(bw._ANCHOR))
+    fh = io.BytesIO(data)
+    fh.seek(pos)
+    right = list(bw.parse_warc_range(fh, pos, cut, len(data)))
+    ids = [r["headers"]["warc-record-id"] for r in left + right]
+    assert ids == ["<urn:uuid:0>", "<urn:uuid:1>", "<urn:uuid:2>"]
