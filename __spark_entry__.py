@@ -1635,6 +1635,63 @@ def q_dedup_against_index_planted(spark, sf_dir):
 
 
 @_q(
+    "admit_and_extend_planted",
+    """
+    SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 4000000 FROM documents WHERE doc_id < 100
+    """,
+)
+def q_admit_and_extend_planted(spark, sf_dir):
+    # the GROWING-index production loop, oracle-exact in two steps:
+    # batch 1 = 200 corpus copies (+1e6, rejected vs history) + 100
+    # id-stamped novel docs (+2e6, admitted); batch 2 = exact copies
+    # of batch-1's novel docs under NEW ids (+3e6) — rejected ONLY if
+    # the index actually grew — + 100 fresh novel docs (+4e6,
+    # admitted).  Union of admitted rows must be exactly the +2e6 and
+    # +4e6 sets: every id-stamped doc's 3-shingles embed its id, so
+    # cross-novel jaccard is 0 and copies hit jaccard 1.0 ≥ 0.9.
+    d = _t(spark, sf_dir, "documents")
+    # sign history ONCE and materialize — the production contract is a
+    # PERSISTED signature table; without it each admission consumer
+    # (banding + verify, ×2 calls) re-shingles the corpus (measured
+    # 49s → ~8s at sf0.01 from these two checkpoints)
+    index = dedup.minhash_index(d).localCheckpoint(eager=True)
+    copies = d.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+    )
+    novel1 = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"),
+        F.concat(
+            F.lit("novel marker "), F.col("doc_id"), F.lit(" xylophone quantum")
+        ).alias("text"),
+    )
+    batch1 = copies.unionByName(novel1)
+    adm1, _ = dedup.admit_and_extend_index(batch1, index, threshold=0.9)
+    # checkpoint the ADMISSION (computed once), then extend the
+    # already-checkpointed history from it — the corpus is never
+    # re-signed and batch 1's admission join never re-runs
+    adm1 = adm1.localCheckpoint(eager=True)
+    index = index.unionByName(dedup.minhash_index(adm1))
+    recopies = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+        F.concat(
+            F.lit("novel marker "), F.col("doc_id"), F.lit(" xylophone quantum")
+        ).alias("text"),
+    )
+    novel2 = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + F.lit(4000000)).alias("doc_id"),
+        F.concat(
+            F.lit("fresh marker "), F.col("doc_id"), F.lit(" zeppelin quartz")
+        ).alias("text"),
+    )
+    adm2, _ = dedup.admit_and_extend_index(
+        recopies.unionByName(novel2), index, threshold=0.9
+    )
+    return adm1.select("doc_id").unionByName(adm2.select("doc_id"))
+
+
+@_q(
     "stream_admit_against_index",
     """
     SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id < 100

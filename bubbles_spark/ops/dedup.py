@@ -1227,6 +1227,103 @@ def dedup_against_index(
     return batch.join(hits, id_col, "left_anti")
 
 
+def admit_and_extend_index(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 128,
+    **kw,
+) -> tuple[DataFrame, DataFrame]:
+    """One full production admission step: ``(admitted,
+    extended_index)`` — the batch rows with no near-duplicate in the
+    index, plus the index grown by exactly the admitted rows'
+    signatures.  This closes the incremental-dedup loop that
+    ``minhash_index`` → ``dedup_against_index`` leaves to the caller:
+    feed batches in sequence and a doc admitted in batch k rejects
+    its copies in every later batch.
+
+    ``n``/``num_hashes`` are the index contract and must match the
+    values the index was built with.  The admitted side is re-signed
+    for the extension (admitted ≪ batch ≪ index in steady state, so
+    the second signing pass is noise; the admission join itself never
+    re-reads history — index signatures shuffle as (id, band, bucket)
+    triples only, or not at all with ``broadcast_batch=True``).
+
+    A match between a batch row and an index row with the SAME id is
+    a replay (the row is already admitted), not a duplicate — it does
+    not block admission.  That makes a retried batch idempotent: the
+    rerun admits the same rows and re-writes the same signature rows,
+    instead of rejecting everything against its own first attempt.
+
+    Returns DataFrames, not writes: persist ``extended_index`` (or
+    just the new rows — ``minhash_index(admitted)``) however the
+    pipeline stores state; ``FileStore``-backed callers can use
+    ``admit_batch_to_index_store`` instead."""
+    hits = (
+        pairs_against_index(
+            batch, index, id_col, text_col,
+            threshold=threshold, n=n, num_hashes=num_hashes, **kw,
+        )
+        .filter(F.col("batch_id") != F.col("index_id"))
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    admitted = batch.join(hits, id_col, "left_anti")
+    new_sigs = minhash_index(admitted, id_col, text_col, n, num_hashes)
+    return admitted, index.unionByName(new_sigs)
+
+
+def admit_batch_to_index_store(
+    store,
+    name: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n: int = 3,
+    num_hashes: int = 128,
+    **kw,
+) -> DataFrame:
+    """Store-backed admission: check ``batch`` against the MinHash
+    index persisted as object ``name`` in ``store`` (any
+    ``bubbles_spark.io.DataStore``), APPEND the admitted rows'
+    signatures to it, and return the admitted rows.  First call
+    creates the index object.  The append goes through
+    ``store.upsert`` keyed on ``id_col``, so a retried batch is
+    idempotent — re-admitted ids overwrite their own signature rows
+    instead of duplicating them.
+
+    This is the nightly-batch production shape: history is signed
+    exactly once, each new batch pays one signing pass over ITSELF
+    plus a banded join against the persisted signature table (key-only
+    shuffle, or none with ``broadcast_batch=True``)."""
+    if store.exists(name):
+        index = store.get_object(name)
+        admitted, _ = admit_and_extend_index(
+            batch, index, id_col, text_col,
+            threshold=threshold, n=n, num_hashes=num_hashes, **kw,
+        )
+        # materialize BEFORE the upsert rewrites the parquet the
+        # admission plan reads from (self-overwrite hazard): eager
+        # localCheckpoint truncates the lineage executor-side — no
+        # driver collect, scales with executor storage
+        admitted = admitted.localCheckpoint(eager=True)
+        store.upsert(
+            name,
+            minhash_index(admitted, id_col, text_col, n, num_hashes),
+            keys=id_col,
+        )
+    else:
+        admitted = batch
+        store.create(
+            name, from_obj=minhash_index(admitted, id_col, text_col, n, num_hashes)
+        )
+    return admitted
+
+
 def exact_index(
     df: DataFrame,
     content_cols: Sequence[str] = ("text",),

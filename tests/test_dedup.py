@@ -445,3 +445,64 @@ def test_dedup_eval_empty_predictions(spark):
     truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     r = dedup.dedup_eval(pred, truth).collect()[0]
     assert (r["precision"], r["recall"], r["f1"]) == (0.0, 0.0, 0.0)
+
+
+def test_admit_and_extend_index_grows(spark, docs):
+    """A doc admitted in batch 1 rejects its copy in batch 2 — the
+    index the first call returns really contains the admission."""
+    index = dedup.minhash_index(docs)
+    b1 = spark.createDataFrame(
+        [(100, "totally novel text about spark execution plans")],
+        "doc_id long, text string",
+    )
+    adm1, index2 = dedup.admit_and_extend_index(b1, index, threshold=0.9)
+    assert [r["doc_id"] for r in adm1.collect()] == [100]
+    b2 = spark.createDataFrame(
+        [
+            (200, "totally novel text about spark execution plans"),  # copy of 100
+            (201, "another unrelated document about warc archives"),
+        ],
+        "doc_id long, text string",
+    )
+    adm2, _ = dedup.admit_and_extend_index(b2, index2, threshold=0.9)
+    assert sorted(r["doc_id"] for r in adm2.collect()) == [201]
+
+
+def test_admit_and_extend_index_replay_is_idempotent(spark, docs):
+    """A batch re-run against an index already containing ITS OWN ids
+    admits the same rows (same-id match = replay, not duplicate)."""
+    index = dedup.minhash_index(docs)
+    b = spark.createDataFrame(
+        [(100, "totally novel text about spark execution plans")],
+        "doc_id long, text string",
+    )
+    _, index2 = dedup.admit_and_extend_index(b, index, threshold=0.9)
+    adm_retry, _ = dedup.admit_and_extend_index(b, index2, threshold=0.9)
+    assert [r["doc_id"] for r in adm_retry.collect()] == [100]
+
+
+def test_admit_batch_to_index_store_roundtrip(spark, docs, tmp_path):
+    """Store-backed loop: create on first batch, append on later
+    batches, cross-batch duplicate rejected, replay idempotent."""
+    from bubbles_spark.io import FileStore
+
+    store = FileStore(spark, str(tmp_path))
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely separate document about databases")],
+        "doc_id long, text string",
+    )
+    adm1 = dedup.admit_batch_to_index_store(store, "minhash_idx", b1, threshold=0.9)
+    assert sorted(r["doc_id"] for r in adm1.collect()) == [1, 2]  # first batch: all in
+    b2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (11, "genuinely new content never indexed before")],
+        "doc_id long, text string",
+    )
+    adm2 = dedup.admit_batch_to_index_store(store, "minhash_idx", b2, threshold=0.9)
+    assert sorted(r["doc_id"] for r in adm2.collect()) == [11]
+    # replay batch 2: same answer, no duplicate signature rows
+    adm2b = dedup.admit_batch_to_index_store(store, "minhash_idx", b2, threshold=0.9)
+    assert sorted(r["doc_id"] for r in adm2b.collect()) == [11]
+    idx = store.get_object("minhash_idx")
+    assert idx.count() == idx.select("doc_id").distinct().count() == 3
