@@ -363,6 +363,72 @@ def main() -> int:
         }
         print(f"# {name}: t1={t1:.2f}s t{k}={tk:.2f}s alpha={alpha:.2f}", file=sys.stderr)
 
+    # --- WARC splittable: ONE plain archive, byte-range parallelism --
+    # a single uncompressed .warc (file count = 1 at every k) must
+    # still fan out over byte-range tasks and scale ~linearly in
+    # archive size — the round-4 structural note (parallelism capped
+    # at archive count) closed by read_warc_splittable
+    import shutil
+    import tempfile
+
+    from bubbles_spark import warc as bw
+
+    def _write_warc(rows, path):
+        with open(path, "wb") as fh:
+            for i, text in rows:
+                body = (text or "")[:400].encode("utf-8", "replace")
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+                )
+                head = (
+                    "WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Record-ID: urn:sc:{i}\r\n"
+                    f"Content-Length: {len(http)}\r\n\r\n"
+                ).encode()
+                fh.write(head + http + b"\r\n\r\n")
+
+    tmp = tempfile.mkdtemp(prefix="scale_warc_")
+    try:
+        rows1 = [
+            (r["doc_id"], r["text"])
+            for r in docs.select("doc_id", "text").collect()
+        ]
+        os.makedirs(f"{tmp}/one")
+        os.makedirs(f"{tmp}/big")
+        _write_warc(rows1, f"{tmp}/one/a.warc")
+        rowsk = [
+            (i * 10_000_000 + rid, t) for i in range(k) for rid, t in rows1
+        ]
+        _write_warc(rowsk, f"{tmp}/big/a.warc")
+        split = 1 << 20
+
+        def _read(p):
+            return lambda _d: bw.read_warc_splittable(
+                spark, p, split_bytes=split
+            )
+
+        n_tasks = bw.read_warc_splittable(
+            spark, f"{tmp}/big", split_bytes=split
+        ).rdd.getNumPartitions()
+        run(_read(f"{tmp}/one"), None)
+        t1 = run(_read(f"{tmp}/one"), None)
+        tk = run(_read(f"{tmp}/big"), None)
+        alpha = math.log(max(tk, 1e-3) / max(t1, 1e-3)) / math.log(k)
+        results["warc_splittable_one_file"] = {
+            "t1": round(t1, 2),
+            "tk": round(tk, 2),
+            "alpha": round(alpha, 2),
+            "tasks_at_k": n_tasks,
+            "files": 1,
+        }
+        print(
+            f"# warc_splittable_one_file: t1={t1:.2f}s t{k}={tk:.2f}s "
+            f"alpha={alpha:.2f} tasks={n_tasks} (files=1)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     print(json.dumps({"k": k, "sf_dir": SF_DIR, "ops": results}))
     worst = max(r["alpha"] for r in results.values())
     return 0 if worst < 1.5 else 1
