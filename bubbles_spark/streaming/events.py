@@ -825,15 +825,23 @@ def stream_to_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     prev = _sane_state_shards(spark)
+    finished = False
     try:
         q = writer.start()
         try:
-            q.awaitTermination(timeout_s)
+            finished = q.awaitTermination(timeout_s)
         finally:
             if q.isActive:
                 q.stop()
     finally:
         _restore_state_shards(spark, prev)
+    if not finished:
+        # partial output would silently read as "the stream's data" —
+        # surface the timeout; the checkpoint makes a rerun resume
+        raise TimeoutError(
+            f"stream_to_parquet: stream did not drain within {timeout_s}s; "
+            f"committed files under {path!r} are safe to resume from"
+        )
     return spark.read.parquet(path)
 
 
@@ -853,6 +861,7 @@ def run_batchlike(
     """
     spark = stream_df.sparkSession
     prev = _sane_state_shards(spark)
+    finished = False
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -862,12 +871,18 @@ def run_batchlike(
             .start()
         )
         try:
-            q.awaitTermination(timeout_s)
+            finished = q.awaitTermination(timeout_s)
         finally:
             if q.isActive:
                 q.stop()
     finally:
         _restore_state_shards(spark, prev)
+    if not finished:
+        raise TimeoutError(
+            f"run_batchlike({query_name!r}): stream did not drain within "
+            f"{timeout_s}s — raise timeout_s instead of consuming a "
+            f"partial memory-sink table"
+        )
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
