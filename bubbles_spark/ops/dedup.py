@@ -1141,14 +1141,26 @@ def pairs_against_index(
     The per-(band, bucket) cap bounds skew exactly as in
     ``minhash_dedup_pairs``; bucket sizes are computed on the UNION
     of both sides so a degenerate bucket is dropped no matter which
-    side bloats it."""
+    side bloats it.
+
+    ``batch`` may be either raw documents (``id_col``, ``text_col``)
+    or an ALREADY-SIGNED signature table (``id_col``, ``minhash`` —
+    ``minhash_index`` output, detected by the ``minhash`` column).
+    Pre-signing lets a caller pay the signature pass once (and
+    persist/checkpoint it) instead of once per consumer — the batch
+    side has two consumers here, exactly like the index side."""
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("bands must divide num_hashes")
 
-    bsig = _minhash_sigs(batch, id_col, text_col, n, num_hashes).select(
-        F.col(id_col).alias("__bid"), F.col("minhash").alias("__bsig")
-    )
+    if "minhash" in batch.columns:
+        bsig = batch.select(
+            F.col(id_col).alias("__bid"), F.col("minhash").alias("__bsig")
+        ).filter(F.col("__bsig").isNotNull())
+    else:
+        bsig = _minhash_sigs(batch, id_col, text_col, n, num_hashes).select(
+            F.col(id_col).alias("__bid"), F.col("minhash").alias("__bsig")
+        )
     isig = index.select(
         F.col(id_col).alias("__iid"), F.col("minhash").alias("__isig")
     ).filter(F.col("__isig").isNotNull())

@@ -506,3 +506,18 @@ def test_admit_batch_to_index_store_roundtrip(spark, docs, tmp_path):
     assert sorted(r["doc_id"] for r in adm2b.collect()) == [11]
     idx = store.get_object("minhash_idx")
     assert idx.count() == idx.select("doc_id").distinct().count() == 3
+
+
+def test_pairs_against_index_accepts_presigned_batch(spark, docs):
+    """batch may be a minhash_index output (id, minhash) — same pairs
+    as the raw-text form, signature pass paid once by the caller."""
+    index = dedup.minhash_index(docs)
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "totally novel text about spark execution plans")],
+        "doc_id long, text string",
+    )
+    raw = sorted(map(tuple, dedup.pairs_against_index(batch, index, threshold=0.9).collect()))
+    pre = sorted(map(tuple, dedup.pairs_against_index(
+        dedup.minhash_index(batch), index, threshold=0.9).collect()))
+    assert raw == pre and raw  # non-empty and identical
