@@ -388,7 +388,36 @@ CHECKS = [
         [(r"LeftAnti", "exact admission is a hash anti join")],
         [(r"CartesianProduct", "no cross product")],
     ),
+    (
+        "admit_and_extend_planted",
+        [(r"LeftAnti", "admission is an anti join on match ids"),
+         (r"Scan ExistingRDD|LogicalRDD", "history signatures come from the eager checkpoint, not a re-sign")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin",
+          "growing-index admission must never fall back to NL join")],
+    ),
 ]
+
+
+def _build_warc_splittable(spark):
+    """Live read_warc_splittable plan over a synthetic 2-record plain
+    archive with splits smaller than one record — the plan must be a
+    fabricated-splits scan feeding one Arrow-batched parse stage (the
+    registered warc_pipeline_splittable query materializes its result
+    before returning, so its reader plan is audited here instead)."""
+    import os
+    import tempfile
+
+    from bubbles_spark import warc as bw
+
+    tmp = tempfile.mkdtemp(prefix="audit_warc_")
+    body = b"HTTP/1.1 200 OK\r\n\r\nhello"
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: urn:a:1\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body + b"\r\n\r\n"
+    with open(os.path.join(tmp, "a.warc"), "wb") as fh:
+        fh.write(rec * 2)
+    return bw.read_warc_splittable(spark, tmp, split_bytes=64)
 
 # Streaming queries return their drained batch result, so auditing
 # them through queries() would explain the memory-sink table.  Build
@@ -440,6 +469,14 @@ STREAM_CHECKS = [
          (r"FlatMapGroupsInPandasWithState", "stateful step machine per user"),
          (r"Condition : event_type#\d+ IN", "step filter applies before the shuffle (streaming FileSource shows no PushedFilters block)")],
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join at all")],
+    ),
+    (
+        "warc_splittable_reader(plan)",
+        _build_warc_splittable,
+        [(r"MapInPandas", "record parse is one Arrow-batched stage"),
+         (r"RoundRobinPartitioning", "fabricated splits repartition across tasks")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no join at all"),
+         (r"Exchange hashpartitioning", "no data shuffle — split rows only")],
     ),
     (
         "stream_asof_join(plan)",
