@@ -512,3 +512,64 @@ def test_html_to_text_never_leaves_complete_tags(spark, texts):
 
         assert not re.search(r"<[^<>]*>", t), (t,)
         assert t == t.strip()
+
+
+# --- WARC byte-range split ownership (pure Python, no Spark) ----------
+
+_warc_bodies = st.lists(
+    st.binary(min_size=0, max_size=120).filter(
+        # a payload embedding the boundary anchor is the DOCUMENTED
+        # heuristic limitation of split alignment — excluded here
+        lambda b: b"\r\n\r\nWARC/" not in b
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_slow
+@given(bodies=_warc_bodies, nsplits=st.integers(1, 7), data=st.data())
+def test_warc_split_ownership_partition(bodies, nsplits, data):
+    """For ANY archive and ANY split boundaries, every record is
+    yielded by exactly one split (the one whose [start, end) contains
+    its header start) and the concatenation equals the whole-stream
+    parse."""
+    import io
+
+    from bubbles_spark import warc as bw
+
+    recs = []
+    for i, body in enumerate(bodies):
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: r{i}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        recs.append(head + body + b"\r\n\r\n")
+    archive = b"".join(recs)
+    whole = [
+        r["headers"]["warc-record-id"]
+        for r in bw.parse_warc_stream(io.BytesIO(archive))
+    ]
+    assert whole == [f"r{i}" for i in range(len(bodies))]
+
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, max(1, len(archive) - 1)),
+                min_size=nsplits - 1,
+                max_size=nsplits - 1,
+                unique=True,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(archive)]
+    got = []
+    for s, e in zip(bounds, bounds[1:]):
+        pos = max(0, s - len(bw._ANCHOR))
+        fh = io.BytesIO(archive)
+        fh.seek(pos)
+        got.extend(
+            r["headers"]["warc-record-id"]
+            for r in bw.parse_warc_range(fh, pos, s, e)
+        )
+    assert got == whole
