@@ -38,11 +38,12 @@ def run(name: str, cmd: list[str], env: dict | None = None) -> bool:
     return ok
 
 
-# queries whose cross-engine contract is BIT-EXACT values (decimal
-# sums, integer aggregates) — these also run under --strict (full
-# float precision + dtype tags) and under a non-UTC JVM timezone,
-# the two environment axes that produced round 4's driver-only
-# hash mismatches (tpch_q1 / tpch_q12)
+# Every oracle-paired query is BIT-EXACT cross-engine as of round 5
+# (verify_local --strict passes the full catalog), so --deep runs
+# strict over EVERYTHING.  This list is the subset that ALSO reruns
+# under a non-UTC JVM timezone — the queries with date/timestamp
+# predicates or decimal-sum aggregates, the two environment axes that
+# produced round 4's driver-only hash mismatches (tpch_q1 / tpch_q12).
 EXACT_FAMILY = [
     "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority", "tpch_q4_order_priority",
@@ -72,8 +73,8 @@ def main() -> int:
         layers += [
             ("verify_local --vanilla (driver fidelity)",
              [py, os.path.join(HERE, "verify_local.py"), "--vanilla"]),
-            ("verify_local --strict (bit-exact family)",
-             [py, os.path.join(HERE, "verify_local.py"), "--strict", *EXACT_FAMILY]),
+            ("verify_local --strict (bit-exact, all queries)",
+             [py, os.path.join(HERE, "verify_local.py"), "--strict"]),
             ("verify_local --vanilla, TZ=America/New_York (exact family)",
              [py, os.path.join(HERE, "verify_local.py"), "--vanilla", *EXACT_FAMILY],
              {"TZ": "America/New_York"}),
