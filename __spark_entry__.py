@@ -3798,6 +3798,30 @@ def q_zorder_roundtrip(spark, sf_dir):
     )
 
 
+@_q(
+    "row_group_stats_documents",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(5 AS BIGINT) AS num_columns
+    FROM documents
+    """,
+)
+def q_row_group_stats(spark, sf_dir):
+    # footer-only observability op (the compact/zorder diagnosis
+    # input): the content-derived oracle pins that the footer counts
+    # SUM to the table's true row count and the column count matches
+    # the schema, independent of how the writer laid out row groups;
+    # exact per-row-group parity vs DuckDB parquet_metadata AND
+    # pyarrow is pinned in tests/test_layout.py
+    from bubbles_spark.ops import layout
+
+    stats = layout.row_group_stats(spark, sf_dir, path_glob="documents.parquet")
+    return stats.agg(
+        F.sum("num_rows").alias("total_rows"),
+        F.max("num_columns").alias("num_columns"),
+    )
+
+
 # --- §2.14 perceptual image hashing (ops/imagehash.py) ---------------
 def _planted_images(spark, sf_dir, n=150):
     """Deterministic smooth PGM images per doc (two 2-D cosines whose

@@ -106,3 +106,76 @@ def zorder_by(
     else:
         tagged = tagged.repartitionByRange("__zkey")
     return tagged.sortWithinPartitions("__zkey").drop("__zkey")
+
+
+def row_group_stats(
+    spark,
+    path: str,
+    path_glob: str = "*.parquet",
+) -> DataFrame:
+    """Per-row-group parquet footer statistics for every file under
+    ``path``: (file_name, row_group_id, num_rows, num_columns,
+    total_bytes) — the observability half of the maintenance family.
+    Fragmented output (many small row groups) says run ``compact``;
+    fat value envelopes after filtering say the table wants
+    ``zorder_by``; per-file row skew says revisit partitioning.
+    ``total_bytes`` is the row group's uncompressed byte size,
+    byte-identical to DuckDB's ``parquet_metadata.row_group_bytes``
+    and pyarrow's ``total_byte_size`` (tests pin all three).
+
+    Plan: the driver lists files (Hadoop FS metadata — any scheme),
+    then ONE task per file reads just the footer via pyarrow
+    (`bubbles_spark.warc._open_input_at`, so s3a/hdfs work) — data
+    pages are never touched, cost is one footer read per file."""
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    import fnmatch
+
+    if fs.isDirectory(hpath):
+        statuses = list(fs.listStatus(hpath))
+    else:
+        statuses = [fs.getFileStatus(hpath)]
+    files = [
+        st.getPath().toString()
+        for st in statuses
+        if not st.isDirectory()
+        and fnmatch.fnmatch(st.getPath().getName(), path_glob)
+    ]
+    schema = (
+        "file_name string, row_group_id bigint, num_rows bigint, "
+        "num_columns bigint, total_bytes bigint"
+    )
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from bubbles_spark.warc import _open_input_at
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(_open_input_at(p, 0)).metadata
+                base = p.rsplit("/", 1)[-1]
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    out.append(
+                        (base, i, rg.num_rows, rg.num_columns, rg.total_byte_size)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file_name", "row_group_id", "num_rows",
+                    "num_columns", "total_bytes",
+                ],
+            )
+
+    fdf = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        len(files)
+    )
+    return fdf.mapInPandas(read_footers, schema)

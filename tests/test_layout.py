@@ -133,3 +133,43 @@ def test_filestore_create_zorder(spark, tmp_path):
     back = store.get_object("orders_z")
     assert back.count() == df.count()
     assert set(back.columns) == set(df.columns)
+
+
+def test_row_group_stats_matches_duckdb_and_pyarrow(spark, tmp_path):
+    """Footer stats byte-identical to DuckDB parquet_metadata AND
+    pyarrow, across multiple files and row groups."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bubbles_spark.ops import layout
+
+    for f, n in (("a.parquet", 700), ("b.parquet", 250)):
+        t = pa.table({"x": list(range(n)), "s": [f"v{i}" for i in range(n)]})
+        pq.write_table(t, str(tmp_path / f), row_group_size=300)
+
+    got = sorted(
+        map(tuple, layout.row_group_stats(spark, str(tmp_path)).collect())
+    )
+    con = duckdb.connect()
+    want = sorted(
+        con.execute(
+            f"""
+            SELECT DISTINCT regexp_extract(file_name, '([^/]+)$', 1),
+                   row_group_id, row_group_num_rows,
+                   row_group_num_columns, row_group_bytes
+            FROM parquet_metadata('{tmp_path}/*.parquet')
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # and against pyarrow directly
+    pa_rows = []
+    for f in ("a.parquet", "b.parquet"):
+        md = pq.ParquetFile(str(tmp_path / f)).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            pa_rows.append((f, i, rg.num_rows, rg.num_columns, rg.total_byte_size))
+    assert got == sorted(pa_rows)
+    # a.parquet: 700 rows at row_group_size=300 -> 3 row groups
+    assert sum(1 for r in got if r[0] == "a.parquet") == 3
