@@ -99,6 +99,9 @@ BENCH_QUERIES = [
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",
+    "admit_and_extend_planted",
+    "warc_pipeline_splittable",
+    "row_group_stats_documents",
     "canonicalize_url",
     "script_profile",
     "linear_score_quality",
