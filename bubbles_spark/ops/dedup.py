@@ -1284,7 +1284,12 @@ def admit_and_extend_index(
         .distinct()
     )
     admitted = batch.join(hits, id_col, "left_anti")
-    new_sigs = minhash_index(admitted, id_col, text_col, n, num_hashes)
+    if "minhash" in admitted.columns:
+        # pre-signed batch (pairs_against_index accepted it as a
+        # signature table): the admitted rows ARE signature rows
+        new_sigs = admitted.select(id_col, "minhash")
+    else:
+        new_sigs = minhash_index(admitted, id_col, text_col, n, num_hashes)
     return admitted, index.unionByName(new_sigs)
 
 
@@ -1323,17 +1328,21 @@ def admit_batch_to_index_store(
         # localCheckpoint truncates the lineage executor-side — no
         # driver collect, scales with executor storage
         admitted = admitted.localCheckpoint(eager=True)
-        store.upsert(
-            name,
-            minhash_index(admitted, id_col, text_col, n, num_hashes),
-            keys=id_col,
-        )
+        store.upsert(name, _sigs_of(admitted, id_col, text_col, n, num_hashes), keys=id_col)
     else:
         admitted = batch
         store.create(
-            name, from_obj=minhash_index(admitted, id_col, text_col, n, num_hashes)
+            name, from_obj=_sigs_of(admitted, id_col, text_col, n, num_hashes)
         )
     return admitted
+
+
+def _sigs_of(df, id_col, text_col, n, num_hashes):
+    """Signature rows for ``df`` — reused as-is when ``df`` is already
+    a signature table (pre-signed batches), signed otherwise."""
+    if "minhash" in df.columns:
+        return df.select(id_col, "minhash")
+    return minhash_index(df, id_col, text_col, n, num_hashes)
 
 
 def exact_index(
