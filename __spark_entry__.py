@@ -113,6 +113,26 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _schema_only() -> bool:
+    """True when the caller only needs the plan's SCHEMA, never its
+    rows (``tools/oracle_type_audit.py`` sets ``BUBBLES_SCHEMA_ONLY=1``
+    before walking the catalog).  Query functions that would otherwise
+    run Spark jobs at build time — eager index checkpoints, streaming
+    drains — consult this to stay lazy / return a schema-identical
+    batch plan instead."""
+    import os
+
+    return os.environ.get("BUBBLES_SCHEMA_ONLY") == "1"
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that is eager (materialize now — the
+    persisted-signature-table production shape) on real runs but LAZY
+    under ``_schema_only()``, so schema audits don't pay MinHash
+    signing jobs just to read ``.dtypes``."""
+    return df.localCheckpoint(eager=not _schema_only())
+
+
 # --- flagship (join_details J1 + F1 + A1 + O1 composition) -----------
 _q("flagship_revenue_by_nation", FLAGSHIP_SQL)(flagship)
 
@@ -1597,7 +1617,7 @@ def q_index_pairs_planted(spark, sf_dir):
     # signature ⇒ same buckets ⇒ est_jaccard 1.0), so the planted
     # subset is exactly SQL-predictable
     d = _t(spark, sf_dir, "documents")
-    index = dedup.minhash_index(d).localCheckpoint(eager=True)
+    index = _ckpt(dedup.minhash_index(d))
     batch = d.filter(F.col("doc_id") < 200).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
@@ -1622,7 +1642,7 @@ def q_dedup_against_index_planted(spark, sf_dir):
     # eager localCheckpoint = the persisted-signature-table production
     # shape; measured 8.0s → 6.4s at sf0.1 vs the lazy cache_index
     # persist (both consumers hit materialized signatures immediately)
-    index = dedup.minhash_index(d).localCheckpoint(eager=True)
+    index = _ckpt(dedup.minhash_index(d))
     copies = d.filter(F.col("doc_id") < 200).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
@@ -1659,7 +1679,7 @@ def q_admit_and_extend_planted(spark, sf_dir):
     # PERSISTED signature table; without it each admission consumer
     # (banding + verify, ×2 calls) re-shingles the corpus (measured
     # 49s → ~8s at sf0.01 from these two checkpoints)
-    index = dedup.minhash_index(d).localCheckpoint(eager=True)
+    index = _ckpt(dedup.minhash_index(d))
     copies = d.filter(F.col("doc_id") < 200).select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
     )
@@ -1674,7 +1694,7 @@ def q_admit_and_extend_planted(spark, sf_dir):
     # checkpoint the ADMISSION (computed once), then extend the
     # already-checkpointed history from it — the corpus is never
     # re-signed and batch 1's admission join never re-runs
-    adm1 = adm1.localCheckpoint(eager=True)
+    adm1 = _ckpt(adm1)
     index = index.unionByName(dedup.minhash_index(adm1))
     recopies = d.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
@@ -1711,10 +1731,15 @@ def q_stream_admit_against_index(spark, sf_dir):
 
     from bubbles_spark.streaming import events as sevents
 
+    if _schema_only():
+        # output schema ≡ the batch twin's (the documented stream≡batch
+        # equivalence); don't start a real streaming query + collect
+        # just so an audit can read .dtypes
+        return _t(spark, sf_dir, "documents").select("doc_id")
     d = _t(spark, sf_dir, "documents")
     # checkpoint: the STATIC index is consumed by EVERY micro-batch —
     # uncheckpointed it re-signs the corpus per batch
-    index = dedup.minhash_index(d).localCheckpoint(eager=True)
+    index = _ckpt(dedup.minhash_index(d))
     stream = sevents.read_testdata_table_stream(spark, sf_dir, "documents")
     copies = stream.filter(F.col("doc_id") < 200).select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
@@ -3148,16 +3173,17 @@ def q_tpch_q2_like(spark, sf_dir):
     ),
     scoped AS (
       SELECT ps_partkey,
-             CAST(SUM(supplycost * availqty) AS DOUBLE) AS value
+             SUM(supplycost * availqty) AS vdec
       FROM ps
       JOIN supplier ON s_suppkey = ps_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_1'
       GROUP BY ps_partkey
     )
-    SELECT ps_partkey, value
+    SELECT ps_partkey, CAST(vdec AS DOUBLE) AS value
     FROM scoped
-    WHERE value > (SELECT SUM(value) * 0.001 FROM scoped)
+    WHERE CAST(vdec AS DOUBLE)
+          > (SELECT CAST(SUM(vdec) AS DOUBLE) * 0.001 FROM scoped)
     """,
 )
 def q_tpch_q11_like(spark, sf_dir):
@@ -3166,8 +3192,11 @@ def q_tpch_q11_like(spark, sf_dir):
     # is a 1-row broadcast joined back — the scalar subquery costs one
     # metadata-sized crossJoin, never a rescan.  supplycost×availqty
     # stays exact decimal (12,4)×(14,4) → (27,8), inside both
-    # engines' 38-digit cap, so the threshold comparison is on
-    # bit-identical doubles.
+    # engines' 38-digit cap, AND the grand total is summed in decimal
+    # too (a SUM over per-group DOUBLEs would be accumulation-order-
+    # dependent — the exact class behind the r4 q1 mismatch); each
+    # side casts to double exactly once, so the threshold comparison
+    # is on bit-identical doubles.
     li = _t(spark, sf_dir, "lineitem")
     ps = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
@@ -3189,17 +3218,15 @@ def q_tpch_q11_like(spark, sf_dir):
     scoped = (
         ps.join(F.broadcast(nat_supp), ps.ps_suppkey == F.col("s_suppkey"))
         .groupBy("ps_partkey")
-        .agg(
-            F.sum(F.col("supplycost") * F.col("availqty"))
-            .cast("double")
-            .alias("value")
-        )
+        .agg(F.sum(F.col("supplycost") * F.col("availqty")).alias("__vdec"))
     )
-    total = scoped.agg((F.sum("value") * 0.001).alias("__thr"))
+    total = scoped.agg(
+        (F.sum("__vdec").cast("double") * F.lit(0.001)).alias("__thr")
+    )
     return (
         scoped.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("__thr"))
-        .select("ps_partkey", "value")
+        .filter(F.col("__vdec").cast("double") > F.col("__thr"))
+        .select("ps_partkey", F.col("__vdec").cast("double").alias("value"))
     )
 
 

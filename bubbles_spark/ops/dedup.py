@@ -1264,22 +1264,34 @@ def admit_and_extend_index(
     re-reads history — index signatures shuffle as (id, band, bucket)
     triples only, or not at all with ``broadcast_batch=True``).
 
-    A match between a batch row and an index row with the SAME id is
-    a replay (the row is already admitted), not a duplicate — it does
-    not block admission.  That makes a retried batch idempotent: the
-    rerun admits the same rows and re-writes the same signature rows,
-    instead of rejecting everything against its own first attempt.
+    A match between a batch row and an index row whose id is itself a
+    MEMBER of the batch is a replay artifact (the index row is this
+    batch's own earlier admission), not a duplicate — it does not
+    block admission.  That makes a retried batch idempotent even when
+    the batch contains intra-batch near-duplicates: on attempt 1 both
+    copies are admitted (intra-batch pairs are out of scope here — see
+    the note on composing with ``minhash_dedup`` below); without the
+    member exemption attempt 2 would find each copy's twin in the
+    index and reject BOTH, so the retry would admit a different set
+    than the signatures already persisted.  Requires ids unique across
+    the corpus (the index contract): a batch id can only appear in the
+    index if this batch was already (partially) admitted.
 
     Returns DataFrames, not writes: persist ``extended_index`` (or
     just the new rows — ``minhash_index(admitted)``) however the
     pipeline stores state; ``FileStore``-backed callers can use
     ``admit_batch_to_index_store`` instead."""
+    # member exemption: drop matches whose index row is one of this
+    # batch's OWN ids (subsumes the same-id case) — hits is candidate-
+    # sized and the member side is an id-only pruned scan, so the
+    # anti-join is key-only; AQE broadcasts whichever side is small
+    members = batch.select(F.col(id_col).alias("__member")).distinct()
     hits = (
         pairs_against_index(
             batch, index, id_col, text_col,
             threshold=threshold, n=n, num_hashes=num_hashes, **kw,
         )
-        .filter(F.col("batch_id") != F.col("index_id"))
+        .join(members, F.col("index_id") == F.col("__member"), "left_anti")
         .select(F.col("batch_id").alias(id_col))
         .distinct()
     )

@@ -123,27 +123,15 @@ def row_group_stats(
     byte-identical to DuckDB's ``parquet_metadata.row_group_bytes``
     and pyarrow's ``total_byte_size`` (tests pin all three).
 
-    Plan: the driver lists files (Hadoop FS metadata — any scheme),
+    Plan: the driver lists files RECURSIVELY (Hadoop FS metadata —
+    any scheme; recursion so ``partitionBy`` layouts, whose data
+    files all live under ``key=value/`` subdirectories, are seen),
     then ONE task per file reads just the footer via pyarrow
     (`bubbles_spark.warc._open_input_at`, so s3a/hdfs work) — data
     pages are never touched, cost is one footer read per file."""
-    from pyspark.sql import functions as F  # noqa: F811 — local alias
+    from bubbles_spark.warc import _hadoop_list_files
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    import fnmatch
-
-    if fs.isDirectory(hpath):
-        statuses = list(fs.listStatus(hpath))
-    else:
-        statuses = [fs.getFileStatus(hpath)]
-    files = [
-        st.getPath().toString()
-        for st in statuses
-        if not st.isDirectory()
-        and fnmatch.fnmatch(st.getPath().getName(), path_glob)
-    ]
+    files = [p for p, _size in _hadoop_list_files(spark, path, path_glob)]
     schema = (
         "file_name string, row_group_id bigint, num_rows bigint, "
         "num_columns bigint, total_bytes bigint"

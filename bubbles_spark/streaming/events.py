@@ -916,11 +916,17 @@ def admit_stream_against_index(
     batch writes to a DETERMINISTIC per-batch directory in overwrite
     mode, so a replayed epoch overwrites its own output instead of
     appending duplicates.  The drained result is assembled from the
-    CHECKPOINT's commit log, not a directory listing: only
-    ``admit_batch=<id>`` directories whose id this checkpoint actually
-    committed are read, so a reused output directory holding stale
-    batches from an earlier run (different checkpoint, different
-    micro-batch boundaries) can never double-count admitted docs.
+    CHECKPOINT's commit log, not a bare directory listing: only
+    ``admit_batch=<id>`` directories with id ≤ the checkpoint's LAST
+    committed batch id are read.  Batch ids are contiguous from 0
+    within a checkpoint, so after a clean drain every id up to the
+    last commit was written (or overwritten) by THIS checkpoint —
+    stale higher-numbered batches from an earlier run (different
+    checkpoint, different micro-batch boundaries) can never
+    double-count admitted docs, and, unlike requiring every id's own
+    commit file, the rule survives Spark purging commit-log entries
+    older than ``spark.sql.streaming.minBatchesToRetain`` (default
+    100) on long backlogs / resumed checkpoints.
     All filesystem access goes through the Hadoop FileSystem API, so
     ``path``/``checkpoint`` may be any supported scheme (s3a://,
     hdfs://, file:), not just the local disk.  No stateful operators
@@ -959,19 +965,33 @@ def admit_stream_against_index(
             f"{timeout_s}s; partial results left under {path!r} are "
             f"safe to resume from (same checkpoint)"
         )
-    committed = {
-        name
+    return _drain_admitted(spark, path, checkpoint, docs.schema)
+
+
+def _drain_admitted(spark: SparkSession, path: str, checkpoint: str, schema):
+    """Assemble the admitted rows for ``checkpoint`` from the
+    ``admit_batch=<id>`` directories under ``path``: keep ids ≤ the
+    last committed batch id (see ``admit_stream_against_index`` —
+    contiguous ids make this exact, and it survives commit-log purge
+    where a committed-set membership test silently drops batches
+    older than ``minBatchesToRetain``)."""
+    committed = [
+        int(name)
         for name in _hadoop_ls(spark, checkpoint.rstrip("/") + "/commits")
         if name.isdigit()
-    }
+    ]
+    if not committed:
+        return spark.createDataFrame([], schema)
+    last = max(committed)
     keep = [
         path.rstrip("/") + "/" + name
         for name in _hadoop_ls(spark, path)
         if name.startswith("admit_batch=")
-        and name.split("=", 1)[1] in committed
+        and name.split("=", 1)[1].isdigit()
+        and int(name.split("=", 1)[1]) <= last
     ]
     if not keep:
-        return spark.createDataFrame([], docs.schema)
+        return spark.createDataFrame([], schema)
     return (
         spark.read.option("basePath", path).parquet(*keep).drop("admit_batch")
     )

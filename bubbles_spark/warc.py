@@ -303,9 +303,22 @@ def _record_rows(records, file_path, keep, http_parse):
         }
 
 
+def _arrow_uri(path: str) -> str:
+    """Map Hadoop-only scheme names onto the pyarrow spelling for the
+    same store: ``s3a://`` / ``s3n://`` → ``s3://``.  Everything else
+    passes through."""
+    if path.startswith(("s3a://", "s3n://")):
+        return "s3://" + path.split("://", 1)[1]
+    return path
+
+
 def _open_input_at(path: str, offset: int):
     """Open ``path`` (local path, file:, or any pyarrow-supported
-    scheme: hdfs://, s3://) positioned at ``offset``."""
+    scheme: hdfs://, s3://) positioned at ``offset``.  Hadoop's
+    ``s3a://``/``s3n://`` scheme names address the same object store
+    as pyarrow's ``s3://`` but are alien to ``FileSystem.from_uri``
+    (ArrowInvalid) — and s3a is exactly what Hadoop listing hands the
+    executors — so they are translated before dispatch."""
     import pyarrow.fs as pafs
 
     if path.startswith("file:"):
@@ -314,13 +327,50 @@ def _open_input_at(path: str, offset: int):
             local = local[2:] or "/"
         fs, rel = pafs.LocalFileSystem(), local
     elif "://" in path:
-        fs, rel = pafs.FileSystem.from_uri(path)
+        fs, rel = pafs.FileSystem.from_uri(_arrow_uri(path))
     else:
         fs, rel = pafs.LocalFileSystem(), path
     fh = fs.open_input_file(rel)
     if offset:
         fh.seek(offset)
     return fh
+
+
+def _hadoop_list_files(spark, path: str, path_glob: str | None = None):
+    """RECURSIVELY list the data files under ``path`` via the Hadoop
+    FileSystem API — any scheme the session can read (file:, hdfs://,
+    s3a://).  Returns sorted ``(path, size)`` pairs.  Skips hidden
+    entries (any path segment below ``path`` starting with ``.`` or
+    ``_`` — Hadoop/Spark markers: ``_SUCCESS``, ``_temporary``,
+    ``.crc``), exactly like Spark's own file readers, and skips empty
+    files.  ``path_glob`` filters on basename.  Missing path → empty
+    list.  Recursion matters: a ``partitionBy`` layout keeps every
+    data file under ``key=value/`` subdirectories, which a
+    direct-children listing reports as zero files."""
+    import fnmatch
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    base = fs.getFileStatus(hpath).getPath().toString().rstrip("/")
+    base_depth = base.count("/")
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        segs = p.split("/")[base_depth + 1 :]  # components below base
+        if any(s.startswith((".", "_")) for s in segs):
+            continue
+        name = segs[-1] if segs else st.getPath().getName()
+        if path_glob and not fnmatch.fnmatch(name, path_glob):
+            continue
+        if st.getLen() == 0:
+            continue
+        out.append((p, st.getLen()))
+    return sorted(out)
 
 
 def read_warc_splittable(
@@ -349,26 +399,9 @@ def read_warc_splittable(
     parallelism for gzip remains the file count, the industry shape
     for CommonCrawl.  Peak task memory: one read chunk + the largest
     record + one bounded output batch."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    import fnmatch
-
-    if fs.isDirectory(hpath):
-        statuses = list(fs.listStatus(hpath))
-    else:
-        statuses = [fs.getFileStatus(hpath)]
     splits: list[tuple[str, int, int]] = []
-    for st in statuses:
-        if st.isDirectory():
-            continue
-        name = st.getPath().getName()
-        if path_glob and not fnmatch.fnmatch(name, path_glob):
-            continue
-        p, size = st.getPath().toString(), st.getLen()
-        if size == 0:
-            continue
-        if name.endswith(".gz"):
+    for p, size in _hadoop_list_files(spark, path, path_glob):
+        if p.endswith(".gz"):
             splits.append((p, 0, size))  # gzip: whole-file task
         else:
             s = 0

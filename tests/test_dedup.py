@@ -481,6 +481,27 @@ def test_admit_and_extend_index_replay_is_idempotent(spark, docs):
     assert [r["doc_id"] for r in adm_retry.collect()] == [100]
 
 
+def test_admit_and_extend_index_replay_with_intra_batch_dups(spark, docs):
+    """A batch whose rows are near-duplicates OF EACH OTHER (both
+    novel vs the index) admits both on attempt 1; a retry against the
+    extended index must admit the SAME two rows — without the
+    batch-member exemption each copy finds its twin in the index
+    (ids differ, so the same-id rule alone doesn't help) and the
+    retry rejects BOTH."""
+    index = dedup.minhash_index(docs)
+    b = spark.createDataFrame(
+        [
+            (100, "totally novel text about spark execution plans"),
+            (101, "totally novel text about spark execution plans"),
+        ],
+        "doc_id long, text string",
+    )
+    adm1, index2 = dedup.admit_and_extend_index(b, index, threshold=0.9)
+    assert sorted(r["doc_id"] for r in adm1.collect()) == [100, 101]
+    adm_retry, _ = dedup.admit_and_extend_index(b, index2, threshold=0.9)
+    assert sorted(r["doc_id"] for r in adm_retry.collect()) == [100, 101]
+
+
 def test_admit_batch_to_index_store_roundtrip(spark, docs, tmp_path):
     """Store-backed loop: create on first batch, append on later
     batches, cross-batch duplicate rejected, replay idempotent."""

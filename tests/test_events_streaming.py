@@ -724,3 +724,52 @@ def test_admit_stream_against_index(spark, tmp_path):
         stream3, index, out_dir, ckpt, threshold=0.9
     )
     assert [r["doc_id"] for r in third.collect()] == [101]
+
+
+def test_drain_admitted_survives_commit_log_purge(spark, tmp_path):
+    """Spark purges commit-log entries older than minBatchesToRetain;
+    the drain must keep every admit_batch dir with id ≤ the LAST
+    committed id, not just ids whose own commit file survived —
+    otherwise early batches silently vanish on long-lived
+    checkpoints."""
+    import glob
+    import os
+
+    from bubbles_spark.ops import dedup
+    from bubbles_spark.streaming import events as sevents
+
+    index = dedup.minhash_index(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+    )
+    src = str(tmp_path / "src")
+    # two source files + maxFilesPerTrigger=1 -> at least two
+    # micro-batches, so there is an "old" commit to purge
+    spark.createDataFrame(
+        [(100, "novel words never before seen in this corpus")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(101, "a second entirely unrelated novel document here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    got = sevents.admit_stream_against_index(
+        stream, index, out_dir, ckpt, threshold=0.9
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [100, 101]
+    commits = sorted(glob.glob(ckpt + "/commits/[0-9]*"))
+    assert len(commits) >= 2, "need two micro-batches for this test"
+    os.remove(commits[0])  # simulate minBatchesToRetain purge
+    drained = sevents._drain_admitted(
+        spark, out_dir, ckpt, "doc_id long, text string"
+    )
+    assert sorted(r["doc_id"] for r in drained.collect()) == [100, 101]

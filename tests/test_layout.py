@@ -173,3 +173,18 @@ def test_row_group_stats_matches_duckdb_and_pyarrow(spark, tmp_path):
     assert got == sorted(pa_rows)
     # a.parquet: 700 rows at row_group_size=300 -> 3 row groups
     assert sum(1 for r in got if r[0] == "a.parquet") == 3
+
+
+def test_row_group_stats_recurses_into_partitioned_layout(spark, tmp_path):
+    """partitionBy tables keep every data file under key=value/
+    subdirectories; the lister must recurse (and skip _SUCCESS) or
+    the diagnostic silently reports an empty — 'healthy' — layout."""
+    from bubbles_spark.ops import layout
+
+    tbl = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "id % 3 AS k").write.partitionBy(
+        "k"
+    ).parquet(tbl)
+    got = layout.row_group_stats(spark, tbl).collect()
+    assert sum(r["num_rows"] for r in got) == 100
+    assert all(r["file_name"].endswith(".parquet") for r in got)

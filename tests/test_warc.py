@@ -201,3 +201,42 @@ def test_parse_warc_range_boundary_ownership():
     right = list(bw.parse_warc_range(fh, pos, cut, len(data)))
     ids = [r["headers"]["warc-record-id"] for r in left + right]
     assert ids == ["<urn:uuid:0>", "<urn:uuid:1>", "<urn:uuid:2>"]
+
+
+def test_arrow_uri_translates_hadoop_s3_schemes():
+    """pyarrow's FileSystem.from_uri rejects s3a:// (ArrowInvalid),
+    but s3a is exactly what Hadoop listing returns — executors must
+    dispatch the pyarrow spelling of the same store."""
+    from bubbles_spark.warc import _arrow_uri
+
+    assert _arrow_uri("s3a://bucket/k/file.warc") == "s3://bucket/k/file.warc"
+    assert _arrow_uri("s3n://b/x") == "s3://b/x"
+    assert _arrow_uri("hdfs://nn:9000/x") == "hdfs://nn:9000/x"
+    assert _arrow_uri("/local/path") == "/local/path"
+
+
+def test_hadoop_list_files_recursive_and_hidden_skip(spark, tmp_path):
+    """Recursive listing sees files in subdirectories, skips Hadoop
+    hidden entries (_SUCCESS, .crc, _temporary/...), skips empty
+    files, and applies the basename glob."""
+    from bubbles_spark.warc import _hadoop_list_files
+
+    (tmp_path / "sub" / "deep").mkdir(parents=True)
+    (tmp_path / "a.warc").write_bytes(b"x" * 10)
+    (tmp_path / "sub" / "b.warc").write_bytes(b"y" * 20)
+    (tmp_path / "sub" / "deep" / "c.warc").write_bytes(b"z" * 30)
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    (tmp_path / ".a.warc.crc").write_bytes(b"crc")
+    (tmp_path / "_temporary").mkdir()
+    (tmp_path / "_temporary" / "d.warc").write_bytes(b"tmp")
+    (tmp_path / "empty.warc").write_bytes(b"")
+    (tmp_path / "notes.txt").write_bytes(b"not a warc")
+
+    got = _hadoop_list_files(spark, str(tmp_path), "*.warc")
+    names = sorted(p.rsplit("/", 1)[1] for p, _ in got)
+    assert names == ["a.warc", "b.warc", "c.warc"]
+    assert sorted(s for _, s in got) == [10, 20, 30]
+    # missing path -> empty, single-file path -> that file
+    assert _hadoop_list_files(spark, str(tmp_path / "nope")) == []
+    single = _hadoop_list_files(spark, str(tmp_path / "a.warc"))
+    assert len(single) == 1 and single[0][1] == 10

@@ -11,7 +11,11 @@ for exactly this reason.
 
 This tool makes that class of bug structurally findable: for each
 ``queries()``/``oracle_sql()`` pair it builds the Spark plan (schema
-only — no job runs) and asks DuckDB for the oracle's result types
+only — ``BUBBLES_SCHEMA_ONLY=1`` keeps index-building queries lazy
+and streaming queries on their schema-identical batch twins, so no
+MinHash signing or stream drains run just to read ``.dtypes``;
+streaming queries that sink through ``run_batchlike`` still execute
+at sf0.001) and asks DuckDB for the oracle's result types
 (``LIMIT 0`` wrapper — planned, not executed), then compares type
 CLASSES per column.  Flags:
 
@@ -77,6 +81,10 @@ def _cls(t: str) -> str:
 
 def main(only: list[str]) -> int:
     import duckdb
+
+    # schema audit, not a run: keep eager checkpoints lazy and
+    # streaming queries on their batch twins (see module docstring)
+    os.environ["BUBBLES_SCHEMA_ONLY"] = "1"
 
     import __spark_entry__ as entrymod
     from bubbles_spark.session import get_spark
