@@ -128,6 +128,15 @@ BENCH_QUERIES = [
     "dsir_logratio",
     "remove_boilerplate_lines",
     "gopher_rules",
+    # round-5 additions: drift monitoring (exact quantile ranks, PSI
+    # grid, range-partitioned KS), approximate string linkage, and
+    # window attribution
+    "winsorize_prices",
+    "mad_outlier_events",
+    "psi_events_value",
+    "ks_events_value",
+    "fuzzy_join_customer_names",
+    "attribution_first_touch",
 ]
 
 

@@ -22,6 +22,7 @@ from bubbles_spark.ops.core import (
     filter_by_set,
     filter_by_value,
     filter_not_empty,
+    fuzzy_join,
     join_details,
     range_join,
     rename_fields,
@@ -40,7 +41,7 @@ from bubbles_spark.ops.text import (
     transliterate,
 )
 from bubbles_spark.ops.audit import basic_audit, infer_types
-from bubbles_spark.ops import dedup, events, sketch, textan, textprep, vector, multimodal
+from bubbles_spark.ops import dedup, drift, events, sketch, textan, textprep, vector, multimodal
 
 __all__ = [
     "added_keys",
@@ -53,6 +54,7 @@ __all__ = [
     "derive",
     "distinct",
     "duplicate_stats",
+    "drift",
     "duplicates",
     "empty_to_missing",
     "events",
@@ -64,6 +66,7 @@ __all__ = [
     "filter_not_empty",
     "histogram",
     "infer_types",
+    "fuzzy_join",
     "join_details",
     "multimodal",
     "range_join",

@@ -1362,3 +1362,65 @@ def changed_rows(
         .filter(diff)
         .select(*src.columns)
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    block_on: Sequence[tuple[str, str]] = (),
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Approximate string join: pairs with ``levenshtein(left_col,
+    right_col) <= max_dist`` — entity resolution / record linkage for
+    near-miss keys (typo'd names, OCR'd ids) that an equi-join
+    silently drops.
+
+    NO false negatives, NO cartesian product: edit distance d implies
+    ``|len(a) − len(b)| <= d`` (each edit changes length by at most
+    1), so the right side fans out to its 2d+1 candidate lengths
+    (explode of a literal array — map-only, d is 1-2 in practice) and
+    the join is an EQUI-join on exact length, with the distance
+    predicate as a post-join filter.  The in-JVM ``levenshtein`` with
+    an early-exit threshold prunes non-matches in O(d·len).
+
+    Length alone is a weak block when strings share one length (id
+    schemes, fixed-width codes) — that bucket degenerates toward
+    all-pairs.  For those corpora pass ``block_on`` equi-pairs
+    ((left_col, right_col), e.g. country or first token): matches are
+    then RESTRICTED to equal blocks, the standard linkage trade
+    (stated semantics change, not silent skew).
+
+    Clashing right column names take ``right_suffix``."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    taken = set(left.columns)
+    renames = {
+        c: (c + right_suffix if c in taken else c) for c in right.columns
+    }
+    r = right.select(*[F.col(c).alias(n) for c, n in renames.items()])
+    r_col = renames[right_col]
+    r = r.withColumn(
+        "__len",
+        F.explode(
+            F.array(
+                *[
+                    F.length(F.col(r_col)) + F.lit(k)
+                    for k in range(-max_dist, max_dist + 1)
+                ]
+            )
+        ),
+    )
+    lhs = left.withColumn("__len", F.length(F.col(left_col)))
+    on = [lhs["__len"] == r["__len"]] + [
+        lhs[lc] == r[renames[rc]] for lc, rc in block_on
+    ]
+    cond = reduce(lambda a, b: a & b, on)
+    dist = F.levenshtein(F.col(left_col), F.col(r_col), max_dist)
+    return (
+        lhs.join(r, cond)
+        .filter((dist >= 0) & (dist <= max_dist))
+        .drop("__len")
+    )

@@ -1,0 +1,252 @@
+"""Distribution drift & robust statistics.
+
+A training-data pipeline re-ingests sources continuously; the first
+question after every refresh is "did the distribution move?".  This
+module gives the standard monitoring kit — PSI, two-sample KS,
+winsorization, MAD outlier flags — as exact, engine-portable
+DataFrame ops (no sampling, no approximation), built on the repo's
+scale-safe rank machinery instead of single-task global windows.
+
+Reference scope: Stiivi/bubbles ships ``basic_audit``-style probes
+only (SURVEY.md §2.6 A3); everything here is extension surface in the
+same spirit — declarative, oracle-checkable, shuffle-bounded.
+
+Exactness contract (see tools/verify_local.py --strict): quantiles
+are type-1 (no interpolation — the value at rank ceil(q·n), so zero
+float arithmetic between engines), counts are integers, shares are
+one IEEE division, and every threshold comparison happens on
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import math
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bubbles_spark.ops.core import _with_global_row_number
+
+__all__ = [
+    "exact_quantiles",
+    "winsorize",
+    "mad_outliers",
+    "psi_report",
+    "ks_distance",
+]
+
+
+def exact_quantiles(df: DataFrame, col: str, qs: list[float]) -> list[float]:
+    """EXACT type-1 quantiles of ``col``: for each q, the value at
+    global rank ``ceil(q·n)`` (1-based, ascending, nulls dropped) —
+    the definition with no interpolation step, so two engines that
+    agree on the data agree on the quantile to the last bit.
+
+    One distributed ranking pass for ALL requested quantiles
+    (``_with_global_row_number``: range partition + per-partition
+    offsets — no single-task global sort), then a rank-membership
+    filter collects exactly ``len(qs)`` rows to the driver.
+    """
+    vals = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    n = vals.count()
+    if n == 0:
+        raise ValueError(f"exact_quantiles: no non-null values in {col!r}")
+    ranks = [min(max(math.ceil(q * n), 1), n) for q in qs]
+    ranked = _with_global_row_number(vals, ["__v"])
+    hit = {
+        r["__rn"]: r["__v"]
+        for r in ranked.filter(F.col("__rn").isin(list(set(ranks)))).collect()
+    }
+    return [hit[r] for r in ranks]
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp ``col`` into its [lo_q, hi_q] exact-quantile envelope —
+    the standard tail-taming transform before training on heavy-tailed
+    features.  Cost: one ranking pass (two driver scalars), then a
+    map-only LEAST/GREATEST clamp; surviving values are either the
+    original doubles or the quantile doubles, so no new float
+    arithmetic is introduced."""
+    lo, hi = exact_quantiles(df, col, [lo_q, hi_q])
+    c = F.col(col)
+    clamped = F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    return df.withColumn(out_col or col, clamped)
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    k: float = 3.0,
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Flag rows whose ``|value − median| > k · MAD`` — the robust
+    (breakdown-point ½) outlier rule that a couple of corrupt rows
+    cannot drag around, unlike mean/stddev z-scores
+    (``reshape.zscore_normalize``).
+
+    Median and MAD are exact type-1 quantiles (two ranking passes —
+    the deviation median needs the value median first); the flag is a
+    map-only comparison on bit-identical doubles.  Zero MAD (>50% of
+    values identical) flags every value differing from the median."""
+    (med,) = exact_quantiles(df, col, [0.5])
+    dev = df.select(
+        (F.abs(F.col(col) - F.lit(med))).alias("__dev")
+    )
+    (mad,) = exact_quantiles(dev, "__dev", [0.5])
+    c = F.col(col)
+    return df.withColumn(
+        flag_col, F.abs(c - F.lit(med)) > F.lit(k) * F.lit(mad)
+    )
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index report between a reference and a
+    current sample of ``col``: one row per bin with counts, shares,
+    and the bin's PSI contribution ``(p_ref − p_cur)·ln(p_ref/p_cur)``
+    (NULL where either side's bin is empty — sum the column for total
+    PSI over populated bins; the usual drift rules of thumb: <0.1
+    stable, 0.1–0.25 drifting, >0.25 shifted).
+
+    Bins are FIXED-WIDTH over caller-supplied ``[lo, hi)`` (out-of-
+    range values clamp into the edge bins, nulls drop) — fixed bounds
+    rather than data-derived ones make the report reproducible across
+    refreshes and engines: the bin expression is one floor-divide on
+    literals, map-only on both inputs.  Plan: two single-shuffle
+    keyed counts joined onto a ``bins``-row spine — no data join."""
+    if bins < 1 or not hi > lo:
+        raise ValueError("psi_report: need bins >= 1 and hi > lo")
+    step = (hi - lo) / bins
+    spark = ref.sparkSession
+
+    def _binned(df: DataFrame, name: str) -> DataFrame:
+        c = F.col(col)
+        b = F.least(
+            F.greatest(
+                F.floor((c - F.lit(lo)) / F.lit(step)), F.lit(0)
+            ),
+            F.lit(bins - 1),
+        )
+        return (
+            df.filter(c.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    spine = spark.range(bins).select(F.col("id").alias("bin"))
+    joined = (
+        spine.join(_binned(ref, "count_ref"), "bin", "left")
+        .join(_binned(cur, "count_cur"), "bin", "left")
+        .fillna(0, ["count_ref", "count_cur"])
+    )
+    # totals as a 1-row broadcast (metadata-sized crossJoin)
+    totals = joined.agg(
+        F.sum("count_ref").alias("__nr"), F.sum("count_cur").alias("__nc")
+    )
+    pr = F.col("count_ref").cast("double") / F.col("__nr").cast("double")
+    pc = F.col("count_cur").cast("double") / F.col("__nc").cast("double")
+    psi = F.when(
+        (F.col("count_ref") > 0) & (F.col("count_cur") > 0),
+        (pr - pc) * F.log(pr / pc),
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "count_ref",
+            "count_cur",
+            pr.alias("share_ref"),
+            pc.alias("share_cur"),
+            psi.alias("psi_bin"),
+        )
+        .orderBy("bin")
+    )
+
+
+def ks_distance(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance: ``max |F_ref(v) −
+    F_cur(v)|`` over the pooled sample points — the
+    binning-free drift test that ``psi_report``'s fixed grid can
+    miss (a pure within-bin shift has PSI 0 but non-zero KS).
+    Returns one row: (ks, n_ref, n_cur).
+
+    Exact, not approximated, and scale-safe: pool both sides with a
+    0/1 tag (map-only), ONE keyed count per distinct value, then a
+    range-partitioned cumulative sum (per-partition prefix offsets
+    collected as O(#partitions) driver metadata — the same two-phase
+    trick as ``_with_global_row_number``, never a single-task global
+    window).  The ECDF ratios are one IEEE division per side and the
+    max over exact doubles is order-independent, so the statistic is
+    bit-identical across engines."""
+    pooled = ref.select(
+        F.col(col).alias("v"), F.lit(1).alias("a"), F.lit(0).alias("b")
+    ).unionAll(
+        cur.select(F.col(col).alias("v"), F.lit(0).alias("a"), F.lit(1).alias("b"))
+    ).filter(F.col("v").isNotNull())
+    per_v = pooled.groupBy("v").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    spark = ref.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        per_v.repartitionByRange(n_parts, "v")
+        .sortWithinPartitions("v")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        sizes = {
+            r["__pid"]: (r["__sa"], r["__sb"])
+            for r in parted.groupBy("__pid")
+            .agg(F.sum("ca").alias("__sa"), F.sum("cb").alias("__sb"))
+            .collect()
+        }
+        offs_a: dict[int, int] = {}
+        offs_b: dict[int, int] = {}
+        acc_a = acc_b = 0
+        for pid in sorted(sizes):
+            offs_a[pid], offs_b[pid] = acc_a, acc_b
+            acc_a += sizes[pid][0]
+            acc_b += sizes[pid][1]
+        n_ref, n_cur = acc_a, acc_b
+        if n_ref == 0 or n_cur == 0:
+            raise ValueError("ks_distance: a side has no non-null values")
+        map_a = F.create_map(*[F.lit(x) for po in offs_a.items() for x in po])
+        map_b = F.create_map(*[F.lit(x) for po in offs_b.items() for x in po])
+        w = (
+            Window.partitionBy("__pid")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = parted.select(
+            (F.sum("ca").over(w) + F.coalesce(map_a[F.col("__pid")], F.lit(0))).alias("cca"),
+            (F.sum("cb").over(w) + F.coalesce(map_b[F.col("__pid")], F.lit(0))).alias("ccb"),
+        )
+        out = cum.agg(
+            F.max(
+                F.abs(
+                    F.col("cca").cast("double") / F.lit(float(n_ref))
+                    - F.col("ccb").cast("double") / F.lit(float(n_cur))
+                )
+            ).alias("ks")
+        ).select(
+            "ks",
+            F.lit(n_ref).cast("bigint").alias("n_ref"),
+            F.lit(n_cur).cast("bigint").alias("n_cur"),
+        )
+        # materialize before unpersist: the 1-row result costs nothing
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        parted.unpersist()

@@ -594,3 +594,76 @@ def resample_time(
         filled.alias(value_col),
         is_gap.alias("is_gap"),
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion: str = "purchase",
+    model: str = "first_touch",
+    lookback_seconds: float = 7 * 86400.0,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each
+    ``conversion`` event to ONE earlier touch event by the same user
+    inside the lookback window — ``first_touch`` credits the
+    earliest such touch, ``last_touch`` the latest.  Returns one row
+    per attributed conversion: (conversion_id, user, conversion_ts,
+    channel, touch_ts); conversions with no in-window touch are
+    omitted (aggregate and compare against the conversion count for
+    an "unattributed" share).
+
+    Deterministic: the credited touch is picked under a TOTAL order
+    (timestamp, then event id — unique), so ties cannot flip between
+    runs or engines; the window bound is an epoch-seconds double
+    DIFFERENCE (timezone shifts cancel — the funnel family's pinned
+    arithmetic), and output timestamps keep the source column's type
+    (NTZ stays NTZ; no session-timezone reinterpretation).
+
+    Scale shape: conversions ⋈ touches is a per-user equi-join (one
+    key shuffle each side; touches pre-filtered to non-conversion
+    events) with the time bounds as post-join predicates — no theta
+    join — then one window per conversion id keeps the single
+    credited row.  Per-user candidate fan-out is bounded by the
+    lookback horizon."""
+    if model not in ("first_touch", "last_touch"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+    is_ts = dict(df.dtypes).get(ts_col, "").startswith("timestamp")
+    ts = F.col(ts_col) if is_ts else F.col(ts_col).cast("timestamp")
+    conv = df.filter(F.col(type_col) == conversion).select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col).alias(user_col),
+        ts.alias("conversion_ts"),
+    )
+    touch = df.filter(F.col(type_col) != conversion).select(
+        F.col(user_col).alias(user_col),
+        F.col(type_col).alias("channel"),
+        ts.alias("touch_ts"),
+        F.col(id_col).alias("__touch_id"),
+    )
+
+    def _epoch(c):  # ntz -> ltz -> seconds; shifts cancel in the diff
+        return c.cast("timestamp").cast("double")
+
+    j = conv.join(touch, user_col).filter(
+        (F.col("touch_ts") < F.col("conversion_ts"))
+        & (
+            _epoch(F.col("conversion_ts")) - _epoch(F.col("touch_ts"))
+            <= F.lit(float(lookback_seconds))
+        )
+    )
+    order = (
+        [F.col("touch_ts").asc(), F.col("__touch_id").asc()]
+        if model == "first_touch"
+        else [F.col("touch_ts").desc(), F.col("__touch_id").desc()]
+    )
+    w = Window.partitionBy("conversion_id").orderBy(*order)
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "conversion_id", user_col, "conversion_ts", "channel", "touch_ts"
+        )
+    )

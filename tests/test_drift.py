@@ -1,0 +1,174 @@
+"""Drift & robust-stats family (ops/drift.py) + fuzzy_join +
+attribution — unit fixtures in the reference's tiny-rows style."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bubbles_spark.ops import core, drift, events
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "v double")
+
+
+def test_exact_quantiles_type1(spark):
+    df = _vals(spark, range(1, 101))
+    assert drift.exact_quantiles(df, "v", [0.05, 0.5, 0.95, 1.0]) == [
+        5.0,
+        50.0,
+        95.0,
+        100.0,
+    ]
+    # rank formula, not interpolation: q=0.5 of [1..4] is ceil(2)=rank 2
+    assert drift.exact_quantiles(_vals(spark, [1, 2, 3, 4]), "v", [0.5]) == [2.0]
+
+
+def test_exact_quantiles_drops_nulls_and_raises_empty(spark):
+    df = spark.createDataFrame([(None,), (7.0,)], "v double")
+    assert drift.exact_quantiles(df, "v", [0.5]) == [7.0]
+    empty = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError):
+        drift.exact_quantiles(empty, "v", [0.5])
+
+
+def test_winsorize_clamps_tails_only(spark):
+    df = _vals(spark, range(1, 101))
+    w = drift.winsorize(df, "v", 0.05, 0.95)
+    got = sorted(r["v"] for r in w.collect())
+    assert got[0] == 5.0 and got[-1] == 95.0
+    assert got.count(5.0) == 5 and got.count(95.0) == 6  # 95..100 clamp
+    assert 50.0 in got  # interior untouched
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark):
+    # one wild value: median/MAD barely move, z-score's mean/std would
+    df = _vals(spark, list(range(1, 100)) + [10_000])
+    out = drift.mad_outliers(df, "v", k=3.0)
+    flagged = [r["v"] for r in out.filter("is_outlier").collect()]
+    assert flagged == [10_000.0]
+
+
+def test_psi_report_shares_and_identity(spark):
+    ref = _vals(spark, [1, 1, 2, 2, 3, 3])
+    same = drift.psi_report(ref, ref, "v", 0.0, 4.0, bins=4)
+    rows = {r["bin"]: r for r in same.collect()}
+    assert len(rows) == 4
+    assert all(
+        r["psi_bin"] == 0.0 for r in rows.values() if r["count_ref"] > 0
+    )
+    assert rows[0]["count_ref"] == 0 and rows[0]["psi_bin"] is None
+    # shifted: mass moves, psi strictly positive
+    cur = _vals(spark, [2, 2, 3, 3, 3, 3])
+    moved = drift.psi_report(ref, cur, "v", 0.0, 4.0, bins=4)
+    total = moved.agg(F.sum("psi_bin")).collect()[0][0]
+    assert total and total > 0.0
+
+
+def test_psi_report_clamps_out_of_range(spark):
+    ref = _vals(spark, [-5, 0.5, 99])  # below lo and above hi
+    rep = drift.psi_report(ref, ref, "v", 0.0, 1.0, bins=2)
+    rows = {r["bin"]: r["count_ref"] for r in rep.collect()}
+    assert rows == {0: 1, 1: 2}  # -5 clamps into bin 0; 99 into bin 1
+
+
+def test_ks_distance_known_value(spark):
+    ref = _vals(spark, [1, 2, 3, 4])
+    cur = _vals(spark, [3, 4, 5, 6])
+    row = drift.ks_distance(ref, cur, "v").collect()[0]
+    # at v=2: F_ref=0.5, F_cur=0 -> D=0.5
+    assert row["ks"] == 0.5
+    assert (row["n_ref"], row["n_cur"]) == (4, 4)
+    # identical samples -> 0
+    assert drift.ks_distance(ref, ref, "v").collect()[0]["ks"] == 0.0
+
+
+def test_fuzzy_join_matches_and_blocks(spark):
+    L = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id long, name string"
+    )
+    R = spark.createDataFrame(
+        [(10, "alphx"), (11, "bets"), (12, "delta"), (13, "gamma")],
+        "id long, name string",
+    )
+    got = sorted(
+        (r["id"], r["id_r"])
+        for r in core.fuzzy_join(L, R, "name", "name", max_dist=1).collect()
+    )
+    # alpha~alphx (sub), beta~bets (del), gamma~gamma (0); delta is 2+
+    assert got == [(1, 10), (2, 11), (3, 13)]
+
+
+def test_fuzzy_join_block_on_restricts(spark):
+    L = spark.createDataFrame(
+        [(1, "abc", "us"), (2, "abc", "de")], "id long, name string, cc string"
+    )
+    R = spark.createDataFrame(
+        [(9, "abd", "us")], "id long, name string, cc string"
+    )
+    free = core.fuzzy_join(L, R, "name", "name", max_dist=1)
+    assert free.count() == 2
+    blocked = core.fuzzy_join(
+        L, R, "name", "name", max_dist=1, block_on=[("cc", "cc")]
+    )
+    assert [r["id"] for r in blocked.collect()] == [1]
+
+
+def test_fuzzy_join_max_dist_zero_is_exact(spark):
+    L = spark.createDataFrame([(1, "x"), (2, "y")], "id long, name string")
+    got = core.fuzzy_join(L, L, "name", "name", max_dist=0)
+    assert sorted((r["id"], r["id_r"]) for r in got.collect()) == [
+        (1, 1),
+        (2, 2),
+    ]
+
+
+def _attr_events(spark):
+    rows = [
+        # user 1: view -> click -> purchase (both in window)
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-02 00:00:00", 1, "click"),
+        (3, "2024-01-03 00:00:00", 1, "purchase"),
+        # user 2: only touch is OUTSIDE the 7-day lookback
+        (4, "2024-01-01 00:00:00", 2, "view"),
+        (5, "2024-01-20 00:00:00", 2, "purchase"),
+        # user 3: touch AFTER conversion never credited
+        (6, "2024-01-05 00:00:00", 3, "purchase"),
+        (7, "2024-01-06 00:00:00", 3, "click"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_attribution_first_vs_last_touch(spark):
+    e = _attr_events(spark)
+    first = events.attribution(e, conversion="purchase", model="first_touch")
+    rows = {r["conversion_id"]: r["channel"] for r in first.collect()}
+    assert rows == {3: "view"}  # user2 out of window, user3 touch too late
+    last = events.attribution(e, conversion="purchase", model="last_touch")
+    rows = {r["conversion_id"]: r["channel"] for r in last.collect()}
+    assert rows == {3: "click"}
+
+
+def test_attribution_deterministic_tie_break(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:00:00", 1, "click"),  # same ts, higher id
+        (3, "2024-01-02 00:00:00", 1, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    first = events.attribution(e, conversion="purchase", model="first_touch")
+    assert first.collect()[0]["channel"] == "view"  # event_id breaks the tie
+    last = events.attribution(e, conversion="purchase", model="last_touch")
+    assert last.collect()[0]["channel"] == "click"
+
+
+def test_attribution_rejects_unknown_model(spark):
+    with pytest.raises(ValueError):
+        events.attribution(_attr_events(spark), model="linear")

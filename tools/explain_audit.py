@@ -395,6 +395,54 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin",
           "growing-index admission must never fall back to NL join")],
     ),
+    # winsorize/mad collect their quantile scalars at build time via
+    # _with_global_row_number (range-partition two-phase rank — that
+    # pass's plan shape is audited through the sample_nth/top-k
+    # entries); the RETURNED plan must be a map-only clamp/filter.
+    (
+        "winsorize_prices",
+        [(r"ReadSchema: struct<l_orderkey:bigint,l_linenumber:(int|bigint),l_extendedprice:double",
+          "scan prunes to the three projected columns")],
+        [(r"Exchange", "clamp is map-only — quantiles are baked-in literals"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "mad_outlier_events",
+        [(r"ReadSchema: struct<event_id:bigint,value:double", "scan prunes to id+value")],
+        [(r"Exchange", "flag filter is map-only — median/MAD are baked-in literals"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no data cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "psi_events_value",
+        [(r"Functions \[\d+\]: \[partial_", "bin counts partial-aggregate map-side"),
+         (r"BroadcastHashJoin", "spine and totals join as broadcasts")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    # ks_distance materializes its 1-row statistic before unpersisting
+    # the range-partitioned cumulative pass, so the returned plan is a
+    # local scan; the internal pass reuses the audited two-phase-rank
+    # machinery (rangepartitioning + per-partition offsets).
+    (
+        "ks_events_value",
+        [(r"LocalTableScan|Scan ExistingRDD", "statistic is a 1-row materialized result")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
+    ),
+    (
+        "fuzzy_join_customer_names",
+        [(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "length-band join is an equi join"),
+         (r"levenshtein", "distance filter runs in-JVM post-join")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin",
+          "fuzzy join must never fall back to all-pairs NL join")],
+    ),
+    (
+        "attribution_first_touch",
+        [(r"PushedFilters: .*(EqualTo|Not)\(event_type", "conversion/touch filters reach the scan"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "per-user join is an equi join"),
+         (r"Window", "credited touch picked by a per-conversion window")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no theta join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 
