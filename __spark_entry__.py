@@ -6490,6 +6490,80 @@ def q_fuzzy_join_customer_names(spark, sf_dir):
     )
 
 
+@_q(
+    "auc_events_value",
+    """
+    WITH t AS (SELECT value AS s,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+               FROM events WHERE value IS NOT NULL),
+         per_s AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt,
+                          CAST(SUM(y) AS BIGINT) AS pos
+                   FROM t GROUP BY s),
+         cum AS (SELECT cnt, pos,
+                        SUM(cnt) OVER (ORDER BY s) - cnt AS class_before
+                 FROM per_s),
+         agg AS (SELECT CAST(SUM(pos * (2 * class_before + cnt + 1)) AS BIGINT) AS S,
+                        CAST(SUM(pos) AS BIGINT) AS np,
+                        CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS nn
+                 FROM cum)
+    SELECT CAST(S - np * (np + 1) AS DOUBLE)
+           / CAST(2 * np * nn AS DOUBLE) AS auc,
+           np AS n_pos, nn AS n_neg
+    FROM agg
+    """,
+)
+def q_auc_events_value(spark, sf_dir):
+    # exact ROC AUC by the Mann–Whitney rank-sum identity: every term
+    # is a BIGINT until the one final division (midrank ties included),
+    # so the statistic is bit-exact cross-engine; the cumulative rank
+    # offsets come from the range-partitioned two-phase pass, never a
+    # global sort task
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return drift.auc_score(d, "value", "label")
+
+
+@_q(
+    "calibration_events",
+    """
+    WITH t AS (SELECT CAST(value AS DECIMAL(14,4)) AS s,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+               FROM events WHERE value IS NOT NULL),
+         g AS (SELECT LEAST(GREATEST(CAST(FLOOR((CAST(s AS DOUBLE)
+                      - CAST(0.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE))
+                      AS BIGINT), 0), 9) AS bin,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(s) AS ssum,
+                      CAST(SUM(y) AS BIGINT) AS pos
+               FROM t GROUP BY 1)
+    SELECT bin, n,
+           CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score,
+           CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+    FROM g
+    """,
+)
+def q_calibration_events(spark, sf_dir):
+    # reliability-diagram bins: the DECIMAL(14,4) score cast is exact
+    # (testdata values are 2dp), so the per-bin score sum is an exact
+    # decimal and mean_score is one double cast ÷ count — the float
+    # caveat calibration_report's docstring names, dodged at the
+    # query layer the same way the TPC-H family does
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    d = e.filter(F.col("value").isNotNull()).select(
+        F.col("value").cast("decimal(14,4)").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    out = drift.calibration_report(d, "score", "label", 0.0, 500.0, bins=10)
+    return out
+
+
 _ATTR_ORACLE = """
     WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS cts
                   FROM events WHERE event_type = 'purchase'),
@@ -6529,6 +6603,34 @@ def q_attribution_last_touch(spark, sf_dir):
         lookback_seconds=7 * 86400.0,
     )
     return out.select("conversion_id", "channel")
+
+
+@_q(
+    "attribution_linear",
+    """
+    WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS cts
+                  FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, event_type AS channel, ts AS tts
+                   FROM events WHERE event_type <> 'purchase'),
+         j AS (SELECT c.conversion_id, t.channel,
+                      CAST(1.0 AS DOUBLE)
+                      / CAST(COUNT(*) OVER (PARTITION BY c.conversion_id)
+                             AS DOUBLE) AS credit
+               FROM conv c JOIN touch t ON c.user_id = t.user_id
+               WHERE t.tts < c.cts
+                 AND EXTRACT(EPOCH FROM (c.cts - t.tts)) <= 604800.0)
+    SELECT conversion_id, channel, credit FROM j
+    """,
+)
+def q_attribution_linear(spark, sf_dir):
+    # equal-split multi-touch: per-touch credit = one IEEE division of
+    # an exact window count — no ordering needed, bit-exact
+    e = _t(spark, sf_dir, "events")
+    out = events.attribution(
+        e, conversion="purchase", model="linear",
+        lookback_seconds=7 * 86400.0,
+    )
+    return out.select("conversion_id", "channel", "credit")
 
 
 # Driver-side correctness checks cover a bounded prefix of queries()

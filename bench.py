@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "ks_events_value",
     "fuzzy_join_customer_names",
     "attribution_first_touch",
+    "attribution_linear",
+    "auc_events_value",
+    "calibration_events",
 ]
 
 

@@ -32,7 +32,57 @@ __all__ = [
     "mad_outliers",
     "psi_report",
     "ks_distance",
+    "auc_score",
+    "calibration_report",
 ]
+
+
+def _partitioned_cumsum(df: DataFrame, order_col: str, sum_cols: list[str]):
+    """Cumulative sums of ``sum_cols`` under the global ``order_col``
+    order, scale-safely: range-partition on the order key, cumsum
+    within partitions in parallel, add per-partition prefix offsets
+    (an O(#partitions) driver collect — metadata, not data).  The
+    same two-phase trick as ``core._with_global_row_number``; a bare
+    ``Window.orderBy`` here would funnel every row through one task.
+
+    Returns ``(cum_df, totals, parted)``: the input rows plus
+    ``cum_<col>`` columns (inclusive of the current row), the grand
+    total per summed column, and the persisted intermediate the
+    caller MUST ``unpersist()`` after its final action."""
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        df.repartitionByRange(n_parts, order_col)
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    per_pid = (
+        parted.groupBy("__pid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    sizes = {r["__pid"]: [r[c] or 0 for c in sum_cols] for r in per_pid}
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(sum_cols)
+    for pid in sorted(sizes):
+        offsets[pid] = list(acc)
+        acc = [a + s for a, s in zip(acc, sizes[pid])]
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = parted
+    for i, c in enumerate(sum_cols):
+        omap = F.create_map(
+            *[F.lit(x) for pid, offs in offsets.items() for x in (pid, offs[i])]
+        )
+        out = out.withColumn(
+            f"cum_{c}",
+            F.sum(c).over(w) + F.coalesce(omap[F.col("__pid")], F.lit(0)),
+        )
+    return out, {c: acc[i] for i, c in enumerate(sum_cols)}, parted
 
 
 def exact_quantiles(df: DataFrame, col: str, qs: list[float]) -> list[float]:
@@ -198,46 +248,16 @@ def ks_distance(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         F.sum("a").alias("ca"), F.sum("b").alias("cb")
     )
     spark = ref.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parted = (
-        per_v.repartitionByRange(n_parts, "v")
-        .sortWithinPartitions("v")
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
+    cum, totals, parted = _partitioned_cumsum(per_v, "v", ["ca", "cb"])
     try:
-        sizes = {
-            r["__pid"]: (r["__sa"], r["__sb"])
-            for r in parted.groupBy("__pid")
-            .agg(F.sum("ca").alias("__sa"), F.sum("cb").alias("__sb"))
-            .collect()
-        }
-        offs_a: dict[int, int] = {}
-        offs_b: dict[int, int] = {}
-        acc_a = acc_b = 0
-        for pid in sorted(sizes):
-            offs_a[pid], offs_b[pid] = acc_a, acc_b
-            acc_a += sizes[pid][0]
-            acc_b += sizes[pid][1]
-        n_ref, n_cur = acc_a, acc_b
+        n_ref, n_cur = totals["ca"], totals["cb"]
         if n_ref == 0 or n_cur == 0:
             raise ValueError("ks_distance: a side has no non-null values")
-        map_a = F.create_map(*[F.lit(x) for po in offs_a.items() for x in po])
-        map_b = F.create_map(*[F.lit(x) for po in offs_b.items() for x in po])
-        w = (
-            Window.partitionBy("__pid")
-            .orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cum = parted.select(
-            (F.sum("ca").over(w) + F.coalesce(map_a[F.col("__pid")], F.lit(0))).alias("cca"),
-            (F.sum("cb").over(w) + F.coalesce(map_b[F.col("__pid")], F.lit(0))).alias("ccb"),
-        )
         out = cum.agg(
             F.max(
                 F.abs(
-                    F.col("cca").cast("double") / F.lit(float(n_ref))
-                    - F.col("ccb").cast("double") / F.lit(float(n_cur))
+                    F.col("cum_ca").cast("double") / F.lit(float(n_ref))
+                    - F.col("cum_cb").cast("double") / F.lit(float(n_cur))
                 )
             ).alias("ks")
         ).select(
@@ -250,3 +270,107 @@ def ks_distance(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         parted.unpersist()
+
+
+def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """EXACT ROC AUC of ``score_col`` ranking the binary
+    ``label_col`` (0/1) — the Mann–Whitney rank-sum identity with
+    midrank tie handling, no trapezoid sweep and no sampling.
+    Returns one row: (auc, n_pos, n_neg).
+
+    The whole statistic stays in INTEGER space until one final
+    division: per distinct score, (count, positives) aggregate in one
+    shuffle; a range-partitioned cumulative count gives each tie
+    group's rank offset; then
+
+        S   = Σ pos · (2·cum_before + cnt + 1)      (= 2·rank-sum)
+        AUC = (S − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+
+    Every term is a BIGINT (exact into the billions of rows — far
+    past where a double rank-sum loses ulps), so two engines agree to
+    the last bit after the single IEEE division.  Scale shape: one
+    keyed count + the two-phase cumsum; never a global sort task."""
+    per_s = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col(label_col).cast("bigint")).alias("pos"),
+        )
+    )
+    spark = df.sparkSession
+    cum, totals, parted = _partitioned_cumsum(per_s, "s", ["cnt", "pos"])
+    try:
+        n = totals["cnt"]
+        n_pos = totals["pos"]
+        n_neg = n - n_pos
+        if n_pos == 0 or n_neg == 0:
+            raise ValueError("auc_score: need both classes present")
+        before = F.col("cum_cnt") - F.col("cnt")
+        s_terms = cum.agg(
+            F.sum(
+                F.col("pos") * (F.lit(2) * before + F.col("cnt") + F.lit(1))
+            ).alias("S")
+        )
+        out = s_terms.select(
+            (
+                (F.col("S") - F.lit(n_pos) * F.lit(n_pos + 1)).cast("double")
+                / F.lit(float(2 * n_pos * n_neg))
+            ).alias("auc"),
+            F.lit(n_pos).cast("bigint").alias("n_pos"),
+            F.lit(n_neg).cast("bigint").alias("n_neg"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        parted.unpersist()
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram data: bin ``score_col`` on a fixed
+    ``[lo, hi)`` grid (same clamped binning as ``psi_report``) and
+    report, per bin, the count, mean score, and empirical positive
+    rate of binary ``label_col`` — the drift question for a deployed
+    model ("are its scores still calibrated?") next to ``psi_report``'s
+    input-drift question.  With scores in [0,1] the |mean_score −
+    pos_rate| gap per bin is the ECE integrand.
+
+    Exactness: counts and label sums are integers; mean score is
+    sum ÷ count with ONE double cast — pass a DECIMAL score column
+    for a bit-exact cross-engine mean (double input sums in
+    partition order, the standard float caveat).  Plan: one keyed
+    count shuffle, map-only binning."""
+    if bins < 1 or not hi > lo:
+        raise ValueError("calibration_report: need bins >= 1 and hi > lo")
+    step = (hi - lo) / bins
+    c = F.col(score_col)
+    b = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(step)), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    grouped = (
+        df.filter(c.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(score_col).alias("__ssum"),
+            F.sum(F.col(label_col).cast("bigint")).alias("__pos"),
+        )
+    )
+    return grouped.select(
+        "bin",
+        "n",
+        (F.col("__ssum").cast("double") / F.col("n").cast("double")).alias(
+            "mean_score"
+        ),
+        (F.col("__pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+    ).orderBy("bin")

@@ -607,13 +607,18 @@ def attribution(
     id_col: str = "event_id",
 ) -> DataFrame:
     """Marketing-style conversion attribution: credit each
-    ``conversion`` event to ONE earlier touch event by the same user
+    ``conversion`` event to earlier touch events by the same user
     inside the lookback window — ``first_touch`` credits the
-    earliest such touch, ``last_touch`` the latest.  Returns one row
-    per attributed conversion: (conversion_id, user, conversion_ts,
-    channel, touch_ts); conversions with no in-window touch are
-    omitted (aggregate and compare against the conversion count for
-    an "unattributed" share).
+    earliest such touch (one row per attributed conversion),
+    ``last_touch`` the latest, and ``linear`` splits credit equally
+    across ALL in-window touches (one row per touch, ``credit`` =
+    1/n — the single IEEE division keeps it bit-exact, and per-
+    conversion credits sum to exactly 1.0 only when n is a power of
+    two; sum the column for fractional channel totals as every
+    marketing stack does).  Output columns: (conversion_id, user,
+    conversion_ts, channel, touch_ts[, credit]); conversions with no
+    in-window touch are omitted (aggregate and compare against the
+    conversion count for an "unattributed" share).
 
     Deterministic: the credited touch is picked under a TOTAL order
     (timestamp, then event id — unique), so ties cannot flip between
@@ -628,7 +633,7 @@ def attribution(
     join — then one window per conversion id keeps the single
     credited row.  Per-user candidate fan-out is bounded by the
     lookback horizon."""
-    if model not in ("first_touch", "last_touch"):
+    if model not in ("first_touch", "last_touch", "linear"):
         raise ValueError(f"unknown attribution model: {model!r}")
     is_ts = dict(df.dtypes).get(ts_col, "").startswith("timestamp")
     ts = F.col(ts_col) if is_ts else F.col(ts_col).cast("timestamp")
@@ -654,6 +659,21 @@ def attribution(
             <= F.lit(float(lookback_seconds))
         )
     )
+    if model == "linear":
+        # equal split over in-window touches: one unordered window
+        # count per conversion + one IEEE division — no sort needed
+        wc = Window.partitionBy("conversion_id")
+        return j.select(
+            "conversion_id",
+            user_col,
+            "conversion_ts",
+            "channel",
+            "touch_ts",
+            (
+                F.lit(1.0)
+                / F.count(F.lit(1)).over(wc).cast("double")
+            ).alias("credit"),
+        )
     order = (
         [F.col("touch_ts").asc(), F.col("__touch_id").asc()]
         if model == "first_touch"

@@ -171,4 +171,62 @@ def test_attribution_deterministic_tie_break(spark):
 
 def test_attribution_rejects_unknown_model(spark):
     with pytest.raises(ValueError):
-        events.attribution(_attr_events(spark), model="linear")
+        events.attribution(_attr_events(spark), model="time_decay")
+
+
+def test_auc_score_perfect_and_random(spark):
+    # perfectly separating score -> AUC 1; anti-separating -> 0
+    d = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)], "s double, y int"
+    )
+    assert drift.auc_score(d, "s", "y").collect()[0]["auc"] == 1.0
+    flipped = d.withColumn("y", 1 - F.col("y"))
+    assert drift.auc_score(flipped, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_auc_score_midrank_ties(spark):
+    # all scores identical -> every pair is a tie -> AUC exactly 0.5
+    d = spark.createDataFrame(
+        [(5.0, 0), (5.0, 0), (5.0, 1), (5.0, 1)], "s double, y int"
+    )
+    row = drift.auc_score(d, "s", "y").collect()[0]
+    assert row["auc"] == 0.5 and row["n_pos"] == 2 and row["n_neg"] == 2
+
+
+def test_auc_score_matches_sklearn_formula(spark):
+    # hand-checked: scores [1,2,3,4], labels [0,1,0,1]
+    # rank-sum of positives = 2 + 4 = 6; AUC = (6 - 3)/(2*2) = 0.75
+    d = spark.createDataFrame(
+        [(1.0, 0), (2.0, 1), (3.0, 0), (4.0, 1)], "s double, y int"
+    )
+    assert drift.auc_score(d, "s", "y").collect()[0]["auc"] == 0.75
+
+
+def test_auc_score_single_class_raises(spark):
+    d = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    with pytest.raises(ValueError):
+        drift.auc_score(d, "s", "y")
+
+
+def test_calibration_report_bins(spark):
+    d = spark.createDataFrame(
+        [(0.1, 0), (0.15, 0), (0.9, 1), (0.85, 1), (0.8, 0)],
+        "s double, y int",
+    )
+    rows = {
+        r["bin"]: r
+        for r in drift.calibration_report(d, "s", "y", 0.0, 1.0, bins=2).collect()
+    }
+    assert rows[0]["n"] == 2 and rows[0]["pos_rate"] == 0.0
+    assert rows[1]["n"] == 3 and rows[1]["pos_rate"] == 2.0 / 3.0
+    assert abs(rows[0]["mean_score"] - 0.125) < 1e-12
+
+
+def test_attribution_linear_splits_credit(spark):
+    e = _attr_events(spark)
+    lin = events.attribution(e, conversion="purchase", model="linear")
+    rows = [
+        (r["conversion_id"], r["channel"], r["credit"]) for r in lin.collect()
+    ]
+    # conversion 3 (user 1) has two in-window touches -> 0.5 each
+    assert sorted(rows) == [(3, "click", 0.5), (3, "view", 0.5)]

@@ -435,6 +435,26 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin",
           "fuzzy join must never fall back to all-pairs NL join")],
     ),
+    # auc_score materializes its 1-row statistic (like ks_distance);
+    # the rank-offset pass is the audited two-phase cumsum.
+    (
+        "auc_events_value",
+        [(r"LocalTableScan|Scan ExistingRDD", "statistic is a 1-row materialized result")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
+    ),
+    (
+        "calibration_events",
+        [(r"Functions \[\d+\]: \[partial_", "bin aggregates partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "attribution_linear",
+        [(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "per-user join is an equi join"),
+         (r"Window", "credit split is an unordered per-conversion window count")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no theta join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
     (
         "attribution_first_touch",
         [(r"PushedFilters: .*(EqualTo|Not)\(event_type", "conversion/touch filters reach the scan"),
