@@ -6491,6 +6491,72 @@ def q_fuzzy_join_customer_names(spark, sf_dir):
 
 
 @_q(
+    "winsorize_by_priority",
+    """
+    WITH t AS (SELECT o_orderkey, o_orderpriority AS g, o_totalprice AS v
+               FROM orders),
+         r AS (SELECT o_orderkey, g, v,
+                      row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                      CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+               FROM t),
+         b AS (SELECT g,
+                      MIN(CASE WHEN rn = CAST(CEIL(CAST(0.1 AS DOUBLE) * n)
+                               AS BIGINT) THEN v END) AS lo_v,
+                      MIN(CASE WHEN rn = CAST(CEIL(CAST(0.9 AS DOUBLE) * n)
+                               AS BIGINT) THEN v END) AS hi_v
+               FROM r GROUP BY g)
+    SELECT t.o_orderkey, t.g AS o_orderpriority,
+           LEAST(GREATEST(t.v, b.lo_v), b.hi_v) AS price_w
+    FROM t JOIN b ON t.g = b.g
+    """,
+)
+def q_winsorize_by_priority(spark, sf_dir):
+    # per-group tail clamp at each segment's OWN type-1 quantiles —
+    # the rank-at-a-given-position value is deterministic even when
+    # row_number permutes ties, so the oracle replays it exactly
+    from bubbles_spark.ops import drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = drift.winsorize_by(
+        o, "o_totalprice", "o_orderpriority", 0.1, 0.9, out_col="price_w"
+    )
+    return out.select("o_orderkey", "o_orderpriority", "price_w")
+
+
+@_q(
+    "attribution_time_decay",
+    """
+    WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS cts
+                  FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, event_type AS channel, ts AS tts
+                   FROM events WHERE event_type <> 'purchase')
+    SELECT c.conversion_id, t.channel,
+           POWER(CAST(0.5 AS DOUBLE),
+                 CAST(FLOOR(EXTRACT(EPOCH FROM (c.cts - t.tts))
+                            / CAST(86400.0 AS DOUBLE)) AS DOUBLE)) AS credit
+    FROM conv c JOIN touch t ON c.user_id = t.user_id
+    WHERE t.tts < c.cts
+      AND EXTRACT(EPOCH FROM (c.cts - t.tts)) <= 604800.0
+    """,
+)
+def q_attribution_time_decay(spark, sf_dir):
+    # step-decay recency weighting (halves per whole half-life):
+    # the FLOOR'd exponent keeps the power of two bit-exact — the
+    # continuous exponent hits 1-ulp libm pow disagreement (measured)
+    # — and credits are UNNORMALIZED so each is a pure per-row
+    # function of its own Δt (a per-conversion weight-sum denominator
+    # would be an order-dependent double)
+    e = _t(spark, sf_dir, "events")
+    out = events.attribution(
+        e, conversion="purchase", model="time_decay",
+        lookback_seconds=7 * 86400.0, half_life_seconds=86400.0,
+    )
+    return out.select("conversion_id", "channel", "credit")
+
+
+@_q(
     "auc_events_value",
     """
     WITH t AS (SELECT value AS s,

@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "attribution_linear",
     "auc_events_value",
     "calibration_events",
+    "winsorize_by_priority",
+    "attribution_time_decay",
 ]
 
 

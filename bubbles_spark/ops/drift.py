@@ -374,3 +374,49 @@ def calibration_report(
             "pos_rate"
         ),
     ).orderBy("bin")
+
+
+def winsorize_by(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group ``winsorize``: clamp ``col`` into each group's own
+    [lo_q, hi_q] type-1 quantile envelope — the right tail-taming when
+    segments live on different scales (clamping currencies or device
+    classes against a GLOBAL quantile mangles the small segments).
+
+    Same exactness contract as ``winsorize`` (rank arithmetic +
+    LEAST/GREATEST — zero new float math), but distributed per group:
+    one shuffle on the group key, a per-group ordered window rank
+    (scale caveat: a single group's rows sort within its partitions —
+    fine for segment-sized groups, use global ``winsorize`` per slice
+    for one giant group), a groups-sized bounds table joined back.
+    NULL values stay NULL; a group with no non-null values passes
+    through unclamped."""
+    c = F.col(col)
+    w = Window.partitionBy(group_col).orderBy(col)
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.filter(c.isNotNull())
+        .select(group_col, col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+    )
+    lo_rank = F.ceil(F.lit(lo_q) * F.col("__n")).cast("bigint")
+    hi_rank = F.ceil(F.lit(hi_q) * F.col("__n")).cast("bigint")
+    bounds = ranked.groupBy(group_col).agg(
+        F.min(F.when(F.col("__rn") == lo_rank, c)).alias("__lo_v"),
+        F.min(F.when(F.col("__rn") == hi_rank, c)).alias("__hi_v"),
+    )
+    clamped = F.when(
+        c.isNull(), F.lit(None).cast(dict(df.dtypes)[col])
+    ).otherwise(F.least(F.greatest(c, F.col("__lo_v")), F.col("__hi_v")))
+    return (
+        df.join(bounds, group_col, "left")
+        .withColumn(out_col or col, clamped)
+        .drop("__lo_v", "__hi_v")
+    )

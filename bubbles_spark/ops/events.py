@@ -601,6 +601,7 @@ def attribution(
     conversion: str = "purchase",
     model: str = "first_touch",
     lookback_seconds: float = 7 * 86400.0,
+    half_life_seconds: float = 86400.0,
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
@@ -610,12 +611,21 @@ def attribution(
     ``conversion`` event to earlier touch events by the same user
     inside the lookback window — ``first_touch`` credits the
     earliest such touch (one row per attributed conversion),
-    ``last_touch`` the latest, and ``linear`` splits credit equally
+    ``last_touch`` the latest, ``linear`` splits credit equally
     across ALL in-window touches (one row per touch, ``credit`` =
     1/n — the single IEEE division keeps it bit-exact, and per-
     conversion credits sum to exactly 1.0 only when n is a power of
     two; sum the column for fractional channel totals as every
-    marketing stack does).  Output columns: (conversion_id, user,
+    marketing stack does), and ``time_decay`` weights each in-window
+    touch by ``0.5^floor(Δt / half_life_seconds)`` — credit halves per
+    WHOLE half-life elapsed.  The discretized exponent is deliberate:
+    an integer power of two is bit-exact in every engine, where the
+    continuous ``0.5^(Δt/hl)`` hits the 1-ulp disagreement between
+    libm pow implementations (measured: JVM vs glibc differ at
+    0.5^0.123456789).  Weights are UNNORMALIZED (each row's credit is
+    a pure per-row function of its own Δt; a per-conversion weight-sum
+    denominator would be an accumulation-order-dependent double —
+    divide by a windowed sum yourself if your stack wants shares).  Output columns: (conversion_id, user,
     conversion_ts, channel, touch_ts[, credit]); conversions with no
     in-window touch are omitted (aggregate and compare against the
     conversion count for an "unattributed" share).
@@ -633,7 +643,7 @@ def attribution(
     join — then one window per conversion id keeps the single
     credited row.  Per-user candidate fan-out is bounded by the
     lookback horizon."""
-    if model not in ("first_touch", "last_touch", "linear"):
+    if model not in ("first_touch", "last_touch", "linear", "time_decay"):
         raise ValueError(f"unknown attribution model: {model!r}")
     is_ts = dict(df.dtypes).get(ts_col, "").startswith("timestamp")
     ts = F.col(ts_col) if is_ts else F.col(ts_col).cast("timestamp")
@@ -673,6 +683,20 @@ def attribution(
                 F.lit(1.0)
                 / F.count(F.lit(1)).over(wc).cast("double")
             ).alias("credit"),
+        )
+    if model == "time_decay":
+        # per-row step decay: map-only after the join, no window at
+        # all; Δt is the exact epoch-seconds double and the floor'd
+        # exponent makes the power of two bit-exact (see docstring)
+        dt = _epoch(F.col("conversion_ts")) - _epoch(F.col("touch_ts"))
+        k = F.floor(dt / F.lit(float(half_life_seconds))).cast("double")
+        return j.select(
+            "conversion_id",
+            user_col,
+            "conversion_ts",
+            "channel",
+            "touch_ts",
+            F.pow(F.lit(0.5), k).alias("credit"),
         )
     order = (
         [F.col("touch_ts").asc(), F.col("__touch_id").asc()]

@@ -171,7 +171,7 @@ def test_attribution_deterministic_tie_break(spark):
 
 def test_attribution_rejects_unknown_model(spark):
     with pytest.raises(ValueError):
-        events.attribution(_attr_events(spark), model="time_decay")
+        events.attribution(_attr_events(spark), model="u_shaped")
 
 
 def test_auc_score_perfect_and_random(spark):
@@ -230,3 +230,44 @@ def test_attribution_linear_splits_credit(spark):
     ]
     # conversion 3 (user 1) has two in-window touches -> 0.5 each
     assert sorted(rows) == [(3, "click", 0.5), (3, "view", 0.5)]
+
+
+def test_winsorize_by_group_independent_envelopes(spark):
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        ("b", float(v)) for v in range(101, 111)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = drift.winsorize_by(df, "v", "g", 0.1, 0.9)
+    got = {g: sorted(r["v"] for r in w.filter(F.col("g") == g).collect())
+           for g in ("a", "b")}
+    # each group clamps at ITS OWN 10/90 ranks (1 and 9 of 10)
+    assert got["a"][0] == 1.0 and got["a"][-1] == 9.0
+    assert got["b"][0] == 101.0 and got["b"][-1] == 109.0
+
+
+def test_winsorize_by_keeps_nulls_and_null_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("c", None)],
+        "g string, v double",
+    )
+    w = drift.winsorize_by(df, "v", "g", 0.25, 0.75)
+    rows = [(r["g"], r["v"]) for r in w.collect()]
+    assert ("a", None) in rows and ("c", None) in rows
+    assert len(rows) == 4  # left join keeps every input row
+
+
+def test_attribution_time_decay_step_weights(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),    # 2 whole days before
+        (2, "2024-01-02 12:00:00", 1, "click"),   # 0.5 day before
+        (3, "2024-01-03 00:00:00", 1, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = events.attribution(
+        e, conversion="purchase", model="time_decay",
+        half_life_seconds=86400.0,
+    )
+    got = {r["channel"]: r["credit"] for r in out.collect()}
+    assert got == {"view": 0.25, "click": 1.0}  # floor(2)=2, floor(0.5)=0

@@ -456,6 +456,21 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "attribution_time_decay",
+        [(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "per-user join is an equi join"),
+         (r"POWER|pow", "step-decay credit is a codegen'd power expression")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no theta join"),
+         (r"Window", "per-row decay needs no window at all"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "winsorize_by_priority",
+        [(r"Window", "per-group rank + count windows"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "bounds join back on the group key")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "attribution_first_touch",
         [(r"PushedFilters: .*(EqualTo|Not)\(event_type", "conversion/touch filters reach the scan"),
          (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "per-user join is an equi join"),

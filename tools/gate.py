@@ -53,6 +53,10 @@ EXACT_FAMILY = [
     "tpch_q18_large_orders", "tpch_q20_dominant_supplier",
     "tpch_q21_waiting_supplier", "table_fingerprint_orders",
     "grouped_audit", "running_total", "flagship_revenue_by_nation",
+    # round-5 additions with timestamp predicates (epoch-difference
+    # lookbacks — TZ-invariant by construction; rerun proves it)
+    "attribution_first_touch", "attribution_last_touch",
+    "attribution_linear", "attribution_time_decay",
 ]
 
 
