@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "calibration_events",
     "winsorize_by_priority",
     "attribution_time_decay",
+    "stream_psi_window",
 ]
 
 

@@ -148,6 +148,38 @@ def windowed_agg_stream(
     )
 
 
+def _hist_bin(v, lo: float, hi: float, bins: int):
+    """The shared clamped equi-width bin expression (IEEE floor-
+    divide — identical in every engine; out-of-range clamps to edge
+    bins).  One definition so the stream, the batch reference, and
+    the oracles can never drift apart."""
+    step = (hi - lo) / bins
+    return F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(step)).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+
+
+def histogram_batch(
+    df: DataFrame,
+    value_col: str = "value",
+    bins: int = 256,
+    bounds: tuple[float, float] = (0.0, 1.0),
+) -> DataFrame:
+    """Batch histogram with the EXACT binning of ``histogram_stream``:
+    (bin, bin_count) — build the static reference a streaming drift
+    gate compares against (``finish_psi``)."""
+    lo, hi = float(bounds[0]), float(bounds[1])
+    if not hi > lo:
+        raise ValueError(f"bounds must satisfy lo < hi, got {bounds}")
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(_hist_bin(v, lo, hi, bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
 def histogram_stream(
     events: DataFrame,
     ts_col: str = "ts",
@@ -179,15 +211,10 @@ def histogram_stream(
     lo, hi = float(bounds[0]), float(bounds[1])
     if not hi > lo:
         raise ValueError(f"bounds must satisfy lo < hi, got {bounds}")
-    step = (hi - lo) / bins
     v = F.col(value_col).cast("double")
-    bin_col = F.least(
-        F.greatest(F.floor((v - F.lit(lo)) / F.lit(step)).cast("int"), F.lit(0)),
-        F.lit(bins - 1),
-    )
     out = (
         events.filter(v.isNotNull())
-        .withColumn("__bin", bin_col)
+        .withColumn("__bin", _hist_bin(v, lo, hi, bins))
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, duration).alias("__w"), *keys, F.col("__bin"))
         .agg(F.count(F.lit(1)).alias("bin_count"))
@@ -253,6 +280,88 @@ def finish_quantiles(
     sel.append("record_count")
     return done.select(*sel)
 
+
+
+def finish_psi(
+    hist: DataFrame,
+    ref_hist: DataFrame,
+    bins: int = 256,
+) -> DataFrame:
+    """Batch finisher: per-window PSI report of a streamed histogram
+    against a STATIC reference histogram (``histogram_batch`` output,
+    same bins/bounds) — the streaming drift gate: "did THIS hour's
+    distribution move off the blessed baseline?".  One row per
+    (window, bin) with counts, shares, and the PSI contribution,
+    exactly ``ops.drift.psi_report``'s per-bin shape plus the window
+    key; sum ``psi_bin`` per window for the gate total (>0.25 =
+    shifted).
+
+    Input is histogram-sized (windows × ≤bins rows), so everything
+    here — the windows×bins spine (a bins-row broadcast under a
+    window-keyed crossJoin), the per-window totals window, the share
+    divisions — is metadata-scale regardless of corpus size; the raw
+    stream was already folded into mergeable bin counts upstream.
+    Exactness: counts integers, shares one IEEE division each.  The
+    psi_bin ln is engine-consistent but NOT cross-engine bit-exact
+    (JVM Math.log vs glibc log differ by 1 ulp on ~1% of inputs —
+    measured on this grid), so oracle-compared outputs should drop it
+    and re-derive PSI from the exact shares."""
+    from pyspark.sql import Window as W
+
+    spark = hist.sparkSession
+    # spine and cur share lineage (both derive from hist); rename
+    # cur's key columns into FRESH attributes so the self-join carries
+    # no conflicting references
+    spine = (
+        hist.select("window_start")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+    )
+    cur = (
+        hist.groupBy("window_start", "bin")
+        .agg(F.sum("bin_count").alias("count_cur"))
+        .select(
+            F.col("window_start").alias("__cw"),
+            F.col("bin").alias("__cb"),
+            "count_cur",
+        )
+    )
+    ref = ref_hist.groupBy("bin").agg(F.sum("bin_count").alias("count_ref"))
+    ref_tot = ref.agg(F.sum("count_ref").alias("__nr"))
+    j = (
+        spine.join(ref, "bin", "left")
+        .join(
+            cur,
+            (F.col("window_start") == F.col("__cw"))
+            & (F.col("bin") == F.col("__cb")),
+            "left",
+        )
+        .drop("__cw", "__cb")
+        .fillna(0, ["count_ref", "count_cur"])
+        .crossJoin(F.broadcast(ref_tot))
+        .withColumn(
+            "__nw", F.sum("count_cur").over(W.partitionBy("window_start"))
+        )
+    )
+    pr = F.col("count_ref").cast("double") / F.col("__nr").cast("double")
+    pc = F.col("count_cur").cast("double") / F.col("__nw").cast("double")
+    psi = F.when(
+        (F.col("count_ref") > 0) & (F.col("count_cur") > 0),
+        (pr - pc) * F.log(pr / pc),
+    )
+    return j.select(
+        "window_start",
+        "bin",
+        F.col("count_ref").cast("bigint").alias("count_ref"),
+        F.col("count_cur").cast("bigint").alias("count_cur"),
+        pr.alias("share_ref"),
+        pc.alias("share_cur"),
+        psi.alias("psi_bin"),
+    )
 
 def distinct_count_stream(
     events: DataFrame,

@@ -271,3 +271,47 @@ def test_attribution_time_decay_step_weights(spark):
     )
     got = {r["channel"]: r["credit"] for r in out.collect()}
     assert got == {"view": 0.25, "click": 1.0}  # floor(2)=2, floor(0.5)=0
+
+
+def test_psi_bin_arithmetic_pinned(spark):
+    # ln is engine-consistent but not cross-engine bit-exact, so the
+    # oracle drops psi_bin; pin the arithmetic here instead
+    ref = _vals(spark, [1, 1, 2, 3])
+    cur = _vals(spark, [1, 2, 2, 3])
+    rep = drift.psi_report(ref, cur, "v", 0.0, 4.0, bins=4).collect()
+    for r in rep:
+        if r["count_ref"] > 0 and r["count_cur"] > 0:
+            expect = (r["share_ref"] - r["share_cur"]) * math.log(
+                r["share_ref"] / r["share_cur"]
+            )
+            assert abs(r["psi_bin"] - expect) <= 1e-15 * max(1.0, abs(expect))
+        else:
+            assert r["psi_bin"] is None
+
+
+def test_finish_psi_matches_batch_psi_report(spark):
+    # streamed histogram + finish_psi over ONE window == psi_report
+    # over the same rows with the same grid
+    from bubbles_spark.streaming import events as sevents
+
+    rows = [(i, float(v)) for i, v in enumerate([1, 1, 2, 5, 7, 7, 9])]
+    df = spark.createDataFrame(rows, "id long, value double")
+    ref = _vals(spark, [1, 2, 3, 8])
+    # build the sunk histogram shape directly via histogram_batch + a
+    # constant window column (finish_psi only reads window_start/bin/
+    # bin_count)
+    sunk = sevents.histogram_batch(df, "value", bins=5, bounds=(0.0, 10.0)) \
+        .withColumn("window_start",
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    got = sevents.finish_psi(
+        sunk, sevents.histogram_batch(ref, "v", bins=5, bounds=(0.0, 10.0)),
+        bins=5,
+    ).orderBy("bin").collect()
+    want = drift.psi_report(
+        ref.select(F.col("v").alias("value")), df.select("value"),
+        "value", 0.0, 10.0, bins=5,
+    ).orderBy("bin").collect()
+    assert [(g["bin"], g["count_ref"], g["count_cur"], g["share_ref"],
+             g["share_cur"], g["psi_bin"]) for g in got] == \
+           [(w["bin"], w["count_ref"], w["count_cur"], w["share_ref"],
+             w["share_cur"], w["psi_bin"]) for w in want]

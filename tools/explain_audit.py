@@ -435,6 +435,13 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin",
           "fuzzy join must never fall back to all-pairs NL join")],
     ),
+    (
+        "stream_psi_window",
+        [(r"BroadcastHashJoin", "reference counts join as a broadcast"),
+         (r"Window", "per-window totals over histogram-sized input")],
+        [(r"CartesianProduct", "spine fan-out is an explicit bins-row broadcast, not a data cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "finisher is pure codegen")],
+    ),
     # auc_score materializes its 1-row statistic (like ks_distance);
     # the rank-offset pass is the audited two-phase cumsum.
     (
