@@ -6558,6 +6558,75 @@ def q_fuzzy_join_customer_names(spark, sf_dir):
 
 
 @_q(
+    "rollup_upsert_events",
+    """
+    WITH fine AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             SUM(CAST(value AS DECIMAL(14,4))) AS vs,
+             MIN(value) AS vmin, MAX(value) AS vmax,
+             CAST(COUNT(*) AS BIGINT) AS rc
+      FROM events GROUP BY 1)
+    SELECT '1 hour' AS grain, window_start,
+           CAST(vs AS DOUBLE) AS value_sum,
+           vmin AS value_min, vmax AS value_max, rc AS record_count
+    FROM fine
+    UNION ALL
+    SELECT '1 day', time_bucket(INTERVAL '1 day', window_start),
+           CAST(SUM(vs) AS DOUBLE), MIN(vmin), MAX(vmax),
+           CAST(SUM(rc) AS BIGINT)
+    FROM fine GROUP BY 2
+    """,
+)
+def q_rollup_upsert_events(spark, sf_dir):
+    # continuous-aggregate maintenance: feed the events table in TWO
+    # interleaved batches through the persisted-rollup upsert loop;
+    # the stored result must equal the one-shot full rollup EXACTLY —
+    # sums merge in decimal (a double sum would only match to ulps),
+    # min/max/count merge trivially.  Per batch: one rollup pass over
+    # the batch, a semi-join read of affected buckets, a bucket-keyed
+    # merge, and a key-replacing upsert — raw history never re-read
+    import shutil
+    import tempfile
+
+    from bubbles_spark.io import FileStore
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(14,4)")
+    )
+    measures = [("value_dec", "sum"), ("value", "min"), ("value", "max")]
+    if _schema_only():
+        # audit shortcut: output schema ≡ the one-shot rollup's
+        out = events.time_bucket_rollup(
+            e, "ts", ["1 hour", "1 day"], measures=measures
+        )
+        return out.select(
+            "grain", "window_start",
+            F.col("value_dec_sum").cast("double").alias("value_sum"),
+            "value_min", "value_max", "record_count",
+        )
+    tmp = tempfile.mkdtemp(prefix="rollup_upsert_")
+    try:
+        store = FileStore(spark, tmp)
+        for half in (0, 1):
+            events.rollup_upsert(
+                store, "agg", e.filter(F.col("event_id") % 2 == half),
+                "ts", ["1 hour", "1 day"], measures=measures,
+            )
+        out = store.get_object("agg").select(
+            "grain",
+            "window_start",
+            F.col("value_dec_sum").cast("double").alias("value_sum"),
+            F.col("value_min"),
+            F.col("value_max"),
+            "record_count",
+        )
+        res = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+@_q(
     "winsorize_by_priority",
     """
     WITH t AS (SELECT o_orderkey, o_orderpriority AS g, o_totalprice AS v

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "winsorize_by_priority",
     "attribution_time_decay",
     "stream_psi_window",
+    "rollup_upsert_events",
 ]
 
 

@@ -711,3 +711,73 @@ def attribution(
             "conversion_id", user_col, "conversion_ts", "channel", "touch_ts"
         )
     )
+
+
+def merge_rollups(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    measures: Sequence[tuple[str, str]] = (),
+) -> DataFrame:
+    """Merge two rollup tables (``time_bucket_rollup`` output shape)
+    bucket-by-bucket: sums and counts add, mins/maxes fold — the
+    partial-aggregate merge that makes the rollup family mergeable in
+    the first place.  Union + ONE keyed aggregation; exact for
+    decimal/integer sums (use a decimal measure column if incremental
+    totals must equal a full recompute to the last bit — double sums
+    merge associatively only in exact arithmetic)."""
+    merge_aggs = []
+    for f, fn in measures:
+        col = f"{f}_{fn.lower()}"
+        folder = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.sum}[
+            fn.lower()
+        ]
+        merge_aggs.append(folder(col).alias(col))
+    merge_aggs.append(F.sum("record_count").alias("record_count"))
+    return a.unionByName(b).groupBy(*keys).agg(*merge_aggs)
+
+
+def rollup_upsert(
+    store,
+    name: str,
+    batch: DataFrame,
+    ts_col: str,
+    granularities: Sequence[str],
+    keys: Sequence[str] = (),
+    measures: Sequence[tuple[str, str]] = (),
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Incrementally maintain a PERSISTED multi-granularity rollup
+    (the continuous-aggregate / materialized-view-maintenance shape):
+    fold one new batch of raw events into the stored rollup and
+    return the updated table.  After any sequence of batches the
+    stored rollup equals ``time_bucket_rollup`` over the union of all
+    batches — by construction, because every measure is mergeable
+    (the same property the streaming histogram family exploits).
+
+    The 100 TB contract: each batch pays (a) ONE rollup pass over the
+    BATCH (raw history is never re-read), (b) a semi-join read of only
+    the AFFECTED buckets of the stored rollup (bucket keys are
+    rollup-sized — tiny), (c) a bucket-keyed merge aggregation, and
+    (d) ``FileStore.upsert`` which replaces exactly the merged rows —
+    with ``partition_by`` the rewrite is partition-pruned, untouched
+    partitions stay byte-identical.  First call creates the object.
+
+    Exactness: use decimal/integer measure columns if "incremental ≡
+    full recompute" must hold bit-for-bit (see ``merge_rollups``)."""
+    delta = time_bucket_rollup(batch, ts_col, granularities, keys, measures)
+    key_cols = ["grain", "window_start", *keys]
+    if not store.exists(name):
+        store.create(name, from_obj=delta, partition_by=partition_by)
+        return store.get_object(name)
+    existing = store.get_object(name)
+    affected = existing.join(
+        delta.select(*key_cols).distinct(), key_cols, "left_semi"
+    )
+    merged = merge_rollups(affected, delta, key_cols, measures)
+    # materialize BEFORE the upsert rewrites the parquet this plan
+    # reads from (self-overwrite hazard — same contract as
+    # dedup.admit_batch_to_index_store)
+    merged = merged.localCheckpoint(eager=True)
+    store.upsert(name, merged, keys=key_cols, partition_by=partition_by)
+    return store.get_object(name)
