@@ -6693,6 +6693,63 @@ def q_attribution_time_decay(spark, sf_dir):
 
 
 @_q(
+    "attribution_u_shaped",
+    """
+    WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS cts
+                  FROM events WHERE event_type = 'purchase'),
+         touch AS (SELECT user_id, event_type AS channel, ts AS tts,
+                          event_id AS tid
+                   FROM events WHERE event_type <> 'purchase'),
+         j AS (SELECT c.conversion_id, t.channel,
+                      row_number() OVER (PARTITION BY c.conversion_id
+                                         ORDER BY t.tts, t.tid) AS rn,
+                      COUNT(*) OVER (PARTITION BY c.conversion_id) AS n
+               FROM conv c JOIN touch t ON c.user_id = t.user_id
+               WHERE t.tts < c.cts
+                 AND EXTRACT(EPOCH FROM (c.cts - t.tts)) <= 604800.0)
+    SELECT conversion_id, channel,
+           CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                WHEN rn = 1 OR rn = n THEN
+                  CASE WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                       ELSE CAST(0.4 AS DOUBLE) END
+                ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)
+           END AS credit
+    FROM j
+    """,
+)
+def q_attribution_u_shaped(spark, sf_dir):
+    # position-based 40/20/40 credit — integer-rank CASE + one IEEE
+    # division per row, deterministic under the (ts, event_id) total
+    # order, so DuckDB replays it bit-exactly
+    e = _t(spark, sf_dir, "events")
+    out = events.attribution(
+        e, conversion="purchase", model="u_shaped",
+        lookback_seconds=7 * 86400.0,
+    )
+    return out.select("conversion_id", "channel", "credit")
+
+
+@_q(
+    "quantile_normalize_orders",
+    """
+    SELECT o_orderkey,
+           cume_dist() OVER (ORDER BY o_totalprice) AS price_q
+    FROM orders
+    """,
+)
+def q_quantile_normalize_orders(spark, sf_dir):
+    # ECDF transform == SQL cume_dist, but computed scale-safely:
+    # per-distinct-value counts + the range-partitioned two-phase
+    # cumsum + an equi-join back — never cume_dist's single-task
+    # global window.  One integer division per row → bit-exact
+    from bubbles_spark.ops import drift
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = drift.quantile_normalize(o, "o_totalprice", out_col="price_q")
+    return out.select("o_orderkey", "price_q")
+
+
+@_q(
     "auc_events_value",
     """
     WITH t AS (SELECT value AS s,

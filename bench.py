@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "attribution_time_decay",
     "stream_psi_window",
     "rollup_upsert_events",
+    "attribution_u_shaped",
+    "quantile_normalize_orders",
 ]
 
 

@@ -420,3 +420,46 @@ def winsorize_by(
         .withColumn(out_col or col, clamped)
         .drop("__lo_v", "__hi_v")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """ECDF transform: replace each value with its empirical quantile
+    ``F̂(v) = #(values ≤ v) / n`` — the rank-based feature
+    normalization that is immune to outliers and scale (the map any
+    quantile-matching / copula trick starts from).  Ties share one
+    quantile (count of all values ≤ v), NULLs stay NULL.
+
+    Exactness: one integer cumulative count ÷ one integer total — a
+    single IEEE division, bit-exact anywhere (equals SQL's
+    ``cume_dist()``).  Scale shape: per-DISTINCT-value counts (one
+    keyed shuffle), the range-partitioned two-phase cumsum — never
+    ``cume_dist``'s single-task global window — then an equi-join of
+    the distinct-values-sized table back onto the rows."""
+    c = F.col(col)
+    per_v = (
+        df.filter(c.isNotNull())
+        .groupBy(c.alias("__qv"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    cum, totals, parted = _partitioned_cumsum(per_v, "__qv", ["__cnt"])
+    try:
+        n = totals["__cnt"]
+        if n == 0:
+            raise ValueError(f"quantile_normalize: no non-null values in {col!r}")
+        qmap = cum.select(
+            "__qv",
+            (
+                F.col("cum___cnt").cast("double") / F.lit(float(n))
+            ).alias("__q"),
+        ).localCheckpoint(eager=True)
+    finally:
+        parted.unpersist()
+    return (
+        df.join(qmap, c == F.col("__qv"), "left")
+        .withColumn(out_col or col, F.col("__q"))
+        .drop("__qv", "__q")
+    )

@@ -616,7 +616,10 @@ def attribution(
     1/n — the single IEEE division keeps it bit-exact, and per-
     conversion credits sum to exactly 1.0 only when n is a power of
     two; sum the column for fractional channel totals as every
-    marketing stack does), and ``time_decay`` weights each in-window
+    marketing stack does), ``u_shaped`` gives the position-based
+    40/20/40 split (first and last touch 0.4 each, middles share 0.2;
+    n=1 → 1.0, n=2 → 0.5 each — integer-rank CASE + one IEEE division,
+    deterministic under the total order), and ``time_decay`` weights each in-window
     touch by ``0.5^floor(Δt / half_life_seconds)`` — credit halves per
     WHOLE half-life elapsed.  The discretized exponent is deliberate:
     an integer power of two is bit-exact in every engine, where the
@@ -643,7 +646,9 @@ def attribution(
     join — then one window per conversion id keeps the single
     credited row.  Per-user candidate fan-out is bounded by the
     lookback horizon."""
-    if model not in ("first_touch", "last_touch", "linear", "time_decay"):
+    if model not in (
+        "first_touch", "last_touch", "linear", "time_decay", "u_shaped"
+    ):
         raise ValueError(f"unknown attribution model: {model!r}")
     is_ts = dict(df.dtypes).get(ts_col, "").startswith("timestamp")
     ts = F.col(ts_col) if is_ts else F.col(ts_col).cast("timestamp")
@@ -683,6 +688,29 @@ def attribution(
                 F.lit(1.0)
                 / F.count(F.lit(1)).over(wc).cast("double")
             ).alias("credit"),
+        )
+    if model == "u_shaped":
+        # position-based 40/20/40: first and last in-window touches
+        # get 0.4 each, middles split the remaining 0.2 equally
+        # (n=1 → 1.0, n=2 → 0.5/0.5).  One ordered window (rank) +
+        # one unordered count; every credit is one IEEE division on
+        # integers — deterministic under the (ts, id) total order
+        wp = Window.partitionBy("conversion_id")
+        wo = wp.orderBy(F.col("touch_ts").asc(), F.col("__touch_id").asc())
+        rn = F.row_number().over(wo)
+        n = F.count(F.lit(1)).over(wp)
+        credit = (
+            F.when(n == 1, F.lit(1.0))
+            .when((rn == 1) | (rn == n), F.when(n == 2, F.lit(0.5)).otherwise(F.lit(0.4)))
+            .otherwise(F.lit(0.2) / (n - F.lit(2)).cast("double"))
+        )
+        return j.select(
+            "conversion_id",
+            user_col,
+            "conversion_ts",
+            "channel",
+            "touch_ts",
+            credit.alias("credit"),
         )
     if model == "time_decay":
         # per-row step decay: map-only after the join, no window at

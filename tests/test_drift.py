@@ -171,7 +171,7 @@ def test_attribution_deterministic_tie_break(spark):
 
 def test_attribution_rejects_unknown_model(spark):
     with pytest.raises(ValueError):
-        events.attribution(_attr_events(spark), model="u_shaped")
+        events.attribution(_attr_events(spark), model="not_a_model")
 
 
 def test_auc_score_perfect_and_random(spark):
@@ -382,3 +382,42 @@ def test_merge_rollups_folds_measures(spark):
         ).collect()
     }
     assert got == {"w1": (14.0, 0.5, 9.0, 5), "w2": (1.0, 1.0, 1.0, 1)}
+
+
+def test_attribution_u_shaped_split(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-02 00:00:00", 1, "click"),
+        (3, "2024-01-03 00:00:00", 1, "email"),
+        (4, "2024-01-04 00:00:00", 1, "ad"),
+        (5, "2024-01-05 00:00:00", 1, "purchase"),
+        # user 2: single touch -> full credit
+        (6, "2024-01-01 00:00:00", 2, "view"),
+        (7, "2024-01-02 00:00:00", 2, "purchase"),
+        # user 3: exactly two touches -> 0.5 each
+        (8, "2024-01-01 00:00:00", 3, "view"),
+        (9, "2024-01-02 00:00:00", 3, "click"),
+        (10, "2024-01-03 00:00:00", 3, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = events.attribution(e, conversion="purchase", model="u_shaped")
+    got = {(r["conversion_id"], r["channel"]): r["credit"] for r in out.collect()}
+    assert got[(5, "view")] == 0.4 and got[(5, "ad")] == 0.4
+    assert got[(5, "click")] == 0.1 and got[(5, "email")] == 0.1
+    assert got[(7, "view")] == 1.0
+    assert got[(10, "view")] == 0.5 and got[(10, "click")] == 0.5
+
+
+def test_quantile_normalize_ecdf(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0), (5, None)],
+        "id long, v double",
+    )
+    out = {r["id"]: r["v"] for r in drift.quantile_normalize(df, "v").collect()}
+    # ties share #(<= v)/n over NON-NULL values: n=4
+    assert out[1] == 0.25
+    assert out[2] == 0.75 and out[3] == 0.75
+    assert out[4] == 1.0
+    assert out[5] is None

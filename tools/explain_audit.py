@@ -477,6 +477,16 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    # quantile_normalize materializes its distinct-value ECDF map via
+    # eager checkpoint (the cumsum ran through the audited two-phase
+    # pass); the returned plan is the checkpointed map equi-joined back.
+    (
+        "quantile_normalize_orders",
+        [(r"Scan ExistingRDD|LogicalRDD", "ECDF map is the materialized two-phase cumsum"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "quantile map joins back as an equi join")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
     (
         "attribution_first_touch",
         [(r"PushedFilters: .*(EqualTo|Not)\(event_type", "conversion/touch filters reach the scan"),

@@ -57,6 +57,7 @@ EXACT_FAMILY = [
     # lookbacks — TZ-invariant by construction; rerun proves it)
     "attribution_first_touch", "attribution_last_touch",
     "attribution_linear", "attribution_time_decay",
+    "attribution_u_shaped",
 ]
 
 
