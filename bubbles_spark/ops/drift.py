@@ -312,9 +312,13 @@ def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
                 F.col("pos") * (F.lit(2) * before + F.col("cnt") + F.lit(1))
             ).alias("S")
         )
+        # n_pos·(n_pos+1) precomputed in PYTHON int space: two int32
+        # literals multiplied engine-side overflow under ANSI folding
+        # once n_pos passes ~46k (hit in the k=4 scale smoke)
         out = s_terms.select(
             (
-                (F.col("S") - F.lit(n_pos) * F.lit(n_pos + 1)).cast("double")
+                (F.col("S") - F.lit(n_pos * (n_pos + 1)).cast("bigint"))
+                .cast("double")
                 / F.lit(float(2 * n_pos * n_neg))
             ).alias("auc"),
             F.lit(n_pos).cast("bigint").alias("n_pos"),

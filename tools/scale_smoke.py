@@ -73,6 +73,7 @@ def scaled(df, k: int, id_col: str):
 
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    only = set(sys.argv[2:])  # optional op-name subset
 
     from pyspark.sql import functions as F
 
@@ -321,6 +322,67 @@ def main() -> int:
 
         return ev.resample_time(t["events"], "ts", "user_id", "1 hour")
 
+    def fuzzy_join_op(t):
+        from bubbles_spark.ops import core as c
+
+        # name derived from the offset custkey with a per-copy letter
+        # triple prefix, so cross-copy pairs sit at distance >= 3 (an
+        # unperturbed union would plant n·k² genuine distance-1 pairs
+        # and measure output explosion, not operator scaling)
+        cst = (
+            t["customer"]
+            .withColumn(
+                "__name",
+                F.concat(
+                    F.expr(
+                        "repeat(substring('ABCDEFGHIJKLMNOP', "
+                        "int(c_custkey div 100000000) + 1, 1), 3)"
+                    ),
+                    F.format_string(
+                        "Cust#%011d", F.col("c_custkey") % 100_000_000
+                    ),
+                ),
+            )
+            .select("c_custkey", "__name")
+        )
+        return c.fuzzy_join(cst, cst, "__name", "__name", max_dist=1).filter(
+            F.col("c_custkey") < F.col("c_custkey_r")
+        )
+
+    def _drift_events(t):
+        # per-copy value shift keeps the distinct-value set growing
+        # with k (identical values across copies would hold the
+        # cumsum input CONSTANT and measure nothing)
+        return t["events"].withColumn(
+            "__v",
+            F.col("value")
+            + F.floor(F.col("event_id") / F.lit(100_000_000)).cast("double")
+            * F.lit(1000.0),
+        )
+
+    def ks_op(t):
+        from bubbles_spark.ops import drift
+
+        e = _drift_events(t)
+        return drift.ks_distance(
+            e.filter(F.col("event_type") == "view").select("__v"),
+            e.filter(F.col("event_type") == "click").select("__v"),
+            "__v",
+        )
+
+    def auc_op(t):
+        from bubbles_spark.ops import drift
+
+        e = _drift_events(t).withColumn(
+            "__y", (F.col("event_type") == "purchase").cast("int")
+        )
+        return drift.auc_score(e, "__v", "__y")
+
+    def quantile_normalize_op(t):
+        from bubbles_spark.ops import drift
+
+        return drift.quantile_normalize(_drift_events(t), "__v")
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
@@ -329,12 +391,18 @@ def main() -> int:
         "funnel": funnel_op,
         "interval_join": interval_join_op,
         "resample_ffill": resample_op,
+        "fuzzy_join_del1": fuzzy_join_op,
+        "ks_distance": ks_op,
+        "auc_score": auc_op,
+        "quantile_normalize": quantile_normalize_op,
     }
 
     results = {}
     base = scaled_rel(1)
     big = scaled_rel(k)
     for name, build in REL_OPS.items():
+        if only and name not in only:
+            continue
         run(build, base)
         t1 = run(build, base)
         tk = run(build, big)
@@ -343,6 +411,8 @@ def main() -> int:
         print(f"# {name}: t1={t1:.2f}s t{k}={tk:.2f}s alpha={alpha:.2f}", file=sys.stderr)
 
     for name, (df, id_col, build) in OPS.items():
+        if only and name not in only:
+            continue
         if df is embs:
             id_col = emb_id
         # embeddings builders take (df, id_col); docs builders take (df)
@@ -386,6 +456,10 @@ def main() -> int:
                     f"Content-Length: {len(http)}\r\n\r\n"
                 ).encode()
                 fh.write(head + http + b"\r\n\r\n")
+
+    if only and "warc_splittable_one_file" not in only:
+        print(json.dumps({"k": k, "ops": results}))
+        return 0
 
     tmp = tempfile.mkdtemp(prefix="scale_warc_")
     try:
