@@ -6499,6 +6499,41 @@ def q_psi_events_value(spark, sf_dir):
 
 
 @_q(
+    "psi_docs_lang",
+    """
+    WITH r AS (SELECT lang AS category, CAST(COUNT(*) AS BIGINT) AS count_ref
+               FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+               GROUP BY 1),
+         c AS (SELECT lang AS category, CAST(COUNT(*) AS BIGINT) AS count_cur
+               FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+               GROUP BY 1),
+         j AS (SELECT COALESCE(r.category, c.category) AS category,
+                      CAST(COALESCE(count_ref, 0) AS BIGINT) AS count_ref,
+                      CAST(COALESCE(count_cur, 0) AS BIGINT) AS count_cur
+               FROM r FULL OUTER JOIN c ON r.category = c.category),
+         tot AS (SELECT CAST(SUM(count_ref) AS BIGINT) AS nr,
+                        CAST(SUM(count_cur) AS BIGINT) AS nc FROM j)
+    SELECT category, count_ref, count_cur,
+           CAST(count_ref AS DOUBLE) / CAST(nr AS DOUBLE) AS share_ref,
+           CAST(count_cur AS DOUBLE) / CAST(nc AS DOUBLE) AS share_cur
+    FROM j, tot
+    """,
+)
+def q_psi_docs_lang(spark, sf_dir):
+    # categorical drift: per-language shares between two corpus halves
+    # — the spine is the UNION of both sides' categories, so an
+    # appearing/vanishing language is a zero-count row, not a silent
+    # omission.  psi_bin excluded from the oracle (ln 1-ulp class),
+    # pinned by the shared pytest
+    from bubbles_spark.ops import drift
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0).select("lang")
+    cur = d.filter(F.col("doc_id") % 2 == 1).select("lang")
+    return drift.psi_report_categorical(ref, cur, "lang").drop("psi_bin")
+
+
+@_q(
     "ks_events_value",
     """
     WITH ref AS (SELECT value AS v FROM events

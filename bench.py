@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "rollup_upsert_events",
     "attribution_u_shaped",
     "quantile_normalize_orders",
+    "psi_docs_lang",
 ]
 
 

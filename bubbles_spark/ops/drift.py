@@ -34,6 +34,9 @@ __all__ = [
     "ks_distance",
     "auc_score",
     "calibration_report",
+    "quantile_normalize",
+    "winsorize_by",
+    "psi_report_categorical",
 ]
 
 
@@ -466,4 +469,57 @@ def quantile_normalize(
         df.join(qmap, c == F.col("__qv"), "left")
         .withColumn(out_col or col, F.col("__q"))
         .drop("__qv", "__q")
+    )
+
+
+def psi_report_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Categorical drift report — ``psi_report`` without the numeric
+    grid: one row per category value with counts, shares, and the PSI
+    contribution (NULL where either side lacks the category; sum for
+    total PSI).  The category spine is the UNION of both sides'
+    distinct values, so a category that appears or vanishes is a row
+    with a zero count, not a silent omission.
+
+    Same exactness contract as ``psi_report``: counts integers,
+    shares one IEEE division, psi_bin engine-consistent (pair an
+    oracle with counts + shares and pin the ln in pytest).  Plan: one
+    keyed count per side, a full-outer merge on the category key,
+    1-row broadcast totals."""
+    r = (
+        ref.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("count_ref"))
+    )
+    c = (
+        cur.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("count_cur"))
+    )
+    joined = r.join(c, "category", "full_outer").fillna(
+        0, ["count_ref", "count_cur"]
+    )
+    totals = joined.agg(
+        F.sum("count_ref").alias("__nr"), F.sum("count_cur").alias("__nc")
+    )
+    pr = F.col("count_ref").cast("double") / F.col("__nr").cast("double")
+    pc = F.col("count_cur").cast("double") / F.col("__nc").cast("double")
+    psi = F.when(
+        (F.col("count_ref") > 0) & (F.col("count_cur") > 0),
+        (pr - pc) * F.log(pr / pc),
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "category",
+            "count_ref",
+            "count_cur",
+            pr.alias("share_ref"),
+            pc.alias("share_cur"),
+            psi.alias("psi_bin"),
+        )
+        .orderBy("category")
     )

@@ -421,3 +421,24 @@ def test_quantile_normalize_ecdf(spark):
     assert out[2] == 0.75 and out[3] == 0.75
     assert out[4] == 1.0
     assert out[5] is None
+
+
+def test_psi_report_categorical_union_spine(spark):
+    ref = spark.createDataFrame(
+        [("en",), ("en",), ("de",)], "lang string"
+    )
+    cur = spark.createDataFrame(
+        [("en",), ("fr",), ("fr",)], "lang string"
+    )
+    rows = {r["category"]: r for r in
+            drift.psi_report_categorical(ref, cur, "lang").collect()}
+    # union spine: de only in ref, fr only in cur — zero rows, not
+    # omissions; psi NULL where a side is empty
+    assert rows["de"]["count_cur"] == 0 and rows["de"]["psi_bin"] is None
+    assert rows["fr"]["count_ref"] == 0 and rows["fr"]["psi_bin"] is None
+    en = rows["en"]
+    assert (en["share_ref"], en["share_cur"]) == (2.0 / 3.0, 1.0 / 3.0)
+    expect = (en["share_ref"] - en["share_cur"]) * math.log(
+        en["share_ref"] / en["share_cur"]
+    )
+    assert abs(en["psi_bin"] - expect) <= 1e-15
