@@ -1156,9 +1156,11 @@ def q_time_bucket_rollup_distinct(spark, sf_dir):
             > 0.05 * F.col("exact_distinct") + 1
         )
     )
+    # NTZ ts windows to NTZ window_start on both sides — keep it NTZ
+    # (an instant cast would render in the session zone at collect)
     return bad.select(
         "grain",
-        F.col("window_start").cast("timestamp"),
+        F.col("window_start").cast("timestamp_ntz"),
         F.col("approx_distinct").cast("long"),
         F.col("exact_distinct").cast("long"),
     )
@@ -1230,7 +1232,7 @@ def q_time_bucket_rollup_quantiles(spark, sf_dir):
     )
     return roll.select(
         "grain",
-        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "p50",
         "p95",
         F.col("record_count").cast("long").alias("record_count"),
@@ -6058,8 +6060,11 @@ def q_stream_distinct(spark, sf_dir):
             > 0.05 * F.col("exact_users") + 1
         )
     )
+    # window_start is NTZ on both sides (the stream emits UTC
+    # wall-clock NTZ, the batch spine windows the NTZ ts directly) —
+    # keep it NTZ so the join/output never depends on the session zone
     return bad.select(
-        F.col("window_start").cast("timestamp"),
+        F.col("window_start").cast("timestamp_ntz"),
         F.col("approx_users").cast("long"),
         F.col("exact_users").cast("long"),
     )

@@ -180,17 +180,34 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+
+    # The driver keeps only a ~2 KB TAIL of this process's output, and
+    # the full per-query dict serializes past that — r4/r5 lost ~20 of
+    # ~80 timings to a truncated JSON line ("parsed": null).  So: the
+    # COMPLETE timing vector goes to bench_results.json (committed with
+    # the round artifacts), and the stdout line carries as many of the
+    # slowest (= most informative) queries as fit its tail budget plus
+    # a pointer to the file.
+    full = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_results.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    by_cost = sorted(times, key=times.get, reverse=True)
+    line = dict(full, queries={}, n_queries=len(times),
+                queries_file="bench_results.json")
+    for name in by_cost:
+        trial = dict(line, queries=dict(line["queries"], **{name: times[name]}))
+        if len(json.dumps(trial, separators=(",", ":"))) > 1800:
+            break
+        line = trial
+    print(json.dumps(line, separators=(",", ":")))
     return 0
 
 

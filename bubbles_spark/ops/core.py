@@ -25,6 +25,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def shuffle_partitions(spark, default: int | None = None) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, surviving platforms
+    where the conf is non-numeric (e.g. 'auto' under auto-optimized
+    shuffle) — fall back to the cluster's default parallelism, the
+    right partition count for a range-partitioned two-phase pass."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return default or spark.sparkContext.defaultParallelism
+
+
 # ---------------------------------------------------------------------
 # Projection / renaming (SURVEY.md §2.2; bubbles/ops/rows.py::field_filter)
 # ---------------------------------------------------------------------
@@ -525,7 +538,7 @@ def _with_global_row_number(
     within equal keys order is undefined, as with any row_number.
     """
     cols = _order_cols(order_by)
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = shuffle_partitions(df.sparkSession)
     parted = (
         df.repartitionByRange(n_parts, *cols)
         .sortWithinPartitions(*cols)
@@ -1438,6 +1451,14 @@ def fuzzy_join(
         raise ValueError(
             "deletion blocking supports max_dist <= 1 (depth-d "
             "neighborhoods grow O(len^d)); use strategy='length'"
+        )
+    reserved = {"__lid", "__rid", "__v", "__len"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"fuzzy_join reserves internal column names {sorted(clash)} "
+            "— rename them on the inputs first (withColumn would "
+            "silently overwrite and drop them from the output)"
         )
     taken = set(left.columns)
     renames = {

@@ -24,7 +24,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bubbles_spark.ops.core import _with_global_row_number
+from bubbles_spark.ops.core import _with_global_row_number, shuffle_partitions
 
 __all__ = [
     "exact_quantiles",
@@ -53,7 +53,7 @@ def _partitioned_cumsum(df: DataFrame, order_col: str, sum_cols: list[str]):
     total per summed column, and the persisted intermediate the
     caller MUST ``unpersist()`` after its final action."""
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = shuffle_partitions(spark)
     parted = (
         df.repartitionByRange(n_parts, order_col)
         .sortWithinPartitions(order_col)

