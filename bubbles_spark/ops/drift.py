@@ -112,6 +112,48 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float]) -> list[float]:
     return [hit[r] for r in ranks]
 
 
+def suggest_bounds(
+    df: DataFrame,
+    col: str,
+    coverage: float = 0.99,
+    rel_err: float = 0.001,
+) -> tuple[float, float]:
+    """Suggest a fixed (lo, hi) domain for ``psi_report`` /
+    ``histogram_batch`` / ``histogram_stream`` from the data: probe
+    the [(1−coverage)/2, 1−(1−coverage)/2] quantiles with the GK
+    sketch (``approxQuantile`` — one pass, two scalars to the driver)
+    and round OUTWARD to a decade-step grid, so the returned bounds
+    are stable against small data movement and read well on a chart.
+
+    ``psi_report`` deliberately requires caller-supplied bounds (a
+    reproducible report needs a pinned domain — re-deriving it from
+    each batch would make drift scores incomparable); this helper is
+    the one-call way to mint that pinned domain from the REFERENCE
+    slice:
+
+        lo, hi = drift.suggest_bounds(ref, "score")
+        drift.psi_report(ref, cur, "score", lo=lo, hi=hi, bins=20)
+
+    Values outside the suggested bounds (≤ 1−coverage of the
+    reference, anything in later batches) clamp to the edge bins —
+    exactly the drift signal a tail excursion should produce."""
+    if not 0.0 < coverage <= 1.0:
+        raise ValueError(f"coverage must be in (0, 1], got {coverage}")
+    tail = (1.0 - coverage) / 2.0
+    got = df.stat.approxQuantile(col, [tail, 1.0 - tail], rel_err)
+    if not got:
+        raise ValueError(f"suggest_bounds: no non-null values in {col!r}")
+    lo, hi = float(got[0]), float(got[1])
+    if hi <= lo:
+        return (lo, lo + 1.0)
+    step = 10.0 ** math.floor(math.log10(hi - lo))
+    glo = math.floor(lo / step) * step
+    ghi = math.ceil(hi / step) * step
+    if ghi <= glo:
+        ghi = glo + step
+    return (glo, ghi)
+
+
 def winsorize(
     df: DataFrame,
     col: str,
@@ -397,27 +439,68 @@ def winsorize_by(
     classes against a GLOBAL quantile mangles the small segments).
 
     Same exactness contract as ``winsorize`` (rank arithmetic +
-    LEAST/GREATEST — zero new float math), but distributed per group:
-    one shuffle on the group key, a per-group ordered window rank
-    (scale caveat: a single group's rows sort within its partitions —
-    fine for segment-sized groups, use global ``winsorize`` per slice
-    for one giant group), a groups-sized bounds table joined back.
-    NULL values stay NULL; a group with no non-null values passes
-    through unclamped."""
+    LEAST/GREATEST — zero new float math), and scale-safe even when
+    ONE group holds most of the table: ranks come from per-(group,
+    value) counts (map-side combined — the giant group collapses to
+    its distinct values) cumulated by the range-partitioned two-phase
+    trick, where the per-group prefix offsets are a WINDOW over the
+    tiny (partition-id, group) partial-sum table (≤ #partitions rows
+    per group — no skew, no driver collect, no single-task sort).
+    The smallest value whose cumulative count reaches ceil(q·n) IS
+    the type-1 rank-ceil(q·n) value, so results are bit-identical to
+    a per-group row_number rank.  NULL values stay NULL; a group with
+    no non-null values passes through unclamped."""
+    from bubbles_spark.ops import core as _core
+
     c = F.col(col)
-    w = Window.partitionBy(group_col).orderBy(col)
-    wg = Window.partitionBy(group_col)
-    ranked = (
+    counts = (
         df.filter(c.isNotNull())
-        .select(group_col, col)
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wg))
+        .groupBy(group_col, col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n_parts = shuffle_partitions(df.sparkSession)
+    # persist: spark_partition_id must be identical across the two
+    # consumers below (range-partitioner sampling is not guaranteed
+    # deterministic across jobs); freed by the next ranking call's
+    # release_rank_cache, same lifecycle as _with_global_row_number
+    _core.release_rank_cache()
+    parted = (
+        counts.repartitionByRange(n_parts, group_col, col)
+        .sortWithinPartitions(group_col, col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    _core._RANK_CACHE.append(parted)
+    partials = parted.groupBy("__pid", group_col).agg(
+        F.sum("__c").alias("__pc")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = partials.groupBy(group_col).agg(F.sum("__pc").alias("__n"))
+    w_in = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        parted.withColumn("__cin", F.sum("__c").over(w_in))
+        .join(offsets, ["__pid", group_col])
+        .join(totals, group_col)
+        .withColumn("__cum", F.col("__off") + F.col("__cin"))
     )
     lo_rank = F.ceil(F.lit(lo_q) * F.col("__n")).cast("bigint")
     hi_rank = F.ceil(F.lit(hi_q) * F.col("__n")).cast("bigint")
-    bounds = ranked.groupBy(group_col).agg(
-        F.min(F.when(F.col("__rn") == lo_rank, c)).alias("__lo_v"),
-        F.min(F.when(F.col("__rn") == hi_rank, c)).alias("__hi_v"),
+    bounds = cum.groupBy(group_col).agg(
+        F.min(F.when(F.col("__cum") >= lo_rank, c)).alias("__lo_v"),
+        F.min(F.when(F.col("__cum") >= hi_rank, c)).alias("__hi_v"),
     )
     clamped = F.when(
         c.isNull(), F.lit(None).cast(dict(df.dtypes)[col])

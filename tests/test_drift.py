@@ -497,3 +497,50 @@ def test_shuffle_partitions_survives_non_numeric_conf():
 
     assert core.shuffle_partitions(_Spark()) == 7
     assert core.shuffle_partitions(_Spark(), default=5) == 5
+
+
+def test_winsorize_by_dominant_group_scale_safe(spark):
+    """One group holding ~99% of the rows must still clamp at its own
+    exact type-1 quantiles, WITHOUT a per-group row-level sort (the
+    ranks now come from distinct-value counts + the two-phase cumsum;
+    a row_number window over the dominant group would be the
+    single-task stage the 100 TB posture forbids)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [("big", float(rng.randint(0, 999))) for _ in range(5000)]
+    rows += [("small", float(v)) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)]
+    df = spark.createDataFrame(rows, "seg string, v double")
+    out = drift.winsorize_by(df, "v", "seg", 0.1, 0.9, out_col="w")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower()
+
+    # type-1 quantiles per group, computed independently
+    def t1(vals, q):
+        s = sorted(vals)
+        return s[max(0, math.ceil(q * len(s)) - 1)]
+
+    by_seg = {"big": [], "small": []}
+    for seg, v in rows:
+        by_seg[seg].append(v)
+    got = {(r["seg"], r["v"]): r["w"] for r in out.collect()}
+    for seg, vals in by_seg.items():
+        lo, hi = t1(vals, 0.1), t1(vals, 0.9)
+        for v in set(vals):
+            assert got[(seg, v)] == min(max(v, lo), hi), (seg, v)
+
+
+def test_suggest_bounds_outward_decade_grid(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(3, 487)], "v double"
+    )
+    lo, hi = drift.suggest_bounds(df, "v", coverage=1.0)
+    # span 3..486 -> decade step 100; rounded outward
+    assert lo <= 3.0 and hi >= 486.0
+    assert lo == 0.0 and hi == 500.0
+    with pytest.raises(ValueError, match="coverage"):
+        drift.suggest_bounds(df, "v", coverage=0.0)
+    empty = spark.createDataFrame([(None,)], "v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        drift.suggest_bounds(empty, "v")

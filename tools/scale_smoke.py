@@ -383,6 +383,15 @@ def main() -> int:
 
         return drift.quantile_normalize(_drift_events(t), "__v")
 
+    def winsorize_by_dominant_op(t):
+        # worst case for per-group ranking: EVERY row in one group —
+        # the two-phase distinct-value rank must scale like the
+        # global winsorize, not like a single-task group sort
+        from bubbles_spark.ops import drift
+
+        e = _drift_events(t).withColumn("__g", F.lit("all"))
+        return drift.winsorize_by(e, "__v", "__g")
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
@@ -395,6 +404,7 @@ def main() -> int:
         "ks_distance": ks_op,
         "auc_score": auc_op,
         "quantile_normalize": quantile_normalize_op,
+        "winsorize_by_dominant": winsorize_by_dominant_op,
     }
 
     results = {}
