@@ -6932,6 +6932,236 @@ def q_attribution_linear(spark, sf_dir):
     return out.select("conversion_id", "channel", "credit")
 
 
+# --- entity resolution (ops/dedup.py::resolve_entities — extension) --
+@_q(
+    "resolve_entities_customers",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey
+       AND ABS(LENGTH(a.c_name) - LENGTH(b.c_name)) <= 1
+       AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT c_custkey AS node, c_custkey AS lbl FROM customer
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS entity_id FROM reach GROUP BY node),
+    members AS (
+      SELECT comp.entity_id, c.c_mktsegment
+      FROM customer c JOIN comp ON c.c_custkey = comp.node
+    ),
+    sizes AS (
+      SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM members GROUP BY 1
+    ),
+    counts AS (
+      SELECT entity_id, c_mktsegment, COUNT(*) AS cnt
+      FROM members GROUP BY 1, 2
+    ),
+    elected AS (
+      SELECT entity_id, c_mktsegment FROM (
+        SELECT entity_id, c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY entity_id
+                                  ORDER BY cnt DESC, c_mktsegment) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT s.entity_id, s.n_records, e.c_mktsegment
+    FROM sizes s LEFT JOIN elected e ON s.entity_id = e.entity_id
+    """,
+)
+def q_resolve_entities_customers(spark, sf_dir):
+    # full entity-resolution pipeline: near-miss name pairs (FastSS
+    # deletion-blocked fuzzy self-join, nation-blocked) → transitive
+    # closure → per-entity survivorship (modal c_mktsegment, ties to
+    # the smallest) — and DuckDB replays the whole thing exactly: the
+    # closure as a recursive CTE, the election as a (cnt DESC, value)
+    # row_number, so even this ITERATIVE operator is hash-checked
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    pairs = core.fuzzy_join(
+        c.select("c_custkey", "c_name", "c_nationkey"),
+        c.select("c_custkey", "c_name", "c_nationkey"),
+        "c_name",
+        "c_name",
+        max_dist=1,
+        block_on=[("c_nationkey", "c_nationkey")],
+    ).filter(F.col("c_custkey") < F.col("c_custkey_r"))
+    pairs = pairs.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_custkey_r").alias("id_b")
+    )
+    return dedup.resolve_entities(
+        c, pairs, id_col="c_custkey", survivor_cols=("c_mktsegment",)
+    )
+
+
+# --- key / referential audits (ops/audit.py — extension) -------------
+@_q(
+    "key_profile_orders",
+    """
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+    k1 AS (SELECT o_orderkey AS v, COUNT(*) AS n FROM orders
+           WHERE o_orderkey IS NOT NULL GROUP BY 1),
+    k2 AS (SELECT o_custkey AS v, COUNT(*) AS n FROM orders
+           WHERE o_custkey IS NOT NULL GROUP BY 1),
+    k3 AS (SELECT o_orderpriority AS v, COUNT(*) AS n FROM orders
+           WHERE o_orderpriority IS NOT NULL GROUP BY 1)
+    SELECT 'o_orderkey' AS col,
+           (SELECT n_rows FROM t) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_distinct,
+           CAST((SELECT n_rows FROM t)
+                - (SELECT COALESCE(SUM(n), 0) FROM k1) AS BIGINT) AS n_null,
+           (SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) FROM k1) AS max_group,
+           (SELECT COALESCE(MAX(n) <= 1, TRUE) FROM k1) AS is_unique
+    UNION ALL
+    SELECT 'o_custkey',
+           (SELECT n_rows FROM t),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k2),
+           CAST((SELECT n_rows FROM t)
+                - (SELECT COALESCE(SUM(n), 0) FROM k2) AS BIGINT),
+           (SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) FROM k2),
+           (SELECT COALESCE(MAX(n) <= 1, TRUE) FROM k2)
+    UNION ALL
+    SELECT 'o_orderpriority',
+           (SELECT n_rows FROM t),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k3),
+           CAST((SELECT n_rows FROM t)
+                - (SELECT COALESCE(SUM(n), 0) FROM k3) AS BIGINT),
+           (SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) FROM k3),
+           (SELECT COALESCE(MAX(n) <= 1, TRUE) FROM k3)
+    """,
+)
+def q_key_profile_orders(spark, sf_dir):
+    # key-quality audit before trusting a join/pk declaration: one
+    # map-side-combined keyed count per candidate column, folded to a
+    # len(cols)-row report — o_orderkey unique, o_custkey/o_orderpriority not
+    o = _t(spark, sf_dir, "orders")
+    return audit_ops.key_profile(o, ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+
+@_q(
+    "integrity_orders_customer",
+    """
+    WITH ck AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+                WHERE o_custkey IS NOT NULL GROUP BY 1),
+         pk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+         orph AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS orphan_rows,
+                         CAST(COUNT(*) AS BIGINT) AS orphan_keys
+                  FROM ck WHERE k NOT IN (SELECT k FROM pk)),
+         unref AS (SELECT CAST(COUNT(*) AS BIGINT) AS unreferenced_parents
+                   FROM pk WHERE k NOT IN (SELECT k FROM ck))
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS parent_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NULL) AS null_fk_rows,
+           orphan_rows, orphan_keys, unreferenced_parents
+    FROM orph, unref
+    """,
+)
+def q_integrity_orders_customer(spark, sf_dir):
+    # FK health for orders.o_custkey → customer.c_custkey: TPC-H data
+    # has zero orphans but a third of customers place no orders — the
+    # report proves both anti-join directions against exact counts
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return audit_ops.referential_integrity_report(o, c, "o_custkey", "c_custkey")
+
+
+# --- privacy / release governance (ops/privacy.py — extension) -------
+@_q(
+    "k_anonymity_customer",
+    """
+    WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS gn
+               FROM customer GROUP BY 1, 2)
+    SELECT CAST(COALESCE(SUM(gn), 0) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COALESCE(MIN(gn), 0) AS BIGINT) AS min_group_size,
+           CAST(COALESCE(SUM(CASE WHEN gn < 5 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS violating_groups,
+           CAST(COALESCE(SUM(CASE WHEN gn < 5 THEN gn ELSE 0 END), 0)
+                AS BIGINT) AS violating_rows,
+           COALESCE(MIN(gn) >= 5, TRUE) AS k_anonymous
+    FROM g
+    """,
+)
+def q_k_anonymity_customer(spark, sf_dir):
+    # table-level re-identification audit: every (nation, segment)
+    # quasi combination must be shared by >= 5 customers — one keyed
+    # count + a one-row fold, exact in both engines
+    from bubbles_spark.ops import privacy
+
+    c = _t(spark, sf_dir, "customer")
+    return privacy.k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@_q(
+    "suppress_small_groups_customer",
+    """
+    WITH g AS (SELECT c_nationkey, c_mktsegment FROM customer
+               GROUP BY 1, 2 HAVING COUNT(*) >= 8)
+    SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+    FROM customer c JOIN g ON c.c_nationkey = g.c_nationkey
+                          AND c.c_mktsegment = g.c_mktsegment
+    """,
+)
+def q_suppress_small_groups_customer(spark, sf_dir):
+    # the minimal k-anonymity fix: record suppression of every row in
+    # a sub-k quasi group; groups-sized table semi-joins back — the
+    # surviving table is 8-anonymous by construction
+    from bubbles_spark.ops import privacy
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return privacy.suppress_small_groups(c, ["c_nationkey", "c_mktsegment"], k=8)
+
+
+@_q(
+    "l_diversity_customer",
+    """
+    WITH pv AS (SELECT c_nationkey, c_mktsegment, o_orderpriority
+                FROM customer JOIN orders ON c_custkey = o_custkey
+                WHERE o_orderpriority IS NOT NULL
+                GROUP BY 1, 2, 3),
+         d AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS ndv
+               FROM pv GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COALESCE(MIN(ndv), 0) AS BIGINT) AS min_diversity,
+           CAST(COALESCE(SUM(CASE WHEN ndv < 3 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS violating_groups,
+           COALESCE(MIN(ndv) >= 3, TRUE) AS l_diverse
+    FROM d
+    """,
+)
+def q_l_diversity_customer(spark, sf_dir):
+    # homogeneity-attack audit: each (nation, segment) group must see
+    # >= 3 distinct order priorities; two stacked keyed aggs — the
+    # (group, value) dedup level also collapses skewed pairs before
+    # the second shuffle
+    from bubbles_spark.ops import privacy
+
+    j = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select("c_nationkey", "c_mktsegment", "o_orderpriority")
+    )
+    return privacy.l_diversity_report(
+        j, ["c_nationkey", "c_mktsegment"], "o_orderpriority", l=3
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

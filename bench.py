@@ -147,6 +147,11 @@ BENCH_QUERIES = [
     "attribution_u_shaped",
     "quantile_normalize_orders",
     "psi_docs_lang",
+    "resolve_entities_customers",
+    "key_profile_orders",
+    "integrity_orders_customer",
+    "k_anonymity_customer",
+    "suppress_small_groups_customer",
 ]
 
 

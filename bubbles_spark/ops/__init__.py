@@ -41,7 +41,7 @@ from bubbles_spark.ops.text import (
     transliterate,
 )
 from bubbles_spark.ops.audit import basic_audit, infer_types
-from bubbles_spark.ops import dedup, drift, events, sketch, textan, textprep, vector, multimodal
+from bubbles_spark.ops import dedup, drift, events, privacy, sketch, textan, textprep, vector, multimodal
 
 __all__ = [
     "added_keys",
@@ -69,6 +69,7 @@ __all__ = [
     "fuzzy_join",
     "join_details",
     "multimodal",
+    "privacy",
     "range_join",
     "rename_fields",
     "sample",

@@ -304,3 +304,99 @@ def correlation_matrix(
     return wide.selectExpr(
         f"stack({n_pairs}, {stack_args}) AS (col_a, col_b, corr)"
     )
+
+
+def key_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column KEY-QUALITY profile — the first audit before trusting
+    a join key or declaring a primary key: for each candidate column,
+    row count, non-null distinct count, null count, the largest
+    duplicate-group size, and an ``is_unique`` verdict (every non-null
+    value occurs once).
+
+    One keyed count per column plus a one-row fold — each column's
+    pass is a map-side-combined groupBy (never a global window), and
+    the report is len(cols) rows.  Fully lazy: the row total is a
+    one-row aggregate joined in, not a build-time action.  Output:
+    col, n_rows, n_distinct, n_null, max_group, is_unique."""
+    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    out = None
+    for c in cols:
+        per_v = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        prof = per_v.agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("__nn"),
+            F.coalesce(F.max("__n"), F.lit(0)).cast("bigint").alias("max_group"),
+            F.coalesce(F.max("__n") <= 1, F.lit(True)).alias("is_unique"),
+        )
+        row = tot.crossJoin(prof).select(
+            F.lit(c).alias("col"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("__nn")).cast("bigint").alias("n_null"),
+            "max_group",
+            "is_unique",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def referential_integrity_report(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+) -> DataFrame:
+    """One-row foreign-key health report for a child→parent edge —
+    the referential audit a warehouse runs before trusting a join:
+
+    - ``child_rows`` / ``parent_rows``: table sizes
+    - ``null_fk_rows``: child rows whose FK is NULL (can never join)
+    - ``orphan_rows`` / ``orphan_keys``: child rows (and distinct FK
+      values) with no matching parent — the severity signal
+    - ``unreferenced_parents``: parent keys no child points at
+      (usually fine; interesting for retention/archival)
+
+    Plan shape: the child side aggregates to DISTINCT FK COUNTS
+    first, so the orphan check joins a keys-sized table against the
+    parent's keys (left-anti equi-join — broadcast when the parent
+    key set is dim-sized), never row-by-row; the unreferenced side is
+    the mirror anti-join.  Total: two keyed counts + two anti-joins,
+    folded with one-row cross joins (lazy — no build-time actions)."""
+    fk = F.col(fk_col)
+    child_keys = (
+        child.filter(fk.isNotNull())
+        .groupBy(fk.alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    parent_keys = parent.select(F.col(pk_col).alias("__k")).distinct()
+    orphans = child_keys.join(parent_keys, "__k", "left_anti").agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("orphan_rows"),
+        F.count(F.lit(1)).alias("orphan_keys"),
+    )
+    unref = parent_keys.join(child_keys, "__k", "left_anti").agg(
+        F.count(F.lit(1)).alias("unreferenced_parents")
+    )
+    base = child.agg(
+        F.count(F.lit(1)).cast("bigint").alias("child_rows"),
+        F.coalesce(F.sum(fk.isNull().cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("null_fk_rows"),
+    )
+    prows = parent.agg(F.count(F.lit(1)).cast("bigint").alias("parent_rows"))
+    return (
+        base.crossJoin(prows)
+        .crossJoin(orphans)
+        .crossJoin(unref)
+        .select(
+            "child_rows",
+            "parent_rows",
+            "null_fk_rows",
+            "orphan_rows",
+            "orphan_keys",
+            "unreferenced_parents",
+        )
+    )

@@ -418,6 +418,53 @@ def dup_clusters(
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
 
 
+def resolve_entities(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    survivor_cols: Sequence[str] = (),
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Entity resolution: fold pairwise match evidence (``fuzzy_join``
+    / MinHash / embedding pairs) into CANONICAL ENTITY RECORDS — the
+    record-linkage closing step.  Transitive closure clusters the
+    matches (chain a~b, b~c ⇒ one entity even though a,c never
+    matched directly; records in no pair stay singleton entities),
+    then per-entity SURVIVORSHIP elects each requested column's
+    golden value: the most frequent non-null value, ties broken to
+    the smallest — a total order, so the golden record is
+    deterministic and hash-checkable cross-engine.
+
+    Output: one row per entity — ``entity_id`` (min member id),
+    ``n_records``, and one elected value per ``survivor_cols``.
+
+    Scale shape: the closure is ``connected_components``'
+    O(diameter)-round min-label propagation over the PAIR graph (ids
+    only — raw payloads never iterate); each election is one
+    map-side-combined (entity, value) count plus a ``min_by`` fold,
+    and elections join back on entity_id — all keyed equi-joins,
+    bounded by cluster sizes, no window over raw rows."""
+    clustered = dup_clusters(df, pairs, id_col=id_col, src=src, dst=dst)
+    out = clustered.groupBy(F.col("component").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    for c in survivor_cols:
+        counts = (
+            clustered.filter(F.col(c).isNotNull())
+            .groupBy("component", c)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        elected = counts.groupBy(F.col("component").alias("entity_id")).agg(
+            F.min_by(
+                F.col(c),
+                F.struct((-F.col("__cnt")).alias("k1"), F.col(c).alias("k2")),
+            ).alias(c)
+        )
+        out = out.join(elected, "entity_id", "left")
+    return out
+
+
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------

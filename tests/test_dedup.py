@@ -542,3 +542,30 @@ def test_pairs_against_index_accepts_presigned_batch(spark, docs):
     pre = sorted(map(tuple, dedup.pairs_against_index(
         dedup.minhash_index(batch), index, threshold=0.9).collect()))
     assert raw == pre and raw  # non-empty and identical
+
+
+def test_resolve_entities_survivorship_and_chains(spark):
+    """Chained pairs (1~2, 2~3) form ONE entity; survivorship elects
+    the modal non-null value with ties to the smallest; unmatched
+    records stay singleton entities."""
+    df = spark.createDataFrame(
+        [
+            (1, "ACME", "NY"),
+            (2, "ACME Inc", "NY"),
+            (3, "ACME Co", "CA"),   # chain 1-2-3: NY wins 2-1
+            (4, "Zed", None),       # singleton, null survivor
+            (5, "Tie A", "AA"),
+            (6, "Tie B", "BB"),     # pair 5-6: tie 1-1 -> smallest "AA"
+        ],
+        "id long, name string, state string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["entity_id"]: (r["n_records"], r["state"])
+        for r in dedup.resolve_entities(
+            df, pairs, id_col="id", survivor_cols=("state",)
+        ).collect()
+    }
+    assert got == {1: (3, "NY"), 4: (1, None), 5: (2, "AA")}

@@ -201,3 +201,31 @@ def test_correlation_matrix_rejects_spearman(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
     with pytest.raises(ValueError):
         audit_ops.correlation_matrix(df, ["a", "b"], method="spearman")
+
+
+def test_key_profile_uniqueness_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")],
+        "id long, grp string",
+    )
+    got = {r["col"]: r.asDict() for r in audit.key_profile(df, ["id", "grp"]).collect()}
+    assert got["id"] == {
+        "col": "id", "n_rows": 4, "n_distinct": 4, "n_null": 0,
+        "max_group": 1, "is_unique": True,
+    }
+    assert got["grp"] == {
+        "col": "grp", "n_rows": 4, "n_distinct": 2, "n_null": 1,
+        "max_group": 2, "is_unique": False,
+    }
+
+
+def test_referential_integrity_orphans_and_unreferenced(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    row = audit.referential_integrity_report(child, parent, "fk", "pk").first()
+    assert row.asDict() == {
+        "child_rows": 4, "parent_rows": 2, "null_fk_rows": 1,
+        "orphan_rows": 1, "orphan_keys": 1, "unreferenced_parents": 1,
+    }

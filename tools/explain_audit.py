@@ -487,6 +487,51 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    # privacy governance: keyed counts folded to one-row reports; the
+    # suppression path is a semi equi-join of the group-size table
+    (
+        "k_anonymity_customer",
+        [(r"HashAggregate|ObjectHashAggregate", "quasi-group counts partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"Window", "no window"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "suppress_small_groups_customer",
+        [(r"LeftSemi", "suppression is a semi-join against the big-groups table"),
+         (r"HashAggregate|ObjectHashAggregate", "group sizes partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"Window", "rows never sort or window"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    # key/referential audits: keyed counts + anti-joins; the one-row
+    # report folds join as broadcast loops over single rows (cheap by
+    # construction), so no cross-product forbid applies
+    (
+        "key_profile_orders",
+        [(r"HashAggregate|ObjectHashAggregate", "per-column keyed counts partial-aggregate"),
+         (r"Union", "len(cols)-row report is a union of one-row folds")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "no window needed for key profiling")],
+    ),
+    (
+        "integrity_orders_customer",
+        [(r"BroadcastHashJoin.*LeftAnti|SortMergeJoin.*LeftAnti|ShuffledHashJoin.*LeftAnti", "orphan/unreferenced checks are anti equi-joins"),
+         (r"HashAggregate|ObjectHashAggregate", "FK counts partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "no window in the report")],
+    ),
+    # resolve_entities: the closure label table is materialized by
+    # connected_components' localCheckpoints; the audited plan is the
+    # cluster join + per-entity election joins
+    (
+        "resolve_entities_customers",
+        [(r"Scan ExistingRDD|LogicalRDD", "closure labels are the checkpointed CC fixpoint"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "cluster + election joins are equi joins"),
+         (r"HashAggregate|ObjectHashAggregate", "elections partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
     (
         "attribution_first_touch",
         [(r"PushedFilters: .*(EqualTo|Not)\(event_type", "conversion/touch filters reach the scan"),
