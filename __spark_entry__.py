@@ -7162,6 +7162,107 @@ def q_l_diversity_customer(spark, sf_dir):
     )
 
 
+# --- rolling feature matrix (ops/events.py — extension) --------------
+@_q(
+    "rolling_features_events",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w1 AS DOUBLE) AS value_sum_1h,
+           CAST(COUNT(value) OVER w1 AS BIGINT) AS value_count_1h,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w24 AS DOUBLE) AS value_sum_1d,
+           CAST(COUNT(value) OVER w24 AS BIGINT) AS value_count_1d,
+           CASE WHEN COUNT(value) OVER w24 > 0 THEN
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w24 AS DOUBLE)
+             / COUNT(value) OVER w24
+           END AS value_avg_1d
+    FROM events
+    WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+           w24 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_features_events(spark, sf_dir):
+    # the feature-store matrix: per user, trailing 1h/24h sums+counts
+    # and the exact 24h mean, ALL horizons over one shuffle + one sort
+    # (one Window node — every extra horizon is just another frame);
+    # avg = exact decimal sum -> double -> one IEEE division
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = events.rolling_features(
+        e, "ts", "user_id", "value",
+        windows_seconds=(3600, 86400), funcs=("sum", "count"),
+    )
+    out = events.rolling_features(
+        out, "ts", "user_id", "value", windows_seconds=(86400,), funcs=("avg",)
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        "value_sum_1h",
+        F.col("value_count_1h").cast("long").alias("value_count_1h"),
+        "value_sum_1d",
+        F.col("value_count_1d").cast("long").alias("value_count_1d"),
+        "value_avg_1d",
+    )
+
+
+# --- label agreement (ops/drift.py::cohens_kappa — extension) --------
+_KAPPA_B = """CASE o_orderkey % 5
+              WHEN 0 THEN '1-URGENT' WHEN 1 THEN '2-HIGH'
+              WHEN 2 THEN '3-MEDIUM' WHEN 3 THEN '4-NOT SPECIFIED'
+              ELSE '5-LOW' END"""
+
+
+@_q(
+    "cohens_kappa_orders",
+    f"""
+    WITH lab AS (SELECT o_orderpriority AS a, {_KAPPA_B} AS b FROM orders),
+    pairs AS (SELECT a, b, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+    tot AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS t,
+                   CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0)
+                        AS BIGINT) AS agree
+            FROM pairs),
+    ra AS (SELECT a, SUM(n) AS ra FROM pairs GROUP BY 1),
+    cb AS (SELECT b, SUM(n) AS cb FROM pairs GROUP BY 1),
+    pe AS (SELECT COALESCE(SUM(CAST(ra AS DECIMAL(38,0))
+                               * CAST(cb AS DECIMAL(38,0))),
+                           CAST(0 AS DECIMAL(38,0))) AS pe_num
+           FROM ra JOIN cb ON ra.a = cb.b)
+    SELECT t AS n_items,
+           CASE WHEN t > 0 THEN CAST(agree AS DOUBLE) / CAST(t AS DOUBLE) END
+             AS observed_agreement,
+           CASE WHEN t > 0 THEN CAST(pe_num AS DOUBLE)
+                / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) END
+             AS expected_agreement,
+           CASE WHEN CAST(pe_num AS DOUBLE)
+                     / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) < 1.0
+                THEN (CAST(agree AS DOUBLE) / CAST(t AS DOUBLE)
+                      - CAST(pe_num AS DOUBLE)
+                        / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))
+                     / (1.0 - CAST(pe_num AS DOUBLE)
+                        / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))) END
+             AS kappa
+    FROM tot, pe
+    """,
+)
+def q_cohens_kappa_orders(spark, sf_dir):
+    # chance-corrected agreement between the recorded order priority
+    # and a deterministic pseudo-rater (orderkey mod 5 mapped onto the
+    # same label set): near-independent raters ⇒ κ ≈ 0, and the whole
+    # contingency/marginal/κ pipeline is exact BIGINT/decimal counts +
+    # three IEEE divisions, so DuckDB reproduces it to the bit
+    from bubbles_spark.ops import drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("rater_a"),
+        F.expr(
+            "CASE o_orderkey % 5 WHEN 0 THEN '1-URGENT' WHEN 1 THEN '2-HIGH' "
+            "WHEN 2 THEN '3-MEDIUM' WHEN 3 THEN '4-NOT SPECIFIED' "
+            "ELSE '5-LOW' END"
+        ).alias("rater_b"),
+    )
+    return drift.cohens_kappa(o, "rater_a", "rater_b")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

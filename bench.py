@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "integrity_orders_customer",
     "k_anonymity_customer",
     "suppress_small_groups_customer",
+    "rolling_features_events",
+    "cohens_kappa_orders",
 ]
 
 

@@ -704,6 +704,18 @@ def running_agg(
     return df.withColumn(out_field or f"{field}_running_{func}", fn(field).over(w))
 
 
+def epoch_ms_wallclock(col: Column, is_ntz: bool) -> Column:
+    """Epoch milliseconds for a RANGE-frame sort key.  NTZ wall-clocks
+    pin to UTC before the instant cast — a bare NTZ→LTZ cast uses the
+    SESSION zone, so two rows straddling a DST transition would see
+    their millisecond DIFFERENCE (and thus trailing-window membership)
+    shift by an hour between sessions in different zones.  UTC has no
+    DST; instants are already zone-free."""
+    if is_ntz:
+        col = F.convert_timezone(F.lit("UTC"), F.expr("current_timezone()"), col)
+    return F.unix_millis(col.cast("timestamp"))
+
+
 def moving_agg_time(
     df: DataFrame,
     ts_col: str,
@@ -733,7 +745,9 @@ def moving_agg_time(
     from pyspark.sql import Window
 
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    order = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    order = epoch_ms_wallclock(
+        F.col(ts_col), dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    )
     w = (
         Window.partitionBy(*parts)
         .orderBy(order)

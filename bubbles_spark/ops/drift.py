@@ -375,6 +375,67 @@ def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         parted.unpersist()
 
 
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's κ inter-annotator agreement between two label columns
+    — the label-quality gate for human- or model-annotated training
+    data (chance-corrected, unlike raw accuracy: two raters stamping
+    the majority class everywhere score κ ≈ 0, not 95%).
+
+    κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement rate
+    and p_e the chance rate Σ_k p_a(k)·p_b(k) (Cohen 1960).  Exact
+    from BIGINT contingency counts: one (a, b) keyed count, two
+    marginal folds, the expected term as a decimal sum of marginal
+    products (bigint·bigint would overflow past ~3·10⁹ items), then
+    three IEEE divisions — bit-identical cross-engine.  Rows with a
+    NULL on either side are excluded (and reported).
+
+    Output (one row): n_items, observed_agreement,
+    expected_agreement, kappa (NULL when p_e = 1 — both raters
+    constant and identical, κ undefined)."""
+    a, b = F.col(a_col), F.col(b_col)
+    pairs = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tot = pairs.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("__t"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))), F.lit(0)
+        ).cast("bigint").alias("__agree"),
+    )
+    ra = pairs.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    cb = pairs.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    pe = (
+        ra.join(cb, ra["__a"] == cb["__b"])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__ra").cast("decimal(38,0)")
+                    * F.col("__cb").cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__pe_num")
+        )
+    )
+    t = F.col("__t").cast("double")
+    po = F.when(F.col("__t") > 0, F.col("__agree").cast("double") / t)
+    pe_rate = F.when(
+        F.col("__t") > 0, F.col("__pe_num").cast("double") / (t * t)
+    )
+    return (
+        tot.crossJoin(pe)
+        .select(
+            F.col("__t").alias("n_items"),
+            po.alias("observed_agreement"),
+            pe_rate.alias("expected_agreement"),
+            F.when(
+                pe_rate < 1.0, (po - pe_rate) / (F.lit(1.0) - pe_rate)
+            ).alias("kappa"),
+        )
+    )
+
+
 def calibration_report(
     df: DataFrame,
     score_col: str,

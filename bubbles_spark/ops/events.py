@@ -499,6 +499,87 @@ def retention_cohorts(
     )
 
 
+def rolling_features(
+    df: DataFrame,
+    ts_col: str,
+    partition_by: str | Sequence[str],
+    value_col: str,
+    windows_seconds: Sequence[int] = (3600, 86400, 604800),
+    funcs: Sequence[str] = ("sum", "count"),
+) -> DataFrame:
+    """Multi-horizon trailing FEATURE MATRIX — the feature-store shape
+    behind churn/fraud/forecast models: for every row, each requested
+    aggregate of ``value_col`` over the trailing 1h/24h/7d/… windows
+    of its partition, all horizons in ONE pass.
+
+    Every (window, func) pair is a RANGE frame over the SAME
+    partition/order, so Catalyst plans one hash shuffle + one sort
+    and slides all frames over it — k horizons cost one extra frame
+    each, never k self-joins or k sorts (`.explain` shows a single
+    Window node).  The sort key is wall-clock-pinned epoch
+    milliseconds (``core.epoch_ms_wallclock``), so frame membership
+    is identical in every session timezone.
+
+    Exactness: ``sum`` over float columns aggregates decimal-cast
+    terms (frame sums re-aggregate per row — double rounding would be
+    partitioning-dependent); ``avg`` is that exact decimal sum ÷ the
+    exact count in one IEEE division.  Column names:
+    ``{value}_{func}_{horizon}`` with humanized horizons (3600 →
+    '1h', 86400 → '1d').  Funcs: sum/count/min/max/avg."""
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    is_float = dict(df.dtypes).get(value_col) in ("double", "float")
+    order = epoch_ms_wallclock(
+        F.col(ts_col), dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    )
+    base = Window.partitionBy(*parts).orderBy(order)
+
+    def _label(s: int) -> str:
+        if s % 86400 == 0:
+            return f"{s // 86400}d"
+        if s % 3600 == 0:
+            return f"{s // 3600}h"
+        if s % 60 == 0:
+            return f"{s // 60}m"
+        return f"{s}s"
+
+    allowed = {"sum", "count", "min", "max", "avg"}
+    bad = [f for f in funcs if f.lower() not in allowed]
+    if bad:
+        raise ValueError(f"rolling_features supports {sorted(allowed)}, got {bad}")
+
+    # build every feature in ONE projection: chained withColumns would
+    # interleave Projects between the Window expressions and defeat
+    # CollapseWindow — one select keeps all frames in a single pass
+    c = F.col(value_col)
+    feats = []
+    for s in windows_seconds:
+        w = base.rangeBetween(-int(s) * 1000, 0)
+        lab = _label(int(s))
+        for fn in funcs:
+            name = f"{value_col}_{fn.lower()}_{lab}"
+            f = fn.lower()
+            if f == "sum" and is_float:
+                col = F.sum(c.cast("decimal(20,6)")).over(w).cast("double")
+            elif f == "avg" and is_float:
+                # exact decimal sum → one double cast → one IEEE
+                # division by the exact count (decimal DIVISION would
+                # pick engine-specific result scales); NULL when the
+                # frame holds no non-null values
+                cnt = F.count(c).over(w)
+                col = F.when(
+                    cnt > 0,
+                    F.sum(c.cast("decimal(20,6)")).over(w).cast("double") / cnt,
+                )
+            elif f == "count":
+                col = F.count(c).over(w)
+            else:
+                col = _AGG_FUNCS[f](value_col).over(w)
+            feats.append(col.alias(name))
+    return df.select("*", *feats)
+
+
 def resample_time(
     df: DataFrame,
     ts_col: str,

@@ -544,3 +544,55 @@ def test_suggest_bounds_outward_decade_grid(spark):
     empty = spark.createDataFrame([(None,)], "v double")
     with pytest.raises(ValueError, match="no non-null"):
         drift.suggest_bounds(empty, "v")
+
+
+def test_rolling_features_multi_horizon_one_window(spark):
+    """All (horizon, func) frames ride ONE Window node (one shuffle +
+    one sort); values match hand-computed trailing aggregates."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (2, "2024-01-01 00:30:00", 1, 20.0),
+        (3, "2024-01-01 02:00:00", 1, 40.0),
+        (4, "2024-01-01 00:10:00", 2, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = events.rolling_features(
+        df, "ts", "user_id", "value",
+        windows_seconds=(3600, 86400), funcs=("sum", "count"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window ") == 1, plan
+    got = {r["event_id"]: r.asDict() for r in out.collect()}
+    assert got[2]["value_sum_1h"] == 30.0 and got[2]["value_count_1h"] == 2
+    assert got[3]["value_sum_1h"] == 40.0  # 00:00/00:30 fall outside [01:00, 02:00]
+    assert got[3]["value_sum_1d"] == 70.0 and got[3]["value_count_1d"] == 3
+    assert got[4]["value_sum_1h"] == 5.0
+
+    with pytest.raises(ValueError, match="supports"):
+        events.rolling_features(df, "ts", "user_id", "value", funcs=("median",))
+
+
+def test_cohens_kappa_known_value(spark):
+    """Textbook 2x2 example: po=0.7, pe=0.5 -> kappa=0.4 exactly."""
+    rows = (
+        [("y", "y")] * 40 + [("y", "n")] * 10
+        + [("n", "y")] * 20 + [("n", "n")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = drift.cohens_kappa(df, "a", "b").first()
+    assert r["n_items"] == 100
+    assert r["observed_agreement"] == 0.7
+    # pe = 0.5*0.6 + 0.5*0.4 = 0.5
+    assert r["expected_agreement"] == 0.5
+    assert abs(r["kappa"] - 0.4) < 1e-15
+
+
+def test_cohens_kappa_degenerate_and_empty(spark):
+    const = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    r = drift.cohens_kappa(const, "a", "b").first()
+    assert r["kappa"] is None  # pe = 1 -> undefined
+    empty = spark.createDataFrame([], "a string, b string")
+    r2 = drift.cohens_kappa(empty, "a", "b").first()
+    assert r2["n_items"] == 0 and r2["kappa"] is None

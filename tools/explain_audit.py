@@ -487,6 +487,21 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    # rolling feature matrix: every horizon is a frame over ONE
+    # Window pass — a second Window node would mean a redundant sort
+    (
+        "rolling_features_events",
+        [(r"Window", "RANGE frames over the per-user order"),
+         (r"hashpartitioning\(user_id", "one hash shuffle on the partition key")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no self-join for trailing windows"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "cohens_kappa_orders",
+        [(r"HashAggregate|ObjectHashAggregate", "contingency + marginal counts partial-aggregate")],
+        [(r"Window", "no window — chance term is a marginal join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
     # privacy governance: keyed counts folded to one-row reports; the
     # suppression path is a semi equi-join of the group-size table
     (
