@@ -7263,6 +7263,109 @@ def q_cohens_kappa_orders(spark, sf_dir):
     return drift.cohens_kappa(o, "rater_a", "rater_b")
 
 
+# --- path analysis / seasonal anomalies / mixture planning -----------
+@_q(
+    "transition_matrix_events",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS next_state,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    c AS (SELECT prev_state, next_state,
+                 CAST(COUNT(*) AS BIGINT) AS n_transitions
+          FROM s WHERE prev_state IS NOT NULL GROUP BY 1, 2),
+    o AS (SELECT prev_state, SUM(n_transitions) AS outn FROM c GROUP BY 1)
+    SELECT c.prev_state, c.next_state, c.n_transitions,
+           CAST(c.n_transitions AS DOUBLE) / CAST(o.outn AS DOUBLE) AS share
+    FROM c JOIN o ON c.prev_state = o.prev_state
+    """,
+)
+def q_transition_matrix_events(spark, sf_dir):
+    # first-order Markov flow: per-user lag under the TOTAL
+    # (ts, event_id) order, BIGINT pair counts, one IEEE division for
+    # the row-stochastic share — 25 rows, bit-exact
+    e = _t(spark, sf_dir, "events")
+    return events.transition_matrix(
+        e, "ts", "user_id", "event_type", tiebreak_col="event_id"
+    )
+
+
+@_q(
+    "seasonal_anomalies_events",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(dayofweek(ts) * 24 + hour(ts) AS INTEGER) AS bucket
+      FROM events
+    ),
+    b AS (SELECT bucket, COUNT(value) AS n,
+                 SUM(CAST(value AS DECIMAL(28,8))) AS s,
+                 SUM(CAST(value * value AS DECIMAL(38,8))) AS ss
+          FROM t WHERE value IS NOT NULL GROUP BY 1),
+    base AS (SELECT bucket,
+                    CAST(s AS DOUBLE) / n AS bucket_mean,
+                    SQRT(GREATEST(CAST(ss AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                         CAST(0 AS DOUBLE))) AS bucket_std
+             FROM b)
+    SELECT t.event_id, t.user_id, t.ts, t.value,
+           t.bucket, base.bucket_mean, base.bucket_std
+    FROM t JOIN base ON t.bucket = base.bucket
+    WHERE t.value IS NOT NULL
+      AND ABS(t.value - bucket_mean) > 1.5 * bucket_std
+    """,
+)
+def q_seasonal_anomalies_events(spark, sf_dir):
+    # time-of-day-aware outliers: hour-of-week baseline from exact
+    # decimal Σv/Σv², variance in identical IEEE steps in both
+    # engines (builtin stddev_pop streams differently per engine),
+    # broadcast joined back — rows >1.5σ from THEIR bucket survive
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = events.seasonal_anomalies(e, "ts", "value", k=1.5)
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "bucket", "bucket_mean", "bucket_std",
+    )
+
+
+@_q(
+    "mixture_plan_docs",
+    f"""
+    WITH w(grp, share) AS (
+      VALUES ('src0', CAST(0.5 AS DOUBLE)),
+             ('src1', CAST(0.3 AS DOUBLE)),
+             ('src2', CAST(0.2 AS DOUBLE))
+    ),
+    s AS (SELECT source AS grp, CAST(SUM({_NTOK_SQL}) AS BIGINT) AS avail
+          FROM documents GROUP BY 1),
+    a AS (SELECT w.grp AS "group", w.share AS target_share,
+                 CAST(COALESCE(s.avail, 0) AS BIGINT) AS available_tokens
+          FROM w LEFT JOIN s ON w.grp = s.grp),
+    t AS (SELECT MIN(CAST(available_tokens AS DOUBLE) / target_share) AS T
+          FROM a)
+    SELECT "group", available_tokens, target_share,
+           target_share * T AS token_budget,
+           CASE WHEN available_tokens > 0
+                THEN target_share * T / CAST(available_tokens AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS sample_rate
+    FROM a, t
+    """,
+)
+def q_mixture_plan_docs(spark, sf_dir):
+    # mixture budgeting before sampling: the binding source is
+    # consumed whole (rate 1.0), the rest downsample to hold the
+    # target shares — BIGINT token sums, divisions from identical
+    # doubles; feeds mixture_sample's budgets directly
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.mixture_plan(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, by="source"
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

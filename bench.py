@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "suppress_small_groups_customer",
     "rolling_features_events",
     "cohens_kappa_orders",
+    "transition_matrix_events",
+    "seasonal_anomalies_events",
+    "mixture_plan_docs",
 ]
 
 

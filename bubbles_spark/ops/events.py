@@ -580,6 +580,129 @@ def rolling_features(
     return df.select("*", *feats)
 
 
+def transition_matrix(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences — the path-analysis primitive behind "what do users do
+    after a click?", session-flow dashboards, and behavioural
+    anomaly baselines: count every consecutive (prev_state →
+    next_state) pair within a key's timeline and report each row's
+    share of its prev_state's outgoing transitions.
+
+    Ordering is a TOTAL order (ts, then ``tiebreak_col`` — required
+    when timestamps can tie, or shares would be run-dependent).
+    Exactness: BIGINT pair counts + one IEEE division per row.
+
+    Scale shape: one hash shuffle on the key for the lag window
+    (each key's timeline sorts within its partition — user timelines
+    are short; pre-bucket by key for pathological single-key tables),
+    then the pair counts aggregate map-side and the per-prev totals
+    join back onto a states²-sized table — trivia at any corpus
+    size.  Output: prev_state, next_state, n_transitions, share."""
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    steps = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(state_col).alias("next_state"),
+            *([F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])),
+        )
+        .withColumn("prev_state", F.lag("next_state").over(
+            Window.partitionBy("__k").orderBy(*order)
+        ))
+        .filter(F.col("prev_state").isNotNull())
+    )
+    counts = steps.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    outgoing = counts.groupBy("prev_state").agg(
+        F.sum("n_transitions").alias("__out")
+    )
+    return (
+        counts.join(outgoing, "prev_state")
+        .select(
+            "prev_state",
+            "next_state",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("__out").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: float = 3.0,
+    bucket: str = "hour_of_week",
+) -> DataFrame:
+    """Seasonal anomaly flags: learn a per-seasonal-bucket baseline
+    (mean, population std of ``value_col`` per hour-of-week or
+    hour-of-day) over the table, then keep the rows whose value sits
+    more than ``k`` standard deviations from THEIR bucket's mean —
+    the time-of-day-aware outlier gate a flat zscore gets wrong
+    (3 AM traffic is not anomalous for being below the daily mean).
+
+    Cross-engine exactness: the baseline is computed from EXACT
+    decimal sums (Σv, Σv² at the input's decimal width) cast to
+    double once, then mean = Σv/n and var = Σv²/n − mean² in plain
+    IEEE steps — identical in any engine, unlike builtin
+    stddev_pop/var_pop whose streaming formulations differ.  Buckets
+    derive from the NTZ wall-clock (TZ-free).  Scale: one keyed agg
+    (≤ 168 buckets) broadcast-joined back, map-only flagging.
+
+    Output: the anomalous rows + bucket, bucket_mean, bucket_std."""
+    if bucket == "hour_of_week":
+        b = (F.dayofweek(F.col(ts_col)) - 1) * 24 + F.hour(F.col(ts_col))
+    elif bucket == "hour_of_day":
+        b = F.hour(F.col(ts_col))
+    else:
+        raise ValueError(
+            f"bucket must be hour_of_week|hour_of_day, got {bucket!r}"
+        )
+    v = F.col(value_col)
+    tagged = df.withColumn("bucket", b.cast("int"))
+    base = (
+        tagged.filter(v.isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            # Σv / Σv² as EXACT decimal sums of decimal-cast doubles
+            # (v·v is one IEEE multiply — identical in any engine —
+            # cast once; a decimal·decimal product would hit
+            # engine-specific result-scale reduction past p=38)
+            F.sum(v.cast("decimal(28,8)")).alias("__s"),
+            F.sum((v * v).cast("decimal(38,8)")).alias("__ss"),
+        )
+        .select(
+            "bucket",
+            (F.col("__s").cast("double") / F.col("__n")).alias("bucket_mean"),
+            F.sqrt(
+                F.greatest(
+                    F.col("__ss").cast("double") / F.col("__n")
+                    - (F.col("__s").cast("double") / F.col("__n"))
+                    * (F.col("__s").cast("double") / F.col("__n")),
+                    F.lit(0.0),
+                )
+            ).alias("bucket_std"),
+        )
+    )
+    joined = tagged.join(F.broadcast(base), "bucket", "inner")
+    return joined.filter(
+        v.isNotNull()
+        & (F.abs(v - F.col("bucket_mean")) > F.lit(float(k)) * F.col("bucket_std"))
+    )
+
+
 def resample_time(
     df: DataFrame,
     ts_col: str,

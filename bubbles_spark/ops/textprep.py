@@ -565,6 +565,83 @@ def chunk_documents(
     ).withColumn(chunk_id_col, F.col(chunk_id_col).cast("long"))
 
 
+def mixture_plan(
+    df: DataFrame,
+    weights: dict,
+    by: str = "source",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Plan a training-data mixture BEFORE sampling it: given target
+    mixture ``weights`` (group value → share, e.g. {'web': .6,
+    'code': .4}), measure each group's available token supply and
+    compute the LARGEST total budget T the corpus can serve at those
+    shares — T = min over groups of available_g / w_g — plus each
+    group's sampling rate w_g·T / available_g.  The binding group
+    reports rate 1.0 (it is consumed whole); every other group
+    downsamples.  Feed the resulting per-group budgets (w_g·T)
+    straight into ``mixture_sample``.
+
+    Groups absent from ``weights`` are ignored; a weighted group with
+    ZERO available tokens pins T to 0 (the mixture is unservable —
+    surfaced, not silently rescaled).  Exactness: BIGINT token sums,
+    then one division per group from identical doubles — bit-exact
+    cross-engine.  Scale: one keyed sum, a groups-sized fold —
+    map-side partial everywhere.
+
+    Output: group, available_tokens, target_share, token_budget,
+    sample_rate."""
+    from bubbles_spark.ops.textan import _token_count
+
+    if not weights:
+        raise ValueError("weights must be a non-empty dict of group -> share")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    if token_col is None:
+        df = df.withColumn("__ntok", _token_count(F.col(text_col)).cast("long"))
+        token_col = "__ntok"
+    # weights SPINE, not a filter-side map: a weighted group with no
+    # rows at all must still appear (zero supply pins T to 0)
+    spine = df.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()],
+        "group string, target_share double",
+    )
+    sums = (
+        df.groupBy(F.col(by).cast("string").alias("group"))
+        .agg(
+            F.coalesce(F.sum(F.col(token_col)), F.lit(0))
+            .cast("bigint")
+            .alias("__avail")
+        )
+    )
+    avail = spine.join(sums, "group", "left").select(
+        "group",
+        "target_share",
+        F.coalesce(F.col("__avail"), F.lit(0)).cast("bigint").alias(
+            "available_tokens"
+        ),
+    )
+    tmax = avail.agg(
+        F.min(
+            F.col("available_tokens").cast("double") / F.col("target_share")
+        ).alias("__T")
+    )
+    return avail.crossJoin(F.broadcast(tmax)).select(
+        "group",
+        "available_tokens",
+        "target_share",
+        (F.col("target_share") * F.col("__T")).alias("token_budget"),
+        F.when(
+            F.col("available_tokens") > 0,
+            F.col("target_share")
+            * F.col("__T")
+            / F.col("available_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sample_rate"),
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     budgets: dict,

@@ -596,3 +596,68 @@ def test_cohens_kappa_degenerate_and_empty(spark):
     empty = spark.createDataFrame([], "a string, b string")
     r2 = drift.cohens_kappa(empty, "a", "b").first()
     assert r2["n_items"] == 0 and r2["kappa"] is None
+
+
+def test_transition_matrix_counts_and_shares(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-01 00:01:00", 1, "b"),
+        (3, "2024-01-01 00:02:00", 1, "a"),
+        (4, "2024-01-01 00:00:00", 2, "a"),
+        (5, "2024-01-01 00:01:00", 2, "b"),
+        (6, "2024-01-01 00:05:00", 3, "c"),  # lone event: no transition
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["prev_state"], r["next_state"]): (r["n_transitions"], r["share"])
+        for r in events.transition_matrix(
+            e, "ts", "user_id", "event_type", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_seasonal_anomalies_flags_per_bucket(spark):
+    # hour 0 centers at 10 with one wild 100; hour 1 centers at 100
+    # where 100 is perfectly normal — a flat zscore would flag both
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 10.0) for i in range(10)]
+    rows += [(99, "2024-01-08 00:30:00", 100.0)]       # same hour-of-week
+    rows += [(200 + i, f"2024-01-01 01:{i:02d}:00", 100.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = events.seasonal_anomalies(df, "ts", "value", k=3.0)
+    assert [r["event_id"] for r in out.collect()] == [99]
+    with pytest.raises(ValueError, match="bucket"):
+        events.seasonal_anomalies(df, "ts", "value", bucket="minute")
+
+
+def test_mixture_plan_binding_group_and_missing_group(spark):
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame(
+        [("web", 100), ("web", 100), ("code", 50)],
+        "source string, ntok long",
+    )
+    plan = {
+        r["group"]: r.asDict()
+        for r in textprep.mixture_plan(
+            df, {"web": 0.5, "code": 0.5}, token_col="ntok"
+        ).collect()
+    }
+    # code binds: T = 50/.5 = 100 -> web budget 50 of 200 (rate .25)
+    assert plan["code"]["sample_rate"] == 1.0
+    assert plan["web"]["token_budget"] == 50.0
+    assert plan["web"]["sample_rate"] == 0.25
+    # a weighted group with no rows pins T to 0
+    zero = {
+        r["group"]: r["token_budget"]
+        for r in textprep.mixture_plan(
+            df, {"web": 0.5, "nope": 0.5}, token_col="ntok"
+        ).collect()
+    }
+    assert zero == {"web": 0.0, "nope": 0.0}
+    with pytest.raises(ValueError, match="positive"):
+        textprep.mixture_plan(df, {"web": -1.0}, token_col="ntok")

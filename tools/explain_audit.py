@@ -487,6 +487,28 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        "transition_matrix_events",
+        [(r"Window", "per-key lag under the total order"),
+         (r"HashAggregate|ObjectHashAggregate", "pair counts partial-aggregate map-side"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "row-stochastic share joins the states^2 totals")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "seasonal_anomalies_events",
+        [(r"BroadcastHashJoin", "<=168-bucket baseline broadcasts back"),
+         (r"HashAggregate|ObjectHashAggregate", "bucket moments partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"Window", "baseline is an agg, not a window"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "mixture_plan_docs",
+        [(r"HashAggregate|ObjectHashAggregate", "token sums partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "plan is sums + a one-row fold")],
+    ),
     # rolling feature matrix: every horizon is a frame over ONE
     # Window pass — a second Window node would mean a redundant sort
     (
