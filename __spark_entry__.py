@@ -7366,6 +7366,77 @@ def q_mixture_plan_docs(spark, sf_dir):
     )
 
 
+@_q(
+    "top_paths_events",
+    """
+    WITH s AS (
+      SELECT event_type AS s0,
+             LEAD(event_type, 1) OVER w AS s1,
+             LEAD(event_type, 2) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (SELECT s0 || '>' || s1 || '>' || s2 AS path,
+                 CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM s WHERE s2 IS NOT NULL GROUP BY 1)
+    SELECT path, n_occurrences FROM c
+    ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+)
+def q_top_paths_events(spark, sf_dir):
+    # dominant 3-step user journeys: lead-chain under the total
+    # (ts, event_id) order, map-side path counts, TakeOrdered top-20
+    # with the deterministic (count DESC, path) tie-break
+    e = _t(spark, sf_dir, "events")
+    return events.top_paths(
+        e, "ts", "user_id", "event_type", n=3, k=20, tiebreak_col="event_id"
+    )
+
+
+@_q(
+    "changepoint_events_value",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS t,
+                      SUM(CAST(value AS DECIMAL(28,8))) AS s,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    l AS (SELECT t, s, n,
+                 CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      AS DECIMAL(38,10)) AS md
+          FROM b),
+    c AS (SELECT t,
+                 ROW_NUMBER() OVER wo AS i,
+                 SUM(md) OVER wc AS cm,
+                 COUNT(*) OVER () AS nb,
+                 SUM(md) OVER () AS totm,
+                 CAST(SUM(s) OVER wc AS DOUBLE) AS cs,
+                 CAST(SUM(s) OVER () AS DOUBLE) AS tot,
+                 SUM(n) OVER wc AS cn,
+                 SUM(n) OVER () AS tn
+          FROM l
+          WINDOW wo AS (ORDER BY t),
+                 wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+    cand AS (SELECT t AS split_ts,
+                    ABS(CAST(cm AS DOUBLE)
+                        - CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
+                          * CAST(totm AS DOUBLE)) AS cusum_stat,
+                    CAST(cn AS BIGINT) AS n_left,
+                    CAST(tn - cn AS BIGINT) AS n_right,
+                    cs / CAST(cn AS DOUBLE) AS mean_left,
+                    (tot - cs) / CAST(tn - cn AS DOUBLE) AS mean_right
+             FROM c WHERE i < nb)
+    SELECT * FROM cand ORDER BY cusum_stat DESC, split_ts LIMIT 1
+    """,
+)
+def q_changepoint_events_value(spark, sf_dir):
+    # AMOC level-shift detector: hourly means in exact decimal, the
+    # centered-cusum argmax over the BUCKET table (time-range-sized —
+    # the single-partition window is metadata work at any corpus
+    # size), earliest-boundary tie-break
+    e = _t(spark, sf_dir, "events")
+    return events.changepoint_report(e, "ts", "value", "1 hour")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

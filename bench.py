@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "transition_matrix_events",
     "seasonal_anomalies_events",
     "mixture_plan_docs",
+    "top_paths_events",
+    "changepoint_events_value",
 ]
 
 

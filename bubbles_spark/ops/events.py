@@ -638,6 +638,130 @@ def transition_matrix(
     )
 
 
+def top_paths(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    state_col: str,
+    n: int = 3,
+    k: int = 20,
+    tiebreak_col: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Top-k most frequent length-``n`` state PATHS (consecutive
+    event subsequences per key) — the sequence-mining step behind
+    "what are the dominant user journeys?" and funnel discovery
+    (``transition_matrix`` is the n=2 marginal of this).
+
+    Per key, a sliding window of ``n`` consecutive states (lead
+    chain under the TOTAL (ts, tiebreak) order) concatenates into a
+    path string; paths crossing a key's end are dropped.  Ranking is
+    DETERMINISTIC — (count DESC, path ASC) — so the top-k SET is
+    identical across runs and engines even at count ties.
+
+    Scale: one key shuffle for the lead window, map-side-combined
+    path counts, TakeOrdered top-k (per-partition heaps + driver
+    merge — no global sort).  Output: path, n_occurrences."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    s = F.col(state_col)
+    steps = [s] + [F.lead(s, i).over(w) for i in range(1, n)]
+    paths = (
+        df.select(F.concat_ws(sep, *steps).alias("path"),
+                  steps[-1].isNotNull().alias("__full"))
+        .filter(F.col("__full"))
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+        .limit(k)
+    )
+
+
+def changepoint_report(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval: str = "1 hour",
+) -> DataFrame:
+    """At-most-one-changepoint (AMOC) detection on a time series via
+    the CUSUM statistic: bucket the series to ``interval`` means,
+    then find the boundary t maximizing |S_t − (t/N)·S_N| (the
+    centered cumulative sum), the classic "where did the level
+    shift?" question for a metrics/ingest-volume series.  The report
+    is ONE row: the split bucket, the statistic, left/right means
+    and counts — feed it to a drift gate or alert rule.
+
+    Exactness: bucket sums in exact decimal, the cusum walk and the
+    argmax over |·| in identical IEEE steps both engines;
+    deterministic tie-break to the EARLIEST maximizing boundary.
+
+    Scale: the raw table folds to a buckets-sized series in one
+    map-side-combined pass; the cusum window runs over that bucket
+    table (time-range-sized — hours/days, bounded by the calendar,
+    not the corpus), so the single-partition window is metadata
+    work at any corpus size.  Output: split_ts (last bucket of the
+    left segment), cusum_stat, n_left, n_right, mean_left,
+    mean_right."""
+    v = F.col(value_col)
+    buckets = (
+        df.filter(v.isNotNull())
+        .groupBy(F.window(ts_col, interval).alias("__w"))
+        .agg(
+            F.sum(v.cast("decimal(28,8)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(F.col("__w.start").alias("__t"), "__s", "__n")
+    )
+    w_cum = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    # per-bucket mean (exact decimal sum → one IEEE division) rounded
+    # once into decimal, so the CUMULATIVE sums are exact decimal —
+    # order-independent: a float running sum would expose the engines'
+    # different window-aggregation orders (segment tree vs sequential)
+    lvl = (
+        buckets.withColumn(
+            "__md",
+            (
+                F.col("__s").cast("double") / F.col("__n").cast("double")
+            ).cast("decimal(38,10)"),
+        )
+        .withColumn("__i", F.count(F.lit(1)).over(w_cum))
+        .withColumn("__cm", F.sum("__md").over(w_cum))
+        .withColumn("__nb", F.count(F.lit(1)).over(w_all))
+        .withColumn("__totm", F.sum("__md").over(w_all))
+        .withColumn("__cs", F.sum("__s").over(w_cum).cast("double"))
+        .withColumn("__tot", F.sum("__s").over(w_all).cast("double"))
+        .withColumn("__cn", F.sum("__n").over(w_cum))
+        .withColumn("__tn", F.sum("__n").over(w_all))
+    )
+    stat = F.abs(
+        F.col("__cm").cast("double")
+        - F.col("__i").cast("double")
+        / F.col("__nb").cast("double")
+        * F.col("__totm").cast("double")
+    )
+    cand = lvl.filter(F.col("__i") < F.col("__nb")).select(
+        F.col("__t").alias("split_ts"),
+        stat.alias("cusum_stat"),
+        F.col("__cn").cast("bigint").alias("n_left"),
+        (F.col("__tn") - F.col("__cn")).cast("bigint").alias("n_right"),
+        (F.col("__cs") / F.col("__cn").cast("double")).alias("mean_left"),
+        (
+            (F.col("__tot") - F.col("__cs"))
+            / (F.col("__tn") - F.col("__cn")).cast("double")
+        ).alias("mean_right"),
+    )
+    return (
+        cand.orderBy(F.col("cusum_stat").desc(), F.col("split_ts"))
+        .limit(1)
+    )
+
+
 def seasonal_anomalies(
     df: DataFrame,
     ts_col: str,

@@ -661,3 +661,43 @@ def test_mixture_plan_binding_group_and_missing_group(spark):
     assert zero == {"web": 0.0, "nope": 0.0}
     with pytest.raises(ValueError, match="positive"):
         textprep.mixture_plan(df, {"web": -1.0}, token_col="ntok")
+
+
+def test_top_paths_deterministic_topk(spark):
+    rows = []
+    eid = 0
+    for u, seq in [(1, "abcabc"), (2, "abc"), (3, "abd")]:
+        for i, st in enumerate(seq):
+            eid += 1
+            rows.append((eid, f"2024-01-01 00:{i:02d}:00", u, st))
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = [
+        (r["path"], r["n_occurrences"])
+        for r in events.top_paths(
+            e, "ts", "user_id", "event_type", n=3, k=3, tiebreak_col="event_id"
+        ).collect()
+    ]
+    # user1 windows: abc, bca, cab, abc; user2: abc; user3: abd
+    assert got == [("a>b>c", 3), ("a>b>d", 1), ("b>c>a", 1)]
+    with pytest.raises(ValueError, match="n must"):
+        events.top_paths(e, "ts", "user_id", "event_type", n=1)
+
+
+def test_changepoint_finds_planted_shift(spark):
+    rows = []
+    eid = 0
+    for h in range(48):
+        level = 10.0 if h < 30 else 50.0
+        for m in (0, 30):
+            eid += 1
+            rows.append((eid, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:{m:02d}:00", level))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    r = events.changepoint_report(df, "ts", "value", "1 hour").first()
+    # split after hour 29 (the last low bucket)
+    assert r["split_ts"].hour == 5 and r["split_ts"].day == 2  # hour 29
+    assert r["n_left"] == 60 and r["n_right"] == 36
+    assert r["mean_left"] == 10.0 and r["mean_right"] == 50.0

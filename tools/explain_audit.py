@@ -488,6 +488,23 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "top_paths_events",
+        [(r"Window", "lead chain under the per-key total order"),
+         (r"TakeOrderedAndProject", "top-k is a heap merge, not a global sort"),
+         (r"HashAggregate|ObjectHashAggregate", "path counts partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    # changepoint: the only window runs over the BUCKET table
+    # (time-range-sized) — single-partition by design, documented
+    (
+        "changepoint_events_value",
+        [(r"HashAggregate|ObjectHashAggregate", "hourly buckets partial-aggregate map-side"),
+         (r"TakeOrderedAndProject", "argmax is a 1-row TakeOrdered")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "transition_matrix_events",
         [(r"Window", "per-key lag under the total order"),
          (r"HashAggregate|ObjectHashAggregate", "pair counts partial-aggregate map-side"),
