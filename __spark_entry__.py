@@ -7437,6 +7437,59 @@ def q_changepoint_events_value(spark, sf_dir):
     return events.changepoint_report(e, "ts", "value", "1 hour")
 
 
+@_q(
+    "bpe_train_planted",
+    """
+    SELECT * FROM (VALUES
+      (0, 'a', 'a'), (1, 'a', 'b'), (2, 'ab', '</w>'), (3, 'aa', 'ab</w>')
+    ) AS t(rank, left_sym, right_sym)
+    """,
+)
+def q_bpe_train_planted(spark, sf_dir):
+    # the BPE TRAINER on a planted corpus whose greedy merge sequence
+    # is hand-derivable (pair counts 4/3-tie/3/2, ties pinned to the
+    # lexicographically smallest pair): aaab×2 + ab×1 must learn
+    # exactly [(a,a),(a,b),(ab,</w>),(aa,ab</w>)].  The corpus rides
+    # in via documents doc_ids only (so the query still exercises the
+    # distributed word-count pass over a real table scan)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+    corpus = d.select(
+        F.when(F.col("doc_id") % 3 < 2, F.lit("aaab"))
+        .otherwise(F.lit("ab"))
+        .alias("text")
+    )
+    merges = textan.bpe_train(corpus, num_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left_sym string, right_sym string",
+    )
+
+
+@_q(
+    "kmeans_planted_blobs",
+    """
+    SELECT vec_id, CAST(vec_id % 3 AS INTEGER) AS cluster
+    FROM embeddings WHERE vec_id < 300
+    """,
+)
+def q_kmeans_planted_blobs(spark, sf_dir):
+    # distributed Lloyd on PLANTED well-separated blobs: shifting each
+    # vector by 100·(vec_id % 3) puts the blobs ~100 apart, the
+    # id-ordered init (vec_ids 0,1,2) seeds one centroid per blob, so
+    # the converged assignment must equal the construction label —
+    # hard driver signal for an ITERATIVE distributed ML op
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    shifted = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") + (F.col("vec_id") % 3).cast("double") * 100.0,
+        ).alias("embedding"),
+    )
+    out = vector.kmeans_assign(shifted, "vec_id", "embedding", k=3, max_iter=5)
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "mixture_plan_docs",
     "top_paths_events",
     "changepoint_events_value",
+    "kmeans_planted_blobs",
+    "bpe_train_planted",
 ]
 
 

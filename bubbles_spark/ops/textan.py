@@ -575,6 +575,92 @@ def dsir_logratio(
     return scored.groupBy(id_col).agg(F.round(F.avg("__lr"), 6).alias(out))
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    min_word_count: int = 1,
+    max_vocab: int = 1_000_000,
+    lowercase: bool = True,
+    end_of_word: str = "</w>",
+) -> list[tuple[str, str]]:
+    """LEARN a BPE merge table from the corpus (Sennrich et al. 2016)
+    — the training half of ``bpe_tokenize``; feed the returned list
+    straight back into it.
+
+    Spark does the corpus-scale work: ONE distributed pass folds the
+    raw text into (word, count) — the Zipf-bounded word vocabulary,
+    capped at the ``max_vocab`` most frequent words (a documented,
+    bounded driver collect; industrial tokenizer trainers consume
+    exactly this aggregate, not raw text, because merge statistics
+    are a function of word counts alone).  The greedy merge loop then
+    runs driver-side over that aggregate with an incrementally
+    maintained pair index — O(pairs) per merge, not a full rescan.
+
+    DETERMINISTIC: ties on pair frequency break to the
+    lexicographically smallest pair (the reference implementation
+    leaves ties arbitrary, which makes vocabularies
+    irreproducible — pinned here so retrains are bit-stable).
+    Stops early when no pair occurs twice."""
+    from collections import Counter, defaultdict
+
+    norm = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    wc_rows = (
+        df.select(F.explode(_tokens(norm)).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_word_count)
+        .orderBy(F.col("__n").desc(), F.col("__w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    words: dict[tuple, int] = {
+        tuple(r["__w"]) + ((end_of_word,) if end_of_word else ()): r["__n"]
+        for r in wc_rows
+    }
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pair_counts[(w[i], w[i + 1])] += n
+            pair_words[(w[i], w[i + 1])].add(w)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for w in list(pair_words[best]):
+            n = words.pop(w)
+            # re-segment this word, updating the pair index
+            for i in range(len(w) - 1):
+                pair_counts[(w[i], w[i + 1])] -= n
+                if pair_counts[(w[i], w[i + 1])] <= 0:
+                    del pair_counts[(w[i], w[i + 1])]
+                pair_words[(w[i], w[i + 1])].discard(w)
+            new = []
+            i = 0
+            while i < len(w):
+                if i < len(w) - 1 and (w[i], w[i + 1]) == best:
+                    new.append(joined)
+                    i += 2
+                else:
+                    new.append(w[i])
+                    i += 1
+            nw = tuple(new)
+            words[nw] = words.get(nw, 0) + n
+            for i in range(len(nw) - 1):
+                pair_counts[(nw[i], nw[i + 1])] += n
+                pair_words[(nw[i], nw[i + 1])].add(nw)
+    return merges
+
+
 def bpe_tokenize(
     df: DataFrame,
     merges,

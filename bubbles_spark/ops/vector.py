@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -745,4 +746,85 @@ def cosine_topk_pq(
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 10,
+    dim: int | None = None,
+) -> DataFrame:
+    """DISTRIBUTED Lloyd k-means over the FULL corpus → (id, cluster)
+    — the clustering step behind corpus curation (topic balancing,
+    SemDeDup-style pruning, stratified eval splits).  Complements
+    ``_train_spherical_kmeans``, which trains on a driver-side
+    SAMPLE; here every vector participates and every step is
+    DETERMINISTIC, so the result is reproducible and oracle-checkable:
+
+    - init: the k lowest-``id_col`` vectors (no RNG);
+    - assignment: map-only Arrow-batched argmin of squared euclidean
+      distance against the closure-broadcast centroid matrix, ties to
+      the lowest cluster index (numpy argmin);
+    - update: per-dimension EXACT DECIMAL sums via posexplode +
+      map-side-combined keyed aggregation — k·dim rows shuffle, k·dim
+      scalars reach the driver per round, and decimal addition is
+      order-independent (a float sum would vary with partitioning);
+    - stop: centroids exactly unchanged, or ``max_iter``.
+
+    Per round: one map pass + one (cluster, dim)-keyed shuffle.  The
+    corpus never collects; empty clusters keep their centroid."""
+    dim = dim or _infer_dim(df, vec_col)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+    out_schema = T.StructType(
+        list(base.schema.fields) + [T.StructField("__cl", T.IntegerType())]
+    )
+    init = base.orderBy("__id").limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_assign: empty input")
+    cent = np.vstack([np.asarray(r["__vec"], dtype=np.float64) for r in init])
+
+    def _assigned(c: "np.ndarray") -> DataFrame:
+        cc = c.copy()
+        sq = (cc * cc).sum(axis=1)
+
+        def fn(batches):
+            for pdf in batches:
+                mat = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+                ) if len(pdf) else np.zeros((0, cc.shape[1]))
+                # argmin ||x-c||^2 = argmin (c.c - 2 x.c); ties -> lowest idx
+                d = sq[None, :] - 2.0 * (mat @ cc.T)
+                pdf = pdf.assign(__cl=d.argmin(axis=1).astype("int32"))
+                yield pdf
+            
+        return base.mapInPandas(fn, schema=out_schema)
+
+    for _ in range(max_iter):
+        sums = (
+            _assigned(cent)
+            .select("__cl", F.posexplode("__vec").alias("__d", "__x"))
+            .groupBy("__cl", "__d")
+            .agg(
+                F.sum(F.col("__x").cast("decimal(38,10)")).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        new = cent.copy()
+        per: dict = {}
+        for r in sums:
+            per.setdefault(r["__cl"], {})[r["__d"]] = (
+                float(r["__s"]), int(r["__n"])
+            )
+        for c in range(k):
+            if c in per:
+                new[c] = [per[c][d][0] / per[c][d][1] for d in range(dim)]
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    return _assigned(cent).select(
+        F.col("__id").alias(id_col), F.col("__cl").alias("cluster")
     )

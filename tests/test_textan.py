@@ -392,3 +392,30 @@ def test_gopher_rules_stopword_and_empty(spark):
     assert rows[1]["rule_stop"] is False and rows[1]["stopword_hits"] == 0
     assert rows[2]["rule_stop"] is True and rows[2]["stopword_hits"] == 2
     assert rows[3]["n_words"] == 0 and rows[3]["gopher_pass"] is False
+
+
+def test_bpe_train_hand_computed_merges(spark):
+    docs = spark.createDataFrame(
+        [("aaab aaab ab",)], "text string"
+    )
+    from bubbles_spark.ops import textan
+
+    merges = textan.bpe_train(docs, num_merges=10)
+    assert merges == [
+        ("a", "a"), ("a", "b"), ("ab", "</w>"), ("aa", "ab</w>"),
+    ]
+    # round-trip: the learned table reconstructs whole words
+    out = textan.bpe_tokenize(docs, merges)
+    assert out.collect()[0]["bpe_tokens"] == ["aaab</w>", "aaab</w>", "ab</w>"]
+
+
+def test_bpe_train_tie_break_and_min_count(spark):
+    from bubbles_spark.ops import textan
+
+    docs = spark.createDataFrame([("xy zw xy zw",)], "text string")
+    merges = textan.bpe_train(docs, num_merges=1)
+    # (x,y), (z,w), (y,</w>), (w,</w>) all occur twice -> the
+    # lexicographically smallest pair wins ('<' sorts before letters)
+    assert merges == [("w", "</w>")]
+    rare = spark.createDataFrame([("one two",)], "text string")
+    assert textan.bpe_train(rare, num_merges=5, min_word_count=2) == []

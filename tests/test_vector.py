@@ -152,3 +152,31 @@ def test_pq_zero_norm_dropped(spark):
     books = vector.train_pq(df, m=4, ks=2, train_sample=10)
     coded = vector.pq_encode(df, books).collect()
     assert {r.vec_id for r in coded} == {2}
+
+
+def test_kmeans_assign_recovers_blobs_and_ties(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(90):
+        center = (i % 3) * 50.0
+        rows.append((i, (center + rng.rand(4)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from bubbles_spark.ops import vector as vec
+
+    got = {r["vec_id"]: r["cluster"] for r in vec.kmeans_assign(
+        df, "vec_id", "embedding", k=3, max_iter=5
+    ).collect()}
+    # ids 0,1,2 seed clusters 0,1,2 = blob labels
+    assert all(got[i] == i % 3 for i in range(90))
+
+
+def test_kmeans_assign_empty_raises(spark):
+    from bubbles_spark.ops import vector as vec
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        vec.kmeans_assign(empty, "vec_id", "embedding", k=2)

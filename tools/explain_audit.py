@@ -487,6 +487,15 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    # kmeans: the Arrow-batched assignment UDF is the designed seam
+    # (argmin matmul); the update is a keyed exact-decimal agg
+    (
+        "kmeans_planted_blobs",
+        [(r"MapInPandas", "assignment is the Arrow-batched argmin matmul"),
+         (r"PushedFilters: .*LessThan\(vec_id|PushedFilters: \[.*vec_id", "id slice reaches the scan")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"BatchEvalPython", "no row-at-a-time Python")],
+    ),
     (
         "top_paths_events",
         [(r"Window", "lead chain under the per-key total order"),
