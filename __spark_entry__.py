@@ -7438,6 +7438,86 @@ def q_changepoint_events_value(spark, sf_dir):
 
 
 @_q(
+    "bm25_hits_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(toks) END AS INTEGER) AS dl,
+           CAST((CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(toks, 'shuffle') THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_hits,
+           CAST(len(list_filter(toks, x -> x = 'spark')) AS INTEGER)
+             AS tf_spark,
+           CAST(len(list_filter(toks, x -> x = 'shuffle')) AS INTEGER)
+             AS tf_shuffle
+    FROM t JOIN documents USING (doc_id)
+    """,
+)
+def q_bm25_hits_docs(spark, sf_dir):
+    # BM25 over the corpus for ['spark', 'shuffle']: the driver
+    # compares the EXACT integer parts (dl, per-term tf, hit count) —
+    # the float score crosses ln, whose libm differs by 1 ulp between
+    # engines (psi_bin precedent), so pytest pins the score formula
+    d = _t(spark, sf_dir, "documents")
+    out = textan.bm25_score(d, ["spark", "shuffle"])
+    return out.select(
+        "doc_id",
+        F.col("dl").cast("int").alias("dl"),
+        F.col("n_hits").cast("int").alias("n_hits"),
+        F.col("tf_spark").cast("int").alias("tf_spark"),
+        F.col("tf_shuffle").cast("int").alias("tf_shuffle"),
+    )
+
+
+@_q(
+    "stream_seasonal_gate",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(dayofweek(ts) * 24 + hour(ts) AS INTEGER) AS bucket
+      FROM events
+    ),
+    b AS (SELECT bucket, COUNT(value) AS n,
+                 SUM(CAST(value AS DECIMAL(28,8))) AS s,
+                 SUM(CAST(value * value AS DECIMAL(38,8))) AS ss
+          FROM t WHERE value IS NOT NULL GROUP BY 1),
+    base AS (SELECT bucket,
+                    CAST(s AS DOUBLE) / n AS bucket_mean,
+                    SQRT(GREATEST(CAST(ss AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                         CAST(0 AS DOUBLE))) AS bucket_std
+             FROM b)
+    SELECT t.event_id, t.user_id, t.ts, t.value,
+           t.bucket, base.bucket_mean, base.bucket_std
+    FROM t JOIN base ON t.bucket = base.bucket
+    WHERE t.value IS NOT NULL
+      AND ABS(t.value - bucket_mean) > 1.5 * bucket_std
+    """,
+)
+def q_stream_seasonal_gate(spark, sf_dir):
+    # the alerting half of seasonal_anomalies live: baseline TRAINED
+    # batch-side (persist nightly in production), live events score
+    # against it map-only per micro-batch — no state, so the drained
+    # result equals the batch detector and its oracle exactly; event
+    # time re-emitted as UTC wall-clock NTZ
+    from bubbles_spark.streaming import events as sevents
+
+    base = events.seasonal_baseline(
+        _t(spark, sf_dir, "events"), "ts", "value"
+    )
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    gated = sevents.seasonal_gate_stream(
+        stream.select("event_id", "user_id", "ts", "value"), base, k=1.5
+    )
+    out = sevents.run_batchlike(gated, _stream_name("s_seasonal"))
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "bucket", "bucket_mean", "bucket_std",
+    )
+
+
+@_q(
     "bpe_train_planted",
     """
     SELECT * FROM (VALUES

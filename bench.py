@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "changepoint_events_value",
     "kmeans_planted_blobs",
     "bpe_train_planted",
+    "stream_seasonal_gate",
+    "bm25_hits_docs",
 ]
 
 

@@ -762,6 +762,59 @@ def changepoint_report(
     )
 
 
+def season_bucket(ts_col: str, bucket: str = "hour_of_week") -> Column:
+    """The seasonal-bucket expression shared by the batch detector and
+    the streaming gate (wall-clock derived — TZ-free for NTZ input)."""
+    if bucket == "hour_of_week":
+        b = (F.dayofweek(F.col(ts_col)) - 1) * 24 + F.hour(F.col(ts_col))
+    elif bucket == "hour_of_day":
+        b = F.hour(F.col(ts_col))
+    else:
+        raise ValueError(
+            f"bucket must be hour_of_week|hour_of_day, got {bucket!r}"
+        )
+    return b.cast("int")
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour_of_week",
+) -> DataFrame:
+    """The TRAINED per-bucket (mean, population σ) table behind
+    ``seasonal_anomalies`` — persist it and the streaming gate
+    (``streaming.events.seasonal_gate_stream``) scores live events
+    against it map-only.  Σv / Σv² as EXACT decimal sums of
+    decimal-cast doubles (v·v is one IEEE multiply — identical in any
+    engine; a decimal·decimal product would hit engine-specific
+    result-scale reduction past p=38), variance in identical IEEE
+    steps.  Output: bucket, bucket_mean, bucket_std (≤ 168 rows)."""
+    v = F.col(value_col)
+    return (
+        df.withColumn("bucket", season_bucket(ts_col, bucket))
+        .filter(v.isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v.cast("decimal(28,8)")).alias("__s"),
+            F.sum((v * v).cast("decimal(38,8)")).alias("__ss"),
+        )
+        .select(
+            "bucket",
+            (F.col("__s").cast("double") / F.col("__n")).alias("bucket_mean"),
+            F.sqrt(
+                F.greatest(
+                    F.col("__ss").cast("double") / F.col("__n")
+                    - (F.col("__s").cast("double") / F.col("__n"))
+                    * (F.col("__s").cast("double") / F.col("__n")),
+                    F.lit(0.0),
+                )
+            ).alias("bucket_std"),
+        )
+    )
+
+
 def seasonal_anomalies(
     df: DataFrame,
     ts_col: str,
@@ -785,41 +838,9 @@ def seasonal_anomalies(
     (≤ 168 buckets) broadcast-joined back, map-only flagging.
 
     Output: the anomalous rows + bucket, bucket_mean, bucket_std."""
-    if bucket == "hour_of_week":
-        b = (F.dayofweek(F.col(ts_col)) - 1) * 24 + F.hour(F.col(ts_col))
-    elif bucket == "hour_of_day":
-        b = F.hour(F.col(ts_col))
-    else:
-        raise ValueError(
-            f"bucket must be hour_of_week|hour_of_day, got {bucket!r}"
-        )
     v = F.col(value_col)
-    tagged = df.withColumn("bucket", b.cast("int"))
-    base = (
-        tagged.filter(v.isNotNull())
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            # Σv / Σv² as EXACT decimal sums of decimal-cast doubles
-            # (v·v is one IEEE multiply — identical in any engine —
-            # cast once; a decimal·decimal product would hit
-            # engine-specific result-scale reduction past p=38)
-            F.sum(v.cast("decimal(28,8)")).alias("__s"),
-            F.sum((v * v).cast("decimal(38,8)")).alias("__ss"),
-        )
-        .select(
-            "bucket",
-            (F.col("__s").cast("double") / F.col("__n")).alias("bucket_mean"),
-            F.sqrt(
-                F.greatest(
-                    F.col("__ss").cast("double") / F.col("__n")
-                    - (F.col("__s").cast("double") / F.col("__n"))
-                    * (F.col("__s").cast("double") / F.col("__n")),
-                    F.lit(0.0),
-                )
-            ).alias("bucket_std"),
-        )
-    )
+    tagged = df.withColumn("bucket", season_bucket(ts_col, bucket))
+    base = seasonal_baseline(df, ts_col, value_col, bucket)
     joined = tagged.join(F.broadcast(base), "bucket", "inner")
     return joined.filter(
         v.isNotNull()

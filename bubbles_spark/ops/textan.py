@@ -20,6 +20,8 @@ arithmetic on `length()`, and non-lambda collection expressions
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -573,6 +575,93 @@ def dsir_logratio(
         "__lr", F.coalesce(F.col("__lr"), F.lit(oov_lr))
     )
     return scored.groupBy(id_col).agg(F.round(F.avg("__lr"), 6).alias(out))
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query
+    (Robertson/Spärck Jones; the Okapi formula every search engine
+    and RAG retriever defaults to):
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+
+    Exactness: tf (term frequency), dl (doc length), df_t (docs
+    containing t) and N are EXACT integer counts from codegen'd
+    array expressions — hash-checkable cross-engine; the float
+    score itself crosses ``ln``, whose libm implementations differ
+    by 1 ulp between engines (the psi_bin precedent), so oracle
+    queries compare the integer parts and pytest pins the score
+    arithmetic.
+
+    Scale shape: ONE map-only pass computes every per-doc tf (the
+    query rides in the plan as ≤|Q| literals — no join); corpus
+    stats (N, avgdl, df_t) are ONE wide aggregate collected as |Q|+2
+    driver scalars; scoring is map-only codegen.  Two passes total,
+    zero shuffles beyond the one-row agg.
+
+    Output: id_col, dl, n_hits (query terms present), score —
+    documents with no query term score 0 and are kept (filter
+    `n_hits > 0` for a hit list)."""
+    import math as _math
+
+    terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = _tokens(_norm_ws(F.lower(F.col(text_col))))
+    # tf via size − size(array_remove(...)): non-lambda collection
+    # exprs stay whole-stage-codegen'd (module CODEGEN RULE — a
+    # filter() lambda would run interpreted per token)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+    ).select(
+        id_col,
+        F.size("__toks").alias("dl"),
+        *[
+            (
+                F.size("__toks")
+                - F.size(F.array_remove("__toks", t))
+            ).alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("__sumdl"),
+        *[
+            F.coalesce(
+                F.sum((F.col(f"__tf_{i}") > 0).cast("bigint")), F.lit(0)
+            ).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n_docs = stats["__N"]
+    avgdl = (stats["__sumdl"] / n_docs) if n_docs else 0.0
+    score = F.lit(0.0)
+    hits = F.lit(0)
+    for i in range(len(terms)):
+        df_t = stats[f"__df_{i}"]
+        idf = _math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        tf = F.col(f"__tf_{i}").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl or 1.0)
+        )
+        score = score + F.lit(idf) * tf * F.lit(k1 + 1.0) / denom
+        hits = hits + (F.col(f"__tf_{i}") > 0).cast("int")
+    return base.select(
+        id_col,
+        "dl",
+        hits.alias("n_hits"),
+        score.alias("score"),
+        *[F.col(f"__tf_{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+    )
 
 
 def bpe_train(

@@ -391,6 +391,46 @@ def finish_psi(
         psi.alias("psi_bin"),
     )
 
+def seasonal_gate_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 3.0,
+    bucket: str = "hour_of_week",
+    emit_ntz: bool = True,
+) -> DataFrame:
+    """Streaming seasonal anomaly gate: score live events against a
+    TRAINED static baseline (``ops.events.seasonal_baseline`` —
+    persist it nightly, broadcast it per micro-batch) and emit only
+    the rows more than ``k``·σ from THEIR seasonal bucket's mean —
+    the alerting half of the batch ``seasonal_anomalies`` detector.
+
+    Pure map work: bucket derivation + a stream-static broadcast
+    equi-join + one comparison — no watermark semantics, no state, so
+    the drained result equals the batch detector exactly (which is
+    what makes the oracle exact).  ``emit_ntz`` renders the event
+    time back as UTC wall-clock NTZ (see ``_wallclock_ntz``)."""
+    from bubbles_spark.ops.events import season_bucket
+
+    v = F.col(value_col)
+    # derive the bucket from the UTC WALL-CLOCK, not the instant:
+    # dayofweek/hour on an instant render in the session zone, which
+    # would shift every bucket by the zone offset vs the batch
+    # baseline trained on NTZ wall-clocks
+    tagged = events.withColumn("__wc", _wallclock_ntz(ts_col)).withColumn(
+        "bucket", season_bucket("__wc", bucket)
+    )
+    joined = tagged.join(F.broadcast(baseline), "bucket", "inner")
+    out = joined.filter(
+        v.isNotNull()
+        & (F.abs(v - F.col("bucket_mean")) > F.lit(float(k)) * F.col("bucket_std"))
+    )
+    if emit_ntz:
+        out = out.withColumn(ts_col, F.col("__wc"))
+    return out.drop("__wc")
+
+
 def distinct_count_stream(
     events: DataFrame,
     ts_col: str = "ts",

@@ -773,3 +773,29 @@ def test_drain_admitted_survives_commit_log_purge(spark, tmp_path):
         spark, out_dir, ckpt, "doc_id long, text string"
     )
     assert sorted(r["doc_id"] for r in drained.collect()) == [100, 101]
+
+
+def test_seasonal_gate_stream_matches_batch(spark, tmp_path):
+    """The drained streaming gate must equal the batch detector
+    (stream-static broadcast join, no state)."""
+    import bubbles_spark.streaming.events as sevents
+    from bubbles_spark.ops import events as bevents
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 10.0) for i in range(10)]
+    rows += [(99, "2024-01-08 00:30:00", 100.0)]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ev")
+    batch.write.parquet(path)
+
+    base = bevents.seasonal_baseline(batch, "ts", "value")
+    stream = sevents.read_event_stream(
+        spark, path,
+        schema=spark.read.parquet(path).schema,
+    )
+    gated = sevents.seasonal_gate_stream(stream, base, k=3.0)
+    out = sevents.run_batchlike(gated, "t_seasonal_gate")
+    assert [r["event_id"] for r in out.collect()] == [99]
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"

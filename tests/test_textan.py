@@ -419,3 +419,34 @@ def test_bpe_train_tie_break_and_min_count(spark):
     assert merges == [("w", "</w>")]
     rare = spark.createDataFrame([("one two",)], "text string")
     assert textan.bpe_train(rare, num_merges=5, min_word_count=2) == []
+
+
+def test_bm25_score_formula_pinned(spark):
+    import math
+
+    from bubbles_spark.ops import textan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark shuffle"),
+            (2, "spark join"),
+            (3, "window sort"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textan.bm25_score(
+        docs, ["spark", "shuffle"], k1=1.2, b=0.75
+    ).collect()}
+    N, avgdl = 3, (3 + 2 + 2) / 3
+    def idf(df_t):
+        return math.log((N - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    def term(tf, dl, df_t):
+        return idf(df_t) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert got[1]["score"] == term(2, 3, 2) + term(1, 3, 1)
+    assert got[2]["score"] == term(1, 2, 2)
+    assert got[3]["score"] == 0.0 and got[3]["n_hits"] == 0
+    assert (got[1]["tf_spark"], got[1]["tf_shuffle"]) == (2, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        textan.bm25_score(docs, [])

@@ -487,6 +487,13 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        "bm25_hits_docs",
+        [(r"ReadSchema: .*doc_id.*text|ReadSchema: .*text", "only id+text read from the scan")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "query terms ride as literals, no join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "no window")],
+    ),
     # kmeans: the Arrow-batched assignment UDF is the designed seam
     # (argmin matmul); the update is a keyed exact-decimal agg
     (

@@ -65,6 +65,11 @@ EXACT_FAMILY = [
     "stream_tumbling_window", "stream_quantile_window",
     "stream_psi_window", "stream_sessionize", "stream_asof_join",
     "stream_distinct_window",
+    # round-6 timestamp-touching batch additions (NTZ-out by
+    # construction; rerun proves it)
+    "rolling_features_events", "seasonal_anomalies_events",
+    "changepoint_events_value", "transition_matrix_events",
+    "stream_seasonal_gate",
 ]
 
 

@@ -248,6 +248,7 @@ def main() -> int:
             "orders": copies(orders, ["o_orderkey", "o_custkey"]),
             "customer": copies(customer, ["c_custkey"]),
             "events": copies(events, ["event_id", "user_id"]),
+            "embeddings": copies(embs, ["vec_id"]),
         }
 
     def flagship(t):
@@ -383,6 +384,49 @@ def main() -> int:
 
         return drift.quantile_normalize(_drift_events(t), "__v")
 
+    def kmeans_op(t):
+        # per-copy value shifts keep blob geometry while rows grow;
+        # cost per Lloyd round = one map pass + a (k·dim)-row shuffle
+        from bubbles_spark.ops import vector as vec
+
+        e = t["embeddings"].select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double")
+                + (F.col("vec_id") % 4).cast("double") * 100.0,
+            ).alias("embedding"),
+        )
+        return vec.kmeans_assign(e, "vec_id", "embedding", k=4, max_iter=3)
+
+    def resolve_entities_op(t):
+        # exact-dup name pairs (nation-blocked) -> closure -> election;
+        # per-copy offset custkeys keep components copy-local
+        from bubbles_spark.ops import dedup as dd
+
+        cst = t["customer"]
+        pairs = (
+            cst.alias("a")
+            .join(
+                cst.alias("b"),
+                (F.col("a.c_name") == F.col("b.c_name"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+                # copy-local: cross-copy same-name pairs would plant
+                # k-cliques and measure output explosion, not scaling
+                & (
+                    F.floor(F.col("a.c_custkey") / 100_000_000)
+                    == F.floor(F.col("b.c_custkey") / 100_000_000)
+                ),
+            )
+            .select(
+                F.col("a.c_custkey").alias("id_a"),
+                F.col("b.c_custkey").alias("id_b"),
+            )
+        )
+        return dd.resolve_entities(
+            cst, pairs, id_col="c_custkey", survivor_cols=("c_mktsegment",)
+        )
+
     def winsorize_by_dominant_op(t):
         # worst case for per-group ranking: EVERY row in one group —
         # the two-phase distinct-value rank must scale like the
@@ -405,6 +449,8 @@ def main() -> int:
         "auc_score": auc_op,
         "quantile_normalize": quantile_normalize_op,
         "winsorize_by_dominant": winsorize_by_dominant_op,
+        "kmeans_assign": kmeans_op,
+        "resolve_entities": resolve_entities_op,
     }
 
     results = {}
