@@ -7570,6 +7570,193 @@ def q_kmeans_planted_blobs(spark, sf_dir):
     return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
 
 
+# co-purchase basket SQL shared by the affinity + graph oracles:
+# baskets = orders, items = parts, membership distinct
+_BI_SQL = "SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem"
+_COPURCHASE_EDGES_SQL = f"""
+    SELECT a.i AS lo, c.i AS hi
+    FROM ({_BI_SQL}) a JOIN ({_BI_SQL}) c ON a.b = c.b AND a.i < c.i
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+@_q(
+    "frequent_pairs_lineitem",
+    f"""
+    WITH bi AS ({_BI_SQL})
+    SELECT a.i AS item_a, c.i AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_support
+    FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q_frequent_pairs_lineitem(spark, sf_dir):
+    # market-basket mining on the order/part incidence: the oracle
+    # skips the Apriori prune (a pair of infrequent items can't reach
+    # min_support, so pruning never changes the answer — only the
+    # join size)
+    from bubbles_spark.ops import affinity
+
+    li = _t(spark, sf_dir, "lineitem")
+    return affinity.frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+
+
+@_q(
+    "association_rules_lineitem",
+    f"""
+    WITH bi AS ({_BI_SQL}),
+    nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+    ic AS (SELECT i, COUNT(*) AS c FROM bi GROUP BY 1),
+    pairs AS (SELECT a.i AS ia, c.i AS ib, COUNT(*) AS ps
+              FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    dir2 AS (SELECT ia AS antecedent, ib AS consequent, ps FROM pairs
+             UNION ALL
+             SELECT ib AS antecedent, ia AS consequent, ps FROM pairs)
+    SELECT antecedent, consequent,
+           CAST(ps AS BIGINT) AS pair_support,
+           CAST(ca.c AS BIGINT) AS antecedent_support,
+           CAST(cc.c AS BIGINT) AS consequent_support,
+           CAST(nb.n AS BIGINT) AS n_baskets,
+           CAST(ps AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+           CAST(CAST(ps AS DECIMAL(19,0)) * CAST(nb.n AS DECIMAL(19,0))
+                AS DOUBLE)
+             / CAST(CAST(ca.c AS DECIMAL(19,0)) * CAST(cc.c AS DECIMAL(19,0))
+                AS DOUBLE) AS lift
+    FROM dir2
+    JOIN ic ca ON dir2.antecedent = ca.i
+    JOIN ic cc ON dir2.consequent = cc.i
+    CROSS JOIN nb
+    """,
+)
+def q_association_rules_lineitem(spark, sf_dir):
+    # support/confidence/lift: confidence = one IEEE division of
+    # BIGINTs, lift = one division of two DECIMAL(19,0)^2 products —
+    # every float bit-reproducible cross-engine (strict-green target)
+    from bubbles_spark.ops import affinity
+
+    li = _t(spark, sf_dir, "lineitem")
+    return affinity.association_rules(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+
+
+@_q(
+    "graph_degrees_supplier_part",
+    """
+    WITH e AS (SELECT DISTINCT l_suppkey AS u,
+                               l_partkey + 1000000 AS v FROM lineitem),
+    outd AS (SELECT u AS node, COUNT(*) AS c FROM e GROUP BY 1),
+    ind AS (SELECT v AS node, COUNT(*) AS c FROM e GROUP BY 1),
+    und AS (SELECT DISTINCT LEAST(u, v) AS lo, GREATEST(u, v) AS hi
+            FROM e WHERE u <> v),
+    ud AS (SELECT node, COUNT(*) AS c FROM (
+             SELECT lo AS node FROM und
+             UNION ALL SELECT hi AS node FROM und) GROUP BY 1)
+    SELECT COALESCE(ud.node, outd.node, ind.node) AS node,
+           CAST(COALESCE(outd.c, 0) AS BIGINT) AS out_degree,
+           CAST(COALESCE(ind.c, 0) AS BIGINT) AS in_degree,
+           CAST(COALESCE(ud.c, 0) AS BIGINT) AS degree
+    FROM ud
+    FULL JOIN outd ON ud.node = outd.node
+    FULL JOIN ind ON COALESCE(ud.node, outd.node) = ind.node
+    """,
+)
+def q_graph_degrees_supplier_part(spark, sf_dir):
+    # degree table over the supplier->part supply graph (node spaces
+    # disjoint via the +1e6 part offset); exact BIGINT counts
+    from bubbles_spark.ops import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1000000)).alias("dst"),
+    )
+    return graph.degrees(e)
+
+
+@_q(
+    "triangle_count_copurchase",
+    f"""
+    WITH e AS ({_COPURCHASE_EDGES_SQL}),
+    t AS (SELECT x.lo AS a, x.hi AS b, y.hi AS c
+          FROM e x JOIN e y ON x.lo = y.lo AND x.hi < y.hi
+          JOIN e z ON z.lo = x.hi AND z.hi = y.hi)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    ) GROUP BY 1
+    """,
+)
+def q_triangle_count_copurchase(spark, sf_dir):
+    # per-node triangle participation over the co-purchase graph
+    # (frequent pairs as edges).  The implementation degree-orients
+    # edges (wedge fanout O(sqrt(m)) on any graph); the oracle's
+    # naive id-ordered 3-join enumerates the identical triangle set
+    from bubbles_spark.ops import affinity, graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = affinity.frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return graph.triangle_count(edges)
+
+
+@_q(
+    "pagerank_supplier_part",
+    """
+    WITH e AS (SELECT DISTINCT l_suppkey AS u,
+                               l_partkey + 1000000 AS v FROM lineitem),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    od AS (SELECT u, CAST(COUNT(*) AS DOUBLE) AS c FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+    s1 AS (SELECT e.v AS node,
+                  SUM(CAST(r0.r / od.c AS DECIMAL(38,18))) AS s
+           FROM e JOIN r0 ON e.u = r0.node JOIN od ON e.u = od.u
+           GROUP BY 1),
+    r1 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE)
+                    * CAST(COALESCE(s1.s, CAST(0 AS DECIMAL(38,18)))
+                           AS DOUBLE) AS r
+           FROM nodes LEFT JOIN s1 ON nodes.node = s1.node, nn),
+    s2 AS (SELECT e.v AS node,
+                  SUM(CAST(r1.r / od.c AS DECIMAL(38,18))) AS s
+           FROM e JOIN r1 ON e.u = r1.node JOIN od ON e.u = od.u
+           GROUP BY 1),
+    r2 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE)
+                    * CAST(COALESCE(s2.s, CAST(0 AS DECIMAL(38,18)))
+                           AS DOUBLE) AS r
+           FROM nodes LEFT JOIN s2 ON nodes.node = s2.node, nn)
+    SELECT node, r AS pr FROM r2
+    """,
+)
+def q_pagerank_supplier_part(spark, sf_dir):
+    # 2 PageRank iterations over the supply graph, unrolled in the
+    # oracle step-for-step: per-edge contribution is one IEEE
+    # division, per-node sums accumulate in DECIMAL(38,18) so the
+    # engines' different summation orders can't skew a bit — hard
+    # driver signal for an ITERATIVE distributed graph op
+    from bubbles_spark.ops import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1000000)).alias("dst"),
+    )
+    return graph.pagerank(e, iters=2, damping=0.85).select(
+        "node", F.col("rank").alias("pr")
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

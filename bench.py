@@ -163,6 +163,10 @@ BENCH_QUERIES = [
     "bpe_train_planted",
     "stream_seasonal_gate",
     "bm25_hits_docs",
+    "frequent_pairs_lineitem",
+    "association_rules_lineitem",
+    "triangle_count_copurchase",
+    "pagerank_supplier_part",
 ]
 
 

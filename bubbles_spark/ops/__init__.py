@@ -41,11 +41,12 @@ from bubbles_spark.ops.text import (
     transliterate,
 )
 from bubbles_spark.ops.audit import basic_audit, infer_types
-from bubbles_spark.ops import dedup, drift, events, privacy, sketch, textan, textprep, vector, multimodal
+from bubbles_spark.ops import affinity, dedup, drift, events, graph, privacy, sketch, textan, textprep, vector, multimodal
 
 __all__ = [
     "added_keys",
     "added_rows",
+    "affinity",
     "aggregate",
     "append",
     "basic_audit",
@@ -67,6 +68,7 @@ __all__ = [
     "histogram",
     "infer_types",
     "fuzzy_join",
+    "graph",
     "join_details",
     "multimodal",
     "privacy",

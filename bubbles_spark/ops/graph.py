@@ -1,0 +1,233 @@
+"""Graph analytics over edge-list DataFrames — degrees, triangle
+counting, PageRank.  The link-analysis kit for web-crawl corpora
+(rank pages before sampling training data), citation/reference
+graphs, and the co-occurrence graphs the affinity module emits.
+
+Reference scope: Stiivi/bubbles has no graph ops; §2.14 extension
+surface.  Connected components lives in ``ops.dedup`` (it grew out of
+dup-cluster closure) — this module covers the rest of the standard
+kit.
+
+Exactness contract: degrees and triangle counts are exact BIGINTs.
+PageRank is float but bit-reproducible cross-engine: per-edge
+contributions are single IEEE divisions, per-node sums accumulate in
+DECIMAL(38,18) (order-independent — a double sum would expose the
+engines' different aggregation orders; same device as
+``events.seasonal_baseline``), and each update is a fixed sequence of
+IEEE steps.
+
+Scale shape: degrees = one keyed count.  Triangles use the
+degree-orientation trick — orient every undirected edge from its
+lower-(degree, id) endpoint to the higher, so each wedge is
+enumerated exactly once at the low-degree corner; the wedge fanout
+per node is then O(sqrt(m)) on any graph (Schank/Wagner), and the
+close step is an equi-join against the oriented edge set.  PageRank
+is one shuffle per iteration (contributions keyed by dst), with
+``localCheckpoint`` truncating lineage per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["degrees", "triangle_count", "pagerank"]
+
+
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected simple edges: (lo, hi) ordered pairs,
+    self-loops dropped, parallel edges collapsed."""
+    u, v = F.col(src), F.col(dst)
+    return (
+        edges.filter(u != v)
+        .select(
+            F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi")
+        )
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node degree table: out_degree / in_degree over the DISTINCT
+    directed edges, degree over the undirected simple graph (each
+    neighbor once, self-loops dropped).  One keyed count per
+    direction — map-side partial aggregation, vocabulary-sized
+    output.
+
+    Output: node, out_degree, in_degree, degree."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    out_d = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = e.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    und = _undirected(e, "u", "v")
+    u_d = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        u_d.join(out_d, "node", "full")
+        .join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).cast("bigint").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree"),
+            F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"),
+        )
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation count over the undirected
+    simple graph (direction and parallel edges ignored; self-loops
+    dropped).
+
+    Degree orientation: each edge points from its lower-(degree, id)
+    endpoint to the higher, making the oriented out-degree O(sqrt(m))
+    on ANY graph — the wedge join (out-neighbor pairs of each node)
+    stays bounded even on power-law graphs where the naive a<b-id
+    orientation explodes at the hubs.  Wedges close against the
+    oriented edge set with one equi-join; every triangle is found
+    exactly once, then its three corners explode into per-node
+    counts (exact BIGINTs).
+
+    Output: node, triangles (nodes in no triangle are omitted —
+    left-join ``degrees`` and coalesce to 0 for the full spine)."""
+    und = _undirected(edges, src, dst).persist()
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    # orient by (degree, id): total order, so exactly one direction
+    # per edge and every wedge is charged to its lowest corner
+    with_deg = (
+        und.join(deg.withColumnRenamed("node", "lo"), "lo")
+        .withColumnRenamed("__d", "__dlo")
+        .join(deg.withColumnRenamed("node", "hi"), "hi")
+        .withColumnRenamed("__d", "__dhi")
+    )
+    fwd = (F.col("__dlo") < F.col("__dhi")) | (
+        (F.col("__dlo") == F.col("__dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = with_deg.select(
+        F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+        F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+    ).persist()
+    e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
+    # close the wedge: an oriented edge exists between v1 and v2 in
+    # one of the two directions (orientation is a total order, so
+    # exactly one direction can exist)
+    tri = wedges.join(
+        oriented.select(
+            F.col("u").alias("v1"), F.col("v").alias("v2")
+        ).unionByName(
+            oriented.select(
+                F.col("v").alias("v1"), F.col("u").alias("v2")
+            )
+        ),
+        ["v1", "v2"],
+    )
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v1").alias("node")))
+        .unionByName(tri.select(F.col("v2").alias("node")))
+    )
+    out = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+    # materialize before releasing the inputs the plan still references
+    out = out.localCheckpoint()
+    und.unpersist()
+    oriented.unpersist()
+    return out
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the DISTINCT directed edge set — the original
+    simplified formulation:
+
+        rank⁰(n)   = 1/N
+        rankᵗ(n)   = (1−d)/N + d · Σ_{(m→n)} rankᵗ⁻¹(m) / out_deg(m)
+
+    Dangling mass (nodes with no out-edges) is NOT redistributed, so
+    ranks sum to < 1 on graphs with sinks — the variant every
+    SQL-expressible oracle can replay step-for-step.  Use it to RANK
+    (the ordering matches the stochastic variant on typical crawl
+    graphs); renormalize downstream if you need a distribution.
+
+    Exactness: rank/out_deg is one IEEE division; per-dst sums
+    accumulate in DECIMAL(38,18) (order-independent); the update is
+    (1−d)/N + d·sum in fixed IEEE steps — bit-reproducible in any
+    engine that replays the same steps.
+
+    Scale shape: one shuffle per iteration (contributions keyed by
+    dst, map-side partial decimal sums), vocabulary-sized rank and
+    degree tables, ``localCheckpoint`` per round so iteration N never
+    replays 1..N−1.
+
+    Output: node, rank (double)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    base = (1.0 - float(damping)) / float(n)
+    out_deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("__od")
+    )
+    ranks = nodes.withColumn(
+        "rank", F.lit(1.0) / F.lit(float(n))
+    ).localCheckpoint()
+    for _ in range(int(iters)):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(out_deg.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                (
+                    F.col("rank") / F.col("__od").cast("double")
+                ).cast("decimal(38,18)").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(float(damping))
+                    * F.coalesce(
+                        F.col("__s"), F.lit(0).cast("decimal(38,18)")
+                    ).cast("double")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks

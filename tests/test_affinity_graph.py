@@ -1,0 +1,162 @@
+"""Unit tests: market-basket affinity + graph analytics."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bubbles_spark.ops import affinity, graph
+
+
+# ---------------------------------------------------------------- affinity
+
+BASKETS = [
+    (1, "milk"), (1, "bread"), (1, "butter"),
+    (2, "milk"), (2, "bread"),
+    (3, "milk"), (3, "beer"),
+    (4, "bread"), (4, "butter"),
+    (5, "rare"),  # infrequent item — Apriori must prune it
+    (5, "milk"),
+    (2, "milk"),  # duplicate line: one membership, not two
+]
+
+
+def _baskets(spark):
+    return spark.createDataFrame(BASKETS, "basket long, item string")
+
+
+def test_frequent_pairs_counts(spark):
+    got = {
+        (r["item_a"], r["item_b"]): r["pair_support"]
+        for r in affinity.frequent_pairs(
+            _baskets(spark), "basket", "item", min_support=2
+        ).collect()
+    }
+    assert got == {("bread", "milk"): 2, ("bread", "butter"): 2}
+
+
+def test_frequent_pairs_max_basket_size(spark):
+    # at min_support=1 nothing Apriori-prunes; cap 2 drops basket 1
+    # (3 items) so its three pairs lose that co-occurrence
+    got = {
+        (r["item_a"], r["item_b"]): r["pair_support"]
+        for r in affinity.frequent_pairs(
+            _baskets(spark), "basket", "item",
+            min_support=1, max_basket_size=2,
+        ).collect()
+    }
+    assert got == {
+        ("bread", "milk"): 1,      # basket 2 only (1 dropped)
+        ("bread", "butter"): 1,    # basket 4 only
+        ("milk", "rare"): 1,       # basket 5, 2 items <= cap
+        ("beer", "milk"): 1,       # basket 3
+    }
+
+
+def test_association_rules_exact_metrics(spark):
+    rules = {
+        (r["antecedent"], r["consequent"]): r
+        for r in affinity.association_rules(
+            _baskets(spark), "basket", "item", min_support=2
+        ).collect()
+    }
+    # supports: milk 4 baskets, bread 3, butter 2; n_baskets = 5
+    r = rules[("bread", "milk")]
+    assert (r["pair_support"], r["antecedent_support"],
+            r["consequent_support"], r["n_baskets"]) == (2, 3, 4, 5)
+    assert r["confidence"] == 2.0 / 3.0
+    assert r["lift"] == (2.0 * 5.0) / (3.0 * 4.0)
+    # both orientations present; confidence differs per direction
+    assert rules[("milk", "bread")]["confidence"] == 2.0 / 4.0
+    # min_confidence filters
+    strict = affinity.association_rules(
+        _baskets(spark), "basket", "item",
+        min_support=2, min_confidence=0.6,
+    ).collect()
+    assert all(r["confidence"] >= 0.6 for r in strict)
+    assert ("milk", "bread") not in {
+        (r["antecedent"], r["consequent"]) for r in strict
+    }
+
+
+# ------------------------------------------------------------------- graph
+
+EDGES = [
+    (1, 2), (2, 3), (1, 3),          # triangle 1-2-3
+    (3, 4), (4, 5), (3, 5),          # triangle 3-4-5
+    (5, 6),                          # pendant
+    (2, 1),                          # reverse duplicate (same und. edge)
+    (6, 6),                          # self-loop — dropped
+]
+
+
+def _edges(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_degrees(spark):
+    got = {r["node"]: r for r in graph.degrees(_edges(spark)).collect()}
+    assert got[3]["degree"] == 4            # neighbors 1,2,4,5
+    assert got[1]["degree"] == 2
+    assert got[6]["degree"] == 1            # self-loop dropped
+    assert got[1]["out_degree"] == 2        # 1->2, 1->3
+    assert got[1]["in_degree"] == 1         # 2->1
+    assert got[6]["in_degree"] == 2         # 5->6 and the self-loop
+
+
+def test_triangle_count(spark):
+    got = {
+        r["node"]: r["triangles"]
+        for r in graph.triangle_count(_edges(spark)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_triangle_count_direction_invariant(spark):
+    flipped = _edges(spark).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    a = sorted(map(tuple, graph.triangle_count(_edges(spark)).collect()))
+    b = sorted(map(tuple, graph.triangle_count(flipped).collect()))
+    assert a == b
+
+
+def test_pagerank_star_exact(spark):
+    # star: leaves 1..4 -> hub 0, hub -> each leaf.  Replay the exact
+    # IEEE steps engine-side and demand bit equality.
+    edges = [(i, 0) for i in range(1, 5)] + [(0, i) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in graph.pagerank(
+        df, iters=3, damping=0.85
+    ).collect()}
+    n, d = 5, 0.85
+    base = (1.0 - d) / n
+    hub, leaf = 1.0 / n, 1.0 / n
+    for _ in range(3):
+        # hub receives 4 equal leaf contributions (leaf/1 each);
+        # decimal accumulation == exact sum of 4 equal doubles
+        # (HALF_UP: Spark's double->decimal cast rounding)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-18)
+        s_hub = sum(
+            Decimal(leaf / 1.0).quantize(q, rounding=ROUND_HALF_UP)
+            for _ in range(4)
+        )
+        s_leaf = Decimal(hub / 4.0).quantize(q, rounding=ROUND_HALF_UP)
+        hub, leaf = (
+            base + d * float(s_hub), base + d * float(s_leaf)
+        )
+    assert got[0] == hub
+    assert all(got[i] == leaf for i in range(1, 5))
+    assert not math.isnan(hub)
+
+
+def test_pagerank_sink_keeps_base(spark):
+    # 1 -> 2, node 2 is a sink: its mass is not redistributed, node 1
+    # gets only the base term after iteration 1
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in graph.pagerank(
+        df, iters=2, damping=0.85
+    ).collect()}
+    assert got[1] == (1.0 - 0.85) / 2.0

@@ -488,6 +488,41 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "frequent_pairs_lineitem",
+        [
+            (r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint", "scan prunes to basket+item"),
+            (r"BroadcastHashJoin", "Apriori frequent-item prune broadcasts"),
+            (r"Functions \[\d+\]: \[partial_count", "pair counts partial-aggregate map-side"),
+        ],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "association_rules_lineitem",
+        [(r"BroadcastHashJoin", "item-count dictionary broadcasts")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "graph_degrees_supplier_part",
+        [
+            (r"ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint", "scan prunes to the edge endpoints"),
+            (r"Functions \[\d+\]: \[partial_count", "degree counts partial-aggregate map-side"),
+        ],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        # the returned frame is localCheckpoint'd (per-iteration
+        # lineage truncation), so the per-round partial_sum shape is
+        # not visible here — pytest pins the iteration arithmetic;
+        # this entry guards the final plan only
+        "pagerank_supplier_part",
+        [],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "bm25_hits_docs",
         [(r"ReadSchema: .*doc_id.*text|ReadSchema: .*text", "only id+text read from the scan")],
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "query terms ride as literals, no join"),

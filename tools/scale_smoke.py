@@ -245,6 +245,10 @@ def main() -> int:
 
         return {
             "lineitem": copies(lineitem, ["l_orderkey"]),
+            # item keys offset too: copy-local item vocabularies, so
+            # the co-purchase graph grows as k disjoint subgraphs
+            # (pair/triangle OUTPUT scales k x, not k^2)
+            "lineitem_items": copies(lineitem, ["l_orderkey", "l_partkey"]),
             "orders": copies(orders, ["o_orderkey", "o_custkey"]),
             "customer": copies(customer, ["c_custkey"]),
             "events": copies(events, ["event_id", "user_id"]),
@@ -436,6 +440,36 @@ def main() -> int:
         e = _drift_events(t).withColumn("__g", F.lit("all"))
         return drift.winsorize_by(e, "__v", "__g")
 
+    def frequent_pairs_op(t):
+        # basket self-join: per-basket fanout is constant (baskets
+        # don't grow), so work must scale with rows, not rows^2
+        from bubbles_spark.ops import affinity
+
+        return affinity.frequent_pairs(
+            t["lineitem_items"], "l_orderkey", "l_partkey", min_support=2
+        )
+
+    def triangle_count_op(t):
+        # k disjoint co-purchase subgraphs: triangles scale k x; the
+        # degree-oriented wedge join must too
+        from bubbles_spark.ops import affinity, graph
+
+        edges = affinity.frequent_pairs(
+            t["lineitem_items"], "l_orderkey", "l_partkey", min_support=2
+        ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        return graph.triangle_count(edges)
+
+    def pagerank_op(t):
+        # 2 iterations over the supply bipartite graph; per-iteration
+        # cost = one edge join + one keyed decimal sum
+        from bubbles_spark.ops import graph
+
+        e = t["lineitem_items"].select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        return graph.pagerank(e, iters=2)
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
@@ -451,6 +485,9 @@ def main() -> int:
         "winsorize_by_dominant": winsorize_by_dominant_op,
         "kmeans_assign": kmeans_op,
         "resolve_entities": resolve_entities_op,
+        "frequent_pairs": frequent_pairs_op,
+        "triangle_count": triangle_count_op,
+        "pagerank": pagerank_op,
     }
 
     results = {}
