@@ -7757,6 +7757,73 @@ def q_pagerank_supplier_part(spark, sf_dir):
     )
 
 
+@_q(
+    "woe_iv_events_purchase",
+    """
+    WITH t AS (SELECT value AS v,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS lab
+               FROM events WHERE value IS NOT NULL),
+    binned AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - CAST(0.0 AS DOUBLE))
+                      / CAST(25.0 AS DOUBLE)) AS BIGINT), 0), 19) AS bin,
+                      SUM(lab) AS ce, COUNT(*) - SUM(lab) AS cn
+               FROM t GROUP BY 1),
+    spine AS (SELECT CAST(bin AS BIGINT) AS bin FROM range(0, 20) t(bin)),
+    j AS (SELECT spine.bin,
+                 CAST(COALESCE(ce, 0) AS BIGINT) AS count_event,
+                 CAST(COALESCE(cn, 0) AS BIGINT) AS count_nonevent
+          FROM spine LEFT JOIN binned USING (bin)),
+    tot AS (SELECT SUM(count_event) AS ne, SUM(count_nonevent) AS nn FROM j)
+    SELECT bin, count_event, count_nonevent,
+           CAST(count_event AS DOUBLE) / CAST(ne AS DOUBLE) AS share_event,
+           CAST(count_nonevent AS DOUBLE) / CAST(nn AS DOUBLE)
+             AS share_nonevent
+    FROM j CROSS JOIN tot
+    """,
+)
+def q_woe_iv_events_purchase(spark, sf_dir):
+    # WOE/IV feature-screening report: is `value` predictive of
+    # purchase?  Counts and shares are exact and oracle-compared;
+    # woe_bin/iv_bin cross ln (1-ulp libm skew — psi_bin precedent)
+    # so pytest pins them engine-side and the query drops them
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    labeled = e.withColumn(
+        "is_purchase", (F.col("event_type") == "purchase").cast("int")
+    )
+    out = drift.woe_iv(labeled, "value", "is_purchase", 0.0, 500.0, bins=20)
+    return out.drop("woe_bin", "iv_bin")
+
+
+@_q(
+    "inverted_index_docs",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term
+               FROM documents WHERE trim(text) <> ''),
+    td AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    s AS (SELECT term, COUNT(*) AS df_docs, SUM(tf) AS total_tf,
+                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+          FROM td GROUP BY 1)
+    SELECT term, CAST(df_docs AS BIGINT) AS df_docs,
+           CAST(total_tf AS BIGINT) AS total_tf, postings
+    FROM s CROSS JOIN nd
+    WHERE df_docs >= 2
+      AND CAST(df_docs AS DOUBLE) <= CAST(0.8 AS DOUBLE) * CAST(n AS DOUBLE)
+    """,
+)
+def q_inverted_index_docs(spark, sf_dir):
+    # posting-list build with the classic df-band (min_df kills hapax
+    # noise, max_df_ratio kills stopword-like terms); postings render
+    # as an id-ordered comma string — deterministic and engine-portable
+    d = _t(spark, sf_dir, "documents")
+    return textan.inverted_index(
+        d, min_df=2, max_df_ratio=0.8, include_postings=True
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

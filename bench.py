@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "association_rules_lineitem",
     "triangle_count_copurchase",
     "pagerank_supplier_part",
+    "woe_iv_events_purchase",
+    "inverted_index_docs",
 ]
 
 

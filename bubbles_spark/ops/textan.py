@@ -1050,3 +1050,79 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(dom)
     staged = staged.withColumn("dominant_script", dom)
     return staged.drop("__nsp", *[f"__c_{n}" for n in SCRIPT_BLOCKS])
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df_ratio: float = 1.0,
+    include_postings: bool = True,
+) -> DataFrame:
+    """Build an inverted index over the corpus: one row per surviving
+    term with its document frequency, total term frequency, and
+    (optionally) the posting list — the retrieval-side data structure
+    behind every keyword search / BM25 serving path, and the exact
+    aggregate a contamination or attribution lookup needs.
+
+    ``min_df`` drops hapax noise; ``max_df_ratio`` drops stopword-like
+    terms present in more than that fraction of documents (the
+    classic df-band).  Postings are emitted as a comma-joined string
+    of doc ids in ascending id order — a deterministic, engine-
+    portable rendering (array hashing is driver-dependent); set
+    ``include_postings=False`` to keep only the statistics when
+    posting payloads would dominate the output (the (term, doc, tf)
+    intermediate is the scalable index — the string is presentation).
+
+    Exactness: df/tf are exact BIGINTs; the posting string is an
+    exact ordered rendering.  Scale: explode → one (term, doc) keyed
+    count (map-side partial) → one term-keyed agg; the df-band
+    filters apply BEFORE posting-string materialization so stopword
+    postings never concatenate.  N (corpus size) rides in as a 1-row
+    broadcast, keeping the plan fully lazy."""
+    if min_df < 1 or not 0.0 < max_df_ratio <= 1.0:
+        raise ValueError(
+            "inverted_index: need min_df >= 1 and 0 < max_df_ratio <= 1"
+        )
+    toks = _tokens(_norm_ws(F.lower(F.col(text_col))))
+    td = (
+        df.select(F.col(id_col).alias("__doc"), toks.alias("__t"))
+        .select("__doc", F.explode("__t").alias("term"))
+        .groupBy("term", "__doc")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("__n")
+    )
+    stats = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("__tf").alias("total_tf"),
+    )
+    banded = (
+        stats.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df_docs") >= int(min_df))
+            & (
+                F.col("df_docs").cast("double")
+                <= F.lit(float(max_df_ratio)) * F.col("__n").cast("double")
+            )
+        )
+        .drop("__n")
+    )
+    if not include_postings:
+        return banded
+    postings = (
+        td.join(banded.select("term"), "term")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__doc")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return banded.join(postings, "term")

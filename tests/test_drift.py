@@ -701,3 +701,34 @@ def test_changepoint_finds_planted_shift(spark):
     assert r["split_ts"].hour == 5 and r["split_ts"].day == 2  # hour 29
     assert r["n_left"] == 60 and r["n_right"] == 36
     assert r["mean_left"] == 10.0 and r["mean_right"] == 50.0
+
+
+def test_woe_iv_exact_counts_and_pinned_ln(spark):
+    import math
+
+    # 4 bins over [0,4): bin1 = {1,1}, bin2 = {2}, bin3 = {3,3}
+    rows = [(1.0, 1), (1.0, 0), (2.0, 0), (3.0, 1), (3.0, 1)]
+    df = spark.createDataFrame(rows, "v double, lab int")
+    got = {r["bin"]: r for r in drift.woe_iv(
+        df, "v", "lab", 0.0, 4.0, bins=4
+    ).collect()}
+    assert (got[1]["count_event"], got[1]["count_nonevent"]) == (1, 1)
+    assert (got[3]["count_event"], got[3]["count_nonevent"]) == (2, 0)
+    assert got[1]["share_event"] == 1.0 / 3.0
+    assert got[1]["share_nonevent"] == 1.0 / 2.0
+    # pinned ln arithmetic engine-side (the oracle drops woe/iv)
+    se, sn = 1.0 / 3.0, 1.0 / 2.0
+    assert got[1]["woe_bin"] == math.log(se / sn)
+    assert got[1]["iv_bin"] == (se - sn) * math.log(se / sn)
+    # empty / one-sided bins -> NULL woe/iv
+    assert got[0]["woe_bin"] is None          # empty bin
+    assert got[2]["woe_bin"] is None          # event side empty
+    assert got[3]["woe_bin"] is None          # nonevent side empty
+
+
+def test_woe_iv_validates_args(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1.0, 1)], "v double, lab int")
+    with _pytest.raises(ValueError, match="woe_iv"):
+        drift.woe_iv(df, "v", "lab", 5.0, 5.0)

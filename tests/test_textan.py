@@ -450,3 +450,39 @@ def test_bm25_score_formula_pinned(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         textan.bm25_score(docs, [])
+
+
+def test_inverted_index_postings_and_band(spark):
+    from bubbles_spark.ops import textan
+
+    docs = spark.createDataFrame(
+        [
+            (3, "the cat sat"),
+            (1, "the cat"),
+            (2, "the dog"),
+            (4, ""),          # empty doc: no terms, still counts in N
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r for r in textan.inverted_index(
+        docs, min_df=1, max_df_ratio=0.7
+    ).collect()}
+    # 'the' has df 3 > 0.7*4 = 2.8 -> banded out
+    assert "the" not in got
+    assert got["cat"]["df_docs"] == 2 and got["cat"]["total_tf"] == 2
+    assert got["cat"]["postings"] == "1,3"          # id-ordered
+    assert got["sat"]["postings"] == "3"
+    stats_only = textan.inverted_index(
+        docs, min_df=2, include_postings=False
+    )
+    assert "postings" not in stats_only.columns
+    assert {r["term"] for r in stats_only.collect()} == {"the", "cat"}
+
+
+def test_inverted_index_validates_args(spark):
+    import pytest as _pytest
+    from bubbles_spark.ops import textan
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="inverted_index"):
+        textan.inverted_index(docs, min_df=0)

@@ -488,6 +488,25 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "woe_iv_events_purchase",
+        [
+            (r"Functions \[\d+\]: \[partial_", "bin counts partial-aggregate map-side"),
+            (r"BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoopJoin", "1-row totals broadcast"),
+        ],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "no window")],
+    ),
+    (
+        "inverted_index_docs",
+        [
+            (r"ReadSchema: struct<doc_id:bigint,text:string", "scan prunes to id+text"),
+            (r"\bGenerate\b", "token explode is a Generate node, not a Python UDF"),
+            (r"Functions \[\d+\]: \[partial_count", "tf counts partial-aggregate map-side"),
+        ],
+        [(r"CartesianProduct", "no data cross product (totals are 1-row broadcast)"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "frequent_pairs_lineitem",
         [
             (r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint", "scan prunes to basket+item"),
