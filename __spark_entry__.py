@@ -7824,6 +7824,44 @@ def q_inverted_index_docs(spark, sf_dir):
     )
 
 
+@_q(
+    "decompose_events_value",
+    """
+    WITH base AS (SELECT event_id, event_type, ts, value FROM events
+                  WHERE value IS NOT NULL),
+    t AS (SELECT *,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+              / CAST(COUNT(value) OVER w AS DOUBLE) AS trend,
+            CAST(hour(ts) AS INTEGER) AS bucket
+          FROM base
+          WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts)
+                       RANGE BETWEEN 43200000 PRECEDING
+                             AND 43200000 FOLLOWING)),
+    d AS (SELECT *, value - trend AS det FROM t),
+    s AS (SELECT event_type, bucket,
+                 CAST(SUM(CAST(ROUND(det * 1e6) AS DECIMAL(38,0)))
+                      AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 1e6 AS seasonal
+          FROM d GROUP BY 1, 2)
+    SELECT d.event_id, d.event_type, d.ts, d.value, d.bucket,
+           d.trend, s.seasonal, d.det - s.seasonal AS residual
+    FROM d JOIN s ON d.event_type = s.event_type AND d.bucket = s.bucket
+    """,
+)
+def q_decompose_events_value(spark, sf_dir):
+    # additive decomposition per event_type: centered +/-12h moving-
+    # average trend (RANGE frame on wall-clock epoch ms), hour-of-day
+    # seasonal means of the detrended series, residual — every float
+    # built from exact decimal sums + fixed IEEE steps (strict target)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return events.decompose_additive(
+        e, "ts", "value", key_col="event_type",
+        trend_halfwidth_seconds=43200, bucket="hour_of_day",
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

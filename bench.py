@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "pagerank_supplier_part",
     "woe_iv_events_purchase",
     "inverted_index_docs",
+    "decompose_events_value",
 ]
 
 

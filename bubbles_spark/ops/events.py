@@ -1187,3 +1187,82 @@ def rollup_upsert(
     merged = merged.localCheckpoint(eager=True)
     store.upsert(name, merged, keys=key_cols, partition_by=partition_by)
     return store.get_object(name)
+
+
+def decompose_additive(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str | None = None,
+    trend_halfwidth_seconds: int = 43200,
+    bucket: str = "hour_of_day",
+) -> DataFrame:
+    """Classical additive time-series decomposition
+    ``value = trend + seasonal + residual`` — the first chart every
+    monitoring/forecasting workflow draws:
+
+    - **trend**: centered moving average over the ±``halfwidth``
+      RANGE frame (works on irregular series; edges use the
+      truncated frame — same semantics in any engine),
+    - **seasonal**: per-``bucket`` mean of the detrended series
+      (hour-of-day/-week via ``season_bucket``; UNCENTERED — trend
+      already carries the level, so detrended means are ≈0-centered
+      by construction),
+    - **residual**: what neither explains.
+
+    Exactness: trend = exact DECIMAL(20,6) frame sum → double → one
+    IEEE division by the exact frame count; detrended = one IEEE
+    subtraction.  The seasonal mean quantizes the detrended doubles
+    to integer MICRO-units first (``round(det·1e6)`` — one shared
+    IEEE multiply, and both engines round exact .5 ties away from
+    zero) and sums those exactly in DECIMAL(38,0): a direct
+    double→high-scale-decimal cast needs ~21 significant digits,
+    past double precision, where the engines' conversion tails
+    differ (measured: 1-ulp skew on half the bins).  The ≤5e-7
+    quantization is statistically irrelevant and bit-reproducible.
+    residual = one more subtraction on the FULL-precision detrended
+    value.  The frame key is wall-clock-pinned epoch ms
+    (``core.epoch_ms_wallclock`` — DST-proof), buckets derive from
+    the NTZ wall-clock.
+
+    Scale shape: one hash shuffle + one sort for the Window (per-key
+    series sort within partitions), one keyed agg (≤ 168·keys rows)
+    broadcast-joined back — no self-joins, no global sort.
+
+    Output: input rows + bucket, trend, seasonal, residual."""
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    v = F.col(value_col)
+    is_ntz = dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    order = epoch_ms_wallclock(F.col(ts_col), is_ntz)
+    parts = [key_col] if key_col else []
+    hw_ms = int(trend_halfwidth_seconds) * 1000
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(order)
+        .rangeBetween(-hw_ms, hw_ms)
+    )
+    base = df.filter(v.isNotNull()).withColumn(
+        "bucket", season_bucket(ts_col, bucket)
+    )
+    trended = base.withColumn(
+        "trend",
+        F.sum(v.cast("decimal(20,6)")).over(w).cast("double")
+        / F.count(v).over(w).cast("double"),
+    ).withColumn("__det", v - F.col("trend"))
+    units = F.round(F.col("__det") * F.lit(1e6), 0).cast("decimal(38,0)")
+    seasonal = (
+        trended.groupBy(*(parts + ["bucket"]))
+        .agg(
+            (
+                F.sum(units).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6)
+            ).alias("seasonal")
+        )
+    )
+    return (
+        trended.join(F.broadcast(seasonal), parts + ["bucket"])
+        .withColumn("residual", F.col("__det") - F.col("seasonal"))
+        .drop("__det")
+    )

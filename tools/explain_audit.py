@@ -488,6 +488,16 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "decompose_events_value",
+        [
+            (r"\bWindow\b", "trend is ONE window pass (range frame)"),
+            (r"Functions \[\d+\]: \[partial_", "seasonal means partial-aggregate map-side"),
+            (r"BroadcastExchange|BroadcastHashJoin", "bucket-sized seasonal table broadcasts back"),
+        ],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "woe_iv_events_purchase",
         [
             (r"Functions \[\d+\]: \[partial_", "bin counts partial-aggregate map-side"),

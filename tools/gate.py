@@ -69,7 +69,7 @@ EXACT_FAMILY = [
     # construction; rerun proves it)
     "rolling_features_events", "seasonal_anomalies_events",
     "changepoint_events_value", "transition_matrix_events",
-    "stream_seasonal_gate",
+    "stream_seasonal_gate", "decompose_events_value",
 ]
 
 
