@@ -7862,6 +7862,195 @@ def q_decompose_events_value(spark, sf_dir):
     )
 
 
+@_q(
+    "target_encode_events",
+    """
+    WITH t AS (SELECT event_type AS category,
+                      CASE WHEN value > 250 THEN 1 ELSE 0 END AS lab
+               FROM events WHERE value IS NOT NULL),
+    p AS (SELECT CAST(SUM(CAST(lab AS DECIMAL(20,6))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS prior FROM t),
+    g AS (SELECT category, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 SUM(CAST(lab AS DECIMAL(20,6))) AS s
+          FROM t GROUP BY 1)
+    SELECT category, n_rows, CAST(s AS DOUBLE) AS target_sum,
+           (CAST(s AS DOUBLE) + CAST(20.0 AS DOUBLE) * prior)
+             / (CAST(n_rows AS DOUBLE) + CAST(20.0 AS DOUBLE)) AS te
+    FROM g CROSS JOIN p
+    """,
+)
+def q_target_encode_events(spark, sf_dir):
+    # smoothed mean target encoding (Micci-Barreca): P(value>250)
+    # per event_type shrunk toward the global prior with m=20
+    # pseudo-counts — the encoder table a tabular model broadcast-joins
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    labeled = e.select(
+        "event_type", (F.col("value") > 250).cast("int").alias("lab")
+    )
+    return drift.target_encode(labeled, "event_type", "lab", smoothing=20.0)
+
+
+@_q(
+    "chi_square_events",
+    """
+    WITH t AS (SELECT event_type AS r,
+                      CASE WHEN value >= 250 THEN 'high' ELSE 'low' END AS c
+               FROM events
+               WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT r AS row_cat, c AS col_cat, COUNT(*) AS observed
+              FROM t GROUP BY 1, 2),
+    rt AS (SELECT row_cat, SUM(observed) AS row_total FROM cells GROUP BY 1),
+    ct AS (SELECT col_cat, SUM(observed) AS col_total FROM cells GROUP BY 1),
+    nt AS (SELECT SUM(observed) AS n_total FROM cells)
+    SELECT cells.row_cat, cells.col_cat,
+           CAST(observed AS BIGINT) AS observed,
+           CAST(row_total AS BIGINT) AS row_total,
+           CAST(col_total AS BIGINT) AS col_total,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(CAST(row_total AS DECIMAL(19,0))
+                * CAST(col_total AS DECIMAL(19,0)) AS DOUBLE)
+             / CAST(n_total AS DOUBLE) AS expected,
+           (CAST(observed AS DOUBLE)
+            - CAST(CAST(row_total AS DECIMAL(19,0))
+                   * CAST(col_total AS DECIMAL(19,0)) AS DOUBLE)
+              / CAST(n_total AS DOUBLE))
+           * (CAST(observed AS DOUBLE)
+              - CAST(CAST(row_total AS DECIMAL(19,0))
+                     * CAST(col_total AS DECIMAL(19,0)) AS DOUBLE)
+                / CAST(n_total AS DOUBLE))
+           / (CAST(CAST(row_total AS DECIMAL(19,0))
+                   * CAST(col_total AS DECIMAL(19,0)) AS DOUBLE)
+              / CAST(n_total AS DOUBLE)) AS chi2_cell
+    FROM cells JOIN rt USING (row_cat) JOIN ct USING (col_cat)
+    CROSS JOIN nt
+    """,
+)
+def q_chi_square_events(spark, sf_dir):
+    # independence audit: is event_type related to a high/low value
+    # split?  chi2 is polynomial (no transcendental), so EVERY column
+    # including chi2_cell is oracle-compared bit-exact
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    t = e.select(
+        "event_type",
+        F.when(F.col("value") >= 250, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("band"),
+    )
+    return drift.chi_square_report(t, "event_type", "band")
+
+
+@_q(
+    "collocations_docs",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents
+               WHERE trim(text) <> ''),
+    bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+           FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+    pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    uni AS (SELECT term, COUNT(*) AS c FROM
+              (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total_bigrams FROM bg)
+    SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(u1.c AS BIGINT) AS w1_count,
+           CAST(u2.c AS BIGINT) AS w2_count,
+           CAST(total_bigrams AS BIGINT) AS total_bigrams
+    FROM pc JOIN uni u1 ON pc.w1 = u1.term
+    JOIN uni u2 ON pc.w2 = u2.term CROSS JOIN tot
+    """,
+)
+def q_collocations_docs(spark, sf_dir):
+    # adjacent-bigram PMI mining; all counts oracle-compared, the
+    # ln-crossing pmi column is pytest-pinned and dropped here
+    d = _t(spark, sf_dir, "documents")
+    return textan.collocations(d, min_count=5).drop("pmi")
+
+
+@_q(
+    "hits_supplier_part",
+    """
+    WITH e AS (SELECT DISTINCT l_suppkey AS u,
+                               l_partkey + 1000000 AS v FROM lineitem),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    a1 AS (SELECT v AS node, COUNT(*) AS a FROM e GROUP BY 1),
+    a1f AS (SELECT node, COALESCE(a, 0) AS a
+            FROM nodes LEFT JOIN a1 USING (node)),
+    h1 AS (SELECT e.u AS node, SUM(a1f.a) AS h
+           FROM e JOIN a1f ON e.v = a1f.node GROUP BY 1),
+    h1f AS (SELECT node, COALESCE(h, 0) AS h
+            FROM nodes LEFT JOIN h1 USING (node)),
+    a2 AS (SELECT e.v AS node, SUM(h1f.h) AS a
+           FROM e JOIN h1f ON e.u = h1f.node GROUP BY 1),
+    a2f AS (SELECT node, COALESCE(a, 0) AS a
+            FROM nodes LEFT JOIN a2 USING (node)),
+    h2 AS (SELECT e.u AS node, SUM(a2f.a) AS h
+           FROM e JOIN a2f ON e.v = a2f.node GROUP BY 1)
+    SELECT nodes.node,
+           CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+           CAST(a2f.a AS BIGINT) AS auth
+    FROM nodes LEFT JOIN h2 USING (node) JOIN a2f USING (node)
+    """,
+)
+def q_hits_supplier_part(spark, sf_dir):
+    # unnormalized HITS = exact BIGINT alternating-walk path counts
+    # (normalization is a positive scalar per round, so the RANKING is
+    # Kleinberg's) — the SQL replays both mutual-reinforcement rounds
+    from bubbles_spark.ops import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1000000)).alias("dst"),
+    )
+    out = graph.hits_scores(e, iters=2)
+    return out.select(
+        "node",
+        F.col("hub").cast("long").alias("hub"),
+        F.col("auth").cast("long").alias("auth"),
+    )
+
+
+@_q(
+    "benford_orders_totalprice",
+    f"""
+    WITH t AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS v
+               FROM orders),
+    c AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit, COUNT(*) AS n
+          FROM t WHERE v IS NOT NULL AND v >= 1 GROUP BY 1),
+    spine AS (SELECT CAST(d AS INTEGER) AS digit FROM range(1, 10) s(d)),
+    j AS (SELECT spine.digit, CAST(COALESCE(n, 0) AS BIGINT) AS n
+          FROM spine LEFT JOIN c USING (digit)),
+    tot AS (SELECT SUM(n) AS t FROM j),
+    exp AS (SELECT digit, CAST(x AS DOUBLE) AS x FROM (VALUES
+      {", ".join(f"({d}, CAST({__import__('math').log10(1.0 + 1.0 / d)!r} AS DOUBLE))" for d in range(1, 10))}
+    ) AS e(digit, x))
+    SELECT j.digit, j.n,
+           CAST(j.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share,
+           exp.x AS expected_share,
+           CAST(j.n AS DOUBLE) / CAST(tot.t AS DOUBLE) - exp.x AS deviation
+    FROM j CROSS JOIN tot JOIN exp ON j.digit = exp.digit
+    """,
+)
+def q_benford_orders_totalprice(spark, sf_dir):
+    # Benford first-digit audit on order totals: the digit comes from
+    # the DECIMAL string rendering (no log10 on data) and the nine
+    # expected shares ride into BOTH plans as identical Python
+    # literals — the whole report is bit-exact, deviations included
+    from bubbles_spark.ops import audit as audit_mod
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("v")
+    )
+    return audit_mod.benford_report(o, "v")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

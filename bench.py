@@ -170,6 +170,11 @@ BENCH_QUERIES = [
     "woe_iv_events_purchase",
     "inverted_index_docs",
     "decompose_events_value",
+    "target_encode_events",
+    "chi_square_events",
+    "collocations_docs",
+    "hits_supplier_part",
+    "benford_orders_totalprice",
 ]
 
 

@@ -400,3 +400,53 @@ def referential_integrity_report(
             "unreferenced_parents",
         )
     )
+
+
+def benford_report(df: DataFrame, col: str) -> DataFrame:
+    """First-digit (Benford's-law) audit of a positive numeric column
+    — the classic fabricated-data / truncation / unit-mixing smell
+    test for financial and measurement fields: compare the observed
+    leading-digit distribution against ``log10(1 + 1/d)``.
+
+    The leading digit comes from the value's STRING rendering (first
+    character of the integer part) — no ``log10`` on data, so no libm
+    crossing; rows with ``value < 1`` drop (no leading significant
+    digit in the integer part — Benford audits magnitude-spanning
+    positives).  The nine expected shares are DRIVER-side Python
+    literals riding into the plan (and, verbatim, into oracle SQL),
+    so even ``expected_share`` and ``deviation`` are bit-exact
+    cross-engine.
+
+    Scale: one map-only digit extraction + one ≤9-key count + a
+    1-row broadcast total.  Output: digit, n, share,
+    expected_share, deviation (share − expected)."""
+    import math
+
+    c = F.col(col)
+    digit = F.substring(c.cast("string"), 1, 1).cast("int")
+    counted = (
+        df.filter(c.isNotNull() & (c >= 1))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    joined = spine.join(counted, "digit", "left").fillna(0, ["n"])
+    total = joined.agg(F.sum("n").alias("__t"))
+    expected = F.lit(None).cast("double")
+    for d in range(1, 10):
+        expected = F.when(
+            F.col("digit") == d, F.lit(math.log10(1.0 + 1.0 / d))
+        ).otherwise(expected)
+    share = F.col("n").cast("double") / F.col("__t").cast("double")
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            share.alias("share"),
+            expected.alias("expected_share"),
+            (share - expected).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

@@ -38,6 +38,8 @@ __all__ = [
     "winsorize_by",
     "psi_report_categorical",
     "woe_iv",
+    "target_encode",
+    "chi_square_report",
 ]
 
 
@@ -747,4 +749,118 @@ def woe_iv(
             ((se - sn) * woe).alias("iv_bin"),
         )
         .orderBy("bin")
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Smoothed mean target encoding — the leakage-safe categorical
+    encoder (Micci-Barreca 2001) every tabular-ML pipeline reaches
+    for:
+
+        te(c) = (sum_c + m · prior) / (n_c + m),  prior = global mean
+
+    High-cardinality categories shrink toward the prior as their
+    support shrinks; ``smoothing`` m is the pseudo-count.  Returns
+    the ENCODER TABLE (category, n_rows, target_sum, te) — category-
+    cardinality-sized, broadcast-join it back onto train/serve data
+    (splitting encode-fit from encode-apply is what makes the
+    encoder leakage-auditable).
+
+    Exactness: per-category sums are exact DECIMAL(20,6) (covers
+    ≤6-dp targets; see the module exactness contract for generic
+    doubles), prior is one IEEE division of exact casts, te is a
+    fixed IEEE step sequence — bit-reproducible cross-engine.
+
+    Scale: one keyed agg + a 1-row broadcast prior."""
+    t = F.col(target_col)
+    m = float(smoothing)
+    per_cat = (
+        df.filter(t.isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(t.cast("decimal(20,6)")).alias("__s"),
+        )
+    )
+    prior = (
+        df.filter(t.isNotNull())
+        .agg(
+            (
+                F.sum(t.cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__prior")
+        )
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(prior))
+        .select(
+            "category",
+            "n_rows",
+            F.col("__s").cast("double").alias("target_sum"),
+            (
+                (F.col("__s").cast("double") + F.lit(m) * F.col("__prior"))
+                / (F.col("n_rows").cast("double") + F.lit(m))
+            ).alias("te"),
+        )
+    )
+
+
+def chi_square_report(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Chi-square test-of-independence report between two categorical
+    columns — one row per contingency cell with observed/expected
+    counts and the cell's chi² contribution (sum ``chi2_cell`` for
+    the statistic; df = (R−1)(C−1)).  The "are these two labels
+    related?" audit for annotation pipelines and feature screens.
+
+    Exactness: observed/marginal counts are exact BIGINTs; expected
+    = row_total · col_total / N is one DECIMAL(19,0)² product cast
+    to double and one IEEE division; chi2_cell = (o−e)²/e in fixed
+    IEEE steps — no transcendental anywhere, so the WHOLE report is
+    bit-reproducible (unlike psi/woe, nothing is excluded from the
+    oracle).
+
+    Scale: one keyed count (R·C cells), marginals re-aggregated from
+    the cell table (cells, not rows), broadcast back.  Output:
+    row_cat, col_cat, observed, row_total, col_total, n_total,
+    expected, chi2_cell."""
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(
+            F.col(row_col).alias("row_cat"), F.col(col_col).alias("col_cat")
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    row_tot = cells.groupBy("row_cat").agg(
+        F.sum("observed").alias("row_total")
+    )
+    col_tot = cells.groupBy("col_cat").agg(
+        F.sum("observed").alias("col_total")
+    )
+    n_tot = cells.agg(F.sum("observed").alias("n_total"))
+    e = (
+        F.col("row_total").cast("decimal(19,0)")
+        * F.col("col_total").cast("decimal(19,0)")
+    ).cast("double") / F.col("n_total").cast("double")
+    o = F.col("observed").cast("double")
+    return (
+        cells.join(F.broadcast(row_tot), "row_cat")
+        .join(F.broadcast(col_tot), "col_cat")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "row_cat",
+            "col_cat",
+            "observed",
+            "row_total",
+            "col_total",
+            "n_total",
+            e.alias("expected"),
+            ((o - e) * (o - e) / e).alias("chi2_cell"),
+        )
     )

@@ -1126,3 +1126,83 @@ def inverted_index(
         )
     )
     return banded.join(postings, "term")
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Adjacent-bigram collocation mining with pointwise mutual
+    information — "which word pairs travel together?" (multi-word
+    expressions, tokenizer-merge candidates, prompt-template
+    detection in crawl corpora):
+
+        pmi = ln( (c_xy · T) / (c_x · c_y) )
+
+    over bigram count c_xy, unigram counts c_x/c_y, and the corpus
+    bigram total T.
+
+    Exactness: all counts are exact BIGINTs and oracle-comparable;
+    ``pmi`` crosses ``ln`` (1-ulp libm skew — psi_bin precedent), so
+    oracle queries drop it and pytest pins the formula.  The ratio
+    argument itself is one division of DECIMAL(19,0)² products —
+    exact.
+
+    Scale: bigrams come from ONE codegen'd transform over the token
+    array (no posexplode self-join), then two keyed counts; unigram
+    counts broadcast back onto the (vocab²-bounded, min_count-
+    filtered) bigram table.  Output: w1, w2, pair_count, w1_count,
+    w2_count, total_bigrams, pmi."""
+    if min_count < 1:
+        raise ValueError("collocations: need min_count >= 1")
+    toks = _tokens(_norm_ws(F.lower(F.col(text_col))))
+    base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    # adjacent pairs via one sequence-transform (codegen'd; arrays
+    # are 1-indexed under element_at)
+    bigrams = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at("__t", i).alias("w1"),
+                    F.element_at("__t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_count))
+    )
+    # unigram occurrences (all tokens, not bigram corners — the
+    # standard denominator)
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = bigrams.agg(F.count(F.lit(1)).alias("total_bigrams"))
+    ratio = (
+        F.col("pair_count").cast("decimal(19,0)")
+        * F.col("total_bigrams").cast("decimal(19,0)")
+    ).cast("double") / (
+        F.col("w1_count").cast("decimal(19,0)")
+        * F.col("w2_count").cast("decimal(19,0)")
+    ).cast("double")
+    return (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("w1_count"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("w2_count"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "pair_count", "w1_count", "w2_count",
+            "total_bigrams", F.log(ratio).alias("pmi"),
+        )
+    )

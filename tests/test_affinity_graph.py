@@ -160,3 +160,18 @@ def test_pagerank_sink_keeps_base(spark):
         df, iters=2, damping=0.85
     ).collect()}
     assert got[1] == (1.0 - 0.85) / 2.0
+
+
+def test_hits_scores_path_counts(spark):
+    # 1->3, 2->3, 3->4: auth1 = indeg, hub1/auth2/hub2 = path counts
+    df = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: (int(r["hub"]), int(r["auth"]))
+           for r in graph.hits_scores(df, iters=2).collect()}
+    # a1: {3:2, 4:1}; h1: {1:2, 2:2, 3:1}
+    # a2: {3: h1(1)+h1(2)=4, 4: h1(3)=1}; h2: {1:4, 2:4, 3:1}
+    assert got[1] == (4, 0)
+    assert got[2] == (4, 0)
+    assert got[3] == (1, 4)
+    assert got[4] == (0, 1)

@@ -732,3 +732,34 @@ def test_woe_iv_validates_args(spark):
     df = spark.createDataFrame([(1.0, 1)], "v double, lab int")
     with _pytest.raises(ValueError, match="woe_iv"):
         drift.woe_iv(df, "v", "lab", 5.0, 5.0)
+
+
+def test_target_encode_shrinks_to_prior(spark):
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)]
+    df = spark.createDataFrame(rows, "cat string, t int")
+    got = {r["category"]: r for r in drift.target_encode(
+        df, "cat", "t", smoothing=10.0
+    ).collect()}
+    prior = 9.0 / 11.0
+    assert got["a"]["n_rows"] == 10 and got["a"]["target_sum"] == 8.0
+    assert got["a"]["te"] == (8.0 + 10.0 * prior) / (10.0 + 10.0)
+    # 1-row category sits almost at the prior
+    assert got["b"]["te"] == (1.0 + 10.0 * prior) / (1.0 + 10.0)
+    assert abs(got["b"]["te"] - prior) < abs(got["a"]["te"] - prior) + 1
+
+
+def test_chi_square_report_exact_cells(spark):
+    # independent 2x2 with known marginals: chi2 contributions exact
+    rows = (
+        [("x", "l")] * 30 + [("x", "h")] * 10
+        + [("y", "l")] * 15 + [("y", "h")] * 45
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {(r["row_cat"], r["col_cat"]): r for r in
+           drift.chi_square_report(df, "r", "c").collect()}
+    cell = got[("x", "l")]
+    assert cell["observed"] == 30
+    assert (cell["row_total"], cell["col_total"], cell["n_total"]) == (40, 45, 100)
+    e = (40.0 * 45.0) / 100.0
+    assert cell["expected"] == e
+    assert cell["chi2_cell"] == (30.0 - e) * (30.0 - e) / e

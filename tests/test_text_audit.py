@@ -229,3 +229,22 @@ def test_referential_integrity_orphans_and_unreferenced(spark):
         "child_rows": 4, "parent_rows": 2, "null_fk_rows": 1,
         "orphan_rows": 1, "orphan_keys": 1, "unreferenced_parents": 1,
     }
+
+
+def test_benford_report_exact(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.ops import audit
+
+    vals = [1.5, 19.0, 123.0, 2.0, 0.5, 9.0]  # 0.5 drops (< 1)
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v double"
+    ).select(F.col("v").cast("decimal(10,2)").alias("v"))
+    got = {r["digit"]: r for r in audit.benford_report(df, "v").collect()}
+    assert len(got) == 9
+    assert got[1]["n"] == 3 and got[2]["n"] == 1 and got[9]["n"] == 1
+    assert got[3]["n"] == 0 and got[1]["share"] == 3.0 / 5.0
+    assert got[1]["expected_share"] == math.log10(2.0)
+    assert got[1]["deviation"] == 3.0 / 5.0 - math.log10(2.0)

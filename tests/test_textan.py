@@ -486,3 +486,23 @@ def test_inverted_index_validates_args(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="inverted_index"):
         textan.inverted_index(docs, min_df=0)
+
+
+def test_collocations_counts_and_pinned_pmi(spark):
+    import math
+
+    from bubbles_spark.ops import textan
+
+    docs = spark.createDataFrame(
+        [("new york city",), ("new york",), ("york new",), ("solo",)],
+        "text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in textan.collocations(
+        docs, min_count=2
+    ).collect()}
+    assert set(got) == {("new", "york")}
+    r = got[("new", "york")]
+    # bigrams: (new,york)x2, (york,city), (york,new) -> T=4
+    assert (r["pair_count"], r["total_bigrams"]) == (2, 4)
+    assert (r["w1_count"], r["w2_count"]) == (3, 3)  # unigram occurrences
+    assert r["pmi"] == math.log((2.0 * 4.0) / (3.0 * 3.0))

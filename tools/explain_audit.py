@@ -488,6 +488,47 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "target_encode_events",
+        [
+            (r"Functions \[\d+\]: \[partial_", "category sums partial-aggregate map-side"),
+            (r"BroadcastExchange|BroadcastNestedLoopJoin", "1-row prior broadcasts"),
+        ],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "no window")],
+    ),
+    (
+        "chi_square_events",
+        [(r"Functions \[\d+\]: \[partial_", "cell counts partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"SortMergeJoin", "marginals are cell-sized broadcasts, not shuffle joins")],
+    ),
+    (
+        "collocations_docs",
+        [
+            (r"\bGenerate\b", "bigram transform+explode is a Generate node"),
+            (r"Functions \[\d+\]: \[partial_count", "pair counts partial-aggregate map-side"),
+            (r"BroadcastHashJoin", "unigram dictionary broadcasts"),
+        ],
+        [(r"CartesianProduct", "no data cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        # hits_scores returns a localCheckpoint'd frame (per-round
+        # lineage truncation) — pytest pins the iteration arithmetic
+        "hits_supplier_part",
+        [],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "benford_orders_totalprice",
+        [
+            (r"ReadSchema: struct<o_totalprice", "scan prunes to the audited column"),
+            (r"Functions \[\d+\]: \[partial_count", "digit counts partial-aggregate map-side"),
+        ],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "decompose_events_value",
         [
             (r"\bWindow\b", "trend is ONE window pass (range frame)"),
