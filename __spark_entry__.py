@@ -8051,6 +8051,126 @@ def q_benford_orders_totalprice(spark, sf_dir):
     return audit_mod.benford_report(o, "v")
 
 
+def _schema_drift_sql() -> str:
+    # the report rows are derivable per-column; null counts via
+    # COUNT(*) − COUNT(col) in one pass
+    kept = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_orderdate": "timestamp_ntz",
+    }
+    counts = ", ".join(
+        f"COUNT({c}) AS c_{c}"
+        for c in list(kept) + ["o_totalprice", "o_orderpriority"]
+    )
+
+    def row(c, status, ot, nt, old_side=True, new_side=True):
+        on = f"CAST(n - c_{c} AS BIGINT)" if old_side else "CAST(NULL AS BIGINT)"
+        orr = "CAST(n AS BIGINT)" if old_side else "CAST(NULL AS BIGINT)"
+        nn = (
+            f"CAST(n - c_{c} AS BIGINT)"
+            if (new_side and old_side)
+            else ("CAST(0 AS BIGINT)" if new_side else "CAST(NULL AS BIGINT)")
+        )
+        nr = "CAST(n AS BIGINT)" if new_side else "CAST(NULL AS BIGINT)"
+        ornull = (
+            f"CAST(n - c_{c} AS DOUBLE) / CAST(n AS DOUBLE)"
+            if old_side
+            else "CAST(NULL AS DOUBLE)"
+        )
+        nrnull = (
+            f"CAST(n - c_{c} AS DOUBLE) / CAST(n AS DOUBLE)"
+            if (new_side and old_side)
+            else ("CAST(0 AS DOUBLE)" if new_side else "CAST(NULL AS DOUBLE)")
+        )
+        ots = f"'{ot}'" if ot else "CAST(NULL AS VARCHAR)"
+        nts = f"'{nt}'" if nt else "CAST(NULL AS VARCHAR)"
+        return (
+            f"SELECT '{c}' AS col_name, '{status}' AS status, "
+            f"{ots} AS old_type, {nts} AS new_type, {on} AS old_nulls, "
+            f"{orr} AS old_rows, {nn} AS new_nulls, {nr} AS new_rows, "
+            f"{ornull} AS old_null_rate, {nrnull} AS new_null_rate FROM s"
+        )
+
+    rows = [row(c, "kept", t, t) for c, t in kept.items()]
+    rows.append(row("o_totalprice", "type_changed", "double", "string"))
+    rows.append(row("o_orderpriority", "removed", "string", None, True, False))
+    rows.append(row("o_flag", "added", None, "int", False, True))
+    return (
+        f"WITH s AS (SELECT COUNT(*) AS n, {counts} FROM orders) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@_q("schema_drift_orders", _schema_drift_sql())
+def q_schema_drift_orders(spark, sf_dir):
+    # upstream re-landed "orders" with a dropped column, a re-typed
+    # column, and a new flag — the report catches all three plus
+    # exact per-column null movement
+    from bubbles_spark.ops import audit as audit_mod
+
+    old = _t(spark, sf_dir, "orders")
+    new = (
+        old.drop("o_orderpriority")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+        .withColumn("o_flag", F.lit(1))
+    )
+    return audit_mod.schema_drift_report(old, new)
+
+
+@_q(
+    "twap_events_user",
+    """
+    WITH t AS (SELECT user_id, value, epoch_ms(ts) AS ms FROM events
+               WHERE value IS NOT NULL),
+    s AS (SELECT user_id, value, ms,
+                 LEAD(ms) OVER (PARTITION BY user_id
+                                ORDER BY ms, value) AS nxt
+          FROM t),
+    i AS (SELECT user_id,
+                 CAST(value AS DECIMAL(14,2))
+                   * CAST(nxt - ms AS DECIMAL(18,0)) AS pv,
+                 CAST(nxt - ms AS DECIMAL(18,0)) AS dt
+          FROM s WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           CAST(SUM(pv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) AS twap,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS total_ms
+    FROM i GROUP BY 1
+    """,
+)
+def q_twap_events_user(spark, sf_dir):
+    # step-interpolation time-weighted average per user: exact BIGINT
+    # holding intervals x decimal values, one IEEE division at the end
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return events.twap(e, "ts", "value", key_col="user_id")
+
+
+@_q(
+    "conversion_latency_events",
+    """
+    WITH t AS (SELECT user_id, event_type, ts, epoch_ms(ts) AS ms
+               FROM events),
+    f AS (SELECT user_id, MIN(ms) AS fm, MIN(ts) AS from_ts
+          FROM t WHERE event_type = 'view' GROUP BY 1),
+    l AS (SELECT t.user_id, f.fm, f.from_ts,
+                 MIN(t.ms) AS tm, MIN(t.ts) AS to_ts
+          FROM t JOIN f ON t.user_id = f.user_id
+          WHERE t.event_type = 'purchase' AND t.ms >= f.fm
+          GROUP BY 1, 2, 3)
+    SELECT user_id, from_ts, to_ts,
+           CAST(tm - fm AS BIGINT) AS latency_ms
+    FROM l
+    """,
+)
+def q_conversion_latency_events(spark, sf_dir):
+    # first view -> first purchase-at-or-after latency per user in
+    # exact wall-clock epoch-ms (feeds exact_quantiles for p50/p95)
+    e = _t(spark, sf_dir, "events")
+    return events.conversion_latency(e, "ts", "user_id", "view", "purchase")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     "collocations_docs",
     "hits_supplier_part",
     "benford_orders_totalprice",
+    "twap_events_user",
+    "conversion_latency_events",
+    "schema_drift_orders",
 ]
 
 

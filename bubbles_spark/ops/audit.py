@@ -450,3 +450,67 @@ def benford_report(df: DataFrame, col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def schema_drift_report(
+    old: DataFrame, new: DataFrame
+) -> DataFrame:
+    """Column-level drift report between two snapshots of "the same"
+    table — the first check a pipeline runs when an upstream source
+    re-lands: which columns appeared / disappeared / changed type,
+    and how far each survivor's null-rate moved.
+
+    One row per column in EITHER snapshot: status
+    (added/removed/type_changed/kept), both dtypes, exact null
+    counts and row counts per side, and null-rate shares (one IEEE
+    division each) — all oracle-comparable.
+
+    Scale: dtypes come from the SCHEMAS (no job); the null counts
+    are ONE wide aggregate per side (every column counted in a
+    single pass), 1 row each to the driver-side union — no shuffle
+    of data rows at all."""
+    spark = old.sparkSession
+    o_types = dict(old.dtypes)
+    n_types = dict(new.dtypes)
+
+    def _null_counts(df: DataFrame, cols: list[str]):
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.col(c).isNull().cast("bigint")).alias(c)
+                for c in cols
+            ],
+        ).first()
+        return row["__n"], {c: (row[c] or 0) for c in cols}
+
+    o_rows, o_nulls = _null_counts(old, list(o_types))
+    n_rows, n_nulls = _null_counts(new, list(n_types))
+    out = []
+    for c in sorted(set(o_types) | set(n_types)):
+        in_o, in_n = c in o_types, c in n_types
+        if in_o and in_n:
+            status = (
+                "kept" if o_types[c] == n_types[c] else "type_changed"
+            )
+        else:
+            status = "added" if in_n else "removed"
+        out.append(
+            (
+                c,
+                status,
+                o_types.get(c),
+                n_types.get(c),
+                int(o_nulls.get(c, 0)) if in_o else None,
+                int(o_rows) if in_o else None,
+                int(n_nulls.get(c, 0)) if in_n else None,
+                int(n_rows) if in_n else None,
+                (o_nulls[c] / o_rows) if in_o and o_rows else None,
+                (n_nulls[c] / n_rows) if in_n and n_rows else None,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "col_name string, status string, old_type string, new_type string, "
+        "old_nulls bigint, old_rows bigint, new_nulls bigint, "
+        "new_rows bigint, old_null_rate double, new_null_rate double",
+    )

@@ -1266,3 +1266,122 @@ def decompose_additive(
         .withColumn("residual", F.col("__det") - F.col("seasonal"))
         .drop("__det")
     )
+
+
+def twap(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str | None = None,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Time-weighted average of a sampled metric per key — the
+    step-interpolation TWAP every market-data / metrics pipeline
+    means by "average price over the window" when samples arrive
+    irregularly (a plain AVG over-weights bursts):
+
+        twap = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first)
+
+    Each sample holds until the next one; the last sample has no
+    holding interval and contributes only its timestamp.  Keys with
+    fewer than 2 samples drop (zero holding time).
+
+    Exactness: interval lengths are exact BIGINT wall-clock epoch-ms
+    differences (DST-proof); each v·Δt is one exact decimal product
+    at scale ``value_scale``; per-key sums are exact decimals; twap
+    is one IEEE division of the two casts.  ``value_scale`` must
+    cover the data's decimal width (rule #1 of the exactness
+    contract) AND keep Σ|v|·Δt·10^scale under 2^53 per key — above
+    that, the decimal→double cast itself needs >15 significant
+    digits and the engines' conversion tails diverge (the same
+    failure mode as exactness rule #5, measured here at scale 6 on
+    month-long ms series).  Ties in ``ts`` get a deterministic
+    secondary order on value so the lead is run-independent.
+
+    Scale: one hash shuffle on the key + per-key sort for the lead
+    window, then a keyed decimal agg — map-side partial.  Output:
+    (key), twap, n_intervals, total_ms."""
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    is_ntz = dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    ms = epoch_ms_wallclock(F.col(ts_col), is_ntz)
+    parts = [key_col] if key_col else []
+    w = Window.partitionBy(*parts).orderBy(ms, F.col(value_col))
+    stepped = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__ms", ms)
+        .withColumn("__next", F.lead("__ms").over(w))
+        .filter(F.col("__next").isNotNull())
+        .withColumn("__dt", (F.col("__next") - F.col("__ms")).cast("decimal(18,0)"))
+    )
+    vdec = f"decimal({12 + int(value_scale)},{int(value_scale)})"
+    grouped = stepped.groupBy(*parts) if parts else stepped.groupBy()
+    return grouped.agg(
+        (
+            F.sum(
+                F.col(value_col).cast(vdec) * F.col("__dt")
+            ).cast("double")
+            / F.sum("__dt").cast("double")
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__dt").cast("bigint").alias("total_ms"),
+    )
+
+
+def conversion_latency(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    from_event: str,
+    to_event: str,
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Per-key conversion latency: milliseconds from the FIRST
+    ``from_event`` to the FIRST ``to_event`` at-or-after it — the
+    "how long from signup to purchase?" distribution feeding funnel
+    SLOs (pipe the output into ``drift.exact_quantiles`` for the
+    p50/p95).  Keys that never fire both events in order drop.
+
+    Exactness: the latency is an exact BIGINT difference of
+    wall-clock epoch-ms (DST-proof — midnight arithmetic on NTZ
+    values shifts with the session zone otherwise).
+
+    Scale: two filtered keyed MIN aggregations (map-side partial)
+    and one key equi-join — no window, no self-join of raw rows.
+    Output: key, from_ts, to_ts, latency_ms."""
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    is_ntz = dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    ms = epoch_ms_wallclock(F.col(ts_col), is_ntz)
+    tagged = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(event_col).alias("__e"),
+        F.col(ts_col),
+        ms.alias("__ms"),
+    )
+    # min(ts) and min(ms) agree because ms is nondecreasing in ts —
+    # min_by(ts, ms) would tie-break arbitrarily when µs-distinct
+    # timestamps truncate to the same millisecond
+    firsts = (
+        tagged.filter(F.col("__e") == from_event)
+        .groupBy("__k")
+        .agg(
+            F.min("__ms").alias("__from_ms"),
+            F.min(ts_col).alias("from_ts"),
+        )
+    )
+    target = tagged.filter(F.col("__e") == to_event).join(firsts, "__k")
+    landed = (
+        target.filter(F.col("__ms") >= F.col("__from_ms"))
+        .groupBy("__k", "__from_ms", "from_ts")
+        .agg(
+            F.min("__ms").alias("__to_ms"),
+            F.min(ts_col).alias("to_ts"),
+        )
+    )
+    return landed.select(
+        F.col("__k").alias(key_col),
+        "from_ts",
+        "to_ts",
+        (F.col("__to_ms") - F.col("__from_ms")).cast("bigint").alias("latency_ms"),
+    )

@@ -53,3 +53,52 @@ def test_decompose_additive_seasonal_pattern(spark):
     for r in out.values():
         det = r["value"] - r["trend"]
         assert r["residual"] == det - r["seasonal"]
+
+
+def test_twap_step_interpolation_exact(spark):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.ops import events
+
+    # 10.0 held 1000ms, 20.0 held 3000ms, 99.0 has no holding interval
+    rows = [
+        (1, "2024-01-01 00:00:00.000", 10.0),
+        (1, "2024-01-01 00:00:01.000", 20.0),
+        (1, "2024-01-01 00:00:04.000", 99.0),
+        (2, "2024-01-01 00:00:00.000", 5.0),  # single sample: drops
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r["user_id"]: r for r in events.twap(
+        df, "ts", "value", key_col="user_id"
+    ).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r["n_intervals"] == 2 and r["total_ms"] == 4000
+    assert r["twap"] == (10.0 * 1000 + 20.0 * 3000) / 4000.0
+
+
+def test_conversion_latency_first_pair_only(spark):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.ops import events
+
+    rows = [
+        # user 1: purchase BEFORE first view never counts; the one
+        # after does, and only the FIRST one
+        (1, "2024-01-01 00:00:00", "purchase"),
+        (1, "2024-01-02 00:00:00", "view"),
+        (1, "2024-01-02 00:00:30", "purchase"),
+        (1, "2024-01-03 00:00:00", "purchase"),
+        # user 2: view only -> drops
+        (2, "2024-01-01 00:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = events.conversion_latency(df, "ts", "user_id", "view", "purchase").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["latency_ms"] == 30_000
+    assert r["from_ts"].day == 2 and r["to_ts"].second == 30

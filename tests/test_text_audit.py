@@ -248,3 +248,26 @@ def test_benford_report_exact(spark):
     assert got[3]["n"] == 0 and got[1]["share"] == 3.0 / 5.0
     assert got[1]["expected_share"] == math.log10(2.0)
     assert got[1]["deviation"] == 3.0 / 5.0 - math.log10(2.0)
+
+
+def test_schema_drift_report_statuses(spark):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.ops import audit
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5)], "id long, name string, x double"
+    )
+    new = (
+        old.drop("name")
+        .withColumn("x", F.col("x").cast("string"))
+        .withColumn("flag", F.lit(True))
+    )
+    got = {r["col_name"]: r for r in audit.schema_drift_report(old, new).collect()}
+    assert got["id"]["status"] == "kept"
+    assert got["name"]["status"] == "removed" and got["name"]["new_type"] is None
+    assert got["x"]["status"] == "type_changed"
+    assert (got["x"]["old_type"], got["x"]["new_type"]) == ("double", "string")
+    assert got["x"]["old_nulls"] == 1 and got["x"]["old_null_rate"] == 0.5
+    assert got["flag"]["status"] == "added" and got["flag"]["old_rows"] is None
+    assert got["flag"]["new_nulls"] == 0 and got["flag"]["new_rows"] == 2

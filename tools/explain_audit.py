@@ -488,6 +488,22 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "twap_events_user",
+        [
+            (r"\bWindow\b", "lead over one key-partitioned window"),
+            (r"Functions \[\d+\]: \[partial_", "interval sums partial-aggregate map-side"),
+        ],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "conversion_latency_events",
+        [(r"Functions \[\d+\]: \[partial_min", "first-event MINs partial-aggregate map-side")],
+        [(r"Window", "no window - two keyed MINs + one equi-join"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "target_encode_events",
         [
             (r"Functions \[\d+\]: \[partial_", "category sums partial-aggregate map-side"),

@@ -70,6 +70,7 @@ EXACT_FAMILY = [
     "rolling_features_events", "seasonal_anomalies_events",
     "changepoint_events_value", "transition_matrix_events",
     "stream_seasonal_gate", "decompose_events_value",
+    "twap_events_user", "conversion_latency_events",
 ]
 
 
