@@ -8171,6 +8171,114 @@ def q_conversion_latency_events(spark, sf_dir):
     return events.conversion_latency(e, "ts", "user_id", "view", "purchase")
 
 
+@_q(
+    "asof_nearest_events",
+    """
+    WITH v AS (SELECT event_id, user_id, ts,
+                      CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS s
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts AS pts, value AS pvalue,
+                 CAST(epoch_us(ts) AS DOUBLE) / 1000000 AS s
+          FROM events WHERE event_type = 'purchase'),
+    cand AS (SELECT v.event_id, p.pts, p.pvalue,
+                    ABS(p.s - v.s) AS ad,
+                    CASE WHEN p.s <= v.s THEN 0 ELSE 1 END AS d
+             FROM v JOIN p ON v.user_id = p.user_id
+             WHERE ABS(p.s - v.s) <= CAST(3600.0 AS DOUBLE)),
+    pick AS (SELECT event_id, pts, pvalue,
+                    ROW_NUMBER() OVER (PARTITION BY event_id
+                                       ORDER BY ad, d) AS rn
+             FROM cand)
+    SELECT v.event_id, v.user_id, v.ts, pick.pts AS r_ts,
+           pick.pvalue AS r_value
+    FROM v LEFT JOIN pick ON v.event_id = pick.event_id AND pick.rn = 1
+    """,
+)
+def q_asof_nearest_events(spark, sf_dir):
+    # nearest-direction asof (pandas merge_asof nearest, ties ->
+    # backward): each view matches its closest purchase within 1h.
+    # The op is one union + one window pass; the oracle replays it as
+    # a bounded theta join + argmin — same result set
+    e = _t(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return core.asof_join(
+        v, p, on="ts", by="user_id", direction="nearest",
+        tolerance_seconds=3600.0, right_cols=["ts", "value"],
+    )
+
+
+@_q(
+    "coalesce_intervals_events",
+    """
+    WITH iv AS (SELECT user_id, ts AS iv_start,
+                       ts + INTERVAL 30 MINUTE AS iv_end
+                FROM events),
+    o AS (SELECT user_id, iv_start, iv_end,
+                 MAX(iv_end) OVER (PARTITION BY user_id
+                                   ORDER BY iv_start, iv_end
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pmax
+          FROM iv),
+    t AS (SELECT user_id, iv_start, iv_end,
+                 SUM(CASE WHEN pmax IS NULL OR iv_start > pmax
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY iv_start, iv_end
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS isl
+          FROM o)
+    SELECT user_id, MIN(iv_start) AS iv_start, MAX(iv_end) AS iv_end,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM t GROUP BY user_id, isl
+    """,
+)
+def q_coalesce_intervals_events(spark, sf_dir):
+    # gaps-and-islands interval merge: each event opens a 30-minute
+    # activity interval, overlapping/touching intervals coalesce per
+    # user — pure comparisons + MIN/MAX, bit-exact in any engine/TZ
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iv_end"),
+    )
+    return events.coalesce_intervals(
+        e, "iv_start", "iv_end", key_col="user_id"
+    )
+
+
+@_q(
+    "balance_classes_docs",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    thr AS (SELECT lang,
+                   lpad(printf('%x', CAST(ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                        (CAST(1.0 AS DOUBLE) * mn) / n) * 4294967296.0)
+                        AS BIGINT)), 9, '0') AS t
+            FROM c CROSS JOIN m)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE lpad(substring(md5(concat_ws(chr(31),
+            CAST(doc_id AS VARCHAR), '0')), 1, 8), 9, '0') < thr.t
+    """,
+)
+def q_balance_classes_docs(spark, sf_dir):
+    # deterministic class rebalancing: every language capped at the
+    # smallest class's count via the content-hash predicate — the
+    # oracle recomputes the identical per-class cutoffs (.5 rounding
+    # ties are unreachable: the tie condition needs a class count
+    # with 2-adic valuation >= 33)
+    from bubbles_spark.ops import textprep
+
+    d = _t(spark, sf_dir, "documents")
+    return textprep.balance_classes(d, "lang", ["doc_id"])
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

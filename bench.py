@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "twap_events_user",
     "conversion_latency_events",
     "schema_drift_orders",
+    "asof_nearest_events",
+    "coalesce_intervals_events",
+    "balance_classes_docs",
 ]
 
 

@@ -876,14 +876,24 @@ def asof_join(
     Without ``by`` the window is a single global sort (one task) —
     acceptable only for small inputs; at scale always pass the key.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     from pyspark.sql import Window
 
     by_list = [] if by is None else [by] if isinstance(by, str) else list(by)
     payload = [c for c in (right_cols or right.columns) if c not in by_list]
     if on not in payload:
         payload = [on, *payload]
+
+    if direction == "nearest":
+        # ONE union pass, TWO frames over the same shuffle+sort: the
+        # backward candidate (last right ≤ ts — equal-ts rows land
+        # here, gap 0) and the forward candidate (first right > ts),
+        # then pick the smaller |gap|; ties prefer backward.  Same
+        # cost as one directional asof — never two joins.
+        return _asof_nearest(
+            left, right, on, by_list, tolerance_seconds, payload, prefix
+        )
 
     r_struct = F.struct(*[F.col(c) for c in payload]).alias("__r")
     right_u = right.select(
@@ -932,6 +942,89 @@ def asof_join(
         out = out.withColumn(
             "__m", F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__m"))
         )
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__m")[c].alias(f"{prefix}{c}") for c in payload],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by_list: list[str],
+    tolerance_seconds: float | None,
+    payload: list[str],
+    prefix: str,
+) -> DataFrame:
+    """``asof_join(direction='nearest')`` body: pandas
+    ``merge_asof(direction='nearest')`` semantics with a pinned tie
+    rule (equal |gap| → the backward match).  One union, one shuffle,
+    one per-key sort; two window frames slide over it."""
+    from pyspark.sql import Window
+
+    r_struct = F.struct(*[F.col(c) for c in payload]).alias("__r")
+    right_u = right.select(
+        *by_list,
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__side"),
+        r_struct,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+            for c in left.columns
+        ],
+    )
+    left_u = left.select(
+        *by_list,
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right_u.schema["__r"].dataType).alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    u = right_u.unionByName(left_u)
+    w = (
+        Window.partitionBy(*by_list).orderBy("__on", "__side")
+        if by_list
+        else Window.orderBy("__on", "__side")
+    )
+    back = F.last("__r", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("__r", ignorenulls=True).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = (
+        u.withColumn("__mb", back)
+        .withColumn("__mf", fwd)
+        .filter(F.col("__side") == 1)
+    )
+    on_dt = dict(u.dtypes).get("__on", "")
+    if on_dt.startswith("timestamp") or on_dt == "date":
+        on_s = F.col("__on").cast("timestamp").cast("double")
+
+        def _sec(m):
+            return m[on].cast("timestamp").cast("double")
+
+    else:
+        on_s = F.col("__on").cast("double")
+
+        def _sec(m):
+            return m[on].cast("double")
+
+    gap_b = on_s - _sec(F.col("__mb"))
+    gap_f = _sec(F.col("__mf")) - on_s
+    if tolerance_seconds is not None:
+        tol = F.lit(float(tolerance_seconds))
+        out = out.withColumn(
+            "__mb", F.when(gap_b <= tol, F.col("__mb"))
+        ).withColumn("__mf", F.when(gap_f <= tol, F.col("__mf")))
+    pick = (
+        F.when(F.col("__mb").isNull(), F.col("__mf"))
+        .when(F.col("__mf").isNull(), F.col("__mb"))
+        .when(gap_b <= gap_f, F.col("__mb"))
+        .otherwise(F.col("__mf"))
+    )
+    out = out.withColumn("__m", pick)
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__m")[c].alias(f"{prefix}{c}") for c in payload],

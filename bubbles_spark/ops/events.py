@@ -1385,3 +1385,45 @@ def conversion_latency(
         "to_ts",
         (F.col("__to_ms") - F.col("__from_ms")).cast("bigint").alias("latency_ms"),
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Merge overlapping or touching ``[start, end)`` intervals per
+    key (gaps-and-islands) — downtime stitching, availability-window
+    consolidation, session-interval cleanup: an interval joins the
+    current island when its start is ≤ the running max end of every
+    interval before it; a strictly later start opens a new island.
+
+    Exactness: pure comparisons + MIN/MAX on the original timestamp
+    (or numeric) columns — no arithmetic, no rendering change, so
+    the output is bit-identical in any engine and timezone.
+
+    Scale: one hash shuffle on the key + per-key sort; the island id
+    is a running sum over the same window; one keyed agg after.
+    Output: (key), start, end, n_merged."""
+    parts = [key_col] if key_col else []
+    s, e = F.col(start_col), F.col(end_col)
+    w = Window.partitionBy(*parts).orderBy(s, e)
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (s > prev_max_end), 1
+    ).otherwise(0)
+    tagged = df.withColumn("__isl", F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    return (
+        tagged.groupBy(*(parts + ["__isl"]))
+        .agg(
+            F.min(s).alias(start_col),
+            F.max(e).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__isl")
+    )

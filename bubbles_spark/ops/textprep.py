@@ -955,3 +955,67 @@ def remove_stopwords(
         F.trim(F.col(text_col)) == "", F.lit("")
     ).otherwise(F.array_join(kept, " "))
     return df.withColumn(out or text_col, result)
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    key_cols: Sequence[str],
+    target_ratio: float = 1.0,
+    salt: int = 0,
+    digits: int = 8,
+) -> DataFrame:
+    """Deterministic majority-class downsampling: cap every class at
+    ``target_ratio`` × the SMALLEST class's row count, keeping each
+    row iff its md5(key ⊕ salt) hex prefix sorts under the class's
+    fraction cutoff — the ``core.hash_sample`` predicate with a
+    per-class threshold, so the balanced subset is content-keyed and
+    reproduces byte-for-byte in any engine, run, or task retry (the
+    property a published training mix needs; seeded Bernoulli can't
+    give it).
+
+    Realized class sizes are binomial around the cap (hash
+    thresholding is per-row, not exact-N) — the standard trade for a
+    one-pass, shuffle-free sampler.  Classes at/below the cap pass
+    untouched.
+
+    Scale: one vocabulary-sized class-count aggregate to the driver,
+    then a map-only predicate (the per-class cutoffs ride as a CASE
+    over ≤ |classes| literals).  Output: the balanced rows."""
+    if not target_ratio > 0:
+        raise ValueError(f"target_ratio must be > 0, got {target_ratio}")
+    counts = {
+        r["__l"]: r["__c"]
+        for r in df.groupBy(F.col(label_col).alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    if not counts:
+        return df
+    cap = target_ratio * min(counts.values())
+    space = 16 ** int(digits)
+    thresholds = {
+        lab: format(
+            int(round(min(1.0, cap / c) * space)), "x"
+        ).rjust(digits + 1, "0")
+        for lab, c in counts.items()
+    }
+    prefix = F.lpad(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.col(c).cast("string") for c in key_cols],
+                    F.lit(str(salt)),
+                )
+            ),
+            1,
+            int(digits),
+        ),
+        int(digits) + 1,
+        "0",
+    )
+    cut = F.lit(None).cast("string")
+    for lab, thr in thresholds.items():
+        cut = F.when(F.col(label_col) == lab, F.lit(thr)).otherwise(cut)
+    return df.filter(prefix < cut)

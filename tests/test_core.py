@@ -566,3 +566,49 @@ def test_hash_sample_fraction_edges_and_salt(spark):
     assert s0 != s1  # different replica
     with pytest.raises(ValueError):
         core_ops.hash_sample(df, 1.5, ["k"])
+
+
+def test_asof_join_nearest_picks_closer_side(spark):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.ops import core
+
+    L = spark.createDataFrame(
+        [(1, 10.0), (2, 95.0), (3, 50.0)], "id long, t double"
+    )
+    R = spark.createDataFrame(
+        [(100, 0.0), (200, 60.0), (300, 90.0)], "rid long, t double"
+    )
+    got = {r["id"]: r for r in core.asof_join(
+        L, R, on="t", direction="nearest"
+    ).collect()}
+    assert got[1]["r_rid"] == 100      # |10-0|=10 < |60-10|=50
+    assert got[2]["r_rid"] == 300      # forward none; 90 closest
+    assert got[3]["r_rid"] == 200      # |50-60|=10 < |50-0|=50
+
+
+def test_asof_join_nearest_tie_prefers_backward_and_tolerance(spark):
+    from bubbles_spark.ops import core
+
+    L = spark.createDataFrame([(1, 50.0)], "id long, t double")
+    R = spark.createDataFrame(
+        [(7, 40.0), (8, 60.0)], "rid long, t double"
+    )
+    got = core.asof_join(L, R, on="t", direction="nearest").collect()[0]
+    assert got["r_rid"] == 7           # equal gap 10 -> backward
+    # tolerance kills both candidates -> NULL match
+    none = core.asof_join(
+        L, R, on="t", direction="nearest", tolerance_seconds=5.0
+    ).collect()[0]
+    assert none["r_rid"] is None
+
+
+def test_asof_join_nearest_equal_ts_is_gap_zero(spark):
+    from bubbles_spark.ops import core
+
+    L = spark.createDataFrame([(1, 50.0)], "id long, t double")
+    R = spark.createDataFrame(
+        [(7, 50.0), (8, 51.0)], "rid long, t double"
+    )
+    got = core.asof_join(L, R, on="t", direction="nearest").collect()[0]
+    assert got["r_rid"] == 7

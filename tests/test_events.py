@@ -102,3 +102,29 @@ def test_conversion_latency_first_pair_only(spark):
     r = got[0]
     assert r["user_id"] == 1 and r["latency_ms"] == 30_000
     assert r["from_ts"].day == 2 and r["to_ts"].second == 30
+
+
+def test_coalesce_intervals_merges_overlaps_and_touching(spark):
+    from bubbles_spark.ops import events
+
+    rows = [
+        (1, 0, 10), (1, 5, 12), (1, 12, 20),   # overlap + touching -> one
+        (1, 25, 30),                            # gap -> separate
+        (2, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = sorted(
+        (r["k"], r["s"], r["e"], r["n_merged"])
+        for r in events.coalesce_intervals(df, "s", "e", key_col="k").collect()
+    )
+    assert got == [(1, 0, 20, 3), (1, 25, 30, 1), (2, 0, 1, 1)]
+
+
+def test_coalesce_intervals_contained_interval(spark):
+    from bubbles_spark.ops import events
+
+    # an interval fully inside an earlier one must not split the island
+    rows = [(1, 0, 100), (1, 10, 20), (1, 50, 120)]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = events.coalesce_intervals(df, "s", "e", key_col="k").collect()
+    assert [(r["s"], r["e"], r["n_merged"]) for r in got] == [(0, 120, 3)]

@@ -573,3 +573,37 @@ def test_remove_boilerplate_lines_all_boiler_doc_empty(spark):
     }
     assert out[1] == "" and out[2] == "" and out[3] == ""
     assert out[4] == "keep me"
+
+
+def test_balance_classes_caps_majority_deterministically(spark):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.ops import textprep
+
+    rows = [(i, "maj") for i in range(2000)] + [
+        (10_000 + i, "min") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label string")
+    out = textprep.balance_classes(df, "label", ["doc_id"])
+    got = {r["label"]: r["cnt"] for r in
+           out.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
+    # minority passes untouched; majority lands binomially near 100
+    assert got["min"] == 100
+    assert 60 <= got["maj"] <= 140
+    # deterministic: same call -> identical membership
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in textprep.balance_classes(df, "label", ["doc_id"]).collect()
+    )
+    assert a == b
+
+
+def test_balance_classes_validates_ratio(spark):
+    import pytest as _pytest
+
+    from bubbles_spark.ops import textprep
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, label string")
+    with _pytest.raises(ValueError, match="target_ratio"):
+        textprep.balance_classes(df, "label", ["doc_id"], target_ratio=0)

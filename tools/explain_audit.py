@@ -488,6 +488,30 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "asof_nearest_events",
+        [
+            (r"\bWindow\b", "both candidates from ONE window pass"),
+        ],
+        [(r"SortMergeJoin|CartesianProduct|BroadcastNestedLoopJoin",
+          "merge formulation - no join at all"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "coalesce_intervals_events",
+        [
+            (r"\bWindow\b", "gaps-and-islands window"),
+            (r"Functions \[\d+\]: \[partial_", "island agg partial-aggregates map-side"),
+        ],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "balance_classes_docs",
+        [(r"Filter", "map-only hash predicate")],
+        [(r"Exchange hashpartitioning.*doc_id", "no data shuffle for the filter"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "twap_events_user",
         [
             (r"\bWindow\b", "lead over one key-partitioned window"),

@@ -71,6 +71,7 @@ EXACT_FAMILY = [
     "changepoint_events_value", "transition_matrix_events",
     "stream_seasonal_gate", "decompose_events_value",
     "twap_events_user", "conversion_latency_events",
+    "asof_nearest_events", "coalesce_intervals_events",
 ]
 
 
