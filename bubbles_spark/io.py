@@ -377,6 +377,43 @@ class JSONStore(FileStore):
     extension = ".json"
 
 
+class ORCStore(FileStore):
+    """ORC store — the columnar interchange format for Hive/Trino-
+    native consumer stacks.  Spark ships the orc datasource built in
+    (predicate pushdown + column pruning work exactly as for
+    parquet), so this is pure FileStore plumbing."""
+
+    format = "orc"
+    extension = ".orc"
+
+
+class AvroStore(FileStore):
+    """Avro store — row-oriented interchange for Kafka/schema-registry
+    stacks.  Spark's avro datasource lives in the EXTERNAL
+    ``spark-avro`` package (org.apache.spark:spark-avro_2.13:<ver>),
+    not the default distribution; constructing this store probes the
+    classpath and raises a clear error naming the missing jar when
+    absent (same honest gate as the Mongo/Delta stores)."""
+
+    format = "avro"
+    extension = ".avro"
+
+    def __init__(self, spark: SparkSession, path: str, **reader_options: Any):
+        # probe through Spark's own datasource resolution (a bare
+        # Class.forName finds avro's classes in the distribution even
+        # though the datasource is not deployable)
+        try:
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jsparkSession.sessionState().conf()
+            )
+        except Exception:
+            raise RuntimeError(
+                "AvroStore needs the spark-avro package on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            )
+        super().__init__(spark, path, **reader_options)
+
+
 class MemoryStore(DataStore):
     """In-memory scratch objects (bubbles/objects.py::
     IterableDataSource / RowListDataObject — S9).  Consumability

@@ -354,3 +354,56 @@ def test_compact_reduces_file_count(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         store.compact("missing")
+
+
+def test_orc_store_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.io import ORCStore
+
+    store = ORCStore(spark, str(tmp_path / "orc"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, "2024-01-01 00:00:00")],
+        "id long, name string, x double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    store.create("t", from_obj=df)
+    back = store.get_object("t")
+    assert back.count() == 1
+    # ORC preserves the full type set, NTZ included
+    assert dict(back.dtypes) == dict(df.dtypes)
+    r = back.collect()[0]
+    assert (r["id"], r["name"], r["x"]) == (1, "a", 1.5)
+    assert store.exists("t") and "t" in store.objects()
+
+
+def test_json_store_roundtrip(spark, tmp_path):
+    from bubbles_spark.io import JSONStore
+
+    store = JSONStore(spark, str(tmp_path / "json"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    store.create("t", from_obj=df)
+    back = store.get_object("t")
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_avro_store_gates_cleanly_without_jar(spark, tmp_path):
+    import pytest as _pytest
+
+    from bubbles_spark.io import AvroStore
+
+    # either the datasource is deployable and the store roundtrips,
+    # or construction raises the clear jar-naming error — never a
+    # late AnalysisException from the write path
+    try:
+        store = AvroStore(spark, str(tmp_path / "avro"))
+    except RuntimeError as err:
+        assert "spark-avro" in str(err)
+        return
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    store.create("t", from_obj=df)
+    assert store.get_object("t").count() == 1
