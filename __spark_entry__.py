@@ -8279,6 +8279,41 @@ def q_balance_classes_docs(spark, sf_dir):
     return textprep.balance_classes(d, "lang", ["doc_id"])
 
 
+_GAP_ORACLE_SQL = """
+    WITH t AS (SELECT user_id, ts, epoch_ms(ts) AS ms FROM events),
+    s AS (SELECT user_id, ts, ms,
+                 LAG(ts) OVER w AS prev_ts, LAG(ms) OVER w AS prev_ms
+          FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           CAST(ms - prev_ms AS BIGINT) AS gap_ms
+    FROM s WHERE prev_ms IS NOT NULL AND ms - prev_ms > 86400000
+"""
+
+
+@_q("gap_report_events", _GAP_ORACLE_SQL)
+def q_gap_report_events(spark, sf_dir):
+    # heartbeat audit: per-user silences longer than 24h, exact
+    # wall-clock epoch-ms gaps (per-side ms floors, DST-proof)
+    e = _t(spark, sf_dir, "events")
+    return events.gap_report(e, "ts", "user_id", 86400.0)
+
+
+@_q("stream_gap_report", _GAP_ORACLE_SQL)
+def q_stream_gap_report(spark, sf_dir):
+    # the same silences detected LIVE: per-key last-event state
+    # carries across micro-batches (arrival-triggered closed-gap
+    # emission, so the drained result equals the batch twin and its
+    # oracle exactly); gap arithmetic replicates unix_millis floors
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    gaps = sevents.gap_report_stream(
+        stream.select("user_id", "ts"),
+        threshold_seconds=86400.0,
+    )
+    return sevents.run_batchlike(gaps, _stream_name("s_gaps"))
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "asof_nearest_events",
     "coalesce_intervals_events",
     "balance_classes_docs",
+    "gap_report_events",
+    "stream_gap_report",
 ]
 
 

@@ -350,16 +350,18 @@ def connected_components(
     step that turns pairwise near-dup hits into DUP CLUSTERS (chain
     a~b, b~c ⇒ {a,b,c} even when a and c never matched directly).
 
-    Min-label propagation: every node repeatedly takes the smallest
-    label among itself and its neighbors until a fixed point —
-    O(cluster diameter) rounds, and near-dup clusters are
-    shallow (diameter ≤ ~5) so 3–4 rounds typically converge.  Each
-    round is one shuffle of (node, label) edges; ``localCheckpoint``
-    truncates lineage so round N's plan does not replay rounds
-    1..N-1 (the classic iterative-Spark trap).  Convergence is
-    detected with a count of changed labels (one cheap action per
-    round); raises after ``max_iter`` rather than returning a wrong
-    (unconverged) answer.
+    Min-label propagation WITH pointer jumping: each round every node
+    takes the smallest label among itself and its neighbors, then
+    shortcuts to its label's label (path halving) — O(log diameter)
+    rounds, so both shallow near-dup clusters (diameter ≤ ~5) and
+    pathological chains (a 10k-link same-name chain appeared for real
+    at sf0.1) converge well inside the cap.  Each round is one
+    shuffle of (node, label) edges plus a label-table-sized
+    self-join; ``localCheckpoint`` truncates lineage so round N's
+    plan does not replay rounds 1..N-1 (the classic iterative-Spark
+    trap).  Convergence is detected with a count of changed labels
+    (one cheap action per round); raises after ``max_iter`` rather
+    than returning a wrong (unconverged) answer.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -379,16 +381,47 @@ def connected_components(
             .groupBy(F.col("u").alias("node_id"))
             .agg(F.min("component").alias("__nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, "node_id", "left")
+        relaxed = labels.join(neighbor_min, "node_id", "left").select(
+            "node_id",
+            F.least(
+                F.col("component"), F.coalesce("__nmin", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer-jumping (path shortcutting): component ← its
+        # component's component.  Neighbor-min alone needs O(diameter)
+        # rounds — a 10k-link name chain blows any fixed cap (hit for
+        # real at sf0.1 in bench) — the jump halves every path, so the
+        # combined loop converges in O(log diameter).  One extra
+        # label-table self-join per round, label-table-sized.
+        jumped = (
+            relaxed.alias("a")
+            .join(
+                relaxed.select(
+                    F.col("node_id").alias("component"),
+                    F.col("component").alias("__cc"),
+                ).alias("b"),
+                "component",
+                "left",
+            )
             .select(
                 "node_id",
                 F.least(
-                    F.col("component"), F.coalesce("__nmin", F.col("component"))
+                    F.col("component"), F.coalesce("__cc", F.col("component"))
                 ).alias("component"),
-                (
-                    F.coalesce("__nmin", F.col("component")) < F.col("component")
-                ).alias("__chg"),
+            )
+        )
+        updated = (
+            jumped.alias("n")
+            .join(
+                labels.select(
+                    "node_id", F.col("component").alias("__old")
+                ),
+                "node_id",
+            )
+            .select(
+                "node_id",
+                "component",
+                (F.col("component") < F.col("__old")).alias("__chg"),
             )
         ).localCheckpoint()
         changed = updated.filter(F.col("__chg")).count()

@@ -1427,3 +1427,49 @@ def coalesce_intervals(
         )
         .drop("__isl")
     )
+
+
+def gap_report(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    threshold_seconds: float,
+) -> DataFrame:
+    """Silence/downtime report: every consecutive-event gap longer
+    than ``threshold_seconds`` per key — heartbeat monitoring, sensor
+    dropout detection, SLA blackout audits.
+
+    Exactness: gaps are exact BIGINT wall-clock epoch-ms differences
+    (DST-proof); the threshold compares in ms (``threshold·1000``
+    floored — sub-ms thresholds make no sense at ms resolution).
+
+    Scale: one hash shuffle on the key + per-key sort for the lag
+    window; ties order on the timestamp only (equal timestamps have
+    gap 0 — never above threshold — so tie order cannot change the
+    result).  Output: key, gap_start, gap_end, gap_ms."""
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    is_ntz = dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    ms = epoch_ms_wallclock(F.col(ts_col), is_ntz)
+    # order on the raw timestamp (µs), not the ms key — µs-distinct
+    # rows that share a millisecond would otherwise tie arbitrarily
+    # and render different gap_start values per run
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    thr_ms = int(float(threshold_seconds) * 1000)
+    tagged = (
+        df.select(F.col(key_col), F.col(ts_col), ms.alias("__ms"))
+        .withColumn("__prev_ms", F.lag("__ms").over(w))
+        .withColumn("__prev_ts", F.lag(ts_col).over(w))
+    )
+    return (
+        tagged.filter(
+            F.col("__prev_ms").isNotNull()
+            & ((F.col("__ms") - F.col("__prev_ms")) > thr_ms)
+        )
+        .select(
+            key_col,
+            F.col("__prev_ts").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            (F.col("__ms") - F.col("__prev_ms")).cast("bigint").alias("gap_ms"),
+        )
+    )

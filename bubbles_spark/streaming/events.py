@@ -1194,3 +1194,84 @@ def _hadoop_ls(spark: SparkSession, path: str) -> list[str]:
     if not fs.exists(hpath):
         return []
     return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+GAP_STATE_SCHEMA = "last timestamp"
+GAP_OUT_SCHEMA = (
+    "user_id long, gap_start timestamp, gap_end timestamp, gap_ms long"
+)
+
+
+def gap_report_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    threshold_seconds: float = 3600.0,
+    emit_ntz: bool = True,
+) -> DataFrame:
+    """Streaming silence detector: remember each key's LAST event
+    across micro-batches (true cross-batch state — no window can
+    express "the previous event was 3 batches ago") and emit a gap
+    row whenever a new event closes a silence longer than the
+    threshold.
+
+    State is ONE timestamp per key — bounded by the key cardinality,
+    not history; a 1000-executor cluster shards it by key hash.
+    Emission is arrival-triggered (closed gaps only), so a drained
+    run over batch data equals ``ops.events.gap_report`` exactly —
+    which is what makes the oracle exact.
+
+    Batch twin: ``ops.events.gap_report`` (lag window)."""
+    import pandas as pd  # noqa: F401 — used inside the worker fn
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    thr_ms = int(float(threshold_seconds) * 1000)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        out = []
+        rows = []
+        for pdf in pdf_iter:
+            rows.append(pdf[["__ts"]])
+        if rows:
+            ev = pd.concat(rows).sort_values("__ts")
+            # state round-trips as datetime.datetime; batch rows are
+            # pandas Timestamps — normalize for .value (epoch ns)
+            last = (
+                pd.Timestamp(state.get[0]) if state.exists else None
+            )
+            for (ts,) in ev.itertuples(index=False):
+                ts = pd.Timestamp(ts)
+                if last is not None:
+                    # floor each side to ms INDEPENDENTLY — exactly
+                    # the batch twin's unix_millis(ts) − unix_millis(prev)
+                    # (a float total_seconds diff would round once and
+                    # disagree by 1 ms at µs edges)
+                    gap = ts.value // 10**6 - last.value // 10**6
+                    if gap > thr_ms:
+                        out.append((key[0], last, ts, gap))
+                if last is None or ts > last:
+                    last = ts
+            state.update((last,))
+        return iter(
+            [pd.DataFrame(out, columns=["user_id", "gap_start", "gap_end", "gap_ms"])]
+            if out
+            else []
+        )
+
+    prepared = events.select(
+        F.col(key_col).alias("__user"), F.col(ts_col).alias("__ts")
+    ).withWatermark("__ts", "10 minutes")
+    out = prepared.groupBy("__user").applyInPandasWithState(
+        fn,
+        outputStructType=GAP_OUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    if emit_ntz:
+        out = out.withColumn("gap_start", _wallclock_ntz("gap_start")).withColumn(
+            "gap_end", _wallclock_ntz("gap_end")
+        )
+    return out

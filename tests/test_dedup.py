@@ -569,3 +569,18 @@ def test_resolve_entities_survivorship_and_chains(spark):
         ).collect()
     }
     assert got == {1: (3, "NY"), 4: (1, None), 5: (2, "AA")}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-link chain needs O(log n) rounds with pointer jumping —
+    plain min-label propagation would need 200 and blow the cap
+    (this failed for real on sf0.1 name chains)."""
+    from bubbles_spark.ops import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    got = dedup.connected_components(pairs, max_iter=15)
+    comps = {r["component"] for r in got.collect()}
+    assert comps == {0}
+    assert got.count() == 201

@@ -128,3 +128,24 @@ def test_coalesce_intervals_contained_interval(spark):
     df = spark.createDataFrame(rows, "k long, s long, e long")
     got = events.coalesce_intervals(df, "s", "e", key_col="k").collect()
     assert [(r["s"], r["e"], r["n_merged"]) for r in got] == [(0, 120, 3)]
+
+
+def test_gap_report_threshold_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.ops import events
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 02:00:00"),   # 2h gap -> reported at thr 1h
+        (1, "2024-01-01 02:30:00"),   # 30m -> not reported
+        (2, "2024-01-01 00:00:00"),   # single event: no gap
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = events.gap_report(df, "ts", "user_id", 3600.0).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["gap_ms"] == 7_200_000
+    assert r["gap_start"].hour == 0 and r["gap_end"].hour == 2

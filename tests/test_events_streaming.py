@@ -799,3 +799,39 @@ def test_seasonal_gate_stream_matches_batch(spark, tmp_path):
     out = sevents.run_batchlike(gated, "t_seasonal_gate")
     assert [r["event_id"] for r in out.collect()] == [99]
     assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_gap_report_stream_state_spans_batches(spark, tmp_path):
+    """The silence between the LAST event of file 1 and the FIRST of
+    file 2 must be detected — only cross-batch state can see it."""
+    import bubbles_spark.streaming.events as sevents
+    from bubbles_spark.ops import events as bevents
+    from pyspark.sql import functions as F
+
+    rows1 = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 01:00:00")]
+    rows2 = [(1, "2024-01-03 00:00:00"), (1, "2024-01-03 00:30:00")]
+    path = str(tmp_path / "ev")
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    batch = spark.read.parquet(path)
+    expect = sorted(
+        tuple(r) for r in bevents.gap_report(
+            batch, "ts", "user_id", 3600.0
+        ).collect()
+    )
+    stream = sevents.read_event_stream(
+        spark, path, schema=batch.schema, max_files_per_trigger=1
+    )
+    got = sevents.run_batchlike(
+        sevents.gap_report_stream(stream, threshold_seconds=3600.0),
+        "t_gap_stream",
+    )
+    assert sorted(tuple(r) for r in got.collect()) == expect
+    # exactly one qualifying gap, and it spans the two files
+    assert len(expect) == 1 and expect[0][3] == 47 * 3600 * 1000
+    assert dict(got.dtypes)["gap_start"] == "timestamp_ntz"

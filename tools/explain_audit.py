@@ -488,6 +488,12 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "gap_report_events",
+        [(r"\bWindow\b", "lag over one key-partitioned window")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "asof_nearest_events",
         [
             (r"\bWindow\b", "both candidates from ONE window pass"),

@@ -72,6 +72,7 @@ EXACT_FAMILY = [
     "stream_seasonal_gate", "decompose_events_value",
     "twap_events_user", "conversion_latency_events",
     "asof_nearest_events", "coalesce_intervals_events",
+    "gap_report_events", "stream_gap_report",
 ]
 
 
