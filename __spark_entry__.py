@@ -8314,6 +8314,115 @@ def q_stream_gap_report(spark, sf_dir):
     return sevents.run_batchlike(gaps, _stream_name("s_gaps"))
 
 
+@_q(
+    "pagerank_weighted_supplier_part",
+    """
+    WITH e0 AS (SELECT l_suppkey AS u, l_partkey + 1000000 AS v,
+                       CAST(l_quantity AS DECIMAL(20,6)) AS w
+                FROM lineitem),
+    e AS (SELECT u, v, SUM(w) AS w FROM e0 GROUP BY 1, 2),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    od AS (SELECT u, SUM(w) AS sw FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes, nn),
+    s1 AS (SELECT e.v AS node,
+                  SUM(CAST(r0.r * (CAST(e.w AS DOUBLE) / CAST(od.sw AS DOUBLE))
+                       AS DECIMAL(38,18))) AS s
+           FROM e JOIN r0 ON e.u = r0.node JOIN od ON e.u = od.u
+           GROUP BY 1),
+    r1 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE)
+                    * CAST(COALESCE(s1.s, CAST(0 AS DECIMAL(38,18)))
+                           AS DOUBLE) AS r
+           FROM nodes LEFT JOIN s1 ON nodes.node = s1.node, nn),
+    s2 AS (SELECT e.v AS node,
+                  SUM(CAST(r1.r * (CAST(e.w AS DOUBLE) / CAST(od.sw AS DOUBLE))
+                       AS DECIMAL(38,18))) AS s
+           FROM e JOIN r1 ON e.u = r1.node JOIN od ON e.u = od.u
+           GROUP BY 1),
+    r2 AS (SELECT nodes.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE)
+                    * CAST(COALESCE(s2.s, CAST(0 AS DECIMAL(38,18)))
+                           AS DOUBLE) AS r
+           FROM nodes LEFT JOIN s2 ON nodes.node = s2.node, nn)
+    SELECT node, r AS pr FROM r2
+    """,
+)
+def q_pagerank_weighted_supplier_part(spark, sf_dir):
+    # weighted PageRank: the walk follows supply QUANTITY shares
+    # (parallel edges collapse by exact decimal weight sum); both
+    # iterations replayed in SQL share-for-share
+    from bubbles_spark.ops import graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1000000)).alias("dst"),
+        "l_quantity",
+    )
+    return graph.pagerank(
+        e, iters=2, damping=0.85, weight_col="l_quantity"
+    ).select("node", F.col("rank").alias("pr"))
+
+
+@_q(
+    "pit_join_orders_segment",
+    """
+    WITH dim AS (
+      SELECT c_custkey, 'OLD_' || c_mktsegment AS segment,
+             CAST('1992-01-01' AS TIMESTAMP) AS valid_from,
+             CAST('1995-01-01' AS TIMESTAMP) AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment AS segment,
+             CAST('1995-01-01' AS TIMESTAMP) AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           dim.segment AS r_segment
+    FROM orders o LEFT JOIN dim
+      ON o.o_custkey = dim.c_custkey
+     AND o.o_orderdate >= dim.valid_from
+     AND (dim.valid_to IS NULL OR o.o_orderdate < dim.valid_to)
+    """,
+)
+def q_pit_join_orders_segment(spark, sf_dir):
+    # leakage-free point-in-time enrichment: every order picks the
+    # customer-segment VERSION valid at order time (SCD2 validity
+    # intervals; NULL valid_to = current) — equi-join + range
+    # predicates, never a theta explosion
+    c = _t(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.concat(F.lit("OLD_"), F.col("c_mktsegment")).alias("segment"),
+        F.lit("1992-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("1995-01-01").cast("timestamp_ntz").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return core.point_in_time_join(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        v1.unionByName(v2),
+        "o_orderdate",
+        "c_custkey",
+    ).select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "o_orderdate",
+        "r_segment",
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

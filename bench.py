@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "balance_classes_docs",
     "gap_report_events",
     "stream_gap_report",
+    "pagerank_weighted_supplier_part",
+    "pit_join_orders_segment",
 ]
 
 

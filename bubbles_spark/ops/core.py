@@ -1621,3 +1621,51 @@ def fuzzy_join(
         .filter(verified)
         .drop("__len")
     )
+
+
+def point_in_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    keys: str | Sequence[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2-style versioned dimension:
+    each left row joins the version whose ``[valid_from, valid_to)``
+    interval contains its ``ts_col`` (NULL ``valid_to`` = the open
+    current version) — the feature-store / fact-enrichment join that
+    makes training data leakage-free ("what did we know THEN?").
+
+    Scale shape: an EQUI-join on the keys plus two range predicates —
+    fanout is versions-per-key (small by SCD2 construction), never a
+    theta explosion; Catalyst plans the same hash/broadcast join it
+    would for the plain lookup.  Exactness: pure timestamp
+    comparisons, no arithmetic.
+
+    Output: left columns + prefixed right payload (keys unprefixed)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    payload = [c for c in right.columns if c not in key_list]
+    r = right.select(
+        *key_list, *[F.col(c).alias(f"{prefix}{c}") for c in payload]
+    )
+    cond = None
+    for k in key_list:
+        c = left[k] == r[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (left[ts_col] >= r[f"{prefix}{valid_from}"])
+        & (
+            r[f"{prefix}{valid_to}"].isNull()
+            | (left[ts_col] < r[f"{prefix}{valid_to}"])
+        )
+    )
+    joined = left.join(r, cond, how)
+    # drop the duplicated right-side key columns
+    return joined.select(
+        *[left[c] for c in left.columns],
+        *[F.col(f"{prefix}{c}") for c in payload],
+    )

@@ -158,6 +158,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over the DISTINCT directed edge set — the original
     simplified formulation:
@@ -176,13 +177,31 @@ def pagerank(
     (1−d)/N + d·sum in fixed IEEE steps — bit-reproducible in any
     engine that replays the same steps.
 
+    With ``weight_col`` the walk follows edge weights:
+    ``rankᵗ⁻¹(m) · w(m→n) / Σ_out w(m)`` — parallel edges collapse by
+    SUMMING their weights (exact DECIMAL(20,6); ≤6-dp weights per the
+    exactness contract), the share is one IEEE division and one
+    multiply per edge.
+
     Scale shape: one shuffle per iteration (contributions keyed by
     dst, map-side partial decimal sums), vocabulary-sized rank and
     degree tables, ``localCheckpoint`` per round so iteration N never
     replays 1..N−1.
 
     Output: node, rank (double)."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
+    if weight_col is not None:
+        e = (
+            edges.select(
+                F.col(src).alias("u"),
+                F.col(dst).alias("v"),
+                F.col(weight_col).cast("decimal(20,6)").alias("__w"),
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("__w").alias("__w"))
+            .persist()
+        )
+    else:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -195,21 +214,31 @@ def pagerank(
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - float(damping)) / float(n)
-    out_deg = e.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("__od")
-    )
+    if weight_col is not None:
+        out_deg = e.groupBy(F.col("u").alias("node")).agg(
+            F.sum("__w").alias("__od")
+        )
+        share = F.col("__w").cast("double") / F.col("__od").cast("double")
+    else:
+        out_deg = e.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("__od")
+        )
+        share = None
     ranks = nodes.withColumn(
         "rank", F.lit(1.0) / F.lit(float(n))
     ).localCheckpoint()
     for _ in range(int(iters)):
+        per_edge = (
+            (F.col("rank") * share)
+            if weight_col is not None
+            else (F.col("rank") / F.col("__od").cast("double"))
+        )
         contrib = (
             e.join(ranks.withColumnRenamed("node", "u"), "u")
             .join(out_deg.withColumnRenamed("node", "u"), "u")
             .select(
                 F.col("v").alias("node"),
-                (
-                    F.col("rank") / F.col("__od").cast("double")
-                ).cast("decimal(38,18)").alias("__c"),
+                per_edge.cast("decimal(38,18)").alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))

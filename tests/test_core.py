@@ -612,3 +612,33 @@ def test_asof_join_nearest_equal_ts_is_gap_zero(spark):
     )
     got = core.asof_join(L, R, on="t", direction="nearest").collect()[0]
     assert got["r_rid"] == 7
+
+
+def test_point_in_time_join_versions(spark):
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.ops import core
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "2024-01-01", "2024-02-01"),
+            (1, "v2", "2024-02-01", None),
+        ],
+        "k long, val string, valid_from string, valid_to string",
+    ).select(
+        "k", "val",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, "2024-01-15"), (11, 1, "2024-02-01"),
+         (12, 1, "2023-12-01"), (13, 2, "2024-01-15")],
+        "fid long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r["fid"]: r["r_val"] for r in core.point_in_time_join(
+        facts, dim, "ts", "k"
+    ).collect()}
+    assert got[10] == "v1"        # inside v1's interval
+    assert got[11] == "v2"        # boundary is half-open: v2 starts
+    assert got[12] is None        # before any version
+    assert got[13] is None        # unknown key, left-outer

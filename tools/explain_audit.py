@@ -488,6 +488,12 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "pit_join_orders_segment",
+        [(r"BroadcastHashJoin|SortMergeJoin", "equi-join on the key (range preds as filters)")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no theta explosion"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "gap_report_events",
         [(r"\bWindow\b", "lag over one key-partitioned window")],
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),

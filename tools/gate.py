@@ -73,6 +73,7 @@ EXACT_FAMILY = [
     "twap_events_user", "conversion_latency_events",
     "asof_nearest_events", "coalesce_intervals_events",
     "gap_report_events", "stream_gap_report",
+    "pit_join_orders_segment",
 ]
 
 
