@@ -8423,6 +8423,51 @@ def q_pit_join_orders_segment(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_column_diff_orders",
+    """
+    WITH newsnap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders),
+    j AS (SELECT o.o_orderkey,
+                 o.o_orderstatus AS os_old, n.o_orderstatus AS os_new,
+                 o.o_orderpriority AS op_old, n.o_orderpriority AS op_new
+          FROM orders o JOIN newsnap n USING (o_orderkey))
+    SELECT o_orderkey, 'o_orderstatus' AS col_name,
+           os_old AS old_value, os_new AS new_value
+    FROM j WHERE os_old IS DISTINCT FROM os_new
+    UNION ALL
+    SELECT o_orderkey, 'o_orderpriority',
+           op_old, op_new
+    FROM j WHERE op_old IS DISTINCT FROM op_new
+    """,
+)
+def q_cdc_column_diff_orders(spark, sf_dir):
+    # the snapshot re-landed with mutated statuses and nulled-out
+    # priorities: the diff names each changed CELL (null transitions
+    # included) — one equi-join + a map-only per-column explode
+    o = _t(spark, sf_dir, "orders")
+    mutated = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return core.cdc_column_diff(
+        o, mutated, "o_orderkey",
+        compare_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "stream_gap_report",
     "pagerank_weighted_supplier_part",
     "pit_join_orders_segment",
+    "cdc_column_diff_orders",
 ]
 
 

@@ -1669,3 +1669,64 @@ def point_in_time_join(
         *[left[c] for c in left.columns],
         *[F.col(f"{prefix}{c}") for c in payload],
     )
+
+
+def cdc_column_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Column-LEVEL change set between two snapshots: for every key
+    present in both, one row per column whose value changed, with the
+    old and new values rendered as strings — the human-auditable
+    complement to ``changed_rows`` (which answers "which rows", not
+    "what exactly moved").  NULL↔value transitions count as changes
+    (null-safe comparison).
+
+    Values render via CAST AS STRING: exact for
+    string/integer/decimal/date columns; float columns inherit the
+    engine's shortest-roundtrip rendering (fine for audit display —
+    compare floats numerically upstream if you need bitwise triage).
+
+    Scale shape: ONE inner equi-join on the keys, then a map-only
+    per-column explode of (col, old, new) triples filtered to
+    changes — never a shuffle per column.
+
+    Output: *keys, col_name, old_value, new_value."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in key_list and c in new.columns]
+    )
+    o = old.select(
+        *key_list, *[F.col(c).alias(f"__o_{c}") for c in cols]
+    )
+    n = new.select(
+        *key_list, *[F.col(c).alias(f"__n_{c}") for c in cols]
+    )
+    joined = o.join(n, key_list)
+    triples = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__o_{c}").cast("string").alias("old_value"),
+                F.col(f"__n_{c}").cast("string").alias("new_value"),
+                (
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+                ).alias("__chg"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        joined.select(*key_list, F.explode(triples).alias("__t"))
+        .filter(F.col("__t.__chg"))
+        .select(
+            *key_list,
+            F.col("__t.col_name").alias("col_name"),
+            F.col("__t.old_value").alias("old_value"),
+            F.col("__t.new_value").alias("new_value"),
+        )
+    )

@@ -642,3 +642,27 @@ def test_point_in_time_join_versions(spark):
     assert got[11] == "v2"        # boundary is half-open: v2 starts
     assert got[12] is None        # before any version
     assert got[13] is None        # unknown key, left-outer
+
+
+def test_cdc_column_diff_cells_and_null_transitions(spark):
+    from bubbles_spark.ops import core
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30)],
+        "k long, s string, x int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11), (2, "B", 20), (4, "d", 40)],
+        "k long, s string, x int",
+    )
+    got = sorted(
+        (r["k"], r["col_name"], r["old_value"], r["new_value"])
+        for r in core.cdc_column_diff(old, new, "k").collect()
+    )
+    # key 3 (removed) and key 4 (added) are out of scope here —
+    # added_keys/changed_rows cover membership; this names the cells
+    assert got == [
+        (1, "x", "10", "11"),
+        (2, "s", "b", "B"),
+        (2, "x", None, "20"),
+    ]

@@ -488,6 +488,15 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "cdc_column_diff_orders",
+        [
+            (r"BroadcastHashJoin|SortMergeJoin", "one equi-join on the key"),
+            (r"\bGenerate\b", "per-column triples explode map-only"),
+        ],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "pit_join_orders_segment",
         [(r"BroadcastHashJoin|SortMergeJoin", "equi-join on the key (range preds as filters)")],
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no theta explosion"),
