@@ -8468,6 +8468,59 @@ def q_cdc_column_diff_orders(spark, sf_dir):
     )
 
 
+@_q(
+    "one_hot_events_type",
+    """
+    SELECT event_id,
+           CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                AS INTEGER) AS event_type_view,
+           CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                AS INTEGER) AS event_type_click,
+           CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                AS INTEGER) AS event_type_purchase,
+           CAST(CASE WHEN event_type IN ('view', 'click', 'purchase')
+                THEN 0 ELSE 1 END AS INTEGER) AS event_type_other
+    FROM events
+    """,
+)
+def q_one_hot_events_type(spark, sf_dir):
+    # one-hot against a PINNED vocabulary (schema-deterministic across
+    # refreshes — the serving contract); unlisted types flag _other
+    from bubbles_spark.ops import reshape
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return reshape.one_hot(
+        e, "event_type", ["view", "click", "purchase"]
+    ).drop("event_type")
+
+
+@_q(
+    "top_values_orders_priority",
+    """
+    WITH c AS (SELECT CAST(o_orderpriority AS VARCHAR) AS value,
+                      COUNT(*) AS n
+               FROM orders GROUP BY 1),
+    t AS (SELECT SUM(n) AS tt FROM c),
+    r AS (SELECT value, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, value ASC) AS rank
+          FROM c)
+    SELECT value, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share,
+           CAST(rank AS INTEGER) AS rank
+    FROM r CROSS JOIN t WHERE rank <= 3
+    """,
+)
+def q_top_values_orders_priority(spark, sf_dir):
+    # value profiling with a deterministic (count DESC, value ASC)
+    # tie-break — stable ranks across runs and engines
+    from bubbles_spark.ops import audit as audit_mod
+
+    o = _t(spark, sf_dir, "orders")
+    return audit_mod.top_values(o, "o_orderpriority", k=3).select(
+        "value", "n", "share", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

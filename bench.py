@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "pagerank_weighted_supplier_part",
     "pit_join_orders_segment",
     "cdc_column_diff_orders",
+    "one_hot_events_type",
+    "top_values_orders_priority",
 ]
 
 

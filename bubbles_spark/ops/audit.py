@@ -514,3 +514,45 @@ def schema_drift_report(
         "old_nulls bigint, old_rows bigint, new_nulls bigint, "
         "new_rows bigint, old_null_rate double, new_null_rate double",
     )
+
+
+def top_values(
+    df: DataFrame, col: str, k: int = 10
+) -> DataFrame:
+    """Top-``k`` most frequent values of a column with exact counts
+    and shares — the first profiling question after ``basic_audit``
+    says a column has low cardinality ("what IS in there?"), and the
+    vocabulary miner for ``reshape.one_hot``.
+
+    Deterministic tie-break: (count DESC, value ASC) — ranks are
+    stable across runs and engines.  NULLs count as a value (shown
+    as NULL).  Scale: one keyed count (map-side partial) +
+    TakeOrdered for the top slice; shares divide by a 1-row
+    broadcast total.
+
+    Output: value (string-rendered), n, share, rank."""
+    if k < 1:
+        raise ValueError("top_values: need k >= 1")
+    counted = (
+        df.groupBy(F.col(col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counted.agg(F.sum("n").alias("__t"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("value").asc_nulls_last())
+    # the rank window runs over the COUNTED table (vocabulary-sized,
+    # already aggregated) — a single task over counts, not data
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "value",
+            "n",
+            (F.col("n").cast("double") / F.col("__t").cast("double")).alias(
+                "share"
+            ),
+            "rank",
+        )
+    )

@@ -144,3 +144,45 @@ def flatten_struct(
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)
+
+
+def one_hot(
+    df: DataFrame,
+    col: str,
+    categories: Sequence[str],
+    prefix: str | None = None,
+    other_col: bool = True,
+) -> DataFrame:
+    """One-hot encode a categorical column against an EXPLICIT
+    category list — the ML-feature transform, with the vocabulary
+    pinned by the caller (a data-derived vocabulary would make the
+    output schema nondeterministic across refreshes, which breaks
+    both serving contracts and oracle checks; mine the list once with
+    ``audit.top_values``).
+
+    Unlisted / NULL values set every indicator to 0 and (with
+    ``other_col``) flag ``{prefix}_other`` = 1.  Map-only codegen —
+    one CASE per category, no shuffle.
+
+    Output: input columns + ``{prefix}_{category}`` int indicators
+    (+ ``{prefix}_other``)."""
+    if not categories:
+        raise ValueError("one_hot: categories must be non-empty")
+    p = prefix if prefix is not None else col
+    c = F.col(col)
+    out = df
+    for cat in categories:
+        out = out.withColumn(
+            f"{p}_{cat}", (c == cat).cast("int")
+        )
+        # NULL == cat is NULL, not false — pin indicators to 0/1
+        out = out.withColumn(
+            f"{p}_{cat}", F.coalesce(F.col(f"{p}_{cat}"), F.lit(0))
+        )
+    if other_col:
+        known = c.isin(list(categories))
+        out = out.withColumn(
+            f"{p}_other",
+            F.when(known, F.lit(0)).otherwise(F.lit(1)).cast("int"),
+        )
+    return out

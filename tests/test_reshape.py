@@ -226,3 +226,22 @@ def test_flatten_struct_depth_cap(spark):
     )
     out = reshape.flatten_struct(df, max_depth=1)
     assert out.columns == ["s_x"]  # stops before y
+
+
+def test_one_hot_pinned_vocab_and_other(spark):
+    import pytest as _pytest
+
+    from bubbles_spark.ops import reshape
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz"), (4, None)],
+        "id long, c string",
+    )
+    got = {r["id"]: r for r in reshape.one_hot(df, "c", ["a", "b"]).collect()}
+    assert (got[1]["c_a"], got[1]["c_b"], got[1]["c_other"]) == (1, 0, 0)
+    assert (got[2]["c_a"], got[2]["c_b"], got[2]["c_other"]) == (0, 1, 0)
+    assert (got[3]["c_a"], got[3]["c_b"], got[3]["c_other"]) == (0, 0, 1)
+    # NULL: every indicator 0, flagged other
+    assert (got[4]["c_a"], got[4]["c_b"], got[4]["c_other"]) == (0, 0, 1)
+    with _pytest.raises(ValueError, match="categories"):
+        reshape.one_hot(df, "c", [])

@@ -271,3 +271,16 @@ def test_schema_drift_report_statuses(spark):
     assert got["x"]["old_nulls"] == 1 and got["x"]["old_null_rate"] == 0.5
     assert got["flag"]["status"] == "added" and got["flag"]["old_rows"] is None
     assert got["flag"]["new_nulls"] == 0 and got["flag"]["new_rows"] == 2
+
+
+def test_top_values_tie_break_and_nulls(spark):
+    from bubbles_spark.ops import audit
+
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",), (None,)], "v string"
+    )
+    got = audit.top_values(df, "v", k=3).collect()
+    ranked = [(r["rank"], r["value"], r["n"]) for r in got]
+    # count desc, value asc: a(2) before b(2); null counts as a value
+    assert ranked == [(1, "a", 2), (2, "b", 2), (3, "c", 1)]
+    assert got[0]["share"] == 2.0 / 6.0

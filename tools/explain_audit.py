@@ -488,6 +488,18 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "one_hot_events_type",
+        [(r"ReadSchema: struct<event_id:bigint,event_type:string", "scan prunes to id+type")],
+        [(r"Exchange", "map-only - no shuffle"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "top_values_orders_priority",
+        [(r"Functions \[\d+\]: \[partial_count", "value counts partial-aggregate map-side")],
+        [(r"CartesianProduct", "total is a 1-row broadcast"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "cdc_column_diff_orders",
         [
             (r"BroadcastHashJoin|SortMergeJoin", "one equi-join on the key"),
