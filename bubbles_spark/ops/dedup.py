@@ -350,89 +350,127 @@ def connected_components(
     step that turns pairwise near-dup hits into DUP CLUSTERS (chain
     a~b, b~c ⇒ {a,b,c} even when a and c never matched directly).
 
-    Min-label propagation WITH pointer jumping: each round every node
-    takes the smallest label among itself and its neighbors, then
-    shortcuts to its label's label (path halving) — O(log diameter)
-    rounds, so both shallow near-dup clusters (diameter ≤ ~5) and
-    pathological chains (a 10k-link same-name chain appeared for real
-    at sf0.1) converge well inside the cap.  Each round is one
-    shuffle of (node, label) edges plus a label-table-sized
-    self-join; ``localCheckpoint`` truncates lineage so round N's
-    plan does not replay rounds 1..N-1 (the classic iterative-Spark
-    trap).  Convergence is detected with a count of changed labels
-    (one cheap action per round); raises after ``max_iter`` rather
-    than returning a wrong (unconverged) answer.
+    Hooking + pointer jumping (the Shiloach–Vishkin shape): each
+    round every node proposes the min label among itself and its
+    neighbors, each label-tree ROOT adopts the min proposal from its
+    whole tree (the hook — this is what merges components in one
+    round instead of flooding the min one graph hop at a time), then
+    pointer closure re-points every node at its new root.  O(log n)
+    rounds on any graph — plain min-label relaxing needs O(diameter)
+    and a 13k-node fuzzy-name component at sf0.1 blew the cap.
+
+    Iteration state is HARD-CUT to parquet each round
+    (``spark.local.dir``-style temp, cleaned up on return): in this
+    Spark build ``localCheckpoint``/``checkpoint`` do NOT truncate
+    the RDD dependency DAG, so any loop whose rounds join two
+    derived frames builds a binary dependency TREE and the scheduler
+    walk doubles per round (measured: 0.25s → 54s by iteration 23 on
+    a 13k-row label table).  A parquet round-trip is a true cut —
+    constant 0.3s/round at that size — and on a cluster doubles as
+    durable iteration state.  Convergence is detected with a count
+    of changed labels; raises after ``max_iter`` rather than
+    returning a wrong (unconverged) answer.
     """
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("u").alias("node_id"))
-        .distinct()
-        .withColumn("component", F.col("node_id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["v"] == labels["node_id"])
-            .groupBy(F.col("u").alias("node_id"))
-            .agg(F.min("component").alias("__nmin"))
+    import shutil
+    import tempfile
+
+    spark = pairs.sparkSession
+    workdir = tempfile.mkdtemp(prefix="bubbles_cc_")
+    seq = [0]
+
+    def cut(df: DataFrame) -> DataFrame:
+        seq[0] += 1
+        p = f"{workdir}/s{seq[0]}"
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    try:
+        edges = cut(
+            pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+            .distinct()
         )
-        relaxed = labels.join(neighbor_min, "node_id", "left").select(
-            "node_id",
-            F.least(
-                F.col("component"), F.coalesce("__nmin", F.col("component"))
-            ).alias("component"),
+        labels = cut(
+            edges.select(F.col("u").alias("node_id"))
+            .distinct()
+            .withColumn("component", F.col("node_id"))
         )
-        # pointer-jumping (path shortcutting): component ← its
-        # component's component.  Neighbor-min alone needs O(diameter)
-        # rounds — a 10k-link name chain blows any fixed cap (hit for
-        # real at sf0.1 in bench) — the jump halves every path, so the
-        # combined loop converges in O(log diameter).  One extra
-        # label-table self-join per round, label-table-sized.
-        jumped = (
-            relaxed.alias("a")
-            .join(
-                relaxed.select(
-                    F.col("node_id").alias("component"),
-                    F.col("component").alias("__cc"),
-                ).alias("b"),
-                "component",
-                "left",
+
+        def closure(lbl: DataFrame) -> DataFrame:
+            # node → its label's label, until stable (log(tree depth))
+            for _ in range(64):
+                nxt = cut(
+                    lbl.join(
+                        lbl.select(
+                            F.col("node_id").alias("component"),
+                            F.col("component").alias("__cc"),
+                        ),
+                        "component",
+                        "left",
+                    ).select(
+                        "node_id",
+                        F.least(
+                            F.col("component"),
+                            F.coalesce("__cc", F.col("component")),
+                        ).alias("component"),
+                        (
+                            F.coalesce("__cc", F.col("component"))
+                            < F.col("component")
+                        ).alias("__j"),
+                    )
+                )
+                moved = nxt.filter(F.col("__j")).count()
+                lbl = nxt.drop("__j")
+                if moved == 0:
+                    return lbl
+            raise RuntimeError("pointer closure did not stabilize")
+
+        for _ in range(max_iter):
+            nmin = (
+                edges.join(labels, edges["v"] == labels["node_id"])
+                .groupBy(F.col("u").alias("node_id"))
+                .agg(F.min("component").alias("__nmin"))
             )
-            .select(
+            cand = labels.join(nmin, "node_id", "left").select(
                 "node_id",
+                F.col("component").alias("__root"),
                 F.least(
-                    F.col("component"), F.coalesce("__cc", F.col("component"))
-                ).alias("component"),
+                    F.col("component"), F.coalesce("__nmin", F.col("component"))
+                ).alias("__cand"),
             )
+            # hook: every tree adopts the min proposal seen anywhere
+            # in the tree (keyed agg on the current root)
+            tree_min = cand.groupBy(F.col("__root").alias("component")).agg(
+                F.min("__cand").alias("__m")
+            )
+            relabeled = cut(
+                labels.join(tree_min, "component")
+                .select("node_id", F.col("__m").alias("component"))
+            )
+            closed = closure(relabeled)
+            updated = cut(
+                closed.join(
+                    labels.select(
+                        "node_id", F.col("component").alias("__old")
+                    ),
+                    "node_id",
+                ).select(
+                    "node_id",
+                    "component",
+                    (F.col("component") < F.col("__old")).alias("__chg"),
+                )
+            )
+            changed = updated.filter(F.col("__chg")).count()
+            labels = updated.drop("__chg")
+            if changed == 0:
+                # materialize the result off the temp dir before cleanup
+                return labels.localCheckpoint()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "pathologically deep cluster chain; raise max_iter"
         )
-        updated = (
-            jumped.alias("n")
-            .join(
-                labels.select(
-                    "node_id", F.col("component").alias("__old")
-                ),
-                "node_id",
-            )
-            .select(
-                "node_id",
-                "component",
-                (F.col("component") < F.col("__old")).alias("__chg"),
-            )
-        ).localCheckpoint()
-        changed = updated.filter(F.col("__chg")).count()
-        labels = updated.drop("__chg")
-        if changed == 0:
-            edges.unpersist()
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "pathologically deep cluster chain; raise max_iter"
-    )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 def dup_clusters(
