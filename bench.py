@@ -207,16 +207,25 @@ def main() -> int:
     run("flagship_revenue_by_nation")
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             print(f"# skip {name}: not registered", file=sys.stderr)
             continue
-        cold = run(name)
-        # report the SECOND run: per-query codegen/JIT compiles on the
-        # first execution and is a one-time cost a long-lived cluster
-        # never pays again — steady-state is the 100 TB regime
-        times[name] = round(run(name), 3)
-        print(f"# {name}: {times[name]}s (cold {cold:.1f}s)", file=sys.stderr)
+        # one failing query must not void the whole timing vector
+        # (a CC non-convergence at sf0.1 once killed the entire run
+        # and the driver recorded nothing)
+        try:
+            cold = run(name)
+            # report the SECOND run: per-query codegen/JIT compiles on
+            # the first execution and is a one-time cost a long-lived
+            # cluster never pays again — steady-state is the 100 TB
+            # regime
+            times[name] = round(run(name), 3)
+            print(f"# {name}: {times[name]}s (cold {cold:.1f}s)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -236,6 +245,8 @@ def main() -> int:
         "queries": times,
         "sf": sf,
     }
+    if errors:
+        full["errors"] = errors
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_results.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
