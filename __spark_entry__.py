@@ -8521,6 +8521,50 @@ def q_top_values_orders_priority(spark, sf_dir):
     )
 
 
+@_q(
+    "gains_table_events",
+    """
+    WITH t AS (SELECT value AS s,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS y,
+                      event_id AS id
+               FROM events WHERE value IS NOT NULL),
+    nn AS (SELECT COUNT(*) AS n FROM t),
+    r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rn FROM t),
+    b AS (SELECT CAST(((rn - 1) * 10) // nn.n AS BIGINT) + 1 AS bucket, y
+          FROM r CROSS JOIN nn),
+    per AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(y) AS BIGINT) AS n_events
+            FROM b GROUP BY 1),
+    tot AS (SELECT SUM(n_rows) AS tr, SUM(n_events) AS te FROM per),
+    c AS (SELECT bucket, n_rows, n_events,
+                 SUM(n_rows) OVER (ORDER BY bucket) AS cum_rows,
+                 SUM(n_events) OVER (ORDER BY bucket) AS cum_events
+          FROM per)
+    SELECT bucket, n_rows, n_events,
+           CAST(n_events AS DOUBLE) / CAST(n_rows AS DOUBLE) AS event_rate,
+           CAST(cum_rows AS BIGINT) AS cum_rows,
+           CAST(cum_events AS BIGINT) AS cum_events,
+           CAST(cum_events AS DOUBLE) / CAST(te AS DOUBLE) AS cum_capture,
+           (CAST(cum_events AS DOUBLE) / CAST(cum_rows AS DOUBLE))
+             / (CAST(te AS DOUBLE) / CAST(tr AS DOUBLE)) AS lift
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_gains_table_events(spark, sf_dir):
+    # decile gains/lift: does a high `value` capture purchases?  The
+    # event_id tiebreak makes bucket membership a TOTAL order, bucket
+    # cuts are integer DIV — every column bit-reproducible
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    labeled = e.select(
+        "event_id", "value",
+        (F.col("event_type") == "purchase").cast("int").alias("lab"),
+    )
+    return drift.gains_table(labeled, "value", "lab", "event_id", n_buckets=10)
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

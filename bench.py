@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "cdc_column_diff_orders",
     "one_hot_events_type",
     "top_values_orders_priority",
+    "gains_table_events",
 ]
 
 

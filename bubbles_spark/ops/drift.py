@@ -40,6 +40,7 @@ __all__ = [
     "woe_iv",
     "target_encode",
     "chi_square_report",
+    "gains_table",
 ]
 
 
@@ -863,4 +864,89 @@ def chi_square_report(
             e.alias("expected"),
             ((o - e) * (o - e) / e).alias("chi2_cell"),
         )
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table — the model-quality report next
+    to ``auc_score``/``calibration_report``: rank the population by
+    score descending, cut into ``n_buckets`` equal-depth buckets, and
+    report per-bucket and cumulative event capture plus lift over the
+    base rate ("the top decile captures 4.2× its share of events").
+
+    ``id_col`` breaks score ties into a TOTAL order — without it,
+    tied scores straddling a bucket boundary would land in
+    run-dependent buckets and the whole table would be unstable.
+    Bucket assignment is pure integer arithmetic on the global rank
+    (``floor((rn−1)·k/n)``), counts are exact BIGINTs, rates/lift are
+    fixed IEEE steps — bit-reproducible.
+
+    Scale: one two-phase global ranking pass
+    (``core._with_global_row_number`` — never a single-task window
+    over data), one keyed count; the cumulative window runs over the
+    ``n_buckets``-row aggregate only.
+
+    Output: bucket, n_rows, n_events, event_rate, cum_rows,
+    cum_events, cum_capture, lift."""
+    if n_buckets < 1:
+        raise ValueError("gains_table: need n_buckets >= 1")
+    lab = F.col(label_col).cast("bigint")
+    base = df.filter(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.col(score_col).alias("__s"), lab.alias("__y"), F.col(id_col).alias("__id")
+    )
+    # descending score via negation (exact for IEEE doubles), id tiebreak
+    ranked = _with_global_row_number(
+        base.withColumn("__ns", -F.col("__s")), ["__ns", "__id"]
+    )
+    n = ranked.count()
+    if n == 0:
+        raise ValueError("gains_table: no scorable rows")
+    k = int(n_buckets)
+    # integer DIV, not a double division + cast: a float quotient can
+    # round UP across an integer boundary and flip a boundary row's
+    # bucket differently per engine
+    bucket = F.expr(f"CAST(((__rn - 1) * {k}) DIV {n} AS BIGINT) + 1")
+    per = (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__y").alias("n_events"),
+        )
+    )
+    # the cumulative window runs over ≤ n_buckets rows — bucket-sized
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("__tr"), F.sum("n_events").alias("__te")
+    )
+    cum_rows = F.sum("n_rows").over(w)
+    cum_events = F.sum("n_events").over(w)
+    capture = cum_events.cast("double") / F.col("__te").cast("double")
+    lift = (
+        cum_events.cast("double") / cum_rows.cast("double")
+    ) / (F.col("__te").cast("double") / F.col("__tr").cast("double"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_rows",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (
+                F.col("n_events").cast("double") / F.col("n_rows").cast("double")
+            ).alias("event_rate"),
+            cum_rows.cast("bigint").alias("cum_rows"),
+            cum_events.cast("bigint").alias("cum_events"),
+            capture.alias("cum_capture"),
+            lift.alias("lift"),
+        )
+        .orderBy("bucket")
     )

@@ -763,3 +763,29 @@ def test_chi_square_report_exact_cells(spark):
     e = (40.0 * 45.0) / 100.0
     assert cell["expected"] == e
     assert cell["chi2_cell"] == (30.0 - e) * (30.0 - e) / e
+
+
+def test_gains_table_exact_deciles(spark):
+    # 20 rows, scores 20..1, events on the top 5 scores -> first two
+    # quintile buckets capture everything
+    rows = [(i, float(21 - i), 1 if i <= 5 else 0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    got = {r["bucket"]: r for r in drift.gains_table(
+        df, "s", "y", "id", n_buckets=5
+    ).collect()}
+    assert [got[b]["n_rows"] for b in range(1, 6)] == [4] * 5
+    assert [got[b]["n_events"] for b in range(1, 6)] == [4, 1, 0, 0, 0]
+    assert got[1]["event_rate"] == 1.0
+    assert got[2]["cum_events"] == 5 and got[2]["cum_capture"] == 1.0
+    # top bucket lift = (4/4)/(5/20) = 4x
+    assert got[1]["lift"] == (4.0 / 4.0) / (5.0 / 20.0)
+
+
+def test_gains_table_tie_break_total_order(spark):
+    # all scores equal: buckets cut purely by id order - deterministic
+    rows = [(i, 1.0, 1 if i <= 2 else 0) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id long, s double, y int")
+    got = {r["bucket"]: r["n_events"] for r in drift.gains_table(
+        df, "s", "y", "id", n_buckets=2
+    ).collect()}
+    assert got == {1: 2, 2: 0}

@@ -488,6 +488,11 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "gains_table_events",
+        [(r"Functions \[\d+\]: \[partial_", "bucket counts partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "one_hot_events_type",
         [(r"ReadSchema: struct<event_id:bigint,event_type:string", "scan prunes to id+type")],
         [(r"Exchange", "map-only - no shuffle"),
