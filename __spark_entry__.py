@@ -8565,6 +8565,36 @@ def q_gains_table_events(spark, sf_dir):
     return drift.gains_table(labeled, "value", "lab", "event_id", n_buckets=10)
 
 
+@_q(
+    "reading_level_docs",
+    f"""
+    SELECT doc_id,
+           CAST({_NTOK_SQL} AS BIGINT) AS n_words,
+           CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+', 0)), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(GREATEST(len(regexp_extract_all({_NORM_SQL}, '[aeiouy]+', 0)),
+                         {_NTOK_SQL}) AS BIGINT) AS n_syllables,
+           CASE WHEN {_NTOK_SQL} > 0 THEN
+             CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE)
+               * (CAST({_NTOK_SQL} AS DOUBLE)
+                  / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+', 0)),
+                                  1) AS DOUBLE))
+             - CAST(84.6 AS DOUBLE)
+               * (CAST(GREATEST(len(regexp_extract_all({_NORM_SQL},
+                                    '[aeiouy]+', 0)), {_NTOK_SQL}) AS DOUBLE)
+                  / CAST({_NTOK_SQL} AS DOUBLE))
+           END AS flesch
+    FROM documents
+    """,
+)
+def q_reading_level_docs(spark, sf_dir):
+    # Flesch reading ease: polynomial formula over exact regex counts
+    # — the whole report (score included) is bit-exact cross-engine
+    d = _t(spark, sf_dir, "documents")
+    return textan.reading_level(d)
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "one_hot_events_type",
     "top_values_orders_priority",
     "gains_table_events",
+    "reading_level_docs",
 ]
 
 

@@ -1206,3 +1206,56 @@ def collocations(
             "total_bigrams", F.log(ratio).alias("pmi"),
         )
     )
+
+
+def reading_level(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease estimate per document — the classic
+    text-difficulty screen for training-mix curation (pair with
+    ``quality_score``; prose around 60–70, academic text below 30):
+
+        flesch = 206.835 − 1.015·(words/sentences)
+                         − 84.6·(syllables/words)
+
+    with the standard cheap proxies: words = whitespace tokens,
+    sentences = ``[.!?]+`` runs (min 1 so fragments still score),
+    syllables = vowel-group runs ``[aeiouy]+`` (min 1 per word).
+    All three are exact integer counts from codegen'd regex scans,
+    and the formula is polynomial — unlike the ln-crossing scores,
+    the WHOLE report is engine-exact.
+
+    Scale: map-only, no shuffle.  Output: id_col, n_words,
+    n_sentences, n_syllables, flesch (NULL for empty docs)."""
+    norm = _norm_ws(F.lower(F.col(text_col)))
+    n_words = _token_count(F.col(text_col)).cast("bigint")
+    n_sent = F.greatest(
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("bigint")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        norm.alias("__n"),
+    )
+    out = out.withColumn(
+        "n_syllables",
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(__n, '[aeiouy]+', 0)")),
+            F.col("n_words"),
+        ).cast("bigint"),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    flesch = F.when(
+        F.col("n_words") > 0,
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w),
+    )
+    return out.select(
+        id_col, "n_words", "n_sentences", "n_syllables",
+        flesch.alias("flesch"),
+    )

@@ -506,3 +506,20 @@ def test_collocations_counts_and_pinned_pmi(spark):
     assert (r["pair_count"], r["total_bigrams"]) == (2, 4)
     assert (r["w1_count"], r["w2_count"]) == (3, 3)  # unigram occurrences
     assert r["pmi"] == math.log((2.0 * 4.0) / (3.0 * 3.0))
+
+
+def test_reading_level_hand_computed(spark):
+    from bubbles_spark.ops import textan
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. It sat well!"), (2, ""), (3, "word")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textan.reading_level(docs).collect()}
+    r = got[1]
+    # words=6, sentences=2, vowel groups: e,a,a,i,a,e = 6
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    assert r["flesch"] == 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert got[2]["n_words"] == 0 and got[2]["flesch"] is None
+    # fragment: sentence floor of 1, syllable floor of n_words
+    assert got[3]["n_sentences"] == 1 and got[3]["n_syllables"] == 1

@@ -488,6 +488,12 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "reading_level_docs",
+        [(r"ReadSchema: struct<doc_id:bigint,text:string", "scan prunes to id+text")],
+        [(r"Exchange", "map-only - no shuffle"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "gains_table_events",
         [(r"Functions \[\d+\]: \[partial_", "bucket counts partial-aggregate map-side")],
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
