@@ -8595,6 +8595,34 @@ def q_reading_level_docs(spark, sf_dir):
     return textan.reading_level(d)
 
 
+@_q(
+    "pseudonymize_customer",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_name IS NOT NULL THEN
+             substring(sha256('k1' || chr(31) || CAST(c_name AS VARCHAR)),
+                       1, 16)
+           END AS c_name,
+           CASE WHEN c_mktsegment IS NOT NULL THEN
+             substring(sha256('k1' || chr(31)
+                              || CAST(c_mktsegment AS VARCHAR)), 1, 16)
+           END AS c_mktsegment,
+           c_nationkey
+    FROM customer
+    """,
+)
+def q_pseudonymize_customer(spark, sf_dir):
+    # keyed tokenization: names/segments become salt-deterministic
+    # sha2 prefixes - joinability preserved (equal values, equal
+    # tokens), identifier removed; NULLs stay NULL
+    from bubbles_spark.ops import privacy
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    return privacy.pseudonymize(c, ["c_name", "c_mktsegment"], salt="k1")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "top_values_orders_priority",
     "gains_table_events",
     "reading_level_docs",
+    "pseudonymize_customer",
 ]
 
 

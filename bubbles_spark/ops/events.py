@@ -1228,6 +1228,11 @@ def decompose_additive(
     Scale shape: one hash shuffle + one sort for the Window (per-key
     series sort within partitions), one keyed agg (≤ 168·keys rows)
     broadcast-joined back — no self-joins, no global sort.
+    Parallelism is bounded by the SERIES COUNT (a per-series moving
+    average is inherently sequential per key): with fewer series than
+    cores, pre-split long series into chunks overlapping by one
+    trend halfwidth and drop the warm-up edge, or accept the bounded
+    parallelism — at 100 TB you decompose many series, not one.
 
     Output: input rows + bucket, trend, seasonal, residual."""
     from bubbles_spark.ops.core import epoch_ms_wallclock

@@ -104,3 +104,43 @@ def l_diversity_report(
         ).cast("bigint").alias("violating_groups"),
         F.coalesce(F.min("__ndv") >= l, F.lit(True)).alias("l_diverse"),
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: Sequence[str],
+    salt: str,
+    length: int = 16,
+) -> DataFrame:
+    """Replace identifier columns with deterministic keyed
+    pseudonyms: ``sha2(salt ⊕ value, 256)`` truncated to ``length``
+    hex chars — the reversible-only-with-the-salt tokenization that
+    keeps JOINABILITY (equal values map to equal tokens, so keys
+    still link across tables sharing the salt) while removing the
+    identifier itself.  NULLs stay NULL (a pseudonym for "missing"
+    would fabricate a linkable value).
+
+    This is pseudonymization, not anonymization: whoever holds the
+    salt can replay the mapping, and group sizes are preserved — run
+    ``k_anonymity_report`` on the result before release.  Rotate the
+    salt per release to break cross-release linkage.
+
+    Map-only codegen, no shuffle.  Column types become string."""
+    if not cols:
+        raise ValueError("pseudonymize: cols must be non-empty")
+    if not 1 <= int(length) <= 64:
+        raise ValueError("pseudonymize: length must be in [1, 64]")
+    out = df
+    for c in cols:
+        token = F.substring(
+            F.sha2(
+                F.concat(F.lit(str(salt)), F.lit("\x1f"), F.col(c).cast("string")),
+                256,
+            ),
+            1,
+            int(length),
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), token)
+        )
+    return out

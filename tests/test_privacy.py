@@ -56,3 +56,24 @@ def test_reports_on_empty_input(spark):
     assert k["n_rows"] == 0 and k["k_anonymous"] is True
     d = privacy.l_diversity_report(e, ["zip"], "dx", l=2).first()
     assert d["n_groups"] == 0 and d["l_diverse"] is True
+
+
+def test_pseudonymize_deterministic_joinable_null_safe(spark):
+    import pytest as _pytest
+
+    from bubbles_spark.ops import privacy
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "alice"), (3, None)], "id long, name string"
+    )
+    got = {r["id"]: r["name"] for r in privacy.pseudonymize(
+        df, ["name"], salt="s1"
+    ).collect()}
+    assert got[1] == got[2] and len(got[1]) == 16   # joinable tokens
+    assert got[1] != "alice" and got[3] is None
+    other = {r["id"]: r["name"] for r in privacy.pseudonymize(
+        df, ["name"], salt="s2"
+    ).collect()}
+    assert other[1] != got[1]                        # salt rotation breaks linkage
+    with _pytest.raises(ValueError, match="cols"):
+        privacy.pseudonymize(df, [], salt="s")

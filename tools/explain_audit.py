@@ -488,6 +488,12 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "pseudonymize_customer",
+        [(r"Project", "map-only tokenization")],
+        [(r"Exchange", "no shuffle"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "reading_level_docs",
         [(r"ReadSchema: struct<doc_id:bigint,text:string", "scan prunes to id+text")],
         [(r"Exchange", "map-only - no shuffle"),

@@ -470,6 +470,35 @@ def main() -> int:
         )
         return graph.pagerank(e, iters=2)
 
+    def decompose_op(t):
+        # key cardinality fixed (event_type): per-key work grows k x
+        # with bounded parallelism - alpha ~1 is the honest expectation
+        from bubbles_spark.ops import events as ev
+
+        e = t["events"].select("event_id", "event_type", "ts", "value")
+        return ev.decompose_additive(
+            e, "ts", "value", key_col="event_type",
+            trend_halfwidth_seconds=43200,
+        )
+
+    def gains_table_op(t):
+        from bubbles_spark.ops import drift
+
+        e = t["events"].filter(F.col("value").isNotNull()).select(
+            "event_id", "value",
+            (F.col("event_type") == "purchase").cast("int").alias("lab"),
+        )
+        return drift.gains_table(e, "value", "lab", "event_id")
+
+    def hits_op(t):
+        from bubbles_spark.ops import graph
+
+        e = t["lineitem_items"].select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        return graph.hits_scores(e, iters=2)
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
@@ -488,6 +517,9 @@ def main() -> int:
         "frequent_pairs": frequent_pairs_op,
         "triangle_count": triangle_count_op,
         "pagerank": pagerank_op,
+        "decompose_additive": decompose_op,
+        "gains_table": gains_table_op,
+        "hits_scores": hits_op,
     }
 
     results = {}
