@@ -8623,6 +8623,30 @@ def q_pseudonymize_customer(spark, sf_dir):
     return privacy.pseudonymize(c, ["c_name", "c_mktsegment"], salt="k1")
 
 
+@_q(
+    "surrogate_key_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           substring(md5(COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL')
+                         || chr(31)
+                         || COALESCE(CAST(o_orderstatus AS VARCHAR),
+                                     chr(0) || 'NULL')),
+                     1, 16) AS sk
+    FROM orders
+    """,
+)
+def q_surrogate_key_orders(spark, sf_dir):
+    # run/engine-stable content-addressed key (no sequences, no
+    # monotonically_increasing_id) with explicit NULL sentinels —
+    # fact and dim builds key independently yet join
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    return core.surrogate_key(
+        o, ["o_custkey", "o_orderstatus"]
+    ).drop("o_orderstatus")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

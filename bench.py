@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "gains_table_events",
     "reading_level_docs",
     "pseudonymize_customer",
+    "surrogate_key_orders",
 ]
 
 

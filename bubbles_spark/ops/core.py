@@ -1730,3 +1730,52 @@ def cdc_column_diff(
             F.col("__t.new_value").alias("new_value"),
         )
     )
+
+
+def surrogate_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    key_col: str = "sk",
+    length: int = 16,
+) -> DataFrame:
+    """Content-addressed surrogate key from the natural key columns:
+    ``md5(col₁ ⊕ col₂ ⊕ …)`` truncated to ``length`` hex chars — the
+    dimensional-modeling key that is stable across runs, engines, and
+    reloads (no sequence, no monotonically_increasing_id — both are
+    run-dependent), so fact and dimension builds can key
+    independently and still join.
+
+    NULL components encode as an explicit sentinel BEFORE the
+    separator join (``concat_ws`` silently skips NULLs, which would
+    collide (NULL,'a') with ('a',NULL)).  16 hex chars = 64 bits:
+    birthday collisions at ~5×10⁹ keys — run
+    ``surrogate_key_collisions`` before trusting a new corpus size,
+    or raise ``length``.
+
+    Map-only codegen, no shuffle."""
+    if not cols:
+        raise ValueError("surrogate_key: cols must be non-empty")
+    if not 1 <= int(length) <= 32:
+        raise ValueError("surrogate_key: length must be in [1, 32]")
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols
+    ]
+    return df.withColumn(
+        key_col,
+        F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, int(length)),
+    )
+
+
+def surrogate_key_collisions(
+    df: DataFrame, cols: Sequence[str], key_col: str = "sk"
+) -> DataFrame:
+    """Collision audit for ``surrogate_key``: keys carried by MORE
+    than one distinct natural-key tuple.  One keyed
+    count-distinct — empty result = the key is injective on this
+    corpus.  Output: key_col, n_naturals."""
+    keyed = surrogate_key(df.select(*cols).distinct(), cols, key_col)
+    return (
+        keyed.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_naturals"))
+        .filter(F.col("n_naturals") > 1)
+    )

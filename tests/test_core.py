@@ -666,3 +666,23 @@ def test_cdc_column_diff_cells_and_null_transitions(spark):
         (2, "s", "b", "B"),
         (2, "x", None, "20"),
     ]
+
+
+def test_surrogate_key_stable_and_null_safe(spark):
+    import pytest as _pytest
+
+    from bubbles_spark.ops import core
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"), (3, "a", None)],
+        "id long, x string, y string",
+    )
+    got = {r["id"]: r["sk"] for r in core.surrogate_key(
+        df, ["x", "y"]
+    ).collect()}
+    assert got[1] == got[3] and len(got[1]) == 16
+    # (NULL,'a') must NOT collide with ('a',NULL)
+    assert got[1] != got[2]
+    assert core.surrogate_key_collisions(df, ["x", "y"]).count() == 0
+    with _pytest.raises(ValueError, match="cols"):
+        core.surrogate_key(df, [])

@@ -488,6 +488,12 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "surrogate_key_orders",
+        [(r"Project", "map-only keying")],
+        [(r"Exchange", "no shuffle"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "pseudonymize_customer",
         [(r"Project", "map-only tokenization")],
         [(r"Exchange", "no shuffle"),
