@@ -8647,6 +8647,126 @@ def q_surrogate_key_orders(spark, sf_dir):
     ).drop("o_orderstatus")
 
 
+@_q(
+    "rfm_segments_events",
+    """
+    WITH agg AS (
+      SELECT user_id AS id,
+             CAST(DATEDIFF('day', MAX(CAST(ts AS DATE)),
+                           DATE '2024-03-01') AS INTEGER) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0)
+                  AS DECIMAL(18,2)) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM agg),
+    r AS (SELECT id,
+                 ROW_NUMBER() OVER (ORDER BY recency_days, id) AS rr,
+                 ROW_NUMBER() OVER (ORDER BY frequency DESC, id) AS rf,
+                 ROW_NUMBER() OVER (ORDER BY monetary DESC, id) AS rm
+          FROM agg)
+    SELECT a.id, a.recency_days, a.frequency, a.monetary,
+           CAST(5 - ((r.rr - 1) * 5) // nn.n AS INTEGER) AS r_score,
+           CAST(5 - ((r.rf - 1) * 5) // nn.n AS INTEGER) AS f_score,
+           CAST(5 - ((r.rm - 1) * 5) // nn.n AS INTEGER) AS m_score,
+           CAST((5 - ((r.rr - 1) * 5) // nn.n) * 100
+                + (5 - ((r.rf - 1) * 5) // nn.n) * 10
+                + (5 - ((r.rm - 1) * 5) // nn.n) AS INTEGER) AS rfm_cell
+    FROM agg a JOIN r USING (id) CROSS JOIN nn
+    """,
+)
+def q_rfm_segments_events(spark, sf_dir):
+    # RFM over purchase events: integer day recency (NTZ day space),
+    # BIGINT frequency, DECIMAL monetary, scores from a total-order
+    # two-phase rank cut by integer division — bit-exact end to end
+    from bubbles_spark.ops import insights
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return insights.rfm_segments(
+        e, "user_id", "ts", "value", ref_date="2024-03-01", n_bins=5
+    )
+
+
+@_q(
+    "lorenz_orders_totalprice",
+    """
+    WITH t AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                      o_orderkey AS id
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM t),
+    b AS (SELECT ((rn - 1) * 10) // nn.n + 1 AS bucket, v
+          FROM r CROSS JOIN nn),
+    per AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(v) AS DECIMAL(18,2)) AS bucket_value
+            FROM b GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tn,
+                   CAST(SUM(bucket_value) AS DECIMAL(18,2)) AS tv FROM per),
+    c AS (SELECT bucket, n_rows, bucket_value,
+                 CAST(SUM(n_rows) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_rows,
+                 CAST(SUM(bucket_value) OVER (ORDER BY bucket)
+                      AS DECIMAL(18,2)) AS cum_value
+          FROM per)
+    SELECT bucket, n_rows, bucket_value, cum_rows, cum_value,
+           CAST(cum_rows AS DOUBLE) / CAST(tn AS DOUBLE) AS cum_pop_share,
+           CAST(cum_value AS DOUBLE) / CAST(tv AS DOUBLE) AS cum_value_share
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_lorenz_orders_totalprice(spark, sf_dir):
+    # revenue-concentration deciles: DECIMAL value sums, total-order
+    # rank (orderkey tiebreak), integer-DIV cuts; the two share
+    # columns are each ONE IEEE division of exact operands
+    from bubbles_spark.ops import insights
+
+    o = _t(spark, sf_dir, "orders")
+    return insights.lorenz_curve(
+        o, "o_totalprice", "o_orderkey", n_buckets=10
+    )
+
+
+@_q(
+    "km_risk_table_events",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                           MAX(CAST(ts AS DATE))) AS BIGINT) AS t,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS ev
+      FROM events GROUP BY 1),
+    per AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS n_event,
+                   CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+            FROM per_user GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_event + n_censored) AS BIGINT) AS total
+            FROM per),
+    c AS (SELECT t, n_event, n_censored,
+                 SUM(n_event + n_censored) OVER (ORDER BY t)
+                   - (n_event + n_censored) AS gone
+          FROM per)
+    SELECT c.t, CAST(tot.total - c.gone AS BIGINT) AS n_risk,
+           c.n_event, c.n_censored
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_km_risk_table_events(spark, sf_dir):
+    # Kaplan-Meier risk table: duration = days from a user's first to
+    # last event, event = ever purchased (else right-censored).  The
+    # oracle compares the exact BIGINT columns; the product-limit
+    # `survival` double is engine-order-dependent (window product
+    # association), so it is asserted in pytest, not hashed here
+    from bubbles_spark.ops import insights
+
+    e = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(F.max(day), F.min(day)).cast("bigint").alias("dur"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("ev"),
+    )
+    return insights.km_risk_table(per_user, "dur", "ev").drop("survival")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -192,6 +192,9 @@ BENCH_QUERIES = [
     "reading_level_docs",
     "pseudonymize_customer",
     "surrogate_key_orders",
+    "rfm_segments_events",
+    "lorenz_orders_totalprice",
+    "km_risk_table_events",
 ]
 
 

@@ -41,7 +41,7 @@ from bubbles_spark.ops.text import (
     transliterate,
 )
 from bubbles_spark.ops.audit import basic_audit, infer_types
-from bubbles_spark.ops import affinity, dedup, drift, events, graph, privacy, sketch, textan, textprep, vector, multimodal
+from bubbles_spark.ops import affinity, dedup, drift, events, graph, insights, privacy, sketch, textan, textprep, vector, multimodal
 
 __all__ = [
     "added_keys",
@@ -67,6 +67,7 @@ __all__ = [
     "filter_not_empty",
     "histogram",
     "infer_types",
+    "insights",
     "fuzzy_join",
     "graph",
     "join_details",

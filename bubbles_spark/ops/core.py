@@ -30,8 +30,17 @@ def shuffle_partitions(spark, default: int | None = None) -> int:
     """``spark.sql.shuffle.partitions`` as an int, surviving platforms
     where the conf is non-numeric (e.g. 'auto' under auto-optimized
     shuffle) — fall back to the cluster's default parallelism, the
-    right partition count for a range-partitioned two-phase pass."""
-    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
+    right partition count for a range-partitioned two-phase pass.
+
+    No explicit fallback string to ``conf.get``: Spark 4.1 TYPE-CHECKS
+    the supplied default against the conf's declared type and throws
+    on a vanilla session (``INVALID_CONF_VALUE.TYPE_MISMATCH`` for
+    ``""``) — ask for the conf's own default instead and catch
+    whatever a managed platform does to the getter."""
+    try:
+        raw = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        raw = None
     try:
         return int(raw)
     except (TypeError, ValueError):

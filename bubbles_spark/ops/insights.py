@@ -1,0 +1,256 @@
+"""Customer / population analytics: RFM segmentation, value
+concentration (Lorenz), and survival (Kaplan-Meier).
+
+The questions every warehouse team asks of an events/orders corpus —
+"who are my best customers?", "how concentrated is revenue?", "how
+long until users convert or churn?" — answered as exact,
+engine-portable DataFrame ops.
+
+Reference scope: Stiivi/bubbles ships nothing comparable (SURVEY.md
+§2.6 stops at audits); these are §2.14 north-star extension rows in
+the same exactness discipline as ops/drift.py: counts and ranks are
+integers, money stays DECIMAL end-to-end, every emitted double is a
+fixed sequence of IEEE steps on exact operands, and every global
+ranking is the two-phase range-partitioned pass — never a single-task
+window over data.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bubbles_spark.ops.core import _with_global_row_number
+
+__all__ = [
+    "rfm_segments",
+    "lorenz_curve",
+    "km_risk_table",
+]
+
+
+def _idiv(a, b):
+    """Integer floor-division of non-negative Columns.  Spark's ``/``
+    on integers is IEEE double division; floor of it is exact while
+    the numerator stays under 2^53 — ranks×bins here, fine for any
+    realistic population (and the same expression a SQL mirror's
+    ``//`` computes)."""
+    return F.floor(a / b).cast("bigint")
+
+
+def rfm_segments(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    amount_col: str,
+    ref_date: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-value grid: per entity, days since last activity, total
+    activity count, and total spend, each scored into ``n_bins``
+    equal-depth bins (best = ``n_bins``), plus the combined cell
+    (``r·100 + f·10 + m`` for the default 5 bins).
+
+    Exactness: recency is an integer DAY difference in the timestamp
+    column's own wall-clock space (NTZ-safe — no session-zone cast);
+    monetary sums in DECIMAL (never a float sum); scores come from a
+    total-order global rank (``id_col`` tiebreak) cut by integer
+    division — every output column is bit-reproducible.
+
+    Scale: one keyed aggregate over the raw events (map-side partial),
+    then three two-phase global rankings over the *per-entity* table
+    (customer-sized, orders of magnitude smaller than the input; each
+    pass is a range-repartition + in-partition sort, never a
+    single-task window).  ``ref_date`` is an explicit parameter — a
+    hidden ``current_date()`` would make refreshes irreproducible.
+
+    Output: id, recency_days (int), frequency (bigint), monetary
+    (decimal(18,2)), r_score / f_score / m_score (int), rfm_cell
+    (int).  Rows with NULL amount count toward frequency/recency but
+    add nothing to monetary."""
+    if n_bins < 1:
+        raise ValueError("rfm_segments: need n_bins >= 1")
+    day = F.col(ts_col).cast("date")
+    agg = df.groupBy(F.col(id_col).alias("id")).agg(
+        F.datediff(F.lit(ref_date).cast("date"), F.max(day))
+        .cast("int")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.coalesce(
+            F.sum(F.col(amount_col).cast("decimal(18,2)")), F.lit(0)
+        )
+        .cast("decimal(18,2)")
+        .alias("monetary"),
+    )
+    n = agg.count()
+    if n == 0:
+        raise ValueError("rfm_segments: no rows")
+
+    def score(frame: DataFrame, order_col, out: str) -> DataFrame:
+        ranked = _with_global_row_number(
+            frame.withColumn("__o", order_col), ["__o", "id"]
+        )
+        # best-first rank → score n_bins..1 via integer cut
+        s = (
+            F.lit(n_bins)
+            - _idiv((F.col("__rn").cast("bigint") - 1) * n_bins, F.lit(n))
+        ).cast("int")
+        return ranked.withColumn(out, s).drop("__o", "__rn")
+
+    # recency: smaller = more recent = better; frequency/monetary:
+    # larger = better (negation keeps one ascending rank pass each)
+    scored = score(agg, F.col("recency_days"), "r_score")
+    scored = score(scored, -F.col("frequency"), "f_score")
+    scored = score(scored, -F.col("monetary"), "m_score")
+    # decimal cell (e.g. 543) while scores fit a digit, else base-(k+1)
+    base = 10 if n_bins <= 9 else n_bins + 1
+    return scored.withColumn(
+        "rfm_cell",
+        F.col("r_score") * (base * base)
+        + F.col("f_score") * base
+        + F.col("m_score"),
+    )
+
+
+def lorenz_curve(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Value-concentration (Lorenz) table — "the bottom 50% of
+    customers hold 9% of revenue": rank the population by value
+    ascending, cut into ``n_buckets`` equal-depth buckets, and report
+    per-bucket and cumulative value alongside the population share.
+    The diagonal-vs-curve gap IS the Gini picture; the table keeps the
+    exact decimals so the caller can compute any index variant.
+
+    Complements ``drift.gains_table`` (label capture by model score);
+    this is value mass by the value itself.
+
+    Exactness: values sum in DECIMAL(18,2) (exact for 2-dp sources),
+    shares are ONE IEEE division of exact operands each
+    (decimal→double casts stay under the ~15-16 significant-digit
+    budget while cumulative cents < 2^53 — at larger corpus scale
+    pre-aggregate per entity first).  ``id_col`` tie-breaks equal
+    values into a TOTAL order so bucket membership is stable.
+
+    Scale: one two-phase global ranking (never a single-task window
+    over data), one keyed count; the cumulative window runs over the
+    ``n_buckets``-row aggregate only.
+
+    Output: bucket, n_rows, bucket_value, cum_rows, cum_value,
+    cum_pop_share, cum_value_share."""
+    if n_buckets < 1:
+        raise ValueError("lorenz_curve: need n_buckets >= 1")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+        F.col(id_col).alias("__id"),
+    )
+    ranked = _with_global_row_number(base, ["__v", "__id"])
+    n = ranked.count()
+    if n == 0:
+        raise ValueError("lorenz_curve: no rows")
+    bucket = (
+        _idiv((F.col("__rn").cast("bigint") - 1) * n_buckets, F.lit(n)) + 1
+    ).alias("bucket")
+    per = (
+        ranked.select(bucket, "__v")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("__v").cast("decimal(18,2)").alias("bucket_value"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_rows").cast("bigint").alias("__tn"),
+        F.sum("bucket_value").cast("decimal(18,2)").alias("__tv"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_rows", F.sum("n_rows").over(w).cast("bigint"))
+        .withColumn(
+            "cum_value", F.sum("bucket_value").over(w).cast("decimal(18,2)")
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "bucket_value",
+            "cum_rows",
+            "cum_value",
+            (
+                F.col("cum_rows").cast("double") / F.col("__tn").cast("double")
+            ).alias("cum_pop_share"),
+            (
+                F.col("cum_value").cast("double") / F.col("__tv").cast("double")
+            ).alias("cum_value_share"),
+        )
+    )
+
+
+def km_risk_table(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Kaplan-Meier risk table + product-limit survival estimate —
+    time-to-event analysis (conversion latency, churn, failure) with
+    right-censoring: per observed duration ``t``, the number still at
+    risk, events, censorings, and the KM survival estimate
+    ``S(t) = Π_{u≤t} (1 − d_u / n_u)``.
+
+    ``duration_col`` is an integer time-to-event (e.g. days);
+    ``event_col`` is 1 when the event was observed, 0 when the subject
+    was censored at that duration.  Optional ``by`` columns give one
+    curve per group (treatment arms, cohorts).
+
+    Exactness: the risk table is pure BIGINT arithmetic (counts and a
+    cumulative sum); each survival factor is ONE IEEE division and the
+    running product multiplies in strict duration order
+    (``F.product`` over an ordered frame) — deterministic across runs.
+    Cross-engine note: a SQL mirror reproduces the integer columns
+    bit-exactly; the *product* column depends on the engine's window
+    product association order, so oracle comparisons should check the
+    exact ``n_risk/n_event/n_censored`` columns (the factors) and
+    treat ``survival`` as derived.
+
+    Scale: one keyed count per (group, duration) — map-side partial —
+    then windows over the *aggregated* duration table only (distinct
+    durations per group, not rows).
+
+    Output: ``by...``, t, n_risk, n_event, n_censored, survival."""
+    by = list(by)
+    g = [F.col(c) for c in by]
+    t = F.col(duration_col).cast("bigint").alias("t")
+    ev = F.col(event_col).cast("int")
+    per = (
+        df.filter(F.col(duration_col).isNotNull() & ev.isNotNull())
+        .groupBy(*g, t)
+        .agg(
+            F.sum(ev).cast("bigint").alias("n_event"),
+            F.sum(1 - ev).cast("bigint").alias("n_censored"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(*by).orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    leaving = F.col("n_event") + F.col("n_censored")
+    out = (
+        per.withColumn("__total", F.sum(leaving).over(wtot))
+        .withColumn("__gone", F.sum(leaving).over(wcum) - leaving)
+        .withColumn("n_risk", (F.col("__total") - F.col("__gone")).cast("bigint"))
+        .withColumn(
+            "__factor",
+            F.lit(1.0)
+            - F.col("n_event").cast("double") / F.col("n_risk").cast("double"),
+        )
+        .withColumn("survival", F.product("__factor").over(wcum))
+    )
+    return out.select(*by, "t", "n_risk", "n_event", "n_censored", "survival")

@@ -500,6 +500,21 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "rfm_segments_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-entity aggregate partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "lorenz_orders_totalprice",
+        [(r"Functions \[\d+\]: \[partial_", "bucket sums partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "km_risk_table_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-duration counts partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "reading_level_docs",
         [(r"ReadSchema: struct<doc_id:bigint,text:string", "scan prunes to id+text")],
         [(r"Exchange", "map-only - no shuffle"),
