@@ -8767,6 +8767,148 @@ def q_km_risk_table_events(spark, sf_dir):
     return insights.km_risk_table(per_user, "dur", "ev").drop("survival")
 
 
+@_q(
+    "join_cardinality_lineitem_partkey",
+    """
+    WITH lc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_left
+                FROM lineitem GROUP BY 1),
+         rc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_right
+                FROM lineitem GROUP BY 1),
+         j AS (SELECT lc.l_partkey, lc.n_left, rc.n_right,
+                      CAST(CAST(lc.n_left AS DECIMAL(19,0))
+                           * CAST(rc.n_right AS DECIMAL(19,0))
+                           AS DECIMAL(38,0)) AS n_out
+               FROM lc JOIN rc USING (l_partkey))
+    SELECT l_partkey, n_left, n_right, n_out
+    FROM j ORDER BY n_out DESC, l_partkey LIMIT 20
+    """,
+)
+def q_join_cardinality_lineitem_partkey(spark, sf_dir):
+    # pre-join blow-up audit of a lineitem⋈lineitem on partkey: the
+    # top-20 keys by exact output contribution (BIGINT counts,
+    # DECIMAL product); total (n_out DESC, key ASC) order makes the
+    # LIMIT boundary deterministic
+    li = _t(spark, sf_dir, "lineitem")
+    return audit_ops.join_cardinality_audit(li, li, ["l_partkey"], k=20)
+
+
+@_q(
+    "ab_test_events_purchase",
+    """
+    WITH u AS (SELECT user_id,
+                      CASE WHEN user_id % 3 = 0 THEN 'control'
+                           WHEN user_id % 3 = 1 THEN 'blue'
+                           ELSE 'green' END AS variant,
+                      MAX(CASE WHEN event_type = 'purchase'
+                                    AND value >= 35 THEN 1 ELSE 0 END) AS s
+               FROM events GROUP BY 1),
+    per AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(s) AS BIGINT) AS conv
+            FROM u GROUP BY 1),
+    c AS (SELECT n AS n_control, conv AS conv_control
+          FROM per WHERE variant = 'control')
+    SELECT p.variant, c.n_control, c.conv_control,
+           p.n AS n_variant, p.conv AS conv_variant,
+           CAST(c.conv_control AS DOUBLE) / CAST(c.n_control AS DOUBLE)
+             AS rate_control,
+           CAST(p.conv AS DOUBLE) / CAST(p.n AS DOUBLE) AS rate_variant,
+           CAST(p.conv AS DOUBLE) / CAST(p.n AS DOUBLE)
+             - CAST(c.conv_control AS DOUBLE) / CAST(c.n_control AS DOUBLE)
+             AS abs_lift,
+           (CAST(p.conv AS DOUBLE) / CAST(p.n AS DOUBLE)
+             - CAST(c.conv_control AS DOUBLE) / CAST(c.n_control AS DOUBLE))
+           / SQRT(
+               (CAST(c.conv_control + p.conv AS DOUBLE)
+                / CAST(c.n_control + p.n AS DOUBLE))
+               * (CAST(1 AS DOUBLE)
+                  - CAST(c.conv_control + p.conv AS DOUBLE)
+                    / CAST(c.n_control + p.n AS DOUBLE))
+               * (CAST(1 AS DOUBLE) / CAST(c.n_control AS DOUBLE)
+                  + CAST(1 AS DOUBLE) / CAST(p.n AS DOUBLE))
+             ) AS z_score
+    FROM per p CROSS JOIN c WHERE p.variant <> 'control'
+    """,
+)
+def q_ab_test_events_purchase(spark, sf_dir):
+    # per-USER conversion (a HIGH-VALUE purchase — "any purchase" is
+    # degenerate here: every user has one, pooled rate 1, se 0) under
+    # a deterministic user_id%3 assignment; z-score is divisions +
+    # one sqrt (both IEEE-correctly-rounded) on exact counts —
+    # bit-reproducible
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 35),
+                1,
+            ).otherwise(0)
+        ).alias("s")
+    )
+    variant = (
+        F.when(F.col("user_id") % 3 == 0, "control")
+        .when(F.col("user_id") % 3 == 1, "blue")
+        .otherwise("green")
+        .alias("variant")
+    )
+    return drift.ab_test_report(
+        u.select(variant, "s"), "variant", "s", control="control"
+    )
+
+
+@_q(
+    "cumulative_distinct_events",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+    f AS (SELECT user_id, MIN(day) AS day FROM d GROUP BY 1),
+    n AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_entities
+          FROM f GROUP BY 1),
+    s AS (SELECT DISTINCT day FROM d)
+    SELECT s.day,
+           CAST(COALESCE(n.new_entities, 0) AS BIGINT) AS new_entities,
+           CAST(SUM(COALESCE(n.new_entities, 0)) OVER (ORDER BY s.day)
+                AS BIGINT) AS cum_entities
+    FROM s LEFT JOIN n USING (day)
+    """,
+)
+def q_cumulative_distinct_events(spark, sf_dir):
+    # audience-growth curve: first-seen min(day) per user turns
+    # cumulative-DISTINCT into cumulative-SUM over the days-sized
+    # aggregate — no windowed COUNT(DISTINCT) state
+    e = _t(spark, sf_dir, "events")
+    return events.cumulative_distinct(e, "ts", "user_id")
+
+
+@_q(
+    "grid_distance_pairs_customer",
+    """
+    WITH p AS (SELECT c_custkey AS id,
+                      (c_custkey * 2654435761) % 200 AS x,
+                      (c_custkey * 40503) % 200 AS y
+               FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25
+    """,
+)
+def q_grid_distance_pairs_customer(spark, sf_dir):
+    # proximity self-join on a deterministic synthetic plane (integer
+    # hash-scatter of custkey): the ORACLE is the brute-force theta
+    # join, the ENGINE is the 3×3 grid-bucketed equi-join — same
+    # pairs, no cartesian; dist_sq stays integer-exact
+    from bubbles_spark.ops import spatial
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 2654435761) % 200).alias("x"),
+        ((F.col("c_custkey") * 40503) % 200).alias("y"),
+    )
+    return spatial.grid_distance_join(pts, "id", "x", "y", radius=5.0)
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     "rfm_segments_events",
     "lorenz_orders_totalprice",
     "km_risk_table_events",
+    "join_cardinality_lineitem_partkey",
+    "ab_test_events_purchase",
+    "cumulative_distinct_events",
+    "grid_distance_pairs_customer",
 ]
 
 

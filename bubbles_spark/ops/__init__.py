@@ -41,7 +41,7 @@ from bubbles_spark.ops.text import (
     transliterate,
 )
 from bubbles_spark.ops.audit import basic_audit, infer_types
-from bubbles_spark.ops import affinity, dedup, drift, events, graph, insights, privacy, sketch, textan, textprep, vector, multimodal
+from bubbles_spark.ops import affinity, dedup, drift, events, graph, insights, privacy, sketch, spatial, textan, textprep, vector, multimodal
 
 __all__ = [
     "added_keys",
@@ -79,6 +79,7 @@ __all__ = [
     "scd2_merge",
     "sketch",
     "sort",
+    "spatial",
     "unpivot",
     "zscore_normalize",
     "split_date",

@@ -556,3 +556,54 @@ def top_values(
             "rank",
         )
     )
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Pre-join blow-up audit — run BEFORE an expensive join to find
+    the hot keys that would explode it: per join key, the
+    multiplicity on each side and the exact number of output rows the
+    inner join would produce for that key (``n_left · n_right``),
+    top-``k`` by output contribution.
+
+    The question it answers at 100 TB: "is this join safe, or is one
+    key about to produce 10^11 rows?"  Feeds directly into
+    ``core.salted_join`` (salt exactly the keys this report surfaces).
+
+    Exactness: counts are BIGINT, the product is DECIMAL(38,0) (two
+    billion-row sides would overflow BIGINT), and the top-k order is
+    total (``n_out`` DESC, then the key columns ASC) so the LIMIT
+    boundary is deterministic.
+
+    Scale: one map-side-combined keyed count per side (NULL keys
+    dropped — they never join), an equi-join of the two *count*
+    tables (key-cardinality-sized, not data-sized), and a TakeOrdered
+    top-k — no global sort.
+
+    Output: ``on...``, n_left, n_right, n_out."""
+    from bubbles_spark.ops.core import top_k
+
+    on = list(on)
+    if not on:
+        raise ValueError("join_cardinality_audit: need join columns")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.na.drop(subset=on)
+            .groupBy(*on)
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    j = counts(left, "n_left").join(counts(right, "n_right"), on)
+    out = j.withColumn(
+        "n_out",
+        (
+            F.col("n_left").cast("decimal(19,0)")
+            * F.col("n_right").cast("decimal(19,0)")
+        ).cast("decimal(38,0)"),
+    )
+    return top_k(out, [("n_out", "desc")] + on, k)

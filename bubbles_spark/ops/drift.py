@@ -41,6 +41,7 @@ __all__ = [
     "target_encode",
     "chi_square_report",
     "gains_table",
+    "ab_test_report",
 ]
 
 
@@ -949,4 +950,85 @@ def gains_table(
             lift.alias("lift"),
         )
         .orderBy("bucket")
+    )
+
+
+def ab_test_report(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    control: str,
+) -> DataFrame:
+    """Two-proportion z-test per experiment arm vs the control — the
+    conversion-experiment readout: for each non-control variant, both
+    arms' exact counts, conversion rates, the absolute lift, and the
+    pooled-variance z-score.
+
+    Exactness: counts are BIGINT; every float is a fixed sequence of
+    IEEE-correctly-rounded steps (divisions, one sqrt — sqrt IS
+    required correctly rounded by IEEE-754) on exact operands, written
+    identically in the SQL mirror — bit-reproducible.  Significance
+    thresholds (1.96, 2.58…) are the caller's to apply; emitting the
+    z-score, not a verdict, keeps the report engine-portable (normal
+    CDF evaluation is NOT correctly rounded).
+
+    Scale: one map-side-combined keyed count over the input, then a
+    1-row broadcast of the control arm against the (#variants)-row
+    aggregate — nothing data-sized past the first aggregate.
+
+    Degenerate variance (pooled rate 0 or 1 — nobody or everybody
+    converts) has no defined z-score: emitted as NULL rather than an
+    ANSI division-by-zero error / an engine-dependent NaN-vs-Inf.
+
+    Output: variant, n_control, conv_control, n_variant,
+    conv_variant, rate_control, rate_variant, abs_lift, z_score."""
+    s = F.col(success_col).cast("int")
+    per = (
+        df.filter(F.col(variant_col).isNotNull() & s.isNotNull())
+        .groupBy(F.col(variant_col).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(s).cast("bigint").alias("conv"),
+        )
+    )
+    ctrl = (
+        per.filter(F.col("variant") == control)
+        .select(
+            F.col("n").alias("n_control"),
+            F.col("conv").alias("conv_control"),
+        )
+    )
+    rc = F.col("conv_control").cast("double") / F.col("n_control").cast("double")
+    rv = F.col("conv_variant").cast("double") / F.col("n_variant").cast("double")
+    pooled = (
+        (F.col("conv_control") + F.col("conv_variant")).cast("double")
+        / (F.col("n_control") + F.col("n_variant")).cast("double")
+    )
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_control").cast("double")
+            + F.lit(1.0) / F.col("n_variant").cast("double")
+        )
+    )
+    return (
+        per.filter(F.col("variant") != control)
+        .select(
+            "variant",
+            F.col("n").alias("n_variant"),
+            F.col("conv").alias("conv_variant"),
+        )
+        .crossJoin(F.broadcast(ctrl))
+        .select(
+            "variant",
+            "n_control",
+            "conv_control",
+            "n_variant",
+            "conv_variant",
+            rc.alias("rate_control"),
+            rv.alias("rate_variant"),
+            (rv - rc).alias("abs_lift"),
+            F.when(se > 0, (rv - rc) / se).alias("z_score"),
+        )
     )

@@ -1478,3 +1478,44 @@ def gap_report(
             (F.col("__ms") - F.col("__prev_ms")).cast("bigint").alias("gap_ms"),
         )
     )
+
+
+def cumulative_distinct(
+    df: DataFrame, ts_col: str, id_col: str
+) -> DataFrame:
+    """Daily audience growth — per day, how many entities appeared for
+    the FIRST time, and the cumulative distinct count to date.  The
+    "distinct users ever" curve a naive windowed COUNT(DISTINCT)
+    cannot compute scalably (its state grows with the full id set per
+    window frame).
+
+    The first-seen trick makes it one pass: min(day) per entity, then
+    a keyed count per first-day, then a running sum over the per-DAY
+    aggregate — cumulative-distinct becomes cumulative-SUM, carrying
+    #days rows instead of #ids state.  Day truncation happens in the
+    timestamp's own wall-clock space (NTZ-safe DATE cast, no
+    session-zone shift).
+
+    Scale: one groupBy(id) (map-side partial min), one keyed count;
+    the ordered window runs over the days-sized aggregate only.
+    Days with activity but no NEW entities still appear (new = 0) via
+    the distinct-day spine, so the cumulative series is complete for
+    every active day.
+
+    Output: day (date), new_entities, cum_entities."""
+    day = F.col(ts_col).cast("date")
+    firsts = (
+        df.groupBy(F.col(id_col).alias("__id"))
+        .agg(F.min(day).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_entities"))
+    )
+    spine = df.select(day.alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(firsts, "day", "left")
+        .withColumn(
+            "new_entities", F.coalesce(F.col("new_entities"), F.lit(0).cast("bigint"))
+        )
+        .withColumn("cum_entities", F.sum("new_entities").over(w).cast("bigint"))
+    )

@@ -101,3 +101,89 @@ def test_km_grouped_curves_independent(spark):
     assert b[1]["n_risk"] == 2 and b[1]["n_event"] == 0
     assert b[5]["n_risk"] == 1 and b[5]["n_event"] == 1
     assert b[5]["survival"] == pytest.approx(0.0, abs=0)
+
+
+def test_grid_distance_join_matches_bruteforce(spark):
+    from bubbles_spark.ops import spatial
+
+    pts = [(i, (i * 37) % 50, (i * 91) % 50) for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r["id_a"], r["id_b"], r["dist_sq"])
+        for r in spatial.grid_distance_join(df, "id", "x", "y", 7.0).collect()
+    }
+    want = set()
+    for i, xi, yi in pts:
+        for j, xj, yj in pts:
+            if i < j and (xi - xj) ** 2 + (yi - yj) ** 2 <= 49:
+                want.add((i, j, (xi - xj) ** 2 + (yi - yj) ** 2))
+    assert got == want
+
+
+def test_grid_distance_join_negative_coords(spark):
+    from bubbles_spark.ops import spatial
+
+    df = spark.createDataFrame(
+        [(1, -3, -3), (2, -1, -1), (3, 10, 10)], "id long, x long, y long"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           spatial.grid_distance_join(df, "id", "x", "y", 3.0).collect()}
+    assert got == {(1, 2)}
+
+
+def test_join_cardinality_audit_products(spark):
+    from bubbles_spark.ops import audit
+
+    left = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), (None,)], "k string"
+    )
+    right = spark.createDataFrame([("a",), ("b",), ("b",), (None,)], "k string")
+    rows = {r["k"]: r for r in
+            audit.join_cardinality_audit(left, right, ["k"], k=10).collect()}
+    assert int(rows["a"]["n_out"]) == 3 and int(rows["b"]["n_out"]) == 2
+    assert None not in rows  # NULL keys never join
+
+
+def test_ab_test_z_and_degenerate(spark):
+    from bubbles_spark.ops import drift
+
+    rows = [("control", 1)] * 30 + [("control", 0)] * 70
+    rows += [("t1", 1)] * 50 + [("t1", 0)] * 50
+    rows += [("t2", 1)] * 100  # everyone converts -> se=0 vs control? no:
+    # pooled(control,t2) is 130/200, se>0; make t3 the degenerate pair
+    df = spark.createDataFrame(rows, "variant string, s int")
+    out = {r["variant"]: r for r in
+           drift.ab_test_report(df, "variant", "s", "control").collect()}
+    r = out["t1"]
+    assert r["n_control"] == 100 and r["conv_variant"] == 50
+    import math
+    p = (30 + 50) / 200.0
+    se = math.sqrt(p * (1 - p) * (1 / 100.0 + 1 / 100.0))
+    assert r["z_score"] == pytest.approx((0.5 - 0.3) / se, rel=1e-15)
+
+    both_one = spark.createDataFrame(
+        [("control", 1)] * 5 + [("x", 1)] * 5, "variant string, s int"
+    )
+    z = drift.ab_test_report(both_one, "variant", "s", "control").collect()[0]
+    assert z["z_score"] is None  # zero pooled variance -> NULL, not error
+
+
+def test_cumulative_distinct_first_seen(spark):
+    from bubbles_spark.ops import events as ev
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", 1),
+            ("2024-01-01 11:00:00", 2),
+            ("2024-01-02 10:00:00", 1),  # returning only -> new=0
+            ("2024-01-03 10:00:00", 3),
+        ],
+        "ts string, uid long",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {str(r["day"]): r for r in
+           ev.cumulative_distinct(df, "ts", "uid").collect()}
+    assert out["2024-01-01"]["new_entities"] == 2
+    assert out["2024-01-02"]["new_entities"] == 0
+    assert out["2024-01-02"]["cum_entities"] == 2
+    assert out["2024-01-03"]["cum_entities"] == 3

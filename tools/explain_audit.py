@@ -515,6 +515,30 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "join_cardinality_lineitem_partkey",
+        [(r"Functions \[\d+\]: \[partial_", "per-side counts partial map-side"),
+         (r"TakeOrderedAndProject", "top-k never global-sorts")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "ab_test_events_purchase",
+        [(r"Functions \[\d+\]: \[partial_", "keyed counts partial map-side"),
+         (r"BroadcastExchange", "1-row control arm broadcast")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "cumulative_distinct_events",
+        [(r"Functions \[\d+\]: \[partial_", "first-seen min partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "grid_distance_pairs_customer",
+        [(r"keys \[\d+\]: \[__cx", "cell-key equi-join, not a theta join")],
+        [(r"CartesianProduct", "no cartesian"),
+         (r"BroadcastNestedLoopJoin", "no NL join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "reading_level_docs",
         [(r"ReadSchema: struct<doc_id:bigint,text:string", "scan prunes to id+text")],
         [(r"Exchange", "map-only - no shuffle"),
