@@ -8909,6 +8909,125 @@ def q_grid_distance_pairs_customer(spark, sf_dir):
     return spatial.grid_distance_join(pts, "id", "x", "y", radius=5.0)
 
 
+@_q(
+    "ewma_events_value",
+    """
+    WITH RECURSIVE base AS (
+      SELECT event_id, ts, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT event_id, ts, user_id, value, rn, value AS lvl
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.ts, b.user_id, b.value, b.rn,
+             (CAST(1 AS DOUBLE) - CAST(0.25 AS DOUBLE)) * r.lvl
+               + CAST(0.25 AS DOUBLE) * b.value
+      FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT event_id, ts, user_id, value, lvl AS ewma FROM r
+    """,
+)
+def q_ewma_events_value(spark, sf_dir):
+    # per-user exponential smoothing; the oracle replays the SAME
+    # recurrence via RECURSIVE CTE — (1-α)·l + α·x is bit-identical
+    # per step (verified: pandas ewm(adjust=False) == explicit loop
+    # == DuckDB recursion, 500-step bitwise), full hash incl. ewma
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    return events.ewma(
+        e, "user_id", "ts", "value", alpha=0.25, tiebreak_col="event_id"
+    )
+
+
+@_q(
+    "expectations_customer",
+    """
+    SELECT 'key_unique' AS rule, 'unique' AS kind,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_checked,
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM customer
+                  GROUP BY c_custkey HAVING COUNT(*) > 1) d) AS n_violations,
+           (SELECT COALESCE(SUM(n), 0)
+            FROM (SELECT COUNT(*) AS n FROM customer
+                  GROUP BY c_custkey HAVING COUNT(*) > 1) d) = 0 AS passed
+    UNION ALL
+    SELECT 'name_not_null', 'not_null',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) - COUNT(c_name) AS BIGINT) FROM customer),
+           (SELECT COUNT(*) - COUNT(c_name) FROM customer) = 0
+    UNION ALL
+    SELECT 'segment_known', 'in_set',
+           (SELECT CAST(COUNT(c_mktsegment) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+              ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD')),
+           (SELECT COUNT(*) FROM customer
+            WHERE c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+              ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD'))
+             = 0
+    UNION ALL
+    SELECT 'acctbal_nonneg', 'in_range',
+           (SELECT CAST(COUNT(c_acctbal) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_acctbal IS NOT NULL
+              AND (c_acctbal < 0 OR c_acctbal > 10000)),
+           (SELECT COUNT(*) FROM customer
+            WHERE c_acctbal IS NOT NULL
+              AND (c_acctbal < 0 OR c_acctbal > 10000)) = 0
+    UNION ALL
+    SELECT 'name_format', 'matches',
+           (SELECT CAST(COUNT(c_name) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_name IS NOT NULL
+              AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')),
+           (SELECT COUNT(*) FROM customer
+            WHERE c_name IS NOT NULL
+              AND NOT regexp_matches(c_name, '^Customer#[0-9]+$')) = 0
+    """,
+)
+def q_expectations_customer(spark, sf_dir):
+    # the publish-gate contract: five expectations in one report —
+    # per-value rules fold into ONE aggregate pass, the unique rule
+    # adds one keyed count; 'acctbal_nonneg' genuinely fails (TPC-H
+    # balances go negative), proving violations are counted, not
+    # just asserted
+    c = _t(spark, sf_dir, "customer")
+    return audit_ops.expectations_report(
+        c,
+        [
+            {"name": "key_unique", "kind": "unique", "cols": ["c_custkey"]},
+            {"name": "name_not_null", "kind": "not_null", "col": "c_name"},
+            {
+                "name": "segment_known",
+                "kind": "in_set",
+                "col": "c_mktsegment",
+                "values": [
+                    "AUTOMOBILE",
+                    "BUILDING",
+                    "FURNITURE",
+                    "MACHINERY",
+                    "HOUSEHOLD",
+                ],
+            },
+            {
+                "name": "acctbal_nonneg",
+                "kind": "in_range",
+                "col": "c_acctbal",
+                "lo": 0,
+                "hi": 10000,
+            },
+            {
+                "name": "name_format",
+                "kind": "matches",
+                "col": "c_name",
+                "pattern": "^Customer#[0-9]+$",
+            },
+        ],
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "ab_test_events_purchase",
     "cumulative_distinct_events",
     "grid_distance_pairs_customer",
+    "ewma_events_value",
+    "expectations_customer",
 ]
 
 

@@ -607,3 +607,111 @@ def join_cardinality_audit(
         ).cast("decimal(38,0)"),
     )
     return top_k(out, [("n_out", "desc")] + on, k)
+
+
+def expectations_report(
+    df: DataFrame, rules: Sequence[dict]
+) -> DataFrame:
+    """Declarative data-quality expectation suite — the contract gate
+    a pipeline runs before publishing a table: each rule checks one
+    expectation and the report says exactly how many rows violate it.
+
+    Rules are dicts with ``name``, ``kind``, and kind-specific keys:
+
+    - ``{"kind": "not_null", "col": c}`` — NULLs are violations
+    - ``{"kind": "unique", "cols": [c, ...]}`` — rows in duplicate
+      key groups (group size > 1) are violations; NULL-keyed rows are
+      grouped by value like SQL GROUP BY
+    - ``{"kind": "in_set", "col": c, "values": [...]}`` — non-NULL
+      values outside the set
+    - ``{"kind": "in_range", "col": c, "lo": x, "hi": y}`` — non-NULL
+      values outside [lo, hi]
+    - ``{"kind": "matches", "col": c, "pattern": r}`` — non-NULL
+      values not rlike-matching the (RE2-portable) pattern
+
+    Per-value kinds treat NULL as "not checked" (pair them with an
+    explicit not_null rule — the great-expectations convention), so
+    each rule isolates ONE failure mode.
+
+    Scale: all per-value rules fold into ONE aggregate pass over the
+    input (conditional counts, map-side partial); each unique rule
+    adds one keyed count whose second pass runs over the duplicate
+    GROUPS only.  The report is len(rules) rows.
+
+    Output: rule, kind, n_checked, n_violations, passed."""
+    if not rules:
+        raise ValueError("expectations_report: need at least one rule")
+    agg_exprs: list = []
+    meta: list[tuple[str, str]] = []  # (name, kind) in agg order
+    unique_rules: list[dict] = []
+    for i, r in enumerate(rules):
+        kind = r.get("kind")
+        name = r.get("name") or f"rule_{i}"
+        if kind == "unique":
+            unique_rules.append(dict(r, name=name))
+            continue
+        if kind == "not_null":
+            checked = F.lit(True)
+            violated = F.col(r["col"]).isNull()
+        elif kind == "in_set":
+            checked = F.col(r["col"]).isNotNull()
+            violated = checked & ~F.col(r["col"]).isin(list(r["values"]))
+        elif kind == "in_range":
+            c = F.col(r["col"])
+            checked = c.isNotNull()
+            violated = checked & ((c < F.lit(r["lo"])) | (c > F.lit(r["hi"])))
+        elif kind == "matches":
+            c = F.col(r["col"])
+            checked = c.isNotNull()
+            violated = checked & ~c.rlike(r["pattern"])
+        else:
+            raise ValueError(f"expectations_report: unknown kind {kind!r}")
+        agg_exprs.append(
+            F.sum(F.when(checked, 1).otherwise(0)).cast("bigint").alias(f"c{i}")
+        )
+        agg_exprs.append(
+            F.sum(F.when(violated, 1).otherwise(0)).cast("bigint").alias(f"v{i}")
+        )
+        meta.append((name, kind, i))
+
+    parts: list[DataFrame] = []
+    if meta:
+        counts = df.agg(*agg_exprs)
+        rows = []
+        for name, kind, i in meta:
+            rows.append(
+                counts.select(
+                    F.lit(name).alias("rule"),
+                    F.lit(kind).alias("kind"),
+                    F.coalesce(F.col(f"c{i}"), F.lit(0)).alias("n_checked"),
+                    F.coalesce(F.col(f"v{i}"), F.lit(0)).alias("n_violations"),
+                )
+            )
+        scalar = rows[0]
+        for r2 in rows[1:]:
+            scalar = scalar.unionAll(r2)
+        parts.append(scalar)
+    for r in unique_rules:
+        cols = list(r["cols"])
+        groups = df.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n")
+        )
+        stat = groups.agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_checked"),
+            F.coalesce(
+                F.sum(F.when(F.col("__n") > 1, F.col("__n")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_violations"),
+        ).select(
+            F.lit(r["name"]).alias("rule"),
+            F.lit("unique").alias("kind"),
+            "n_checked",
+            "n_violations",
+        )
+        parts.append(stat)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.withColumn("passed", F.col("n_violations") == 0)

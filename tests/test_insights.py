@@ -187,3 +187,63 @@ def test_cumulative_distinct_first_seen(spark):
     assert out["2024-01-02"]["new_entities"] == 0
     assert out["2024-01-02"]["cum_entities"] == 2
     assert out["2024-01-03"]["cum_entities"] == 3
+
+
+def test_ewma_matches_explicit_loop(spark):
+    from bubbles_spark.ops import events as ev
+
+    xs = [3.17, 9.42, 0.55, 7.01, 2.2, 8.88]
+    rows = [("k", i, float(x)) for i, x in enumerate(xs)]
+    rows += [("j", 0, 5.0), ("j", 1, None)]  # NULL dropped, not poisoned
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = ev.ewma(df, "k", "t", "v", alpha=0.3, tiebreak_col="t")
+    got = {(r["k"], r["t"]): r["ewma"] for r in out.collect()}
+    lvl = xs[0]
+    expect = [lvl]
+    for x in xs[1:]:
+        lvl = (1 - 0.3) * lvl + 0.3 * x
+        expect.append(lvl)
+    for i, e in enumerate(expect):
+        assert got[("k", i)] == e  # bitwise
+    assert got[("j", 0)] == 5.0 and ("j", 1) not in got
+
+
+def test_ewma_alpha_validation(spark):
+    from bubbles_spark.ops import events as ev
+
+    df = spark.createDataFrame([("k", 0, 1.0)], "k string, t long, v double")
+    with pytest.raises(ValueError):
+        ev.ewma(df, "k", "t", "v", alpha=0.0)
+
+
+def test_expectations_report_counts(spark):
+    from bubbles_spark.ops import audit
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", -2.0), (2, None, 50.0), (3, "zz", 7.0)],
+        "id long, s string, v double",
+    )
+    out = {r["rule"]: r for r in audit.expectations_report(
+        df,
+        [
+            {"name": "u", "kind": "unique", "cols": ["id"]},
+            {"name": "nn", "kind": "not_null", "col": "s"},
+            {"name": "set", "kind": "in_set", "col": "s", "values": ["a", "b"]},
+            {"name": "rng", "kind": "in_range", "col": "v", "lo": 0, "hi": 10},
+            {"name": "fmt", "kind": "matches", "col": "s", "pattern": "^[ab]$"},
+        ],
+    ).collect()}
+    assert out["u"]["n_checked"] == 4 and out["u"]["n_violations"] == 2
+    assert out["nn"]["n_violations"] == 1 and not out["nn"]["passed"]
+    # NULL not checked by per-value rules
+    assert out["set"]["n_checked"] == 3 and out["set"]["n_violations"] == 1
+    assert out["rng"]["n_violations"] == 2  # -2 and 50
+    assert out["fmt"]["n_violations"] == 1  # "zz"
+
+
+def test_expectations_unknown_kind(spark):
+    from bubbles_spark.ops import audit
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        audit.expectations_report(df, [{"kind": "nope", "col": "id"}])

@@ -532,6 +532,17 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "ewma_events_value",
+        [(r"FlatMapGroupsInPandas|MapInPandas", "honest Arrow seam for the recurrence"),
+         (r"ReadSchema: struct<event_id:bigint,ts:timestamp", "scan prunes to the 4 used columns")],
+        [],
+    ),
+    (
+        "expectations_customer",
+        [(r"Functions \[\d+\]: \[partial_", "conditional counts partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "grid_distance_pairs_customer",
         [(r"keys \[\d+\]: \[__cx", "cell-key equi-join, not a theta join")],
         [(r"CartesianProduct", "no cartesian"),
