@@ -9028,6 +9028,116 @@ def q_expectations_customer(spark, sf_dir):
     )
 
 
+@_q(
+    "holt_forecast_events",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT user_id, rn, cnt, value AS lvl, CAST(0 AS DOUBLE) AS trd
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn, b.cnt,
+             CAST(0.5 AS DOUBLE) * b.value
+               + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+                 * (r.lvl + r.trd),
+             CAST(0.25 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * b.value
+                   + (CAST(1 AS DOUBLE) - CAST(0.5 AS DOUBLE))
+                     * (r.lvl + r.trd)) - r.lvl)
+               + (CAST(1 AS DOUBLE) - CAST(0.25 AS DOUBLE)) * r.trd
+      FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT user_id, CAST(cnt AS BIGINT) AS n_obs, lvl AS level, trd AS trend,
+           lvl + CAST(7 AS DOUBLE) * trd AS forecast
+    FROM r WHERE rn = cnt
+    """,
+)
+def q_holt_forecast_events(spark, sf_dir):
+    # Holt level+trend per user, 7-step forecast; the oracle replays
+    # the coupled recurrences via RECURSIVE CTE with the SAME IEEE
+    # expression shapes — full hash incl. level/trend/forecast
+    e = _t(spark, sf_dir, "events")
+    return events.holt_forecast(
+        e, "user_id", "ts", "value",
+        alpha=0.5, beta=0.25, horizon=7, tiebreak_col="event_id",
+    )
+
+
+@_q(
+    "linear_trend_user_daily",
+    """
+    WITH d AS (SELECT user_id,
+                      DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS xi,
+                      CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                           AS DECIMAL(18,2)) AS yi
+               FROM events WHERE value IS NOT NULL
+               GROUP BY user_id, CAST(ts AS DATE)),
+    a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(xi AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(yi) AS DECIMAL(38,2)) AS sy,
+                 CAST(SUM(CAST(xi AS DECIMAL(19,0)) * yi) AS DECIMAL(38,2))
+                   AS sxy,
+                 CAST(SUM(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS sxx,
+                 CAST(SUM(yi * yi) AS DECIMAL(38,4)) AS syy
+          FROM d GROUP BY 1)
+    SELECT user_id, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+             AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN (CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) END AS intercept,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END
+             AS r2
+    FROM a
+    """,
+)
+def q_linear_trend_user_daily(spark, sf_dir):
+    # per-user OLS trend of daily spend on day index: exact-decimal
+    # sufficient statistics (order-independent), then a fixed IEEE
+    # closed form — slope/intercept/R² all bit-reproducible
+    from bubbles_spark.ops import insights
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.col("ts").cast("date")
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(day, F.lit("2024-01-01").cast("date")).alias("xi"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("yi")
+    )
+    return insights.linear_trend(daily, "user_id", "xi", "yi")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "grid_distance_pairs_customer",
     "ewma_events_value",
     "expectations_customer",
+    "holt_forecast_events",
+    "linear_trend_user_daily",
 ]
 
 

@@ -1569,3 +1569,78 @@ def ewma(
         return pdf
 
     return base.groupBy(key_col).applyInPandas(_smooth, schema=schema)
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    horizon: int = 1,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    key, emitting the final state and the ``horizon``-step-ahead
+    forecast — the one-line baseline forecaster next to ``ewma``.
+
+    Recurrence (initialized ``l_1 = x_1, b_1 = 0`` — no lookahead):
+    ``l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})``,
+    ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}``;
+    forecast = ``l_n + horizon·b_n``.
+
+    Like ``ewma`` this is an honest Arrow ``applyInPandas`` seam (two
+    COUPLED recurrences — even further from a window aggregate); one
+    key shuffle, keys in parallel.  Each step is a fixed IEEE
+    sequence, so a SQL RECURSIVE CTE replays it bit-for-bit (write
+    the SAME expression shapes: ``α·x + (1−α)·(l + b)`` and
+    ``β·(l_new − l_old) + (1−β)·b``, constants CAST AS DOUBLE).
+
+    Output: key, n_obs, level, trend, forecast (one row per key)."""
+    for nm, v in (("alpha", alpha), ("beta", beta)):
+        if not 0.0 < v <= 1.0:
+            raise ValueError(f"holt_forecast: {nm} must be in (0, 1], got {v}")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__t"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    a, b_ = float(alpha), float(beta)
+    h = int(horizon)
+    order = ["__t"] + (["__tb"] if tiebreak_col else [])
+    schema = T.StructType(
+        [
+            T.StructField("key", base.schema["__k"].dataType),
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast", T.DoubleType()),
+        ]
+    )
+
+    def _fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort")
+        xs = pdf["__v"].to_numpy()
+        lvl = float(xs[0])
+        trd = 0.0
+        for x in xs[1:]:
+            prev = lvl
+            lvl = a * float(x) + (1.0 - a) * (lvl + trd)
+            trd = b_ * (lvl - prev) + (1.0 - b_) * trd
+        return pd.DataFrame(
+            {
+                "key": [pdf["__k"].iloc[0]],
+                "n_obs": [len(xs)],
+                "level": [lvl],
+                "trend": [trd],
+                "forecast": [lvl + h * trd],
+            }
+        )
+
+    return base.groupBy("__k").applyInPandas(_fit, schema=schema).withColumnRenamed(
+        "key", key_col
+    )

@@ -247,3 +247,38 @@ def test_expectations_unknown_kind(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         audit.expectations_report(df, [{"kind": "nope", "col": "id"}])
+
+
+def test_holt_forecast_matches_loop(spark):
+    from bubbles_spark.ops import events as ev
+
+    xs = [10.0, 12.5, 11.1, 14.0, 15.75]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, t long, v double"
+    )
+    row = ev.holt_forecast(
+        df, "k", "t", "v", alpha=0.4, beta=0.2, horizon=3
+    ).collect()[0]
+    lvl, trd = xs[0], 0.0
+    for x in xs[1:]:
+        prev = lvl
+        lvl = 0.4 * x + (1.0 - 0.4) * (lvl + trd)
+        trd = 0.2 * (lvl - prev) + (1.0 - 0.2) * trd
+    assert row["n_obs"] == 5
+    assert row["level"] == lvl and row["trend"] == trd  # bitwise
+    assert row["forecast"] == lvl + 3 * trd
+
+
+def test_linear_trend_exact_line_and_degenerate(spark):
+    from bubbles_spark.ops import insights as ins
+
+    rows = [("a", x, 2.0 * x + 1.0) for x in range(10)]  # perfect line
+    rows += [("b", 5, 3.0), ("b", 5, 9.0)]  # zero x-variance
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    out = {r["k"]: r for r in ins.linear_trend(df, "k", "x", "y").collect()}
+    a = out["a"]
+    assert a["slope"] == pytest.approx(2.0, rel=1e-14)
+    assert a["intercept"] == pytest.approx(1.0, rel=1e-12)
+    assert a["r2"] == pytest.approx(1.0, rel=1e-14)
+    b = out["b"]
+    assert b["slope"] is None and b["intercept"] is None and b["r2"] is None

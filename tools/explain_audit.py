@@ -543,6 +543,17 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "holt_forecast_events",
+        [(r"FlatMapGroupsInPandas|MapInPandas", "honest Arrow seam for coupled recurrences")],
+        [],
+    ),
+    (
+        "linear_trend_user_daily",
+        [(r"Functions \[\d+\]: \[partial_", "sufficient statistics partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window$", "no window pass at all")],
+    ),
+    (
         "grid_distance_pairs_customer",
         [(r"keys \[\d+\]: \[__cx", "cell-key equi-join, not a theta join")],
         [(r"CartesianProduct", "no cartesian"),
