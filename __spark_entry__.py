@@ -9138,6 +9138,115 @@ def q_linear_trend_user_daily(spark, sf_dir):
     return insights.linear_trend(daily, "user_id", "xi", "yi")
 
 
+@_q(
+    "qq_purchase_vs_click",
+    """
+    WITH a AS (SELECT value AS v FROM events
+               WHERE event_type = 'purchase' AND value IS NOT NULL),
+    b AS (SELECT value AS v FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    ra AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM a),
+    rb AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM b),
+    probes(p) AS (SELECT * FROM (VALUES (CAST(0.1 AS DOUBLE)),
+                  (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                  (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                  (CAST(0.99 AS DOUBLE))) t(p)),
+    qa AS (SELECT probes.p, ra.v AS q_a
+           FROM probes CROSS JOIN na JOIN ra
+             ON ra.rn = LEAST(GREATEST(CAST(CEIL(probes.p * na.n)
+                                            AS BIGINT), 1), na.n)),
+    qb AS (SELECT probes.p, rb.v AS q_b
+           FROM probes CROSS JOIN nb JOIN rb
+             ON rb.rn = LEAST(GREATEST(CAST(CEIL(probes.p * nb.n)
+                                            AS BIGINT), 1), nb.n))
+    SELECT qa.p, qa.q_a, qb.q_b, qa.q_a - qb.q_b AS diff
+    FROM qa JOIN qb USING (p)
+    """,
+)
+def q_qq_purchase_vs_click(spark, sf_dir):
+    # p10..p99 of purchase vs click values side by side: exact type-1
+    # quantiles (rank ceil(q·n), no interpolation) from one two-phase
+    # ranking pass per side; diff is one IEEE subtraction
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    a = e.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+    b = e.filter((F.col("event_type") == "click") & F.col("value").isNotNull())
+    return drift.qq_table(a, b, "value")
+
+
+@_q(
+    "bounded_stock_events",
+    """
+    WITH RECURSIVE base AS (
+      SELECT event_id, ts, user_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+             END AS delta,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+    r AS (
+      SELECT event_id, ts, user_id, delta, rn,
+             LEAST(50000, GREATEST(0, 0 + delta)) AS balance
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.event_id, b.ts, b.user_id, b.delta, b.rn,
+             LEAST(50000, GREATEST(0, r.balance + b.delta))
+      FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT event_id, ts, user_id, delta,
+           CAST(balance AS BIGINT) AS balance
+    FROM r
+    """,
+)
+def q_bounded_stock_events(spark, sf_dir):
+    # clamped running balance (purchases credit, clicks debit, cents,
+    # cap [0, 50000]): the saturating clamp is non-associative — no
+    # window frame expresses it — so it's the recurrence seam; all
+    # integer arithmetic, oracle replays via RECURSIVE CTE
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    base = e.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    return events.bounded_running_sum(
+        base, "user_id", "ts", "delta", lo=0, hi=50000,
+        tiebreak_col="event_id",
+    )
+
+
+@_q(
+    "freshness_events_by_type",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MAX(ts) AS max_ts,
+           CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+                - epoch_us(MAX(ts)) AS BIGINT) AS lag_us
+    FROM events GROUP BY 1
+    """,
+)
+def q_freshness_events_by_type(spark, sf_dir):
+    # per-feed staleness vs a PINNED reference instant: integer
+    # microsecond lag (both sides shift identically through any
+    # session zone, so the difference is TZ-invariant)
+    e = _t(spark, sf_dir, "events")
+    return audit_ops.freshness_report(
+        e, "ts", ["event_type"], "2024-02-01 00:00:00"
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

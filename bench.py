@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "expectations_customer",
     "holt_forecast_events",
     "linear_trend_user_daily",
+    "qq_purchase_vs_click",
+    "bounded_stock_events",
+    "freshness_events_by_type",
 ]
 
 

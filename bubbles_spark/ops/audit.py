@@ -715,3 +715,41 @@ def expectations_report(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def freshness_report(
+    df: DataFrame,
+    ts_col: str,
+    by: Sequence[str],
+    ref_ts: str,
+) -> DataFrame:
+    """Data-freshness / latency audit per source or partition — the
+    ops question after every load: "how stale is each feed?".  Per
+    group: row count, newest timestamp, and the lag behind ``ref_ts``
+    in whole microseconds.
+
+    ``ref_ts`` is an explicit wall-clock literal (``'YYYY-MM-DD
+    HH:MM:SS'``), never a hidden now() — a reproducible report pins
+    its reference instant.  The lag is an integer microsecond
+    difference: for NTZ inputs both sides shift identically through
+    any session zone, so the DIFFERENCE is timezone-invariant
+    (``epoch_seconds`` discipline), and integers sidestep the
+    engines' disagreeing micros→double conversions.
+
+    Scale: one map-side-combined keyed aggregate; the report is one
+    row per group.
+
+    Output: ``by...``, n_rows, max_ts, lag_us."""
+    if not by:
+        raise ValueError("freshness_report: need at least one group column")
+    ref = F.lit(ref_ts).cast("timestamp_ntz").cast("timestamp")
+    return df.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max(F.col(ts_col)).alias("max_ts"),
+        (
+            F.unix_micros(ref)
+            - F.unix_micros(F.max(F.col(ts_col)).cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("lag_us"),
+    )

@@ -42,6 +42,7 @@ __all__ = [
     "chi_square_report",
     "gains_table",
     "ab_test_report",
+    "qq_table",
 ]
 
 
@@ -1031,4 +1032,42 @@ def ab_test_report(
             (rv - rc).alias("abs_lift"),
             F.when(se > 0, (rv - rc) / se).alias("z_score"),
         )
+    )
+
+
+def qq_table(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    qs: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile-quantile comparison table — the drift view between
+    ``psi_report`` (binned shares) and ``ks_distance`` (one scalar):
+    for each probe probability, BOTH distributions' exact type-1
+    quantiles side by side plus the gap.  "The p99 moved from 38.1 to
+    61.4" is the sentence this table produces.
+
+    Exactness: each quantile is the value at rank ``ceil(q·n)``
+    (clamped to [1, n]) — type-1, zero interpolation, so both sides
+    are actual data values and ``diff`` is one IEEE subtraction.
+    ``ceil(q·n)`` is the same double product+ceil any SQL mirror
+    computes.
+
+    Scale: one two-phase ranking pass PER SIDE (never a single-task
+    window); the collected result is len(qs) scalars per side —
+    metadata, not data.
+
+    Output: p, q_a, q_b, diff (len(qs) rows)."""
+    qs = [float(q) for q in qs]
+    if not qs:
+        raise ValueError("qq_table: need at least one probe")
+    a = exact_quantiles(df_a, col, qs)
+    b = exact_quantiles(df_b, col, qs)
+    spark = df_a.sparkSession
+    rows = [
+        (p, float(x), float(y), float(x) - float(y))
+        for p, x, y in zip(qs, a, b)
+    ]
+    return spark.createDataFrame(
+        rows, "p double, q_a double, q_b double, diff double"
     )

@@ -1644,3 +1644,59 @@ def holt_forecast(
     return base.groupBy("__k").applyInPandas(_fit, schema=schema).withColumnRenamed(
         "key", key_col
     )
+
+
+def bounded_running_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    delta_col: str,
+    lo,
+    hi,
+    init=0,
+    out: str = "balance",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Clamped running balance per key:
+    ``s_t = min(hi, max(lo, s_{t−1} + Δ_t))`` starting from ``init``
+    — inventory on-hand (never below 0, never above capacity), token
+    buckets, rate limiters, bounded scores.
+
+    The clamp makes the recurrence NON-associative: unlike a plain
+    running sum, no window frame or prefix trick can express it —
+    saturating at the cap erases information a later refund cannot
+    restore.  So, like ``ewma``/``holt_forecast``, this is an honest
+    Arrow ``applyInPandas`` seam: one key shuffle, keys in parallel,
+    an int64 numpy loop inside.
+
+    Exactness: with integer deltas (cast your 2-dp money to cents
+    first) every step is integer add + compare — bit-exact, and a SQL
+    RECURSIVE CTE with ``LEAST(hi, GREATEST(lo, s + d))`` replays it
+    identically.
+
+    Output: input columns + ``out`` (bigint)."""
+    if not hi > lo:
+        raise ValueError(f"bounded_running_sum: need hi > lo, got [{lo}, {hi}]")
+    base = df.filter(F.col(delta_col).isNotNull())
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    schema = T.StructType(
+        list(base.schema.fields) + [T.StructField(out, T.LongType())]
+    )
+    lo_i, hi_i, init_i = int(lo), int(hi), int(init)
+
+    def _run(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        deltas = pdf[delta_col].to_numpy()
+        s = init_i
+        acc = []
+        for d in deltas:
+            s = s + int(d)
+            if s < lo_i:
+                s = lo_i
+            elif s > hi_i:
+                s = hi_i
+            acc.append(s)
+        pdf[out] = acc
+        return pdf
+
+    return base.groupBy(key_col).applyInPandas(_run, schema=schema)

@@ -282,3 +282,46 @@ def test_linear_trend_exact_line_and_degenerate(spark):
     assert a["r2"] == pytest.approx(1.0, rel=1e-14)
     b = out["b"]
     assert b["slope"] is None and b["intercept"] is None and b["r2"] is None
+
+
+def test_qq_table_exact_type1(spark):
+    from bubbles_spark.ops import drift
+
+    a = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    b = spark.createDataFrame([(float(2 * i),) for i in range(1, 101)], "v double")
+    out = {r["p"]: r for r in drift.qq_table(a, b, "v", [0.5, 0.99]).collect()}
+    assert out[0.5]["q_a"] == 50.0 and out[0.5]["q_b"] == 100.0
+    assert out[0.5]["diff"] == -50.0
+    assert out[0.99]["q_a"] == 99.0  # ceil(0.99*100)=99 -> type-1, no interp
+
+
+def test_bounded_running_sum_saturates(spark):
+    from bubbles_spark.ops import events as ev
+
+    rows = [("k", 0, 60), ("k", 1, 60), ("k", 2, -30), ("k", 3, -200),
+            ("k", 4, 10)]
+    df = spark.createDataFrame(rows, "k string, t long, d long")
+    out = {r["t"]: r["balance"] for r in ev.bounded_running_sum(
+        df, "k", "t", "d", lo=0, hi=100, tiebreak_col="t"
+    ).collect()}
+    # 60 -> cap(120)=100 -> 70 -> floor(-130)=0 -> 10
+    assert [out[i] for i in range(5)] == [60, 100, 70, 0, 10]
+    # saturation is NON-associative: a plain cumsum would give 60,120,
+    # 90,-110,-100 — clamping at the end would NOT equal this
+
+
+def test_freshness_report_lag(spark):
+    from bubbles_spark.ops import audit
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2024-01-02 06:30:00"),
+         ("b", "2024-01-31 23:59:59")],
+        "src string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["src"]: r for r in audit.freshness_report(
+        df, "ts", ["src"], "2024-02-01 00:00:00"
+    ).collect()}
+    assert out["a"]["n_rows"] == 2
+    assert out["a"]["lag_us"] == (29 * 86400 + 17 * 3600 + 1800) * 1_000_000
+    assert out["b"]["lag_us"] == 1_000_000

@@ -554,6 +554,17 @@ CHECKS = [
          (r"Window$", "no window pass at all")],
     ),
     (
+        "bounded_stock_events",
+        [(r"FlatMapGroupsInPandas|MapInPandas", "honest Arrow seam for the clamp recurrence")],
+        [],
+    ),
+    (
+        "freshness_events_by_type",
+        [(r"Functions \[\d+\]: \[partial_", "per-feed aggregate partial map-side"),
+         (r"ReadSchema: struct<ts:timestamp.*,event_type:string|ReadSchema: struct<event_type:string", "scan prunes to ts+type")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "grid_distance_pairs_customer",
         [(r"keys \[\d+\]: \[__cx", "cell-key equi-join, not a theta join")],
         [(r"CartesianProduct", "no cartesian"),
