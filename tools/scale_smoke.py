@@ -499,6 +499,39 @@ def main() -> int:
         )
         return graph.hits_scores(e, iters=2)
 
+    def grid_distance_op(t):
+        # per-copy plane offset (copy i lives at x += i·10_000): the
+        # copies are spatially DISJOINT, so pair output grows k×, not
+        # k² — the timing measures the banded join, not genuine new
+        # neighbors
+        from bubbles_spark.ops import spatial
+
+        pts = t["customer"].select(
+            F.col("c_custkey").alias("id"),
+            (
+                (F.col("c_custkey") % 100_000_000) * 2654435761 % 200
+                + F.floor(F.col("c_custkey") / F.lit(100_000_000)) * 10_000
+            ).alias("x"),
+            ((F.col("c_custkey") % 100_000_000) * 40503 % 200).alias("y"),
+        )
+        return spatial.grid_distance_join(pts, "id", "x", "y", radius=5.0)
+
+    def ewma_op(t):
+        from bubbles_spark.ops import events as ev
+
+        return ev.ewma(
+            t["events"], "user_id", "ts", "value", alpha=0.25,
+            tiebreak_col="event_id",
+        )
+
+    def rfm_op(t):
+        from bubbles_spark.ops import insights
+
+        return insights.rfm_segments(
+            t["events"].filter(F.col("event_type") == "purchase"),
+            "user_id", "ts", "value", ref_date="2024-03-01",
+        )
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
@@ -520,6 +553,9 @@ def main() -> int:
         "decompose_additive": decompose_op,
         "gains_table": gains_table_op,
         "hits_scores": hits_op,
+        "grid_distance_join": grid_distance_op,
+        "ewma": ewma_op,
+        "rfm_segments": rfm_op,
     }
 
     results = {}
