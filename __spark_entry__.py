@@ -8909,9 +8909,7 @@ def q_grid_distance_pairs_customer(spark, sf_dir):
     return spatial.grid_distance_join(pts, "id", "x", "y", radius=5.0)
 
 
-@_q(
-    "ewma_events_value",
-    """
+_EWMA_ORACLE_SQL = """
     WITH RECURSIVE base AS (
       SELECT event_id, ts, user_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -8926,8 +8924,10 @@ def q_grid_distance_pairs_customer(spark, sf_dir):
                + CAST(0.25 AS DOUBLE) * b.value
       FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
     SELECT event_id, ts, user_id, value, lvl AS ewma FROM r
-    """,
-)
+    """
+
+
+@_q("ewma_events_value", _EWMA_ORACLE_SQL)
 def q_ewma_events_value(spark, sf_dir):
     # per-user exponential smoothing; the oracle replays the SAME
     # recurrence via RECURSIVE CTE — (1-α)·l + α·x is bit-identical
@@ -9245,6 +9245,20 @@ def q_freshness_events_by_type(spark, sf_dir):
     return audit_ops.freshness_report(
         e, "ts", ["event_type"], "2024-02-01 00:00:00"
     )
+
+
+@_q("stream_ewma", _EWMA_ORACLE_SQL)
+def q_stream_ewma(spark, sf_dir):
+    # the same smoothing LIVE: per-key level carried across
+    # micro-batches as one double of state, every row emits at once;
+    # drained over the (in-order) testdata it equals the batch twin,
+    # so they share the RECURSIVE-CTE oracle; ts re-emitted as UTC
+    # wall-clock NTZ (the round-5 TZ discipline)
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    sm = sevents.ewma_stream(stream, alpha=0.25)
+    return sevents.run_batchlike(sm, _stream_name("s_ewma"))
 
 
 # Driver-side correctness checks cover a bounded prefix of queries()

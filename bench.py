@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "qq_purchase_vs_click",
     "bounded_stock_events",
     "freshness_events_by_type",
+    "stream_ewma",
 ]
 
 

@@ -1275,3 +1275,94 @@ def gap_report_stream(
             "gap_end", _wallclock_ntz("gap_end")
         )
     return out
+
+
+EWMA_STATE_SCHEMA = "level double"
+EWMA_OUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double, ewma double"
+)
+
+
+def ewma_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    tiebreak_col: str = "event_id",
+    emit_ntz: bool = True,
+) -> DataFrame:
+    """Streaming twin of ``ops.events.ewma``: the per-key smoothing
+    LEVEL carries across micro-batches as one double of state, and
+    every arriving row emits its smoothed value immediately — the
+    online baseline a monitoring gate reads "as of now", without
+    re-reading history.
+
+    Same recurrence, same IEEE steps as the batch op (``l_1 = x_1;
+    l_t = (1−α)·l + α·x``), rows ordered by (ts, tiebreak) within
+    each batch; with in-order arrival (file/kafka partitions keyed by
+    ``key_col``) the drained result equals the batch twin exactly —
+    which is what makes the shared oracle exact.  State is ONE double
+    per key — bounded by key cardinality, sharded by key hash on a
+    real cluster.  Late (out-of-order) rows smooth in arrival order —
+    the online-estimator contract; replay from a checkpoint is
+    deterministic.
+
+    Batch twin: ``ops.events.ewma`` (RECURSIVE-CTE-exact)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma_stream: alpha must be in (0, 1], got {alpha}")
+    a = float(alpha)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows = [pdf for pdf in pdf_iter]
+        if not rows:
+            return iter([])
+        ev = pd.concat(rows).sort_values(
+            ["__ts", "__tb"], kind="mergesort"
+        )
+        lvl = state.get[0] if state.exists else None
+        out_lvl = []
+        for x in ev["__v"]:
+            x = float(x)
+            lvl = x if lvl is None else (1.0 - a) * lvl + a * x
+            out_lvl.append(lvl)
+        state.update((lvl,))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": ev["__k"],
+                        "event_id": ev["__tb"],
+                        "ts": ev["__ts"],
+                        "value": ev["__v"],
+                        "ewma": out_lvl,
+                    }
+                )
+            ]
+        )
+
+    prepared = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(tiebreak_col).alias("__tb"),
+            F.col(ts_col).alias("__ts"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .withWatermark("__ts", "10 minutes")
+    )
+    out = prepared.groupBy("__k").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    if emit_ntz:
+        out = out.withColumn("ts", _wallclock_ntz("ts"))
+    return out

@@ -835,3 +835,45 @@ def test_gap_report_stream_state_spans_batches(spark, tmp_path):
     # exactly one qualifying gap, and it spans the two files
     assert len(expect) == 1 and expect[0][3] == 47 * 3600 * 1000
     assert dict(got.dtypes)["gap_start"] == "timestamp_ntz"
+
+
+def test_ewma_stream_state_spans_batches(spark, tmp_path):
+    """The smoothing level must carry from file 1 into file 2 — a
+    per-batch restart would re-seed l=x on the first row of batch 2."""
+    import bubbles_spark.streaming.events as sevents
+    from bubbles_spark.ops import events as bevents
+    from pyspark.sql import functions as F
+
+    rows1 = [(1, 1, "2024-01-01 00:00:00", 10.0),
+             (2, 1, "2024-01-01 01:00:00", 20.0)]
+    rows2 = [(3, 1, "2024-01-02 00:00:00", 30.0),
+             (4, 2, "2024-01-02 01:00:00", 7.0)]
+    path = str(tmp_path / "ev")
+    for rows in (rows1, rows2):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    batch = spark.read.parquet(path)
+    expect = {
+        (r["event_id"]): r["ewma"]
+        for r in bevents.ewma(
+            batch, "user_id", "ts", "value", alpha=0.25,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    stream = sevents.read_event_stream(
+        spark, path, schema=batch.schema, max_files_per_trigger=1
+    )
+    got = sevents.run_batchlike(
+        sevents.ewma_stream(stream, alpha=0.25), "t_ewma_stream"
+    )
+    got_map = {r["event_id"]: r["ewma"] for r in got.collect()}
+    assert got_map == expect  # bitwise — level crossed the batch seam
+    # event 3 depends on events 1+2 from the earlier batch:
+    l2 = 0.75 * 10.0 + 0.25 * 20.0
+    assert got_map[3] == 0.75 * l2 + 0.25 * 30.0
+    assert got_map[4] == 7.0  # new key seeds fresh in batch 2
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"

@@ -64,7 +64,7 @@ EXACT_FAMILY = [
     # this rerun is the regression tripwire)
     "stream_tumbling_window", "stream_quantile_window",
     "stream_psi_window", "stream_sessionize", "stream_asof_join",
-    "stream_distinct_window",
+    "stream_distinct_window", "stream_ewma",
     # round-6 timestamp-touching batch additions (NTZ-out by
     # construction; rerun proves it)
     "rolling_features_events", "seasonal_anomalies_events",
@@ -74,6 +74,13 @@ EXACT_FAMILY = [
     "asof_nearest_events", "coalesce_intervals_events",
     "gap_report_events", "stream_gap_report",
     "pit_join_orders_segment",
+    # round-6 session-2 additions that touch timestamps (day-space
+    # recency/day-index/risk durations, NTZ max_ts + µs lag, emitted
+    # event times) — rerun proves session-zone invariance
+    "rfm_segments_events", "km_risk_table_events",
+    "cumulative_distinct_events", "ewma_events_value",
+    "holt_forecast_events", "linear_trend_user_daily",
+    "bounded_stock_events", "freshness_events_by_type",
 ]
 
 
