@@ -9261,6 +9261,105 @@ def q_stream_ewma(spark, sf_dir):
     return sevents.run_batchlike(sm, _stream_name("s_ewma"))
 
 
+@_q(
+    "keep_latest_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def q_keep_latest_orders(spark, sf_dir):
+    # changelog compaction: the newest order per customer under a
+    # TOTAL order (orderkey tiebreak) — one shuffle + in-partition
+    # rank, no max+self-join second shuffle
+    o = _t(spark, sf_dir, "orders")
+    return core.keep_latest(
+        o, "o_custkey", [("o_orderdate", "desc"), ("o_orderkey", "desc")]
+    )
+
+
+@_q(
+    "rolling_corr_supplier",
+    """
+    WITH t AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+                      l_quantity, l_extendedprice,
+                      epoch_us(l_shipdate) // 1000 AS ms,
+                      CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                      CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+               FROM lineitem),
+    w AS (SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+                 l_quantity, l_extendedprice,
+                 CAST(COUNT(*) OVER fr AS DOUBLE) AS n,
+                 CAST(SUM(x) OVER fr AS DOUBLE) AS sx,
+                 CAST(SUM(y) OVER fr AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) OVER fr AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) OVER fr AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) OVER fr AS DOUBLE) AS syy
+          FROM t
+          WINDOW fr AS (PARTITION BY l_suppkey ORDER BY ms
+                        RANGE BETWEEN 2592000000 PRECEDING
+                          AND CURRENT ROW))
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+           l_quantity, l_extendedprice,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN (n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+           END AS rolling_corr
+    FROM w
+    """,
+)
+def q_rolling_corr_supplier(spark, sf_dir):
+    # 30-day trailing quantity↔price correlation per supplier: six
+    # frame aggregates share ONE integer-ms RANGE frame, sums stay
+    # exact DECIMAL (frame recomputation can't round differently per
+    # partitioning), closed form is divisions + one sqrt
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate",
+        "l_quantity", "l_extendedprice",
+    )
+    return events.rolling_corr(
+        li, "l_shipdate", "l_suppkey", "l_quantity", "l_extendedprice",
+        window_seconds=30 * 86400.0,
+    )
+
+
+@_q(
+    "histogram2d_events",
+    """
+    WITH t AS (SELECT
+        LEAST(GREATEST(CAST(FLOOR((value - CAST(0 AS DOUBLE))
+                                  / CAST(5 AS DOUBLE)) AS BIGINT),
+                       0), 9) AS x_bin,
+        LEAST(GREATEST(CAST(FLOOR((CAST(EXTRACT(hour FROM ts) AS DOUBLE)
+                                   - CAST(0 AS DOUBLE))
+                                  / CAST(2 AS DOUBLE)) AS BIGINT),
+                       0), 11) AS y_bin
+      FROM events WHERE value IS NOT NULL),
+    per AS (SELECT x_bin, y_bin, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM per)
+    SELECT x_bin, y_bin, n,
+           CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_histogram2d_events(spark, sf_dir):
+    # value × hour-of-day heatmap over a pinned grid: map-only
+    # binning, one keyed count, output ≤ x_bins·y_bins rows at any
+    # corpus size; hour extracted from the NTZ wall-clock (zone-free)
+    from bubbles_spark.ops import reshape
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = e.select("value", F.hour("ts").alias("hr"))
+    return reshape.histogram2d(
+        pts, "value", "hr", (0, 50), (0, 24), x_bins=10, y_bins=12
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

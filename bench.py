@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",
+    "keep_latest_orders",
+    "rolling_corr_supplier",
+    "histogram2d_events",
 ]
 
 

@@ -1788,3 +1788,29 @@ def surrogate_key_collisions(
         .agg(F.count(F.lit(1)).alias("n_naturals"))
         .filter(F.col("n_naturals") > 1)
     )
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    orderby: Sequence[tuple[str, str] | str],
+) -> DataFrame:
+    """Snapshot compaction: ONE row per key — the row that wins the
+    ``orderby`` order (append a unique id as the final tiebreak to
+    make the winner total-order deterministic).  The CDC-feed
+    compactor: latest version per entity, newest order per customer,
+    current record per device.
+
+    One hash shuffle on the key + an in-partition rank — no self-join
+    back to the data (the MAX+join alternative pays a second shuffle)
+    and no whole-table sort.  At 100 TB this is the standard
+    "compact the changelog" plan; AQE handles skewed keys.
+
+    Output: all input columns, one row per key."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*key_list).orderBy(*_order_cols(orderby))
+    return (
+        df.withColumn("__kl_rn", F.row_number().over(w))
+        .filter(F.col("__kl_rn") == 1)
+        .drop("__kl_rn")
+    )

@@ -1700,3 +1700,58 @@ def bounded_running_sum(
         return pdf
 
     return base.groupBy(key_col).applyInPandas(_run, schema=schema)
+
+
+def rolling_corr(
+    df: DataFrame,
+    ts_col: str,
+    partition_by: str | Sequence[str],
+    x_col: str,
+    y_col: str,
+    window_seconds: float,
+    out: str = "rolling_corr",
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two series per key
+    — "are quantity and price moving together this month?" for every
+    row, over the rows with ts in [t − window, t].
+
+    All six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) come
+    from ONE window pass sharing a RANGE frame on integer epoch
+    milliseconds (``core.epoch_ms_wallclock`` — NTZ-pinned, exact
+    where an epoch double would round).  The sums accumulate as exact
+    DECIMALs — frame sums are recomputed per row, so order-dependent
+    double rounding would make results partitioning-dependent — and
+    the closed form is a fixed IEEE sequence (divisions + one sqrt)
+    a SQL mirror reproduces bit-for-bit.  Degenerate frames (single
+    row, zero variance) emit NULL.
+
+    One hash shuffle on the key, one in-partition sort, six frame
+    aggregates sliding together — no self-join, no explode.
+
+    Output: input columns + ``out`` (double)."""
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = epoch_ms_wallclock(
+        F.col(ts_col), dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    )
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(order)
+        .rangeBetween(-int(window_seconds * 1000), 0)
+    )
+    x = F.col(x_col).cast("decimal(18,2)")
+    y = F.col(y_col).cast("decimal(18,2)")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w).cast("double")
+    sy = F.sum(y).over(w).cast("double")
+    sxy = F.sum(x * y).over(w).cast("double")
+    sxx = F.sum(x * x).over(w).cast("double")
+    syy = F.sum(y * y).over(w).cast("double")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    return df.withColumn(
+        out,
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)),
+    )

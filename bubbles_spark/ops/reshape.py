@@ -186,3 +186,59 @@ def one_hot(
             F.when(known, F.lit(0)).otherwise(F.lit(1)).cast("int"),
         )
     return out
+
+
+def histogram2d(
+    df,
+    x_col: str,
+    y_col: str,
+    x_bounds: tuple,
+    y_bounds: tuple,
+    x_bins: int = 10,
+    y_bins: int = 10,
+):
+    """2-D histogram (heatmap binning): joint counts of two numeric
+    columns over a FIXED [lo, hi) × [lo, hi) grid, out-of-range
+    values clamped to the edge bins — the joint-distribution view
+    beside the 1-D ``histogram`` and ``drift.psi_report``'s bins.
+
+    Caller-pinned bounds (the psi_report discipline): a reproducible
+    heatmap needs a pinned domain; derive one with
+    ``drift.suggest_bounds`` per axis.  Bin index is
+    ``floor((v − lo) / w)`` clamped to [0, bins-1] — the same fixed
+    IEEE steps per value in any engine.  Empty cells are absent
+    (sparse output); share is one IEEE division by the broadcast
+    1-row total.
+
+    Scale: map-only binning + ONE keyed count — the output is at most
+    x_bins·y_bins rows regardless of input size.
+
+    Output: x_bin, y_bin, n, share."""
+    from pyspark.sql import functions as F
+
+    def _bin(col, lo, hi, bins):
+        lo_f, hi_f = float(lo), float(hi)
+        if not hi_f > lo_f:
+            raise ValueError(f"histogram2d: need hi > lo, got [{lo}, {hi}]")
+        wdt = (hi_f - lo_f) / float(bins)
+        raw = F.floor((F.col(col).cast("double") - F.lit(lo_f)) / F.lit(wdt))
+        return F.least(
+            F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1)
+        ).cast("bigint")
+
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    per = (
+        base.select(
+            _bin(x_col, x_bounds[0], x_bounds[1], x_bins).alias("x_bin"),
+            _bin(y_col, y_bounds[0], y_bounds[1], y_bins).alias("y_bin"),
+        )
+        .groupBy("x_bin", "y_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = per.agg(F.sum("n").cast("bigint").alias("__t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "x_bin",
+        "y_bin",
+        "n",
+        (F.col("n").cast("double") / F.col("__t").cast("double")).alias("share"),
+    )

@@ -325,3 +325,49 @@ def test_freshness_report_lag(spark):
     assert out["a"]["n_rows"] == 2
     assert out["a"]["lag_us"] == (29 * 86400 + 17 * 3600 + 1800) * 1_000_000
     assert out["b"]["lag_us"] == 1_000_000
+
+
+def test_keep_latest_one_row_per_key(spark):
+    from bubbles_spark.ops import core
+
+    df = spark.createDataFrame(
+        [(1, 2, "a"), (1, 5, "b"), (1, 5, "c"), (2, 1, "d")],
+        "k long, v long, tag string",
+    )
+    out = {r["k"]: r for r in core.keep_latest(
+        df, "k", [("v", "desc"), ("tag", "desc")]
+    ).collect()}
+    assert len(out) == 2
+    assert out[1]["tag"] == "c"  # (5,'c') beats (5,'b') on the tiebreak
+    assert out[2]["tag"] == "d"
+
+
+def test_rolling_corr_perfect_and_degenerate(spark):
+    from bubbles_spark.ops import events as ev
+    from pyspark.sql import functions as F
+
+    # y = 2x within the window -> corr 1; first row frame is single -> NULL
+    rows = [("k", f"2024-01-01 00:0{i}:00", float(i + 1), 2.0 * (i + 1))
+            for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, x double, y double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = ev.rolling_corr(df, "ts", "k", "x", "y", 3600.0).collect()
+    vals = [r["rolling_corr"] for r in sorted(out, key=lambda r: r["ts"])]
+    assert vals[0] is None  # single-point frame: zero variance
+    assert all(v == pytest.approx(1.0, abs=1e-12) for v in vals[1:])
+
+
+def test_histogram2d_clamps_and_shares(spark):
+    from bubbles_spark.ops import reshape
+
+    rows = [(5.0, 5.0)] * 3 + [(95.0, 5.0)] + [(-10.0, 200.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {(r["x_bin"], r["y_bin"]): r for r in reshape.histogram2d(
+        df, "x", "y", (0, 10), (0, 10), x_bins=5, y_bins=5
+    ).collect()}
+    assert out[(2, 2)]["n"] == 3          # 5.0 -> bin 2 of 5 on [0,10)
+    assert out[(4, 2)]["n"] == 1          # 95 clamps to top x bin
+    assert out[(0, 4)]["n"] == 1          # -10/200 clamp to edges
+    assert sum(r["n"] for r in out.values()) == 5
+    assert out[(2, 2)]["share"] == 0.6

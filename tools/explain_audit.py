@@ -559,6 +559,24 @@ CHECKS = [
         [],
     ),
     (
+        "keep_latest_orders",
+        [(r"hashpartitioning\(o_custkey", "one key shuffle"),
+         (r"\[row_number", "in-partition rank, no max+self-join")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "rolling_corr_supplier",
+        [(r"hashpartitioning\(l_suppkey", "one key shuffle"),
+         (r"RunningWindowFunction|Window", "one shared-frame window pass")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Join", "no self-join")],
+    ),
+    (
+        "histogram2d_events",
+        [(r"Functions \[\d+\]: \[partial_", "bin counts partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "freshness_events_by_type",
         [(r"Functions \[\d+\]: \[partial_", "per-feed aggregate partial map-side"),
          (r"ReadSchema: struct<ts:timestamp.*,event_type:string|ReadSchema: struct<event_type:string", "scan prunes to ts+type")],

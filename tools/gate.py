@@ -81,6 +81,7 @@ EXACT_FAMILY = [
     "cumulative_distinct_events", "ewma_events_value",
     "holt_forecast_events", "linear_trend_user_daily",
     "bounded_stock_events", "freshness_events_by_type",
+    "keep_latest_orders", "rolling_corr_supplier", "histogram2d_events",
 ]
 
 
