@@ -9360,6 +9360,47 @@ def q_histogram2d_events(spark, sf_dir):
     )
 
 
+@_q(
+    "abc_parts_revenue",
+    """
+    WITH item AS (SELECT l_partkey AS id,
+                         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DECIMAL(18,2)) AS value
+                  FROM lineitem GROUP BY 1),
+    r AS (SELECT id, value,
+                 ROW_NUMBER() OVER (ORDER BY value DESC, id) AS rank
+          FROM item),
+    c AS (SELECT id, value, rank,
+                 CAST(SUM(value) OVER (ORDER BY rank) AS DECIMAL(18,2))
+                   AS cum_value
+          FROM r),
+    tot AS (SELECT CAST(SUM(value) AS DECIMAL(18,2)) AS t FROM item)
+    SELECT id, value, CAST(rank AS BIGINT) AS rank, cum_value,
+           CAST(cum_value AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum_value - value AS DOUBLE) / CAST(t AS DOUBLE)
+                     < CAST(0.8 AS DOUBLE) THEN 'A'
+                WHEN CAST(cum_value - value AS DOUBLE) / CAST(t AS DOUBLE)
+                     < CAST(0.95 AS DOUBLE) THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_abc_parts_revenue(spark, sf_dir):
+    # Pareto/ABC part classification by exact-decimal revenue: total
+    # order (value DESC, id), two-phase rank + two-phase cumsum —
+    # never a data-sized single-task window; the threshold compares
+    # PRIOR share so class A is the smallest prefix covering 80%
+    from bubbles_spark.ops import insights
+
+    li = _t(spark, sf_dir, "lineitem")
+    item = li.groupBy(F.col("l_partkey").alias("pid")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    return insights.abc_classification(item, "pid", "rev")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "keep_latest_orders",
     "rolling_corr_supplier",
     "histogram2d_events",
+    "abc_parts_revenue",
 ]
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "lorenz_curve",
     "km_risk_table",
     "linear_trend",
+    "abc_classification",
 ]
 
 
@@ -316,3 +317,70 @@ def linear_trend(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+) -> DataFrame:
+    """Pareto / ABC inventory classification — "which 20% of items
+    carry 80% of the value?": rank items by value descending, take
+    the running share of total value, and label A (first ``a_share``
+    of value), B (up to ``b_share``), C (rest).  The row containing a
+    threshold goes to the better class (its PRIOR share was below the
+    cut), so class A is the smallest prefix covering ``a_share``.
+
+    Exactness: values and the running total stay DECIMAL end-to-end
+    (``id_col`` tie-breaks equal values into a total order — without
+    it, tied rows straddling a class cut would land nondeterministic
+    classes); each share is one IEEE division and the class cut
+    compares prior-share doubles both engines derive identically.
+
+    Scale: one two-phase global rank (never a single-task window),
+    then a range-partitioned two-phase cumulative sum over the unique
+    rank — both metadata-collect passes; no data-sized window.
+
+    Output: id, value, rank, cum_value, cum_share, abc_class."""
+    from bubbles_spark.ops.drift import _partitioned_cumsum
+
+    if not 0.0 < a_share < b_share <= 1.0:
+        raise ValueError(
+            f"abc_classification: need 0 < a_share < b_share <= 1, "
+            f"got {a_share}, {b_share}"
+        )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("decimal(18,2)").alias("value"),
+    )
+    ranked = _with_global_row_number(
+        base.withColumn("__nv", -F.col("value")), ["__nv", "id"]
+    ).drop("__nv")
+    cum, totals, parted = _partitioned_cumsum(
+        ranked.withColumnRenamed("__rn", "rank"), "rank", ["value"]
+    )
+    try:
+        total = totals["value"]
+        prior = (F.col("cum_value") - F.col("value")).cast("decimal(18,2)")
+        prior_share = prior.cast("double") / F.lit(float(total)).cast("double")
+        out = cum.select(
+            "id",
+            "value",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("cum_value").cast("decimal(18,2)").alias("cum_value"),
+            (
+                F.col("cum_value").cast("decimal(18,2)").cast("double")
+                / F.lit(float(total)).cast("double")
+            ).alias("cum_share"),
+            F.when(prior_share < a_share, "A")
+            .when(prior_share < b_share, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            # item-table-sized output: materialize before releasing the
+            # cumsum cache (quantile_normalize discipline)
+        ).localCheckpoint(eager=True)
+    finally:
+        parted.unpersist()
+    return out

@@ -371,3 +371,32 @@ def test_histogram2d_clamps_and_shares(spark):
     assert out[(0, 4)]["n"] == 1          # -10/200 clamp to edges
     assert sum(r["n"] for r in out.values()) == 5
     assert out[(2, 2)]["share"] == 0.6
+
+
+def test_abc_classification_prefix_semantics(spark):
+    from bubbles_spark.ops import insights as ins
+
+    # values 50, 30, 15, 5 (total 100): A covers 50+30 (prior shares
+    # 0.0, 0.5 < 0.8), rank 3 prior=0.8 -> B, rank 4 prior=0.95 -> C
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 30.0), (3, 15.0), (4, 5.0)], "id long, v double"
+    )
+    out = {r["id"]: r for r in ins.abc_classification(df, "id", "v").collect()}
+    assert out[1]["abc_class"] == "A" and out[2]["abc_class"] == "A"
+    assert out[3]["abc_class"] == "B" and out[4]["abc_class"] == "C"
+    assert out[4]["cum_share"] == 1.0
+    assert [out[i]["rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+
+def test_abc_tie_break_deterministic(spark):
+    from bubbles_spark.ops import insights as ins
+
+    df = spark.createDataFrame(
+        [(i, 10.0) for i in range(1, 11)], "id long, v double"
+    )
+    out = {r["id"]: r for r in ins.abc_classification(df, "id", "v").collect()}
+    # equal values: id ascending breaks ties -> ranks 1..10 by id
+    assert [out[i]["rank"] for i in range(1, 11)] == list(range(1, 11))
+    # prior shares 0.0,0.1,...,0.9 -> A while prior<0.8 (ids 1-8),
+    # then B for priors 0.8 and 0.9 (both < 0.95)
+    assert [out[i]["abc_class"] for i in range(1, 11)] == ["A"] * 8 + ["B"] * 2

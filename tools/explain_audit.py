@@ -577,6 +577,11 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "abc_parts_revenue",
+        [(r"LogicalRDD|Scan ExistingRDD", "materialized item table (cumsum cache released)")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "freshness_events_by_type",
         [(r"Functions \[\d+\]: \[partial_", "per-feed aggregate partial map-side"),
          (r"ReadSchema: struct<ts:timestamp.*,event_type:string|ReadSchema: struct<event_type:string", "scan prunes to ts+type")],
