@@ -9401,6 +9401,78 @@ def q_abc_parts_revenue(spark, sf_dir):
     return insights.abc_classification(item, "pid", "rev")
 
 
+@_q(
+    "weighted_median_lineitem",
+    """
+    WITH t AS (SELECT l_returnflag, l_extendedprice AS v,
+                      CAST(l_quantity AS DECIMAL(18,2)) AS w
+               FROM lineitem
+               WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+    c AS (SELECT l_returnflag, v,
+                 SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw,
+                 SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+          FROM t)
+    SELECT l_returnflag, MIN(v) AS weighted_median,
+           CAST(MAX(tw) AS DECIMAL(18,2)) AS total_weight
+    FROM c WHERE cw * 2 >= tw GROUP BY 1
+    """,
+)
+def q_weighted_median_lineitem(spark, sf_dir):
+    # quantity-weighted median price per returnflag: the crossing
+    # test is a doubled-DECIMAL comparison (no division, no floats);
+    # tied values emit the same median whichever tie crosses
+    from bubbles_spark.ops import insights
+
+    li = _t(spark, sf_dir, "lineitem")
+    return insights.weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+@_q(
+    "group_mode_events",
+    """
+    WITH c AS (SELECT user_id, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n_occurrences
+               FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)
+    SELECT user_id, event_type, n_occurrences
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY n_occurrences DESC, event_type) AS rn
+          FROM c) t
+    WHERE rn = 1
+    """,
+)
+def q_group_mode_events(spark, sf_dir):
+    # each user's dominant event type with exact count; (count DESC,
+    # value ASC) tie-break makes the winner deterministic
+    e = _t(spark, sf_dir, "events")
+    return core.group_mode(e, "user_id", "event_type")
+
+
+@_q(
+    "calendar_features_events",
+    """
+    SELECT event_id, ts,
+           CAST(ts AS DATE) AS date,
+           CAST(EXTRACT(year FROM ts) AS INTEGER) AS year,
+           CAST(EXTRACT(month FROM ts) AS INTEGER) AS month,
+           CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           CAST(isodow(ts) - 1 AS INTEGER) AS weekday,
+           isodow(ts) - 1 >= 5 AS is_weekend
+    FROM events
+    """,
+)
+def q_calendar_features_events(spark, sf_dir):
+    # calendar features in the NTZ wall-clock space; weekday pinned
+    # to 0=Monday (Spark weekday == isodow−1 — dayofweek/dow would
+    # disagree on Sunday)
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return events.calendar_features(e, "ts")
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     "rolling_corr_supplier",
     "histogram2d_events",
     "abc_parts_revenue",
+    "weighted_median_lineitem",
+    "group_mode_events",
+    "calendar_features_events",
 ]
 
 

@@ -1814,3 +1814,30 @@ def keep_latest(
         .filter(F.col("__kl_rn") == 1)
         .drop("__kl_rn")
     )
+
+
+def group_mode(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    value_col: str,
+) -> DataFrame:
+    """Most frequent value per group, with its exact count — the
+    categorical "typical value" summary (``aggregate``'s numeric
+    summaries have no mode; SQL's MODE() is engine-specific about
+    ties).  Deterministic tie-break: highest count, then smallest
+    value.
+
+    Scale: one keyed count (map-side partial) over (keys, value),
+    then ``keep_latest`` on the count table — the second shuffle
+    moves one row per (key, value) pair, not data.
+
+    Output: ``keys...``, value, n_occurrences."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_list, value_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    return keep_latest(
+        counts, key_list, [("n_occurrences", "desc"), value_col]
+    )

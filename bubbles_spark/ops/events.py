@@ -1755,3 +1755,28 @@ def rolling_corr(
         out,
         F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)),
     )
+
+
+def calendar_features(
+    df: DataFrame, ts_col: str, prefix: str = ""
+) -> DataFrame:
+    """Calendar feature extraction — the model-feature columns every
+    time-aware training set starts with: date, year, month, day,
+    hour, weekday (0 = Monday — the ISO convention both engines can
+    express; Spark's ``dayofweek`` and SQL's ``dow`` disagree on
+    Sunday), and an ``is_weekend`` flag.
+
+    Map-only codegen in the timestamp's own wall-clock space (an NTZ
+    column extracts identically in every session zone).  Output:
+    input + ``{prefix}date/year/month/day/hour/weekday/is_weekend``."""
+    c = F.col(ts_col)
+    wd = F.weekday(c)
+    return (
+        df.withColumn(f"{prefix}date", c.cast("date"))
+        .withColumn(f"{prefix}year", F.year(c).cast("int"))
+        .withColumn(f"{prefix}month", F.month(c).cast("int"))
+        .withColumn(f"{prefix}day", F.dayofmonth(c).cast("int"))
+        .withColumn(f"{prefix}hour", F.hour(c).cast("int"))
+        .withColumn(f"{prefix}weekday", wd.cast("int"))
+        .withColumn(f"{prefix}is_weekend", wd >= 5)
+    )

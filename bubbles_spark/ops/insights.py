@@ -30,6 +30,7 @@ __all__ = [
     "km_risk_table",
     "linear_trend",
     "abc_classification",
+    "weighted_median",
 ]
 
 
@@ -384,3 +385,51 @@ def abc_classification(
     finally:
         parted.unpersist()
     return out
+
+
+def weighted_median(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Weighted median per group — the order statistic where half the
+    WEIGHT sits on each side (price paid by the median dollar, the
+    median latency by traffic share): smallest value whose inclusive
+    cumulative weight reaches half the group total.
+
+    Exactness: weights accumulate as exact DECIMALs and the crossing
+    test is ``2·cumw ≥ total`` — a doubled-decimal comparison, so no
+    division and no float anywhere.  Tied values need no tiebreak:
+    whichever tie crosses the threshold, the emitted VALUE is the
+    same.
+
+    Scale: one hash shuffle on the key; the cumulative weight is a
+    per-GROUP ordered window (partitioned — never global), then a
+    map-side-combined min per key.  Skew caveat: one giant group
+    sorts within its partition, same contract as ``sessionize``.
+
+    Output: key, weighted_median, total_weight."""
+    v = F.col(value_col)
+    wt = F.col(weight_col).cast("decimal(18,2)")
+    base = df.filter(v.isNotNull() & wt.isNotNull())
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(key_col)
+    tagged = base.select(
+        F.col(key_col),
+        v.alias("__v"),
+        F.sum(wt).over(wcum).alias("__cw"),
+        F.sum(wt).over(wtot).alias("__tw"),
+    )
+    return (
+        tagged.filter(F.col("__cw") * 2 >= F.col("__tw"))
+        .groupBy(key_col)
+        .agg(
+            F.min("__v").alias("weighted_median"),
+            F.max(F.col("__tw")).cast("decimal(18,2)").alias("total_weight"),
+        )
+    )

@@ -400,3 +400,45 @@ def test_abc_tie_break_deterministic(spark):
     # prior shares 0.0,0.1,...,0.9 -> A while prior<0.8 (ids 1-8),
     # then B for priors 0.8 and 0.9 (both < 0.95)
     assert [out[i]["abc_class"] for i in range(1, 11)] == ["A"] * 8 + ["B"] * 2
+
+
+def test_weighted_median_crosses_half_weight(spark):
+    from bubbles_spark.ops import insights as ins
+
+    # values 1..4 with weights 1,1,1,10: half of 13 = 6.5 -> value 4
+    rows = [("k", 1.0, 1.0), ("k", 2.0, 1.0), ("k", 3.0, 1.0),
+            ("k", 4.0, 10.0), ("j", 5.0, 2.0), ("j", 9.0, 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    out = {r["k"]: r for r in ins.weighted_median(df, "k", "v", "w").collect()}
+    assert out["k"]["weighted_median"] == 4.0
+    assert float(out["k"]["total_weight"]) == 13.0
+    # j: weights 2,1 -> cum 2 >= 1.5 at value 5
+    assert out["j"]["weighted_median"] == 5.0
+
+
+def test_group_mode_tiebreak(spark):
+    from bubbles_spark.ops import core
+
+    rows = [("u", "a"), ("u", "a"), ("u", "b"), ("u", "b"), ("u", "c"),
+            ("v", None), ("v", "z")]
+    df = spark.createDataFrame(rows, "k string, val string")
+    out = {r["k"]: r for r in core.group_mode(df, "k", "val").collect()}
+    assert out["u"]["val"] == "a" and out["u"]["n_occurrences"] == 2
+    assert out["v"]["val"] == "z"  # NULLs never win
+
+
+def test_calendar_features_iso_weekday(spark):
+    from bubbles_spark.ops import events as ev
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 13:45:00"),   # Monday
+         (2, "2024-01-06 00:00:00"),   # Saturday
+         (3, "2024-01-07 23:59:59")],  # Sunday
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["id"]: r for r in ev.calendar_features(df, "ts").collect()}
+    assert out[1]["weekday"] == 0 and not out[1]["is_weekend"]
+    assert out[2]["weekday"] == 5 and out[2]["is_weekend"]
+    assert out[3]["weekday"] == 6 and out[3]["is_weekend"]
+    assert out[1]["hour"] == 13 and out[1]["month"] == 1

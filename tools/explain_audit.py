@@ -577,6 +577,24 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "weighted_median_lineitem",
+        [(r"hashpartitioning\(l_returnflag", "one key shuffle"),
+         (r"Functions \[\d+\]: \[partial_", "final min per key partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "group_mode_events",
+        [(r"Functions \[\d+\]: \[partial_", "pair counts partial map-side"),
+         (r"\[row_number", "winner via rank over the count table")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "calendar_features_events",
+        [(r"Project", "map-only feature extraction")],
+        [(r"Exchange", "no shuffle"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "abc_parts_revenue",
         [(r"LogicalRDD|Scan ExistingRDD", "materialized item table (cumsum cache released)")],
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],

@@ -82,6 +82,7 @@ EXACT_FAMILY = [
     "holt_forecast_events", "linear_trend_user_daily",
     "bounded_stock_events", "freshness_events_by_type",
     "keep_latest_orders", "rolling_corr_supplier", "histogram2d_events",
+    "abc_parts_revenue", "calendar_features_events",
 ]
 
 
