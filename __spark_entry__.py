@@ -9473,6 +9473,358 @@ def q_calendar_features_events(spark, sf_dir):
     return events.calendar_features(e, "ts")
 
 
+# --- activity analytics (new-vs-returning / churn / stickiness / overlap) ---
+@_q(
+    "new_vs_returning_daily",
+    """
+    WITH act AS (SELECT DISTINCT user_id AS uid,
+                        CAST(date_trunc('day', ts) AS DATE) AS bucket_date
+                 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    f AS (SELECT uid, MIN(bucket_date) AS first_b FROM act GROUP BY 1)
+    SELECT bucket_date,
+           CAST(COUNT(CASE WHEN bucket_date = first_b THEN 1 END) AS BIGINT)
+             AS new_users,
+           CAST(COUNT(CASE WHEN bucket_date <> first_b THEN 1 END) AS BIGINT)
+             AS returning_users,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM act JOIN f USING (uid)
+    GROUP BY 1
+    """,
+)
+def q_new_vs_returning_daily(spark, sf_dir):
+    # first-ever-seen split per day: one distinct shuffle + per-user
+    # MIN window (tiny groups) + one keyed count; DATE keys from the
+    # NTZ wall-clock — zone-free
+    from bubbles_spark.ops import activity
+
+    e = _t(spark, sf_dir, "events")
+    return activity.new_vs_returning(e, "user_id", "ts", "day")
+
+
+@_q(
+    "churn_weekly_users",
+    """
+    WITH act AS (SELECT DISTINCT user_id AS uid,
+                        CAST(date_trunc('week', ts) AS DATE) AS bucket_date
+                 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    nxt AS (SELECT uid, bucket_date - 7 AS bucket_date, 1 AS came_back
+            FROM act)
+    SELECT bucket_date,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(COUNT(came_back) AS BIGINT) AS retained_next,
+           CAST(COUNT(CASE WHEN came_back IS NULL THEN 1 END) AS BIGINT)
+             AS churned_next
+    FROM act LEFT JOIN nxt USING (uid, bucket_date)
+    GROUP BY 1
+    """,
+)
+def q_churn_weekly_users(spark, sf_dir):
+    # week-over-week retention/churn: distinct activity equi-joined
+    # against itself shifted back 7 days (day-space date_add — DST-
+    # proof); the final week reports all-churned by construction
+    from bubbles_spark.ops import activity
+
+    e = _t(spark, sf_dir, "events")
+    return activity.churn_report(e, "user_id", "ts", "week")
+
+
+@_q(
+    "stickiness_weekly",
+    """
+    WITH da AS (SELECT DISTINCT user_id AS uid,
+                       CAST(date_trunc('day', ts) AS DATE) AS d
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM da GROUP BY 1),
+    pb AS (SELECT CAST(date_trunc('week', d) AS DATE) AS bucket_date,
+                  CAST(SUM(dau) AS BIGINT) AS dau_sum,
+                  CAST(COUNT(*) AS BIGINT) AS active_days
+           FROM dau GROUP BY 1),
+    ba AS (SELECT CAST(date_trunc('week', d) AS DATE) AS bucket_date,
+                  CAST(COUNT(DISTINCT uid) AS BIGINT) AS bucket_actives
+           FROM da GROUP BY 1)
+    SELECT bucket_date, bucket_actives, dau_sum, active_days,
+           CAST(dau_sum AS DOUBLE) / CAST(active_days AS DOUBLE) AS avg_dau,
+           CAST(dau_sum AS DOUBLE) / CAST(active_days * bucket_actives AS DOUBLE)
+             AS stickiness
+    FROM pb JOIN ba USING (bucket_date)
+    """,
+)
+def q_stickiness_weekly(spark, sf_dir):
+    # DAU/WAU engagement ratio: each double is ONE division on exact
+    # BIGINT operands (stickiness divides by the integer product,
+    # never by the float avg_dau)
+    from bubbles_spark.ops import activity
+
+    e = _t(spark, sf_dir, "events")
+    return activity.stickiness(e, "user_id", "ts", "week")
+
+
+@_q(
+    "segment_overlap_event_types",
+    """
+    WITH m AS (SELECT DISTINCT user_id AS id, event_type AS seg
+               FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    s AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS size FROM m GROUP BY 1),
+    i AS (SELECT l.seg AS seg_a, r.seg AS seg_b,
+                 CAST(COUNT(*) AS BIGINT) AS intersection
+          FROM m l JOIN m r ON l.id = r.id AND l.seg < r.seg GROUP BY 1, 2),
+    sp AS (SELECT a.seg AS seg_a, a.size AS size_a,
+                  b.seg AS seg_b, b.size AS size_b
+           FROM s a JOIN s b ON a.seg < b.seg)
+    SELECT seg_a, seg_b, size_a, size_b,
+           COALESCE(intersection, 0) AS intersection,
+           CASE WHEN size_a + size_b - COALESCE(intersection, 0) > 0
+                THEN CAST(COALESCE(intersection, 0) AS DOUBLE)
+                     / CAST(size_a + size_b - COALESCE(intersection, 0)
+                            AS DOUBLE) END AS jaccard,
+           CASE WHEN LEAST(size_a, size_b) > 0
+                THEN CAST(COALESCE(intersection, 0) AS DOUBLE)
+                     / CAST(LEAST(size_a, size_b) AS DOUBLE) END
+             AS containment
+    FROM sp LEFT JOIN i USING (seg_a, seg_b)
+    """,
+)
+def q_segment_overlap_event_types(spark, sf_dir):
+    # pairwise Jaccard/containment between event-type audiences over
+    # a full vocab2 spine (zero-overlap pairs emitted); per-user pair
+    # expansion bounded by the segment vocabulary, never corpus size
+    from bubbles_spark.ops import activity
+
+    e = _t(spark, sf_dir, "events")
+    return activity.segment_overlap(e, "user_id", "event_type")
+
+
+# --- statistical tests (Welch t / ANOVA / mutual information) --------
+_MOMENTS_SQL = """
+    SELECT event_type AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(CAST(FLOOR(value * 1000000.0) AS DECIMAL(19,0))
+                    AS DECIMAL(38,0))) AS s1,
+           SUM(CAST(FLOOR(value * 1000000.0) AS DECIMAL(19,0))
+               * CAST(FLOOR(value * 1000000.0) AS DECIMAL(19,0))) AS s2
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+"""
+
+
+@_q(
+    "welch_t_purchase_vs_view",
+    f"""
+    WITH s AS ({_MOMENTS_SQL}),
+    a AS (SELECT grp AS group_a, n AS n_a,
+                 (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+                   AS mean_a,
+                 CASE WHEN n > 1 THEN
+                   ((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) / 1000000000000.0 END
+                   AS var_a
+          FROM s WHERE grp = 'purchase'),
+    b AS (SELECT grp AS group_b, n AS n_b,
+                 (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+                   AS mean_b,
+                 CASE WHEN n > 1 THEN
+                   ((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) / 1000000000000.0 END
+                   AS var_b
+          FROM s WHERE grp = 'view'),
+    j AS (SELECT *, var_a / CAST(n_a AS DOUBLE) AS sea,
+                 var_b / CAST(n_b AS DOUBLE) AS seb
+          FROM a CROSS JOIN b)
+    SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, var_a, var_b,
+           CASE WHEN sea + seb > 0
+                THEN (mean_a - mean_b) / SQRT(sea + seb) END AS t_stat,
+           CASE WHEN sea + seb > 0
+                THEN ((sea + seb) * (sea + seb))
+                     / (sea * sea / CAST(n_a - 1 AS DOUBLE)
+                        + seb * seb / CAST(n_b - 1 AS DOUBLE)) END
+             AS df_welch
+    FROM j
+    """,
+)
+def q_welch_t_purchase_vs_view(spark, sf_dir):
+    # Welch two-sample t on purchase vs view values: micro-scaled
+    # integer moments (floor(v*1e6), second moment in DECIMAL(38,0)),
+    # then a fixed IEEE sequence — bit-identical across engines
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.welch_t_test(e, "event_type", "value", "purchase", "view")
+
+
+@_q(
+    "anova_value_by_type",
+    f"""
+    WITH s AS ({_MOMENTS_SQL}),
+    u AS (SELECT *, CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS DECIMAL(38,6)) AS u
+          FROM s),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+                 SUM(s1) AS s1t, SUM(s2) AS s2t, SUM(u) AS t
+          FROM u),
+    f AS (SELECT k, n,
+                 (CAST(t AS DOUBLE)
+                  - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / 1000000000000.0 AS ss_between,
+                 (CAST(s2t AS DOUBLE) - CAST(t AS DOUBLE)) / 1000000000000.0
+                   AS ss_within
+          FROM g)
+    SELECT k, n, ss_between, ss_within,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           CASE WHEN k > 1 AND n > k AND ss_within > 0
+                THEN (ss_between / CAST(k - 1 AS DOUBLE))
+                     / (ss_within / CAST(n - k AS DOUBLE)) END AS f_stat
+    FROM f
+    """,
+)
+def q_anova_value_by_type(spark, sf_dir):
+    # one-way ANOVA across all five event types; the only cross-group
+    # float sum (sum_g s1_g^2/n_g) is pinned to DECIMAL(38,6) so the
+    # total is order-free — everything else is exact integer sums
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.anova_oneway(e, "event_type", "value")
+
+
+@_q(
+    "mi_lang_source",
+    """
+    WITH base AS (SELECT lang AS a, source AS b FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL),
+    c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM base GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_a FROM base GROUP BY 1),
+    mb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_b FROM base GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM c)
+    SELECT a, b, n_ab, n_a, n_b, n,
+           CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE) AS p_ab
+    FROM c JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+    """,
+)
+def q_mi_lang_source(spark, sf_dir):
+    # language-source association: per-cell PMI + MI contribution
+    # (sum mi_term downstream) — the PSI report's per-bin emission
+    # discipline, margins cast to double BEFORE multiplying.  pmi /
+    # mi_term are EXCLUDED from the oracle comparison for the same
+    # reason psi_bin is (JVM Math.log vs glibc log differ by 1 ulp on
+    # ~1% of inputs); tests/test_stattests.py pins them engine-side
+    from bubbles_spark.ops import stattests
+
+    d = _t(spark, sf_dir, "documents")
+    return stattests.mi_report(d, "lang", "source").drop("pmi", "mi_term")
+
+
+# --- scaling / robust trend / period-over-period ---------------------
+@_q(
+    "minmax_scale_events",
+    """
+    WITH b AS (SELECT event_type, MIN(value) AS mn, MAX(value) AS mx
+               FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT event_id, event_type, value,
+           CASE WHEN mx - mn > 0 THEN (value - mn) / (mx - mn) END
+             AS value_scaled
+    FROM events LEFT JOIN b USING (event_type)
+    """,
+)
+def q_minmax_scale_events(spark, sf_dir):
+    # per-type [0,1] scaling: groups-sized bounds table broadcast
+    # back — never an unbounded min/max window over giant partitions
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return drift.minmax_scale(e, "value", by="event_type", out_col="value_scaled")
+
+
+@_q(
+    "theil_sen_daily_revenue",
+    """
+    WITH daily AS (SELECT o_orderpriority AS grp,
+                          datediff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE)) AS x,
+                          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                    AS DECIMAL(18,2)) AS DOUBLE) AS y
+                   FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+                   GROUP BY 1, 2),
+    pairs AS (SELECT l.grp,
+                     (r.y - l.y) / (CAST(r.x AS DOUBLE) - CAST(l.x AS DOUBLE))
+                       AS slope
+              FROM daily l JOIN daily r ON l.grp = r.grp AND l.x < r.x),
+    ms AS (SELECT grp, slope, m AS n_pairs FROM
+           (SELECT grp, slope,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY slope) AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS m FROM pairs) t
+           WHERE rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)),
+    resid AS (SELECT d.grp, ms.slope, ms.n_pairs,
+                     d.y - ms.slope * CAST(d.x AS DOUBLE) AS r
+              FROM daily d JOIN ms ON d.grp = ms.grp),
+    mi AS (SELECT grp, n_pairs, slope, r AS intercept FROM
+           (SELECT grp, slope, n_pairs, r,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY r) AS rn,
+                   COUNT(*) OVER (PARTITION BY grp) AS np FROM resid) t
+           WHERE rn = CAST(FLOOR((np + 1) / 2.0) AS BIGINT)),
+    cnt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_points
+            FROM daily GROUP BY 1)
+    SELECT cnt.grp AS o_orderpriority, cnt.n_points,
+           CAST(COALESCE(mi.n_pairs, 0) AS BIGINT) AS n_pairs,
+           mi.slope, mi.intercept
+    FROM cnt LEFT JOIN mi ON cnt.grp = mi.grp
+    """,
+)
+def q_theil_sen_daily_revenue(spark, sf_dir):
+    # robust daily-revenue trend per priority over year one: lower-
+    # median slope/intercept by rank SELECTION (never averaging) —
+    # tie order can't change the picked double; x is an exact epoch-
+    # day integer, y an exact-decimal daily sum cast once
+    from bubbles_spark.ops import insights
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01")
+    )
+    daily = o.groupBy(
+        F.col("o_orderpriority"),
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("x"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("y")
+    )
+    return insights.theil_sen(daily, "o_orderpriority", "x", "y")
+
+
+@_q(
+    "wow_revenue_orders",
+    """
+    WITH r AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE)
+                        AS bucket_date,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           AS DECIMAL(18,2)) AS value
+               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+    p AS (SELECT bucket_date + 7 AS bucket_date, value AS prev_value FROM r)
+    SELECT bucket_date, value, prev_value,
+           value - prev_value AS delta,
+           CASE WHEN prev_value <> 0
+                THEN CAST(value - prev_value AS DOUBLE)
+                     / CAST(prev_value AS DOUBLE) END AS pct_change
+    FROM r LEFT JOIN p USING (bucket_date)
+    """,
+)
+def q_wow_revenue_orders(spark, sf_dir):
+    # week-over-week revenue: exact-decimal rollup + delta, aligned
+    # by day-space date_add(7) self-equi-join; pct is one double
+    # division of the exact operands
+    o = _t(spark, sf_dir, "orders")
+    return events.period_over_period(
+        o, "o_orderdate", "o_totalprice", bucket="week", lag=1
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

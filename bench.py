@@ -214,6 +214,16 @@ BENCH_QUERIES = [
     "weighted_median_lineitem",
     "group_mode_events",
     "calendar_features_events",
+    "new_vs_returning_daily",
+    "churn_weekly_users",
+    "stickiness_weekly",
+    "segment_overlap_event_types",
+    "welch_t_purchase_vs_view",
+    "anova_value_by_type",
+    "mi_lang_source",
+    "minmax_scale_events",
+    "theil_sen_daily_revenue",
+    "wow_revenue_orders",
 ]
 
 

@@ -1,0 +1,284 @@
+"""User-activity / engagement analytics: new-vs-returning, churn,
+DAU/MAU stickiness, and segment overlap.
+
+The product-analytics staples every events warehouse grows sooner or
+later ("how many of today's actives are new?", "who churned last
+week?", "how sticky is the product?", "how much do my segments
+overlap?") — answered as exact, engine-portable DataFrame ops in the
+ops/insights.py discipline: every count is BIGINT, every emitted
+double is ONE division (or a fixed sequence of IEEE steps) on exact
+integer operands, and no plan carries a data-sized single-task stage.
+
+Reference scope: Stiivi/bubbles ships nothing comparable (SURVEY.md
+§2.6 stops at audits); these are §2.14 north-star extension rows.
+
+Timestamps are treated as zone-free wall-clock throughout: buckets
+come from ``date_trunc`` on the NTZ input and are emitted as DATEs
+(day-space arithmetic — ``date_add``/``add_months`` — never instant
+arithmetic), so results are identical in any session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "new_vs_returning",
+    "churn_report",
+    "stickiness",
+    "segment_overlap",
+]
+
+_BUCKETS = ("day", "week", "month")
+
+
+def _bucket_date(ts_col: str, bucket: str):
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {_BUCKETS}, got {bucket!r}")
+    return F.to_date(F.date_trunc(bucket, F.col(ts_col)))
+
+
+def _next_bucket(col, bucket: str, periods: int = 1):
+    """The bucket start ``periods`` periods after ``col`` — day-space
+    arithmetic only (``date_add``/``add_months``), so a DST transition
+    inside the period cannot shift the key in any session timezone."""
+    if bucket == "day":
+        return F.date_add(col, periods)
+    if bucket == "week":
+        return F.date_add(col, 7 * periods)
+    return F.add_months(col, periods)
+
+
+def new_vs_returning(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Per activity bucket: how many active users were seen for the
+    first time EVER in this bucket (``new_users``) vs seen before
+    (``returning_users``).  "First ever" is relative to the input
+    frame — pass the full history (or a long-enough tail plus a
+    seeded first-seen table) for true lifetime semantics.
+
+    Plan: one distinct over (user, bucket) — a single map-side-
+    combined shuffle; the per-user first bucket is an unbounded MIN
+    window partitioned by user (per-user groups are tiny at any
+    corpus size); the final rollup is one keyed count.  Nothing
+    data-sized happens in a single task.
+
+    Output: bucket_date DATE, new_users, returning_users,
+    active_users (all BIGINT)."""
+    uid = F.col(user_col)
+    act = (
+        df.filter(uid.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            uid.alias("__uid"),
+            _bucket_date(ts_col, bucket).alias("bucket_date"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__uid")
+    flagged = act.withColumn("__first", F.min("bucket_date").over(w))
+    new_flag = F.col("bucket_date") == F.col("__first")
+    return (
+        flagged.groupBy("bucket_date")
+        .agg(
+            F.count(F.when(new_flag, 1)).cast("bigint").alias("new_users"),
+            F.count(F.when(~new_flag, 1))
+            .cast("bigint")
+            .alias("returning_users"),
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+        )
+        .orderBy("bucket_date")
+    )
+
+
+def churn_report(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """Per activity bucket: of the users active in the bucket, how
+    many came back in the NEXT bucket (``retained_next``) and how
+    many did not (``churned_next``) — the period-over-period churn
+    readout.  The final bucket in the data necessarily reports all
+    its actives as churned (there is no next period yet); slice it
+    off downstream when reading the report.
+
+    Plan: one distinct over (user, bucket), self-equi-joined against
+    its own copy shifted back one period (join keys are (user,
+    bucket) on both sides — a plain equi-join, AQE-friendly, no
+    theta join), then one keyed count.
+
+    Output: bucket_date DATE, active_users, retained_next,
+    churned_next (all BIGINT)."""
+    uid = F.col(user_col)
+    act = (
+        df.filter(uid.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            uid.alias("__uid"),
+            _bucket_date(ts_col, bucket).alias("bucket_date"),
+        )
+        .distinct()
+    )
+    # activity shifted back one period: a row here means "this user
+    # is active in the bucket AFTER bucket_date"
+    nxt = act.select(
+        "__uid",
+        _next_bucket(F.col("bucket_date"), bucket, -1).alias("bucket_date"),
+        F.lit(1).alias("__came_back"),
+    )
+    joined = act.join(nxt, ["__uid", "bucket_date"], "left")
+    ret = F.col("__came_back").isNotNull()
+    return (
+        joined.groupBy("bucket_date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.count(F.when(ret, 1)).cast("bigint").alias("retained_next"),
+            F.count(F.when(~ret, 1)).cast("bigint").alias("churned_next"),
+        )
+        .orderBy("bucket_date")
+    )
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "month",
+) -> DataFrame:
+    """Engagement stickiness per bucket: average daily active users
+    over the bucket's ACTIVE days divided by the bucket's distinct
+    actives — the DAU/MAU (or DAU/WAU) ratio.  Days with zero
+    activity are not in the denominator; with gap-free data this is
+    the classic ratio, with sparse data it measures engagement on
+    days the product was used (document-stable across engines either
+    way — no calendar-length arithmetic).
+
+    Exactness: ``avg_dau`` and ``stickiness`` are each ONE IEEE
+    double division on exact BIGINT operands (``stickiness`` divides
+    by the exact integer product ``active_days * bucket_actives``,
+    not by the float ``avg_dau`` — one rounding step, not two).
+
+    Plan: one distinct over (user, day); per-day DAU and per-bucket
+    distinct actives are two keyed counts off that same frame; the
+    join is bucket-count-sized.
+
+    Output: bucket_date DATE, bucket_actives, dau_sum, active_days
+    (BIGINT), avg_dau, stickiness (DOUBLE)."""
+    uid = F.col(user_col)
+    day_act = (
+        df.filter(uid.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            uid.alias("__uid"),
+            _bucket_date(ts_col, "day").alias("__day"),
+        )
+        .distinct()
+    )
+    bcol = F.to_date(F.date_trunc(bucket, F.col("__day")))
+    dau = day_act.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__dau")
+    )
+    per_bucket_days = dau.groupBy(bcol.alias("bucket_date")).agg(
+        F.sum("__dau").cast("bigint").alias("dau_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("active_days"),
+    )
+    actives = (
+        day_act.select("__uid", bcol.alias("bucket_date"))
+        .distinct()
+        .groupBy("bucket_date")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bucket_actives"))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        per_bucket_days.join(actives, "bucket_date")
+        .select(
+            "bucket_date",
+            "bucket_actives",
+            "dau_sum",
+            "active_days",
+            (d("dau_sum") / d("active_days")).alias("avg_dau"),
+            (
+                d("dau_sum")
+                / (F.col("active_days") * F.col("bucket_actives")).cast(
+                    "double"
+                )
+            ).alias("stickiness"),
+        )
+        .orderBy("bucket_date")
+    )
+
+
+def segment_overlap(
+    df: DataFrame,
+    id_col: str,
+    seg_col: str,
+) -> DataFrame:
+    """Pairwise membership overlap between segments: for every
+    unordered segment pair (seg_a < seg_b), the exact member-set
+    sizes, intersection, Jaccard similarity, and containment
+    (intersection over the SMALLER set).  Zero-overlap pairs are
+    emitted too (a full segment-pair spine), so absence of a row
+    never has to be disambiguated from absence of overlap.
+
+    Plan: one distinct over (id, segment), self-equi-joined on id to
+    count co-memberships — the expansion per id is (segments the id
+    belongs to)², bounded by the segment vocabulary, never by corpus
+    size; segment sizes are one keyed count and join back broadcast
+    (the spine is vocab²-rows).  An id in very many segments is the
+    skew case — pre-filter such ids if the vocabulary is huge.
+
+    Output: seg_a, seg_b, size_a, size_b, intersection (BIGINT),
+    jaccard, containment (DOUBLE — single divisions on exact
+    counts)."""
+    m = (
+        df.filter(F.col(id_col).isNotNull() & F.col(seg_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"), F.col(seg_col).alias("__seg")
+        )
+        .distinct()
+    )
+    sizes = m.groupBy(F.col("__seg").alias("seg")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    inter = (
+        m.alias("l")
+        .join(m.alias("r"), F.col("l.__id") == F.col("r.__id"))
+        .filter(F.col("l.__seg") < F.col("r.__seg"))
+        .groupBy(
+            F.col("l.__seg").alias("seg_a"), F.col("r.__seg").alias("seg_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intersection"))
+    )
+    spine = (
+        sizes.select(
+            F.col("seg").alias("seg_a"), F.col("size").alias("size_a")
+        )
+        .join(
+            sizes.select(
+                F.col("seg").alias("seg_b"), F.col("size").alias("size_b")
+            ),
+            F.col("seg_a") < F.col("seg_b"),
+        )
+    )
+    j = (
+        spine.join(F.broadcast(inter), ["seg_a", "seg_b"], "left")
+        .fillna(0, ["intersection"])
+    )
+    un = (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast(
+        "double"
+    )
+    smaller = F.least(F.col("size_a"), F.col("size_b")).cast("double")
+    i = F.col("intersection").cast("double")
+    return j.select(
+        "seg_a",
+        "seg_b",
+        "size_a",
+        "size_b",
+        "intersection",
+        F.when(un > 0, i / un).alias("jaccard"),
+        F.when(smaller > 0, i / smaller).alias("containment"),
+    ).orderBy("seg_a", "seg_b")

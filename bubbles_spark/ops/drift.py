@@ -43,6 +43,7 @@ __all__ = [
     "gains_table",
     "ab_test_report",
     "qq_table",
+    "minmax_scale",
 ]
 
 
@@ -1071,3 +1072,37 @@ def qq_table(
     return spark.createDataFrame(
         rows, "p double, q_a double, q_b double, diff double"
     )
+
+
+def minmax_scale(
+    df: DataFrame,
+    col: str,
+    by: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Min-max feature scaling ``(v − min)/(max − min)`` into [0, 1],
+    globally or per ``by`` group — the bounded-range companion to
+    ``zscore`` (mean/std) and ``quantile_normalize`` (rank).  A
+    degenerate group (max = min — one distinct value) yields NULL
+    rather than an engine-dependent 0/0; NULL inputs stay NULL.
+
+    Exactness: one IEEE subtract over one IEEE subtract on the input
+    doubles — no aggregate-of-floats anywhere (min/max select
+    existing values, order-free).
+
+    Scale: one map-side-combined keyed aggregate to a groups-sized
+    bounds table, broadcast-joined back — never an unbounded
+    min/max window over giant group partitions (which would sort
+    each group in a single task)."""
+    c = F.col(col).cast("double")
+    keys = [by] if by else []
+    bounds = df.filter(c.isNotNull()).groupBy(*keys).agg(
+        F.min(c).alias("__mn"), F.max(c).alias("__mx")
+    )
+    if by:
+        j = df.join(F.broadcast(bounds), by, "left")
+    else:
+        j = df.crossJoin(F.broadcast(bounds))
+    rng = F.col("__mx") - F.col("__mn")
+    scaled = F.when(rng > 0, (c - F.col("__mn")) / rng)
+    return j.withColumn(out_col or col, scaled).drop("__mn", "__mx")

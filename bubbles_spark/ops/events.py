@@ -1780,3 +1780,69 @@ def calendar_features(
         .withColumn(f"{prefix}weekday", wd.cast("int"))
         .withColumn(f"{prefix}is_weekend", wd >= 5)
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    bucket: str = "week",
+    lag: int = 1,
+    decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Period-over-period comparison of a measure: roll ``value_col``
+    up to calendar buckets, align each bucket with the one ``lag``
+    periods earlier, and emit the exact delta plus the relative
+    change — the WoW/MoM/YoY readout every revenue dashboard leads
+    with.  Buckets with no prior period (the first ``lag`` buckets,
+    or a gap in the data) emit NULL prev/delta/pct; a zero prior
+    value emits NULL pct_change rather than an engine-dependent
+    division blowup.
+
+    Exactness: the measure aggregates and subtracts entirely in
+    DECIMAL (cast via ``decimal``, default money-shaped (18,2));
+    ``pct_change`` is ONE double division of the exact operands.
+    Bucket alignment is day-space arithmetic on DATEs
+    (``date_add``/``add_months``) — no instant math, so the keys are
+    identical in every session timezone (and across DST).
+
+    Scale: one map-side-combined keyed rollup, then a buckets-sized
+    self-equi-join on the shifted key — nothing data-sized after the
+    first shuffle.
+
+    Output: bucket_date DATE, value, prev_value, delta (DECIMAL),
+    pct_change (DOUBLE)."""
+    if bucket not in ("day", "week", "month"):
+        raise ValueError(f"period_over_period: bad bucket {bucket!r}")
+    if lag < 1:
+        raise ValueError("period_over_period: lag must be >= 1")
+    b = F.to_date(F.date_trunc(bucket, F.col(date_col)))
+    roll = (
+        df.filter(F.col(date_col).isNotNull())
+        .groupBy(b.alias("bucket_date"))
+        .agg(
+            F.sum(F.col(value_col).cast(decimal)).cast(decimal).alias("value")
+        )
+    )
+    if bucket == "day":
+        shifted_key = F.date_add(F.col("bucket_date"), lag)
+    elif bucket == "week":
+        shifted_key = F.date_add(F.col("bucket_date"), 7 * lag)
+    else:
+        shifted_key = F.add_months(F.col("bucket_date"), lag)
+    prev = roll.select(
+        shifted_key.alias("bucket_date"), F.col("value").alias("prev_value")
+    )
+    j = roll.join(prev, "bucket_date", "left")
+    delta = F.col("value") - F.col("prev_value")
+    pct = F.when(
+        F.col("prev_value") != 0,
+        delta.cast("double") / F.col("prev_value").cast("double"),
+    )
+    return j.select(
+        "bucket_date",
+        "value",
+        "prev_value",
+        delta.alias("delta"),
+        pct.alias("pct_change"),
+    ).orderBy("bucket_date")

@@ -31,6 +31,7 @@ __all__ = [
     "linear_trend",
     "abc_classification",
     "weighted_median",
+    "theil_sen",
 ]
 
 
@@ -432,4 +433,112 @@ def weighted_median(
             F.min("__v").alias("weighted_median"),
             F.max(F.col("__tw")).cast("decimal(18,2)").alias("total_weight"),
         )
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the LOWER MEDIAN of all
+    pairwise slopes ``(y_j − y_i)/(x_j − x_i)`` over points with
+    distinct x, plus the matching lower-median intercept of the
+    residuals ``y − slope·x`` — the estimator that shrugs off up to
+    ~29% outliers where OLS (``linear_trend``) folds.
+
+    Exactness: slopes and residuals are single IEEE subtract/divide
+    steps on the input doubles; "median" is type-1 rank selection
+    (``row_number``-th smallest at rank ``(m+1) div 2``) — it PICKS
+    an existing double, never averages two, so ties in the sort order
+    cannot change the selected value and both engines agree bitwise.
+
+    Scale: pairs are generated by a per-group self-equi-join (key =
+    group, filter x_i < x_j) — O(n_g²) pairs per group BY DEFINITION
+    of the estimator, and the median window sorts each group's pairs
+    in one task.  Intended for per-entity series of up to ~10k points
+    per group (100M pairs); pre-aggregate (e.g. daily rollup) first,
+    exactly as ``linear_trend`` documents.  The slope join-back is a
+    groups-sized broadcast.
+
+    Output: group, n_points, n_pairs (BIGINT), slope, intercept
+    (DOUBLE; NULL when fewer than 2 distinct x)."""
+    pts = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+    )
+    l, r = pts.alias("l"), pts.alias("r")
+    pairs = (
+        l.join(r, F.col("l.grp") == F.col("r.grp"))
+        .filter(F.col("l.__x") < F.col("r.__x"))
+        .select(
+            F.col("l.grp").alias("grp"),
+            (
+                (F.col("r.__y") - F.col("l.__y"))
+                / (F.col("r.__x") - F.col("l.__x"))
+            ).alias("__slope"),
+        )
+    )
+    ws = Window.partitionBy("grp").orderBy("__slope")
+    wc = Window.partitionBy("grp")
+    # lower median = floor((m+1)/2)-th smallest (type-1 selection)
+    med_slope = (
+        pairs.select(
+            "grp",
+            "__slope",
+            F.row_number().over(ws).alias("__rn"),
+            F.count(F.lit(1)).over(wc).alias("__m"),
+        )
+        .filter(F.col("__rn") == F.floor((F.col("__m") + 1) / 2))
+        .select("grp", F.col("__slope").alias("slope"), F.col("__m").alias("n_pairs"))
+    )
+    resid = pts.join(F.broadcast(med_slope), "grp").select(
+        "grp",
+        "slope",
+        "n_pairs",
+        (F.col("__y") - F.col("slope") * F.col("__x")).alias("__r"),
+    )
+    wr = Window.partitionBy("grp").orderBy("__r")
+    med_int = (
+        resid.select(
+            "grp",
+            "slope",
+            "n_pairs",
+            "__r",
+            F.row_number().over(wr).alias("__rn"),
+            F.count(F.lit(1)).over(wc).alias("__np"),
+        )
+        .filter(F.col("__rn") == F.floor((F.col("__np") + 1) / 2))
+        .select(
+            "grp",
+            F.col("__np").cast("bigint").alias("n_points"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "slope",
+            F.col("__r").alias("intercept"),
+        )
+    )
+    counts = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    return (
+        counts.join(
+            med_int.drop("n_points"), "grp", "left"
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_points",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            "slope",
+            "intercept",
+        )
+        .orderBy(group_col)
     )

@@ -1,0 +1,114 @@
+"""Statistical tests (ops/stattests.py): Welch t, one-way ANOVA,
+mutual information — values pinned against straight-line NumPy/math
+computations on the same micro-scaled integers, including the ln
+columns the oracle comparison excludes (JVM vs glibc log 1-ulp
+class, same policy as psi_bin)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bubbles_spark.ops import stattests
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def _scaled(vs, scale=6):
+    return [math.floor(v * float(10**scale)) for v in vs]
+
+
+def test_welch_t_matches_reference_formula(spark):
+    a = [1.1, 2.3, 3.5, 2.2, 1.9]
+    b = [4.0, 5.5, 6.1, 5.2]
+    df = _vals(spark, [("a", v) for v in a] + [("b", v) for v in b])
+    r = stattests.welch_t_test(df, "g", "v", "a", "b").collect()[0]
+    assert r["n_a"] == 5 and r["n_b"] == 4
+
+    def moments(vs):
+        sv = _scaled(vs)
+        n, s1, s2 = len(sv), sum(sv), sum(x * x for x in sv)
+        mean = (s1 / n) / 1e6
+        var = ((s2 - s1 * s1 / n) / (n - 1.0)) / 1e12
+        return n, mean, var
+
+    na, ma, va = moments(a)
+    nb, mb, vb = moments(b)
+    assert r["mean_a"] == ma and r["mean_b"] == mb
+    assert r["var_a"] == va and r["var_b"] == vb
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    assert r["t_stat"] == pytest.approx(t, abs=0.0)
+    assert r["df_welch"] == pytest.approx(dfw, abs=0.0)
+
+
+def test_welch_t_degenerate_arm_yields_null(spark):
+    df = _vals(spark, [("a", 1.0), ("b", 2.0), ("b", 3.0)])
+    r = stattests.welch_t_test(df, "g", "v", "a", "b").collect()[0]
+    assert r["var_a"] is None and r["t_stat"] is None
+
+
+def test_anova_oneway_pinned(spark):
+    groups = {"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0], "c": [5.0, 5.0]}
+    df = _vals(
+        spark, [(g, v) for g, vs in groups.items() for v in vs]
+    )
+    r = stattests.anova_oneway(df, "g", "v").collect()[0]
+    assert r["k"] == 3 and r["n"] == 8
+
+    S1 = S2 = T = 0.0
+    import decimal
+
+    Td = decimal.Decimal(0)
+    for vs in groups.values():
+        sv = _scaled(vs)
+        n, s1, s2 = len(sv), sum(sv), sum(x * x for x in sv)
+        S1 += s1
+        S2 += s2
+        u = float(s1) * float(s1) / float(n)
+        Td += decimal.Decimal(repr(u)).quantize(decimal.Decimal("0.000001"))
+    # mirror the engine: per-group term rounded to 6 dp then summed
+    T = float(Td)
+    N = 8.0
+    ssw = (S2 - T) / 1e12
+    ssb = (T - S1 * S1 / N) / 1e12
+    f = (ssb / 2.0) / (ssw / 5.0)
+    assert r["ss_within"] == pytest.approx(ssw, rel=1e-12)
+    assert r["ss_between"] == pytest.approx(ssb, rel=1e-12)
+    assert r["df_between"] == 2 and r["df_within"] == 5
+    assert r["f_stat"] == pytest.approx(f, rel=1e-12)
+
+
+def test_anova_degenerate_single_group(spark):
+    df = _vals(spark, [("a", 1.0), ("a", 2.0)])
+    r = stattests.anova_oneway(df, "g", "v").collect()[0]
+    assert r["k"] == 1 and r["f_stat"] is None
+
+
+def test_mi_report_pins_ln_columns(spark):
+    # 2×2 contingency: (x,p)=3 (x,q)=1 (y,p)=1 (y,q)=3, N=8
+    rows = (
+        [("x", "p")] * 3 + [("x", "q")] + [("y", "p")] + [("y", "q")] * 3
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {
+        (r["a"], r["b"]): r
+        for r in stattests.mi_report(df, "a", "b").collect()
+    }
+    xp = out[("x", "p")]
+    assert xp["n_ab"] == 3 and xp["n_a"] == 4 and xp["n_b"] == 4
+    assert xp["n"] == 8
+    assert xp["p_ab"] == 3.0 / 8.0
+    pmi = math.log((3.0 * 8.0) / (4.0 * 4.0))
+    assert xp["pmi"] == pytest.approx(pmi, rel=1e-15)
+    assert xp["mi_term"] == pytest.approx((3.0 / 8.0) * pmi, rel=1e-15)
+    # total MI = Σ mi_term ≥ 0, symmetric cells agree
+    mi = sum(r["mi_term"] for r in out.values())
+    assert mi > 0
+    assert out[("y", "q")]["pmi"] == pytest.approx(pmi, rel=1e-15)

@@ -924,6 +924,65 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "no theta join"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        "new_vs_returning_daily",
+        [(r"Functions \[\d+\]: \[partial_", "bucket rollup partial map-side"),
+         (r"hashpartitioning\(__uid", "first-seen window shuffles on user only")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "churn_weekly_users",
+        [(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "next-period lookup is a (user,bucket) equi join")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no theta join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "segment_overlap_event_types",
+        [(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "co-membership via id equi self-join")],
+        [(r"CartesianProduct", "spine is vocab-sized, never a corpus cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "welch_t_purchase_vs_view",
+        [(r"Functions \[\d+\]: \[partial_", "scaled moments partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "no window anywhere")],
+    ),
+    (
+        "anova_value_by_type",
+        [(r"Functions \[\d+\]: \[partial_", "per-group moments partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "no window anywhere")],
+    ),
+    (
+        "mi_lang_source",
+        [(r"Functions \[\d+\]: \[partial_", "cell/margin counts partial map-side"),
+         (r"BroadcastHashJoin", "margins broadcast back to the cell table")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "minmax_scale_events",
+        [(r"Functions \[\d+\]: \[partial_min|Functions \[\d+\]: \[partial_", "bounds partial-aggregate map-side"),
+         (r"BroadcastHashJoin", "groups-sized bounds table broadcasts back")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "never an unbounded min/max window")],
+    ),
+    (
+        "theil_sen_daily_revenue",
+        [(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "pair generation is a per-group equi self-join"),
+         (r"\[row_number", "median is type-1 rank selection")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no theta join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "wow_revenue_orders",
+        [(r"Functions \[\d+\]: \[partial_", "weekly rollup partial-aggregates map-side"),
+         (r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", "prior week aligned by a buckets-sized equi join")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"Window", "no lag window — gap-safe join alignment")],
+    ),
 ]
 
 

@@ -532,6 +532,33 @@ def main() -> int:
             "user_id", "ts", "value", ref_date="2024-03-01",
         )
 
+    def segment_overlap_op(t):
+        # ids grow k x, segment vocabulary fixed (event_type): the
+        # co-membership self-join carries k x members, output stays
+        # vocab^2-sized - alpha ~1 is the design claim
+        from bubbles_spark.ops import activity
+
+        return activity.segment_overlap(t["events"], "user_id", "event_type")
+
+    def theil_sen_op(t):
+        # the documented usage: pre-aggregate per (user, day) first;
+        # groups grow k x with bounded points per group, so the
+        # pairs-per-group quadratic is capped and total work is ~k
+        from bubbles_spark.ops import insights
+
+        daily = (
+            t["events"]
+            .filter(F.col("value").isNotNull())
+            .groupBy(
+                "user_id",
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                ).alias("x"),
+            )
+            .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("y"))
+        )
+        return insights.theil_sen(daily, "user_id", "x", "y")
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
@@ -556,6 +583,8 @@ def main() -> int:
         "grid_distance_join": grid_distance_op,
         "ewma": ewma_op,
         "rfm_segments": rfm_op,
+        "segment_overlap": segment_overlap_op,
+        "theil_sen": theil_sen_op,
     }
 
     results = {}
