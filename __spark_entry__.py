@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from bubbles_spark import ops
 from bubbles_spark.io import load_table
+from bubbles_spark.ops import activity as activity_ops
 from bubbles_spark.ops import audit as audit_ops
 from bubbles_spark.ops import core, dedup, events, multimodal, text, textan, vector
 
@@ -9823,6 +9824,139 @@ def q_wow_revenue_orders(spark, sf_dir):
     return events.period_over_period(
         o, "o_orderdate", "o_totalprice", bucket="week", lag=1
     )
+
+
+@_q(
+    "shipments_in_transit",
+    """
+    WITH iv AS (SELECT o_orderdate AS s, l_shipdate AS e
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
+                  AND l_shipdate >= o_orderdate),
+    b AS (SELECT s AS ts, 1 AS d FROM iv
+          UNION ALL SELECT e, -1 FROM iv),
+    g AS (SELECT ts, CAST(SUM(d) AS BIGINT) AS delta FROM b GROUP BY 1
+          HAVING SUM(d) <> 0)
+    SELECT ts, delta,
+           CAST(SUM(delta) OVER (ORDER BY ts) AS BIGINT) AS concurrent
+    FROM g
+    """,
+)
+def q_shipments_in_transit(spark, sf_dir):
+    # sweep-line concurrency over [ordered, shipped) line intervals:
+    # pure BIGINT net deltas per instant (tie ordering provably
+    # cannot matter), global running sum via the two-phase range-
+    # partitioned cumsum — never a bare ORDER BY window in one task
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return events.concurrency_report(iv, "o_orderdate", "l_shipdate")
+
+
+@_q(
+    "dwell_events_by_type",
+    """
+    WITH t AS (SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms
+               FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type IS NOT NULL),
+    s AS (SELECT event_type, ms,
+                 LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+                   AS next_ms
+          FROM t)
+    SELECT event_type AS state, CAST(COUNT(*) AS BIGINT) AS visits,
+           CAST(SUM(next_ms - ms) AS BIGINT) AS total_dwell_ms,
+           CAST(SUM(next_ms - ms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_dwell_ms
+    FROM s WHERE next_ms IS NOT NULL GROUP BY 1
+    """,
+)
+def q_dwell_events_by_type(spark, sf_dir):
+    # time-in-state: exact BIGINT wall-clock ms to each user's next
+    # event, attributed to the current event_type under the total
+    # (ms, event_id) order; avg is ONE division of exact operands
+    e = _t(spark, sf_dir, "events")
+    return events.state_dwell_report(e, "user_id", "ts", "event_type", "event_id")
+
+
+@_q(
+    "debounce_events_user",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS rn
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    r AS (
+      SELECT user_id, ts, event_id, ms, rn, TRUE AS kept, ms AS last_ms
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.ts, b.event_id, b.ms, b.rn,
+             b.ms - r.last_ms >= 21600000,
+             CASE WHEN b.ms - r.last_ms >= 21600000
+                  THEN b.ms ELSE r.last_ms END
+      FROM r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+    SELECT user_id, ts, event_id FROM r WHERE kept
+    """,
+)
+def q_debounce_events_user(spark, sf_dir):
+    # greedy burst collapse, 6h guard per user: the last-SURVIVOR
+    # recurrence no window expresses (ewma's Arrow seam class); the
+    # oracle replays the identical BIGINT-ms recurrence step-for-step
+    # via RECURSIVE CTE
+    e = _t(spark, sf_dir, "events")
+    return events.debounce(e, "user_id", "ts", 21600.0, "event_id")
+
+
+@_q(
+    "cohort_ltv_orders",
+    """
+    WITH per AS (SELECT o_custkey AS u,
+                        CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                             AS DATE) AS b,
+                        CAST(SUM(CAST(COALESCE(o_totalprice, 0)
+                                      AS DECIMAL(18,2)))
+                             AS DECIMAL(18,2)) AS rev
+                 FROM orders
+                 WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                 GROUP BY 1, 2),
+    tagged AS (SELECT u, b, rev, MIN(b) OVER (PARTITION BY u) AS c FROM per),
+    cells AS (SELECT c AS cohort_date,
+                     (YEAR(b) - YEAR(c)) * 12 + (MONTH(b) - MONTH(c)) AS age,
+                     CAST(COUNT(*) AS BIGINT) AS active_users,
+                     CAST(SUM(rev) AS DECIMAL(18,2)) AS revenue
+              FROM tagged GROUP BY 1, 2),
+    sizes AS (SELECT c AS cohort_date, CAST(COUNT(*) AS BIGINT) AS cohort_users
+              FROM tagged WHERE b = c GROUP BY 1),
+    spans AS (SELECT cohort_date, MAX(age) AS max_age FROM cells GROUP BY 1),
+    spine AS (SELECT cohort_date, CAST(age AS INT) AS age FROM
+              (SELECT cohort_date,
+                      UNNEST(generate_series(0, CAST(max_age AS BIGINT)))
+                        AS age
+               FROM spans)),
+    filled AS (SELECT sp.cohort_date, sp.age, z.cohort_users,
+                      CAST(COALESCE(cl.active_users, 0) AS BIGINT)
+                        AS active_users,
+                      CAST(COALESCE(cl.revenue, 0) AS DECIMAL(18,2))
+                        AS revenue
+               FROM spine sp
+               JOIN sizes z USING (cohort_date)
+               LEFT JOIN cells cl USING (cohort_date, age))
+    SELECT cohort_date, age, cohort_users, active_users, revenue,
+           CAST(SUM(revenue) OVER (PARTITION BY cohort_date ORDER BY age)
+                AS DECIMAL(18,2)) AS cum_revenue,
+           CAST(CAST(SUM(revenue) OVER (PARTITION BY cohort_date
+                                        ORDER BY age)
+                     AS DECIMAL(18,2)) AS DOUBLE)
+             / CAST(cohort_users AS DOUBLE) AS cum_ltv_per_user
+    FROM filled
+    """,
+)
+def q_cohort_ltv_orders(spark, sf_dir):
+    # monthly cohort LTV curves: DECIMAL revenue chain end-to-end,
+    # integer month arithmetic in DATE space, gap-free age spine,
+    # per-user division as the last (single) IEEE step
+    o = _t(spark, sf_dir, "orders")
+    return activity_ops.cohort_ltv(o, "o_custkey", "o_orderdate", "o_totalprice")
 
 
 # Driver-side correctness checks cover a bounded prefix of queries()

@@ -224,6 +224,10 @@ BENCH_QUERIES = [
     "minmax_scale_events",
     "theil_sen_daily_revenue",
     "wow_revenue_orders",
+    "shipments_in_transit",
+    "dwell_events_by_type",
+    "debounce_events_user",
+    "cohort_ltv_orders",
 ]
 
 

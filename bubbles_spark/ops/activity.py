@@ -28,6 +28,7 @@ __all__ = [
     "churn_report",
     "stickiness",
     "segment_overlap",
+    "cohort_ltv",
 ]
 
 _BUCKETS = ("day", "week", "month")
@@ -282,3 +283,107 @@ def segment_overlap(
         F.when(un > 0, i / un).alias("jaccard"),
         F.when(smaller > 0, i / smaller).alias("containment"),
     ).orderBy("seg_a", "seg_b")
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "month",
+    decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Cohort lifetime-value curves: users cohort by their FIRST
+    active bucket; each (cohort, age) cell reports the cohort's
+    size, that period's actives and revenue, and the running
+    cumulative revenue per cohort member — the payback/LTV readout
+    under every acquisition-spend decision.  Ages with zero activity
+    inside the observed span are emitted (zero revenue), so curves
+    are gap-free up to each cohort's last active age.
+
+    Exactness: revenue aggregates and cumulates entirely in DECIMAL
+    (``decimal`` param, money-shaped default); cohort and age are
+    integer month/day/week arithmetic in DATE space (never instant
+    math — TZ/DST-proof); ``cum_ltv_per_user`` is ONE IEEE division
+    of the exact cumulative by the exact BIGINT cohort size.
+
+    Scale: one (user, bucket) rollup carrying each user's windowed
+    first bucket — per-user partitions are tiny; the (cohort, age)
+    table is buckets²/2-sized, so its spine fill and cumsum windows
+    are metadata-scale.
+
+    Output: cohort_date DATE, age INT, cohort_users, active_users
+    (BIGINT), revenue, cum_revenue (DECIMAL), cum_ltv_per_user
+    (DOUBLE), ordered by (cohort_date, age)."""
+    uid = F.col(user_col)
+    per = (
+        df.filter(uid.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(
+            uid.alias("__uid"),
+            _bucket_date(ts_col, bucket).alias("bucket_date"),
+        )
+        .agg(
+            F.sum(F.coalesce(F.col(value_col), F.lit(0)).cast(decimal))
+            .cast(decimal)
+            .alias("__rev")
+        )
+    )
+    w = Window.partitionBy("__uid")
+    tagged = per.withColumn("cohort_date", F.min("bucket_date").over(w))
+    if bucket == "day":
+        age = F.datediff(F.col("bucket_date"), F.col("cohort_date"))
+    elif bucket == "week":
+        age = (
+            F.datediff(F.col("bucket_date"), F.col("cohort_date")) / 7
+        ).cast("int")
+    else:
+        age = (
+            (F.year("bucket_date") - F.year("cohort_date")) * 12
+            + (F.month("bucket_date") - F.month("cohort_date"))
+        )
+    cells = tagged.groupBy("cohort_date", age.cast("int").alias("age")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users"),
+        F.sum("__rev").cast(decimal).alias("revenue"),
+    )
+    sizes = tagged.filter(F.col("bucket_date") == F.col("cohort_date")).groupBy(
+        "cohort_date"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cohort_users"))
+    # gap-free age spine per cohort, 0..max observed age
+    spans = cells.groupBy("cohort_date").agg(
+        F.max("age").alias("__max_age")
+    )
+    spine = spans.select(
+        "cohort_date",
+        F.explode(F.sequence(F.lit(0), F.col("__max_age"))).alias("age"),
+    )
+    filled = (
+        spine.join(cells, ["cohort_date", "age"], "left")
+        .join(F.broadcast(sizes), "cohort_date")
+        .select(
+            "cohort_date",
+            "age",
+            "cohort_users",
+            F.coalesce(F.col("active_users"), F.lit(0))
+            .cast("bigint")
+            .alias("active_users"),
+            F.coalesce(F.col("revenue"), F.lit(0).cast(decimal))
+            .cast(decimal)
+            .alias("revenue"),
+        )
+    )
+    wc = (
+        Window.partitionBy("cohort_date")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        filled.withColumn(
+            "cum_revenue", F.sum("revenue").over(wc).cast(decimal)
+        )
+        .withColumn(
+            "cum_ltv_per_user",
+            F.col("cum_revenue").cast("double")
+            / F.col("cohort_users").cast("double"),
+        )
+        .orderBy("cohort_date", "age")
+    )

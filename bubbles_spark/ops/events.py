@@ -1846,3 +1846,186 @@ def period_over_period(
         delta.alias("delta"),
         pct.alias("pct_change"),
     ).orderBy("bucket_date")
+
+
+def concurrency_report(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Sweep-line interval concurrency: for every boundary instant,
+    the net change and the number of intervals open AFTER it — peak
+    load, in-transit inventory, concurrent-session curves.  Intervals
+    are ``[start, end)``: an interval releases its slot exactly at
+    its end instant, and because boundaries are pre-aggregated to one
+    NET delta per instant, same-instant start/end ordering can never
+    change the emitted curve.  Rows with NULL or inverted bounds
+    (end < start) are dropped; zero-length intervals net to 0 and
+    vanish from the curve.
+
+    Exactness: deltas and running concurrency are pure BIGINT sums —
+    no floats anywhere; boundary instants pass through untouched (no
+    epoch math), so the output is bit-identical in any session
+    timezone.
+
+    Scale: the boundary table is ≤2 rows per interval, collapsed to
+    one row per DISTINCT instant by a map-side-combined keyed count
+    BEFORE any ordering.  With ``by``, the running sum is a per-key
+    window (per-key boundary counts bounded by per-key intervals);
+    without, it is the range-partitioned two-phase cumsum
+    (drift._partitioned_cumsum) — never a bare global-ORDER window
+    funneling the curve through one task.
+
+    Output: [by,] ts, delta, concurrent (BIGINT), ordered by ts."""
+    s, e = F.col(start_col), F.col(end_col)
+    keys = [by] if by else []
+    valid = df.filter(s.isNotNull() & e.isNotNull() & (e >= s))
+    bounds = valid.select(*keys, s.alias("ts"), F.lit(1).alias("__d")).unionAll(
+        valid.select(*keys, e.alias("ts"), F.lit(-1).alias("__d"))
+    )
+    deltas = bounds.groupBy(*keys, "ts").agg(
+        F.sum("__d").cast("bigint").alias("delta")
+    ).filter(F.col("delta") != 0)
+    if by:
+        w = (
+            Window.partitionBy(by)
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return deltas.withColumn(
+            "concurrent", F.sum("delta").over(w).cast("bigint")
+        ).orderBy(by, "ts")
+    from bubbles_spark.ops.drift import _partitioned_cumsum
+
+    cum, _, parted = _partitioned_cumsum(deltas, "ts", ["delta"])
+    out = cum.select(
+        "ts", "delta", F.col("cum_delta").cast("bigint").alias("concurrent")
+    ).orderBy("ts")
+    out = out.localCheckpoint(eager=True)
+    parted.unpersist()
+    return out
+
+
+def state_dwell_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time spent in each state: per state, how many visits began
+    (= events observed with a successor) and the exact total/mean
+    wall-clock dwell until the key's NEXT event — session-stage
+    timing, device-status accounting, queue-phase analysis.  Each
+    key's LAST event has no successor and is excluded (its dwell is
+    open-ended; count it downstream against a horizon if needed).
+
+    Exactness: dwell is the BIGINT wall-clock epoch-ms difference to
+    the next event (DST-proof via the UTC pin); ``avg_dwell_ms`` is
+    ONE IEEE division of exact BIGINT operands.  The per-key order is
+    the total (ts, tiebreak) — equal-timestamp events would otherwise
+    attribute their 0/positive dwells to engine-dependent states.
+
+    Scale: one hash shuffle on the key + per-key sort for the lead
+    window (per-key event counts are session-sized); the rollup is
+    one map-side-combined keyed aggregate.
+
+    Output: state, visits, total_dwell_ms (BIGINT), avg_dwell_ms
+    (DOUBLE), ordered by state."""
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    is_ntz = dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(state_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(state_col).alias("state"),
+        epoch_ms_wallclock(F.col(ts_col), is_ntz).alias("__ms"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    w = Window.partitionBy("__k").orderBy("__ms", "__tb")
+    stepped = base.withColumn("__next_ms", F.lead("__ms").over(w)).filter(
+        F.col("__next_ms").isNotNull()
+    )
+    dwell = F.col("__next_ms") - F.col("__ms")
+    return (
+        stepped.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("visits"),
+            F.sum(dwell).cast("bigint").alias("total_dwell_ms"),
+        )
+        .withColumn(
+            "avg_dwell_ms",
+            F.col("total_dwell_ms").cast("double")
+            / F.col("visits").cast("double"),
+        )
+        .orderBy("state")
+    )
+
+
+def debounce(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Greedy burst collapse per key: keep an event only if at least
+    ``gap_seconds`` has elapsed since the last KEPT event — sensor
+    chatter suppression, click-spam collapse, alert rate-limiting.
+    This is NOT sessionize-first-event: with events at 0/3/6/9 and
+    gap 5, debounce keeps {0, 6} (each drop measures from the last
+    SURVIVOR) while one long session keeps only {0}.
+
+    The kept-set recurrence (state = last kept timestamp) is exactly
+    the class no window frame expresses — same seam as ``ewma``: one
+    key shuffle, per-key Arrow batch, a linear scan in integer ms.
+    Bit-exact by construction: the comparison is BIGINT ms ≥ BIGINT
+    threshold (floored from ``gap_seconds·1000``), replayable
+    step-for-step by a RECURSIVE CTE oracle; ties break on the total
+    (ts, tiebreak) order.
+
+    Scale: per-key groups are user-session-sized; the scan is O(n)
+    per key with no Python-per-row crossing (Arrow batches).  Output:
+    the SURVIVING rows (key, ts, tiebreak), ordered by key."""
+    import pandas as pd
+
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    gap_ms = int(float(gap_seconds) * 1000)
+    is_ntz = dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias(ts_col),
+        F.col(tiebreak_col).alias(tiebreak_col),
+        epoch_ms_wallclock(F.col(ts_col), is_ntz).alias("__ms"),
+    )
+    out_schema = T.StructType(
+        [
+            base.schema["__k"],
+            base.schema[ts_col],
+            base.schema[tiebreak_col],
+        ]
+    )
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ms", tiebreak_col], kind="mergesort")
+        keep = []
+        last = None
+        for ms in pdf["__ms"].to_numpy():
+            ok = last is None or ms - last >= gap_ms
+            keep.append(ok)
+            if ok:
+                last = ms
+        return pdf.loc[keep, ["__k", ts_col, tiebreak_col]]
+
+    return (
+        base.groupBy("__k")
+        .applyInPandas(_scan, out_schema)
+        .withColumnRenamed("__k", key_col)
+    )

@@ -1,0 +1,234 @@
+"""Classical statistical tests over DataFrames, engine-portably
+exact: Welch's two-sample t-test, one-way ANOVA, and a mutual-
+information (PMI) report for categorical association.
+
+House discipline (same as ops/drift.py's AUC / z-test): every
+aggregate that crosses rows is an exact integer or DECIMAL sum —
+doubles appear only in a FIXED, documented sequence of IEEE-correctly-
+rounded steps on those exact operands, written identically in the SQL
+mirror, so two engines produce bit-identical statistics.  Raw double
+measures are made summable by integer micro-scaling: ``floor(v·10^s)``
+is one double multiply + one floor — both exactly reproducible — and
+from there every sum is exact.  The scaled second moment is kept in
+DECIMAL(38,0) (the 19-digit×19-digit product can exceed BIGINT long
+before it exceeds 38 digits).
+
+P-values are deliberately NOT emitted: t/F CDF evaluation is not
+correctly rounded and would be the one engine-dependent number in the
+report.  Emit the statistic and degrees of freedom; thresholds are
+the caller's.
+
+Reference scope: Stiivi/bubbles has no statistics beyond basic audits
+(SURVEY.md §2.6); these are §2.14 north-star extension rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "welch_t_test",
+    "anova_oneway",
+    "mi_report",
+]
+
+
+def _scaled_moments(df: DataFrame, group_col: str, value_col: str, scale: int):
+    """Per group: n (BIGINT), s1 = Σ floor(v·10^s) and s2 = Σ
+    floor(v·10^s)² as exact DECIMAL(38,0).  The multiply and floor
+    are each one IEEE step; the square is a DECIMAL(19,0) product
+    (never a silently-overflowing BIGINT multiply)."""
+    v = F.col(value_col).cast("double")
+    sv = F.floor(v * F.lit(float(10**scale))).cast("decimal(19,0)")
+    return (
+        df.filter(F.col(group_col).isNotNull() & v.isNotNull())
+        .select(F.col(group_col).alias("grp"), sv.alias("__sv"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("__sv").cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.col("__sv") * F.col("__sv")).alias("s2"),
+        )
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two named
+    groups of ``group_col``: one output row with both arms' exact
+    counts, means, sample variances, the t statistic, and the
+    Welch–Satterthwaite degrees of freedom.
+
+    Exactness: means and variances derive from the micro-scaled
+    integer moments (see module docstring) by a fixed IEEE sequence —
+    ``mean = ((s1/n)/10^s)``, ``var = ((s2 − s1²/n)/(n−1))/10^2s``
+    with every operand cast to double exactly once.  An arm with
+    n < 2 (or zero pooled variance) yields NULL t/df rather than an
+    engine-dependent Inf/NaN.
+
+    Scale: one map-side-combined keyed aggregate over the input; the
+    two 1-row arms cross-join.  Output: group_a, group_b, n_a, n_b,
+    mean_a, mean_b, var_a, var_b, t_stat, df_welch."""
+    stats = _scaled_moments(df, group_col, value_col, scale)
+    down1 = float(10**scale)
+    down2 = float(10 ** (2 * scale))
+
+    def _arm(g, suffix):
+        n = F.col("n").cast("double")
+        s1 = F.col("s1").cast("double")
+        s2 = F.col("s2").cast("double")
+        mean = (s1 / n) / F.lit(down1)
+        var = F.when(
+            F.col("n") > 1,
+            ((s2 - s1 * s1 / n) / (n - F.lit(1.0))) / F.lit(down2),
+        )
+        return stats.filter(F.col("grp") == F.lit(g)).select(
+            F.col("grp").alias(f"group_{suffix}"),
+            F.col("n").alias(f"n_{suffix}"),
+            mean.alias(f"mean_{suffix}"),
+            var.alias(f"var_{suffix}"),
+        )
+
+    j = _arm(group_a, "a").crossJoin(F.broadcast(_arm(group_b, "b")))
+    sea = F.col("var_a") / F.col("n_a").cast("double")
+    seb = F.col("var_b") / F.col("n_b").cast("double")
+    se2 = sea + seb
+    t = F.when(se2 > 0, (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2))
+    dfw = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (
+            sea * sea / (F.col("n_a") - F.lit(1)).cast("double")
+            + seb * seb / (F.col("n_b") - F.lit(1)).cast("double")
+        ),
+    )
+    return j.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        t.alias("t_stat"),
+        dfw.alias("df_welch"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """One-way ANOVA across ALL groups of ``group_col``: one output
+    row with the group count, total n, between/within sums of
+    squares, and the F statistic with its degrees of freedom.
+
+    The one order-sensitive quantity — Σ_g s1_g²/n_g, a non-integer
+    per-group term that must be summed across groups — is pinned by
+    rounding each group's double term to DECIMAL(38,6) and summing
+    in DECIMAL (order-free, exact); every remaining step is a fixed
+    IEEE sequence on exact operands: ``SSW = (S2 − T)/10^2s``,
+    ``SSB = (T − S1²/N)/10^2s``, ``F = (SSB/(k−1))/(SSW/(N−k))``.
+    Degenerate cases (k < 2, N ≤ k, SSW = 0) emit NULL f_stat.
+
+    Scale: one map-side-combined keyed aggregate, then a k-row global
+    aggregate — nothing data-sized past the first shuffle.
+
+    Output: k, n, ss_between, ss_within, df_between, df_within,
+    f_stat."""
+    stats = _scaled_moments(df, group_col, value_col, scale)
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    u = (s1d * s1d / nd).cast("decimal(38,6)")
+    g = stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").alias("__S1"),
+        F.sum("s2").alias("__S2"),
+        F.sum(u).alias("__T"),
+    )
+    down2 = F.lit(float(10 ** (2 * scale)))
+    Nd = F.col("n").cast("double")
+    S1d = F.col("__S1").cast("double")
+    S2d = F.col("__S2").cast("double")
+    Td = F.col("__T").cast("double")
+    ssw = (S2d - Td) / down2
+    ssb = (Td - S1d * S1d / Nd) / down2
+    df1 = (F.col("k") - F.lit(1)).cast("bigint")
+    df2 = (F.col("n") - F.col("k")).cast("bigint")
+    fstat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+        (ssb / df1.cast("double")) / (ssw / df2.cast("double")),
+    )
+    return g.select(
+        "k",
+        "n",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        df1.alias("df_between"),
+        df2.alias("df_within"),
+        fstat.alias("f_stat"),
+    )
+
+
+def mi_report(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Categorical-association report between two columns: one row
+    per OBSERVED value pair with exact cell and margin counts, the
+    joint probability, pointwise mutual information ``ln(n_ab·N /
+    (n_a·n_b))``, and the cell's mutual-information contribution
+    ``p_ab·pmi``.  Sum ``mi_term`` downstream for total MI — the
+    per-cell emission (not a pre-summed float total) is what keeps
+    the report engine-portable, exactly as ops/drift.py's PSI report
+    emits per-bin terms.
+
+    Exactness: counts are BIGINT; each double is a fixed sequence —
+    margins are cast to double BEFORE multiplying (the BIGINT product
+    n_a·n_b would overflow long before the double loses the ratio).
+
+    Scale: three map-side-combined keyed counts (cells + two margins)
+    joined cell-table-sized; margins broadcast.  Output: a, b, n_ab,
+    n_a, n_b, n, p_ab, pmi, mi_term."""
+    a, b = F.col(a_col), F.col(b_col)
+    base = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.alias("a"), b.alias("b")
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    ma = base.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    mb = base.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    tot = cells.agg(F.sum("n_ab").cast("bigint").alias("n"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pab = d("n_ab") / d("n")
+    pmi = F.log((d("n_ab") * d("n")) / (d("n_a") * d("n_b")))
+    return (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n",
+            pab.alias("p_ab"),
+            pmi.alias("pmi"),
+            (pab * pmi).alias("mi_term"),
+        )
+        .orderBy("a", "b")
+    )

@@ -983,6 +983,37 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
          (r"Window", "no lag window — gap-safe join alignment")],
     ),
+    # shipments_in_transit: the curve is materialized via the
+    # two-phase cumsum's localCheckpoint, so the audited plan is the
+    # checkpointed RDD scan — assert the materialization happened
+    (
+        "shipments_in_transit",
+        [(r"Scan ExistingRDD|LogicalRDD", "two-phase cumsum materialized (cache released)")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
+    ),
+    (
+        "dwell_events_by_type",
+        [(r"hashpartitioning\(__k", "one key shuffle for the lead window"),
+         (r"Functions \[\d+\]: \[partial_", "state rollup partial-aggregates map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
+    ),
+    (
+        "debounce_events_user",
+        [(r"FlatMapGroupsInPandas", "honest Arrow seam for the last-survivor recurrence"),
+         (r"hashpartitioning\(__k", "one key shuffle")],
+        [(r"BatchEvalPython", "never row-at-a-time Python"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
+    ),
+    (
+        "cohort_ltv_orders",
+        [(r"Functions \[\d+\]: \[partial_", "per-user rollup partial-aggregates map-side"),
+         (r"BroadcastHashJoin", "cohort sizes broadcast to the cells"),
+         (r"\bGenerate\b", "age spine explodes from per-cohort spans")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
+    ),
 ]
 
 

@@ -559,6 +559,25 @@ def main() -> int:
         )
         return insights.theil_sen(daily, "user_id", "x", "y")
 
+    def concurrency_op(t):
+        # intervals [ts, ts + value seconds): boundary instants grow
+        # k x while the two-phase cumsum stays O(instants) — alpha ~1
+        from bubbles_spark.ops import events as ev
+
+        iv = t["events"].filter(F.col("value").isNotNull()).select(
+            "ts",
+            (
+                F.col("ts").cast("timestamp")
+                + F.make_interval(secs=F.col("value"))
+            ).alias("__end"),
+        )
+        return ev.concurrency_report(iv, "ts", "__end")
+
+    def debounce_op(t):
+        from bubbles_spark.ops import events as ev
+
+        return ev.debounce(t["events"], "user_id", "ts", 3600.0, "event_id")
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
@@ -585,6 +604,8 @@ def main() -> int:
         "rfm_segments": rfm_op,
         "segment_overlap": segment_overlap_op,
         "theil_sen": theil_sen_op,
+        "concurrency_report": concurrency_op,
+        "debounce": debounce_op,
     }
 
     results = {}
