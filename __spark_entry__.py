@@ -9959,6 +9959,129 @@ def q_cohort_ltv_orders(spark, sf_dir):
     return activity_ops.cohort_ltv(o, "o_custkey", "o_orderdate", "o_totalprice")
 
 
+@_q(
+    "fifo_match_events",
+    """
+    WITH i AS (SELECT user_id, event_id AS in_seq,
+                      CAST(SUM(q) OVER w AS DECIMAL(14,4)) AS in_hi,
+                      CAST(SUM(q) OVER w - q AS DECIMAL(14,4)) AS in_lo
+               FROM (SELECT user_id, event_id,
+                            CAST(value AS DECIMAL(14,4)) AS q
+                     FROM events WHERE event_type = 'view'
+                       AND user_id IS NOT NULL AND event_id IS NOT NULL
+                       AND CAST(value AS DECIMAL(14,4)) > 0)
+               WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING)),
+    o AS (SELECT user_id, event_id AS out_seq,
+                 CAST(SUM(q) OVER w AS DECIMAL(14,4)) AS out_hi,
+                 CAST(SUM(q) OVER w - q AS DECIMAL(14,4)) AS out_lo
+          FROM (SELECT user_id, event_id,
+                       CAST(value AS DECIMAL(14,4)) AS q
+                FROM events WHERE event_type = 'click'
+                  AND user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND CAST(value AS DECIMAL(14,4)) > 0)
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING))
+    SELECT i.user_id, in_seq, out_seq,
+           CAST(LEAST(in_hi, out_hi) - GREATEST(in_lo, out_lo)
+                AS DECIMAL(14,4)) AS qty
+    FROM i JOIN o ON i.user_id = o.user_id
+    WHERE in_lo < out_hi AND out_lo < in_hi
+    """,
+)
+def q_fifo_match_events(spark, sf_dir):
+    # FIFO application of click spend against view credit per user
+    # (lot order = event id): the closed form — cumulative-interval
+    # overlap — replaces the sequential drawdown recurrence, so both
+    # plans are pure windows + one equi-join in exact DECIMAL
+    e = _t(spark, sf_dir, "events")
+    ins = e.filter(F.col("event_type") == "view")
+    outs = e.filter(F.col("event_type") == "click")
+    return events.fifo_match(
+        ins, outs, "user_id", "event_id", "value", decimal="decimal(14,4)"
+    )
+
+
+@_q(
+    "rolling_wau_events",
+    """
+    WITH days AS (SELECT DISTINCT user_id AS u,
+                         CAST(date_trunc('day', ts) AS DATE) AS d
+                  FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    m AS (SELECT u, d,
+                 CASE WHEN LAG(d) OVER w IS NULL
+                        OR date_diff('day', LAG(d) OVER w, d) > 7
+                      THEN 1 ELSE 0 END AS nw
+          FROM days WINDOW w AS (PARTITION BY u ORDER BY d)),
+    isl AS (SELECT u, d,
+                   SUM(nw) OVER (PARTITION BY u ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS g
+            FROM m),
+    iv AS (SELECT u, g, MIN(d) AS s, MAX(d) + 7 AS e
+           FROM isl GROUP BY 1, 2),
+    b AS (SELECT s AS ts, 1 AS dl FROM iv
+          UNION ALL SELECT e, -1 FROM iv),
+    gg AS (SELECT ts, CAST(SUM(dl) AS BIGINT) AS delta FROM b GROUP BY 1
+           HAVING SUM(dl) <> 0)
+    SELECT ts, delta,
+           CAST(SUM(delta) OVER (ORDER BY ts) AS BIGINT) AS rolling_actives
+    FROM gg
+    """,
+)
+def q_rolling_wau_events(spark, sf_dir):
+    # trailing-7-day distinct actives at every change point WITHOUT a
+    # day-by-user fanout join: per-user coverage islands (pure
+    # day-space integers) swept by the two-phase global cumsum
+    e = _t(spark, sf_dir, "events")
+    return activity_ops.rolling_active_users(e, "user_id", "ts", 7)
+
+
+_HAV_THRESH = __import__("math").sin(400.0 / (2.0 * 6371.0088)) ** 2
+
+
+@_q(
+    "haversine_pairs_customer",
+    f"""
+    WITH pts AS (SELECT c_custkey AS id,
+                        (c_custkey * 2654435761 % 120000) / 1000.0 - 60.0
+                          AS lat,
+                        (c_custkey * 40503 % 360000) / 1000.0 - 180.0
+                          AS lon
+                 FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.lat AS lat_a, a.lon AS lon_a,
+           b.lat AS lat_b, b.lon AS lon_b
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+          + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+            * POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+          <= {_HAV_THRESH!r}
+    """,
+)
+def q_haversine_pairs_customer(spark, sf_dir):
+    # geo proximity pairs within 400 great-circle km over synthesized
+    # exact-IEEE coordinates; the oracle is the brute-force theta
+    # join (complete by definition) so the banded plan's recall is
+    # what's actually on trial.  The threshold literal sin²(r/2R) is
+    # Python-computed and identical in both plans (Benford
+    # discipline); dist_km crosses engine asin/sqrt ulps and is
+    # dropped here, pinned in tests/test_intervals.py instead
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 2654435761 % 120000) / 1000.0 - 60.0).alias(
+            "lat"
+        ),
+        ((F.col("c_custkey") * 40503 % 360000) / 1000.0 - 180.0).alias("lon"),
+    )
+    from bubbles_spark.ops import spatial
+
+    return spatial.haversine_join(pts, "id", "lat", "lon", 400.0).drop(
+        "dist_km"
+    )
+
+
 # Driver-side correctness checks cover a bounded prefix of queries()
 # (~50 per round).  Round 2 verified exactly the first 50 registered —
 # all relational-core — leaving the dedup/vector/textprep/multimodal/

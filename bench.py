@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     "dwell_events_by_type",
     "debounce_events_user",
     "cohort_ltv_orders",
+    "fifo_match_events",
+    "rolling_wau_events",
+    "haversine_pairs_customer",
 ]
 
 

@@ -29,6 +29,7 @@ __all__ = [
     "stickiness",
     "segment_overlap",
     "cohort_ltv",
+    "rolling_active_users",
 ]
 
 _BUCKETS = ("day", "week", "month")
@@ -387,3 +388,71 @@ def cohort_ltv(
         )
         .orderBy("cohort_date", "age")
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct actives (the WAU/MAU curve evaluated at every
+    change point): at day t, a user counts if they were active on any
+    day d with ``t ∈ [d, d+window_days)``.  Computed WITHOUT a
+    per-day × per-user fanout join: each user's active days coalesce
+    into covered intervals (gaps-and-islands — a new island starts
+    when the previous active day is more than ``window_days`` back),
+    and the global curve is the sweep-line concurrency over those
+    intervals.  Output rows are the CHANGE POINTS of the step
+    function; forward-fill against a day spine downstream if a dense
+    series is needed (``resample_time``).
+
+    Exactness: pure day-space integer arithmetic (``datediff`` /
+    ``date_add``) and BIGINT sweep sums — no instants, no floats
+    except none; identical in any session timezone.
+
+    Scale: one (user, day) distinct shuffle; the island window is
+    per-user (active-day lists are user-history-sized); the interval
+    table is ≤ one row per user-island, and the sweep inherits
+    ``concurrency_report``'s two-phase global cumsum — never a
+    day×user blowup join.
+
+    Output: ts DATE, delta, rolling_actives (BIGINT), ordered by
+    ts."""
+    if window_days < 1:
+        raise ValueError("rolling_active_users: window_days must be >= 1")
+    from bubbles_spark.ops.events import concurrency_report
+
+    uid = F.col(user_col)
+    days = (
+        df.filter(uid.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            uid.alias("__uid"),
+            _bucket_date(ts_col, "day").alias("__day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__uid").orderBy("__day")
+    marked = days.withColumn(
+        "__new",
+        F.when(
+            F.lag("__day").over(w).isNull()
+            | (F.datediff(F.col("__day"), F.lag("__day").over(w)) > window_days),
+            1,
+        ).otherwise(0),
+    )
+    wisl = (
+        Window.partitionBy("__uid")
+        .orderBy("__day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        marked.withColumn("__isl", F.sum("__new").over(wisl))
+        .groupBy("__uid", "__isl")
+        .agg(
+            F.min("__day").alias("__s"),
+            F.date_add(F.max("__day"), window_days).alias("__e"),
+        )
+    )
+    out = concurrency_report(islands, "__s", "__e")
+    return out.withColumnRenamed("concurrent", "rolling_actives")

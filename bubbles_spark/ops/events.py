@@ -2029,3 +2029,83 @@ def debounce(
         .applyInPandas(_scan, out_schema)
         .withColumnRenamed("__k", key_col)
     )
+
+
+def fifo_match(
+    ins: DataFrame,
+    outs: DataFrame,
+    key_col: str,
+    seq_col: str,
+    qty_col: str,
+    decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """FIFO lot matching per key: consumption draws down the OLDEST
+    remaining inflow first — inventory costing, payment-to-invoice
+    application, queue accounting.  Rather than replaying the
+    sequential drawdown (a per-row recurrence), this uses the FIFO
+    closed form: with inflows and outflows each cumulated in their
+    own ``seq_col`` order, lot i matches consumption j by exactly the
+    overlap of their cumulative-quantity intervals —
+    ``min(cumIn_i, cumOut_j) − max(cumIn_{i−1}, cumOut_{j−1})``
+    where positive.  That makes the whole operator relational:
+    two per-key cumulative windows + ONE per-key equi-join filtered
+    to overlapping intervals.
+
+    Requirements: ``seq_col`` totally orders rows within a key on
+    BOTH sides (pass an event id, or a timestamp known unique per
+    key); non-positive quantities are dropped (a signed single-feed
+    ledger should be split by sign first).  Unconsumed lot tails and
+    unfilled consumption tails simply emit no row — reconcile by
+    summing ``qty`` per side downstream.
+
+    Exactness: quantities cumulate and subtract entirely in DECIMAL
+    (``decimal`` param); the overlap test and the matched quantity
+    are pure DECIMAL min/max/subtract — no floats anywhere.
+
+    Scale: one hash shuffle per side on the key for the cumulative
+    windows (per-key group sizes are ledger-sized); the match join is
+    a key equi-join whose fanout is structurally ≤ n_in + n_out − 1
+    rows per key (consecutive interval chains can only interleave,
+    never cross-product).  Output: key, in_seq, out_seq, qty
+    (DECIMAL), one row per (lot, consumption) with positive overlap."""
+
+    def _cum(df: DataFrame, side: str) -> DataFrame:
+        q = F.col(qty_col).cast(decimal)
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(f"{side}_seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        base = df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(seq_col).isNotNull()
+            & (q > 0)
+        ).select(
+            F.col(key_col).alias("__k"),
+            F.col(seq_col).alias(f"{side}_seq"),
+            q.alias("__q"),
+        )
+        return base.select(
+            "__k",
+            f"{side}_seq",
+            (F.sum("__q").over(w)).cast(decimal).alias(f"__{side}_hi"),
+            (F.sum("__q").over(w) - F.col("__q")).cast(decimal).alias(
+                f"__{side}_lo"
+            ),
+        )
+
+    li = _cum(ins, "in")
+    lo = _cum(outs, "out")
+    j = li.join(lo, "__k").filter(
+        (F.col("__in_lo") < F.col("__out_hi"))
+        & (F.col("__out_lo") < F.col("__in_hi"))
+    )
+    qty = F.least(F.col("__in_hi"), F.col("__out_hi")) - F.greatest(
+        F.col("__in_lo"), F.col("__out_lo")
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        "in_seq",
+        "out_seq",
+        qty.cast(decimal).alias("qty"),
+    ).orderBy(key_col, "in_seq", "out_seq")

@@ -193,3 +193,116 @@ def test_cohort_ltv_gap_free_spine(spark):
     assert rows[1]["active_users"] == 0 and float(rows[1]["revenue"]) == 0.0
     assert float(rows[1]["cum_revenue"]) == 10.0
     assert float(rows[2]["cum_revenue"]) == 30.0
+
+
+def test_fifo_match_closed_form(spark):
+    # lots 10,5 vs draws 4,8,10: classic FIFO split {4,6},{2,3}
+    ins = spark.createDataFrame(
+        [("u", 1, 10.0), ("u", 2, 5.0)], "k string, seq long, q double"
+    )
+    outs = spark.createDataFrame(
+        [("u", 1, 4.0), ("u", 2, 8.0), ("u", 3, 10.0)],
+        "k string, seq long, q double",
+    )
+    rows = {
+        (r["in_seq"], r["out_seq"]): float(r["qty"])
+        for r in ev.fifo_match(ins, outs, "k", "seq", "q").collect()
+    }
+    assert rows == {(1, 1): 4.0, (1, 2): 6.0, (2, 2): 2.0, (2, 3): 3.0}
+    # conservation: matched total = min(sum_in, sum_out) = 15
+    assert sum(rows.values()) == 15.0
+
+
+def test_fifo_match_drops_nonpositive_and_isolates_keys(spark):
+    ins = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, -3.0), ("b", 1, 2.0)],
+        "k string, seq long, q double",
+    )
+    outs = spark.createDataFrame(
+        [("a", 9, 5.0), ("b", 9, 9.0)], "k string, seq long, q double"
+    )
+    rows = {
+        (r["k"], r["in_seq"], r["out_seq"]): float(r["qty"])
+        for r in ev.fifo_match(ins, outs, "k", "seq", "q").collect()
+    }
+    # negative lot ignored; b's draw only partially filled (2 of 9)
+    assert rows == {("a", 1, 9): 5.0, ("b", 1, 9): 2.0}
+
+
+def test_rolling_active_users_islands_and_curve(spark):
+    df = _ts(
+        spark,
+        [
+            (1, "2024-01-01 05:00:00"),
+            (1, "2024-01-03 06:00:00"),  # gap 2 <= W=2: merged island
+            (2, "2024-01-02 01:00:00"),
+            (2, "2024-01-10 01:00:00"),  # gap 8 > 2: new island
+        ],
+        "u long, ts string",
+    )
+    rows = [
+        (str(r["ts"]), r["delta"], r["rolling_actives"])
+        for r in activity.rolling_active_users(df, "u", "ts", 2).collect()
+    ]
+    assert rows == [
+        ("2024-01-01", 1, 1),
+        ("2024-01-02", 1, 2),
+        ("2024-01-04", -1, 1),
+        ("2024-01-05", -1, 0),
+        ("2024-01-10", 1, 1),
+        ("2024-01-12", -1, 0),
+    ]
+    with pytest.raises(ValueError, match="window_days"):
+        activity.rolling_active_users(df, "u", "ts", 0)
+
+
+def test_haversine_join_known_distance(spark):
+    import math
+
+    from bubbles_spark.ops import spatial
+
+    # JFK-LGA is ~17.1 km; LHR is ~5500 km away from both
+    df = spark.createDataFrame(
+        [
+            ("JFK", 40.6413, -73.7781),
+            ("LGA", 40.7769, -73.8740),
+            ("LHR", 51.4700, -0.4543),
+        ],
+        "id string, lat double, lon double",
+    )
+    rows = spatial.haversine_join(df, "id", "lat", "lon", 30.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == ("JFK", "LGA")
+    # pin the haversine value against the straight-line math mirror
+    R = 6371.0088
+    p1, p2 = math.radians(40.6413), math.radians(40.7769)
+    dphi = math.radians(40.7769 - 40.6413) / 2
+    dlam = math.radians(-73.8740 - -73.7781) / 2
+    h = math.sin(dphi) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dlam) ** 2
+    want = 2 * R * math.asin(math.sqrt(h))
+    assert r["dist_km"] == pytest.approx(want, rel=1e-12)
+    assert 17.0 < r["dist_km"] < 17.3
+
+
+def test_haversine_join_antimeridian_wrap(spark):
+    from bubbles_spark.ops import spatial
+
+    # 0.2 deg of lon apart across the ±180 seam (~22 km at equator)
+    df = spark.createDataFrame(
+        [("W", 0.0, 179.9), ("E", 0.0, -179.9), ("FAR", 0.0, 0.0)],
+        "id string, lat double, lon double",
+    )
+    rows = spatial.haversine_join(df, "id", "lat", "lon", 30.0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {("E", "W")}
+    assert rows[0]["dist_km"] < 25.0
+
+
+def test_haversine_join_validation(spark):
+    from bubbles_spark.ops import spatial
+
+    df = spark.createDataFrame([("a", 0.0, 0.0)], "id string, lat double, lon double")
+    with pytest.raises(ValueError, match="radius"):
+        spatial.haversine_join(df, "id", "lat", "lon", 0.0)
+    with pytest.raises(ValueError, match="banding"):
+        spatial.haversine_join(df, "id", "lat", "lon", 9000.0)

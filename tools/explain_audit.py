@@ -1014,6 +1014,27 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
          (r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
     ),
+    (
+        "fifo_match_events",
+        [(r"hashpartitioning\(__k", "per-side cumulative windows shuffle on the key"),
+         (r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "match join is a key equi-join (overlap preds as filters)"),
+         (r"PushedFilters: .*EqualTo\(event_type", "side split reaches the scan")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no theta join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "rolling_wau_events",
+        [(r"Scan ExistingRDD|LogicalRDD", "sweep curve materialized via the two-phase cumsum"),],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no day-by-user fanout join")],
+    ),
+    (
+        "haversine_pairs_customer",
+        [(r"keys \[\d+\]: \[__cx", "candidate set via wrapped-grid cell equi-join")],
+        [(r"CartesianProduct", "no cartesian"),
+         (r"BroadcastNestedLoopJoin", "no NL join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 

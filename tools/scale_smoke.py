@@ -578,6 +578,38 @@ def main() -> int:
 
         return ev.debounce(t["events"], "user_id", "ts", 3600.0, "event_id")
 
+    def fifo_match_op(t):
+        # per-user ledgers grow k x in user count, not depth: windows
+        # and the bounded-fanout match join should both scale ~k
+        from bubbles_spark.ops import events as ev
+
+        e = t["events"]
+        ins = e.filter(F.col("event_type") == "view")
+        outs = e.filter(F.col("event_type") == "click")
+        return ev.fifo_match(
+            ins, outs, "user_id", "event_id", "value",
+            decimal="decimal(14,4)",
+        )
+
+    def rolling_wau_op(t):
+        from bubbles_spark.ops import activity
+
+        return activity.rolling_active_users(t["events"], "user_id", "ts", 7)
+
+    def haversine_op(t):
+        # synthesized coords keyed off the shifted ids: copies spread
+        # over the globe, so pair output grows ~k, not k²
+        from bubbles_spark.ops import spatial
+
+        pts = t["customer"].select(
+            F.col("c_custkey").alias("id"),
+            ((F.col("c_custkey") * 2654435761 % 120000) / 1000.0 - 60.0)
+            .alias("lat"),
+            ((F.col("c_custkey") * 40503 % 360000) / 1000.0 - 180.0)
+            .alias("lon"),
+        )
+        return spatial.haversine_join(pts, "id", "lat", "lon", 400.0)
+
     REL_OPS = {
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
@@ -606,6 +638,9 @@ def main() -> int:
         "theil_sen": theil_sen_op,
         "concurrency_report": concurrency_op,
         "debounce": debounce_op,
+        "fifo_match": fifo_match_op,
+        "rolling_wau": rolling_wau_op,
+        "haversine_join": haversine_op,
     }
 
     results = {}
