@@ -1366,3 +1366,90 @@ def ewma_stream(
     if emit_ntz:
         out = out.withColumn("ts", _wallclock_ntz("ts"))
     return out
+
+
+DEBOUNCE_STATE_SCHEMA = "last_kept_ms long"
+DEBOUNCE_OUT_SCHEMA = "user_id long, ts timestamp, event_id long"
+
+
+def debounce_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 21600.0,
+    tiebreak_col: str = "event_id",
+    emit_ntz: bool = True,
+) -> DataFrame:
+    """Streaming twin of ``ops.events.debounce``: the per-key LAST
+    KEPT timestamp carries across micro-batches as one BIGINT ms of
+    state, and each arriving event is admitted live iff at least
+    ``gap_seconds`` has passed since the last survivor — the
+    alert-rate-limiter / click-spam gate evaluated at ingest, without
+    re-reading history.
+
+    Rows sort by (ts, tiebreak) within each batch; with per-key
+    in-order arrival the drained result equals the batch twin exactly
+    (shared oracle: the same RECURSIVE-CTE replay).  Out-of-order
+    stragglers are judged against the state in arrival order — the
+    online-gate contract, same as ``ewma_stream``.  State is ONE long
+    per key, sharded by key hash on a real cluster.
+
+    Batch twin: ``ops.events.debounce`` (Arrow seam)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = int(float(gap_seconds) * 1000)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows = [pdf for pdf in pdf_iter]
+        if not rows:
+            return iter([])
+        ev = pd.concat(rows).sort_values(["__ts", "__tb"], kind="mergesort")
+        last = state.get[0] if state.exists else None
+        keep = []
+        for ts in ev["__ts"]:
+            # floor to ms exactly like the batch twin's unix_millis
+            ms = pd.Timestamp(ts).value // 10**6
+            ok = last is None or ms - last >= gap_ms
+            keep.append(ok)
+            if ok:
+                last = ms
+        state.update((int(last),))
+        kept = ev.loc[keep]
+        if not len(kept):
+            return iter([])
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": kept["__k"],
+                        "ts": kept["__ts"],
+                        "event_id": kept["__tb"],
+                    }
+                )
+            ]
+        )
+
+    prepared = (
+        events.filter(
+            F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("__k"),
+            F.col(ts_col).alias("__ts"),
+            F.col(tiebreak_col).alias("__tb"),
+        )
+        .withWatermark("__ts", "10 minutes")
+    )
+    out = prepared.groupBy("__k").applyInPandasWithState(
+        fn,
+        outputStructType=DEBOUNCE_OUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    if emit_ntz:
+        out = out.withColumn("ts", _wallclock_ntz("ts"))
+    return out
