@@ -7377,11 +7377,10 @@ def q_mixture_plan_docs(spark, sf_dir):
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
-    c AS (SELECT s0 || '>' || s1 || '>' || s2 AS path,
-                 CAST(COUNT(*) AS BIGINT) AS n_occurrences
-          FROM s WHERE s2 IS NOT NULL GROUP BY 1)
-    SELECT path, n_occurrences FROM c
-    ORDER BY n_occurrences DESC, path LIMIT 20
+    c AS (SELECT s0, s1, s2, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM s WHERE s2 IS NOT NULL GROUP BY s0, s1, s2)
+    SELECT s0 || '>' || s1 || '>' || s2 AS path, n_occurrences FROM c
+    ORDER BY n_occurrences DESC, path, s0, s1, s2 LIMIT 20
     """,
 )
 def q_top_paths_events(spark, sf_dir):
@@ -8628,10 +8627,14 @@ def q_pseudonymize_customer(spark, sf_dir):
     "surrogate_key_orders",
     """
     SELECT o_orderkey, o_custkey,
-           substring(md5(COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'NULL')
-                         || chr(31)
-                         || COALESCE(CAST(o_orderstatus AS VARCHAR),
-                                     chr(0) || 'NULL')),
+           substring(md5(
+               CASE WHEN o_custkey IS NULL THEN 'N'
+                    ELSE length(CAST(o_custkey AS VARCHAR)) || ':'
+                         || CAST(o_custkey AS VARCHAR) END
+               || chr(31)
+               || CASE WHEN o_orderstatus IS NULL THEN 'N'
+                       ELSE length(CAST(o_orderstatus AS VARCHAR)) || ':'
+                            || CAST(o_orderstatus AS VARCHAR) END),
                      1, 16) AS sk
     FROM orders
     """,

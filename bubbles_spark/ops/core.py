@@ -749,25 +749,56 @@ def moving_agg_time(
     nondeterministic across partitionings (same discipline as the
     TPC-H revenue aggregates).
 
-    One hash shuffle on the partition key; each partition sorts once
-    and the frame slides — no self-join, no explode."""
+    One hash shuffle on the partition key; each partition sorts once.
+    ``sum``/``count``/``avg`` evaluate as a DIFFERENCE of two
+    unbounded-preceding prefix frames (``sum[-x,0] = sum(-∞,0] −
+    sum(-∞,-x-1]`` — Spark evaluates those incrementally, O(n),
+    where a bounded-both-sides frame rescans the frame per row,
+    O(n·frame)); the subtraction is exact in decimal/BIGINT so the
+    value is bit-identical to the direct frame.  ``min``/``max``
+    can't decompose and keep the sliding frame.  No self-join, no
+    explode."""
     from pyspark.sql import Window
 
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order = epoch_ms_wallclock(
         F.col(ts_col), dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
     )
-    w = (
-        Window.partitionBy(*parts)
-        .orderBy(order)
-        .rangeBetween(-int(window_seconds * 1000), 0)
-    )
-    fn = _AGG_FUNCS[func.lower()]
+    win_ms = int(window_seconds * 1000)
+    wb = Window.partitionBy(*parts).orderBy(order)
+    w = wb.rangeBetween(-win_ms, 0)
+    w_cur = wb.rangeBetween(Window.unboundedPreceding, 0)
+    w_prev = wb.rangeBetween(Window.unboundedPreceding, -win_ms - 1)
+    f = func.lower()
     col = F.col(field)
-    if func.lower() == "sum" and dict(df.dtypes).get(field) in ("double", "float"):
-        agg = F.sum(col.cast("decimal(20,6)")).over(w).cast("double")
+    is_float = dict(df.dtypes).get(field) in ("double", "float")
+
+    def _psum(c):
+        return F.sum(c).over(w_cur) - F.coalesce(
+            F.sum(c).over(w_prev), F.lit(0).cast("decimal(20,6)")
+        )
+
+    if f == "sum" and is_float:
+        agg = _psum(col.cast("decimal(20,6)")).cast("double")
+    elif f == "sum":
+        agg = F.sum(col).over(w_cur) - F.coalesce(
+            F.sum(col).over(w_prev), F.lit(0)
+        )
+    elif f == "count":
+        agg = F.count(col).over(w_cur) - F.count(col).over(w_prev)
+    elif f == "avg":
+        cnt = F.count(col).over(w_cur) - F.count(col).over(w_prev)
+        num = (
+            _psum(col.cast("decimal(20,6)")).cast("double")
+            if is_float
+            else (
+                F.sum(col).over(w_cur)
+                - F.coalesce(F.sum(col).over(w_prev), F.lit(0))
+            ).cast("double")
+        )
+        agg = F.when(cnt > 0, num / cnt.cast("double"))
     else:
-        agg = fn(field).over(w)
+        agg = _AGG_FUNCS[f](field).over(w)
     return df.withColumn(out_field or f"{field}_trailing_{func}", agg)
 
 
@@ -1754,21 +1785,28 @@ def surrogate_key(
     run-dependent), so fact and dimension builds can key
     independently and still join.
 
-    NULL components encode as an explicit sentinel BEFORE the
-    separator join (``concat_ws`` silently skips NULLs, which would
-    collide (NULL,'a') with ('a',NULL)).  16 hex chars = 64 bits:
-    birthday collisions at ~5×10⁹ keys — run
-    ``surrogate_key_collisions`` before trusting a new corpus size,
-    or raise ``length``.
+    The component encoding is INJECTIVE: every non-NULL value is
+    length-prefixed (``len:value``) and NULL encodes as the bare
+    token ``N``, so no value content — separators, ``N``, digits,
+    colons — can shift a column boundary: ('a\\x1fb','c') and
+    ('a','b\\x1fc') hash differently, as do (NULL,'a') and
+    ('a',NULL).  16 hex chars = 64 bits: birthday collisions at
+    ~5×10⁹ keys — run ``surrogate_key_collisions`` before trusting a
+    new corpus size, or raise ``length``.
 
     Map-only codegen, no shuffle."""
     if not cols:
         raise ValueError("surrogate_key: cols must be non-empty")
     if not 1 <= int(length) <= 32:
         raise ValueError("surrogate_key: length must be in [1, 32]")
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols
-    ]
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
     return df.withColumn(
         key_col,
         F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, int(length)),

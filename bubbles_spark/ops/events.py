@@ -556,25 +556,33 @@ def rolling_features(
     c = F.col(value_col)
     feats = []
     for s in windows_seconds:
-        w = base.rangeBetween(-int(s) * 1000, 0)
+        # sum/count/avg as prefix-frame differences (incremental
+        # O(n) evaluation; exact decimal subtraction ⇒ bit-identical
+        # to the direct frame) — min/max can't decompose and keep
+        # the sliding frame.  All frames share one sort/Window node.
+        win_ms = int(s) * 1000
+        w = base.rangeBetween(-win_ms, 0)
+        w_cur = base.rangeBetween(Window.unboundedPreceding, 0)
+        w_prev = base.rangeBetween(Window.unboundedPreceding, -win_ms - 1)
+        cd = c.cast("decimal(20,6)")
+        psum = F.sum(cd).over(w_cur) - F.coalesce(
+            F.sum(cd).over(w_prev), F.lit(0).cast("decimal(20,6)")
+        )
+        pcnt = F.count(c).over(w_cur) - F.count(c).over(w_prev)
         lab = _label(int(s))
         for fn in funcs:
             name = f"{value_col}_{fn.lower()}_{lab}"
             f = fn.lower()
             if f == "sum" and is_float:
-                col = F.sum(c.cast("decimal(20,6)")).over(w).cast("double")
+                col = psum.cast("double")
             elif f == "avg" and is_float:
                 # exact decimal sum → one double cast → one IEEE
                 # division by the exact count (decimal DIVISION would
                 # pick engine-specific result scales); NULL when the
                 # frame holds no non-null values
-                cnt = F.count(c).over(w)
-                col = F.when(
-                    cnt > 0,
-                    F.sum(c.cast("decimal(20,6)")).over(w).cast("double") / cnt,
-                )
+                col = F.when(pcnt > 0, psum.cast("double") / pcnt)
             elif f == "count":
-                col = F.count(c).over(w)
+                col = pcnt
             else:
                 col = _AGG_FUNCS[f](value_col).over(w)
             feats.append(col.alias(name))
@@ -655,31 +663,40 @@ def top_paths(
     (``transition_matrix`` is the n=2 marginal of this).
 
     Per key, a sliding window of ``n`` consecutive states (lead
-    chain under the TOTAL (ts, tiebreak) order) concatenates into a
-    path string; paths crossing a key's end are dropped.  Ranking is
-    DETERMINISTIC — (count DESC, path ASC) — so the top-k SET is
-    identical across runs and engines even at count ties.
+    chain under the TOTAL (ts, tiebreak) order); paths crossing a
+    key's end are dropped.  Counting keys on the STATE TUPLE, not
+    the rendered string, so a state value containing ``sep`` can
+    never collapse two distinct paths into one count — the string is
+    rendered only for output (two distinct tuples that happen to
+    render identically appear as two rows, each correctly counted).
+    Ranking is DETERMINISTIC — (count DESC, path ASC, then the raw
+    state tuple) — so the top-k SET is identical across runs and
+    engines even at count ties.
 
     Scale: one key shuffle for the lead window, map-side-combined
-    path counts, TakeOrdered top-k (per-partition heaps + driver
+    tuple counts, TakeOrdered top-k (per-partition heaps + driver
     merge — no global sort).  Output: path, n_occurrences."""
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     s = F.col(state_col)
-    steps = [s] + [F.lead(s, i).over(w) for i in range(1, n)]
-    paths = (
-        df.select(F.concat_ws(sep, *steps).alias("path"),
-                  steps[-1].isNotNull().alias("__full"))
-        .filter(F.col("__full"))
-    )
-    counts = paths.groupBy("path").agg(
+    steps = [s.alias("__s0")] + [
+        F.lead(s, i).over(w).alias(f"__s{i}") for i in range(1, n)
+    ]
+    step_cols = [f"__s{i}" for i in range(n)]
+    tuples = df.select(*steps).filter(F.col(step_cols[-1]).isNotNull())
+    counts = tuples.groupBy(*step_cols).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+    path = F.concat_ws(sep, *[F.col(c) for c in step_cols])
     return (
-        counts.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+        counts.orderBy(
+            F.col("n_occurrences").desc(), path,
+            *[F.col(c) for c in step_cols],
+        )
         .limit(k)
+        .select(path.alias("path"), "n_occurrences")
     )
 
 
@@ -1243,18 +1260,30 @@ def decompose_additive(
     order = epoch_ms_wallclock(F.col(ts_col), is_ntz)
     parts = [key_col] if key_col else []
     hw_ms = int(trend_halfwidth_seconds) * 1000
-    w = (
-        Window.partitionBy(*parts)
-        .orderBy(order)
-        .rangeBetween(-hw_ms, hw_ms)
-    )
+    # The centered ±hw frame as a DIFFERENCE of two prefix frames:
+    # sum[-hw,+hw] = sum(-∞,+hw] − sum(-∞,-hw).  Spark evaluates a
+    # bounded-both-sides range frame by RESCANNING the frame per row
+    # (SlidingWindowFunctionFrame — O(n·frame)), but an
+    # unbounded-preceding frame incrementally (O(n)); both prefix
+    # frames ride the SAME sort in one Window node, and the decimal
+    # subtraction is exact, so the trend is bit-identical to the
+    # direct frame at a fraction of the cost (measured 19.0s → O(n)
+    # at sf0.1 on the hourly events series).
+    wb = Window.partitionBy(*parts).orderBy(order)
+    w_hi = wb.rangeBetween(Window.unboundedPreceding, hw_ms)
+    w_lo = wb.rangeBetween(Window.unboundedPreceding, -hw_ms - 1)
     base = df.filter(v.isNotNull()).withColumn(
         "bucket", season_bucket(ts_col, bucket)
     )
+    vd = v.cast("decimal(20,6)")
+    frame_sum = (
+        F.sum(vd).over(w_hi)
+        - F.coalesce(F.sum(vd).over(w_lo), F.lit(0).cast("decimal(20,6)"))
+    )
+    frame_cnt = F.count(v).over(w_hi) - F.count(v).over(w_lo)
     trended = base.withColumn(
         "trend",
-        F.sum(v.cast("decimal(20,6)")).over(w).cast("double")
-        / F.count(v).over(w).cast("double"),
+        frame_sum.cast("double") / frame_cnt.cast("double"),
     ).withColumn("__det", v - F.col("trend"))
     units = F.round(F.col("__det") * F.lit(1e6), 0).cast("decimal(38,0)")
     seasonal = (
@@ -1735,19 +1764,32 @@ def rolling_corr(
     order = epoch_ms_wallclock(
         F.col(ts_col), dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
     )
-    w = (
-        Window.partitionBy(*parts)
-        .orderBy(order)
-        .rangeBetween(-int(window_seconds * 1000), 0)
-    )
+    # every term is a prefix-frame difference (incremental O(n)
+    # evaluation vs the per-row frame rescan of a bounded-both-sides
+    # frame); decimal/BIGINT subtraction is exact, so each term — and
+    # the closed form built from them — is bit-identical to the
+    # direct sliding frame
+    win_ms = int(window_seconds * 1000)
+    wb = Window.partitionBy(*parts).orderBy(order)
+    w_cur = wb.rangeBetween(Window.unboundedPreceding, 0)
+    w_prev = wb.rangeBetween(Window.unboundedPreceding, -win_ms - 1)
+
+    def _pd(c, zero_scale):
+        return (
+            F.sum(c).over(w_cur)
+            - F.coalesce(F.sum(c).over(w_prev), F.lit(0).cast(zero_scale))
+        ).cast("double")
+
     x = F.col(x_col).cast("decimal(18,2)")
     y = F.col(y_col).cast("decimal(18,2)")
-    n = F.count(F.lit(1)).over(w).cast("double")
-    sx = F.sum(x).over(w).cast("double")
-    sy = F.sum(y).over(w).cast("double")
-    sxy = F.sum(x * y).over(w).cast("double")
-    sxx = F.sum(x * x).over(w).cast("double")
-    syy = F.sum(y * y).over(w).cast("double")
+    n = (
+        F.count(F.lit(1)).over(w_cur) - F.count(F.lit(1)).over(w_prev)
+    ).cast("double")
+    sx = _pd(x, "decimal(18,2)")
+    sy = _pd(y, "decimal(18,2)")
+    sxy = _pd(x * y, "decimal(37,4)")
+    sxx = _pd(x * x, "decimal(37,4)")
+    syy = _pd(y * y, "decimal(37,4)")
     num = n * sxy - sx * sy
     dx = n * sxx - sx * sx
     dy = n * syy - sy * sy

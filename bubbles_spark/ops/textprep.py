@@ -977,7 +977,11 @@ def balance_classes(
     Realized class sizes are binomial around the cap (hash
     thresholding is per-row, not exact-N) — the standard trade for a
     one-pass, shuffle-free sampler.  Classes at/below the cap pass
-    untouched.
+    untouched.  A NULL label is a class like any other: it
+    participates in the smallest-class cap and its rows are sampled
+    through an explicit ``isNull`` branch (they are never silently
+    dropped).  Filter unlabeled rows out beforehand if that is not
+    what you want.
 
     Scale: one vocabulary-sized class-count aggregate to the driver,
     then a map-only predicate (the per-class cutoffs ride as a CASE
@@ -1017,5 +1021,10 @@ def balance_classes(
     )
     cut = F.lit(None).cast("string")
     for lab, thr in thresholds.items():
-        cut = F.when(F.col(label_col) == lab, F.lit(thr)).otherwise(cut)
+        cond = (
+            F.col(label_col).isNull()
+            if lab is None
+            else F.col(label_col) == lab
+        )
+        cut = F.when(cond, F.lit(thr)).otherwise(cut)
     return df.filter(prefix < cut)

@@ -1197,9 +1197,15 @@ def _hadoop_ls(spark: SparkSession, path: str) -> list[str]:
 
 
 GAP_STATE_SCHEMA = "last timestamp"
-GAP_OUT_SCHEMA = (
-    "user_id long, gap_start timestamp, gap_end timestamp, gap_ms long"
-)
+
+
+def _field_type(df: DataFrame, col: str):
+    """The declared type of ``col`` in ``df`` — used to build
+    applyInPandasWithState output schemas from the INPUT schema, so
+    non-default key/tiebreak column names and types (string keys,
+    int tiebreaks) flow through instead of failing against a
+    hardcoded ``user_id long`` shape."""
+    return df.schema[col].dataType
 
 
 def gap_report_stream(
@@ -1224,8 +1230,19 @@ def gap_report_stream(
     Batch twin: ``ops.events.gap_report`` (lag window)."""
     import pandas as pd  # noqa: F401 — used inside the worker fn
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
 
     thr_ms = int(float(threshold_seconds) * 1000)
+    ts_type = _field_type(events, ts_col)
+    out_schema = StructType(
+        [
+            StructField(key_col, _field_type(events, key_col)),
+            StructField("gap_start", ts_type),
+            StructField("gap_end", ts_type),
+            StructField("gap_ms", LongType()),
+        ]
+    )
+    k_name = key_col
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -1255,7 +1272,7 @@ def gap_report_stream(
                     last = ts
             state.update((last,))
         return iter(
-            [pd.DataFrame(out, columns=["user_id", "gap_start", "gap_end", "gap_ms"])]
+            [pd.DataFrame(out, columns=[k_name, "gap_start", "gap_end", "gap_ms"])]
             if out
             else []
         )
@@ -1265,7 +1282,7 @@ def gap_report_stream(
     ).withWatermark("__ts", "10 minutes")
     out = prepared.groupBy("__user").applyInPandasWithState(
         fn,
-        outputStructType=GAP_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=GAP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -1278,9 +1295,6 @@ def gap_report_stream(
 
 
 EWMA_STATE_SCHEMA = "level double"
-EWMA_OUT_SCHEMA = (
-    "user_id long, event_id long, ts timestamp, value double, ewma double"
-)
 
 
 def ewma_stream(
@@ -1311,10 +1325,21 @@ def ewma_stream(
     Batch twin: ``ops.events.ewma`` (RECURSIVE-CTE-exact)."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"ewma_stream: alpha must be in (0, 1], got {alpha}")
     a = float(alpha)
+    out_schema = StructType(
+        [
+            StructField(key_col, _field_type(events, key_col)),
+            StructField(tiebreak_col, _field_type(events, tiebreak_col)),
+            StructField(ts_col, _field_type(events, ts_col)),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    k_name, tb_name, ts_name = key_col, tiebreak_col, ts_col
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -1336,9 +1361,9 @@ def ewma_stream(
             [
                 pd.DataFrame(
                     {
-                        "user_id": ev["__k"],
-                        "event_id": ev["__tb"],
-                        "ts": ev["__ts"],
+                        k_name: ev["__k"],
+                        tb_name: ev["__tb"],
+                        ts_name: ev["__ts"],
                         "value": ev["__v"],
                         "ewma": out_lvl,
                     }
@@ -1358,18 +1383,17 @@ def ewma_stream(
     )
     out = prepared.groupBy("__k").applyInPandasWithState(
         fn,
-        outputStructType=EWMA_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     if emit_ntz:
-        out = out.withColumn("ts", _wallclock_ntz("ts"))
+        out = out.withColumn(ts_name, _wallclock_ntz(ts_name))
     return out
 
 
 DEBOUNCE_STATE_SCHEMA = "last_kept_ms long"
-DEBOUNCE_OUT_SCHEMA = "user_id long, ts timestamp, event_id long"
 
 
 def debounce_stream(
@@ -1397,8 +1421,17 @@ def debounce_stream(
     Batch twin: ``ops.events.debounce`` (Arrow seam)."""
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructField, StructType
 
     gap_ms = int(float(gap_seconds) * 1000)
+    out_schema = StructType(
+        [
+            StructField(key_col, _field_type(events, key_col)),
+            StructField(ts_col, _field_type(events, ts_col)),
+            StructField(tiebreak_col, _field_type(events, tiebreak_col)),
+        ]
+    )
+    k_name, ts_name, tb_name = key_col, ts_col, tiebreak_col
 
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -1424,9 +1457,9 @@ def debounce_stream(
             [
                 pd.DataFrame(
                     {
-                        "user_id": kept["__k"],
-                        "ts": kept["__ts"],
-                        "event_id": kept["__tb"],
+                        k_name: kept["__k"],
+                        ts_name: kept["__ts"],
+                        tb_name: kept["__tb"],
                     }
                 )
             ]
@@ -1445,11 +1478,11 @@ def debounce_stream(
     )
     out = prepared.groupBy("__k").applyInPandasWithState(
         fn,
-        outputStructType=DEBOUNCE_OUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=DEBOUNCE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     if emit_ntz:
-        out = out.withColumn("ts", _wallclock_ntz("ts"))
+        out = out.withColumn(ts_name, _wallclock_ntz(ts_name))
     return out

@@ -683,6 +683,17 @@ def test_surrogate_key_stable_and_null_safe(spark):
     assert got[1] == got[3] and len(got[1]) == 16
     # (NULL,'a') must NOT collide with ('a',NULL)
     assert got[1] != got[2]
+    # separator injection: ('a\x1fb','c') vs ('a','b\x1fc') and a
+    # literal 'N' vs NULL must all stay distinct (injective encoding)
+    inj = spark.createDataFrame(
+        [(1, "a\x1fb", "c"), (2, "a", "b\x1fc"), (3, "N", "c"),
+         (4, None, "c")],
+        "id long, x string, y string",
+    )
+    sks = {r["id"]: r["sk"] for r in core.surrogate_key(
+        inj, ["x", "y"]
+    ).collect()}
+    assert len(set(sks.values())) == 4
     assert core.surrogate_key_collisions(df, ["x", "y"]).count() == 0
     with _pytest.raises(ValueError, match="cols"):
         core.surrogate_key(df, [])

@@ -877,3 +877,66 @@ def test_ewma_stream_state_spans_batches(spark, tmp_path):
     assert got_map[3] == 0.75 * l2 + 0.25 * 30.0
     assert got_map[4] == 7.0  # new key seeds fresh in batch 2
     assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_stateful_helpers_non_default_schema(spark, tmp_path):
+    """gap_report_stream / ewma_stream / debounce_stream must build
+    their output schemas from the INPUT (string key, int tiebreak,
+    renamed columns) — round-6 ADVICE: the shapes were hardcoded to
+    'user_id long, event_id long'."""
+    import bubbles_spark.streaming.events as sevents
+    from pyspark.sql import functions as F
+
+    rows = [(1, "dev-a", "2024-01-01 00:00:00", 10.0),
+            (2, "dev-a", "2024-01-01 00:00:10", 20.0),
+            (3, "dev-a", "2024-01-01 09:00:00", 30.0),
+            (4, "dev-b", "2024-01-01 00:00:05", 7.0)]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "seq int, device string, t string, v double"
+    ).withColumn("t", F.col("t").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    def stream():
+        return sevents.read_event_stream(spark, path, schema=schema)
+
+    gaps = sevents.run_batchlike(
+        sevents.gap_report_stream(
+            stream(), ts_col="t", key_col="device",
+            threshold_seconds=3600.0,
+        ),
+        "t_gap_nds",
+    )
+    assert [f.name for f in gaps.schema.fields] == [
+        "device", "gap_start", "gap_end", "gap_ms"
+    ]
+    g = gaps.collect()
+    assert [(r["device"], r["gap_ms"]) for r in g] == [
+        ("dev-a", (9 * 3600 - 10) * 1000)
+    ]
+
+    ew = sevents.run_batchlike(
+        sevents.ewma_stream(
+            stream(), key_col="device", ts_col="t", value_col="v",
+            alpha=0.5, tiebreak_col="seq",
+        ),
+        "t_ewma_nds",
+    )
+    assert [f.name for f in ew.schema.fields] == [
+        "device", "seq", "t", "value", "ewma"
+    ]
+    got = {r["seq"]: r["ewma"] for r in ew.collect()}
+    assert got == {1: 10.0, 2: 15.0, 3: 22.5, 4: 7.0}
+    assert dict(ew.dtypes)["seq"] == "int"
+
+    db = sevents.run_batchlike(
+        sevents.debounce_stream(
+            stream(), key_col="device", ts_col="t",
+            gap_seconds=3600.0, tiebreak_col="seq",
+        ),
+        "t_db_nds",
+    )
+    assert [f.name for f in db.schema.fields] == ["device", "t", "seq"]
+    assert sorted(r["seq"] for r in db.collect()) == [1, 3, 4]
