@@ -6703,6 +6703,169 @@ def q_winsorize_by_priority(spark, sf_dir):
 
 
 @_q(
+    "cuped_events",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS VARCHAR) AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    f AS (SELECT variant,
+                 CAST(ROUND(x * 100.0) AS DECIMAL(19,0)) AS xu,
+                 CAST(ROUND(y * 100.0) AS DECIMAL(19,0)) AS yu
+          FROM u WHERE x IS NOT NULL AND y IS NOT NULL),
+    per AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(xu) AS sx, SUM(yu) AS sy, SUM(xu * yu) AS sxy,
+                   SUM(xu * xu) AS sxx, SUM(yu * yu) AS syy
+            FROM f GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS tn,
+                   CAST(SUM(sx) AS DOUBLE) AS tsx,
+                   CAST(SUM(sy) AS DOUBLE) AS tsy,
+                   CAST(SUM(sxy) AS DOUBLE) AS tsxy,
+                   CAST(SUM(sxx) AS DOUBLE) AS tsxx
+            FROM per),
+    e AS (SELECT variant, n,
+                 CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+                 CASE WHEN tn * tsxx - tsx * tsx > 0
+                      THEN (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx)
+                 END AS theta,
+                 tsx / tn / 100.0 AS xbar
+          FROM per CROSS JOIN tot),
+    m AS (SELECT variant, n, theta,
+                 syd / nd / 100.0 AS mean_y, sxd / nd / 100.0 AS mean_x, xbar,
+                 CASE WHEN nd * (nd - 1.0) > 0 THEN
+                   (nd * syyd - syd * syd) / (nd * (nd - 1.0)) / 10000.0
+                 END AS var_y,
+                 CASE WHEN nd * (nd - 1.0) > 0 THEN
+                   (nd * sxxd - sxd * sxd) / (nd * (nd - 1.0)) / 10000.0
+                 END AS var_x,
+                 CASE WHEN nd * (nd - 1.0) > 0 THEN
+                   (nd * sxyd - sxd * syd) / (nd * (nd - 1.0)) / 10000.0
+                 END AS cov_xy
+          FROM e)
+    SELECT variant, n, mean_y AS mean_metric, var_y AS var_metric, theta,
+           mean_y - theta * (mean_x - xbar) AS mean_adjusted,
+           var_y - 2.0 * theta * cov_xy + theta * theta * var_x
+             AS var_adjusted
+    FROM m
+    """,
+)
+def q_cuped_events(spark, sf_dir):
+    # CUPED variance reduction on a synthetic split: covariate = each
+    # user's first-half-of-January spend, metric = second-half spend,
+    # variant = user_id parity; every output is a closed form of
+    # exact centi-unit decimal moment sums (2dp data -> *100 is exact) — no per-row adjusted
+    # value is materialized in either engine
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cutoff = F.lit("2024-01-16 00:00:00").cast(dict(e.dtypes)["ts"])
+    vdec = F.col("value").cast("decimal(18,2)")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, vdec))
+            .cast("double")
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= cutoff, vdec))
+            .cast("double")
+            .alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .withColumn("variant", (F.col("user_id") % 2).cast("string"))
+    )
+    return drift.cuped_report(u, "variant", "y", "x").select(
+        "variant", "n", "mean_metric", "var_metric", "theta",
+        "mean_adjusted", "var_adjusted",
+    )
+
+
+@_q(
+    "acf_events_value",
+    """
+    WITH b AS (SELECT event_type,
+                      CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) AS idx,
+                      CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                        / CAST(COUNT(value) AS DOUBLE) AS m
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         q AS (SELECT event_type, idx,
+                      CAST(ROUND(m * 1e3) AS DECIMAL(19,0)) AS mu
+               FROM b),
+         l(lag) AS (VALUES (1), (2), (3)),
+         p AS (SELECT x.event_type, l.lag, x.mu AS xu, y.mu AS yu
+               FROM q x CROSS JOIN l
+               JOIN q y ON y.event_type = x.event_type
+                       AND y.idx = x.idx + l.lag),
+         s AS (SELECT event_type, lag,
+                      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      SUM(xu) AS sx, SUM(yu) AS sy, SUM(xu * yu) AS sxy,
+                      SUM(xu * xu) AS sxx, SUM(yu * yu) AS syy
+               FROM p GROUP BY 1, 2)
+    SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS acf
+    FROM s
+    """,
+)
+def q_acf_events_value(spark, sf_dir):
+    # hourly-bucket autocorrelation at lags 1/2/3 per event_type:
+    # pairs align on bucket INDEX (gap-robust), Pearson sums
+    # accumulate as exact milli-unit decimals (sums stay < 2^53 so
+    # the decimal->double cast is value-exact in both engines), r is
+    # one fixed IEEE closed form — r is scale-invariant so the
+    # quantization factor cancels
+    e = _t(spark, sf_dir, "events")
+    return events.acf_by_lag(
+        e, "ts", "value", lags=[1, 2, 3],
+        interval_seconds=3600, key_col="event_type",
+    )
+
+
+@_q(
+    "group_quantiles_events",
+    """
+    WITH v AS (SELECT event_type AS g, value AS val FROM events
+               WHERE value IS NOT NULL),
+         r AS (SELECT g, val,
+                      row_number() OVER (PARTITION BY g ORDER BY val) AS rn,
+                      CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+               FROM v),
+         qs(q) AS (VALUES (0.5), (0.95), (0.99))
+    SELECT r.g AS event_type, CAST(qs.q AS DOUBLE) AS q,
+           MIN(CASE WHEN rn = CAST(CEIL(CAST(qs.q AS DOUBLE) * n) AS BIGINT)
+                    THEN val END) AS value,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM r CROSS JOIN qs
+    GROUP BY r.g, qs.q
+    """,
+)
+def q_group_quantiles_events(spark, sf_dir):
+    # exact p50/p95/p99 per event_type — the SLA report, type-1 rank
+    # arithmetic (no interpolation float) via the two-phase per-group
+    # cumsum; value at a fixed rank is deterministic under tie
+    # permutation, so the row_number oracle replays it exactly
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    return drift.group_quantiles(e, "event_type", "value", [0.5, 0.95, 0.99])
+
+
+@_q(
     "attribution_time_decay",
     """
     WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS cts

@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "holt_forecast_events",
     "linear_trend_user_daily",
     "qq_purchase_vs_click",
+    "group_quantiles_events",
+    "acf_events_value",
+    "cuped_events",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

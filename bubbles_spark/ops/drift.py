@@ -42,6 +42,8 @@ __all__ = [
     "chi_square_report",
     "gains_table",
     "ab_test_report",
+    "cuped_report",
+    "group_quantiles",
     "qq_table",
     "minmax_scale",
 ]
@@ -493,31 +495,19 @@ def calibration_report(
     ).orderBy("bin")
 
 
-def winsorize_by(
-    df: DataFrame,
-    col: str,
-    group_col: str,
-    lo_q: float = 0.05,
-    hi_q: float = 0.95,
-    out_col: str | None = None,
-) -> DataFrame:
-    """Per-group ``winsorize``: clamp ``col`` into each group's own
-    [lo_q, hi_q] type-1 quantile envelope — the right tail-taming when
-    segments live on different scales (clamping currencies or device
-    classes against a GLOBAL quantile mangles the small segments).
+def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Per-group cumulative value counts without a per-group sort:
+    per-(group, value) counts (map-side combined — a giant group
+    collapses to its distinct values) cumulated by the
+    range-partitioned two-phase trick, where the per-group prefix
+    offsets are a window over the tiny (partition-id, group)
+    partial-sum table (≤ #partitions rows per group — no skew, no
+    driver collect, no single-task sort).  The smallest value whose
+    ``__cum`` reaches ceil(q·n) IS the type-1 rank-ceil(q·n) value,
+    bit-identical to a per-group row_number rank.
 
-    Same exactness contract as ``winsorize`` (rank arithmetic +
-    LEAST/GREATEST — zero new float math), and scale-safe even when
-    ONE group holds most of the table: ranks come from per-(group,
-    value) counts (map-side combined — the giant group collapses to
-    its distinct values) cumulated by the range-partitioned two-phase
-    trick, where the per-group prefix offsets are a WINDOW over the
-    tiny (partition-id, group) partial-sum table (≤ #partitions rows
-    per group — no skew, no driver collect, no single-task sort).
-    The smallest value whose cumulative count reaches ceil(q·n) IS
-    the type-1 rank-ceil(q·n) value, so results are bit-identical to
-    a per-group row_number rank.  NULL values stay NULL; a group with
-    no non-null values passes through unclamped."""
+    Output: group_col, col, __c (value count), __cum (cumulative
+    count ≤ value within group), __n (group total)."""
     from bubbles_spark.ops import core as _core
 
     c = F.col(col)
@@ -558,12 +548,89 @@ def winsorize_by(
         .orderBy(col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = (
+    return (
         parted.withColumn("__cin", F.sum("__c").over(w_in))
         .join(offsets, ["__pid", group_col])
         .join(totals, group_col)
         .withColumn("__cum", F.col("__off") + F.col("__cin"))
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """EXACT per-group type-1 quantiles: for each group and each q,
+    the value at rank ``ceil(q·n_group)`` (1-based ascending, NULLs
+    dropped) — the p50/p95/p99-latency-per-endpoint / SLA-report
+    primitive, with the no-interpolation definition two engines
+    reproduce to the last bit (``approx_quantile_ranks`` is the
+    sketch-bounded sibling; this is the exact one).
+
+    Scale: the same machinery as ``winsorize_by`` — per-(group,
+    value) counts map-side combine (a giant group collapses to its
+    distinct values), range-partitioned two-phase cumsum, per-group
+    min-over-threshold picks; one wide aggregate emits EVERY
+    requested q in a single pass, then unpivots to long form.  No
+    per-group sort, no driver collect, no skew cliff.
+
+    Output: group_col, q (double), value (col's type), n_rows."""
+    qs = [float(q) for q in qs]
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    c = F.col(col)
+    cum = _grouped_cum_counts(df, group_col, col)
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.ceil(F.lit(q) * F.col("__n")).cast("bigint"),
+                c,
+            )
+        ).alias(f"__q{i}")
+        for i, q in enumerate(qs)
+    ]
+    wide = cum.groupBy(group_col).agg(*aggs, F.max("__n").alias("n_rows"))
+    stack = F.expr(
+        "stack({n}, {args}) as (q, value)".format(
+            n=len(qs),
+            args=", ".join(
+                f"CAST({q!r} AS DOUBLE), __q{i}" for i, q in enumerate(qs)
+            ),
+        )
+    )
+    return wide.select(group_col, stack, "n_rows")
+
+
+def winsorize_by(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group ``winsorize``: clamp ``col`` into each group's own
+    [lo_q, hi_q] type-1 quantile envelope — the right tail-taming when
+    segments live on different scales (clamping currencies or device
+    classes against a GLOBAL quantile mangles the small segments).
+
+    Same exactness contract as ``winsorize`` (rank arithmetic +
+    LEAST/GREATEST — zero new float math), and scale-safe even when
+    ONE group holds most of the table: ranks come from per-(group,
+    value) counts (map-side combined — the giant group collapses to
+    its distinct values) cumulated by the range-partitioned two-phase
+    trick, where the per-group prefix offsets are a WINDOW over the
+    tiny (partition-id, group) partial-sum table (≤ #partitions rows
+    per group — no skew, no driver collect, no single-task sort).
+    The smallest value whose cumulative count reaches ceil(q·n) IS
+    the type-1 rank-ceil(q·n) value, so results are bit-identical to
+    a per-group row_number rank.  NULL values stay NULL; a group with
+    no non-null values passes through unclamped."""
+    c = F.col(col)
+    cum = _grouped_cum_counts(df, group_col, col)
     lo_rank = F.ceil(F.lit(lo_q) * F.col("__n")).cast("bigint")
     hi_rank = F.ceil(F.lit(hi_q) * F.col("__n")).cast("bigint")
     bounds = cum.groupBy(group_col).agg(
@@ -1033,6 +1100,104 @@ def ab_test_report(
             (rv - rc).alias("abs_lift"),
             F.when(se > 0, (rv - rc) / se).alias("z_score"),
         )
+    )
+
+
+def cuped_report(
+    df: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+    quant: float = 100.0,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    "Improving the Sensitivity of Online Controlled Experiments"):
+    adjust each unit's metric by its PRE-EXPERIMENT covariate,
+    ``y' = y − θ·(x − x̄)`` with the pooled ``θ = cov(x,y)/var(x)``,
+    and report per-variant means/variances of both the raw and the
+    adjusted metric — the standard way to cut weeks off an A/B test
+    when a correlated pre-period metric exists.
+
+    ``quant`` scales x and y to integers before summing (default 100
+    — EXACT for 2-decimal money data).  Keep every quantized moment
+    sum under 2^53 (``n·(V·quant)² < 9e15``): below that bound the
+    decimal→double cast is value-exact in ANY engine, which is what
+    makes the closed form engine-portable (DuckDB's int128→double
+    cast is not correctly rounded above 2^63 — measured, one ulp on
+    the covariance sums — and the θ cancellation amplifies that ulp
+    to 1e-12).
+
+    No per-row adjusted value is ever materialized: every output is
+    a CLOSED FORM of per-variant moment sums —
+    ``mean_adj_v = mean_y_v − θ·(mean_x_v − x̄)`` and
+    ``var_adj_v = var_y_v − 2θ·cov_v + θ²·var_x_v`` — so the whole
+    report is one keyed aggregate.  Exactness: x and y quantize to
+    integer micro-units (``round(v·1e6)`` — both engines round .5
+    away from zero) and all five moment sums accumulate exactly in
+    DECIMAL; θ is unit-free (the quant factor cancels), means/variances
+    unscale by fixed IEEE divisions; variances use the n−1 sample
+    convention.  θ is NULL-guarded (zero covariate variance ⇒ raw
+    columns only, adjusted = NULL).
+
+    Scale: one map-side-combined keyed aggregate to a #variants-row
+    table + a 1-row broadcast of the pooled sums.  Output: variant,
+    n, mean_metric, var_metric, theta, mean_adjusted, var_adjusted.
+    """
+    y = F.col(metric_col)
+    x = F.col(covariate_col)
+    base = df.filter(
+        F.col(variant_col).isNotNull() & y.isNotNull() & x.isNotNull()
+    )
+    q = float(quant)
+    yu = F.round(y.cast("double") * F.lit(q), 0).cast("decimal(19,0)")
+    xu = F.round(x.cast("double") * F.lit(q), 0).cast("decimal(19,0)")
+    per = base.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xu).alias("__sx"),
+        F.sum(yu).alias("__sy"),
+        F.sum(xu * yu).alias("__sxy"),
+        F.sum(xu * xu).alias("__sxx"),
+        F.sum(yu * yu).alias("__syy"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("__tn"),
+        F.sum("__sx").alias("__tsx"),
+        F.sum("__sy").alias("__tsy"),
+        F.sum("__sxy").alias("__tsxy"),
+        F.sum("__sxx").alias("__tsxx"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    tn = F.col("__tn").cast("double")
+    tsx = F.col("__tsx").cast("double")
+    tsy = F.col("__tsy").cast("double")
+    tsxy = F.col("__tsxy").cast("double")
+    tsxx = F.col("__tsxx").cast("double")
+    dvar = tn * tsxx - tsx * tsx
+    theta = F.when(dvar > 0, (tn * tsxy - tsx * tsy) / dvar)
+    xbar = tsx / tn / F.lit(q)
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    mean_y = sy / n / F.lit(q)
+    mean_x = sx / n / F.lit(q)
+    denom = n * (n - F.lit(1.0))
+    q2 = F.lit(q * q)
+    var_y = F.when(denom > 0, (n * syy - sy * sy) / denom / q2)
+    var_x = F.when(denom > 0, (n * sxx - sx * sx) / denom / q2)
+    cov_xy = F.when(denom > 0, (n * sxy - sx * sy) / denom / q2)
+    mean_adj = mean_y - theta * (mean_x - xbar)
+    var_adj = var_y - F.lit(2.0) * theta * cov_xy + theta * theta * var_x
+    return j.select(
+        "variant",
+        "n",
+        mean_y.alias("mean_metric"),
+        var_y.alias("var_metric"),
+        theta.alias("theta"),
+        mean_adj.alias("mean_adjusted"),
+        var_adj.alias("var_adjusted"),
     )
 
 

@@ -1303,6 +1303,103 @@ def decompose_additive(
     )
 
 
+def acf_by_lag(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 3),
+    interval_seconds: int = 3600,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Autocorrelation of a time series at each requested lag — the
+    seasonality/persistence diagnostic behind "is this metric hourly-
+    periodic?" and ARIMA order picking: bucket the series to
+    ``interval_seconds`` means, then for each lag k compute the
+    Pearson correlation between the bucket-mean series and itself
+    shifted k buckets (pairs align on BUCKET INDEX, so calendar gaps
+    drop out of the pair set instead of misaligning it — the
+    gap-robust definition).
+
+    Exactness: bucket means from exact decimal sums; the means then
+    QUANTIZE to integer milli-units (``round(m·1e3)`` — the
+    ``decompose_additive`` discipline at a scale that keeps every
+    Pearson sum under 2^53, where decimal→double casts are
+    value-exact in ANY engine; at 1e6 the squared-term sums cross
+    2^63 and DuckDB's int128→double cast rounds differently than
+    IEEE) so all five sums accumulate exactly in DECIMAL and the
+    correlation is a fixed IEEE closed form both engines replay
+    bit-for-bit (r is scale-invariant, so the 1e3 factor cancels;
+    ≤5e-4 quantization on the means is deterministic and
+    statistically irrelevant for a correlation diagnostic).
+    Constant or too-short series emit NULL acf.
+
+    Scale: the raw table folds to a buckets-sized series (map-side
+    combined), lags explode that tiny table ``len(lags)``×, ONE
+    equi-join on (key, idx) aligns every lag's pairs, and the keyed
+    agg is len(lags)·keys rows.  The heavy input never self-joins.
+    Output: [key_col,] lag, n_pairs, acf."""
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    lags = [int(k) for k in lags]
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError(f"lags must be positive ints, got {lags}")
+    ims = int(interval_seconds) * 1000
+    v = F.col(value_col)
+    is_ntz = dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    idx = F.floor(
+        epoch_ms_wallclock(F.col(ts_col), is_ntz) / F.lit(float(ims))
+    ).cast("long")
+    parts = [key_col] if key_col else []
+    series = (
+        df.filter(v.isNotNull())
+        .groupBy(*(parts + [idx.alias("__idx")]))
+        .agg(
+            (
+                F.sum(v.cast("decimal(20,6)")).cast("double")
+                / F.count(v).cast("double")
+            ).alias("__m")
+        )
+        .withColumn(
+            "__mu", F.round(F.col("__m") * F.lit(1e3), 0).cast("decimal(19,0)")
+        )
+    )
+    lag_lit = F.explode(
+        F.array(*[F.lit(k) for k in lags])
+    ).alias("lag")
+    lagged = series.select(
+        *parts, "__idx", F.col("__mu").alias("__xu"), lag_lit
+    ).withColumn("__tidx", F.col("__idx") + F.col("lag"))
+    pairs = lagged.join(
+        series.select(
+            *parts,
+            F.col("__idx").alias("__tidx"),
+            F.col("__mu").alias("__yu"),
+        ),
+        parts + ["__tidx"],
+    )
+    xu, yu = F.col("__xu"), F.col("__yu")
+    agg = pairs.groupBy(*(parts + ["lag"])).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xu).alias("__sx"),
+        F.sum(yu).alias("__sy"),
+        F.sum(xu * yu).alias("__sxy"),
+        F.sum(xu * xu).alias("__sxx"),
+        F.sum(yu * yu).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    return agg.select(
+        *(parts + ["lag", "n_pairs"]),
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("acf"),
+    )
+
+
 def twap(
     df: DataFrame,
     ts_col: str,

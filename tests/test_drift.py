@@ -789,3 +789,54 @@ def test_gains_table_tie_break_total_order(spark):
         df, "s", "y", "id", n_buckets=2
     ).collect()}
     assert got == {1: 2, 2: 0}
+
+
+def test_group_quantiles_type1_exact(spark):
+    """Per-group type-1 quantiles: value at rank ceil(q*n), ties and
+    NULLs handled, q=1.0 is the group max."""
+    rows = [("a", float(v)) for v in range(1, 11)]
+    rows += [("b", 5.0), ("b", 5.0), ("b", 7.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["q"]): (r["value"], r["n_rows"])
+        for r in drift.group_quantiles(
+            df, "g", "v", [0.5, 0.9, 1.0]
+        ).collect()
+    }
+    assert got[("a", 0.5)] == (5.0, 10)   # ceil(0.5*10)=5 -> 5.0
+    assert got[("a", 0.9)] == (9.0, 10)
+    assert got[("a", 1.0)] == (10.0, 10)
+    assert got[("b", 0.5)] == (5.0, 3)    # ceil(1.5)=2 -> tied 5.0
+    assert got[("b", 1.0)] == (7.0, 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="qs"):
+        drift.group_quantiles(df, "g", "v", [0.0])
+
+
+def test_cuped_report_perfect_covariate(spark):
+    """y = 2x exactly: theta = 2, adjusted variance collapses to 0,
+    and mean_adjusted shifts each arm's mean by -theta*(mean_x - xbar)."""
+    rows = [("a", 2.0 * x, x) for x in (1.0, 2.0, 3.0)]
+    rows += [("b", 2.0 * x, x) for x in (4.0, 5.0, 6.0)]
+    df = spark.createDataFrame(rows, "variant string, y double, x double")
+    got = {r["variant"]: r for r in drift.cuped_report(
+        df, "variant", "y", "x"
+    ).collect()}
+    assert got["a"]["n"] == 3 and got["b"]["n"] == 3
+    assert abs(got["a"]["theta"] - 2.0) < 1e-12
+    assert got["a"]["mean_metric"] == 4.0 and got["b"]["mean_metric"] == 10.0
+    # xbar = 3.5: a's mean_x=2 -> adj = 4 - 2*(2-3.5) = 7; b: 10-2*(5-3.5)=7
+    assert abs(got["a"]["mean_adjusted"] - 7.0) < 1e-9
+    assert abs(got["b"]["mean_adjusted"] - 7.0) < 1e-9
+    assert abs(got["a"]["var_adjusted"]) < 1e-9
+    # zero covariate variance -> theta NULL, raw columns intact
+    const = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 2.0, 5.0), ("b", 3.0, 5.0)],
+        "variant string, y double, x double",
+    )
+    out = {r["variant"]: r for r in drift.cuped_report(
+        const, "variant", "y", "x"
+    ).collect()}
+    assert out["a"]["theta"] is None and out["a"]["mean_adjusted"] is None
+    assert out["a"]["mean_metric"] == 1.5

@@ -149,3 +149,39 @@ def test_gap_report_threshold_and_edges(spark):
     r = got[0]
     assert r["user_id"] == 1 and r["gap_ms"] == 7_200_000
     assert r["gap_start"].hour == 0 and r["gap_end"].hour == 2
+
+
+def test_acf_by_lag_alternating_series(spark):
+    """A perfectly alternating hourly series has acf(1) = -1 and
+    acf(2) = +1; pairs align on bucket index across gaps."""
+    import datetime as dt
+
+    from bubbles_spark.ops import events as bevents
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=h), 10.0 if h % 2 == 0 else 20.0)
+        for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in bevents.acf_by_lag(
+            df, "ts", "value", lags=[1, 2], interval_seconds=3600
+        ).collect()
+    }
+    assert got[1][0] == 23 and abs(got[1][1] + 1.0) < 1e-12
+    assert got[2][0] == 22 and abs(got[2][1] - 1.0) < 1e-12
+    # constant series -> NULL acf (zero variance)
+    const = spark.createDataFrame(
+        [(base + dt.timedelta(hours=h), 5.0) for h in range(6)],
+        "ts timestamp, value double",
+    )
+    out = {r["lag"]: r["acf"] for r in bevents.acf_by_lag(
+        const, "ts", "value", lags=[1]
+    ).collect()}
+    assert out[1] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lags"):
+        bevents.acf_by_lag(df, "ts", "value", lags=[0])

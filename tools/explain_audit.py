@@ -527,6 +527,24 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        "cuped_events",
+        [(r"Functions \[\d+\]: \[partial_", "moment sums partial map-side"),
+         (r"BroadcastExchange", "1-row pooled totals broadcast")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "group_quantiles_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-(group,value) counts partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct", "no cross product")],
+    ),
+    (
+        "acf_events_value",
+        [(r"Functions \[\d+\]: \[partial_", "bucket means partial map-side")],
+        [(r"CartesianProduct", "lag align is an equi-join, no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "cumulative_distinct_events",
         [(r"Functions \[\d+\]: \[partial_", "first-seen min partial map-side")],
         [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
