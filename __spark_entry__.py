@@ -1482,6 +1482,41 @@ def q_tf_idf(spark, sf_dir):
     return textan.tf_idf(d)
 
 
+@_q(
+    "top_terms_docs",
+    f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS term_count
+           FROM terms GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_len
+           FROM terms GROUP BY doc_id),
+    dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM terms GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.term,
+                 ROUND((tf.term_count::DOUBLE / dl.doc_len)
+                       * (ln((n.n_docs + 1.0) / (dfq.doc_freq + 1.0)) + 1.0), 9)
+                   AS tf_idf
+          FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN n),
+    r AS (SELECT doc_id, term, tf_idf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tf_idf DESC, term) AS rank
+          FROM s)
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf_idf
+    FROM r WHERE rank <= 3
+    """,
+)
+def q_top_terms_docs(spark, sf_dir):
+    # keyword extraction: top-3 tf-idf terms per doc; the 9-decimal
+    # rounding inside tf_idf absorbs libm ln() ulp skew, so the
+    # (score DESC, term) rank order is engine-identical
+    d = _t(spark, sf_dir, "documents")
+    return textan.top_terms(d, k=3)
+
+
 @_q("content_hash", "SELECT doc_id, md5(text) AS content_hash FROM documents")
 def q_content_hash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -6703,6 +6738,32 @@ def q_winsorize_by_priority(spark, sf_dir):
 
 
 @_q(
+    "stratified_sample_n_orders",
+    """
+    WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                      row_number() OVER (
+                        PARTITION BY o_orderpriority
+                        ORDER BY md5(CAST(o_orderkey AS VARCHAR)
+                                     || chr(31) || '0')) AS rn
+               FROM orders)
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM r WHERE rn <= 20
+    """,
+)
+def q_stratified_sample_n_orders(spark, sf_dir):
+    # exactly-20-per-priority deterministic sample: first 20 rows of
+    # each stratum under the content-keyed md5 order — reproduces
+    # byte-for-byte in any engine/run/retry (the eval-set builder
+    # Bernoulli sampling can't give)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return core.stratified_sample_n(
+        o, "o_orderpriority", 20, ["o_orderkey"]
+    )
+
+
+@_q(
     "cuped_events",
     """
     WITH u AS (
@@ -7868,6 +7929,47 @@ def q_triangle_count_copurchase(spark, sf_dir):
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     )
     return graph.triangle_count(edges)
+
+
+@_q(
+    "link_scores_copurchase",
+    f"""
+    WITH e AS ({_COPURCHASE_EDGES_SQL}),
+    adj AS (SELECT lo AS node, hi AS nbr FROM e
+            UNION ALL SELECT hi, lo FROM e),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM adj GROUP BY 1),
+    w AS (SELECT a.nbr AS node_a, b.nbr AS node_b
+          FROM adj a JOIN adj b ON a.node = b.node AND a.nbr < b.nbr),
+    p AS (SELECT node_a, node_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+          FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT p.node_a, p.node_b, p.common_neighbors,
+           CAST(da.degree + db.degree - p.common_neighbors AS BIGINT)
+             AS union_size,
+           CAST(p.common_neighbors AS DOUBLE)
+             / CAST(da.degree + db.degree - p.common_neighbors AS DOUBLE)
+             AS jaccard
+    FROM p JOIN deg da ON p.node_a = da.node
+           JOIN deg db ON p.node_b = db.node
+    """,
+)
+def q_link_scores_copurchase(spark, sf_dir):
+    # link prediction over the co-purchase graph: common-neighbor
+    # count, union size, Jaccard — exact BIGINTs + ONE IEEE division.
+    # adamic_adar is deliberately NOT selected: its ln() goes through
+    # libm, which engines round differently at the last ulp (the
+    # mi_report precedent) — pytest pins it on a planted graph
+    from bubbles_spark.ops import affinity, graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = affinity.frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    )
+    return graph.link_scores(edges, min_common=2).select(
+        "node_a", "node_b", "common_neighbors", "union_size", "jaccard"
+    )
 
 
 @_q(

@@ -207,6 +207,9 @@ BENCH_QUERIES = [
     "group_quantiles_events",
     "acf_events_value",
     "cuped_events",
+    "link_scores_copurchase",
+    "stratified_sample_n_orders",
+    "top_terms_docs",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

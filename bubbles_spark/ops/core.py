@@ -454,6 +454,45 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def stratified_sample_n(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_cols: Sequence[str],
+    salt: int = 0,
+) -> DataFrame:
+    """EXACTLY-n-per-stratum deterministic sample: within each
+    stratum, keep the ``n`` rows whose md5(key ⊕ salt) sorts first —
+    the eval-set / human-review-batch builder where "about n"
+    (Bernoulli ``stratified_sample``) isn't acceptable and the pick
+    must reproduce byte-for-byte across runs, engines, and retries.
+    Strata smaller than ``n`` are kept whole.
+
+    The hash order is a total order as long as ``key_cols`` form a
+    unique key (md5 ties then carry identical rows only); pass the
+    primary key.  Changing ``salt`` redraws the sample.
+
+    Scale: one hash shuffle on the stratum + an in-partition rank —
+    the ``keep_latest`` plan shape; no count pass, no global sort.
+    A stratum bigger than one task's sort buffer spills, not fails.
+    Output: the sampled rows (original columns)."""
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.col(c).cast("string") for c in key_cols],
+            F.lit(str(salt)),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(h)
+    return (
+        df.withColumn("__ssn_rn", F.row_number().over(w))
+        .filter(F.col("__ssn_rn") <= int(n_per_stratum))
+        .drop("__ssn_rn")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     weights: Sequence[float] = (0.8, 0.1, 0.1),

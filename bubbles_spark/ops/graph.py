@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degrees", "triangle_count", "pagerank", "hits_scores"]
+__all__ = [
+    "degrees",
+    "triangle_count",
+    "pagerank",
+    "hits_scores",
+    "link_scores",
+]
 
 
 def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -331,3 +337,87 @@ def hits_scores(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def link_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction scores for every node pair sharing at least
+    ``min_common`` neighbors in the undirected simple graph: common
+    neighbor count, union size, Jaccard, and Adamic–Adar
+    (``Σ_z 1/ln(deg z)`` over shared neighbors z — rare mutual
+    friends weigh more).  The "who should connect next?" primitive
+    for recommendation, record-linkage candidate ranking, and graph
+    cleanup.
+
+    Exactness: common/union are exact BIGINTs and Jaccard is ONE
+    IEEE division on them (oracle-exact).  Adamic–Adar takes ``ln``
+    through libm, which engines round differently at the last ulp —
+    it is pytest-pinned, not oracle-compared (the ``mi_report``
+    precedent); the per-term doubles quantize to nano-units and sum
+    exactly in DECIMAL so the value is at least ORDER-independent
+    within Spark.
+
+    Scale: wedge enumeration is Σ_z deg(z)² — a hub's neighborhood
+    squared.  ``max_hub_degree`` drops wedge CENTERS above the
+    threshold (changing semantics for pairs through hubs — their
+    common counts shrink; documented trade, same spirit as the LSH
+    bucket cap).  Candidate pairs are keyed by (a, b) so counts
+    aggregate map-side; degree tables are vocabulary-sized broadcast
+    joins.
+
+    Output: node_a, node_b (a < b), common_neighbors, union_size,
+    jaccard, adamic_adar."""
+    und = _undirected(edges, src, dst)
+    adj = und.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+    ).unionByName(
+        und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    centers = adj.join(F.broadcast(deg), "node")
+    if max_hub_degree is not None:
+        centers = centers.filter(F.col("degree") <= int(max_hub_degree))
+    # 1/ln(deg z) quantized to nano-units BEFORE the pair sum: the
+    # decimal accumulation is order-free; sums stay < 2^53 up to
+    # ~6e6 common neighbors per pair
+    w_unit = F.round(
+        F.lit(1e9) / F.log(F.col("degree").cast("double")), 0
+    ).cast("decimal(19,0)")
+    lhs = centers.select(
+        "node", F.col("nbr").alias("node_a"), w_unit.alias("__w")
+    )
+    rhs = centers.select("node", F.col("nbr").alias("node_b"))
+    wedges = lhs.join(rhs, "node").filter(F.col("node_a") < F.col("node_b"))
+    pairs = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        (F.sum("__w").cast("double") / F.lit(1e9)).alias("adamic_adar"),
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("degree").alias("__db"))
+    out = (
+        pairs.filter(F.col("common_neighbors") >= int(min_common))
+        .join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .withColumn(
+            "union_size",
+            (F.col("__da") + F.col("__db") - F.col("common_neighbors")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return out.select(
+        "node_a",
+        "node_b",
+        F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+        "union_size",
+        (
+            F.col("common_neighbors").cast("double")
+            / F.col("union_size").cast("double")
+        ).alias("jaccard"),
+        "adamic_adar",
+    )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -434,6 +434,38 @@ def tf_idf(
             F.round((F.col("term_count") / F.col("doc_len")) * F.col("idf"), 9),
         )
         .select(id_col, "term", "term_count", "doc_len", "doc_freq", "tf_idf")
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Top-``k`` tf-idf terms per document — keyword extraction for
+    tagging, dedup blocking keys, and "what is this doc about?"
+    search facets.  Ranking is DETERMINISTIC: tf_idf is already
+    rounded to 9 decimals (which absorbs the engines' 1-ulp ln()
+    disagreement), and rounded-score ties break on the term string —
+    so the top-k SET is identical across runs and engines.
+
+    Scale: ``tf_idf``'s two shuffles + one (doc, term)-keyed window
+    (each doc's terms sort within its partition — docs are small;
+    the corpus never globally sorts).  Output: id_col, rank, term,
+    tf_idf."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    scored = tf_idf(df, id_col, text_col, min_doc_freq)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf_idf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, F.col("rank").cast("int").alias("rank"),
+                "term", "tf_idf")
     )
 
 

@@ -175,3 +175,36 @@ def test_hits_scores_path_counts(spark):
     assert got[2] == (4, 0)
     assert got[3] == (1, 4)
     assert got[4] == (0, 1)
+
+
+def test_link_scores_square_with_diagonal(spark):
+    """Square 1-2-3-4 plus diagonal 1-3: known common/union/jaccard
+    and the AA pin (libm ln is pytest-pinned, not oracle-compared)."""
+    import math
+
+    from bubbles_spark.ops import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): r
+        for r in graph.link_scores(edges).collect()
+    }
+    assert got[(2, 4)]["common_neighbors"] == 2
+    assert got[(2, 4)]["union_size"] == 2
+    assert got[(2, 4)]["jaccard"] == 1.0
+    assert got[(1, 3)]["common_neighbors"] == 2
+    assert got[(1, 3)]["union_size"] == 4
+    assert got[(1, 3)]["jaccard"] == 0.5
+    # AA: z in {1,3} for pair (2,4), both deg 3 -> 2/ln(3), nano-quantized
+    expect = 2 * round(1e9 / math.log(3.0)) / 1e9
+    assert got[(2, 4)]["adamic_adar"] == expect
+    # min_common filters; hub cap drops wedge centers above threshold
+    only2 = graph.link_scores(edges, min_common=2)
+    assert {(r["node_a"], r["node_b"]) for r in only2.collect()} == {
+        (1, 3), (2, 4)
+    }
+    nohub = graph.link_scores(edges, max_hub_degree=2)
+    # centers 1 and 3 (deg 3) excluded: only wedges through 2 and 4 remain
+    assert {(r["node_a"], r["node_b"]) for r in nohub.collect()} == {(1, 3)}

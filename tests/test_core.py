@@ -697,3 +697,25 @@ def test_surrogate_key_stable_and_null_safe(spark):
     assert core.surrogate_key_collisions(df, ["x", "y"]).count() == 0
     with _pytest.raises(ValueError, match="cols"):
         core.surrogate_key(df, [])
+
+
+def test_stratified_sample_n_exact_and_deterministic(spark):
+    from bubbles_spark.ops import core
+
+    rows = [(i, "a" if i <= 30 else "b") for i in range(1, 36)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = core.stratified_sample_n(df, "s", 10, ["id"]).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["s"], set()).add(r["id"])
+    assert len(by["a"]) == 10          # exactly n from the big stratum
+    assert len(by["b"]) == 5           # small stratum kept whole
+    # deterministic: same pick every run; salt redraws
+    again = core.stratified_sample_n(df, "s", 10, ["id"]).collect()
+    assert {r["id"] for r in again} == by["a"] | by["b"]
+    other = core.stratified_sample_n(df, "s", 10, ["id"], salt=1).collect()
+    assert {r["id"] for r in other if r["s"] == "a"} != by["a"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_per_stratum"):
+        core.stratified_sample_n(df, "s", 0, ["id"])

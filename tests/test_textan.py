@@ -523,3 +523,31 @@ def test_reading_level_hand_computed(spark):
     assert got[2]["n_words"] == 0 and got[2]["flesch"] is None
     # fragment: sentence floor of 1, syllable floor of n_words
     assert got[3]["n_sentences"] == 1 and got[3]["n_syllables"] == 1
+
+
+def test_top_terms_rank_and_ties(spark):
+    """Top-k per doc under (tf_idf DESC, term) — distinctive terms
+    rank above ubiquitous ones; rounded-score ties break on term."""
+    from bubbles_spark.ops import textan
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana shared"),
+         (2, "cherry cherry shared shared"),
+         (3, "shared banana")],
+        "doc_id long, text string",
+    )
+    out = textan.top_terms(docs, k=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    for v in by.values():
+        v.sort()
+    # doc 1: apple (tf 2/4, df 1) clearly first
+    assert by[1][0][1] == "apple"
+    # doc 2: cherry (tf .5, df 1 -> idf 1.69) beats shared (tf .5, idf 1)
+    assert by[2][0][1] == "cherry"
+    assert all(len(v) <= 2 for v in by.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k"):
+        textan.top_terms(docs, k=0)

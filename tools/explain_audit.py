@@ -539,6 +539,25 @@ CHECKS = [
          (r"CartesianProduct", "no cross product")],
     ),
     (
+        "link_scores_copurchase",
+        [(r"Functions \[\d+\]: \[partial_", "pair counts partial map-side"),
+         (r"BroadcastExchange", "degree tables broadcast")],
+        [(r"CartesianProduct", "wedge join is an equi-join, no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "top_terms_docs",
+        [(r"Functions \[\d+\]: \[partial_", "term counts partial map-side")],
+        [(r"CartesianProduct", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "stratified_sample_n_orders",
+        [(r"RunningWindowFunction|Window", "one in-partition rank, no self-join")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct", "no cross product")],
+    ),
+    (
         "acf_events_value",
         [(r"Functions \[\d+\]: \[partial_", "bucket means partial map-side")],
         [(r"CartesianProduct", "lag align is an equi-join, no cross product"),

@@ -459,6 +459,16 @@ def main() -> int:
         ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         return graph.triangle_count(edges)
 
+    def link_scores_op(t):
+        # k disjoint co-purchase subgraphs: candidate pairs and
+        # wedges scale k x (the hub-squared term is per-subgraph)
+        from bubbles_spark.ops import affinity, graph
+
+        edges = affinity.frequent_pairs(
+            t["lineitem_items"], "l_orderkey", "l_partkey", min_support=2
+        ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+        return graph.link_scores(edges, min_common=2)
+
     def pagerank_op(t):
         # 2 iterations over the supply bipartite graph; per-iteration
         # cost = one edge join + one keyed decimal sum
@@ -627,6 +637,7 @@ def main() -> int:
         "resolve_entities": resolve_entities_op,
         "frequent_pairs": frequent_pairs_op,
         "triangle_count": triangle_count_op,
+        "link_scores": link_scores_op,
         "pagerank": pagerank_op,
         "decompose_additive": decompose_op,
         "gains_table": gains_table_op,
