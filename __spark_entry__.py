@@ -6738,6 +6738,89 @@ def q_winsorize_by_priority(spark, sf_dir):
 
 
 @_q(
+    "lookup_with_default_customer",
+    """
+    WITH d AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+               WHERE n_nationkey < 13)
+    SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+           CASE WHEN d.n_nationkey IS NOT NULL THEN d.n_name
+                ELSE 'UNKNOWN' END AS n_name,
+           CAST(CASE WHEN d.n_nationkey IS NOT NULL THEN d.n_regionkey
+                     ELSE -1 END AS BIGINT) AS n_regionkey,
+           d.n_nationkey IS NOT NULL AS dim_matched
+    FROM customer c LEFT JOIN d ON c.c_nationkey = d.n_nationkey
+    """,
+)
+def q_lookup_with_default_customer(spark, sf_dir):
+    # late-arriving-dimension lookup: a truncated nation dim (keys
+    # < 13) leaves some customers unmatched — they keep their fact
+    # row, fill UNKNOWN/-1 defaults, and flag dim_matched=false for
+    # the backfill job; the flag comes from a planted marker, not a
+    # NULLable dim column
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 13)
+        .select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            "n_name",
+            "n_regionkey",
+        )
+    )
+    out = core.lookup_with_default(
+        c, n, "c_nationkey",
+        defaults={"n_name": "UNKNOWN", "n_regionkey": -1},
+    )
+    return out.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        "n_name", F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        "dim_matched",
+    )
+
+
+@_q(
+    "robust_scale_orders",
+    """
+    WITH t AS (SELECT o_orderkey, o_orderpriority AS g,
+                      CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+         r AS (SELECT g, v,
+                      row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                      CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+               FROM t),
+         b AS (SELECT g,
+                      MIN(CASE WHEN rn = CAST(CEIL(CAST(0.25 AS DOUBLE) * n)
+                               AS BIGINT) THEN v END) AS q25,
+                      MIN(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n)
+                               AS BIGINT) THEN v END) AS med,
+                      MIN(CASE WHEN rn = CAST(CEIL(CAST(0.75 AS DOUBLE) * n)
+                               AS BIGINT) THEN v END) AS q75
+               FROM r GROUP BY g)
+    SELECT t.o_orderkey, t.g AS o_orderpriority,
+           CASE WHEN b.q75 - b.q25 <> 0
+                THEN (t.v - b.med) / (b.q75 - b.q25) END AS price_robust
+    FROM t JOIN b ON t.g = b.g
+    """,
+)
+def q_robust_scale_orders(spark, sf_dir):
+    # median/IQR standardization per priority segment: exact type-1
+    # quantile bounds (rank-at-position is tie-permutation-proof),
+    # one IEEE subtraction + division on doubles (the value is cast
+    # BEFORE the op — decimal division scales are engine-specific)
+    from bubbles_spark.ops import drift
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    out = drift.robust_scale(
+        o, "v", group_col="o_orderpriority", out_col="price_robust"
+    )
+    return out.select("o_orderkey", "o_orderpriority", "price_robust")
+
+
+@_q(
     "stratified_sample_n_orders",
     """
     WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -6894,6 +6977,58 @@ def q_acf_events_value(spark, sf_dir):
     return events.acf_by_lag(
         e, "ts", "value", lags=[1, 2, 3],
         interval_seconds=3600, key_col="event_type",
+    )
+
+
+@_q(
+    "xcf_click_purchase",
+    """
+    WITH bx AS (SELECT CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) AS idx,
+                       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                         / CAST(COUNT(value) AS DOUBLE) AS m
+                FROM events WHERE value IS NOT NULL AND event_type = 'click'
+                GROUP BY 1),
+         by_ AS (SELECT CAST(FLOOR(epoch_ms(ts) / 3600000.0) AS BIGINT) AS idx,
+                        CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                          / CAST(COUNT(value) AS DOUBLE) AS m
+                 FROM events WHERE value IS NOT NULL
+                   AND event_type = 'purchase'
+                 GROUP BY 1),
+         qx AS (SELECT idx, CAST(ROUND(m * 1e3) AS DECIMAL(19,0)) AS mu
+                FROM bx),
+         qy AS (SELECT idx, CAST(ROUND(m * 1e3) AS DECIMAL(19,0)) AS mu
+                FROM by_),
+         l(lag) AS (VALUES (0), (1), (2)),
+         p AS (SELECT l.lag, x.mu AS xu, y.mu AS yu
+               FROM qx x CROSS JOIN l
+               JOIN qy y ON y.idx = x.idx + l.lag),
+         s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                      SUM(xu) AS sx, SUM(yu) AS sy, SUM(xu * yu) AS sxy,
+                      SUM(xu * xu) AS sxx, SUM(yu * yu) AS syy
+               FROM p GROUP BY 1)
+    SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS xcf
+    FROM s
+    """,
+)
+def q_xcf_click_purchase(spark, sf_dir):
+    # does click value LEAD purchase value? hourly cross-correlation
+    # at lags 0/1/2 — same milli-unit exact-decimal Pearson contract
+    # as acf_events_value, pairs aligned on bucket index
+    e = _t(spark, sf_dir, "events")
+    return events.xcf_by_lag(
+        e, "ts", "value", "event_type", "click", "purchase",
+        lags=[0, 1, 2], interval_seconds=3600,
     )
 
 

@@ -210,6 +210,9 @@ BENCH_QUERIES = [
     "link_scores_copurchase",
     "stratified_sample_n_orders",
     "top_terms_docs",
+    "robust_scale_orders",
+    "xcf_click_purchase",
+    "lookup_with_default_customer",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

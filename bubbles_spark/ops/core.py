@@ -1205,6 +1205,61 @@ def join_details(
     return joined.select(*[master[c] for c in master.columns], *[d[c] for c in keep])
 
 
+def lookup_with_default(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str | Sequence[str],
+    defaults: dict[str, Any] | None = None,
+    prefix: str | None = None,
+    flag_col: str = "dim_matched",
+) -> DataFrame:
+    """Dimension lookup with UNKNOWN-member handling — the
+    late-arriving-dimension pattern every warehouse load needs: left-
+    join the facts to the dimension and, for keys the dimension does
+    not (yet) know, fill each dimension column from ``defaults``
+    (missing defaults stay NULL) and flag the row ``dim_matched =
+    false`` so the backfill job can find it later.  ``join_details``
+    is the inner-join sibling; this one NEVER drops a fact.
+
+    The match flag comes from a planted marker on the dim side (a
+    dim-column NULL test would misflag rows whose dimension
+    legitimately carries NULLs).  Collisions follow the
+    ``join_details`` contract (``prefix`` or raise).
+
+    Scale: one left equi-join; Catalyst/AQE broadcasts a small dim.
+    Output: all fact columns + dim columns (minus the key) +
+    ``flag_col``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    defaults = defaults or {}
+    d = dim.withColumn("__dm", F.lit(True))
+    keep = [c for c in dim.columns if c not in keys]
+    if prefix:
+        d = d.select(*keys, "__dm", *[F.col(c).alias(prefix + c) for c in keep])
+        keep = [prefix + c for c in keep]
+        defaults = {prefix + k: v for k, v in defaults.items()}
+    else:
+        collisions = set(keep) & set(facts.columns)
+        if collisions:
+            raise ValueError(
+                f"dim columns collide with facts: {sorted(collisions)}; "
+                "pass prefix="
+            )
+    unknown = set(defaults) - set(keep)
+    if unknown:
+        raise ValueError(f"defaults for non-dim columns: {sorted(unknown)}")
+    joined = facts.join(d, keys, "left")
+    matched = F.coalesce(F.col("__dm"), F.lit(False))
+    filled = [
+        F.when(matched | F.lit(c not in defaults), F.col(c))
+        .otherwise(F.lit(defaults.get(c)))
+        .alias(c)
+        for c in keep
+    ]
+    return joined.select(
+        *[c for c in facts.columns], *filled, matched.alias(flag_col)
+    )
+
+
 def join_details_multi(
     master: DataFrame,
     details: Sequence[tuple],

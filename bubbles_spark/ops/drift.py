@@ -44,6 +44,7 @@ __all__ = [
     "ab_test_report",
     "cuped_report",
     "group_quantiles",
+    "robust_scale",
     "qq_table",
     "minmax_scale",
 ]
@@ -1100,6 +1101,64 @@ def ab_test_report(
             (rv - rc).alias("abs_lift"),
             F.when(se > 0, (rv - rc) / se).alias("z_score"),
         )
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Median/IQR standardization ``(v − median) / (q75 − q25)`` —
+    the outlier-immune sibling of ``reshape.zscore_normalize``
+    (mean/std move with every corrupt row; the median and IQR have
+    breakdown point ¼) and the scale-matching step before mixing
+    heavy-tailed features.
+
+    Quantiles are exact type-1 ranks (no interpolation float):
+    global via two driver scalars, per-group via the
+    ``_grouped_cum_counts`` two-phase machinery (no per-group sort,
+    giant group collapses to its distinct values).  The scaled value
+    is one IEEE subtraction + one division on bit-identical doubles.
+    Zero IQR (>50% of the group at one value) emits NULL; NULL
+    values stay NULL.
+
+    Output: input columns + ``out_col`` (default ``<col>_robust``)."""
+    c = F.col(col)
+    out = out_col or f"{col}_robust"
+    if group_col is None:
+        q25, med, q75 = exact_quantiles(df, col, [0.25, 0.5, 0.75])
+        iqr = q75 - q25
+        if iqr == 0:
+            return df.withColumn(out, F.lit(None).cast("double"))
+        return df.withColumn(
+            out, (c - F.lit(float(med))) / F.lit(float(iqr))
+        )
+    cum = _grouped_cum_counts(df, group_col, col)
+
+    def _at(q):
+        return F.min(
+            F.when(
+                F.col("__cum")
+                >= F.ceil(F.lit(q) * F.col("__n")).cast("bigint"),
+                c,
+            )
+        )
+
+    bounds = cum.groupBy(group_col).agg(
+        _at(0.25).alias("__q25"),
+        _at(0.5).alias("__med"),
+        _at(0.75).alias("__q75"),
+    )
+    iqr = F.col("__q75") - F.col("__q25")
+    return (
+        df.join(F.broadcast(bounds), group_col, "left")
+        .withColumn(
+            out,
+            F.when(iqr != 0, (c - F.col("__med")) / iqr),
+        )
+        .drop("__q25", "__med", "__q75")
     )
 
 

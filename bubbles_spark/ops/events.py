@@ -1400,6 +1400,90 @@ def acf_by_lag(
     )
 
 
+def xcf_by_lag(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    label_col: str,
+    label_x: str,
+    label_y: str,
+    lags: Sequence[int] = (0, 1, 2),
+    interval_seconds: int = 3600,
+) -> DataFrame:
+    """Cross-correlation between two labeled series at each lag k:
+    Pearson r between the ``label_x`` bucket-mean series at t−k and
+    the ``label_y`` series at t — the lead/lag diagnostic behind
+    "do clicks predict purchases an hour later?" and metric
+    causality triage (``acf_by_lag`` is the self-paired special
+    case; lag 0 is plain contemporaneous correlation).
+
+    Same exactness/scale contract as ``acf_by_lag``: bucket means
+    from exact decimal sums, milli-unit quantization keeps every
+    Pearson sum under 2^53 (value-exact decimal→double casts in any
+    engine), pairs align on bucket INDEX so calendar gaps drop out,
+    the heavy input folds to two buckets-sized series before the one
+    equi-join.  Output: lag, n_pairs, xcf."""
+    from bubbles_spark.ops.core import epoch_ms_wallclock
+
+    lags = [int(k) for k in lags]
+    if not lags or any(k < 0 for k in lags):
+        raise ValueError(f"lags must be non-negative ints, got {lags}")
+    ims = int(interval_seconds) * 1000
+    v = F.col(value_col)
+    is_ntz = dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    idx = F.floor(
+        epoch_ms_wallclock(F.col(ts_col), is_ntz) / F.lit(float(ims))
+    ).cast("long")
+
+    def _series(label):
+        return (
+            df.filter(v.isNotNull() & (F.col(label_col) == label))
+            .groupBy(idx.alias("__idx"))
+            .agg(
+                (
+                    F.sum(v.cast("decimal(20,6)")).cast("double")
+                    / F.count(v).cast("double")
+                ).alias("__m")
+            )
+            .withColumn(
+                "__mu",
+                F.round(F.col("__m") * F.lit(1e3), 0).cast("decimal(19,0)"),
+            )
+        )
+    lag_lit = F.explode(F.array(*[F.lit(k) for k in lags])).alias("lag")
+    lagged_x = _series(label_x).select(
+        "__idx", F.col("__mu").alias("__xu"), lag_lit
+    ).withColumn("__tidx", F.col("__idx") + F.col("lag"))
+    pairs = lagged_x.join(
+        _series(label_y).select(
+            F.col("__idx").alias("__tidx"), F.col("__mu").alias("__yu")
+        ),
+        "__tidx",
+    )
+    xu, yu = F.col("__xu"), F.col("__yu")
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xu).alias("__sx"),
+        F.sum(yu).alias("__sy"),
+        F.sum(xu * yu).alias("__sxy"),
+        F.sum(xu * xu).alias("__sxx"),
+        F.sum(yu * yu).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    return agg.select(
+        "lag",
+        "n_pairs",
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("xcf"),
+    )
+
+
 def twap(
     df: DataFrame,
     ts_col: str,

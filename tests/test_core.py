@@ -719,3 +719,36 @@ def test_stratified_sample_n_exact_and_deterministic(spark):
 
     with _pytest.raises(ValueError, match="n_per_stratum"):
         core.stratified_sample_n(df, "s", 0, ["id"])
+
+
+def test_lookup_with_default_flags_and_fills(spark):
+    from bubbles_spark.ops import core
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "fid long, k long"
+    )
+    dim = spark.createDataFrame(
+        [(10, "ten", None), (20, "twenty", 2)],
+        "k long, name string, grp int",
+    )
+    out = {r["fid"]: r for r in core.lookup_with_default(
+        facts, dim, "k", defaults={"name": "UNKNOWN"}
+    ).collect()}
+    assert out[1]["name"] == "ten" and out[1]["dim_matched"] is True
+    # matched row with a legitimately-NULL dim value stays NULL (the
+    # planted marker, not a NULL test, drives the flag)
+    assert out[1]["grp"] is None and out[1]["dim_matched"] is True
+    assert out[3]["name"] == "UNKNOWN" and out[3]["dim_matched"] is False
+    assert out[3]["grp"] is None  # no default -> NULL
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="defaults"):
+        core.lookup_with_default(facts, dim, "k", defaults={"nope": 1})
+    # collision raises without prefix; prefix resolves it
+    facts2 = facts.withColumn("name", F.lit("f"))
+    with _pytest.raises(ValueError, match="collide"):
+        core.lookup_with_default(facts2, dim, "k")
+    pre = core.lookup_with_default(
+        facts2, dim, "k", prefix="d_", defaults={"name": "UNKNOWN"}
+    )
+    assert "d_name" in pre.columns

@@ -840,3 +840,25 @@ def test_cuped_report_perfect_covariate(spark):
     ).collect()}
     assert out["a"]["theta"] is None and out["a"]["mean_adjusted"] is None
     assert out["a"]["mean_metric"] == 1.5
+
+
+def test_robust_scale_global_and_grouped(spark):
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 100)]
+    rows += [("b", 5.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # global: n=8 -> q25=rank 2, med=rank 4, q75=rank 6
+    out = {
+        (r["g"], r["v"]): r["v_robust"]
+        for r in drift.robust_scale(df, "v").collect()
+    }
+    # sorted: 1,2,3,4,5,5,5,100 -> q25=2, med=4, iqr=5-2=3
+    assert out[("a", 1.0)] == (1.0 - 4.0) / 3.0
+    assert out[("a", 100.0)] == (100.0 - 4.0) / 3.0
+    # grouped: b's IQR is 0 -> NULL; a's quantiles from its own 5 rows
+    g = {
+        (r["g"], r["v"]): r["v_robust"]
+        for r in drift.robust_scale(df, "v", group_col="g").collect()
+    }
+    assert all(v is None for (grp, _), v in g.items() if grp == "b")
+    # a: q25=rank ceil(1.25)=2 -> 2.0, med=3.0, q75=rank 4 -> 4.0
+    assert g[("a", 100.0)] == (100.0 - 3.0) / 2.0

@@ -185,3 +185,28 @@ def test_acf_by_lag_alternating_series(spark):
 
     with _pytest.raises(ValueError, match="lags"):
         bevents.acf_by_lag(df, "ts", "value", lags=[0])
+
+
+def test_xcf_by_lag_shifted_copy(spark):
+    """Series y is x shifted forward one hour: xcf peaks (=1) at
+    lag 1, and is computed over index-aligned pairs only."""
+    import datetime as dt
+
+    from bubbles_spark.ops import events as bevents
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 30.0, 20.0, 40.0, 15.0, 35.0, 25.0, 45.0]
+    rows = [(base + dt.timedelta(hours=h), "x", v)
+            for h, v in enumerate(vals)]
+    rows += [(base + dt.timedelta(hours=h + 1), "y", v)
+             for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts timestamp, lab string, value double")
+    got = {r["lag"]: (r["n_pairs"], r["xcf"]) for r in bevents.xcf_by_lag(
+        df, "ts", "value", "lab", "x", "y", lags=[0, 1]
+    ).collect()}
+    assert got[1][0] == 8 and abs(got[1][1] - 1.0) < 1e-12
+    assert got[0][0] == 7 and got[0][1] < 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lags"):
+        bevents.xcf_by_lag(df, "ts", "value", "lab", "x", "y", lags=[-1])

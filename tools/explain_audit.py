@@ -558,6 +558,24 @@ CHECKS = [
          (r"CartesianProduct", "no cross product")],
     ),
     (
+        "xcf_click_purchase",
+        [(r"Functions \[\d+\]: \[partial_", "bucket means partial map-side")],
+        [(r"CartesianProduct", "lag align is an equi-join, no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "robust_scale_orders",
+        [(r"Functions \[\d+\]: \[partial_", "per-(group,value) counts partial map-side"),
+         (r"BroadcastExchange", "groups-sized bounds broadcast back")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "lookup_with_default_customer",
+        [(r"BroadcastExchange", "small dim broadcasts")],
+        [(r"CartesianProduct", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "acf_events_value",
         [(r"Functions \[\d+\]: \[partial_", "bucket means partial map-side")],
         [(r"CartesianProduct", "lag align is an equi-join, no cross product"),
