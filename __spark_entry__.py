@@ -6703,6 +6703,49 @@ def q_rollup_upsert_events(spark, sf_dir):
 
 
 @_q(
+    "orc_roundtrip_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2))
+             AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q_orc_roundtrip_orders(spark, sf_dir):
+    # ORC source/sink proof: orders round-trips through ORCStore
+    # (Spark's built-in orc datasource — pushdown and pruning work as
+    # for parquet) and the aggregate over the ORC copy must equal the
+    # parquet-direct oracle exactly, pinning both the writer and the
+    # reader ends
+    import shutil
+    import tempfile
+
+    from bubbles_spark.io import ORCStore
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    agg = lambda df: df.groupBy("o_orderpriority").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+        .cast("decimal(20,2)")
+        .alias("total_price"),
+    )
+    if _schema_only():
+        return agg(o)
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    try:
+        store = ORCStore(spark, tmp)
+        store.create("orders", from_obj=o)
+        out = agg(store.get_object("orders"))
+        res = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+@_q(
     "winsorize_by_priority",
     """
     WITH t AS (SELECT o_orderkey, o_orderpriority AS g, o_totalprice AS v

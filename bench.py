@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "robust_scale_orders",
     "xcf_click_purchase",
     "lookup_with_default_customer",
+    "orc_roundtrip_orders",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

@@ -407,3 +407,20 @@ def test_avro_store_gates_cleanly_without_jar(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "id long, name string")
     store.create("t", from_obj=df)
     assert store.get_object("t").count() == 1
+
+
+def test_orc_store_roundtrip_and_pushdown(spark, tmp_path):
+    from bubbles_spark.io import ORCStore
+
+    store = ORCStore(spark, str(tmp_path / "orc"))
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(100)],
+        "id long, name string, v double",
+    )
+    store.create("t", from_obj=df)
+    back = store.get_object("t")
+    assert back.count() == 100
+    assert sorted(r["id"] for r in back.filter("id < 3").collect()) == [0, 1, 2]
+    # predicate pushdown reaches the ORC scan (same contract as parquet)
+    plan = back.filter("id < 3")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "id" in plan
