@@ -9976,6 +9976,49 @@ def q_churn_weekly_users(spark, sf_dir):
 
 
 @_q(
+    "growth_accounting_weekly",
+    """
+    WITH act AS (SELECT DISTINCT user_id AS uid,
+                        CAST(date_trunc('week', ts) AS DATE) AS b
+                 FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    f AS (SELECT uid, MIN(b) AS fb FROM act GROUP BY 1),
+    prev AS (SELECT uid, b + 7 AS b, 1 AS wp FROM act),
+    cur AS (SELECT a.b, (a.b = f.fb) AS isnew, (p.wp IS NOT NULL) AS isret
+            FROM act a JOIN f USING (uid) LEFT JOIN prev p USING (uid, b)),
+    per AS (SELECT b AS bucket_date,
+                   CAST(COUNT(*) AS BIGINT) AS active_users,
+                   CAST(SUM(CASE WHEN isnew THEN 1 ELSE 0 END) AS BIGINT)
+                     AS new_users,
+                   CAST(SUM(CASE WHEN isret THEN 1 ELSE 0 END) AS BIGINT)
+                     AS retained,
+                   CAST(SUM(CASE WHEN NOT isnew AND NOT isret THEN 1
+                            ELSE 0 END) AS BIGINT) AS resurrected
+            FROM cur GROUP BY 1),
+    ch AS (SELECT a.b + 7 AS bucket_date, CAST(COUNT(*) AS BIGINT) AS churned
+           FROM act a LEFT JOIN act n ON a.uid = n.uid AND n.b = a.b + 7
+           WHERE n.uid IS NULL GROUP BY 1)
+    SELECT COALESCE(p.bucket_date, c.bucket_date) AS bucket_date,
+           CAST(COALESCE(p.active_users, 0) AS BIGINT) AS active_users,
+           CAST(COALESCE(p.new_users, 0) AS BIGINT) AS new_users,
+           CAST(COALESCE(p.retained, 0) AS BIGINT) AS retained,
+           CAST(COALESCE(p.resurrected, 0) AS BIGINT) AS resurrected,
+           CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned
+    FROM per p FULL JOIN ch c ON p.bucket_date = c.bucket_date
+    """,
+)
+def q_growth_accounting_weekly(spark, sf_dir):
+    # the MAU-bridge: weekly actives split new/retained/resurrected,
+    # churn counted on the bucket after last activity; the two growth
+    # identities (active = new+ret+res; delta-active = new+res-churn)
+    # are pytest-pinned — all equi-joins on day-space-shifted DATE
+    # keys, DST-proof in any session zone
+    from bubbles_spark.ops import activity
+
+    e = _t(spark, sf_dir, "events")
+    return activity.growth_accounting(e, "user_id", "ts", "week")
+
+
+@_q(
     "stickiness_weekly",
     """
     WITH da AS (SELECT DISTINCT user_id AS uid,

@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "xcf_click_purchase",
     "lookup_with_default_customer",
     "orc_roundtrip_orders",
+    "growth_accounting_weekly",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

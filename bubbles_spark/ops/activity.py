@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "new_vs_returning",
     "churn_report",
+    "growth_accounting",
     "stickiness",
     "segment_overlap",
     "cohort_ltv",
@@ -143,6 +144,100 @@ def churn_report(
             F.count(F.when(~ret, 1)).cast("bigint").alias("churned_next"),
         )
         .orderBy("bucket_date")
+    )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """The MAU-bridge decomposition (the growth-accounting identity
+    every subscription/engagement dashboard leads with): per bucket,
+    its actives split into **new** (first-ever activity), **retained**
+    (also active the previous bucket), and **resurrected** (returning
+    after a gap); **churned** counts the PREVIOUS bucket's actives who
+    did not return this bucket.  Two identities hold by construction
+    and pin the op in tests:
+    ``active = new + retained + resurrected`` and
+    ``active_t − active_{t−1} = new + resurrected − churned``.
+
+    Plan: one distinct over (user, bucket); first-activity via a keyed
+    min; previous-bucket membership via a self-equi-join on the
+    day-space-shifted key (``date_add``/``add_months`` — DST-proof,
+    never a lag window that would misalign across gaps); churn from
+    the same shifted join in the other direction.  All BIGINT counts;
+    buckets with zero actives but nonzero churn still appear (the
+    union spine includes them).
+
+    Output: bucket_date DATE, active_users, new_users, retained,
+    resurrected, churned (all BIGINT)."""
+    uid = F.col(user_col)
+    act = (
+        df.filter(uid.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            uid.alias("__uid"),
+            _bucket_date(ts_col, bucket).alias("bucket_date"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("__uid").agg(F.min("bucket_date").alias("__first"))
+    prev = act.select(
+        "__uid",
+        _next_bucket(F.col("bucket_date"), bucket).alias("bucket_date"),
+        F.lit(1).alias("__was_prev"),
+    )
+    cur = (
+        act.join(first, "__uid")
+        .join(prev, ["__uid", "bucket_date"], "left")
+        .select(
+            "bucket_date",
+            (F.col("bucket_date") == F.col("__first")).alias("__new"),
+            F.col("__was_prev").isNotNull().alias("__ret"),
+        )
+    )
+    per = cur.groupBy("bucket_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users"),
+        F.sum(F.when(F.col("__new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("__ret"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(
+            F.when(~F.col("__new") & ~F.col("__ret"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    nxt = act.select(
+        "__uid", F.col("bucket_date").alias("__b"),
+        _next_bucket(F.col("bucket_date"), bucket).alias("__nb"),
+    )
+    churn = (
+        nxt.join(
+            act.select(
+                "__uid", F.col("bucket_date").alias("__nb"),
+                F.lit(1).alias("__back"),
+            ),
+            ["__uid", "__nb"],
+            "left",
+        )
+        .filter(F.col("__back").isNull())
+        .groupBy(F.col("__nb").alias("bucket_date"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churned"))
+    )
+    return (
+        per.join(churn, "bucket_date", "full")
+        .select(
+            "bucket_date",
+            F.coalesce("active_users", F.lit(0)).cast("bigint").alias("active_users"),
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+            F.coalesce("retained", F.lit(0)).cast("bigint").alias("retained"),
+            F.coalesce("resurrected", F.lit(0)).cast("bigint").alias("resurrected"),
+            F.coalesce("churned", F.lit(0)).cast("bigint").alias("churned"),
+        )
     )
 
 

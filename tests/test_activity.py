@@ -186,3 +186,42 @@ def test_theil_sen_robust_to_outlier(spark):
     )
     r1 = insights.theil_sen(one, "grp", "x", "y").collect()[0]
     assert r1["n_pairs"] == 0 and r1["slope"] is None
+
+
+def test_growth_accounting_identities(spark):
+    """active = new + retained + resurrected, and
+    delta-active = new + resurrected - churned, on a hand-built
+    timeline with a resurrection and a churn."""
+    from bubbles_spark.ops import activity
+
+    rows = [
+        # u1 active w1, w2, w4 (resurrects in w4); u2 active w1 only
+        # (churns into w2); u3 joins w2, retained w3
+        (1, "2024-01-01"), (1, "2024-01-08"), (1, "2024-01-22"),
+        (2, "2024-01-02"),
+        (3, "2024-01-09"), (3, "2024-01-15"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").selectExpr(
+        "user_id", "CAST(d AS TIMESTAMP_NTZ) AS ts"
+    )
+    out = {str(r["bucket_date"]): r for r in activity.growth_accounting(
+        df, "user_id", "ts", "week"
+    ).collect()}
+    w1, w2, w3, w4 = "2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"
+    assert out[w1]["active_users"] == 2 and out[w1]["new_users"] == 2
+    assert out[w2]["new_users"] == 1          # u3
+    assert out[w2]["retained"] == 1           # u1
+    assert out[w2]["churned"] == 1            # u2 didn't return
+    assert out[w3]["retained"] == 1           # u3
+    assert out[w4]["resurrected"] == 1        # u1 back after a gap
+    # identities hold on every bucket
+    prev_active = 0
+    for k in sorted(out):
+        r = out[k]
+        assert r["active_users"] == (
+            r["new_users"] + r["retained"] + r["resurrected"]
+        )
+        assert r["active_users"] - prev_active == (
+            r["new_users"] + r["resurrected"] - r["churned"]
+        )
+        prev_active = r["active_users"]

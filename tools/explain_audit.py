@@ -558,6 +558,12 @@ CHECKS = [
          (r"CartesianProduct", "no cross product")],
     ),
     (
+        "growth_accounting_weekly",
+        [(r"Functions \[\d+\]: \[partial_", "distinct + counts partial map-side")],
+        [(r"CartesianProduct", "shifted-bucket joins are equi-joins"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
         "xcf_click_purchase",
         [(r"Functions \[\d+\]: \[partial_", "bucket means partial map-side")],
         [(r"CartesianProduct", "lag align is an equi-join, no cross product"),
