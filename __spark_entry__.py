@@ -9976,6 +9976,35 @@ def q_churn_weekly_users(spark, sf_dir):
 
 
 @_q(
+    "embedding_centroids_by_label",
+    """
+    WITH ex AS (SELECT label,
+                       generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings WHERE embedding IS NOT NULL),
+         s AS (SELECT label, dim,
+                      CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                      SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1e6)
+                               AS DECIMAL(19,0))) AS su
+               FROM ex GROUP BY 1, 2)
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(su AS DOUBLE) / CAST(n_vectors AS DOUBLE) / 1e6 AS mean,
+           n_vectors
+    FROM s
+    """,
+)
+def q_embedding_centroids_by_label(spark, sf_dir):
+    # per-label centroid of the embedding column in long form: float
+    # components widen to double, quantize to micro-units, sum in
+    # exact decimal (order-free), one fixed IEEE division chain —
+    # raw vectors never shuffle, only (labels x dim) cells do
+    from bubbles_spark.ops import vector
+
+    e = _t(spark, sf_dir, "embeddings")
+    return vector.group_centroids(e, "label")
+
+
+@_q(
     "growth_accounting_weekly",
     """
     WITH act AS (SELECT DISTINCT user_id AS uid,

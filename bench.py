@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "lookup_with_default_customer",
     "orc_roundtrip_orders",
     "growth_accounting_weekly",
+    "embedding_centroids_by_label",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

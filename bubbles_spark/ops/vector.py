@@ -828,3 +828,54 @@ def kmeans_assign(
     return _assigned(cent).select(
         F.col("__id").alias(id_col), F.col("__cl").alias("cluster")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    emb_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Per-group embedding centroid in LONG form (group, dim, mean,
+    n_vectors) — the aggregate behind IVF coarse training, SemDeDup
+    cluster centers, per-class prototypes, and drift monitoring of an
+    embedding column ("did the corpus move in vector space?").
+
+    Exactness: each float component quantizes to ``round(v·quant)``
+    integer units (one shared IEEE multiply after the exact
+    float→double widening), sums accumulate in DECIMAL (order-free),
+    and the mean is fixed IEEE divisions — engine-portable.  Unit-norm
+    embeddings at the 1e6 default keep sums < 2^53 up to ~9e9 vectors
+    per group (the value-exact decimal→double budget).
+
+    Scale: posexplode is map-only; the keyed sum shuffles only
+    (groups × dim) cells after map-side combine — the raw vectors
+    never shuffle.  Long form avoids a cross-engine array-rebuild
+    step; pivot downstream if you need array centroids.
+
+    Output: group_col, dim (int, 0-based), mean (double), n_vectors."""
+    q = float(quant)
+    ex = df.filter(F.col(emb_col).isNotNull()).select(
+        F.col(group_col),
+        F.posexplode(F.col(emb_col)).alias("dim", "__v"),
+    )
+    vu = F.round(F.col("__v").cast("double") * F.lit(q), 0).cast(
+        "decimal(19,0)"
+    )
+    return (
+        ex.groupBy(group_col, "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(vu).alias("__s"),
+        )
+        .select(
+            group_col,
+            F.col("dim").cast("int").alias("dim"),
+            (
+                F.col("__s").cast("double")
+                / F.col("n_vectors").cast("double")
+                / F.lit(q)
+            ).alias("mean"),
+            "n_vectors",
+        )
+    )

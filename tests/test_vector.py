@@ -180,3 +180,19 @@ def test_kmeans_assign_empty_raises(spark):
 
     with _pytest.raises(ValueError, match="empty"):
         vec.kmeans_assign(empty, "vec_id", "embedding", k=2)
+
+
+def test_group_centroids_exact_means(spark):
+    from bubbles_spark.ops import vector
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [5.0, -1.0]),
+         ("b", None)],
+        "g string, embedding array<float>",
+    )
+    got = {(r["g"], r["dim"]): (r["mean"], r["n_vectors"])
+           for r in vector.group_centroids(df, "g").collect()}
+    assert got[("a", 0)] == (2.0, 2)
+    assert got[("a", 1)] == (4.0, 2)
+    assert got[("b", 0)] == (5.0, 1)
+    assert got[("b", 1)] == (-1.0, 1)

@@ -558,6 +558,13 @@ CHECKS = [
          (r"CartesianProduct", "no cross product")],
     ),
     (
+        "embedding_centroids_by_label",
+        [(r"Functions \[\d+\]: \[partial_", "cell sums partial map-side"),
+         (r"Generate", "posexplode is map-only, no shuffle of raw vectors")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct", "no cross product")],
+    ),
+    (
         "growth_accounting_weekly",
         [(r"Functions \[\d+\]: \[partial_", "distinct + counts partial map-side")],
         [(r"CartesianProduct", "shifted-bucket joins are equi-joins"),
