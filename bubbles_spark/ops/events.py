@@ -935,17 +935,22 @@ def resample_time(
             .orderBy("__bk")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # next-known lookup via a DESCENDING growing frame: Spark
+        # evaluates [unbounded preceding, current] incrementally but
+        # re-aggregates a [current, unbounded following] frame from
+        # scratch per row (O(n²) per key — measured); last() under
+        # the reversed order is the same "first known at or after"
         futr = (
             Window.partitionBy("__k")
-            .orderBy("__bk")
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("__bk").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         vcol = F.col("__v").cast("double")
         known_bk = F.when(vcol.isNotNull(), F.col("__bk"))
         pv = F.last(vcol, ignorenulls=True).over(past)
         pb = F.last(known_bk, ignorenulls=True).over(past)
-        nv = F.first(vcol, ignorenulls=True).over(futr)
-        nb = F.first(known_bk, ignorenulls=True).over(futr)
+        nv = F.last(vcol, ignorenulls=True).over(futr)
+        nb = F.last(known_bk, ignorenulls=True).over(futr)
         span = nb.cast("timestamp").cast("double") - pb.cast("timestamp").cast(
             "double"
         )
