@@ -8306,6 +8306,74 @@ def q_decompose_events_value(spark, sf_dir):
 
 
 @_q(
+    "decomposition_strength_events",
+    """
+    WITH base AS (SELECT event_id, event_type, ts, value FROM events
+                  WHERE value IS NOT NULL),
+    t AS (SELECT *,
+            CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+              / CAST(COUNT(value) OVER w AS DOUBLE) AS trend,
+            CAST(hour(ts) AS INTEGER) AS bucket
+          FROM base
+          WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts)
+                       RANGE BETWEEN 43200000 PRECEDING
+                             AND 43200000 FOLLOWING)),
+    d AS (SELECT *, value - trend AS det FROM t),
+    s AS (SELECT event_type, bucket,
+                 CAST(SUM(CAST(ROUND(det * 1e6) AS DECIMAL(38,0)))
+                      AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 1e6 AS seasonal
+          FROM d GROUP BY 1, 2),
+    fl AS (SELECT d.event_type, d.value, d.trend, s.seasonal,
+                  d.det - s.seasonal AS residual
+           FROM d JOIN s ON d.event_type = s.event_type
+                        AND d.bucket = s.bucket),
+    u AS (SELECT event_type,
+                 CAST(ROUND(residual * 1e3) AS DECIMAL(19,0)) AS r,
+                 CAST(ROUND((value - seasonal) * 1e3) AS DECIMAL(19,0)) AS tt,
+                 CAST(ROUND((value - trend) * 1e3) AS DECIMAL(19,0)) AS dd
+          FROM fl),
+    a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(r) AS DOUBLE) AS sr,
+                 CAST(SUM(r * r) AS DOUBLE) AS srr,
+                 CAST(SUM(tt) AS DOUBLE) AS st,
+                 CAST(SUM(tt * tt) AS DOUBLE) AS stt,
+                 CAST(SUM(dd) AS DOUBLE) AS sd,
+                 CAST(SUM(dd * dd) AS DOUBLE) AS sdd
+          FROM u GROUP BY 1),
+    v AS (SELECT event_type, n_rows, CAST(n_rows AS DOUBLE) AS n,
+                 sr, srr, st, stt, sd, sdd FROM a)
+    SELECT event_type, n_rows,
+           CASE WHEN (n * stt - st * st) / (n * n) > 0
+                THEN GREATEST(CAST(0 AS DOUBLE),
+                              CAST(1 AS DOUBLE)
+                              - ((n * srr - sr * sr) / (n * n))
+                                / ((n * stt - st * st) / (n * n)))
+           END AS trend_strength,
+           CASE WHEN (n * sdd - sd * sd) / (n * n) > 0
+                THEN GREATEST(CAST(0 AS DOUBLE),
+                              CAST(1 AS DOUBLE)
+                              - ((n * srr - sr * sr) / (n * n))
+                                / ((n * sdd - sd * sd) / (n * n)))
+           END AS seasonal_strength
+    FROM v
+    """,
+)
+def q_decomposition_strength_events(spark, sf_dir):
+    # Wang-Smith-Hyndman strengths per event_type: one keyed agg
+    # over the decomposition, milli-unit quantized variance inputs
+    # (sums of squares stay < 2^53 — the value-exact cast budget),
+    # population-variance closed forms in fixed IEEE steps
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    return events.decomposition_strength(
+        e, "ts", "value", key_col="event_type",
+        trend_halfwidth_seconds=43200, bucket="hour_of_day",
+    )
+
+
+@_q(
     "target_encode_events",
     """
     WITH t AS (SELECT event_type AS category,

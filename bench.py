@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "orc_roundtrip_orders",
     "growth_accounting_weekly",
     "embedding_centroids_by_label",
+    "decomposition_strength_events",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

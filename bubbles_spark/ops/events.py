@@ -1308,6 +1308,76 @@ def decompose_additive(
     )
 
 
+def decomposition_strength(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str | None = None,
+    trend_halfwidth_seconds: int = 43200,
+    bucket: str = "hour_of_day",
+) -> DataFrame:
+    """Trend/seasonal STRENGTH per series (Wang–Smith–Hyndman, the
+    feature the forecasting literature uses to route series to
+    models): from the additive decomposition ``value = T + S + R``,
+
+        trend_strength    = max(0, 1 − Var(R) / Var(value − S))
+        seasonal_strength = max(0, 1 − Var(R) / Var(value − T))
+
+    — near 1 when the component explains the series, near 0 when it
+    is noise.  The one-row-per-series summary of what
+    ``decompose_additive`` charts.
+
+    Exactness: each variance input quantizes to MILLI-units
+    (``round(x·1e3)`` — sums of squares stay < 2^53, the value-exact
+    decimal→double budget; 1e6 would cross 2^63 where DuckDB's
+    int128→double cast rounds off-IEEE) and the population-variance
+    closed form ``(n·Sxx − Sx²)/(n·n)`` runs in fixed IEEE steps;
+    the milli scale cancels in each ratio.  Degenerate series
+    (zero Var(value−S) or Var(value−T)) emit NULL for that strength.
+
+    Scale: ``decompose_additive``'s plan + ONE keyed aggregate to a
+    series-count-sized table.  Output: [key_col,] n_rows,
+    trend_strength, seasonal_strength."""
+    dec = decompose_additive(
+        df, ts_col, value_col, key_col, trend_halfwidth_seconds, bucket
+    )
+    parts = [key_col] if key_col else []
+
+    def _u(c):
+        return F.round(c * F.lit(1e3), 0).cast("decimal(19,0)")
+
+    r = _u(F.col("residual"))
+    ts_ = _u(F.col(value_col) - F.col("seasonal"))
+    ds = _u(F.col(value_col) - F.col("trend"))
+    agg = dec.groupBy(*parts).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(r).alias("__sr"),
+        F.sum(r * r).alias("__srr"),
+        F.sum(ts_).alias("__st"),
+        F.sum(ts_ * ts_).alias("__stt"),
+        F.sum(ds).alias("__sd"),
+        F.sum(ds * ds).alias("__sdd"),
+    )
+    n = F.col("n_rows").cast("double")
+
+    def _var(s, ss):
+        s, ss = F.col(s).cast("double"), F.col(ss).cast("double")
+        return (n * ss - s * s) / (n * n)
+
+    var_r = _var("__sr", "__srr")
+    var_ts = _var("__st", "__stt")
+    var_ds = _var("__sd", "__sdd")
+    return agg.select(
+        *(parts + ["n_rows"]),
+        F.when(
+            var_ts > 0, F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_ts)
+        ).alias("trend_strength"),
+        F.when(
+            var_ds > 0, F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_ds)
+        ).alias("seasonal_strength"),
+    )
+
+
 def acf_by_lag(
     df: DataFrame,
     ts_col: str,

@@ -210,3 +210,28 @@ def test_xcf_by_lag_shifted_copy(spark):
 
     with _pytest.raises(ValueError, match="lags"):
         bevents.xcf_by_lag(df, "ts", "value", "lab", "x", "y", lags=[-1])
+
+
+def test_decomposition_strength_extremes(spark):
+    """A pure daily-seasonal series (no trend, no noise) scores
+    seasonal_strength ~1; pure noise around a constant scores ~0 on
+    both; strengths are clamped to [0, 1]."""
+    import datetime as dt
+
+    from bubbles_spark.ops import events as bevents
+
+    base = dt.datetime(2024, 1, 1)
+    # 4 days of a clean hour-of-day pattern
+    seasonal = [
+        (base + dt.timedelta(hours=h), 100.0 + 50.0 * (h % 24 < 12))
+        for h in range(96)
+    ]
+    df = spark.createDataFrame(seasonal, "ts timestamp, value double")
+    row = bevents.decomposition_strength(
+        df, "ts", "value", trend_halfwidth_seconds=43200
+    ).collect()[0]
+    assert row["n_rows"] == 96
+    assert row["seasonal_strength"] > 0.95
+    for v in (row["trend_strength"], row["seasonal_strength"]):
+        if v is not None:
+            assert 0.0 <= v <= 1.0
