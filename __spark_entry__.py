@@ -6703,6 +6703,41 @@ def q_rollup_upsert_events(spark, sf_dir):
 
 
 @_q(
+    "pipeline_spec_orders",
+    """
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2))
+             AS total_spend,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def q_pipeline_spec_orders(spark, sf_dir):
+    # the declarative pipeline path end-to-end: a JSON-able spec
+    # (source-as-df, filter, keyed aggregate) resolved by op NAME
+    # from the catalog — the config-file-driven pipeline shape the
+    # reference's object-graph pipelines encouraged; never eval
+    from bubbles_spark.pipeline import Pipeline
+
+    spec = {
+        "steps": [
+            {"op": "filter_by_value", "args": ["o_orderstatus", "F"]},
+            {
+                "op": "aggregate",
+                "args": ["o_custkey", [["o_totalprice", "sum"]]],
+            },
+        ]
+    }
+    p = Pipeline.from_spec(spec, spark=spark, df=_t(spark, sf_dir, "orders"))
+    return p.df.select(
+        "o_custkey",
+        F.col("o_totalprice_sum").cast("decimal(20,2)").alias("total_spend"),
+        F.col("record_count").cast("bigint").alias("record_count"),
+    )
+
+
+@_q(
     "orc_roundtrip_orders",
     """
     SELECT o_orderpriority,

@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "growth_accounting_weekly",
     "embedding_centroids_by_label",
     "decomposition_strength_events",
+    "pipeline_spec_orders",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

@@ -111,6 +111,49 @@ class Pipeline:
         self._df = head
         return Pipeline(stores=self.stores, spark=self._spark, df=head)
 
+    @classmethod
+    def from_spec(
+        cls,
+        spec: dict,
+        stores: "dict[str, bio.DataStore] | None" = None,
+        spark: SparkSession | None = None,
+        df: DataFrame | None = None,
+    ) -> "Pipeline":
+        """Build and run a pipeline from a JSON-able dict — the
+        data-describable pipeline the reference encouraged (bubbles
+        pipelines were plain object graphs a config file could carry):
+
+            {"source": {"store": "lake", "name": "orders"},
+             "steps": [
+               {"op": "filter_by_value", "args": ["o_orderstatus", "F"]},
+               {"op": "aggregate",
+                "args": ["o_custkey", [["o_totalprice", "sum"]]]}],
+             "target": {"store": "out", "name": "by_cust"}}
+
+        Ops resolve by NAME from the registered catalog only (the
+        same dispatch as attribute access — never eval), so a spec
+        is inert data: unknown ops raise with the bad name.  Pass
+        ``df=`` instead of a source entry to run a spec against an
+        existing DataFrame.  ``target`` is optional; the returned
+        Pipeline's ``.df`` is the result either way."""
+        p = cls(stores=stores, spark=spark, df=df)
+        src = spec.get("source")
+        if src is not None:
+            p.source(src["store"], src["name"])
+        elif df is None:
+            raise ValueError("spec has no source and no df= was given")
+        for step in spec.get("steps", []):
+            opname = step["op"]
+            fn = getattr(p, opname)  # catalog dispatch; raises on unknown
+            fn(*step.get("args", []), **step.get("kwargs", {}))
+        tgt = spec.get("target")
+        if tgt is not None:
+            extra = {
+                k: v for k, v in tgt.items() if k not in ("store", "name")
+            }
+            p.create(tgt["store"], tgt["name"], **extra)
+        return p
+
     # -- operation dispatch -------------------------------------------
     def __getattr__(self, opname: str) -> Callable[..., "Pipeline"]:
         # mirrors Pipeline.__getattr__ in the reference: resolve the

@@ -114,3 +114,38 @@ def test_execution_context_direct_calls(spark):
 
     with pytest.raises(AttributeError):
         ctx.op.no_such_operation
+
+
+def test_pipeline_from_spec_end_to_end(spark, tmp_path):
+    """Declarative spec: source from a store, catalog-name dispatch,
+    target write; unknown ops raise by name, never eval."""
+    import pytest as _pytest
+
+    from bubbles_spark.io import FileStore
+    from bubbles_spark.pipeline import Pipeline
+
+    store = FileStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "a", None)],
+        "id long, g string, v double",
+    )
+    store.create("src", from_obj=df)
+    spec = {
+        "source": {"store": "s", "name": "src"},
+        "steps": [
+            {"op": "filter_by_value", "args": ["g", "a"]},
+            {"op": "aggregate", "args": ["g", [["v", "sum"]]]},
+        ],
+        "target": {"store": "s", "name": "out"},
+    }
+    p = Pipeline.from_spec(spec, stores={"s": store}, spark=spark)
+    got = store.get_object("out").collect()
+    assert len(got) == 1
+    assert got[0]["v_sum"] == 30.0 and got[0]["record_count"] == 3
+    assert p.df.columns == ["g", "v_sum", "record_count"]
+    with _pytest.raises(AttributeError, match="no operation named"):
+        Pipeline.from_spec(
+            {"steps": [{"op": "not_an_op"}]}, spark=spark, df=df
+        )
+    with _pytest.raises(ValueError, match="no source"):
+        Pipeline.from_spec({"steps": []}, spark=spark)

@@ -459,6 +459,24 @@ def main() -> int:
         ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
         return graph.triangle_count(edges)
 
+    def group_quantiles_op(t):
+        # per-group exact quantiles: counts collapse to distinct
+        # values, two-phase cumsum — linear in distinct cells
+        from bubbles_spark.ops import drift
+
+        return drift.group_quantiles(
+            t["events"], "event_type", "value", [0.5, 0.95, 0.99]
+        )
+
+    def growth_accounting_op(t):
+        # distinct + first-activity + two shifted equi-joins; all
+        # keyed by (user, bucket) — linear in distinct activity
+        from bubbles_spark.ops import activity
+
+        return activity.growth_accounting(
+            t["events"], "user_id", "ts", "week"
+        )
+
     def link_scores_op(t):
         # k disjoint co-purchase subgraphs: candidate pairs and
         # wedges scale k x (the hub-squared term is per-subgraph)
@@ -638,6 +656,8 @@ def main() -> int:
         "frequent_pairs": frequent_pairs_op,
         "triangle_count": triangle_count_op,
         "link_scores": link_scores_op,
+        "group_quantiles": group_quantiles_op,
+        "growth_accounting": growth_accounting_op,
         "pagerank": pagerank_op,
         "decompose_additive": decompose_op,
         "gains_table": gains_table_op,
