@@ -6703,6 +6703,42 @@ def q_rollup_upsert_events(spark, sf_dir):
 
 
 @_q(
+    "scd2_snapshot_orders",
+    """
+    WITH dim AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                        o_orderdate AS valid_from,
+                        lead(o_orderdate) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS valid_to
+                 FROM orders)
+    SELECT o_custkey, o_orderkey, o_totalprice, valid_from, valid_to
+    FROM dim
+    WHERE valid_from <= DATE '1995-06-15'
+      AND (valid_to IS NULL OR valid_to > DATE '1995-06-15')
+    """,
+)
+def q_scd2_snapshot_orders(spark, sf_dir):
+    # point-in-time dimension read: version each customer's orders
+    # into [valid_from, valid_to) ranges (lead over the total
+    # (date, orderkey) order), then cut the dimension as of a date —
+    # half-open intervals guarantee exactly <= 1 surviving version
+    # per key; map-only predicate after the version window
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    return core.scd2_snapshot(dim, "1995-06-15")
+
+
+@_q(
     "pipeline_spec_orders",
     """
     SELECT o_custkey,

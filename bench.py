@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "embedding_centroids_by_label",
     "decomposition_strength_events",
     "pipeline_spec_orders",
+    "scd2_snapshot_orders",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

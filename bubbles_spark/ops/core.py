@@ -1514,6 +1514,32 @@ def scd2_merge(
     return history.unionByName(kept_current).unionByName(closed_out).unionByName(inserts)
 
 
+def scd2_snapshot(
+    dim: DataFrame,
+    as_of,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time READ of an SCD2 dimension (the query-side twin
+    of ``scd2_merge``): the version of each business key that was in
+    effect at ``as_of`` — rows with ``valid_from <= as_of`` and
+    (``valid_to`` open OR ``valid_to > as_of``).  The half-open
+    [from, to) convention means a version closed AT ``as_of`` has
+    already been superseded by the row opened at the same instant —
+    exactly one version per key survives for any ``as_of``.
+
+    Map-only predicate; with the dimension partitioned or z-ordered
+    on ``valid_from`` the scan prunes.  Use ``point_in_time_join``
+    when every FACT row needs its own as-of version; this is the
+    single-snapshot cut ("the dimension as of last midnight")."""
+    ts = as_of if isinstance(as_of, Column) else F.lit(as_of)
+    ts = ts.cast(dim.schema[valid_from].dataType)
+    return dim.filter(
+        (F.col(valid_from) <= ts)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > ts))
+    )
+
+
 def append(dfs: Sequence[DataFrame]) -> DataFrame:
     """Concatenate N objects with identical field lists — UNION ALL
     (bubbles/ops/rows.py::append, itertools.chain in the reference).

@@ -752,3 +752,27 @@ def test_lookup_with_default_flags_and_fills(spark):
         facts2, dim, "k", prefix="d_", defaults={"name": "UNKNOWN"}
     )
     assert "d_name" in pre.columns
+
+
+def test_scd2_snapshot_point_in_time(spark):
+    """Half-open [from, to): the version closed AT the cut instant is
+    superseded; open-ended current versions survive."""
+    from bubbles_spark.ops import core
+
+    dim = spark.createDataFrame(
+        [(1, "v1", "2024-01-01", "2024-02-01"),
+         (1, "v2", "2024-02-01", None),
+         (2, "w1", "2024-03-01", None)],
+        "k long, v string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "v", "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(valid_to AS DATE) AS valid_to",
+    )
+    got = {r["k"]: r["v"] for r in core.scd2_snapshot(
+        dim, "2024-02-01"
+    ).collect()}
+    assert got == {1: "v2"}   # v1 closed AT the cut; key 2 not born yet
+    got2 = {r["k"]: r["v"] for r in core.scd2_snapshot(
+        dim, "2024-03-15"
+    ).collect()}
+    assert got2 == {1: "v2", 2: "w1"}
