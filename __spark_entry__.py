@@ -6703,6 +6703,72 @@ def q_rollup_upsert_events(spark, sf_dir):
 
 
 @_q(
+    "mix_shift_events_value",
+    """
+    WITH t AS (SELECT event_type AS key,
+                      CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN 'prev' ELSE 'cur' END AS p,
+                      value
+               FROM events),
+    a AS (SELECT key,
+                 SUM(CASE WHEN p = 'prev'
+                          THEN CAST(value AS DECIMAL(20,6)) END) AS np,
+                 SUM(CASE WHEN p = 'prev' THEN 1 END) AS dp,
+                 SUM(CASE WHEN p = 'cur'
+                          THEN CAST(value AS DECIMAL(20,6)) END) AS nc,
+                 SUM(CASE WHEN p = 'cur' THEN 1 END) AS dc
+          FROM t GROUP BY 1),
+    tt AS (SELECT CAST(SUM(np) AS DOUBLE) AS tnp,
+                  CAST(SUM(dp) AS DOUBLE) AS tdp,
+                  CAST(SUM(nc) AS DOUBLE) AS tnc,
+                  CAST(SUM(dc) AS DOUBLE) AS tdc
+           FROM a),
+    e AS (SELECT key,
+                 CAST(np AS DOUBLE) AS npd, CAST(dp AS DOUBLE) AS dpd,
+                 CAST(nc AS DOUBLE) AS ncd, CAST(dc AS DOUBLE) AS dcd,
+                 np, dp, nc, dc,
+                 tnp / tdp AS rpa, tnc / tdc AS rca, tdp, tdc
+          FROM a CROSS JOIN tt),
+    f AS (SELECT key, np, dp, nc, dc,
+                 CASE WHEN dp IS NOT NULL AND dpd > 0
+                      THEN npd / dpd ELSE rpa END AS r_prev,
+                 CASE WHEN dc IS NOT NULL AND dcd > 0
+                      THEN ncd / dcd ELSE rca END AS r_cur,
+                 CASE WHEN dp IS NOT NULL AND dpd > 0
+                      THEN dpd / tdp ELSE CAST(0 AS DOUBLE) END AS w_prev,
+                 CASE WHEN dc IS NOT NULL AND dcd > 0
+                      THEN dcd / tdc ELSE CAST(0 AS DOUBLE) END AS w_cur,
+                 rpa
+          FROM e)
+    SELECT key,
+           CAST(np AS DOUBLE) AS num_prev, CAST(dp AS BIGINT) AS den_prev,
+           CAST(nc AS DOUBLE) AS num_cur, CAST(dc AS BIGINT) AS den_cur,
+           r_prev, r_cur, w_prev, w_cur,
+           (w_cur - w_prev) * (r_prev - rpa) AS mix_effect,
+           w_cur * (r_cur - r_prev) AS rate_effect,
+           (w_cur - w_prev) * (r_prev - rpa)
+             + w_cur * (r_cur - r_prev) AS total_effect
+    FROM f
+    """,
+)
+def q_mix_shift_events_value(spark, sf_dir):
+    # "why did average event value move between the two half-months?"
+    # — mix effect (traffic shifted between event types) vs rate
+    # effect (types themselves changed); Σ(mix+rate) = ΔR identity
+    # pytest-pinned; exact decimal sums under fixed IEEE closed forms
+    from bubbles_spark.ops import insights
+
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast(dict(e.dtypes)["ts"])
+    tagged = e.withColumn(
+        "p", F.when(F.col("ts") < cutoff, "prev").otherwise("cur")
+    )
+    return insights.mix_shift_report(
+        tagged, "event_type", "value", 1, "p", "prev", "cur"
+    )
+
+
+@_q(
     "scd2_snapshot_orders",
     """
     WITH dim AS (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "decomposition_strength_events",
     "pipeline_spec_orders",
     "scd2_snapshot_orders",
+    "mix_shift_events_value",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

@@ -32,6 +32,7 @@ __all__ = [
     "abc_classification",
     "weighted_median",
     "theil_sen",
+    "mix_shift_report",
 ]
 
 
@@ -541,4 +542,91 @@ def theil_sen(
             "intercept",
         )
         .orderBy(group_col)
+    )
+
+
+def mix_shift_report(
+    df: DataFrame,
+    key_col: str,
+    num_col: str,
+    den_col,
+    period_col: str,
+    prev_period,
+    cur_period,
+) -> DataFrame:
+    """Mix/rate decomposition of a ratio KPI between two periods —
+    the "WHY did the metric move?" report (price-volume-mix,
+    conversion-rate bridges): with the KPI ``R = Σnum / Σden`` and
+    per-segment rate ``r_i = num_i/den_i``, weight ``w_i =
+    den_i/Σden``, each segment's contribution to ``ΔR`` splits into
+
+        mix_effect_i  = (w_cur,i − w_prev,i) · (r_prev,i − R_prev)
+        rate_effect_i = w_cur,i · (r_cur,i − r_prev,i)
+
+    and ``Σ(mix + rate) = R_cur − R_prev`` EXACTLY in real
+    arithmetic (pytest pins the identity to 1e-9 in floats) — mix
+    answers "did traffic shift toward better/worse segments?", rate
+    answers "did segments themselves improve?".
+
+    Segments absent from one period carry zero weight there and take
+    that period's overall rate as their rate (any value works where
+    w = 0 — this choice keeps the identity AND attributes a new
+    segment's whole effect to its own rate vs the old baseline).
+    ``den_col`` may be a column name or ``1`` to count rows.
+
+    Exactness: numerators sum in exact DECIMAL(20,6), denominators
+    in BIGINT/decimal; every rate/weight/effect is a fixed IEEE
+    sequence on those exact operands — engine-portable.  Scale: one
+    keyed aggregate per period over ONE pass of the input (period
+    tagged), a segments-sized full-outer join, 1-row broadcast
+    totals.
+
+    Output: key, num_prev, den_prev, num_cur, den_cur, r_prev,
+    r_cur, w_prev, w_cur, mix_effect, rate_effect, total_effect."""
+    num = F.col(num_col).cast("decimal(20,6)")
+    den = F.lit(1) if den_col == 1 else F.col(den_col)
+    per = F.col(period_col)
+    base = df.filter(per.isin([prev_period, cur_period]))
+    agg = base.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.when(per == prev_period, num)).alias("__np"),
+        F.sum(F.when(per == prev_period, den)).alias("__dp"),
+        F.sum(F.when(per == cur_period, num)).alias("__nc"),
+        F.sum(F.when(per == cur_period, den)).alias("__dc"),
+    )
+    tot = agg.agg(
+        F.sum("__np").alias("__tnp"),
+        F.sum("__dp").alias("__tdp"),
+        F.sum("__nc").alias("__tnc"),
+        F.sum("__dc").alias("__tdc"),
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    rp_all = F.col("__tnp").cast("double") / F.col("__tdp").cast("double")
+    rc_all = F.col("__tnc").cast("double") / F.col("__tdc").cast("double")
+    np_, dp = F.col("__np").cast("double"), F.col("__dp").cast("double")
+    nc, dc = F.col("__nc").cast("double"), F.col("__dc").cast("double")
+    has_p = F.col("__dp").isNotNull() & (dp > 0)
+    has_c = F.col("__dc").isNotNull() & (dc > 0)
+    r_prev = F.when(has_p, np_ / dp).otherwise(rp_all)
+    r_cur = F.when(has_c, nc / dc).otherwise(rc_all)
+    w_prev = F.when(has_p, dp / F.col("__tdp").cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    w_cur = F.when(has_c, dc / F.col("__tdc").cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    mix = (w_cur - w_prev) * (r_prev - rp_all)
+    rate = w_cur * (r_cur - r_prev)
+    return j.select(
+        "key",
+        F.col("__np").cast("double").alias("num_prev"),
+        F.col("__dp").cast("bigint").alias("den_prev"),
+        F.col("__nc").cast("double").alias("num_cur"),
+        F.col("__dc").cast("bigint").alias("den_cur"),
+        r_prev.alias("r_prev"),
+        r_cur.alias("r_cur"),
+        w_prev.alias("w_prev"),
+        w_cur.alias("w_cur"),
+        mix.alias("mix_effect"),
+        rate.alias("rate_effect"),
+        (mix + rate).alias("total_effect"),
     )

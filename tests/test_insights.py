@@ -442,3 +442,39 @@ def test_calendar_features_iso_weekday(spark):
     assert out[2]["weekday"] == 5 and out[2]["is_weekend"]
     assert out[3]["weekday"] == 6 and out[3]["is_weekend"]
     assert out[1]["hour"] == 13 and out[1]["month"] == 1
+
+
+def test_mix_shift_identity_and_semantics(spark):
+    """Sum of (mix+rate) effects equals the KPI delta; a pure mix
+    move (rates unchanged, weights shifted) shows zero rate effect."""
+    from bubbles_spark.ops import insights
+
+    rows = []
+    # prev: A 10 rows at rate 1.0, B 10 rows at rate 3.0 -> R=2.0
+    rows += [("A", "prev", 1.0)] * 10 + [("B", "prev", 3.0)] * 10
+    # cur: A 5 rows at 1.0, B 15 rows at 3.0 -> R=2.5 (pure mix)
+    rows += [("A", "cur", 1.0)] * 5 + [("B", "cur", 3.0)] * 15
+    df = spark.createDataFrame(rows, "k string, p string, v double")
+    got = {r["key"]: r for r in insights.mix_shift_report(
+        df, "k", "v", 1, "p", "prev", "cur"
+    ).collect()}
+    assert all(abs(r["rate_effect"]) < 1e-12 for r in got.values())
+    delta = sum(r["total_effect"] for r in got.values())
+    assert abs(delta - 0.5) < 1e-9          # R: 2.0 -> 2.5
+    # shifting weight AWAY from the below-average segment (A) and
+    # TOWARD the above-average one (B) both raise the KPI
+    assert got["A"]["mix_effect"] > 0 and got["B"]["mix_effect"] > 0
+    assert abs(got["A"]["mix_effect"] - 0.25) < 1e-9
+    assert abs(got["B"]["mix_effect"] - 0.25) < 1e-9
+    # a segment new in cur keeps the identity
+    rows2 = rows + [("C", "cur", 10.0)] * 4
+    df2 = spark.createDataFrame(rows2, "k string, p string, v double")
+    out2 = insights.mix_shift_report(
+        df2, "k", "v", 1, "p", "prev", "cur"
+    ).collect()
+    r_prev_all = 2.0
+    r_cur_all = (5 * 1.0 + 15 * 3.0 + 4 * 10.0) / 24.0
+    delta2 = sum(r["total_effect"] for r in out2)
+    assert abs(delta2 - (r_cur_all - r_prev_all)) < 1e-9
+    c = {r["key"]: r for r in out2}["C"]
+    assert c["w_prev"] == 0.0 and c["den_prev"] is None
