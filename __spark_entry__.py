@@ -6703,6 +6703,46 @@ def q_rollup_upsert_events(spark, sf_dir):
 
 
 @_q(
+    "gini_by_priority",
+    """
+    WITH t AS (SELECT o_orderpriority AS g,
+                      CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100.0)
+                           AS DECIMAL(12,0)) AS vu
+               FROM orders),
+    cnt AS (SELECT g, vu, CAST(COUNT(*) AS DECIMAL(10,0)) AS c
+            FROM t GROUP BY 1, 2),
+    cu AS (SELECT g, vu, c,
+                  SUM(CAST(c AS BIGINT)) OVER (PARTITION BY g ORDER BY vu
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM cnt),
+    a AS (SELECT g, CAST(SUM(CAST(c AS BIGINT)) AS BIGINT) AS n_rows,
+                 SUM(vu * c) AS s,
+                 SUM(vu * c * CAST(2 * cum - CAST(c AS BIGINT) + 1
+                                   AS DECIMAL(14,0))) AS w2
+          FROM cu GROUP BY 1)
+    SELECT g AS o_orderpriority, n_rows,
+           CASE WHEN n_rows > 0 AND CAST(s AS DOUBLE) > 0
+                THEN CAST(w2 AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) * CAST(s AS DOUBLE))
+                     - (CAST(n_rows AS DOUBLE) + 1.0)
+                       / CAST(n_rows AS DOUBLE)
+           END AS gini
+    FROM a
+    """,
+)
+def q_gini_by_priority(spark, sf_dir):
+    # revenue concentration per priority segment: exact tie-invariant
+    # rank-sum Gini from per-(group, value) counts + the two-phase
+    # cumulative counts — no per-group sort; cent-scaled decimal sums
+    # stay in the value-exact cast budget at oracle scale
+    from bubbles_spark.ops import insights
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return insights.gini_by(o, "o_orderpriority", "o_totalprice")
+
+
+@_q(
     "mix_shift_events_value",
     """
     WITH t AS (SELECT event_type AS key,

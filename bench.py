@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "pipeline_spec_orders",
     "scd2_snapshot_orders",
     "mix_shift_events_value",
+    "gini_by_priority",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

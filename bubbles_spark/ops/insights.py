@@ -33,6 +33,7 @@ __all__ = [
     "weighted_median",
     "theil_sen",
     "mix_shift_report",
+    "gini_by",
 ]
 
 
@@ -630,3 +631,56 @@ def mix_shift_report(
         rate.alias("rate_effect"),
         (mix + rate).alias("total_effect"),
     )
+
+
+def gini_by(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    cents: int = 100,
+) -> DataFrame:
+    """Exact Gini coefficient of ``col`` per group — the inequality
+    scalar behind "how concentrated is revenue per segment?"
+    (``lorenz_curve`` draws the global curve; this is its per-group
+    summary number).  Non-negative values assumed (the standard Gini
+    domain).
+
+    With ascending ranks i and W = Σ i·vᵢ, ``G = 2W/(n·S) −
+    (n+1)/n`` — and W is TIE-INVARIANT (tied values share v), so it
+    computes exactly from per-(group, value) counts and cumulative
+    counts: each distinct value's rank-block sum is
+    ``v·c·(2·cum − c + 1)/2``.  Values scale to integer ``cents``
+    units (exact for 2-dp money at the default) and every sum
+    accumulates in DECIMAL; G is then a fixed IEEE sequence.  The
+    DECIMAL widths bound the ORACLE-comparable domain at roughly
+    v·cents ≤ 1e12, rows/group ≤ 1e10, 2W ≤ 2^53 (beyond that the
+    Spark result is still correctly rounded — only bit-parity with
+    engines whose int128→double cast is sloppy degrades).
+
+    Scale: ``_grouped_cum_counts`` (no per-group sort, giant group
+    collapses to distinct values) + one keyed aggregate.  Output:
+    group_col, n_rows, gini."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    cum = _grouped_cum_counts(df, group_col, col)
+    vu = (
+        F.round(F.col(col).cast("double") * F.lit(float(cents)), 0)
+        .cast("decimal(12,0)")
+    )
+    c = F.col("__c").cast("decimal(10,0)")
+    blk = (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)).cast(
+        "decimal(14,0)"
+    )
+    agg = cum.groupBy(group_col).agg(
+        F.max("__n").cast("bigint").alias("n_rows"),
+        F.sum(vu * c).alias("__s"),
+        F.sum(vu * c * blk).alias("__w2"),  # = 2W
+    )
+    n = F.col("n_rows").cast("double")
+    s = F.col("__s").cast("double")
+    w2 = F.col("__w2").cast("double")
+    gini = F.when(
+        (F.col("n_rows") > 0) & (s > 0),
+        w2 / (n * s) - (n + F.lit(1.0)) / n,
+    )
+    return agg.select(group_col, "n_rows", gini.alias("gini"))

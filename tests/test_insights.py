@@ -478,3 +478,20 @@ def test_mix_shift_identity_and_semantics(spark):
     assert abs(delta2 - (r_cur_all - r_prev_all)) < 1e-9
     c = {r["key"]: r for r in out2}["C"]
     assert c["w_prev"] == 0.0 and c["den_prev"] is None
+
+
+def test_gini_by_known_values(spark):
+    """Equal values -> 0; one-holder extreme -> (n-1)/n; ties are
+    rank-order invariant."""
+    from bubbles_spark.ops import insights
+
+    rows = [("eq", 5.0)] * 4
+    rows += [("ex", 0.0), ("ex", 0.0), ("ex", 0.0), ("ex", 12.0)]
+    rows += [("mix", 1.0), ("mix", 2.0), ("mix", 3.0), ("mix", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in insights.gini_by(df, "g", "v").collect()}
+    assert got["eq"]["gini"] == 0.0
+    assert abs(got["ex"]["gini"] - 0.75) < 1e-12      # (n-1)/n, n=4
+    # mix: sorted 1,2,2,3 -> W = 1+4+6+12 = 23; G = 46/(4*8) - 5/4
+    assert abs(got["mix"]["gini"] - (46.0 / 32.0 - 1.25)) < 1e-12
+    assert got["mix"]["n_rows"] == 4
