@@ -6703,6 +6703,57 @@ def q_rollup_upsert_events(spark, sf_dir):
 
 
 @_q(
+    "id_gaps_orders",
+    """
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders
+                 WHERE o_orderkey IS NOT NULL AND o_orderkey % 97 >= 9),
+    nx AS (SELECT id, lead(id) OVER (ORDER BY id) AS nid FROM ids)
+    SELECT id + 1 AS gap_start, nid - 1 AS gap_end,
+           CAST(nid - id - 1 AS BIGINT) AS gap_size
+    FROM nx WHERE nid > id + 1
+    """,
+)
+def q_id_gaps_orders(spark, sf_dir):
+    # "did the loader drop rows?": drop a 9-key band per 97-cycle to
+    # plant real gaps (the generated keyspace is dense), then recover
+    # every missing range; islands trick under the two-phase
+    # distributed rank — the oracle's single lead() window enumerates
+    # the same gaps
+    from bubbles_spark.ops import audit
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 >= 9
+    )
+    return audit.id_gaps(o, "o_orderkey")
+
+
+@_q(
+    "date_dimension_2024",
+    """
+    SELECT CAST(d AS DATE) AS date,
+           CAST(EXTRACT(year FROM d) AS INTEGER) AS year,
+           CAST(EXTRACT(quarter FROM d) AS INTEGER) AS quarter,
+           CAST(EXTRACT(month FROM d) AS INTEGER) AS month,
+           CAST(EXTRACT(day FROM d) AS INTEGER) AS day,
+           CAST(isodow(d) - 1 AS INTEGER) AS weekday,
+           (isodow(d) - 1) >= 5 AS is_weekend,
+           CAST(EXTRACT(week FROM d) AS INTEGER) AS iso_week,
+           CAST(EXTRACT(dayofyear FROM d) AS INTEGER) AS day_of_year,
+           CAST(d AS DATE) = CAST(date_trunc('month', d) AS DATE)
+             AS is_month_start,
+           CAST(d AS DATE) = last_day(CAST(d AS DATE)) AS is_month_end
+    FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                         INTERVAL 1 DAY) t(d)
+    """,
+)
+def q_date_dimension_2024(spark, sf_dir):
+    # pure generator: the gap-free calendar dimension (leap year
+    # covered — 366 rows), ISO weekday/week conventions both engines
+    # express identically; day-space arithmetic only
+    return events.date_dimension(spark, "2024-01-01", "2024-12-31")
+
+
+@_q(
     "gini_by_priority",
     """
     WITH t AS (SELECT o_orderpriority AS g,

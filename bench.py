@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "scd2_snapshot_orders",
     "mix_shift_events_value",
     "gini_by_priority",
+    "date_dimension_2024",
+    "id_gaps_orders",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

@@ -753,3 +753,56 @@ def freshness_report(
         .cast("bigint")
         .alias("lag_us"),
     )
+
+
+def id_gaps(df: DataFrame, col: str) -> DataFrame:
+    """Missing ranges in a numeric id sequence — "did the loader drop
+    rows?": every maximal run of absent ids strictly inside
+    [min(id), max(id)], as (gap_start, gap_end, gap_size).  Empty
+    result = the sequence is contiguous.
+
+    The islands trick under the DISTRIBUTED rank: distinct ids get a
+    global row number (``_with_global_row_number`` — range partition
+    + per-partition offsets, never a single-task sort), ``id − rn``
+    is constant within each contiguous island, islands reduce to
+    (start, end), and consecutive islands pair by a second two-phase
+    rank + self-equi-join (rank = rank+1) — so even a pathological
+    island count never funnels through one task.  Output rows =
+    #gaps (tiny); everything before them is keyed aggregation."""
+    from bubbles_spark.ops.core import _with_global_row_number
+
+    ids = (
+        df.select(F.col(col).cast("long").alias("__id"))
+        .filter(F.col("__id").isNotNull())
+        .distinct()
+    )
+    ranked = _with_global_row_number(ids, ["__id"])
+    islands = (
+        ranked.groupBy((F.col("__id") - F.col("__rn")).alias("__isl"))
+        .agg(
+            F.min("__id").alias("__start"),
+            F.max("__id").alias("__end"),
+        )
+        .drop("__isl")
+        # cut lineage BEFORE the second ranking call: each
+        # _with_global_row_number releases the previous call's
+        # persisted range-partitioned frame, and a recompute of this
+        # plan after that release could re-sample different partition
+        # boundaries than the offsets were collected under
+        .localCheckpoint()
+    )
+    seq = _with_global_row_number(islands, ["__start"])
+    nxt = seq.select(
+        (F.col("__rn") - 1).alias("__rn"),
+        F.col("__start").alias("__next_start"),
+    )
+    return (
+        seq.join(nxt, "__rn")
+        .select(
+            (F.col("__end") + 1).alias("gap_start"),
+            (F.col("__next_start") - 1).alias("gap_end"),
+            (F.col("__next_start") - F.col("__end") - 1)
+            .cast("bigint")
+            .alias("gap_size"),
+        )
+    )

@@ -2407,3 +2407,44 @@ def fifo_match(
         "out_seq",
         qty.cast(decimal).alias("qty"),
     ).orderBy(key_col, "in_seq", "out_seq")
+
+
+def date_dimension(
+    spark,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Generate the calendar dimension table [start, end] (inclusive,
+    one row per day) every warehouse needs for gap-free joins and
+    fiscal rollups: date, year, quarter, month, day, weekday
+    (0 = Monday, the ISO convention both engines express — Spark's
+    ``dayofweek`` and SQL ``dow`` disagree on Sunday), is_weekend,
+    ISO week number, day_of_year, and month_start/month_end flags.
+
+    Pure generator — ``sequence(start, end, 1 day)`` exploded
+    map-side, day-space arithmetic only (DST cannot exist in DATE
+    space), no input table, no shuffle.  Join it left from your fact
+    rollups to surface zero-activity days (``resample_time`` solves
+    the same gap problem for per-key series)."""
+    s = F.lit(start).cast("date")
+    e = F.lit(end).cast("date")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(s, e, F.expr("interval 1 day"))
+        ).alias("date")
+    )
+    c = F.col("date")
+    wd = F.weekday(c)
+    return days.select(
+        "date",
+        F.year(c).cast("int").alias("year"),
+        F.quarter(c).cast("int").alias("quarter"),
+        F.month(c).cast("int").alias("month"),
+        F.dayofmonth(c).cast("int").alias("day"),
+        wd.cast("int").alias("weekday"),
+        (wd >= 5).alias("is_weekend"),
+        F.weekofyear(c).cast("int").alias("iso_week"),
+        F.dayofyear(c).cast("int").alias("day_of_year"),
+        (c == F.trunc(c, "month")).alias("is_month_start"),
+        (c == F.last_day(c)).alias("is_month_end"),
+    )

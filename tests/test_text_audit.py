@@ -284,3 +284,31 @@ def test_top_values_tie_break_and_nulls(spark):
     # count desc, value asc: a(2) before b(2); null counts as a value
     assert ranked == [(1, "a", 2), (2, "b", 2), (3, "c", 1)]
     assert got[0]["share"] == 2.0 / 6.0
+
+
+def test_id_gaps_islands(spark):
+    from bubbles_spark.ops import audit
+
+    df = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 7, 8, 15, 2, 3]], "id long"
+    )
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_size"])
+        for r in audit.id_gaps(df, "id").collect()
+    )
+    assert got == [(4, 6, 3), (9, 14, 6)]
+    dense = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    assert audit.id_gaps(dense, "id").count() == 0
+
+
+def test_date_dimension_calendar(spark):
+    from bubbles_spark.ops import events as bevents
+
+    dd = bevents.date_dimension(spark, "2024-02-27", "2024-03-02")
+    rows = {str(r["date"]): r for r in dd.collect()}
+    assert len(rows) == 5          # leap day included
+    assert "2024-02-29" in rows
+    assert rows["2024-02-29"]["is_month_end"] is True
+    assert rows["2024-03-01"]["is_month_start"] is True
+    assert rows["2024-03-02"]["weekday"] == 5  # Saturday, 0=Monday
+    assert rows["2024-03-02"]["is_weekend"] is True
