@@ -6703,6 +6703,56 @@ def q_rollup_upsert_events(spark, sf_dir):
 
 
 @_q(
+    "golden_record_customers",
+    """
+    WITH base AS (SELECT o_custkey, o_orderstatus, o_totalprice,
+                         o_orderdate, o_orderpriority FROM orders),
+    plain AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_records,
+                     MAX(o_totalprice) AS o_totalprice
+              FROM base GROUP BY 1),
+    lat AS (SELECT o_custkey, o_orderstatus FROM (
+              SELECT o_custkey, o_orderstatus,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderstatus DESC) AS rn
+              FROM base
+              WHERE o_orderstatus IS NOT NULL AND o_orderdate IS NOT NULL)
+            WHERE rn = 1),
+    mfc AS (SELECT o_custkey, o_orderpriority AS v,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM base WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+    mf AS (SELECT o_custkey, v AS o_orderpriority FROM (
+             SELECT o_custkey, v,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY n DESC, v DESC) AS rn
+             FROM mfc) WHERE rn = 1)
+    SELECT p.o_custkey, p.n_records, p.o_totalprice,
+           l.o_orderstatus, m.o_orderpriority
+    FROM plain p
+    LEFT JOIN lat l ON p.o_custkey = l.o_custkey
+    LEFT JOIN mf m ON p.o_custkey = m.o_custkey
+    """,
+)
+def q_golden_record_customers(spark, sf_dir):
+    # MDM survivorship per customer over their orders: max price,
+    # status of the LATEST order (ties -> larger value — total
+    # order), modal priority (ties -> larger value) — every election
+    # an argmax under a total order, so the golden record is
+    # deterministic and the window-formulated oracle replays it
+    from bubbles_spark.ops import dedup
+
+    o = _t(spark, sf_dir, "orders")
+    return dedup.golden_record(
+        o,
+        "o_custkey",
+        {
+            "o_totalprice": "max",
+            "o_orderstatus": ("latest", "o_orderdate"),
+            "o_orderpriority": "most_frequent",
+        },
+    )
+
+
+@_q(
     "id_gaps_orders",
     """
     WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders

@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "gini_by_priority",
     "date_dimension_2024",
     "id_gaps_orders",
+    "golden_record_customers",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

@@ -1553,3 +1553,80 @@ def dedup_eval(
             decimals,
         ).alias("f1"),
     )
+
+
+def golden_record(
+    df: DataFrame,
+    entity_col: str,
+    rules: dict,
+) -> DataFrame:
+    """Rules-based survivorship over pre-grouped records — the MDM
+    "golden record" step once entities are known (``resolve_entities``
+    clusters AND elects most-frequent; this op adds the full rule
+    vocabulary over any grouping key — a business key, a dup
+    cluster's ``component``, a household id).  ``rules`` maps each
+    output column to one of:
+
+    * ``"max"`` / ``"min"`` — extremal non-null value,
+    * ``"longest"`` — longest string (ties → larger value — total
+      order, deterministic),
+    * ``"most_frequent"`` — modal non-null value (ties → larger
+      value),
+    * ``("latest", ts_col)`` — value on the row with the greatest
+      ``ts_col`` (ties → larger value).
+
+    Every election is an argmax under a TOTAL order, so the golden
+    record is deterministic and hash-checkable cross-engine.
+
+    Scale: plain elections fold in ONE keyed aggregate (max of an
+    ordering struct — map-side combined); each ``most_frequent``
+    column adds one (entity, value)-keyed count plus an
+    entities-sized join.  No windows over raw rows.  Output:
+    entity_col, n_records, one column per rule."""
+    ent = F.col(entity_col)
+    plain_aggs = [F.count(F.lit(1)).cast("bigint").alias("n_records")]
+    mf_cols = []
+    for out_col, rule in rules.items():
+        c = F.col(out_col)
+        if rule == "max":
+            plain_aggs.append(F.max(c).alias(out_col))
+        elif rule == "min":
+            plain_aggs.append(F.min(c).alias(out_col))
+        elif rule == "longest":
+            plain_aggs.append(
+                F.max(
+                    F.when(
+                        c.isNotNull(),
+                        F.struct(F.length(c).alias("l"), c.alias("v")),
+                    )
+                )["v"].alias(out_col)
+            )
+        elif isinstance(rule, (tuple, list)) and rule[0] == "latest":
+            ts = F.col(rule[1])
+            plain_aggs.append(
+                F.max(
+                    F.when(
+                        c.isNotNull() & ts.isNotNull(),
+                        F.struct(ts.alias("t"), c.alias("v")),
+                    )
+                )["v"].alias(out_col)
+            )
+        elif rule == "most_frequent":
+            mf_cols.append(out_col)
+        else:
+            raise ValueError(
+                f"unknown survivorship rule {rule!r} for {out_col!r}"
+            )
+    out = df.groupBy(ent.alias(entity_col)).agg(*plain_aggs)
+    for out_col, _ in [(c, None) for c in mf_cols]:
+        c = F.col(out_col)
+        counts = (
+            df.filter(c.isNotNull())
+            .groupBy(ent.alias(entity_col), c.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        elected = counts.groupBy(entity_col).agg(
+            F.max(F.struct(F.col("__n"), F.col("__v")))["__v"].alias(out_col)
+        )
+        out = out.join(elected, entity_col, "left")
+    return out

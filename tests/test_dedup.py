@@ -584,3 +584,42 @@ def test_connected_components_long_chain_converges(spark):
     comps = {r["component"] for r in got.collect()}
     assert comps == {0}
     assert got.count() == 201
+
+
+def test_golden_record_rules(spark):
+    """Each rule elects under a total order; NULLs never win."""
+    import pytest as _pytest
+
+    from bubbles_spark.ops import dedup
+
+    rows = [
+        (1, "bob", "b@x.com", "2024-01-01", 10.0),
+        (1, "robert", None, "2024-01-05", 5.0),
+        (1, "bob", "bob@y.com", "2024-01-03", None),
+        (2, None, "z@z.com", "2024-02-01", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "eid long, name string, email string, d string, v double"
+    ).selectExpr("eid", "name", "email", "CAST(d AS DATE) AS d", "v")
+    got = {r["eid"]: r for r in dedup.golden_record(
+        df,
+        "eid",
+        {
+            "name": "most_frequent",
+            "email": "longest",
+            "v": "max",
+            "d": "min",
+        },
+    ).collect()}
+    assert got[1]["n_records"] == 3
+    assert got[1]["name"] == "bob"            # modal (2 of 3)
+    assert got[1]["email"] == "bob@y.com"     # longest non-null
+    assert got[1]["v"] == 10.0
+    assert str(got[1]["d"]) == "2024-01-01"
+    assert got[2]["name"] is None             # all-null column -> NULL
+    latest = dedup.golden_record(
+        df, "eid", {"name": ("latest", "d")}
+    ).collect()
+    assert {r["eid"]: r["name"] for r in latest}[1] == "robert"
+    with _pytest.raises(ValueError, match="rule"):
+        dedup.golden_record(df, "eid", {"name": "magic"})
