@@ -6703,6 +6703,48 @@ def q_rollup_upsert_events(spark, sf_dir):
 
 
 @_q(
+    "rate_confidence_events",
+    """
+    WITH per AS (SELECT event_type,
+                        CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN value > 250 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS successes
+                 FROM events WHERE value IS NOT NULL GROUP BY 1),
+    e AS (SELECT event_type, n, successes,
+                 CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS z2n,
+                 CAST(n AS DOUBLE) AS nd
+          FROM per)
+    SELECT event_type, n, successes, p AS rate,
+           (p + z2n / CAST(2 AS DOUBLE)) / (CAST(1 AS DOUBLE) + z2n)
+             - CAST(1.96 AS DOUBLE)
+               * SQRT(p * (CAST(1 AS DOUBLE) - p) / nd
+                      + z2n / (CAST(4 AS DOUBLE) * nd))
+               / (CAST(1 AS DOUBLE) + z2n) AS wilson_lo,
+           (p + z2n / CAST(2 AS DOUBLE)) / (CAST(1 AS DOUBLE) + z2n)
+             + CAST(1.96 AS DOUBLE)
+               * SQRT(p * (CAST(1 AS DOUBLE) - p) / nd
+                      + z2n / (CAST(4 AS DOUBLE) * nd))
+               / (CAST(1 AS DOUBLE) + z2n) AS wilson_hi
+    FROM e
+    """,
+)
+def q_rate_confidence_events(spark, sf_dir):
+    # Wilson score interval per event_type for P(value > 250):
+    # BIGINT counts, fixed IEEE steps (all SQL literals cast to
+    # DOUBLE — DuckDB's bare 1.96 is DECIMAL and 1.96² would fold
+    # exactly where the double product rounds)
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tagged = e.withColumn(
+        "conv", (F.col("value") > 250).cast("int")
+    )
+    return drift.rate_confidence(tagged, "event_type", "conv")
+
+
+@_q(
     "golden_record_customers",
     """
     WITH base AS (SELECT o_custkey, o_orderstatus, o_totalprice,

@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "date_dimension_2024",
     "id_gaps_orders",
     "golden_record_customers",
+    "rate_confidence_events",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

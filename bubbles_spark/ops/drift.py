@@ -45,6 +45,7 @@ __all__ = [
     "cuped_report",
     "group_quantiles",
     "robust_scale",
+    "rate_confidence",
     "qq_table",
     "minmax_scale",
 ]
@@ -1330,3 +1331,54 @@ def minmax_scale(
     rng = F.col("__mx") - F.col("__mn")
     scaled = F.when(rng > 0, (c - F.col("__mn")) / rng)
     return j.withColumn(out_col or col, scaled).drop("__mn", "__mx")
+
+
+def rate_confidence(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group conversion rate with its Wilson score interval — the
+    dashboard-grade uncertainty band for proportions (unlike the
+    normal/Wald interval it never leaves [0,1] and behaves at small n
+    or extreme rates):
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    Exactness: counts are BIGINT; every float is a fixed IEEE
+    sequence (divisions, one sqrt — correctly rounded by IEEE-754)
+    on exact operands, so the interval is bit-reproducible in any
+    engine replaying the same steps (same contract as
+    ``ab_test_report``).  Scale: one map-side-combined keyed count.
+
+    Output: group_col, n, successes, rate, wilson_lo, wilson_hi."""
+    s = F.col(success_col).cast("int")
+    per = (
+        df.filter(F.col(group_col).isNotNull() & s.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(s).cast("bigint").alias("successes"),
+        )
+    )
+    zd = F.lit(float(z))
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2n = zd * zd / n
+    denom = F.lit(1.0) + z2n
+    center = (p + z2n / F.lit(2.0)) / denom
+    half = (
+        zd
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2n / (F.lit(4.0) * n))
+        / denom
+    )
+    return per.select(
+        group_col,
+        "n",
+        "successes",
+        p.alias("rate"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    )

@@ -862,3 +862,26 @@ def test_robust_scale_global_and_grouped(spark):
     assert all(v is None for (grp, _), v in g.items() if grp == "b")
     # a: q25=rank ceil(1.25)=2 -> 2.0, med=3.0, q75=rank 4 -> 4.0
     assert g[("a", 100.0)] == (100.0 - 3.0) / 2.0
+
+
+def test_rate_confidence_wilson(spark):
+    """Wilson interval matches the closed form and stays inside
+    [0, 1] even at extreme rates where Wald would escape."""
+    import math
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("x", 1)] * 5
+    df = spark.createDataFrame(rows, "g string, s int")
+    got = {r["g"]: r for r in drift.rate_confidence(df, "g", "s").collect()}
+    r = got["a"]
+    assert r["n"] == 10 and r["successes"] == 8 and r["rate"] == 0.8
+    z, n, p = 1.96, 10.0, 0.8
+    z2n = z * z / n
+    denom = 1.0 + z2n
+    center = (p + z2n / 2.0) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z2n / (4.0 * n)) / denom
+    assert r["wilson_lo"] == center - half
+    assert r["wilson_hi"] == center + half
+    # all-success group: interval strictly inside (0, 1]
+    x = got["x"]
+    assert x["rate"] == 1.0 and 0.0 < x["wilson_lo"] < 1.0
+    assert x["wilson_hi"] <= 1.0 + 1e-15
