@@ -83,6 +83,17 @@ EXACT_FAMILY = [
     "bounded_stock_events", "freshness_events_by_type",
     "keep_latest_orders", "rolling_corr_supplier", "histogram2d_events",
     "abc_parts_revenue", "calendar_features_events",
+    # round-7 additions that touch timestamps/dates (hourly bucket
+    # indices from wall-clock epoch ms, NTZ period cutoffs, DATE
+    # bucket shifting, calendar extraction, as-of dimension cuts,
+    # moving/trailing prefix-frame rewrites) — rerun proves
+    # session-zone invariance
+    "acf_events_value", "xcf_click_purchase", "cuped_events",
+    "mix_shift_events_value", "growth_accounting_weekly",
+    "decomposition_strength_events", "date_dimension_2024",
+    "scd2_snapshot_orders", "golden_record_customers",
+    "moving_sum_1h", "resample_hourly_ffill", "resample_hourly_interp",
+    "asof_join",
 ]
 
 
