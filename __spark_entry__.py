@@ -6703,6 +6703,51 @@ def q_rollup_upsert_events(spark, sf_dir):
 
 
 @_q(
+    "negative_samples_orders",
+    """
+    WITH cands AS (SELECT DISTINCT o_orderkey AS cand FROM orders
+                   WHERE o_orderkey IS NOT NULL),
+    ranked AS (SELECT cand,
+                      row_number() OVER (ORDER BY cand) - 1 AS idx
+               FROM cands),
+    nn AS (SELECT COUNT(*) AS n FROM cands),
+    qs AS (SELECT DISTINCT o_custkey AS q FROM orders),
+    draws AS (SELECT q, j.j FROM qs
+              CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j) j),
+    hashed AS (SELECT q, j,
+                      CAST(('0x' || substr(md5('0|' || CAST(q AS VARCHAR)
+                            || '|' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % nn.n AS idx
+               FROM draws CROSS JOIN nn),
+    drawn AS (SELECT h.q, h.j, r.cand
+              FROM hashed h JOIN ranked r ON h.idx = r.idx),
+    pos AS (SELECT DISTINCT o_custkey AS q, o_orderkey AS cand FROM orders),
+    negs AS (SELECT d.q, d.cand, MIN(d.j) AS j
+             FROM drawn d LEFT JOIN pos p
+               ON d.q = p.q AND d.cand = p.cand
+             WHERE p.q IS NULL GROUP BY 1, 2),
+    rk AS (SELECT q, cand,
+                  row_number() OVER (PARTITION BY q ORDER BY j, cand) AS rank
+           FROM negs)
+    SELECT q AS o_custkey, cand AS negative, CAST(rank AS INTEGER) AS rank
+    FROM rk WHERE rank <= 3
+    """,
+)
+def q_negative_samples_orders(spark, sf_dir):
+    # contrastive-set prep: per customer, 3 deterministic orderkey
+    # negatives drawn by content-keyed md5 ring (mod candidate index),
+    # accidental positives anti-joined away, earliest-draw order —
+    # reproduces byte-for-byte in any engine/run/retry
+    from bubbles_spark.ops import textprep
+
+    o = _t(spark, sf_dir, "orders")
+    return textprep.negative_samples(
+        o, o, "o_custkey", "o_orderkey", "o_orderkey",
+        k=3, salt=0, oversample=3,
+    ).withColumnRenamed("o_custkey", "o_custkey")
+
+
+@_q(
     "rate_confidence_events",
     """
     WITH per AS (SELECT event_type,

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "id_gaps_orders",
     "golden_record_customers",
     "rate_confidence_events",
+    "negative_samples_orders",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

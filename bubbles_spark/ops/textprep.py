@@ -1028,3 +1028,86 @@ def balance_classes(
         )
         cut = F.when(cond, F.lit(thr)).otherwise(cut)
     return df.filter(prefix < cut)
+
+
+def negative_samples(
+    pairs: DataFrame,
+    candidates: DataFrame,
+    query_col: str,
+    pos_col: str,
+    cand_col: str,
+    k: int = 4,
+    salt: int = 0,
+    oversample: int = 3,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training sets:
+    for every query in ``pairs``, draw ``k`` candidates that are NOT
+    among that query's positives — reproducibly (content-keyed md5
+    draws, so the sampled set is identical across runs, engines, and
+    retries — the property a published training set needs; seeded
+    RNG sampling is partitioning-dependent).
+
+    Mechanics: candidates get a dense index by the two-phase
+    distributed rank; each query makes ``k·oversample`` hash draws
+    (``md5(salt|query|j) mod n``), maps them to candidates by index
+    equi-join, drops accidental positives (anti-join on the pair
+    set) and duplicate draws (keep the earliest j), and keeps the
+    first ``k`` under the (j, candidate) order.  A query whose
+    positives swallow too many draws emits fewer than ``k`` rows —
+    raise ``oversample`` (collision odds shrink geometrically).
+
+    Scale: every step is an equi-join or keyed aggregate; the only
+    window partitions by query (draws per query ≤ k·oversample).
+    Output: query_col, negative (candidate value), rank (1-based)."""
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    from bubbles_spark.ops.core import _with_global_row_number
+
+    cands = (
+        candidates.select(F.col(cand_col).alias("__cand"))
+        .filter(F.col("__cand").isNotNull())
+        .distinct()
+    )
+    n = cands.count()
+    if n == 0:
+        raise ValueError("negative_samples: no candidates")
+    ranked = _with_global_row_number(cands, ["__cand"]).select(
+        (F.col("__rn") - 1).alias("__idx"), "__cand"
+    ).localCheckpoint()
+    m = int(k) * int(oversample)
+    queries = pairs.select(F.col(query_col).alias("__q")).distinct()
+    draws = queries.select(
+        "__q", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(salt)),
+                    F.col("__q").cast("string"),
+                    F.col("__j").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    drawn = draws.withColumn("__idx", h % F.lit(n)).join(ranked, "__idx")
+    pos = pairs.select(
+        F.col(query_col).alias("__q"), F.col(pos_col).alias("__cand")
+    ).distinct()
+    negs = drawn.join(pos, ["__q", "__cand"], "left_anti")
+    first = negs.groupBy("__q", "__cand").agg(F.min("__j").alias("__j"))
+    w = Window.partitionBy("__q").orderBy("__j", "__cand")
+    return (
+        first.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("__cand").alias("negative"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

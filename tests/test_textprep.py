@@ -607,3 +607,37 @@ def test_balance_classes_validates_ratio(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, label string")
     with _pytest.raises(ValueError, match="target_ratio"):
         textprep.balance_classes(df, "label", ["doc_id"], target_ratio=0)
+
+
+def test_negative_samples_deterministic_and_exclusive(spark):
+    from bubbles_spark.ops import textprep
+
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12)], "q long, p long"
+    )
+    cands = spark.createDataFrame(
+        [(c,) for c in range(10, 20)], "c long"
+    )
+    out = textprep.negative_samples(
+        pairs, cands, "q", "p", "c", k=3
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["q"], []).append((r["rank"], r["negative"]))
+    # k negatives per query, none of them a positive of that query
+    assert sorted(r for r, _ in by[1]) == [1, 2, 3]
+    assert not {n for _, n in by[1]} & {10, 11}
+    assert not {n for _, n in by[2]} & {12}
+    # deterministic across runs; salt redraws
+    again = textprep.negative_samples(
+        pairs, cands, "q", "p", "c", k=3
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = textprep.negative_samples(
+        pairs, cands, "q", "p", "c", k=3, salt=9
+    ).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k and oversample"):
+        textprep.negative_samples(pairs, cands, "q", "p", "c", k=0)
