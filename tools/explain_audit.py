@@ -565,6 +565,56 @@ CHECKS = [
          (r"CartesianProduct", "no cross product")],
     ),
     (
+        "gini_by_priority",
+        [(r"Functions \[\d+\]: \[partial_", "value counts partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct", "no cross product")],
+    ),
+    (
+        "mix_shift_events_value",
+        [(r"Functions \[\d+\]: \[partial_", "period sums partial map-side"),
+         (r"BroadcastExchange", "1-row totals broadcast")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "golden_record_customers",
+        [(r"Functions \[\d+\]: \[partial_", "elections partial map-side")],
+        [(r"CartesianProduct", "no cross product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "rate_confidence_events",
+        [(r"Functions \[\d+\]: \[partial_", "keyed counts partial map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "negative_samples_orders",
+        [(r"Functions \[\d+\]: \[partial_", "draw dedup partial map-side")],
+        [(r"CartesianProduct", "ring draws map to candidates by equi-join"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        # islands materialize behind a localCheckpoint (the lineage
+        # cut between the two ranking passes), so only the second
+        # ranking + gap join is visible to explain
+        "id_gaps_orders",
+        [(r"Window", "two-phase rank window over islands")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct", "island pairing is an equi-join")],
+    ),
+    (
+        "decomposition_strength_events",
+        [(r"Functions \[\d+\]: \[partial_", "strength moment sums partial map-side"),
+         (r"RunningWindowFunction|Window", "prefix frames, one window node")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "scd2_snapshot_orders",
+        [(r"Window", "one version window")],
+        [(r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python"),
+         (r"CartesianProduct", "no cross product")],
+    ),
+    (
         "growth_accounting_weekly",
         [(r"Functions \[\d+\]: \[partial_", "distinct + counts partial map-side")],
         [(r"CartesianProduct", "shifted-bucket joins are equi-joins"),
