@@ -5949,6 +5949,59 @@ def q_stream_tumbling(spark, sf_dir):
 
 
 @_q(
+    "stream_rate_monitor",
+    """
+    WITH w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      event_type,
+                      CASE WHEN value > 250 THEN 1 ELSE 0 END AS c
+               FROM events WHERE value IS NOT NULL),
+    per AS (SELECT window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS successes
+            FROM w GROUP BY 1, 2),
+    e AS (SELECT *, CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS z2n,
+                 CAST(n AS DOUBLE) AS nd
+          FROM per)
+    SELECT window_start, event_type, n, successes,
+           CASE WHEN n > 0 THEN p END AS rate,
+           CASE WHEN n > 0 THEN
+             (p + z2n / CAST(2 AS DOUBLE)) / (CAST(1 AS DOUBLE) + z2n)
+             - CAST(1.96 AS DOUBLE)
+               * SQRT(p * (CAST(1 AS DOUBLE) - p) / nd
+                      + z2n / (CAST(4 AS DOUBLE) * nd))
+               / (CAST(1 AS DOUBLE) + z2n) END AS wilson_lo,
+           CASE WHEN n > 0 THEN
+             (p + z2n / CAST(2 AS DOUBLE)) / (CAST(1 AS DOUBLE) + z2n)
+             + CAST(1.96 AS DOUBLE)
+               * SQRT(p * (CAST(1 AS DOUBLE) - p) / nd
+                      + z2n / (CAST(4 AS DOUBLE) * nd))
+               / (CAST(1 AS DOUBLE) + z2n) END AS wilson_hi
+    FROM e
+    """,
+)
+def q_stream_rate_monitor(spark, sf_dir):
+    # streaming quality gate: per-window per-type trial/success
+    # counts (two longs of state per open window) drained and
+    # finished into Wilson bands — counts are associative, so the
+    # drained run equals the batch window aggregation exactly
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    flagged = stream.filter(F.col("value").isNotNull()).withColumn(
+        "conv", (F.col("value") > 250).cast("int")
+    )
+    mon = sevents.rate_monitor_stream(
+        flagged, "ts", "conv", "1 hour", keys=("event_type",),
+    )
+    sunk = sevents.run_batchlike(
+        mon, _stream_name("s_ratemon"), output_mode="complete"
+    )
+    return sevents.finish_wilson(sunk)
+
+
+@_q(
     "stream_quantile_window",
     """
     WITH b AS (

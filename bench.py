@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "golden_record_customers",
     "rate_confidence_events",
     "negative_samples_orders",
+    "stream_rate_monitor",
     "bounded_stock_events",
     "freshness_events_by_type",
     "stream_ewma",

@@ -174,6 +174,70 @@ def windowed_agg_stream(
     )
 
 
+def rate_monitor_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    flag_col: str = "conv",
+    duration: str = "1 hour",
+    keys: Sequence[str] = (),
+    watermark: str = "2 hours",
+    emit_ntz: bool = True,
+) -> DataFrame:
+    """Streaming conversion-rate monitor: per event-time window (and
+    optional keys), the BIGINT trial/success counts a quality gate
+    needs — state is two longs per open window, dropped at the
+    watermark.  Feed the sunk counts to ``finish_wilson`` for the
+    rate + Wilson band (counts stream and merge; the interval math
+    is a finisher, so the stateful part stays mergeable).
+
+    Counts are associative, so a drained run equals the batch window
+    aggregation exactly — which is what makes the oracle exact.
+    ``emit_ntz`` renders window bounds as UTC wall-clock NTZ (the
+    session-zone-proof contract of ``windowed_agg_stream``)."""
+    f = F.col(flag_col).cast("int")
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("__w"), *keys)
+        .agg(
+            F.count(f).cast("bigint").alias("n"),
+            F.coalesce(F.sum(f), F.lit(0)).cast("bigint").alias("successes"),
+        )
+    )
+    emit = _wallclock_ntz if emit_ntz else (lambda c: c)
+    return out.select(
+        emit(F.col("__w.start")).alias("window_start"),
+        *keys,
+        "n",
+        "successes",
+    )
+
+
+def finish_wilson(counts: DataFrame, z: float = 1.96) -> DataFrame:
+    """Finisher for ``rate_monitor_stream``'s sunk counts: rate and
+    Wilson score band per row — the same fixed IEEE step sequence as
+    ``ops.drift.rate_confidence`` (divisions + one correctly-rounded
+    sqrt on exact BIGINT operands), applied to a windows-sized
+    table.  Rows with n = 0 emit NULLs."""
+    zd = F.lit(float(z))
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2n = zd * zd / n
+    denom = F.lit(1.0) + z2n
+    center = (p + z2n / F.lit(2.0)) / denom
+    half = (
+        zd
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2n / (F.lit(4.0) * n))
+        / denom
+    )
+    guard = F.col("n") > 0
+    return counts.select(
+        "*",
+        F.when(guard, p).alias("rate"),
+        F.when(guard, center - half).alias("wilson_lo"),
+        F.when(guard, center + half).alias("wilson_hi"),
+    )
+
+
 def _hist_bin(v, lo: float, hi: float, bins: int):
     """The shared clamped equi-width bin expression (IEEE floor-
     divide — identical in every engine; out-of-range clamps to edge

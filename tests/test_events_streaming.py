@@ -940,3 +940,42 @@ def test_stateful_helpers_non_default_schema(spark, tmp_path):
     )
     assert [f.name for f in db.schema.fields] == ["device", "t", "seq"]
     assert sorted(r["seq"] for r in db.collect()) == [1, 3, 4]
+
+
+def test_rate_monitor_stream_matches_batch(spark, tmp_path):
+    """Drained windowed counts equal the batch aggregation; the
+    Wilson finisher applies the rate_confidence closed form."""
+    import math
+
+    import bubbles_spark.streaming.events as sevents
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 1 if i % 3 == 0 else 0)
+            for i in range(30)]
+    rows += [(99, "2024-01-01 01:30:00", 1)]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, conv int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ev")
+    batch.write.parquet(path)
+    stream = sevents.read_event_stream(
+        spark, path, schema=spark.read.parquet(path).schema
+    )
+    mon = sevents.rate_monitor_stream(stream, "ts", "conv", "1 hour")
+    sunk = sevents.run_batchlike(
+        mon, "t_ratemon", output_mode="complete"
+    )
+    out = {str(r["window_start"]): r
+           for r in sevents.finish_wilson(sunk).collect()}
+    h0 = out["2024-01-01 00:00:00"]
+    assert h0["n"] == 30 and h0["successes"] == 10
+    z, n, p = 1.96, 30.0, 10.0 / 30.0
+    z2n = z * z / n
+    denom = 1.0 + z2n
+    center = (p + z2n / 2.0) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z2n / (4.0 * n)) / denom
+    assert h0["rate"] == p
+    assert h0["wilson_lo"] == center - half
+    assert h0["wilson_hi"] == center + half
+    assert out["2024-01-01 01:00:00"]["n"] == 1
+    assert dict(sunk.dtypes)["window_start"] == "timestamp_ntz"

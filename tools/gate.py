@@ -93,7 +93,7 @@ EXACT_FAMILY = [
     "decomposition_strength_events", "date_dimension_2024",
     "scd2_snapshot_orders", "golden_record_customers",
     "moving_sum_1h", "resample_hourly_ffill", "resample_hourly_interp",
-    "asof_join",
+    "asof_join", "stream_rate_monitor",
 ]
 
 
