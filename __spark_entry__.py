@@ -7098,14 +7098,25 @@ def q_scd2_snapshot_orders(spark, sf_dir):
 )
 def q_pipeline_spec_orders(spark, sf_dir):
     # the declarative pipeline path end-to-end: a JSON-able spec
-    # (source-as-df, filter, keyed aggregate) resolved by op NAME
-    # from the catalog — the config-file-driven pipeline shape the
-    # reference's object-graph pipelines encouraged; never eval
+    # (source-as-df, filter, derive, keyed aggregate) resolved by op
+    # NAME from the catalog — the config-file-driven pipeline shape
+    # the reference's object-graph pipelines encouraged; never eval.
+    # The derive step casts the measure to DECIMAL *before* the sum so
+    # the aggregate is exact (a double sum then cast is the
+    # partition-order cent-flip class the exactness rules ban — the
+    # one float in the round-7 version of this pipeline)
     from bubbles_spark.pipeline import Pipeline
 
     spec = {
         "steps": [
             {"op": "filter_by_value", "args": ["o_orderstatus", "F"]},
+            {
+                "op": "derive",
+                "args": [
+                    "o_totalprice",
+                    "CAST(o_totalprice AS DECIMAL(20,2))",
+                ],
+            },
             {
                 "op": "aggregate",
                 "args": ["o_custkey", [["o_totalprice", "sum"]]],
@@ -7287,8 +7298,10 @@ def q_robust_scale_orders(spark, sf_dir):
     WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
                       row_number() OVER (
                         PARTITION BY o_orderpriority
-                        ORDER BY md5(CAST(o_orderkey AS VARCHAR)
-                                     || chr(31) || '0')) AS rn
+                        ORDER BY md5(
+                          CAST(LENGTH(CAST(o_orderkey AS VARCHAR)) AS VARCHAR)
+                          || ':' || CAST(o_orderkey AS VARCHAR)
+                          || chr(31) || '1:0')) AS rn
                FROM orders)
     SELECT o_orderkey, o_orderpriority, o_totalprice
     FROM r WHERE rn <= 20
@@ -7296,9 +7309,10 @@ def q_robust_scale_orders(spark, sf_dir):
 )
 def q_stratified_sample_n_orders(spark, sf_dir):
     # exactly-20-per-priority deterministic sample: first 20 rows of
-    # each stratum under the content-keyed md5 order — reproduces
-    # byte-for-byte in any engine/run/retry (the eval-set builder
-    # Bernoulli sampling can't give)
+    # each stratum under the content-keyed md5 order (injective
+    # len:value ⊕ '1:0'-salt encoding) — reproduces byte-for-byte in
+    # any engine/run/retry (the eval-set builder Bernoulli sampling
+    # can't give)
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -9596,15 +9610,23 @@ def q_surrogate_key_orders(spark, sf_dir):
                  ROW_NUMBER() OVER (ORDER BY recency_days, id) AS rr,
                  ROW_NUMBER() OVER (ORDER BY frequency DESC, id) AS rf,
                  ROW_NUMBER() OVER (ORDER BY monetary DESC, id) AS rm
-          FROM agg)
+          FROM agg),
+    s AS (SELECT r.id,
+                 CAST(5 - FLOOR(CAST((r.rr - 1) * 5 AS DOUBLE)
+                                / CAST(nn.n AS DOUBLE)) AS INTEGER)
+                   AS r_score,
+                 CAST(5 - FLOOR(CAST((r.rf - 1) * 5 AS DOUBLE)
+                                / CAST(nn.n AS DOUBLE)) AS INTEGER)
+                   AS f_score,
+                 CAST(5 - FLOOR(CAST((r.rm - 1) * 5 AS DOUBLE)
+                                / CAST(nn.n AS DOUBLE)) AS INTEGER)
+                   AS m_score
+          FROM r CROSS JOIN nn)
     SELECT a.id, a.recency_days, a.frequency, a.monetary,
-           CAST(5 - ((r.rr - 1) * 5) // nn.n AS INTEGER) AS r_score,
-           CAST(5 - ((r.rf - 1) * 5) // nn.n AS INTEGER) AS f_score,
-           CAST(5 - ((r.rm - 1) * 5) // nn.n AS INTEGER) AS m_score,
-           CAST((5 - ((r.rr - 1) * 5) // nn.n) * 100
-                + (5 - ((r.rf - 1) * 5) // nn.n) * 10
-                + (5 - ((r.rm - 1) * 5) // nn.n) AS INTEGER) AS rfm_cell
-    FROM agg a JOIN r USING (id) CROSS JOIN nn
+           s.r_score, s.f_score, s.m_score,
+           CAST(s.r_score * 100 + s.f_score * 10 + s.m_score AS INTEGER)
+             AS rfm_cell
+    FROM agg a JOIN s USING (id)
     """,
 )
 def q_rfm_segments_events(spark, sf_dir):
@@ -9627,7 +9649,9 @@ def q_rfm_segments_events(spark, sf_dir):
                FROM orders WHERE o_totalprice IS NOT NULL),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
     r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM t),
-    b AS (SELECT ((rn - 1) * 10) // nn.n + 1 AS bucket, v
+    b AS (SELECT CAST(FLOOR(CAST((rn - 1) * 10 AS DOUBLE)
+                            / CAST(nn.n AS DOUBLE)) AS BIGINT) + 1
+                   AS bucket, v
           FROM r CROSS JOIN nn),
     per AS (SELECT CAST(bucket AS BIGINT) AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -9708,9 +9732,7 @@ def q_km_risk_table_events(spark, sf_dir):
          rc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_right
                 FROM lineitem GROUP BY 1),
          j AS (SELECT lc.l_partkey, lc.n_left, rc.n_right,
-                      CAST(CAST(lc.n_left AS DECIMAL(19,0))
-                           * CAST(rc.n_right AS DECIMAL(19,0))
-                           AS DECIMAL(38,0)) AS n_out
+                      CAST(lc.n_left * rc.n_right AS BIGINT) AS n_out
                FROM lc JOIN rc USING (l_partkey))
     SELECT l_partkey, n_left, n_right, n_out
     FROM j ORDER BY n_out DESC, l_partkey LIMIT 20
@@ -9718,11 +9740,16 @@ def q_km_risk_table_events(spark, sf_dir):
 )
 def q_join_cardinality_lineitem_partkey(spark, sf_dir):
     # pre-join blow-up audit of a lineitem⋈lineitem on partkey: the
-    # top-20 keys by exact output contribution (BIGINT counts,
-    # DECIMAL product); total (n_out DESC, key ASC) order makes the
-    # LIMIT boundary deterministic
+    # top-20 keys by exact output contribution; total (n_out DESC,
+    # key ASC) order makes the LIMIT boundary deterministic.  The op
+    # emits n_out as DECIMAL(38,0) (two billion-row sides overflow
+    # BIGINT); the registered pair compares it as BIGINT on BOTH
+    # engines — test-SF values are tiny, and DuckDB builds differ in
+    # how int128-backed decimals surface through the pandas client
+    # (the round-7 driver mismatch class this removes)
     li = _t(spark, sf_dir, "lineitem")
-    return audit_ops.join_cardinality_audit(li, li, ["l_partkey"], k=20)
+    out = audit_ops.join_cardinality_audit(li, li, ["l_partkey"], k=20)
+    return out.withColumn("n_out", F.col("n_out").cast("bigint"))
 
 
 @_q(
@@ -10511,7 +10538,9 @@ def q_embedding_centroids_by_label(spark, sf_dir):
             FROM cur GROUP BY 1),
     ch AS (SELECT a.b + 7 AS bucket_date, CAST(COUNT(*) AS BIGINT) AS churned
            FROM act a LEFT JOIN act n ON a.uid = n.uid AND n.b = a.b + 7
-           WHERE n.uid IS NULL GROUP BY 1)
+           WHERE n.uid IS NULL
+             AND a.b + 7 <= (SELECT MAX(b) FROM act)
+           GROUP BY 1)
     SELECT COALESCE(p.bucket_date, c.bucket_date) AS bucket_date,
            CAST(COALESCE(p.active_users, 0) AS BIGINT) AS active_users,
            CAST(COALESCE(p.new_users, 0) AS BIGINT) AS new_users,

@@ -167,9 +167,12 @@ def growth_accounting(
     min; previous-bucket membership via a self-equi-join on the
     day-space-shifted key (``date_add``/``add_months`` — DST-proof,
     never a lag window that would misalign across gaps); churn from
-    the same shifted join in the other direction.  All BIGINT counts;
-    buckets with zero actives but nonzero churn still appear (the
-    union spine includes them).
+    the same shifted join in the other direction, clamped to buckets
+    <= the last OBSERVED bucket (the period after the final bucket
+    has no data yet — reporting its churn would mislabel every
+    currently-active user).  All BIGINT counts; mid-series buckets
+    with zero actives but nonzero churn still appear (the union
+    spine includes them).
 
     Output: bucket_date DATE, active_users, new_users, retained,
     resurrected, churned (all BIGINT)."""
@@ -227,6 +230,17 @@ def growth_accounting(
         .filter(F.col("__back").isNull())
         .groupBy(F.col("__nb").alias("bucket_date"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("churned"))
+    )
+    # clamp churn to OBSERVED buckets: the shifted join would
+    # otherwise emit a phantom bucket one period past the last
+    # observed one in which every currently-active user counts as
+    # churned — churn attributed to a period with no data yet.
+    # Mid-gap buckets (zero actives, nonzero churn) stay.  The bound
+    # is a 1-row broadcast, never a data-sized shuffle.
+    maxb = act.agg(F.max("bucket_date").alias("__maxb"))
+    churn = (
+        churn.join(F.broadcast(maxb), F.col("bucket_date") <= F.col("__maxb"))
+        .drop("__maxb")
     )
     return (
         per.join(churn, "bucket_date", "full")

@@ -478,13 +478,12 @@ def stratified_sample_n(
     Output: the sampled rows (original columns)."""
     if n_per_stratum < 1:
         raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
-    h = F.md5(
-        F.concat_ws(
-            "\x1f",
-            *[F.col(c).cast("string") for c in key_cols],
-            F.lit(str(salt)),
-        )
-    )
+    # injective length-prefixed key encoding (same scheme as
+    # surrogate_key): bare concat_ws skips NULLs and doesn't escape
+    # the separator, so ('a', NULL) vs (NULL, 'a') — or values
+    # containing \x1f — would hash identically and leave the pick to
+    # partitioning-dependent tie-breaks
+    h = F.md5(F.concat_ws("\x1f", *_len_prefixed(key_cols), F.lit(_len_prefixed_lit(str(salt)))))
     w = Window.partitionBy(strata_col).orderBy(h)
     return (
         df.withColumn("__ssn_rn", F.row_number().over(w))
@@ -551,10 +550,11 @@ def train_test_split(
 # One-slot cache for the rank input (same lifecycle discipline as
 # dedup's signature cache): each _with_global_row_number call releases
 # the previous call's persisted partitioning, so long sessions don't
-# accumulate cached inputs.  Releasing early is safe — a still-lazy
-# consumer recomputes; per-partition counts are reproducible because
-# the range boundaries and sort are deterministic for a deterministic
-# input plan (ties within equal sort keys are undefined either way).
+# accumulate cached inputs.  Since the round-8 value-bucket rewrite
+# the cache is purely a recompute-saver on the numeric path (bucket
+# assignment is a function of row VALUES, so a recompute after
+# eviction reproduces identical buckets); only the non-numeric
+# fallback still depends on it for pid stability.
 _RANK_CACHE: list[DataFrame] = []
 
 
@@ -569,22 +569,118 @@ def release_rank_cache() -> None:
             pass
 
 
+def _rank_proxy(df: DataFrame, name: str) -> Column | None:
+    """A DOUBLE sort-proxy for the first rank column, or None when the
+    type has no order-preserving numeric embedding (strings, arrays).
+    Precision loss (decimal/bigint beyond 2^53) only merges near-equal
+    values into one bucket — bucket membership stays a pure function
+    of the value, which is all the rank scheme needs."""
+    try:
+        dt = df.schema[name].dataType
+    except KeyError:
+        return None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.col(name).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(name), F.lit("1970-01-01").cast("date")).cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.col(name).cast("double")
+    return None
+
+
 def _with_global_row_number(
     df: DataFrame, order_by: Sequence[tuple[str, str] | str]
 ) -> DataFrame:
     """Scale-safe global row_number as ``__rn``.
 
     A bare ``Window.orderBy`` funnels EVERY row through one task — the
-    round-1 scale-killer.  Two-phase rank instead: range-repartition on
-    the sort key (each partition owns a contiguous key range), rank
-    within partitions in parallel, then add per-partition prefix-sum
-    offsets.  The offsets come from a partition-count collect — that
-    is O(#partitions) metadata on the driver, not data.  The input is
-    persisted so both jobs (count + rank) see identical partition
-    assignment.  Ties across rows with equal sort keys are
-    partition-stable (range partitioner keeps equal keys together);
-    within equal keys order is undefined, as with any row_number.
+    round-1 scale-killer.  Two-phase rank instead: cut the sort-key
+    domain into buckets, rank within buckets in parallel, then add
+    per-bucket prefix-sum offsets (an O(#buckets) metadata collect).
+
+    The bucket is a pure FUNCTION OF THE ROW'S VALUE: boundary values
+    are sampled once (Greenwald–Khanna quantiles of a double
+    sort-proxy) and baked into the plan as literals, so the offsets
+    job and the rank job assign identical buckets no matter how Spark
+    physically partitions either evaluation — including cache-evicted
+    recomputes.  The previous design derived the offset map from
+    ``spark_partition_id()`` after ``repartitionByRange``, whose
+    boundary sampling is seeded by RDD id: a recompute after cache
+    eviction could re-sample different ranges and silently shift every
+    rank (round-7 driver hash mismatches on rfm/lorenz sat on exactly
+    this).  Value-bucketing removes that failure class; the persist
+    below is now purely a recompute-saver.
+
+    Ties across rows with equal sort keys colocate (equal values get
+    equal buckets); within equal full sort keys order is undefined, as
+    with any row_number — callers needing bit-reproducibility pass a
+    unique tiebreak column, as all oracle-paired callers do.
+
+    Non-numeric first sort column: falls back to the range-partition
+    scheme (persist-pinned pids), documented less robust.
     """
+    cols = _order_cols(order_by)
+    first = order_by[0]
+    if isinstance(first, str):
+        name, desc = first, False
+    else:
+        name, desc = first[0], str(first[1]).lower().startswith("d")
+    proxy = _rank_proxy(df, name)
+    if proxy is None:
+        return _with_global_row_number_by_pid(df, order_by)
+    n_parts = shuffle_partitions(df.sparkSession)
+    qs = [i / n_parts for i in range(1, n_parts)]
+    probe = df.select(proxy.alias("__p")).filter(F.col("__p").isNotNull())
+    bounds = sorted(set(probe.stat.approxQuantile("__p", qs, 0.01)))
+    if desc:
+        bounds = bounds[::-1]
+    bkt: Column = F.lit(0)
+    for b in bounds:
+        hit = (proxy < F.lit(b)) if desc else (proxy > F.lit(b))
+        bkt = bkt + hit.cast("int")
+    # NULLs sort first under asc(), last under desc() (_order_cols);
+    # give them the matching extreme bucket
+    null_bkt = len(bounds) + 1 if desc else -1
+    bkt = F.when(F.col(name).isNull(), F.lit(null_bkt)).otherwise(bkt)
+    bucketed = df.withColumn("__bkt", bkt)
+    release_rank_cache()
+    bucketed.persist()
+    _RANK_CACHE.append(bucketed)
+    sizes = {
+        r["__bkt"]: r["__cnt"]
+        for r in bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    }
+    acc = 0
+    offsets: dict[int, int] = {}
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    off_map = F.create_map(
+        *[F.lit(x) for bkt_off in offsets.items() for x in bkt_off]
+    )
+    w = Window.partitionBy("__bkt").orderBy(*cols)
+    return (
+        bucketed.withColumn(
+            "__rn",
+            F.row_number().over(w) + F.coalesce(off_map[F.col("__bkt")], F.lit(0)),
+        )
+        .drop("__bkt")
+    )
+
+
+def _with_global_row_number_by_pid(
+    df: DataFrame, order_by: Sequence[tuple[str, str] | str]
+) -> DataFrame:
+    """Fallback two-phase rank for non-numeric first sort columns:
+    range-repartition on the sort key, rank within partitions, add
+    per-partition prefix-sum offsets keyed by ``spark_partition_id``.
+    Correct only while both jobs see one physical partitioning — the
+    persist pins it; a cache-evicted recompute may re-sample range
+    boundaries (RDD-id-seeded), which is why the numeric path above
+    buckets by value instead."""
     cols = _order_cols(order_by)
     n_parts = shuffle_partitions(df.sparkSession)
     parted = (
@@ -817,11 +913,21 @@ def moving_agg_time(
             F.sum(c).over(w_prev), F.lit(0).cast("decimal(20,6)")
         )
 
+    # the prefix difference alone yields 0 (S − S) for a frame whose
+    # rows are all NULL when earlier out-of-frame rows were not; the
+    # direct sliding frame yields NULL there.  Gate every sum on the
+    # frame's non-null COUNT difference (same guard avg already had)
+    # so the rewrite stays bit-identical to the direct frame.
+    in_frame_cnt = F.count(col).over(w_cur) - F.count(col).over(w_prev)
     if f == "sum" and is_float:
-        agg = _psum(col.cast("decimal(20,6)")).cast("double")
+        agg = F.when(
+            in_frame_cnt > 0, _psum(col.cast("decimal(20,6)")).cast("double")
+        )
     elif f == "sum":
-        agg = F.sum(col).over(w_cur) - F.coalesce(
-            F.sum(col).over(w_prev), F.lit(0)
+        agg = F.when(
+            in_frame_cnt > 0,
+            F.sum(col).over(w_cur)
+            - F.coalesce(F.sum(col).over(w_prev), F.lit(0)),
         )
     elif f == "count":
         agg = F.count(col).over(w_cur) - F.count(col).over(w_prev)
@@ -1916,6 +2022,27 @@ def cdc_column_diff(
     )
 
 
+def _len_prefixed(cols: Sequence[str]) -> list[Column]:
+    """Injective per-column encoding for content-keyed hashes: each
+    non-NULL value string-casts to ``len:value`` and NULL to the bare
+    token ``N``, so no value content (separators, ``N``, digits,
+    colons) can shift a column boundary when the parts are joined."""
+    parts: list[Column] = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return parts
+
+
+def _len_prefixed_lit(value: str) -> str:
+    """The ``_len_prefixed`` encoding of a known non-NULL literal."""
+    return f"{len(value)}:{value}"
+
+
 def surrogate_key(
     df: DataFrame,
     cols: Sequence[str],
@@ -1943,17 +2070,11 @@ def surrogate_key(
         raise ValueError("surrogate_key: cols must be non-empty")
     if not 1 <= int(length) <= 32:
         raise ValueError("surrogate_key: length must be in [1, 32]")
-    parts = []
-    for c in cols:
-        s = F.col(c).cast("string")
-        parts.append(
-            F.when(s.isNull(), F.lit("N")).otherwise(
-                F.concat(F.length(s).cast("string"), F.lit(":"), s)
-            )
-        )
     return df.withColumn(
         key_col,
-        F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, int(length)),
+        F.substring(
+            F.md5(F.concat_ws("\x1f", *_len_prefixed(cols))), 1, int(length)
+        ),
     )
 
 

@@ -1192,8 +1192,9 @@ def cuped_report(
     ``mean_adj_v = mean_y_v − θ·(mean_x_v − x̄)`` and
     ``var_adj_v = var_y_v − 2θ·cov_v + θ²·var_x_v`` — so the whole
     report is one keyed aggregate.  Exactness: x and y quantize to
-    integer micro-units (``round(v·1e6)`` — both engines round .5
-    away from zero) and all five moment sums accumulate exactly in
+    integer ``quant``-units (``round(v·quant)`` — both engines round
+    .5 away from zero; the default 100 is centi-units, exact for
+    2-decimal money) and all five moment sums accumulate exactly in
     DECIMAL; θ is unit-free (the quant factor cancels), means/variances
     unscale by fixed IEEE divisions; variances use the n−1 sample
     convention.  θ is NULL-guarded (zero covariate variance ⇒ raw

@@ -574,7 +574,11 @@ def rolling_features(
             name = f"{value_col}_{fn.lower()}_{lab}"
             f = fn.lower()
             if f == "sum" and is_float:
-                col = psum.cast("double")
+                # gate on the frame's non-null count: the prefix
+                # difference alone gives 0 (S − S) for an all-NULL
+                # frame with non-null history; the direct frame
+                # gives NULL there
+                col = F.when(pcnt > 0, psum.cast("double"))
             elif f == "avg" and is_float:
                 # exact decimal sum → one double cast → one IEEE
                 # division by the exact count (decimal DIVISION would

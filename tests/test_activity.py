@@ -225,3 +225,6 @@ def test_growth_accounting_identities(spark):
             r["new_users"] + r["resurrected"] - r["churned"]
         )
         prev_active = r["active_users"]
+    # no phantom bucket past the last OBSERVED one: w4's actives are
+    # not "churned" into a w5 with no data yet (round-7 advisory)
+    assert max(out) == w4

@@ -101,6 +101,37 @@ def test_two_phase_rank_matches_window(spark):
         assert r["__rn"] == expect[r["k"]]
 
 
+def test_two_phase_rank_partitioning_invariant(spark):
+    """Bucket assignment is a function of row VALUES (literal
+    boundaries), so the rank must be identical for any physical
+    partitioning of the same input — the round-7 driver-divergence
+    class (range-partitioner resampling after cache eviction)."""
+    df = spark.range(0, 500).withColumn("k", (F.col("id") * 37) % 500)
+    base = {
+        r["k"]: r["__rn"]
+        for r in core._with_global_row_number(df, ["k"]).collect()
+    }
+    for parts in (1, 3, 17):
+        again = {
+            r["k"]: r["__rn"]
+            for r in core._with_global_row_number(
+                df.repartition(parts), ["k"]
+            ).collect()
+        }
+        assert again == base
+    # desc + NULLs: nulls sort last under desc(), rank still total
+    dfn = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5), (4, 20)], "id long, k int"
+    )
+    got = {
+        r["id"]: r["__rn"]
+        for r in core._with_global_row_number(
+            dfn, [("k", "desc"), ("id", "asc")]
+        ).collect()
+    }
+    assert got == {4: 1, 1: 2, 3: 3, 2: 4}
+
+
 def test_top_k(people):
     out = core.top_k(people, [("amount", "desc"), ("id", "asc")], 2).collect()
     assert [r["id"] for r in out] == [4, 3]
@@ -399,6 +430,53 @@ def test_moving_agg_time_trailing_window(spark):
         for r in core.moving_agg_time(df, "ts", "u", "v", 3600.0).collect()
     }
     assert out == {1: 1.0, 2: 3.0, 3: 7.0, 4: 8.0}
+
+
+def test_moving_agg_time_all_null_window_is_null(spark):
+    """A trailing window whose rows are all NULL must yield NULL, not
+    0, even when earlier out-of-window rows were non-null — the
+    prefix-difference rewrite's S − S = 0 hole (round-7 advisory)."""
+    from bubbles_spark.ops import core
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 5.0),
+        (2, "2024-01-01 13:00:00", None),  # 1h window holds only NULL
+        (3, "2024-01-01 13:30:00", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, v double").withColumn(
+        "u", F.lit(1)
+    )
+    out = {
+        r.id: r.v_trailing_sum
+        for r in core.moving_agg_time(df, "ts", "u", "v", 3600.0).collect()
+    }
+    assert out == {1: 5.0, 2: None, 3: None}
+    avg = {
+        r.id: r.v_trailing_avg
+        for r in core.moving_agg_time(
+            df, "ts", "u", "v", 3600.0, func="avg"
+        ).collect()
+    }
+    assert avg == {1: 5.0, 2: None, 3: None}
+
+
+def test_rolling_features_all_null_window_is_null(spark):
+    from bubbles_spark.ops import events
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 5.0),
+        (2, "2024-01-01 13:00:00", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string, v double").withColumn(
+        "u", F.lit(1)
+    )
+    out = {
+        r.id: (r.v_sum_1h, r.v_count_1h)
+        for r in events.rolling_features(
+            df, "ts", "u", "v", windows_seconds=(3600,), funcs=("sum", "count")
+        ).collect()
+    }
+    assert out == {1: (5.0, 1), 2: (None, 0)}
 
 
 def test_rank_in_group_ntile_and_percent_rank(spark):
@@ -719,6 +797,27 @@ def test_stratified_sample_n_exact_and_deterministic(spark):
 
     with _pytest.raises(ValueError, match="n_per_stratum"):
         core.stratified_sample_n(df, "s", 0, ["id"])
+
+
+def test_stratified_sample_n_null_keys_distinct(spark):
+    """('a', NULL) and (NULL, 'a') must hash to different pick keys —
+    the bare-concat_ws collapse the injective encoding removes
+    (round-7 advisory)."""
+    from bubbles_spark.ops import core
+
+    rows = [("a", None), (None, "a"), ("x\x1fy", "z"), ("x", "y\x1fz")]
+    df = spark.createDataFrame(rows, "k1 string, k2 string").withColumn(
+        "s", F.lit(1)
+    )
+    # n=2 must pick a deterministic, partitioning-invariant pair
+    picks = [
+        {(r["k1"], r["k2"]) for r in core.stratified_sample_n(
+            df.repartition(p), "s", 2, ["k1", "k2"]
+        ).collect()}
+        for p in (1, 2, 4)
+    ]
+    assert picks[0] == picks[1] == picks[2]
+    assert len(picks[0]) == 2
 
 
 def test_lookup_with_default_flags_and_fills(spark):

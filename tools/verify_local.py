@@ -5,7 +5,16 @@ on DuckDB at sf0.01, comparing row count, sorted column names, and an
 order-insensitive value hash (values normalized: floats rounded to
 9 significant-ish decimals, timestamps to isoformat, None → "NULL").
 
-Usage:  python tools/verify_local.py [--vanilla] [--strict] [query_name ...]
+Usage:  python tools/verify_local.py [--vanilla] [--strict] [--dump DIR]
+                                     [query_name ...]
+
+Spark master: ``VERIFY_MASTER`` env (default ``local[<cpu_count>]`` —
+the driver runs local[32]; a mirror at a different parallelism would
+not replicate partition-count-sensitive behavior).
+
+``--dump DIR`` writes each query's sorted normalized rows to
+``DIR/<name>.spark.txt`` / ``DIR/<name>.oracle.txt`` so a driver-side
+hash mismatch is diffable instead of a bare hash.
 
 ``--strict`` hashes floats at FULL round-trip precision (repr) and
 tags numeric values with their Python type class (int vs float), so
@@ -83,6 +92,19 @@ def main(only: list[str]) -> int:
     if "--strict" in only:
         STRICT = True
         only = [n for n in only if n != "--strict"]
+    dump_dir = None
+    if "--dump" in only:
+        i = only.index("--dump")
+        if i + 1 >= len(only):
+            print("--dump needs a directory argument")
+            return 2
+        dump_dir = only[i + 1]
+        os.makedirs(dump_dir, exist_ok=True)
+        only = only[:i] + only[i + 2 :]
+    # replicate the driver's parallelism: VERIFY_MASTER env, default
+    # local[cpu_count] (driver = local[32]) — a local[8] mirror would
+    # not reproduce partition-count-sensitive behavior
+    master = os.environ.get("VERIFY_MASTER", f"local[{os.cpu_count()}]")
     if "--vanilla" in only:
         # driver-fidelity mode: the external driver builds its OWN
         # plain SparkSession, so nothing may depend on get_spark()'s
@@ -91,14 +113,15 @@ def main(only: list[str]) -> int:
         from pyspark.sql import SparkSession
 
         spark = (
-            SparkSession.builder.master("local[8]")
+            SparkSession.builder.master(master)
             .appName("verify_vanilla")
             .getOrCreate()
         )
     else:
         from bubbles_spark.session import get_spark
 
-        spark = get_spark("verify_local")
+        spark = get_spark("verify_local", master=master)
+    print(f"master: {master}  strict: {STRICT}  sf_dir: {SF_DIR}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -134,6 +157,19 @@ def main(only: list[str]) -> int:
         sh, sn = table_hash(scols, srows)
         oh, on = table_hash(ocols, orows)
         ok_cols = sorted(scols) == sorted(ocols)
+        if dump_dir is not None:
+            for side, cols, rows in (
+                ("spark", scols, srows),
+                ("oracle", ocols, orows),
+            ):
+                order = sorted(range(len(cols)), key=lambda i: cols[i])
+                lines = sorted(
+                    "\x1f".join(norm(r[i]) for i in order) for r in rows
+                )
+                path = os.path.join(dump_dir, f"{name}.{side}.txt")
+                with open(path, "w") as fh:
+                    fh.write("\x1f".join(cols[i] for i in order) + "\n")
+                    fh.write("\n".join(lines) + "\n")
         status = "PASS" if (sh == oh and sn == on and ok_cols) else "FAIL"
         if status == "FAIL":
             failures += 1
