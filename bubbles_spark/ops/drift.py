@@ -21,7 +21,7 @@ bit-identical doubles.
 from __future__ import annotations
 
 import math
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bubbles_spark.ops.core import _with_global_row_number, shuffle_partitions
@@ -500,13 +500,21 @@ def calibration_report(
 def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:
     """Per-group cumulative value counts without a per-group sort:
     per-(group, value) counts (map-side combined — a giant group
-    collapses to its distinct values) cumulated by the
-    range-partitioned two-phase trick, where the per-group prefix
-    offsets are a window over the tiny (partition-id, group)
-    partial-sum table (≤ #partitions rows per group — no skew, no
-    driver collect, no single-task sort).  The smallest value whose
-    ``__cum`` reaches ceil(q·n) IS the type-1 rank-ceil(q·n) value,
-    bit-identical to a per-group row_number rank.
+    collapses to its distinct values) cumulated by the two-phase
+    trick, where the per-group prefix offsets are a window over the
+    tiny (bucket, group) partial-sum table (≤ #buckets rows per
+    group — no skew, no driver collect, no single-task sort).  The
+    smallest value whose ``__cum`` reaches ceil(q·n) IS the type-1
+    rank-ceil(q·n) value, bit-identical to a per-group row_number
+    rank.
+
+    The bucket is a pure FUNCTION OF THE VALUE (literal quantile
+    boundaries over the distinct values, same scheme as
+    ``core._with_global_row_number``) — never ``spark_partition_id``,
+    whose assignment could shift if a persisted partitioning is
+    evicted and the range partitioner re-samples (the round-7 driver
+    nondeterminism class).  Non-numeric ``col`` falls back to the
+    pid-based variant.
 
     Output: group_col, col, __c (value count), __cum (cumulative
     count ≤ value within group), __n (group total)."""
@@ -518,11 +526,59 @@ def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:
         .groupBy(group_col, col)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    proxy = _core._rank_proxy(counts, col)
+    if proxy is None:
+        return _grouped_cum_counts_by_pid(counts, group_col, col)
     n_parts = shuffle_partitions(df.sparkSession)
-    # persist: spark_partition_id must be identical across the two
-    # consumers below (range-partitioner sampling is not guaranteed
-    # deterministic across jobs); freed by the next ranking call's
-    # release_rank_cache, same lifecycle as _with_global_row_number
+    qs_list = [i / n_parts for i in range(1, n_parts)]
+    # persist is a recompute-saver only: bucket membership is
+    # value-determined, so an evicted recompute reproduces it
+    _core.release_rank_cache()
+    counts.persist()
+    _core._RANK_CACHE.append(counts)
+    probe = counts.select(proxy.alias("__p"))
+    bounds = sorted(set(probe.stat.approxQuantile("__p", qs_list, 0.01)))
+    bkt: Column = F.lit(0)
+    for b in bounds:
+        bkt = bkt + (proxy > F.lit(b)).cast("int")
+    parted = counts.withColumn("__bkt", bkt)
+    partials = parted.groupBy("__bkt", group_col).agg(
+        F.sum("__c").alias("__pc")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "__bkt",
+        group_col,
+        F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = partials.groupBy(group_col).agg(F.sum("__pc").alias("__n"))
+    w_in = (
+        Window.partitionBy("__bkt", group_col)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.withColumn("__cin", F.sum("__c").over(w_in))
+        .join(offsets, ["__bkt", group_col])
+        .join(totals, group_col)
+        .withColumn("__cum", F.col("__off") + F.col("__cin"))
+    )
+
+
+def _grouped_cum_counts_by_pid(
+    counts: DataFrame, group_col: str, col: str
+) -> DataFrame:
+    """Fallback for non-numeric value columns: range-partition on
+    (group, value) and key the offsets by ``spark_partition_id``,
+    pinned by a persist (see ``core._with_global_row_number_by_pid``
+    for why the numeric path avoids this)."""
+    from bubbles_spark.ops import core as _core
+
+    n_parts = shuffle_partitions(counts.sparkSession)
     _core.release_rank_cache()
     parted = (
         counts.repartitionByRange(n_parts, group_col, col)

@@ -94,6 +94,14 @@ EXACT_FAMILY = [
     "scd2_snapshot_orders", "golden_record_customers",
     "moving_sum_1h", "resample_hourly_ffill", "resample_hourly_interp",
     "asof_join", "stream_rate_monitor",
+    # rounds 7-8 stragglers claiming bit-exactness through decimal
+    # sums or content-keyed hashes (no timestamps, but the TZ rerun
+    # doubles as a second-session determinism tripwire), plus the
+    # four round-7 driver-mismatch queries — permanent members
+    "gini_by_priority", "negative_samples_orders",
+    "stratified_sample_n_orders", "surrogate_key_orders",
+    "pipeline_spec_orders", "lorenz_orders_totalprice",
+    "join_cardinality_lineitem_partkey",
 ]
 
 
