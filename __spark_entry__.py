@@ -2619,6 +2619,70 @@ def q_tpch_q4_like(spark, sf_dir):
 
 
 @_q(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    # Q5's local-supplier-volume join (the last of the 22 TPC-H
+    # shapes in the catalog): the same-nation customer⋈supplier
+    # equi-condition rides the supplier broadcast, so the only
+    # shuffles are lineitem⋈orders (orderkey) and ⋈customer
+    # (custkey); nation/region cut the supplier side to one region
+    # BEFORE it broadcasts, and the decimal revenue sum stays exact
+    # until the final double render
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,4)"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (cust.c_nationkey == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+
+
+@_q(
     "tpch_q6_forecast_revenue",
     """
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,4)))

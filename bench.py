@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     # __spark_entry__.py docstrings)
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

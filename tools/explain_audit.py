@@ -221,6 +221,14 @@ CHECKS = [
         [(r"CartesianProduct|BroadcastNestedLoopJoin", "equi joins only")],
     ),
     (
+        "tpch_q5_local_supplier_volume",
+        [(r"BroadcastHashJoin", "region-cut supplier-nation side broadcasts"),
+         (r"Functions \[\d+\]: \[partial_", "revenue sums partial-aggregate map-side"),
+         (r"PushedFilters: .*(GreaterThanOrEqual|IsNotNull)\(o_orderdate", "order-date window reaches the orders scan")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "equi joins only"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "tpch_q6_forecast_revenue",
         [(r"PushedFilters: .*GreaterThanOrEqual\(l_shipdate", "shipdate filter reaches the scan"),
          (r"PushedFilters: .*LessThan\(l_quantity", "quantity filter reaches the scan"),
