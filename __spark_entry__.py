@@ -1595,6 +1595,40 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=1, threshold=0.5, max_doc_freq=50)
 
 
+@_q(
+    "prefix_jaccard_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM t),
+    e AS (SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM idx),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM pairs
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+    """,
+)
+def q_prefix_jaccard(spark, sf_dir):
+    # the threshold-LOSSLESS exact Jaccard join: prefix filtering
+    # (rarest-first global token order) replaces ngram_jaccard's
+    # semantics-changing df cap; the oracle computes the full
+    # uncapped inverted-index join — output must be identical
+    d = _t(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_pairs(d, n=3, threshold=0.5)
+
+
 # minhash / simhash pairs: xxhash64 is not reproducible in DuckDB →
 # rows-only driver check; exactness is covered by pytest fixtures.
 @_q("minhash_dedup_pairs")
@@ -4349,6 +4383,29 @@ def q_train_test_split(spark, sf_dir):
     # oracle recomputes every row's assignment exactly
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return core.train_test_split(d, key_col="doc_id")
+
+
+@_q(
+    "temporal_split_events",
+    """
+    SELECT event_id,
+           CASE WHEN ts IS NULL THEN NULL
+                WHEN ts < TIMESTAMP '2024-01-19 00:00:00' THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'embargo'
+                WHEN ts < TIMESTAMP '2024-01-25 00:00:00' THEN 'val'
+                WHEN ts < TIMESTAMP '2024-01-26 00:00:00' THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events
+    """,
+)
+def q_temporal_split(spark, sf_dir):
+    # chronological split with a 1-day embargo on each cut: boundary
+    # arithmetic happens driver-side, the plan holds only pure NTZ
+    # comparisons — TZ-invariant and map-only
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return core.temporal_split(
+        e, "ts", "2024-01-20", "2024-01-26", embargo_seconds=86400
+    ).select("event_id", "split")
 
 
 @_q(

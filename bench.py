@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "minhash_dedup_pairs",
     "simhash_dedup_pairs",
     "ngram_jaccard_unigram",
+    "prefix_jaccard_docs",
     "token_count",
     "quality_score",
     "lang_id",
@@ -96,6 +97,7 @@ BENCH_QUERIES = [
     "resample_hourly_ffill",
     "moving_sum_1h",
     "train_test_split_docs",
+    "temporal_split_events",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

@@ -547,6 +547,68 @@ def train_test_split(
     return df.withColumn(out, expr.otherwise(names[-1]))
 
 
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    val_start: "str | datetime",
+    test_start: "str | datetime",
+    embargo_seconds: int = 0,
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-free TIME-based train/val/test assignment with an
+    embargo gap — the split for forecasting / sequential-model
+    training where a random split leaks the future into the past
+    (``train_test_split`` is the iid-hash sibling; this is the
+    chronological one, the purged/embargoed split of de Prado's
+    time-series CV literature, public knowledge).
+
+    Boundaries: ``train`` strictly before ``val_start − embargo``,
+    ``val`` in ``[val_start, test_start − embargo)``, ``test`` at or
+    after ``test_start``; rows inside either embargo window are
+    labeled ``'embargo'`` (purged — features computed over trailing
+    windows near the cut see both sides, so the standard fix is to
+    DROP them, but dropping silently hides the purge size: labeling
+    keeps the audit trail and the caller filters).  NULL timestamps
+    get NULL.
+
+    Exactness/TZ: the embargo arithmetic happens DRIVER-side in
+    Python datetime; the plan contains only pure comparisons of the
+    column against string literals cast to the COLUMN'S OWN timestamp
+    type — no in-engine interval arithmetic, no epoch extraction, so
+    the assignment is bit-identical under any session timezone for
+    NTZ data (the r4/r5 lesson class).  Map-only, no shuffle; the
+    split predicate pushes down to the scan when filtered on."""
+    from datetime import datetime, timedelta
+
+    def _parse(x):
+        return datetime.fromisoformat(x) if isinstance(x, str) else x
+
+    v1, t1 = _parse(val_start), _parse(test_start)
+    if embargo_seconds < 0:
+        raise ValueError("embargo_seconds must be >= 0")
+    if not v1 < t1:
+        raise ValueError("val_start must precede test_start")
+    e = timedelta(seconds=int(embargo_seconds))
+    v0, t0 = v1 - e, t1 - e
+    if not v1 <= t0:
+        raise ValueError("embargo swallows the whole val window")
+    dt = df.schema[ts_col].dataType
+
+    def _lit(d: datetime):
+        return F.lit(d.strftime("%Y-%m-%d %H:%M:%S.%f")).cast(dt)
+
+    c = F.col(ts_col)
+    return df.withColumn(
+        out,
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c < _lit(v0), "train")
+        .when(c < _lit(v1), "embargo")
+        .when(c < _lit(t0), "val")
+        .when(c < _lit(t1), "embargo")
+        .otherwise("test"),
+    )
+
+
 # One-slot cache for the rank input (same lifecycle discipline as
 # dedup's signature cache): each _with_global_row_number call releases
 # the previous call's persisted partitioning, so long sessions don't

@@ -742,6 +742,106 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via PREFIX FILTERING — the
+    SSJoin/AllPairs/PPJoin family principle (Chaudhuri et al. 2006,
+    Bayardo et al. 2007, Xiao et al. 2008; public knowledge): order
+    every set's shingles by ascending global document frequency
+    (rarest first, df ties broken by the shingle string), keep only
+    each set's first ``s − ⌈t·s⌉ + 1`` shingles as its *prefix*, and
+    generate candidates from prefix∩prefix equi-joins.  Any pair with
+    Jaccard ≥ t MUST share a prefix token, so — unlike
+    ``ngram_jaccard_pairs``'s ``max_doc_freq`` cap, which silently
+    CHANGES the measured sets — the filter is LOSSLESS for the given
+    threshold: output ≡ the uncapped full inverted-index join.
+
+    Scale shape: the prefix holds each set's globally RAREST tokens,
+    so candidate buckets are bounded by rare-token document
+    frequency — the frequent tokens that blow up the full index
+    (df² join rows each) land at the BACK of every ordered set and
+    never enter the join.  A size filter (``t·|a| ≤ |b| ≤ |a|/t``,
+    evaluated in exact decimal) prunes cross-size candidates at the
+    join. Verification re-joins the candidate ids against the doc →
+    ordered-token-array table and takes ``array_intersect`` exactly;
+    arrays shuffle only for surviving candidates.  Worst case is a
+    corpus of genuine near-duplicates, where the OUTPUT itself is
+    Ω(m²) — cluster with ``minhash_dedup`` first if that is the
+    workload.
+
+    Exactness: sizes/intersections are exact BIGINTs; prefix length
+    uses a DECIMAL threshold literal (float ``⌈t·s⌉`` can round the
+    prefix one short at exact multiples and silently drop pairs);
+    jaccard is ONE IEEE division rounded to 6 — bit-equal to
+    ``ngram_jaccard_pairs`` without its cap.
+
+    Returns (id_a, id_b, jaccard) for round(jaccard, 6) ≥ threshold."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from decimal import Decimal
+
+    dt = F.lit(Decimal(str(threshold)))
+    tok = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("__id"), F.explode("shingles").alias("__g")
+    )
+    freq = tok.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    docs = (
+        tok.join(freq, "__g")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__df", "__g"))),
+                lambda s: s["__g"],
+            ).alias("__toks"),
+            F.count(F.lit(1)).alias("__sz"),
+        )
+        .withColumn(
+            "__p", F.col("__sz") - F.ceil(dt * F.col("__sz")) + F.lit(1)
+        )
+    )
+    pref = docs.select(
+        "__id", "__sz", F.explode(F.slice("__toks", 1, F.col("__p"))).alias("__g")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (dt * F.col("a.__sz") <= F.col("b.__sz"))
+            & (dt * F.col("b.__sz") <= F.col("a.__sz")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    da = docs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__sz").alias("__sza"),
+    )
+    db = docs.select(
+        F.col("__id").alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        F.col("__sz").alias("__szb"),
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    jac = inter / (F.col("__sza") + F.col("__szb") - inter)
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------
 # embedding near-dup (cosine)
 # ---------------------------------------------------------------------

@@ -875,3 +875,46 @@ def test_scd2_snapshot_point_in_time(spark):
         dim, "2024-03-15"
     ).collect()}
     assert got2 == {1: "v2", 2: "w1"}
+
+
+def test_temporal_split_boundaries_and_embargo(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 10)),   # train
+        (2, datetime(2024, 1, 18, 23, 59, 59)),  # last train instant
+        (3, datetime(2024, 1, 19)),   # embargo (1d before val_start)
+        (4, datetime(2024, 1, 20)),   # first val instant
+        (5, datetime(2024, 1, 24, 23, 59, 59)),  # last val instant
+        (6, datetime(2024, 1, 25)),   # embargo before test
+        (7, datetime(2024, 1, 26)),   # first test instant
+        (8, None),                    # NULL stays NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    out = {
+        r["id"]: r["split"]
+        for r in core.temporal_split(
+            df, "ts", "2024-01-20", "2024-01-26", embargo_seconds=86400
+        ).collect()
+    }
+    assert out == {
+        1: "train", 2: "train", 3: "embargo", 4: "val",
+        5: "val", 6: "embargo", 7: "test", 8: None,
+    }
+
+
+def test_temporal_split_validation(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1))], "id long, ts timestamp_ntz"
+    )
+    with pytest.raises(ValueError):
+        core.temporal_split(df, "ts", "2024-02-01", "2024-01-01")
+    with pytest.raises(ValueError):
+        core.temporal_split(df, "ts", "2024-01-20", "2024-01-26",
+                            embargo_seconds=-1)
+    with pytest.raises(ValueError):
+        # 1-day val window, 2-day embargo: nothing can be val
+        core.temporal_split(df, "ts", "2024-01-20", "2024-01-21",
+                            embargo_seconds=2 * 86400)

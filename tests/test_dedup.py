@@ -623,3 +623,43 @@ def test_golden_record_rules(spark):
     assert {r["eid"]: r["name"] for r in latest}[1] == "robert"
     with _pytest.raises(ValueError, match="rule"):
         dedup.golden_record(df, "eid", {"name": "magic"})
+
+
+def test_prefix_jaccard_matches_bruteforce(docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for t in (0.2, 0.5, 1.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.prefix_jaccard_pairs(docs, n=1, threshold=t).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = _py_shingles(texts[a], 1), _py_shingles(texts[b], 1)
+            if not sa or not sb:
+                continue
+            jac = round(len(sa & sb) / len(sa | sb), 6)
+            if jac >= t:
+                want[(a, b)] = jac
+        assert got == want, t
+
+
+def test_prefix_jaccard_lossless_vs_uncapped_index(docs):
+    # prefix filtering is exact for the threshold: output must equal
+    # the full inverted-index join with the df cap disabled
+    a = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.prefix_jaccard_pairs(docs, n=3, threshold=0.34).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.34, max_doc_freq=10**9
+        ).collect()
+    )
+    assert a == b
+    assert a  # the fixture has near-dup docs: result must be non-empty
+
+
+def test_prefix_jaccard_threshold_validation(docs):
+    with pytest.raises(ValueError):
+        dedup.prefix_jaccard_pairs(docs, threshold=0.0)

@@ -96,6 +96,18 @@ CHECKS = [
         [(r"CartesianProduct", "banding join is an equi join, never a cross product")],
     ),
     (
+        "temporal_split_events",
+        [(r"ReadSchema: struct<event_id", "scan prunes to referenced columns")],
+        [(r"Exchange", "pure map-only assignment — no shuffle at all"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
+        "prefix_jaccard_docs",
+        [(r"Functions \[\d+\]: \[partial_", "df/size counts partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "prefix-candidate join is an equi join"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "shingles + prefixes are pure codegen, no Python")],
+    ),
+    (
         "cosine_topk_lsh",
         [(r"BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin", "bucket join is an equi join")],
         [(r"BroadcastNestedLoopJoin", "LSH path must not fall back to NL join"),

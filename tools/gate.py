@@ -102,6 +102,9 @@ EXACT_FAMILY = [
     "stratified_sample_n_orders", "surrogate_key_orders",
     "pipeline_spec_orders", "lorenz_orders_totalprice",
     "join_cardinality_lineitem_partkey",
+    # round-8 additions touching timestamps or claiming losslessness
+    "temporal_split_events", "prefix_jaccard_docs",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

@@ -183,6 +183,14 @@ def main() -> int:
             "doc_id",
             lambda d: dedup.ngram_jaccard_pairs(d, n=1, threshold=0.5),
         ),
+        # trigram shingles: unigram prefixes on the word-soup corpus
+        # degenerate (every doc ≈ every other at J≥0.5 — output itself
+        # is Ω(m²)); trigrams measure the operator, not the output
+        "prefix_jaccard_pairs": (
+            docs,
+            "doc_id",
+            lambda d: dedup.prefix_jaccard_pairs(d, n=3, threshold=0.5),
+        ),
         "tf_idf": (docs, "doc_id", lambda d: textan.tf_idf(d)),
         "duplicated_spans": (
             docs,
