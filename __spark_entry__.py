@@ -8249,6 +8249,36 @@ def q_transition_matrix_events(spark, sf_dir):
 
 
 @_q(
+    "frequent_sequences_events",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS step_1,
+             LEAD(event_type, 1) OVER w AS step_2,
+             LEAD(event_type, 2) OVER w AS step_3
+      FROM events
+      WHERE event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step_1, step_2, step_3,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM s WHERE step_2 IS NOT NULL AND step_3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_frequent_sequences_events(spark, sf_dir):
+    # order-3 consecutive sequence mining: per-user leads under the
+    # TOTAL (ts, event_id) order, BIGINT gram + distinct-key counts —
+    # output bounded by |event_type|^3
+    e = _t(spark, sf_dir, "events")
+    return events.frequent_sequences(
+        e, "ts", "user_id", "event_type", k=3,
+        tiebreak_col="event_id", min_count=2,
+    )
+
+
+@_q(
     "seasonal_anomalies_events",
     """
     WITH t AS (
@@ -9007,6 +9037,72 @@ def q_chi_square_events(spark, sf_dir):
         .alias("band"),
     )
     return drift.chi_square_report(t, "event_type", "band")
+
+
+@_q(
+    "cramers_v_events",
+    """
+    WITH t AS (SELECT event_type AS r,
+                      CASE WHEN value >= 250 THEN 'high' ELSE 'low' END AS c
+               FROM events
+               WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    cells AS (SELECT r AS row_cat, c AS col_cat, COUNT(*) AS observed
+              FROM t GROUP BY 1, 2),
+    rt AS (SELECT row_cat, SUM(observed) AS row_total FROM cells GROUP BY 1),
+    ct AS (SELECT col_cat, SUM(observed) AS col_total FROM cells GROUP BY 1),
+    nt AS (SELECT SUM(observed) AS n_total FROM cells),
+    cc AS (
+      SELECT row_cat, col_cat, n_total, e.e AS expected,
+             (CAST(observed AS DOUBLE) - e.e) * (CAST(observed AS DOUBLE) - e.e)
+               / e.e AS chi2_cell
+      FROM cells JOIN rt USING (row_cat) JOIN ct USING (col_cat)
+      CROSS JOIN nt
+      CROSS JOIN LATERAL (SELECT CAST(CAST(row_total AS DECIMAL(19,0))
+                                      * CAST(col_total AS DECIMAL(19,0)) AS DOUBLE)
+                                 / CAST(n_total AS DOUBLE) AS e) e
+    ),
+    agg AS (
+      SELECT SUM(CAST(ROUND(chi2_cell * 1e9) AS DECIMAL(38,0))) AS chi_q,
+             SUM(CAST(ROUND(expected * 1e9) AS DECIMAL(38,0))) AS e_q,
+             MAX(n_total) AS n_total,
+             COUNT(DISTINCT row_cat) AS n_rows,
+             COUNT(DISTINCT col_cat) AS n_cols
+      FROM cc
+    ),
+    fin AS (
+      SELECT n_total, n_rows, n_cols,
+             CAST(chi_q AS DOUBLE) / 1e9
+               + (CAST(n_total AS DOUBLE) - CAST(e_q AS DOUBLE) / 1e9) AS chi2
+      FROM agg
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_cols AS BIGINT) AS n_cols,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           chi2,
+           CASE WHEN LEAST(n_rows, n_cols) > 1
+                THEN sqrt(chi2 / (CAST(n_total AS DOUBLE)
+                                  * CAST(LEAST(n_rows, n_cols) - 1 AS DOUBLE)))
+           END AS cramers_v
+    FROM fin
+    """,
+)
+def q_cramers_v_events(spark, sf_dir):
+    # 0..1 association strength: nano-quantized decimal chi2 sum
+    # (order-free), one division, one sqrt (IEEE correctly rounded —
+    # cross-engine bit-exact, unlike ln/exp)
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    t = e.select(
+        "event_type",
+        F.when(F.col("value") >= 250, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("band"),
+    )
+    return drift.cramers_v(t, "event_type", "band")
 
 
 @_q(

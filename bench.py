@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "moving_sum_1h",
     "train_test_split_docs",
     "temporal_split_events",
+    "frequent_sequences_events",
+    "cramers_v_events",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

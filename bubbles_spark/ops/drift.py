@@ -944,9 +944,12 @@ def chi_square_report(
 ) -> DataFrame:
     """Chi-square test-of-independence report between two categorical
     columns — one row per contingency cell with observed/expected
-    counts and the cell's chi² contribution (sum ``chi2_cell`` for
-    the statistic; df = (R−1)(C−1)).  The "are these two labels
-    related?" audit for annotation pipelines and feature screens.
+    counts and the cell's chi² contribution (df = (R−1)(C−1)).  The
+    "are these two labels related?" audit for annotation pipelines
+    and feature screens.  NOTE: only OBSERVED cells are emitted — an
+    empty (o=0) cell still contributes ``e`` to the statistic, so sum
+    ``chi2_cell + (n − Σexpected)`` for the full χ², or use
+    ``cramers_v`` which applies that completion in closed form.
 
     Exactness: observed/marginal counts are exact BIGINTs; expected
     = row_total · col_total / N is one DECIMAL(19,0)² product cast
@@ -992,6 +995,61 @@ def chi_square_report(
             e.alias("expected"),
             ((o - e) * (o - e) / e).alias("chi2_cell"),
         )
+    )
+
+
+def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Cramér's V association strength between two categoricals — the
+    0..1 normalization of ``chi_square_report``'s statistic
+    (``V = √(χ²/(n·(min(R,C)−1)))``, Cramér 1946, public), the number
+    an annotation-pipeline screen ranks feature/label pairs by when
+    raw χ² (which grows with n) can't be compared across pairs.
+
+    EMPTY cells matter: ``chi_square_report`` emits only OBSERVED
+    cells, but an absent (o=0) cell contributes ``(0−e)²/e = e`` to
+    χ² — naively summing chi2_cell over the report understates the
+    statistic whenever the contingency table has holes (a perfect
+    2×2 association came out V=0.707 instead of 1 in the unit test).
+    Since Σe over ALL R·C cells is exactly n, the empty-cell total is
+    ``n − Σe(observed)`` — added in closed form, no dense cross join.
+
+    Exactness: per-cell χ² contributions are polynomial IEEE doubles
+    (see chi_square_report) quantized to nano-units and summed in
+    DECIMAL — order-independent — then ONE division and ONE ``sqrt``
+    (correctly rounded per IEEE 754, so cross-engine bit-exact,
+    unlike ln/exp).  Single-category tables (min(R,C)=1) yield NULL
+    V rather than a zero division.
+
+    Scale: everything after the R·C cell table is cell-sized.
+    Output (one row): n_total, n_rows, n_cols, dof, chi2, cramers_v."""
+    cells = chi_square_report(df, row_col, col_col)
+    q = F.round(F.col("chi2_cell") * F.lit(1e9), 0).cast("decimal(38,0)")
+    eq = F.round(F.col("expected") * F.lit(1e9), 0).cast("decimal(38,0)")
+    agg = cells.agg(
+        F.sum(q).alias("__chi_q"),
+        F.sum(eq).alias("__e_q"),
+        F.max("n_total").alias("n_total"),
+        F.countDistinct("row_cat").alias("n_rows"),
+        F.countDistinct("col_cat").alias("n_cols"),
+    )
+    chi2 = (
+        F.col("__chi_q").cast("double") / F.lit(1e9)
+        + (
+            F.col("n_total").cast("double")
+            - F.col("__e_q").cast("double") / F.lit(1e9)
+        )
+    )
+    k = (F.least("n_rows", "n_cols") - F.lit(1)).cast("double")
+    return agg.select(
+        "n_total",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        chi2.alias("chi2"),
+        F.when(
+            k > 0,
+            F.sqrt(chi2 / (F.col("n_total").cast("double") * k)),
+        ).alias("cramers_v"),
     )
 
 

@@ -12,6 +12,7 @@ F.session_window rather than hand-rolled bucketing.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -648,6 +649,63 @@ def transition_matrix(
                 / F.col("__out").cast("double")
             ).alias("share"),
         )
+    )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    state_col: str,
+    k: int = 3,
+    tiebreak_col: str | None = None,
+    min_count: int = 2,
+) -> DataFrame:
+    """Consecutive k-gram sequence mining over per-key timelines —
+    the order-k generalization of ``transition_matrix``: count every
+    run of ``k`` consecutive states within a key's ordered events,
+    with how many distinct keys exhibit it.  The "what 3-step flows
+    are common?" primitive for funnel discovery and sequence-model
+    training-data curation (the GSP/PrefixSpan literature mines
+    gapped subsequences; CONSECUTIVE k-grams are the exact, shuffle-
+    light variant that answers the same product question).
+
+    Ordering is a TOTAL order (ts, then ``tiebreak_col`` — required
+    when timestamps can tie).  Rows with NULL state are dropped
+    FIRST, so a NULL lead marks only sequence end, never a NULL
+    state.  Exactness: BIGINT counts only.
+
+    Scale shape: ONE hash shuffle on the key for the lead window
+    (timelines sort within partitions; keys are independent), then
+    the k-gram counts aggregate map-side onto a |states|^k-bounded
+    table.  Output: step_1..step_k, n_occurrences, n_keys (distinct
+    keys), filtered to n_occurrences >= min_count."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy("__k").orderBy(*order)
+    base = df.filter(F.col(state_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.col(state_col).alias("step_1"),
+        *([F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])),
+    )
+    steps = ["step_1"]
+    for i in range(1, k):
+        name = f"step_{i + 1}"
+        base = base.withColumn(name, F.lead("step_1", i).over(w))
+        steps.append(name)
+    grams = base.filter(
+        reduce(lambda a, b: a & b, [F.col(s).isNotNull() for s in steps[1:]])
+    )
+    return (
+        grams.groupBy(*steps)
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("__k").alias("n_keys"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
     )
 
 

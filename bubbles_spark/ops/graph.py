@@ -379,7 +379,11 @@ def link_scores(
         und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr"))
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
-    centers = adj.join(F.broadcast(deg), "node")
+    # a wedge center needs >= 2 neighbors — degree-1 nodes can never
+    # produce a pair, and their 1/ln(1) weight would divide by zero
+    # under ANSI (hit by scale_smoke's perturbed-copy graph, which has
+    # leaf nodes the sf testdata happens not to)
+    centers = adj.join(F.broadcast(deg), "node").filter(F.col("degree") >= 2)
     if max_hub_degree is not None:
         centers = centers.filter(F.col("degree") <= int(max_hub_degree))
     # 1/ln(deg z) quantized to nano-units BEFORE the pair sum: the

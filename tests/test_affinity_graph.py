@@ -208,3 +208,19 @@ def test_link_scores_square_with_diagonal(spark):
     nohub = graph.link_scores(edges, max_hub_degree=2)
     # centers 1 and 3 (deg 3) excluded: only wedges through 2 and 4 remain
     assert {(r["node_a"], r["node_b"]) for r in nohub.collect()} == {(1, 3)}
+
+
+def test_link_scores_degree_one_leaf(spark):
+    # regression: a leaf node (degree 1) crashed the adamic-adar
+    # weight with ANSI DIVIDE_BY_ZERO (1/ln(1)); leaves can never be
+    # wedge centers, so they must simply be ignored
+    from bubbles_spark.ops import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)],  # 4 is a leaf
+        "src long, dst long",
+    )
+    rows = {(r["node_a"], r["node_b"]): r for r in
+            graph.link_scores(edges).collect()}
+    assert rows[(1, 2)]["common_neighbors"] == 1
+    assert (2, 4) in rows or (1, 4) in rows

@@ -885,3 +885,28 @@ def test_rate_confidence_wilson(spark):
     x = got["x"]
     assert x["rate"] == 1.0 and 0.0 < x["wilson_lo"] < 1.0
     assert x["wilson_hi"] <= 1.0 + 1e-15
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    # perfect association: row determines column exactly → V = 1
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 10 + [("b", "y")] * 10, "r string, c string"
+    )
+    row = drift.cramers_v(perfect, "r", "c").collect()[0]
+    assert row["n_total"] == 20 and row["dof"] == 1
+    assert row["cramers_v"] == pytest.approx(1.0, abs=1e-9)
+
+    # independence: uniform 2x2 → chi2 = 0 → V = 0
+    indep = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 5,
+        "r string, c string",
+    )
+    row = drift.cramers_v(indep, "r", "c").collect()[0]
+    assert row["chi2"] == 0.0 and row["cramers_v"] == 0.0
+
+    # single-category column: k = 0 → NULL, not a zero division
+    single = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "r string, c string"
+    )
+    row = drift.cramers_v(single, "r", "c").collect()[0]
+    assert row["cramers_v"] is None

@@ -235,3 +235,46 @@ def test_decomposition_strength_extremes(spark):
     for v in (row["trend_strength"], row["seasonal_strength"]):
         if v is not None:
             assert 0.0 <= v <= 1.0
+
+
+def test_frequent_sequences_trigrams(spark):
+    from datetime import datetime
+
+    import pytest
+
+    from bubbles_spark.ops import events
+
+    rows = [
+        # user 1: a b c a b c  → abc ×2, bca ×1, cab ×1
+        *[(1, datetime(2024, 1, 1, 0, i), t, i)
+          for i, t in enumerate("abcabc")],
+        # user 2: a b c → abc ×1
+        *[(2, datetime(2024, 1, 1, 1, i), t, 10 + i)
+          for i, t in enumerate("abc")],
+        # NULL state rows are dropped before gram construction
+        (1, datetime(2024, 1, 1, 2, 0), None, 99),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+    )
+    out = {
+        (r["step_1"], r["step_2"], r["step_3"]): (r["n_occurrences"], r["n_keys"])
+        for r in events.frequent_sequences(
+            df, "ts", "user_id", "event_type", k=3,
+            tiebreak_col="event_id", min_count=1,
+        ).collect()
+    }
+    assert out[("a", "b", "c")] == (3, 2)
+    assert out[("b", "c", "a")] == (1, 1)
+    assert out[("c", "a", "b")] == (1, 1)
+    assert len(out) == 3
+
+    # min_count filters rare grams
+    filtered = events.frequent_sequences(
+        df, "ts", "user_id", "event_type", k=3,
+        tiebreak_col="event_id", min_count=2,
+    ).collect()
+    assert len(filtered) == 1
+
+    with pytest.raises(ValueError):
+        events.frequent_sequences(df, "ts", "user_id", "event_type", k=1)

@@ -96,6 +96,18 @@ CHECKS = [
         [(r"CartesianProduct", "banding join is an equi join, never a cross product")],
     ),
     (
+        "cramers_v_events",
+        [(r"Functions \[\d+\]: \[partial_", "cell counts partial-aggregate map-side"),
+         (r"BroadcastHashJoin|BroadcastNestedLoopJoin", "marginals/totals broadcast (1-row/cells-sized)")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
+        "frequent_sequences_events",
+        [(r"Functions \[\d+\]: \[partial_", "gram counts partial-aggregate map-side")],
+        [(r"Exchange SinglePartition.*\n.*Window|Window.*global", "leads window is per-key, never global"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "temporal_split_events",
         [(r"ReadSchema: struct<event_id", "scan prunes to referenced columns")],
         [(r"Exchange", "pure map-only assignment — no shuffle at all"),

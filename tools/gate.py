@@ -104,7 +104,8 @@ EXACT_FAMILY = [
     "join_cardinality_lineitem_partkey",
     # round-8 additions touching timestamps or claiming losslessness
     "temporal_split_events", "prefix_jaccard_docs",
-    "tpch_q5_local_supplier_volume",
+    "tpch_q5_local_supplier_volume", "frequent_sequences_events",
+    "cramers_v_events",
 ]
 
 
