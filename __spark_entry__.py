@@ -7105,6 +7105,40 @@ def q_gini_by_priority(spark, sf_dir):
 
 
 @_q(
+    "pareto_front_orders",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+    FROM orders r
+    WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+      AND o_orderpriority IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM orders s
+        WHERE s.o_orderpriority = r.o_orderpriority
+          AND s.o_totalprice IS NOT NULL AND s.o_orderdate IS NOT NULL
+          AND s.o_totalprice >= r.o_totalprice
+          AND s.o_orderdate <= r.o_orderdate
+          AND (s.o_totalprice > r.o_totalprice
+               OR s.o_orderdate < r.o_orderdate)
+      )
+    """,
+)
+def q_pareto_front_orders(spark, sf_dir):
+    # biggest-and-earliest skyline per priority: the Spark plan is
+    # aggregate + per-group running-best + equi join (no arithmetic,
+    # pure comparisons); the oracle is the O(n²) NOT EXISTS dominance
+    # definition — agreement proves the decomposition
+    from bubbles_spark.ops import insights
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    return insights.pareto_front(
+        o, "o_totalprice", "o_orderdate", "o_orderpriority",
+        directions=("max", "min"),
+    )
+
+
+@_q(
     "mix_shift_events_value",
     """
     WITH t AS (SELECT event_type AS key,

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "temporal_split_events",
     "frequent_sequences_events",
     "cramers_v_events",
+    "pareto_front_orders",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

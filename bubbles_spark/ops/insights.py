@@ -34,6 +34,7 @@ __all__ = [
     "theil_sen",
     "mix_shift_report",
     "gini_by",
+    "pareto_front",
 ]
 
 
@@ -684,3 +685,74 @@ def gini_by(
         w2 / (n * s) - (n + F.lit(1.0)) / n,
     )
     return agg.select(group_col, "n_rows", gini.alias("gini"))
+
+
+def pareto_front(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+    directions: Sequence[str] = ("max", "max"),
+) -> DataFrame:
+    """2-objective Pareto front (skyline) per group: keep every row
+    no other row in its group dominates — ``s`` dominates ``r`` when
+    ``s`` is at least as good on both objectives and strictly better
+    on one (the classic skyline-operator definition, Börzsönyi et
+    al. 2001, public).  The "best trade-offs" primitive: cheapest-
+    vs-freshest supplier, biggest-vs-earliest order, quality-vs-cost
+    config sweeps.  Ties on BOTH objectives are mutually
+    non-dominating and all kept; rows with a NULL objective are
+    dropped (no order against NULL).
+
+    Exactness: NO arithmetic at all — only native-type comparisons
+    and per-key max/min aggregates, so any engine reproduces the
+    front bit-for-bit.
+
+    Scale shape: aggregate to one row per (group, x) with the best y
+    (a giant group collapses to its distinct x values, map-side
+    combined), take the running best over strictly-better x with an
+    unbounded-preceding ROWS frame on that aggregate (safe because
+    the aggregate has ONE row per x), broadcast-join the per-x
+    verdicts back.  Dominance test: dominated ⇔ best-y-over-better-x
+    beats-or-ties y, OR best-y-at-equal-x strictly beats y.
+
+    Output: the input rows of the front, original columns."""
+    for d in directions:
+        if d not in ("max", "min"):
+            raise ValueError(f"directions must be max/min, got {d!r}")
+    if len(directions) != 2:
+        raise ValueError("directions must have exactly two entries")
+    x_max, y_max = directions[0] == "max", directions[1] == "max"
+    x, y = F.col(x_col), F.col(y_col)
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    gcols = [group_col] if group_col else []
+    if group_col:
+        # a NULL group has no dominance order against anything — drop
+        # explicitly (the equi joins below would drop it silently)
+        base = base.filter(F.col(group_col).isNotNull())
+    best_y = (F.max(y) if y_max else F.min(y)).alias("__gy")
+    per_x = base.groupBy(*gcols, x_col).agg(best_y)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(x_col).desc() if x_max else F.col(x_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_best = (F.max("__gy") if y_max else F.min("__gy")).over(w)
+    verdicts = per_x.withColumn("__mgt", run_best)
+    # the best-x row's frame is empty → __mgt NULL → the comparison
+    # would be NULL and ~NULL drops the row; an empty better-x set
+    # means "not dominated from above", i.e. false
+    if y_max:
+        beaten = F.coalesce(F.col("__mgt") >= y, F.lit(False))
+        dominated = beaten | (F.col("__gy") > y)
+    else:
+        beaten = F.coalesce(F.col("__mgt") <= y, F.lit(False))
+        dominated = beaten | (F.col("__gy") < y)
+    # no broadcast hint: the per-x verdict table is distinct-x-sized
+    # (data-sized for continuous x) — a plain equi join lets AQE pick
+    # broadcast only when the aggregate actually collapsed
+    return (
+        base.join(verdicts, gcols + [x_col])
+        .filter(~dominated)
+        .drop("__gy", "__mgt")
+    )

@@ -495,3 +495,35 @@ def test_gini_by_known_values(spark):
     # mix: sorted 1,2,2,3 -> W = 1+4+6+12 = 23; G = 46/(4*8) - 5/4
     assert abs(got["mix"]["gini"] - (46.0 / 32.0 - 1.25)) < 1e-12
     assert got["mix"]["n_rows"] == 4
+
+
+def test_pareto_front_dominance_and_ties(spark):
+    from bubbles_spark.ops.insights import pareto_front
+
+    rows = [
+        ("g", 1, 10), ("g", 2, 9), ("g", 3, 9), ("g", 3, 5), ("g", 2, 9),
+        ("g", 1, 11), ("h", 5, 5), ("h", 5, 5), ("h", 4, 6), ("h", 6, 1),
+        ("g", None, 99), ("g", 99, None), (None, 9, 9),
+    ]
+    df = spark.createDataFrame(rows, "grp string, x int, y int")
+
+    # max/max: brute-force skyline per group
+    out = sorted((r.grp, r.x, r.y)
+                 for r in pareto_front(df, "x", "y", "grp").collect())
+    assert out == [("g", 1, 11), ("g", 3, 9),
+                   ("h", 4, 6), ("h", 5, 5), ("h", 5, 5), ("h", 6, 1)]
+
+    # min/min flips every comparison; exact ties both survive
+    out2 = sorted((r.grp, r.x, r.y)
+                  for r in pareto_front(
+                      df, "x", "y", "grp", directions=("min", "min")
+                  ).collect())
+    assert out2 == [("g", 1, 10), ("g", 2, 9), ("g", 2, 9), ("g", 3, 5),
+                    ("h", 4, 6), ("h", 5, 5), ("h", 5, 5), ("h", 6, 1)]
+
+    # global mode (no group) and direction validation
+    out3 = sorted((r.x, r.y) for r in
+                  pareto_front(df.filter("grp = 'h'"), "x", "y").collect())
+    assert out3 == [(4, 6), (5, 5), (5, 5), (6, 1)]
+    with pytest.raises(ValueError):
+        pareto_front(df, "x", "y", directions=("max", "up"))

@@ -96,6 +96,13 @@ CHECKS = [
         [(r"CartesianProduct", "banding join is an equi join, never a cross product")],
     ),
     (
+        "pareto_front_orders",
+        [(r"Functions \[\d+\]: \[partial_", "per-x best-y partial-aggregates map-side"),
+         (r"\bWindow\b", "running best over the per-x aggregate, grouped")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "verdict join is an equi join"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "pure comparisons, no Python")],
+    ),
+    (
         "cramers_v_events",
         [(r"Functions \[\d+\]: \[partial_", "cell counts partial-aggregate map-side"),
          (r"BroadcastHashJoin|BroadcastNestedLoopJoin", "marginals/totals broadcast (1-row/cells-sized)")],
