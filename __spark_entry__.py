@@ -1629,6 +1629,37 @@ def q_prefix_jaccard(spark, sf_dir):
     return dedup.prefix_jaccard_pairs(d, n=3, threshold=0.5)
 
 
+@_q(
+    "containment_pairs_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split({_NORM_SQL}, ' ') AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    idx AS (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i FROM t),
+    e AS (SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          FROM idx),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM e a JOIN e b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c / sa.sz, 6) AS containment
+    FROM pairs JOIN sz sa ON sa.doc_id = id_a
+    WHERE c >= CAST(0.8 AS DECIMAL(10,6)) * sa.sz
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    # asymmetric quote/excerpt detection (|A∩B|/|A| >= 0.8): A-prefix
+    # postings join the full inverted index; decimal cross-multiplied
+    # threshold, one IEEE division for the reported ratio
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, n=3, threshold=0.8)
+
+
 # minhash / simhash pairs: xxhash64 is not reproducible in DuckDB →
 # rows-only driver check; exactness is covered by pytest fixtures.
 @_q("minhash_dedup_pairs")

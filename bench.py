@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "simhash_dedup_pairs",
     "ngram_jaccard_unigram",
     "prefix_jaccard_docs",
+    "containment_pairs_docs",
     "token_count",
     "quality_score",
     "lang_id",

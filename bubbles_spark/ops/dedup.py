@@ -742,6 +742,32 @@ def ngram_jaccard_pairs(
     )
 
 
+def _ordered_token_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared prefix-filter scaffolding: the exploded (``__id``,
+    ``__g``) shingle postings and the per-doc table (``__id``,
+    ``__toks`` sorted rarest-first by (global df, shingle), ``__sz``).
+    The rarest-first TOTAL order is what makes a set's prefix its
+    best candidate filter (SSJoin family)."""
+    tok = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("__id"), F.explode("shingles").alias("__g")
+    )
+    freq = tok.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    docs = (
+        tok.join(freq, "__g")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__df", "__g"))),
+                lambda s: s["__g"],
+            ).alias("__toks"),
+            F.count(F.lit(1)).alias("__sz"),
+        )
+    )
+    return tok, docs
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -786,23 +812,9 @@ def prefix_jaccard_pairs(
     from decimal import Decimal
 
     dt = F.lit(Decimal(str(threshold)))
-    tok = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("__id"), F.explode("shingles").alias("__g")
-    )
-    freq = tok.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    docs = (
-        tok.join(freq, "__g")
-        .groupBy("__id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("__df", "__g"))),
-                lambda s: s["__g"],
-            ).alias("__toks"),
-            F.count(F.lit(1)).alias("__sz"),
-        )
-        .withColumn(
-            "__p", F.col("__sz") - F.ceil(dt * F.col("__sz")) + F.lit(1)
-        )
+    tok, docs = _ordered_token_sets(df, id_col, text_col, n)
+    docs = docs.withColumn(
+        "__p", F.col("__sz") - F.ceil(dt * F.col("__sz")) + F.lit(1)
     )
     pref = docs.select(
         "__id", "__sz", F.explode(F.slice("__toks", 1, F.col("__p"))).alias("__g")
@@ -839,6 +851,81 @@ def prefix_jaccard_pairs(
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT asymmetric containment join — find documents whose
+    shingle set is ≥ ``threshold`` CONTAINED in another document's
+    (``|A∩B| / |A| ≥ t``): the quote / excerpt / subset-duplicate
+    detector that symmetric Jaccard misses (a paragraph quoted inside
+    a long page has tiny Jaccard but containment ≈ 1).  Same prefix-
+    filtering principle as ``prefix_jaccard_pairs``, asymmetric form
+    (Chaudhuri et al.'s SSJoin overlap predicate, public): an A with
+    containment ≥ t must share a token from its own
+    ``|A| − ⌈t·|A|⌉ + 1`` rarest-first prefix with B's FULL set, so
+    A-prefix postings join the full inverted index — candidate
+    buckets again bounded by rare-token document frequency, and the
+    join carries a ``|B| ≥ ⌈t·|A|⌉`` size guard (containment needs
+    that much overlap to exist).  LOSSLESS for the threshold.
+
+    Exactness: sizes/intersections exact BIGINTs; the threshold test
+    is a DECIMAL cross-multiplication (never ``count ≥ t·size`` in
+    floats); containment is ONE IEEE division rounded to 6.
+
+    Returns (id_a, id_b, containment): id_a's set is ≥ t inside
+    id_b's, id_a ≠ id_b.  Both directions of a mutual pair emit."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from decimal import Decimal
+
+    dt = F.lit(Decimal(str(threshold)))
+    tok, docs = _ordered_token_sets(df, id_col, text_col, n)
+    pa = docs.withColumn(
+        "__p", F.col("__sz") - F.ceil(dt * F.col("__sz")) + F.lit(1)
+    ).select(
+        F.col("__id").alias("id_a"),
+        F.col("__sz").alias("__sza"),
+        F.explode(F.slice("__toks", 1, F.col("__p"))).alias("__g"),
+    )
+    sizes_b = docs.select(
+        F.col("__id").alias("id_b"), F.col("__sz").alias("__szb")
+    )
+    postings = tok.select(F.col("__id").alias("id_b"), "__g").join(
+        sizes_b, "id_b"
+    )
+    cand = (
+        pa.join(
+            postings,
+            (pa["__g"] == postings["__g"])
+            & (F.col("id_a") != F.col("id_b"))
+            & (F.col("__szb") >= F.ceil(dt * F.col("__sza"))),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        F.col("__sz").alias("__sza"),
+    )
+    db = docs.select(F.col("__id").alias("id_b"), F.col("__toks").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("bigint")
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(inter >= dt * F.col("__sza"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.col("__sza"), 6).alias("containment"),
+        )
     )
 
 

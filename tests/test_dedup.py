@@ -663,3 +663,42 @@ def test_prefix_jaccard_lossless_vs_uncapped_index(docs):
 def test_prefix_jaccard_threshold_validation(docs):
     with pytest.raises(ValueError):
         dedup.prefix_jaccard_pairs(docs, threshold=0.0)
+
+
+def test_containment_pairs_matches_bruteforce(docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for t in (0.5, 0.8, 1.0):
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dedup.containment_pairs(
+                docs, n=1, threshold=t
+            ).collect()
+        }
+        want = {}
+        for a in sorted(texts):
+            for b in sorted(texts):
+                if a == b:
+                    continue
+                sa, sb = _py_shingles(texts[a], 1), _py_shingles(texts[b], 1)
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter >= t * len(sa):
+                    want[(a, b)] = round(inter / len(sa), 6)
+        assert got == want, t
+
+
+def test_containment_asymmetry(spark):
+    # a short quote inside a long doc: high containment one way,
+    # low the other — and low symmetric jaccard
+    quote = "alpha beta gamma"
+    page = "alpha beta gamma " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, page)], "doc_id long, text string"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, n=1, threshold=0.9).collect()
+    }
+    assert out == {(1, 2): 1.0}
+    assert not dedup.prefix_jaccard_pairs(df, n=1, threshold=0.5).collect()

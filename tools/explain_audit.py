@@ -115,6 +115,12 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
+        "containment_pairs_docs",
+        [(r"Functions \[\d+\]: \[partial_", "df/size counts partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "prefix-vs-postings join is an equi join"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "shingles + prefixes are pure codegen, no Python")],
+    ),
+    (
         "temporal_split_events",
         [(r"ReadSchema: struct<event_id", "scan prunes to referenced columns")],
         [(r"Exchange", "pure map-only assignment — no shuffle at all"),

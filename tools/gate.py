@@ -105,7 +105,7 @@ EXACT_FAMILY = [
     # round-8 additions touching timestamps or claiming losslessness
     "temporal_split_events", "prefix_jaccard_docs",
     "tpch_q5_local_supplier_volume", "frequent_sequences_events",
-    "cramers_v_events", "pareto_front_orders",
+    "cramers_v_events", "pareto_front_orders", "containment_pairs_docs",
 ]
 
 

@@ -191,6 +191,11 @@ def main() -> int:
             "doc_id",
             lambda d: dedup.prefix_jaccard_pairs(d, n=3, threshold=0.5),
         ),
+        "containment_pairs": (
+            docs,
+            "doc_id",
+            lambda d: dedup.containment_pairs(d, n=3, threshold=0.8),
+        ),
         "tf_idf": (docs, "doc_id", lambda d: textan.tf_idf(d)),
         "duplicated_spans": (
             docs,
