@@ -9171,6 +9171,140 @@ def q_cramers_v_events(spark, sf_dir):
 
 
 @_q(
+    "classification_report_orders",
+    """
+    WITH t AS (
+      SELECT o_orderstatus AS l,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'F'
+                  WHEN o_orderkey % 3 = 1 THEN 'O'
+                  ELSE 'P' END AS p
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL
+    ),
+    pairs AS (SELECT l, p, COUNT(*) AS n FROM t GROUP BY 1, 2),
+    classes AS (SELECT DISTINCT l AS class FROM pairs
+                UNION SELECT DISTINCT p FROM pairs),
+    tp AS (SELECT l AS class, n AS tp FROM pairs WHERE l = p),
+    lt AS (SELECT l AS class, SUM(n) AS support FROM pairs GROUP BY 1),
+    pt AS (SELECT p AS class, SUM(n) AS predicted FROM pairs GROUP BY 1),
+    base AS (
+      SELECT classes.class,
+             CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(lt.support, 0) AS BIGINT) AS support,
+             CAST(COALESCE(pt.predicted, 0) AS BIGINT) AS predicted
+      FROM classes
+      LEFT JOIN tp USING (class)
+      LEFT JOIN lt USING (class)
+      LEFT JOIN pt USING (class)
+    ),
+    pr AS (
+      SELECT *,
+             CASE WHEN predicted > 0
+                  THEN CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) END AS p,
+             CASE WHEN support > 0
+                  THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS r
+      FROM base
+    )
+    SELECT class, tp,
+           CAST(predicted - tp AS BIGINT) AS fp,
+           CAST(support - tp AS BIGINT) AS fn,
+           support, predicted,
+           p AS precision, r AS recall,
+           CASE WHEN p IS NOT NULL AND r IS NOT NULL
+                THEN CASE WHEN p + r > 0
+                          THEN CAST(2 AS DOUBLE) * p * r / (p + r)
+                          ELSE CAST(0 AS DOUBLE) END
+           END AS f1
+    FROM pr
+    """,
+)
+def q_classification_report_orders(spark, sf_dir):
+    # classifier eval vs a deterministic rule predictor: confusion
+    # counts are exact BIGINTs from the classes²-sized pair table;
+    # precision/recall one IEEE division each, F1 the fixed harmonic
+    from bubbles_spark.ops import drift
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull()
+    )
+    t = o.select(
+        F.col("o_orderstatus").alias("label"),
+        F.when(F.col("o_orderkey") % 3 == 0, "F")
+        .when(F.col("o_orderkey") % 3 == 1, "O")
+        .otherwise("P")
+        .alias("pred"),
+    )
+    return drift.classification_report(t, "label", "pred")
+
+
+@_q(
+    "retrieval_metrics_events",
+    """
+    WITH b AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    terms AS (SELECT i AS rn, CAST(ROUND(1e9 / log2(i + 1)) AS BIGINT) AS t
+              FROM (SELECT unnest(range(1, 11)) AS i)),
+    ideal AS (
+      SELECT m, (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT)
+                 FROM terms WHERE rn <= m) AS s
+      FROM (SELECT unnest(range(0, 11)) AS m)
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN rn <= 10 AND pos = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos_at_k,
+             MIN(CASE WHEN pos = 1 THEN rn END) AS first_pos,
+             CAST(SUM(CASE WHEN rn <= 10 AND pos = 1 THEN t ELSE 0 END)
+                  AS BIGINT) AS dcg_q
+      FROM b LEFT JOIN terms USING (rn)
+      GROUP BY 1
+    )
+    SELECT user_id, n_candidates, n_pos, pos_at_k,
+           CAST(pos_at_k AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k,
+           CASE WHEN n_pos > 0
+                THEN CAST(pos_at_k AS DOUBLE) / CAST(n_pos AS DOUBLE)
+           END AS recall_at_k,
+           CASE WHEN first_pos IS NOT NULL
+                THEN CAST(1 AS DOUBLE) / CAST(first_pos AS DOUBLE)
+           END AS mrr,
+           CASE WHEN n_pos > 0
+                THEN CAST(dcg_q AS DOUBLE)
+                     / CAST((SELECT s FROM ideal
+                             WHERE m = LEAST(n_pos, 10)) AS DOUBLE)
+           END AS ndcg_at_k
+    FROM agg
+    """,
+)
+def q_retrieval_metrics_events(spark, sf_dir):
+    # ranking eval: treat each user's events as a result list scored
+    # by value with purchases as relevant — nDCG/MRR from a driver-
+    # computed nano-quantized integer discount table (no per-row
+    # transcendental in either engine)
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    t = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("rel"),
+    )
+    return drift.retrieval_metrics(
+        t, "user_id", "value", "rel", k=10, tiebreak_col="event_id"
+    )
+
+
+@_q(
     "collocations_docs",
     f"""
     WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "frequent_sequences_events",
     "cramers_v_events",
     "pareto_front_orders",
+    "classification_report_orders",
+    "retrieval_metrics_events",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

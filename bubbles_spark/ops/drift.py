@@ -48,6 +48,9 @@ __all__ = [
     "rate_confidence",
     "qq_table",
     "minmax_scale",
+    "cramers_v",
+    "classification_report",
+    "retrieval_metrics",
 ]
 
 
@@ -1496,4 +1499,176 @@ def rate_confidence(
         p.alias("rate"),
         (center - half).alias("wilson_lo"),
         (center + half).alias("wilson_hi"),
+    )
+
+
+def classification_report(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a (label, prediction)
+    table — the classifier-eval staple (sklearn's report of the same
+    name, computed distributed and exactly).  Rows with a NULL label
+    or prediction are dropped.
+
+    Exactness: the confusion counts are exact BIGINTs aggregated from
+    the classes²-bounded (label, pred) pair table; precision/recall
+    are ONE IEEE division each of exact operands and F1 is the fixed
+    two-step harmonic mean of those doubles — bit-reproducible.
+    A class never predicted gets NULL precision (0/0), a class with
+    no true rows gets NULL recall, and F1 is NULL when either side
+    is NULL (0 when both sides are 0).
+
+    Scale: one map-side-combined pair count; everything after is
+    classes-sized.  Output: class, tp, fp, fn, support, predicted,
+    precision, recall, f1."""
+    pairs = (
+        df.filter(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    classes = (
+        pairs.select(F.col("__l").alias("class"))
+        .unionByName(pairs.select(F.col("__p").alias("class")))
+        .distinct()
+    )
+    tp = pairs.filter(F.col("__l") == F.col("__p")).select(
+        F.col("__l").alias("class"), F.col("__n").alias("tp")
+    )
+    label_tot = pairs.groupBy(F.col("__l").alias("class")).agg(
+        F.sum("__n").alias("support")
+    )
+    pred_tot = pairs.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__n").alias("predicted")
+    )
+    base = (
+        classes.join(F.broadcast(tp), "class", "left")
+        .join(F.broadcast(label_tot), "class", "left")
+        .join(F.broadcast(pred_tot), "class", "left")
+        .select(
+            "class",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+            F.coalesce("predicted", F.lit(0)).cast("bigint").alias("predicted"),
+        )
+    )
+    p = F.when(
+        F.col("predicted") > 0,
+        F.col("tp").cast("double") / F.col("predicted").cast("double"),
+    )
+    r = F.when(
+        F.col("support") > 0,
+        F.col("tp").cast("double") / F.col("support").cast("double"),
+    )
+    f1 = F.when(
+        p.isNotNull() & r.isNotNull(),
+        F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)).otherwise(F.lit(0.0)),
+    )
+    return base.select(
+        "class",
+        "tp",
+        (F.col("predicted") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("bigint").alias("fn"),
+        "support",
+        "predicted",
+        p.alias("precision"),
+        r.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+def retrieval_metrics(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-query ranking metrics at cutoff ``k`` — nDCG@k, MRR,
+    precision@k, recall@k — over a (query, candidate score, 0/1
+    relevance) table: the retrieval / reranker / ANN-recall eval
+    battery (Järvelin & Kekäläinen's DCG, public).  Candidates rank
+    per query by score DESC under a TOTAL order (``tiebreak_col``
+    required when scores can tie, or ranks would be run-dependent).
+
+    Exactness: the 1/log2(rank+1) discount table for ranks 1..k is
+    computed ONCE driver-side, quantized to nano-unit INTEGERS, and
+    baked into the plan as a map literal — so DCG and ideal-DCG are
+    exact integer sums (order-free), nDCG is one IEEE division of the
+    two integers, and MRR / precision / recall are single divisions
+    of exact counts.  No per-row transcendental in either engine.
+
+    Scale: one hash shuffle on the query key for the rank window
+    (per-query candidate lists sort within partitions), then one
+    map-side-combined aggregate; the discount map is O(k) literals.
+    Output: group_col, n_candidates, n_pos, pos_at_k, precision_at_k,
+    recall_at_k, mrr, ndcg_at_k (NULL when the query has no
+    positives)."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = [round(1e9 / math.log2(i + 1)) for i in range(1, k + 1)]
+    ideal = [0]
+    for t in terms:
+        ideal.append(ideal[-1] + t)
+    term_map = F.create_map(
+        *[F.lit(x) for i, t in enumerate(terms, 1) for x in (i, t)]
+    )
+    ideal_map = F.create_map(
+        *[F.lit(x) for m, s in enumerate(ideal) for x in (m, s)]
+    )
+    order = [F.col(score_col).desc()] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    lab = F.col(label_col).cast("int")
+    base = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__pos", (lab == 1).cast("int"))
+    )
+    agg = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("__pos").cast("bigint").alias("n_pos"),
+        F.sum(
+            F.when((F.col("__rn") <= k) & (F.col("__pos") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pos_at_k"),
+        F.min(F.when(F.col("__pos") == 1, F.col("__rn"))).alias("__first"),
+        F.sum(
+            F.when(
+                (F.col("__rn") <= k) & (F.col("__pos") == 1),
+                term_map[F.col("__rn")],
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("__dcg_q"),
+    )
+    idcg_q = ideal_map[F.least(F.col("n_pos"), F.lit(k)).cast("int")]
+    return agg.select(
+        group_col,
+        "n_candidates",
+        "n_pos",
+        "pos_at_k",
+        (F.col("pos_at_k").cast("double") / F.lit(float(k))).alias(
+            "precision_at_k"
+        ),
+        F.when(
+            F.col("n_pos") > 0,
+            F.col("pos_at_k").cast("double") / F.col("n_pos").cast("double"),
+        ).alias("recall_at_k"),
+        F.when(
+            F.col("__first").isNotNull(),
+            F.lit(1.0) / F.col("__first").cast("double"),
+        ).alias("mrr"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.col("__dcg_q").cast("double") / idcg_q.cast("double"),
+        ).alias("ndcg_at_k"),
     )

@@ -910,3 +910,42 @@ def test_cramers_v_perfect_and_independent(spark):
     )
     row = drift.cramers_v(single, "r", "c").collect()[0]
     assert row["cramers_v"] is None
+
+
+def test_classification_report_known_confusion(spark):
+    # labels: a a a b b c ; preds: a b a b b a
+    rows = [("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "b"),
+            ("c", "a"), ("a", None), (None, "b")]
+    df = spark.createDataFrame(rows, "label string, pred string")
+    out = {r["class"]: r for r in
+           drift.classification_report(df, "label", "pred").collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["tp"], a["fp"], a["fn"], a["support"]) == (2, 1, 1, 3)
+    assert a["precision"] == 2 / 3 and a["recall"] == 2 / 3
+    assert a["f1"] == pytest.approx(2 / 3)
+    assert (b["tp"], b["fp"], b["fn"]) == (2, 1, 0)
+    assert b["recall"] == 1.0
+    # c never predicted: precision NULL, recall 0, f1 NULL
+    assert c["precision"] is None and c["recall"] == 0.0 and c["f1"] is None
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    # one query, 5 candidates scored 5..1, relevant at ranks 1 and 3
+    rows = [(1, i, 6 - i, 1 if i in (1, 3) else 0) for i in range(1, 6)]
+    # second query with no positives
+    rows += [(2, i, 6 - i, 0) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "q long, cand long, score int, rel int")
+    out = {r["q"]: r for r in drift.retrieval_metrics(
+        df, "q", "score", "rel", k=2, tiebreak_col="cand").collect()}
+    r1 = out[1]
+    assert r1["n_pos"] == 2 and r1["pos_at_k"] == 1
+    assert r1["precision_at_k"] == 0.5 and r1["recall_at_k"] == 0.5
+    assert r1["mrr"] == 1.0
+    t1, t2 = round(1e9 / math.log2(2)), round(1e9 / math.log2(3))
+    assert r1["ndcg_at_k"] == t1 / (t1 + t2)
+    r2 = out[2]
+    assert r2["n_pos"] == 0
+    assert r2["recall_at_k"] is None and r2["mrr"] is None
+    assert r2["ndcg_at_k"] is None and r2["precision_at_k"] == 0.0

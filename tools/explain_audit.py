@@ -103,6 +103,18 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython)", "pure comparisons, no Python")],
     ),
     (
+        "classification_report_orders",
+        [(r"Functions \[\d+\]: \[partial_", "pair counts partial-aggregate map-side"),
+         (r"BroadcastHashJoin", "classes-sized marginal tables broadcast")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
+        "retrieval_metrics_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-query aggregate partial map-side")],
+        [(r"Exchange SinglePartition", "rank window is per-query, never global"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "discount map is literals, no Python")],
+    ),
+    (
         "cramers_v_events",
         [(r"Functions \[\d+\]: \[partial_", "cell counts partial-aggregate map-side"),
          (r"BroadcastHashJoin|BroadcastNestedLoopJoin", "marginals/totals broadcast (1-row/cells-sized)")],

@@ -106,6 +106,7 @@ EXACT_FAMILY = [
     "temporal_split_events", "prefix_jaccard_docs",
     "tpch_q5_local_supplier_volume", "frequent_sequences_events",
     "cramers_v_events", "pareto_front_orders", "containment_pairs_docs",
+    "classification_report_orders", "retrieval_metrics_events",
 ]
 
 
