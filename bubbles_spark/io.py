@@ -672,6 +672,66 @@ class MongoStore(DataStore):
         )
 
 
+class FixedWidthStore(DataStore):
+    """Fixed-width text source — the mainframe-export / COBOL-extract
+    format the reference's CSV machinery can't slice (beyond-reference
+    §2.1 surface).  ``colspecs`` maps each field to a 0-based
+    half-open CHARACTER range: ``[("id", 0, 6), ("name", 6, 26)]``.
+
+    Scale shape: ``spark.read.text`` splits by newlines like any text
+    source (splittable, partition-parallel), and every field is one
+    codegen'd ``substring`` + ``trim`` + optional cast — map-only, no
+    Python.  Offsets count CHARACTERS (Spark substring semantics);
+    byte-oriented encodings with multibyte characters need a byte
+    schema upstream.  ``fields`` (name → Spark type string) casts
+    with ``try_cast`` so a malformed row yields NULLs, not an ANSI
+    abort mid-scan."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        colspecs: Sequence[tuple],
+        fields: dict | None = None,
+        skip_blank: bool = True,
+        trim: bool = True,
+    ):
+        if not colspecs:
+            raise ValueError("colspecs must list at least one field")
+        for name, start, end in colspecs:
+            if not (0 <= start < end):
+                raise ValueError(
+                    f"colspec {name!r}: need 0 <= start < end, "
+                    f"got [{start}, {end})"
+                )
+        self.spark = spark
+        self.path = path
+        self.colspecs = list(colspecs)
+        self.fields = dict(fields or {})
+        self.skip_blank = skip_blank
+        self.trim = trim
+
+    def objects(self) -> list[str]:
+        return [os.path.splitext(os.path.basename(self.path))[0]]
+
+    def get_object(self, name: str | None = None) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        raw = self.spark.read.text(self.path)
+        if self.skip_blank:
+            raw = raw.filter(F.trim(F.col("value")) != "")
+        cols = []
+        for cname, start, end in self.colspecs:
+            c = F.substring(F.col("value"), start + 1, end - start)
+            if self.trim:
+                c = F.trim(c)
+            typ = self.fields.get(cname)
+            if typ:
+                c = c.try_cast(typ)
+            cols.append(c.alias(cname))
+        return raw.select(*cols)
+
+
 class DataPackageStore(DataStore):
     """Frictionless Data Package source (bubbles/datapackage.py — S8):
     a ``datapackage.json`` descriptor whose resources become objects.
@@ -746,6 +806,7 @@ _STORE_TYPES = {
     "sql": JDBCStore,
     "jdbc": JDBCStore,
     "xls": XLSStore,
+    "fixed_width": FixedWidthStore,
     "mongo": MongoStore,
     "datapackage": DataPackageStore,
 }

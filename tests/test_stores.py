@@ -424,3 +424,37 @@ def test_orc_store_roundtrip_and_pushdown(spark, tmp_path):
     # predicate pushdown reaches the ORC scan (same contract as parquet)
     plan = back.filter("id < 3")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "id" in plan
+
+
+def test_fixed_width_store(spark, tmp_path):
+    from bubbles_spark.io import FixedWidthStore, open_store
+
+    p = tmp_path / "ledger.txt"
+    p.write_text(
+        "000001Widget A            0001999\n"
+        "000002Gadget              0025000\n"
+        "\n"
+        "00000XBroken              notanum\n"
+    )
+    store = FixedWidthStore(
+        spark,
+        str(p),
+        colspecs=[("id", 0, 6), ("name", 6, 26), ("cents", 26, 33)],
+        fields={"id": "long", "cents": "long"},
+    )
+    rows = {r["id"]: r for r in store.get_object().collect()}
+    assert rows[1]["name"] == "Widget A" and rows[1]["cents"] == 1999
+    assert rows[2]["cents"] == 25000
+    # malformed row: try_cast yields NULLs instead of an ANSI abort
+    assert None in rows and rows[None]["cents"] is None
+    assert len(rows) == 3  # blank line skipped
+
+    via_factory = open_store(
+        "fixed_width", spark, path=str(p),
+        colspecs=[("id", 0, 6)], fields={"id": "long"},
+    )
+    assert via_factory.get_object().count() == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        FixedWidthStore(spark, str(p), colspecs=[("bad", 5, 5)])
