@@ -9305,6 +9305,60 @@ def q_retrieval_metrics_events(spark, sf_dir):
 
 
 @_q(
+    "bootstrap_ci_events_value",
+    """
+    WITH base AS (
+      SELECT CAST(event_id AS VARCHAR) AS k, CAST(value AS DECIMAL(18,4)) AS v
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    reps AS (
+      SELECT b.b, k, v,
+             CAST(('0x' || substr(md5('42|' || CAST(b.b AS VARCHAR) || '|' || k),
+                                  1, 8)) AS BIGINT) AS h
+      FROM base CROSS JOIN (SELECT unnest(range(1, 101)) AS b) b
+    ),
+    withm AS (
+      SELECT b, v,
+             (CASE WHEN h >= 1580030168 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 3160060337 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 3950075421 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4213413783 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4279248373 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4292415291 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4294609777 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4294923276 THEN 1 ELSE 0 END) AS m
+      FROM reps
+    ),
+    means AS (
+      SELECT b, CAST(SUM(m * v) AS DOUBLE) / CAST(SUM(m) AS DOUBLE) AS mean
+      FROM withm GROUP BY b HAVING SUM(m) > 0
+    ),
+    eff AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_effective FROM means),
+    lo AS (SELECT mean AS ci_lo FROM means ORDER BY mean, b LIMIT 1 OFFSET 2),
+    hi AS (SELECT mean AS ci_hi FROM means ORDER BY mean DESC, b LIMIT 1 OFFSET 2),
+    o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+          FROM base)
+    SELECT n_rows, CAST(100 AS BIGINT) AS n_boot, n_effective,
+           o.mean, ci_lo, ci_hi, CAST(0.95 AS DOUBLE) AS level
+    FROM o CROSS JOIN eff CROSS JOIN lo CROSS JOIN hi
+    """,
+)
+def q_bootstrap_ci_events(spark, sf_dir):
+    # deterministic Poisson-bootstrap CI for the mean event value:
+    # multiplicities from integer md5 thresholds (reproducible on any
+    # engine/partitioning), decimal replicate sums, type-1 endpoint
+    # selection via TakeOrdered — k = ceil(0.025·100) = 3 on both
+    # sides, mirrored by the oracle's OFFSET 2
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.bootstrap_ci(
+        e, "value", "event_id", n_boot=100, seed=42, level=0.95
+    )
+
+
+@_q(
     "collocations_docs",
     f"""
     WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "pareto_front_orders",
     "classification_report_orders",
     "retrieval_metrics_events",
+    "bootstrap_ci_events_value",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

@@ -31,6 +31,7 @@ __all__ = [
     "welch_t_test",
     "anova_oneway",
     "mi_report",
+    "bootstrap_ci",
 ]
 
 
@@ -231,4 +232,121 @@ def mi_report(
             (pab * pmi).alias("mi_term"),
         )
         .orderBy("a", "b")
+    )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_boot: int = 200,
+    seed: int = 42,
+    level: float = 0.95,
+    value_decimal: str = "decimal(18,4)",
+    max_mult: int = 8,
+) -> DataFrame:
+    """DETERMINISTIC Poisson bootstrap confidence interval for the
+    mean — the resampling CI that needs no distributional assumption,
+    made reproducible and engine-portable: replicate ``b``'s
+    multiplicity for a row is a pure function of
+    ``md5(seed|b|key)``, so any retry, any partitioning, and any
+    engine reassemble the identical resamples (the classic Poisson
+    bootstrap for distributed data — each row enters replicate b
+    Poisson(1)-many times, no global n needed; Chamandy et al. /
+    Google's large-scale bootstrap line of work, public knowledge).
+
+    Mechanics: the hash's first 8 hex digits form an integer h in
+    [0, 2³²); multiplicity = #{Poisson CDF thresholds ≤ h} with the
+    thresholds ``floor(cdf_i · 2³²)`` computed driver-side as exact
+    INTEGERS — the comparison is pure integer ordering, never a float
+    uniform.  The tail truncates at ``max_mult`` (P ≈ 1e-6 at 8; part
+    of the op's definition, identically on both engines).  Replicate
+    means are exact-decimal sums divided by exact counts (one IEEE
+    division each); the CI endpoints are the type-1
+    ``⌈α·B⌉``-th smallest/largest replicate means selected by
+    TakeOrdered — no global window, no interpolation.
+
+    Cost: the plan materializes rows × n_boot hash evaluations —
+    map-only before one aggregate on the replicate key; size B to the
+    budget.  Empty resamples (possible only for tiny inputs) are
+    dropped from the quantile pool and reported via n_effective.
+
+    Output (one row): n_rows, n_boot, n_effective, mean, ci_lo,
+    ci_hi, level."""
+    import math
+    from decimal import Decimal
+
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    if not 0.0 < level < 1.0:
+        raise ValueError(f"level must be in (0, 1), got {level}")
+    alpha = (1 - Decimal(str(level))) / 2
+    k = int(math.ceil(alpha * n_boot))
+    if k < 1:
+        raise ValueError("level too tight for n_boot: ceil(alpha*B) < 1")
+    # integer thresholds: multiplicity m ⇔ h >= floor(cdf(m-1)·2^32)
+    pmf, cum, thresholds = math.exp(-1.0), 0.0, []
+    for i in range(max_mult):
+        cum += pmf
+        thresholds.append(math.floor(cum * 2**32))
+        pmf /= i + 1
+    v = F.col(value_col).cast(value_decimal)
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(v.alias("__v"), F.col(key_col).cast("string").alias("__k"))
+    reps = base.withColumn(
+        "__b", F.explode(F.sequence(F.lit(1), F.lit(n_boot)))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("__b"), F.col("__k"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    mult = None
+    for t in thresholds:
+        term = (h >= F.lit(t)).cast("int")
+        mult = term if mult is None else mult + term
+    means = (
+        reps.withColumn("__m", mult)
+        .groupBy("__b")
+        .agg(
+            F.sum("__m").cast("bigint").alias("__sw"),
+            F.sum(F.col("__m") * F.col("__v")).alias("__swv"),
+        )
+        .filter(F.col("__sw") > 0)
+        .select(
+            "__b",
+            (
+                F.col("__swv").cast("double") / F.col("__sw").cast("double")
+            ).alias("__mean"),
+        )
+    )
+    lo = means.orderBy(F.col("__mean").asc(), F.col("__b").asc()).limit(k).agg(
+        F.max("__mean").alias("ci_lo")
+    )
+    hi = means.orderBy(F.col("__mean").desc(), F.col("__b").asc()).limit(k).agg(
+        F.min("__mean").alias("ci_hi")
+    )
+    eff = means.agg(F.count(F.lit(1)).cast("bigint").alias("n_effective"))
+    overall = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+    return (
+        overall.crossJoin(F.broadcast(eff))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_rows",
+            F.lit(n_boot).cast("bigint").alias("n_boot"),
+            "n_effective",
+            "mean",
+            "ci_lo",
+            "ci_hi",
+            F.lit(float(level)).alias("level"),
+        )
     )

@@ -112,3 +112,54 @@ def test_mi_report_pins_ln_columns(spark):
     mi = sum(r["mi_term"] for r in out.values())
     assert mi > 0
     assert out[("y", "q")]["pmi"] == pytest.approx(pmi, rel=1e-15)
+
+
+def test_bootstrap_ci_matches_python_mirror(spark):
+    import hashlib
+    import math
+
+    from bubbles_spark.ops.stattests import bootstrap_ci
+
+    rows = [(i, float(100 + (i * 7) % 50)) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "rid long, v double")
+    B, seed, level = 50, 42, 0.9
+    out = bootstrap_ci(
+        df, "v", "rid", n_boot=B, seed=seed, level=level,
+        value_decimal="decimal(18,1)",
+    ).collect()[0]
+
+    # python mirror of the exact same deterministic construction
+    pmf, cum, ts = math.exp(-1.0), 0.0, []
+    for i in range(8):
+        cum += pmf
+        ts.append(math.floor(cum * 2**32))
+        pmf /= i + 1
+    means = []
+    for b in range(1, B + 1):
+        sw = swv = 0
+        for rid, v in rows:
+            h = int(hashlib.md5(f"{seed}|{b}|{rid}".encode()).hexdigest()[:8], 16)
+            m = sum(1 for t in ts if h >= t)
+            sw += m
+            swv += m * round(v * 10)  # decimal(18,1) in tenths
+        if sw > 0:
+            means.append((swv / 10) / sw)
+    means.sort()
+    k = math.ceil(0.05 * B)  # alpha = (1-0.9)/2
+    assert out["n_rows"] == 40 and out["n_boot"] == B
+    assert out["n_effective"] == len(means)
+    assert out["ci_lo"] == means[k - 1]
+    assert out["ci_hi"] == means[-k]
+    assert out["mean"] == sum(round(v * 10) for _, v in rows) / 10 / 40
+
+    # deterministic under repartitioning
+    out2 = bootstrap_ci(
+        df.repartition(7), "v", "rid", n_boot=B, seed=seed, level=level,
+        value_decimal="decimal(18,1)",
+    ).collect()[0]
+    assert out2 == out
+
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "v", "rid", n_boot=1)
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "v", "rid", level=1.0)

@@ -103,6 +103,12 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython)", "pure comparisons, no Python")],
     ),
     (
+        "bootstrap_ci_events_value",
+        [(r"Functions \[\d+\]: \[partial_", "replicate sums partial-aggregate map-side"),
+         (r"TakeOrderedAndProject", "CI endpoints select via TakeOrdered, no global sort")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "hash multiplicities are codegen, no Python")],
+    ),
+    (
         "classification_report_orders",
         [(r"Functions \[\d+\]: \[partial_", "pair counts partial-aggregate map-side"),
          (r"BroadcastHashJoin", "classes-sized marginal tables broadcast")],
