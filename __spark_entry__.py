@@ -9305,6 +9305,60 @@ def q_retrieval_metrics_events(spark, sf_dir):
 
 
 @_q(
+    "mann_whitney_events",
+    """
+    WITH arms AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa,
+             value AS v
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    pv AS (SELECT v, COUNT(*) AS c, SUM(isa) AS ca FROM arms GROUP BY v),
+    cum AS (SELECT v, c, ca, SUM(c) OVER (ORDER BY v) AS cumv FROM pv),
+    agg AS (
+      SELECT SUM(CAST(ca AS DECIMAL(38,0))
+                 * CAST(2 * cumv - c + 1 AS DECIMAL(38,0))) AS two_r1,
+             CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3
+      FROM cum
+    ),
+    fin AS (
+      SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(n_a AS DOUBLE) AS n1,
+             CAST(n - n_a AS DOUBLE) AS n2,
+             CAST(two_r1 AS DOUBLE) / 2 AS r1,
+             CAST(tie3 AS DOUBLE) AS tied
+      FROM agg
+    )
+    SELECT n_a, n_b,
+           r1 - n1 * (n1 + 1) / 2 AS u_a,
+           n1 * n2 - (r1 - n1 * (n1 + 1) / 2) AS u_b,
+           r1 AS rank_sum_a,
+           n1 * n2 / 2 AS mean_u,
+           CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+                 AND n1 * n2 / 12 * ((nd + 1) - tied / (nd * (nd - 1))) > 0
+                THEN ((r1 - n1 * (n1 + 1) / 2) - n1 * n2 / 2)
+                     / sqrt(n1 * n2 / 12
+                            * ((nd + 1) - tied / (nd * (nd - 1))))
+           END AS z
+    FROM fin
+    """,
+)
+def q_mann_whitney_events(spark, sf_dir):
+    # rank-sum test click vs purchase values: integer arithmetic up
+    # to z (doubled rank sums keep tie half-ranks integral), then a
+    # fixed IEEE sequence with one sqrt — bit-exact cross-engine
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.mann_whitney_u(
+        e, "event_type", "value", "click", "purchase"
+    )
+
+
+@_q(
     "bootstrap_ci_events_value",
     """
     WITH base AS (

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "classification_report_orders",
     "retrieval_metrics_events",
     "bootstrap_ci_events_value",
+    "mann_whitney_events",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

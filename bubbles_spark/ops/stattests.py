@@ -32,6 +32,7 @@ __all__ = [
     "anova_oneway",
     "mi_report",
     "bootstrap_ci",
+    "mann_whitney_u",
 ]
 
 
@@ -348,5 +349,91 @@ def bootstrap_ci(
             "ci_lo",
             "ci_hi",
             F.lit(float(level)).alias("level"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between two named
+    groups — the nonparametric two-sample test for "do these arms
+    differ in location?" when Welch's normality story is doubtful.
+    Average ranks for ties, the standard tie-corrected normal
+    approximation for z (Mann & Whitney 1947, public).
+
+    Exactness: everything until z is INTEGER arithmetic — per-value
+    counts (a giant arm collapses to its distinct values, map-side
+    combined), the combined cumulative via ``drift._grouped_cum_counts``
+    (value-bucketed two-phase, no single-task sort), and the rank sum
+    kept DOUBLED (``2·R1 = Σ c_a·(2·cum − c + 1)``) so tie half-ranks
+    stay integral; DECIMAL(38,0) accumulators (the tie cube Σ(t³−t)
+    overflows BIGINT long before DECIMAL).  U, the mean, the
+    tie-corrected variance, and z are then a fixed IEEE sequence on
+    those exact operands (÷2 is exact in binary; one sqrt, correctly
+    rounded).  Degenerate cases (an empty arm, all values tied) yield
+    NULL z, never Inf/NaN.
+
+    P-values deliberately not emitted (module docstring).
+
+    Output (one row): n_a, n_b, u_a, u_b, rank_sum_a, mean_u, z."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    both = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).cast("int").alias("__isa"),
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__g"),
+    )
+    cum = _grouped_cum_counts(both, "__g", "__v")
+    ca = both.groupBy("__v").agg(F.sum("__isa").alias("__ca"))
+    j = cum.join(ca, "__v")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = j.agg(
+        F.sum(
+            d(F.col("__ca"))
+            * d(F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+        ).alias("__2r1"),
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum(d(F.col("__c")) * F.col("__c") * F.col("__c") - F.col("__c"))
+        .alias("__tie3"),
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    nd = F.col("__n").cast("double")
+    r1 = F.col("__2r1").cast("double") / F.lit(2.0)
+    u1 = r1 - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    mean_u = n1 * n2 / F.lit(2.0)
+    var_u = (
+        n1
+        * n2
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("__tie3").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("__n") > 1)
+        & (var_u > 0),
+        (u1 - mean_u) / F.sqrt(var_u),
+    )
+    return (
+        agg.withColumn("n_b", F.col("__n") - F.col("n_a"))
+        .select(
+            "n_a",
+            F.col("n_b").cast("bigint").alias("n_b"),
+            u1.alias("u_a"),
+            (n1 * n2 - u1).alias("u_b"),
+            r1.alias("rank_sum_a"),
+            mean_u.alias("mean_u"),
+            z.alias("z"),
         )
     )

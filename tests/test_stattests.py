@@ -163,3 +163,28 @@ def test_bootstrap_ci_matches_python_mirror(spark):
         bootstrap_ci(df, "v", "rid", n_boot=1)
     with pytest.raises(ValueError):
         bootstrap_ci(df, "v", "rid", level=1.0)
+
+
+def test_mann_whitney_u_scipy_free_reference(spark):
+    from bubbles_spark.ops.stattests import mann_whitney_u
+
+    # arm a: [1, 2, 2, 5]; arm b: [2, 3, 4]
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+            ("b", 2.0), ("b", 3.0), ("b", 4.0), ("c", 99.0), ("a", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = mann_whitney_u(df, "grp", "v", "a", "b").collect()[0]
+    # hand computation, average ranks over the pooled [1,2,2,2,3,4,5]:
+    # ranks: 1→1; 2,2,2→3 each; 3→5; 4→6; 5→7
+    # R1 = 1 + 3 + 3 + 7 = 14 ; U1 = 14 - 4*5/2 = 4 ; U2 = 4*3 - 4 = 8
+    assert (out["n_a"], out["n_b"]) == (4, 3)
+    assert out["rank_sum_a"] == 14.0
+    assert out["u_a"] == 4.0 and out["u_b"] == 8.0
+    assert out["mean_u"] == 6.0
+    # tie correction: one tie group of 3 → tie3 = 27-3 = 24
+    import math
+    var = 4 * 3 / 12 * ((7 + 1) - 24 / (7 * 6))
+    assert out["z"] == (4.0 - 6.0) / math.sqrt(var)
+
+    # degenerate: one arm empty → NULL z
+    out2 = mann_whitney_u(df, "grp", "v", "a", "missing").collect()[0]
+    assert out2["z"] is None and out2["n_b"] == 0

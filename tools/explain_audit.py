@@ -103,6 +103,11 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython)", "pure comparisons, no Python")],
     ),
     (
+        "mann_whitney_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "bootstrap_ci_events_value",
         [(r"Functions \[\d+\]: \[partial_", "replicate sums partial-aggregate map-side"),
          (r"TakeOrderedAndProject", "CI endpoints select via TakeOrdered, no global sort")],

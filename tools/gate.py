@@ -107,7 +107,7 @@ EXACT_FAMILY = [
     "tpch_q5_local_supplier_volume", "frequent_sequences_events",
     "cramers_v_events", "pareto_front_orders", "containment_pairs_docs",
     "classification_report_orders", "retrieval_metrics_events",
-    "bootstrap_ci_events_value",
+    "bootstrap_ci_events_value", "mann_whitney_events",
 ]
 
 
