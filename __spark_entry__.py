@@ -9305,6 +9305,66 @@ def q_retrieval_metrics_events(spark, sf_dir):
 
 
 @_q(
+    "kruskal_wallis_events",
+    """
+    WITH base AS (
+      SELECT event_type AS grp, value AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ),
+    pv AS (SELECT v, COUNT(*) AS c FROM base GROUP BY v),
+    cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cumv FROM pv),
+    cgv AS (SELECT grp, v, COUNT(*) AS cg FROM base GROUP BY 1, 2),
+    pg AS (
+      SELECT grp,
+             SUM(CAST(cg AS DECIMAL(38,0))
+                 * CAST(2 * cumv - c + 1 AS DECIMAL(38,0))) AS two_rg,
+             CAST(SUM(cg) AS BIGINT) AS ng
+      FROM cgv JOIN cum USING (v) GROUP BY grp
+    ),
+    terms AS (
+      SELECT grp, ng,
+             CAST(ROUND(CAST(two_rg AS DOUBLE) * CAST(two_rg AS DOUBLE)
+                        / (4 * CAST(ng AS DOUBLE)) * 1e6)
+                  AS DECIMAL(38,0)) AS term
+      FROM pg
+    ),
+    ties AS (SELECT SUM(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3
+             FROM cum),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(term) AS s
+      FROM terms
+    ),
+    fin AS (
+      SELECT k, n, CAST(n AS DOUBLE) AS nd,
+             CAST(s AS DOUBLE) / 1e6 AS sd, CAST(tie3 AS DOUBLE) AS tied
+      FROM agg CROSS JOIN ties
+    )
+    SELECT k, n, CAST(k - 1 AS BIGINT) AS df,
+           CASE WHEN k > 1 AND n > 1
+                THEN 12 / (nd * (nd + 1)) * sd - 3 * (nd + 1) END AS h_stat,
+           CASE WHEN k > 1 AND n > 1
+                THEN 1 - tied / (nd * nd * nd - nd) END AS tie_divisor,
+           CASE WHEN k > 1 AND n > 1
+                 AND 1 - tied / (nd * nd * nd - nd) > 0
+                THEN (12 / (nd * (nd + 1)) * sd - 3 * (nd + 1))
+                     / (1 - tied / (nd * nd * nd - nd))
+           END AS h_tied
+    FROM fin
+    """,
+)
+def q_kruskal_wallis_events(spark, sf_dir):
+    # rank-based one-way ANOVA over all five event types: integer
+    # rank machinery, one DECIMAL(38,6)-pinned cross-group sum (the
+    # anova precedent), tie-corrected H
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.kruskal_wallis(e, "event_type", "value")
+
+
+@_q(
     "mann_whitney_events",
     """
     WITH arms AS (

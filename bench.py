@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "retrieval_metrics_events",
     "bootstrap_ci_events_value",
     "mann_whitney_events",
+    "kruskal_wallis_events",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

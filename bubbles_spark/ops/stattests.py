@@ -33,6 +33,7 @@ __all__ = [
     "mi_report",
     "bootstrap_ci",
     "mann_whitney_u",
+    "kruskal_wallis",
 ]
 
 
@@ -436,4 +437,91 @@ def mann_whitney_u(
             mean_u.alias("mean_u"),
             z.alias("z"),
         )
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test across ALL groups of ``group_col`` — the
+    k-group extension of ``mann_whitney_u`` (rank-based one-way
+    ANOVA; Kruskal & Wallis 1952, public), with the standard tie
+    correction.
+
+    Exactness: per-(group, value) counts and the combined per-value
+    cumulative are INTEGER (same machinery as mann_whitney_u — no
+    single-task sort, giant groups collapse to their distinct
+    values); per-group rank sums stay DOUBLED so tie half-ranks are
+    integral.  The one cross-group float sum — Σ_g R_g²/n_g — is
+    pinned to DECIMAL(38,6) before summing (order-free; the
+    ``anova_oneway`` precedent and budget).  H, the tie divisor
+    ``1 − Σ(t³−t)/(N³−N)``, and the corrected statistic are then a
+    fixed IEEE sequence.  Degenerate cases (k < 2, all values tied)
+    yield NULL.
+
+    Output (one row): k, n, df, h_stat, tie_divisor, h_tied."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
+    tagged = base.withColumn("__g", F.lit(0))
+    cum = _grouped_cum_counts(tagged, "__g", "__v").select(
+        "__v", "__c", "__cum"
+    )
+    cgv = base.groupBy("__grp", "__v").agg(
+        F.count(F.lit(1)).alias("__cg")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_group = (
+        cgv.join(cum, "__v")
+        .groupBy("__grp")
+        .agg(
+            F.sum(
+                d(F.col("__cg"))
+                * d(F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+            ).alias("__2rg"),
+            F.sum("__cg").cast("bigint").alias("__ng"),
+        )
+    )
+    two_rg = F.col("__2rg").cast("double")
+    # micro-quantized INTEGER decimal, not CAST(... AS DECIMAL(38,6)):
+    # the term needs ~17 significant digits and fractional-scale
+    # double→decimal conversion diverges 1 ulp between engines there
+    # (measured on this very query); round-to-integer of a shared
+    # IEEE product is identical in both, and an INTEGER decimal →
+    # double cast is the correctly-rounded int conversion both ways
+    term = F.round(
+        (two_rg * two_rg)
+        / (F.lit(4.0) * F.col("__ng").cast("double"))
+        * F.lit(1e6),
+        0,
+    ).cast("decimal(38,0)")
+    ties = cum.agg(
+        F.sum(d(F.col("__c")) * F.col("__c") * F.col("__c") - F.col("__c"))
+        .alias("__tie3")
+    )
+    agg = per_group.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__ng").cast("bigint").alias("n"),
+        F.sum(term).alias("__s"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    sd = F.col("__s").cast("double") / F.lit(1e6)
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0)))
+    ) * sd - F.lit(3.0) * (nd + F.lit(1.0))
+    divisor = F.lit(1.0) - F.col("__tie3").cast("double") / (
+        nd * nd * nd - nd
+    )
+    h_ok = (F.col("k") > 1) & (F.col("n") > 1)
+    return agg.select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.when(h_ok, h).alias("h_stat"),
+        F.when(h_ok, divisor).alias("tie_divisor"),
+        F.when(h_ok & (divisor > 0), h / divisor).alias("h_tied"),
     )

@@ -188,3 +188,29 @@ def test_mann_whitney_u_scipy_free_reference(spark):
     # degenerate: one arm empty → NULL z
     out2 = mann_whitney_u(df, "grp", "v", "a", "missing").collect()[0]
     assert out2["z"] is None and out2["n_b"] == 0
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.stattests import kruskal_wallis
+
+    # groups: a=[1,2,2], b=[2,3], c=[4] — pooled [1,2,2,2,3,4]
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0),
+            ("c", 4.0), (None, 9.0), ("a", None)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = kruskal_wallis(df, "grp", "v").collect()[0]
+    # avg ranks: 1→1; the three 2s→3; 3→5; 4→6
+    # R_a = 1+3+3 = 7; R_b = 3+5 = 8; R_c = 6; N=6
+    S = 7**2 / 3 + 8**2 / 2 + 6**2 / 1
+    # the op quantizes each term to micro-units before the sum
+    Sq = (round(7**2 / 3 * 1e6) + round(8**2 / 2 * 1e6)
+          + round(6**2 / 1 * 1e6)) / 1e6
+    h = 12 / (6 * 7) * Sq - 3 * 7
+    tie3 = 3**3 - 3
+    divisor = 1 - tie3 / (6**3 - 6)
+    assert (out["k"], out["n"], out["df"]) == (3, 6, 2)
+    assert out["h_stat"] == h
+    assert out["tie_divisor"] == divisor
+    assert out["h_tied"] == h / divisor
+    assert abs(S - Sq) < 1e-5  # quantization budget

@@ -103,6 +103,11 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython)", "pure comparisons, no Python")],
     ),
     (
+        "kruskal_wallis_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "mann_whitney_events",
         [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
