@@ -11275,6 +11275,61 @@ def q_welch_t_purchase_vs_view(spark, sf_dir):
 
 
 @_q(
+    "effect_size_purchase_vs_view",
+    f"""
+    WITH s AS ({_MOMENTS_SQL}),
+    a AS (SELECT grp AS group_a, n AS n_a,
+                 (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+                   AS mean_a,
+                 CASE WHEN n > 1 THEN
+                   ((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) / 1000000000000.0 END
+                   AS var_a
+          FROM s WHERE grp = 'purchase'),
+    b AS (SELECT grp AS group_b, n AS n_b,
+                 (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+                   AS mean_b,
+                 CASE WHEN n > 1 THEN
+                   ((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) / 1000000000000.0 END
+                   AS var_b
+          FROM s WHERE grp = 'view'),
+    j AS (SELECT *,
+                 ((CAST(n_a AS DOUBLE) - 1.0) * var_a
+                  + (CAST(n_b AS DOUBLE) - 1.0) * var_b)
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)
+                   AS pooled_var
+          FROM a CROSS JOIN b)
+    SELECT group_a, group_b, n_a, n_b, mean_a, mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND pooled_var > 0
+                THEN SQRT(pooled_var) END AS pooled_sd,
+           CASE WHEN n_a > 1 AND n_b > 1 AND pooled_var > 0
+                THEN (mean_a - mean_b) / SQRT(pooled_var) END AS cohens_d,
+           CASE WHEN n_a > 1 AND n_b > 1 AND pooled_var > 0
+                THEN (mean_a - mean_b) / SQRT(pooled_var)
+                     * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                                            + CAST(n_b AS DOUBLE)) - 9.0))
+           END AS hedges_g
+    FROM j
+    """,
+)
+def q_effect_size_purchase_vs_view(spark, sf_dir):
+    # practical-significance companion to the Welch query: Cohen's d
+    # on the pooled SD + Hedges' g small-sample correction, from the
+    # same exact integer moments
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.effect_size_report(
+        e, "event_type", "value", "purchase", "view"
+    )
+
+
+@_q(
     "anova_value_by_type",
     f"""
     WITH s AS ({_MOMENTS_SQL}),

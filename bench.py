@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "bootstrap_ci_events_value",
     "mann_whitney_events",
     "kruskal_wallis_events",
+    "effect_size_purchase_vs_view",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

@@ -34,6 +34,7 @@ __all__ = [
     "bootstrap_ci",
     "mann_whitney_u",
     "kruskal_wallis",
+    "effect_size_report",
 ]
 
 
@@ -524,4 +525,75 @@ def kruskal_wallis(
         F.when(h_ok, h).alias("h_stat"),
         F.when(h_ok, divisor).alias("tie_divisor"),
         F.when(h_ok & (divisor > 0), h / divisor).alias("h_tied"),
+    )
+
+
+def effect_size_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    scale: int = 6,
+) -> DataFrame:
+    """Standardized effect sizes between two arms — Cohen's d on the
+    pooled SD and the small-sample Hedges' g correction
+    (``g = d·(1 − 3/(4N − 9))``; Cohen 1988 / Hedges 1981, public) —
+    the practical-significance companion to ``welch_t_test``'s
+    statistical significance (a tiny p with d ≈ 0 ships nothing).
+
+    Exactness: built on the same micro-scaled integer moments as
+    welch_t_test, so means/variances are fixed IEEE sequences on
+    exact operands; d adds one pooled-variance expression and one
+    correctly-rounded sqrt.  Arms with n < 2 or zero pooled variance
+    yield NULL d/g.
+
+    Output (one row): group_a, group_b, n_a, n_b, mean_a, mean_b,
+    pooled_sd, cohens_d, hedges_g."""
+    stats = _scaled_moments(df, group_col, value_col, scale)
+    down1 = float(10**scale)
+    down2 = float(10 ** (2 * scale))
+
+    def _arm(g, suffix):
+        n = F.col("n").cast("double")
+        s1 = F.col("s1").cast("double")
+        s2 = F.col("s2").cast("double")
+        mean = (s1 / n) / F.lit(down1)
+        var = F.when(
+            F.col("n") > 1,
+            ((s2 - s1 * s1 / n) / (n - F.lit(1.0))) / F.lit(down2),
+        )
+        return stats.filter(F.col("grp") == F.lit(g)).select(
+            F.col("grp").alias(f"group_{suffix}"),
+            F.col("n").alias(f"n_{suffix}"),
+            mean.alias(f"mean_{suffix}"),
+            var.alias(f"var_{suffix}"),
+        )
+
+    j = _arm(group_a, "a").crossJoin(F.broadcast(_arm(group_b, "b")))
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    pooled_var = (
+        (n1 - F.lit(1.0)) * F.col("var_a")
+        + (n2 - F.lit(1.0)) * F.col("var_b")
+    ) / (n1 + n2 - F.lit(2.0))
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (pooled_var > 0)
+    sd = F.when(ok, F.sqrt(pooled_var))
+    d = F.when(ok, (F.col("mean_a") - F.col("mean_b")) / F.sqrt(pooled_var))
+    g = F.when(
+        ok,
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(pooled_var)
+        * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (n1 + n2) - F.lit(9.0))),
+    )
+    return j.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        sd.alias("pooled_sd"),
+        d.alias("cohens_d"),
+        g.alias("hedges_g"),
     )

@@ -214,3 +214,24 @@ def test_kruskal_wallis_hand_computed(spark):
     assert out["tie_divisor"] == divisor
     assert out["h_tied"] == h / divisor
     assert abs(S - Sq) < 1e-5  # quantization budget
+
+
+def test_effect_size_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.stattests import effect_size_report
+
+    # arm a: [10, 12, 14] (mean 12, var 4); arm b: [9, 11] (mean 10, var 2)
+    rows = [("a", 10.0), ("a", 12.0), ("a", 14.0), ("b", 9.0), ("b", 11.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = effect_size_report(df, "grp", "v", "a", "b").collect()[0]
+    pooled = (2 * 4 + 1 * 2) / 3
+    assert out["pooled_sd"] == math.sqrt(pooled)
+    assert out["cohens_d"] == 2 / math.sqrt(pooled)
+    assert out["hedges_g"] == 2 / math.sqrt(pooled) * (1 - 3 / (4 * 5 - 9))
+
+    # degenerate arm (n=1) → NULLs
+    out2 = effect_size_report(
+        df.filter("grp = 'a' or v = 9.0"), "grp", "v", "a", "b"
+    ).collect()[0]
+    assert out2["cohens_d"] is None and out2["pooled_sd"] is None

@@ -103,6 +103,11 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython)", "pure comparisons, no Python")],
     ),
     (
+        "effect_size_purchase_vs_view",
+        [(r"Functions \[\d+\]: \[partial_", "moments partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "kruskal_wallis_events",
         [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],

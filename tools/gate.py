@@ -108,7 +108,7 @@ EXACT_FAMILY = [
     "cramers_v_events", "pareto_front_orders", "containment_pairs_docs",
     "classification_report_orders", "retrieval_metrics_events",
     "bootstrap_ci_events_value", "mann_whitney_events",
-    "kruskal_wallis_events",
+    "kruskal_wallis_events", "effect_size_purchase_vs_view",
 ]
 
 
