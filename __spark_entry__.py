@@ -11762,6 +11762,14 @@ def q_haversine_pairs_customer(spark, sf_dir):
 # very front), the round-2-green core moves to the back.  Next round,
 # rotate again based on CORRECTNESS_r03.
 _DRIVER_PRIORITY = [
+    # the four round-7 driver hash mismatches: fixed in round 8
+    # (value-bucketed ranks, exact-decimal spec sums, BIGINT casts,
+    # floor-div oracles) — they MUST re-enter the bounded window ahead
+    # of the ~47 other never-passed queries or the fix goes unproven
+    "pipeline_spec_orders",
+    "rfm_segments_events",
+    "lorenz_orders_totalprice",
+    "join_cardinality_lineitem_partkey",
     # streaming (failed r2 via the ns-reader bug — now fixed; verify first)
     "stream_tumbling_window",
     "stream_sessionize",
