@@ -9305,6 +9305,59 @@ def q_retrieval_metrics_events(spark, sf_dir):
 
 
 @_q(
+    "brown_forsythe_events",
+    """
+    WITH v AS (SELECT event_type AS g, value AS val FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    r AS (SELECT g, val,
+                 row_number() OVER (PARTITION BY g ORDER BY val) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM v),
+    m AS (SELECT g, MIN(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE) * n)
+                                        AS BIGINT)
+                             THEN val END) AS med
+          FROM r GROUP BY g),
+    d AS (SELECT v.g AS grp, ABS(val - med) AS dev FROM v JOIN m USING (g)),
+    s AS (SELECT grp,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(CAST(FLOOR(dev * 1000000.0) AS DECIMAL(19,0))
+                          AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(FLOOR(dev * 1000000.0) AS DECIMAL(19,0))
+                     * CAST(FLOOR(dev * 1000000.0) AS DECIMAL(19,0))) AS s2
+          FROM d GROUP BY 1),
+    u AS (SELECT *, CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS DECIMAL(38,6)) AS u
+          FROM s),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+                 SUM(s1) AS s1t, SUM(s2) AS s2t, SUM(u) AS t
+          FROM u),
+    f AS (SELECT k, n,
+                 (CAST(t AS DOUBLE)
+                  - CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / 1000000000000.0 AS ss_between,
+                 (CAST(s2t AS DOUBLE) - CAST(t AS DOUBLE)) / 1000000000000.0
+                   AS ss_within
+          FROM g)
+    SELECT k, n, ss_between, ss_within,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           CASE WHEN k > 1 AND n > k AND ss_within > 0
+                THEN (ss_between / CAST(k - 1 AS DOUBLE))
+                     / (ss_within / CAST(n - k AS DOUBLE)) END AS w_stat
+    FROM f
+    """,
+)
+def q_brown_forsythe_events(spark, sf_dir):
+    # variance-homogeneity gate across the five event types: exact
+    # type-1 group medians, |x - med| deviations, then the anova
+    # moments pipeline — the F on deviations IS the W statistic
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.brown_forsythe(e, "event_type", "value")
+
+
+@_q(
     "kruskal_wallis_events",
     """
     WITH base AS (

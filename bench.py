@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "mann_whitney_events",
     "kruskal_wallis_events",
     "effect_size_purchase_vs_view",
+    "brown_forsythe_events",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

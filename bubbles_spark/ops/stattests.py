@@ -35,6 +35,7 @@ __all__ = [
     "mann_whitney_u",
     "kruskal_wallis",
     "effect_size_report",
+    "brown_forsythe",
 ]
 
 
@@ -596,4 +597,43 @@ def effect_size_report(
         sd.alias("pooled_sd"),
         d.alias("cohens_d"),
         g.alias("hedges_g"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across ALL groups —
+    Levene's test with the median center (Brown & Forsythe 1974,
+    public): one-way ANOVA on each row's absolute deviation from its
+    group's median.  The "can I even pool these variances?" gate that
+    belongs in front of anova_oneway / effect_size_report.
+
+    Composition of two existing exact pieces: per-group TYPE-1
+    medians from ``drift.group_quantiles`` (rank arithmetic, no
+    interpolation float — the standard BF median up to the type-1 vs
+    midpoint convention, stated here) broadcast back, then
+    ``anova_oneway``'s micro-scaled integer moments over
+    ``|x − median|`` (one IEEE subtract + abs each — exact).  The F
+    on deviations IS the W statistic.
+
+    Output: anova_oneway's row with f_stat renamed w_stat."""
+    from bubbles_spark.ops.drift import group_quantiles
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
+    meds = group_quantiles(base, "__grp", "__v", [0.5]).select(
+        "__grp", F.col("value").alias("__med")
+    )
+    devs = base.join(F.broadcast(meds), "__grp").select(
+        "__grp",
+        F.abs(F.col("__v").cast("double") - F.col("__med").cast("double"))
+        .alias("__dev"),
+    )
+    return anova_oneway(devs, "__grp", "__dev", scale).withColumnRenamed(
+        "f_stat", "w_stat"
     )

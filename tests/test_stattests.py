@@ -235,3 +235,26 @@ def test_effect_size_hand_computed(spark):
         df.filter("grp = 'a' or v = 9.0"), "grp", "v", "a", "b"
     ).collect()[0]
     assert out2["cohens_d"] is None and out2["pooled_sd"] is None
+
+
+def test_brown_forsythe_hand_computed(spark):
+    from bubbles_spark.ops.stattests import anova_oneway, brown_forsythe
+
+    # arm a tight around 10, arm b spread around 10: equal means,
+    # different variances — BF must flag it, mean-ANOVA must not
+    rows = [("a", 9.9), ("a", 10.0), ("a", 10.1), ("a", 10.0),
+            ("b", 5.0), ("b", 15.0), ("b", 6.0), ("b", 14.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    bf = brown_forsythe(df, "grp", "v").collect()[0]
+    assert (bf["k"], bf["n"]) == (2, 8)
+    # medians (type-1): a → 10.0 (rank 2 of 4), b → 6.0
+    # devs a: .1 0 .1 0 (mean .05); devs b: 1 9 0 8 (mean 4.5)
+    # SSB = 8*(2.225^2) = 39.605; SSW = 0.01 + 65 = 65.01
+    # W = 39.605 / (65.01/6) = 3.65528...
+    assert bf["w_stat"] == pytest.approx(39.605 / (65.01 / 6), rel=1e-6)
+    an = anova_oneway(df, "grp", "v").collect()[0]
+    assert an["f_stat"] < 1  # means are equal; only variances differ
+
+    # degenerate: one group → NULL W
+    one = brown_forsythe(df.filter("grp = 'a'"), "grp", "v").collect()[0]
+    assert one["w_stat"] is None

@@ -108,6 +108,12 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
+        "brown_forsythe_events",
+        [(r"Functions \[\d+\]: \[partial_", "medians + moments partial-aggregate map-side"),
+         (r"BroadcastHashJoin", "group medians broadcast back")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "kruskal_wallis_events",
         [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
