@@ -9305,6 +9305,75 @@ def q_retrieval_metrics_events(spark, sf_dir):
 
 
 @_q(
+    "paired_t_events_purchase_click",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+               / COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS a,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+               / COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS b
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    d AS (SELECT a - b AS dv FROM per WHERE a IS NOT NULL AND b IS NOT NULL),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(CAST(FLOOR(dv * 1000000.0) AS DECIMAL(19,0))
+                          AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(FLOOR(dv * 1000000.0) AS DECIMAL(19,0))
+                     * CAST(FLOOR(dv * 1000000.0) AS DECIMAL(19,0))) AS s2
+          FROM d),
+    f AS (SELECT n,
+                 (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+                   AS mean_diff,
+                 CASE WHEN n > 1 THEN
+                   ((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) / 1000000000000.0 END
+                   AS var_diff
+          FROM s)
+    SELECT n, mean_diff, var_diff,
+           CASE WHEN n > 1 AND var_diff > 0
+                THEN mean_diff / SQRT(var_diff / CAST(n AS DOUBLE)) END
+             AS t_stat,
+           CAST(n - 1 AS BIGINT) AS df
+    FROM f
+    """,
+)
+def q_paired_t_events(spark, sf_dir):
+    # paired design: per user, mean purchase value vs mean click
+    # value (decimal sums / exact counts — never a float avg), then
+    # the one-sample t on the per-user differences
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,4)"),
+                )
+            ).cast("double")
+            / F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+        ).alias("a"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast("decimal(18,4)"),
+                )
+            ).cast("double")
+            / F.count(F.when(F.col("event_type") == "click", F.lit(1)))
+        ).alias("b"),
+    )
+    return stattests.paired_t_test(per, "a", "b")
+
+
+@_q(
     "brown_forsythe_events",
     """
     WITH v AS (SELECT event_type AS g, value AS val FROM events

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "kruskal_wallis_events",
     "effect_size_purchase_vs_view",
     "brown_forsythe_events",
+    "paired_t_events_purchase_click",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

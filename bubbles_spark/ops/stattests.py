@@ -36,6 +36,7 @@ __all__ = [
     "kruskal_wallis",
     "effect_size_report",
     "brown_forsythe",
+    "paired_t_test",
 ]
 
 
@@ -636,4 +637,51 @@ def brown_forsythe(
     )
     return anova_oneway(devs, "__grp", "__dev", scale).withColumnRenamed(
         "f_stat", "w_stat"
+    )
+
+
+def paired_t_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Paired-samples t test over two measurement columns of the SAME
+    rows (before/after, variant-A/variant-B per user) — the one-sample
+    t on the per-row differences, the correct test when arms are
+    paired and ``welch_t_test``'s independence assumption fails.
+
+    Exactness: the difference is ONE IEEE subtract per row; its
+    micro-scaled integer moments (module discipline) give mean and
+    variance as fixed sequences; ``t = mean_d / (sd_d / √n)`` adds
+    two divisions and one correctly-rounded sqrt.  Rows where either
+    side is NULL are dropped (complete-pairs analysis, stated).
+    n < 2 or zero variance yields NULL t.
+
+    Output (one row): n, mean_diff, var_diff, t_stat, df."""
+    d = F.col(a_col).cast("double") - F.col(b_col).cast("double")
+    base = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.lit(0).alias("__g"), d.alias("__d"))
+    stats = _scaled_moments(base, "__g", "__d", scale)
+    down1 = float(10**scale)
+    down2 = float(10 ** (2 * scale))
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = (s1 / n) / F.lit(down1)
+    var = F.when(
+        F.col("n") > 1,
+        ((s2 - s1 * s1 / n) / (n - F.lit(1.0))) / F.lit(down2),
+    )
+    t = F.when(
+        (F.col("n") > 1) & (var > 0),
+        mean / F.sqrt(var / n),
+    )
+    return stats.select(
+        F.col("n"),
+        mean.alias("mean_diff"),
+        var.alias("var_diff"),
+        t.alias("t_stat"),
+        (F.col("n") - 1).cast("bigint").alias("df"),
     )

@@ -258,3 +258,24 @@ def test_brown_forsythe_hand_computed(spark):
     # degenerate: one group → NULL W
     one = brown_forsythe(df.filter("grp = 'a'"), "grp", "v").collect()[0]
     assert one["w_stat"] is None
+
+
+def test_paired_t_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.stattests import paired_t_test
+
+    # diffs: [1, 2, 3, 2] → mean 2, var 2/3
+    rows = [(11.0, 10.0), (12.0, 10.0), (13.0, 10.0), (12.0, 10.0),
+            (None, 5.0), (5.0, None)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = paired_t_test(df, "a", "b").collect()[0]
+    assert out["n"] == 4 and out["df"] == 3
+    assert out["mean_diff"] == 2.0
+    assert out["var_diff"] == pytest.approx(2 / 3, rel=1e-9)
+    assert out["t_stat"] == pytest.approx(2.0 / math.sqrt((2 / 3) / 4),
+                                          rel=1e-9)
+
+    # zero-variance diffs → NULL t
+    z = spark.createDataFrame([(3.0, 1.0)] * 5, "a double, b double")
+    assert paired_t_test(z, "a", "b").collect()[0]["t_stat"] is None

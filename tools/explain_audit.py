@@ -108,6 +108,11 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
+        "paired_t_events_purchase_click",
+        [(r"Functions \[\d+\]: \[partial_", "per-user pairs + moments partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "brown_forsythe_events",
         [(r"Functions \[\d+\]: \[partial_", "medians + moments partial-aggregate map-side"),
          (r"BroadcastHashJoin", "group medians broadcast back")],

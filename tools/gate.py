@@ -109,7 +109,7 @@ EXACT_FAMILY = [
     "classification_report_orders", "retrieval_metrics_events",
     "bootstrap_ci_events_value", "mann_whitney_events",
     "kruskal_wallis_events", "effect_size_purchase_vs_view",
-    "brown_forsythe_events",
+    "brown_forsythe_events", "paired_t_events_purchase_click",
 ]
 
 
