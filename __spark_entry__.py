@@ -9487,6 +9487,74 @@ def q_kruskal_wallis_events(spark, sf_dir):
 
 
 @_q(
+    "bootstrap_ci_by_type",
+    """
+    WITH base AS (
+      SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS k,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    reps AS (
+      SELECT grp, b.b, k, v,
+             CAST(('0x' || substr(md5('42|' || CAST(b.b AS VARCHAR) || '|' || k),
+                                  1, 8)) AS BIGINT) AS h
+      FROM base CROSS JOIN (SELECT unnest(range(1, 51)) AS b) b
+    ),
+    wm AS (
+      SELECT grp, b, v,
+             (CASE WHEN h >= 1580030168 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 3160060337 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 3950075421 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4213413783 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4279248373 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4292415291 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4294609777 THEN 1 ELSE 0 END
+              + CASE WHEN h >= 4294923276 THEN 1 ELSE 0 END) AS m
+      FROM reps
+    ),
+    means AS (
+      SELECT grp, b, CAST(SUM(m * v) AS DOUBLE) / CAST(SUM(m) AS DOUBLE)
+               AS mean
+      FROM wm GROUP BY 1, 2 HAVING SUM(m) > 0
+    ),
+    rk AS (
+      SELECT grp, b, mean,
+             row_number() OVER (PARTITION BY grp ORDER BY mean, b) AS rlo,
+             row_number() OVER (PARTITION BY grp ORDER BY mean DESC, b)
+               AS rhi
+      FROM means
+    ),
+    ends AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_effective,
+             MAX(CASE WHEN rlo = 3 THEN mean END) AS ci_lo,
+             MAX(CASE WHEN rhi = 3 THEN mean END) AS ci_hi
+      FROM rk GROUP BY 1
+    ),
+    o AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean
+          FROM base GROUP BY 1)
+    SELECT o.grp AS event_type, n_rows, CAST(50 AS BIGINT) AS n_boot,
+           n_effective, o.mean, ci_lo, ci_hi, CAST(0.9 AS DOUBLE) AS level
+    FROM o JOIN ends ON o.grp = ends.grp
+    """,
+)
+def q_bootstrap_ci_by_type(spark, sf_dir):
+    # per-segment uncertainty: the grouped Poisson bootstrap — same
+    # deterministic integer-threshold multiplicities, endpoint
+    # selection via a per-group rank window (<= B rows per group);
+    # k = ceil(0.05 * 50) = 3, mirrored by the oracle's rank = 3
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.bootstrap_ci(
+        e, "value", "event_id", n_boot=50, seed=42, level=0.9,
+        group_col="event_type",
+    )
+
+
+@_q(
     "mann_whitney_events",
     """
     WITH arms AS (

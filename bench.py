@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "effect_size_purchase_vs_view",
     "brown_forsythe_events",
     "paired_t_events_purchase_click",
+    "bootstrap_ci_by_type",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

@@ -249,6 +249,7 @@ def bootstrap_ci(
     level: float = 0.95,
     value_decimal: str = "decimal(18,4)",
     max_mult: int = 8,
+    group_col: str | None = None,
 ) -> DataFrame:
     """DETERMINISTIC Poisson bootstrap confidence interval for the
     mean — the resampling CI that needs no distributional assumption,
@@ -276,10 +277,18 @@ def bootstrap_ci(
     budget.  Empty resamples (possible only for tiny inputs) are
     dropped from the quantile pool and reported via n_effective.
 
-    Output (one row): n_rows, n_boot, n_effective, mean, ci_lo,
-    ci_hi, level."""
+    ``group_col`` switches to per-group CIs (one output row per
+    group): replicate means aggregate on (group, replicate) and the
+    endpoint selection becomes a per-group rank window — partitioned
+    by group and ≤ B rows per group, never a global window (the
+    global path keeps its TakeOrdered selection).
+
+    Output (one row, or one per group): [group_col,] n_rows, n_boot,
+    n_effective, mean, ci_lo, ci_hi, level."""
     import math
     from decimal import Decimal
+
+    from pyspark.sql import Window
 
     if n_boot < 2:
         raise ValueError(f"n_boot must be >= 2, got {n_boot}")
@@ -295,10 +304,14 @@ def bootstrap_ci(
         cum += pmf
         thresholds.append(math.floor(cum * 2**32))
         pmf /= i + 1
+    gcols = [group_col] if group_col else []
     v = F.col(value_col).cast(value_decimal)
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
-    ).select(v.alias("__v"), F.col(key_col).cast("string").alias("__k"))
+        & (F.col(group_col).isNotNull() if group_col else F.lit(True))
+    ).select(
+        *gcols, v.alias("__v"), F.col(key_col).cast("string").alias("__k")
+    )
     reps = base.withColumn(
         "__b", F.explode(F.sequence(F.lit(1), F.lit(n_boot)))
     )
@@ -317,19 +330,56 @@ def bootstrap_ci(
         mult = term if mult is None else mult + term
     means = (
         reps.withColumn("__m", mult)
-        .groupBy("__b")
+        .groupBy(*gcols, "__b")
         .agg(
             F.sum("__m").cast("bigint").alias("__sw"),
             F.sum(F.col("__m") * F.col("__v")).alias("__swv"),
         )
         .filter(F.col("__sw") > 0)
         .select(
+            *gcols,
             "__b",
             (
                 F.col("__swv").cast("double") / F.col("__sw").cast("double")
             ).alias("__mean"),
         )
     )
+    overall = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+    out_cols = [
+        *gcols,
+        "n_rows",
+        F.lit(n_boot).cast("bigint").alias("n_boot"),
+        "n_effective",
+        "mean",
+        "ci_lo",
+        "ci_hi",
+        F.lit(float(level)).alias("level"),
+    ]
+    if group_col:
+        w_lo = Window.partitionBy(group_col).orderBy(
+            F.col("__mean").asc(), F.col("__b").asc()
+        )
+        w_hi = Window.partitionBy(group_col).orderBy(
+            F.col("__mean").desc(), F.col("__b").asc()
+        )
+        ends = (
+            means.withColumn("__rlo", F.row_number().over(w_lo))
+            .withColumn("__rhi", F.row_number().over(w_hi))
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_effective"),
+                F.max(F.when(F.col("__rlo") == k, F.col("__mean"))).alias(
+                    "ci_lo"
+                ),
+                F.max(F.when(F.col("__rhi") == k, F.col("__mean"))).alias(
+                    "ci_hi"
+                ),
+            )
+        )
+        return overall.join(ends, group_col).select(*out_cols)
     lo = means.orderBy(F.col("__mean").asc(), F.col("__b").asc()).limit(k).agg(
         F.max("__mean").alias("ci_lo")
     )
@@ -337,23 +387,11 @@ def bootstrap_ci(
         F.min("__mean").alias("ci_hi")
     )
     eff = means.agg(F.count(F.lit(1)).cast("bigint").alias("n_effective"))
-    overall = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        (F.sum("__v").cast("double") / F.count(F.lit(1))).alias("mean"),
-    )
     return (
         overall.crossJoin(F.broadcast(eff))
         .crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
-        .select(
-            "n_rows",
-            F.lit(n_boot).cast("bigint").alias("n_boot"),
-            "n_effective",
-            "mean",
-            "ci_lo",
-            "ci_hi",
-            F.lit(float(level)).alias("level"),
-        )
+        .select(*out_cols)
     )
 
 

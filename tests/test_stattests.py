@@ -279,3 +279,35 @@ def test_paired_t_hand_computed(spark):
     # zero-variance diffs → NULL t
     z = spark.createDataFrame([(3.0, 1.0)] * 5, "a double, b double")
     assert paired_t_test(z, "a", "b").collect()[0]["t_stat"] is None
+
+
+def test_bootstrap_ci_grouped_equals_per_group_global(spark):
+    from bubbles_spark.ops.stattests import bootstrap_ci
+
+    rows = [(g, i, float(50 * (gi + 1) + (i * 7) % 30))
+            for gi, g in enumerate(("x", "y"))
+            for i in range(1, 31)]
+    df = spark.createDataFrame(
+        [(g, f"{g}{i}", v) for (g, i, v) in rows],
+        "grp string, rid string, v double",
+    )
+    grouped = {
+        r["grp"]: r
+        for r in bootstrap_ci(
+            df, "v", "rid", n_boot=40, level=0.9, group_col="grp",
+            value_decimal="decimal(18,1)",
+        ).collect()
+    }
+    # the grouped path must equal running the global op on each slice:
+    # multiplicities hash only (seed, b, key), so they are identical
+    for g in ("x", "y"):
+        solo = bootstrap_ci(
+            df.filter(F.col("grp") == g), "v", "rid",
+            n_boot=40, level=0.9, value_decimal="decimal(18,1)",
+        ).collect()[0]
+        got = grouped[g]
+        assert got["n_rows"] == solo["n_rows"]
+        assert got["mean"] == solo["mean"]
+        assert got["ci_lo"] == solo["ci_lo"]
+        assert got["ci_hi"] == solo["ci_hi"]
+        assert got["n_effective"] == solo["n_effective"]

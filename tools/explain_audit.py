@@ -108,6 +108,13 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
+        "bootstrap_ci_by_type",
+        [(r"Functions \[\d+\]: \[partial_", "replicate sums partial-aggregate map-side"),
+         (r"Window", "endpoint selection is a per-group rank window")],
+        [(r"Exchange SinglePartition.*\n.*Window", "never a global window"),
+         (r"(BatchEvalPython|ArrowEvalPython)", "hash multiplicities are codegen, no Python")],
+    ),
+    (
         "paired_t_events_purchase_click",
         [(r"Functions \[\d+\]: \[partial_", "per-user pairs + moments partial-aggregate map-side")],
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
