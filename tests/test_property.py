@@ -573,3 +573,43 @@ def test_warc_split_ownership_partition(bodies, nsplits, data):
             for r in bw.parse_warc_range(fh, pos, s, e)
         )
     assert got == whole
+
+
+_word = st.sampled_from(["ant", "bee", "cat", "dog", "elk", "fox"])
+_doc_texts = st.lists(
+    st.lists(_word, min_size=0, max_size=8).map(" ".join),
+    min_size=0,
+    max_size=8,
+)
+
+
+@_slow
+@given(texts=_doc_texts, threshold=st.sampled_from([0.2, 0.34, 0.5, 0.75, 1.0]))
+def test_prefix_jaccard_lossless_property(spark, texts, threshold):
+    """The prefix filter must be LOSSLESS: for any corpus and any
+    threshold, prefix_jaccard_pairs equals a brute-force exact
+    Jaccard over distinct unigram sets (subsuming the uncapped
+    inverted-index join)."""
+    import itertools
+
+    from bubbles_spark.ops import dedup
+
+    rows = list(enumerate(texts))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_jaccard_pairs(
+            df, n=1, threshold=threshold
+        ).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = set(ta.lower().split()), set(tb.lower().split())
+        if not sa or not sb:
+            continue
+        jac = round(len(sa & sb) / len(sa | sb), 6)
+        if jac >= threshold:
+            want[(ia, ib)] = jac
+    assert got == want
