@@ -9487,6 +9487,44 @@ def q_kruskal_wallis_events(spark, sf_dir):
 
 
 @_q(
+    "trimmed_mean_events_value",
+    """
+    WITH v AS (SELECT CAST(value AS DECIMAL(18,4)) AS v FROM events
+               WHERE value IS NOT NULL),
+    pv AS (SELECT v, COUNT(*) AS c FROM v GROUP BY v),
+    cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cumv FROM pv),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pv),
+    par AS (SELECT n,
+                   CAST(FLOOR(CAST(0.05 AS DECIMAL(10,6)) * n) AS BIGINT)
+                     AS k
+            FROM nn),
+    kept AS (
+      SELECT v,
+             GREATEST(0, LEAST(cumv, n - k)
+                         - GREATEST(cumv - c + 1, k + 1) + 1) AS kc,
+             n, k
+      FROM cum CROSS JOIN par
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(k) AS BIGINT) AS k_trimmed,
+           CAST(SUM(kc) AS BIGINT) AS n_kept,
+           CASE WHEN SUM(kc) > 0
+                THEN CAST(SUM(kc * v) AS DOUBLE) / CAST(SUM(kc) AS DOUBLE)
+           END AS trimmed_mean
+    FROM kept
+    """,
+)
+def q_trimmed_mean_events(spark, sf_dir):
+    # 5%-trimmed mean of event value: kept counts per distinct value
+    # by interval arithmetic on the value-count cumulative — a
+    # multiset operation, so no tiebreak column is ever needed
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    return drift.trimmed_mean(e, "value", trim=0.05)
+
+
+@_q(
     "bootstrap_ci_by_type",
     """
     WITH base AS (

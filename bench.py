@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "brown_forsythe_events",
     "paired_t_events_purchase_click",
     "bootstrap_ci_by_type",
+    "trimmed_mean_events_value",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

@@ -50,6 +50,7 @@ __all__ = [
     "minmax_scale",
     "cramers_v",
     "classification_report",
+    "trimmed_mean",
     "retrieval_metrics",
 ]
 
@@ -1671,4 +1672,65 @@ def retrieval_metrics(
             F.col("n_pos") > 0,
             F.col("__dcg_q").cast("double") / idcg_q.cast("double"),
         ).alias("ndcg_at_k"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    col: str,
+    trim: float = 0.05,
+    value_decimal: str = "decimal(18,4)",
+) -> DataFrame:
+    """Symmetric trimmed mean — the robust location estimate that
+    drops the ``⌊trim·n⌋`` smallest and largest OBSERVATIONS before
+    averaging (the classic k-trimmed mean; ``winsorize`` clamps
+    instead of dropping).
+
+    Exactness + tie-invariance: no per-row rank exists anywhere —
+    dropping the k smallest observations is a MULTISET operation, so
+    the kept count per distinct value is pure interval arithmetic on
+    the value-count cumulative (``_grouped_cum_counts`` machinery —
+    map-side combined counts, value-bucketed two-phase cumsum, no
+    single-task sort): ``kept(v) = max(0, min(cum, n−k) −
+    max(cum−c+1, k+1) + 1)``.  k comes from an exact DECIMAL·BIGINT
+    floor, the kept-weighted sum stays in DECIMAL, and the mean is
+    ONE IEEE division — bit-exact cross-engine with no tiebreak
+    column needed.  ``n − 2k ≤ 0`` yields a NULL mean.
+
+    Output (one row): n_rows, k_trimmed, n_kept, trimmed_mean."""
+    from decimal import Decimal
+
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    base = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast(value_decimal).alias("__v"))
+        .withColumn("__g", F.lit(0))
+    )
+    cum = _grouped_cum_counts(base, "__g", "__v")
+    k = F.floor(F.lit(Decimal(str(trim))) * F.col("__n")).cast("bigint")
+    lo = k + F.lit(1)
+    hi = F.col("__n") - k
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("__cum"), hi)
+        - F.greatest(F.col("__cum") - F.col("__c") + 1, lo)
+        + F.lit(1),
+    )
+    agg = cum.select(
+        F.col("__n"), k.alias("__k"), kept.alias("__kc"), F.col("__v")
+    ).agg(
+        F.max("__n").cast("bigint").alias("n_rows"),
+        F.max("__k").cast("bigint").alias("k_trimmed"),
+        F.sum("__kc").cast("bigint").alias("n_kept"),
+        F.sum(F.col("__kc") * F.col("__v")).alias("__wsum"),
+    )
+    return agg.select(
+        "n_rows",
+        "k_trimmed",
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.col("__wsum").cast("double") / F.col("n_kept").cast("double"),
+        ).alias("trimmed_mean"),
     )

@@ -949,3 +949,27 @@ def test_retrieval_metrics_hand_computed(spark):
     assert r2["n_pos"] == 0
     assert r2["recall_at_k"] is None and r2["mrr"] is None
     assert r2["ndcg_at_k"] is None and r2["precision_at_k"] == 0.0
+
+
+def test_trimmed_mean_hand_computed(spark):
+    from bubbles_spark.ops.drift import trimmed_mean
+
+    # 10 values incl. ties at the cut: k = floor(0.2*10) = 2 trimmed
+    # each side; sorted [1,1,2,2,3,3,4,4,100,100] → keep 2..4 middle 6
+    vals = [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0, 100.0, 100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = trimmed_mean(df, "v", trim=0.2,
+                       value_decimal="decimal(18,1)").collect()[0]
+    assert (out["n_rows"], out["k_trimmed"], out["n_kept"]) == (10, 2, 6)
+    assert out["trimmed_mean"] == (2 + 2 + 3 + 3 + 4 + 4) / 6
+
+    # trim=0 is the plain mean; degenerate over-trim yields NULL
+    out0 = trimmed_mean(df, "v", trim=0.0,
+                        value_decimal="decimal(18,1)").collect()[0]
+    assert out0["trimmed_mean"] == sum(vals) / 10
+    one = trimmed_mean(
+        spark.createDataFrame([(5.0,)], "v double"), "v", trim=0.49
+    ).collect()[0]
+    assert one["trimmed_mean"] == 5.0  # k = floor(.49*1) = 0
+    with pytest.raises(ValueError):
+        trimmed_mean(df, "v", trim=0.5)

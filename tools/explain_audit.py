@@ -108,6 +108,11 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
+        "trimmed_mean_events_value",
+        [(r"Functions \[\d+\]: \[partial_", "value counts partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "bootstrap_ci_by_type",
         [(r"Functions \[\d+\]: \[partial_", "replicate sums partial-aggregate map-side"),
          (r"Window", "endpoint selection is a per-group rank window")],

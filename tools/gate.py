@@ -110,7 +110,7 @@ EXACT_FAMILY = [
     "bootstrap_ci_events_value", "mann_whitney_events",
     "kruskal_wallis_events", "effect_size_purchase_vs_view",
     "brown_forsythe_events", "paired_t_events_purchase_click",
-    "bootstrap_ci_by_type",
+    "bootstrap_ci_by_type", "trimmed_mean_events_value",
 ]
 
 
