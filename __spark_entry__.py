@@ -9525,6 +9525,52 @@ def q_trimmed_mean_events(spark, sf_dir):
 
 
 @_q(
+    "trimmed_mean_by_priority",
+    """
+    WITH v AS (SELECT o_orderpriority AS grp,
+                      CAST(o_totalprice AS DECIMAL(18,4)) AS v
+               FROM orders
+               WHERE o_totalprice IS NOT NULL
+                 AND o_orderpriority IS NOT NULL),
+    pv AS (SELECT grp, v, COUNT(*) AS c FROM v GROUP BY 1, 2),
+    cum AS (SELECT grp, v, c,
+                   SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cumv,
+                   SUM(c) OVER (PARTITION BY grp) AS n
+            FROM pv),
+    kept AS (
+      SELECT grp, v, n,
+             CAST(FLOOR(CAST(0.1 AS DECIMAL(10,6)) * n) AS BIGINT) AS k,
+             GREATEST(0, LEAST(cumv,
+                               n - CAST(FLOOR(CAST(0.1 AS DECIMAL(10,6)) * n)
+                                        AS BIGINT))
+                         - GREATEST(cumv - c + 1,
+                                    CAST(FLOOR(CAST(0.1 AS DECIMAL(10,6)) * n)
+                                         AS BIGINT) + 1) + 1) AS kc
+      FROM cum
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(k) AS BIGINT) AS k_trimmed,
+           CAST(SUM(kc) AS BIGINT) AS n_kept,
+           CASE WHEN SUM(kc) > 0
+                THEN CAST(SUM(kc * v) AS DOUBLE) / CAST(SUM(kc) AS DOUBLE)
+           END AS trimmed_mean
+    FROM kept GROUP BY 1
+    """,
+)
+def q_trimmed_mean_by_priority(spark, sf_dir):
+    # per-segment 10%-trimmed revenue: k from each group's own size,
+    # same grouped cumulative machinery — zero extra cost over the
+    # global variant
+    from bubbles_spark.ops import drift
+
+    o = _t(spark, sf_dir, "orders")
+    return drift.trimmed_mean(
+        o, "o_totalprice", trim=0.1, group_col="o_orderpriority"
+    )
+
+
+@_q(
     "bootstrap_ci_by_type",
     """
     WITH base AS (

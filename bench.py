@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "paired_t_events_purchase_click",
     "bootstrap_ci_by_type",
     "trimmed_mean_events_value",
+    "trimmed_mean_by_priority",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

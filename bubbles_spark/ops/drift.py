@@ -1680,6 +1680,7 @@ def trimmed_mean(
     col: str,
     trim: float = 0.05,
     value_decimal: str = "decimal(18,4)",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Symmetric trimmed mean — the robust location estimate that
     drops the ``⌊trim·n⌋`` smallest and largest OBSERVATIONS before
@@ -1697,17 +1698,29 @@ def trimmed_mean(
     ONE IEEE division — bit-exact cross-engine with no tiebreak
     column needed.  ``n − 2k ≤ 0`` yields a NULL mean.
 
-    Output (one row): n_rows, k_trimmed, n_kept, trimmed_mean."""
+    ``group_col`` trims PER GROUP (k = ⌊trim·n_g⌋ from each group's
+    own size — the cumulative machinery is already grouped, so this
+    costs nothing extra); rows with a NULL group are dropped.
+
+    Output (one row, or one per group): [group_col,] n_rows,
+    k_trimmed, n_kept, trimmed_mean."""
     from decimal import Decimal
 
     if not 0.0 <= trim < 0.5:
         raise ValueError(f"trim must be in [0, 0.5), got {trim}")
-    base = (
-        df.filter(F.col(col).isNotNull())
-        .select(F.col(col).cast(value_decimal).alias("__v"))
-        .withColumn("__g", F.lit(0))
-    )
-    cum = _grouped_cum_counts(base, "__g", "__v")
+    if group_col:
+        base = df.filter(
+            F.col(col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(group_col, F.col(col).cast(value_decimal).alias("__v"))
+        gname = group_col
+    else:
+        base = (
+            df.filter(F.col(col).isNotNull())
+            .select(F.col(col).cast(value_decimal).alias("__v"))
+            .withColumn("__g", F.lit(0))
+        )
+        gname = "__g"
+    cum = _grouped_cum_counts(base, gname, "__v")
     k = F.floor(F.lit(Decimal(str(trim))) * F.col("__n")).cast("bigint")
     lo = k + F.lit(1)
     hi = F.col("__n") - k
@@ -1717,15 +1730,17 @@ def trimmed_mean(
         - F.greatest(F.col("__cum") - F.col("__c") + 1, lo)
         + F.lit(1),
     )
+    gcols = [group_col] if group_col else []
     agg = cum.select(
-        F.col("__n"), k.alias("__k"), kept.alias("__kc"), F.col("__v")
-    ).agg(
+        *gcols, F.col("__n"), k.alias("__k"), kept.alias("__kc"), F.col("__v")
+    ).groupBy(*gcols).agg(
         F.max("__n").cast("bigint").alias("n_rows"),
         F.max("__k").cast("bigint").alias("k_trimmed"),
         F.sum("__kc").cast("bigint").alias("n_kept"),
         F.sum(F.col("__kc") * F.col("__v")).alias("__wsum"),
     )
     return agg.select(
+        *gcols,
         "n_rows",
         "k_trimmed",
         "n_kept",

@@ -973,3 +973,30 @@ def test_trimmed_mean_hand_computed(spark):
     assert one["trimmed_mean"] == 5.0  # k = floor(.49*1) = 0
     with pytest.raises(ValueError):
         trimmed_mean(df, "v", trim=0.5)
+
+
+def test_trimmed_mean_grouped_equals_per_group_global(spark):
+    from bubbles_spark.ops.drift import trimmed_mean
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 100)] + [
+        ("b", float(v)) for v in (10, 20, 20, 30, 40, 500, 600)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    grouped = {
+        r["grp"]: r
+        for r in trimmed_mean(
+            df, "v", trim=0.2, group_col="grp",
+            value_decimal="decimal(18,1)",
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = trimmed_mean(
+            df.filter(F.col("grp") == g), "v", trim=0.2,
+            value_decimal="decimal(18,1)",
+        ).collect()[0]
+        got = grouped[g]
+        for c in ("n_rows", "k_trimmed", "n_kept", "trimmed_mean"):
+            assert got[c] == solo[c], (g, c)
+    # a: k=1, keep [2,3,4] → 3 ; b: k=1, keep [20,20,30,40,500] → 122
+    assert grouped["a"]["trimmed_mean"] == 3.0
+    assert grouped["b"]["trimmed_mean"] == 122.0

@@ -108,6 +108,11 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
+        "trimmed_mean_by_priority",
+        [(r"Functions \[\d+\]: \[partial_", "value counts partial-aggregate map-side")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "trimmed_mean_events_value",
         [(r"Functions \[\d+\]: \[partial_", "value counts partial-aggregate map-side")],
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
