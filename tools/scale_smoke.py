@@ -146,7 +146,15 @@ def main() -> int:
 
         return layout.zorder_by(d, ["doc_id", "source"])
 
+    def _bootstrap(d):
+        from bubbles_spark.ops import stattests
+
+        # B=25 keeps the smoke quick; the op is rows x B map-only
+        # hashes before one aggregate — alpha must stay ~1
+        return stattests.bootstrap_ci(d, "value", "event_id", n_boot=25)
+
     OPS = {
+        "bootstrap_ci": (events, "event_id", _bootstrap),
         "exact_dedup": (docs, "doc_id", lambda d: dedup.exact_dedup(d)),
         "minhash_dedup_pairs": (
             docs,
