@@ -7136,6 +7136,49 @@ def q_gini_by_priority(spark, sf_dir):
 
 
 @_q(
+    "concentration_orders_by_priority",
+    """
+    WITH ent AS (
+      SELECT o_orderpriority AS grp, o_custkey AS ent,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(38,0)) AS vc
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+        AND o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rk AS (SELECT grp, vc,
+                  row_number() OVER (PARTITION BY grp
+                                     ORDER BY vc DESC, ent) AS rn
+           FROM ent),
+    agg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_entities,
+                   SUM(vc) AS t, SUM(vc * vc) AS sq,
+                   SUM(CASE WHEN rn <= 4 THEN vc ELSE 0 END) AS topv
+            FROM rk GROUP BY 1)
+    SELECT grp AS o_orderpriority, n_entities,
+           CAST(t AS DOUBLE) / CAST(100 AS DOUBLE) AS total,
+           CASE WHEN t > 0
+                THEN CAST(sq AS DOUBLE)
+                     / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) END AS hhi,
+           CASE WHEN t > 0
+                THEN CAST(topv AS DOUBLE) / CAST(t AS DOUBLE) END AS cr_k,
+           CAST(4 AS INTEGER) AS top_k
+    FROM agg
+    """,
+)
+def q_concentration_orders(spark, sf_dir):
+    # HHI + CR-4 of customer revenue per priority: HHI is a ratio of
+    # two exact integers (sum of squared cents over squared total),
+    # CR from the top-4 under the TOTAL (value desc, entity) order
+    from bubbles_spark.ops import insights
+
+    o = _t(spark, sf_dir, "orders")
+    return insights.concentration_report(
+        o, "o_orderpriority", "o_custkey", "o_totalprice", top_k=4
+    )
+
+
+@_q(
     "pareto_front_orders",
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "bootstrap_ci_by_type",
     "trimmed_mean_events_value",
     "trimmed_mean_by_priority",
+    "concentration_orders_by_priority",
     "stream_funnel",
     "html_to_text",
     "dedup_against_index_planted",

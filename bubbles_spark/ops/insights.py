@@ -35,6 +35,7 @@ __all__ = [
     "mix_shift_report",
     "gini_by",
     "pareto_front",
+    "concentration_report",
 ]
 
 
@@ -755,4 +756,72 @@ def pareto_front(
         base.join(verdicts, gcols + [x_col])
         .filter(~dominated)
         .drop("__gy", "__mgt")
+    )
+
+
+def concentration_report(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+    top_k: int = 4,
+    value_decimal: str = "decimal(18,2)",
+    cents: int = 100,
+) -> DataFrame:
+    """Market-concentration report per group: the Herfindahl–
+    Hirschman index (``HHI = Σ share_i²`` over entities, 0..1) and
+    the CR-k concentration ratio (top-k entities' value share) — the
+    antitrust/portfolio-risk staple and ``gini_by``'s decision-ready
+    sibling ("how few entities own this segment?").
+
+    Exactness: entity totals are exact DECIMAL sums scaled to integer
+    ``cents``; HHI is a ratio of two EXACT integers — Σ(cents_i)² in
+    DECIMAL(38,0) over T² — each side cast to double once (integer-
+    decimal→double is the correctly-rounded int conversion, identical
+    cross-engine even past 2^53; the kruskal_wallis precedent), then
+    ONE division.  CR-k selects the top k entities under the TOTAL
+    (value DESC, entity) order — deterministic under ties — and
+    shares are one division each.  Groups with zero total yield NULL
+    ratios.
+
+    Scale: one keyed aggregate to entity totals (map-side combined),
+    then everything is entity-table-sized; the top-k window
+    partitions by group.  Output: group_col, n_entities, total,
+    hhi, cr_k, top_k."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    c = F.lit(cents)
+    ent = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(entity_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(group_col, entity_col)
+        .agg(
+            (F.sum(F.col(value_col).cast(value_decimal)) * c)
+            .cast("decimal(38,0)")
+            .alias("__vc")
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__vc").desc(), F.col(entity_col).asc()
+    )
+    ranked = ent.withColumn("__rn", F.row_number().over(w))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+        F.sum("__vc").alias("__t"),
+        F.sum(F.col("__vc") * F.col("__vc")).alias("__sq"),
+        F.sum(F.when(F.col("__rn") <= top_k, F.col("__vc")).otherwise(0))
+        .alias("__topv"),
+    )
+    td = F.col("__t").cast("double")
+    pos = F.col("__t") > 0
+    return agg.select(
+        group_col,
+        "n_entities",
+        (td / c.cast("double")).alias("total"),
+        F.when(pos, F.col("__sq").cast("double") / (td * td)).alias("hhi"),
+        F.when(pos, F.col("__topv").cast("double") / td).alias("cr_k"),
+        F.lit(top_k).cast("int").alias("top_k"),
     )

@@ -527,3 +527,22 @@ def test_pareto_front_dominance_and_ties(spark):
     assert out3 == [(4, 6), (5, 5), (5, 5), (6, 1)]
     with pytest.raises(ValueError):
         pareto_front(df, "x", "y", directions=("max", "up"))
+
+
+def test_concentration_report_hand_computed(spark):
+    from bubbles_spark.ops.insights import concentration_report
+
+    # group g: entities with totals 50, 30, 20 → shares .5 .3 .2
+    rows = [("g", 1, 20.0), ("g", 1, 30.0), ("g", 2, 30.0), ("g", 3, 20.0),
+            ("h", 9, 10.0)]
+    df = spark.createDataFrame(rows, "grp string, ent long, v double")
+    out = {r["grp"]: r for r in concentration_report(
+        df, "grp", "ent", "v", top_k=2).collect()}
+    g = out["g"]
+    assert g["n_entities"] == 3 and g["total"] == 100.0
+    assert g["hhi"] == 0.5**2 + 0.3**2 + 0.2**2
+    assert g["cr_k"] == 0.8  # top-2 = 50 + 30
+    h = out["h"]  # single entity: hhi = 1, cr = 1
+    assert h["hhi"] == 1.0 and h["cr_k"] == 1.0
+    with pytest.raises(ValueError):
+        concentration_report(df, "grp", "ent", "v", top_k=0)

@@ -108,6 +108,12 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
+        "concentration_orders_by_priority",
+        [(r"Functions \[\d+\]: \[partial_", "entity totals partial-aggregate map-side"),
+         (r"Window", "top-k rank window is per-group")],
+        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+    ),
+    (
         "trimmed_mean_by_priority",
         [(r"Functions \[\d+\]: \[partial_", "value counts partial-aggregate map-side")],
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],

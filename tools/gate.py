@@ -111,7 +111,7 @@ EXACT_FAMILY = [
     "kruskal_wallis_events", "effect_size_purchase_vs_view",
     "brown_forsythe_events", "paired_t_events_purchase_click",
     "bootstrap_ci_by_type", "trimmed_mean_events_value",
-    "trimmed_mean_by_priority",
+    "trimmed_mean_by_priority", "concentration_orders_by_priority",
 ]
 
 
