@@ -784,11 +784,10 @@ def id_gaps(df: DataFrame, col: str) -> DataFrame:
             F.max("__id").alias("__end"),
         )
         .drop("__isl")
-        # cut lineage BEFORE the second ranking call: each
-        # _with_global_row_number releases the previous call's
-        # persisted range-partitioned frame, and a recompute of this
-        # plan after that release could re-sample different partition
-        # boundaries than the offsets were collected under
+        # cut lineage before the second ranking call: the islands
+        # table is derived from the first rank's output and would
+        # otherwise re-run that whole plan inside every job the
+        # second rank issues
         .localCheckpoint()
     )
     seq = _with_global_row_number(islands, ["__start"])

@@ -609,26 +609,46 @@ def temporal_split(
     )
 
 
-# One-slot cache for the rank input (same lifecycle discipline as
-# dedup's signature cache): each _with_global_row_number call releases
-# the previous call's persisted partitioning, so long sessions don't
-# accumulate cached inputs.  Since the round-8 value-bucket rewrite
-# the cache is purely a recompute-saver on the numeric path (bucket
-# assignment is a function of row VALUES, so a recompute after
-# eviction reproduces identical buckets); only the non-numeric
-# fallback still depends on it for pid stability.
-_RANK_CACHE: list[DataFrame] = []
+# Inputs at or under this row count rank in ONE ordered window task
+# (a few tens of MB for the narrow projections the rank family feeds)
+# instead of paying the two-phase probe + offsets machinery.  Most
+# rank-family callers rank per-entity AGGREGATES (customer-sized, not
+# event-sized), so at bench scale this collapses 3-4 scheduler jobs
+# per rank call to one — the round-8 regression was exactly that job
+# overhead.  Above the threshold the two-phase path takes over, so
+# nothing data-sized ever sorts in a single task.
+_SMALL_RANK_ROWS = 2_000_000
 
 
-def release_rank_cache() -> None:
-    """Unpersist the partitioned input held by the most recent
-    global-row-number call (sample first/nth discard paths, top-k
-    trims)."""
-    while _RANK_CACHE:
-        try:
-            _RANK_CACHE.pop().unpersist()
-        except Exception:
-            pass
+def _pin_and_count(
+    df: DataFrame, n_hint: int | None
+) -> tuple[DataFrame, int]:
+    """Materialize the rank input once (eager localCheckpoint — the
+    same pinning every rank path needs anyway) and return it with its
+    row count: the count runs over the materialized blocks, so the
+    smallness decision never re-evaluates an expensive upstream plan.
+    Callers that pass an ``n_hint`` at or under the threshold skip
+    the materialization entirely (their input feeds ONE window job)."""
+    if n_hint is not None and n_hint <= _SMALL_RANK_ROWS:
+        return df, n_hint
+    inp = df.localCheckpoint(eager=True)
+    n = n_hint if n_hint is not None else inp.count()
+    return inp, n
+
+
+def _bucket_search(proxy: Column, bounds: list[float], lo: int = 0) -> Column:
+    """Number of ``bounds`` (sorted ascending) strictly below ``proxy``
+    as a BALANCED binary-search when-tree: O(log p) comparisons per
+    row and O(log p) expression depth, vs the O(p)-deep comparison
+    chain that risked falling out of whole-stage codegen at high
+    shuffle-partition counts."""
+    if not bounds:
+        return F.lit(lo)
+    mid = len(bounds) // 2
+    return F.when(
+        proxy > F.lit(bounds[mid]),
+        _bucket_search(proxy, bounds[mid + 1 :], lo + mid + 1),
+    ).otherwise(_bucket_search(proxy, bounds[:mid], lo))
 
 
 def _rank_proxy(df: DataFrame, name: str) -> Column | None:
@@ -652,27 +672,40 @@ def _rank_proxy(df: DataFrame, name: str) -> Column | None:
 
 
 def _with_global_row_number(
-    df: DataFrame, order_by: Sequence[tuple[str, str] | str]
+    df: DataFrame,
+    order_by: Sequence[tuple[str, str] | str],
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Scale-safe global row_number as ``__rn``.
 
-    A bare ``Window.orderBy`` funnels EVERY row through one task — the
-    round-1 scale-killer.  Two-phase rank instead: cut the sort-key
-    domain into buckets, rank within buckets in parallel, then add
-    per-bucket prefix-sum offsets (an O(#buckets) metadata collect).
+    Small inputs (``n_hint`` or an early-terminating LIMIT probe says
+    ≤ ``_SMALL_RANK_ROWS``): ONE constant-partitioned ordered window —
+    a single task sorts a few tens of MB, no probe / offsets / cache
+    jobs.  Callers that already counted pass ``n_hint`` to skip even
+    the probe job; most rank-family callers rank per-entity
+    aggregates, so this is the common path at any scale.
+
+    Large inputs: two-phase rank — cut the sort-key domain into
+    buckets, rank within buckets in parallel, add per-bucket
+    prefix-sum offsets (an O(#buckets) metadata collect).  A bare
+    ``Window.orderBy`` over data-sized input funnels EVERY row through
+    one task — the round-1 scale-killer this path exists to avoid.
 
     The bucket is a pure FUNCTION OF THE ROW'S VALUE: boundary values
     are sampled once (Greenwald–Khanna quantiles of a double
-    sort-proxy) and baked into the plan as literals, so the offsets
+    sort-proxy) and baked into the plan as LITERALS, so the offsets
     job and the rank job assign identical buckets no matter how Spark
-    physically partitions either evaluation — including cache-evicted
-    recomputes.  The previous design derived the offset map from
-    ``spark_partition_id()`` after ``repartitionByRange``, whose
-    boundary sampling is seeded by RDD id: a recompute after cache
-    eviction could re-sample different ranges and silently shift every
-    rank (round-7 driver hash mismatches on rfm/lorenz sat on exactly
-    this).  Value-bucketing removes that failure class; the persist
-    below is now purely a recompute-saver.
+    physically partitions either evaluation.  (The pre-round-8 design
+    keyed offsets off ``spark_partition_id()`` after
+    ``repartitionByRange``, whose RDD-id-seeded boundary sampling
+    could shift every rank on a cache-evicted recompute.)  Bucket
+    assignment is a balanced binary-search when-tree over the literal
+    bounds — O(log p) per row and codegen-shallow at any partition
+    count.  The input is pinned by an EAGER ``localCheckpoint`` so the
+    probe, offsets, and rank jobs share one materialization without a
+    module-level cache slot that concurrent pipelines could evict
+    (storage is executor MEMORY_AND_DISK and is released by the
+    ContextCleaner when the plan is garbage-collected).
 
     Ties across rows with equal sort keys colocate (equal values get
     equal buckets); within equal full sort keys order is undefined, as
@@ -680,7 +713,7 @@ def _with_global_row_number(
     unique tiebreak column, as all oracle-paired callers do.
 
     Non-numeric first sort column: falls back to the range-partition
-    scheme (persist-pinned pids), documented less robust.
+    scheme (checkpoint-pinned pids), documented less robust.
     """
     cols = _order_cols(order_by)
     first = order_by[0]
@@ -691,29 +724,25 @@ def _with_global_row_number(
     proxy = _rank_proxy(df, name)
     if proxy is None:
         return _with_global_row_number_by_pid(df, order_by)
-    n_parts = shuffle_partitions(df.sparkSession)
+    inp, n = _pin_and_count(df, n_hint)
+    if n <= _SMALL_RANK_ROWS:
+        w = Window.partitionBy(F.lit(0)).orderBy(*cols)
+        return inp.withColumn("__rn", F.row_number().over(w))
+    proxy = _rank_proxy(inp, name)
+    n_parts = shuffle_partitions(inp.sparkSession)
     qs = [i / n_parts for i in range(1, n_parts)]
-    # persist BEFORE the boundary probe: the probe, the offset collect,
-    # and the final rank would otherwise each recompute the input —
-    # measured 1.7-2.2x on the rank-family bench queries.  Purely a
-    # recompute-saver: bucket membership is value-determined, so an
-    # evicted recompute reproduces identical buckets.
-    release_rank_cache()
-    df.persist()
-    _RANK_CACHE.append(df)
-    probe = df.select(proxy.alias("__p")).filter(F.col("__p").isNotNull())
+    probe = inp.select(proxy.alias("__p")).filter(F.col("__p").isNotNull())
     bounds = sorted(set(probe.stat.approxQuantile("__p", qs, 0.01)))
-    if desc:
-        bounds = bounds[::-1]
-    bkt: Column = F.lit(0)
-    for b in bounds:
-        hit = (proxy < F.lit(b)) if desc else (proxy > F.lit(b))
-        bkt = bkt + hit.cast("int")
+    # descending order ⇔ ascending on the negated proxy (exact for
+    # IEEE doubles), so one search routine serves both directions
+    sproxy = -proxy if desc else proxy
+    sbounds = sorted(-b for b in bounds) if desc else bounds
+    bkt = _bucket_search(sproxy, sbounds)
     # NULLs sort first under asc(), last under desc() (_order_cols);
     # give them the matching extreme bucket
     null_bkt = len(bounds) + 1 if desc else -1
     bkt = F.when(F.col(name).isNull(), F.lit(null_bkt)).otherwise(bkt)
-    bucketed = df.withColumn("__bkt", bkt)
+    bucketed = inp.withColumn("__bkt", bkt)
     sizes = {
         r["__bkt"]: r["__cnt"]
         for r in bucketed.groupBy("__bkt")
@@ -744,20 +773,20 @@ def _with_global_row_number_by_pid(
     """Fallback two-phase rank for non-numeric first sort columns:
     range-repartition on the sort key, rank within partitions, add
     per-partition prefix-sum offsets keyed by ``spark_partition_id``.
-    Correct only while both jobs see one physical partitioning — the
-    persist pins it; a cache-evicted recompute may re-sample range
-    boundaries (RDD-id-seeded), which is why the numeric path above
-    buckets by value instead."""
+    Correct only while both jobs see ONE physical partitioning — the
+    eager ``localCheckpoint`` pins it by materializing (a plain
+    persist could be evicted and the RDD-id-seeded range sampler
+    could then re-draw different boundaries on recompute, silently
+    shifting every rank — the round-7 nondeterminism class; the
+    numeric path above buckets by value instead)."""
     cols = _order_cols(order_by)
     n_parts = shuffle_partitions(df.sparkSession)
     parted = (
         df.repartitionByRange(n_parts, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    release_rank_cache()
-    parted.persist()
-    _RANK_CACHE.append(parted)
     sizes = {
         r["__pid"]: r["__cnt"]
         for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()

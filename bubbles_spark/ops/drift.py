@@ -65,15 +65,18 @@ def _partitioned_cumsum(df: DataFrame, order_col: str, sum_cols: list[str]):
 
     Returns ``(cum_df, totals, parted)``: the input rows plus
     ``cum_<col>`` columns (inclusive of the current row), the grand
-    total per summed column, and the persisted intermediate the
-    caller MUST ``unpersist()`` after its final action."""
+    total per summed column, and the pinned intermediate (kept in the
+    signature for caller compatibility; the eager ``localCheckpoint``
+    makes the pid→offset map safe against cache eviction — a lost
+    block fails loudly instead of silently re-sampling ranges, and
+    the ContextCleaner reclaims storage when the plan is dropped)."""
     spark = df.sparkSession
     n_parts = shuffle_partitions(spark)
     parted = (
         df.repartitionByRange(n_parts, order_col)
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     per_pid = (
         parted.groupBy("__pid")
@@ -119,7 +122,7 @@ def exact_quantiles(df: DataFrame, col: str, qs: list[float]) -> list[float]:
     if n == 0:
         raise ValueError(f"exact_quantiles: no non-null values in {col!r}")
     ranks = [min(max(math.ceil(q * n), 1), n) for q in qs]
-    ranked = _with_global_row_number(vals, ["__v"])
+    ranked = _with_global_row_number(vals, ["__v"], n_hint=n)
     hit = {
         r["__rn"]: r["__v"]
         for r in ranked.filter(F.col("__rn").isin(list(set(ranks)))).collect()
@@ -533,18 +536,27 @@ def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:
     proxy = _core._rank_proxy(counts, col)
     if proxy is None:
         return _grouped_cum_counts_by_pid(counts, group_col, col)
+    # the counts table is one row per (group, DISTINCT value) — when
+    # small, the per-group ordered window IS the right plan (one
+    # shuffle, no probe/offset jobs); the two-phase path below only
+    # protects the pathological group with millions of distinct values
+    counts, total = _core._pin_and_count(counts, None)
+    if total <= _core._SMALL_RANK_ROWS:
+        w_in = (
+            Window.partitionBy(group_col)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_tot = Window.partitionBy(group_col)
+        return counts.withColumn(
+            "__cum", F.sum("__c").over(w_in)
+        ).withColumn("__n", F.sum("__c").over(w_tot))
+    proxy = _core._rank_proxy(counts, col)
     n_parts = shuffle_partitions(df.sparkSession)
     qs_list = [i / n_parts for i in range(1, n_parts)]
-    # persist is a recompute-saver only: bucket membership is
-    # value-determined, so an evicted recompute reproduces it
-    _core.release_rank_cache()
-    counts.persist()
-    _core._RANK_CACHE.append(counts)
     probe = counts.select(proxy.alias("__p"))
     bounds = sorted(set(probe.stat.approxQuantile("__p", qs_list, 0.01)))
-    bkt: Column = F.lit(0)
-    for b in bounds:
-        bkt = bkt + (proxy > F.lit(b)).cast("int")
+    bkt = _core._bucket_search(proxy, bounds)
     parted = counts.withColumn("__bkt", bkt)
     partials = parted.groupBy("__bkt", group_col).agg(
         F.sum("__c").alias("__pc")
@@ -578,19 +590,16 @@ def _grouped_cum_counts_by_pid(
 ) -> DataFrame:
     """Fallback for non-numeric value columns: range-partition on
     (group, value) and key the offsets by ``spark_partition_id``,
-    pinned by a persist (see ``core._with_global_row_number_by_pid``
-    for why the numeric path avoids this)."""
-    from bubbles_spark.ops import core as _core
-
+    pinned by an eager localCheckpoint (see
+    ``core._with_global_row_number_by_pid`` for why the numeric path
+    buckets by value instead)."""
     n_parts = shuffle_partitions(counts.sparkSession)
-    _core.release_rank_cache()
     parted = (
         counts.repartitionByRange(n_parts, group_col, col)
         .sortWithinPartitions(group_col, col)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    _core._RANK_CACHE.append(parted)
     partials = parted.groupBy("__pid", group_col).agg(
         F.sum("__c").alias("__pc")
     )
@@ -1092,13 +1101,13 @@ def gains_table(
     ).select(
         F.col(score_col).alias("__s"), lab.alias("__y"), F.col(id_col).alias("__id")
     )
-    # descending score via negation (exact for IEEE doubles), id tiebreak
-    ranked = _with_global_row_number(
-        base.withColumn("__ns", -F.col("__s")), ["__ns", "__id"]
-    )
-    n = ranked.count()
+    n = base.count()
     if n == 0:
         raise ValueError("gains_table: no scorable rows")
+    # descending score via negation (exact for IEEE doubles), id tiebreak
+    ranked = _with_global_row_number(
+        base.withColumn("__ns", -F.col("__s")), ["__ns", "__id"], n_hint=n
+    )
     k = int(n_buckets)
     # integer DIV, not a double division + cast: a float quotient can
     # round UP across an integer boundary and flip a boundary row's

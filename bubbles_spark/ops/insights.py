@@ -99,7 +99,7 @@ def rfm_segments(
 
     def score(frame: DataFrame, order_col, out: str) -> DataFrame:
         ranked = _with_global_row_number(
-            frame.withColumn("__o", order_col), ["__o", "id"]
+            frame.withColumn("__o", order_col), ["__o", "id"], n_hint=n
         )
         # best-first rank → score n_bins..1 via integer cut
         s = (
@@ -158,10 +158,10 @@ def lorenz_curve(
         F.col(value_col).cast("decimal(18,2)").alias("__v"),
         F.col(id_col).alias("__id"),
     )
-    ranked = _with_global_row_number(base, ["__v", "__id"])
-    n = ranked.count()
+    n = base.count()
     if n == 0:
         raise ValueError("lorenz_curve: no rows")
+    ranked = _with_global_row_number(base, ["__v", "__id"], n_hint=n)
     bucket = (
         _idiv((F.col("__rn").cast("bigint") - 1) * n_buckets, F.lit(n)) + 1
     ).alias("bucket")
