@@ -17,6 +17,7 @@ window over data.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -790,6 +791,18 @@ def concentration_report(
     hhi, cr_k, top_k."""
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    # the "exact integer cents" claim requires the scaling factor to
+    # clear value_decimal's full scale: with e.g. decimal(18,4) and
+    # the default cents=100, sum*100 keeps 2 fractional digits and
+    # the decimal(38,0) cast would silently round them away
+    m = re.search(r"decimal\s*\(\s*\d+\s*,\s*(\d+)\s*\)", value_decimal, re.I)
+    scale = int(m.group(1)) if m else 0
+    if cents < 10**scale or cents % 10**scale != 0:
+        raise ValueError(
+            f"concentration_report: cents={cents} cannot represent "
+            f"{value_decimal} exactly — pass cents as a multiple of "
+            f"10**scale (>= {10 ** scale})"
+        )
     c = F.lit(cents)
     ent = (
         df.filter(

@@ -379,18 +379,36 @@ def bootstrap_ci(
                 ),
             )
         )
-        return overall.join(ends, group_col).select(*out_cols)
+        # LEFT join + coalesce: a group whose every replicate drew
+        # zero copies has no rows in `means`/`ends` at all — it must
+        # still report n_rows/mean with n_effective=0 and NULL
+        # endpoints (exactly what the global path emits), not vanish
+        return (
+            overall.join(ends, group_col, "left")
+            .withColumn(
+                "n_effective",
+                F.coalesce(F.col("n_effective"), F.lit(0).cast("bigint")),
+            )
+            .select(*out_cols)
+        )
     lo = means.orderBy(F.col("__mean").asc(), F.col("__b").asc()).limit(k).agg(
-        F.max("__mean").alias("ci_lo")
+        F.max("__mean").alias("__lo_raw")
     )
     hi = means.orderBy(F.col("__mean").desc(), F.col("__b").asc()).limit(k).agg(
-        F.min("__mean").alias("ci_hi")
+        F.min("__mean").alias("__hi_raw")
     )
     eff = means.agg(F.count(F.lit(1)).cast("bigint").alias("n_effective"))
+    # degenerate guard mirroring the grouped path: with fewer than k
+    # non-empty replicates the rank-k endpoint does not exist, so emit
+    # NULL rather than the most extreme available replicate mean
+    # (the grouped path's __rlo == k window match yields NULL there)
+    enough = F.col("n_effective") >= k
     return (
         overall.crossJoin(F.broadcast(eff))
         .crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
+        .withColumn("ci_lo", F.when(enough, F.col("__lo_raw")))
+        .withColumn("ci_hi", F.when(enough, F.col("__hi_raw")))
         .select(*out_cols)
     )
 

@@ -546,3 +546,17 @@ def test_concentration_report_hand_computed(spark):
     assert h["hhi"] == 1.0 and h["cr_k"] == 1.0
     with pytest.raises(ValueError):
         concentration_report(df, "grp", "ent", "v", top_k=0)
+    # cents must clear value_decimal's scale or the integer-cents
+    # exactness claim silently breaks: decimal(18,4) with cents=100
+    # would round away residual fractional units
+    with pytest.raises(ValueError):
+        concentration_report(
+            df, "grp", "ent", "v", value_decimal="decimal(18,4)", cents=100
+        )
+    # a clearing multiple works, including a non-power-of-ten scale
+    ok = concentration_report(
+        df, "grp", "ent", "v", value_decimal="decimal(18,4)", cents=10_000
+    ).collect()
+    assert {r["grp"] for r in ok} == {"g", "h"}
+    with pytest.raises(ValueError):
+        concentration_report(df, "grp", "ent", "v", cents=150)

@@ -165,6 +165,22 @@ def test_bootstrap_ci_matches_python_mirror(spark):
         bootstrap_ci(df, "v", "rid", level=1.0)
 
 
+def test_bootstrap_ci_degenerate_global_matches_grouped(spark):
+    # seed 5, one row, B=2: BOTH replicates deterministically draw
+    # zero copies (verified against the md5 mirror), so n_effective=0
+    # falls below the rank-k=1 endpoint — both paths must emit NULL,
+    # not the most extreme surviving replicate mean
+    from bubbles_spark.ops.stattests import bootstrap_ci
+
+    df = spark.createDataFrame([(1, 5.0, "g")], "rid long, v double, g string")
+    kw = dict(n_boot=2, seed=5, level=0.5)  # k = ceil(0.25*2) = 1
+    solo = bootstrap_ci(df, "v", "rid", **kw).collect()[0]
+    grouped = bootstrap_ci(df, "v", "rid", group_col="g", **kw).collect()[0]
+    for row in (solo, grouped):
+        assert row["n_effective"] == 0
+        assert row["ci_lo"] is None and row["ci_hi"] is None
+
+
 def test_mann_whitney_u_scipy_free_reference(spark):
     from bubbles_spark.ops.stattests import mann_whitney_u
 

@@ -99,6 +99,19 @@ def main(only: list[str]) -> int:
             print("--dump needs a directory argument")
             return 2
         dump_dir = only[i + 1]
+        # row dumps are hundreds of MB and must never enter the repo
+        # (a round-8 run accidentally committed 83 MB of them): only
+        # allow repo-internal paths under the gitignored dump_* prefix
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        inside = os.path.abspath(dump_dir).startswith(repo + os.sep)
+        if inside and not os.path.basename(
+            os.path.abspath(dump_dir)
+        ).startswith("dump_"):
+            print(
+                f"--dump {dump_dir}: refusing a repo-internal dump dir "
+                "not named dump_* (use /tmp/... or dump_<name>)"
+            )
+            return 2
         os.makedirs(dump_dir, exist_ok=True)
         only = only[:i] + only[i + 2 :]
     # replicate the driver's parallelism: VERIFY_MASTER env, default
