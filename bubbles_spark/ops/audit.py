@@ -540,7 +540,9 @@ def top_values(
     total = counted.agg(F.sum("n").alias("__t"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("n").desc(), F.col("value").asc_nulls_last())
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("n").desc(), F.col("value").asc_nulls_last()
+    )
     # the rank window runs over the COUNTED table (vocabulary-sized,
     # already aggregated) — a single task over counts, not data
     return (

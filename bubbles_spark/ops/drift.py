@@ -1121,7 +1121,7 @@ def gains_table(
         )
     )
     # the cumulative window runs over ≤ n_buckets rows — bucket-sized
-    w = Window.orderBy("bucket").rowsBetween(
+    w = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     tot = per.agg(

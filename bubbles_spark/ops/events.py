@@ -797,7 +797,9 @@ def changepoint_report(
         )
         .select(F.col("__w.start").alias("__t"), "__s", "__n")
     )
-    w_cum = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    w_cum = Window.partitionBy(F.lit(0)).orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     w_all = Window.partitionBy()
     # per-bucket mean (exact decimal sum → one IEEE division) rounded
     # once into decimal, so the CUMULATIVE sums are exact decimal —
@@ -1859,7 +1861,9 @@ def cumulative_distinct(
         .agg(F.count(F.lit(1)).cast("bigint").alias("new_entities"))
     )
     spine = df.select(day.alias("day")).distinct()
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(F.lit(0)).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     return (
         spine.join(firsts, "day", "left")
         .withColumn(

@@ -178,7 +178,9 @@ def lorenz_curve(
         F.sum("n_rows").cast("bigint").alias("__tn"),
         F.sum("bucket_value").cast("decimal(18,2)").alias("__tv"),
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     return (
         per.crossJoin(F.broadcast(tot))
         .withColumn("cum_rows", F.sum("n_rows").over(w).cast("bigint"))
