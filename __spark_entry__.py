@@ -12071,6 +12071,229 @@ def q_haversine_pairs_customer(spark, sf_dir):
     )
 
 
+@_q(
+    "spearman_lineitem_qty_price",
+    """
+    WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y
+                  FROM lineitem
+                  WHERE l_quantity IS NOT NULL
+                    AND l_extendedprice IS NOT NULL),
+    r AS (SELECT
+            CAST(2 * RANK() OVER (ORDER BY x)
+                 + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2x,
+            CAST(2 * RANK() OVER (ORDER BY y)
+                 + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r2y
+          FROM base),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(r2x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(r2y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(r2x AS DECIMAL(38,0))
+                     * CAST(r2y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(r2x AS DECIMAL(38,0))
+                     * CAST(r2x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(r2y AS DECIMAL(38,0))
+                     * CAST(r2y AS DECIMAL(38,0))) AS syy
+          FROM r)
+    SELECT n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS rho
+    FROM m
+    """,
+)
+def q_spearman_lineitem_qty_price(spark, sf_dir):
+    # Spearman rank correlation quantity vs price: doubled average
+    # ranks (mann-whitney identity) keep tie half-ranks integral, all
+    # five sufficient statistics are exact DECIMAL(38,0), rho is a
+    # fixed IEEE sequence with one correctly-rounded sqrt — bit-exact
+    from bubbles_spark.ops import stattests
+
+    li = _t(spark, sf_dir, "lineitem")
+    return stattests.spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+_FDR_P_SQL = """
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 2654435761) % 1000000 + 1 AS DOUBLE)
+               / CAST(1000000 AS DOUBLE) AS p
+      FROM customer
+"""
+
+
+def _fdr_p_table(spark, sf_dir):
+    # synthetic deterministic p-value table: integer hash mod then ONE
+    # division — identical in both engines, uniform-ish in (0, 1]
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        (
+            ((F.col("c_custkey") * 2654435761) % 1000000 + 1).cast("double")
+            / F.lit(1000000).cast("double")
+        ).alias("p"),
+    )
+
+
+@_q(
+    "fdr_bh_customers",
+    f"""
+    WITH pv AS ({_FDR_P_SQL}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pv),
+    r AS (SELECT id, p, ROW_NUMBER() OVER (ORDER BY p, id) AS rank FROM pv),
+    hit AS (SELECT MAX(CASE WHEN r.p * CAST(m.m AS DOUBLE)
+                             <= 0.05 * CAST(r.rank AS DOUBLE)
+                            THEN r.rank END) AS kmax
+            FROM r CROSS JOIN m)
+    SELECT r.id, r.p, CAST(r.rank AS BIGINT) AS rank, m.m,
+           LEAST(CAST(1.0 AS DOUBLE),
+                 MIN(r.p * CAST(m.m AS DOUBLE) / CAST(r.rank AS DOUBLE))
+                 OVER (ORDER BY r.rank DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             AS p_adj,
+           COALESCE(r.rank <= hit.kmax, FALSE) AS rejected
+    FROM r CROSS JOIN m CROSS JOIN hit
+    """,
+)
+def q_fdr_bh_customers(spark, sf_dir):
+    # Benjamini-Hochberg step-up over a deterministic synthetic
+    # p-value table: rank by (p, id), reject the longest prefix with
+    # p_(k)*m <= alpha*k — multiply-only comparisons, suffix-min
+    # adjusted p; every column oracle-compared bit-exact
+    from bubbles_spark.ops import stattests
+
+    return stattests.fdr_correct(
+        _fdr_p_table(spark, sf_dir), "p", "id", alpha=0.05, method="bh"
+    )
+
+
+@_q(
+    "fdr_holm_customers",
+    f"""
+    WITH pv AS ({_FDR_P_SQL}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pv),
+    r AS (SELECT id, p, ROW_NUMBER() OVER (ORDER BY p, id) AS rank FROM pv),
+    fail AS (SELECT MIN(CASE WHEN r.p * (CAST(m.m AS DOUBLE)
+                                         - CAST(r.rank AS DOUBLE) + 1.0)
+                              > 0.05
+                             THEN r.rank END) AS kmin
+             FROM r CROSS JOIN m)
+    SELECT r.id, r.p, CAST(r.rank AS BIGINT) AS rank, m.m,
+           LEAST(CAST(1.0 AS DOUBLE),
+                 MAX(r.p * (CAST(m.m AS DOUBLE)
+                            - CAST(r.rank AS DOUBLE) + 1.0))
+                 OVER (ORDER BY r.rank ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             AS p_adj,
+           COALESCE(r.rank < fail.kmin, TRUE) AS rejected
+    FROM r CROSS JOIN m CROSS JOIN fail
+    """,
+)
+def q_fdr_holm_customers(spark, sf_dir):
+    # Holm step-down FWER over the same p table: reject every rank
+    # below the first failing one; prefix-max adjusted p
+    from bubbles_spark.ops import stattests
+
+    return stattests.fdr_correct(
+        _fdr_p_table(spark, sf_dir), "p", "id", alpha=0.05, method="holm"
+    )
+
+
+@_q(
+    "conformal_events_value",
+    """
+    WITH cal AS (SELECT ABS(value - CAST((user_id * 37) % 50 AS DOUBLE))
+                   AS r
+                 FROM events
+                 WHERE event_type = 'purchase' AND value IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+    q AS (SELECT t.r AS q
+          FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM cal) t
+          CROSS JOIN n
+          WHERE t.rn = CAST(CEIL((CAST(n.n AS DOUBLE) + 1.0)
+                                 * (1.0 - 0.1)) AS BIGINT)),
+    s AS (SELECT event_id, CAST((user_id * 37) % 50 AS DOUBLE) AS pred
+          FROM events WHERE event_type = 'click')
+    SELECT s.event_id, s.pred,
+           s.pred - q.q AS pi_lo, s.pred + q.q AS pi_hi,
+           q.q AS q_hat, n.n AS n_cal
+    FROM s CROSS JOIN q CROSS JOIN n
+    """,
+)
+def q_conformal_events_value(spark, sf_dir):
+    # split conformal bands: the ceil((n+1)(1-alpha))-th smallest
+    # calibration residual is TYPE-1 rank selection (an existing
+    # double, never interpolated), band ends one IEEE add/subtract —
+    # calibration = purchase events vs a deterministic toy model,
+    # scored = click events, map-only on the scored side
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    pred = ((F.col("user_id") * 37) % 50).cast("double")
+    cal = e.filter(F.col("event_type") == "purchase").select(
+        pred.alias("pred"), F.col("value")
+    )
+    scored = e.filter(F.col("event_type") == "click").select(
+        "event_id", pred.alias("pred")
+    )
+    return drift.conformal_interval(cal, scored, "pred", "value", alpha=0.1)
+
+
+@_q(
+    "divergence_purchase_vs_click",
+    """
+    WITH ref AS (SELECT value AS v FROM events
+                 WHERE event_type = 'purchase' AND value IS NOT NULL),
+         cur AS (SELECT value AS v FROM events
+                 WHERE event_type = 'click' AND value IS NOT NULL),
+         rb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - CAST(0.0 AS DOUBLE))
+                       / CAST(5.0 AS DOUBLE)) AS BIGINT), 0), 9) AS bin,
+                       COUNT(*) AS c FROM ref GROUP BY 1),
+         cb AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - CAST(0.0 AS DOUBLE))
+                       / CAST(5.0 AS DOUBLE)) AS BIGINT), 0), 9) AS bin,
+                       COUNT(*) AS c FROM cur GROUP BY 1),
+         spine AS (SELECT CAST(bin AS BIGINT) AS bin FROM range(0, 10) t(bin)),
+         j AS (SELECT spine.bin,
+                      CAST(COALESCE(rb.c, 0) AS BIGINT) AS count_ref,
+                      CAST(COALESCE(cb.c, 0) AS BIGINT) AS count_cur
+               FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+         tot AS (SELECT CAST(SUM(count_ref) AS BIGINT) AS nr,
+                        CAST(SUM(count_cur) AS BIGINT) AS nc FROM j)
+    SELECT bin, count_ref, count_cur,
+           CAST(count_ref AS DOUBLE) / CAST(nr AS DOUBLE) AS share_ref,
+           CAST(count_cur AS DOUBLE) / CAST(nc AS DOUBLE) AS share_cur,
+           (SQRT(CAST(count_ref AS DOUBLE) / CAST(nr AS DOUBLE))
+            - SQRT(CAST(count_cur AS DOUBLE) / CAST(nc AS DOUBLE)))
+           * (SQRT(CAST(count_ref AS DOUBLE) / CAST(nr AS DOUBLE))
+              - SQRT(CAST(count_cur AS DOUBLE) / CAST(nc AS DOUBLE)))
+           / CAST(2.0 AS DOUBLE) AS hellinger_bin,
+           ABS(CAST(count_ref AS DOUBLE) / CAST(nr AS DOUBLE)
+               - CAST(count_cur AS DOUBLE) / CAST(nc AS DOUBLE))
+           / CAST(2.0 AS DOUBLE) AS tvd_bin
+    FROM j, tot
+    """,
+)
+def q_divergence_purchase_vs_click(spark, sf_dir):
+    # binned JS/KL/Hellinger/TVD drift report on the psi fixed grid;
+    # counts, shares, Hellinger (sqrt is correctly rounded) and TVD
+    # oracle-compare bit-exactly — the ln-based kl/js columns are
+    # excluded (JVM vs libm log 1-ulp class, the psi_bin policy) and
+    # pinned in tests/test_drift.py instead
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    ref = e.filter(F.col("event_type") == "purchase").select("value")
+    cur = e.filter(F.col("event_type") == "click").select("value")
+    out = drift.divergence_report(ref, cur, "value", 0.0, 50.0, bins=10)
+    return out.drop("kl_bin", "js_bin")
+
+
 # ---------------------------------------------------------------------
 # Driver-mediated bisection twins (round 9).
 #
@@ -12793,6 +13016,12 @@ _DRIVER_PRIORITY = [
     "weighted_median_lineitem",
     "wow_revenue_orders",
     "join_cardinality_lineitem_partkey",
+    # round-9 additions (never driver-checked)
+    "spearman_lineitem_qty_price",
+    "fdr_bh_customers",
+    "fdr_holm_customers",
+    "conformal_events_value",
+    "divergence_purchase_vs_click",
     # streaming (failed r2 via the ns-reader bug — now fixed; verify first)
     "stream_tumbling_window",
     "stream_sessionize",

@@ -52,6 +52,8 @@ __all__ = [
     "classification_report",
     "trimmed_mean",
     "retrieval_metrics",
+    "conformal_interval",
+    "divergence_report",
 ]
 
 
@@ -1757,4 +1759,151 @@ def trimmed_mean(
             F.col("n_kept") > 0,
             F.col("__wsum").cast("double") / F.col("n_kept").cast("double"),
         ).alias("trimmed_mean"),
+    )
+
+
+def conformal_interval(
+    cal: DataFrame,
+    scored: DataFrame,
+    pred_col: str,
+    label_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split conformal prediction intervals — distribution-free
+    per-row prediction bands with a finite-sample marginal coverage
+    guarantee of at least ``1 − alpha`` (Vovk et al., public): from a
+    held-out CALIBRATION slice, take the ``⌈(n+1)(1−α)⌉``-th smallest
+    absolute residual ``q``, then band every scored row as
+    ``[pred − q, pred + q]``.
+
+    Exactness: each residual is one IEEE subtract + abs of the input
+    doubles; the quantile is TYPE-1 RANK SELECTION (it picks an
+    existing residual — never interpolates), via the two-phase global
+    rank, so the selected ``q`` is bit-identical across engines;
+    the band ends are one subtract/add each.  When
+    ``⌈(n+1)(1−α)⌉ > n`` (calibration set too small for the level)
+    the interval is unbounded by definition — lo/hi emit NULL.
+
+    Scale: the rank runs over the calibration slice only (two-phase,
+    never a single-task data sort); ``q`` is ONE collected scalar
+    baked into the scored-side plan as a literal — the scored side
+    stays map-only (no join, no shuffle).
+
+    Output: every ``scored`` row plus pi_lo, pi_hi, q_hat (double),
+    n_cal (bigint)."""
+    import math as _math
+
+    from bubbles_spark.ops.core import _with_global_row_number
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"conformal_interval: alpha in (0,1), got {alpha}")
+    res = cal.filter(
+        F.col(pred_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.abs(
+            F.col(label_col).cast("double") - F.col(pred_col).cast("double")
+        ).alias("__r")
+    )
+    n = res.count()
+    if n == 0:
+        raise ValueError("conformal_interval: empty calibration slice")
+    q_rank = _math.ceil((n + 1) * (1.0 - alpha))
+    if q_rank > n:
+        q = None
+    else:
+        ranked = _with_global_row_number(res, ["__r"], n_hint=n)
+        q = ranked.filter(F.col("__rn") == q_rank).collect()[0]["__r"]
+    qc = F.lit(q).cast("double")
+    p = F.col(pred_col).cast("double")
+    return (
+        scored.withColumn("pi_lo", p - qc)
+        .withColumn("pi_hi", p + qc)
+        .withColumn("q_hat", qc)
+        .withColumn("n_cal", F.lit(n).cast("bigint"))
+    )
+
+
+def divergence_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Binned distribution-divergence report between a reference and a
+    current sample — ``psi_report``'s siblings on the same fixed grid:
+    per bin, both counts and shares plus the bin's contribution to
+    KL(ref‖cur), Jensen–Shannon divergence (natural log, so total JS
+    ∈ [0, ln 2]), squared-Hellinger, and total-variation distance.
+    Sum each column over bins for the total; JS/Hellinger/TVD are
+    always finite (0·ln 0 = 0 by continuity), while KL emits NULL in
+    bins where cur is empty but ref is not (KL is infinite there —
+    the caller sees WHICH bin broke it rather than a poisoned total).
+
+    Exactness: same discipline as ``psi_report`` — fixed literal grid
+    (one floor-divide per row, map-only), exact BIGINT counts, shares
+    as one IEEE division each, and each divergence term a fixed
+    sequence of IEEE steps (ln and sqrt are correctly-rounded on both
+    engines for these operand ranges — the psi/cramers precedents).
+
+    Scale: two single-shuffle keyed counts joined onto a ``bins``-row
+    spine; totals are a 1-row broadcast.  Nothing data-sized after
+    the counts.
+
+    Output: bin, count_ref, count_cur, share_ref, share_cur, kl_bin,
+    js_bin, hellinger_bin, tvd_bin."""
+    if bins < 1 or not hi > lo:
+        raise ValueError("divergence_report: need bins >= 1 and hi > lo")
+    step = (hi - lo) / bins
+    spark = ref.sparkSession
+
+    def _binned(df: DataFrame, name: str) -> DataFrame:
+        c = F.col(col)
+        b = F.least(
+            F.greatest(F.floor((c - F.lit(lo)) / F.lit(step)), F.lit(0)),
+            F.lit(bins - 1),
+        )
+        return (
+            df.filter(c.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    spine = spark.range(bins).select(F.col("id").alias("bin"))
+    joined = (
+        spine.join(_binned(ref, "count_ref"), "bin", "left")
+        .join(_binned(cur, "count_cur"), "bin", "left")
+        .fillna(0, ["count_ref", "count_cur"])
+    )
+    totals = joined.agg(
+        F.sum("count_ref").alias("__nr"), F.sum("count_cur").alias("__nc")
+    )
+    p = F.col("count_ref").cast("double") / F.col("__nr").cast("double")
+    q = F.col("count_cur").cast("double") / F.col("__nc").cast("double")
+    mid = (p + q) / F.lit(2.0)
+    zero = F.lit(0.0)
+    # 0·ln 0 := 0 (continuity); the guard keys off the exact COUNTS
+    pterm = F.when(F.col("count_ref") > 0, p * F.log(p / mid)).otherwise(zero)
+    qterm = F.when(F.col("count_cur") > 0, q * F.log(q / mid)).otherwise(zero)
+    kl = F.when(
+        F.col("count_ref") == 0, zero
+    ).when(F.col("count_cur") > 0, p * F.log(p / q))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.col("count_ref").cast("bigint").alias("count_ref"),
+            F.col("count_cur").cast("bigint").alias("count_cur"),
+            p.alias("share_ref"),
+            q.alias("share_cur"),
+            kl.alias("kl_bin"),
+            ((pterm + qterm) / F.lit(2.0)).alias("js_bin"),
+            (
+                (F.sqrt(p) - F.sqrt(q)) * (F.sqrt(p) - F.sqrt(q))
+                / F.lit(2.0)
+            ).alias("hellinger_bin"),
+            (F.abs(p - q) / F.lit(2.0)).alias("tvd_bin"),
+        )
+        .orderBy("bin")
     )

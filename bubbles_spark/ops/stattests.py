@@ -37,6 +37,8 @@ __all__ = [
     "effect_size_report",
     "brown_forsythe",
     "paired_t_test",
+    "spearman_corr",
+    "fdr_correct",
 ]
 
 
@@ -740,4 +742,190 @@ def paired_t_test(
         var.alias("var_diff"),
         t.alias("t_stat"),
         (F.col("n") - 1).cast("bigint").alias("df"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns —
+    Pearson's r computed on average ranks, the monotone-association
+    measure that ``audit.correlation_matrix`` deliberately punts on
+    ("rank first for spearman": this is that rank step, distributed).
+    Average ranks for ties (the standard definition; Spearman 1904,
+    public).
+
+    Exactness: ranks are kept DOUBLED so tie half-ranks stay integral
+    (per distinct value, ``2·avg_rank = 2·cum − c + 1`` from the
+    value-bucketed cumulative — the ``mann_whitney_u`` identity), so
+    all five sufficient statistics are exact DECIMAL(38,0) integer
+    sums; the doubling cancels in the correlation ratio.  rho is then
+    a fixed IEEE sequence: each sum cast to double once (exact while
+    the doubled-rank products stay under ~15-16 significant digits —
+    n up to ~10⁵ rows is fully exact, beyond that last-ulp only), two
+    multiplies, one sqrt, one division — identical in the SQL mirror.
+    Ties in BOTH columns are handled; zero rank variance on either
+    side (all values equal) yields NULL rho.
+
+    Scale: per-column rank tables are one keyed count over DISTINCT
+    values plus the two-phase cumulative (``_grouped_cum_counts`` —
+    no single-task sort), joined back on the value (hash join, one
+    shuffle each); the moments are ONE map-side-combined aggregate.
+
+    Output (one row): n (bigint), rho (double)."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+
+    def rank_table(col: str, out: str) -> DataFrame:
+        cum = _grouped_cum_counts(
+            base.withColumn("__g", F.lit(0)), "__g", col
+        )
+        r2 = (
+            F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)
+        ).cast("bigint")
+        return cum.select(F.col(col), r2.alias(out))
+
+    withx = base.join(rank_table("__x", "__r2x"), "__x")
+    both = withx.join(rank_table("__y", "__r2y"), "__y")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(F.col("__r2x"))).alias("__sx"),
+        F.sum(d(F.col("__r2y"))).alias("__sy"),
+        F.sum(d(F.col("__r2x")) * F.col("__r2y")).alias("__sxy"),
+        F.sum(d(F.col("__r2x")) * F.col("__r2x")).alias("__sxx"),
+        F.sum(d(F.col("__r2y")) * F.col("__r2y")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    denx = n * F.col("__sxx").cast("double") - sx * sx
+    deny = n * F.col("__syy").cast("double") - sy * sy
+    rho = F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny))
+    return agg.select("n", rho.alias("rho"))
+
+
+def fdr_correct(
+    df: DataFrame,
+    p_col: str,
+    id_col: str,
+    alpha: float = 0.05,
+    method: str = "bh",
+) -> DataFrame:
+    """Multiple-testing correction over a table of p-values — the
+    step every metrics-platform sweep needs after running
+    ``welch_t_test``/``mann_whitney_u`` per segment: which of the m
+    hypotheses survive at level ``alpha``?  Methods: ``bh``
+    (Benjamini–Hochberg step-up FDR), ``by`` (Benjamini–Yekutieli,
+    FDR under arbitrary dependence), ``holm`` (step-down FWER),
+    ``bonferroni`` (single-step FWER).  All four are rank-and-compare
+    procedures (public: Benjamini & Hochberg 1995, Holm 1979) — no
+    special functions.
+
+    Exactness: p-values rank by (p, id) total order (two-phase rank);
+    every accept/reject comparison is a fixed IEEE sequence on exact
+    operands (one multiply each side: ``p·m ≤ α·k`` for BH — never a
+    division, so threshold ties resolve identically cross-engine).
+    The step-up/step-down frontier is a global MAX/MIN of hit ranks
+    (order-independent), broadcast back.  Adjusted p-values are the
+    standard monotone envelopes (suffix-min for step-up, prefix-max
+    for step-down), clamped to 1.
+
+    Scale: the rank is the two-phase pass; the frontier is a 1-row
+    broadcast.  The adjusted-p envelope is a cumulative window over
+    the RANKED table in one task — hypothesis tables are test results
+    (metrics × segments), orders of magnitude smaller than data; the
+    reject decisions never depend on that window.
+
+    Output: id, p, rank (bigint), m (bigint), p_adj (double),
+    rejected (boolean)."""
+    from bubbles_spark.ops.core import _with_global_row_number
+    from pyspark.sql import Window
+
+    if method not in ("bh", "by", "holm", "bonferroni"):
+        raise ValueError(f"fdr_correct: unknown method {method!r}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"fdr_correct: alpha must be in (0,1), got {alpha}")
+    base = df.filter(F.col(p_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(p_col).cast("double").alias("p")
+    )
+    m = base.count()
+    if m == 0:
+        raise ValueError("fdr_correct: no non-null p-values")
+    ranked = _with_global_row_number(base, ["p", "id"], n_hint=m).select(
+        "id", "p", F.col("__rn").cast("bigint").alias("rank")
+    )
+    k = F.col("rank").cast("double")
+    md = float(m)
+    if method == "by":
+        # harmonic correction c(m) = Σ 1/i, driver-computed once —
+        # a deterministic float constant baked into the plan
+        cm = 0.0
+        for i in range(1, m + 1):
+            cm += 1.0 / i
+    w_up = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_down = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("rank").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    one = F.lit(1.0)
+    if method in ("bh", "by"):
+        scale = F.lit(md * cm) if method == "by" else F.lit(md)
+        # step-up: reject ranks 1..k_max, k_max = max{k : p_(k)·m ≤ α·k}
+        hit = F.col("p") * scale <= F.lit(alpha) * k
+        frontier = ranked.agg(
+            F.max(F.when(hit, F.col("rank"))).alias("__kmax")
+        )
+        padj = F.least(one, F.min(F.col("p") * scale / k).over(w_up))
+        out = (
+            ranked.crossJoin(F.broadcast(frontier))
+            .withColumn("p_adj", padj)
+            .withColumn(
+                "rejected",
+                F.coalesce(
+                    F.col("rank") <= F.col("__kmax"), F.lit(False)
+                ),
+            )
+        )
+    elif method == "holm":
+        # step-down: reject ranks below the FIRST failing rank,
+        # k_min = min{k : p_(k)·(m−k+1) > α}
+        fac = F.lit(md) - k + one
+        fail = F.col("p") * fac > F.lit(alpha)
+        frontier = ranked.agg(
+            F.min(F.when(fail, F.col("rank"))).alias("__kmin")
+        )
+        padj = F.least(one, F.max(F.col("p") * fac).over(w_down))
+        out = (
+            ranked.crossJoin(F.broadcast(frontier))
+            .withColumn("p_adj", padj)
+            .withColumn(
+                "rejected",
+                F.coalesce(
+                    F.col("rank") < F.col("__kmin"), F.lit(True)
+                ),
+            )
+        )
+    else:  # bonferroni
+        out = ranked.withColumn(
+            "p_adj", F.least(one, F.col("p") * F.lit(md))
+        ).withColumn("rejected", F.col("p") * F.lit(md) <= F.lit(alpha))
+    return out.select(
+        "id",
+        "p",
+        "rank",
+        F.lit(m).cast("bigint").alias("m"),
+        "p_adj",
+        "rejected",
     )

@@ -1000,3 +1000,66 @@ def test_trimmed_mean_grouped_equals_per_group_global(spark):
     # a: k=1, keep [2,3,4] → 3 ; b: k=1, keep [20,20,30,40,500] → 122
     assert grouped["a"]["trimmed_mean"] == 3.0
     assert grouped["b"]["trimmed_mean"] == 122.0
+
+
+def test_conformal_interval_rank_selection(spark):
+    from bubbles_spark.ops.drift import conformal_interval
+
+    cal = spark.createDataFrame(
+        [(0.0, float(r)) for r in range(1, 11)], "pred double, label double"
+    )  # residuals exactly 1..10
+    scored = spark.createDataFrame([(100.0,), (50.0,)], "pred double")
+    out = conformal_interval(cal, scored, "pred", "label", alpha=0.2).collect()
+    # q = ceil(11*0.8) = 9th smallest residual = 9.0
+    assert all(r["q_hat"] == 9.0 and r["n_cal"] == 10 for r in out)
+    by_pred = {r["pred"]: r for r in out}
+    assert by_pred[100.0]["pi_lo"] == 91.0 and by_pred[100.0]["pi_hi"] == 109.0
+
+    # level too tight for n: ceil(11*0.95) = 11 > 10 -> unbounded (NULLs)
+    out2 = conformal_interval(cal, scored, "pred", "label", alpha=0.05).collect()
+    assert all(
+        r["q_hat"] is None and r["pi_lo"] is None and r["pi_hi"] is None
+        for r in out2
+    )
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        conformal_interval(cal.filter("pred > 99"), scored, "pred", "label")
+
+
+def test_divergence_report_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.drift import divergence_report
+
+    ref = spark.createDataFrame([(1.0,), (1.0,), (6.0,)], "v double")
+    cur = spark.createDataFrame([(1.0,), (6.0,), (6.0,)], "v double")
+    rows = {r["bin"]: r for r in divergence_report(
+        ref, cur, "v", 0.0, 10.0, bins=2).collect()}
+    p0, q0 = 2 / 3, 1 / 3
+    m0 = (p0 + q0) / 2
+    assert rows[0]["count_ref"] == 2 and rows[0]["count_cur"] == 1
+    assert rows[0]["share_ref"] == p0 and rows[0]["share_cur"] == q0
+    # ln columns: JVM Math.log vs libm can differ by 1 ulp — pin to
+    # 1e-12 relative (the psi_bin policy), not bitwise
+    import pytest as _pt
+
+    assert rows[0]["kl_bin"] == _pt.approx(p0 * math.log(p0 / q0), rel=1e-12)
+    assert rows[0]["js_bin"] == _pt.approx(
+        (p0 * math.log(p0 / m0) + q0 * math.log(q0 / m0)) / 2.0, rel=1e-12
+    )
+    s = math.sqrt(p0) - math.sqrt(q0)
+    assert rows[0]["hellinger_bin"] == s * s / 2.0
+    assert rows[0]["tvd_bin"] == abs(p0 - q0) / 2.0
+
+    # empty-cur bin -> NULL KL, finite JS; empty-ref bin -> zero KL
+    ref2 = spark.createDataFrame([(1.0,), (6.0,)], "v double")
+    cur2 = spark.createDataFrame([(1.0,)], "v double")
+    r2 = {r["bin"]: r for r in divergence_report(
+        ref2, cur2, "v", 0.0, 10.0, bins=2).collect()}
+    assert r2[1]["kl_bin"] is None and r2[1]["js_bin"] is not None
+    ref3 = spark.createDataFrame([(1.0,)], "v double")
+    cur3 = spark.createDataFrame([(1.0,), (6.0,)], "v double")
+    r3 = {r["bin"]: r for r in divergence_report(
+        ref3, cur3, "v", 0.0, 10.0, bins=2).collect()}
+    assert r3[1]["kl_bin"] == 0.0 and r3[1]["count_ref"] == 0

@@ -327,3 +327,90 @@ def test_bootstrap_ci_grouped_equals_per_group_global(spark):
         assert got["ci_lo"] == solo["ci_lo"]
         assert got["ci_hi"] == solo["ci_hi"]
         assert got["n_effective"] == solo["n_effective"]
+
+
+def test_spearman_corr_hand_computed(spark):
+    from bubbles_spark.ops.stattests import spearman_corr
+
+    # perfect monotone with matching ties -> rho exactly 1
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)], "x double, y double"
+    )
+    row = spearman_corr(df, "x", "y").collect()[0]
+    assert row["n"] == 4 and row["rho"] == 1.0
+
+    # anti-monotone, no ties -> exactly -1
+    df2 = spark.createDataFrame(
+        [(float(i), float(10 - i)) for i in range(1, 6)], "x double, y double"
+    )
+    assert spearman_corr(df2, "x", "y").collect()[0]["rho"] == -1.0
+
+    # hand case with a y tie: x=[1..5], y=[5,6,7,8,7]
+    df3 = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 6.0), (3.0, 7.0), (4.0, 8.0), (5.0, 7.0)],
+        "x double, y double",
+    )
+    got = spearman_corr(df3, "x", "y").collect()[0]["rho"]
+    # python mirror of the exact doubled-rank construction
+    import math
+    r2x = [2 * r + 1 - 1 for r in (1, 2, 3, 4, 5)]  # 2*rank + ties-1
+    r2y = [1 * 2 - 1 + 2 * 1 - 1 + 1 for _ in range(0)]  # placeholder
+    # y ranks: 5->1, 6->2, 7->min rank 3 (2 ties), 8->5
+    r2y = [2 * 1 + 0, 2 * 2 + 0, 2 * 3 + 1, 2 * 5 + 0, 2 * 3 + 1]
+    n = 5
+    sx, sy = sum(r2x), sum(r2y)
+    sxy = sum(a * b for a, b in zip(r2x, r2y))
+    sxx = sum(a * a for a in r2x)
+    syy = sum(b * b for b in r2y)
+    num = n * sxy - sx * sy
+    exp = num / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert got == exp
+
+    # zero variance on one side -> NULL
+    df4 = spark.createDataFrame(
+        [(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)], "x double, y double"
+    )
+    assert spearman_corr(df4, "x", "y").collect()[0]["rho"] is None
+
+
+def test_fdr_correct_hand_computed(spark):
+    from bubbles_spark.ops.stattests import fdr_correct
+
+    rows = [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.2), ("e", 0.5)]
+    df = spark.createDataFrame(rows, "id string, p double")
+
+    ps = [0.01, 0.02, 0.03, 0.2, 0.5]
+    bh = {r["id"]: r for r in fdr_correct(df, "p", "id", 0.05, "bh").collect()}
+    assert [bh[i]["rejected"] for i in "abcde"] == [True, True, True, False, False]
+    # IEEE mirror of the suffix-min envelope min_{j>=k}(p_j*m/j)
+    env = [min(min(1.0, ps[j] * 5 / (j + 1)) for j in range(k, 5))
+           for k in range(5)]
+    assert [bh[i]["p_adj"] for i in "abcde"] == env
+    assert bh["a"]["m"] == 5 and bh["a"]["rank"] == 1
+
+    holm = {r["id"]: r for r in fdr_correct(df, "p", "id", 0.05, "holm").collect()}
+    assert [holm[i]["rejected"] for i in "abcde"] == [True, False, False, False, False]
+    henv = [max(min(1.0, ps[j] * (5 - (j + 1) + 1)) for j in range(k + 1))
+            for k in range(5)]
+    assert [holm[i]["p_adj"] for i in "abcde"] == henv
+
+    bon = {r["id"]: r for r in fdr_correct(df, "p", "id", 0.05, "bonferroni").collect()}
+    assert [bon[i]["rejected"] for i in "abcde"] == [True, False, False, False, False]
+    assert bon["e"]["p_adj"] == 1.0  # 2.5 clamped
+
+    # by: scale = m * H_5
+    h5 = sum(1.0 / i for i in range(1, 6))
+    by = {r["id"]: r for r in fdr_correct(df, "p", "id", 0.05, "by").collect()}
+    assert by["a"]["rejected"] == (0.01 * 5 * h5 <= 0.05 * 1)
+
+    # all-reject edge: every p tiny -> BH kmax = m
+    tiny = spark.createDataFrame(
+        [(str(i), 1e-6) for i in range(4)], "id string, p double"
+    )
+    assert all(r["rejected"] for r in fdr_correct(tiny, "p", "id").collect())
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fdr_correct(df, "p", "id", method="nope")
+    with _pt.raises(ValueError):
+        fdr_correct(df, "p", "id", alpha=1.0)
