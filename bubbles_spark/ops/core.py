@@ -623,10 +623,12 @@ _SMALL_RANK_ROWS = 2_000_000
 def _pin_and_count(
     df: DataFrame, n_hint: int | None
 ) -> tuple[DataFrame, int]:
-    """Materialize the rank input once (eager localCheckpoint — the
-    same pinning every rank path needs anyway) and return it with its
-    row count: the count runs over the materialized blocks, so the
-    smallness decision never re-evaluates an expensive upstream plan.
+    """Pin an AGGREGATE-shaped rank input (eager localCheckpoint) and
+    return it with its row count over the materialized blocks — for
+    inputs whose every extra evaluation re-runs a full upstream
+    aggregate.  Raw, possibly corpus-sized inputs must NOT come here
+    without a hint (an eager checkpoint of 100 TB before knowing its
+    size is the disaster the limit-probe in ``_small_enough`` avoids).
     Callers that pass an ``n_hint`` at or under the threshold skip
     the materialization entirely (their input feeds ONE window job)."""
     if n_hint is not None and n_hint <= _SMALL_RANK_ROWS:
@@ -634,6 +636,13 @@ def _pin_and_count(
     inp = df.localCheckpoint(eager=True)
     n = n_hint if n_hint is not None else inp.count()
     return inp, n
+
+
+def _small_enough(df: DataFrame) -> bool:
+    """Early-terminating smallness probe for RAW inputs: counts
+    through a LIMIT, so a corpus-sized scan stops at the threshold
+    instead of materializing or counting everything."""
+    return df.limit(_SMALL_RANK_ROWS + 1).count() <= _SMALL_RANK_ROWS
 
 
 def _bucket_search(proxy: Column, bounds: list[float], lo: int = 0) -> Column:
@@ -724,10 +733,14 @@ def _with_global_row_number(
     proxy = _rank_proxy(df, name)
     if proxy is None:
         return _with_global_row_number_by_pid(df, order_by)
-    inp, n = _pin_and_count(df, n_hint)
-    if n <= _SMALL_RANK_ROWS:
+    small = (
+        n_hint <= _SMALL_RANK_ROWS if n_hint is not None
+        else _small_enough(df)
+    )
+    if small:
         w = Window.partitionBy(F.lit(0)).orderBy(*cols)
-        return inp.withColumn("__rn", F.row_number().over(w))
+        return df.withColumn("__rn", F.row_number().over(w))
+    inp = df.localCheckpoint(eager=True)
     proxy = _rank_proxy(inp, name)
     n_parts = shuffle_partitions(inp.sparkSession)
     qs = [i / n_parts for i in range(1, n_parts)]
