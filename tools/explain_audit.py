@@ -1265,6 +1265,35 @@ CHECKS = [
          (r"BroadcastNestedLoopJoin", "no NL join"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        "spearman_lineitem_qty_price",
+        [(r"Functions \[\d+\]: \[partial_", "rank tables + moments partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "rank join-backs are value equi-joins"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "fdr_bh_customers",
+        [(r"BroadcastExchange", "step frontier is a 1-row broadcast")],
+        [(r"CartesianProduct", "frontier attach is a broadcast, not a cartesian"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        # the calibration quantile was collected at build time (one
+        # scalar); the returned plan must be the SCORED side only —
+        # a scan + project with the band literals, nothing else
+        "conformal_events_value",
+        [(r"PushedFilters: .*EqualTo\(event_type,click\)", "scored-side filter reaches the scan")],
+        [(r"Exchange", "scored side is map-only — no shuffle at all"),
+         (r"Join", "no join: q is a collected literal"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "divergence_purchase_vs_click",
+        [(r"Functions \[\d+\]: \[partial_", "bin counts partial-aggregate map-side"),
+         (r"BroadcastExchange", "bins-row spine + totals broadcast")],
+        [(r"SortMergeJoin", "no data-sized join — everything is bins-sized"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 
