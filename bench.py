@@ -273,6 +273,12 @@ BENCH_QUERIES = [
     "fifo_match_events",
     "rolling_wau_events",
     "haversine_pairs_customer",
+    # round-9 additions
+    "spearman_lineitem_qty_price",
+    "fdr_bh_customers",
+    "fdr_holm_customers",
+    "conformal_events_value",
+    "divergence_purchase_vs_click",
 ]
 
 

@@ -132,6 +132,64 @@ def test_two_phase_rank_partitioning_invariant(spark):
     assert got == {4: 1, 1: 2, 3: 3, 2: 4}
 
 
+def test_two_phase_rank_big_path_forced(spark, monkeypatch):
+    """Inputs under _SMALL_RANK_ROWS take the single-window fast path,
+    so the two-phase machinery (binary-search value buckets, offsets,
+    checkpoint pin) would otherwise go untested: force it by shrinking
+    the threshold and require bit-identical ranks on both paths —
+    including desc order, ties with a tiebreak, and NULLs."""
+    monkeypatch.setattr(core, "_SMALL_RANK_ROWS", 10)
+    df = spark.range(0, 400).select(
+        F.col("id"), ((F.col("id") * 37) % 97).alias("k")
+    )
+    big = {
+        (r["id"],): r["__rn"]
+        for r in core._with_global_row_number(df, ["k", "id"]).collect()
+    }
+    monkeypatch.setattr(core, "_SMALL_RANK_ROWS", 2_000_000)
+    small = {
+        (r["id"],): r["__rn"]
+        for r in core._with_global_row_number(df, ["k", "id"]).collect()
+    }
+    assert big == small
+    # desc + NULLs through the forced big path
+    monkeypatch.setattr(core, "_SMALL_RANK_ROWS", 2)
+    dfn = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5), (4, 20), (5, 10)], "id long, k int"
+    )
+    got = {
+        r["id"]: r["__rn"]
+        for r in core._with_global_row_number(
+            dfn, [("k", "desc"), ("id", "asc")]
+        ).collect()
+    }
+    assert got == {4: 1, 1: 2, 5: 3, 3: 4, 2: 5}
+
+
+def test_grouped_cum_counts_big_path_forced(spark, monkeypatch):
+    from bubbles_spark.ops import core as _core
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    df = spark.createDataFrame(
+        [("g", float(v % 13)) for v in range(200)]
+        + [("h", float(v % 7)) for v in range(50)],
+        "g string, v double",
+    )
+
+    def snap():
+        return {
+            (r["g"], r["v"]): (r["__c"], r["__cum"], r["__n"])
+            for r in _grouped_cum_counts(df, "g", "v").collect()
+        }
+
+    small = snap()
+    monkeypatch.setattr(_core, "_SMALL_RANK_ROWS", 3)
+    big = snap()
+    assert big == small
+    # sanity: per-group totals match the construction
+    assert small[("g", 0.0)][2] == 200 and small[("h", 0.0)][2] == 50
+
+
 def test_top_k(people):
     out = core.top_k(people, [("amount", "desc"), ("id", "asc")], 2).collect()
     assert [r["id"] for r in out] == [4, 3]
