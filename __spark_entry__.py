@@ -12246,6 +12246,51 @@ def q_conformal_events_value(spark, sf_dir):
 
 
 @_q(
+    "conformal_by_segment_events",
+    """
+    WITH cal AS (SELECT user_id % 5 AS seg,
+                        ABS(value - CAST((user_id * 37) % 50 AS DOUBLE)) AS r
+                 FROM events
+                 WHERE event_type = 'purchase' AND value IS NOT NULL
+                   AND user_id IS NOT NULL),
+    q AS (SELECT seg, r AS q_hat, CAST(n AS BIGINT) AS n_cal
+          FROM (SELECT seg, r,
+                       ROW_NUMBER() OVER (PARTITION BY seg ORDER BY r)
+                         AS rn,
+                       COUNT(*) OVER (PARTITION BY seg) AS n
+                FROM cal) t
+          WHERE rn = CAST(CEIL((CAST(n AS DOUBLE) + 1.0)
+                               * (1.0 - 0.1)) AS BIGINT)),
+    s AS (SELECT event_id, user_id % 5 AS seg,
+                 CAST((user_id * 37) % 50 AS DOUBLE) AS pred
+          FROM events WHERE event_type = 'click')
+    SELECT s.event_id, s.seg, s.pred, q.q_hat, q.n_cal,
+           s.pred - q.q_hat AS pi_lo, s.pred + q.q_hat AS pi_hi
+    FROM s LEFT JOIN q USING (seg)
+    """,
+)
+def q_conformal_by_segment_events(spark, sf_dir):
+    # Mondrian (group-conditional) conformal: per-segment band widths
+    # via partitioned rank selection, groups-sized q table broadcast
+    # onto the scored side; uncalibrated / too-small segments emit
+    # NULL bands rather than silently widening
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    seg = F.col("user_id") % 5
+    pred = ((F.col("user_id") * 37) % 50).cast("double")
+    cal = e.filter(F.col("event_type") == "purchase").select(
+        seg.alias("seg"), pred.alias("pred"), F.col("value")
+    )
+    scored = e.filter(F.col("event_type") == "click").select(
+        "event_id", seg.alias("seg"), pred.alias("pred")
+    )
+    return drift.conformal_interval_by(
+        cal, scored, "seg", "pred", "value", alpha=0.1
+    )
+
+
+@_q(
     "divergence_purchase_vs_click",
     """
     WITH ref AS (SELECT value AS v FROM events
@@ -13021,6 +13066,7 @@ _DRIVER_PRIORITY = [
     "fdr_bh_customers",
     "fdr_holm_customers",
     "conformal_events_value",
+    "conformal_by_segment_events",
     "divergence_purchase_vs_click",
     # streaming (failed r2 via the ns-reader bug — now fixed; verify first)
     "stream_tumbling_window",

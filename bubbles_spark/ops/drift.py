@@ -53,6 +53,7 @@ __all__ = [
     "trimmed_mean",
     "retrieval_metrics",
     "conformal_interval",
+    "conformal_interval_by",
     "divergence_report",
 ]
 
@@ -1820,6 +1821,79 @@ def conformal_interval(
         .withColumn("pi_hi", p + qc)
         .withColumn("q_hat", qc)
         .withColumn("n_cal", F.lit(n).cast("bigint"))
+    )
+
+
+def conformal_interval_by(
+    cal: DataFrame,
+    scored: DataFrame,
+    group_col: str,
+    pred_col: str,
+    label_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Mondrian (group-conditional) split conformal — one calibrated
+    band width PER GROUP, giving the ≥1−α coverage guarantee within
+    every group rather than only marginally (the per-segment fairness
+    property a single global ``q`` cannot offer).  Same construction
+    as ``conformal_interval`` inside each group: the
+    ``⌈(n_g+1)(1−α)⌉``-th smallest absolute calibration residual.
+
+    Exactness: residual = one IEEE subtract + abs; per-group rank
+    selection picks an EXISTING residual (ties cannot change the
+    selected value); band ends are one subtract/add.  Groups whose
+    calibration slice is too small for the level (selection rank
+    beyond n_g), or absent from calibration entirely, emit NULL
+    bands — surfaced, never silently widened.
+
+    Scale: the per-group rank is a PARTITIONED window (groups
+    parallelize; the skew contract is per-group calibration size,
+    same as ``weighted_median``); the q table is groups-sized and
+    broadcast-joins onto the scored side.
+
+    Output: every ``scored`` row plus pi_lo, pi_hi, q_hat (double),
+    n_cal (bigint, NULL for uncalibrated groups)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(
+            f"conformal_interval_by: alpha in (0,1), got {alpha}"
+        )
+    res = cal.filter(
+        F.col(pred_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__grp"),
+        F.abs(
+            F.col(label_col).cast("double") - F.col(pred_col).cast("double")
+        ).alias("__r"),
+    )
+    w_rn = Window.partitionBy("__grp").orderBy("__r")
+    w_n = Window.partitionBy("__grp")
+    sel = (
+        F.ceil(
+            (F.count(F.lit(1)).over(w_n).cast("double") + F.lit(1.0))
+            * F.lit(1.0 - alpha)
+        )
+    ).cast("bigint")
+    qs = (
+        res.withColumn("__rn", F.row_number().over(w_rn))
+        .withColumn("__n", F.count(F.lit(1)).over(w_n).cast("bigint"))
+        .withColumn("__sel", sel)
+        .filter(F.col("__rn") == F.col("__sel"))
+        .select(
+            "__grp",
+            F.col("__r").alias("q_hat"),
+            F.col("__n").alias("n_cal"),
+        )
+    )
+    p = F.col(pred_col).cast("double")
+    return (
+        scored.join(
+            F.broadcast(qs), scored[group_col] == qs["__grp"], "left"
+        )
+        .drop("__grp")
+        .withColumn("pi_lo", p - F.col("q_hat"))
+        .withColumn("pi_hi", p + F.col("q_hat"))
     )
 
 

@@ -1063,3 +1063,29 @@ def test_divergence_report_hand_computed(spark):
     r3 = {r["bin"]: r for r in divergence_report(
         ref3, cur3, "v", 0.0, 10.0, bins=2).collect()}
     assert r3[1]["kl_bin"] == 0.0 and r3[1]["count_ref"] == 0
+
+
+def test_conformal_interval_by_groups(spark):
+    from bubbles_spark.ops.drift import conformal_interval_by
+
+    # group g: residuals 1..10 (alpha=0.2 -> rank 9); group h: only 2
+    # residuals (rank ceil(3*0.8)=3 > 2 -> NULL); group j: absent from
+    # calibration entirely -> NULL
+    cal = spark.createDataFrame(
+        [("g", 0.0, float(r)) for r in range(1, 11)]
+        + [("h", 0.0, 1.0), ("h", 0.0, 2.0)],
+        "seg string, pred double, label double",
+    )
+    scored = spark.createDataFrame(
+        [("g", 100.0), ("h", 10.0), ("j", 5.0)], "seg string, pred double"
+    )
+    rows = {r["seg"]: r for r in conformal_interval_by(
+        cal, scored, "seg", "pred", "label", alpha=0.2).collect()}
+    assert rows["g"]["q_hat"] == 9.0 and rows["g"]["n_cal"] == 10
+    assert rows["g"]["pi_lo"] == 91.0 and rows["g"]["pi_hi"] == 109.0
+    for seg in ("h", "j"):
+        assert rows[seg]["q_hat"] is None and rows[seg]["pi_lo"] is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        conformal_interval_by(cal, scored, "seg", "pred", "label", alpha=0.0)

@@ -1,0 +1,167 @@
+"""Interpret the round-9 bisection twins against a driver
+CORRECTNESS_r*.json and print the inferred divergence dimension.
+
+Round 9 registered 23 narrow twin queries (`bx_*` in
+__spark_entry__.py) around the six persistent driver hash mismatches
+(pipeline_spec_orders, rfm_segments_events, lorenz_orders_totalprice,
+abc_parts_revenue, weighted_median_lineitem, wow_revenue_orders).
+Each twin isolates one dimension: pipeline machinery vs plain plan,
+group-key cardinality, integer vs DECIMAL vs DOUBLE output class,
+engine double→decimal cast vs the shared-IEEE floor(v*100+0.5) cents
+formula, and row-wise cast probes.  This tool reads the driver's own
+gate results and reduces the pass/fail pattern to a diagnosis plus
+the re-expression recipe for the six canonical queries.
+
+Usage: python tools/bisect_report.py [CORRECTNESS_r09.json ...]
+       (default: the newest CORRECTNESS_r*.json containing bx_ rows)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# twin -> (family, dimension it isolates)
+TWINS = {
+    "bx_ps_keys": ("pipeline_spec", "machinery + custkey grouping, INTEGER output only"),
+    "bx_ps_cents": ("pipeline_spec", "machinery, money as shared-IEEE floor cents BIGINT"),
+    "bx_ps_plain": ("pipeline_spec", "NO machinery, same plan, DECIMAL output"),
+    "bx_ps_prio": ("pipeline_spec", "machinery, LOW-cardinality group key, DECIMAL output"),
+    "bx_lz_skeleton": ("lorenz", "rank/bucket INTEGER columns only"),
+    "bx_lz_cents": ("lorenz", "same computation, DECIMAL re-presented as BIGINT cents"),
+    "bx_lz_decimals": ("lorenz", "DECIMAL money columns, no DOUBLE shares"),
+    "bx_lz_shares": ("lorenz", "DOUBLE share columns only"),
+    "bx_rfm_base": ("rfm", "day-space recency + count INTEGERs only"),
+    "bx_rfm_money": ("rfm", "engine-decimal monetary column only"),
+    "bx_rfm_scores": ("rfm", "rank-derived INTEGER scores only"),
+    "bx_abc_ints": ("abc", "rank + money as BIGINT cents"),
+    "bx_abc_class": ("abc", "class labels from double-compare thresholds"),
+    "bx_abc_share": ("abc", "cumulative-share DOUBLE only"),
+    "bx_wm_value": ("weighted_median", "crossing-row VALUE (raw double passthrough)"),
+    "bx_wm_weight": ("weighted_median", "total weight as BIGINT cents"),
+    "bx_wow_ints": ("wow", "weekly rollup as BIGINT cents"),
+    "bx_wow_dec": ("wow", "DECIMAL columns, no pct_change"),
+    "bx_wow_pct": ("wow", "pct_change DOUBLE only"),
+    "bx_cast_orders": ("probe", "ROW-WISE engine cast o_totalprice → DECIMAL"),
+    "bx_cast_events": ("probe", "ROW-WISE engine cast events.value → DECIMAL"),
+    "bx_cast_lineitem": ("probe", "ROW-WISE engine cast lineitem money/qty → DECIMAL"),
+    "bx_floor_cents_orders": ("probe", "ROW-WISE shared-IEEE floor cents BIGINT"),
+}
+
+CANONICAL = [
+    "pipeline_spec_orders",
+    "rfm_segments_events",
+    "lorenz_orders_totalprice",
+    "abc_parts_revenue",
+    "weighted_median_lineitem",
+    "wow_revenue_orders",
+]
+
+
+def load(paths: list[str]) -> dict:
+    rows: dict = {}
+    for p in paths:
+        with open(p) as fh:
+            rows.update(json.load(fh))
+    return rows
+
+
+def verdict(row) -> str:
+    if not isinstance(row, dict):
+        return "?"
+    if row.get("err"):
+        return "ERR"
+    if not row.get("rows_match"):
+        return "ROWS"
+    if row.get("hash_match") is False:
+        return "FAIL"
+    if row.get("hash_match"):
+        return "pass"
+    return "rows-only"
+
+
+def main(argv: list[str]) -> int:
+    paths = argv or sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+            if "bx_cast_orders" in open(p).read()
+        ),
+    )[-1:]
+    if not paths:
+        print("no CORRECTNESS_r*.json containing bx_ twins found yet")
+        return 1
+    rows = load(paths)
+    print(f"# bisection twins in {', '.join(os.path.basename(p) for p in paths)}\n")
+    seen: dict[str, str] = {}
+    for name, (family, dim) in TWINS.items():
+        v = verdict(rows.get(name, "?")) if name in rows else "absent"
+        seen[name] = v
+        print(f"{v:>9}  {name:24s} [{family}] {dim}")
+    print()
+    for name in CANONICAL:
+        v = verdict(rows.get(name, "?")) if name in rows else "absent"
+        print(f"{v:>9}  {name} (canonical control)")
+    print("\n# diagnosis")
+    f = lambda n: seen.get(n) == "FAIL"  # noqa: E731
+    p = lambda n: seen.get(n) == "pass"  # noqa: E731
+    notes = []
+    if f("bx_cast_orders") or f("bx_cast_events") or f("bx_cast_lineitem"):
+        notes.append(
+            "ROW-WISE engine double→decimal cast diverges on driver data: "
+            "re-express all money casts with the floor(v*100+0.5) cents "
+            "formula (bx_floor_cents_orders shows whether that form is safe)."
+        )
+    if p("bx_ps_plain") and f("bx_ps_prio"):
+        notes.append(
+            "Pipeline machinery itself diverges (plain plan passes, "
+            "machinery fails even on the low-cardinality key)."
+        )
+    if f("bx_ps_plain") and p("bx_ps_prio"):
+        notes.append(
+            "The o_custkey grouping (not the machinery) carries the "
+            "pipeline_spec divergence."
+        )
+    if p("bx_lz_decimals") and f("bx_lz_shares"):
+        notes.append(
+            "DOUBLE share columns diverge while the DECIMAL columns match: "
+            "driver-side double normalization or decimal→double cast — "
+            "re-express shares from BIGINT cents operands."
+        )
+    if f("bx_lz_decimals") and p("bx_lz_cents"):
+        notes.append(
+            "DECIMAL presentation diverges while the same values pass as "
+            "BIGINT cents: emit money as cents-derived DECIMAL or plain "
+            "cents in the canonical six."
+        )
+    if f("bx_lz_skeleton") or f("bx_rfm_scores") or f("bx_abc_ints"):
+        notes.append(
+            "INTEGER rank outputs diverge — the global-rank machinery "
+            "itself behaves differently in the driver environment; "
+            "instrument _with_global_row_number next."
+        )
+    if not notes:
+        if any(f(n) for n in TWINS):
+            notes.append("pattern not matched by the prepared rules — read the table above")
+        else:
+            notes.append(
+                "all twins pass"
+                + (
+                    " and all canonical controls pass: divergence resolved"
+                    if all(verdict(rows.get(n, {})) == "pass" for n in CANONICAL if n in rows)
+                    else " but a canonical control still fails: the divergence "
+                    "lives in a canonical-only trait (cross-check what the "
+                    "control adds beyond its twins)"
+                )
+            )
+    for n in notes:
+        print("-", n)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
