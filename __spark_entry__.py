@@ -12291,6 +12291,72 @@ def q_conformal_by_segment_events(spark, sf_dir):
 
 
 @_q(
+    "stream_divergence_window",
+    f"""
+    WITH cur_b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             LEAST(GREATEST(CAST(FLOOR((value - CAST(0.0 AS DOUBLE))
+                   / CAST(25.0 AS DOUBLE)) AS INTEGER), 0), 19) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    cur_c AS (SELECT window_start, bin, CAST(COUNT(*) AS BIGINT) AS c
+              FROM cur_b GROUP BY 1, 2),
+    ref_c AS (SELECT LEAST(GREATEST(CAST(FLOOR((value - CAST(0.0 AS DOUBLE))
+                     / CAST(25.0 AS DOUBLE)) AS INTEGER), 0), 19) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events
+              WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+    spine AS (SELECT w.window_start, CAST(b.bin AS INTEGER) AS bin
+              FROM (SELECT DISTINCT window_start FROM cur_c) w,
+                   range(0, 20) b(bin)),
+    j AS (SELECT s.window_start, s.bin,
+                 CAST(COALESCE(r.c, 0) AS BIGINT) AS count_ref,
+                 CAST(COALESCE(cc.c, 0) AS BIGINT) AS count_cur
+          FROM spine s
+          LEFT JOIN ref_c r ON s.bin = r.bin
+          LEFT JOIN cur_c cc ON s.window_start = cc.window_start
+                            AND s.bin = cc.bin),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nr FROM ref_c),
+    wt AS (SELECT window_start, CAST(SUM(count_cur) AS BIGINT) AS nw
+           FROM j GROUP BY 1)
+    SELECT j.window_start, j.bin, j.count_ref, j.count_cur,
+           {_PSIW_R} AS share_ref,
+           {_PSIW_C} AS share_cur,
+           (SQRT({_PSIW_R}) - SQRT({_PSIW_C}))
+           * (SQRT({_PSIW_R}) - SQRT({_PSIW_C}))
+           / CAST(2.0 AS DOUBLE) AS hellinger_bin,
+           ABS({_PSIW_R} - {_PSIW_C}) / CAST(2.0 AS DOUBLE) AS tvd_bin
+    FROM j JOIN wt ON j.window_start = wt.window_start, tot
+    """,
+)
+def q_stream_divergence(spark, sf_dir):
+    # streaming divergence gate: mergeable per-window bin counts from
+    # the live stream, finished per window against the static 'view'
+    # reference with JS/KL/Hellinger/TVD — finish_psi's siblings on
+    # identical state.  Hellinger (correctly-rounded sqrt) and TVD
+    # oracle-compare bit-exactly; the ln-based kl/js columns are
+    # dropped (JVM-vs-libm 1-ulp, the psi_bin policy) and pinned in
+    # tests/test_events_streaming.py
+    from bubbles_spark.streaming import events as sevents
+
+    e = _t(spark, sf_dir, "events")
+    ref = sevents.histogram_batch(
+        e.filter(F.col("event_type") == "view"),
+        "value", bins=20, bounds=(0.0, 500.0),
+    )
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    hist = sevents.histogram_stream(
+        stream, "ts", "value", "1 hour", bins=20, bounds=(0.0, 500.0)
+    )
+    sunk = sevents.run_batchlike(
+        hist, _stream_name("s_diverg"), output_mode="complete"
+    )
+    return sevents.finish_divergence(sunk, ref, bins=20).drop(
+        "kl_bin", "js_bin"
+    )
+
+
+@_q(
     "divergence_purchase_vs_click",
     """
     WITH ref AS (SELECT value AS v FROM events
@@ -13068,6 +13134,7 @@ _DRIVER_PRIORITY = [
     "conformal_events_value",
     "conformal_by_segment_events",
     "divergence_purchase_vs_click",
+    "stream_divergence_window",
     # streaming (failed r2 via the ns-reader bug — now fixed; verify first)
     "stream_tumbling_window",
     "stream_sessionize",

@@ -278,7 +278,9 @@ BENCH_QUERIES = [
     "fdr_bh_customers",
     "fdr_holm_customers",
     "conformal_events_value",
+    "conformal_by_segment_events",
     "divergence_purchase_vs_click",
+    "stream_divergence_window",
 ]
 
 

@@ -455,6 +455,89 @@ def finish_psi(
         psi.alias("psi_bin"),
     )
 
+
+def finish_divergence(
+    hist: DataFrame,
+    ref_hist: DataFrame,
+    bins: int = 256,
+) -> DataFrame:
+    """Batch finisher: per-window divergence report of a streamed
+    histogram against a STATIC reference — ``finish_psi``'s siblings
+    on the same mergeable bin counts (the streaming twin of
+    ``ops.drift.divergence_report``): per (window, bin), KL(ref‖cur),
+    Jensen–Shannon, squared-Hellinger, and total-variation
+    contributions.  Sum per window for the gate totals; JS/Hellinger/
+    TVD stay finite on empty bins (0·ln 0 = 0), KL emits NULL where
+    cur is empty but ref is not.
+
+    Same scale/exactness posture as ``finish_psi``: histogram-sized
+    input, integer counts, one IEEE division per share; the ln-based
+    kl/js columns are engine-consistent but not cross-engine
+    bit-exact (JVM vs libm 1-ulp) — oracle comparisons should drop
+    them and check counts/shares/hellinger/tvd."""
+    from pyspark.sql import Window as W
+
+    spark = hist.sparkSession
+    spine = (
+        hist.select("window_start")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+            )
+        )
+    )
+    cur = (
+        hist.groupBy("window_start", "bin")
+        .agg(F.sum("bin_count").alias("count_cur"))
+        .select(
+            F.col("window_start").alias("__cw"),
+            F.col("bin").alias("__cb"),
+            "count_cur",
+        )
+    )
+    ref = ref_hist.groupBy("bin").agg(F.sum("bin_count").alias("count_ref"))
+    ref_tot = ref.agg(F.sum("count_ref").alias("__nr"))
+    j = (
+        spine.join(ref, "bin", "left")
+        .join(
+            cur,
+            (F.col("window_start") == F.col("__cw"))
+            & (F.col("bin") == F.col("__cb")),
+            "left",
+        )
+        .drop("__cw", "__cb")
+        .fillna(0, ["count_ref", "count_cur"])
+        .crossJoin(F.broadcast(ref_tot))
+        .withColumn(
+            "__nw", F.sum("count_cur").over(W.partitionBy("window_start"))
+        )
+    )
+    pr = F.col("count_ref").cast("double") / F.col("__nr").cast("double")
+    pc = F.col("count_cur").cast("double") / F.col("__nw").cast("double")
+    mid = (pr + pc) / F.lit(2.0)
+    zero = F.lit(0.0)
+    pterm = F.when(F.col("count_ref") > 0, pr * F.log(pr / mid)).otherwise(zero)
+    qterm = F.when(F.col("count_cur") > 0, pc * F.log(pc / mid)).otherwise(zero)
+    kl = F.when(F.col("count_ref") == 0, zero).when(
+        F.col("count_cur") > 0, pr * F.log(pr / pc)
+    )
+    return j.select(
+        "window_start",
+        "bin",
+        F.col("count_ref").cast("bigint").alias("count_ref"),
+        F.col("count_cur").cast("bigint").alias("count_cur"),
+        pr.alias("share_ref"),
+        pc.alias("share_cur"),
+        kl.alias("kl_bin"),
+        ((pterm + qterm) / F.lit(2.0)).alias("js_bin"),
+        (
+            (F.sqrt(pr) - F.sqrt(pc)) * (F.sqrt(pr) - F.sqrt(pc)) / F.lit(2.0)
+        ).alias("hellinger_bin"),
+        (F.abs(pr - pc) / F.lit(2.0)).alias("tvd_bin"),
+    )
+
+
 def seasonal_gate_stream(
     events: DataFrame,
     baseline: DataFrame,

@@ -317,6 +317,32 @@ def test_finish_psi_matches_batch_psi_report(spark):
              w["share_cur"], w["psi_bin"]) for w in want]
 
 
+def test_finish_divergence_matches_batch_report(spark):
+    # streamed histogram + finish_divergence over ONE window must
+    # equal divergence_report over the same rows with the same grid
+    # (including the ln-based kl/js columns — same engine here)
+    from bubbles_spark.streaming import events as sevents
+
+    rows = [(i, float(v)) for i, v in enumerate([1, 1, 2, 5, 7, 7, 9])]
+    df = spark.createDataFrame(rows, "id long, value double")
+    ref = _vals(spark, [1, 2, 3, 8])
+    sunk = sevents.histogram_batch(df, "value", bins=5, bounds=(0.0, 10.0)) \
+        .withColumn("window_start",
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    got = sevents.finish_divergence(
+        sunk, sevents.histogram_batch(ref, "v", bins=5, bounds=(0.0, 10.0)),
+        bins=5,
+    ).orderBy("bin").collect()
+    want = drift.divergence_report(
+        ref.select(F.col("v").alias("value")), df.select("value"),
+        "value", 0.0, 10.0, bins=5,
+    ).orderBy("bin").collect()
+    cols = ["bin", "count_ref", "count_cur", "share_ref", "share_cur",
+            "kl_bin", "js_bin", "hellinger_bin", "tvd_bin"]
+    assert [[g[c] for c in cols] for g in got] == \
+           [[w[c] for c in cols] for w in want]
+
+
 def test_rollup_upsert_incremental_equals_full(spark, tmp_path):
     """Feeding batches through the persisted-rollup loop must equal
     the one-shot rollup exactly (mergeable measures, decimal sums)."""

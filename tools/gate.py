@@ -124,6 +124,11 @@ EXACT_FAMILY = [
     "bx_wow_ints", "bx_wow_dec", "bx_wow_pct",
     "bx_cast_orders", "bx_cast_events", "bx_cast_lineitem",
     "bx_floor_cents_orders",
+    # round-9 new operators claiming bit-exactness
+    "spearman_lineitem_qty_price", "fdr_bh_customers",
+    "fdr_holm_customers", "conformal_events_value",
+    "conformal_by_segment_events", "divergence_purchase_vs_click",
+    "stream_divergence_window",
 ]
 
 
