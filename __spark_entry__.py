@@ -12072,6 +12072,65 @@ def q_haversine_pairs_customer(spark, sf_dir):
 
 
 @_q(
+    "nelson_aalen_events",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                           MAX(CAST(ts AS DATE))) AS BIGINT) AS t,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS ev
+      FROM events GROUP BY 1),
+    per AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS n_event,
+                   CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+            FROM per_user GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_event + n_censored) AS BIGINT) AS total
+            FROM per),
+    c AS (SELECT t, n_event, n_censored,
+                 SUM(n_event + n_censored) OVER (ORDER BY t)
+                   - (n_event + n_censored) AS gone
+          FROM per),
+    r AS (SELECT c.t, CAST(tot.total - c.gone AS BIGINT) AS n_risk,
+                 c.n_event, c.n_censored
+          FROM c CROSS JOIN tot),
+    q AS (SELECT t, n_risk, n_event, n_censored,
+                 CAST(FLOOR(CAST(n_event AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE)
+                            * 1000000000000.0) AS BIGINT) AS hazard_q,
+                 CAST(FLOOR(CAST(n_event AS DOUBLE)
+                            / (CAST(n_risk AS DOUBLE)
+                               * CAST(n_risk AS DOUBLE))
+                            * 1000000000000.0) AS BIGINT) AS var_q
+          FROM r)
+    SELECT t, n_risk, n_event, n_censored, hazard_q, var_q,
+           CAST(SUM(hazard_q) OVER (ORDER BY t) AS DOUBLE)
+             / 1000000000000.0 AS cum_hazard,
+           CAST(SUM(var_q) OVER (ORDER BY t) AS DOUBLE)
+             / 1000000000000.0 AS cum_hazard_var
+    FROM q
+    """,
+)
+def q_nelson_aalen_events(spark, sf_dir):
+    # Nelson-Aalen cumulative hazard over the same duration/event
+    # construction as km_risk_table_events.  Unlike KM's survival
+    # PRODUCT (oracle-excluded: window-product association is engine-
+    # dependent), the hazard terms are micro-quantized to integers so
+    # the cumulative is an exact BIGINT window sum — every column
+    # including cum_hazard oracle-compares bit-exactly
+    from bubbles_spark.ops import insights
+
+    e = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    per_user = e.groupBy("user_id").agg(
+        F.datediff(F.max(day), F.min(day)).cast("bigint").alias("t"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("int").alias("ev"),
+    )
+    return insights.nelson_aalen(per_user, "t", "ev")
+
+
+@_q(
     "spearman_lineitem_qty_price",
     """
     WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y
@@ -13128,6 +13187,7 @@ _DRIVER_PRIORITY = [
     "wow_revenue_orders",
     "join_cardinality_lineitem_partkey",
     # round-9 additions (never driver-checked)
+    "nelson_aalen_events",
     "spearman_lineitem_qty_price",
     "fdr_bh_customers",
     "fdr_holm_customers",

@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "rolling_wau_events",
     "haversine_pairs_customer",
     # round-9 additions
+    "nelson_aalen_events",
     "spearman_lineitem_qty_price",
     "fdr_bh_customers",
     "fdr_holm_customers",

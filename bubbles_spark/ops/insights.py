@@ -29,6 +29,7 @@ __all__ = [
     "rfm_segments",
     "lorenz_curve",
     "km_risk_table",
+    "nelson_aalen",
     "linear_trend",
     "abc_classification",
     "weighted_median",
@@ -265,6 +266,87 @@ def km_risk_table(
         .withColumn("survival", F.product("__factor").over(wcum))
     )
     return out.select(*by, "t", "n_risk", "n_event", "n_censored", "survival")
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    by: Sequence[str] = (),
+    scale: int = 12,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — ``km_risk_table``'s
+    additive sibling: ``H(t) = Σ_{u≤t} d_u / n_u`` plus Aalen's
+    variance ``Σ d_u / n_u²`` (Nelson 1972 / Aalen 1978, public).
+    Where the KM ``survival`` column is oracle-EXCLUDED (a windowed
+    double PRODUCT associates engine-dependently), the hazard here is
+    fully oracle-comparable: each per-duration term is ONE IEEE
+    division then micro-quantized to an integer (``floor(term·10^s)``
+    — the stattests moment idiom), so the cumulative is an EXACT
+    BIGINT window sum and the final division by 10^s is one more IEEE
+    step.  Quantization bias is < #durations·10⁻¹² — far below any
+    statistical use — and the whole column is bit-identical across
+    engines.
+
+    Scale: one keyed count per (group, duration), then windows over
+    the distinct-duration table only (same plan as km_risk_table);
+    the exact-BIGINT cumsum stays under 2^53 while cumulative hazard
+    < ~9000 (documented budget).
+
+    Output: ``by...``, t, n_risk, n_event, n_censored, hazard_q /
+    var_q (BIGINT, quantized terms), cum_hazard, cum_hazard_var
+    (DOUBLE)."""
+    by = list(by)
+    g = [F.col(c) for c in by]
+    t = F.col(duration_col).cast("bigint").alias("t")
+    ev = F.col(event_col).cast("int")
+    per = (
+        df.filter(F.col(duration_col).isNotNull() & ev.isNotNull())
+        .groupBy(*g, t)
+        .agg(
+            F.sum(ev).cast("bigint").alias("n_event"),
+            F.sum(1 - ev).cast("bigint").alias("n_censored"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(*by).orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    leaving = F.col("n_event") + F.col("n_censored")
+    d = F.col("n_event").cast("double")
+    n = F.col("n_risk").cast("double")
+    up = float(10**scale)
+    hq = F.floor(d / n * F.lit(up)).cast("bigint")
+    vq = F.floor(d / (n * n) * F.lit(up)).cast("bigint")
+    out = (
+        per.withColumn("__total", F.sum(leaving).over(wtot))
+        .withColumn("__gone", F.sum(leaving).over(wcum) - leaving)
+        .withColumn(
+            "n_risk", (F.col("__total") - F.col("__gone")).cast("bigint")
+        )
+        .withColumn("hazard_q", hq)
+        .withColumn("var_q", vq)
+        .withColumn(
+            "cum_hazard",
+            F.sum("hazard_q").over(wcum).cast("double") / F.lit(up),
+        )
+        .withColumn(
+            "cum_hazard_var",
+            F.sum("var_q").over(wcum).cast("double") / F.lit(up),
+        )
+    )
+    return out.select(
+        *by,
+        "t",
+        "n_risk",
+        "n_event",
+        "n_censored",
+        "hazard_q",
+        "var_q",
+        "cum_hazard",
+        "cum_hazard_var",
+    )
 
 
 def linear_trend(

@@ -560,3 +560,33 @@ def test_concentration_report_hand_computed(spark):
     assert {r["grp"] for r in ok} == {"g", "h"}
     with pytest.raises(ValueError):
         concentration_report(df, "grp", "ent", "v", cents=150)
+
+
+def test_nelson_aalen_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.insights import nelson_aalen
+
+    # durations: t=1 (2 events, 1 censored), t=3 (1 event), n=4 total
+    rows = [(1, 1), (1, 1), (1, 0), (3, 1)]
+    df = spark.createDataFrame(rows, "t int, ev int")
+    out = {r["t"]: r for r in nelson_aalen(df, "t", "ev").collect()}
+    assert out[1]["n_risk"] == 4 and out[1]["n_event"] == 2
+    assert out[3]["n_risk"] == 1 and out[3]["n_event"] == 1
+    up = 1e12
+    h1 = math.floor(2.0 / 4.0 * up)
+    h3 = math.floor(1.0 / 1.0 * up)
+    v1 = math.floor(2.0 / 16.0 * up)
+    assert out[1]["hazard_q"] == h1 and out[3]["hazard_q"] == h3
+    assert out[1]["cum_hazard"] == h1 / up
+    assert out[3]["cum_hazard"] == (h1 + h3) / up
+    assert out[1]["cum_hazard_var"] == v1 / up
+
+    # grouped: each arm gets its own curve and totals
+    g = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 0), ("b", 1, 1)], "arm string, t int, ev int"
+    )
+    got = {(r["arm"], r["t"]): r for r in
+           nelson_aalen(g, "t", "ev", by=["arm"]).collect()}
+    assert got[("a", 1)]["n_risk"] == 2 and got[("b", 1)]["n_risk"] == 1
+    assert got[("a", 1)]["cum_hazard"] == math.floor(0.5 * up) / up
