@@ -12072,6 +12072,67 @@ def q_haversine_pairs_customer(spark, sf_dir):
 
 
 @_q(
+    "mann_kendall_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS grp,
+             CAST(DATEDIFF('day', DATE '1970-01-01', o_orderdate)
+                  AS DOUBLE) AS x,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) AS DOUBLE) AS y
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+    s AS (SELECT l.grp,
+                 CAST(SUM(CAST(SIGN(r.y - l.y) AS INTEGER)) AS BIGINT)
+                   AS s_stat
+          FROM daily l JOIN daily r ON l.grp = r.grp AND l.x < r.x
+          GROUP BY 1),
+    ties AS (SELECT grp,
+                    SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))
+                      AS tt
+             FROM (SELECT grp, y, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+             GROUP BY 1),
+    n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM daily GROUP BY 1),
+    v AS (SELECT n.grp, n.n_points,
+                 COALESCE(s.s_stat, 0) AS s_stat,
+                 CAST(CAST(n.n_points AS DECIMAL(38,0))
+                      * (n.n_points - 1) * (2 * n.n_points + 5)
+                      - ties.tt AS DOUBLE) / 18.0 AS var_s
+          FROM n JOIN ties ON n.grp = ties.grp
+                 LEFT JOIN s ON n.grp = s.grp)
+    SELECT grp AS o_orderpriority, n_points, s_stat,
+           CASE WHEN n_points > 1 THEN var_s END AS var_s,
+           CASE WHEN n_points > 1 THEN
+             CASE WHEN var_s > 0 AND s_stat > 0
+                    THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(var_s)
+                  WHEN var_s > 0 AND s_stat < 0
+                    THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(var_s)
+                  WHEN var_s > 0 THEN 0.0 END
+           END AS z
+    FROM v
+    """,
+)
+def q_mann_kendall_daily_revenue(spark, sf_dir):
+    # Mann-Kendall monotone-trend test over the same per-priority
+    # daily revenue series theil_sen estimates a slope for: S is an
+    # exact integer sum of pair signs, tie-corrected variance is
+    # exact DECIMAL(38,0) integer arithmetic, z one sqrt + division
+    from bubbles_spark.ops import stattests
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    daily = o.groupBy(
+        F.col("o_orderpriority"),
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("x"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("y")
+    )
+    return stattests.mann_kendall(daily, "o_orderpriority", "x", "y")
+
+
+@_q(
     "nelson_aalen_events",
     """
     WITH per_user AS (
@@ -13187,6 +13248,7 @@ _DRIVER_PRIORITY = [
     "wow_revenue_orders",
     "join_cardinality_lineitem_partkey",
     # round-9 additions (never driver-checked)
+    "mann_kendall_daily_revenue",
     "nelson_aalen_events",
     "spearman_lineitem_qty_price",
     "fdr_bh_customers",

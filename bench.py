@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "haversine_pairs_customer",
     # round-9 additions
     "nelson_aalen_events",
+    "mann_kendall_daily_revenue",
     "spearman_lineitem_qty_price",
     "fdr_bh_customers",
     "fdr_holm_customers",

@@ -39,6 +39,7 @@ __all__ = [
     "paired_t_test",
     "spearman_corr",
     "fdr_correct",
+    "mann_kendall",
 ]
 
 
@@ -928,4 +929,100 @@ def fdr_correct(
         F.lit(m).cast("bigint").alias("m"),
         "p_adj",
         "rejected",
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend test per group — the nonparametric "is this
+    series monotonically trending?" companion to ``insights.theil_sen``
+    (which estimates the slope this test scores): ``S = Σ sign(y_j −
+    y_i)`` over all pairs with ``x_i < x_j``, the tie-corrected
+    variance ``Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18``, and the
+    continuity-corrected normal statistic z (Mann 1945 / Kendall 1975,
+    public).
+
+    Contract: ``x`` must be UNIQUE within each group (pre-aggregate to
+    a daily/bucket series first — the theil_sen/linear_trend input
+    shape); with tied x the pair set and the variance formula would
+    disagree.
+
+    Exactness: S is an exact integer sum of signs (one IEEE subtract
+    per pair feeds ``sign``, whose result is exact ±1/0); the variance
+    numerator is exact integer arithmetic in DECIMAL(38,0) (the n³
+    term overflows BIGINT near n ≈ 2M), cast to double once, one
+    division, one sqrt.  z uses the standard continuity correction
+    (S−1 or S+1); all-tied groups (Var 0) and single-point groups
+    emit NULL z.
+
+    Scale: pairs come from the same per-group self-equi-join as
+    theil_sen — O(n_g²) BY DEFINITION; intended for per-entity series
+    up to ~10k points per group, pre-aggregated.
+
+    Output: group, n_points (bigint), s_stat (bigint), var_s
+    (double), z (double)."""
+    pts = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(x_col).cast("double").alias("__x"),
+            F.col(y_col).cast("double").alias("__y"),
+        )
+    )
+    left, right = pts.alias("l"), pts.alias("r")
+    s = (
+        left.join(right, F.col("l.grp") == F.col("r.grp"))
+        .filter(F.col("l.__x") < F.col("r.__x"))
+        .groupBy(F.col("l.grp").alias("grp"))
+        .agg(
+            F.sum(F.signum(F.col("r.__y") - F.col("l.__y")).cast("int"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ties = (
+        pts.groupBy("grp", "__y")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n_from_ties"),
+            F.sum(
+                d(F.col("__t"))
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).alias("__tt"),
+        )
+    )
+    counts = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    n = F.col("n_points")
+    num = d(n) * (n - 1) * (2 * n + 5) - F.col("__tt")
+    var_s = num.cast("double") / F.lit(18.0)
+    sb = F.coalesce(F.col("s_stat"), F.lit(0).cast("bigint"))
+    sd = sb.cast("double")
+    z = F.when(
+        (var_s > 0) & (sb > 0), (sd - F.lit(1.0)) / F.sqrt(var_s)
+    ).when(
+        (var_s > 0) & (sb < 0), (sd + F.lit(1.0)) / F.sqrt(var_s)
+    ).when((var_s > 0) & (sb == 0), F.lit(0.0))
+    return (
+        counts.join(ties, "grp")
+        .join(s, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_points",
+            sb.alias("s_stat"),
+            F.when(n > 1, var_s).alias("var_s"),
+            F.when(n > 1, z).alias("z"),
+        )
     )

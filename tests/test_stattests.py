@@ -414,3 +414,50 @@ def test_fdr_correct_hand_computed(spark):
         fdr_correct(df, "p", "id", method="nope")
     with _pt.raises(ValueError):
         fdr_correct(df, "p", "id", alpha=1.0)
+
+
+def test_mann_kendall_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.stattests import mann_kendall
+
+    # strictly increasing series: S = n(n-1)/2, z > 0
+    inc = spark.createDataFrame(
+        [("g", float(i), float(i * 2)) for i in range(1, 6)],
+        "grp string, x double, y double",
+    )
+    row = mann_kendall(inc, "grp", "x", "y").collect()[0]
+    assert row["n_points"] == 5 and row["s_stat"] == 10
+    var = (5 * 4 * 15 - 5 * 0) / 18.0  # no ties
+    assert row["var_s"] == var
+    assert row["z"] == (10 - 1.0) / math.sqrt(var)
+
+    # with a tie: y = [1, 2, 2, 3] over x = 1..4
+    # pairs: (1,2)+ (1,2)+ (1,3)+ (2,2)0 (2,3)+ (2,3)+ -> S = 5
+    tied = spark.createDataFrame(
+        [("t", 1.0, 1.0), ("t", 2.0, 2.0), ("t", 3.0, 2.0), ("t", 4.0, 3.0)],
+        "grp string, x double, y double",
+    )
+    r2 = mann_kendall(tied, "grp", "x", "y").collect()[0]
+    assert r2["s_stat"] == 5
+    vt = (4 * 3 * 13 - 2 * 1 * 9) / 18.0  # one tie group of 2
+    assert r2["var_s"] == vt
+    assert r2["z"] == (5 - 1.0) / math.sqrt(vt)
+
+    # decreasing -> negative S, continuity correction flips sign
+    dec = spark.createDataFrame(
+        [("d", float(i), float(-i)) for i in range(1, 5)],
+        "grp string, x double, y double",
+    )
+    r3 = mann_kendall(dec, "grp", "x", "y").collect()[0]
+    assert r3["s_stat"] == -6
+    assert r3["z"] == (-6 + 1.0) / math.sqrt((4 * 3 * 13) / 18.0)
+
+    # all tied -> var 0 -> NULL z; single point -> NULLs, s=0
+    flat = spark.createDataFrame(
+        [("f", 1.0, 7.0), ("f", 2.0, 7.0), ("s", 1.0, 1.0)],
+        "grp string, x double, y double",
+    )
+    r4 = {r["grp"]: r for r in mann_kendall(flat, "grp", "x", "y").collect()}
+    assert r4["f"]["s_stat"] == 0 and r4["f"]["z"] is None
+    assert r4["s"]["n_points"] == 1 and r4["s"]["z"] is None

@@ -125,7 +125,7 @@ EXACT_FAMILY = [
     "bx_cast_orders", "bx_cast_events", "bx_cast_lineitem",
     "bx_floor_cents_orders",
     # round-9 new operators claiming bit-exactness
-    "nelson_aalen_events",
+    "nelson_aalen_events", "mann_kendall_daily_revenue",
     "spearman_lineitem_qty_price", "fdr_bh_customers",
     "fdr_holm_customers", "conformal_events_value",
     "conformal_by_segment_events", "divergence_purchase_vs_click",
