@@ -613,3 +613,105 @@ def test_prefix_jaccard_lossless_property(spark, texts, threshold):
         if jac >= threshold:
             want[(ia, ib)] = jac
     assert got == want
+
+
+_pvals = st.lists(
+    st.integers(1, 1000), min_size=1, max_size=12
+).map(lambda xs: [x / 1000.0 for x in xs])
+
+
+@_slow
+@given(ps=_pvals, alpha=st.sampled_from([0.01, 0.05, 0.2]))
+def test_fdr_methods_ordering_properties(spark, ps, alpha):
+    """Classical dominance invariants on ANY p-value table:
+    bonferroni-rejected ⊆ holm-rejected ⊆ bh-rejected, every
+    adjusted p is >= its raw p and <= 1, and the adjusted-p
+    envelopes are monotone along the rank order."""
+    from bubbles_spark.ops.stattests import fdr_correct
+
+    df = spark.createDataFrame(
+        [(str(i), p) for i, p in enumerate(ps)], "id string, p double"
+    )
+    res = {
+        m: {r["id"]: r for r in fdr_correct(df, "p", "id", alpha, m).collect()}
+        for m in ("bonferroni", "holm", "bh")
+    }
+    bon = {k for k, r in res["bonferroni"].items() if r["rejected"]}
+    holm = {k for k, r in res["holm"].items() if r["rejected"]}
+    bh = {k for k, r in res["bh"].items() if r["rejected"]}
+    assert bon <= holm <= bh
+    for m, rows in res.items():
+        by_rank = sorted(rows.values(), key=lambda r: r["rank"])
+        for r in by_rank:
+            assert r["p"] - 1e-15 <= r["p_adj"] <= 1.0
+        adj = [r["p_adj"] for r in by_rank]
+        if m in ("bh", "holm"):
+            assert adj == sorted(adj)  # monotone envelopes
+
+
+@_slow
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+        min_size=2,
+        max_size=15,
+    )
+)
+def test_spearman_bounds_and_monotone_invariance(spark, pairs):
+    """rho ∈ [-1, 1] (or NULL on zero rank variance), is invariant
+    under strictly monotone transforms of either column, and equals
+    +1 on any strictly co-monotone tie-free sample."""
+    from bubbles_spark.ops.stattests import spearman_corr
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pairs], "x double, y double"
+    )
+    rho = spearman_corr(df, "x", "y").collect()[0]["rho"]
+    if rho is not None:
+        assert -1.0 - 1e-12 <= rho <= 1.0 + 1e-12
+    # strictly monotone transform of x: rank structure unchanged
+    df2 = df.selectExpr("CAST(x * 3 + 100 AS DOUBLE) AS x", "y")
+    assert spearman_corr(df2, "x", "y").collect()[0]["rho"] == rho
+    # co-monotone tie-free -> exactly 1
+    xs = sorted({x for x, _ in pairs})
+    if len(xs) >= 2:
+        mono = spark.createDataFrame(
+            [(float(x), float(i)) for i, x in enumerate(xs)],
+            "x double, y double",
+        )
+        assert spearman_corr(mono, "x", "y").collect()[0]["rho"] == 1.0
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()),  # (duration, event)
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_nelson_aalen_matches_python_reference(spark, rows):
+    import math
+
+    from bubbles_spark.ops.insights import nelson_aalen
+
+    df = spark.createDataFrame(
+        [(t, int(e)) for t, e in rows], "t int, ev int"
+    )
+    got = {r["t"]: r for r in nelson_aalen(df, "t", "ev").collect()}
+    # python reference on the same definition
+    from collections import Counter
+    d = Counter(t for t, e in rows if e)
+    c = Counter(t for t, e in rows if not e)
+    ts = sorted(set(d) | set(c))
+    at_risk = len(rows)
+    cum_h = 0
+    up = 1e12
+    for t in ts:
+        hq = math.floor(d[t] / at_risk * up)
+        cum_h += hq
+        assert got[t]["n_risk"] == at_risk
+        assert got[t]["n_event"] == d[t]
+        assert got[t]["hazard_q"] == hq
+        assert got[t]["cum_hazard"] == cum_h / up
+        at_risk -= d[t] + c[t]
