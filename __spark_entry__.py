@@ -12072,6 +12072,56 @@ def q_haversine_pairs_customer(spark, sf_dir):
 
 
 @_q(
+    "snapshot_restore_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q_snapshot_restore_orders(spark, sf_dir):
+    # FileStore snapshot/restore proof: freeze the object, mutate the
+    # live copy through the staged-rewrite upsert, roll back, and the
+    # restored table must equal the ORIGINAL projection bit-exactly —
+    # pinning that hardlinked snapshots survive the live directory's
+    # rmtree+rename and that restore is a faithful inverse
+    import shutil
+    import tempfile
+
+    from bubbles_spark.io import FileStore
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    if _schema_only():
+        return o
+    tmp = tempfile.mkdtemp(prefix="snap_rt_")
+    try:
+        store = FileStore(spark, tmp)
+        store.create("orders", from_obj=o)
+        tag = store.snapshot("orders")
+        mut = store.get_object("orders").limit(100).select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1).alias("o_custkey"),
+            (F.col("price") + F.lit(1).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("price"),
+        )
+        store.upsert("orders", spark.createDataFrame(
+            mut.collect(), mut.schema), keys="o_orderkey")
+        store.restore("orders", tag)
+        out = store.get_object("orders")
+        res = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+@_q(
     "mann_kendall_daily_revenue",
     """
     WITH daily AS (
@@ -13248,6 +13298,7 @@ _DRIVER_PRIORITY = [
     "wow_revenue_orders",
     "join_cardinality_lineitem_partkey",
     # round-9 additions (never driver-checked)
+    "snapshot_restore_orders",
     "mann_kendall_daily_revenue",
     "nelson_aalen_events",
     "spearman_lineitem_qty_price",

@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     # round-9 additions
     "nelson_aalen_events",
     "mann_kendall_daily_revenue",
+    "snapshot_restore_orders",
     "spearman_lineitem_qty_price",
     "fdr_bh_customers",
     "fdr_holm_customers",

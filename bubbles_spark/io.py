@@ -303,6 +303,117 @@ class FileStore(DataStore):
         os.rename(self._file(tmp), self._file(name))
         return n_files
 
+    # -- snapshots (poor-man's time travel for the plain store) -------
+
+    def _snap_dir(self, name: str, tag: str | None = None) -> str:
+        base = os.path.join(self.path, ".snapshots", name)
+        return base if tag is None else os.path.join(base, tag)
+
+    def snapshot(self, name: str, tag: str | None = None) -> str:
+        """Freeze the object's CURRENT files under an immutable tag —
+        lightweight time travel for the plain file store (the
+        jar-gated ``lakehouse.DeltaStore``/``IcebergStore`` do this
+        transactionally; this is the no-dependency fallback with the
+        same read/restore surface).
+
+        Data files HARDLINK into ``.snapshots/<name>/<tag>/`` (no
+        byte copy on a posix filesystem; falls back to a real copy
+        where linking fails), so the store's staged rewrite paths
+        (upsert / compact / restore), which replace the live
+        directory wholesale, can never mutate a snapshot — the
+        snapshot holds its own references to the immutable parquet
+        files.  Returns the tag (auto ``v0001``, ``v0002``... when
+        not given).  Snapshots are per-store-directory metadata; at
+        a real deployment scale the same layout works on any
+        filesystem with cheap links, and object-store users should
+        reach for the lakehouse stores instead."""
+        import shutil
+
+        if not self.exists(name):
+            raise FileNotFoundError(name)
+        if tag is None:
+            tag = f"v{len(self.list_snapshots(name)) + 1:04d}"
+        if os.sep in tag or tag.startswith("."):
+            raise ValueError(f"bad snapshot tag: {tag!r}")
+        dst = self._snap_dir(name, tag)
+        if os.path.exists(dst):
+            raise FileExistsError(f"snapshot {tag!r} already exists")
+        src = self._file(name)
+        staging = dst + ".__staging"
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = os.path.join(staging, rel) if rel != "." else staging
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue  # spark markers/CRCs: not data
+                s = os.path.join(root, f)
+                d = os.path.join(out, f)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+        os.rename(staging, dst)
+        return tag
+
+    def list_snapshots(self, name: str) -> list[str]:
+        base = self._snap_dir(name)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            t for t in os.listdir(base)
+            if not t.startswith(".") and not t.endswith(".__staging")
+        )
+
+    def get_snapshot(self, name: str, tag: str) -> DataFrame:
+        """Read a frozen snapshot as a DataFrame (same reader options
+        as the live object)."""
+        path = self._snap_dir(name, tag)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no snapshot {tag!r} of {name!r}")
+        reader = self.spark.read
+        for k, v in self.reader_options.items():
+            reader = reader.option(k, v)
+        return reader.format(self.format).load(path)
+
+    def restore(self, name: str, tag: str) -> None:
+        """Roll the live object back to a snapshot (staged: the new
+        directory hardlinks/copies from the snapshot, then swaps in —
+        a mid-restore failure leaves the live object intact, and the
+        snapshot itself is never consumed so a restore can be
+        restored from again)."""
+        import shutil
+
+        src = self._snap_dir(name, tag)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(f"no snapshot {tag!r} of {name!r}")
+        tmp = self._file(f"__restore_tmp_{name}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = os.path.join(tmp, rel) if rel != "." else tmp
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                s = os.path.join(root, f)
+                d = os.path.join(out, f)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+        live = self._file(name)
+        if os.path.exists(live):
+            shutil.rmtree(live)
+        os.rename(tmp, live)
+
+    def drop_snapshot(self, name: str, tag: str) -> None:
+        import shutil
+
+        path = self._snap_dir(name, tag)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no snapshot {tag!r} of {name!r}")
+        shutil.rmtree(path)
+
 
 class ParquetStore(FileStore):
     format = "parquet"

@@ -458,3 +458,72 @@ def test_fixed_width_store(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         FixedWidthStore(spark, str(p), colspecs=[("bad", 5, 5)])
+
+
+def test_filestore_snapshot_restore(spark, tmp_path):
+    import pytest as _pt
+
+    from bubbles_spark.io import FileStore
+
+    store = FileStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, k string, v double",
+    )
+    store.create("t", from_obj=base)
+    tag1 = store.snapshot("t")
+    assert tag1 == "v0001" and store.list_snapshots("t") == ["v0001"]
+
+    # mutate the live object via the staged-rewrite upsert path
+    upd = spark.createDataFrame([(2, "B", 99.0), (4, "d", 40.0)],
+                                "id long, k string, v double")
+    store.upsert("t", upd, keys="id")
+    live = {r["id"]: (r["k"], r["v"]) for r in store.get_object("t").collect()}
+    assert live[2] == ("B", 99.0) and 4 in live
+
+    # the snapshot still reads the ORIGINAL rows (hardlinked files
+    # survived the rmtree of the live directory)
+    snap = {r["id"]: (r["k"], r["v"])
+            for r in store.get_snapshot("t", tag1).collect()}
+    assert snap == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+    # second snapshot of the mutated state, then roll back to v0001
+    tag2 = store.snapshot("t")
+    assert store.list_snapshots("t") == ["v0001", "v0002"]
+    store.restore("t", tag1)
+    back = {r["id"]: (r["k"], r["v"]) for r in store.get_object("t").collect()}
+    assert back == snap
+    # roll FORWARD again: restore is non-destructive of snapshots
+    store.restore("t", tag2)
+    fwd = {r["id"]: (r["k"], r["v"]) for r in store.get_object("t").collect()}
+    assert fwd == live
+
+    store.drop_snapshot("t", tag1)
+    assert store.list_snapshots("t") == ["v0002"]
+    with _pt.raises(FileNotFoundError):
+        store.get_snapshot("t", "v0001")
+    with _pt.raises(FileExistsError):
+        store.snapshot("t", tag2)
+    with _pt.raises(ValueError):
+        store.snapshot("t", "../evil")
+
+
+def test_filestore_snapshot_partitioned(spark, tmp_path):
+    from bubbles_spark.io import FileStore
+
+    store = FileStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, p int, v double"
+    )
+    store.create("pt", from_obj=df, partition_by=["p"])
+    tag = store.snapshot("pt", "before")
+    store.overwrite_partitions(
+        "pt",
+        spark.createDataFrame([(100, 1, 999.0)], "id long, p int, v double"),
+        partition_by=["p"],
+    )
+    assert store.get_object("pt").filter("p = 1").count() == 1
+    snap = store.get_snapshot("pt", tag)
+    assert snap.count() == 30 and snap.filter("p = 1").count() == 10
+    store.restore("pt", tag)
+    assert store.get_object("pt").count() == 30
