@@ -12072,6 +12072,83 @@ def q_haversine_pairs_customer(spark, sf_dir):
 
 
 @_q(
+    "uplift_curve_events",
+    """
+    WITH peru AS (SELECT user_id,
+                         CAST(MAX(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS INTEGER) AS y
+                  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    u AS (SELECT user_id AS id,
+                 CAST(user_id % 2 AS INTEGER) AS t, y,
+                 CAST((user_id * 2654435761) % 1000 AS DOUBLE)
+                   / CAST(1000 AS DOUBLE) AS s
+          FROM peru),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+    r AS (SELECT id, t, y,
+                 ROW_NUMBER() OVER (ORDER BY s DESC, id) AS rn
+          FROM u),
+    b AS (SELECT CAST(((rn - 1) * 10) // nn.n AS BIGINT) + 1 AS bucket,
+                 t, y
+          FROM r CROSS JOIN nn),
+    per AS (SELECT bucket,
+                   CAST(SUM(t) AS BIGINT) AS n_treat,
+                   CAST(SUM(1 - t) AS BIGINT) AS n_ctrl,
+                   CAST(SUM(t * y) AS BIGINT) AS resp_treat,
+                   CAST(SUM((1 - t) * y) AS BIGINT) AS resp_ctrl
+            FROM b GROUP BY 1),
+    c AS (SELECT bucket, n_treat, n_ctrl, resp_treat, resp_ctrl,
+                 CAST(SUM(n_treat) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_n_treat,
+                 CAST(SUM(n_ctrl) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_n_ctrl,
+                 CAST(SUM(resp_treat) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_resp_treat,
+                 CAST(SUM(resp_ctrl) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_resp_ctrl
+          FROM per)
+    SELECT bucket, n_treat, n_ctrl, resp_treat, resp_ctrl,
+           cum_n_treat, cum_n_ctrl, cum_resp_treat, cum_resp_ctrl,
+           CASE WHEN cum_n_treat > 0 AND cum_n_ctrl > 0 THEN
+             CAST(cum_resp_treat AS DOUBLE) / CAST(cum_n_treat AS DOUBLE)
+             - CAST(cum_resp_ctrl AS DOUBLE) / CAST(cum_n_ctrl AS DOUBLE)
+           END AS cum_uplift,
+           CASE WHEN cum_n_treat > 0 AND cum_n_ctrl > 0 THEN
+             CAST(cum_resp_treat AS DOUBLE)
+             - CAST(cum_resp_ctrl AS DOUBLE)
+               * (CAST(cum_n_treat AS DOUBLE)
+                  / CAST(cum_n_ctrl AS DOUBLE))
+           END AS qini
+    FROM c
+    """,
+)
+def q_uplift_curve_events(spark, sf_dir):
+    # uplift/Qini curve over a deterministic per-user table (treat =
+    # parity, label = ever purchased, score = integer-hash uniform):
+    # exact counts through the two-phase rank + integer-DIV buckets,
+    # rate and qini as fixed IEEE sequences — bit-exact end to end
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    peru = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("int").alias("y")
+    )
+    users = peru.select(
+        F.col("user_id").alias("uid"),
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        F.col("y"),
+        (
+            ((F.col("user_id") * 2654435761) % 1000).cast("double")
+            / F.lit(1000).cast("double")
+        ).alias("score"),
+    )
+    return drift.uplift_curve(
+        users, "score", "treat", "y", "uid", n_buckets=10
+    )
+
+
+@_q(
     "snapshot_restore_orders",
     """
     SELECT o_orderkey, o_custkey,
@@ -13298,6 +13375,7 @@ _DRIVER_PRIORITY = [
     "wow_revenue_orders",
     "join_cardinality_lineitem_partkey",
     # round-9 additions (never driver-checked)
+    "uplift_curve_events",
     "snapshot_restore_orders",
     "mann_kendall_daily_revenue",
     "nelson_aalen_events",

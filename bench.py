@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "nelson_aalen_events",
     "mann_kendall_daily_revenue",
     "snapshot_restore_orders",
+    "uplift_curve_events",
     "spearman_lineitem_qty_price",
     "fdr_bh_customers",
     "fdr_holm_customers",

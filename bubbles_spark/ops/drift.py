@@ -52,6 +52,7 @@ __all__ = [
     "classification_report",
     "trimmed_mean",
     "retrieval_metrics",
+    "uplift_curve",
     "conformal_interval",
     "conformal_interval_by",
     "divergence_report",
@@ -1981,3 +1982,107 @@ def divergence_report(
         )
         .orderBy("bin")
     )
+
+
+def uplift_curve(
+    df: DataFrame,
+    score_col: str,
+    treatment_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Uplift / Qini curve — ``gains_table``'s experimentation
+    sibling: rank the population by a targeting score (descending),
+    cut into equal-depth buckets, and report, cumulatively, how many
+    INCREMENTAL conversions the treated arm shows over the control
+    arm — the "who should we treat?" readout of any uplift model
+    (Radcliffe's Qini, public).  ``qini`` is in incremental-conversion
+    units: ``cum_resp_t − cum_resp_c · (cum_n_t / cum_n_c)``;
+    ``cum_uplift`` is the rate difference
+    ``cum_resp_t/cum_n_t − cum_resp_c/cum_n_c``.
+
+    Exactness: the rank is the two-phase total order (``id_col``
+    tiebreak), bucket membership one integer DIV, all counts exact
+    BIGINTs, every rate/qini value a fixed IEEE sequence on those
+    counts.  Buckets whose cumulative control (or treated) arm is
+    empty emit NULL for the ratios that need it — surfaced, not
+    imputed.
+
+    Scale: one two-phase global rank over scored rows, one keyed
+    aggregate to ``n_buckets`` rows, cumulative windows over the
+    bucket table only.
+
+    Output: bucket, n_treat, n_ctrl, resp_treat, resp_ctrl,
+    cum_n_treat, cum_n_ctrl, cum_resp_treat, cum_resp_ctrl,
+    cum_uplift, qini."""
+    from bubbles_spark.ops.core import _with_global_row_number
+
+    if n_buckets < 1:
+        raise ValueError("uplift_curve: need n_buckets >= 1")
+    t = F.col(treatment_col).cast("int")
+    y = F.col(label_col).cast("int")
+    base = df.filter(
+        F.col(score_col).isNotNull()
+        & t.isNotNull()
+        & y.isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("__s"),
+        t.alias("__t"),
+        y.alias("__y"),
+        F.col(id_col).alias("__id"),
+    )
+    n = base.count()
+    if n == 0:
+        raise ValueError("uplift_curve: no scorable rows")
+    ranked = _with_global_row_number(
+        base.withColumn("__ns", -F.col("__s")), ["__ns", "__id"], n_hint=n
+    )
+    k = int(n_buckets)
+    bucket = F.expr(f"CAST(((__rn - 1) * {k}) DIV {n} AS BIGINT) + 1")
+    per = ranked.groupBy(bucket.alias("bucket")).agg(
+        F.sum("__t").cast("bigint").alias("n_treat"),
+        F.sum(1 - F.col("__t")).cast("bigint").alias("n_ctrl"),
+        F.sum(F.col("__t") * F.col("__y")).cast("bigint").alias("resp_treat"),
+        F.sum((1 - F.col("__t")) * F.col("__y"))
+        .cast("bigint")
+        .alias("resp_ctrl"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cnt = per.withColumn(
+        "cum_n_treat", F.sum("n_treat").over(w).cast("bigint")
+    ).withColumn(
+        "cum_n_ctrl", F.sum("n_ctrl").over(w).cast("bigint")
+    ).withColumn(
+        "cum_resp_treat", F.sum("resp_treat").over(w).cast("bigint")
+    ).withColumn(
+        "cum_resp_ctrl", F.sum("resp_ctrl").over(w).cast("bigint")
+    )
+    rt = F.col("cum_resp_treat").cast("double") / F.col("cum_n_treat").cast(
+        "double"
+    )
+    rc = F.col("cum_resp_ctrl").cast("double") / F.col("cum_n_ctrl").cast(
+        "double"
+    )
+    both = (F.col("cum_n_treat") > 0) & (F.col("cum_n_ctrl") > 0)
+    qini = F.col("cum_resp_treat").cast("double") - F.col(
+        "cum_resp_ctrl"
+    ).cast("double") * (
+        F.col("cum_n_treat").cast("double")
+        / F.col("cum_n_ctrl").cast("double")
+    )
+    return cnt.select(
+        "bucket",
+        "n_treat",
+        "n_ctrl",
+        "resp_treat",
+        "resp_ctrl",
+        "cum_n_treat",
+        "cum_n_ctrl",
+        "cum_resp_treat",
+        "cum_resp_ctrl",
+        F.when(both, rt - rc).alias("cum_uplift"),
+        F.when(both, qini).alias("qini"),
+    ).orderBy("bucket")

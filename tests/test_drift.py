@@ -1115,3 +1115,38 @@ def test_conformal_interval_by_groups(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         conformal_interval_by(cal, scored, "seg", "pred", "label", alpha=0.0)
+
+
+def test_uplift_curve_hand_computed(spark):
+    from bubbles_spark.ops.drift import uplift_curve
+
+    # 8 rows, score = 8..1 (id order), alternating treatment; treated
+    # high-scorers convert, control never does -> positive uplift
+    rows = [
+        # id, score, treat, y
+        (1, 8.0, 1, 1), (2, 7.0, 0, 0), (3, 6.0, 1, 1), (4, 5.0, 0, 0),
+        (5, 4.0, 1, 0), (6, 3.0, 0, 1), (7, 2.0, 1, 0), (8, 1.0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "id long, s double, t int, y int")
+    out = {r["bucket"]: r for r in uplift_curve(
+        df, "s", "t", "y", "id", n_buckets=4).collect()}
+    # buckets of 2 by score desc: (1,2), (3,4), (5,6), (7,8)
+    b1 = out[1]
+    assert (b1["n_treat"], b1["n_ctrl"]) == (1, 1)
+    assert (b1["resp_treat"], b1["resp_ctrl"]) == (1, 0)
+    assert b1["cum_uplift"] == 1.0 and b1["qini"] == 1.0
+    b3 = out[3]
+    assert (b3["cum_n_treat"], b3["cum_n_ctrl"]) == (3, 3)
+    assert (b3["cum_resp_treat"], b3["cum_resp_ctrl"]) == (2, 1)
+    assert b3["cum_uplift"] == 2.0 / 3.0 - 1.0 / 3.0
+    assert b3["qini"] == 2.0 - 1.0 * (3.0 / 3.0)
+    # empty-arm degenerate: all rows treated -> NULL ratios
+    allt = df.withColumn("t", F.lit(1))
+    row = uplift_curve(allt, "s", "t", "y", "id", n_buckets=2).collect()[0]
+    assert row["cum_uplift"] is None and row["qini"] is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        uplift_curve(df, "s", "t", "y", "id", n_buckets=0)
+    with _pt.raises(ValueError):
+        uplift_curve(df.filter("id > 99"), "s", "t", "y", "id")

@@ -126,7 +126,7 @@ EXACT_FAMILY = [
     "bx_floor_cents_orders",
     # round-9 new operators claiming bit-exactness
     "nelson_aalen_events", "mann_kendall_daily_revenue",
-    "snapshot_restore_orders",
+    "snapshot_restore_orders", "uplift_curve_events",
     "spearman_lineitem_qty_price", "fdr_bh_customers",
     "fdr_holm_customers", "conformal_events_value",
     "conformal_by_segment_events", "divergence_purchase_vs_click",
