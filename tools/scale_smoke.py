@@ -659,7 +659,48 @@ def main() -> int:
         )
         return spatial.haversine_join(pts, "id", "lat", "lon", 400.0)
 
+    def global_rank_bigpath_op(t):
+        # the 2M-row small-path threshold means unit tests and the
+        # sf0.1 bench exercise the single-window path; FORCE the
+        # two-phase machinery (value-bucket probe, binary-search
+        # buckets, offset map, checkpoint pin) here so its scaling
+        # exponent is measured, since at 100 TB this IS the path
+        from bubbles_spark.ops import core as _core
+
+        prev = _core._SMALL_RANK_ROWS
+        _core._SMALL_RANK_ROWS = 1000
+        try:
+            return _core._with_global_row_number(
+                t["orders"].select("o_orderkey", "o_totalprice"),
+                ["o_totalprice", "o_orderkey"],
+            )
+        finally:
+            _core._SMALL_RANK_ROWS = prev
+
+    def spearman_op(t):
+        from bubbles_spark.ops import stattests
+
+        return stattests.spearman_corr(
+            t["lineitem"], "l_quantity", "l_extendedprice"
+        )
+
+    def uplift_op(t):
+        from bubbles_spark.ops import drift as _drift
+
+        users = t["orders"].select(
+            F.col("o_orderkey").alias("uid"),
+            (F.col("o_custkey") % 2).cast("int").alias("tr"),
+            (F.col("o_orderkey") % 3 == 0).cast("int").alias("y"),
+            ((F.col("o_orderkey") * 2654435761) % 1000)
+            .cast("double")
+            .alias("s"),
+        )
+        return _drift.uplift_curve(users, "s", "tr", "y", "uid")
+
     REL_OPS = {
+        "global_rank_bigpath": global_rank_bigpath_op,
+        "spearman_corr": spearman_op,
+        "uplift_curve": uplift_op,
         "flagship_join_agg": flagship,
         "sessionize": sessionize_op,
         "time_bucket_rollup": rollup_op,
