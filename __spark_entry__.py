@@ -12652,6 +12652,86 @@ def q_divergence_purchase_vs_click(spark, sf_dir):
     return out.drop("kl_bin", "js_bin")
 
 
+@_q(
+    "weighted_p90_lineitem",
+    """
+    WITH t AS (SELECT l_returnflag, l_extendedprice AS v,
+                      CAST(l_quantity AS DECIMAL(18,2)) AS w
+               FROM lineitem
+               WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+    c AS (SELECT l_returnflag, v,
+                 SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw,
+                 SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+          FROM t)
+    SELECT l_returnflag, MIN(v) AS weighted_quantile,
+           CAST(MAX(tw) AS DECIMAL(18,2)) AS total_weight,
+           CAST(0.9 AS DOUBLE) AS q
+    FROM c WHERE cw * 10 >= tw * 9 GROUP BY 1
+    """,
+)
+def q_weighted_p90_lineitem(spark, sf_dir):
+    # quantity-weighted p90 price per returnflag: the general-q
+    # sibling of weighted_median_lineitem with the cross-multiplied
+    # integer crossing test (cum*10 >= 9*total — no division, no
+    # float threshold)
+    from bubbles_spark.ops import insights
+
+    li = _t(spark, sf_dir, "lineitem")
+    return insights.weighted_quantile(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", 9, 10
+    )
+
+
+@_q(
+    "cochran_armitage_orders",
+    """
+    WITH t AS (SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT)
+                        AS dose,
+                      CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
+                        AS y
+               FROM orders),
+    per AS (SELECT dose, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS r
+            FROM t GROUP BY 1),
+    agg AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(r) AS BIGINT) AS n_success,
+                   CAST(COUNT(*) AS BIGINT) AS k_levels,
+                   SUM(CAST(r AS DECIMAL(38,0)) * dose) AS rw,
+                   SUM(CAST(n AS DECIMAL(38,0)) * dose) AS nw,
+                   SUM(CAST(n AS DECIMAL(38,0)) * dose * dose) AS nww
+            FROM per)
+    SELECT n, n_success, k_levels,
+           CASE WHEN n_success > 0 AND n_success < n AND k_levels > 1
+                 AND CAST(CAST(n_success AS DECIMAL(38,0)) * (n - n_success)
+                          * (CAST(n AS DECIMAL(38,0)) * nww - nw * nw)
+                          AS DOUBLE) > 0
+                THEN CAST(CAST(n AS DECIMAL(38,0)) * rw
+                          - CAST(n_success AS DECIMAL(38,0)) * nw AS DOUBLE)
+                     / SQRT(CAST(CAST(n_success AS DECIMAL(38,0))
+                                 * (n - n_success)
+                                 * (CAST(n AS DECIMAL(38,0)) * nww - nw * nw)
+                                 AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+           END AS z
+    FROM agg
+    """,
+)
+def q_cochran_armitage_orders(spark, sf_dir):
+    # trend-in-proportions across the ordered priority levels (dose =
+    # the priority's leading digit, outcome = high-value order):
+    # exact DECIMAL(38,0) integer arithmetic up to one division and
+    # one sqrt — bit-exact cross-engine
+    from bubbles_spark.ops import stattests
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("dose"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+    )
+    return stattests.cochran_armitage(o, "dose", "y")
+
+
 # ---------------------------------------------------------------------
 # Driver-mediated bisection twins (round 9).
 #

@@ -278,6 +278,8 @@ BENCH_QUERIES = [
     "mann_kendall_daily_revenue",
     "snapshot_restore_orders",
     "uplift_curve_events",
+    "weighted_p90_lineitem",
+    "cochran_armitage_orders",
     "spearman_lineitem_qty_price",
     "fdr_bh_customers",
     "fdr_holm_customers",

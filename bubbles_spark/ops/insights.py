@@ -33,6 +33,7 @@ __all__ = [
     "linear_trend",
     "abc_classification",
     "weighted_median",
+    "weighted_quantile",
     "theil_sen",
     "mix_shift_report",
     "gini_by",
@@ -522,6 +523,68 @@ def weighted_median(
             F.min("__v").alias("weighted_median"),
             F.max(F.col("__tw")).cast("decimal(18,2)").alias("total_weight"),
         )
+    )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+) -> DataFrame:
+    """Weighted quantile per group at the RATIONAL level ``q =
+    q_num/q_den`` — ``weighted_median``'s generalization (the p90
+    price by traffic share, the p25 latency by request weight):
+    smallest value whose inclusive cumulative weight reaches
+    ``q·total``.
+
+    Exactness: the crossing test is the CROSS-MULTIPLIED integer
+    comparison ``cum_w·q_den ≥ q_num·total_w`` on exact DECIMAL
+    weights — no division, no float threshold, so the boundary row is
+    identical in every engine (the weighted_median ``2·cum ≥ tot``
+    test is exactly the q=1/2 case).  Tied values emit the same
+    quantile whichever tie crosses.
+
+    Scale: one hash shuffle on the key; per-GROUP ordered cumulative
+    window (partitioned — never global), then a map-side-combined min
+    per key.  Same skew contract as weighted_median.
+
+    Output: key, weighted_quantile, total_weight, q (double, the
+    requested level for self-description)."""
+    if not (isinstance(q_num, int) and isinstance(q_den, int)):
+        raise TypeError("weighted_quantile: q_num/q_den must be ints")
+    if not 0 < q_num <= q_den:
+        raise ValueError(
+            f"weighted_quantile: need 0 < q_num <= q_den, "
+            f"got {q_num}/{q_den}"
+        )
+    v = F.col(value_col)
+    wt = F.col(weight_col).cast("decimal(18,2)")
+    base = df.filter(v.isNotNull() & wt.isNotNull())
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy(key_col)
+    tagged = base.select(
+        F.col(key_col),
+        v.alias("__v"),
+        F.sum(wt).over(wcum).alias("__cw"),
+        F.sum(wt).over(wtot).alias("__tw"),
+    )
+    return (
+        tagged.filter(
+            F.col("__cw") * F.lit(q_den) >= F.col("__tw") * F.lit(q_num)
+        )
+        .groupBy(key_col)
+        .agg(
+            F.min("__v").alias("weighted_quantile"),
+            F.max(F.col("__tw")).cast("decimal(18,2)").alias("total_weight"),
+        )
+        .withColumn("q", F.lit(float(q_num) / float(q_den)))
     )
 
 

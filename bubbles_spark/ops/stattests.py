@@ -40,6 +40,7 @@ __all__ = [
     "spearman_corr",
     "fdr_correct",
     "mann_kendall",
+    "cochran_armitage",
 ]
 
 
@@ -1026,3 +1027,64 @@ def mann_kendall(
             F.when(n > 1, z).alias("z"),
         )
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test — "does the success RATE rise with
+    the ordered dose/severity score?" (Cochran 1954 / Armitage 1955,
+    public): the chi-square-for-trend z statistic over groups ordered
+    by an INTEGER ``score_col``, with ``label_col`` the 0/1 outcome
+    per row.
+
+    Exactness: with integer scores, EVERYTHING up to z is exact
+    integer arithmetic in DECIMAL(38,0) —
+    ``num = N·Σ(r·w) − R·Σ(n·w)`` and
+    ``den = R·(N−R)·(N·Σ(n·w²) − (Σ(n·w))²)`` from the per-score
+    counts — then ONE double cast each, one division by N, one sqrt:
+    ``z = num / sqrt(den / N)``.  No rates, no pooled-variance floats
+    anywhere before the final fixed IEEE sequence.  Degenerate inputs
+    (all successes, no successes, a single score level) emit NULL z.
+
+    Scale: one map-side-combined keyed count per score level, then a
+    levels-sized aggregate.
+
+    Output (one row): n (bigint), n_success (bigint), k_levels
+    (bigint), z (double)."""
+    w = F.col(score_col).cast("bigint")
+    y = F.col(label_col).cast("int")
+    per = (
+        df.filter(w.isNotNull() & y.isNotNull())
+        .groupBy(w.alias("__w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum(y).cast("bigint").alias("__r"),
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = per.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__r").cast("bigint").alias("n_success"),
+        F.count(F.lit(1)).cast("bigint").alias("k_levels"),
+        F.sum(d(F.col("__r")) * F.col("__w")).alias("__rw"),
+        F.sum(d(F.col("__n")) * F.col("__w")).alias("__nw"),
+        F.sum(d(F.col("__n")) * F.col("__w") * F.col("__w")).alias("__nww"),
+    )
+    N = F.col("n")
+    R = F.col("n_success")
+    num = d(N) * F.col("__rw") - d(R) * F.col("__nw")
+    den = (
+        d(R)
+        * (N - R)
+        * (d(N) * F.col("__nww") - F.col("__nw") * F.col("__nw"))
+    )
+    z = F.when(
+        (R > 0) & (R < N) & (F.col("k_levels") > 1)
+        & (den.cast("double") > 0),
+        num.cast("double")
+        / F.sqrt(den.cast("double") / N.cast("double")),
+    )
+    return agg.select("n", "n_success", "k_levels", z.alias("z"))

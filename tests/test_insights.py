@@ -590,3 +590,36 @@ def test_nelson_aalen_hand_computed(spark):
            nelson_aalen(g, "t", "ev", by=["arm"]).collect()}
     assert got[("a", 1)]["n_risk"] == 2 and got[("b", 1)]["n_risk"] == 1
     assert got[("a", 1)]["cum_hazard"] == math.floor(0.5 * up) / up
+
+
+def test_weighted_quantile_generalizes_median(spark):
+    from bubbles_spark.ops.insights import weighted_median, weighted_quantile
+
+    rows = [("g", 10.0, 1.0), ("g", 20.0, 1.0), ("g", 30.0, 2.0),
+            ("g", 40.0, 4.0), ("h", 5.0, 3.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    # q = 1/2 must equal weighted_median exactly
+    wm = {r["k"]: r["weighted_median"]
+          for r in weighted_median(df, "k", "v", "w").collect()}
+    wq = {r["k"]: r["weighted_quantile"]
+          for r in weighted_quantile(df, "k", "v", "w", 1, 2).collect()}
+    assert wq == wm
+    # hand: total w(g)=8; q=3/4 -> first v with cum*4 >= 3*8=24:
+    # cum(10)=1,cum(20)=2,cum(30)=4,cum(40)=8 -> 8*4=32>=24 at v=40
+    q75 = {r["k"]: r for r in
+           weighted_quantile(df, "k", "v", "w", 3, 4).collect()}
+    assert q75["g"]["weighted_quantile"] == 40.0
+    assert float(q75["g"]["total_weight"]) == 8.0 and q75["g"]["q"] == 0.75
+    # q = 1 -> max value; q=1/8 -> first value
+    assert {r["k"]: r["weighted_quantile"] for r in
+            weighted_quantile(df, "k", "v", "w", 1, 1).collect()}["g"] == 40.0
+    assert {r["k"]: r["weighted_quantile"] for r in
+            weighted_quantile(df, "k", "v", "w", 1, 8).collect()}["g"] == 10.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        weighted_quantile(df, "k", "v", "w", 0, 4)
+    with _pt.raises(ValueError):
+        weighted_quantile(df, "k", "v", "w", 5, 4)
+    with _pt.raises(TypeError):
+        weighted_quantile(df, "k", "v", "w", 0.5, 1)

@@ -461,3 +461,36 @@ def test_mann_kendall_hand_computed(spark):
     r4 = {r["grp"]: r for r in mann_kendall(flat, "grp", "x", "y").collect()}
     assert r4["f"]["s_stat"] == 0 and r4["f"]["z"] is None
     assert r4["s"]["n_points"] == 1 and r4["s"]["z"] is None
+
+
+def test_cochran_armitage_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.stattests import cochran_armitage
+
+    # dose levels 0/1/2 with rising success rates 1/4, 2/4, 3/4
+    rows = []
+    for w, r in ((0, 1), (1, 2), (2, 3)):
+        rows += [(w, 1)] * r + [(w, 0)] * (4 - r)
+    df = spark.createDataFrame(rows, "dose int, y int")
+    out = cochran_armitage(df, "dose", "y").collect()[0]
+    assert out["n"] == 12 and out["n_success"] == 6 and out["k_levels"] == 3
+    # exact integer mirror: num = N*sum(r*w) - R*sum(n*w)
+    N, R = 12, 6
+    rw = 1 * 0 + 2 * 1 + 3 * 2
+    nw = 4 * 0 + 4 * 1 + 4 * 2
+    nww = 4 * 0 + 4 * 1 + 4 * 4
+    num = N * rw - R * nw
+    den = R * (N - R) * (N * nww - nw * nw)
+    assert out["z"] == num / math.sqrt(den / N)
+    assert out["z"] > 0  # rising trend
+
+    # flat rates -> z == 0; all-success -> NULL
+    flat = spark.createDataFrame(
+        [(w, y) for w in (0, 1) for y in (0, 1)], "dose int, y int"
+    )
+    assert cochran_armitage(flat, "dose", "y").collect()[0]["z"] == 0.0
+    alls = spark.createDataFrame([(0, 1), (1, 1)], "dose int, y int")
+    assert cochran_armitage(alls, "dose", "y").collect()[0]["z"] is None
+    one = spark.createDataFrame([(0, 1), (0, 0)], "dose int, y int")
+    assert cochran_armitage(one, "dose", "y").collect()[0]["z"] is None
