@@ -12732,6 +12732,58 @@ def q_cochran_armitage_orders(spark, sf_dir):
     return stattests.cochran_armitage(o, "dose", "y")
 
 
+@_q(
+    "spearman_by_returnflag",
+    """
+    WITH base AS (SELECT l_returnflag AS g, l_quantity AS x,
+                         l_extendedprice AS y
+                  FROM lineitem
+                  WHERE l_quantity IS NOT NULL
+                    AND l_extendedprice IS NOT NULL),
+    r AS (SELECT g,
+            CAST(2 * RANK() OVER (PARTITION BY g ORDER BY x)
+                 + COUNT(*) OVER (PARTITION BY g, x) - 1 AS BIGINT) AS r2x,
+            CAST(2 * RANK() OVER (PARTITION BY g ORDER BY y)
+                 + COUNT(*) OVER (PARTITION BY g, y) - 1 AS BIGINT) AS r2y
+          FROM base),
+    m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(r2x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(r2y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(r2x AS DECIMAL(38,0))
+                     * CAST(r2y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(r2x AS DECIMAL(38,0))
+                     * CAST(r2x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(r2y AS DECIMAL(38,0))
+                     * CAST(r2y AS DECIMAL(38,0))) AS syy
+          FROM r GROUP BY 1)
+    SELECT g AS l_returnflag, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS rho
+    FROM m
+    """,
+)
+def q_spearman_by_returnflag(spark, sf_dir):
+    # per-returnflag Spearman rho between quantity and price: the
+    # grouped twin of spearman_lineitem_qty_price — per-group doubled
+    # average ranks from the grouped value-count cumulative, exact
+    # decimal moments, one sqrt per group
+    from bubbles_spark.ops import stattests
+
+    li = _t(spark, sf_dir, "lineitem")
+    return stattests.spearman_by(
+        li, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-mediated bisection twins (round 9).
 #

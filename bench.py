@@ -280,6 +280,7 @@ BENCH_QUERIES = [
     "uplift_curve_events",
     "weighted_p90_lineitem",
     "cochran_armitage_orders",
+    "spearman_by_returnflag",
     "spearman_lineitem_qty_price",
     "fdr_bh_customers",
     "fdr_holm_customers",

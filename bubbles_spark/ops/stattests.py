@@ -38,6 +38,7 @@ __all__ = [
     "brown_forsythe",
     "paired_t_test",
     "spearman_corr",
+    "spearman_by",
     "fdr_correct",
     "mann_kendall",
     "cochran_armitage",
@@ -1088,3 +1089,66 @@ def cochran_armitage(
         / F.sqrt(den.cast("double") / N.cast("double")),
     )
     return agg.select("n", "n_success", "k_levels", z.alias("z"))
+
+
+def spearman_by(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation — ``spearman_corr`` with
+    one rho per segment ("is the monotone association stable across
+    markets?"): average ranks computed WITHIN each group, Pearson on
+    the doubled ranks per group.
+
+    Exactness: identical discipline to ``spearman_corr`` — per-group
+    doubled average ranks from the grouped value-count cumulative
+    (``2·cum − c + 1``), five exact DECIMAL(38,0) sufficient
+    statistics per group, one sqrt + one division.  Groups with zero
+    rank variance on either side emit NULL rho.
+
+    Scale: the rank tables are ``_grouped_cum_counts`` passes (keyed
+    counts over distinct (group, value) pairs + the two-phase
+    cumulative — no per-group sort of raw rows), joined back on
+    (group, value); moments are ONE map-side-combined aggregate.
+
+    Output: group, n (bigint), rho (double)."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+
+    def rank_table(col: str, out: str) -> DataFrame:
+        cum = _grouped_cum_counts(base, "__g", col)
+        r2 = (
+            F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)
+        ).cast("bigint")
+        return cum.select(F.col("__g"), F.col(col), r2.alias(out))
+
+    withx = base.join(rank_table("__x", "__r2x"), ["__g", "__x"])
+    both = withx.join(rank_table("__y", "__r2y"), ["__g", "__y"])
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = both.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(F.col("__r2x"))).alias("__sx"),
+        F.sum(d(F.col("__r2y"))).alias("__sy"),
+        F.sum(d(F.col("__r2x")) * F.col("__r2y")).alias("__sxy"),
+        F.sum(d(F.col("__r2x")) * F.col("__r2x")).alias("__sxx"),
+        F.sum(d(F.col("__r2y")) * F.col("__r2y")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    num = n * F.col("__sxy").cast("double") - sx * sy
+    denx = n * F.col("__sxx").cast("double") - sx * sx
+    deny = n * F.col("__syy").cast("double") - sy * sy
+    rho = F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny))
+    return agg.select(F.col("__g").alias(group_col), "n", rho.alias("rho"))

@@ -494,3 +494,25 @@ def test_cochran_armitage_hand_computed(spark):
     assert cochran_armitage(alls, "dose", "y").collect()[0]["z"] is None
     one = spark.createDataFrame([(0, 1), (0, 0)], "dose int, y int")
     assert cochran_armitage(one, "dose", "y").collect()[0]["z"] is None
+
+
+def test_spearman_by_matches_per_group_global(spark):
+    from bubbles_spark.ops.stattests import spearman_by, spearman_corr
+
+    rows = (
+        [("a", float(i), float(i * 2)) for i in range(1, 6)]          # rho 1
+        + [("b", float(i), float(9 - i)) for i in range(1, 5)]        # rho -1
+        + [("c", 1.0, 5.0), ("c", 2.0, 6.0), ("c", 3.0, 6.0),
+           ("c", 4.0, 4.0)]                                           # ties
+        + [("d", 1.0, 7.0), ("d", 2.0, 7.0)]                          # flat y
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    grouped = {r["g"]: (r["n"], r["rho"])
+               for r in spearman_by(df, "g", "x", "y").collect()}
+    for g in "abcd":
+        solo = spearman_corr(
+            df.filter(F.col("g") == g), "x", "y"
+        ).collect()[0]
+        assert grouped[g] == (solo["n"], solo["rho"]), g
+    assert grouped["a"][1] == 1.0 and grouped["b"][1] == -1.0
+    assert grouped["d"][1] is None

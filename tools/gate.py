@@ -128,6 +128,7 @@ EXACT_FAMILY = [
     "nelson_aalen_events", "mann_kendall_daily_revenue",
     "snapshot_restore_orders", "uplift_curve_events",
     "weighted_p90_lineitem", "cochran_armitage_orders",
+    "spearman_by_returnflag",
     "spearman_lineitem_qty_price", "fdr_bh_customers",
     "fdr_holm_customers", "conformal_events_value",
     "conformal_by_segment_events", "divergence_purchase_vs_click",
