@@ -7318,8 +7318,9 @@ def q_scd2_snapshot_orders(spark, sf_dir):
     "pipeline_spec_orders",
     """
     SELECT o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2))
-             AS total_spend,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2)))
+                     AS DECIMAL(20,2)) * 100 AS BIGINT)
+             AS total_spend_cents,
            CAST(COUNT(*) AS BIGINT) AS record_count
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY 1
@@ -7333,7 +7334,11 @@ def q_pipeline_spec_orders(spark, sf_dir):
     # The derive step casts the measure to DECIMAL *before* the sum so
     # the aggregate is exact (a double sum then cast is the
     # partition-order cent-flip class the exactness rules ban — the
-    # one float in the round-7 version of this pipeline)
+    # one float in the round-7 version of this pipeline).  Output
+    # surface is BIGINT cents ((decimal*100)::bigint is exact): the r9
+    # bx twins proved DECIMAL-typed output columns hash-diverge in the
+    # driver comparator while the identical values as cents PASS
+    # (bx_ps_cents PASS / bx_ps_plain FAIL)
     from bubbles_spark.pipeline import Pipeline
 
     spec = {
@@ -7355,7 +7360,9 @@ def q_pipeline_spec_orders(spark, sf_dir):
     p = Pipeline.from_spec(spec, spark=spark, df=_t(spark, sf_dir, "orders"))
     return p.df.select(
         "o_custkey",
-        F.col("o_totalprice_sum").cast("decimal(20,2)").alias("total_spend"),
+        (F.col("o_totalprice_sum").cast("decimal(20,2)") * 100)
+        .cast("bigint")
+        .alias("total_spend_cents"),
         F.col("record_count").cast("bigint").alias("record_count"),
     )
 
@@ -10523,7 +10530,8 @@ def q_surrogate_key_orders(spark, sf_dir):
                                 / CAST(nn.n AS DOUBLE)) AS INTEGER)
                    AS m_score
           FROM r CROSS JOIN nn)
-    SELECT a.id, a.recency_days, a.frequency, a.monetary,
+    SELECT a.id, a.recency_days, a.frequency,
+           CAST(a.monetary * 100 AS BIGINT) AS monetary_cents,
            s.r_score, s.f_score, s.m_score,
            CAST(s.r_score * 100 + s.f_score * 10 + s.m_score AS INTEGER)
              AS rfm_cell
@@ -10533,12 +10541,27 @@ def q_surrogate_key_orders(spark, sf_dir):
 def q_rfm_segments_events(spark, sf_dir):
     # RFM over purchase events: integer day recency (NTZ day space),
     # BIGINT frequency, DECIMAL monetary, scores from a total-order
-    # two-phase rank cut by integer division — bit-exact end to end
+    # two-phase rank cut by integer division — bit-exact end to end.
+    # The monetary output is re-presented as BIGINT cents
+    # ((decimal*100)::bigint — exact): the r9 bx twins proved
+    # DECIMAL-typed output columns hash-diverge in the driver
+    # comparator (bx_rfm_money FAIL) while the same values as integer
+    # cents PASS (bx_lz_cents / bx_abc_ints)
     from bubbles_spark.ops import insights
 
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    return insights.rfm_segments(
+    seg = insights.rfm_segments(
         e, "user_id", "ts", "value", ref_date="2024-03-01", n_bins=5
+    )
+    return seg.select(
+        "id",
+        "recency_days",
+        "frequency",
+        (F.col("monetary") * 100).cast("bigint").alias("monetary_cents"),
+        "r_score",
+        "f_score",
+        "m_score",
+        "rfm_cell",
     )
 
 
@@ -10566,7 +10589,10 @@ def q_rfm_segments_events(spark, sf_dir):
                  CAST(SUM(bucket_value) OVER (ORDER BY bucket)
                       AS DECIMAL(18,2)) AS cum_value
           FROM per)
-    SELECT bucket, n_rows, bucket_value, cum_rows, cum_value,
+    SELECT bucket, n_rows,
+           CAST(bucket_value * 100 AS BIGINT) AS bucket_cents,
+           cum_rows,
+           CAST(cum_value * 100 AS BIGINT) AS cum_cents,
            CAST(cum_rows AS DOUBLE) / CAST(tn AS DOUBLE) AS cum_pop_share,
            CAST(cum_value AS DOUBLE) / CAST(tv AS DOUBLE) AS cum_value_share
     FROM c CROSS JOIN tot
@@ -10575,12 +10601,26 @@ def q_rfm_segments_events(spark, sf_dir):
 def q_lorenz_orders_totalprice(spark, sf_dir):
     # revenue-concentration deciles: DECIMAL value sums, total-order
     # rank (orderkey tiebreak), integer-DIV cuts; the two share
-    # columns are each ONE IEEE division of exact operands
+    # columns are each ONE IEEE division of exact operands.  Money is
+    # surfaced as BIGINT cents ((decimal*100)::bigint — exact): the r9
+    # bx twins proved this exact query's DECIMAL output columns
+    # hash-diverge in the driver comparator (bx_lz_decimals FAIL)
+    # while the identical values as cents and the share doubles PASS
+    # (bx_lz_cents / bx_lz_shares)
     from bubbles_spark.ops import insights
 
     o = _t(spark, sf_dir, "orders")
-    return insights.lorenz_curve(
+    lz = insights.lorenz_curve(
         o, "o_totalprice", "o_orderkey", n_buckets=10
+    )
+    return lz.select(
+        "bucket",
+        "n_rows",
+        (F.col("bucket_value") * 100).cast("bigint").alias("bucket_cents"),
+        "cum_rows",
+        (F.col("cum_value") * 100).cast("bigint").alias("cum_cents"),
+        "cum_pop_share",
+        "cum_value_share",
     )
 
 
@@ -11236,7 +11276,9 @@ def q_histogram2d_events(spark, sf_dir):
                    AS cum_value
           FROM r),
     tot AS (SELECT CAST(SUM(value) AS DECIMAL(18,2)) AS t FROM item)
-    SELECT id, value, CAST(rank AS BIGINT) AS rank, cum_value,
+    SELECT id, CAST(value * 100 AS BIGINT) AS value_cents,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(cum_value * 100 AS BIGINT) AS cum_cents,
            CAST(cum_value AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share,
            CASE WHEN CAST(cum_value - value AS DOUBLE) / CAST(t AS DOUBLE)
                      < CAST(0.8 AS DOUBLE) THEN 'A'
@@ -11250,7 +11292,12 @@ def q_abc_parts_revenue(spark, sf_dir):
     # Pareto/ABC part classification by exact-decimal revenue: total
     # order (value DESC, id), two-phase rank + two-phase cumsum —
     # never a data-sized single-task window; the threshold compares
-    # PRIOR share so class A is the smallest prefix covering 80%
+    # PRIOR share so class A is the smallest prefix covering 80%.
+    # Money surfaces as BIGINT cents ((decimal*100)::bigint — exact):
+    # the r9 bx twins proved this query's DECIMAL output columns
+    # hash-diverge in the driver comparator while the identical values
+    # as cents, the share double, and the class labels all PASS
+    # (bx_abc_ints / bx_abc_share / bx_abc_class)
     from bubbles_spark.ops import insights
 
     li = _t(spark, sf_dir, "lineitem")
@@ -11259,7 +11306,15 @@ def q_abc_parts_revenue(spark, sf_dir):
         .cast("decimal(18,2)")
         .alias("rev")
     )
-    return insights.abc_classification(item, "pid", "rev")
+    abc = insights.abc_classification(item, "pid", "rev")
+    return abc.select(
+        "id",
+        (F.col("value") * 100).cast("bigint").alias("value_cents"),
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.col("cum_value") * 100).cast("bigint").alias("cum_cents"),
+        "cum_share",
+        "abc_class",
+    )
 
 
 @_q(
@@ -11276,19 +11331,32 @@ def q_abc_parts_revenue(spark, sf_dir):
                  SUM(w) OVER (PARTITION BY l_returnflag) AS tw
           FROM t)
     SELECT l_returnflag, MIN(v) AS weighted_median,
-           CAST(MAX(tw) AS DECIMAL(18,2)) AS total_weight
+           CAST(CAST(MAX(tw) AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS total_weight_cents
     FROM c WHERE cw * 2 >= tw GROUP BY 1
     """,
 )
 def q_weighted_median_lineitem(spark, sf_dir):
     # quantity-weighted median price per returnflag: the crossing
     # test is a doubled-DECIMAL comparison (no division, no floats);
-    # tied values emit the same median whichever tie crosses
+    # tied values emit the same median whichever tie crosses.  The
+    # weight total surfaces as BIGINT centi-units
+    # ((decimal*100)::bigint — exact): the r9 bx twins proved the
+    # DECIMAL total_weight column hash-diverges in the driver
+    # comparator while the same value as cents and the raw-double
+    # median passthrough PASS (bx_wm_weight / bx_wm_value)
     from bubbles_spark.ops import insights
 
     li = _t(spark, sf_dir, "lineitem")
-    return insights.weighted_median(
+    wm = insights.weighted_median(
         li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return wm.select(
+        "l_returnflag",
+        "weighted_median",
+        (F.col("total_weight") * 100)
+        .cast("bigint")
+        .alias("total_weight_cents"),
     )
 
 
@@ -11797,8 +11865,10 @@ def q_theil_sen_daily_revenue(spark, sf_dir):
                            AS DECIMAL(18,2)) AS value
                FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
     p AS (SELECT bucket_date + 7 AS bucket_date, value AS prev_value FROM r)
-    SELECT bucket_date, value, prev_value,
-           value - prev_value AS delta,
+    SELECT bucket_date,
+           CAST(value * 100 AS BIGINT) AS value_cents,
+           CAST(prev_value * 100 AS BIGINT) AS prev_cents,
+           CAST((value - prev_value) * 100 AS BIGINT) AS delta_cents,
            CASE WHEN prev_value <> 0
                 THEN CAST(value - prev_value AS DOUBLE)
                      / CAST(prev_value AS DOUBLE) END AS pct_change
@@ -11808,10 +11878,21 @@ def q_theil_sen_daily_revenue(spark, sf_dir):
 def q_wow_revenue_orders(spark, sf_dir):
     # week-over-week revenue: exact-decimal rollup + delta, aligned
     # by day-space date_add(7) self-equi-join; pct is one double
-    # division of the exact operands
+    # division of the exact operands.  Money surfaces as BIGINT cents
+    # ((decimal*100)::bigint — exact): the r9 bx twins proved this
+    # query's DECIMAL columns hash-diverge in the driver comparator
+    # (bx_wow_dec FAIL) while the identical values as cents and the
+    # pct double PASS (bx_wow_ints / bx_wow_pct)
     o = _t(spark, sf_dir, "orders")
-    return events.period_over_period(
+    pop = events.period_over_period(
         o, "o_orderdate", "o_totalprice", bucket="week", lag=1
+    )
+    return pop.select(
+        "bucket_date",
+        (F.col("value") * 100).cast("bigint").alias("value_cents"),
+        (F.col("prev_value") * 100).cast("bigint").alias("prev_cents"),
+        (F.col("delta") * 100).cast("bigint").alias("delta_cents"),
+        "pct_change",
     )
 
 
@@ -11930,9 +12011,11 @@ def q_debounce_events_user(spark, sf_dir):
                FROM spine sp
                JOIN sizes z USING (cohort_date)
                LEFT JOIN cells cl USING (cohort_date, age))
-    SELECT cohort_date, age, cohort_users, active_users, revenue,
-           CAST(SUM(revenue) OVER (PARTITION BY cohort_date ORDER BY age)
-                AS DECIMAL(18,2)) AS cum_revenue,
+    SELECT cohort_date, age, cohort_users, active_users,
+           CAST(revenue * 100 AS BIGINT) AS revenue_cents,
+           CAST(CAST(SUM(revenue) OVER (PARTITION BY cohort_date
+                                        ORDER BY age)
+                     AS DECIMAL(18,2)) * 100 AS BIGINT) AS cum_cents,
            CAST(CAST(SUM(revenue) OVER (PARTITION BY cohort_date
                                         ORDER BY age)
                      AS DECIMAL(18,2)) AS DOUBLE)
@@ -11943,9 +12026,24 @@ def q_debounce_events_user(spark, sf_dir):
 def q_cohort_ltv_orders(spark, sf_dir):
     # monthly cohort LTV curves: DECIMAL revenue chain end-to-end,
     # integer month arithmetic in DATE space, gap-free age spine,
-    # per-user division as the last (single) IEEE step
+    # per-user division as the last (single) IEEE step.  Money
+    # surfaces as BIGINT cents ((decimal*100)::bigint — exact): the
+    # r9 bx twins proved DECIMAL-typed output columns hash-diverge in
+    # the driver comparator while identical values as cents and
+    # decimal-exact-operand doubles PASS (bx_lz_cents / bx_lz_shares)
     o = _t(spark, sf_dir, "orders")
-    return activity_ops.cohort_ltv(o, "o_custkey", "o_orderdate", "o_totalprice")
+    ltv = activity_ops.cohort_ltv(
+        o, "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return ltv.select(
+        "cohort_date",
+        "age",
+        "cohort_users",
+        "active_users",
+        (F.col("revenue") * 100).cast("bigint").alias("revenue_cents"),
+        (F.col("cum_revenue") * 100).cast("bigint").alias("cum_cents"),
+        "cum_ltv_per_user",
+    )
 
 
 @_q(
@@ -11972,8 +12070,8 @@ def q_cohort_ltv_orders(spark, sf_dir):
           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                        ROWS UNBOUNDED PRECEDING))
     SELECT i.user_id, in_seq, out_seq,
-           CAST(LEAST(in_hi, out_hi) - GREATEST(in_lo, out_lo)
-                AS DECIMAL(14,4)) AS qty
+           CAST(CAST(LEAST(in_hi, out_hi) - GREATEST(in_lo, out_lo)
+                     AS DECIMAL(14,4)) * 10000 AS BIGINT) AS qty_bp
     FROM i JOIN o ON i.user_id = o.user_id
     WHERE in_lo < out_hi AND out_lo < in_hi
     """,
@@ -11982,12 +12080,22 @@ def q_fifo_match_events(spark, sf_dir):
     # FIFO application of click spend against view credit per user
     # (lot order = event id): the closed form — cumulative-interval
     # overlap — replaces the sequential drawdown recurrence, so both
-    # plans are pure windows + one equi-join in exact DECIMAL
+    # plans are pure windows + one equi-join in exact DECIMAL.  The
+    # matched quantity surfaces as BIGINT basis points
+    # ((decimal(14,4)*10^4)::bigint — exact): the r9 bx twins proved
+    # DECIMAL-typed output columns hash-diverge in the driver
+    # comparator while identical values as scaled integers PASS
     e = _t(spark, sf_dir, "events")
     ins = e.filter(F.col("event_type") == "view")
     outs = e.filter(F.col("event_type") == "click")
-    return events.fifo_match(
+    m = events.fifo_match(
         ins, outs, "user_id", "event_id", "value", decimal="decimal(14,4)"
+    )
+    return m.select(
+        "user_id",
+        "in_seq",
+        "out_seq",
+        (F.col("qty") * 10000).cast("bigint").alias("qty_bp"),
     )
 
 
@@ -12150,9 +12258,10 @@ def q_uplift_curve_events(spark, sf_dir):
 
 @_q(
     "snapshot_restore_orders",
-    """
+    f"""
     SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS price_cents
     FROM orders WHERE o_orderkey % 10 = 0
     """,
 )
@@ -12161,7 +12270,12 @@ def q_snapshot_restore_orders(spark, sf_dir):
     # live copy through the staged-rewrite upsert, roll back, and the
     # restored table must equal the ORIGINAL projection bit-exactly —
     # pinning that hardlinked snapshots survive the live directory's
-    # rmtree+rename and that restore is a faithful inverse
+    # rmtree+rename and that restore is a faithful inverse.  The money
+    # column surfaces as BIGINT cents ((decimal*100)::bigint — exact):
+    # the r9 bx twins proved DECIMAL-typed output columns hash-diverge
+    # in the driver comparator (bx_cast_orders FAIL / bx_floor_cents
+    # PASS); the parquet round-trip through the store carries the
+    # BIGINT bit-exactly by construction
     import shutil
     import tempfile
 
@@ -12172,7 +12286,9 @@ def q_snapshot_restore_orders(spark, sf_dir):
     ).select(
         "o_orderkey",
         "o_custkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        ((F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("price_cents"),
     )
     if _schema_only():
         return o
@@ -12184,9 +12300,7 @@ def q_snapshot_restore_orders(spark, sf_dir):
         mut = store.get_object("orders").limit(100).select(
             "o_orderkey",
             (F.col("o_custkey") + 1).alias("o_custkey"),
-            (F.col("price") + F.lit(1).cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("price"),
+            (F.col("price_cents") + 100).cast("bigint").alias("price_cents"),
         )
         store.upsert("orders", spark.createDataFrame(
             mut.collect(), mut.schema), keys="o_orderkey")
@@ -12458,13 +12572,13 @@ def q_fdr_holm_customers(spark, sf_dir):
     WITH cal AS (SELECT ABS(value - CAST((user_id * 37) % 50 AS DOUBLE))
                    AS r
                  FROM events
-                 WHERE event_type = 'purchase' AND value IS NOT NULL),
+                 WHERE event_type = 'purchase' AND value IS NOT NULL
+                   AND user_id IS NOT NULL),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
     q AS (SELECT t.r AS q
           FROM (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM cal) t
           CROSS JOIN n
-          WHERE t.rn = CAST(CEIL((CAST(n.n AS DOUBLE) + 1.0)
-                                 * (1.0 - 0.1)) AS BIGINT)),
+          WHERE t.rn = ((n.n + 1) * 9 + 9) // 10),
     s AS (SELECT event_id, CAST((user_id * 37) % 50 AS DOUBLE) AS pred
           FROM events WHERE event_type = 'click')
     SELECT s.event_id, s.pred,
@@ -12506,8 +12620,7 @@ def q_conformal_events_value(spark, sf_dir):
                          AS rn,
                        COUNT(*) OVER (PARTITION BY seg) AS n
                 FROM cal) t
-          WHERE rn = CAST(CEIL((CAST(n AS DOUBLE) + 1.0)
-                               * (1.0 - 0.1)) AS BIGINT)),
+          WHERE rn = ((n + 1) * 9 + 9) // 10),
     s AS (SELECT event_id, user_id % 5 AS seg,
                  CAST((user_id * 37) % 50 AS DOUBLE) AS pred
           FROM events WHERE event_type = 'click')
@@ -12666,7 +12779,8 @@ def q_divergence_purchase_vs_click(spark, sf_dir):
                  SUM(w) OVER (PARTITION BY l_returnflag) AS tw
           FROM t)
     SELECT l_returnflag, MIN(v) AS weighted_quantile,
-           CAST(MAX(tw) AS DECIMAL(18,2)) AS total_weight,
+           CAST(CAST(MAX(tw) AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS total_weight_cents,
            CAST(0.9 AS DOUBLE) AS q
     FROM c WHERE cw * 10 >= tw * 9 GROUP BY 1
     """,
@@ -12675,12 +12789,22 @@ def q_weighted_p90_lineitem(spark, sf_dir):
     # quantity-weighted p90 price per returnflag: the general-q
     # sibling of weighted_median_lineitem with the cross-multiplied
     # integer crossing test (cum*10 >= 9*total — no division, no
-    # float threshold)
+    # float threshold).  total_weight surfaces as BIGINT centi-units
+    # for the same reason as weighted_median_lineitem (r9 bx twins:
+    # DECIMAL output columns hash-diverge driver-side; cents PASS)
     from bubbles_spark.ops import insights
 
     li = _t(spark, sf_dir, "lineitem")
-    return insights.weighted_quantile(
+    wq = insights.weighted_quantile(
         li, "l_returnflag", "l_extendedprice", "l_quantity", 9, 10
+    )
+    return wq.select(
+        "l_returnflag",
+        "weighted_quantile",
+        (F.col("total_weight") * 100)
+        .cast("bigint")
+        .alias("total_weight_cents"),
+        "q",
     )
 
 

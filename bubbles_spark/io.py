@@ -379,9 +379,12 @@ class FileStore(DataStore):
     def restore(self, name: str, tag: str) -> None:
         """Roll the live object back to a snapshot (staged: the new
         directory hardlinks/copies from the snapshot, then swaps in —
-        a mid-restore failure leaves the live object intact, and the
-        snapshot itself is never consumed so a restore can be
-        restored from again)."""
+        the live directory is renamed aside before the staged copy
+        renames into place, so at every instant the data exists under
+        SOME directory: a crash leaves either the live object intact
+        or the old version parked at ``__restore_old_<name>``, never
+        a deleted-and-not-yet-replaced gap; the snapshot itself is
+        never consumed so a restore can be restored from again)."""
         import shutil
 
         src = self._snap_dir(name, tag)
@@ -402,9 +405,15 @@ class FileStore(DataStore):
                 except OSError:
                     shutil.copy2(s, d)
         live = self._file(name)
-        if os.path.exists(live):
-            shutil.rmtree(live)
+        old = self._file(f"__restore_old_{name}")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        had_live = os.path.exists(live)
+        if had_live:
+            os.rename(live, old)  # park, don't delete: rename is atomic
         os.rename(tmp, live)
+        if had_live:
+            shutil.rmtree(old)
 
     def drop_snapshot(self, name: str, tag: str) -> None:
         import shutil

@@ -543,9 +543,13 @@ def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:
     # the counts table is one row per (group, DISTINCT value) — when
     # small, the per-group ordered window IS the right plan (one
     # shuffle, no probe/offset jobs); the two-phase path below only
-    # protects the pathological group with millions of distinct values
-    counts, total = _core._pin_and_count(counts, None)
-    if total <= _core._SMALL_RANK_ROWS:
+    # protects the pathological group with millions of distinct
+    # values.  Size via the early-terminating LIMIT probe FIRST —
+    # counts is distinct-values-sized, which for near-unique numeric
+    # columns is corpus-sized, exactly the eager-checkpoint-before-
+    # sizing hazard _pin_and_count's contract forbids; only the
+    # multi-consumer two-phase path below pays the checkpoint
+    if _core._small_enough(counts):
         w_in = (
             Window.partitionBy(group_col)
             .orderBy(col)
@@ -555,6 +559,7 @@ def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:
         return counts.withColumn(
             "__cum", F.sum("__c").over(w_in)
         ).withColumn("__n", F.sum("__c").over(w_tot))
+    counts = counts.localCheckpoint(eager=True)
     proxy = _core._rank_proxy(counts, col)
     n_parts = shuffle_partitions(df.sparkSession)
     qs_list = [i / n_parts for i in range(1, n_parts)]
@@ -1764,6 +1769,23 @@ def trimmed_mean(
     )
 
 
+def _one_minus_alpha_frac(alpha: float):
+    """``1 − alpha`` as an exact small rational ``(num, den)``.
+
+    The selection rank ``⌈(n+1)(1−α)⌉`` must NOT be computed in IEEE
+    doubles: ``(n+1)*(1-alpha)`` can round a hair above the exact
+    integer (n=9, α=0.1 → 10*0.9 = 9.000000000000002 → ceil 10 > n →
+    a spuriously unbounded band although the exact rank 9 exists).
+    Recover the user's intended rational from alpha's shortest decimal
+    repr (``str(0.1)`` → '0.1' → 1/10), then ``limit_denominator``
+    keeps the denominator ≤1e6 so ``(n+1)*num`` stays far inside the
+    2^53 exact-integer double budget for the windowed variant."""
+    from fractions import Fraction
+
+    fr = Fraction(1) - Fraction(str(alpha)).limit_denominator(10**6)
+    return fr.numerator, fr.denominator
+
+
 def conformal_interval(
     cal: DataFrame,
     scored: DataFrame,
@@ -1793,8 +1815,6 @@ def conformal_interval(
 
     Output: every ``scored`` row plus pi_lo, pi_hi, q_hat (double),
     n_cal (bigint)."""
-    import math as _math
-
     from bubbles_spark.ops.core import _with_global_row_number
 
     if not 0.0 < alpha < 1.0:
@@ -1809,7 +1829,9 @@ def conformal_interval(
     n = res.count()
     if n == 0:
         raise ValueError("conformal_interval: empty calibration slice")
-    q_rank = _math.ceil((n + 1) * (1.0 - alpha))
+    # exact-rational ceil((n+1)(1-alpha)) — never the IEEE product
+    a_num, a_den = _one_minus_alpha_frac(alpha)
+    q_rank = ((n + 1) * a_num + a_den - 1) // a_den
     if q_rank > n:
         q = None
     else:
@@ -1870,11 +1892,18 @@ def conformal_interval_by(
     )
     w_rn = Window.partitionBy("__grp").orderBy("__r")
     w_n = Window.partitionBy("__grp")
-    sel = (
-        F.ceil(
-            (F.count(F.lit(1)).over(w_n).cast("double") + F.lit(1.0))
-            * F.lit(1.0 - alpha)
+    # exact-rational ceil((n_g+1)(1-alpha)) via integer
+    # cross-multiplication: ceil(x*num/den) = (x*num + den-1) // den;
+    # the floor-of-double-division is exact while the numerator stays
+    # under 2^53 (den ≤ 1e6 by _one_minus_alpha_frac, same budget
+    # argument as insights._idiv)
+    a_num, a_den = _one_minus_alpha_frac(alpha)
+    sel = F.floor(
+        (
+            (F.count(F.lit(1)).over(w_n).cast("bigint") + F.lit(1)) * a_num
+            + F.lit(a_den - 1)
         )
+        / F.lit(a_den)
     ).cast("bigint")
     qs = (
         res.withColumn("__rn", F.row_number().over(w_rn))

@@ -814,6 +814,69 @@ def spearman_corr(
     return agg.select("n", rho.alias("rho"))
 
 
+def _envelope_over_rank(
+    ranked: DataFrame, val, m: int, step_up: bool, out: str
+) -> DataFrame:
+    """Monotone envelope of ``val`` along a dense global ``rank``
+    column: suffix-min for step-up procedures (BH/BY), prefix-max for
+    step-down (Holm).  At or under ``_SMALL_RANK_ROWS`` this is ONE
+    ordered window task — hypothesis tables are test results (metrics
+    × segments), so that is the overwhelmingly common case.  Above
+    it, the same two-phase shape as the rank machinery: the dense
+    rank cuts into contiguous fixed-width buckets (a pure function of
+    the rank — no sampling, no pid), an in-bucket running min/max
+    parallelizes across buckets, and the cross-bucket carry is a
+    window over the buckets-sized partial table — never a data-sized
+    single-task sort.  min/max are order-insensitive, so the result
+    is bit-identical to the one-window plan."""
+    from pyspark.sql import Window
+
+    from bubbles_spark.ops.core import _SMALL_RANK_ROWS, shuffle_partitions
+
+    t = ranked.withColumn("__val", val)
+    if m <= _SMALL_RANK_ROWS:
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(F.col("rank").desc() if step_up else F.col("rank").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        agg = F.min if step_up else F.max
+        return t.withColumn(out, agg("__val").over(w)).drop("__val")
+    n_b = shuffle_partitions(ranked.sparkSession)
+    width = -(-m // n_b)
+    t = t.withColumn(
+        "__bkt", ((F.col("rank") - 1) / F.lit(width)).cast("bigint")
+    )
+    agg = F.min if step_up else F.max
+    order = F.col("__bkt").desc() if step_up else F.col("__bkt").asc()
+    carry = (
+        t.groupBy("__bkt")
+        .agg(agg("__val").alias("__part"))
+        .select(
+            "__bkt",
+            agg("__part")
+            .over(
+                Window.partitionBy(F.lit(0))
+                .orderBy(order)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            .alias("__carry"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("rank").desc() if step_up else F.col("rank").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pick = F.least if step_up else F.greatest
+    return (
+        t.withColumn("__in", agg("__val").over(w_in))
+        .join(F.broadcast(carry), "__bkt")
+        .withColumn(out, pick(F.col("__in"), F.col("__carry")))
+        .drop("__val", "__bkt", "__in", "__carry")
+    )
+
+
 def fdr_correct(
     df: DataFrame,
     p_col: str,
@@ -841,15 +904,18 @@ def fdr_correct(
     for step-down), clamped to 1.
 
     Scale: the rank is the two-phase pass; the frontier is a 1-row
-    broadcast.  The adjusted-p envelope is a cumulative window over
-    the RANKED table in one task — hypothesis tables are test results
-    (metrics × segments), orders of magnitude smaller than data; the
-    reject decisions never depend on that window.
+    broadcast.  The adjusted-p envelope runs in one ordered window
+    task only while the table is small (hypothesis tables are test
+    results — metrics × segments); past ``_SMALL_RANK_ROWS`` it takes
+    the same two-phase bucketed shape as the rank (min/max are
+    order-insensitive, so the plans agree bit-exactly).  The ``by``
+    harmonic constant is a deterministic O(m) driver loop (~1s per
+    10M hypotheses) — fixed summation order, so the constant is
+    reproducible where a distributed float sum would not be.
 
     Output: id, p, rank (bigint), m (bigint), p_adj (double),
     rejected (boolean)."""
     from bubbles_spark.ops.core import _with_global_row_number
-    from pyspark.sql import Window
 
     if method not in ("bh", "by", "holm", "bonferroni"):
         raise ValueError(f"fdr_correct: unknown method {method!r}")
@@ -872,16 +938,6 @@ def fdr_correct(
         cm = 0.0
         for i in range(1, m + 1):
             cm += 1.0 / i
-    w_up = (
-        Window.partitionBy(F.lit(0))
-        .orderBy(F.col("rank").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_down = (
-        Window.partitionBy(F.lit(0))
-        .orderBy(F.col("rank").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     one = F.lit(1.0)
     if method in ("bh", "by"):
         scale = F.lit(md * cm) if method == "by" else F.lit(md)
@@ -890,10 +946,12 @@ def fdr_correct(
         frontier = ranked.agg(
             F.max(F.when(hit, F.col("rank"))).alias("__kmax")
         )
-        padj = F.least(one, F.min(F.col("p") * scale / k).over(w_up))
+        env = _envelope_over_rank(
+            ranked, F.col("p") * scale / k, m, step_up=True, out="__env"
+        )
         out = (
-            ranked.crossJoin(F.broadcast(frontier))
-            .withColumn("p_adj", padj)
+            env.crossJoin(F.broadcast(frontier))
+            .withColumn("p_adj", F.least(one, F.col("__env")))
             .withColumn(
                 "rejected",
                 F.coalesce(
@@ -909,10 +967,12 @@ def fdr_correct(
         frontier = ranked.agg(
             F.min(F.when(fail, F.col("rank"))).alias("__kmin")
         )
-        padj = F.least(one, F.max(F.col("p") * fac).over(w_down))
+        env = _envelope_over_rank(
+            ranked, F.col("p") * fac, m, step_up=False, out="__env"
+        )
         out = (
-            ranked.crossJoin(F.broadcast(frontier))
-            .withColumn("p_adj", padj)
+            env.crossJoin(F.broadcast(frontier))
+            .withColumn("p_adj", F.least(one, F.col("__env")))
             .withColumn(
                 "rejected",
                 F.coalesce(

@@ -1150,3 +1150,29 @@ def test_uplift_curve_hand_computed(spark):
         uplift_curve(df, "s", "t", "y", "id", n_buckets=0)
     with _pt.raises(ValueError):
         uplift_curve(df.filter("id > 99"), "s", "t", "y", "id")
+
+
+def test_conformal_rank_exact_rational_boundary(spark):
+    """n=9, alpha=0.1: IEEE (n+1)*(1-alpha) = 9.000000000000002 would
+    ceil to a spurious rank 10 > n (NULL band); the exact rational
+    rank is 9 — the largest residual — so the band must be defined."""
+    from bubbles_spark.ops.drift import (
+        conformal_interval,
+        conformal_interval_by,
+    )
+
+    cal = spark.createDataFrame(
+        [(0.0, float(r)) for r in range(1, 10)], "pred double, label double"
+    )  # 9 residuals, exactly 1..9
+    scored = spark.createDataFrame([(100.0,)], "pred double")
+    row = conformal_interval(cal, scored, "pred", "label", alpha=0.1).collect()[0]
+    assert row["q_hat"] == 9.0 and row["n_cal"] == 9
+    assert row["pi_lo"] == 91.0 and row["pi_hi"] == 109.0
+
+    calg = cal.withColumn("seg", F.lit("g"))
+    scoredg = scored.withColumn("seg", F.lit("g"))
+    rowg = conformal_interval_by(
+        calg, scoredg, "seg", "pred", "label", alpha=0.1
+    ).collect()[0]
+    assert rowg["q_hat"] == 9.0 and rowg["n_cal"] == 9
+    assert rowg["pi_lo"] == 91.0 and rowg["pi_hi"] == 109.0

@@ -516,3 +516,28 @@ def test_spearman_by_matches_per_group_global(spark):
         assert grouped[g] == (solo["n"], solo["rho"]), g
     assert grouped["a"][1] == 1.0 and grouped["b"][1] == -1.0
     assert grouped["d"][1] is None
+
+
+def test_fdr_envelope_two_phase_matches_small_path(spark, monkeypatch):
+    """Past _SMALL_RANK_ROWS the adjusted-p envelope takes the
+    bucketed two-phase shape; min/max are order-insensitive, so it
+    must match the one-window plan bit-exactly on every method."""
+    from bubbles_spark.ops import core as _core
+    from bubbles_spark.ops.stattests import fdr_correct
+
+    rows = [(f"id{i:03d}", ((i * 37) % 101 + 1) / 150.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "id string, p double")
+    want = {
+        m: sorted(
+            (r["id"], r["rank"], r["p_adj"], r["rejected"])
+            for r in fdr_correct(df, "p", "id", 0.05, m).collect()
+        )
+        for m in ("bh", "by", "holm")
+    }
+    monkeypatch.setattr(_core, "_SMALL_RANK_ROWS", 7)
+    for m in ("bh", "by", "holm"):
+        got = sorted(
+            (r["id"], r["rank"], r["p_adj"], r["rejected"])
+            for r in fdr_correct(df, "p", "id", 0.05, m).collect()
+        )
+        assert got == want[m], m
