@@ -7372,8 +7372,9 @@ def q_pipeline_spec_orders(spark, sf_dir):
     """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2))
-             AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2)))
+                     AS DECIMAL(20,2)) * 100 AS BIGINT)
+             AS total_price_cents
     FROM orders GROUP BY 1
     """,
 )
@@ -7382,7 +7383,10 @@ def q_orc_roundtrip_orders(spark, sf_dir):
     # (Spark's built-in orc datasource — pushdown and pruning work as
     # for parquet) and the aggregate over the ORC copy must equal the
     # parquet-direct oracle exactly, pinning both the writer and the
-    # reader ends
+    # reader ends.  Money surfaces as BIGINT cents — the r9 bx twins
+    # proved DECIMAL-typed outputs hash-diverge data-dependently in
+    # the driver comparator (this query's low-cardinality grouping
+    # passed r7, but the class is banned by oracle_type_audit now)
     import shutil
     import tempfile
 
@@ -7393,9 +7397,13 @@ def q_orc_roundtrip_orders(spark, sf_dir):
     )
     agg = lambda df: df.groupBy("o_orderpriority").agg(  # noqa: E731
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
-        .cast("decimal(20,2)")
-        .alias("total_price"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+            .cast("decimal(20,2)")
+            * 100
+        )
+        .cast("bigint")
+        .alias("total_price_cents"),
     )
     if _schema_only():
         return agg(o)
@@ -12909,25 +12917,41 @@ def q_spearman_by_returnflag(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
-# Driver-mediated bisection twins (round 9).
+# Decimal-presentation sentinels (what remains of the round-9
+# driver-mediated bisection).
 #
-# Six queries hash-mismatch in the driver's correctness gate
-# (CORRECTNESS_r07/r08) while passing tools/verify_local.py --strict
-# bit-exact in every local configuration: pipeline_spec_orders,
-# rfm_segments_events, lorenz_orders_totalprice, abc_parts_revenue,
-# weighted_median_lineitem, wow_revenue_orders.  Two rounds of
-# local-theory fixes did not move them, and the round-8 judge's
-# elimination work disproved every single-column-class theory (e.g.
-# orc_roundtrip_orders PASSED r7 with the identical decimal-sum shape
-# over a superset of pipeline_spec_orders' rows).  The divergence is
-# only observable inside the driver environment, so these twins make
-# CORRECTNESS_r09 itself the experiment: each narrow variant isolates
-# one dimension (pipeline machinery vs plain plan, group key, integer
-# vs DECIMAL vs DOUBLE output class, engine double→decimal cast vs a
-# shared-IEEE floor(v*100+0.5) cents formula, row-wise cast probes).
-# The six canonical queries stay UNCHANGED as the control arm; the r9
-# pass/fail pattern over the twins localizes the faulty dimension so
-# round 10 can re-express the six safely.
+# History: six queries hash-mismatched in the driver's correctness
+# gate from r7 on while passing tools/verify_local.py --strict
+# bit-exact in every local configuration.  Round 9 pinned 23 narrow
+# twin variants at the head of the driver window; the r9 pass/fail
+# pattern (CORRECTNESS_r09.json) was conclusive:
+#
+#   - every twin whose output re-presented the SAME decimal values as
+#     (decimal*100)::BIGINT cents PASSED (bx_ps_cents, bx_lz_cents,
+#     bx_abc_ints, bx_wm_weight, bx_wow_ints),
+#   - every twin with a DECIMAL-typed output column FAILED
+#     (bx_ps_plain, bx_lz_decimals, bx_rfm_money, bx_wow_dec, and the
+#     row-wise cast probes bx_cast_orders/events/lineitem),
+#   - machinery/grouping/rank/double-division twins all PASSED
+#     (bx_ps_keys, bx_lz_skeleton/shares, bx_rfm_base/scores,
+#     bx_abc_class/share, bx_wm_value, bx_wow_pct).
+#
+# Conclusion: the engine's computed decimal VALUES agree; the driver
+# comparator's hashing of DECIMAL-typed columns diverges
+# (data-dependently — low-cardinality groupings like bx_ps_prio
+# passed).  Round 10 therefore re-expressed every driver-checked
+# query's DECIMAL output columns as scaled BIGINT integers (cents /
+# basis points), and tools/oracle_type_audit.py now flags any
+# registered query whose Spark output schema contains a DECIMAL
+# column so the class cannot recur.  The 21 answered twins are
+# retired; two stay as permanent sentinels:
+#
+#   - bx_cast_orders: the minimal DECIMAL-output probe — an EXPECTED
+#     FAIL canary.  If it ever PASSES, the driver comparator's
+#     decimal handling changed and the cents re-expression could be
+#     folded back.
+#   - bx_floor_cents_orders: its passing twin — proves the shared-
+#     IEEE floor-cents formula stays bit-exact cross-engine.
 # ---------------------------------------------------------------------
 
 # shared fragment: BIGINT cents via floor(v*100 + 0.5) computed in
@@ -12942,579 +12966,6 @@ _CENTS_SQL = "CAST(FLOOR(CAST({c} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
 
 
 @_q(
-    "bx_ps_keys",
-    """
-    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS record_count
-    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
-    """,
-)
-def q_bx_ps_keys(spark, sf_dir):
-    # pipeline_spec_orders minus the money column: same Pipeline
-    # machinery, same filter + group key, integer output only.  FAIL
-    # here ⇒ the machinery/keys diverge; PASS ⇒ total_spend carries it
-    from bubbles_spark.pipeline import Pipeline
-
-    spec = {
-        "steps": [
-            {"op": "filter_by_value", "args": ["o_orderstatus", "F"]},
-            {
-                "op": "aggregate",
-                "args": ["o_custkey", [["o_totalprice", "sum"]]],
-            },
-        ]
-    }
-    p = Pipeline.from_spec(spec, spark=spark, df=_t(spark, sf_dir, "orders"))
-    return p.df.select(
-        "o_custkey", F.col("record_count").cast("bigint").alias("record_count")
-    )
-
-
-@_q(
-    "bx_ps_cents",
-    f"""
-    SELECT o_custkey,
-           CAST(SUM({_CENTS_SQL.format(c="o_totalprice")}) AS BIGINT)
-             AS total_cents,
-           CAST(COUNT(*) AS BIGINT) AS record_count
-    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
-    """,
-)
-def q_bx_ps_cents(spark, sf_dir):
-    # pipeline_spec_orders with the money column as shared-IEEE BIGINT
-    # cents: same machinery, derive computes floor(v*100+0.5) instead
-    # of an engine decimal cast.  PASS while canonical FAILs ⇒ the
-    # engine double→decimal cast (or DECIMAL presentation) diverges
-    from bubbles_spark.pipeline import Pipeline
-
-    spec = {
-        "steps": [
-            {"op": "filter_by_value", "args": ["o_orderstatus", "F"]},
-            {
-                "op": "derive",
-                "args": [
-                    "o_totalprice",
-                    "CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)"
-                    " AS BIGINT)",
-                ],
-            },
-            {
-                "op": "aggregate",
-                "args": ["o_custkey", [["o_totalprice", "sum"]]],
-            },
-        ]
-    }
-    p = Pipeline.from_spec(spec, spark=spark, df=_t(spark, sf_dir, "orders"))
-    return p.df.select(
-        "o_custkey",
-        F.col("o_totalprice_sum").cast("bigint").alias("total_cents"),
-        F.col("record_count").cast("bigint").alias("record_count"),
-    )
-
-
-@_q(
-    "bx_ps_plain",
-    """
-    SELECT o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2))
-             AS total_spend,
-           CAST(COUNT(*) AS BIGINT) AS record_count
-    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
-    """,
-)
-def q_bx_ps_plain(spark, sf_dir):
-    # pipeline_spec_orders WITHOUT the Pipeline machinery: the same
-    # logical plan written directly.  PASS while canonical FAILs ⇒
-    # Pipeline.from_spec produces something different in the driver
-    # environment; FAIL ⇒ the plan itself (filter + custkey group +
-    # decimal sum) diverges regardless of machinery
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
-        .cast("decimal(20,2)")
-        .alias("total_spend"),
-        F.count(F.lit(1)).cast("bigint").alias("record_count"),
-    )
-
-
-@_q(
-    "bx_ps_prio",
-    """
-    SELECT o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2))
-             AS total_spend,
-           CAST(COUNT(*) AS BIGINT) AS record_count
-    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
-    """,
-)
-def q_bx_ps_prio(spark, sf_dir):
-    # pipeline_spec machinery with the LOW-cardinality group key (the
-    # shape orc_roundtrip_orders passed with in r7).  FAIL ⇒ machinery;
-    # PASS while bx_ps_plain FAILs ⇒ the o_custkey grouping carries it
-    from bubbles_spark.pipeline import Pipeline
-
-    spec = {
-        "steps": [
-            {"op": "filter_by_value", "args": ["o_orderstatus", "F"]},
-            {
-                "op": "derive",
-                "args": [
-                    "o_totalprice",
-                    "CAST(o_totalprice AS DECIMAL(20,2))",
-                ],
-            },
-            {
-                "op": "aggregate",
-                "args": ["o_orderpriority", [["o_totalprice", "sum"]]],
-            },
-        ]
-    }
-    p = Pipeline.from_spec(spec, spark=spark, df=_t(spark, sf_dir, "orders"))
-    return p.df.select(
-        "o_orderpriority",
-        F.col("o_totalprice_sum").cast("decimal(20,2)").alias("total_spend"),
-        F.col("record_count").cast("bigint").alias("record_count"),
-    )
-
-
-_LORENZ_CORE_SQL = """
-    WITH t AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
-                      o_orderkey AS id
-               FROM orders WHERE o_totalprice IS NOT NULL),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
-    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM t),
-    b AS (SELECT CAST(FLOOR(CAST((rn - 1) * 10 AS DOUBLE)
-                            / CAST(nn.n AS DOUBLE)) AS BIGINT) + 1
-            AS bucket, v
-          FROM r CROSS JOIN nn),
-    per AS (SELECT CAST(bucket AS BIGINT) AS bucket,
-                   CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   CAST(SUM(v) AS DECIMAL(18,2)) AS bucket_value
-            FROM b GROUP BY 1),
-    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tn,
-                   CAST(SUM(bucket_value) AS DECIMAL(18,2)) AS tv FROM per),
-    c AS (SELECT bucket, n_rows, bucket_value,
-                 CAST(SUM(n_rows) OVER (ORDER BY bucket) AS BIGINT)
-                   AS cum_rows,
-                 CAST(SUM(bucket_value) OVER (ORDER BY bucket)
-                      AS DECIMAL(18,2)) AS cum_value
-          FROM per)
-"""
-
-
-@_q(
-    "bx_lz_skeleton",
-    _LORENZ_CORE_SQL
-    + """
-    SELECT bucket, n_rows, cum_rows FROM c
-    """,
-)
-def q_bx_lz_skeleton(spark, sf_dir):
-    # lorenz integer columns only (bucket membership + counts): FAIL ⇒
-    # the global ranking/bucket cut itself diverges; PASS ⇒ the money
-    # columns carry it
-    from bubbles_spark.ops import insights
-
-    o = _t(spark, sf_dir, "orders")
-    lz = insights.lorenz_curve(o, "o_totalprice", "o_orderkey", n_buckets=10)
-    return lz.select("bucket", "n_rows", "cum_rows")
-
-
-@_q(
-    "bx_lz_cents",
-    _LORENZ_CORE_SQL
-    + """
-    SELECT bucket, n_rows, cum_rows,
-           CAST(bucket_value * 100 AS BIGINT) AS bucket_cents,
-           CAST(cum_value * 100 AS BIGINT) AS cum_cents
-    FROM c
-    """,
-)
-def q_bx_lz_cents(spark, sf_dir):
-    # the SAME lorenz computation with the DECIMAL sums re-presented
-    # as BIGINT cents (decimal*100 is exact).  PASS while
-    # bx_lz_decimals/canonical FAIL ⇒ DECIMAL presentation diverges in
-    # the driver's comparator, not the computed values
-    from bubbles_spark.ops import insights
-
-    o = _t(spark, sf_dir, "orders")
-    lz = insights.lorenz_curve(o, "o_totalprice", "o_orderkey", n_buckets=10)
-    return lz.select(
-        "bucket",
-        "n_rows",
-        "cum_rows",
-        (F.col("bucket_value") * 100).cast("bigint").alias("bucket_cents"),
-        (F.col("cum_value") * 100).cast("bigint").alias("cum_cents"),
-    )
-
-
-@_q(
-    "bx_lz_decimals",
-    _LORENZ_CORE_SQL
-    + """
-    SELECT bucket, n_rows, bucket_value, cum_rows, cum_value FROM c
-    """,
-)
-def q_bx_lz_decimals(spark, sf_dir):
-    # canonical lorenz minus the two DOUBLE share columns: FAIL ⇒ the
-    # DECIMAL money columns diverge; PASS while canonical FAILs ⇒ the
-    # share doubles carry it (see bx_lz_shares)
-    from bubbles_spark.ops import insights
-
-    o = _t(spark, sf_dir, "orders")
-    lz = insights.lorenz_curve(o, "o_totalprice", "o_orderkey", n_buckets=10)
-    return lz.select(
-        "bucket", "n_rows", "bucket_value", "cum_rows", "cum_value"
-    )
-
-
-@_q(
-    "bx_lz_shares",
-    _LORENZ_CORE_SQL
-    + """
-    SELECT bucket,
-           CAST(cum_rows AS DOUBLE) / CAST(tn AS DOUBLE) AS cum_pop_share,
-           CAST(cum_value AS DOUBLE) / CAST(tv AS DOUBLE) AS cum_value_share
-    FROM c CROSS JOIN tot
-    """,
-)
-def q_bx_lz_shares(spark, sf_dir):
-    # lorenz DOUBLE share columns only (each one IEEE division of
-    # exact operands).  FAIL here + PASS on bx_lz_decimals ⇒ the
-    # driver's double normalization (or its engine's decimal→double
-    # cast) is the divergence
-    from bubbles_spark.ops import insights
-
-    o = _t(spark, sf_dir, "orders")
-    lz = insights.lorenz_curve(o, "o_totalprice", "o_orderkey", n_buckets=10)
-    return lz.select("bucket", "cum_pop_share", "cum_value_share")
-
-
-@_q(
-    "bx_rfm_base",
-    """
-    SELECT user_id AS id,
-           CAST(DATEDIFF('day', MAX(CAST(ts AS DATE)),
-                         DATE '2024-03-01') AS INTEGER) AS recency_days,
-           CAST(COUNT(*) AS BIGINT) AS frequency
-    FROM events WHERE event_type = 'purchase' GROUP BY 1
-    """,
-)
-def q_bx_rfm_base(spark, sf_dir):
-    # rfm aggregate stage, integer columns only: FAIL ⇒ the day-space
-    # recency/count aggregate diverges; PASS ⇒ monetary or the scores
-    from bubbles_spark.ops import insights
-
-    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    seg = insights.rfm_segments(
-        e, "user_id", "ts", "value", ref_date="2024-03-01", n_bins=5
-    )
-    return seg.select("id", "recency_days", "frequency")
-
-
-@_q(
-    "bx_rfm_money",
-    """
-    SELECT user_id AS id,
-           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0)
-                AS DECIMAL(18,2)) AS monetary
-    FROM events WHERE event_type = 'purchase' GROUP BY 1
-    """,
-)
-def q_bx_rfm_money(spark, sf_dir):
-    # rfm monetary column only (engine decimal cast + sum over
-    # events.value).  FAIL ⇒ the events.value double→decimal cast
-    # diverges on driver data (cross-check bx_cast_events row-wise)
-    from bubbles_spark.ops import insights
-
-    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    seg = insights.rfm_segments(
-        e, "user_id", "ts", "value", ref_date="2024-03-01", n_bins=5
-    )
-    return seg.select("id", "monetary")
-
-
-@_q(
-    "bx_rfm_scores",
-    """
-    WITH agg AS (
-      SELECT user_id AS id,
-             CAST(DATEDIFF('day', MAX(CAST(ts AS DATE)),
-                           DATE '2024-03-01') AS INTEGER) AS recency_days,
-             CAST(COUNT(*) AS BIGINT) AS frequency,
-             CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0)
-                  AS DECIMAL(18,2)) AS monetary
-      FROM events WHERE event_type = 'purchase' GROUP BY 1),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM agg),
-    r AS (SELECT id,
-                 ROW_NUMBER() OVER (ORDER BY recency_days, id) AS rr,
-                 ROW_NUMBER() OVER (ORDER BY frequency DESC, id) AS rf,
-                 ROW_NUMBER() OVER (ORDER BY monetary DESC, id) AS rm
-          FROM agg)
-    SELECT r.id,
-           CAST(5 - FLOOR(CAST((r.rr - 1) * 5 AS DOUBLE)
-                          / CAST(nn.n AS DOUBLE)) AS INTEGER) AS r_score,
-           CAST(5 - FLOOR(CAST((r.rf - 1) * 5 AS DOUBLE)
-                          / CAST(nn.n AS DOUBLE)) AS INTEGER) AS f_score,
-           CAST(5 - FLOOR(CAST((r.rm - 1) * 5 AS DOUBLE)
-                          / CAST(nn.n AS DOUBLE)) AS INTEGER) AS m_score
-    FROM r CROSS JOIN nn
-    """,
-)
-def q_bx_rfm_scores(spark, sf_dir):
-    # rfm rank-derived integer scores only: FAIL ⇒ the global-rank
-    # machinery (value-bucketed two-phase row_number) diverges in the
-    # driver environment even though every output is an INTEGER
-    from bubbles_spark.ops import insights
-
-    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    seg = insights.rfm_segments(
-        e, "user_id", "ts", "value", ref_date="2024-03-01", n_bins=5
-    )
-    return seg.select("id", "r_score", "f_score", "m_score")
-
-
-_ABC_CORE_SQL = """
-    WITH item AS (SELECT l_partkey AS id,
-                         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                              AS DECIMAL(18,2)) AS value
-                  FROM lineitem GROUP BY 1),
-    r AS (SELECT id, value,
-                 ROW_NUMBER() OVER (ORDER BY value DESC, id) AS rank
-          FROM item),
-    c AS (SELECT id, value, rank,
-                 CAST(SUM(value) OVER (ORDER BY rank) AS DECIMAL(18,2))
-                   AS cum_value
-          FROM r),
-    tot AS (SELECT CAST(SUM(value) AS DECIMAL(18,2)) AS t FROM item)
-"""
-
-
-@_q(
-    "bx_abc_ints",
-    _ABC_CORE_SQL
-    + """
-    SELECT id, CAST(rank AS BIGINT) AS rank,
-           CAST(value * 100 AS BIGINT) AS value_cents,
-           CAST(cum_value * 100 AS BIGINT) AS cum_cents
-    FROM c
-    """,
-)
-def q_bx_abc_ints(spark, sf_dir):
-    # abc rank + money as exact BIGINT cents (decimal*100): FAIL ⇒ the
-    # rank/cumsum values diverge; PASS while canonical FAILs ⇒ the
-    # DECIMAL/DOUBLE output classes carry it
-    from bubbles_spark.ops import insights
-
-    li = _t(spark, sf_dir, "lineitem")
-    item = li.groupBy(F.col("l_partkey").alias("pid")).agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
-    abc = insights.abc_classification(item, "pid", "rev")
-    return abc.select(
-        "id",
-        "rank",
-        (F.col("value") * 100).cast("bigint").alias("value_cents"),
-        (F.col("cum_value") * 100).cast("bigint").alias("cum_cents"),
-    )
-
-
-@_q(
-    "bx_abc_class",
-    _ABC_CORE_SQL
-    + """
-    SELECT id,
-           CASE WHEN CAST(cum_value - value AS DOUBLE) / CAST(t AS DOUBLE)
-                     < CAST(0.8 AS DOUBLE) THEN 'A'
-                WHEN CAST(cum_value - value AS DOUBLE) / CAST(t AS DOUBLE)
-                     < CAST(0.95 AS DOUBLE) THEN 'B'
-                ELSE 'C' END AS abc_class
-    FROM c CROSS JOIN tot
-    """,
-)
-def q_bx_abc_class(spark, sf_dir):
-    # abc class labels only (STRING derived from the double-compare
-    # threshold): FAIL with bx_abc_ints PASSing ⇒ the threshold
-    # comparison diverges at some boundary row on driver data
-    from bubbles_spark.ops import insights
-
-    li = _t(spark, sf_dir, "lineitem")
-    item = li.groupBy(F.col("l_partkey").alias("pid")).agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
-    return insights.abc_classification(item, "pid", "rev").select(
-        "id", "abc_class"
-    )
-
-
-@_q(
-    "bx_abc_share",
-    _ABC_CORE_SQL
-    + """
-    SELECT id, CAST(cum_value AS DOUBLE) / CAST(t AS DOUBLE) AS cum_share
-    FROM c CROSS JOIN tot
-    """,
-)
-def q_bx_abc_share(spark, sf_dir):
-    # abc cumulative-share DOUBLE only: isolates the decimal→double
-    # division column class on a 2000-row output
-    from bubbles_spark.ops import insights
-
-    li = _t(spark, sf_dir, "lineitem")
-    item = li.groupBy(F.col("l_partkey").alias("pid")).agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev")
-    )
-    return insights.abc_classification(item, "pid", "rev").select(
-        "id", "cum_share"
-    )
-
-
-@_q(
-    "bx_wm_value",
-    """
-    WITH t AS (SELECT l_returnflag, l_extendedprice AS v,
-                      CAST(l_quantity AS DECIMAL(18,2)) AS w
-               FROM lineitem
-               WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
-    c AS (SELECT l_returnflag, v,
-                 SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cw,
-                 SUM(w) OVER (PARTITION BY l_returnflag) AS tw
-          FROM t)
-    SELECT l_returnflag, MIN(v) AS weighted_median
-    FROM c WHERE cw * 2 >= tw GROUP BY 1
-    """,
-)
-def q_bx_wm_value(spark, sf_dir):
-    # weighted median VALUE column only (a raw double passthrough —
-    # never computed): FAIL ⇒ the crossing-row selection diverges;
-    # PASS while canonical FAILs ⇒ total_weight carries it
-    from bubbles_spark.ops import insights
-
-    li = _t(spark, sf_dir, "lineitem")
-    wm = insights.weighted_median(
-        li, "l_returnflag", "l_extendedprice", "l_quantity"
-    )
-    return wm.select("l_returnflag", "weighted_median")
-
-
-@_q(
-    "bx_wm_weight",
-    """
-    WITH t AS (SELECT l_returnflag,
-                      CAST(l_quantity AS DECIMAL(18,2)) AS w
-               FROM lineitem
-               WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
-    SELECT l_returnflag,
-           CAST(SUM(w) * 100 AS BIGINT) AS total_weight_cents
-    FROM t GROUP BY 1
-    """,
-)
-def q_bx_wm_weight(spark, sf_dir):
-    # weighted median TOTAL WEIGHT as BIGINT cents: isolates the
-    # l_quantity decimal cast + sum from the crossing logic
-    from bubbles_spark.ops import insights
-
-    li = _t(spark, sf_dir, "lineitem")
-    wm = insights.weighted_median(
-        li, "l_returnflag", "l_extendedprice", "l_quantity"
-    )
-    return wm.select(
-        "l_returnflag",
-        (F.col("total_weight") * 100)
-        .cast("bigint")
-        .alias("total_weight_cents"),
-    )
-
-
-_WOW_CORE_SQL = """
-    WITH r AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE)
-                        AS bucket_date,
-                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                           AS DECIMAL(18,2)) AS value
-               FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
-    p AS (SELECT bucket_date + 7 AS bucket_date, value AS prev_value FROM r)
-"""
-
-
-@_q(
-    "bx_wow_ints",
-    _WOW_CORE_SQL
-    + """
-    SELECT bucket_date,
-           CAST(value * 100 AS BIGINT) AS value_cents,
-           CAST(prev_value * 100 AS BIGINT) AS prev_cents,
-           CAST((value - prev_value) * 100 AS BIGINT) AS delta_cents
-    FROM r LEFT JOIN p USING (bucket_date)
-    """,
-)
-def q_bx_wow_ints(spark, sf_dir):
-    # week-over-week with all money re-presented as BIGINT cents
-    # (NULL prev weeks stay NULL): FAIL ⇒ the weekly rollup or the
-    # day-space alignment diverges; PASS ⇒ DECIMAL/DOUBLE output class
-    from bubbles_spark.ops import events as ev
-
-    o = _t(spark, sf_dir, "orders")
-    pop = ev.period_over_period(
-        o, "o_orderdate", "o_totalprice", bucket="week", lag=1
-    )
-    return pop.select(
-        "bucket_date",
-        (F.col("value") * 100).cast("bigint").alias("value_cents"),
-        (F.col("prev_value") * 100).cast("bigint").alias("prev_cents"),
-        (F.col("delta") * 100).cast("bigint").alias("delta_cents"),
-    )
-
-
-@_q(
-    "bx_wow_dec",
-    _WOW_CORE_SQL
-    + """
-    SELECT bucket_date, value, prev_value, value - prev_value AS delta
-    FROM r LEFT JOIN p USING (bucket_date)
-    """,
-)
-def q_bx_wow_dec(spark, sf_dir):
-    # canonical wow minus the pct_change DOUBLE: FAIL ⇒ the DECIMAL
-    # columns diverge; PASS while canonical FAILs ⇒ pct_change does
-    from bubbles_spark.ops import events as ev
-
-    o = _t(spark, sf_dir, "orders")
-    pop = ev.period_over_period(
-        o, "o_orderdate", "o_totalprice", bucket="week", lag=1
-    )
-    return pop.select("bucket_date", "value", "prev_value", "delta")
-
-
-@_q(
-    "bx_wow_pct",
-    _WOW_CORE_SQL
-    + """
-    SELECT bucket_date,
-           CASE WHEN prev_value <> 0
-                THEN CAST(value - prev_value AS DOUBLE)
-                     / CAST(prev_value AS DOUBLE) END AS pct_change
-    FROM r LEFT JOIN p USING (bucket_date)
-    """,
-)
-def q_bx_wow_pct(spark, sf_dir):
-    # wow pct_change DOUBLE only (one IEEE division of exact decimals)
-    from bubbles_spark.ops import events as ev
-
-    o = _t(spark, sf_dir, "orders")
-    pop = ev.period_over_period(
-        o, "o_orderdate", "o_totalprice", bucket="week", lag=1
-    )
-    return pop.select("bucket_date", "pct_change")
-
-
-@_q(
     "bx_cast_orders",
     """
     SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
@@ -13522,47 +12973,14 @@ def q_bx_wow_pct(spark, sf_dir):
     """,
 )
 def q_bx_cast_orders(spark, sf_dir):
-    # ROW-WISE engine double→decimal cast probe on orders money: FAIL
-    # ⇒ the driver environment's cast rounds some o_totalprice value
-    # differently than Spark (a tie value absent from local testdata)
+    # ROW-WISE DECIMAL-output probe — the EXPECTED-FAIL canary (see
+    # the section comment above): the driver comparator hash-diverges
+    # on DECIMAL-typed columns although both engines compute the same
+    # values; local --strict stays green.  A driver PASS here means
+    # the comparator changed and cents re-expression is obsolete
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
-    )
-
-
-@_q(
-    "bx_cast_events",
-    """
-    SELECT event_id, CAST(value AS DECIMAL(18,2)) AS value_dec
-    FROM events WHERE value IS NOT NULL
-    """,
-)
-def q_bx_cast_events(spark, sf_dir):
-    # row-wise cast probe on events.value (rfm's money source)
-    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    return e.select(
-        "event_id", F.col("value").cast("decimal(18,2)").alias("value_dec")
-    )
-
-
-@_q(
-    "bx_cast_lineitem",
-    """
-    SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
-           CAST(l_quantity AS DECIMAL(18,2)) AS qty_dec
-    FROM lineitem
-    """,
-)
-def q_bx_cast_lineitem(spark, sf_dir):
-    # row-wise cast probe on lineitem money + quantity (abc /
-    # weighted-median sources)
-    return _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
-        F.col("l_quantity").cast("decimal(18,2)").alias("qty_dec"),
     )
 
 
@@ -13575,9 +12993,9 @@ def q_bx_cast_lineitem(spark, sf_dir):
     """,
 )
 def q_bx_floor_cents_orders(spark, sf_dir):
-    # row-wise shared-IEEE floor(v*100+0.5) cents probe: PASS while
-    # bx_cast_orders FAILs ⇒ the floor formula is the safe money cast
-    # to re-express the six with in round 10
+    # row-wise shared-IEEE floor(v*100+0.5) cents sentinel: proves
+    # the safe money representation stays bit-exact cross-engine
+    # (PASSED r9 while its decimal twin bx_cast_orders FAILED)
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents")
     )
@@ -13591,46 +13009,27 @@ def q_bx_floor_cents_orders(spark, sf_dir):
 # very front), the round-2-green core moves to the back.  Next round,
 # rotate again based on CORRECTNESS_r03.
 _DRIVER_PRIORITY = [
-    # round-9 bisection twins (see the bx_* block above): narrow
-    # variants of the six persistent driver hash mismatches, each
-    # isolating one dimension — these MUST occupy the window so the
-    # r9 pass/fail pattern localizes the divergence
-    "bx_ps_keys",
-    "bx_ps_cents",
-    "bx_ps_plain",
-    "bx_ps_prio",
-    "bx_lz_skeleton",
-    "bx_lz_cents",
-    "bx_lz_decimals",
-    "bx_lz_shares",
-    "bx_rfm_base",
-    "bx_rfm_money",
-    "bx_rfm_scores",
-    "bx_abc_ints",
-    "bx_abc_class",
-    "bx_abc_share",
-    "bx_wm_value",
-    "bx_wm_weight",
-    "bx_wow_ints",
-    "bx_wow_dec",
-    "bx_wow_pct",
+    # permanent decimal-presentation sentinels (see the bx_* section
+    # comment): bx_cast_orders is the EXPECTED-FAIL canary for the
+    # driver comparator's DECIMAL hashing; bx_floor_cents_orders is
+    # its passing floor-cents twin.  One intentional red row.
     "bx_cast_orders",
-    "bx_cast_events",
-    "bx_cast_lineitem",
     "bx_floor_cents_orders",
-    # the six persistent driver hash mismatches (FAIL r7/r8, local
-    # mirror green in every configuration — root cause only observable
-    # driver-side).  Fixes were ATTEMPTED in r8 (value-bucketed ranks,
-    # exact-decimal spec sums) but only join_cardinality re-greened;
-    # these re-run unchanged as the control arm for the bx_* twins
+    # the ten r9 hash mismatches, re-expressed this round with
+    # scaled-BIGINT money surfaces per the bisection conclusion —
+    # front of the window so CORRECTNESS_r10 records the fix
     "pipeline_spec_orders",
     "rfm_segments_events",
     "lorenz_orders_totalprice",
     "abc_parts_revenue",
     "weighted_median_lineitem",
     "wow_revenue_orders",
+    "cohort_ltv_orders",
+    "fifo_match_events",
+    "weighted_p90_lineitem",
+    "orc_roundtrip_orders",
     "join_cardinality_lineitem_partkey",
-    # round-9 additions (never driver-checked)
+    # round-9 additions
     "uplift_curve_events",
     "snapshot_restore_orders",
     "mann_kendall_daily_revenue",
@@ -13782,6 +13181,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     seen = set(base)
     base += [n for n in _QUERIES if n not in seen]
     checked = _driver_checked_rounds()
+    # queries whose OUTPUT SURFACE or oracle text changed this round:
+    # their prior driver passes certified the old shape, so they must
+    # re-enter the window as if never checked
+    force_recheck = {
+        "orc_roundtrip_orders",        # r10: total_price → cents
+        "conformal_events_value",      # r10: exact-rational rank + NULL filter
+        "conformal_by_segment_events", # r10: exact-rational rank
+        "fdr_bh_customers",            # r10: two-phase envelope
+        "fdr_holm_customers",          # r10: two-phase envelope
+    }
+    checked = {n: r for n, r in checked.items() if n not in force_recheck}
     # Queries with no oracle SQL can only ever record a rows-only
     # "no_oracle" row — never a hard pass — so they must not occupy the
     # driver's bounded window ahead of hash-checkable queries. Their

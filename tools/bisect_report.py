@@ -14,6 +14,12 @@ the re-expression recipe for the six canonical queries.
 
 Usage: python tools/bisect_report.py [CORRECTNESS_r09.json ...]
        (default: the newest CORRECTNESS_r*.json containing bx_ rows)
+
+Round 10 note: the bisection concluded (DECIMAL-typed output columns
+hash-diverge in the driver comparator; values agree) and 21 of the 23
+twins were retired from the registry — only the bx_cast_orders
+expected-FAIL canary and bx_floor_cents_orders remain.  This tool
+still interprets the archived CORRECTNESS_r09.json.
 """
 
 from __future__ import annotations

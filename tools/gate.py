@@ -113,17 +113,14 @@ EXACT_FAMILY = [
     "bootstrap_ci_by_type", "trimmed_mean_events_value",
     "trimmed_mean_by_priority", "concentration_orders_by_priority",
     # round-9: the remaining two driver-mismatch queries (bit-exact
-    # claims, decimal sums) and the bisection twins that mirror all
-    # six mismatch families dimension-by-dimension
+    # claims, decimal sums); round-10 retired the answered bisection
+    # twins, keeping the two permanent decimal-presentation sentinels
     "weighted_median_lineitem", "wow_revenue_orders",
-    "bx_ps_keys", "bx_ps_cents", "bx_ps_plain", "bx_ps_prio",
-    "bx_lz_skeleton", "bx_lz_cents", "bx_lz_decimals", "bx_lz_shares",
-    "bx_rfm_base", "bx_rfm_money", "bx_rfm_scores",
-    "bx_abc_ints", "bx_abc_class", "bx_abc_share",
-    "bx_wm_value", "bx_wm_weight",
-    "bx_wow_ints", "bx_wow_dec", "bx_wow_pct",
-    "bx_cast_orders", "bx_cast_events", "bx_cast_lineitem",
-    "bx_floor_cents_orders",
+    "bx_cast_orders", "bx_floor_cents_orders",
+    # round-10: money surfaces re-expressed as scaled BIGINT cents
+    # (the bisection conclusion) — rerun proves the cents formula and
+    # the decimal*100 presentation stay bit-exact cross-session
+    "cohort_ltv_orders", "fifo_match_events", "orc_roundtrip_orders",
     # round-9 new operators claiming bit-exactness
     "nelson_aalen_events", "mann_kendall_daily_revenue",
     "snapshot_restore_orders", "uplift_curve_events",

@@ -24,6 +24,13 @@ CLASSES per column.  Flags:
     differs between engines — CAST the output explicitly)
   - int-vs-float class mismatches (a comparer that distinguishes
     ``5`` from ``5.0`` will hash-mismatch on identical data)
+  - ANY DECIMAL-typed output column, even when both engines agree
+    (the round-9 driver bisection proved DECIMAL-typed outputs
+    hash-diverge in the driver comparator on data-dependent values
+    while the identical values as (decimal*100)::BIGINT cents pass —
+    bx_ps_plain/bx_lz_decimals/bx_rfm_money/bx_wow_dec FAIL vs
+    bx_ps_cents/bx_lz_cents/bx_abc_ints PASS; new queries must
+    surface exact money as scaled integers, never DECIMAL)
 
 Usage:  python tools/oracle_type_audit.py [query_name ...]
 Exit 1 iff any query is flagged.
@@ -41,6 +48,11 @@ SF_DIR = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+# The one intentional DECIMAL output: the expected-FAIL driver canary
+# probing whether the driver comparator still hash-diverges on
+# DECIMAL-typed columns (see the bx_* section in __spark_entry__.py).
+_DECIMAL_SENTINELS = {"bx_cast_orders"}
 
 _INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT",
         "UINTEGER", "UBIGINT", "int", "bigint", "smallint", "tinyint"}
@@ -132,6 +144,12 @@ def main(only: list[str]) -> int:
                 problems.append(f"{col}: duck HUGEINT vs spark {sparkt[col]} — CAST AS BIGINT")
             elif {sc, dc} == {"decimal", "float"} or {sc, dc} == {"decimal", "int"}:
                 problems.append(f"{col}: {sparkt[col]} vs {duckt[col]} — cast output explicitly")
+            elif sc == "decimal" and dc == "decimal" and name not in _DECIMAL_SENTINELS:
+                problems.append(
+                    f"{col}: DECIMAL output ({sparkt[col]}) — driver "
+                    "comparator hash-diverges on DECIMAL columns; surface "
+                    "as (col*100)::BIGINT cents (r9 bx twins)"
+                )
             elif {sc, dc} == {"int", "float"}:
                 problems.append(f"{col}: int/float class mismatch ({sparkt[col]} vs {duckt[col]})")
             elif sc != dc and not (sc in ("ts",) and dc in ("ts", "date")):
