@@ -12916,6 +12916,257 @@ def q_spearman_by_returnflag(spark, sf_dir):
     )
 
 
+@_q(
+    "mcnemar_events",
+    """
+    WITH per AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_a,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_only_b
+      FROM per)
+    SELECT n_pairs, n_only_a, n_only_b,
+           CASE WHEN CAST(n_only_a AS DOUBLE) + CAST(n_only_b AS DOUBLE) > 0
+                THEN (CAST(n_only_a AS DOUBLE) - CAST(n_only_b AS DOUBLE))
+                     * (CAST(n_only_a AS DOUBLE) - CAST(n_only_b AS DOUBLE))
+                     / (CAST(n_only_a AS DOUBLE) + CAST(n_only_b AS DOUBLE))
+           END AS chi2,
+           CASE WHEN CAST(n_only_a AS DOUBLE) + CAST(n_only_b AS DOUBLE) > 0
+                THEN (ABS(CAST(n_only_a AS DOUBLE)
+                          - CAST(n_only_b AS DOUBLE)) - 1.0)
+                     * (ABS(CAST(n_only_a AS DOUBLE)
+                            - CAST(n_only_b AS DOUBLE)) - 1.0)
+                     / (CAST(n_only_a AS DOUBLE) + CAST(n_only_b AS DOUBLE))
+           END AS chi2_cc
+    FROM agg
+    """,
+)
+def q_mcnemar_events(spark, sf_dir):
+    # paired binary flip test: per user, "ever viewed" vs "ever
+    # purchased" — discordant counts are exact integers, each chi2 a
+    # fixed IEEE sequence on them
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("a"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("b"),
+    )
+    return stattests.mcnemar_test(per, "user_id", "a", "b")
+
+
+@_q(
+    "cochran_q_events",
+    """
+    WITH pres AS (SELECT DISTINCT user_id AS id, event_type AS t
+                  FROM events
+                  WHERE user_id IS NOT NULL
+                    AND event_type IN ('view', 'click', 'purchase')),
+    r AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS r FROM pres GROUP BY 1),
+    g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS g FROM pres GROUP BY 1),
+    ragg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                    CAST(SUM(r) AS BIGINT) AS n_success,
+                    SUM(CAST(r AS DECIMAL(38,0)) * r) AS r2
+             FROM r),
+    gagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                    SUM(CAST(g AS DECIMAL(38,0)) * g) AS g2
+             FROM g)
+    SELECT k, n_subjects, n_success,
+           CASE WHEN k > 1
+                 AND CAST(k AS DOUBLE) * CAST(n_success AS DOUBLE)
+                     - CAST(r2 AS DOUBLE) > 0
+                THEN (CAST(k AS DOUBLE) - 1.0)
+                     * (CAST(k AS DOUBLE) * CAST(g2 AS DOUBLE)
+                        - CAST(n_success AS DOUBLE)
+                          * CAST(n_success AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(n_success AS DOUBLE)
+                        - CAST(r2 AS DOUBLE))
+           END AS q_stat,
+           CASE WHEN k > 1 THEN CAST(k - 1 AS BIGINT) END AS df
+    FROM ragg CROSS JOIN gagg
+    """,
+)
+def q_cochran_q_events(spark, sf_dir):
+    # Cochran's Q over the same subjects: does the share of users who
+    # ever did each of view/click/purchase differ across the three?
+    # Presence rows carry outcome 1; absent (user, type) pairs are
+    # the zeros of the complete block — integer algebraic form, one
+    # final division
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    )
+    pres = e.select("user_id", "event_type").distinct().withColumn(
+        "x", F.lit(1)
+    )
+    return stattests.cochran_q(pres, "user_id", "event_type", "x")
+
+
+@_q(
+    "kendall_tau_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS grp,
+             CAST(DATEDIFF('day', DATE '1970-01-01', o_orderdate)
+                  AS DOUBLE) AS x,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) AS DOUBLE) AS y
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+    s AS (SELECT l.grp,
+                 CAST(SUM(CAST(SIGN(r.y - l.y) * SIGN(r.x - l.x)
+                               AS INTEGER)) AS BIGINT) AS s_stat
+          FROM daily l JOIN daily r
+            ON l.grp = r.grp
+           AND (l.x < r.x OR (l.x = r.x AND l.y < r.y))
+          GROUP BY 1),
+    n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM daily GROUP BY 1),
+    tx AS (SELECT grp, SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS tx2
+           FROM (SELECT grp, x, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+           GROUP BY 1),
+    ty AS (SELECT grp, SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS ty2
+           FROM (SELECT grp, y, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+           GROUP BY 1),
+    j AS (SELECT n.grp, n.n_points,
+                 COALESCE(s.s_stat, 0) AS s_stat, tx.tx2, ty.ty2,
+                 CAST(n.n_points AS DECIMAL(38,0)) * (n.n_points - 1)
+                   AS n0x2
+          FROM n JOIN tx ON n.grp = tx.grp
+                 JOIN ty ON n.grp = ty.grp
+                 LEFT JOIN s ON n.grp = s.grp)
+    SELECT grp AS o_orderpriority, n_points,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CASE WHEN CAST(n0x2 - tx2 AS DOUBLE) / 2.0 > 0
+                 AND CAST(n0x2 - ty2 AS DOUBLE) / 2.0 > 0
+                THEN CAST(s_stat AS DOUBLE)
+                     / SQRT((CAST(n0x2 - tx2 AS DOUBLE) / 2.0)
+                            * (CAST(n0x2 - ty2 AS DOUBLE) / 2.0))
+           END AS tau_b
+    FROM j
+    """,
+)
+def q_kendall_tau_daily_revenue(spark, sf_dir):
+    # Kendall tau-b over the per-priority daily revenue series (the
+    # effect-size companion to mann_kendall_daily_revenue's trend
+    # test): concordant-minus-discordant is an exact integer pair
+    # sum, tie terms exact DECIMAL, tau one division + one sqrt
+    from bubbles_spark.ops import stattests
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    daily = o.groupBy(
+        F.col("o_orderpriority"),
+        F.datediff("o_orderdate", F.lit("1970-01-01"))
+        .cast("double")
+        .alias("x"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("y")
+    )
+    return stattests.kendall_tau_by(daily, "o_orderpriority", "x", "y")
+
+
+@_q(
+    "srm_orders_priority",
+    """
+    WITH c AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_obs
+               FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+    SELECT o_orderpriority, n_obs,
+           CAST(tot.n AS DOUBLE) * CAST(1 AS DOUBLE) / CAST(5 AS DOUBLE)
+             AS expected,
+           (CAST(n_obs AS DOUBLE)
+            - CAST(tot.n AS DOUBLE) * CAST(1 AS DOUBLE)
+              / CAST(5 AS DOUBLE))
+           * (CAST(n_obs AS DOUBLE)
+              - CAST(tot.n AS DOUBLE) * CAST(1 AS DOUBLE)
+                / CAST(5 AS DOUBLE))
+           / (CAST(tot.n AS DOUBLE) * CAST(1 AS DOUBLE)
+              / CAST(5 AS DOUBLE)) AS chi2_contrib
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_srm_orders_priority(spark, sf_dir):
+    # sample-ratio-mismatch gate: are orders split 20/20/20/20/20
+    # across the five priorities?  Weights become exact rationals
+    # (0.2 → 1/5), expected counts one IEEE division of exact
+    # integers, contributions a fixed sequence on them
+    from bubbles_spark.ops import stattests
+
+    o = _t(spark, sf_dir, "orders")
+    w = {
+        "1-URGENT": 0.2,
+        "2-HIGH": 0.2,
+        "3-MEDIUM": 0.2,
+        "4-NOT SPECIFIED": 0.2,
+        "5-LOW": 0.2,
+    }
+    return stattests.srm_check(o, "o_orderpriority", w)
+
+
+@_q(
+    "dunn_events_value",
+    """
+    WITH base AS (SELECT event_type AS grp, value AS v FROM events
+                  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1),
+    cum AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cumv
+            FROM pv),
+    cgv AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cg
+            FROM base GROUP BY 1, 2),
+    pg AS (SELECT grp,
+                  SUM(CAST(cg AS DECIMAL(38,0))
+                      * CAST(2 * cumv - c + 1 AS DECIMAL(38,0))) AS two_rg,
+                  CAST(SUM(cg) AS BIGINT) AS ng
+           FROM cgv JOIN cum USING (v) GROUP BY 1),
+    gl AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+                  SUM(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3
+           FROM pv)
+    SELECT l.grp AS group_a, r.grp AS group_b,
+           l.ng AS n_a, r.ng AS n_b,
+           CAST(l.two_rg AS DOUBLE) / CAST(l.ng AS DOUBLE) / 2.0
+             AS mean_rank_a,
+           CAST(r.two_rg AS DOUBLE) / CAST(r.ng AS DOUBLE) / 2.0
+             AS mean_rank_b,
+           CASE WHEN nn > 1
+                 AND (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0
+                      - CAST(tie3 AS DOUBLE)
+                        / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))
+                     * (1.0 / CAST(l.ng AS DOUBLE)
+                        + 1.0 / CAST(r.ng AS DOUBLE)) > 0
+                THEN (CAST(l.two_rg AS DOUBLE) / CAST(l.ng AS DOUBLE) / 2.0
+                      - CAST(r.two_rg AS DOUBLE) / CAST(r.ng AS DOUBLE)
+                        / 2.0)
+                     / SQRT((CAST(nn AS DOUBLE)
+                             * (CAST(nn AS DOUBLE) + 1.0) / 12.0
+                             - CAST(tie3 AS DOUBLE)
+                               / (12.0 * (CAST(nn AS DOUBLE) - 1.0)))
+                            * (1.0 / CAST(l.ng AS DOUBLE)
+                               + 1.0 / CAST(r.ng AS DOUBLE)))
+           END AS z
+    FROM pg l JOIN pg r ON l.grp < r.grp CROSS JOIN gl
+    """,
+)
+def q_dunn_events_value(spark, sf_dir):
+    # Dunn's post-hoc pairwise z over the same arms
+    # kruskal_wallis_events tests jointly: pooled doubled rank sums
+    # are exact integers (same machinery), mean ranks and z a fixed
+    # IEEE sequence; one row per unordered event-type pair
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.dunn_test(e, "event_type", "value")
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).
@@ -13134,6 +13385,18 @@ _DRIVER_PRIORITY = [
 ]
 
 
+# Queries whose OUTPUT SURFACE or oracle text changed this round:
+# their prior driver passes certified the OLD shape, so the rotation
+# treats them as never checked until a fresh driver pass lands.
+_FORCE_RECHECK = {
+    "orc_roundtrip_orders",         # r10: total_price → cents
+    "conformal_events_value",       # r10: exact-rational rank + NULL filter
+    "conformal_by_segment_events",  # r10: exact-rational rank
+    "fdr_bh_customers",             # r10: two-phase envelope
+    "fdr_holm_customers",           # r10: two-phase envelope
+}
+
+
 def _driver_checked_rounds(root: str | None = None) -> dict[str, int]:
     """name -> latest round whose CORRECTNESS_r*.json contains it.
     The external driver records per-round correctness for a bounded
@@ -13181,17 +13444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     seen = set(base)
     base += [n for n in _QUERIES if n not in seen]
     checked = _driver_checked_rounds()
-    # queries whose OUTPUT SURFACE or oracle text changed this round:
-    # their prior driver passes certified the old shape, so they must
-    # re-enter the window as if never checked
-    force_recheck = {
-        "orc_roundtrip_orders",        # r10: total_price → cents
-        "conformal_events_value",      # r10: exact-rational rank + NULL filter
-        "conformal_by_segment_events", # r10: exact-rational rank
-        "fdr_bh_customers",            # r10: two-phase envelope
-        "fdr_holm_customers",          # r10: two-phase envelope
-    }
-    checked = {n: r for n, r in checked.items() if n not in force_recheck}
+    checked = {n: r for n, r in checked.items() if n not in _FORCE_RECHECK}
     # Queries with no oracle SQL can only ever record a rows-only
     # "no_oracle" row — never a hard pass — so they must not occupy the
     # driver's bounded window ahead of hash-checkable queries. Their

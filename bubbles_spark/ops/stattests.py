@@ -42,6 +42,11 @@ __all__ = [
     "fdr_correct",
     "mann_kendall",
     "cochran_armitage",
+    "mcnemar_test",
+    "cochran_q",
+    "kendall_tau_by",
+    "srm_check",
+    "dunn_test",
 ]
 
 
@@ -1212,3 +1217,360 @@ def spearman_by(
     deny = n * F.col("__syy").cast("double") - sy * sy
     rho = F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny))
     return agg.select(F.col("__g").alias(group_col), "n", rho.alias("rho"))
+
+
+def mcnemar_test(
+    df: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes — "did the same
+    subjects flip between condition A and condition B?" (before/after
+    feature launches, matched-pair A/B readouts; McNemar 1947,
+    public).  Only the DISCORDANT pairs carry information: with
+    ``b = #(a=1, b=0)`` and ``c = #(a=0, b=1)``,
+    ``χ² = (b − c)²/(b + c)`` and the Edwards continuity-corrected
+    ``χ²_cc = (|b − c| − 1)²/(b + c)``.
+
+    Exactness: b, c, n are one map-side integer aggregate; each χ² is
+    two IEEE ops on exact integers.  ``b + c = 0`` (no discordant
+    pairs) yields NULL statistics, never a division by zero.  Rows
+    with a NULL in either outcome are dropped (pairing undefined).
+
+    P-values deliberately not emitted (module docstring).
+
+    Scale: single filter + global aggregate — map-side partials, one
+    1-row shuffle; no join, no window.
+
+    Output (one row): n_pairs, n_only_a, n_only_b, chi2, chi2_cc."""
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    base = df.filter(a.isNotNull() & b.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(((a == 1) & (b == 0)).cast("int")).cast("bigint")
+        .alias("n_only_a"),
+        F.sum(((a == 0) & (b == 1)).cast("int")).cast("bigint")
+        .alias("n_only_b"),
+    )
+    bb = F.col("n_only_a").cast("double")
+    cc = F.col("n_only_b").cast("double")
+    disc = bb + cc
+    chi2 = F.when(disc > 0, (bb - cc) * (bb - cc) / disc)
+    corr = F.abs(bb - cc) - F.lit(1.0)
+    chi2_cc = F.when(disc > 0, corr * corr / disc)
+    return agg.select(
+        "n_pairs", "n_only_a", "n_only_b",
+        chi2.alias("chi2"), chi2_cc.alias("chi2_cc"),
+    )
+
+
+def cochran_q(
+    df: DataFrame,
+    id_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran's Q test — the k-treatment extension of McNemar for
+    binary outcomes over the SAME subjects ("does success rate differ
+    across the k variants each user saw?"; Cochran 1950, public).
+    Uses the algebraic form that stays in integers until one final
+    division: ``Q = (k−1)·(k·ΣG_j² − N²) / (k·N − ΣR_i²)`` with
+    ``G_j`` the per-treatment success totals, ``R_i`` the per-subject
+    success totals, ``N = ΣR_i``.
+
+    Contract: one row per (subject, treatment); a missing pair counts
+    as outcome 0 (the complete-block design is the caller's job — the
+    treatment universe is taken from the DATA, so a treatment no
+    subject has rows for simply doesn't exist).
+
+    Exactness: every sum is integer (DECIMAL(38,0) for the squared
+    accumulators); Q is one multiply/divide sequence on the exact
+    operands.  A zero denominator (all subjects all-success or
+    all-failure) yields NULL.
+
+    Scale: two keyed aggregates (by subject, by treatment) — both
+    map-side partial; no window, no join wider than k rows.
+
+    Output (one row): k, n_subjects, n_success, q_stat, df."""
+    o = F.col(outcome_col).cast("int")
+    base = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & o.isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(treatment_col).alias("__t"),
+        o.alias("__x"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_subject = base.groupBy("__id").agg(F.sum("__x").alias("__r"))
+    rows_agg = per_subject.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("__r").cast("bigint").alias("n_success"),
+        F.sum(d(F.col("__r")) * F.col("__r")).alias("__r2"),
+    )
+    per_treatment = base.groupBy("__t").agg(F.sum("__x").alias("__g"))
+    cols_agg = per_treatment.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(d(F.col("__g")) * F.col("__g")).alias("__g2"),
+    )
+    agg = rows_agg.crossJoin(F.broadcast(cols_agg))
+    kd = F.col("k").cast("double")
+    nd = F.col("n_success").cast("double")
+    num = (kd - F.lit(1.0)) * (
+        kd * F.col("__g2").cast("double") - nd * nd
+    )
+    den = kd * nd - F.col("__r2").cast("double")
+    q = F.when((F.col("k") > 1) & (den > 0), num / den)
+    return agg.select(
+        "k", "n_subjects", "n_success",
+        q.alias("q_stat"),
+        F.when(F.col("k") > 1, F.col("k") - 1).cast("bigint").alias("df"),
+    )
+
+
+def kendall_tau_by(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's τ-b per group — the concordance-based rank
+    correlation (Kendall 1938, public), the effect-size companion to
+    ``mann_kendall``'s trend test (whose S statistic is the same
+    concordant-minus-discordant count): ``τ_b = (C − D) /
+    √((n₀ − n₁)(n₀ − n₂))`` with the standard tie corrections in x
+    and y.
+
+    Contract: like ``mann_kendall``/``theil_sen``, feed PRE-AGGREGATED
+    series (daily rollups per group) — the pair set is an in-group
+    self-join, O(n_g²) by definition.
+
+    Exactness: C, D, and every tie term are exact integer counts
+    (one IEEE subtract feeds each ``sign``, exact ±1/0); τ_b is one
+    division and one sqrt on the exact operands.  Groups where either
+    variable is constant (denominator 0) yield NULL.
+
+    Scale: the self-join shuffles on the group key only; groups
+    parallelize.  n₀/n₁/n₂ come from counts — no ranking pass at all.
+
+    Output: group_col, n_points, s_stat, tau_b."""
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    # every unordered pair once: total (x, y)-lexicographic order with
+    # strict-< on the composite — ties in x pair via the y tiebreak,
+    # (x,y)-identical rows contribute nothing to C, D, or the pair
+    # terms below, so dropping self-vs-duplicate pairs is exact
+    pairs = l.join(
+        r,
+        (F.col("l.__g") == F.col("r.__g"))
+        & (
+            (F.col("l.__x") < F.col("r.__x"))
+            | (
+                (F.col("l.__x") == F.col("r.__x"))
+                & (F.col("l.__y") < F.col("r.__y"))
+            )
+        ),
+    )
+    sgn = F.signum(
+        (F.col("r.__y") - F.col("l.__y")).cast("double")
+    ) * F.signum((F.col("r.__x") - F.col("l.__x")).cast("double"))
+    s = pairs.groupBy(F.col("l.__g").alias("__g")).agg(
+        F.sum(sgn.cast("int")).cast("bigint").alias("s_stat")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n_g = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    tx = (
+        base.groupBy("__g", "__x")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy("__g")
+        .agg(F.sum(d(F.col("__t")) * (F.col("__t") - 1)).alias("__tx2"))
+    )
+    ty = (
+        base.groupBy("__g", "__y")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy("__g")
+        .agg(F.sum(d(F.col("__t")) * (F.col("__t") - 1)).alias("__ty2"))
+    )
+    j = n_g.join(s, "__g", "left").join(tx, "__g").join(ty, "__g")
+    nn = F.col("n_points")
+    n0x2 = d(nn) * (nn - 1)  # 2·n0 = n(n−1)
+    denx = (n0x2 - F.col("__tx2")).cast("double") / F.lit(2.0)
+    deny = (n0x2 - F.col("__ty2")).cast("double") / F.lit(2.0)
+    tau = F.when(
+        (denx > 0) & (deny > 0),
+        F.coalesce(F.col("s_stat"), F.lit(0)).cast("double")
+        / F.sqrt(denx * deny),
+    )
+    return j.select(
+        F.col("__g").alias(group_col),
+        "n_points",
+        F.coalesce(F.col("s_stat"), F.lit(0)).cast("bigint").alias("s_stat"),
+        tau.alias("tau_b"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    weights: dict,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate of any experiment
+    readout: do the observed assignment counts match the intended
+    allocation?  (A significant chi-square here means the experiment
+    is broken — biased bucketing, logging loss — and every downstream
+    metric is suspect.)  Emits one row per group with the observed
+    count, the expected count under the intended weights, and the
+    cell's chi-square contribution ``(o − e)²/e``; sum
+    ``chi2_contrib`` downstream against k−1 degrees of freedom (the
+    per-cell emission keeps the report engine-portable, the psi_bin /
+    mi_report precedent).
+
+    ``weights`` maps group value → intended weight (any positive
+    scale — normalized internally).  Weights are converted to EXACT
+    rationals via their decimal repr (``0.2`` → 1/5), so each
+    expected count is one IEEE division ``N·num/den`` of exact
+    integers.  Groups observed in the data but absent from
+    ``weights`` surface with NULL expected/contribution (a bucketing
+    bug, not silently dropped); intended groups with zero observed
+    rows surface with n_obs = 0 (total logging loss).
+
+    Scale: one keyed count (map-side partial) + a broadcast join
+    against the k-row weights table.
+
+    Output: group_col, n_obs (bigint), expected (double),
+    chi2_contrib (double)."""
+    from fractions import Fraction
+
+    if not weights:
+        raise ValueError("srm_check: weights must be non-empty")
+    fr = {g: Fraction(str(w)) for g, w in weights.items()}
+    if any(w <= 0 for w in fr.values()):
+        raise ValueError("srm_check: weights must be positive")
+    tot = sum(fr.values())
+    shares = {g: w / tot for g, w in fr.items()}
+    spark = df.sparkSession
+    wrows = [(g, s.numerator, s.denominator) for g, s in shares.items()]
+    wtab = spark.createDataFrame(
+        wrows, f"{group_col} string, __num long, __den long"
+    ).select(
+        F.col(group_col).cast(dict(df.dtypes)[group_col]).alias("__wg"),
+        "__num",
+        "__den",
+    )
+    counts = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    n_total = counts.agg(F.sum("n_obs")).collect()[0][0] or 0
+    j = counts.join(
+        F.broadcast(wtab), counts[group_col] == wtab["__wg"], "full"
+    )
+    e = F.when(
+        F.col("__num").isNotNull(),
+        (F.lit(n_total).cast("double") * F.col("__num").cast("double"))
+        / F.col("__den").cast("double"),
+    )
+    o = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+    contrib = F.when(e > 0, (o - e) * (o - e) / e)
+    return j.select(
+        F.coalesce(counts[group_col], F.col("__wg")).alias(group_col),
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+        e.alias("expected"),
+        contrib.alias("chi2_contrib"),
+    )
+
+
+def dunn_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise test — AFTER ``kruskal_wallis``
+    rejects, WHICH pairs of groups differ?  (Dunn 1964, public.)  Per
+    unordered group pair: ``z = (m̄_i − m̄_j) / √(σ²·(1/n_i + 1/n_j))``
+    with mean ranks from the pooled ranking (average ranks for ties)
+    and the tie-corrected ``σ² = N(N+1)/12 − Σ(t³−t)/(12(N−1))``.
+    Feed the emitted z table to ``fdr_correct`` (id = the pair label)
+    for multiplicity control — the two operators compose into the
+    full post-hoc pipeline.
+
+    Exactness: per-group DOUBLED rank sums are exact integers (the
+    ``kruskal_wallis`` machinery — per-value counts, value-bucketed
+    cumulative, never a single-task sort); each mean rank is ONE
+    division of exact operands, σ² a fixed IEEE sequence on the exact
+    N and tie cube, z two more steps.  Degenerate inputs (all values
+    tied ⇒ σ² = 0) yield NULL z.
+
+    P-values deliberately not emitted (module docstring).
+
+    Scale: the ranking is distinct-value-sized; the pair table is
+    k(k−1)/2 rows from a broadcast self-join of the k-row per-group
+    table — nothing data-sized past the first aggregate.
+
+    Output: group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z
+    (one row per unordered pair, group_a < group_b)."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
+    tagged = base.withColumn("__g", F.lit(0))
+    cum = _grouped_cum_counts(tagged, "__g", "__v").select(
+        "__v", "__c", "__cum"
+    )
+    cgv = base.groupBy("__grp", "__v").agg(F.count(F.lit(1)).alias("__cg"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_group = (
+        cgv.join(cum, "__v")
+        .groupBy("__grp")
+        .agg(
+            F.sum(
+                d(F.col("__cg"))
+                * d(F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+            ).alias("__2rg"),
+            F.sum("__cg").cast("bigint").alias("__ng"),
+        )
+    )
+    glob = cum.agg(
+        F.sum("__c").cast("bigint").alias("__N"),
+        F.sum(d(F.col("__c")) * F.col("__c") * F.col("__c") - F.col("__c"))
+        .alias("__tie3"),
+    )
+    li, ri = per_group.alias("li"), per_group.alias("ri")
+    pairs = li.join(
+        F.broadcast(ri), F.col("li.__grp") < F.col("ri.__grp")
+    ).crossJoin(F.broadcast(glob))
+    nd = F.col("__N").cast("double")
+    sigma2 = nd * (nd + F.lit(1.0)) / F.lit(12.0) - F.col(
+        "__tie3"
+    ).cast("double") / (F.lit(12.0) * (nd - F.lit(1.0)))
+    na = F.col("li.__ng").cast("double")
+    nb = F.col("ri.__ng").cast("double")
+    # mean rank = (2R_g / n_g) / 2 — the ÷2 is exact in binary
+    ma = F.col("li.__2rg").cast("double") / na / F.lit(2.0)
+    mb = F.col("ri.__2rg").cast("double") / nb / F.lit(2.0)
+    se2 = sigma2 * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = F.when((F.col("__N") > 1) & (se2 > 0), (ma - mb) / F.sqrt(se2))
+    return pairs.select(
+        F.col("li.__grp").alias("group_a"),
+        F.col("ri.__grp").alias("group_b"),
+        F.col("li.__ng").alias("n_a"),
+        F.col("ri.__ng").alias("n_b"),
+        ma.alias("mean_rank_a"),
+        mb.alias("mean_rank_b"),
+        z.alias("z"),
+    )

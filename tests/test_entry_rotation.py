@@ -37,6 +37,9 @@ def test_queries_rotation_puts_unchecked_first():
     oracleless = [n for n in allq if n not in oracles]
     assert allq[len(allq) - len(oracleless):] == oracleless
     checked = e._driver_checked_rounds()
+    # surface-changed queries are deliberately re-windowed as if never
+    # checked — the rotation must treat them as round 0
+    checked = {n: r for n, r in checked.items() if n not in e._FORCE_RECHECK}
     if checked:
         hashable = [n for n in allq if n in oracles]
         last_checked_round = [checked.get(n, 0) for n in hashable]

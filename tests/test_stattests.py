@@ -541,3 +541,141 @@ def test_fdr_envelope_two_phase_matches_small_path(spark, monkeypatch):
             for r in fdr_correct(df, "p", "id", 0.05, m).collect()
         )
         assert got == want[m], m
+
+
+def test_mcnemar_hand_computed(spark):
+    from bubbles_spark.ops.stattests import mcnemar_test
+
+    rows = (
+        [("u%d" % i, 1, 0) for i in range(3)]     # b = 3
+        + [("x", 0, 1)]                            # c = 1
+        + [("y1", 1, 1), ("y2", 1, 1), ("z", 0, 0)]
+    )
+    df = spark.createDataFrame(rows, "id string, a int, b int")
+    r = mcnemar_test(df, "id", "a", "b").collect()[0]
+    assert r["n_pairs"] == 7 and r["n_only_a"] == 3 and r["n_only_b"] == 1
+    assert r["chi2"] == (3.0 - 1.0) ** 2 / 4.0
+    assert r["chi2_cc"] == (abs(3.0 - 1.0) - 1.0) ** 2 / 4.0
+
+    # no discordant pairs -> NULL statistics
+    conc = spark.createDataFrame(
+        [("a", 1, 1), ("b", 0, 0)], "id string, a int, b int"
+    )
+    r2 = mcnemar_test(conc, "id", "a", "b").collect()[0]
+    assert r2["chi2"] is None and r2["chi2_cc"] is None
+
+    # NULL outcomes drop the pair
+    withnull = spark.createDataFrame(
+        [("a", 1, 0), ("b", None, 1)], "id string, a int, b int"
+    )
+    assert mcnemar_test(withnull, "id", "a", "b").collect()[0]["n_pairs"] == 1
+
+
+def test_cochran_q_hand_computed(spark):
+    from bubbles_spark.ops.stattests import cochran_q
+
+    # 4 subjects x 3 treatments: G=(2,4,1), R=(2,3,1,1), N=7
+    # Q = (k-1)(k*sum(G^2) - N^2) / (k*N - sum(R^2)) = 2*14/6
+    rows = []
+    mat = {"s1": (1, 1, 0), "s2": (1, 1, 1), "s3": (0, 1, 0), "s4": (0, 1, 0)}
+    for sid, (t1, t2, t3) in mat.items():
+        rows += [(sid, "t1", t1), (sid, "t2", t2), (sid, "t3", t3)]
+    df = spark.createDataFrame(rows, "id string, t string, x int")
+    r = cochran_q(df, "id", "t", "x").collect()[0]
+    assert r["k"] == 3 and r["n_subjects"] == 4 and r["n_success"] == 7
+    assert r["df"] == 2
+    assert r["q_stat"] == 2.0 * (3.0 * 21.0 - 49.0) / (3.0 * 7.0 - 15.0)
+
+    # all-success -> denominator 0 -> NULL
+    allwin = spark.createDataFrame(
+        [("s", "t1", 1), ("s", "t2", 1)], "id string, t string, x int"
+    )
+    assert cochran_q(allwin, "id", "t", "x").collect()[0]["q_stat"] is None
+
+
+def test_kendall_tau_by_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.stattests import kendall_tau_by
+
+    rows = (
+        [("a", float(i), float(i)) for i in range(1, 5)]        # tau 1
+        + [("b", float(i), float(5 - i)) for i in range(1, 5)]  # tau -1
+        + [("c", 1.0, 1.0), ("c", 2.0, 1.0), ("c", 3.0, 2.0),
+           ("c", 4.0, 2.0)]                                     # y ties
+        + [("d", 1.0, 1.0), ("d", 1.0, 2.0), ("d", 1.0, 2.0)]   # x const
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in kendall_tau_by(df, "g", "x", "y").collect()}
+    assert got["a"]["s_stat"] == 6 and got["a"]["tau_b"] == 1.0
+    assert got["b"]["s_stat"] == -6 and got["b"]["tau_b"] == -1.0
+    # c: S=4, denx=6, deny=(12-4)/2=4 -> tau = 4/sqrt(24)
+    assert got["c"]["s_stat"] == 4
+    assert got["c"]["tau_b"] == 4.0 / math.sqrt(6.0 * 4.0)
+    # d: x constant -> denominator 0 -> NULL tau, S counts nothing
+    assert got["d"]["s_stat"] == 0 and got["d"]["tau_b"] is None
+
+
+def test_srm_check_hand_computed(spark):
+    from bubbles_spark.ops.stattests import srm_check
+
+    rows = (
+        [("a",)] * 30 + [("b",)] * 20 + [("c",)] * 50 + [("zz",)] * 5
+    )
+    df = spark.createDataFrame(rows, "arm string")
+    out = {r["arm"]: r for r in srm_check(
+        df, "arm", {"a": 0.25, "b": 0.25, "c": 0.5}
+    ).collect()}
+    # N counts ALL observed rows (including the unknown arm)
+    n = 105
+    assert out["a"]["n_obs"] == 30 and out["a"]["expected"] == n * 0.25
+    assert out["a"]["chi2_contrib"] == (30 - n * 0.25) ** 2 / (n * 0.25)
+    assert out["c"]["expected"] == n * 0.5
+    # observed-but-unintended arm surfaces with NULL expectation
+    assert out["zz"]["n_obs"] == 5 and out["zz"]["expected"] is None
+
+    # intended-but-unobserved arm surfaces with n_obs = 0
+    df2 = spark.createDataFrame([("a",)] * 4, "arm string")
+    out2 = {r["arm"]: r for r in srm_check(
+        df2, "arm", {"a": 1, "b": 1}).collect()}
+    assert out2["b"]["n_obs"] == 0 and out2["b"]["expected"] == 2.0
+    assert out2["b"]["chi2_contrib"] == 2.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        srm_check(df2, "arm", {})
+    with _pt.raises(ValueError):
+        srm_check(df2, "arm", {"a": -1})
+
+
+def test_dunn_test_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.stattests import dunn_test
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = dunn_test(df, "g", "v").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["group_a"], row["group_b"]) == ("a", "b")
+    assert row["n_a"] == 2 and row["n_b"] == 2
+    assert row["mean_rank_a"] == 1.5 and row["mean_rank_b"] == 3.5
+    sigma2 = 4.0 * 5.0 / 12.0 - 0.0 / (12.0 * 3.0)
+    z = (1.5 - 3.5) / math.sqrt(sigma2 * (1.0 / 2.0 + 1.0 / 2.0))
+    assert row["z"] == z
+
+    # all values tied -> sigma2 == 0 -> NULL z, mean ranks equal
+    tied = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    rt = dunn_test(tied, "g", "v").collect()[0]
+    assert rt["z"] is None and rt["mean_rank_a"] == rt["mean_rank_b"]
+
+    # three groups -> 3 pairs
+    df3 = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "g string, v double"
+    )
+    assert len(dunn_test(df3, "g", "v").collect()) == 3

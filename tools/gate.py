@@ -121,6 +121,9 @@ EXACT_FAMILY = [
     # (the bisection conclusion) — rerun proves the cents formula and
     # the decimal*100 presentation stay bit-exact cross-session
     "cohort_ltv_orders", "fifo_match_events", "orc_roundtrip_orders",
+    # round-10 new operators claiming bit-exactness
+    "mcnemar_events", "cochran_q_events", "kendall_tau_daily_revenue",
+    "srm_orders_priority", "dunn_events_value",
     # round-9 new operators claiming bit-exactness
     "nelson_aalen_events", "mann_kendall_daily_revenue",
     "snapshot_restore_orders", "uplift_curve_events",
