@@ -13167,6 +13167,67 @@ def q_dunn_events_value(spark, sf_dir):
     return stattests.dunn_test(e, "event_type", "value")
 
 
+@_q(
+    "stream_srm_window",
+    """
+    WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      event_type, CAST(COUNT(*) AS BIGINT) AS n_obs
+               FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT window_start, CAST(SUM(n_obs) AS BIGINT) AS nw
+            FROM c GROUP BY 1),
+    w(event_type, num, den) AS (VALUES ('view', 1, 4), ('click', 1, 4),
+                                       ('purchase', 1, 4), ('signup', 1, 4)),
+    intended AS (SELECT t.window_start, w.event_type,
+                        CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+                        t.nw, w.num, w.den
+                 FROM tot t CROSS JOIN w
+                 LEFT JOIN c ON c.window_start = t.window_start
+                            AND c.event_type = w.event_type),
+    unintended AS (SELECT c.window_start, c.event_type, c.n_obs,
+                          CAST(NULL AS BIGINT) AS nw,
+                          CAST(NULL AS BIGINT) AS num,
+                          CAST(NULL AS BIGINT) AS den
+                   FROM c
+                   WHERE c.event_type NOT IN (SELECT event_type FROM w)),
+    u AS (SELECT * FROM intended UNION ALL SELECT * FROM unintended)
+    SELECT window_start, event_type, n_obs,
+           CASE WHEN num IS NOT NULL
+                THEN CAST(nw AS DOUBLE) * CAST(num AS DOUBLE)
+                     / CAST(den AS DOUBLE) END AS expected,
+           CASE WHEN CASE WHEN num IS NOT NULL
+                          THEN CAST(nw AS DOUBLE) * CAST(num AS DOUBLE)
+                               / CAST(den AS DOUBLE) END > 0
+                THEN (CAST(n_obs AS DOUBLE)
+                      - CAST(nw AS DOUBLE) * CAST(num AS DOUBLE)
+                        / CAST(den AS DOUBLE))
+                     * (CAST(n_obs AS DOUBLE)
+                        - CAST(nw AS DOUBLE) * CAST(num AS DOUBLE)
+                          / CAST(den AS DOUBLE))
+                     / (CAST(nw AS DOUBLE) * CAST(num AS DOUBLE)
+                        / CAST(den AS DOUBLE))
+           END AS chi2_contrib
+    FROM u
+    """,
+)
+def q_stream_srm_window(spark, sf_dir):
+    # streaming sample-ratio-mismatch gate: mergeable per-window arm
+    # counts from the live stream, finished per window against the
+    # intended 25/25/25/25 split over view/click/purchase/signup —
+    # the 'error' arm exercises the observed-but-unintended NULL
+    # path.  Counts are associative, so the drained stream equals
+    # the batch rollup; expected counts are one IEEE division of
+    # exact integers (rational weights)
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    agg = sevents.windowed_agg_stream(stream, "ts", "1 hour")
+    sunk = sevents.run_batchlike(
+        agg, _stream_name("s_srm"), output_mode="complete"
+    )
+    w = {"view": 0.25, "click": 0.25, "purchase": 0.25, "signup": 0.25}
+    return sevents.finish_srm(sunk, w)
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

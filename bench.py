@@ -288,6 +288,13 @@ BENCH_QUERIES = [
     "conformal_by_segment_events",
     "divergence_purchase_vs_click",
     "stream_divergence_window",
+    # round-10 additions
+    "mcnemar_events",
+    "cochran_q_events",
+    "kendall_tau_daily_revenue",
+    "srm_orders_priority",
+    "dunn_events_value",
+    "stream_srm_window",
 ]
 
 

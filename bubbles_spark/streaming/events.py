@@ -238,6 +238,109 @@ def finish_wilson(counts: DataFrame, z: float = 1.96) -> DataFrame:
     )
 
 
+def finish_srm(
+    counts: DataFrame,
+    weights: dict,
+    key_col: str = "event_type",
+    count_col: str = "record_count",
+) -> DataFrame:
+    """Finisher: per-window sample-ratio-mismatch gate over streamed
+    arm counts — the streaming sibling of ``ops.stattests.srm_check``
+    ("is THIS hour's assignment split still the intended one?"):
+    feed ``windowed_agg_stream``'s sunk per-(window, arm) counts and
+    the intended allocation; emits one row per (window, arm) with the
+    observed count, the expected count under the weights, and the
+    chi-square contribution — sum per window against k−1 degrees of
+    freedom for the gate total.
+
+    Semantics mirror ``srm_check`` per window: weights become EXACT
+    rationals via their decimal repr (0.2 → 1/5) so each expected
+    count is ONE IEEE division of exact integers; the window total
+    counts ALL observed arms; arms observed but not in ``weights``
+    surface with NULL expected/contribution (a bucketing bug, not
+    silently dropped); intended arms with no rows in a window surface
+    with n_obs = 0 (logging loss).  Counts are associative, so a
+    drained stream equals the batch aggregation exactly.
+
+    Scale: everything here is windows×arms-sized — a broadcast k-row
+    weights spine cross-joined onto the per-window totals; the raw
+    stream was already folded into mergeable counts upstream.
+
+    Output: window_start, key_col, n_obs (bigint), expected (double),
+    chi2_contrib (double)."""
+    from fractions import Fraction
+
+    if not weights:
+        raise ValueError("finish_srm: weights must be non-empty")
+    fr = {g: Fraction(str(w)) for g, w in weights.items()}
+    if any(w <= 0 for w in fr.values()):
+        raise ValueError("finish_srm: weights must be positive")
+    tot_w = sum(fr.values())
+    shares = {g: w / tot_w for g, w in fr.items()}
+    spark = counts.sparkSession
+    wtab = spark.createDataFrame(
+        [(g, s.numerator, s.denominator) for g, s in shares.items()],
+        f"{key_col} string, __num long, __den long",
+    ).select(
+        F.col(key_col).cast(dict(counts.dtypes)[key_col]).alias("__wg"),
+        "__num",
+        "__den",
+    )
+    # tot and c share lineage (both derive from counts); rename c's
+    # key columns into FRESH attributes so the join carries no
+    # conflicting references (the finish_psi precedent)
+    c = counts.groupBy("window_start", key_col).agg(
+        F.sum(count_col).cast("bigint").alias("n_obs")
+    )
+    tot = c.groupBy("window_start").agg(
+        F.sum("n_obs").cast("bigint").alias("__nw")
+    )
+    cf = c.select(
+        F.col("window_start").alias("__cw"),
+        F.col(key_col).alias("__ck"),
+        "n_obs",
+    )
+    spine = tot.crossJoin(F.broadcast(wtab))
+    intended = spine.join(
+        cf,
+        (F.col("window_start") == F.col("__cw"))
+        & (F.col("__wg") == F.col("__ck")),
+        "left",
+    ).select(
+        "window_start",
+        F.col("__wg").alias(key_col),
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+        "__nw",
+        "__num",
+        "__den",
+    )
+    unintended = (
+        cf.join(F.broadcast(wtab), cf["__ck"] == wtab["__wg"], "left_anti")
+        .select(
+            F.col("__cw").alias("window_start"),
+            F.col("__ck").alias(key_col),
+            "n_obs",
+            F.lit(None).cast("bigint").alias("__nw"),
+            F.lit(None).cast("bigint").alias("__num"),
+            F.lit(None).cast("bigint").alias("__den"),
+        )
+    )
+    u = intended.unionByName(unintended)
+    e = F.when(
+        F.col("__num").isNotNull(),
+        (F.col("__nw").cast("double") * F.col("__num").cast("double"))
+        / F.col("__den").cast("double"),
+    )
+    o = F.col("n_obs").cast("double")
+    return u.select(
+        "window_start",
+        key_col,
+        "n_obs",
+        e.alias("expected"),
+        F.when(e > 0, (o - e) * (o - e) / e).alias("chi2_contrib"),
+    )
+
+
 def _hist_bin(v, lo: float, hi: float, bins: int):
     """The shared clamped equi-width bin expression (IEEE floor-
     divide — identical in every engine; out-of-range clamps to edge

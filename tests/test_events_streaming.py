@@ -979,3 +979,50 @@ def test_rate_monitor_stream_matches_batch(spark, tmp_path):
     assert h0["wilson_hi"] == center + half
     assert out["2024-01-01 01:00:00"]["n"] == 1
     assert dict(sunk.dtypes)["window_start"] == "timestamp_ntz"
+
+
+def test_finish_srm_stream_matches_hand(spark, tmp_path):
+    """Drained windowed arm counts through the SRM finisher: exact
+    expected counts from rational weights, NULL expectation for the
+    unintended arm, n_obs=0 for the intended-but-missing arm."""
+    import bubbles_spark.streaming.events as sevents
+    from pyspark.sql import functions as F
+
+    # hour 0: a x6, b x3, zz x1 (unintended); hour 1: a x2 only
+    rows = (
+        [(i, "2024-01-01 00:%02d:00" % i, "a", 1.0) for i in range(6)]
+        + [(10 + i, "2024-01-01 00:2%d:00" % i, "b", 1.0) for i in range(3)]
+        + [(20, "2024-01-01 00:45:00", "zz", 1.0)]
+        + [(30, "2024-01-01 01:05:00", "a", 1.0),
+           (31, "2024-01-01 01:06:00", "a", 1.0)]
+    )
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ev")
+    batch.write.parquet(path)
+    stream = sevents.read_event_stream(
+        spark, path, schema=spark.read.parquet(path).schema
+    )
+    agg = sevents.windowed_agg_stream(stream, "ts", "1 hour")
+    sunk = sevents.run_batchlike(agg, "t_srm", output_mode="complete")
+    out = sevents.finish_srm(sunk, {"a": 0.5, "b": 0.5}).collect()
+    got = {(str(r["window_start"]), r["event_type"]): r for r in out}
+    # hour 0 total counts ALL arms (10 rows): e = 10 * 1/2 = 5
+    h0a = got[("2024-01-01 00:00:00", "a")]
+    assert h0a["n_obs"] == 6 and h0a["expected"] == 5.0
+    assert h0a["chi2_contrib"] == (6.0 - 5.0) ** 2 / 5.0
+    h0b = got[("2024-01-01 00:00:00", "b")]
+    assert h0b["n_obs"] == 3 and h0b["chi2_contrib"] == (3.0 - 5.0) ** 2 / 5.0
+    # unintended arm surfaces with NULL expectation
+    h0z = got[("2024-01-01 00:00:00", "zz")]
+    assert h0z["n_obs"] == 1 and h0z["expected"] is None
+    # hour 1: b intended but absent -> n_obs 0, expected 1.0, contrib 1.0
+    h1b = got[("2024-01-01 01:00:00", "b")]
+    assert h1b["n_obs"] == 0 and h1b["expected"] == 1.0
+    assert h1b["chi2_contrib"] == 1.0
+    assert len(got) == 5
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sevents.finish_srm(sunk, {})
