@@ -13168,6 +13168,75 @@ def q_dunn_events_value(spark, sf_dir):
 
 
 @_q(
+    "fleiss_kappa_events",
+    """
+    WITH v AS (SELECT user_id, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY event_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY user_id) AS cnt
+               FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                 AND event_id IS NOT NULL),
+    votes AS (SELECT user_id AS i, event_type AS l FROM v
+              WHERE rn <= 3 AND cnt >= 3),
+    nij AS (SELECT i, l, CAST(COUNT(*) AS BIGINT) AS n
+            FROM votes GROUP BY 1, 2),
+    per_item AS (SELECT i, SUM(CAST(n AS DECIMAL(38,0)) * n) AS sq
+                 FROM nij GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   SUM(sq) AS sq_sum
+            FROM per_item),
+    cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(CAST(cj AS DECIMAL(38,0)) * cj) AS csq
+            FROM (SELECT l, CAST(SUM(n) AS BIGINT) AS cj
+                  FROM nij GROUP BY 1))
+    SELECT m AS n_items, CAST(3 AS BIGINT) AS n_raters,
+           k AS k_categories,
+           CAST(sq_sum - m * 3 AS DOUBLE)
+             / CAST(CAST(m AS DECIMAL(38,0)) * 3 * 2 AS DOUBLE) AS p_bar,
+           CAST(csq AS DOUBLE)
+             / CAST(CAST(m AS DECIMAL(38,0)) * 3 * m * 3 AS DOUBLE)
+             AS pe_bar,
+           CASE WHEN 1.0 - CAST(csq AS DOUBLE)
+                      / CAST(CAST(m AS DECIMAL(38,0)) * 3 * m * 3
+                             AS DOUBLE) > 0
+                THEN (CAST(sq_sum - m * 3 AS DOUBLE)
+                      / CAST(CAST(m AS DECIMAL(38,0)) * 3 * 2 AS DOUBLE)
+                      - CAST(csq AS DOUBLE)
+                        / CAST(CAST(m AS DECIMAL(38,0)) * 3 * m * 3
+                               AS DOUBLE))
+                     / (1.0 - CAST(csq AS DOUBLE)
+                        / CAST(CAST(m AS DECIMAL(38,0)) * 3 * m * 3
+                               AS DOUBLE))
+           END AS kappa
+    FROM tot CROSS JOIN cat
+    """,
+)
+def q_fleiss_kappa_events(spark, sf_dir):
+    # Fleiss' kappa with each user's FIRST THREE events as that
+    # item's three "rater votes" (users with ≥3 events — the
+    # equal-votes design the statistic requires): do users repeat an
+    # event type more than the category mix predicts?  Integer vote
+    # counts and squared sums, two exact divisions, one kappa
+    from bubbles_spark.ops import stattests
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w_rn = W.partitionBy("user_id").orderBy("event_id")
+    w_n = W.partitionBy("user_id")
+    votes = (
+        e.withColumn("__rn", F.row_number().over(w_rn))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w_n))
+        .filter((F.col("__rn") <= 3) & (F.col("__cnt") >= 3))
+    )
+    return stattests.fleiss_kappa(votes, "user_id", "event_type")
+
+
+@_q(
     "stream_srm_window",
     """
     WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

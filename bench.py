@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "srm_orders_priority",
     "dunn_events_value",
     "stream_srm_window",
+    "fleiss_kappa_events",
 ]
 
 

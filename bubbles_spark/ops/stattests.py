@@ -47,6 +47,7 @@ __all__ = [
     "kendall_tau_by",
     "srm_check",
     "dunn_test",
+    "fleiss_kappa",
 ]
 
 
@@ -1573,4 +1574,96 @@ def dunn_test(
         ma.alias("mean_rank_a"),
         mb.alias("mean_rank_b"),
         z.alias("z"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Fleiss' κ — chance-corrected agreement for MANY raters per
+    item (Fleiss 1971, public): the n-annotator generalization of
+    ``ops.drift.cohens_kappa`` for crowd-labeled training data.  One input row
+    per (item, rater) vote; every item must receive the SAME number
+    of votes n (the statistic is undefined otherwise — unequal items
+    raise).  ``κ = (P̄ − P̄_e)/(1 − P̄_e)`` with per-item agreement
+    ``P_i = (Σ_j n_ij² − n)/(n(n−1))`` and chance ``P̄_e = Σ_j p_j²``.
+
+    Exactness: vote counts n_ij, their squares, and the category
+    totals are exact integers (DECIMAL(38,0) sums); P̄ and P̄_e are
+    each ONE division of exact operands (the Σn_ij² and Σ(Σ_i n_ij)²
+    sums stay integral — nothing is averaged per item and re-summed
+    in floats).  All raters unanimous on one category across every
+    item (``P̄_e = 1``) yields NULL κ.
+
+    Scale: one (item, label) keyed count (map-side combined), one
+    item-sized aggregate, one categories-sized aggregate — nothing
+    data-sized past the first shuffle.
+
+    Output (one row): n_items, n_raters, k_categories, p_bar, pe_bar,
+    kappa."""
+    base = df.filter(
+        F.col(item_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(item_col).alias("__i"), F.col(label_col).alias("__l"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nij = base.groupBy("__i", "__l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    per_item = nij.groupBy("__i").agg(
+        F.sum("__n").cast("bigint").alias("__ni"),
+        F.sum(d(F.col("__n")) * F.col("__n")).alias("__sq"),
+    )
+    counts = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.min("__ni").alias("__nmin"),
+        F.max("__ni").alias("__nmax"),
+        F.sum("__sq").alias("__SQ"),
+    ).collect()[0]
+    if counts["n_items"] == 0:
+        raise ValueError("fleiss_kappa: no votes")
+    if counts["__nmin"] != counts["__nmax"]:
+        raise ValueError(
+            "fleiss_kappa: every item needs the same number of votes "
+            f"(saw {counts['__nmin']}..{counts['__nmax']}) — "
+            "complete the rating design or subset to rated-by-all items"
+        )
+    per_cat = nij.groupBy("__l").agg(
+        F.sum("__n").cast("bigint").alias("__cj")
+    )
+    cat = per_cat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_categories"),
+        F.sum(d(F.col("__cj")) * F.col("__cj")).alias("__CSQ"),
+    )
+    m = int(counts["n_items"])
+    n = int(counts["__nmin"])
+    sq = counts["__SQ"]
+    out = cat.select(
+        F.lit(m).cast("bigint").alias("n_items"),
+        F.lit(n).cast("bigint").alias("n_raters"),
+        "k_categories",
+        "__CSQ",
+    )
+    # P̄ = (ΣΣn_ij² − m·n) / (m·n·(n−1)); P̄_e = ΣC_j² / (m·n)²
+    p_bar = (
+        F.lit(float(int(sq) - m * n))
+        / F.lit(float(m * n * (n - 1)))
+        if n > 1
+        else F.lit(None).cast("double")
+    )
+    pe_bar = F.col("__CSQ").cast("double") / F.lit(float(m * n * m * n))
+    kappa = (
+        F.when(
+            F.lit(1.0) - pe_bar > 0, (p_bar - pe_bar) / (F.lit(1.0) - pe_bar)
+        )
+        if n > 1
+        else F.lit(None).cast("double")
+    )
+    return out.select(
+        "n_items",
+        "n_raters",
+        "k_categories",
+        (p_bar if n > 1 else F.lit(None).cast("double")).alias("p_bar"),
+        pe_bar.alias("pe_bar"),
+        kappa.alias("kappa"),
     )

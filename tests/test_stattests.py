@@ -679,3 +679,32 @@ def test_dunn_test_hand_computed(spark):
         [("a", 1.0), ("b", 2.0), ("c", 3.0)], "g string, v double"
     )
     assert len(dunn_test(df3, "g", "v").collect()) == 3
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    from bubbles_spark.ops.stattests import fleiss_kappa
+
+    # 2 items x 2 raters: item1 {A,A}, item2 {A,B}
+    rows = [(1, "A"), (1, "A"), (2, "A"), (2, "B")]
+    df = spark.createDataFrame(rows, "item long, label string")
+    r = fleiss_kappa(df, "item", "label").collect()[0]
+    assert r["n_items"] == 2 and r["n_raters"] == 2 and r["k_categories"] == 2
+    # P_bar = (6 - 4)/(2*2*1) = 0.5 ; Pe = (9+1)/16 = 0.625
+    assert r["p_bar"] == 0.5 and r["pe_bar"] == 0.625
+    assert r["kappa"] == (0.5 - 0.625) / (1.0 - 0.625)
+
+    # unanimous single category -> pe_bar = 1 -> NULL kappa
+    uni = spark.createDataFrame(
+        [(i, "A") for i in range(3) for _ in range(2)],
+        "item long, label string",
+    )
+    ru = fleiss_kappa(uni, "item", "label").collect()[0]
+    assert ru["pe_bar"] == 1.0 and ru["kappa"] is None
+
+    import pytest as _pt
+    # ragged vote counts refuse loudly
+    ragged = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A")], "item long, label string"
+    )
+    with _pt.raises(ValueError):
+        fleiss_kappa(ragged, "item", "label")
