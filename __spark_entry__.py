@@ -13168,6 +13168,39 @@ def q_dunn_events_value(spark, sf_dir):
 
 
 @_q(
+    "vocab_richness_docs",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS t FROM documents
+                  WHERE trim(text) <> ''),
+    c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    agg AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS d_observed,
+                   CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS f1_singletons,
+                   CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS f2_doubletons
+            FROM c)
+    SELECT n_tokens, d_observed, f1_singletons, f2_doubletons,
+           CASE WHEN d_observed > 0
+                THEN CAST(d_observed AS DOUBLE)
+                     + CAST(f1_singletons * (f1_singletons - 1) AS DOUBLE)
+                       / CAST(2 * (f2_doubletons + 1) AS DOUBLE)
+                ELSE 0.0 END AS chao1
+    FROM agg
+    """,
+)
+def q_vocab_richness_docs(spark, sf_dir):
+    # Chao1 unseen-vocabulary estimate over the documents corpus
+    # (bias-corrected singleton/doubleton form): exact integer token
+    # counts on the shared lowercase-whitespace token normal form,
+    # one division + one add to the estimate
+    from bubbles_spark.ops import textan
+
+    d = _t(spark, sf_dir, "documents")
+    return textan.vocab_richness(d)
+
+
+@_q(
     "fleiss_kappa_events",
     """
     WITH v AS (SELECT user_id, event_type,

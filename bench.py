@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "dunn_events_value",
     "stream_srm_window",
     "fleiss_kappa_events",
+    "vocab_richness_docs",
 ]
 
 

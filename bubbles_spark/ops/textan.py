@@ -1291,3 +1291,63 @@ def reading_level(
         id_col, "n_words", "n_sentences", "n_syllables",
         flesch.alias("flesch"),
     )
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chao1 vocabulary-richness estimate — "how many distinct tokens
+    does this corpus REALLY have, counting the ones we haven't seen
+    yet?" (Chao 1984/1987, public; the species-richness estimator
+    ecology uses, applied to token types).  The singleton/doubleton
+    ratio carries the unseen mass: the bias-corrected form
+    ``chao1 = D + f1·(f1−1) / (2·(f2+1))`` is defined even with no
+    doubletons, where D is the observed distinct-token count and
+    f1/f2 the tokens seen exactly once/twice.  Drives corpus-growth
+    decisions (a chao1 far above D says more crawl still buys new
+    vocabulary) and tokenizer-coverage checks.
+
+    Tokens are the shared lowercase whitespace normal form
+    (``_tokens``), so the numbers line up with ``term_doc_freq`` /
+    ``tf_idf``.
+
+    Exactness: D, total, f1, f2 are exact integer aggregates over the
+    per-token counts (map-side combined; Zipf-skew-safe for the same
+    reason as ``term_doc_freq``); the correction term is ONE division
+    of exact-integer-valued doubles (the f1·(f1−1) product is
+    computed in BIGINT first — in raw doubles it would pass 2^53 long
+    before a web corpus runs out of singletons), plus one add.
+
+    Scale: one token explode + one keyed count (the term_doc_freq
+    shuffle), then a 1-row global aggregate.
+
+    Output (one row): n_tokens, d_observed, f1_singletons,
+    f2_doubletons, chao1."""
+    toks = df.select(
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("__t")
+    )
+    counts = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.agg(
+        F.sum("__c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("d_observed"),
+        F.sum((F.col("__c") == 1).cast("int")).cast("bigint")
+        .alias("f1_singletons"),
+        F.sum((F.col("__c") == 2).cast("int")).cast("bigint")
+        .alias("f2_doubletons"),
+    )
+    num = (
+        F.col("f1_singletons") * (F.col("f1_singletons") - 1)
+    ).cast("double")
+    den = (F.lit(2) * (F.col("f2_doubletons") + 1)).cast("double")
+    chao1 = F.when(
+        F.col("d_observed") > 0,
+        F.col("d_observed").cast("double") + num / den,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+        .alias("n_tokens"),
+        "d_observed",
+        F.coalesce(F.col("f1_singletons"), F.lit(0)).cast("bigint")
+        .alias("f1_singletons"),
+        F.coalesce(F.col("f2_doubletons"), F.lit(0)).cast("bigint")
+        .alias("f2_doubletons"),
+        chao1.alias("chao1"),
+    )

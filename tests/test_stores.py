@@ -527,3 +527,40 @@ def test_filestore_snapshot_partitioned(spark, tmp_path):
     assert snap.count() == 30 and snap.filter("p = 1").count() == 10
     store.restore("pt", tag)
     assert store.get_object("pt").count() == 30
+
+
+def test_filestore_restore_parks_then_swaps(spark, tmp_path):
+    """restore() must never delete the live object before the staged
+    copy is in place: the old version is renamed aside, the staged
+    dir renames in, and only then is the parked dir removed — so no
+    park/stage residue survives a successful restore, and a STALE
+    parked dir from an interrupted earlier attempt is cleaned up
+    rather than crashing the swap."""
+    import os
+
+    from bubbles_spark.io import FileStore
+
+    store = FileStore(spark, str(tmp_path))
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    store.create("t", from_obj=base)
+    tag = store.snapshot("t")
+    store.upsert(
+        "t",
+        spark.createDataFrame([(1, 99.0)], "id long, v double"),
+        keys="id",
+    )
+
+    # plant a stale parked dir (simulates a crash after the park
+    # rename of an interrupted restore)
+    stale = store._file("__restore_old_t")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk"), "w") as f:
+        f.write("stale")
+
+    store.restore("t", tag)
+    got = {r["id"]: r["v"] for r in store.get_object("t").collect()}
+    assert got == {1: 10.0, 2: 20.0}
+    # successful restore leaves neither the parked dir nor the
+    # staging dir behind
+    assert not os.path.exists(store._file("__restore_old_t"))
+    assert not os.path.exists(store._file("__restore_tmp_t"))

@@ -551,3 +551,31 @@ def test_top_terms_rank_and_ties(spark):
 
     with _pytest.raises(ValueError, match="k"):
         textan.top_terms(docs, k=0)
+
+
+def test_vocab_richness_hand_computed(spark):
+    from bubbles_spark.ops.textan import vocab_richness
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "c B")], "doc_id long, text string"
+    )
+    r = vocab_richness(docs).collect()[0]
+    # lowercase tokens: a x2, b x2, c x1
+    assert r["n_tokens"] == 5 and r["d_observed"] == 3
+    assert r["f1_singletons"] == 1 and r["f2_doubletons"] == 2
+    assert r["chao1"] == 3.0  # f1*(f1-1) = 0 -> no correction
+
+    # all singletons, no doubletons: bias-corrected form stays finite
+    solo = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    rs = vocab_richness(solo).collect()[0]
+    assert rs["d_observed"] == 3 and rs["f1_singletons"] == 3
+    assert rs["f2_doubletons"] == 0
+    assert rs["chao1"] == 3.0 + (3.0 * 2.0) / 2.0
+
+    # empty / null corpus -> zeros
+    empty = spark.createDataFrame(
+        [(1, "   "), (2, None)], "doc_id long, text string"
+    )
+    re_ = vocab_richness(empty).collect()[0]
+    assert re_["n_tokens"] == 0 and re_["d_observed"] == 0
+    assert re_["chao1"] == 0.0
