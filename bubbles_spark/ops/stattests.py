@@ -1477,19 +1477,42 @@ def srm_check(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
     )
     n_total = counts.agg(F.sum("n_obs")).collect()[0][0] or 0
-    j = counts.join(
-        F.broadcast(wtab), counts[group_col] == wtab["__wg"], "full"
+    # a FULL outer join cannot broadcast (Spark ignores the hint and
+    # falls back to a shuffle join) — split into the intended side
+    # (weights spine LEFT-joins the counts) and the unintended side
+    # (counts ANTI-join the spine), both broadcastable, then union
+    cf = counts.select(
+        F.col(group_col).alias("__cg"), F.col("n_obs").alias("__co")
     )
+    # both joined tables are arms-sized (distinct groups of an
+    # assignment column) — broadcast is always right
+    intended = wtab.join(
+        F.broadcast(cf), wtab["__wg"] == cf["__cg"], "left"
+    ).select(
+        F.col("__wg").alias(group_col),
+        F.coalesce(F.col("__co"), F.lit(0)).cast("bigint").alias("n_obs"),
+        "__num",
+        "__den",
+    )
+    unintended = cf.join(
+        F.broadcast(wtab), cf["__cg"] == wtab["__wg"], "left_anti"
+    ).select(
+        F.col("__cg").alias(group_col),
+        F.col("__co").cast("bigint").alias("n_obs"),
+        F.lit(None).cast("bigint").alias("__num"),
+        F.lit(None).cast("bigint").alias("__den"),
+    )
+    u = intended.unionByName(unintended)
     e = F.when(
         F.col("__num").isNotNull(),
         (F.lit(n_total).cast("double") * F.col("__num").cast("double"))
         / F.col("__den").cast("double"),
     )
-    o = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double")
+    o = F.col("n_obs").cast("double")
     contrib = F.when(e > 0, (o - e) * (o - e) / e)
-    return j.select(
-        F.coalesce(counts[group_col], F.col("__wg")).alias(group_col),
-        F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+    return u.select(
+        group_col,
+        "n_obs",
         e.alias("expected"),
         contrib.alias("chi2_contrib"),
     )

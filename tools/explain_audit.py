@@ -1294,6 +1294,43 @@ CHECKS = [
         [(r"SortMergeJoin", "no data-sized join — everything is bins-sized"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        # pair generation must shuffle on the GROUP key (equi-join)
+        # with the lexicographic-< as a post-join filter, never a
+        # cartesian over the series
+        "kendall_tau_daily_revenue",
+        [(r"Functions \[\d+\]: \[partial_", "daily rollup + tie counts partial-aggregate map-side")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "pair join is keyed on the group"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        # the group-pair table is k rows; its inequality self-join MAY
+        # be a broadcast NL over k rows (correct), but nothing
+        # data-sized may cartesian and the rank machinery stays JVM
+        "dunn_events_value",
+        [(r"Functions \[\d+\]: \[partial_", "per-(group,value) counts partial-aggregate map-side"),
+         (r"BroadcastExchange", "k-row pair table + 1-row globals broadcast")],
+        [(r"CartesianProduct", "no unkeyed data-sized product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "cochran_q_events",
+        [(r"Functions \[\d+\]: \[partial_", "subject/treatment totals partial-aggregate map-side")],
+        [(r"SortMergeJoin", "only 1-row aggregates meet — nothing data-sized joins"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "srm_orders_priority",
+        [(r"BroadcastHashJoin|BroadcastExchange", "k-row weights table broadcasts onto the counts")],
+        [(r"SortMergeJoin", "no shuffle join for a k-row weights table"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "vocab_richness_docs",
+        [(r"Functions \[\d+\]: \[partial_", "token counts partial-aggregate map-side")],
+        [(r"Join", "no join at all — explode, count, 1-row aggregate"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 
