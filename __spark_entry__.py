@@ -13168,6 +13168,41 @@ def q_dunn_events_value(spark, sf_dir):
 
 
 @_q(
+    "capture_recapture_orders",
+    """
+    WITH a AS (SELECT DISTINCT o_orderkey AS id FROM orders
+               WHERE o_orderkey % 3 = 0),
+    b AS (SELECT DISTINCT o_orderkey AS id FROM orders
+          WHERE o_orderkey % 5 = 0),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM a),
+    n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM b),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+          FROM a JOIN b USING (id))
+    SELECT n_a, n_b, n_overlap,
+           CAST(CAST(n_a + 1 AS DECIMAL(38,0)) * (n_b + 1) AS DOUBLE)
+             / CAST(n_overlap + 1 AS DOUBLE) - 1.0 AS chapman,
+           CASE WHEN n_overlap > 0
+                THEN CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)
+                     / CAST(n_overlap AS DOUBLE)
+           END AS lincoln_petersen
+    FROM n1 CROSS JOIN n2 CROSS JOIN m
+    """,
+)
+def q_capture_recapture_orders(spark, sf_dir):
+    # Chapman / Lincoln-Petersen population estimate from two
+    # overlapping order-key samples (deterministic modulo "crawls" —
+    # a consistency probe of the estimator arithmetic, per the
+    # operator's independence contract note): exact distinct counts,
+    # DECIMAL products, one division per estimate
+    from bubbles_spark.ops import insights
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 5 == 0)
+    return insights.capture_recapture(a, b, "o_orderkey")
+
+
+@_q(
     "vocab_richness_docs",
     f"""
     WITH toks AS (SELECT unnest({_TOKS_SQL}) AS t FROM documents

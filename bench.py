@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "stream_srm_window",
     "fleiss_kappa_events",
     "vocab_richness_docs",
+    "capture_recapture_orders",
 ]
 
 

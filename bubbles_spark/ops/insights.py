@@ -39,6 +39,7 @@ __all__ = [
     "gini_by",
     "pareto_front",
     "concentration_report",
+    "capture_recapture",
 ]
 
 
@@ -984,4 +985,65 @@ def concentration_report(
         F.when(pos, F.col("__sq").cast("double") / (td * td)).alias("hhi"),
         F.when(pos, F.col("__topv").cast("double") / td).alias("cr_k"),
         F.lit(top_k).cast("int").alias("top_k"),
+    )
+
+
+def capture_recapture(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Capture-recapture population estimate — "how many unique items
+    exist in total, given two overlapping samples of them?" (Chapman
+    1951 / Lincoln-Petersen, public; ecology's mark-recapture applied
+    to crawls: two independent crawl snapshots' doc-id overlap
+    estimates the reachable corpus size, the coverage denominator a
+    dedup pipeline reports against).  With ``n1``/``n2`` the distinct
+    ids in each sample and ``m`` their overlap:
+    ``chapman = (n1+1)(n2+1)/(m+1) − 1`` (finite even with zero
+    overlap) and the classical ``lincoln_petersen = n1·n2/m`` (NULL
+    when the samples are disjoint).
+
+    Estimator contract: unbiasedness needs the two samples to be
+    INDEPENDENT draws — deterministic correlated samples (e.g. two
+    modulo filters) still compute, but the number is then a
+    consistency probe, not an unbiased estimate.
+
+    Exactness: the three counts are exact distinct aggregates; each
+    product is DECIMAL(38,0) (two ~2^31 samples overflow BIGINT);
+    each estimate is ONE division of exact operands (+ one subtract
+    for Chapman).
+
+    Scale: two distinct-aggregates + one id equi-join (all hash,
+    map-side combined); three 1-row tables cross-join at the end.
+
+    Output (one row): n_a, n_b, n_overlap, chapman, lincoln_petersen."""
+    da = a.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__id")
+    ).distinct()
+    db = b.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__id")
+    ).distinct()
+    n1 = da.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    n2 = db.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    m = (
+        da.join(db, "__id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    j = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    chapman = (
+        (d(F.col("n_a") + 1) * d(F.col("n_b") + 1)).cast("double")
+        / (F.col("n_overlap") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    lp = F.when(
+        F.col("n_overlap") > 0,
+        (d(F.col("n_a")) * d(F.col("n_b"))).cast("double")
+        / F.col("n_overlap").cast("double"),
+    )
+    return j.select(
+        "n_a", "n_b", "n_overlap",
+        chapman.alias("chapman"),
+        lp.alias("lincoln_petersen"),
     )

@@ -623,3 +623,22 @@ def test_weighted_quantile_generalizes_median(spark):
         weighted_quantile(df, "k", "v", "w", 5, 4)
     with _pt.raises(TypeError):
         weighted_quantile(df, "k", "v", "w", 0.5, 1)
+
+
+def test_capture_recapture_hand_computed(spark):
+    from bubbles_spark.ops.insights import capture_recapture
+
+    a = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 2]], "id long")
+    b = spark.createDataFrame([(i,) for i in [3, 4, 5, 6]], "id long")
+    r = capture_recapture(a, b, "id").collect()[0]
+    # distinct a = {1,2,3,4}, b = {3,4,5,6}, overlap = {3,4}
+    assert r["n_a"] == 4 and r["n_b"] == 4 and r["n_overlap"] == 2
+    assert r["chapman"] == (5.0 * 5.0) / 3.0 - 1.0
+    assert r["lincoln_petersen"] == (4.0 * 4.0) / 2.0
+
+    # disjoint samples: Chapman stays finite, LP is NULL
+    c = spark.createDataFrame([(10,), (11,)], "id long")
+    rd = capture_recapture(a, c, "id").collect()[0]
+    assert rd["n_overlap"] == 0
+    assert rd["chapman"] == (5.0 * 3.0) / 1.0 - 1.0
+    assert rd["lincoln_petersen"] is None
