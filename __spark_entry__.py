@@ -13168,6 +13168,45 @@ def q_dunn_events_value(spark, sf_dir):
 
 
 @_q(
+    "diversity_docs_by_source",
+    """
+    WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+               FROM documents
+               WHERE source IS NOT NULL AND lang IS NOT NULL
+               GROUP BY 1, 2),
+    g AS (SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS k_categories,
+                 CAST(MAX(c) AS BIGINT) AS maxc,
+                 SUM(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS s2
+          FROM c GROUP BY 1)
+    SELECT source, n_rows, k_categories,
+           CASE WHEN n_rows > 1
+                THEN CAST(s2 AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE)
+                        * (CAST(n_rows AS DOUBLE) - 1.0)) END AS simpson,
+           CASE WHEN n_rows > 1
+                THEN 1.0 - CAST(s2 AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE)
+                        * (CAST(n_rows AS DOUBLE) - 1.0)) END
+             AS gini_simpson,
+           CAST(maxc AS DOUBLE) / CAST(n_rows AS DOUBLE) AS berger_parker
+    FROM g
+    """,
+)
+def q_diversity_docs_by_source(spark, sf_dir):
+    # per-source language balance: Simpson concentration /
+    # Gini-Simpson diversity / Berger-Parker dominance on exact
+    # integer counts (one division each).  The ln-based shannon
+    # column is engine-consistent but not cross-engine bit-exact
+    # (psi_bin policy) — dropped here, pinned in tests/test_insights
+    from bubbles_spark.ops import insights
+
+    d = _t(spark, sf_dir, "documents")
+    return insights.diversity_report(d, "lang", by="source").drop("shannon")
+
+
+@_q(
     "capture_recapture_orders",
     """
     WITH a AS (SELECT DISTINCT o_orderkey AS id FROM orders

@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "fleiss_kappa_events",
     "vocab_richness_docs",
     "capture_recapture_orders",
+    "diversity_docs_by_source",
 ]
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "pareto_front",
     "concentration_report",
     "capture_recapture",
+    "diversity_report",
 ]
 
 
@@ -1046,4 +1047,76 @@ def capture_recapture(
         "n_a", "n_b", "n_overlap",
         chapman.alias("chapman"),
         lp.alias("lincoln_petersen"),
+    )
+
+
+def diversity_report(
+    df: DataFrame,
+    category_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Diversity / label-balance report per group — "how concentrated
+    is this corpus slice on a few categories?" (Simpson 1949 /
+    Shannon 1948 / Berger-Parker, public): the balance gate a
+    training-data mixture needs before sampling (a source whose
+    language mix collapsed to one dominant label is a crawl bug, not
+    a mixture input).
+
+    Per group: category count k, row count n, Simpson's concentration
+    ``λ = Σ c_i(c_i−1) / (n(n−1))`` (the probability two draws
+    WITHOUT replacement share a category — 1 = monoculture),
+    Gini-Simpson diversity ``1 − λ``, the Berger-Parker dominance
+    ``max c_i / n``, and Shannon entropy ``−Σ p_i ln p_i``.
+
+    Exactness: counts are exact integers; Simpson's numerator sums in
+    DECIMAL(38,0) (order-free), so λ, 1−λ, and dominance are one
+    division each on exact operands — bit-exact cross-engine.
+    ``shannon`` is the exception: a float sum of ln terms whose
+    order the engine picks — engine-consistent but NOT cross-engine
+    bit-exact (the psi_bin ln policy); oracle comparisons should drop
+    it and pin it in tests.  Groups with n ≤ 1 emit NULL λ/1−λ.
+
+    Scale: one (group, category) keyed count (map-side combined), a
+    groups-sized rollup, and a groups-sized broadcast join back for
+    the entropy terms — nothing data-sized past the first shuffle.
+
+    Output: [by], n_rows, k_categories, simpson, gini_simpson,
+    berger_parker, shannon."""
+    gcols = [by] if by else []
+    base = df.filter(F.col(category_col).isNotNull())
+    if by:
+        base = base.filter(F.col(by).isNotNull())
+    counts = base.groupBy(*gcols, category_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = counts.groupBy(*gcols).agg(
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("k_categories"),
+        F.max("__c").cast("bigint").alias("__maxc"),
+        F.sum(d(F.col("__c")) * (F.col("__c") - 1)).alias("__s2"),
+    )
+    tot = g.select(*gcols, "n_rows") if by else g.select("n_rows")
+    if by:
+        terms = counts.join(F.broadcast(tot), by)
+    else:
+        terms = counts.crossJoin(F.broadcast(tot))
+    p = F.col("__c").cast("double") / F.col("n_rows").cast("double")
+    sh = terms.groupBy(*gcols).agg(
+        (-F.sum(p * F.log(p))).alias("shannon")
+    )
+    j = g.join(F.broadcast(sh), by) if by else g.crossJoin(F.broadcast(sh))
+    nd = F.col("n_rows").cast("double")
+    simpson = F.when(
+        F.col("n_rows") > 1,
+        F.col("__s2").cast("double") / (nd * (nd - F.lit(1.0))),
+    )
+    return j.select(
+        *gcols,
+        "n_rows",
+        "k_categories",
+        simpson.alias("simpson"),
+        (F.lit(1.0) - simpson).alias("gini_simpson"),
+        (F.col("__maxc").cast("double") / nd).alias("berger_parker"),
+        "shannon",
     )

@@ -642,3 +642,39 @@ def test_capture_recapture_hand_computed(spark):
     assert rd["n_overlap"] == 0
     assert rd["chapman"] == (5.0 * 3.0) / 1.0 - 1.0
     assert rd["lincoln_petersen"] is None
+
+
+def test_diversity_report_hand_computed(spark):
+    import math
+
+    from bubbles_spark.ops.insights import diversity_report
+
+    rows = (
+        [("s1", "en")] * 3 + [("s1", "fr")] * 1
+        + [("s2", "en")] * 2
+        + [("s3", "en"), ("s3", "fr"), ("s3", "de")]
+    )
+    df = spark.createDataFrame(rows, "src string, lang string")
+    got = {r["src"]: r for r in diversity_report(df, "lang", by="src").collect()}
+    # s1: counts {en:3, fr:1}, n=4 -> simpson = (6+0)/12 = 0.5
+    s1 = got["s1"]
+    assert s1["n_rows"] == 4 and s1["k_categories"] == 2
+    assert s1["simpson"] == (3.0 * 2.0) / (4.0 * 3.0)
+    assert s1["gini_simpson"] == 1.0 - s1["simpson"]
+    assert s1["berger_parker"] == 3.0 / 4.0
+    assert s1["shannon"] == pytest.approx(
+        -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)), rel=1e-12
+    )
+    # s2: monoculture -> simpson 1, dominance 1, entropy 0
+    s2 = got["s2"]
+    assert s2["simpson"] == 1.0 and s2["berger_parker"] == 1.0
+    assert s2["shannon"] == pytest.approx(0.0, abs=1e-15)
+    # s3: all singletons -> simpson 0 (no repeated draw possible)
+    s3 = got["s3"]
+    assert s3["simpson"] == 0.0 and s3["k_categories"] == 3
+
+    # ungrouped + n=1 degenerate
+    solo = spark.createDataFrame([("s", "en")], "src string, lang string")
+    r1 = diversity_report(solo, "lang").collect()[0]
+    assert r1["n_rows"] == 1 and r1["simpson"] is None
+    assert r1["gini_simpson"] is None and r1["berger_parker"] == 1.0
