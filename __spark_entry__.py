@@ -13167,6 +13167,77 @@ def q_dunn_events_value(spark, sf_dir):
     return stattests.dunn_test(e, "event_type", "value")
 
 
+# shared fragment: BIGINT cents via floor(v*100 + 0.5) computed in
+# DOUBLE space — one multiply, one add, one floor, identical IEEE ops
+# in Spark and DuckDB, so the result is bit-identical BY CONSTRUCTION
+# (engine CAST(double AS DECIMAL) tie semantics never enter)
+def _cents(col):
+    return F.floor(col.cast("double") * 100 + F.lit(0.5)).cast("bigint")
+
+
+_CENTS_SQL = "CAST(FLOOR(CAST({c} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+
+
+@_q(
+    "friedman_events_spend",
+    f"""
+    WITH per AS (SELECT user_id, event_type,
+                        CAST(SUM({_CENTS_SQL.format(c="value")}) AS BIGINT)
+                          AS v
+                 FROM events
+                 WHERE user_id IS NOT NULL AND value IS NOT NULL
+                   AND event_type IN ('view', 'click', 'purchase')
+                 GROUP BY 1, 2),
+    ok AS (SELECT user_id FROM per GROUP BY 1 HAVING COUNT(*) = 3),
+    base AS (SELECT p.* FROM per p JOIN ok USING (user_id)),
+    rk AS (SELECT user_id, event_type,
+                  CAST(2 * RANK() OVER (PARTITION BY user_id ORDER BY v)
+                       + COUNT(*) OVER (PARTITION BY user_id, v) - 1
+                       AS BIGINT) AS d
+           FROM base),
+    pt AS (SELECT event_type, CAST(SUM(d) AS BIGINT) AS dsum
+           FROM rk GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM base),
+    es AS (SELECT SUM(CAST(dsum - nn.n * 4 AS DECIMAL(38,0))
+                      * (dsum - nn.n * 4)) AS e2
+           FROM pt CROSS JOIN nn),
+    ds AS (SELECT SUM(CAST(d AS DECIMAL(38,0)) * d) AS d2 FROM rk)
+    SELECT nn.n AS n_blocks, CAST(3 AS BIGINT) AS k_treatments,
+           CASE WHEN CAST(d2 AS DOUBLE)
+                     - CAST(nn.n * 3 * 16 AS DOUBLE) > 0
+                THEN 2.0 * CAST(e2 AS DOUBLE)
+                     / (CAST(d2 AS DOUBLE)
+                        - CAST(nn.n * 3 * 16 AS DOUBLE)) END AS q_stat,
+           CAST(2 AS BIGINT) AS df
+    FROM nn CROSS JOIN es CROSS JOIN ds
+    """,
+)
+def q_friedman_events_spend(spark, sf_dir):
+    # Friedman within-user rank test: for users active in all three
+    # of view/click/purchase, does spend rank consistently across
+    # the three event types when each user is judged only against
+    # themselves?  Per-(user,type) BIGINT cents sums (the proven-safe
+    # money form), within-block integer doubled ranks, one division
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    )
+    per = e.groupBy("user_id", "event_type").agg(
+        F.sum(_cents(F.col("value"))).cast("bigint").alias("v")
+    )
+    complete = (
+        per.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == 3)
+        .select("user_id")
+    )
+    base = per.join(complete, "user_id", "semi")
+    return stattests.friedman_test(base, "user_id", "event_type", "v")
+
+
 @_q(
     "diversity_docs_by_source",
     """
@@ -13441,17 +13512,6 @@ def q_stream_srm_window(spark, sf_dir):
 #   - bx_floor_cents_orders: its passing twin — proves the shared-
 #     IEEE floor-cents formula stays bit-exact cross-engine.
 # ---------------------------------------------------------------------
-
-# shared fragment: BIGINT cents via floor(v*100 + 0.5) computed in
-# DOUBLE space — one multiply, one add, one floor, identical IEEE ops
-# in Spark and DuckDB, so the result is bit-identical BY CONSTRUCTION
-# (engine CAST(double AS DECIMAL) tie semantics never enter)
-def _cents(col):
-    return F.floor(col.cast("double") * 100 + F.lit(0.5)).cast("bigint")
-
-
-_CENTS_SQL = "CAST(FLOOR(CAST({c} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
-
 
 @_q(
     "bx_cast_orders",

@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "vocab_richness_docs",
     "capture_recapture_orders",
     "diversity_docs_by_source",
+    "friedman_events_spend",
 ]
 
 

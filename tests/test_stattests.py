@@ -708,3 +708,54 @@ def test_fleiss_kappa_hand_computed(spark):
     )
     with _pt.raises(ValueError):
         fleiss_kappa(ragged, "item", "label")
+
+
+def test_friedman_hand_computed(spark):
+    from bubbles_spark.ops.stattests import friedman_test
+
+    # perfect agreement, n=3 blocks x k=3 treatments, no ties:
+    # classical Q = 6
+    rows = [(b, t, float(v)) for b in ("b1", "b2", "b3")
+            for t, v in (("t1", 1), ("t2", 2), ("t3", 3))]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    assert r["n_blocks"] == 3 and r["k_treatments"] == 3 and r["df"] == 2
+    assert r["q_stat"] == 6.0
+
+    # one block with a tie: b1 (1, 1, 2) -> doubled ranks (3, 3, 6);
+    # b2/b3 perfect (2, 4, 6).  D = (3+4, 3+8, 6+12)+... compute via
+    # the same exact formula the oracle replays
+    rows2 = ([("b1", "t1", 1.0), ("b1", "t2", 1.0), ("b1", "t3", 2.0)]
+             + [(b, t, float(v)) for b in ("b2", "b3")
+                for t, v in (("t1", 1), ("t2", 2), ("t3", 3))])
+    df2 = spark.createDataFrame(rows2, "b string, t string, v double")
+    r2 = friedman_test(df2, "b", "t", "v").collect()[0]
+    D = {"t1": 3 + 2 + 2, "t2": 3 + 4 + 4, "t3": 6 + 6 + 6}
+    nk1 = 3 * 4
+    e2 = sum((x - nk1) ** 2 for x in D.values())
+    d2 = (9 + 9 + 36) + 2 * (4 + 16 + 36)
+    den = d2 - 3 * 3 * 16
+    assert r2["q_stat"] == 2.0 * e2 / den
+
+    # all values tied within every block -> denominator 0 -> NULL
+    flat = spark.createDataFrame(
+        [(b, t, 5.0) for b in ("b1", "b2") for t in ("t1", "t2")],
+        "b string, t string, v double",
+    )
+    assert friedman_test(flat, "b", "t", "v").collect()[0]["q_stat"] is None
+
+    import pytest as _pt
+    # incomplete block refuses loudly
+    ragged = spark.createDataFrame(
+        [("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b2", "t1", 1.0)],
+        "b string, t string, v double",
+    )
+    with _pt.raises(ValueError):
+        friedman_test(ragged, "b", "t", "v")
+    # duplicate (block, treatment) refuses loudly
+    dup = spark.createDataFrame(
+        [("b1", "t1", 1.0), ("b1", "t1", 2.0)],
+        "b string, t string, v double",
+    )
+    with _pt.raises(ValueError):
+        friedman_test(dup, "b", "t", "v")

@@ -126,6 +126,7 @@ EXACT_FAMILY = [
     "srm_orders_priority", "dunn_events_value", "stream_srm_window",
     "fleiss_kappa_events", "vocab_richness_docs",
     "capture_recapture_orders", "diversity_docs_by_source",
+    "friedman_events_spend",
     # round-9 new operators claiming bit-exactness
     "nelson_aalen_events", "mann_kendall_daily_revenue",
     "snapshot_restore_orders", "uplift_curve_events",
