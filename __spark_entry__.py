@@ -13476,6 +13476,133 @@ def q_stream_srm_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------
+# round-11 additions: sequential monitoring + distribution-shift and
+# agreement tests extending the stattests family, and the
+# corpus-comparison text operator
+# ---------------------------------------------------------------------
+
+@_q(
+    "cusum_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS k, o_orderdate AS day,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) AS DOUBLE) AS value
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2),
+    p AS (
+      SELECT k, day, value,
+             SUM(CAST(value AS DECIMAL(28,8))
+                 - CAST('850000' AS DECIMAL(28,8)))
+               OVER w AS pp,
+             SUM(CAST('750000' AS DECIMAL(28,8))
+                 - CAST(value AS DECIMAL(28,8)))
+               OVER w AS pn
+      FROM daily
+      WINDOW w AS (PARTITION BY k ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      -- CASE, not LEAST: DuckDB's LEAST promotes decimals to DOUBLE
+      -- (measured), which would float-contaminate the exact state
+      SELECT k, day, value,
+             pp - (CASE WHEN MIN(pp) OVER w < 0 THEN MIN(pp) OVER w
+                        ELSE CAST('0' AS DECIMAL(38,8)) END) AS sp,
+             pn - (CASE WHEN MIN(pn) OVER w < 0 THEN MIN(pn) OVER w
+                        ELSE CAST('0' AS DECIMAL(38,8)) END) AS sn
+      FROM p
+      WINDOW w AS (PARTITION BY k ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT k AS o_orderpriority, day, value,
+           CAST(sp AS DOUBLE) AS cusum_pos,
+           CAST(sn AS DOUBLE) AS cusum_neg,
+           sp > CAST('500000' AS DECIMAL(28,8)) AS alarm_pos,
+           sn > CAST('500000' AS DECIMAL(28,8)) AS alarm_neg
+    FROM s
+    """,
+)
+def q_cusum_daily_revenue(spark, sf_dir):
+    # two-sided CUSUM control chart over the per-priority daily
+    # revenue series: has any priority's daily revenue drifted off
+    # the 800k target by more than the 50k allowance, cumulatively
+    # past the 500k decision interval?  Prefix-sum/prefix-min
+    # reflection form — exact decimal state, alarms decided in
+    # decimal, doubles only at the surface
+    from bubbles_spark.ops import events as ev
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+    )
+    daily = o.groupBy(
+        F.col("o_orderpriority"), F.col("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("value")
+    )
+    return ev.cusum_alarms(
+        daily, "o_orderpriority", "day", "value",
+        target=800000.0, allowance=50000.0, threshold=500000.0,
+    )
+
+
+@_q(
+    "stream_cusum_window",
+    """
+    WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      event_type,
+                      CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS n_obs
+               FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+               GROUP BY 1, 2),
+    p AS (
+      SELECT event_type, window_start, n_obs,
+             SUM(CAST(n_obs AS DECIMAL(28,8))
+                 - CAST('3.5' AS DECIMAL(28,8))) OVER w AS pp,
+             SUM(CAST('2.5' AS DECIMAL(28,8))
+                 - CAST(n_obs AS DECIMAL(28,8))) OVER w AS pn
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      -- CASE, not LEAST: DuckDB's LEAST promotes decimals to DOUBLE
+      SELECT event_type, window_start, n_obs,
+             pp - (CASE WHEN MIN(pp) OVER w < 0 THEN MIN(pp) OVER w
+                        ELSE CAST('0' AS DECIMAL(38,8)) END) AS sp,
+             pn - (CASE WHEN MIN(pn) OVER w < 0 THEN MIN(pn) OVER w
+                        ELSE CAST('0' AS DECIMAL(38,8)) END) AS sn
+      FROM p
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, window_start, n_obs,
+           CAST(sp AS DOUBLE) AS cusum_pos,
+           CAST(sn AS DOUBLE) AS cusum_neg,
+           sp > CAST('8' AS DECIMAL(28,8)) AS alarm_pos,
+           sn > CAST('8' AS DECIMAL(28,8)) AS alarm_neg
+    FROM s
+    """,
+)
+def q_stream_cusum_window(spark, sf_dir):
+    # streaming volume-drift gate: mergeable per-(hour, arm) counts
+    # from the live stream, finished into a per-arm CUSUM control
+    # chart around the 3/hour target (allowance 0.5, decision
+    # interval 8).  Counts are associative, so the drained stream
+    # equals the batch rollup and the chart is bit-identical to the
+    # batch twin
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    agg = sevents.windowed_agg_stream(stream, "ts", "1 hour")
+    sunk = sevents.run_batchlike(
+        agg, _stream_name("s_cusum"), output_mode="complete"
+    )
+    return sevents.finish_cusum(
+        sunk, target=3.0, allowance=0.5, threshold=8.0
+    )
+
+
+# ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).
 #
@@ -13682,15 +13809,18 @@ _DRIVER_PRIORITY = [
 ]
 
 
-# Queries whose OUTPUT SURFACE or oracle text changed this round:
-# their prior driver passes certified the OLD shape, so the rotation
-# treats them as never checked until a fresh driver pass lands.
+# Queries the rotation must treat as never checked: (a) queries whose
+# OUTPUT SURFACE or oracle text changed this round (their prior driver
+# passes certified the OLD shape), and (b) the passing half of the
+# comparator-canary pair — bx_cast_orders is an expected-FAIL so it
+# never records a pass and stays at the window head on its own, but
+# its expected-PASS twin must be pinned here PERMANENTLY so both
+# sentinels are observed in the SAME round (one without the other is
+# an ambiguous comparator signal — r10 verdict item 4).
 _FORCE_RECHECK = {
-    "orc_roundtrip_orders",         # r10: total_price → cents
-    "conformal_events_value",       # r10: exact-rational rank + NULL filter
-    "conformal_by_segment_events",  # r10: exact-rational rank
-    "fdr_bh_customers",             # r10: two-phase envelope
-    "fdr_holm_customers",           # r10: two-phase envelope
+    "bx_floor_cents_orders",        # permanent: canary's passing twin
+    # (r10 surface changes all re-verified green in CORRECTNESS_r10:
+    # orc_roundtrip, conformal x2, fdr x2 — removed, rotate normally)
 }
 
 

@@ -2514,3 +2514,83 @@ def date_dimension(
         (c == F.trunc(c, "month")).alias("is_month_start"),
         (c == F.last_day(c)).alias("is_month_end"),
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    allowance: float,
+    threshold: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key two-sided CUSUM control chart (Page 1954, public) —
+    the sequential drift detector behind "has this monitored metric
+    shifted off its target?":
+    ``S⁺_t = max(0, S⁺_{t−1} + x_t − (μ₀ + K))`` and
+    ``S⁻_t = max(0, S⁻_{t−1} + (μ₀ − K) − x_t)``, alarm when either
+    exceeds the decision interval ``h``.  Complements
+    ``changepoint_report`` (retrospective single best split) with the
+    monitoring-time view: EVERY alarm instant is surfaced.
+
+    The max-recurrence is not a window aggregate, but its prefix form
+    is: ``S_t = P_t − min(0, min_{i≤t} P_i)`` with ``P`` the running
+    sum of deviations (the reflection identity — max-reset is prefix
+    sum minus running floor).  So the whole chart is two prefix SUMs
+    and two prefix MINs per side — no recursion, no Python.
+
+    Exactness: deviations, prefix sums, and running minima all in
+    exact DECIMAL (``target ± K`` parsed from ``str()`` literals so
+    both engines bind the identical decimal); the only IEEE step is
+    the final decimal→double surface cast, correctly rounded and
+    identical in both engines.  Alarm comparisons happen in decimal —
+    no float boundary can flip them.  NULL values are dropped (a NULL
+    would poison every later prefix of its key).
+
+    Scale: one hash shuffle on the key + one in-partition sort; the
+    unbounded-preceding frames evaluate incrementally (O(n) per key,
+    no per-row rescans).  Contract (the ``ewma`` posture): feed
+    per-key series of bounded length — pre-bucket raw events to
+    calendar buckets first so a key's series fits its partition.
+
+    Output: key, ts (+tiebreak), value, cusum_pos, cusum_neg
+    (double), alarm_pos, alarm_neg (boolean)."""
+    dec = "decimal(28,8)"
+    mu_k_hi = F.lit(str(float(target) + float(allowance))).cast(dec)
+    mu_k_lo = F.lit(str(float(target) - float(allowance))).cast(dec)
+    h = F.lit(str(float(threshold))).cast(dec)
+    zero = F.lit("0").cast(dec)
+
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(value_col).cast(dec)
+    # two projection stages: a window aggregate cannot nest inside
+    # another window function, so the prefix sums land as columns
+    # first and the running minima read them in a second pass (same
+    # window spec — Catalyst fuses both into ONE Window node per sort)
+    staged = base.withColumn("__pp", F.sum(x - mu_k_hi).over(w)).withColumn(
+        "__pn", F.sum(mu_k_lo - x).over(w)
+    )
+    s_pos = F.col("__pp") - F.least(zero, F.min("__pp").over(w))
+    s_neg = F.col("__pn") - F.least(zero, F.min("__pn").over(w))
+    keep = [key_col, ts_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    ) + [value_col]
+    return staged.select(
+        *keep,
+        s_pos.cast("double").alias("cusum_pos"),
+        s_neg.cast("double").alias("cusum_neg"),
+        (s_pos > h).alias("alarm_pos"),
+        (s_neg > h).alias("alarm_neg"),
+    )

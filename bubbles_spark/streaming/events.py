@@ -1736,3 +1736,49 @@ def debounce_stream(
     if emit_ntz:
         out = out.withColumn(ts_name, _wallclock_ntz(ts_name))
     return out
+
+
+def finish_cusum(
+    counts: DataFrame,
+    target: float,
+    allowance: float,
+    threshold: float,
+    key_col: str = "event_type",
+    count_col: str = "record_count",
+    ts_col: str = "window_start",
+) -> DataFrame:
+    """Finisher: per-key CUSUM control chart over streamed per-window
+    counts — the streaming sibling of ``ops.events.cusum_alarms``
+    ("has this arm's hourly volume drifted off target, cumulatively
+    past the decision interval?").  Feed ``windowed_agg_stream``'s
+    sunk per-(window, key) counts; emits one chart row per window
+    with both one-sided CUSUM statistics and alarm flags.
+
+    The CUSUM recurrence is sequential across windows, so it cannot
+    live inside the streaming aggregation itself — but it doesn't
+    need to: the streamed state (per-window counts) is mergeable and
+    exact, and the chart is a FINISHER over the windows-sized drained
+    table (the ``finish_srm``/``finish_psi`` posture).  Counts are
+    associative, so the drained stream equals the batch rollup and
+    the chart on top is bit-identical to the batch twin.
+
+    Scale: the raw stream folds to windows×keys rows upstream with
+    watermark-bounded state; the chart is two prefix sums + two
+    prefix mins over that calendar-bounded series per key.
+
+    Output: key_col, ts_col, n_obs (double), cusum_pos, cusum_neg
+    (double), alarm_pos, alarm_neg (boolean)."""
+    from bubbles_spark.ops.events import cusum_alarms
+
+    # re-aggregate: complete-mode sinks may carry a window's counts
+    # more than once across drains (the finish_srm precedent)
+    c = counts.groupBy(ts_col, key_col).agg(
+        F.sum(count_col).cast("bigint").alias("__n")
+    )
+    series = c.select(
+        key_col, ts_col, F.col("__n").cast("double").alias("n_obs")
+    )
+    return cusum_alarms(
+        series, key_col, ts_col, "n_obs",
+        target=target, allowance=allowance, threshold=threshold,
+    )

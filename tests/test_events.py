@@ -278,3 +278,50 @@ def test_frequent_sequences_trigrams(spark):
 
     with pytest.raises(ValueError):
         events.frequent_sequences(df, "ts", "user_id", "event_type", k=1)
+
+
+def test_cusum_alarms_matches_recurrence(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.ops import events
+
+    # two keys with different shift patterns, plus a NULL value row
+    # that must be dropped before any prefix touches it
+    series_a = [5, 5, 6, 4, 5, 9, 9, 9, 2, 1, 5, 5]
+    series_b = [5, 5, 5, 1, 1, 1, 1, 8, 8]
+    rows = [("a", i, float(v)) for i, v in enumerate(series_a)]
+    rows += [("b", i, float(v)) for i, v in enumerate(series_b)]
+    rows += [("a", 100, None)]
+    df = spark.createDataFrame(rows, "k string, ts int, value double")
+    out = events.cusum_alarms(
+        df, "k", "ts", "value", target=5.0, allowance=0.5, threshold=3.0
+    )
+
+    def reference(series):
+        sp = sn = 0.0
+        exp = []
+        for v in series:
+            sp = max(0.0, sp + v - 5.5)
+            sn = max(0.0, sn + 4.5 - v)
+            exp.append((sp, sn, sp > 3.0, sn > 3.0))
+        return exp
+
+    for key, series in (("a", series_a), ("b", series_b)):
+        got = [
+            (r["cusum_pos"], r["cusum_neg"], r["alarm_pos"], r["alarm_neg"])
+            for r in out.filter(F.col("k") == key).orderBy("ts").collect()
+        ]
+        exp = reference(series)
+        assert len(got) == len(series)  # NULL row dropped
+        for g, e in zip(got, exp):
+            assert g[0] == pytest.approx(e[0], abs=1e-12)
+            assert g[1] == pytest.approx(e[1], abs=1e-12)
+            assert (g[2], g[3]) == (e[2], e[3])
+
+    # the reflection identity resets after recovery: key a ends calm
+    last_a = out.filter(F.col("k") == "a").orderBy("ts").collect()[-1]
+    assert not last_a["alarm_pos"]
+    # key b's level shift down then up trips both sides at some point
+    b_rows = out.filter(F.col("k") == "b").collect()
+    assert any(r["alarm_neg"] for r in b_rows)

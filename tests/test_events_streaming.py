@@ -1026,3 +1026,52 @@ def test_finish_srm_stream_matches_hand(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         sevents.finish_srm(sunk, {})
+
+
+def test_finish_cusum_stream_matches_batch_recurrence(spark, tmp_path):
+    """Drained windowed counts through the CUSUM finisher equal the
+    hand recurrence S_t = max(0, S_{t-1} + x_t - (mu +/- K)) per key —
+    the drained-equals-batch contract for the sequential chart."""
+    import bubbles_spark.streaming.events as sevents
+    from pyspark.sql import functions as F
+
+    # key a hourly counts: 3, 1, 6, 6; key b: 2, 2
+    per_hour = {"a": [3, 1, 6, 6], "b": [2, 2]}
+    rows = []
+    eid = 0
+    for key, counts in per_hour.items():
+        for h, n in enumerate(counts):
+            for m in range(n):
+                rows.append(
+                    (eid, "2024-01-01 %02d:%02d:00" % (h, m), key, 1.0)
+                )
+                eid += 1
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ev")
+    batch.write.parquet(path)
+    stream = sevents.read_event_stream(
+        spark, path, schema=spark.read.parquet(path).schema
+    )
+    agg = sevents.windowed_agg_stream(stream, "ts", "1 hour")
+    sunk = sevents.run_batchlike(agg, "t_cusum", output_mode="complete")
+    out = sevents.finish_cusum(
+        sunk, target=3.0, allowance=0.5, threshold=2.0
+    ).collect()
+    got = {
+        (r["event_type"], str(r["window_start"])): r for r in out
+    }
+    assert len(got) == 6
+    for key, counts in per_hour.items():
+        sp = sn = 0.0
+        for h, n in enumerate(counts):
+            sp = max(0.0, sp + n - 3.5)
+            sn = max(0.0, sn + 2.5 - n)
+            r = got[(key, "2024-01-01 %02d:00:00" % h)]
+            assert r["n_obs"] == float(n)
+            assert r["cusum_pos"] == sp and r["cusum_neg"] == sn
+            assert r["alarm_pos"] == (sp > 2.0)
+            assert r["alarm_neg"] == (sn > 2.0)
+    # key a: the double 6-count hours must trip the positive alarm
+    assert got[("a", "2024-01-01 03:00:00")]["alarm_pos"]

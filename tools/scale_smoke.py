@@ -697,8 +697,62 @@ def main() -> int:
         )
         return _drift.uplift_curve(users, "s", "tr", "y", "uid")
 
+    def kendall_tau_by_op(t):
+        # the documented contract (stattests.py kendall_tau_by): feed
+        # PRE-AGGREGATED series — groups (users) grow k x with a
+        # bounded per-group point count (days), so the in-group
+        # O(n_g²) self-join's TOTAL work is ~k·const — alpha ~1
+        from bubbles_spark.ops import stattests
+
+        daily = (
+            t["events"]
+            .filter(F.col("value").isNotNull())
+            .groupBy(
+                "user_id",
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                ).alias("x"),
+            )
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("y")
+            )
+        )
+        return stattests.kendall_tau_by(daily, "user_id", "x", "y")
+
+    def dunn_test_op(t):
+        # group vocabulary fixed (event_type): rows grow k x, the
+        # pooled value-bucketed rank cumulative is O(distinct values)
+        # and pair output stays vocab²-sized — alpha ~1
+        from bubbles_spark.ops import stattests
+
+        return stattests.dunn_test(
+            _drift_events(t), "event_type", "__v"
+        )
+
+    def friedman_test_op(t):
+        # blocks (users) grow k x, treatments fixed (event_type):
+        # within-block ranks partition by block — alpha ~1
+        from bubbles_spark.ops import stattests
+
+        cell = (
+            t["events"]
+            .filter(F.col("value").isNotNull())
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("y")
+            )
+        )
+        return stattests.friedman_test(cell, "user_id", "event_type", "y")
+
     REL_OPS = {
         "global_rank_bigpath": global_rank_bigpath_op,
+        "kendall_tau_by_daily": kendall_tau_by_op,
+        "dunn_test": dunn_test_op,
+        "friedman_test": friedman_test_op,
         "spearman_corr": spearman_op,
         "uplift_curve": uplift_op,
         "flagship_join_agg": flagship,
