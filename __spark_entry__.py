@@ -13602,6 +13602,239 @@ def q_stream_cusum_window(spark, sf_dir):
     )
 
 
+@_q(
+    "mood_median_events",
+    """
+    WITH base AS (
+      SELECT event_type AS grp, value AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    pv AS (SELECT v, COUNT(*) AS c FROM base GROUP BY v),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cumv,
+                   SUM(c) OVER () AS n FROM pv),
+    med AS (SELECT MIN(v) AS medv FROM cum WHERE 2 * cumv >= n),
+    pg AS (SELECT grp,
+                  CAST(SUM(CASE WHEN v > (SELECT medv FROM med)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(COUNT(*) AS BIGINT) AS ng
+           FROM base GROUP BY grp),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta,
+                   CAST(SUM(ng) AS BIGINT) AS tn,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM pg),
+    terms AS (
+      SELECT k, tn, ta,
+             CAST(ROUND(
+               CAST(CAST(a AS DECIMAL(38,0)) * tn
+                    - CAST(ng AS DECIMAL(38,0)) * ta AS DOUBLE)
+               * CAST(CAST(a AS DECIMAL(38,0)) * tn
+                      - CAST(ng AS DECIMAL(38,0)) * ta AS DOUBLE)
+               / CAST(ng AS DOUBLE) * 1e6) AS DECIMAL(38,0)) AS term
+      FROM pg CROSS JOIN tot),
+    agg AS (SELECT MIN(k) AS k, MIN(tn) AS n, MIN(ta) AS n_above,
+                   SUM(term) AS s
+            FROM terms)
+    SELECT k, n, CAST(k - 1 AS BIGINT) AS df,
+           CAST((SELECT medv FROM med) AS DOUBLE) AS grand_median,
+           n_above,
+           CASE WHEN k > 1 AND n_above > 0 AND n - n_above > 0
+                THEN CAST(s AS DOUBLE) / 1e6
+                     / (CAST(n_above AS DOUBLE)
+                        * CAST(n - n_above AS DOUBLE))
+           END AS chi2
+    FROM agg
+    """,
+)
+def q_mood_median_events(spark, sf_dir):
+    # robust k-group location gate over the five event types: exact
+    # type-1 grand median from per-value counts, 2xk above/not-above
+    # chi-square via the shared-numerator identity — the
+    # outlier-immune companion to kruskal_wallis_events
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.mood_median_test(e, "event_type", "value")
+
+
+@_q(
+    "jonckheere_orders_priority",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+    cgv AS (SELECT grp, v, COUNT(*) AS cg FROM base GROUP BY 1, 2),
+    vals AS (SELECT v, SUM(cg) AS tv FROM cgv GROUP BY v),
+    grps AS (SELECT DISTINCT grp FROM cgv),
+    grid AS (SELECT g.grp, s.v, COALESCE(c.cg, 0) AS c
+             FROM (SELECT v FROM vals) s CROSS JOIN grps g
+             LEFT JOIN cgv c ON c.grp = g.grp AND c.v = s.v),
+    cum AS (SELECT grp, v, c,
+                   SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cumv
+            FROM grid),
+    pref AS (SELECT grp, v, c,
+                    COALESCE(SUM(cumv - c) OVER
+                      (PARTITION BY v ORDER BY grp
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS plt,
+                    COALESCE(SUM(c) OVER
+                      (PARTITION BY v ORDER BY grp
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS peq
+             FROM cum),
+    j2t AS (SELECT SUM(CAST(c AS DECIMAL(38,0)) * (2 * plt + peq)) AS j2
+            FROM pref),
+    ngt AS (SELECT grp, SUM(cg) AS ng FROM cgv GROUP BY grp),
+    gs AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(SUM(ng) AS BIGINT) AS n,
+                  SUM(CAST(ng AS DECIMAL(38,0)) * ng) AS sn2,
+                  SUM(CAST(ng AS DECIMAL(38,0)) * (ng - 1)
+                      * (2 * ng + 5)) AS g25,
+                  SUM(CAST(ng AS DECIMAL(38,0)) * (ng - 1)
+                      * (ng - 2)) AS g3,
+                  SUM(CAST(ng AS DECIMAL(38,0)) * (ng - 1)) AS g2
+           FROM ngt),
+    tst AS (SELECT SUM(CAST(tv AS DECIMAL(38,0)) * (tv - 1)
+                       * (2 * tv + 5)) AS t25,
+                   SUM(CAST(tv AS DECIMAL(38,0)) * (tv - 1)
+                       * (tv - 2)) AS t3,
+                   SUM(CAST(tv AS DECIMAL(38,0)) * (tv - 1)) AS t2
+            FROM vals),
+    fin AS (SELECT *, CAST(n AS DOUBLE) AS nd
+            FROM gs CROSS JOIN tst CROSS JOIN j2t),
+    vard AS (SELECT *,
+                    CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5)
+                         - g25 - t25 AS DOUBLE) / 72.0
+                    + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                      / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+                    + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                      / (8.0 * nd * (nd - 1.0)) AS var
+             FROM fin)
+    SELECT k, n, CAST(j2 AS BIGINT) AS j2,
+           CAST(j2 AS DOUBLE) / 2.0 AS j_stat,
+           CAST(CAST(n AS DECIMAL(38,0)) * n - sn2 AS DOUBLE) / 4.0
+             AS mean_j,
+           CASE WHEN k > 1 AND n > 2 AND var > 0
+                THEN CAST(2 * j2 - (CAST(n AS DECIMAL(38,0)) * n - sn2)
+                          AS DOUBLE)
+                     / (4.0 * SQRT(var))
+           END AS z
+    FROM vard
+    """,
+)
+def q_jonckheere_orders_priority(spark, sf_dir):
+    # ordered-alternative trend gate: does order value trend across
+    # the five (genuinely ordinal) priority tiers?  2J folded exactly
+    # over the zero-filled value grid via the shared two-phase cum
+    # machinery, tie-corrected Hollander-Wolfe null variance from
+    # exact integer components
+    from bubbles_spark.ops import stattests
+
+    o = _t(spark, sf_dir, "orders")
+    return stattests.jonckheere_terpstra(
+        o.select(
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("v"),
+        ),
+        "o_orderpriority",
+        "v",
+    )
+
+
+@_q(
+    "krippendorff_events",
+    """
+    WITH base AS (
+      SELECT user_id AS u, event_type AS l FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    nuc AS (SELECT u, l, CAST(COUNT(*) AS BIGINT) AS nv
+            FROM base GROUP BY 1, 2),
+    pu AS (SELECT u, CAST(SUM(nv) AS BIGINT) AS m,
+                  SUM(CAST(nv AS DECIMAL(38,0)) * nv) AS sq
+           FROM nuc GROUP BY u HAVING SUM(nv) >= 2),
+    units AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                     CAST(SUM(m) AS BIGINT) AS n_values,
+                     SUM(CAST(ROUND(
+                       CAST(CAST(m AS DECIMAL(38,0)) * m - sq AS DOUBLE)
+                       / CAST(m - 1 AS DOUBLE) * 1e6)
+                       AS DECIMAL(38,0))) AS do_s
+              FROM pu),
+    margins AS (SELECT nuc.l, CAST(SUM(nuc.nv) AS BIGINT) AS ncv
+                FROM nuc JOIN pu ON nuc.u = pu.u GROUP BY nuc.l),
+    cats AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_categories,
+                    SUM(CAST(ncv AS DECIMAL(38,0)) * ncv) AS sc2
+             FROM margins),
+    fin AS (SELECT *, CAST(n_values AS DOUBLE) AS nd
+            FROM units CROSS JOIN cats)
+    SELECT n_units, n_values, k_categories,
+           CASE WHEN n_units > 0
+                THEN CAST(do_s AS DOUBLE) / 1e6 / nd END AS d_o,
+           CASE WHEN n_units > 0
+                THEN CAST(CAST(n_values AS DECIMAL(38,0)) * n_values
+                          - sc2 AS DOUBLE) / (nd * (nd - 1.0))
+           END AS d_e,
+           CASE WHEN n_units > 0
+                 AND CAST(CAST(n_values AS DECIMAL(38,0)) * n_values
+                          - sc2 AS DOUBLE) / (nd * (nd - 1.0)) > 0
+                THEN 1.0 - (CAST(do_s AS DOUBLE) / 1e6 / nd)
+                     / (CAST(CAST(n_values AS DECIMAL(38,0)) * n_values
+                             - sc2 AS DOUBLE) / (nd * (nd - 1.0)))
+           END AS alpha
+    FROM fin
+    """,
+)
+def q_krippendorff_events(spark, sf_dir):
+    # Krippendorff's alpha treating each user as a unit and their
+    # event types as that unit's votes — the unequal-votes agreement
+    # gate fleiss_kappa_events cannot express (no first-3 trim
+    # needed): do users stick to one event type more than the pooled
+    # mix predicts?  Integer coincidence machinery, one
+    # micro-quantized cross-unit sum, fixed IEEE finish
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.krippendorff_alpha(e, "user_id", "event_type")
+
+
+@_q(
+    "distinctive_terms_src1",
+    f"""
+    WITH base AS (
+      SELECT (source = 'src1') AS t, unnest({_TOKS_SQL}) AS term
+      FROM documents
+      WHERE source IS NOT NULL AND trim(text) <> ''),
+    pt AS (SELECT term,
+                  CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_target,
+                  CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT)
+                    AS n_rest
+           FROM base GROUP BY term),
+    tot AS (SELECT CAST(SUM(n_target) AS BIGINT) AS a,
+                   CAST(SUM(n_rest) AS BIGINT) AS b
+            FROM pt)
+    SELECT term, n_target, n_rest,
+           CAST(CAST(n_target + 1 AS DECIMAL(38,0)) * (b - n_rest + 1)
+                AS DOUBLE)
+           / CAST(CAST(n_rest + 1 AS DECIMAL(38,0)) * (a - n_target + 1)
+                  AS DOUBLE) AS odds_ratio
+    FROM pt CROSS JOIN tot
+    WHERE n_target + n_rest >= 10
+    ORDER BY odds_ratio DESC, term
+    LIMIT 100
+    """,
+)
+def q_distinctive_terms_src1(spark, sf_dir):
+    # corpus comparison: the 100 terms most distinctive of the src1
+    # slice by add-one-smoothed odds ratio (the ln-free monotone core
+    # of the log-odds statistic — exact integer cross products, one
+    # IEEE division, total-order top-k)
+    from bubbles_spark.ops import textan
+
+    d = _t(spark, sf_dir, "documents")
+    return textan.distinctive_terms(
+        d, "source", "src1", min_count=10, top_k=100
+    )
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

@@ -300,6 +300,13 @@ BENCH_QUERIES = [
     "capture_recapture_orders",
     "diversity_docs_by_source",
     "friedman_events_spend",
+    # round-11 additions
+    "cusum_daily_revenue",
+    "stream_cusum_window",
+    "mood_median_events",
+    "jonckheere_orders_priority",
+    "krippendorff_events",
+    "distinctive_terms_src1",
 ]
 
 

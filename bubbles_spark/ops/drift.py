@@ -540,6 +540,18 @@ def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:
     proxy = _core._rank_proxy(counts, col)
     if proxy is None:
         return _grouped_cum_counts_by_pid(counts, group_col, col)
+    return _cum_counts_table(counts, group_col, col)
+
+
+def _cum_counts_table(counts: DataFrame, group_col: str, col: str) -> DataFrame:
+    """The cumulation tail of ``_grouped_cum_counts`` over a PREBUILT
+    per-(group, value) counts table (column ``__c``) — callers that
+    need cumulative counts over a value grid the raw rows cannot
+    express (zero-filled cells, e.g. ``stattests.jonckheere_terpstra``)
+    build the table themselves and reuse the same small-path /
+    two-phase machinery.  ``col`` must be numeric (``_rank_proxy``
+    resolvable).  Output contract matches ``_grouped_cum_counts``."""
+    from bubbles_spark.ops import core as _core
     # the counts table is one row per (group, DISTINCT value) — when
     # small, the per-group ordered window IS the right plan (one
     # shuffle, no probe/offset jobs); the two-phase path below only

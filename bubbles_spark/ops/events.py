@@ -2578,7 +2578,8 @@ def cusum_alarms(
     # two projection stages: a window aggregate cannot nest inside
     # another window function, so the prefix sums land as columns
     # first and the running minima read them in a second pass (same
-    # window spec — Catalyst fuses both into ONE Window node per sort)
+    # window spec — the chained Window nodes share ONE partition sort:
+    # plan shows 1 Sort / 1 window Exchange, audited)
     staged = base.withColumn("__pp", F.sum(x - mu_k_hi).over(w)).withColumn(
         "__pn", F.sum(mu_k_lo - x).over(w)
     )

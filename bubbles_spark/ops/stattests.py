@@ -49,6 +49,9 @@ __all__ = [
     "dunn_test",
     "fleiss_kappa",
     "friedman_test",
+    "mood_median_test",
+    "jonckheere_terpstra",
+    "krippendorff_alpha",
 ]
 
 
@@ -1790,4 +1793,298 @@ def friedman_test(
         F.lit(k).cast("bigint").alias("k_treatments"),
         q.alias("q_stat"),
         F.lit(k - 1).cast("bigint").alias("df"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mood's median test — the robust k-group location test ("do the
+    groups straddle the pooled median the same way?"; Mood 1950,
+    public): classify every value against the GRAND median, then
+    chi-square the resulting 2×k above/not-above table.  The blunt
+    but outlier-immune sibling of ``kruskal_wallis`` (which uses full
+    rank information) — the right gate when the tails are untrusted.
+
+    Grand median = the type-1 lower median (the value at position
+    ⌈N/2⌉), selected from per-value counts via the shared
+    ``_grouped_cum_counts`` machinery — exact, no ranking pass, no
+    single-task sort.  With per-group ``a_i`` = #{x > median} and
+    ``A = Σa_i``, the chi-square collapses algebraically to
+    ``χ² = Σ_i (a_i·N − n_i·A)² / n_i / (A·B)`` (the 2×k identity:
+    both cells of a group share one squared numerator), so the only
+    cross-group float sum is the per-group term — micro-quantized to
+    an integer DECIMAL before summing (the ``kruskal_wallis``
+    precedent and budget), then two exact-operand IEEE divisions.
+
+    Degenerate cases (k < 2, A = 0, or B = 0 — every value on one
+    side, e.g. all values equal) yield NULL chi2.
+
+    Output (one row): k, n, df, grand_median (double), n_above
+    (bigint), chi2 (double)."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
+    cum = _grouped_cum_counts(base.withColumn("__g", F.lit(0)), "__g", "__v")
+    med = (
+        cum.filter(F.lit(2) * F.col("__cum") >= F.col("__n"))
+        .agg(F.min("__v").alias("__med"))
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_group = (
+        base.join(F.broadcast(med))
+        .groupBy("__grp")
+        .agg(
+            F.sum((F.col("__v") > F.col("__med")).cast("bigint"))
+            .cast("bigint")
+            .alias("__a"),
+            F.count(F.lit(1)).cast("bigint").alias("__ng"),
+            F.first("__med").alias("__med"),
+        )
+    )
+    tot = per_group.groupBy().agg(
+        F.sum("__a").cast("bigint").alias("__ta"),
+        F.sum("__ng").cast("bigint").alias("__tn"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    )
+    j = per_group.crossJoin(F.broadcast(tot))
+    # exact integer numerator in decimal, cast double once (the
+    # kruskal two_rg budget: correctly-rounded ~17 significant
+    # digits), per-group division fixed-IEEE, micro-quantized sum
+    diff = (
+        d(F.col("__a")) * F.col("__tn") - d(F.col("__ng")) * F.col("__ta")
+    ).cast("double")
+    term = F.round(
+        diff * diff / F.col("__ng").cast("double") * F.lit(1e6), 0
+    ).cast("decimal(38,0)")
+    agg = j.groupBy().agg(
+        F.first(F.col("__k")).alias("k"),
+        F.first(F.col("__tn")).alias("n"),
+        F.first(F.col("__ta")).alias("n_above"),
+        F.first(F.col("__med")).alias("__med"),
+        F.sum(term).alias("__s"),
+    )
+    a_tot = F.col("n_above").cast("double")
+    b_tot = (F.col("n") - F.col("n_above")).cast("double")
+    chi2 = F.col("__s").cast("double") / F.lit(1e6) / (a_tot * b_tot)
+    ok = (F.col("k") > 1) & (a_tot > 0) & (b_tot > 0)
+    return agg.select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.col("__med").cast("double").alias("grand_median"),
+        "n_above",
+        F.when(ok, chi2).alias("chi2"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere–Terpstra trend test — "do the values TREND upward
+    across the ordered arms?" (Jonckheere 1954 / Terpstra 1952,
+    public): the ordered-alternative sharpening of ``kruskal_wallis``
+    (which only asks "do they differ?").  Groups are ordered by the
+    natural sort of ``group_col`` — feed genuinely ordinal arms
+    (priority tiers, dose levels).
+
+    ``J = Σ_{i<j} U_ij`` over ordered group pairs, each ``U_ij`` the
+    Mann–Whitney count ``#(x<y) + ½#(x=y)``.  No pair explosion:
+    per-(group, value) counts spread onto the pooled value grid
+    (distinct values × k arms, zero-filled), cumulated per arm by the
+    shared two-phase rank machinery (``drift._cum_counts_table`` — no
+    single-task sort at any distinct-value count), then one k-row
+    window per value accumulates the strictly-below / tied counts of
+    all PRECEDING arms — so ``2J`` is one exact integer fold.
+
+    Exactness: 2J, every tie term, and the variance components are
+    exact integers (DECIMAL(38,0)); the tie-corrected null variance
+    (Hollander–Wolfe form) and ``z = (4J − (N² − Σn_g²)) / (4σ)``
+    are a fixed IEEE sequence on those exact operands.  Degenerate
+    inputs (k < 2, all values tied → σ = 0) yield NULL z.
+
+    Output (one row): k, n, j2 (2J, bigint), j_stat (double),
+    mean_j (double), z (double)."""
+    from pyspark.sql import Window
+
+    from bubbles_spark.ops.drift import _cum_counts_table
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
+    cgv = base.groupBy("__grp", "__v").agg(F.count(F.lit(1)).alias("__cg"))
+    groups = cgv.select("__grp").distinct()
+    vals = cgv.groupBy("__v").agg(F.sum("__cg").alias("__tv"))
+    # zero-filled grid: every (arm, pooled value) cell — k is the
+    # arm count (small by contract), so the grid is k× the pooled
+    # distinct-value table and the broadcast is k rows
+    grid = (
+        vals.select("__v")
+        .crossJoin(F.broadcast(groups))
+        .join(cgv, ["__grp", "__v"], "left")
+        .select("__grp", "__v", F.coalesce("__cg", F.lit(0)).alias("__c"))
+    )
+    cum = _cum_counts_table(grid, "__grp", "__v")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # per value, accumulate the strictly-below and tied counts of all
+    # PRECEDING arms (k rows per partition — bounded, no skew)
+    w_prev = (
+        Window.partitionBy("__v")
+        .orderBy("__grp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = cum.select(
+        "__grp",
+        "__v",
+        "__c",
+        F.coalesce(
+            F.sum(F.col("__cum") - F.col("__c")).over(w_prev), F.lit(0)
+        ).alias("__plt"),
+        F.coalesce(F.sum("__c").over(w_prev), F.lit(0)).alias("__peq"),
+    )
+    j2 = pref.agg(
+        F.sum(
+            d(F.col("__c"))
+            * (F.lit(2) * F.col("__plt") + F.col("__peq"))
+        ).alias("__j2")
+    )
+    ng = cgv.groupBy("__grp").agg(F.sum("__cg").alias("__ng"))
+    gstats = ng.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__ng").cast("bigint").alias("n"),
+        F.sum(d(F.col("__ng")) * F.col("__ng")).alias("__sn2"),
+        F.sum(
+            d(F.col("__ng")) * (F.col("__ng") - 1) * (2 * F.col("__ng") + 5)
+        ).alias("__g25"),
+        F.sum(
+            d(F.col("__ng")) * (F.col("__ng") - 1) * (F.col("__ng") - 2)
+        ).alias("__g3"),
+        F.sum(d(F.col("__ng")) * (F.col("__ng") - 1)).alias("__g2"),
+    )
+    tstats = vals.agg(
+        F.sum(
+            d(F.col("__tv")) * (F.col("__tv") - 1) * (2 * F.col("__tv") + 5)
+        ).alias("__t25"),
+        F.sum(
+            d(F.col("__tv")) * (F.col("__tv") - 1) * (F.col("__tv") - 2)
+        ).alias("__t3"),
+        F.sum(d(F.col("__tv")) * (F.col("__tv") - 1)).alias("__t2"),
+    )
+    agg = gstats.crossJoin(F.broadcast(tstats)).crossJoin(F.broadcast(j2))
+    nd = F.col("n").cast("double")
+    n38 = d(F.col("n"))
+    a_term = (
+        n38 * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("__g25")
+        - F.col("__t25")
+    ).cast("double")
+    var = (
+        a_term / F.lit(72.0)
+        + F.col("__g3").cast("double")
+        * F.col("__t3").cast("double")
+        / (F.lit(36.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0)))
+        + F.col("__g2").cast("double")
+        * F.col("__t2").cast("double")
+        / (F.lit(8.0) * nd * (nd - F.lit(1.0)))
+    )
+    num = (F.lit(2) * F.col("__j2") - (n38 * F.col("n") - F.col("__sn2"))).cast(
+        "double"
+    )
+    ok = (F.col("k") > 1) & (F.col("n") > 2) & (var > 0)
+    return agg.select(
+        "k",
+        "n",
+        F.col("__j2").cast("bigint").alias("j2"),
+        (F.col("__j2").cast("double") / F.lit(2.0)).alias("j_stat"),
+        ((n38 * F.col("n") - F.col("__sn2")).cast("double") / F.lit(4.0)).alias(
+            "mean_j"
+        ),
+        F.when(ok, num / (F.lit(4.0) * F.sqrt(var))).alias("z"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's α (nominal) — chance-corrected inter-annotator
+    agreement that, unlike ``fleiss_kappa``, tolerates UNEQUAL (and
+    missing) ratings per unit (Krippendorff 1970/2004, public) — the
+    right reliability gate for real crowd-label tables where items
+    rarely get the same number of votes.  ``α = 1 − D_o/D_e`` over
+    the coincidence matrix: observed disagreement
+    ``D_o = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1) / n`` (pairable units
+    only, m_u ≥ 2) and expected ``D_e = (n² − Σ_c n_c²)/(n(n−1))``
+    from the pooled category margins.
+
+    Exactness: vote counts, unit sizes, margins, and every squared
+    sum are exact integers; the one cross-unit float sum — the
+    per-unit disagreement ``(m_u² − Σn_uc²)/(m_u − 1)`` — is
+    micro-quantized to an integer DECIMAL before summing (the
+    ``kruskal_wallis`` precedent and budget); D_o, D_e, and α are
+    then a fixed IEEE sequence.  Degenerate inputs (no pairable
+    units, or every vote one category → D_e = 0) yield NULL α.
+
+    Scale: one (unit, label) keyed count (map-side combined), one
+    units-sized fold, one categories-sized fold — nothing data-sized
+    past the first shuffle.
+
+    Output (one row): n_units, n_values, k_categories, d_o, d_e,
+    alpha."""
+    base = df.filter(
+        F.col(unit_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(unit_col).alias("__u"), F.col(label_col).alias("__l"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nuc = base.groupBy("__u", "__l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    per_unit = nuc.groupBy("__u").agg(
+        F.sum("__n").cast("bigint").alias("__m"),
+        F.sum(d(F.col("__n")) * F.col("__n")).alias("__sq"),
+    ).filter(F.col("__m") >= 2)
+    # per-unit disagreement: exact integer numerator, one fixed IEEE
+    # division, micro-quantized before the cross-unit sum
+    term = F.round(
+        (d(F.col("__m")) * F.col("__m") - F.col("__sq")).cast("double")
+        / (F.col("__m") - F.lit(1)).cast("double")
+        * F.lit(1e6),
+        0,
+    ).cast("decimal(38,0)")
+    units = per_unit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("__m").cast("bigint").alias("n_values"),
+        F.sum(term).alias("__do_s"),
+    )
+    # margins over PAIRABLE units only (units with one vote carry no
+    # pairable information and must not tilt the chance distribution)
+    margins = (
+        nuc.join(per_unit.select("__u"), "__u")
+        .groupBy("__l")
+        .agg(F.sum("__n").cast("bigint").alias("__nc"))
+    )
+    cats = margins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_categories"),
+        F.sum(d(F.col("__nc")) * F.col("__nc")).alias("__sc2"),
+    )
+    agg = units.crossJoin(F.broadcast(cats))
+    nd = F.col("n_values").cast("double")
+    d_o = F.col("__do_s").cast("double") / F.lit(1e6) / nd
+    d_e = (
+        d(F.col("n_values")) * F.col("n_values") - F.col("__sc2")
+    ).cast("double") / (nd * (nd - F.lit(1.0)))
+    ok = (F.col("n_units") > 0) & (d_e > 0)
+    return agg.select(
+        "n_units",
+        "n_values",
+        "k_categories",
+        F.when(F.col("n_units") > 0, d_o).alias("d_o"),
+        F.when(F.col("n_units") > 0, d_e).alias("d_e"),
+        F.when(ok, F.lit(1.0) - d_o / d_e).alias("alpha"),
     )

@@ -759,3 +759,123 @@ def test_friedman_hand_computed(spark):
     )
     with _pt.raises(ValueError):
         friedman_test(dup, "b", "t", "v")
+
+
+def test_mood_median_matches_hand(spark):
+    ga = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    gb = [5.0, 6.0, 7.0, 8.0, 9.0]
+    gc = [2.0, 2.0, 3.0]
+    rows = (
+        [("a", v) for v in ga] + [("b", v) for v in gb]
+        + [("c", v) for v in gc] + [("a", None), (None, 1.0)]
+    )
+    out = stattests.mood_median_test(_vals(spark, rows), "g", "v").collect()[0]
+    allv = sorted(ga + gb + gc)
+    n = len(allv)
+    med = allv[(n + 1) // 2 - 1]  # type-1 lower median
+    groups = {"a": ga, "b": gb, "c": gc}
+    above = {g: sum(1 for v in vs if v > med) for g, vs in groups.items()}
+    a_tot = sum(above.values())
+    chi2 = sum(
+        (above[g] * n - len(vs) * a_tot) ** 2 / len(vs)
+        for g, vs in groups.items()
+    ) / (a_tot * (n - a_tot))
+    assert out["k"] == 3 and out["n"] == n and out["df"] == 2
+    assert out["grand_median"] == med and out["n_above"] == a_tot
+    assert out["chi2"] == pytest.approx(chi2, abs=1e-6)
+
+    # degenerate: every value identical -> all on one side -> NULL
+    flat = _vals(spark, [("a", 5.0), ("a", 5.0), ("b", 5.0)])
+    assert stattests.mood_median_test(flat, "g", "v").collect()[0]["chi2"] is None
+
+
+def test_jonckheere_terpstra_matches_bruteforce(spark):
+    import itertools
+    from collections import Counter
+
+    groups = {
+        "a": [1.0, 3.0, 5.0, 5.0, 7.0],
+        "b": [2.0, 5.0, 8.0, 9.0],
+        "c": [6.0, 8.0, 8.0, 10.0, 12.0, 4.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    out = stattests.jonckheere_terpstra(
+        _vals(spark, rows), "g", "v"
+    ).collect()[0]
+    names = sorted(groups)
+    j = 0.0
+    for gi, gj in itertools.combinations(names, 2):
+        for x in groups[gi]:
+            for y in groups[gj]:
+                j += 1.0 if x < y else (0.5 if x == y else 0.0)
+    n = sum(len(v) for v in groups.values())
+    ns = [len(groups[g]) for g in names]
+    mu = (n * n - sum(m * m for m in ns)) / 4
+    tv = Counter(v for vs in groups.values() for v in vs)
+    a = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(m * (m - 1) * (2 * m + 5) for m in ns)
+        - sum(t * (t - 1) * (2 * t + 5) for t in tv.values())
+    )
+    b = sum(m * (m - 1) * (m - 2) for m in ns) * sum(
+        t * (t - 1) * (t - 2) for t in tv.values()
+    )
+    c = sum(m * (m - 1) for m in ns) * sum(
+        t * (t - 1) for t in tv.values()
+    )
+    var = a / 72 + b / (36 * n * (n - 1) * (n - 2)) + c / (8 * n * (n - 1))
+    assert out["j2"] == int(2 * j)
+    assert out["j_stat"] == j and out["mean_j"] == mu
+    assert out["z"] == pytest.approx((j - mu) / math.sqrt(var), abs=1e-12)
+
+    # a monotone upward trend must give a clearly positive z
+    trend = [("a", float(v)) for v in (1, 2, 3)] + [
+        ("b", float(v)) for v in (4, 5, 6)
+    ] + [("c", float(v)) for v in (7, 8, 9)]
+    zt = stattests.jonckheere_terpstra(_vals(spark, trend), "g", "v").collect()[0]
+    assert zt["j2"] == 2 * 27 and zt["z"] > 2.9
+
+    # all values tied -> zero variance -> NULL z
+    flat = _vals(spark, [("a", 1.0), ("b", 1.0), ("c", 1.0), ("a", 1.0)])
+    assert stattests.jonckheere_terpstra(flat, "g", "v").collect()[0]["z"] is None
+
+
+def test_krippendorff_alpha_matches_hand(spark):
+    from collections import Counter
+
+    # unequal votes per unit; unit 4 has a single vote (not pairable)
+    units = {1: "aab", 2: "ab", 3: "bbb", 4: "a", 5: "aabb"}
+    rows = [(u, c) for u, ls in units.items() for c in ls]
+    df = spark.createDataFrame(rows, "u int, l string")
+    out = stattests.krippendorff_alpha(df, "u", "l").collect()[0]
+    pair = {u: ls for u, ls in units.items() if len(ls) >= 2}
+    n = sum(len(ls) for ls in pair.values())
+    d_o = sum(
+        (len(ls) ** 2 - sum(c * c for c in Counter(ls).values()))
+        / (len(ls) - 1)
+        for ls in pair.values()
+    ) / n
+    nc = Counter(c for ls in pair.values() for c in ls)
+    d_e = (n * n - sum(v * v for v in nc.values())) / (n * (n - 1))
+    assert out["n_units"] == 4 and out["n_values"] == n
+    assert out["k_categories"] == 2
+    assert out["d_o"] == pytest.approx(d_o, abs=1e-6)
+    assert out["d_e"] == pytest.approx(d_e, abs=1e-12)
+    assert out["alpha"] == pytest.approx(1 - d_o / d_e, abs=1e-6)
+
+    # perfect agreement -> alpha exactly 1
+    perfect = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b")], "u int, l string"
+    )
+    assert stattests.krippendorff_alpha(perfect, "u", "l").collect()[0][
+        "alpha"
+    ] == 1.0
+
+    # single category everywhere -> D_e = 0 -> NULL alpha
+    mono = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (2, "a")], "u int, l string"
+    )
+    assert (
+        stattests.krippendorff_alpha(mono, "u", "l").collect()[0]["alpha"]
+        is None
+    )

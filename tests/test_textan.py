@@ -579,3 +579,45 @@ def test_vocab_richness_hand_computed(spark):
     re_ = vocab_richness(empty).collect()[0]
     assert re_["n_tokens"] == 0 and re_["d_observed"] == 0
     assert re_["chao1"] == 0.0
+
+
+def test_distinctive_terms_odds_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "apple apple banana"),
+            (2, "s1", "apple cherry"),
+            (3, "s2", "banana banana cherry"),
+            (4, "s2", "cherry cherry date"),
+            (5, None, "ignored ignored ignored"),
+            (6, "s2", "   "),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = textan.distinctive_terms(
+        df, "source", "s1", min_count=1, top_k=10
+    ).collect()
+    # A = 5 target tokens, B = 6 rest tokens; NULL-label and blank
+    # docs excluded
+    rows = {r["term"]: r for r in out}
+    assert set(rows) == {"apple", "banana", "cherry", "date"}
+    a_tot, b_tot = 5, 6
+
+    def ref(a, b):
+        return ((a + 1) * (b_tot - b + 1)) / ((b + 1) * (a_tot - a + 1))
+
+    assert rows["apple"]["n_target"] == 3 and rows["apple"]["n_rest"] == 0
+    assert rows["apple"]["odds_ratio"] == ref(3, 0)
+    assert rows["banana"]["odds_ratio"] == ref(1, 2)
+    assert rows["cherry"]["odds_ratio"] == ref(1, 3)
+    assert rows["date"]["odds_ratio"] == ref(0, 1)
+    # ordering: ratio desc, term asc
+    got_order = [r["term"] for r in out]
+    exp_order = sorted(
+        rows, key=lambda t: (-rows[t]["odds_ratio"], t)
+    )
+    assert got_order == exp_order
+    # min_count prunes rare terms (date: 0+1 occurrences < 3)
+    pruned = textan.distinctive_terms(
+        df, "source", "s1", min_count=3, top_k=10
+    ).collect()
+    assert {r["term"] for r in pruned} == {"apple", "banana", "cherry"}

@@ -1331,6 +1331,48 @@ CHECKS = [
         [(r"Join", "no join at all — explode, count, 1-row aggregate"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        # prefix sums + running minima must share ONE key shuffle and
+        # ONE in-partition sort (chained Window nodes, no re-sort)
+        "cusum_daily_revenue",
+        [(r"Functions \[\d+\]: \[partial_", "daily rollup partial-aggregates map-side"),
+         (r"Window", "chart is window aggregates")],
+        [(r"Join", "no join at all — rollup then windows"),
+         (r"CartesianProduct|BroadcastNestedLoopJoin", "no product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "mood_median_events",
+        [(r"Functions \[\d+\]: \[partial_", "value counts partial-aggregate map-side"),
+         (r"BroadcastExchange", "1-row median + totals broadcast")],
+        [(r"SortMergeJoin", "nothing data-sized joins — median/totals are broadcast 1-rows"),
+         (r"CartesianProduct", "no unkeyed data-sized product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        # the k-arm groups table broadcasts onto the pooled value
+        # grid (BNL over k rows is the design); the grid fill join is
+        # keyed; nothing may cartesian
+        "jonckheere_orders_priority",
+        [(r"Functions \[\d+\]: \[partial_", "per-(arm,value) counts partial-aggregate map-side"),
+         (r"BroadcastExchange", "k-row arms table + 1-row folds broadcast")],
+        [(r"CartesianProduct", "no unkeyed data-sized product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "krippendorff_events",
+        [(r"Functions \[\d+\]: \[partial_", "vote counts partial-aggregate map-side"),
+         (r"BroadcastExchange", "1-row folds broadcast")],
+        [(r"CartesianProduct", "no unkeyed data-sized product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "distinctive_terms_src1",
+        [(r"TakeOrderedAndProject", "top-k is TakeOrdered — no full sort"),
+         (r"Functions \[\d+\]: \[partial_", "term counts partial-aggregate map-side")],
+        [(r"CartesianProduct", "token totals broadcast, nothing products"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 

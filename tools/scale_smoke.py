@@ -748,11 +748,42 @@ def main() -> int:
         )
         return stattests.friedman_test(cell, "user_id", "event_type", "y")
 
+    def mood_median_op(t):
+        # distinct values grow k x (per-copy shift): the grand-median
+        # selection and per-group counts stay count-keyed — alpha ~1
+        from bubbles_spark.ops import stattests
+
+        return stattests.mood_median_test(
+            _drift_events(t), "event_type", "__v"
+        )
+
+    def jonckheere_op(t):
+        # the zero-filled grid is (distinct values x k arms) — k
+        # fixed (event_type), distinct values grow k x, the shared
+        # two-phase cum machinery must keep the fold ~linear
+        from bubbles_spark.ops import stattests
+
+        return stattests.jonckheere_terpstra(
+            _drift_events(t), "event_type", "__v"
+        )
+
+    def krippendorff_op(t):
+        # units (users) grow k x with bounded votes each: keyed
+        # counts + one units-sized fold — alpha ~1
+        from bubbles_spark.ops import stattests
+
+        return stattests.krippendorff_alpha(
+            t["events"], "user_id", "event_type"
+        )
+
     REL_OPS = {
         "global_rank_bigpath": global_rank_bigpath_op,
         "kendall_tau_by_daily": kendall_tau_by_op,
         "dunn_test": dunn_test_op,
         "friedman_test": friedman_test_op,
+        "mood_median_test": mood_median_op,
+        "jonckheere_terpstra": jonckheere_op,
+        "krippendorff_alpha": krippendorff_op,
         "spearman_corr": spearman_op,
         "uplift_curve": uplift_op,
         "flagship_join_agg": flagship,
