@@ -13835,6 +13835,186 @@ def q_distinctive_terms_src1(spark, sf_dir):
     )
 
 
+@_q(
+    "log_rank_events_parity",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g,
+             MIN(ts) AS first_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS purch_ts,
+             MAX(ts) AS last_ts
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    base AS (
+      SELECT g,
+             DATEDIFF('day', first_ts, COALESCE(purch_ts, last_ts)) AS t,
+             CASE WHEN purch_ts IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM u),
+    per AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(e) AS BIGINT) AS dd
+            FROM base GROUP BY 1, 2),
+    times AS (SELECT DISTINCT t FROM per),
+    arms AS (SELECT DISTINCT g FROM per),
+    ga AS (SELECT MIN(g) AS g_a FROM arms),
+    grid AS (SELECT a.g, s.t, COALESCE(p.c, 0) AS c,
+                    COALESCE(p.dd, 0) AS dd
+             FROM times s CROSS JOIN arms a
+             LEFT JOIN per p ON p.g = a.g AND p.t = s.t),
+    cum AS (SELECT g, t, c, dd,
+                   SUM(c) OVER (PARTITION BY g ORDER BY t) AS cumv,
+                   SUM(c) OVER (PARTITION BY g) AS n
+            FROM grid),
+    risk AS (SELECT g, t, dd, n - cumv + c AS nr FROM cum),
+    pt AS (SELECT t,
+                  CAST(SUM(CASE WHEN g = (SELECT g_a FROM ga)
+                                THEN nr ELSE 0 END) AS BIGINT) AS na,
+                  CAST(SUM(CASE WHEN g = (SELECT g_a FROM ga)
+                                THEN dd ELSE 0 END) AS BIGINT) AS da,
+                  CAST(SUM(nr) AS BIGINT) AS nt,
+                  CAST(SUM(dd) AS BIGINT) AS dt
+           FROM risk GROUP BY t),
+    terms AS (
+      SELECT da, nt,
+             CAST(ROUND(CAST(dt AS DOUBLE) * CAST(na AS DOUBLE)
+                        / CAST(nt AS DOUBLE) * 1e6)
+                  AS DECIMAL(38,0)) AS eq,
+             CAST(ROUND(CASE WHEN nt > 1
+                  THEN CAST(dt AS DOUBLE)
+                       * (CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))
+                       * (1.0 - CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))
+                       * (CAST(nt AS DOUBLE) - CAST(dt AS DOUBLE))
+                       / (CAST(nt AS DOUBLE) - 1.0)
+                  ELSE 0.0 END * 1e6) AS DECIMAL(38,0)) AS vq
+      FROM pt),
+    agg AS (SELECT CAST(SUM(da) AS BIGINT) AS o_a, SUM(eq) AS eqs,
+                   SUM(vq) AS vqs, CAST(MAX(nt) AS BIGINT) AS n_total
+            FROM terms),
+    fin AS (SELECT o_a, n_total,
+                   CAST(eqs AS DOUBLE) / 1e6 AS e_a,
+                   CAST(vqs AS DOUBLE) / 1e6 AS v_a
+            FROM agg)
+    SELECT (SELECT g_a FROM ga) AS group_a, n_total, o_a, e_a, v_a,
+           CASE WHEN v_a > 0
+                THEN (CAST(o_a AS DOUBLE) - e_a) / SQRT(v_a) END AS z,
+           CASE WHEN v_a > 0
+                THEN ((CAST(o_a AS DOUBLE) - e_a) / SQRT(v_a))
+                     * ((CAST(o_a AS DOUBLE) - e_a) / SQRT(v_a))
+           END AS chi2
+    FROM fin
+    """,
+)
+def q_log_rank_events_parity(spark, sf_dir):
+    # Mantel-Cox log-rank over time-to-first-purchase per user,
+    # right-censored at last activity, arms = the id-parity
+    # assignment (a deterministic hash split): do the two arms
+    # convert on different time curves?  Pooled event-time grid via
+    # the shared two-phase cum machinery, exact integer
+    # at-risk/death counts, micro-quantized E/V sums
+    from bubbles_spark.ops import insights
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    u = e.groupBy(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("g"),
+    ).agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purch_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    base = u.select(
+        "g",
+        F.datediff(
+            F.coalesce("purch_ts", "last_ts"), F.col("first_ts")
+        ).alias("t"),
+        F.col("purch_ts").isNotNull().cast("int").alias("e"),
+    )
+    return insights.log_rank_test(base, "t", "e", "g")
+
+
+@_q(
+    "wilcoxon_events_purchase_click",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+               / COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS a,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+               / COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS b
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id
+    ),
+    d AS (SELECT a - b AS dv FROM per
+          WHERE a IS NOT NULL AND b IS NOT NULL AND a - b <> 0),
+    b2 AS (SELECT ABS(dv) AS v, dv > 0 AS pos FROM d),
+    pv AS (SELECT v, COUNT(*) AS c FROM b2 GROUP BY v),
+    cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cumv FROM pv),
+    posc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cp
+             FROM b2 WHERE pos GROUP BY v),
+    w AS (SELECT SUM(CAST(COALESCE(p.cp, 0) AS DECIMAL(38,0))
+                     * (2 * cum.cumv - cum.c + 1)) AS w2,
+                 CAST(SUM(cum.c) AS BIGINT) AS n,
+                 SUM(CAST(cum.c AS DECIMAL(38,0)) * cum.c * cum.c
+                     - cum.c) AS tie3
+          FROM cum LEFT JOIN posc p USING (v)),
+    f AS (SELECT n, w2, CAST(n AS DOUBLE) AS nd,
+                 CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+                 CAST(tie3 AS DOUBLE) AS t3
+          FROM w)
+    SELECT n, CAST(w2 AS BIGINT) AS w2_plus,
+           CASE WHEN n > 0 THEN w_plus END AS w_plus,
+           CASE WHEN n > 0 THEN nd * (nd + 1.0) / 4.0 END AS mean_w,
+           CASE WHEN n > 0
+                 AND nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+                     - t3 / 48.0 > 0
+                THEN (w_plus - nd * (nd + 1.0) / 4.0)
+                     / SQRT(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0
+                            - t3 / 48.0)
+           END AS z
+    FROM f
+    """,
+)
+def q_wilcoxon_events_purchase_click(spark, sf_dir):
+    # Wilcoxon signed-rank on the same per-user purchase-vs-click
+    # pairing as paired_t_events_purchase_click — the nonparametric
+    # twin for skewed differences: doubled integer average ranks on
+    # |d| via the shared value-count machinery, exact tie correction
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,4)"),
+                )
+            ).cast("double")
+            / F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+        ).alias("a"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast("decimal(18,4)"),
+                )
+            ).cast("double")
+            / F.count(F.when(F.col("event_type") == "click", F.lit(1)))
+        ).alias("b"),
+    )
+    return stattests.wilcoxon_signed_rank(per, "a", "b")
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

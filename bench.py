@@ -307,6 +307,8 @@ BENCH_QUERIES = [
     "jonckheere_orders_priority",
     "krippendorff_events",
     "distinctive_terms_src1",
+    "log_rank_events_parity",
+    "wilcoxon_events_purchase_click",
 ]
 
 

@@ -1120,3 +1120,121 @@ def diversity_report(
         (F.col("__maxc").cast("double") / nd).alias("berger_parker"),
         "shannon",
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Log-rank (Mantel–Cox) test — "do the two arms' survival curves
+    differ?" (Mantel 1966, public): the inferential companion to
+    ``km_risk_table``/``nelson_aalen``.  At every pooled event time
+    the observed deaths in arm A are compared to the hypergeometric
+    expectation given the pooled deaths and the at-risk split;
+    ``z = (O_A − E_A)/√V`` and ``chi2 = z²``.
+
+    Exactly TWO groups (raises otherwise — the k-arm version needs
+    the full covariance matrix; run pairwise with ``fdr_correct``
+    for multiplicity).  Arm A is the lexicographically smaller group.
+
+    At-risk counts at POOLED times (each arm must be evaluated at the
+    other arm's event times too) come from a zero-filled
+    (distinct pooled durations × 2 arms) grid cumulated by the shared
+    two-phase machinery (``drift._cum_counts_table`` — no single-task
+    sort at any distinct-duration count):
+    ``n_at_risk = n_arm − cum_leaving + leaving_here``.
+
+    Exactness: every count is an exact integer; the per-time
+    expectation ``D·n_A/N`` and variance
+    ``D·(n_A/N)·(1−n_A/N)·(N−D)/(N−1)`` are fixed IEEE sequences on
+    exact operands, micro-quantized to integer DECIMALs before the
+    cross-time sums (the ``kruskal_wallis`` budget); O_A is an exact
+    BIGINT.  Zero total variance (no deaths, or one arm always alone
+    at risk) yields NULL z/chi2.
+
+    Output (one row): group_a (string), n_total, o_a (bigint),
+    e_a, v_a, z, chi2 (double)."""
+    from bubbles_spark.ops.drift import _cum_counts_table
+
+    ev = F.col(event_col).cast("int")
+    base = df.filter(
+        F.col(duration_col).isNotNull()
+        & ev.isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("__grp"),
+        F.col(duration_col).cast("bigint").alias("__t"),
+        ev.alias("__e"),
+    )
+    groups = [
+        r["__grp"]
+        for r in base.select("__grp").distinct().orderBy("__grp").collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(
+            f"log_rank_test: exactly 2 groups required, got {len(groups)}"
+        )
+    g_a = groups[0]
+    per = base.groupBy("__grp", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__leave"),
+        F.sum("__e").cast("bigint").alias("__d"),
+    )
+    times = per.select("__t").distinct()
+    arms = per.select("__grp").distinct()
+    grid = (
+        times.crossJoin(F.broadcast(arms))
+        .join(per, ["__grp", "__t"], "left")
+        .select(
+            "__grp",
+            "__t",
+            F.coalesce("__leave", F.lit(0)).alias("__c"),
+            F.coalesce("__d", F.lit(0)).alias("__dd"),
+        )
+    )
+    cum = _cum_counts_table(grid, "__grp", "__t")
+    risk = cum.select(
+        "__grp",
+        "__t",
+        "__dd",
+        (F.col("__n") - F.col("__cum") + F.col("__c")).alias("__nr"),
+    )
+    is_a = (F.col("__grp") == F.lit(g_a)).cast("bigint")
+    per_time = risk.groupBy("__t").agg(
+        F.sum(F.col("__nr") * is_a).cast("bigint").alias("__na"),
+        F.sum(F.col("__dd") * is_a).cast("bigint").alias("__da"),
+        F.sum("__nr").cast("bigint").alias("__nt"),
+        F.sum("__dd").cast("bigint").alias("__dt"),
+    )
+    na = F.col("__na").cast("double")
+    nt = F.col("__nt").cast("double")
+    dt = F.col("__dt").cast("double")
+    e_term = dt * na / nt
+    v_term = F.when(
+        F.col("__nt") > 1,
+        dt
+        * (na / nt)
+        * (F.lit(1.0) - na / nt)
+        * (nt - dt)
+        / (nt - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")  # noqa: E731
+    agg = per_time.agg(
+        F.sum("__da").cast("bigint").alias("o_a"),
+        F.sum(q(e_term)).alias("__eq"),
+        F.sum(q(v_term)).alias("__vq"),
+        F.max("__nt").cast("bigint").alias("n_total"),
+    )
+    e_a = F.col("__eq").cast("double") / F.lit(1e6)
+    v_a = F.col("__vq").cast("double") / F.lit(1e6)
+    z = (F.col("o_a").cast("double") - e_a) / F.sqrt(v_a)
+    return agg.select(
+        F.lit(g_a).alias("group_a"),
+        "n_total",
+        "o_a",
+        e_a.alias("e_a"),
+        v_a.alias("v_a"),
+        F.when(v_a > 0, z).alias("z"),
+        F.when(v_a > 0, z * z).alias("chi2"),
+    )

@@ -52,6 +52,7 @@ __all__ = [
     "mood_median_test",
     "jonckheere_terpstra",
     "krippendorff_alpha",
+    "wilcoxon_signed_rank",
 ]
 
 
@@ -2087,4 +2088,86 @@ def krippendorff_alpha(
         F.when(F.col("n_units") > 0, d_o).alias("d_o"),
         F.when(F.col("n_units") > 0, d_e).alias("d_e"),
         F.when(ok, F.lit(1.0) - d_o / d_e).alias("alpha"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test — ``paired_t_test``'s nonparametric
+    sibling (Wilcoxon 1945, public): rank the |differences| of the
+    paired columns, sum the ranks of the positive ones, and compare
+    to the null where signs are coin flips.  The right paired test
+    when the differences are skewed or outlier-ridden.
+
+    Zero differences are dropped (the standard Wilcoxon reduction);
+    ties in |d| take average ranks — kept integral by DOUBLING
+    (``2·rank`` via the shared ``2·cum − c + 1`` identity on
+    per-|d|-value counts, the ``mann_whitney_u`` machinery — no
+    per-row ranking, no single-task sort).  ``W⁺`` stays a doubled
+    exact integer; the normal approximation
+    ``z = (2W⁺ − n(n+1)/2·…)`` uses the tie-corrected variance
+    ``n(n+1)(2n+1)/24 − Σ(t³−t)/48`` — all components exact integers
+    (DECIMAL(38,0)), then a fixed IEEE sequence.  n = 0 or zero
+    variance (all |d| tied in one group — impossible after the zero
+    drop unless n < 2) yields NULL z.
+
+    Output (one row): n (bigint, nonzero pairs), w2_plus (2·W⁺,
+    bigint), w_plus (double), mean_w (double), z (double)."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    dd = F.col(a_col).cast("double") - F.col(b_col).cast("double")
+    base = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .select(dd.alias("__d"))
+        .filter(F.col("__d") != 0)
+        .select(
+            F.abs(F.col("__d")).alias("__v"),
+            (F.col("__d") > 0).alias("__pos"),
+        )
+    )
+    cum = _grouped_cum_counts(
+        base.withColumn("__g", F.lit(0)), "__g", "__v"
+    ).select("__v", "__c", "__cum")
+    pos = base.filter(F.col("__pos")).groupBy("__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cp")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w2 = (
+        cum.join(pos, "__v", "left")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    d38(F.coalesce(F.col("__cp"), F.lit(0)))
+                    * (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__w2"),
+            # empty input (every difference zero): SUM is NULL, but
+            # the n = 0 / NULL-z contract needs a real zero
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(
+                F.sum(
+                    d38(F.col("__c")) * F.col("__c") * F.col("__c")
+                    - F.col("__c")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__tie3"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean_w = nd * (nd + F.lit(1.0)) / F.lit(4.0)
+    var_w = nd * (nd + F.lit(1.0)) * (F.lit(2.0) * nd + F.lit(1.0)) / F.lit(
+        24.0
+    ) - F.col("__tie3").cast("double") / F.lit(48.0)
+    w_plus = F.col("__w2").cast("double") / F.lit(2.0)
+    ok = (F.col("n") > 0) & (var_w > 0)
+    return w2.select(
+        "n",
+        F.col("__w2").cast("bigint").alias("w2_plus"),
+        F.when(F.col("n") > 0, w_plus).alias("w_plus"),
+        F.when(F.col("n") > 0, mean_w).alias("mean_w"),
+        F.when(ok, (w_plus - mean_w) / F.sqrt(var_w)).alias("z"),
     )

@@ -678,3 +678,54 @@ def test_diversity_report_hand_computed(spark):
     r1 = diversity_report(solo, "lang").collect()[0]
     assert r1["n_rows"] == 1 and r1["simpson"] is None
     assert r1["gini_simpson"] is None and r1["berger_parker"] == 1.0
+
+
+def test_log_rank_matches_hand(spark):
+    import math
+
+    import pytest
+
+    from bubbles_spark.ops import insights
+
+    a = [(6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1),
+         (10, 0), (11, 0), (13, 1)]
+    b = [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (8, 1), (8, 1),
+         (11, 1), (12, 1), (15, 1)]
+    rows = [("a", t, e) for t, e in a] + [("b", t, e) for t, e in b]
+    df = spark.createDataFrame(rows, "g string, t int, e int")
+    out = insights.log_rank_test(df, "t", "e", "g").collect()[0]
+    subj = rows
+    times = sorted({t for _, t, e in subj if e == 1})
+    obs = exp = var = 0.0
+    for t in times:
+        na = sum(1 for g, d, _ in subj if g == "a" and d >= t)
+        nb = sum(1 for g, d, _ in subj if g == "b" and d >= t)
+        da = sum(1 for g, d, e in subj if g == "a" and d == t and e == 1)
+        db = sum(1 for g, d, e in subj if g == "b" and d == t and e == 1)
+        nt, dt = na + nb, da + db
+        obs += da
+        exp += dt * na / nt
+        if nt > 1:
+            var += dt * (na / nt) * (1 - na / nt) * (nt - dt) / (nt - 1)
+    z = (obs - exp) / math.sqrt(var)
+    assert out["group_a"] == "a" and out["n_total"] == 20
+    assert out["o_a"] == int(obs)
+    assert out["e_a"] == pytest.approx(exp, abs=1e-5)
+    assert out["v_a"] == pytest.approx(var, abs=1e-5)
+    assert out["z"] == pytest.approx(z, abs=1e-5)
+    assert out["chi2"] == pytest.approx(z * z, abs=1e-4)
+
+    # not-2-groups contract is loud
+    three = spark.createDataFrame(
+        [("a", 1, 1), ("b", 2, 1), ("c", 3, 1)], "g string, t int, e int"
+    )
+    with pytest.raises(ValueError):
+        insights.log_rank_test(three, "t", "e", "g")
+
+    # identical arms -> z ~ 0 (and never NULL when deaths exist)
+    same = spark.createDataFrame(
+        [("a", t, 1) for t in (1, 2, 3)] + [("b", t, 1) for t in (1, 2, 3)],
+        "g string, t int, e int",
+    )
+    r = insights.log_rank_test(same, "t", "e", "g").collect()[0]
+    assert r["z"] == pytest.approx(0.0, abs=1e-9)

@@ -879,3 +879,34 @@ def test_krippendorff_alpha_matches_hand(spark):
         stattests.krippendorff_alpha(mono, "u", "l").collect()[0]["alpha"]
         is None
     )
+
+
+def test_wilcoxon_signed_rank_matches_hand(spark):
+    from collections import Counter
+
+    pairs = [
+        (5.0, 3.0), (4.0, 4.0), (7.0, 2.0), (1.0, 6.0), (9.0, 8.0),
+        (3.0, 3.0), (2.0, 7.0), (8.0, 3.0), (6.0, 1.0), (4.0, 9.0),
+    ]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    out = stattests.wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    ds = [x - y for x, y in pairs if x != y]  # zero diffs dropped
+    n = len(ds)
+    cnt = Counter(abs(d) for d in ds)
+    cum = 0
+    rank = {}
+    for v in sorted(cnt):
+        rank[v] = (2 * cum + cnt[v] + 1) / 2  # average rank
+        cum += cnt[v]
+    w = sum(rank[abs(d)] for d in ds if d > 0)
+    mean = n * (n + 1) / 4
+    tie3 = sum(c ** 3 - c for c in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    assert out["n"] == n and out["w2_plus"] == int(2 * w)
+    assert out["w_plus"] == w and out["mean_w"] == mean
+    assert out["z"] == pytest.approx((w - mean) / math.sqrt(var), abs=1e-12)
+
+    # all differences zero -> n = 0 -> NULL z
+    flat = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "x double, y double")
+    r0 = stattests.wilcoxon_signed_rank(flat, "x", "y").collect()[0]
+    assert r0["n"] == 0 and r0["z"] is None

@@ -1373,6 +1373,21 @@ CHECKS = [
         [(r"CartesianProduct", "token totals broadcast, nothing products"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        # 2-arm broadcast onto the pooled duration grid; nothing may
+        # cartesian and no Python touches the survival machinery
+        "log_rank_events_parity",
+        [(r"Functions \[\d+\]: \[partial_", "per-(arm,duration) counts partial-aggregate map-side"),
+         (r"BroadcastExchange", "2-row arms table + 1-row folds broadcast")],
+        [(r"CartesianProduct", "no unkeyed data-sized product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "wilcoxon_events_purchase_click",
+        [(r"Functions \[\d+\]: \[partial_", "per-|d|-value counts partial-aggregate map-side")],
+        [(r"CartesianProduct", "rank machinery is value-keyed, nothing products"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 

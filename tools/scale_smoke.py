@@ -776,6 +776,44 @@ def main() -> int:
             t["events"], "user_id", "event_type"
         )
 
+    def log_rank_op(t):
+        # distinct durations grow k x (per-copy shifted values feed
+        # distinct day buckets); the (duration x 2 arms) grid and its
+        # two-phase cum must stay ~linear
+        from bubbles_spark.ops import insights
+
+        e = _drift_events(t)
+        surv = e.select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("even"))
+            .otherwise(F.lit("odd"))
+            .alias("g"),
+            F.floor(F.col("__v")).cast("bigint").alias("t"),
+            (F.col("event_type") == "purchase").cast("int").alias("e"),
+        ).filter(F.col("t").isNotNull())
+        return insights.log_rank_test(surv, "t", "e", "g")
+
+    def wilcoxon_op(t):
+        # pairs (users) grow k x; |d| distinct values grow with them;
+        # the value-count rank machinery must stay ~linear
+        from bubbles_spark.ops import stattests
+
+        e = t["events"].filter(F.col("value").isNotNull())
+        per = e.groupBy("user_id").agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,4)"),
+                )
+            ).cast("double").alias("a"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast("decimal(18,4)"),
+                )
+            ).cast("double").alias("b"),
+        )
+        return stattests.wilcoxon_signed_rank(per, "a", "b")
+
     REL_OPS = {
         "global_rank_bigpath": global_rank_bigpath_op,
         "kendall_tau_by_daily": kendall_tau_by_op,
@@ -784,6 +822,8 @@ def main() -> int:
         "mood_median_test": mood_median_op,
         "jonckheere_terpstra": jonckheere_op,
         "krippendorff_alpha": krippendorff_op,
+        "log_rank_test": log_rank_op,
+        "wilcoxon_signed_rank": wilcoxon_op,
         "spearman_corr": spearman_op,
         "uplift_curve": uplift_op,
         "flagship_join_agg": flagship,
