@@ -14015,6 +14015,122 @@ def q_wilcoxon_events_purchase_click(spark, sf_dir):
     return stattests.wilcoxon_signed_rank(per, "a", "b")
 
 
+@_q(
+    "pettitt_events_value",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS t,
+                      SUM(CAST(value AS DECIMAL(28,8))) AS s,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    l AS (SELECT t, CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                         AS DECIMAL(38,10)) AS m
+          FROM b),
+    pv AS (SELECT m, COUNT(*) AS c FROM l GROUP BY m),
+    rk AS (SELECT m, 2 * SUM(c) OVER (ORDER BY m) - c + 1 AS d2
+           FROM pv),
+    c AS (SELECT l.t,
+                 ROW_NUMBER() OVER wo AS i,
+                 SUM(rk.d2) OVER wc AS cd,
+                 COUNT(*) OVER () AS nb
+          FROM l JOIN rk USING (m)
+          WINDOW wo AS (ORDER BY t),
+                 wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+    cand AS (SELECT t AS split_ts,
+                    CAST(nb AS BIGINT) AS n_buckets,
+                    CAST(ABS(cd - i * (nb + 1)) AS BIGINT) AS k_stat,
+                    CAST(cd - i * (nb + 1) AS BIGINT) AS u_at_split
+             FROM c WHERE i < nb)
+    SELECT * FROM cand ORDER BY k_stat DESC, split_ts LIMIT 1
+    """,
+)
+def q_pettitt_events_value(spark, sf_dir):
+    # rank-based single-changepoint locator over the hourly mean
+    # series — changepoint_events_value's outlier-immune sibling:
+    # doubled integer pooled ranks, exact integer prefix statistic,
+    # earliest-argmax tie-break
+    from bubbles_spark.ops import events as ev
+
+    e = _t(spark, sf_dir, "events")
+    return ev.pettitt_test(e, "ts", "value", "1 hour")
+
+
+@_q(
+    "mantel_haenszel_events",
+    """
+    WITH base AS (
+      SELECT event_type AS s,
+             CAST(user_id % 2 AS INTEGER) AS t,
+             CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL),
+    per AS (SELECT s,
+                   CAST(SUM(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN t = 0 AND y = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM base GROUP BY s),
+    terms AS (
+      SELECT a, a + b + c + d AS n,
+             CAST(ROUND(CAST(CAST(a AS DECIMAL(38,0)) * d AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE) * 1e6)
+                  AS DECIMAL(38,0)) AS rq,
+             CAST(ROUND(CAST(CAST(b AS DECIMAL(38,0)) * c AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE) * 1e6)
+                  AS DECIMAL(38,0)) AS sq,
+             CAST(ROUND(CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c)
+                             AS DOUBLE)
+                        / CAST(a + b + c + d AS DOUBLE) * 1e6)
+                  AS DECIMAL(38,0)) AS eq,
+             CAST(ROUND(CASE WHEN a + b + c + d > 1
+                  THEN CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d)
+                            * (a + c) * (b + d) AS DOUBLE)
+                       / (CAST(a + b + c + d AS DOUBLE)
+                          * CAST(a + b + c + d AS DOUBLE)
+                          * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+                  ELSE 0.0 END * 1e6) AS DECIMAL(38,0)) AS vq
+      FROM per),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                   CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(SUM(a) AS BIGINT) AS sum_a,
+                   SUM(rq) AS r, SUM(sq) AS ss,
+                   SUM(eq) AS e, SUM(vq) AS v
+            FROM terms),
+    fin AS (SELECT n_strata, n_total, sum_a,
+                   CAST(r AS DOUBLE) / 1e6 AS rr,
+                   CAST(ss AS DOUBLE) / 1e6 AS sd,
+                   CAST(e AS DOUBLE) / 1e6 AS ed,
+                   CAST(v AS DOUBLE) / 1e6 AS vd
+            FROM agg)
+    SELECT n_strata, n_total, sum_a,
+           CASE WHEN sd > 0 THEN rr / sd END AS or_mh,
+           CASE WHEN vd > 0
+                THEN (ABS(CAST(sum_a AS DOUBLE) - ed) - 0.5)
+                     * (ABS(CAST(sum_a AS DOUBLE) - ed) - 0.5) / vd
+           END AS chi2_mh
+    FROM fin
+    """,
+)
+def q_mantel_haenszel_events(spark, sf_dir):
+    # confounder-adjusted A/B readout: does the id-parity "treatment"
+    # associate with high-value events AFTER controlling for event
+    # type?  Exact per-stratum 2x2 margins, micro-quantized pooled
+    # terms, continuity-corrected MH chi-square
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select(
+        F.col("event_type").alias("s"),
+        (F.col("user_id") % 2).cast("int").alias("t"),
+        (F.col("value") > 100).cast("int").alias("y"),
+    )
+    return stattests.mantel_haenszel(base, "s", "t", "y")
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

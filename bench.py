@@ -309,6 +309,8 @@ BENCH_QUERIES = [
     "distinctive_terms_src1",
     "log_rank_events_parity",
     "wilcoxon_events_purchase_click",
+    "pettitt_events_value",
+    "mantel_haenszel_events",
 ]
 
 

@@ -2595,3 +2595,85 @@ def cusum_alarms(
         (s_pos > h).alias("alarm_pos"),
         (s_neg > h).alias("alarm_neg"),
     )
+
+
+def pettitt_test(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Pettitt change-point test (Pettitt 1979, public) — the
+    rank-based single-changepoint locator: where does the series
+    split into two halves one of which is stochastically larger?
+    The nonparametric companion to ``changepoint_report`` (mean-shift
+    CUSUM): immune to outliers and monotone transforms.
+
+    Series = per-``interval`` bucket means (the changepoint_report
+    normal form — calendar-bounded, so everything after the first
+    fold is metadata-sized).  With pooled DOUBLED average ranks
+    ``D_i = 2·R_i`` (integral under ties via the shared
+    ``2·cum − c + 1`` identity), the Mann–Whitney-ish prefix
+    statistic is ``U_t = Σ_{i≤t} D_i − t·(N+1)`` (the sgn-pair form
+    exactly, ties included — property-tested against the brute-force
+    double sum) — an exact integer cumsum; ``K = max_t |U_t|`` over
+    interior boundaries,
+    earliest argmax on ties.  The exp-based approximate p-value is
+    NOT emitted (JVM-vs-libm transcendental parity, the psi_bin
+    policy) — feed ``k_stat``/``n_buckets`` to the caller's own
+    threshold, or pin p in tests.
+
+    Exactness: bucket means are exact-decimal sums with one IEEE
+    division rounded once into DECIMAL (the changepoint_report
+    idiom); ranks, the doubled prefix statistic, and K are exact
+    integers end-to-end.
+
+    Output (one row): split_ts (last bucket of the left segment),
+    n_buckets, k_stat (bigint), u_at_split (bigint)."""
+    v = F.col(value_col)
+    buckets = (
+        df.filter(v.isNotNull())
+        .groupBy(F.window(ts_col, interval).alias("__w"))
+        .agg(
+            F.sum(v.cast("decimal(28,8)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            F.col("__w.start").alias("__t"),
+            (
+                F.col("__s").cast("double") / F.col("__n").cast("double")
+            ).cast("decimal(38,10)").alias("__m"),
+        )
+    )
+    # pooled doubled average ranks of the bucket means
+    pv = buckets.groupBy("__m").agg(F.count(F.lit(1)).alias("__c"))
+    w_val = Window.orderBy("__m").rowsBetween(Window.unboundedPreceding, 0)
+    ranks = pv.withColumn("__cum", F.sum("__c").over(w_val)).select(
+        "__m",
+        (F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)).alias("__d2"),
+    )
+    w_time = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    staged = (
+        buckets.join(ranks, "__m")
+        .withColumn("__i", F.count(F.lit(1)).over(w_time))
+        .withColumn("__cd", F.sum("__d2").over(w_time))
+        .withColumn("__nb", F.count(F.lit(1)).over(w_all))
+    )
+    u2 = F.col("__cd") - F.col("__i") * (F.col("__nb") + F.lit(1))
+    cand = staged.filter(F.col("__i") < F.col("__nb")).select(
+        F.col("__t").alias("split_ts"),
+        F.col("__nb").cast("bigint").alias("n_buckets"),
+        F.abs(u2).cast("bigint").alias("__k"),
+        u2.cast("bigint").alias("u_at_split"),
+    )
+    return (
+        cand.orderBy(F.col("__k").desc(), F.col("split_ts"))
+        .limit(1)
+        .select(
+            "split_ts",
+            "n_buckets",
+            F.col("__k").alias("k_stat"),
+            "u_at_split",
+        )
+    )

@@ -53,6 +53,7 @@ __all__ = [
     "jonckheere_terpstra",
     "krippendorff_alpha",
     "wilcoxon_signed_rank",
+    "mantel_haenszel",
 ]
 
 
@@ -2170,4 +2171,97 @@ def wilcoxon_signed_rank(
         F.when(F.col("n") > 0, w_plus).alias("w_plus"),
         F.when(F.col("n") > 0, mean_w).alias("mean_w"),
         F.when(ok, (w_plus - mean_w) / F.sqrt(var_w)).alias("z"),
+    )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio + test across strata
+    (Mantel & Haenszel 1959, public) — the confounder-adjusted A/B
+    readout: "does treatment associate with the outcome AFTER
+    controlling for the stratifying variable?"  Per stratum the 2×2
+    table (a, b, c, d; n = a+b+c+d) contributes
+    ``a·d/n`` and ``b·c/n`` to the pooled ratio
+    ``OR_MH = Σ(a·d/n)/Σ(b·c/n)``, and the continuity-corrected
+    chi-square is ``(|Σa − ΣE| − ½)²/ΣV`` with the hypergeometric
+    ``E = (a+b)(a+c)/n`` and
+    ``V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1))``.
+
+    Exactness: cell counts and every margin product are exact
+    integers (DECIMAL(38,0)); each per-stratum term is a fixed IEEE
+    sequence on exact operands, micro-quantized to an integer DECIMAL
+    before the cross-strata sums (the ``kruskal_wallis`` budget); the
+    finish is three divisions and one subtraction.  Σ(b·c/n) = 0
+    yields NULL OR; ΣV = 0 yields NULL chi2.
+
+    Scale: one (stratum)-keyed conditional-count aggregate (map-side
+    combined), then a strata-sized fold — nothing data-sized past the
+    first shuffle.
+
+    Output (one row): n_strata, n_total (bigint), sum_a (bigint),
+    or_mh, chi2_mh (double)."""
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    base = df.filter(
+        F.col(stratum_col).isNotNull() & t.isNotNull() & y.isNotNull()
+    ).select(
+        F.col(stratum_col).alias("__s"), t.alias("__t"), y.alias("__y")
+    )
+    per = base.groupBy("__s").agg(
+        F.sum(((F.col("__t") == 1) & (F.col("__y") == 1)).cast("bigint"))
+        .cast("bigint")
+        .alias("__a"),
+        F.sum(((F.col("__t") == 1) & (F.col("__y") == 0)).cast("bigint"))
+        .cast("bigint")
+        .alias("__b"),
+        F.sum(((F.col("__t") == 0) & (F.col("__y") == 1)).cast("bigint"))
+        .cast("bigint")
+        .alias("__c"),
+        F.sum(((F.col("__t") == 0) & (F.col("__y") == 0)).cast("bigint"))
+        .cast("bigint")
+        .alias("__d"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")
+    nd = n.cast("double")
+    r_term = (d38(F.col("__a")) * F.col("__d")).cast("double") / nd
+    s_term = (d38(F.col("__b")) * F.col("__c")).cast("double") / nd
+    e_term = (
+        d38(F.col("__a") + F.col("__b")) * (F.col("__a") + F.col("__c"))
+    ).cast("double") / nd
+    v_term = F.when(
+        n > 1,
+        (
+            d38(F.col("__a") + F.col("__b"))
+            * (F.col("__c") + F.col("__d"))
+            * (F.col("__a") + F.col("__c"))
+            * (F.col("__b") + F.col("__d"))
+        ).cast("double")
+        / (nd * nd * (nd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")  # noqa: E731
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(n).cast("bigint").alias("n_total"),
+        F.sum("__a").cast("bigint").alias("sum_a"),
+        F.sum(q(r_term)).alias("__r"),
+        F.sum(q(s_term)).alias("__ss"),
+        F.sum(q(e_term)).alias("__e"),
+        F.sum(q(v_term)).alias("__v"),
+    )
+    rr = F.col("__r").cast("double") / F.lit(1e6)
+    ss = F.col("__ss").cast("double") / F.lit(1e6)
+    ee = F.col("__e").cast("double") / F.lit(1e6)
+    vv = F.col("__v").cast("double") / F.lit(1e6)
+    dev = F.abs(F.col("sum_a").cast("double") - ee) - F.lit(0.5)
+    return agg.select(
+        "n_strata",
+        "n_total",
+        "sum_a",
+        F.when(ss > 0, rr / ss).alias("or_mh"),
+        F.when(vv > 0, dev * dev / vv).alias("chi2_mh"),
     )

@@ -325,3 +325,39 @@ def test_cusum_alarms_matches_recurrence(spark):
     # key b's level shift down then up trips both sides at some point
     b_rows = out.filter(F.col("k") == "b").collect()
     assert any(r["alarm_neg"] for r in b_rows)
+
+
+def test_pettitt_matches_bruteforce(spark):
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from bubbles_spark.ops import events
+
+    # level shift at bucket 10, with tied values and an outlier the
+    # rank statistic must shrug off
+    vals = [5.0] * 6 + [5.0, 6.0, 5.0, 900.0] + [9.0] * 10
+    rows = [
+        (datetime(2024, 1, 1) + timedelta(hours=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, value double")
+    out = events.pettitt_test(df, "ts", "value", "1 hour").collect()[0]
+
+    # brute-force sgn-pair U_t over interior boundaries
+    n = len(vals)
+    best = None
+    for t in range(1, n):
+        u = sum(
+            (vals[i] > vals[j]) - (vals[i] < vals[j])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if best is None or abs(u) > best[0]:
+            best = (abs(u), t, u)
+    assert out["n_buckets"] == n
+    assert out["k_stat"] == best[0]
+    assert out["u_at_split"] == best[2]
+    # split_ts = last bucket of the left segment = index t-1
+    assert out["split_ts"] == datetime(2024, 1, 1) + timedelta(
+        hours=best[1] - 1
+    )

@@ -910,3 +910,48 @@ def test_wilcoxon_signed_rank_matches_hand(spark):
     flat = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "x double, y double")
     r0 = stattests.wilcoxon_signed_rank(flat, "x", "y").collect()[0]
     assert r0["n"] == 0 and r0["z"] is None
+
+
+def test_mantel_haenszel_matches_hand(spark):
+    import random
+    from collections import defaultdict
+
+    random.seed(42)
+    rows = []
+    for s in ("x", "y", "z"):
+        for _ in range(60):
+            t = random.randint(0, 1)
+            p = 0.3 + 0.2 * t + (0.2 if s == "x" else 0.0)
+            rows.append((s, t, 1 if random.random() < p else 0))
+    df = spark.createDataFrame(rows, "s string, t int, y int")
+    out = stattests.mantel_haenszel(df, "s", "t", "y").collect()[0]
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for s, t, y in rows:
+        idx = (
+            0 if (t, y) == (1, 1) else 1 if (t, y) == (1, 0)
+            else 2 if (t, y) == (0, 1) else 3
+        )
+        cells[s][idx] += 1
+    rr = ss = ee = vv = aa = 0.0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        rr += a * d / n
+        ss += b * c / n
+        aa += a
+        ee += (a + b) * (a + c) / n
+        if n > 1:
+            vv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    assert out["n_strata"] == 3 and out["n_total"] == 180
+    assert out["sum_a"] == int(aa)
+    assert out["or_mh"] == pytest.approx(rr / ss, abs=1e-5)
+    assert out["chi2_mh"] == pytest.approx(
+        (abs(aa - ee) - 0.5) ** 2 / vv, abs=1e-4
+    )
+
+    # one arm never fails -> sum(b*c/n) can be 0 -> NULL OR
+    degen = spark.createDataFrame(
+        [("s", 1, 1), ("s", 1, 1), ("s", 0, 1), ("s", 0, 1)],
+        "s string, t int, y int",
+    )
+    r = stattests.mantel_haenszel(degen, "s", "t", "y").collect()[0]
+    assert r["or_mh"] is None and r["chi2_mh"] is None

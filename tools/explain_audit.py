@@ -1388,6 +1388,21 @@ CHECKS = [
         [(r"CartesianProduct", "rank machinery is value-keyed, nothing products"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        # everything after the bucket fold is buckets-sized; the rank
+        # join keys on the bucket mean
+        "pettitt_events_value",
+        [(r"Functions \[\d+\]: \[partial_", "bucket sums partial-aggregate map-side"),
+         (r"TakeOrderedAndProject", "argmax is TakeOrdered — no full sort")],
+        [(r"CartesianProduct", "no product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "mantel_haenszel_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-stratum 2x2 margins partial-aggregate map-side")],
+        [(r"Join", "no join at all — one keyed aggregate, one fold"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 
