@@ -14131,6 +14131,164 @@ def q_mantel_haenszel_events(spark, sf_dir):
     return stattests.mantel_haenszel(base, "s", "t", "y")
 
 
+@_q(
+    "runs_test_events_value",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS t,
+                      SUM(CAST(value AS DECIMAL(28,8))) AS s,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    l AS (SELECT t, CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                         AS DECIMAL(38,10)) AS m
+          FROM b),
+    pv AS (SELECT m, COUNT(*) AS c FROM l GROUP BY m),
+    cum AS (SELECT m, SUM(c) OVER (ORDER BY m) AS cumv,
+                   SUM(c) OVER () AS nb FROM pv),
+    med AS (SELECT MIN(m) AS medv FROM cum WHERE 2 * cumv >= nb),
+    signs AS (SELECT t, m > (SELECT medv FROM med) AS up
+              FROM l WHERE m <> (SELECT medv FROM med)),
+    flips AS (SELECT up,
+                     CASE WHEN up <> LAG(up) OVER (ORDER BY t)
+                          THEN 1 ELSE 0 END AS chg
+              FROM signs),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_above,
+                   CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_below,
+                   CAST(COALESCE(SUM(chg), 0) + 1 AS BIGINT) AS n_runs
+            FROM flips),
+    fin AS (SELECT n_buckets, n_above, n_below, n_runs,
+                   CAST(CAST(n_above AS DECIMAL(38,0)) * n_below * 2
+                        AS DOUBLE) AS t2,
+                   CAST(n_above + n_below AS DOUBLE) AS nd
+            FROM agg)
+    SELECT n_buckets, n_above, n_below, n_runs,
+           CASE WHEN n_above > 0 AND n_below > 0
+                 AND n_above + n_below > 1
+                 AND t2 * (t2 - nd) / (nd * nd * (nd - 1.0)) > 0
+                THEN (CAST(n_runs AS DOUBLE) - (t2 / nd + 1.0))
+                     / SQRT(t2 * (t2 - nd) / (nd * nd * (nd - 1.0)))
+           END AS z
+    FROM fin
+    """,
+)
+def q_runs_test_events_value(spark, sf_dir):
+    # randomness gate for the hourly mean series: exact grand median,
+    # above/below sign sequence, runs counted by one LAG window over
+    # the bucket table, exact integer products in the z
+    from bubbles_spark.ops import events as ev
+
+    e = _t(spark, sf_dir, "events")
+    return ev.runs_test(e, "ts", "value", "1 hour")
+
+
+@_q(
+    "durbin_watson_events_value",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS t,
+                      SUM(CAST(value AS DECIMAL(28,8))) AS s,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    l AS (SELECT t, CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                         AS DECIMAL(28,10)) AS m
+          FROM b),
+    g AS (SELECT t, m - CAST(CAST(SUM(m) OVER () AS DOUBLE)
+                             / CAST(COUNT(*) OVER () AS DOUBLE)
+                             AS DECIMAL(28,10)) AS e
+          FROM l),
+    lg AS (SELECT e, LAG(e) OVER (ORDER BY t) AS ep FROM g),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   SUM(CAST(ROUND(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)
+                                  * 1e6) AS DECIMAL(38,0))) AS den,
+                   SUM(CASE WHEN ep IS NOT NULL THEN
+                       CAST(ROUND(CAST(e - ep AS DOUBLE)
+                                  * CAST(e - ep AS DOUBLE) * 1e6)
+                            AS DECIMAL(38,0)) END) AS num
+            FROM lg)
+    SELECT n_buckets,
+           CASE WHEN n_buckets > 1 AND CAST(den AS DOUBLE) > 0
+                THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+           END AS dw_stat
+    FROM agg
+    """,
+)
+def q_durbin_watson_events_value(spark, sf_dir):
+    # first-order autocorrelation gate for the hourly mean series:
+    # exact-decimal demeaning, one LAG window over the bucket table,
+    # micro-quantized squared sums, one final division
+    from bubbles_spark.ops import events as ev
+
+    e = _t(spark, sf_dir, "events")
+    return ev.durbin_watson(e, "ts", "value", "1 hour")
+
+
+@_q(
+    "anderson_darling_events",
+    """
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    cgv AS (SELECT g, v, COUNT(*) AS cg FROM base GROUP BY 1, 2),
+    vals AS (SELECT v, SUM(cg) AS l FROM cgv GROUP BY v),
+    grps AS (SELECT DISTINCT g FROM cgv),
+    grid AS (SELECT a.g, s.v, COALESCE(c.cg, 0) AS c
+             FROM (SELECT v FROM vals) s CROSS JOIN grps a
+             LEFT JOIN cgv c ON c.g = a.g AND c.v = s.v),
+    cum AS (SELECT g, v, c,
+                   SUM(c) OVER (PARTITION BY g ORDER BY v) AS cumv,
+                   SUM(c) OVER (PARTITION BY g) AS ng
+            FROM grid),
+    enr AS (SELECT g, v, c, cumv, ng,
+                   SUM(c) OVER (PARTITION BY v) AS l,
+                   SUM(2 * cumv - c) OVER (PARTITION BY v) AS d2,
+                   SUM(c) OVER () AS n
+            FROM cum),
+    terms AS (
+      SELECT g, ng, n,
+             CASE WHEN l = n THEN 1 ELSE 0 END AS alltied,
+             CASE WHEN CAST(d2 AS DECIMAL(38,0)) * (2 * n - d2)
+                       - CAST(n AS DECIMAL(38,0)) * l > 0
+               THEN CAST(ROUND(
+                 CAST(l AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (CAST(CAST(n AS DECIMAL(38,0)) * (2 * cumv - c)
+                         - CAST(d2 AS DECIMAL(38,0)) * ng AS DOUBLE)
+                    * CAST(CAST(n AS DECIMAL(38,0)) * (2 * cumv - c)
+                           - CAST(d2 AS DECIMAL(38,0)) * ng AS DOUBLE))
+                 / CAST(CAST(d2 AS DECIMAL(38,0)) * (2 * n - d2)
+                        - CAST(n AS DECIMAL(38,0)) * l AS DOUBLE)
+                 * 1e6) AS DECIMAL(38,0))
+             END AS tq
+      FROM enr),
+    pg AS (SELECT g, MIN(ng) AS ng, MIN(n) AS n, SUM(tq) AS tq,
+                  MAX(alltied) AS alltied
+           FROM terms GROUP BY g),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(MIN(n) AS BIGINT) AS n,
+                   SUM(CAST(ROUND(CAST(tq AS DOUBLE) / 1e6
+                                  / CAST(ng AS DOUBLE) * 1e6)
+                            AS DECIMAL(38,0))) AS sq,
+                   MAX(alltied) AS at
+            FROM pg)
+    SELECT k, n,
+           CASE WHEN k > 1 AND at = 0
+                THEN (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE)
+                     * (CAST(sq AS DOUBLE) / 1e6)
+           END AS a2_akn
+    FROM agg
+    """,
+)
+def q_anderson_darling_events(spark, sf_dir):
+    # k-sample Anderson-Darling (tie-adjusted midrank A2_akN) across
+    # the five event types — the tail-weighted distribution-equality
+    # gate: doubled integer midrank machinery over the zero-filled
+    # value grid, exact DECIMAL term components, micro-quantized sums
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.anderson_darling_k(e, "event_type", "value")
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

@@ -311,6 +311,9 @@ BENCH_QUERIES = [
     "wilcoxon_events_purchase_click",
     "pettitt_events_value",
     "mantel_haenszel_events",
+    "runs_test_events_value",
+    "durbin_watson_events_value",
+    "anderson_darling_events",
 ]
 
 

@@ -2677,3 +2677,168 @@ def pettitt_test(
             "u_at_split",
         )
     )
+
+
+def runs_test(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness around the median
+    (Wald & Wolfowitz 1940, public) — "does the series wander
+    (trend/cycles → few long runs) or oscillate (negative
+    autocorrelation → many short runs)?"  The pre-model sanity gate
+    for any time series an operator claims is noise.
+
+    Series = per-``interval`` bucket means (the changepoint_report
+    normal form).  Values equal to the grand median are dropped (the
+    standard reduction); the remainder become an above/below sign
+    sequence in time order; ``R`` = number of runs = 1 + #(adjacent
+    sign changes).  ``z = (R − μ)/σ`` with ``μ = 2n₁n₂/n + 1`` and
+    ``σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1))``.
+
+    Exactness: the grand median is the exact type-1 lower median
+    from per-value counts; R, n₁, n₂ are exact integers (the sign
+    flip count is a LAG window over the bucket table); μ, σ², z are
+    one fixed IEEE sequence on exact BIGINT products (DECIMAL(38,0)
+    for 2n₁n₂(2n₁n₂−n) — no 2⁵³ ceiling).  n₁ = 0, n₂ = 0, or n < 2
+    yields NULL z.
+
+    Output (one row): n_buckets, n_above, n_below, n_runs (bigint),
+    z (double)."""
+    v = F.col(value_col)
+    buckets = (
+        df.filter(v.isNotNull())
+        .groupBy(F.window(ts_col, interval).alias("__w"))
+        .agg(
+            F.sum(v.cast("decimal(28,8)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            F.col("__w.start").alias("__t"),
+            (
+                F.col("__s").cast("double") / F.col("__n").cast("double")
+            ).cast("decimal(38,10)").alias("__m"),
+        )
+    )
+    pv = buckets.groupBy("__m").agg(F.count(F.lit(1)).alias("__c"))
+    w_val = Window.orderBy("__m").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy()
+    med = (
+        pv.withColumn("__cum", F.sum("__c").over(w_val))
+        .withColumn("__nb", F.sum("__c").over(w_tot))
+        .filter(F.lit(2) * F.col("__cum") >= F.col("__nb"))
+        .agg(F.min("__m").alias("__med"))
+    )
+    signs = (
+        buckets.join(F.broadcast(med))
+        .filter(F.col("__m") != F.col("__med"))
+        .select("__t", (F.col("__m") > F.col("__med")).alias("__up"))
+    )
+    w_time = Window.orderBy("__t")
+    flips = signs.withColumn(
+        "__chg",
+        (F.col("__up") != F.lag("__up").over(w_time)).cast("bigint"),
+    )
+    agg = flips.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.col("__up").cast("bigint")).cast("bigint").alias("n_above"),
+        F.sum((~F.col("__up")).cast("bigint")).cast("bigint").alias("n_below"),
+        (F.coalesce(F.sum("__chg"), F.lit(0)) + F.lit(1))
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    nn = n1 + n2
+    two_n1n2 = (d(n1) * n2 * 2).cast("double")
+    nd = nn.cast("double")
+    mean_r = two_n1n2 / nd + F.lit(1.0)
+    var_r = (
+        two_n1n2
+        * (two_n1n2 - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    ok = (n1 > 0) & (n2 > 0) & (nn > 1) & (var_r > 0)
+    return agg.select(
+        F.col("__n").alias("n_buckets"),
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.when(ok, (F.col("n_runs").cast("double") - mean_r) / F.sqrt(var_r))
+        .alias("z"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Durbin–Watson statistic (Durbin & Watson 1950, public) of the
+    demeaned per-``interval`` bucket series —
+    ``DW = Σ(e_t − e_{t−1})² / Σe_t²`` — the standard first-order
+    autocorrelation gate (≈2 none, →0 positive, →4 negative): run it
+    on a metric you're about to model as i.i.d., alongside
+    ``runs_test``'s sign-based view and ``acf_by_lag``'s full
+    correlogram.
+
+    Series = bucket means in exact decimal (the changepoint_report
+    normal form, held at DECIMAL(28,10): a (38,10) operand makes
+    Spark's subtraction overflow precision 38 and silently ROUND the
+    result to scale 8 while other engines keep scale 10 — measured
+    48/719 quantized terms off by one); e_t = m_t − m̄ with the grand
+    mean rounded once into DECIMAL so the deviations are exact
+    decimal subtractions.
+    Each square is one fixed IEEE step on the decimal→double cast,
+    micro-quantized to an integer DECIMAL before the cross-bucket
+    sums (the ``kruskal_wallis`` budget); DW is ONE final division.
+    n < 2 buckets or a constant series (Σe² = 0) yields NULL.
+
+    Output (one row): n_buckets (bigint), dw_stat (double)."""
+    v = F.col(value_col)
+    buckets = (
+        df.filter(v.isNotNull())
+        .groupBy(F.window(ts_col, interval).alias("__w"))
+        .agg(
+            F.sum(v.cast("decimal(28,8)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            F.col("__w.start").alias("__t"),
+            (
+                F.col("__s").cast("double") / F.col("__n").cast("double")
+            ).cast("decimal(28,10)").alias("__m"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_time = Window.orderBy("__t")
+    demeaned = buckets.withColumn(
+        "__gm",
+        (
+            F.sum("__m").over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all).cast("double")
+        ).cast("decimal(28,10)"),
+    ).select(
+        "__t", (F.col("__m") - F.col("__gm")).alias("__e")
+    )
+    lagged = demeaned.withColumn("__ep", F.lag("__e").over(w_time))
+    e_d = F.col("__e").cast("double")
+    diff_d = (F.col("__e") - F.col("__ep")).cast("double")
+    q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")  # noqa: E731
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(q(e_d * e_d)).alias("__den"),
+        F.sum(
+            F.when(F.col("__ep").isNotNull(), q(diff_d * diff_d))
+        ).alias("__num"),
+    )
+    den = F.col("__den").cast("double")
+    num = F.col("__num").cast("double")
+    ok = (F.col("n_buckets") > 1) & (den > 0)
+    return agg.select(
+        "n_buckets",
+        F.when(ok, num / den).alias("dw_stat"),
+    )

@@ -54,6 +54,7 @@ __all__ = [
     "krippendorff_alpha",
     "wilcoxon_signed_rank",
     "mantel_haenszel",
+    "anderson_darling_k",
 ]
 
 
@@ -2264,4 +2265,108 @@ def mantel_haenszel(
         "sum_a",
         F.when(ss > 0, rr / ss).alias("or_mh"),
         F.when(vv > 0, dev * dev / vv).alias("chi2_mh"),
+    )
+
+
+def anderson_darling_k(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """k-sample Anderson–Darling test statistic (Scholz & Stephens
+    1987, public; the tie-adjusted midrank form A²_akN — scipy's
+    ``anderson_ksamp(midrank=True)`` statistic) — "were these k
+    samples drawn from one distribution?", with more tail weight than
+    ``kruskal_wallis`` (location) or ``ks_distance`` (sup-norm):
+    the right gate when the tails are what matters.
+
+    In DOUBLED midrank counts everything stays integral: per distinct
+    pooled value j with multiplicity l_j, pooled ``D2_j = 2B_j =
+    2·cum_j − l_j`` and per-group ``T2_ij = 2M_ij = 2·cum_ij −
+    l_ij``; then
+    ``A² = (N−1)/N · Σ_i (1/n_i) Σ_j (l_j/N) ·
+    (N·T2_ij − D2_j·n_i)² / (D2_j·(2N − D2_j) − N·l_j)``
+    (the ÷4 scalings cancel exactly between numerator and
+    denominator).  The zero-filled (distinct values × k groups) grid
+    is cumulated by the shared two-phase machinery
+    (``drift._cum_counts_table`` — no single-task sort); each term is
+    a fixed IEEE sequence on exact DECIMAL(38,0) operands,
+    micro-quantized before the cross-value sums (the
+    ``kruskal_wallis`` budget).  All values tied (the only way a
+    denominator hits zero) yields NULL.
+
+    Output (one row): k, n (bigint), a2_akn (double)."""
+    from pyspark.sql import Window
+
+    from bubbles_spark.ops.drift import _cum_counts_table
+
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
+    cgv = base.groupBy("__grp", "__v").agg(F.count(F.lit(1)).alias("__cg"))
+    groups = cgv.select("__grp").distinct()
+    vals = cgv.groupBy("__v").agg(F.sum("__cg").alias("__l"))
+    grid = (
+        vals.select("__v")
+        .crossJoin(F.broadcast(groups))
+        .join(cgv, ["__grp", "__v"], "left")
+        .select("__grp", "__v", F.coalesce("__cg", F.lit(0)).alias("__c"))
+    )
+    cum = _cum_counts_table(grid, "__grp", "__v")
+    w_val = Window.partitionBy("__v")
+    # pooled multiplicity and pooled doubled midrank cum per value
+    # (sums over the k arms at that value — k rows per partition)
+    enriched = cum.select(
+        "__grp",
+        "__v",
+        "__c",
+        "__cum",
+        F.col("__n").alias("__ng"),
+        F.sum("__c").over(w_val).alias("__l"),
+        F.sum(F.lit(2) * F.col("__cum") - F.col("__c"))
+        .over(w_val)
+        .alias("__d2"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n_tot = Window.partitionBy()
+    withn = enriched.withColumn("__N", F.sum("__c").over(n_tot))
+    t2 = F.lit(2) * F.col("__cum") - F.col("__c")
+    num = d38(F.col("__N")) * t2 - d38(F.col("__d2")) * F.col("__ng")
+    den = d38(F.col("__d2")) * (
+        F.lit(2) * F.col("__N") - F.col("__d2")
+    ) - d38(F.col("__N")) * F.col("__l")
+    term = F.when(
+        den > 0,
+        F.col("__l").cast("double")
+        / F.col("__N").cast("double")
+        * (num.cast("double") * num.cast("double"))
+        / den.cast("double"),
+    )
+    q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")  # noqa: E731
+    per_group = withn.groupBy("__grp").agg(
+        F.first("__ng").alias("__ng"),
+        F.first("__N").alias("__N"),
+        F.sum(q(term)).alias("__tq"),
+        F.max((F.col("__l") == F.col("__N")).cast("int")).alias("__alltied"),
+    )
+    inner = (
+        F.col("__tq").cast("double")
+        / F.lit(1e6)
+        / F.col("__ng").cast("double")
+    )
+    agg = per_group.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.first("__N").cast("bigint").alias("n"),
+        F.sum(q(inner)).alias("__sq"),
+        F.max("__alltied").alias("__at"),
+    )
+    nd = F.col("n").cast("double")
+    a2 = (
+        (nd - F.lit(1.0))
+        / nd
+        * (F.col("__sq").cast("double") / F.lit(1e6))
+    )
+    ok = (F.col("k") > 1) & (F.col("__at") == 0)
+    return agg.select(
+        "k", "n", F.when(ok, a2).alias("a2_akn")
     )

@@ -361,3 +361,77 @@ def test_pettitt_matches_bruteforce(spark):
     assert out["split_ts"] == datetime(2024, 1, 1) + timedelta(
         hours=best[1] - 1
     )
+
+
+def test_runs_test_matches_hand(spark):
+    import math
+    from datetime import datetime, timedelta
+
+    from bubbles_spark.ops import events
+
+    vals = [5.0, 7.0, 5.0, 7.0, 7.0, 3.0, 9.0, 2.0, 8.0, 8.0, 1.0,
+            6.0, 6.0, 4.0, 9.0, 2.0]
+    rows = [
+        (datetime(2024, 1, 1) + timedelta(hours=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, value double")
+    out = events.runs_test(df, "ts", "value", "1 hour").collect()[0]
+    sv = sorted(vals)
+    med = sv[(len(sv) + 1) // 2 - 1]
+    seq = [v > med for v in vals if v != med]  # median values dropped
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    n = n1 + n2
+    mean = 2 * n1 * n2 / n + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    assert out["n_buckets"] == len(seq)
+    assert out["n_above"] == n1 and out["n_below"] == n2
+    assert out["n_runs"] == runs
+    assert abs(out["z"] - (runs - mean) / math.sqrt(var)) < 1e-12
+
+    # constant series: everything equals the median -> degenerate
+    const = spark.createDataFrame(
+        [(datetime(2024, 1, 1) + timedelta(hours=i), 5.0) for i in range(6)],
+        "ts timestamp_ntz, value double",
+    )
+    r0 = events.runs_test(const, "ts", "value", "1 hour").collect()[0]
+    assert r0["z"] is None
+
+
+def test_durbin_watson_matches_hand(spark):
+    from datetime import datetime, timedelta
+
+    from bubbles_spark.ops import events
+
+    vals = [5.0, 7.0, 5.0, 7.0, 7.0, 3.0, 9.0, 2.0, 8.0, 8.0, 1.0, 6.0]
+    rows = [
+        (datetime(2024, 1, 1) + timedelta(hours=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, value double")
+    out = events.durbin_watson(df, "ts", "value", "1 hour").collect()[0]
+    gm = sum(vals) / len(vals)
+    e = [v - gm for v in vals]
+    dw = sum(
+        (a - b) ** 2 for a, b in zip(e[1:], e[:-1])
+    ) / sum(x * x for x in e)
+    assert out["n_buckets"] == len(vals)
+    assert abs(out["dw_stat"] - dw) < 1e-5
+
+    # perfectly alternating series -> strong negative autocorr, DW -> 4
+    alt = spark.createDataFrame(
+        [(datetime(2024, 1, 1) + timedelta(hours=i),
+          1.0 if i % 2 else -1.0) for i in range(20)],
+        "ts timestamp_ntz, value double",
+    )
+    d2 = events.durbin_watson(alt, "ts", "value", "1 hour").collect()[0]
+    assert d2["dw_stat"] > 3.5
+    # constant series -> zero variance -> NULL
+    const = spark.createDataFrame(
+        [(datetime(2024, 1, 1) + timedelta(hours=i), 5.0) for i in range(6)],
+        "ts timestamp_ntz, value double",
+    )
+    assert events.durbin_watson(const, "ts", "value").collect()[0][
+        "dw_stat"
+    ] is None

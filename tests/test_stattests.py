@@ -955,3 +955,54 @@ def test_mantel_haenszel_matches_hand(spark):
     )
     r = stattests.mantel_haenszel(degen, "s", "t", "y").collect()[0]
     assert r["or_mh"] is None and r["chi2_mh"] is None
+
+
+def test_anderson_darling_k_matches_midrank_reference(spark):
+    groups = {
+        "a": [1.0, 3.0, 5.0, 5.0, 7.0, 2.5],
+        "b": [2.0, 5.0, 8.0, 9.0, 3.5],
+        "c": [6.0, 8.0, 8.0, 10.0, 12.0, 4.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = stattests.anderson_darling_k(df, "g", "v").collect()[0]
+
+    # pure-python Scholz-Stephens A2_akN (midrank form — the scipy
+    # anderson_ksamp(midrank=True) statistic)
+    pooled = sorted(v for vs in groups.values() for v in vs)
+    zstar = sorted(set(pooled))
+    n_tot = len(pooled)
+    lj = {z: pooled.count(z) for z in zstar}
+    bj = {}
+    cum = 0.0
+    for z in zstar:
+        bj[z] = cum + lj[z] / 2
+        cum += lj[z]
+    a2 = 0.0
+    for vs in groups.values():
+        n_i = len(vs)
+        inner = 0.0
+        for z in zstar:
+            mij = sum(1 for x in vs if x < z) + sum(
+                1 for x in vs if x == z
+            ) / 2
+            den = bj[z] * (n_tot - bj[z]) - n_tot * lj[z] / 4
+            if den > 0:
+                inner += (
+                    lj[z] / n_tot
+                    * (n_tot * mij - bj[z] * n_i) ** 2
+                    / den
+                )
+        a2 += inner / n_i
+    a2 *= (n_tot - 1) / n_tot
+    assert out["k"] == 3 and out["n"] == n_tot
+    assert out["a2_akn"] == pytest.approx(a2, abs=1e-4)
+
+    # all values identical -> NULL
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0)], "g string, v double"
+    )
+    assert (
+        stattests.anderson_darling_k(flat, "g", "v").collect()[0]["a2_akn"]
+        is None
+    )

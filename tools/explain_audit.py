@@ -1403,6 +1403,27 @@ CHECKS = [
         [(r"Join", "no join at all — one keyed aggregate, one fold"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        "runs_test_events_value",
+        [(r"Functions \[\d+\]: \[partial_", "bucket sums partial-aggregate map-side"),
+         (r"BroadcastExchange", "1-row median broadcast")],
+        [(r"SortMergeJoin", "nothing data-sized joins"),
+         (r"CartesianProduct", "no product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "durbin_watson_events_value",
+        [(r"Functions \[\d+\]: \[partial_", "bucket sums partial-aggregate map-side")],
+        [(r"Join", "no join at all — bucket fold then windows"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "anderson_darling_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-(arm,value) counts partial-aggregate map-side"),
+         (r"BroadcastExchange", "k-row arms table broadcast onto the value grid")],
+        [(r"CartesianProduct", "no unkeyed data-sized product"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 

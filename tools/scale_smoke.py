@@ -824,6 +824,9 @@ def main() -> int:
         "krippendorff_alpha": krippendorff_op,
         "log_rank_test": log_rank_op,
         "wilcoxon_signed_rank": wilcoxon_op,
+        "anderson_darling_k": lambda t: __import__(
+            "bubbles_spark.ops.stattests", fromlist=["x"]
+        ).anderson_darling_k(_drift_events(t), "event_type", "__v"),
         "spearman_corr": spearman_op,
         "uplift_curve": uplift_op,
         "flagship_join_agg": flagship,
