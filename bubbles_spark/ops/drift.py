@@ -573,7 +573,7 @@ def _cum_counts_table(counts: DataFrame, group_col: str, col: str) -> DataFrame:
         ).withColumn("__n", F.sum("__c").over(w_tot))
     counts = counts.localCheckpoint(eager=True)
     proxy = _core._rank_proxy(counts, col)
-    n_parts = shuffle_partitions(df.sparkSession)
+    n_parts = shuffle_partitions(counts.sparkSession)
     qs_list = [i / n_parts for i in range(1, n_parts)]
     probe = counts.select(proxy.alias("__p"))
     bounds = sorted(set(probe.stat.approxQuantile("__p", qs_list, 0.01)))
