@@ -14289,6 +14289,71 @@ def q_anderson_darling_events(spark, sf_dir):
     return stattests.anderson_darling_k(e, "event_type", "value")
 
 
+@_q(
+    "smd_balance_orders",
+    """
+    WITH long AS (
+      SELECT CAST(o_custkey % 2 AS INTEGER) AS t, cov, v
+      FROM (
+        SELECT o_custkey,
+               'days' AS cov,
+               CAST(DATEDIFF('day', DATE '1970-01-01', o_orderdate)
+                    AS DOUBLE) AS v
+        FROM orders WHERE o_orderdate IS NOT NULL
+        UNION ALL
+        SELECT o_custkey, 'totalprice' AS cov,
+               CAST(o_totalprice AS DOUBLE) AS v
+        FROM orders WHERE o_totalprice IS NOT NULL
+      ) WHERE o_custkey IS NOT NULL),
+    m AS (SELECT cov, t, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(CAST(FLOOR(v * 1000000.0) AS DECIMAL(19,0))
+                          AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(FLOOR(v * 1000000.0) AS DECIMAL(19,0))
+                     * CAST(FLOOR(v * 1000000.0) AS DECIMAL(19,0))) AS s2
+          FROM long GROUP BY 1, 2),
+    f AS (SELECT cov, t, n,
+                 (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+                   AS mean,
+                 CASE WHEN n > 1 THEN
+                   ((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) / 1000000000000.0 END
+                   AS var
+          FROM m),
+    j AS (SELECT COALESCE(a.cov, b.cov) AS covariate,
+                 a.n AS n_treat, b.n AS n_ctrl,
+                 a.mean AS mean_treat, b.mean AS mean_ctrl,
+                 a.var AS var_treat, b.var AS var_ctrl
+          FROM (SELECT * FROM f WHERE t = 1) a
+          FULL JOIN (SELECT * FROM f WHERE t = 0) b ON a.cov = b.cov)
+    SELECT covariate, n_treat, n_ctrl, mean_treat, mean_ctrl,
+           var_treat, var_ctrl,
+           CASE WHEN (var_treat + var_ctrl) / 2.0 > 0
+                THEN (mean_treat - mean_ctrl)
+                     / SQRT((var_treat + var_ctrl) / 2.0)
+           END AS smd
+    FROM j ORDER BY covariate
+    """,
+)
+def q_smd_balance_orders(spark, sf_dir):
+    # covariate balance screen for the id-parity assignment over
+    # orders: is the "randomization" balanced on order value and
+    # order date?  One stacked pass, micro-scaled integer moments
+    # per (covariate, arm), fixed-IEEE SMD finish
+    from bubbles_spark.ops import stattests
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    base = o.select(
+        (F.col("o_custkey") % 2).cast("int").alias("t"),
+        F.datediff("o_orderdate", F.lit("1970-01-01"))
+        .cast("double")
+        .alias("days"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+    return stattests.smd_balance(base, "t", ["days", "totalprice"])
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

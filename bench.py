@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "runs_test_events_value",
     "durbin_watson_events_value",
     "anderson_darling_events",
+    "smd_balance_orders",
 ]
 
 

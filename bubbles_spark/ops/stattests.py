@@ -24,6 +24,8 @@ Reference scope: Stiivi/bubbles has no statistics beyond basic audits
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,6 +57,7 @@ __all__ = [
     "wilcoxon_signed_rank",
     "mantel_haenszel",
     "anderson_darling_k",
+    "smd_balance",
 ]
 
 
@@ -2369,4 +2372,93 @@ def anderson_darling_k(
     ok = (F.col("k") > 1) & (F.col("__at") == 0)
     return agg.select(
         "k", "n", F.when(ok, a2).alias("a2_akn")
+    )
+
+
+def smd_balance(
+    df: DataFrame,
+    treat_col: str,
+    covariate_cols: Sequence[str],
+    scale: int = 6,
+) -> DataFrame:
+    """Covariate balance report — the table every experiment readout
+    and matching pipeline starts with: per covariate, both arms'
+    exact counts/means/variances and the standardized mean difference
+    ``SMD = (m̄_t − m̄_c)/√((s²_t + s²_c)/2)`` (Cohen's d with the
+    unweighted pooled SD — the imbalance screen; |SMD| > 0.1 is the
+    conventional flag).  ``treat_col`` must be 0/1.
+
+    The covariate columns unpivot to (covariate, arm, value) rows via
+    one codegen'd stack, then the module's micro-scaled integer
+    moments per (covariate, arm) — the ``welch_t_test`` machinery
+    widened to many measures in ONE pass over the input (no
+    per-covariate scans).  Means/variances/SMD are a fixed IEEE
+    sequence; an arm with n < 2 or zero pooled variance yields NULL
+    smd.
+
+    Output (one row per covariate, sorted): covariate, n_treat,
+    n_ctrl, mean_treat, mean_ctrl, var_treat, var_ctrl, smd."""
+    covs = list(covariate_cols)
+    if not covs:
+        raise ValueError("smd_balance: covariate_cols must be non-empty")
+    t = F.col(treat_col).cast("int")
+    pairs = []
+    for c in covs:
+        pairs += [F.lit(c), F.col(c).cast("double")]
+    long = (
+        df.filter(t.isNotNull())
+        .select(
+            t.alias("__t"),
+            F.stack(F.lit(len(covs)), *pairs).alias("__cov", "__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+    )
+    up = float(10**scale)
+    down1 = float(10**scale)
+    down2 = float(10 ** (2 * scale))
+    sv = F.floor(F.col("__v") * F.lit(up)).cast("decimal(19,0)")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = long.groupBy("__cov", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(d38(sv)).alias("__s1"),
+        F.sum(sv * sv).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = (s1 / n) / F.lit(down1)
+    var = F.when(
+        F.col("__n") > 1,
+        ((s2 - s1 * s1 / n) / (n - F.lit(1.0))) / F.lit(down2),
+    )
+    arm = lambda flag, sfx: m.filter(F.col("__t") == flag).select(  # noqa: E731
+        F.col("__cov").alias(f"__cov_{sfx}"),
+        F.col("__n").alias(f"n_{sfx}"),
+        mean.alias(f"mean_{sfx}"),
+        var.alias(f"var_{sfx}"),
+    )
+    j = arm(1, "treat").join(
+        arm(0, "ctrl"),
+        F.col("__cov_treat") == F.col("__cov_ctrl"),
+        "full",
+    )
+    pooled = (F.col("var_treat") + F.col("var_ctrl")) / F.lit(2.0)
+    smd = F.when(
+        pooled > 0,
+        (F.col("mean_treat") - F.col("mean_ctrl")) / F.sqrt(pooled),
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("__cov_treat"), F.col("__cov_ctrl")).alias(
+                "covariate"
+            ),
+            "n_treat",
+            "n_ctrl",
+            "mean_treat",
+            "mean_ctrl",
+            "var_treat",
+            "var_ctrl",
+            smd.alias("smd"),
+        )
+        .orderBy("covariate")
     )

@@ -1006,3 +1006,47 @@ def test_anderson_darling_k_matches_midrank_reference(spark):
         stattests.anderson_darling_k(flat, "g", "v").collect()[0]["a2_akn"]
         is None
     )
+
+
+def test_smd_balance_matches_moment_reference(spark):
+    import random
+
+    random.seed(3)
+    rows = [
+        (random.randint(0, 1), random.gauss(10, 2), random.uniform(0, 1))
+        for _ in range(200)
+    ]
+    rows = [(t, x + 0.5 * t, y) for t, x, y in rows]
+    df = spark.createDataFrame(rows, "t int, x double, y double")
+    out = {
+        r["covariate"]: r
+        for r in stattests.smd_balance(df, "t", ["x", "y"]).collect()
+    }
+
+    def mom(vs, sc=10**6):
+        s = [math.floor(v * sc) for v in vs]
+        n, s1, s2 = len(s), sum(s), sum(v * v for v in s)
+        return (s1 / n) / sc, ((s2 - s1 * s1 / n) / (n - 1)) / sc / sc
+
+    for idx, cov in ((1, "x"), (2, "y")):
+        tv = [r[idx] for r in rows if r[0] == 1]
+        cv = [r[idx] for r in rows if r[0] == 0]
+        mt, vt = mom(tv)
+        mc, vc = mom(cv)
+        r = out[cov]
+        assert r["n_treat"] == len(tv) and r["n_ctrl"] == len(cv)
+        assert r["mean_treat"] == pytest.approx(mt, abs=1e-12)
+        assert r["var_ctrl"] == pytest.approx(vc, abs=1e-9)
+        assert r["smd"] == pytest.approx(
+            (mt - mc) / math.sqrt((vt + vc) / 2), abs=1e-9
+        )
+
+    # constant covariate in both arms -> zero pooled variance -> NULL
+    const = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (0, 5.0), (0, 5.0)], "t int, x double"
+    )
+    r0 = stattests.smd_balance(const, "t", ["x"]).collect()[0]
+    assert r0["smd"] is None
+
+    with pytest.raises(ValueError):
+        stattests.smd_balance(const, "t", [])

@@ -1424,6 +1424,14 @@ CHECKS = [
         [(r"CartesianProduct", "no unkeyed data-sized product"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        # ONE stacked pass: covariates explode inline (Generate/Expand
+        # or a projected stack), never one scan per covariate
+        "smd_balance_orders",
+        [(r"Functions \[\d+\]: \[partial_", "per-(covariate,arm) moments partial-aggregate map-side")],
+        [(r"CartesianProduct", "the arm join keys on the covariate"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 
