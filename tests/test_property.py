@@ -715,3 +715,134 @@ def test_nelson_aalen_matches_python_reference(spark, rows):
         assert got[t]["hazard_q"] == hq
         assert got[t]["cum_hazard"] == cum_h / up
         at_risk -= d[t] + c[t]
+
+
+_series = st.lists(st.integers(-5, 9), min_size=0, max_size=14)
+
+
+@_slow
+@given(vals=_series)
+def test_cusum_alarms_matches_recurrence_property(spark, vals):
+    from bubbles_spark.ops import events
+
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k string, ts int, value double")
+    got = [
+        (r["cusum_pos"], r["cusum_neg"])
+        for r in events.cusum_alarms(
+            df, "k", "ts", "value", target=2.0, allowance=0.5, threshold=4.0
+        ).orderBy("ts").collect()
+    ]
+    sp = sn = 0.0
+    for v, (gp, gn) in zip(vals, got):
+        sp = max(0.0, sp + v - 2.5)
+        sn = max(0.0, sn + 1.5 - v)
+        assert gp == sp and gn == sn
+
+
+@_slow
+@given(pairs=st.lists(
+    st.tuples(st.integers(-4, 4), st.integers(-4, 4)), max_size=14
+))
+def test_wilcoxon_matches_python_reference(spark, pairs):
+    import math
+    from collections import Counter
+
+    from bubbles_spark.ops import stattests
+
+    rows = [(float(a), float(b)) for a, b in pairs]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = stattests.wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    ds = [a - b for a, b in rows if a != b]
+    n = len(ds)
+    assert out["n"] == n
+    if n == 0:
+        assert out["z"] is None
+        return
+    cnt = Counter(abs(d) for d in ds)
+    cum = 0
+    rank = {}
+    for v in sorted(cnt):
+        rank[v] = (2 * cum + cnt[v] + 1) / 2
+        cum += cnt[v]
+    w = sum(rank[abs(d)] for d in ds if d > 0)
+    assert out["w2_plus"] == int(2 * w)
+    tie3 = sum(c ** 3 - c for c in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    if var > 0:
+        assert abs(out["z"] - (w - n * (n + 1) / 4) / math.sqrt(var)) < 1e-9
+    else:
+        assert out["z"] is None
+
+
+@_slow
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-4, 6)), max_size=16
+))
+def test_jonckheere_matches_bruteforce_property(spark, rows):
+    import itertools
+    from collections import Counter, defaultdict
+
+    from bubbles_spark.ops import stattests
+
+    data = [(f"g{g}", float(v)) for g, v in rows]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "g string, v double")
+    out = stattests.jonckheere_terpstra(df, "g", "v").collect()[0]
+    groups = defaultdict(list)
+    for g, v in data:
+        groups[g].append(v)
+    names = sorted(groups)
+    j2 = 0
+    for gi, gj in itertools.combinations(names, 2):
+        for x in groups[gi]:
+            for y in groups[gj]:
+                j2 += 2 if x < y else (1 if x == y else 0)
+    assert out["j2"] == j2
+    assert out["k"] == len(names) and out["n"] == len(data)
+    # z NULL exactly when variance degenerates
+    tv = Counter(v for g, v in data)
+    if out["k"] < 2 or out["n"] <= 2 or max(tv.values()) == len(data):
+        assert out["z"] is None
+
+
+@_slow
+@given(votes=st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 2)), max_size=16
+))
+def test_krippendorff_matches_python_reference(spark, votes):
+    from collections import Counter, defaultdict
+
+    from bubbles_spark.ops import stattests
+
+    data = [(u, f"c{c}") for u, c in votes]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "u int, l string")
+    out = stattests.krippendorff_alpha(df, "u", "l").collect()[0]
+    units = defaultdict(list)
+    for u, c in data:
+        units[u].append(c)
+    pair = {u: ls for u, ls in units.items() if len(ls) >= 2}
+    assert out["n_units"] == len(pair)
+    if not pair:
+        assert out["alpha"] is None
+        return
+    n = sum(len(ls) for ls in pair.values())
+    d_o = sum(
+        (len(ls) ** 2 - sum(c * c for c in Counter(ls).values()))
+        / (len(ls) - 1)
+        for ls in pair.values()
+    ) / n
+    nc = Counter(c for ls in pair.values() for c in ls)
+    d_e = (n * n - sum(v * v for v in nc.values())) / (n * (n - 1))
+    assert abs(out["d_o"] - d_o) < 1e-5
+    if d_e > 0:
+        assert abs(out["alpha"] - (1 - d_o / d_e)) < 1e-4
+    else:
+        assert out["alpha"] is None
