@@ -14354,6 +14354,127 @@ def q_smd_balance_orders(spark, sf_dir):
     return stattests.smd_balance(base, "t", ["days", "totalprice"])
 
 
+@_q(
+    "cliffs_delta_events",
+    """
+    WITH base AS (
+      SELECT CAST(event_type = 'purchase' AS INTEGER) AS isa, value AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+    pv AS (SELECT v, COUNT(*) AS c, SUM(isa) AS ca FROM base GROUP BY v),
+    cum AS (SELECT v, c, ca, SUM(c) OVER (ORDER BY v) AS cumv FROM pv),
+    agg AS (SELECT SUM(CAST(ca AS DECIMAL(38,0))
+                       * CAST(2 * cumv - c + 1 AS DECIMAL(38,0))) AS r2,
+                   CAST(SUM(ca) AS BIGINT) AS n_a,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM cum),
+    f AS (SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
+                 r2 - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS u2a
+          FROM agg)
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(u2a AS BIGINT) END AS u2_a,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(u2a - CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)
+                     / CAST(CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE)
+           END AS delta
+    FROM f
+    """,
+)
+def q_cliffs_delta_events(spark, sf_dir):
+    # effect size for purchase-vs-view value: Cliff's delta from the
+    # doubled rank-sum identity — one exact integer subtraction, one
+    # division; the magnitude companion to mann_whitney_events
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.cliffs_delta(
+        e, "event_type", "value", "purchase", "view"
+    )
+
+
+@_q(
+    "ansari_bradley_events",
+    """
+    WITH base AS (
+      SELECT CAST(event_type = 'purchase' AS INTEGER) AS isa, value AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+    pv AS (SELECT v, COUNT(*) AS c, SUM(isa) AS ca FROM base GROUP BY v),
+    cum AS (SELECT v, c, ca,
+                   SUM(c) OVER (ORDER BY v) AS cumv,
+                   SUM(c) OVER () AS n
+            FROM pv),
+    blk AS (
+      SELECT c, ca, n,
+             (CASE WHEN cumv <= (n + 1) // 2
+                   THEN CAST(cumv AS DECIMAL(38,0)) * (cumv + 1) / 2
+                   ELSE CAST((n + 1) // 2 AS DECIMAL(38,0))
+                          * ((n + 1) // 2 + 1) / 2
+                        + CAST(cumv - (n + 1) // 2 AS DECIMAL(38,0))
+                          * (n + 1)
+                        - (CAST(cumv AS DECIMAL(38,0)) * (cumv + 1) / 2
+                           - CAST((n + 1) // 2 AS DECIMAL(38,0))
+                             * ((n + 1) // 2 + 1) / 2) END)
+             - (CASE WHEN cumv - c <= (n + 1) // 2
+                   THEN CAST(cumv - c AS DECIMAL(38,0)) * (cumv - c + 1) / 2
+                   ELSE CAST((n + 1) // 2 AS DECIMAL(38,0))
+                          * ((n + 1) // 2 + 1) / 2
+                        + CAST(cumv - c - (n + 1) // 2 AS DECIMAL(38,0))
+                          * (n + 1)
+                        - (CAST(cumv - c AS DECIMAL(38,0))
+                             * (cumv - c + 1) / 2
+                           - CAST((n + 1) // 2 AS DECIMAL(38,0))
+                             * ((n + 1) // 2 + 1) / 2) END)
+             AS sblk
+      FROM cum),
+    agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                   CAST(SUM(c) AS BIGINT) AS nt,
+                   SUM(CAST(sblk AS DECIMAL(38,0))) AS sa,
+                   SUM(CAST(ROUND(CAST(ca AS DOUBLE)
+                                  * CAST(sblk AS DOUBLE)
+                                  / CAST(c AS DOUBLE) * 1e6)
+                            AS DECIMAL(38,0))) AS wq,
+                   SUM(CAST(ROUND(CAST(sblk AS DOUBLE)
+                                  * CAST(sblk AS DOUBLE)
+                                  / CAST(c AS DOUBLE) * 1e6)
+                            AS DECIMAL(38,0))) AS sq
+            FROM blk),
+    f AS (SELECT n_a, CAST(nt - n_a AS BIGINT) AS n_b, nt,
+                 CAST(sa AS DOUBLE) AS sad,
+                 CAST(wq AS DOUBLE) / 1e6 AS w,
+                 CAST(sq AS DOUBLE) / 1e6 AS ssq,
+                 CAST(nt AS DOUBLE) AS nd
+          FROM agg)
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 THEN w END AS w_stat,
+           CASE WHEN n_a > 0
+                THEN CAST(n_a AS DOUBLE) * (sad / nd) END AS mean_w,
+           CASE WHEN n_a > 0 AND n_b > 0 AND nt > 2
+                 AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                     / (nd * (nd - 1.0))
+                     * (ssq - nd * (sad / nd) * (sad / nd)) > 0
+                THEN (w - CAST(n_a AS DOUBLE) * (sad / nd))
+                     / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                            / (nd * (nd - 1.0))
+                            * (ssq - nd * (sad / nd) * (sad / nd)))
+           END AS z
+    FROM f
+    """,
+)
+def q_ansari_bradley_events(spark, sf_dir):
+    # nonparametric dispersion gate: is purchase value more spread
+    # than click value?  Both-ends rank scores with closed-form tie
+    # block sums, general linear-rank moments (exact under any tie
+    # pattern), micro-quantized cross-block sums
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.ansari_bradley(
+        e, "event_type", "value", "purchase", "click"
+    )
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

@@ -315,6 +315,8 @@ BENCH_QUERIES = [
     "durbin_watson_events_value",
     "anderson_darling_events",
     "smd_balance_orders",
+    "cliffs_delta_events",
+    "ansari_bradley_events",
 ]
 
 

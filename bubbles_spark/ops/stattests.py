@@ -58,6 +58,8 @@ __all__ = [
     "mantel_haenszel",
     "anderson_darling_k",
     "smd_balance",
+    "cliffs_delta",
+    "ansari_bradley",
 ]
 
 
@@ -2461,4 +2463,149 @@ def smd_balance(
             smd.alias("smd"),
         )
         .orderBy("covariate")
+    )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta (Cliff 1993, public) — the nonparametric effect
+    size companion to ``mann_whitney_u``'s significance:
+    ``δ = (#{x>y} − #{x<y}) / (n_a·n_b)`` over all cross-arm pairs,
+    in [−1, 1] (0 = stochastic equality).  Report it alongside the
+    U test's z — significance without magnitude is not a readout.
+
+    No pair enumeration: with the doubled rank-sum identity
+    ``2U_a = 2R_a − n_a(n_a+1)`` (exact integer from the shared
+    value-count machinery — ties contribute exactly ½ each to U_a),
+    ``δ = (2U_a − n_a·n_b) / (n_a·n_b)`` is ONE exact integer
+    subtraction and ONE IEEE division.  Empty arms yield NULL.
+
+    Output (one row): n_a, n_b, u2_a (2·U_a, bigint), delta
+    (double)."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    both = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).cast("int").alias("__isa"),
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__g"),
+    )
+    cum = _grouped_cum_counts(both, "__g", "__v")
+    ca = both.groupBy("__v").agg(F.sum("__isa").alias("__ca"))
+    j = cum.join(ca, "__v")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = j.agg(
+        F.sum(
+            d(F.col("__ca"))
+            * d(F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+        ).alias("__2r1"),
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__c").cast("bigint").alias("__n"),
+    ).withColumn("n_b", (F.col("__n") - F.col("n_a")).cast("bigint"))
+    u2a = F.col("__2r1") - d(F.col("n_a")) * (F.col("n_a") + 1)
+    nm = d(F.col("n_a")) * F.col("n_b")
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, u2a).cast("bigint").alias("u2_a"),
+        F.when(ok, (u2a - nm).cast("double") / nm.cast("double")).alias(
+            "delta"
+        ),
+    )
+
+
+def ansari_bradley(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Ansari–Bradley scale test (Ansari & Bradley 1960, public) —
+    "is arm A more DISPERSED than arm B?": the nonparametric
+    dispersion companion to ``brown_forsythe`` (robust-parametric)
+    and ``mann_whitney_u`` (location).  Pooled ranks score from both
+    ends — ``a(r) = min(r, N+1−r)`` — so extreme values get LOW
+    scores; ``W = Σ scores of arm A``, small W ⇒ A holds the tails.
+
+    Ties take block-average scores (R's ansari.test convention), and
+    the moments use the general linear-rank form — ``E[W] = n_a·ā``,
+    ``Var[W] = n_a·n_b/(N(N−1)) · Σ(a_i − ā)²`` — which is exact
+    under any tie pattern (the fixed even/odd-N textbook constants
+    are a no-tie special case).
+
+    Exactness: per tie block [lo, hi] the score sum has an integer
+    closed form (prefix sums of min(r, N+1−r) — no per-rank explode),
+    so Σa and the block terms ``c_a·S/c`` and ``S²/c`` are rationals
+    on exact integers: fixed IEEE per block, micro-quantized before
+    the cross-block sums (the ``kruskal_wallis`` budget).  Empty arm
+    or zero score variance (N < 3, all tied) yields NULL z.
+
+    Output (one row): n_a, n_b, w_stat, mean_w, z (double)."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    both = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        (F.col(group_col) == F.lit(group_a)).cast("int").alias("__isa"),
+        F.col(value_col).alias("__v"),
+        F.lit(0).alias("__g"),
+    )
+    cum = _grouped_cum_counts(both, "__g", "__v")
+    ca = both.groupBy("__v").agg(F.sum("__isa").alias("__ca"))
+    j = cum.join(ca, "__v")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n_all = F.col("__n")
+    h = F.floor((n_all + 1) / 2)
+
+    def s_prefix(x):
+        # S(x) = sum_{r<=x} min(r, N+1-r), exact integer closed form
+        up = d(x) * (x + 1) / 2
+        tail = (
+            d(h) * (h + 1) / 2
+            + d(x - h) * (n_all + 1)
+            - (d(x) * (x + 1) / 2 - d(h) * (h + 1) / 2)
+        )
+        return F.when(x <= h, up).otherwise(tail)
+
+    lo = F.col("__cum") - F.col("__c")
+    s_blk = (s_prefix(F.col("__cum")) - s_prefix(lo)).cast("decimal(38,0)")
+    cd = F.col("__c").cast("double")
+    q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")  # noqa: E731
+    w_term = F.col("__ca").cast("double") * s_blk.cast("double") / cd
+    sq_term = s_blk.cast("double") * s_blk.cast("double") / cd
+    agg = j.agg(
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__c").cast("bigint").alias("__nt"),
+        F.sum(s_blk).alias("__sa"),
+        F.sum(q(w_term)).alias("__wq"),
+        F.sum(q(sq_term)).alias("__sq"),
+    ).withColumn("n_b", (F.col("__nt") - F.col("n_a")).cast("bigint"))
+    nd = F.col("__nt").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("__sa").cast("double")
+    w = F.col("__wq").cast("double") / F.lit(1e6)
+    ssq = F.col("__sq").cast("double") / F.lit(1e6)
+    a_bar = sa / nd
+    mean_w = na * a_bar
+    var_w = na * nb / (nd * (nd - F.lit(1.0))) * (ssq - nd * a_bar * a_bar)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("__nt") > 2) & (
+        var_w > 0
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, w).alias("w_stat"),
+        F.when(F.col("n_a") > 0, mean_w).alias("mean_w"),
+        F.when(ok, (w - mean_w) / F.sqrt(var_w)).alias("z"),
     )

@@ -1050,3 +1050,71 @@ def test_smd_balance_matches_moment_reference(spark):
 
     with pytest.raises(ValueError):
         stattests.smd_balance(const, "t", [])
+
+
+def test_cliffs_delta_matches_bruteforce(spark):
+    a = [1.0, 3.0, 5.0, 5.0, 7.0]
+    b = [2.0, 5.0, 6.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = stattests.cliffs_delta(df, "g", "v", "a", "b").collect()[0]
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    eq = sum(1 for x in a for y in b if x == y)
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert out["u2_a"] == 2 * gt + eq
+    assert out["delta"] == (gt - lt) / (len(a) * len(b))
+
+    # dominance extremes: every A above every B -> delta exactly 1
+    dom = spark.createDataFrame(
+        [("a", 10.0), ("a", 11.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    assert stattests.cliffs_delta(dom, "g", "v", "a", "b").collect()[0][
+        "delta"
+    ] == 1.0
+    # empty arm -> NULL
+    solo = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    r0 = stattests.cliffs_delta(solo, "g", "v", "a", "b").collect()[0]
+    assert r0["delta"] is None
+
+
+def test_ansari_bradley_matches_reference(spark):
+    from collections import Counter
+
+    a = [1.0, 9.0, 2.0, 8.0, 1.5, 9.5, 5.0]  # dispersed
+    b = [4.0, 5.0, 6.0, 5.5, 4.5, 5.0]       # tight, tie at 5.0
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = stattests.ansari_bradley(df, "g", "v", "a", "b").collect()[0]
+    pooled = sorted(a + b)
+    n = len(pooled)
+    cnt = Counter(pooled)
+    scores = {}
+    cum = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        scores[v] = sum(
+            min(r, n + 1 - r) for r in range(cum + 1, cum + c + 1)
+        ) / c
+        cum += c
+    w = sum(scores[v] for v in a)
+    ssum = sum(scores[v] for v in pooled)
+    ssq = sum(scores[v] ** 2 for v in pooled)
+    n1, n2 = len(a), len(b)
+    e = n1 * ssum / n
+    var = n1 * n2 / (n * (n - 1)) * (ssq - n * (ssum / n) ** 2)
+    assert out["n_a"] == n1 and out["n_b"] == n2
+    assert out["w_stat"] == pytest.approx(w, abs=1e-5)
+    assert out["mean_w"] == pytest.approx(e, abs=1e-5)
+    assert out["z"] == pytest.approx((w - e) / math.sqrt(var), abs=1e-4)
+    assert out["z"] < 0  # dispersed arm holds the tails -> low scores
+
+    # all values tied -> zero score variance -> NULL z
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+        "g string, v double",
+    )
+    assert stattests.ansari_bradley(flat, "g", "v", "a", "b").collect()[0][
+        "z"
+    ] is None

@@ -1432,6 +1432,18 @@ CHECKS = [
         [(r"CartesianProduct", "the arm join keys on the covariate"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        "cliffs_delta_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
+        [(r"CartesianProduct", "no pair enumeration — the rank identity folds it"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
+    (
+        "ansari_bradley_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
+        [(r"CartesianProduct", "closed-form block sums — no per-rank explode"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 
