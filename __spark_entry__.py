@@ -14475,6 +14475,53 @@ def q_ansari_bradley_events(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_pettitt_window",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS t,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    l AS (SELECT t, CAST(CAST(CAST(n AS DOUBLE) AS DECIMAL(28,8))
+                         AS DOUBLE) AS v
+          FROM b),
+    m AS (SELECT t, CAST(CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(38,10))
+                   AS mm
+          FROM l GROUP BY t),
+    pv AS (SELECT mm, COUNT(*) AS c FROM m GROUP BY mm),
+    rk AS (SELECT mm, 2 * SUM(c) OVER (ORDER BY mm) - c + 1 AS d2
+           FROM pv),
+    c AS (SELECT m.t,
+                 ROW_NUMBER() OVER wo AS i,
+                 SUM(rk.d2) OVER wc AS cd,
+                 COUNT(*) OVER () AS nb
+          FROM m JOIN rk USING (mm)
+          WINDOW wo AS (ORDER BY t),
+                 wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+    cand AS (SELECT t AS split_ts,
+                    CAST(nb AS BIGINT) AS n_buckets,
+                    CAST(ABS(cd - i * (nb + 1)) AS BIGINT) AS k_stat,
+                    CAST(cd - i * (nb + 1) AS BIGINT) AS u_at_split
+             FROM c WHERE i < nb)
+    SELECT * FROM cand ORDER BY k_stat DESC, split_ts LIMIT 1
+    """,
+)
+def q_stream_pettitt_window(spark, sf_dir):
+    # streaming volume-changepoint gate: mergeable per-(hour, arm)
+    # counts from the live stream, keys folded to one per-window
+    # volume series, the Pettitt rank locator finished over the
+    # drained windows-sized table.  Counts are associative, so the
+    # located split is bit-identical to the batch rollup's
+    from bubbles_spark.streaming import events as sevents
+
+    stream = sevents.read_testdata_event_stream(spark, sf_dir)
+    agg = sevents.windowed_agg_stream(stream, "ts", "1 hour")
+    sunk = sevents.run_batchlike(
+        agg, _stream_name("s_pettitt"), output_mode="complete"
+    )
+    return sevents.finish_pettitt(sunk)
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

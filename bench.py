@@ -317,6 +317,7 @@ BENCH_QUERIES = [
     "smd_balance_orders",
     "cliffs_delta_events",
     "ansari_bradley_events",
+    "stream_pettitt_window",
 ]
 
 

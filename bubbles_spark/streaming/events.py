@@ -1782,3 +1782,39 @@ def finish_cusum(
         series, key_col, ts_col, "n_obs",
         target=target, allowance=allowance, threshold=threshold,
     )
+
+
+def finish_pettitt(
+    counts: DataFrame,
+    ts_col: str = "window_start",
+    count_col: str = "record_count",
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Finisher: Pettitt change-point locator over streamed per-window
+    counts — the streaming sibling of ``ops.events.pettitt_test``
+    ("where did this stream's volume level shift?"), the rank-based
+    companion to ``finish_cusum``'s target-drift chart (no target
+    needed — the split is found, not asserted).
+
+    Feed ``windowed_agg_stream``'s sunk per-(window, key) counts;
+    keys are summed into one per-window volume series (counts are
+    associative and exact, so the drained stream equals the batch
+    rollup and the located split is bit-identical to the batch twin).
+    The sequential rank statistic lives in the finisher over the
+    windows-sized table (the ``finish_cusum`` posture).
+
+    Output (one row): split_ts, n_buckets, k_stat, u_at_split."""
+    from bubbles_spark.ops.events import pettitt_test
+
+    per_window = counts.groupBy(ts_col).agg(
+        F.sum(count_col).cast("bigint").alias("__vol")
+    )
+    return pettitt_test(
+        per_window.select(
+            F.col(ts_col).alias("__ts"),
+            F.col("__vol").cast("double").alias("__val"),
+        ),
+        "__ts",
+        "__val",
+        interval,
+    )

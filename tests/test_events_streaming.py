@@ -1075,3 +1075,44 @@ def test_finish_cusum_stream_matches_batch_recurrence(spark, tmp_path):
             assert r["alarm_neg"] == (sn > 2.0)
     # key a: the double 6-count hours must trip the positive alarm
     assert got[("a", "2024-01-01 03:00:00")]["alarm_pos"]
+
+
+def test_finish_pettitt_stream_matches_batch(spark, tmp_path):
+    """Drained windowed counts through the Pettitt finisher locate
+    the same split the batch rank statistic does — counts are
+    associative, so drained == batch exactly."""
+    import bubbles_spark.streaming.events as sevents
+    from pyspark.sql import functions as F
+
+    # volume level shift at hour 4: 2/hour then 6/hour
+    per_hour = [2, 2, 2, 2, 6, 6, 6, 6]
+    rows = []
+    eid = 0
+    for h, n in enumerate(per_hour):
+        for m in range(n):
+            rows.append((eid, "2024-01-01 %02d:%02d:00" % (h, m), "a", 1.0))
+            eid += 1
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "ev")
+    batch.write.parquet(path)
+    stream = sevents.read_event_stream(
+        spark, path, schema=spark.read.parquet(path).schema
+    )
+    agg = sevents.windowed_agg_stream(stream, "ts", "1 hour")
+    sunk = sevents.run_batchlike(agg, "t_pettitt", output_mode="complete")
+    out = sevents.finish_pettitt(sunk).collect()[0]
+    assert out["n_buckets"] == 8
+    # split after hour 3 (last left bucket), K = brute-force max |U|
+    assert str(out["split_ts"]).startswith("2024-01-01 03:00")
+    n = len(per_hour)
+    best = 0
+    for t in range(1, n):
+        u = sum(
+            (per_hour[i] > per_hour[j]) - (per_hour[i] < per_hour[j])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        best = max(best, abs(u))
+    assert out["k_stat"] == best
