@@ -14522,6 +14522,19 @@ def q_stream_pettitt_window(spark, sf_dir):
     return sevents.finish_pettitt(sunk)
 
 
+# Rows-only check (no oracle): no SQL engine has deflate — exact
+# values are pytest-pinned against the same zlib build instead.
+@_q("compression_ratio_docs")
+def q_compression_ratio_docs(spark, sf_dir):
+    # per-doc deflate/utf8 ratio: the corpus-prep filter that flags
+    # templated filler (ratio << 1) and high-entropy noise (~1);
+    # Arrow-batched map-only seam, no shuffle
+    from bubbles_spark.ops import textan
+
+    d = _t(spark, sf_dir, "documents")
+    return textan.compression_ratio(d)
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

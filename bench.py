@@ -318,6 +318,7 @@ BENCH_QUERIES = [
     "cliffs_delta_events",
     "ansari_bradley_events",
     "stream_pettitt_window",
+    "compression_ratio_docs",
 ]
 
 

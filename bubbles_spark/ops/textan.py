@@ -1412,3 +1412,55 @@ def distinctive_terms(
         .orderBy(F.col("odds_ratio").desc(), "term")
         .limit(int(top_k))
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal — ``deflate_bytes /
+    utf8_bytes`` per document: boilerplate, templated spam, and
+    repeated spans compress far below prose (a ratio ≪ 1 flags
+    machine-generated filler; ≈ 1 flags high-entropy noise/base64).
+    The classic corpus-prep filter alongside ``repetition_ratio``
+    (which sees only n-gram repeats) and ``quality_score``.
+
+    Compression is not expressible in Catalyst, so this is an honest
+    Arrow-batched ``mapInPandas`` seam (the ``filter_by_predicate``
+    escape-hatch posture): zlib at a FIXED level, map-only, no
+    shuffle, no state.  Deterministic for a given zlib build; exact
+    values are pytest-pinned against the same library, and the
+    driver's check is rows-only (no SQL engine has deflate).
+
+    Output: id_col, byte_len, compressed_len (bigint), ratio
+    (double; NULL for empty text)."""
+    import pandas as pd
+
+    lvl = int(level)
+    out_schema = (
+        f"{id_col} long, byte_len long, compressed_len long, ratio double"
+    )
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            raw = [t.encode("utf-8") for t in texts]
+            blen = [len(b) for b in raw]
+            clen = [len(zlib.compress(b, lvl)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "byte_len": blen,
+                    "compressed_len": clen,
+                    "ratio": [
+                        (c / b) if b > 0 else None
+                        for b, c in zip(blen, clen)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

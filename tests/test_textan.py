@@ -621,3 +621,29 @@ def test_distinctive_terms_odds_and_order(spark):
         df, "source", "s1", min_count=3, top_k=10
     ).collect()
     assert {r["term"] for r in pruned} == {"apple", "banana", "cherry"}
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spam spam spam spam spam spam spam spam spam"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textan.compression_ratio(df, "doc_id", "text").collect()
+    }
+    for i, t in rows:
+        t = t or ""
+        b = t.encode("utf-8")
+        c = zlib.compress(b, 6)
+        r = out[i]
+        assert r["byte_len"] == len(b)
+        assert r["compressed_len"] == len(c)
+        assert r["ratio"] == (len(c) / len(b) if b else None)
+    # repeated text compresses deeper than prose
+    assert out[2]["ratio"] < out[1]["ratio"]
