@@ -14535,6 +14535,73 @@ def q_compression_ratio_docs(spark, sf_dir):
     return textan.compression_ratio(d)
 
 
+@_q(
+    "brunner_munzel_events",
+    """
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END
+               AS arm, value AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+    pooled AS (SELECT v, COUNT(*) AS cp FROM base GROUP BY v),
+    pcum AS (SELECT v, cp, SUM(cp) OVER (ORDER BY v) AS cum_p
+             FROM pooled),
+    cgv AS (SELECT arm, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    wcum AS (SELECT arm, v, c,
+                    SUM(c) OVER (PARTITION BY arm ORDER BY v) AS cum_g
+             FROM cgv),
+    j AS (SELECT w.arm, w.c,
+                 2 * p.cum_p - p.cp + 1 AS two_r,
+                 (2 * p.cum_p - p.cp + 1)
+                   - (2 * w.cum_g - w.c + 1) AS dd
+          FROM wcum w JOIN pcum p USING (v)),
+    pa AS (SELECT arm,
+                  CAST(SUM(c) AS BIGINT) AS n,
+                  SUM(CAST(c AS DECIMAL(38,0)) * two_r) AS s2r,
+                  SUM(CAST(c AS DECIMAL(38,0)) * CAST(dd AS DECIMAL(38,0)))
+                    AS sd,
+                  SUM(CAST(c AS DECIMAL(38,0)) * CAST(dd AS DECIMAL(38,0))
+                      * CAST(dd AS DECIMAL(38,0))) AS sdd
+           FROM j GROUP BY arm),
+    f AS (SELECT arm, n,
+                 CAST(s2r AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) AS rbar,
+                 CASE WHEN n > 1 THEN
+                   (CAST(sdd AS DOUBLE)
+                    - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / (4.0 * (CAST(n AS DOUBLE) - 1.0)) END AS vg
+          FROM pa),
+    x AS (SELECT a.n AS n_a, b.n AS n_b,
+                 a.rbar AS ra, b.rbar AS rb, a.vg AS va, b.vg AS vb,
+                 CAST(a.n AS DOUBLE) AS nad, CAST(b.n AS DOUBLE) AS nbd
+          FROM (SELECT * FROM f WHERE arm = 'a') a
+          CROSS JOIN (SELECT * FROM f WHERE arm = 'b') b)
+    SELECT n_a, n_b,
+           (rb - (nbd + 1.0) / 2.0) / nad AS p_hat,
+           CASE WHEN n_a > 1 AND n_b > 1 AND nad * va + nbd * vb > 0
+                THEN nad * nbd * (rb - ra)
+                     / ((nad + nbd) * SQRT(nad * va + nbd * vb))
+           END AS w_stat,
+           CASE WHEN n_a > 1 AND n_b > 1 AND nad * va + nbd * vb > 0
+                THEN ((nad * va + nbd * vb) * (nad * va + nbd * vb))
+                     / ((nad * va) * (nad * va) / (nad - 1.0)
+                        + (nbd * vb) * (nbd * vb) / (nbd - 1.0))
+           END AS df_bm
+    FROM x
+    """,
+)
+def q_brunner_munzel_events(spark, sf_dir):
+    # heteroskedasticity-robust purchase-vs-click location test with
+    # the common-language effect size: doubled pooled + within-arm
+    # midranks from value counts, exact moment folds, Welch-like df
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events")
+    return stattests.brunner_munzel(
+        e, "event_type", "value", "purchase", "click"
+    )
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

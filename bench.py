@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "ansari_bradley_events",
     "stream_pettitt_window",
     "compression_ratio_docs",
+    "brunner_munzel_events",
 ]
 
 

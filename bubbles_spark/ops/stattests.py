@@ -60,6 +60,7 @@ __all__ = [
     "smd_balance",
     "cliffs_delta",
     "ansari_bradley",
+    "brunner_munzel",
 ]
 
 
@@ -2608,4 +2609,102 @@ def ansari_bradley(
         F.when(F.col("n_a") > 0, w).alias("w_stat"),
         F.when(F.col("n_a") > 0, mean_w).alias("mean_w"),
         F.when(ok, (w - mean_w) / F.sqrt(var_w)).alias("z"),
+    )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Brunner–Munzel test (Brunner & Munzel 2000, public) — the
+    heteroskedasticity-robust replacement for ``mann_whitney_u``:
+    tests ``P(X<Y) + ½P(X=Y) = ½`` WITHOUT the equal-variance
+    assumption the U test's null needs (the rank-world analogue of
+    Welch vs Student).  Also emits ``p_hat``, the common-language
+    effect size itself.
+
+    Everything derives from two rank systems — pooled midranks and
+    within-arm midranks — both exact in DOUBLED integers from
+    per-value counts (the shared ``2·cum − c + 1`` identity; no
+    per-row ranking).  Per arm, the variance of ``R_i − R_i^(g)``
+    needs only ΣD and ΣD² of the doubled differences (every
+    observation at a value shares them, so the sums are per-value
+    count folds — exact DECIMAL(38,0)); the statistic
+    ``W = n_a·n_b·(R̄_b − R̄_a)/(N·√(n_a·v_a + n_b·v_b))`` and its
+    Welch-like df are then a fixed IEEE sequence.  Degenerate inputs
+    (an empty arm, n_g < 2, zero combined variance — e.g. no overlap
+    or all tied) yield NULL w/df.
+
+    Output (one row): n_a, n_b, p_hat, w_stat, df_bm (double)."""
+    from bubbles_spark.ops.drift import _grouped_cum_counts
+
+    both = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.when(F.col(group_col) == F.lit(group_a), F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("__arm"),
+        F.col(value_col).alias("__v"),
+    )
+    pooled = _grouped_cum_counts(
+        both.withColumn("__g", F.lit(0)), "__g", "__v"
+    ).select("__v", F.col("__c").alias("__cp"), F.col("__cum").alias("__cum_p"))
+    within = _grouped_cum_counts(both, "__arm", "__v").select(
+        "__arm", "__v", "__c", "__cum", F.col("__n").alias("__ng")
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    j = within.join(pooled, "__v")
+    # doubled pooled midrank 2R = 2·cum_p − c_p + 1; doubled within
+    # midrank 2R' = 2·cum_g − c_g + 1; doubled difference D = 2R − 2R'
+    two_r = F.lit(2) * F.col("__cum_p") - F.col("__cp") + F.lit(1)
+    two_rg = F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)
+    dd = d(two_r - two_rg)
+    per_arm = j.groupBy("__arm").agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum(d(F.col("__c")) * two_r).alias("__s2r"),
+        F.sum(d(F.col("__c")) * dd).alias("__sd"),
+        F.sum(d(F.col("__c")) * dd * dd).alias("__sdd"),
+    )
+    nd = F.col("__n").cast("double")
+    rbar = F.col("__s2r").cast("double") / (F.lit(2.0) * nd)
+    sdd = F.col("__sdd").cast("double")
+    sd1 = F.col("__sd").cast("double")
+    var_g = F.when(
+        F.col("__n") > 1,
+        (sdd - sd1 * sd1 / nd) / (F.lit(4.0) * (nd - F.lit(1.0))),
+    )
+    arm = lambda a, sfx: per_arm.filter(  # noqa: E731
+        F.col("__arm") == a
+    ).select(
+        F.col("__n").alias(f"n_{sfx}"),
+        rbar.alias(f"__rbar_{sfx}"),
+        var_g.alias(f"__v_{sfx}"),
+    )
+    agg = arm("a", "a").crossJoin(F.broadcast(arm("b", "b")))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    p_hat = (F.col("__rbar_b") - (nb + F.lit(1.0)) / F.lit(2.0)) / na
+    combo = na * F.col("__v_a") + nb * F.col("__v_b")
+    w = (
+        na
+        * nb
+        * (F.col("__rbar_b") - F.col("__rbar_a"))
+        / (nn * F.sqrt(combo))
+    )
+    df_bm = (combo * combo) / (
+        (na * F.col("__v_a")) * (na * F.col("__v_a")) / (na - F.lit(1.0))
+        + (nb * F.col("__v_b")) * (nb * F.col("__v_b")) / (nb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (combo > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        p_hat.alias("p_hat"),
+        F.when(ok, w).alias("w_stat"),
+        F.when(ok, df_bm).alias("df_bm"),
     )

@@ -1118,3 +1118,56 @@ def test_ansari_bradley_matches_reference(spark):
     assert stattests.ansari_bradley(flat, "g", "v", "a", "b").collect()[0][
         "z"
     ] is None
+
+
+def test_brunner_munzel_matches_published_formulation(spark):
+    def ref_bm(x, y):
+        def midranks(vals, universe):
+            return [
+                sum(1 for u in universe if u < v)
+                + (sum(1 for u in universe if u == v) + 1) / 2
+                for v in vals
+            ]
+
+        pooled = x + y
+        r_all_x = midranks(x, pooled)
+        r_all_y = midranks(y, pooled)
+        r_x = midranks(x, x)
+        r_y = midranks(y, y)
+        n1, n2 = len(x), len(y)
+        n = n1 + n2
+        m1, m2 = sum(r_all_x) / n1, sum(r_all_y) / n2
+        v1 = sum(
+            (rx - rwx - m1 + (n1 + 1) / 2) ** 2
+            for rx, rwx in zip(r_all_x, r_x)
+        ) / (n1 - 1)
+        v2 = sum(
+            (ry - rwy - m2 + (n2 + 1) / 2) ** 2
+            for ry, rwy in zip(r_all_y, r_y)
+        ) / (n2 - 1)
+        w = n1 * n2 * (m2 - m1) / (n * math.sqrt(n1 * v1 + n2 * v2))
+        dfb = (n1 * v1 + n2 * v2) ** 2 / (
+            (n1 * v1) ** 2 / (n1 - 1) + (n2 * v2) ** 2 / (n2 - 1)
+        )
+        return (m2 - (n2 + 1) / 2) / n1, w, dfb
+
+    a = [1.0, 2.0, 1.5, 2.5, 1.0, 3.0, 2.0]
+    b = [3.0, 4.5, 2.5, 5.0, 4.0, 3.5]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = stattests.brunner_munzel(df, "g", "v", "a", "b").collect()[0]
+    p, w, dfb = ref_bm(a, b)
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert out["p_hat"] == pytest.approx(p, abs=1e-12)
+    assert out["w_stat"] == pytest.approx(w, abs=1e-12)
+    assert out["df_bm"] == pytest.approx(dfb, abs=1e-9)
+    # stochastic dominance of b -> p_hat near 1
+    assert out["p_hat"] > 0.9
+
+    # all tied -> zero combined variance -> NULL w/df, p_hat = 0.5
+    flat = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+        "g string, v double",
+    )
+    r0 = stattests.brunner_munzel(flat, "g", "v", "a", "b").collect()[0]
+    assert r0["w_stat"] is None and r0["p_hat"] == 0.5

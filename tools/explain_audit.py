@@ -1444,6 +1444,12 @@ CHECKS = [
         [(r"CartesianProduct", "closed-form block sums — no per-rank explode"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        "brunner_munzel_events",
+        [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
+        [(r"CartesianProduct", "rank systems join on the value key"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 
