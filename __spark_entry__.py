@@ -14602,6 +14602,72 @@ def q_brunner_munzel_events(spark, sf_dir):
     )
 
 
+@_q(
+    "page_trend_events_spend",
+    f"""
+    WITH per AS (SELECT user_id, event_type,
+                        CAST(SUM({_CENTS_SQL.format(c="value")}) AS BIGINT)
+                          AS v
+                 FROM events
+                 WHERE user_id IS NOT NULL AND value IS NOT NULL
+                   AND event_type IN ('view', 'click', 'purchase')
+                 GROUP BY 1, 2),
+    ok AS (SELECT user_id FROM per GROUP BY 1 HAVING COUNT(*) = 3),
+    base AS (SELECT p.* FROM per p JOIN ok USING (user_id)),
+    tied AS (SELECT MAX(CASE WHEN kd < cnt THEN 1 ELSE 0 END) AS anytied
+             FROM (SELECT user_id, COUNT(DISTINCT v) AS kd,
+                          COUNT(*) AS cnt
+                   FROM base GROUP BY user_id)),
+    rk AS (SELECT user_id, event_type,
+                  CAST(2 * RANK() OVER (PARTITION BY user_id ORDER BY v)
+                       + COUNT(*) OVER (PARTITION BY user_id, v) - 1
+                       AS BIGINT) AS d
+           FROM base),
+    pt AS (SELECT event_type, CAST(SUM(d) AS BIGINT) AS dsum
+           FROM rk GROUP BY 1),
+    l2t AS (SELECT SUM(CAST(CASE event_type
+                              WHEN 'click' THEN 1
+                              WHEN 'purchase' THEN 2
+                              ELSE 3 END AS DECIMAL(38,0)) * dsum) AS l2
+            FROM pt),
+    nn AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM base)
+    SELECT nn.n AS n_blocks, CAST(3 AS BIGINT) AS k_treatments,
+           CAST(l2 AS BIGINT) AS l2_stat,
+           CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+           CAST(nn.n * 48 AS DOUBLE) / 4.0 AS mean_l,
+           CASE WHEN (SELECT anytied FROM tied) = 0 AND nn.n > 0
+                THEN (CAST(l2 AS DOUBLE) / 2.0
+                      - CAST(nn.n * 48 AS DOUBLE) / 4.0)
+                     / SQRT(CAST(nn.n AS DOUBLE) * 576.0 / 288.0)
+           END AS z
+    FROM nn CROSS JOIN l2t
+    """,
+)
+def q_page_trend_events_spend(spark, sf_dir):
+    # Page's ordered within-user trend over click < purchase < view
+    # (alphabetical arm order — the ordinal-arms demo on the same
+    # complete-block shape as friedman_events_spend): exact doubled-
+    # rank L, no-tie normal moments, z NULL if any user block ties
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    )
+    per = e.groupBy("user_id", "event_type").agg(
+        F.sum(_cents(F.col("value"))).cast("bigint").alias("v")
+    )
+    complete = (
+        per.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == 3)
+        .select("user_id")
+    )
+    base = per.join(complete, "user_id", "semi")
+    return stattests.page_trend_test(base, "user_id", "event_type", "v")
+
+
 # ---------------------------------------------------------------------
 # Decimal-presentation sentinels (what remains of the round-9
 # driver-mediated bisection).

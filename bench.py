@@ -320,6 +320,7 @@ BENCH_QUERIES = [
     "stream_pettitt_window",
     "compression_ratio_docs",
     "brunner_munzel_events",
+    "page_trend_events_spend",
 ]
 
 

@@ -61,6 +61,7 @@ __all__ = [
     "cliffs_delta",
     "ansari_bradley",
     "brunner_munzel",
+    "page_trend_test",
 ]
 
 
@@ -2707,4 +2708,109 @@ def brunner_munzel(
         p_hat.alias("p_hat"),
         F.when(ok, w).alias("w_stat"),
         F.when(ok, df_bm).alias("df_bm"),
+    )
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's trend test (Page 1963, public) — ``friedman_test``'s
+    ordered-alternative sharpening, exactly as ``jonckheere_terpstra``
+    sharpens ``kruskal_wallis``: "do the k treatments trend UPWARD in
+    their given order, judging each block only against itself?"
+    Treatments are ordered by the natural sort of ``treatment_col``
+    (feed genuinely ordinal arms).  ``L = Σ_j j·R_j`` over per-
+    treatment within-block rank sums; large L ⇒ later treatments rank
+    higher.
+
+    Contract: the ``friedman_test`` complete-block shape (exactly one
+    observation per (block, treatment), all blocks complete) —
+    violations raise.  Exactness: doubled within-block average ranks
+    keep L integral (``L2 = Σ j·D_j``, exact BIGINT/DECIMAL); the
+    normal null moments ``E[L] = n·k(k+1)²/4`` and
+    ``Var[L] = n·(k³−k)²/(144(k−1))`` assume NO ties within a block,
+    so z is NULL when any block has tied values (L2 itself stays
+    exact under ties via average ranks) — the R ``page.test``
+    discipline, surfaced rather than silently mis-scaled.
+
+    Scale: within-block ranking windows (k rows per block, blocks
+    parallelize), then treatments-sized folds.
+
+    Output (one row): n_blocks, k_treatments, l2_stat (2L, bigint),
+    l_stat, mean_l, z (double)."""
+    from pyspark.sql import Window as W
+
+    base = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("__b"),
+        F.col(treatment_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    shape = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.countDistinct("__t").alias("__kd"),
+        (F.countDistinct("__v") < F.count(F.lit(1)))
+        .cast("int")
+        .alias("__tied"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.min("__rows").alias("__rmin"),
+        F.max("__rows").alias("__rmax"),
+        F.min("__kd").alias("__kmin"),
+        F.max("__kd").alias("__kmax"),
+        F.max("__tied").alias("__anytied"),
+    ).collect()[0]
+    if shape["n_blocks"] == 0:
+        raise ValueError("page_trend_test: no complete rows")
+    if not (
+        shape["__rmin"] == shape["__rmax"] == shape["__kmin"]
+        == shape["__kmax"]
+    ):
+        raise ValueError(
+            "page_trend_test: every block needs exactly one observation "
+            "per treatment and all treatments "
+            f"(rows per block {shape['__rmin']}..{shape['__rmax']}, "
+            f"distinct treatments {shape['__kmin']}..{shape['__kmax']}) "
+            "— pre-aggregate to the complete-block shape first"
+        )
+    n = int(shape["n_blocks"])
+    k = int(shape["__rmin"])
+    tied = bool(shape["__anytied"])
+    w_rank = W.partitionBy("__b").orderBy("__v")
+    w_tie = W.partitionBy("__b", "__v")
+    dd = (
+        F.lit(2) * F.rank().over(w_rank)
+        + F.count(F.lit(1)).over(w_tie)
+        - F.lit(1)
+    ).cast("bigint")
+    per_t = base.withColumn("__d", dd).groupBy("__t").agg(
+        F.sum("__d").cast("bigint").alias("__D")
+    )
+    w_ord = W.orderBy("__t")
+    idx = F.row_number().over(w_ord)  # k rows — trivially bounded
+    agg = per_t.withColumn("__j", idx).agg(
+        F.sum(d(F.col("__j")) * F.col("__D")).alias("__L2")
+    )
+    mean_l = float(n * k * (k + 1) ** 2) / 4.0
+    var_l = float(n) * float(k**3 - k) ** 2 / (144.0 * float(k - 1)) if k > 1 else 0.0
+    l_stat = F.col("__L2").cast("double") / F.lit(2.0)
+    ok = (not tied) and k > 1 and var_l > 0
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_blocks"),
+        F.lit(k).cast("bigint").alias("k_treatments"),
+        F.col("__L2").cast("bigint").alias("l2_stat"),
+        l_stat.alias("l_stat"),
+        F.lit(mean_l).alias("mean_l"),
+        (
+            (l_stat - F.lit(mean_l)) / F.lit(var_l**0.5)
+            if ok
+            else F.lit(None).cast("double")
+        ).alias("z"),
     )

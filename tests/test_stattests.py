@@ -1171,3 +1171,49 @@ def test_brunner_munzel_matches_published_formulation(spark):
     )
     r0 = stattests.brunner_munzel(flat, "g", "v", "a", "b").collect()[0]
     assert r0["w_stat"] is None and r0["p_hat"] == 0.5
+
+
+def test_page_trend_matches_hand(spark):
+    data = {
+        1: {"t1": 1.0, "t2": 2.0, "t3": 3.0},
+        2: {"t1": 2.0, "t2": 1.0, "t3": 3.0},
+        3: {"t1": 1.0, "t2": 3.0, "t3": 2.0},
+        4: {"t1": 1.0, "t2": 2.0, "t3": 3.0},
+    }
+    rows = [(b, t, v) for b, tv in data.items() for t, v in tv.items()]
+    df = spark.createDataFrame(rows, "b int, t string, v double")
+    out = stattests.page_trend_test(df, "b", "t", "v").collect()[0]
+    k, n = 3, 4
+    rank_sums = {t: 0 for t in ("t1", "t2", "t3")}
+    for tv in data.values():
+        order = sorted(tv.values())
+        for t, v in tv.items():
+            rank_sums[t] += order.index(v) + 1
+    l_ref = sum(
+        (j + 1) * rank_sums[t] for j, t in enumerate(sorted(rank_sums))
+    )
+    e = n * k * (k + 1) ** 2 / 4
+    var = n * (k ** 3 - k) ** 2 / (144 * (k - 1))
+    assert out["n_blocks"] == n and out["k_treatments"] == k
+    assert out["l2_stat"] == 2 * l_ref and out["l_stat"] == l_ref
+    assert out["mean_l"] == e
+    assert out["z"] == pytest.approx((l_ref - e) / math.sqrt(var), abs=1e-12)
+    assert out["z"] > 2  # planted upward trend
+
+    # a tie inside any block voids the no-tie normal moments: exact L
+    # survives, z goes NULL (surfaced, not silently mis-scaled)
+    data[1]["t1"] = data[1]["t2"] = 5.0
+    rows = [(b, t, v) for b, tv in data.items() for t, v in tv.items()]
+    r2 = stattests.page_trend_test(
+        spark.createDataFrame(rows, "b int, t string, v double"),
+        "b", "t", "v",
+    ).collect()[0]
+    assert r2["z"] is None and r2["l2_stat"] is not None
+
+    # incomplete block raises (the friedman contract)
+    bad = spark.createDataFrame(
+        [(1, "t1", 1.0), (1, "t2", 2.0), (2, "t1", 1.0)],
+        "b int, t string, v double",
+    )
+    with pytest.raises(ValueError):
+        stattests.page_trend_test(bad, "b", "t", "v")

@@ -1450,6 +1450,12 @@ CHECKS = [
         [(r"CartesianProduct", "rank systems join on the value key"),
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
+    (
+        "page_trend_events_spend",
+        [(r"Functions \[\d+\]: \[partial_", "per-(block,treatment) cells partial-aggregate map-side")],
+        [(r"CartesianProduct", "within-block windows, treatments-sized folds"),
+         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+    ),
 ]
 
 
