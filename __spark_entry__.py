@@ -7942,6 +7942,59 @@ def q_calibration_events(spark, sf_dir):
     return out
 
 
+@_q(
+    "isotonic_calibration_events",
+    """
+    WITH t AS (SELECT CAST(value AS DOUBLE) AS s,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+               FROM events WHERE value IS NOT NULL),
+    g AS (SELECT LEAST(GREATEST(CAST(FLOOR((s - 0.0) / 50.0) AS BIGINT),
+                                0), 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM t GROUP BY 1),
+    pre AS (SELECT bin, n, pos,
+                   SUM(n) OVER (ORDER BY bin) AS cn,
+                   SUM(pos) OVER (ORDER BY bin) AS cp
+            FROM g),
+    -- PAV minimax identity: iso(i) = max_{s<=i} min_{e>=i} avg(s..e),
+    -- every avg ONE division of exact bigint deltas
+    pairs AS (SELECT st.bin AS sb, en.bin AS eb,
+                     CAST(en.cp - (st.cp - st.pos) AS DOUBLE)
+                       / CAST(en.cn - (st.cn - st.n) AS DOUBLE) AS av
+              FROM pre st JOIN pre en ON st.bin <= en.bin),
+    m AS (SELECT sb, eb,
+                 MIN(av) OVER (PARTITION BY sb ORDER BY eb DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS mn
+          FROM pairs),
+    iso AS (SELECT eb AS bin, MAX(mn) AS iso_rate FROM m GROUP BY eb)
+    SELECT g.bin, g.n, g.pos,
+           CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS pos_rate,
+           iso.iso_rate AS iso_rate
+    FROM g JOIN iso USING (bin)
+    ORDER BY bin
+    """,
+)
+def q_isotonic_calibration_events(spark, sf_dir):
+    # PAV-calibrated monotone purchase rate over the value grid —
+    # the applied-calibrator companion to calibration_events' raw
+    # reliability diagram.  Minimax-identity plan (no sequential
+    # pooling): bounded pair grid + suffix-min window + per-end max;
+    # all averages are single divisions of exact bigints, so every
+    # emitted double is bit-identical cross-engine
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    d = e.filter(F.col("value").isNotNull()).select(
+        F.col("value").cast("double").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return drift.isotonic_calibration(
+        d, "score", "label", 0.0, 500.0, bins=10
+    )
+
+
 _ATTR_ORACLE = """
     WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS cts
                   FROM events WHERE event_type = 'purchase'),
@@ -13492,13 +13545,16 @@ def q_stream_srm_window(spark, sf_dir):
       WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
       GROUP BY 1, 2),
     p AS (
+      -- prefix sums cast to DECIMAL(37,8) to mirror Spark's staged
+      -- cast: (37,8)-(37,8) -> (38,8) with scale 8 preserved (the
+      -- decimal-subtraction hazard fix; lossless at 29 int digits)
       SELECT k, day, value,
-             SUM(CAST(value AS DECIMAL(28,8))
+             CAST(SUM(CAST(value AS DECIMAL(28,8))
                  - CAST('850000' AS DECIMAL(28,8)))
-               OVER w AS pp,
-             SUM(CAST('750000' AS DECIMAL(28,8))
+               OVER w AS DECIMAL(37,8)) AS pp,
+             CAST(SUM(CAST('750000' AS DECIMAL(28,8))
                  - CAST(value AS DECIMAL(28,8)))
-               OVER w AS pn
+               OVER w AS DECIMAL(37,8)) AS pn
       FROM daily
       WINDOW w AS (PARTITION BY k ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -13507,9 +13563,9 @@ def q_stream_srm_window(spark, sf_dir):
       -- (measured), which would float-contaminate the exact state
       SELECT k, day, value,
              pp - (CASE WHEN MIN(pp) OVER w < 0 THEN MIN(pp) OVER w
-                        ELSE CAST('0' AS DECIMAL(38,8)) END) AS sp,
+                        ELSE CAST('0' AS DECIMAL(37,8)) END) AS sp,
              pn - (CASE WHEN MIN(pn) OVER w < 0 THEN MIN(pn) OVER w
-                        ELSE CAST('0' AS DECIMAL(38,8)) END) AS sn
+                        ELSE CAST('0' AS DECIMAL(37,8)) END) AS sn
       FROM p
       WINDOW w AS (PARTITION BY k ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
@@ -13557,11 +13613,15 @@ def q_cusum_daily_revenue(spark, sf_dir):
                FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
                GROUP BY 1, 2),
     p AS (
+      -- DECIMAL(37,8) prefix sums mirror Spark's staged cast (the
+      -- decimal-subtraction hazard fix): (37,8)-(37,8) -> (38,8)
       SELECT event_type, window_start, n_obs,
-             SUM(CAST(n_obs AS DECIMAL(28,8))
-                 - CAST('3.5' AS DECIMAL(28,8))) OVER w AS pp,
-             SUM(CAST('2.5' AS DECIMAL(28,8))
-                 - CAST(n_obs AS DECIMAL(28,8))) OVER w AS pn
+             CAST(SUM(CAST(n_obs AS DECIMAL(28,8))
+                 - CAST('3.5' AS DECIMAL(28,8))) OVER w
+               AS DECIMAL(37,8)) AS pp,
+             CAST(SUM(CAST('2.5' AS DECIMAL(28,8))
+                 - CAST(n_obs AS DECIMAL(28,8))) OVER w
+               AS DECIMAL(37,8)) AS pn
       FROM c
       WINDOW w AS (PARTITION BY event_type ORDER BY window_start
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -13569,9 +13629,9 @@ def q_cusum_daily_revenue(spark, sf_dir):
       -- CASE, not LEAST: DuckDB's LEAST promotes decimals to DOUBLE
       SELECT event_type, window_start, n_obs,
              pp - (CASE WHEN MIN(pp) OVER w < 0 THEN MIN(pp) OVER w
-                        ELSE CAST('0' AS DECIMAL(38,8)) END) AS sp,
+                        ELSE CAST('0' AS DECIMAL(37,8)) END) AS sp,
              pn - (CASE WHEN MIN(pn) OVER w < 0 THEN MIN(pn) OVER w
-                        ELSE CAST('0' AS DECIMAL(38,8)) END) AS sn
+                        ELSE CAST('0' AS DECIMAL(37,8)) END) AS sn
       FROM p
       WINDOW w AS (PARTITION BY event_type ORDER BY window_start
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
@@ -14536,6 +14596,55 @@ def q_compression_ratio_docs(spark, sf_dir):
 
 
 @_q(
+    "compression_ratio_planted",
+    """
+    SELECT doc_id FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def q_compression_ratio_planted(spark, sf_dir):
+    # FULL-oracle twin of compression_ratio_docs (r11 verdict item 2):
+    # a planted corpus whose DISCRETE consequences are SQL-checkable
+    # even though deflate itself is not.  For each doc_id < 100 plant
+    # two docs — a templated-filler doc (a 45-char phrase repeated
+    # 30-49×: any deflate level compresses it ≳20×, ratio ≈ 0.04) and
+    # a high-entropy doc under id+1,000,000 (8 concatenated md5 hex
+    # digests = 256 chars at 4 bits/char: NO deflate level can reach
+    # ratio 0.5, measured ≈ 0.66).  The query emits the ids whose
+    # ratio < 0.3 — by construction exactly the filler set, with >2×
+    # margin on both sides, independent of zlib level or build.
+    from bubbles_spark.ops import textan
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id")
+    )
+    filler = ids.select(
+        "doc_id",
+        F.expr(
+            "repeat('the quick brown fox jumps over the lazy dog ', "
+            "30 + CAST(doc_id % 20 AS INT))"
+        ).alias("text"),
+    )
+    entropy = ids.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(
+            *[
+                F.md5(
+                    F.concat(F.lit(f"salt{i}:"), F.col("doc_id").cast("string"))
+                )
+                for i in range(8)
+            ]
+        ).alias("text"),
+    )
+    corpus = filler.unionByName(entropy)
+    out = textan.compression_ratio(corpus)
+    return (
+        out.filter(F.col("ratio") < 0.3).select("doc_id").orderBy("doc_id")
+    )
+
+
+@_q(
     "brunner_munzel_events",
     """
     WITH base AS (
@@ -14887,6 +14996,11 @@ _FORCE_RECHECK = {
     "bx_floor_cents_orders",        # permanent: canary's passing twin
     # (r10 surface changes all re-verified green in CORRECTNESS_r10:
     # orc_roundtrip, conformal x2, fdr x2 — removed, rotate normally)
+    # r12 surface/impl changes (decimal-hazard fix + ADVICE items):
+    "cusum_daily_revenue",          # oracle text changed ((37,8) cast)
+    "stream_cusum_window",          # oracle text changed ((37,8) cast)
+    "brunner_munzel_events",        # impl changed (empty-arm one-row agg)
+    "anderson_darling_events",      # impl changed (broadcast N, no global window)
 }
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "ks_distance",
     "auc_score",
     "calibration_report",
+    "isotonic_calibration",
     "quantile_normalize",
     "winsorize_by",
     "psi_report_categorical",
@@ -506,6 +507,117 @@ def calibration_report(
             "pos_rate"
         ),
     ).orderBy("bin")
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 50,
+) -> DataFrame:
+    """Isotonic (PAV) calibration curve — the monotone-regression fit
+    of the per-bin positive rate (Barlow et al. 1972; Zadrozny &
+    Elkan 2002 for classifier calibration, both public): the
+    non-decreasing step function closest (weighted least squares) to
+    the empirical reliability diagram.  ``calibration_report`` shows
+    the raw diagram; this emits the monotone rate a production
+    calibrator would actually apply.
+
+    NOT sequential pooling: PAV's fitted value obeys the minimax
+    identity ``ŷ_i = max_{s≤i} min_{e≥i} avg(s..e)`` (Robertson,
+    Wright & Dykstra 1988, Thm 1.4.4 — public), so over the
+    ``bins``-bounded bin table the whole fit is a pair grid (s ≤ e,
+    ≤ bins² metadata-sized rows), one per-start suffix-min window,
+    and one per-end max — a pure DataFrame plan: no driver loop, no
+    UDF, no adjacent-violator recursion.
+
+    Exactness: every block average is ONE division of exact BIGINT
+    sums (Δpos/Δn), so the doubles — and every min/max over them —
+    are bit-identical cross-engine.  Raw ``pos_rate`` likewise.  No
+    float accumulation anywhere (mean-of-score is deliberately NOT
+    emitted; see calibration_report's caveat).
+
+    Scale: one keyed count shuffle folds the events to ≤ ``bins``
+    rows; everything after is metadata-sized (bins ≤ 4096 enforced so
+    the pair grid stays ≤ 16.8M rows; the suffix-min window
+    partitions by start bin — no single giant partition).
+
+    Output: bin, n, pos (bigint), pos_rate, iso_rate (double),
+    ordered by bin; iso_rate is non-decreasing by construction."""
+    if bins < 1 or not hi > lo:
+        raise ValueError("isotonic_calibration: need bins >= 1 and hi > lo")
+    if bins > 4096:
+        raise ValueError(
+            "isotonic_calibration: bins > 4096 would build a "
+            f"{bins}x{bins} pair grid; coarsen the grid"
+        )
+    step = (hi - lo) / bins
+    c = F.col(score_col)
+    b = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(step)), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    grouped = (
+        df.filter(c.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("bigint")).alias("pos"),
+        )
+    )
+    # prefix sums over the observed-bin table (bins-bounded — the
+    # changepoint_report normal form, so the unpartitioned window is
+    # metadata-sized by contract)
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = grouped.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).alias("__cn"),
+        F.sum("pos").over(wcum).alias("__cp"),
+    )
+    starts = pre.select(
+        F.col("bin").alias("__sb"),
+        (F.col("__cn") - F.col("n")).alias("__bn"),
+        (F.col("__cp") - F.col("pos")).alias("__bp"),
+    )
+    ends = pre.select(
+        F.col("bin").alias("__eb"),
+        F.col("__cn").alias("__en"),
+        F.col("__cp").alias("__ep"),
+    )
+    # s <= e pair grid: broadcast NL join of two bins-bounded tables
+    pairs = starts.join(
+        F.broadcast(ends), F.col("__sb") <= F.col("__eb")
+    ).withColumn(
+        "__av",
+        (F.col("__ep") - F.col("__bp")).cast("double")
+        / (F.col("__en") - F.col("__bn")).cast("double"),
+    )
+    wmin = (
+        Window.partitionBy("__sb")
+        .orderBy(F.col("__eb").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = pairs.select(
+        "__sb", "__eb", F.min("__av").over(wmin).alias("__mn")
+    )
+    iso = m.groupBy("__eb").agg(F.max("__mn").alias("iso_rate"))
+    return (
+        grouped.join(iso, grouped["bin"] == iso["__eb"])
+        .select(
+            "bin",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )
 
 
 def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:

@@ -2580,9 +2580,19 @@ def cusum_alarms(
     # first and the running minima read them in a second pass (same
     # window spec — the chained Window nodes share ONE partition sort:
     # plan shows 1 Sort / 1 window Exchange, audited)
-    staged = base.withColumn("__pp", F.sum(x - mu_k_hi).over(w)).withColumn(
-        "__pn", F.sum(mu_k_lo - x).over(w)
-    )
+    #
+    # decimal-subtraction hazard (the durbin_watson note): SUM over
+    # (29,8) operands lands at (38,8), and (38,8)−(38,8) needs
+    # precision 39, so Spark would silently round the result to
+    # (38,7) — losing the 8th decimal and (for full-scale inputs)
+    # the bit-exact alarm contract.  Cast the staged prefix sums to
+    # (37,8): lossless for any real series (29 integer digits), and
+    # (37,8)−(37,8) → (38,8) with scale preserved.  Oracle mirrors
+    # the same cast.
+    dec37 = "decimal(37,8)"
+    staged = base.withColumn(
+        "__pp", F.sum(x - mu_k_hi).over(w).cast(dec37)
+    ).withColumn("__pn", F.sum(mu_k_lo - x).over(w).cast(dec37))
     s_pos = F.col("__pp") - F.least(zero, F.min("__pp").over(w))
     s_neg = F.col("__pn") - F.least(zero, F.min("__pn").over(w))
     keep = [key_col, ts_col] + (

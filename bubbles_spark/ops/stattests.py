@@ -2335,8 +2335,11 @@ def anderson_darling_k(
         .alias("__d2"),
     )
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    n_tot = Window.partitionBy()
-    withn = enriched.withColumn("__N", F.sum("__c").over(n_tot))
+    # pooled N as a 1-row aggregate broadcast onto the grid — NOT an
+    # unpartitioned Window, which would funnel the whole (values × k)
+    # grid through a single task at high value cardinality
+    n_row = grid.agg(F.sum("__c").alias("__N"))
+    withn = enriched.crossJoin(F.broadcast(n_row))
     t2 = F.lit(2) * F.col("__cum") - F.col("__c")
     num = d38(F.col("__N")) * t2 - d38(F.col("__d2")) * F.col("__ng")
     den = d38(F.col("__d2")) * (
@@ -2678,14 +2681,28 @@ def brunner_munzel(
         F.col("__n") > 1,
         (sdd - sd1 * sd1 / nd) / (F.lit(4.0) * (nd - F.lit(1.0))),
     )
-    arm = lambda a, sfx: per_arm.filter(  # noqa: E731
-        F.col("__arm") == a
-    ).select(
-        F.col("__n").alias(f"n_{sfx}"),
-        rbar.alias(f"__rbar_{sfx}"),
-        var_g.alias(f"__v_{sfx}"),
+    # ONE global aggregate with conditional picks, not two filtered
+    # frames crossJoined: an empty arm must still surface the
+    # documented one NULL-w/df row (a filter+crossJoin would
+    # annihilate to zero rows), and a global agg over even an empty
+    # frame always yields exactly one row
+    stats = per_arm.select(
+        "__arm",
+        F.col("__n").alias("__nn"),
+        rbar.alias("__rbar"),
+        var_g.alias("__vg"),
     )
-    agg = arm("a", "a").crossJoin(F.broadcast(arm("b", "b")))
+    pick = lambda a, c: F.max(  # noqa: E731
+        F.when(F.col("__arm") == a, F.col(c))
+    )
+    agg = stats.agg(
+        F.coalesce(pick("a", "__nn"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(pick("b", "__nn"), F.lit(0)).cast("bigint").alias("n_b"),
+        pick("a", "__rbar").alias("__rbar_a"),
+        pick("b", "__rbar").alias("__rbar_b"),
+        pick("a", "__vg").alias("__v_a"),
+        pick("b", "__vg").alias("__v_b"),
+    )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     nn = na + nb

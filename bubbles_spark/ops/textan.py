@@ -1439,8 +1439,12 @@ def compression_ratio(
     import pandas as pd
 
     lvl = int(level)
+    # id field keeps the caller's type (string/int doc ids are
+    # legal), not a hardcoded long
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, byte_len long, compressed_len long, ratio double"
+        f"`{id_col}` {id_type}, byte_len long, "
+        f"compressed_len long, ratio double"
     )
 
     def run(batches):

@@ -222,6 +222,65 @@ def test_calibration_report_bins(spark):
     assert abs(rows[0]["mean_score"] - 0.125) < 1e-12
 
 
+def test_isotonic_calibration_matches_pav(spark):
+    import random
+
+    import pytest
+
+    # a noisy but broadly increasing score->label relationship so PAV
+    # has real violators to pool
+    rng = random.Random(7)
+    rows = []
+    for _ in range(400):
+        s = rng.random()
+        y = 1 if rng.random() < (0.15 + 0.7 * s) else 0
+        rows.append((s, y))
+    d = spark.createDataFrame(rows, "s double, y int")
+    out = drift.isotonic_calibration(d, "s", "y", 0.0, 1.0, bins=10).collect()
+
+    # sequential weighted PAV reference over the same bins
+    binned = {}
+    for s, y in rows:
+        b = min(max(int(s / 0.1), 0), 9)
+        n, p = binned.get(b, (0, 0))
+        binned[b] = (n + 1, p + y)
+    # classic adjacent-violator pooling: each stack block carries the
+    # bins it pooled; pool while the previous block's rate >= ours
+    stack = []  # [n, pos, [bins...]]
+    for b, (n, p) in sorted(binned.items()):
+        stack.append([n, p, [b]])
+        while len(stack) > 1 and (
+            stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+        ):
+            n2, p2, bs2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+            stack[-1][2].extend(bs2)
+    fitted = {}
+    for n, p, bs in stack:
+        for b in bs:
+            fitted[b] = p / n
+
+    got = {r["bin"]: r for r in out}
+    assert set(got) == set(binned)
+    # iso_rate matches the pooled PAV fit bin by bin
+    for b in sorted(binned):
+        assert got[b]["n"] == binned[b][0]
+        assert got[b]["pos"] == binned[b][1]
+        assert got[b]["pos_rate"] == pytest.approx(
+            binned[b][1] / binned[b][0], abs=1e-15
+        )
+        assert got[b]["iso_rate"] == pytest.approx(fitted[b], abs=1e-12)
+    # monotone by construction
+    rates = [got[b]["iso_rate"] for b in sorted(got)]
+    assert rates == sorted(rates)
+    # degenerate guards
+    with pytest.raises(ValueError):
+        drift.isotonic_calibration(d, "s", "y", 0.0, 1.0, bins=0)
+    with pytest.raises(ValueError):
+        drift.isotonic_calibration(d, "s", "y", 0.0, 1.0, bins=5000)
+
+
 def test_attribution_linear_splits_credit(spark):
     e = _attr_events(spark)
     lin = events.attribution(e, conversion="purchase", model="linear")

@@ -327,6 +327,45 @@ def test_cusum_alarms_matches_recurrence(spark):
     assert any(r["alarm_neg"] for r in b_rows)
 
 
+def test_cusum_alarms_preserves_scale8(spark):
+    # regression (r12): the prefix-sum subtraction used to land at
+    # decimal(38,8)-(38,8) -> Spark silently rounded to scale 7; the
+    # staged (37,8) cast keeps the 8th decimal exact.  Values exercise
+    # the full 8-decimal scale so a scale-7 rounding would shift the
+    # result by up to 5e-8 (caught by the 1e-12 tolerance).
+    import pytest
+
+    from bubbles_spark.ops import events
+
+    series = [0.10000001, 0.09999999, 0.10000003, 0.09999997]
+    rows = [("k", i, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, ts int, value double")
+    # threshold must be representable at scale 8 (operator params
+    # quantize to decimal(28,8)) and OFF any reachable state (states
+    # here are 0 or 2e-8) so float-reference alarm decisions agree
+    # with the engine's exact-decimal ones
+    out = (
+        events.cusum_alarms(
+            df, "k", "ts", "value",
+            target=0.1, allowance=0.00000001, threshold=0.00000001,
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    hi = 0.1 + 0.00000001
+    lo = 0.1 - 0.00000001
+    sp = sn = 0.0
+    for r, v in zip(out, series):
+        sp = max(0.0, sp + v - hi)
+        sn = max(0.0, sn + lo - v)
+        assert r["cusum_pos"] == pytest.approx(sp, abs=1e-12)
+        assert r["cusum_neg"] == pytest.approx(sn, abs=1e-12)
+        assert r["alarm_pos"] == (sp > 0.00000001)
+        assert r["alarm_neg"] == (sn > 0.00000001)
+    # and at least one state actually reached the 8th decimal
+    assert any(r["cusum_pos"] > 0 or r["cusum_neg"] > 0 for r in out)
+
+
 def test_pettitt_matches_bruteforce(spark):
     from collections import Counter
     from datetime import datetime, timedelta

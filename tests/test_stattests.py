@@ -1172,6 +1172,18 @@ def test_brunner_munzel_matches_published_formulation(spark):
     r0 = stattests.brunner_munzel(flat, "g", "v", "a", "b").collect()[0]
     assert r0["w_stat"] is None and r0["p_hat"] == 0.5
 
+    # regression (r12): an EMPTY arm must still yield the documented
+    # one NULL-w/df row (the old filter+crossJoin annihilated to
+    # zero rows and callers' .collect()[0] raised IndexError)
+    only_a = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "g string, v double"
+    )
+    rows = stattests.brunner_munzel(only_a, "g", "v", "a", "b").collect()
+    assert len(rows) == 1
+    r1 = rows[0]
+    assert r1["n_a"] == 2 and r1["n_b"] == 0
+    assert r1["w_stat"] is None and r1["df_bm"] is None
+
 
 def test_page_trend_matches_hand(spark):
     data = {

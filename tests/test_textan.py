@@ -647,3 +647,15 @@ def test_compression_ratio_matches_zlib(spark):
         assert r["ratio"] == (len(c) / len(b) if b else None)
     # repeated text compresses deeper than prose
     assert out[2]["ratio"] < out[1]["ratio"]
+
+    # regression (r12): the output schema follows the id column's
+    # actual type — string ids used to hit a hardcoded `long` field
+    sdf = spark.createDataFrame(
+        [("u-1", "hello hello hello"), ("u-2", "entropy xyzzy")],
+        "doc_id string, text string",
+    )
+    sout = textan.compression_ratio(sdf, "doc_id", "text")
+    assert sout.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r["doc_id"]: r for r in sout.collect()}
+    assert set(got) == {"u-1", "u-2"}
+    assert got["u-1"]["ratio"] < got["u-2"]["ratio"]
