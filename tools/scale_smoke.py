@@ -814,7 +814,76 @@ def main() -> int:
         )
         return stattests.wilcoxon_signed_rank(per, "a", "b")
 
+    def ansari_bradley_op(t):
+        # two arms, distinct values grow k x: the closed-form tie-block
+        # score sums ride the shared value-count machinery — alpha ~1
+        from bubbles_spark.ops import stattests
+
+        return stattests.ansari_bradley(
+            _drift_events(t), "event_type", "__v", "view", "click"
+        )
+
+    def brunner_munzel_op(t):
+        # pooled AND within-arm midranks from value counts; both grids
+        # grow with distinct values (k x) — alpha ~1
+        from bubbles_spark.ops import stattests
+
+        return stattests.brunner_munzel(
+            _drift_events(t), "event_type", "__v", "view", "click"
+        )
+
+    def page_trend_op(t):
+        # complete blocks only: per-(user, type) cell sums, keep users
+        # holding every treatment; blocks grow k x, treatments fixed —
+        # per-block ranking partitions by block, alpha ~1
+        from bubbles_spark.ops import stattests
+
+        e = t["events"].filter(F.col("value").isNotNull())
+        cell = e.groupBy("user_id", "event_type").agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("y")
+        )
+        n_types = cell.select("event_type").distinct().count()
+        full = (
+            cell.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("__nt"))
+            .filter(F.col("__nt") == n_types)
+            .select("user_id")
+        )
+        return stattests.page_trend_test(
+            cell.join(full, "user_id"), "user_id", "event_type", "y"
+        )
+
+    def smd_balance_op(t):
+        # covariates unpivot via ONE stack; rows grow k x, the
+        # (covariate x arm) moment grid stays fixed-size — alpha ~1
+        from bubbles_spark.ops import stattests
+
+        o = t["orders"].select(
+            (F.col("o_orderkey") % 2).cast("int").alias("tr"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            (F.col("o_custkey") % 97).cast("double").alias("ckmod"),
+        )
+        return stattests.smd_balance(o, "tr", ["price", "ckmod"])
+
+    def isotonic_op(t):
+        # one keyed count shuffle to <= bins rows, then metadata-sized
+        # pair grid — alpha ~1 (fold-dominated)
+        from bubbles_spark.ops import drift
+
+        e = t["events"].filter(F.col("value").isNotNull()).select(
+            F.col("value").cast("double").alias("s"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        return drift.isotonic_calibration(e, "s", "y", 0.0, 500.0, bins=50)
+
     REL_OPS = {
+        "ansari_bradley": ansari_bradley_op,
+        "brunner_munzel": brunner_munzel_op,
+        "page_trend_test": page_trend_op,
+        "smd_balance": smd_balance_op,
+        "isotonic_calibration": isotonic_op,
         "global_rank_bigpath": global_rank_bigpath_op,
         "kendall_tau_by_daily": kendall_tau_by_op,
         "dunn_test": dunn_test_op,
