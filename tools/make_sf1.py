@@ -1,0 +1,131 @@
+"""Synthesize an sf1 bench directory from sf0.1 (k=10 key-offset
+copies), for the full-vector 10x scale run BASELINE.md's r11 verdict
+asked for.  No sf1 testdata exists and no generator is reachable
+offline, so this applies the scale_smoke copy discipline to EVERY
+fact table and writes ordinary parquet under /tmp/sf1:
+
+- facts (orders, lineitem, customer, events, documents, embeddings)
+  get k copies with CONSISTENT key strides (i * 100_000_000), so
+  join fan-out per key is invariant and only row counts grow — the
+  "more customers, more orders" axis real sf1 growth follows;
+- dims (region, nation, part, supplier) stay fixed (the TPC-H
+  nation/region contract; part/supplier fan-in grows k x, which is
+  the conservative direction for the part/supplier joins);
+- text is per-copy consonant-rotated and customer names per-copy
+  prefixed, embeddings per-copy sign-flipped: exact cross-copy
+  duplicates would plant k-cliques and make dedup/similarity/fuzzy
+  outputs explode k^2 — that measures output growth, not operator
+  scaling (the scale_smoke rationale, measured there);
+- events.ts round-trips through Spark to ordinary TIMESTAMP (the
+  TIMESTAMP(NANOS) special case applies only to the driver files;
+  load_table handles both).
+
+Usage: python tools/make_sf1.py [K] [OUT_DIR]   (default 10 /tmp/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STRIDE = 100_000_000
+ALPHA = "bcdfghjklm"
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+
+    from pyspark.sql import functions as F
+
+    from bubbles_spark.io import load_table
+    from bubbles_spark.session import get_spark
+
+    spark = get_spark("make_sf1")
+
+    def copies(df, key_cols, text_cols=(), name_prefix_col=None,
+               emb_col=None):
+        outs = []
+        for i in range(k):
+            c = df
+            for col in key_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * STRIDE))
+            for col in text_cols:
+                rot = ALPHA[i % len(ALPHA):] + ALPHA[: i % len(ALPHA)]
+                c = c.withColumn(col, F.translate(col, ALPHA, rot))
+            if name_prefix_col is not None and i > 0:
+                c = c.withColumn(
+                    name_prefix_col,
+                    F.concat(
+                        F.lit("ABCDEFGHIJ"[i] * 3), F.col(name_prefix_col)
+                    ),
+                )
+            if emb_col is not None and i > 0:
+                rng = random.Random(7_654_321 + i)
+                signs = [float(rng.choice((-1.0, 1.0))) for _ in range(64)]
+                arr = F.array(*[F.lit(s) for s in signs])
+                c = c.withColumn(
+                    emb_col,
+                    F.transform(
+                        emb_col,
+                        lambda x, j: (x * F.element_at(arr, j + 1)).cast(
+                            "float"
+                        ),
+                    ),
+                )
+            outs.append(c)
+        return reduce(lambda a, b: a.unionByName(b), outs)
+
+    plans = {
+        "region": lambda d: d,
+        "nation": lambda d: d,
+        "part": lambda d: d,
+        "supplier": lambda d: d,
+        "customer": lambda d: copies(
+            d, ["c_custkey"], name_prefix_col="c_name"
+        ),
+        "orders": lambda d: copies(d, ["o_orderkey", "o_custkey"]),
+        "lineitem": lambda d: copies(d, ["l_orderkey"]),
+        "events": lambda d: copies(d, ["event_id", "user_id"]),
+        "documents": lambda d: copies(d, ["doc_id"], text_cols=("text",)),
+        "embeddings": lambda d: copies(d, ["vec_id"], emb_col="embedding"),
+    }
+    os.makedirs(out, exist_ok=True)
+    for name, plan in plans.items():
+        df = plan(load_table(spark, SRC, name))
+        path = os.path.join(out, f"{name}.parquet")
+        # single parquet FILE per table (the testdata layout bench
+        # queries expect), written via a temp dir then moved
+        tmp = path + ".tmpdir"
+        df.coalesce(max(1, min(8, k))).write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        if len(parts) == 1:
+            shutil.move(parts[0], path)
+            shutil.rmtree(tmp)
+        else:
+            # keep as a directory of parts — spark.read.parquet on the
+            # .parquet path works identically
+            os.makedirs(path)
+            for i, p in enumerate(parts):
+                shutil.move(p, os.path.join(path, f"part-{i:05d}.parquet"))
+            shutil.rmtree(tmp)
+        n = spark.read.parquet(path).count()
+        print(f"# {name}: {n} rows -> {path}", file=sys.stderr)
+    print(f"sf1 written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
