@@ -99,28 +99,24 @@ def main() -> int:
     for name, plan in plans.items():
         df = plan(load_table(spark, SRC, name))
         path = os.path.join(out, f"{name}.parquet")
-        # single parquet FILE per table (the testdata layout bench
-        # queries expect), written via a temp dir then moved
+        # single parquet FILE per table — REQUIRED, not cosmetic: the
+        # streaming source reads sf_dir with
+        # pathGlobFilter='events.parquet', so a directory-of-parts
+        # layout matches ZERO files and every stream query silently
+        # runs on empty input (measured: 0.2s "timings")
         tmp = path + ".tmpdir"
-        df.coalesce(max(1, min(8, k))).write.mode("overwrite").parquet(tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
         import glob
         import shutil
 
         parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+        assert len(parts) == 1, parts
         if os.path.isdir(path):
             shutil.rmtree(path)
         elif os.path.exists(path):
             os.remove(path)
-        if len(parts) == 1:
-            shutil.move(parts[0], path)
-            shutil.rmtree(tmp)
-        else:
-            # keep as a directory of parts — spark.read.parquet on the
-            # .parquet path works identically
-            os.makedirs(path)
-            for i, p in enumerate(parts):
-                shutil.move(p, os.path.join(path, f"part-{i:05d}.parquet"))
-            shutil.rmtree(tmp)
+        shutil.move(parts[0], path)
+        shutil.rmtree(tmp)
         n = spark.read.parquet(path).count()
         print(f"# {name}: {n} rows -> {path}", file=sys.stderr)
     print(f"sf1 written to {out}")

@@ -11,7 +11,8 @@ sf0.1 exercises.  Protocol: flagship warm-up, then per query one cold
 same JIT state, sf0.1 first so the sf1 reading is the warmer of the
 two — conservative for alpha).
 
-Usage: python tools/sf1_bench.py [N] [SF1_DIR]   (default 40 /tmp/sf1)
+Usage: python tools/sf1_bench.py [N] [SF1_DIR] [name ...]
+       (default 40 /tmp/sf1; explicit names replace the top-N pick)
 Prints one JSON line {query: {"t01": s, "t1": s, "alpha": a}}.
 """
 
@@ -50,6 +51,8 @@ def main() -> int:
         for q, _ in sorted(committed.items(), key=lambda kv: -kv[1])
         if q in qs
     ][:n]
+    if len(sys.argv) > 3:
+        top = [q for q in sys.argv[3:] if q in qs]
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.time()
