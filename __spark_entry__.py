@@ -7995,6 +7995,85 @@ def q_isotonic_calibration_events(spark, sf_dir):
     )
 
 
+@_q(
+    "brier_events_purchase",
+    """
+    WITH t AS (
+      SELECT CAST(ROUND(CAST(CAST(value AS DECIMAL(14,4))
+                     * CAST('0.002' AS DECIMAL(6,4)) AS DECIMAL(24,8))
+                   * CAST(1000000 AS DECIMAL(8,0))) AS BIGINT) AS u,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos,
+                 SUM(CAST(u AS DECIMAL(38,0)) * CAST(u AS DECIMAL(38,0)))
+                   AS suu,
+                 SUM(CAST(u AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS suy
+          FROM t),
+    pb AS (SELECT LEAST(GREATEST((u * 10) // 1000000, 0), 9) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS nb,
+                  CAST(SUM(y) AS BIGINT) AS p,
+                  SUM(CAST(u AS DECIMAL(38,0))) AS su
+           FROM t GROUP BY 1),
+    -- per-bin terms nano-quantized BEFORE the cross-bin sum (the
+    -- operator's micro-quantization budget), IEEE order mirrored
+    terms AS (
+      SELECT CAST(ROUND(CAST(nb AS DOUBLE)
+                 * (CAST(su AS DOUBLE) / (CAST(nb AS DOUBLE) * 1e6)
+                    - CAST(p AS DOUBLE) / CAST(nb AS DOUBLE))
+                 * (CAST(su AS DOUBLE) / (CAST(nb AS DOUBLE) * 1e6)
+                    - CAST(p AS DOUBLE) / CAST(nb AS DOUBLE)) * 1e9, 0)
+               AS DECIMAL(38,0)) AS relq,
+             CAST(ROUND(CAST(nb AS DOUBLE)
+                 * (CAST(p AS DOUBLE) / CAST(nb AS DOUBLE)
+                    - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(p AS DOUBLE) / CAST(nb AS DOUBLE)
+                    - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9, 0)
+               AS DECIMAL(38,0)) AS resq,
+             CAST(ROUND(CAST(nb AS DOUBLE)
+                 * ABS(CAST(su AS DOUBLE) / (CAST(nb AS DOUBLE) * 1e6)
+                       - CAST(p AS DOUBLE) / CAST(nb AS DOUBLE)) * 1e9, 0)
+               AS DECIMAL(38,0)) AS eceq
+      FROM pb CROSS JOIN g),
+    f AS (SELECT SUM(relq) AS relq, SUM(resq) AS resq, SUM(eceq) AS eceq
+          FROM terms)
+    SELECT g.n AS n,
+           CAST(g.suu - CAST(2000000 AS DECIMAL(38,0)) * g.suy
+                + CAST(1000000000000 AS DECIMAL(38,0))
+                  * CAST(g.pos AS DECIMAL(38,0)) AS DOUBLE)
+             / (CAST(g.n AS DOUBLE) * 1e12) AS brier,
+           (CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE))
+             * (1.0 - CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE))
+             AS uncertainty,
+           CAST(f.relq AS DOUBLE) / 1e9 / CAST(g.n AS DOUBLE)
+             AS reliability,
+           CAST(f.resq AS DOUBLE) / 1e9 / CAST(g.n AS DOUBLE)
+             AS resolution,
+           CAST(f.eceq AS DOUBLE) / 1e9 / CAST(g.n AS DOUBLE) AS ece
+    FROM g CROSS JOIN f
+    """,
+)
+def q_brier_events_purchase(spark, sf_dir):
+    # Murphy decomposition of the Brier score for "value predicts
+    # purchase" (value/500 as the forecast probability — the exact
+    # decimal multiply keeps the score 5dp, inside the operator's
+    # 1e-6 quantization): BS = REL − RES + UNC over 10 bins, plus
+    # exact unbinned Brier and ECE.  All folds exact integers; every
+    # emitted double a fixed IEEE sequence — strict bit-exact
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    d = e.filter(F.col("value").isNotNull()).select(
+        (
+            F.col("value").cast("decimal(14,4)")
+            * F.lit("0.002").cast("decimal(6,4)")
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return drift.brier_decomposition(d, "score", "label", bins=10)
+
+
 _ATTR_ORACLE = """
     WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS cts
                   FROM events WHERE event_type = 'purchase'),

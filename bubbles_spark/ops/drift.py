@@ -35,6 +35,7 @@ __all__ = [
     "auc_score",
     "calibration_report",
     "isotonic_calibration",
+    "brier_decomposition",
     "quantile_normalize",
     "winsorize_by",
     "psi_report_categorical",
@@ -617,6 +618,112 @@ def isotonic_calibration(
             "iso_rate",
         )
         .orderBy("bin")
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973, public)
+    — the third leg of the calibration family: ``calibration_report``
+    draws the reliability diagram, ``isotonic_calibration`` fits the
+    monotone correction, and this SCORES the forecast:
+    ``BS = REL − RES + UNC`` over ``bins`` equal-width probability
+    bins on [0, 1], plus the exact (unbinned) Brier score and ECE.
+    REL (reliability) is the calibration gap Σ n_b(f̄_b − ȳ_b)²/N,
+    RES (resolution) the sharpness Σ n_b(ȳ_b − ȳ)²/N, UNC the
+    outcome variance ȳ(1 − ȳ); ECE = Σ n_b|f̄_b − ȳ_b|/N.
+
+    Exactness: scores are micro-quantized to 1e-6 units as BIGINTs
+    (exact — a no-op for any score with ≤ 6 decimal digits; pass a
+    DECIMAL score column), so Σu, Σu², Σu·y, Σy are all exact
+    DECIMAL(38,0) folds and the unbinned Brier is ONE double division
+    of an exact numerator: BS = (Σu² − 2·10⁶Σuy + 10¹²Σy)/(N·10¹²).
+    Per-bin REL/RES/ECE terms are fixed IEEE sequences on exact
+    integer ratios, nano-quantized before the cross-bin sums (the
+    stattests micro-quantization budget) so every emitted double is
+    bit-identical cross-engine.
+
+    Scale: one keyed count shuffle to ≤ bins rows + one global moment
+    fold; everything downstream is metadata-sized.
+
+    Output (one row): n (bigint), brier, uncertainty, reliability,
+    resolution, ece (double); NULL decomposition when N = 0."""
+    if bins < 1:
+        raise ValueError("brier_decomposition: need bins >= 1")
+    f = F.col(score_col)
+    y = F.col(label_col).cast("int")
+    base = df.filter(f.isNotNull() & y.isNotNull()).select(
+        F.round(f.cast("decimal(24,8)") * F.lit(1000000).cast("decimal(8,0)"))
+        .cast("bigint")
+        .alias("__u"),
+        y.alias("__y"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # bin on the quantized units with PURE INTEGER arithmetic (no
+    # float or decimal-division boundary): bin = (u·bins) DIV 1e6,
+    # clamped to [0, bins-1].  Truncating DIV equals floor for the
+    # non-negative quotients that survive the clamp; a negative u
+    # lands at 0 under either rounding.
+    b = F.least(
+        F.greatest(
+            F.expr(f"CAST((__u * {int(bins)}) DIV 1000000 AS BIGINT)"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(int(bins) - 1).cast("bigint"),
+    )
+    per_bin = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__y").cast("bigint").alias("__p"),
+        F.sum(d38(F.col("__u"))).alias("__su"),
+    )
+    glob = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y").cast("bigint").alias("__pos"),
+        F.sum(d38(F.col("__u")) * d38(F.col("__u"))).alias("__suu"),
+        F.sum(d38(F.col("__u")) * d38(F.col("__y"))).alias("__suy"),
+    )
+    j = per_bin.crossJoin(F.broadcast(glob))
+    fbar = F.col("__su").cast("double") / (
+        F.col("__n").cast("double") * F.lit(1e6)
+    )
+    ybar_b = F.col("__p").cast("double") / F.col("__n").cast("double")
+    ybar = F.col("__pos").cast("double") / F.col("n").cast("double")
+    gap = fbar - ybar_b
+    sharp = ybar_b - ybar
+    nb = F.col("__n").cast("double")
+    q = lambda c: F.round(c * F.lit(1e9), 0).cast("decimal(38,0)")  # noqa: E731
+    # GLOBAL agg (not groupBy on the glob keys): empty input must
+    # still yield the documented one NULL-decomposition row, and a
+    # global agg over an empty frame always produces exactly one row
+    fold_row = j.agg(
+        F.sum(q(nb * gap * gap)).alias("__relq"),
+        F.sum(q(nb * sharp * sharp)).alias("__resq"),
+        F.sum(q(nb * F.abs(gap))).alias("__eceq"),
+    )
+    folded = glob.crossJoin(F.broadcast(fold_row))
+    nd = F.col("n").cast("double")
+    # exact integer numerator: Σu² − 2·10⁶·Σuy + 10¹²·Σy
+    num = (
+        F.col("__suu")
+        - F.lit(2000000).cast("decimal(38,0)") * F.col("__suy")
+        + F.lit(1000000000000).cast("decimal(38,0)") * d38(F.col("__pos"))
+    )
+    ybar2 = F.col("__pos").cast("double") / nd
+    return folded.select(
+        "n",
+        (num.cast("double") / (nd * F.lit(1e12))).alias("brier"),
+        (ybar2 * (F.lit(1.0) - ybar2)).alias("uncertainty"),
+        (F.col("__relq").cast("double") / F.lit(1e9) / nd).alias(
+            "reliability"
+        ),
+        (F.col("__resq").cast("double") / F.lit(1e9) / nd).alias(
+            "resolution"
+        ),
+        (F.col("__eceq").cast("double") / F.lit(1e9) / nd).alias("ece"),
     )
 
 

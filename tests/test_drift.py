@@ -281,6 +281,70 @@ def test_isotonic_calibration_matches_pav(spark):
         drift.isotonic_calibration(d, "s", "y", 0.0, 1.0, bins=5000)
 
 
+def test_brier_decomposition_matches_reference(spark):
+    import random
+
+    import pytest
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(500):
+        # scores at 4dp (well inside the 1e-6 quantization), labels
+        # drawn from a miscalibrated true rate so REL > 0
+        s = round(rng.random(), 4)
+        y = 1 if rng.random() < min(1.0, 0.2 + 0.5 * s) else 0
+        rows.append((s, y))
+    d = spark.createDataFrame(rows, "s double, y int")
+    out = drift.brier_decomposition(d, "s", "y", bins=10).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    n = len(rows)
+    brier = sum((s - y) ** 2 for s, y in rows) / n
+    ybar = sum(y for _, y in rows) / n
+    binned = {}
+    for s, y in rows:
+        # the operator's exact semantics: micro-quantize to 1e-6
+        # units then integer-divide (float int(s*10) would misbin
+        # exact boundaries like 0.3, whose double sits below 3.0)
+        b = min((round(s * 1e6) * 10) // 10**6, 9)
+        nb, pb, sb = binned.get(b, (0, 0, 0.0))
+        binned[b] = (nb + 1, pb + y, sb + s)
+    rel = sum(nb * (sb / nb - pb / nb) ** 2 for nb, pb, sb in binned.values()) / n
+    res = sum(nb * (pb / nb - ybar) ** 2 for nb, pb, sb in binned.values()) / n
+    ece = sum(nb * abs(sb / nb - pb / nb) for nb, pb, sb in binned.values()) / n
+
+    assert r["n"] == n
+    assert r["brier"] == pytest.approx(brier, abs=1e-9)
+    assert r["uncertainty"] == pytest.approx(ybar * (1 - ybar), abs=1e-12)
+    assert r["reliability"] == pytest.approx(rel, abs=1e-8)
+    assert r["resolution"] == pytest.approx(res, abs=1e-8)
+    assert r["ece"] == pytest.approx(ece, abs=1e-8)
+    # Murphy identity holds for the BINNED forecast: REL - RES + UNC
+    # equals the Brier of the bin-mean forecast (within-bin variance
+    # is the gap to the raw Brier) — sanity: all components sane
+    assert 0.0 <= r["resolution"] <= r["uncertainty"] + 1e-9
+    assert r["reliability"] >= 0.0
+
+    # empty input -> one row, n=0, NULL decomposition
+    empty = spark.createDataFrame([], "s double, y int")
+    r0 = drift.brier_decomposition(empty, "s", "y").collect()
+    assert len(r0) == 1
+    assert r0[0]["n"] == 0 and r0[0]["brier"] is None
+
+    # perfectly calibrated constant forecast: REL 0, RES 0, BS = UNC
+    const = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "s double, y int"
+    )
+    rc = drift.brier_decomposition(const, "s", "y").collect()[0]
+    assert rc["reliability"] == 0.0 and rc["resolution"] == 0.0
+    assert rc["brier"] == pytest.approx(0.25, abs=1e-12)
+    assert rc["uncertainty"] == pytest.approx(0.25, abs=1e-12)
+
+    with pytest.raises(ValueError):
+        drift.brier_decomposition(d, "s", "y", bins=0)
+
+
 def test_attribution_linear_splits_credit(spark):
     e = _attr_events(spark)
     lin = events.attribution(e, conversion="purchase", model="linear")
