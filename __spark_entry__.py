@@ -8074,6 +8074,65 @@ def q_brier_events_purchase(spark, sf_dir):
     return drift.brier_decomposition(d, "score", "label", bins=10)
 
 
+@_q(
+    "hosmer_lemeshow_events",
+    """
+    WITH t AS (
+      SELECT CAST(ROUND(CAST(CAST(value AS DECIMAL(14,4))
+                     * CAST('0.002' AS DECIMAL(6,4)) AS DECIMAL(24,8))
+                   * CAST(1000000 AS DECIMAL(8,0))) AS BIGINT) AS u,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL),
+    pb AS (SELECT LEAST(GREATEST((u * 10) // 1000000, 0), 9) AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS nb,
+                  CAST(SUM(y) AS BIGINT) AS o,
+                  SUM(CAST(u AS DECIMAL(38,0))) AS su
+           FROM t GROUP BY 1),
+    terms AS (
+      SELECT nb, o, su,
+             CASE WHEN su > 0 AND su < CAST(nb AS DECIMAL(38,0)) * 1000000
+                  THEN CAST(ROUND(
+                    ((CAST(o AS DOUBLE) - CAST(su AS DOUBLE) / 1e6)
+                     * (CAST(o AS DOUBLE) - CAST(su AS DOUBLE) / 1e6))
+                    / ((CAST(su AS DOUBLE) / 1e6)
+                       * (1.0 - (CAST(su AS DOUBLE) / 1e6)
+                                 / CAST(nb AS DOUBLE))) * 1e9, 0)
+                    AS DECIMAL(38,0))
+             END AS hq,
+             CASE WHEN su <= 0 OR su >= CAST(nb AS DECIMAL(38,0)) * 1000000
+                  THEN 1 ELSE 0 END AS bad
+      FROM pb),
+    a AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS g_bins,
+                 SUM(hq) AS hq, MAX(bad) AS bad
+          FROM terms)
+    SELECT COALESCE(n, 0) AS n, COALESCE(g_bins, 0) AS g_bins,
+           CASE WHEN bad = 0 AND g_bins >= 3
+                THEN CAST(hq AS DOUBLE) / 1e9 END AS h_stat,
+           CASE WHEN bad = 0 AND g_bins >= 3
+                THEN CAST(g_bins - 2 AS DOUBLE) END AS df_hl
+    FROM a
+    """,
+)
+def q_hosmer_lemeshow_events(spark, sf_dir):
+    # Hosmer-Lemeshow chi-square for "value/500 predicts purchase" on
+    # the shared fixed [0,1] grid — the significance framing of the
+    # calibration gap brier_events_purchase's reliability measures.
+    # E_b from exact 1e-6-unit integer sums, per-bin terms
+    # nano-quantized before the fold — strict bit-exact
+    from bubbles_spark.ops import drift
+
+    e = _t(spark, sf_dir, "events")
+    d = e.filter(F.col("value").isNotNull()).select(
+        (
+            F.col("value").cast("decimal(14,4)")
+            * F.lit("0.002").cast("decimal(6,4)")
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return drift.hosmer_lemeshow(d, "score", "label", bins=10)
+
+
 _ATTR_ORACLE = """
     WITH conv AS (SELECT event_id AS conversion_id, user_id, ts AS cts
                   FROM events WHERE event_type = 'purchase'),

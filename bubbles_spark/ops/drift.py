@@ -36,6 +36,7 @@ __all__ = [
     "calibration_report",
     "isotonic_calibration",
     "brier_decomposition",
+    "hosmer_lemeshow",
     "quantile_normalize",
     "winsorize_by",
     "psi_report_categorical",
@@ -724,6 +725,98 @@ def brier_decomposition(
             "resolution"
         ),
         (F.col("__eceq").cast("double") / F.lit(1e9) / nd).alias("ece"),
+    )
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit statistic (Hosmer & Lemeshow
+    1980, public) — the classic χ² framing of the calibration
+    question ``brier_decomposition``'s reliability term measures:
+    ``H = Σ_b (O_b − E_b)² / (E_b·(1 − E_b/n_b))`` over probability
+    bins, df = g − 2.  Bins are the calibration family's FIXED
+    [0, 1] equal-width grid (distributed-friendly, shared with
+    calibration_report/brier_decomposition), not the textbook's
+    sample deciles — the statistic is grid-conditional either way and
+    the fixed grid keeps the whole family on one binning definition.
+
+    Exactness: the brier_decomposition scheme — scores micro-quantized
+    to 1e-6 BIGINT units (exact for ≤ 6-dp scores), so ``E_b`` is an
+    exact integer sum scaled once and ``O_b``/``n_b`` exact counts;
+    each bin term is a fixed IEEE sequence on those, nano-quantized
+    before the cross-bin sum.  Any bin with a degenerate denominator
+    (E_b ≤ 0 or E_b ≥ n_b — all-zero or all-one predictions) makes
+    the statistic undefined: h_stat/df NULL with the bin count still
+    reported (surfaced, not mis-scaled — the page_trend discipline).
+
+    Scale: one keyed count shuffle to ≤ bins rows; metadata after.
+
+    Output (one row): n (bigint), g_bins (occupied bins, bigint),
+    h_stat, df_hl (double; NULL when degenerate or g < 3)."""
+    if bins < 1:
+        raise ValueError("hosmer_lemeshow: need bins >= 1")
+    f = F.col(score_col)
+    y = F.col(label_col).cast("int")
+    base = df.filter(f.isNotNull() & y.isNotNull()).select(
+        F.round(
+            f.cast("decimal(24,8)") * F.lit(1000000).cast("decimal(8,0)")
+        )
+        .cast("bigint")
+        .alias("__u"),
+        y.alias("__y"),
+    )
+    b = F.least(
+        F.greatest(
+            F.expr(f"CAST((__u * {int(bins)}) DIV 1000000 AS BIGINT)"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(int(bins) - 1).cast("bigint"),
+    )
+    per_bin = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__y").cast("bigint").alias("__o"),
+        F.sum(F.col("__u").cast("decimal(38,0)")).alias("__su"),
+    )
+    nb = F.col("__n").cast("double")
+    e_b = F.col("__su").cast("double") / F.lit(1e6)
+    o_b = F.col("__o").cast("double")
+    degenerate = (F.col("__su") <= 0) | (
+        F.col("__su") >= F.col("__n") * F.lit(1000000)
+    )
+    # term guarded per row: a degenerate bin's denominator is 0 and
+    # Infinity→decimal casts ERROR under ANSI; the __bad flag NULLs
+    # the statistic anyway
+    term = F.when(
+        ~degenerate,
+        ((o_b - e_b) * (o_b - e_b)) / (e_b * (F.lit(1.0) - e_b / nb)),
+    )
+    q = lambda c: F.round(c * F.lit(1e9), 0).cast("decimal(38,0)")  # noqa: E731
+    agg = per_bin.agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("g_bins"),
+        F.sum(q(term)).alias("__hq"),
+        F.max(degenerate.cast("int")).alias("__bad"),
+    )
+    ok = (
+        (F.col("__bad") == 0)
+        & F.col("__bad").isNotNull()
+        & (F.col("g_bins") >= 3)
+    )
+    return agg.select(
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+        F.coalesce(F.col("g_bins"), F.lit(0).cast("bigint")).alias(
+            "g_bins"
+        ),
+        F.when(ok, F.col("__hq").cast("double") / F.lit(1e9)).alias(
+            "h_stat"
+        ),
+        F.when(ok, (F.col("g_bins") - F.lit(2)).cast("double")).alias(
+            "df_hl"
+        ),
     )
 
 

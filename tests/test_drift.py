@@ -345,6 +345,58 @@ def test_brier_decomposition_matches_reference(spark):
         drift.brier_decomposition(d, "s", "y", bins=0)
 
 
+def test_hosmer_lemeshow_matches_reference(spark):
+    import random
+
+    import pytest
+
+    rng = random.Random(23)
+    rows = []
+    for _ in range(600):
+        s = round(0.05 + 0.9 * rng.random(), 4)  # keep bins non-degenerate
+        y = 1 if rng.random() < s else 0
+        rows.append((s, y))
+    d = spark.createDataFrame(rows, "s double, y int")
+    r = drift.hosmer_lemeshow(d, "s", "y", bins=10).collect()[0]
+
+    binned = {}
+    for s, y in rows:
+        b = min((round(s * 1e6) * 10) // 10**6, 9)
+        nb, ob, eb = binned.get(b, (0, 0, 0.0))
+        binned[b] = (nb + 1, ob + y, eb + round(s * 1e6) / 1e6)
+    h = sum(
+        (ob - eb) ** 2 / (eb * (1 - eb / nb))
+        for nb, ob, eb in binned.values()
+    )
+    assert r["n"] == 600
+    assert r["g_bins"] == len(binned)
+    assert r["h_stat"] == pytest.approx(h, abs=1e-7)
+    assert r["df_hl"] == len(binned) - 2
+
+    # a calibrated forecast scores low; an anti-calibrated one high
+    anti = spark.createDataFrame(
+        [(s, 1 - y) for s, y in rows], "s double, y int"
+    )
+    ra = drift.hosmer_lemeshow(anti, "s", "y", bins=10).collect()[0]
+    assert ra["h_stat"] > r["h_stat"]
+
+    # degenerate bin (all predictions 0 in a bin) -> NULL h, count kept
+    dg = spark.createDataFrame(
+        [(0.0, 0), (0.0, 1), (0.55, 1), (0.55, 0), (0.95, 1), (0.95, 0)],
+        "s double, y int",
+    )
+    rd = drift.hosmer_lemeshow(dg, "s", "y", bins=10).collect()[0]
+    assert rd["h_stat"] is None and rd["g_bins"] == 3
+
+    # empty input -> one row, zeros + NULLs
+    empty = spark.createDataFrame([], "s double, y int")
+    r0 = drift.hosmer_lemeshow(empty, "s", "y").collect()[0]
+    assert r0["n"] == 0 and r0["g_bins"] == 0 and r0["h_stat"] is None
+
+    with pytest.raises(ValueError):
+        drift.hosmer_lemeshow(d, "s", "y", bins=0)
+
+
 def test_attribution_linear_splits_credit(spark):
     e = _attr_events(spark)
     lin = events.attribution(e, conversion="purchase", model="linear")
