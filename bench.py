@@ -321,6 +321,11 @@ BENCH_QUERIES = [
     "compression_ratio_docs",
     "brunner_munzel_events",
     "page_trend_events_spend",
+    # round-12 additions
+    "compression_ratio_planted",
+    "isotonic_calibration_events",
+    "brier_events_purchase",
+    "hosmer_lemeshow_events",
 ]
 
 
