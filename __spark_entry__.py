@@ -14890,6 +14890,89 @@ def q_brunner_munzel_events(spark, sf_dir):
     FROM nn CROSS JOIN l2t
     """,
 )
+@_q(
+    "cronbach_events_spend",
+    f"""
+    WITH per AS (SELECT user_id, event_type,
+                        CAST(SUM({{cents}}) AS BIGINT) AS v
+                 FROM events
+                 WHERE user_id IS NOT NULL AND value IS NOT NULL
+                 GROUP BY 1, 2),
+    ok AS (SELECT user_id FROM per GROUP BY 1
+           HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type)
+                              FROM per)),
+    base AS (SELECT p.user_id, p.event_type,
+                    CAST(p.v AS BIGINT) * 1000000 AS u
+             FROM per p JOIN ok USING (user_id)),
+    dims AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+                    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+             FROM base),
+    pi AS (SELECT event_type,
+                  SUM(CAST(u AS DECIMAL(38,0))) AS su,
+                  SUM(CAST(u AS DECIMAL(38,0))
+                      * CAST(u AS DECIMAL(38,0))) AS suu
+           FROM base GROUP BY 1),
+    -- per-item sample variance, nano-quantized before the k-item
+    -- sum (mirrors the operator's fixed IEEE sequence exactly)
+    iv AS (SELECT SUM(CAST(ROUND(
+               (CAST(suu AS DOUBLE)
+                - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+                  / CAST(d.n AS DOUBLE))
+               / ((CAST(d.n AS DOUBLE) - 1.0) * 1e12) * 1e9, 0)
+             AS DECIMAL(38,0))) AS vq
+           FROM pi CROSS JOIN dims d),
+    ps AS (SELECT user_id, CAST(SUM(u) AS BIGINT) AS t
+           FROM base GROUP BY 1),
+    tv AS (SELECT SUM(CAST(t AS DECIMAL(38,0))) AS st,
+                  SUM(CAST(t AS DECIMAL(38,0))
+                      * CAST(t AS DECIMAL(38,0))) AS stt
+           FROM ps)
+    SELECT d.n AS n_subjects, d.k AS k_items,
+           CAST(iv.vq AS DOUBLE) / 1e9 AS sum_item_var,
+           (CAST(tv.stt AS DOUBLE)
+            - CAST(tv.st AS DOUBLE) * CAST(tv.st AS DOUBLE)
+              / CAST(d.n AS DOUBLE))
+             / ((CAST(d.n AS DOUBLE) - 1.0) * 1e12) AS total_var,
+           CASE WHEN (CAST(tv.stt AS DOUBLE)
+                      - CAST(tv.st AS DOUBLE) * CAST(tv.st AS DOUBLE)
+                        / CAST(d.n AS DOUBLE))
+                     / ((CAST(d.n AS DOUBLE) - 1.0) * 1e12) > 0
+                THEN (CAST(d.k AS DOUBLE) / (CAST(d.k AS DOUBLE) - 1.0))
+                     * (1.0 - (CAST(iv.vq AS DOUBLE) / 1e9)
+                        / ((CAST(tv.stt AS DOUBLE)
+                            - CAST(tv.st AS DOUBLE) * CAST(tv.st AS DOUBLE)
+                              / CAST(d.n AS DOUBLE))
+                           / ((CAST(d.n AS DOUBLE) - 1.0) * 1e12)))
+           END AS alpha
+    FROM dims d CROSS JOIN iv CROSS JOIN tv
+    """.format(cents=_CENTS_SQL.format(c="value")),
+)
+def q_cronbach_events_spend(spark, sf_dir):
+    # internal consistency of the five per-user event-type spend
+    # signals ("do the five channels measure one underlying spend
+    # level?") on the same complete-grid cents cells as
+    # friedman_events_spend — exact integer moments, per-item
+    # variances nano-quantized before the k-item fold, strict
+    # bit-exact
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    per = e.groupBy("user_id", "event_type").agg(
+        F.sum(_cents(F.col("value"))).cast("bigint").alias("v")
+    )
+    n_types = per.select("event_type").distinct().count()
+    complete = (
+        per.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == n_types)
+        .select("user_id")
+    )
+    base = per.join(complete, "user_id", "semi")
+    return stattests.cronbach_alpha(base, "user_id", "event_type", "v")
+
+
 def q_page_trend_events_spend(spark, sf_dir):
     # Page's ordered within-user trend over click < purchase < view
     # (alphabetical arm order — the ordinal-arms demo on the same

@@ -62,6 +62,7 @@ __all__ = [
     "ansari_bradley",
     "brunner_munzel",
     "page_trend_test",
+    "cronbach_alpha",
 ]
 
 
@@ -2830,4 +2831,127 @@ def page_trend_test(
             if ok
             else F.lit(None).cast("double")
         ).alias("z"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cronbach's α (Cronbach 1951, public) — internal-consistency
+    reliability of a k-item scale: ``α = k/(k−1)·(1 − Σᵢvar_i /
+    var_total)`` with ``var_i`` each item's variance across subjects
+    and ``var_total`` the variance of per-subject total scores.  The
+    continuous-outcome sibling of ``fleiss_kappa``/
+    ``krippendorff_alpha`` in the agreement family: "do these k
+    quality signals / annotator scores measure one underlying thing?"
+
+    Contract: EXACTLY one observation per (subject, item) and every
+    subject complete with all k items — the ``friedman_test``
+    complete-grid discipline; violations raise.  k ≥ 2 enforced.
+
+    Exactness: values micro-quantized to 1e-6 BIGINT units (exact for
+    ≤ 6-dp inputs — pass DECIMAL for the guarantee), so per-item
+    Σu/Σu² and per-subject totals are exact DECIMAL(38,0) folds;
+    each sample variance is a fixed IEEE sequence on those, per-item
+    variances nano-quantized before the k-item sum (the
+    micro-quantization budget).  n < 2 subjects raises (no variance
+    exists — an Infinity would poison the ANSI decimal fold); zero
+    total variance ⇒ NULL α (surfaced, not mis-scaled).
+
+    Scale: two keyed count shuffles (per-item moments, per-subject
+    totals) — both map-side combined; everything after is k-row /
+    1-row metadata.
+
+    Output (one row): n_subjects, k_items (bigint), sum_item_var,
+    total_var, alpha (double)."""
+    base = df.filter(
+        F.col(subject_col).isNotNull()
+        & F.col(item_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(subject_col).alias("__s"),
+        F.col(item_col).alias("__i"),
+        F.round(
+            F.col(value_col).cast("decimal(24,8)")
+            * F.lit(1000000).cast("decimal(8,0)")
+        )
+        .cast("bigint")
+        .alias("__u"),
+    )
+    shape = (
+        base.groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.countDistinct("__i").alias("__kd"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+            F.min("__rows").alias("__rmin"),
+            F.max("__rows").alias("__rmax"),
+            F.min("__kd").alias("__kmin"),
+            F.max("__kd").alias("__kmax"),
+        )
+        .collect()[0]
+    )
+    if shape["n_subjects"] == 0:
+        raise ValueError("cronbach_alpha: no complete rows")
+    if not (
+        shape["__rmin"] == shape["__rmax"] == shape["__kmin"]
+        == shape["__kmax"]
+    ):
+        raise ValueError(
+            "cronbach_alpha: every subject needs exactly one "
+            "observation per item and all items (rows per subject "
+            f"{shape['__rmin']}..{shape['__rmax']}, distinct items "
+            f"{shape['__kmin']}..{shape['__kmax']}) — pre-aggregate "
+            "to the complete-grid shape first"
+        )
+    n = int(shape["n_subjects"])
+    k = int(shape["__rmin"])
+    if k < 2:
+        raise ValueError("cronbach_alpha: need k >= 2 items")
+    if n < 2:
+        raise ValueError("cronbach_alpha: need n >= 2 subjects")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nd = float(n)
+    per_item = base.groupBy("__i").agg(
+        F.sum(d38(F.col("__u"))).alias("__su"),
+        F.sum(d38(F.col("__u")) * d38(F.col("__u"))).alias("__suu"),
+    )
+    # sample variance, fixed IEEE sequence on exact integer sums:
+    # (Σu² − Σu·Σu/n) / ((n−1)·1e12)  — the 1e12 undoes the 1e-6
+    # unit squaring
+    var_i = (
+        F.col("__suu").cast("double")
+        - F.col("__su").cast("double") * F.col("__su").cast("double")
+        / F.lit(nd)
+    ) / F.lit((nd - 1.0) * 1e12)
+    q = lambda c: F.round(c * F.lit(1e9), 0).cast("decimal(38,0)")  # noqa: E731
+    items_fold = per_item.agg(F.sum(q(var_i)).alias("__vq"))
+    per_subj = base.groupBy("__s").agg(
+        F.sum("__u").cast("bigint").alias("__t")
+    )
+    tot = per_subj.agg(
+        F.sum(d38(F.col("__t"))).alias("__st"),
+        F.sum(d38(F.col("__t")) * d38(F.col("__t"))).alias("__stt"),
+    )
+    var_t = (
+        F.col("__stt").cast("double")
+        - F.col("__st").cast("double") * F.col("__st").cast("double")
+        / F.lit(nd)
+    ) / F.lit((nd - 1.0) * 1e12)
+    j = tot.crossJoin(F.broadcast(items_fold))
+    sv = F.col("__vq").cast("double") / F.lit(1e9)
+    alpha = F.lit(float(k)) / F.lit(float(k - 1)) * (
+        F.lit(1.0) - sv / var_t
+    )
+    return j.select(
+        F.lit(n).cast("bigint").alias("n_subjects"),
+        F.lit(k).cast("bigint").alias("k_items"),
+        sv.alias("sum_item_var"),
+        var_t.alias("total_var"),
+        F.when(var_t > 0, alpha).alias("alpha"),
     )

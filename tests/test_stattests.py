@@ -1229,3 +1229,78 @@ def test_page_trend_matches_hand(spark):
     )
     with pytest.raises(ValueError):
         stattests.page_trend_test(bad, "b", "t", "v")
+
+
+def test_cronbach_alpha_matches_reference(spark):
+    import random
+
+    import pytest
+
+    # 3 correlated "items" per subject: a shared latent level plus
+    # item noise -> alpha should be solidly positive
+    rng = random.Random(31)
+    rows = []
+    for s in range(80):
+        latent = rng.uniform(0, 10)
+        for i, noise in (("a", 1.0), ("b", 1.5), ("c", 2.0)):
+            rows.append(
+                (s, i, round(latent + rng.uniform(-noise, noise), 4))
+            )
+    df = spark.createDataFrame(rows, "s long, i string, v double")
+    r = stattests.cronbach_alpha(df, "s", "i", "v").collect()[0]
+
+    # reference on the same 1e-6-quantized values
+    vals = {}
+    for s, i, v in rows:
+        vals.setdefault(i, {})[s] = round(v * 1e6) / 1e6
+    n = 80
+    subjects = sorted(vals["a"])
+
+    def svar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    item_vars = [svar([vals[i][s] for s in subjects]) for i in vals]
+    totals = [sum(vals[i][s] for i in vals) for s in subjects]
+    k = 3
+    alpha = k / (k - 1) * (1 - sum(item_vars) / svar(totals))
+
+    assert r["n_subjects"] == n and r["k_items"] == k
+    assert r["sum_item_var"] == pytest.approx(sum(item_vars), rel=1e-9)
+    assert r["total_var"] == pytest.approx(svar(totals), rel=1e-9)
+    assert r["alpha"] == pytest.approx(alpha, abs=1e-9)
+    assert 0.5 < r["alpha"] <= 1.0
+
+    # perfectly parallel items -> alpha exactly 1
+    par = spark.createDataFrame(
+        [(s, i, float(s % 7)) for s in range(20) for i in ("x", "y")],
+        "s long, i string, v double",
+    )
+    rp = stattests.cronbach_alpha(par, "s", "i", "v").collect()[0]
+    assert rp["alpha"] == pytest.approx(1.0, abs=1e-9)  # nano-quantization budget
+
+    # zero total variance -> NULL alpha
+    flat = spark.createDataFrame(
+        [(s, i, 1.0) for s in range(5) for i in ("x", "y")],
+        "s long, i string, v double",
+    )
+    rf = stattests.cronbach_alpha(flat, "s", "i", "v").collect()[0]
+    assert rf["alpha"] is None
+
+    # contract violations raise loudly
+    ragged = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0), (2, "x", 3.0)],
+        "s long, i string, v double",
+    )
+    with pytest.raises(ValueError, match="complete-grid"):
+        stattests.cronbach_alpha(ragged, "s", "i", "v")
+    single_item = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "x", 2.0)], "s long, i string, v double"
+    )
+    with pytest.raises(ValueError, match="k >= 2"):
+        stattests.cronbach_alpha(single_item, "s", "i", "v")
+    one_subj = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "s long, i string, v double"
+    )
+    with pytest.raises(ValueError, match="n >= 2"):
+        stattests.cronbach_alpha(one_subj, "s", "i", "v")

@@ -878,7 +878,59 @@ def main() -> int:
         )
         return drift.isotonic_calibration(e, "s", "y", 0.0, 500.0, bins=50)
 
+    def brier_op(t):
+        # same fold shape as isotonic: one keyed count shuffle to
+        # <= bins rows + one global moment fold — alpha ~1
+        from bubbles_spark.ops import drift
+
+        e = t["events"].filter(F.col("value").isNotNull()).select(
+            (
+                F.col("value").cast("decimal(14,4)")
+                * F.lit("0.002").cast("decimal(6,4)")
+            ).alias("s"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        return drift.brier_decomposition(e, "s", "y", bins=10)
+
+    def hosmer_op(t):
+        from bubbles_spark.ops import drift
+
+        e = t["events"].filter(F.col("value").isNotNull()).select(
+            (
+                F.col("value").cast("decimal(14,4)")
+                * F.lit("0.002").cast("decimal(6,4)")
+            ).alias("s"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        return drift.hosmer_lemeshow(e, "s", "y", bins=10)
+
+    def cronbach_op(t):
+        # subjects (users) grow k x, items fixed (event_type): two
+        # keyed moment shuffles, metadata after — alpha ~1
+        from bubbles_spark.ops import stattests
+
+        e = t["events"].filter(F.col("value").isNotNull())
+        per = e.groupBy("user_id", "event_type").agg(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("bigint")
+            .alias("v")
+        )
+        n_types = per.select("event_type").distinct().count()
+        complete = (
+            per.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .filter(F.col("__k") == n_types)
+            .select("user_id")
+        )
+        return stattests.cronbach_alpha(
+            per.join(complete, "user_id", "semi"),
+            "user_id", "event_type", "v",
+        )
+
     REL_OPS = {
+        "cronbach_alpha": cronbach_op,
+        "brier_decomposition": brier_op,
+        "hosmer_lemeshow": hosmer_op,
         "ansari_bradley": ansari_bradley_op,
         "brunner_munzel": brunner_munzel_op,
         "page_trend_test": page_trend_op,
