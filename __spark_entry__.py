@@ -14973,6 +14973,117 @@ def q_cronbach_events_spend(spark, sf_dir):
     return stattests.cronbach_alpha(base, "user_id", "event_type", "v")
 
 
+@_q(
+    "lepage_events_view_signup",
+    """
+    WITH arms AS (
+      SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS isa,
+             value AS v
+      FROM events
+      WHERE event_type IN ('view', 'signup') AND value IS NOT NULL),
+    mw_pv AS (SELECT v, COUNT(*) AS c, SUM(isa) AS ca
+              FROM arms GROUP BY v),
+    mw_cum AS (SELECT v, c, ca, SUM(c) OVER (ORDER BY v) AS cumv
+               FROM mw_pv),
+    mw_agg AS (
+      SELECT SUM(CAST(ca AS DECIMAL(38,0))
+                 * CAST(2 * cumv - c + 1 AS DECIMAL(38,0))) AS two_r1,
+             CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie3
+      FROM mw_cum),
+    mw_f AS (
+      SELECT n_a, CAST(n - n_a AS BIGINT) AS n_b,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(n_a AS DOUBLE) AS n1,
+             CAST(n - n_a AS DOUBLE) AS n2,
+             CAST(two_r1 AS DOUBLE) / 2 AS r1,
+             CAST(tie3 AS DOUBLE) AS tied
+      FROM mw_agg),
+    mw_z AS (
+      SELECT n_a, n_b,
+             CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+                   AND n1 * n2 / 12 * ((nd + 1) - tied / (nd * (nd - 1)))
+                       > 0
+                  THEN ((r1 - n1 * (n1 + 1) / 2) - n1 * n2 / 2)
+                       / sqrt(n1 * n2 / 12
+                              * ((nd + 1) - tied / (nd * (nd - 1))))
+             END AS zw
+      FROM mw_f),
+    ab_cum AS (SELECT v, c, ca,
+                      SUM(c) OVER (ORDER BY v) AS cumv,
+                      SUM(c) OVER () AS n
+               FROM mw_pv),
+    ab_blk AS (
+      SELECT c, ca, n,
+             (CASE WHEN cumv <= (n + 1) // 2
+                   THEN CAST(cumv AS DECIMAL(38,0)) * (cumv + 1) / 2
+                   ELSE CAST((n + 1) // 2 AS DECIMAL(38,0))
+                          * ((n + 1) // 2 + 1) / 2
+                        + CAST(cumv - (n + 1) // 2 AS DECIMAL(38,0))
+                          * (n + 1)
+                        - (CAST(cumv AS DECIMAL(38,0)) * (cumv + 1) / 2
+                           - CAST((n + 1) // 2 AS DECIMAL(38,0))
+                             * ((n + 1) // 2 + 1) / 2) END)
+             - (CASE WHEN cumv - c <= (n + 1) // 2
+                   THEN CAST(cumv - c AS DECIMAL(38,0)) * (cumv - c + 1) / 2
+                   ELSE CAST((n + 1) // 2 AS DECIMAL(38,0))
+                          * ((n + 1) // 2 + 1) / 2
+                        + CAST(cumv - c - (n + 1) // 2 AS DECIMAL(38,0))
+                          * (n + 1)
+                        - (CAST(cumv - c AS DECIMAL(38,0))
+                             * (cumv - c + 1) / 2
+                           - CAST((n + 1) // 2 AS DECIMAL(38,0))
+                             * ((n + 1) // 2 + 1) / 2) END)
+             AS sblk
+      FROM ab_cum),
+    ab_agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                      CAST(SUM(c) AS BIGINT) AS nt,
+                      SUM(CAST(sblk AS DECIMAL(38,0))) AS sa,
+                      SUM(CAST(ROUND(CAST(ca AS DOUBLE)
+                                     * CAST(sblk AS DOUBLE)
+                                     / CAST(c AS DOUBLE) * 1e6)
+                               AS DECIMAL(38,0))) AS wq,
+                      SUM(CAST(ROUND(CAST(sblk AS DOUBLE)
+                                     * CAST(sblk AS DOUBLE)
+                                     / CAST(c AS DOUBLE) * 1e6)
+                               AS DECIMAL(38,0))) AS sq
+               FROM ab_blk),
+    ab_f AS (SELECT n_a, CAST(nt - n_a AS BIGINT) AS n_b, nt,
+                    CAST(sa AS DOUBLE) AS sad,
+                    CAST(wq AS DOUBLE) / 1e6 AS w,
+                    CAST(sq AS DOUBLE) / 1e6 AS ssq,
+                    CAST(nt AS DOUBLE) AS nd
+             FROM ab_agg),
+    ab_z AS (
+      SELECT CASE WHEN n_a > 0 AND n_b > 0 AND nt > 2
+                   AND CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       / (nd * (nd - 1.0))
+                       * (ssq - nd * (sad / nd) * (sad / nd)) > 0
+                  THEN (w - CAST(n_a AS DOUBLE) * (sad / nd))
+                       / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                              / (nd * (nd - 1.0))
+                              * (ssq - nd * (sad / nd) * (sad / nd)))
+             END AS za
+      FROM ab_f)
+    SELECT m.n_a, m.n_b, m.zw AS z_location, a.za AS z_scale,
+           m.zw * m.zw + a.za * a.za AS d_stat,
+           CASE WHEN m.zw * m.zw + a.za * a.za IS NOT NULL
+                THEN CAST(2.0 AS DOUBLE) END AS df_lepage
+    FROM mw_z m CROSS JOIN ab_z a
+    """,
+)
+def q_lepage_events_view_signup(spark, sf_dir):
+    # omnibus location-scale gate view vs signup: D = z_W^2 + z_AB^2,
+    # chi-square(2) under the null — a pure composition of the two
+    # strict-bit-exact rank components, so D is two multiplies and an
+    # add on already-exact doubles
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return stattests.lepage_test(e, "event_type", "value", "view", "signup")
+
+
 def q_page_trend_events_spend(spark, sf_dir):
     # Page's ordered within-user trend over click < purchase < view
     # (alphabetical arm order — the ordinal-arms demo on the same

@@ -63,6 +63,7 @@ __all__ = [
     "brunner_munzel",
     "page_trend_test",
     "cronbach_alpha",
+    "lepage_test",
 ]
 
 
@@ -2954,4 +2955,52 @@ def cronbach_alpha(
         sv.alias("sum_item_var"),
         var_t.alias("total_var"),
         F.when(var_t > 0, alpha).alias("alpha"),
+    )
+
+
+def lepage_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Lepage location–scale test (Lepage 1971, public) — the
+    omnibus two-sample gate: ``D = z_W² + z_AB²``, the squared
+    standardized Wilcoxon rank-sum (location) plus the squared
+    standardized Ansari–Bradley (scale), χ²(2) under H₀.  Catches a
+    distribution shift in EITHER moment that each component alone
+    would need its own test for — the one-number "did this arm's
+    value distribution change at all?" monitor.
+
+    A pure COMPOSITION of the two shared-machinery operators (their
+    z's are already exact fixed IEEE sequences on integer rank
+    folds; see ``mann_whitney_u`` / ``ansari_bradley``), so D is two
+    multiplies and an add on bit-exact inputs.  Two passes over the
+    data (one per component's value-count fold) — both map-side
+    combined, metadata after.
+
+    Degenerate inputs (either component z NULL — empty arm, all
+    tied, zero variance) yield NULL d_stat/df (surfaced).
+
+    Output (one row): n_a, n_b (bigint), z_location, z_scale,
+    d_stat, df_lepage (double)."""
+    mw = mann_whitney_u(df, group_col, value_col, group_a, group_b).select(
+        "n_a", "n_b", F.col("z").alias("z_location")
+    )
+    ab = ansari_bradley(df, group_col, value_col, group_a, group_b).select(
+        F.col("z").alias("z_scale")
+    )
+    j = mw.crossJoin(F.broadcast(ab))
+    d = (
+        F.col("z_location") * F.col("z_location")
+        + F.col("z_scale") * F.col("z_scale")
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        "z_location",
+        "z_scale",
+        d.alias("d_stat"),
+        F.when(d.isNotNull(), F.lit(2.0)).alias("df_lepage"),
     )

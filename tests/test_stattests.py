@@ -1304,3 +1304,41 @@ def test_cronbach_alpha_matches_reference(spark):
     )
     with pytest.raises(ValueError, match="n >= 2"):
         stattests.cronbach_alpha(one_subj, "s", "i", "v")
+
+
+def test_lepage_composes_components(spark):
+    import random
+
+    import pytest
+
+    rng = random.Random(43)
+    rows = [("a", round(rng.gauss(10, 1), 3)) for _ in range(120)]
+    # arm b shifted AND more dispersed -> both components fire
+    rows += [("b", round(rng.gauss(11, 2.5), 3)) for _ in range(130)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stattests.lepage_test(df, "g", "v", "a", "b").collect()[0]
+    zw = stattests.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]["z"]
+    za = stattests.ansari_bradley(df, "g", "v", "a", "b").collect()[0]["z"]
+    assert r["n_a"] == 120 and r["n_b"] == 130
+    assert r["z_location"] == zw and r["z_scale"] == za
+    assert r["d_stat"] == pytest.approx(zw * zw + za * za, abs=0.0)
+    assert r["df_lepage"] == 2.0
+    # a genuine location+scale shift: D far beyond the chi2(2)
+    # 99.9% point (~13.8)
+    assert r["d_stat"] > 13.8
+
+    # identical arms: D small
+    same = spark.createDataFrame(
+        [("a", float(i % 13)) for i in range(100)]
+        + [("b", float(i % 13)) for i in range(100)],
+        "g string, v double",
+    )
+    rs = stattests.lepage_test(same, "g", "v", "a", "b").collect()[0]
+    assert rs["d_stat"] < 0.1
+
+    # all tied -> both z NULL -> NULL D, NULL df
+    flat = spark.createDataFrame(
+        [("a", 1.0)] * 4 + [("b", 1.0)] * 4, "g string, v double"
+    )
+    rf = stattests.lepage_test(flat, "g", "v", "a", "b").collect()[0]
+    assert rf["d_stat"] is None and rf["df_lepage"] is None
