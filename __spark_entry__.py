@@ -14890,6 +14890,31 @@ def q_brunner_munzel_events(spark, sf_dir):
     FROM nn CROSS JOIN l2t
     """,
 )
+def q_page_trend_events_spend(spark, sf_dir):
+    # Page's ordered within-user trend over click < purchase < view
+    # (alphabetical arm order — the ordinal-arms demo on the same
+    # complete-block shape as friedman_events_spend): exact doubled-
+    # rank L, no-tie normal moments, z NULL if any user block ties
+    from bubbles_spark.ops import stattests
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "click", "purchase")
+    )
+    per = e.groupBy("user_id", "event_type").agg(
+        F.sum(_cents(F.col("value"))).cast("bigint").alias("v")
+    )
+    complete = (
+        per.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == 3)
+        .select("user_id")
+    )
+    base = per.join(complete, "user_id", "semi")
+    return stattests.page_trend_test(base, "user_id", "event_type", "v")
+
+
 @_q(
     "cronbach_events_spend",
     f"""
@@ -15082,31 +15107,6 @@ def q_lepage_events_view_signup(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return stattests.lepage_test(e, "event_type", "value", "view", "signup")
-
-
-def q_page_trend_events_spend(spark, sf_dir):
-    # Page's ordered within-user trend over click < purchase < view
-    # (alphabetical arm order — the ordinal-arms demo on the same
-    # complete-block shape as friedman_events_spend): exact doubled-
-    # rank L, no-tie normal moments, z NULL if any user block ties
-    from bubbles_spark.ops import stattests
-
-    e = _t(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-        & F.col("value").isNotNull()
-        & F.col("event_type").isin("view", "click", "purchase")
-    )
-    per = e.groupBy("user_id", "event_type").agg(
-        F.sum(_cents(F.col("value"))).cast("bigint").alias("v")
-    )
-    complete = (
-        per.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("__k"))
-        .filter(F.col("__k") == 3)
-        .select("user_id")
-    )
-    base = per.join(complete, "user_id", "semi")
-    return stattests.page_trend_test(base, "user_id", "event_type", "v")
 
 
 # ---------------------------------------------------------------------
