@@ -326,6 +326,8 @@ BENCH_QUERIES = [
     "isotonic_calibration_events",
     "brier_events_purchase",
     "hosmer_lemeshow_events",
+    "cronbach_events_spend",
+    "lepage_events_view_signup",
 ]
 
 
