@@ -1991,7 +1991,15 @@ def q_embedding_dup_lsh(spark, sf_dir):
     planted = e.filter(F.col("vec_id") < 200).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
-    return dedup.embedding_dup_pairs(e.unionByName(planted), threshold=0.95)
+    # lsh_bits=None = the operator's scale path (bits auto-sized to
+    # ceil(log2 n) for ~O(1) bucket occupancy).  The r12 sf3 run
+    # measured the fixed-12-bit default at exponent 1.27 at 30× —
+    # exactly the documented n²/2^bits candidate growth — while
+    # planted recall is 1.0 at ANY bits (exact copies share every
+    # bucket), so the oracle is unchanged
+    return dedup.embedding_dup_pairs(
+        e.unionByName(planted), threshold=0.95, lsh_bits=None
+    )
 
 
 @_q(
