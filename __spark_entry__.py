@@ -2024,7 +2024,11 @@ def q_embedding_dup_clusters(spark, sf_dir):
     planted = e.filter(F.col("vec_id") < 200).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
-    pairs = dedup.embedding_dup_pairs(e.unionByName(planted), threshold=0.95)
+    # lsh_bits=None: the scale path (auto-sized bits), same rationale
+    # and unchanged planted oracle as embedding_dup_pairs_lsh (r12)
+    pairs = dedup.embedding_dup_pairs(
+        e.unionByName(planted), threshold=0.95, lsh_bits=None
+    )
     return dedup.connected_components(pairs.select("id_a", "id_b"))
 
 
