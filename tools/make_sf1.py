@@ -59,11 +59,13 @@ def main() -> int:
                 rot = ALPHA[i % len(ALPHA):] + ALPHA[: i % len(ALPHA)]
                 c = c.withColumn(col, F.translate(col, ALPHA, rot))
             if name_prefix_col is not None and i > 0:
+                # two-letter copy code repeated 3x: any two copies'
+                # prefixes differ in >= 3 positions, so cross-copy
+                # pairs stay beyond max_dist<=2 fuzzy joins at any k
+                code = chr(65 + i // 26) + chr(65 + i % 26)
                 c = c.withColumn(
                     name_prefix_col,
-                    F.concat(
-                        F.lit("ABCDEFGHIJ"[i] * 3), F.col(name_prefix_col)
-                    ),
+                    F.concat(F.lit(code * 3), F.col(name_prefix_col)),
                 )
             if emb_col is not None and i > 0:
                 rng = random.Random(7_654_321 + i)
