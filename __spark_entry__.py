@@ -7913,7 +7913,9 @@ def q_auc_events_value(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     d = e.select(
         "value",
-        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.coalesce(
+            (F.col("event_type") == "purchase").cast("int"), F.lit(0)
+        ).alias("label"),
     )
     return drift.auc_score(d, "value", "label")
 
@@ -7948,7 +7950,9 @@ def q_calibration_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     d = e.filter(F.col("value").isNotNull()).select(
         F.col("value").cast("decimal(14,4)").alias("score"),
-        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.coalesce(
+            (F.col("event_type") == "purchase").cast("int"), F.lit(0)
+        ).alias("label"),
     )
     out = drift.calibration_report(d, "score", "label", 0.0, 500.0, bins=10)
     return out
@@ -8000,7 +8004,9 @@ def q_isotonic_calibration_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     d = e.filter(F.col("value").isNotNull()).select(
         F.col("value").cast("double").alias("score"),
-        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.coalesce(
+            (F.col("event_type") == "purchase").cast("int"), F.lit(0)
+        ).alias("label"),
     )
     return drift.isotonic_calibration(
         d, "score", "label", 0.0, 500.0, bins=10
@@ -8081,7 +8087,9 @@ def q_brier_events_purchase(spark, sf_dir):
             F.col("value").cast("decimal(14,4)")
             * F.lit("0.002").cast("decimal(6,4)")
         ).alias("score"),
-        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.coalesce(
+            (F.col("event_type") == "purchase").cast("int"), F.lit(0)
+        ).alias("label"),
     )
     return drift.brier_decomposition(d, "score", "label", bins=10)
 
@@ -8140,7 +8148,9 @@ def q_hosmer_lemeshow_events(spark, sf_dir):
             F.col("value").cast("decimal(14,4)")
             * F.lit("0.002").cast("decimal(6,4)")
         ).alias("score"),
-        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.coalesce(
+            (F.col("event_type") == "purchase").cast("int"), F.lit(0)
+        ).alias("label"),
     )
     return drift.hosmer_lemeshow(d, "score", "label", bins=10)
 
@@ -10622,7 +10632,9 @@ def q_gains_table_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     labeled = e.select(
         "event_id", "value",
-        (F.col("event_type") == "purchase").cast("int").alias("lab"),
+        F.coalesce(
+            (F.col("event_type") == "purchase").cast("int"), F.lit(0)
+        ).alias("lab"),
     )
     return drift.gains_table(labeled, "value", "lab", "event_id", n_buckets=10)
 

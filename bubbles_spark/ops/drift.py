@@ -542,7 +542,12 @@ def isotonic_calibration(
     emitted; see calibration_report's caveat).
 
     Scale: one keyed count shuffle folds the events to ≤ ``bins``
-    rows; everything after is metadata-sized (bins ≤ 4096 enforced so
+    rows; the binned table feeds both the pair grid and the final
+    join, so the INPUT is scanned once per branch unless Spark's
+    ReusedExchange dedupes the shared groupBy shuffle — on an
+    expensive upstream plan (a join pipeline, not a table scan),
+    persist/localCheckpoint the input first.  Everything after the
+    fold is metadata-sized (bins ≤ 4096 enforced so
     the pair grid stays ≤ 16.8M rows; the suffix-min window
     partitions by start bin — no single giant partition).
 
@@ -649,7 +654,11 @@ def brier_decomposition(
     bit-identical cross-engine.
 
     Scale: one keyed count shuffle to ≤ bins rows + one global moment
-    fold; everything downstream is metadata-sized.
+    fold; everything downstream is metadata-sized.  The input feeds
+    the per-bin fold, the global fold, and the unbinned score, so it
+    is scanned up to 3× per action unless ReusedExchange dedupes the
+    shared shuffle — persist/localCheckpoint expensive upstream plans
+    before calling.
 
     Output (one row): n (bigint), brier, uncertainty, reliability,
     resolution, ece (double); NULL decomposition when N = 0."""

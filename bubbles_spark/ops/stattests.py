@@ -2933,7 +2933,11 @@ def cronbach_alpha(
     q = lambda c: F.round(c * F.lit(1e9), 0).cast("decimal(38,0)")  # noqa: E731
     items_fold = per_item.agg(F.sum(q(var_i)).alias("__vq"))
     per_subj = base.groupBy("__s").agg(
-        F.sum("__u").cast("bigint").alias("__t")
+        # decimal(38,0) fold like every other moment: a subject's
+        # k-item total of 1e-6-unit values can overflow a BIGINT sum
+        # for large-magnitude inputs (ANSI raise — a scale cliff the
+        # decimal folds avoid)
+        F.sum(d38(F.col("__u"))).alias("__t")
     )
     tot = per_subj.agg(
         F.sum(d38(F.col("__t"))).alias("__st"),
