@@ -15221,6 +15221,24 @@ _DRIVER_PRIORITY = [
     # its passing floor-cents twin.  One intentional red row.
     "bx_cast_orders",
     "bx_floor_cents_orders",
+    # r13 stale-flush tie-break order: within the r4-checked tie
+    # group the multimodal decode family leads (the least re-verified
+    # surface — r12 verdict Next-round #1), then the r4 tpch rows;
+    # position here only reorders WITHIN a same-last-checked-round
+    # group, it never jumps a fresher query ahead of a staler one
+    "decode_image_fake",
+    "decode_image_netpbm",
+    "decode_image_png",
+    "decode_audio_wav",
+    "frame_sample_fake",
+    "frame_sample_y4m",
+    "image_pixel_stats",
+    "media_stats",
+    "tpch_q3_shipping_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_orders",
     # the ten r9 hash mismatches, re-expressed this round with
     # scaled-BIGINT money surfaces per the bisection conclusion —
     # front of the window so CORRECTNESS_r10 records the fix
@@ -15350,13 +15368,31 @@ _DRIVER_PRIORITY = [
 # an ambiguous comparator signal — r10 verdict item 4).
 _FORCE_RECHECK = {
     "bx_floor_cents_orders",        # permanent: canary's passing twin
-    # (r10 surface changes all re-verified green in CORRECTNESS_r10:
-    # orc_roundtrip, conformal x2, fdr x2 — removed, rotate normally)
-    # r12 surface/impl changes (decimal-hazard fix + ADVICE items):
-    "cusum_daily_revenue",          # oracle text changed ((37,8) cast)
-    "stream_cusum_window",          # oracle text changed ((37,8) cast)
-    "brunner_munzel_events",        # impl changed (empty-arm one-row agg)
-    "anderson_darling_events",      # impl changed (broadcast N, no global window)
+    # (r12 surface changes all re-verified green in CORRECTNESS_r12:
+    # cusum x2, brunner_munzel, anderson_darling — removed, rotate
+    # normally)
+    # r13 impl changes (NULL-label coalesce — provably value-neutral
+    # on current testdata, strict-verified locally; driver-confirm):
+    "auc_events_value",
+    "calibration_events",
+    "gains_table_events",
+    "isotonic_calibration_events",
+    "brier_events_purchase",
+    "hosmer_lemeshow_events",
+    "cronbach_events_spend",        # per-subject totals now decimal(38,0)
+    # r13 stale-flush: the r5-vintage multimodal family is the least
+    # re-verified surface in the repo (r12 verdict Next-round #1) and
+    # sorts behind the 48-query r4 tie group without this boost —
+    # force it into the window alongside the r4 decode_* twins (which
+    # lead the r4 group via _DRIVER_PRIORITY order)
+    "image_dedup_planted",
+    "image_dhash_planted_recall",
+    "image_feature_dup_planted",
+    "image_phash_planted_recall",
+    "image_pixel_stats_jpeg",
+    "audio_dup_planted",
+    "audio_stats_wav",
+    "video_dup_planted",
 }
 
 
