@@ -10889,6 +10889,93 @@ def q_km_risk_table_events(spark, sf_dir):
 
 
 @_q(
+    "kaplan_meier_events",
+    """
+    WITH RECURSIVE per_user AS (
+      SELECT user_id,
+             CAST(DATEDIFF('second', MIN(ts), MAX(ts)) // 3600
+                  AS BIGINT) AS t,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS ev
+      FROM events GROUP BY 1),
+    per AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS n_event,
+                   CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+            FROM per_user GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_event + n_censored) AS BIGINT) AS total
+            FROM per),
+    c AS (SELECT t, n_event, n_censored,
+                 SUM(n_event + n_censored) OVER (ORDER BY t)
+                   - (n_event + n_censored) AS gone,
+                 ROW_NUMBER() OVER (ORDER BY t) AS rn
+          FROM per),
+    steps AS (SELECT c.t, CAST(tot.total - c.gone AS BIGINT) AS n_risk,
+                     c.n_event, c.n_censored, c.rn
+              FROM c CROSS JOIN tot),
+    gw AS (SELECT *,
+                  SUM(CASE WHEN n_event = 0 THEN CAST(0 AS BIGINT)
+                           WHEN n_risk > n_event THEN
+                             CAST(FLOOR(CAST(n_event AS DOUBLE)
+                                  / (CAST(n_risk AS DOUBLE)
+                                     * CAST(n_risk - n_event AS DOUBLE))
+                                  * 1e12) AS BIGINT)
+                      END) OVER (ORDER BY t) AS gw_q
+           FROM steps),
+    rec AS (
+      SELECT rn, t, n_risk, n_event, n_censored, gw_q,
+             CAST(CAST(1000000000000000 AS HUGEINT) * (n_risk - n_event)
+                  // n_risk AS BIGINT) AS survival_q
+      FROM gw WHERE rn = 1
+      UNION ALL
+      SELECT g.rn, g.t, g.n_risk, g.n_event, g.n_censored, g.gw_q,
+             CAST(CAST(r.survival_q AS HUGEINT) * (g.n_risk - g.n_event)
+                  // g.n_risk AS BIGINT)
+      FROM rec r JOIN gw g ON g.rn = r.rn + 1),
+    fin AS (SELECT t, n_risk, n_event, n_censored, survival_q, gw_q,
+                   CAST(survival_q AS DOUBLE) / 1e15 AS survival
+            FROM rec)
+    SELECT t, n_risk, n_event, n_censored, survival_q, gw_q, survival,
+           CASE WHEN n_risk > n_event THEN
+             (survival * survival) * (CAST(gw_q AS DOUBLE) / 1e12)
+           END AS greenwood_var,
+           SQRT(CASE WHEN n_risk > n_event THEN
+             (survival * survival) * (CAST(gw_q AS DOUBLE) / 1e12)
+           END) AS greenwood_se
+    FROM fin ORDER BY t
+    """,
+)
+def q_kaplan_meier_events(spark, sf_dir):
+    # the product-limit curve itself, FULL-hash-oracled: survival is
+    # an exact integer fixed-point recurrence (s' = s·(n−d) div n in
+    # DECIMAL(38,0) / HUGEINT), so both engines emit bit-identical
+    # survival_q — the column km_risk_table_events must exclude.
+    # Duration = HOURS first→last event per user (a ~46-step curve at
+    # sf0.01 vs 3 at day grain — the recurrence earns its keep);
+    # event = ever purchased (else right-censored).  Integer second
+    # diff (unix_timestamp truncation ≡ DATEDIFF-second boundary
+    # count) then integer div — no float in the bucketing
+    from bubbles_spark.ops import insights
+
+    e = _t(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("__sec"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "ev"
+            ),
+        )
+        .select(
+            "user_id",
+            F.expr("__sec div 3600").cast("bigint").alias("dur"),
+            "ev",
+        )
+    )
+    return insights.kaplan_meier(per_user, "dur", "ev")
+
+
+@_q(
     "join_cardinality_lineitem_partkey",
     """
     WITH lc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_left

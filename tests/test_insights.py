@@ -89,6 +89,103 @@ def test_km_matches_hand_computation(spark):
     assert out[4]["survival"] == pytest.approx(s3, rel=1e-15)
 
 
+def test_kaplan_meier_matches_hand(spark):
+    # same classic toy as km_risk_table: the integer fixed-point curve
+    # (1e-15 units, floor each step) is exactly predictable by hand
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 0), (3, 1), (3, 1), (4, 0)],
+        "dur int, ev int",
+    )
+    out = {r["t"]: r for r in insights.kaplan_meier(df, "dur", "ev").collect()}
+    assert out[1]["survival_q"] == 10**15 * 4 // 6
+    assert out[2]["survival_q"] == out[1]["survival_q"]  # censor-only step
+    assert out[3]["survival_q"] == out[1]["survival_q"] * 1 // 3
+    assert out[4]["survival_q"] == out[3]["survival_q"]
+    assert out[1]["survival"] == out[1]["survival_q"] / 1e15
+    # greenwood at t=1: term = 2/(6*4), quantized 1e-12
+    gq1 = int(2.0 / (6.0 * 4.0) * 1e12)
+    assert out[1]["gw_q"] == gq1
+    sv1 = out[1]["survival"]
+    assert out[1]["greenwood_var"] == (sv1 * sv1) * (gq1 / 1e12)
+    assert out[2]["gw_q"] == gq1  # d=0 adds 0
+
+
+def test_kaplan_meier_matches_km_risk_table(spark):
+    # the quantized curve tracks the float product-limit to ~1e-12,
+    # and the integer risk-table columns are identical
+    rows = [(int(i % 7) + 1, int(i % 3 != 0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    km = {r["t"]: r for r in insights.kaplan_meier(df, "dur", "ev").collect()}
+    rt = {r["t"]: r for r in insights.km_risk_table(df, "dur", "ev").collect()}
+    assert set(km) == set(rt)
+    for t in km:
+        for c in ("n_risk", "n_event", "n_censored"):
+            assert km[t][c] == rt[t][c], (t, c)
+        assert km[t]["survival"] == pytest.approx(
+            rt[t]["survival"], abs=1e-11
+        )
+
+
+def test_kaplan_meier_no_censoring_telescopes(spark):
+    # no censoring: the product telescopes, S(t) = (N - cum deaths)/N
+    # exactly — and with N=10 every fixed-point division is exact
+    rows = [(1, 1)] * 2 + [(2, 1)] * 3 + [(3, 1)] * 5
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    out = {r["t"]: r for r in insights.kaplan_meier(df, "dur", "ev").collect()}
+    assert out[1]["survival"] == 0.8
+    assert out[2]["survival"] == 0.5
+    assert out[3]["survival"] == 0.0
+    # greenwood undefined once the whole risk set dies (n = d)
+    assert out[3]["greenwood_var"] is None
+    assert out[3]["greenwood_se"] is None
+    assert out[2]["greenwood_var"] is not None
+
+
+def test_kaplan_meier_log_rank_consistency(spark):
+    # identical arms: log-rank z ~ 0 AND the by-arm KM curves are
+    # bit-identical at every step
+    arm = [(1, 1), (2, 1), (3, 0), (4, 1), (6, 1), (7, 0)]
+    rows = [("a", t, e) for t, e in arm] + [("b", t, e) for t, e in arm]
+    same = spark.createDataFrame(rows, "g string, t int, e int")
+    z0 = insights.log_rank_test(same, "t", "e", "g").collect()[0]
+    assert z0["z"] == pytest.approx(0.0, abs=1e-9)
+    curves = insights.kaplan_meier(same, "t", "e", by=["g"]).collect()
+    a = {r["t"]: r["survival_q"] for r in curves if r["g"] == "a"}
+    b = {r["t"]: r["survival_q"] for r in curves if r["g"] == "b"}
+    assert a == b
+
+    # arm a dies early, arm b late: a's curve sits below b's wherever
+    # both are defined, and log-rank agrees (o_a > e_a => z > 0)
+    early = [("a", t, 1) for t in (1, 1, 2, 2, 3)]
+    late = [("b", t, 1) for t in (7, 8, 8, 9, 10)]
+    dom = spark.createDataFrame(early + late, "g string, t int, e int")
+    lr = insights.log_rank_test(dom, "t", "e", "g").collect()[0]
+    assert lr["group_a"] == "a" and lr["z"] > 2.0
+    kc = insights.kaplan_meier(dom, "t", "e", by=["g"]).collect()
+    sa = sorted((r["t"], r["survival"]) for r in kc if r["g"] == "a")
+    sb = sorted((r["t"], r["survival"]) for r in kc if r["g"] == "b")
+
+    def step_at(curve, t):
+        s = 1.0
+        for ct, cs in curve:
+            if ct <= t:
+                s = cs
+        return s
+
+    for t in range(1, 11):
+        assert step_at(sa, t) <= step_at(sb, t) + 1e-15
+
+
+def test_kaplan_meier_max_steps_guard(spark):
+    df = spark.createDataFrame(
+        [(t, 1) for t in range(1, 6)], "dur int, ev int"
+    )
+    with pytest.raises(Exception, match="max_steps"):
+        insights.kaplan_meier(df, "dur", "ev", max_steps=2).collect()
+    with pytest.raises(ValueError):
+        insights.kaplan_meier(df, "dur", "ev", scale=25)
+
+
 def test_km_grouped_curves_independent(spark):
     df = spark.createDataFrame(
         [("a", 1, 1), ("a", 2, 1), ("b", 1, 0), ("b", 5, 1)],

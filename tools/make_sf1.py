@@ -20,7 +20,19 @@ fact table and writes ordinary parquet under /tmp/sf1:
   TIMESTAMP(NANOS) special case applies only to the driver files;
   load_table handles both).
 
-Usage: python tools/make_sf1.py [K] [OUT_DIR]   (default 10 /tmp/sf1)
+Usage: python tools/make_sf1.py [--vocab] [K] [OUT_DIR]
+       (default 10 /tmp/sf1)
+
+--vocab adds the VOCABULARY-GROWTH axis the default copy discipline
+deliberately holds fixed: part/supplier keys stride per copy too
+(p_partkey / s_suppkey / l_partkey / l_suppkey), so the co-purchase
+and supply graphs grow copy-LOCAL structure (k x nodes, ~k x edges)
+instead of densifying a fixed 20k-part vocabulary (the
+link_scores_copurchase sf1 finding: 347x edge growth under fixed
+vocabulary is input densification, not operator scaling).  This is
+the axis real corpus growth follows for graph ops; key joins still
+resolve (dim copies match fact strides).  region/nation stay fixed
+always (TPC-H contract).
 """
 
 from __future__ import annotations
@@ -38,8 +50,13 @@ ALPHA = "bcdfghjklm"
 
 
 def main() -> int:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    argv = sys.argv[1:]
+    vocab = False
+    if argv and argv[0] == "--vocab":
+        vocab = True
+        argv = argv[1:]
+    k = int(argv[0]) if len(argv) > 0 else 10
+    out = argv[1] if len(argv) > 1 else "/tmp/sf1"
 
     from pyspark.sql import functions as F
 
@@ -86,13 +103,17 @@ def main() -> int:
     plans = {
         "region": lambda d: d,
         "nation": lambda d: d,
-        "part": lambda d: d,
-        "supplier": lambda d: d,
+        "part": (lambda d: copies(d, ["p_partkey"])) if vocab
+        else (lambda d: d),
+        "supplier": (lambda d: copies(d, ["s_suppkey"])) if vocab
+        else (lambda d: d),
         "customer": lambda d: copies(
             d, ["c_custkey"], name_prefix_col="c_name"
         ),
         "orders": lambda d: copies(d, ["o_orderkey", "o_custkey"]),
-        "lineitem": lambda d: copies(d, ["l_orderkey"]),
+        "lineitem": (
+            lambda d: copies(d, ["l_orderkey", "l_partkey", "l_suppkey"])
+        ) if vocab else (lambda d: copies(d, ["l_orderkey"])),
         "events": lambda d: copies(d, ["event_id", "user_id"]),
         "documents": lambda d: copies(d, ["doc_id"], text_cols=("text",)),
         "embeddings": lambda d: copies(d, ["vec_id"], emb_col="embedding"),
