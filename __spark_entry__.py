@@ -10912,13 +10912,13 @@ def q_km_risk_table_events(spark, sf_dir):
                      c.n_event, c.n_censored, c.rn
               FROM c CROSS JOIN tot),
     gw AS (SELECT *,
-                  SUM(CASE WHEN n_event = 0 THEN CAST(0 AS BIGINT)
+                  CAST(SUM(CASE WHEN n_event = 0 THEN CAST(0 AS BIGINT)
                            WHEN n_risk > n_event THEN
                              CAST(FLOOR(CAST(n_event AS DOUBLE)
                                   / (CAST(n_risk AS DOUBLE)
                                      * CAST(n_risk - n_event AS DOUBLE))
                                   * 1e12) AS BIGINT)
-                      END) OVER (ORDER BY t) AS gw_q
+                      END) OVER (ORDER BY t) AS BIGINT) AS gw_q
            FROM steps),
     rec AS (
       SELECT rn, t, n_risk, n_event, n_censored, gw_q,
