@@ -1990,13 +1990,32 @@ def fuzzy_join(
         rhs = r.withColumn("__rid", F.monotonically_increasing_id())
         lv = lhs.withColumn("__v", F.explode(_del_variants(F.col(left_col))))
         rv = rhs.withColumn("__v", F.explode(_del_variants(F.col(r_col))))
+        # pin the variant-join width: AQE coalesces this exchange by
+        # its INPUT size (exploded variants are bytes per row), but
+        # the stage's cost is the candidate fan-out it EMITS —
+        # measured at 100x corpus, the join collapsed to ONE
+        # post-shuffle task grinding levenshtein for 14+ minutes
+        # while 31 cores idled.  The explicit-width repartition is
+        # the exchange the join requires anyway, just not
+        # coalescible (HashPartitioning on __v, a subset of the join
+        # keys, co-partitions both sides — no extra shuffle).
+        n_shuf = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        lv = lv.repartition(n_shuf, "__v")
+        rv = rv.repartition(n_shuf, "__v")
         on = [lv["__v"] == rv["__v"]] + [
             lv[lc] == rv[rc] for lc, rc in blocks
         ]
         return (
             lv.join(rv, reduce(lambda a, b: a & b, on))
-            .filter(verified)
+            # dedup BEFORE verifying: a pair sharing k variants emits
+            # k join rows, so deduping first runs the (dominant)
+            # thresholded levenshtein ONCE per pair instead of k
+            # times — and the pair-keyed exchange redistributes
+            # verification away from any hot variant bucket
             .dropDuplicates(["__lid", "__rid"])
+            .filter(verified)
             .drop("__v", "__lid", "__rid")
         )
 

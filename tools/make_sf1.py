@@ -128,7 +128,17 @@ def main() -> int:
         # layout matches ZERO files and every stream query silently
         # runs on empty input (measured: 0.2s "timings")
         tmp = path + ".tmpdir"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # bounded row groups (16 MB) inside the single file: a
+        # coalesce(1) write otherwise emits ONE row group per table
+        # (500k docs / 1.5M customers in a single split), capping
+        # every map phase at ONE task regardless of local[32] — the
+        # scale run then measures single-thread growth, not operator
+        # scaling (the r13 twin of the r12 pathGlobFilter artifact).
+        # sf1_bench.py pairs this with maxPartitionBytes=16m so read
+        # parallelism grows with data, as real multi-file corpora do.
+        df.coalesce(1).write.option(
+            "parquet.block.size", 16 * 1024 * 1024
+        ).mode("overwrite").parquet(tmp)
         import glob
         import shutil
 

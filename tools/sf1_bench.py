@@ -50,6 +50,13 @@ def main() -> int:
     from bubbles_spark.session import get_spark
 
     spark = get_spark("bubbles_spark_sf1_bench")
+    # split synthesized single-file tables at row-group grain
+    # (make_sf1.py writes 16 MB row groups): without this the 128 MB
+    # default gives sf10's 56 MB documents table ONE split — map
+    # phases single-task at every scale and the exponent measures
+    # single-thread growth instead of the cluster-realistic
+    # parallelism-grows-with-data behavior
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     qs = entrymod.queries()
 
     with open(
