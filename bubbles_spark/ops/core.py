@@ -2007,8 +2007,15 @@ def fuzzy_join(
         on = [lv["__v"] == rv["__v"]] + [
             lv[lc] == rv[rc] for lc, rc in blocks
         ]
+        # merge hint: the static size estimate for an exploded side
+        # is its FILE size (Generate keeps the child's stats), so a
+        # 17 MB parquet that explodes to 30M variant rows still
+        # "fits" the auto-broadcast threshold — at 100x corpus the
+        # planner broadcast the whole exploded side and OOM'd the
+        # driver.  Both sides are (len+1)x data-sized by
+        # construction: never broadcastable.
         return (
-            lv.join(rv, reduce(lambda a, b: a & b, on))
+            lv.join(rv.hint("merge"), reduce(lambda a, b: a & b, on))
             # dedup BEFORE verifying: a pair sharing k variants emits
             # k join rows, so deduping first runs the (dominant)
             # thresholded levenshtein ONCE per pair instead of k
@@ -2034,8 +2041,10 @@ def fuzzy_join(
     on = [lhs["__len"] == rl["__len"]] + [
         lhs[lc] == rl[rc] for lc, rc in blocks
     ]
+    # same Generate-stats hazard as the deletion path: the length-
+    # exploded side is (2d+1)x data-sized, never broadcastable
     return (
-        lhs.join(rl, reduce(lambda a, b: a & b, on))
+        lhs.join(rl.hint("merge"), reduce(lambda a, b: a & b, on))
         .filter(verified)
         .drop("__len")
     )

@@ -401,10 +401,18 @@ def connected_components(
             for _ in range(64):
                 nxt = cut(
                     lbl.join(
+                        # merge hint: the label table is O(V) — it
+                        # GROWS with the data, so auto-broadcast
+                        # (64 MB session threshold) must never pick
+                        # it up.  At 100x corpus the closure loop's
+                        # broadcast relations accumulated in the
+                        # driver until "Not enough memory to build
+                        # and broadcast" killed the query; SMJ keeps
+                        # every round executor-side at any scale.
                         lbl.select(
                             F.col("node_id").alias("component"),
                             F.col("component").alias("__cc"),
-                        ),
+                        ).hint("merge"),
                         "component",
                         "left",
                     ).select(
@@ -427,11 +435,13 @@ def connected_components(
 
         for _ in range(max_iter):
             nmin = (
-                edges.join(labels, edges["v"] == labels["node_id"])
+                # edges and labels both grow with the data: merge
+                # hint for the same reason as the closure loop
+                edges.join(labels.hint("merge"), edges["v"] == labels["node_id"])
                 .groupBy(F.col("u").alias("node_id"))
                 .agg(F.min("component").alias("__nmin"))
             )
-            cand = labels.join(nmin, "node_id", "left").select(
+            cand = labels.join(nmin.hint("merge"), "node_id", "left").select(
                 "node_id",
                 F.col("component").alias("__root"),
                 F.least(
@@ -444,7 +454,7 @@ def connected_components(
                 F.min("__cand").alias("__m")
             )
             relabeled = cut(
-                labels.join(tree_min, "component")
+                labels.join(tree_min.hint("merge"), "component")
                 .select("node_id", F.col("__m").alias("component"))
             )
             closed = closure(relabeled)
@@ -452,7 +462,7 @@ def connected_components(
                 closed.join(
                     labels.select(
                         "node_id", F.col("component").alias("__old")
-                    ),
+                    ).hint("merge"),
                     "node_id",
                 ).select(
                     "node_id",
@@ -484,8 +494,12 @@ def dup_clusters(
     every row (singletons get their own id).  pairs is any
     (id_a, id_b) output — minhash/simhash/ngram/embedding."""
     comp = connected_components(pairs, src, dst)
+    # the component map is O(paired nodes) — data-sized, never
+    # broadcast-safe (see connected_components)
     return df.join(
-        comp.withColumnRenamed("node_id", id_col), id_col, "left"
+        comp.withColumnRenamed("node_id", id_col).hint("merge"),
+        id_col,
+        "left",
     ).withColumn("component", F.coalesce("component", F.col(id_col)))
 
 
@@ -532,7 +546,7 @@ def resolve_entities(
                 F.struct((-F.col("__cnt")).alias("k1"), F.col(c).alias("k2")),
             ).alias(c)
         )
-        out = out.join(elected, "entity_id", "left")
+        out = out.join(elected.hint("merge"), "entity_id", "left")
     return out
 
 
@@ -1499,7 +1513,12 @@ def pairs_against_index(
         .filter(F.col("__bn") <= max_bucket)
         .select("band", "bucket")
     )
-    iband = iband.join(sizes, ["band", "bucket"], "left_semi")
+    # merge hint: the surviving-bucket list is O(index buckets) — it
+    # grows with the corpus, so the 64 MB auto-broadcast threshold
+    # must not pick it up (at 100x corpus the ~8M-row build side
+    # OOM'd the driver's broadcast budget); the semi join stays a
+    # shuffle at any scale
+    iband = iband.join(sizes.hint("merge"), ["band", "bucket"], "left_semi")
 
     cand = (
         iband.join(F.broadcast(bband) if broadcast_batch else bband, ["band", "bucket"])
