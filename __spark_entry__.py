@@ -1798,7 +1798,8 @@ def q_admit_and_extend_planted(spark, sf_dir):
     # already-checkpointed history from it — the corpus is never
     # re-signed and batch 1's admission join never re-runs
     adm1 = _ckpt(adm1)
-    index = index.unionByName(dedup.minhash_index(adm1))
+    # widen=False: adm1 is 100 rows — no compute to spread (r13)
+    index = index.unionByName(dedup.minhash_index(adm1, widen=False))
     recopies = d.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
         F.concat(

@@ -37,6 +37,11 @@ def _basket_items(
     """Distinct (basket, item) memberships — affinity counts baskets,
     not line repetitions (two rows of the same part in one order are
     one co-occurrence)."""
+    # NOT widened (core.widen_scan): measured r13 — the map side here
+    # is a light partial distinct, and ``bi`` has three consumers, so
+    # the extra round-robin exchange was re-paid per consumer
+    # (triangle_count 3.8s → 5.1s).  The heavy stage (the pair join)
+    # is post-shuffle and already parallel.
     return df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()

@@ -47,6 +47,74 @@ def shuffle_partitions(spark, default: int | None = None) -> int:
         return default or spark.sparkContext.defaultParallelism
 
 
+def widen_scan(df: DataFrame, width: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW frame (scan/filter/project —
+    no Exchange below) up to the session shuffle width when the source
+    layout under-parallelizes it.
+
+    Why this exists: a parquet ROW GROUP is the unit of scan
+    assignment — a single-row-group file is read by ONE task no matter
+    how small ``spark.sql.files.maxPartitionBytes`` is, so every
+    map-side expression above it (shingle fan-out, per-row hashing,
+    bootstrap replicate explode, partial aggregation) runs on one core
+    while the rest of the cluster idles.  That is the guide's "input
+    skew: one huge unsplittable file … repartition immediately after
+    the read" case, hit here because the testdata ships one row group
+    per table (r13 measured: the whole map stage of every heavy query
+    ran 1/32 cores).
+
+    Width policy — same reasoning as ``fuzzy_join``'s pin: the
+    exchange must be EXPLICIT-width because AQE sizes coalescing by
+    the exchange's input BYTES, which says nothing about the compute
+    the stage above it performs per row.  And it must NEVER SHRINK: a
+    real multi-file table (any production layout, 100 TB included)
+    already scans wider than the session shuffle width and passes
+    through untouched — the repartition exists only in the degenerate
+    layouts that need it.
+
+    Results are unchanged for every partitioning-invariant consumer
+    (exact decimal/integer folds, min/max, keyed aggregation, windows
+    with total in-partition orders — the repo's exactness contracts);
+    do NOT insert above consumers that read partition structure
+    (``spark_partition_id`` offsets, ``F.rand``, approx sketches whose
+    merge order the oracle pins).
+
+    Safety: the helper inspects the ANALYZED logical plan and only
+    acts when every node is from a small allow-list of narrow
+    operators (scan/filter/project/union/generate) — a frame with any
+    other node (join, aggregate, window, repartition, …) is returned
+    untouched, because (a) it either already has post-shuffle
+    parallelism or isn't ours to reason about, and (b) probing
+    ``.rdd`` under AQE on an exchange-bearing plan would materialize
+    its query stages EAGERLY (run real jobs at plan-build time).  On
+    an allow-listed plan ``.rdd`` plans without running anything."""
+    spark = df.sparkSession
+    target = width or shuffle_partitions(spark)
+    if target <= 1:
+        return df
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover — no py4j plan access: skip
+        return df
+    allowed = (
+        "Project",
+        "Filter",
+        "Union",
+        "Generate",
+        "SubqueryAlias",
+        "Relation",
+        "LogicalRDD",
+        "Expand",
+        "CollectMetrics",
+    )
+    for raw in plan.splitlines():
+        node = raw.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if node and not node.startswith(allowed):
+            return df
+    cur = df.rdd.getNumPartitions()
+    return df if cur >= target else df.repartition(target)
+
+
 # ---------------------------------------------------------------------
 # Projection / renaming (SURVEY.md §2.2; bubbles/ops/rows.py::field_filter)
 # ---------------------------------------------------------------------

@@ -165,6 +165,7 @@ def _minhash_sigs(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 128,
+    widen: bool = True,
 ) -> DataFrame:
     """(id, minhash array<bigint>) per document:
     sig[i] = min over shingles of xxhash64(shingle, seed=i).
@@ -188,7 +189,21 @@ def _minhash_sigs(
     the classic (a*x+b) mod p permutation family — i.i.d. enough for
     Jaccard estimation.
     """
-    sh = with_shingles(df.select(id_col, text_col), text_col, n, out="__sh")
+    # widen the narrow scan FIRST: the shingle fan-out and the
+    # 128-slot partial aggregation are this op's dominant compute and
+    # run map-side — above a single-row-group file they would grind on
+    # one core (see core.widen_scan; r13 measured the whole signing
+    # stage single-task).  ``widen=False`` for KNOWN-SMALL inputs
+    # (admission batches ≪ index by contract): there the extra
+    # exchange+stage is re-paid per consumer for no compute to spread
+    # (measured r13: admit_and_extend 13.2s → 14.9s with batches
+    # widened, recovered with batch signing left narrow).
+    from bubbles_spark.ops.core import widen_scan
+
+    base = df.select(id_col, text_col)
+    if widen:
+        base = widen_scan(base)
+    sh = with_shingles(base, text_col, n, out="__sh")
     # explode_outer + null filter instead of explode: the optimizer's
     # InferFiltersFromGenerate would otherwise duplicate the shingle
     # regex into a pre-Generate filter (one extra scan per row)
@@ -374,6 +389,8 @@ def connected_components(
     import shutil
     import tempfile
 
+    from pyspark.sql import Observation
+
     spark = pairs.sparkSession
     workdir = tempfile.mkdtemp(prefix="bubbles_cc_")
     seq = [0]
@@ -383,6 +400,21 @@ def connected_components(
         p = f"{workdir}/s{seq[0]}"
         df.write.mode("overwrite").parquet(p)
         return spark.read.parquet(p)
+
+    def cut_counting(df: DataFrame, flag: str) -> tuple[DataFrame, int]:
+        """cut() + "how many rows have boolean ``flag`` set", with the
+        count OBSERVED on the write job itself (CollectMetrics) instead
+        of a second full pass — iterative convergence checks previously
+        doubled every round's job count (write, then count), and each
+        extra job is a full pass over the round's state at any scale."""
+        obs = Observation()
+        out = cut(
+            df.observe(
+                obs, F.sum(F.col(flag).cast("bigint")).alias("n")
+            ).drop(flag)
+        )
+        n = obs.get["n"]
+        return out, int(n or 0)
 
     try:
         edges = cut(
@@ -397,38 +429,53 @@ def connected_components(
         )
 
         def closure(lbl: DataFrame) -> DataFrame:
-            # node → its label's label, until stable (log(tree depth))
+            # Pointer jumping, TWO hops per materialization, with the
+            # fixed-point test observed on the LAST hop: if no label
+            # moved on hop 2, every hop-1 result was already a root —
+            # the table is CLOSED, and no confirming pass is needed.
+            # (The r12 shape burned one cut per single hop plus a
+            # whole extra cut just to read moved == 0; measured r13,
+            # 15 of the 29 cuts of the fuzzy-name closure were these.)
             for _ in range(64):
-                nxt = cut(
-                    lbl.join(
-                        # merge hint: the label table is O(V) — it
-                        # GROWS with the data, so auto-broadcast
-                        # (64 MB session threshold) must never pick
-                        # it up.  At 100x corpus the closure loop's
-                        # broadcast relations accumulated in the
-                        # driver until "Not enough memory to build
-                        # and broadcast" killed the query; SMJ keeps
-                        # every round executor-side at any scale.
-                        lbl.select(
-                            F.col("node_id").alias("component"),
-                            F.col("component").alias("__cc"),
-                        ).hint("merge"),
-                        "component",
-                        "left",
-                    ).select(
+                # merge hint on the lookup side: the label table is
+                # O(V) — it GROWS with the data, so auto-broadcast
+                # (64 MB session threshold) must never pick it up.
+                # At 100x corpus the closure loop's broadcast
+                # relations accumulated in the driver until "Not
+                # enough memory to build and broadcast" killed the
+                # query; SMJ keeps every round executor-side at any
+                # scale.  Distinct alias names per hop: two lookups
+                # against the same cut file must not trip ambiguous-
+                # self-join resolution.
+                m1 = lbl.select(
+                    F.col("node_id").alias("component"),
+                    F.col("component").alias("__cc"),
+                ).hint("merge")
+                h1 = lbl.join(m1, "component", "left").select(
+                    "node_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("__cc", F.col("component")),
+                    ).alias("__c1"),
+                )
+                m2 = lbl.select(
+                    F.col("node_id").alias("__c1"),
+                    F.col("component").alias("__cc2"),
+                ).hint("merge")
+                lbl, moved = cut_counting(
+                    h1.join(m2, "__c1", "left").select(
                         "node_id",
                         F.least(
-                            F.col("component"),
-                            F.coalesce("__cc", F.col("component")),
+                            F.col("__c1"),
+                            F.coalesce("__cc2", F.col("__c1")),
                         ).alias("component"),
                         (
-                            F.coalesce("__cc", F.col("component"))
-                            < F.col("component")
+                            F.coalesce("__cc2", F.col("__c1"))
+                            < F.col("__c1")
                         ).alias("__j"),
-                    )
+                    ),
+                    "__j",
                 )
-                moved = nxt.filter(F.col("__j")).count()
-                lbl = nxt.drop("__j")
                 if moved == 0:
                     return lbl
             raise RuntimeError("pointer closure did not stabilize")
@@ -453,28 +500,24 @@ def connected_components(
             tree_min = cand.groupBy(F.col("__root").alias("component")).agg(
                 F.min("__cand").alias("__m")
             )
-            relabeled = cut(
-                labels.join(tree_min.hint("merge"), "component")
-                .select("node_id", F.col("__m").alias("component"))
-            )
-            closed = closure(relabeled)
-            updated = cut(
-                closed.join(
-                    labels.select(
-                        "node_id", F.col("component").alias("__old")
-                    ).hint("merge"),
+            # convergence observed on the RELABEL cut itself: labels
+            # entering a round are always closed (round 0 starts from
+            # the identity, later rounds end in closure()), so "no
+            # tree adopted a smaller min" ⇔ the fixed point — the r12
+            # shape's separate post-closure diff join + count pass per
+            # round tested the same condition one round later.
+            relabeled, changed = cut_counting(
+                labels.join(tree_min.hint("merge"), "component").select(
                     "node_id",
-                ).select(
-                    "node_id",
-                    "component",
-                    (F.col("component") < F.col("__old")).alias("__chg"),
-                )
+                    F.col("__m").alias("component"),
+                    (F.col("__m") < F.col("component")).alias("__chg"),
+                ),
+                "__chg",
             )
-            changed = updated.filter(F.col("__chg")).count()
-            labels = updated.drop("__chg")
             if changed == 0:
                 # materialize the result off the temp dir before cleanup
-                return labels.localCheckpoint()
+                return relabeled.localCheckpoint()
+            labels = closure(relabeled)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
             "pathologically deep cluster chain; raise max_iter"
@@ -578,7 +621,12 @@ def simhash(
     two's-complement pattern for a signed 64-bit signature."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
-    toks = df.select(
+    from bubbles_spark.ops.core import widen_scan
+
+    # widen before the token fan-out: the 64 per-bit partial sums run
+    # map-side and would otherwise grind on a single-row-group scan's
+    # one task (core.widen_scan)
+    toks = widen_scan(df.select(id_col, text_col)).select(
         id_col, F.explode(_tokens(F.lower(F.col(text_col)))).alias("__t")
     )
     h = F.xxhash64(F.col("__t"))
@@ -764,9 +812,14 @@ def _ordered_token_sets(
     ``__toks`` sorted rarest-first by (global df, shingle), ``__sz``).
     The rarest-first TOTAL order is what makes a set's prefix its
     best candidate filter (SSJoin family)."""
-    tok = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("__id"), F.explode("shingles").alias("__g")
-    )
+    # widen before the shingle fan-out — the exploded postings feed a
+    # keyed count AND a per-doc sort-collect; map-side work above a
+    # single-row-group scan is otherwise one task (core.widen_scan)
+    from bubbles_spark.ops.core import widen_scan
+
+    tok = with_shingles(
+        widen_scan(df.select(id_col, text_col)), text_col, n
+    ).select(F.col(id_col).alias("__id"), F.explode("shingles").alias("__g"))
     freq = tok.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     docs = (
         tok.join(freq, "__g")
@@ -1412,13 +1465,16 @@ def minhash_index(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 128,
+    widen: bool = True,
 ) -> DataFrame:
     """Build the persistable MinHash index: (id, minhash) one row per
     doc with >=1 shingle.  Persist it partitioned/bucketed by id and
     append each accepted batch's signatures (``minhash_signature``
     output) to keep it current.  ``num_hashes``/``n`` are part of the
-    index contract — batches must be signed with the same values."""
-    return _minhash_sigs(df, id_col, text_col, n, num_hashes)
+    index contract — batches must be signed with the same values.
+    ``widen=False`` skips the narrow-scan spread for known-small
+    inputs (see ``_minhash_sigs``)."""
+    return _minhash_sigs(df, id_col, text_col, n, num_hashes, widen=widen)
 
 
 def pairs_against_index(
@@ -1477,9 +1533,12 @@ def pairs_against_index(
             F.col(id_col).alias("__bid"), F.col("minhash").alias("__bsig")
         ).filter(F.col("__bsig").isNotNull())
     else:
-        bsig = _minhash_sigs(batch, id_col, text_col, n, num_hashes).select(
-            F.col(id_col).alias("__bid"), F.col("minhash").alias("__bsig")
-        )
+        # widen=False: a batch is ≪ the index by this op's contract —
+        # spreading a few hundred rows buys nothing and its exchange
+        # is re-paid per consumer (banding + verify re-evaluate bsig)
+        bsig = _minhash_sigs(
+            batch, id_col, text_col, n, num_hashes, widen=False
+        ).select(F.col(id_col).alias("__bid"), F.col("minhash").alias("__bsig"))
     isig = index.select(
         F.col(id_col).alias("__iid"), F.col("minhash").alias("__isig")
     ).filter(F.col("__isig").isNotNull())
@@ -1625,7 +1684,11 @@ def admit_and_extend_index(
         # signature table): the admitted rows ARE signature rows
         new_sigs = admitted.select(id_col, "minhash")
     else:
-        new_sigs = minhash_index(admitted, id_col, text_col, n, num_hashes)
+        # widen=False: admitted ≪ batch ≪ index in steady state — the
+        # extension signing is noise, don't add an exchange to it
+        new_sigs = minhash_index(
+            admitted, id_col, text_col, n, num_hashes, widen=False
+        )
     return admitted, index.unionByName(new_sigs)
 
 

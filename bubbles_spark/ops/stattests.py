@@ -339,7 +339,14 @@ def bootstrap_ci(
     ).select(
         *gcols, v.alias("__v"), F.col(key_col).cast("string").alias("__k")
     )
-    reps = base.withColumn(
+    # widen the narrow scan before the ×B replicate fan-out: rows×B
+    # md5 evaluations are this op's entire cost and run map-side —
+    # above a single-row-group file the whole bootstrap would grind on
+    # one core (core.widen_scan; the exchange moves only
+    # (group, key, decimal value) rows, ~1/B of the stage's output)
+    from bubbles_spark.ops.core import widen_scan
+
+    reps = widen_scan(base).withColumn(
         "__b", F.explode(F.sequence(F.lit(1), F.lit(n_boot)))
     )
     h = F.conv(
@@ -802,6 +809,11 @@ def spearman_corr(
     Output (one row): n (bigint), rho (double)."""
     from bubbles_spark.ops.drift import _grouped_cum_counts
 
+    # NOT widened (core.widen_scan): measured r13 — the map side is a
+    # light partial count and ``base`` has three consumers, so the
+    # extra round-robin exchange was re-paid per consumer (2.6s →
+    # 4.3s); the real cost is the near-unique-value rank-join
+    # shuffles, which are already parallel
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
