@@ -1724,7 +1724,12 @@ def q_index_pairs_planted(spark, sf_dir):
     batch = d.filter(F.col("doc_id") < 200).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
-    hits = dedup.pairs_against_index(batch, index, threshold=0.99)
+    # broadcast_batch: 300 planted rows vs a corpus-sized index — the
+    # documented small-batch production shape (index side never
+    # shuffles; measured r13 interleaved A/B: admit 16.9s -> 12.3s)
+    hits = dedup.pairs_against_index(
+        batch, index, threshold=0.99, broadcast_batch=True
+    )
     return hits.filter(F.col("batch_id") - F.col("index_id") == 1000000).select(
         "batch_id", "index_id"
     )
@@ -1756,7 +1761,10 @@ def q_dedup_against_index_planted(spark, sf_dir):
         ).alias("text"),
     )
     batch = copies.select("doc_id", "text").unionByName(novel)
-    out = dedup.dedup_against_index(batch, index, threshold=0.9)
+    # broadcast_batch: 300-row batch — index side never shuffles (r13)
+    out = dedup.dedup_against_index(
+        batch, index, threshold=0.9, broadcast_batch=True
+    )
     return out.select("doc_id")
 
 
@@ -1793,7 +1801,11 @@ def q_admit_and_extend_planted(spark, sf_dir):
         ).alias("text"),
     )
     batch1 = copies.unionByName(novel1)
-    adm1, _ = dedup.admit_and_extend_index(batch1, index, threshold=0.9)
+    # broadcast_batch on both admissions: 300/200-row batches — the
+    # index side never shuffles (r13 interleaved A/B: 16.9s -> 12.3s)
+    adm1, _ = dedup.admit_and_extend_index(
+        batch1, index, threshold=0.9, broadcast_batch=True
+    )
     # checkpoint the ADMISSION (computed once), then extend the
     # already-checkpointed history from it — the corpus is never
     # re-signed and batch 1's admission join never re-runs
@@ -1813,7 +1825,8 @@ def q_admit_and_extend_planted(spark, sf_dir):
         ).alias("text"),
     )
     adm2, _ = dedup.admit_and_extend_index(
-        recopies.unionByName(novel2), index, threshold=0.9
+        recopies.unionByName(novel2), index, threshold=0.9,
+        broadcast_batch=True,
     )
     return adm1.select("doc_id").unionByName(adm2.select("doc_id"))
 
@@ -1863,6 +1876,9 @@ def q_stream_admit_against_index(spark, sf_dir):
             f"{tmp}/ckpt",
             threshold=0.9,
             cache_index=True,
+            # 300-row batch vs corpus index: the documented
+            # small-batch shape — index never shuffles (r13)
+            broadcast_batch=True,
         )
         # materialize before the tmp dir vanishes (the driver only
         # collects the returned frame, after this function exits)
