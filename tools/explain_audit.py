@@ -1231,7 +1231,7 @@ CHECKS = [
     ),
     (
         "debounce_events_user",
-        [(r"FlatMapGroupsInPandas", "honest Arrow seam for the last-survivor recurrence"),
+        [(r"FlatMapGroupsInPandas|MapInPandas", "honest Arrow seam for the last-survivor recurrence"),
          (r"hashpartitioning\(__k", "one key shuffle")],
         [(r"BatchEvalPython", "never row-at-a-time Python"),
          (r"CartesianProduct|BroadcastNestedLoopJoin", "no cross product")],
