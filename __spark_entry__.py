@@ -114,6 +114,17 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _tw(spark, sf_dir, name):
+    """``_t`` + ``core.widen_scan`` — for queries whose FIRST stage
+    does real per-row work (wide partial aggregation, per-row decimal
+    expressions) directly above the scan.  The testdata ships one
+    parquet row group per table, which is indivisible, so that stage
+    otherwise runs one task no matter the core count (r13: tpch_q1
+    1.44s → 0.74s from this alone).  No-op on any input that already
+    scans wider than the session shuffle width."""
+    return core.widen_scan(load_table(spark, sf_dir, name))
+
+
 def _schema_only() -> bool:
     """True when the caller only needs the plan's SCHEMA, never its
     rows (``tools/oracle_type_audit.py`` sets ``BUBBLES_SCHEMA_ONLY=1``
@@ -2318,7 +2329,7 @@ def q_tpch_q1(spark, sf_dir):
     # r4 driver hash-mismatch (CORRECTNESS_r04.json) that the local
     # mirror's 9-sig-fig normalization masked.  Bit-identical values
     # need no normalization agreement at all.
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")  # widened: 8-sum decimal partial agg is the whole query (r13: 1.44s -> 0.74s)
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     qty_dec = F.col("l_quantity").cast("decimal(20,4)")
     price_dec = F.col("l_extendedprice").cast("decimal(20,4)")
@@ -2793,7 +2804,7 @@ def q_tpch_q6(spark, sf_dir):
     # parquet scan (PushedFilters on shipdate/discount/quantity) and
     # the single global sum partial-aggregates map-side — at 100 TB
     # this is bounded purely by scan bandwidth
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tw(spark, sf_dir, "lineitem")  # widened scan-agg (r13)
     return (
         li.filter(
             (F.col("l_shipdate") >= "1997-01-01")
@@ -3318,7 +3329,7 @@ def q_tpch_q2_like(spark, sf_dir):
     # second scan, no self-join.  Dimensions (supplier⋈nation⋈region,
     # part) broadcast; the only big shuffles are the (partkey,
     # suppkey) aggregate and the partkey window.
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem")  # not widened (r13 A/B: flat)
     ps = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -11627,6 +11638,9 @@ def q_abc_parts_revenue(spark, sf_dir):
     # (bx_abc_ints / bx_abc_share / bx_abc_class)
     from bubbles_spark.ops import insights
 
+    # not widened: abc_classification consumes the keyed agg from
+    # three branches, so a widened scan re-pays its exchange per
+    # branch (r13 A/B: 1.70s -> 2.39s widened)
     li = _t(spark, sf_dir, "lineitem")
     item = li.groupBy(F.col("l_partkey").alias("pid")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
@@ -11674,7 +11688,7 @@ def q_weighted_median_lineitem(spark, sf_dir):
     # median passthrough PASS (bx_wm_weight / bx_wm_value)
     from bubbles_spark.ops import insights
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem")  # not widened: multi-branch consumer (r13 A/B flat)
     wm = insights.weighted_median(
         li, "l_returnflag", "l_extendedprice", "l_quantity"
     )
@@ -13121,7 +13135,7 @@ def q_weighted_p90_lineitem(spark, sf_dir):
     # DECIMAL output columns hash-diverge driver-side; cents PASS)
     from bubbles_spark.ops import insights
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem")  # not widened: multi-branch consumer (r13 A/B flat)
     wq = insights.weighted_quantile(
         li, "l_returnflag", "l_extendedprice", "l_quantity", 9, 10
     )
