@@ -230,9 +230,16 @@ def pagerank(
             F.count(F.lit(1)).alias("__od")
         )
         share = None
-    ranks = nodes.withColumn(
-        "rank", F.lit(1.0) / F.lit(float(n))
-    ).localCheckpoint()
+    # No per-iteration materialization: the iteration count is FIXED
+    # (no convergence actions mid-loop), so the whole iters-deep plan
+    # executes as ONE job — every stage runs exactly once either way,
+    # but the r12 shape paid an eager localCheckpoint job + a blocking
+    # materialization per round (3 extra jobs on the bench graph; the
+    # deep-lineage hazard that forces per-round cuts in
+    # connected_components needs per-round ACTIONS to bite, which this
+    # loop does not have).  One final localCheckpoint still
+    # materializes the result before e/nodes unpersist.
+    ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
     for _ in range(int(iters)):
         per_edge = (
             (F.col("rank") * share)
@@ -261,8 +268,8 @@ def pagerank(
                     ).cast("double")
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+    ranks = ranks.localCheckpoint()
     e.unpersist()
     nodes.unpersist()
     return ranks
@@ -306,6 +313,10 @@ def hits_scores(
     hub = nodes.withColumn("h", F.lit(1).cast("decimal(38,0)"))
     for _ in range(int(iters)):
         # auth <- sum of in-neighbors' hub
+        # no per-half-round materialization: fixed iteration count,
+        # no mid-loop actions — the whole plan executes as one job at
+        # the final localCheckpoint (see pagerank; r12 paid an eager
+        # checkpoint job per half-round)
         auth = (
             nodes.join(
                 e.join(hub.withColumnRenamed("node", "u"), "u")
@@ -315,7 +326,6 @@ def hits_scores(
                 "left",
             )
             .select("node", F.coalesce("a", F.lit(0).cast("decimal(38,0)")).alias("a"))
-            .localCheckpoint()
         )
         # hub <- sum of out-neighbors' auth
         hub = (
@@ -327,7 +337,6 @@ def hits_scores(
                 "left",
             )
             .select("node", F.coalesce("h", F.lit(0).cast("decimal(38,0)")).alias("h"))
-            .localCheckpoint()
         )
     out = nodes.join(hub, "node", "left").join(auth, "node", "left").select(
         "node",
