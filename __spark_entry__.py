@@ -3561,6 +3561,8 @@ def q_docs_prep(spark, sf_dir):
     # any corpus size.  Every stage is the SAME operator the
     # individual queries verify; the oracle re-derives the pipeline
     # end-to-end in SQL.
+    # not widened: r13 A/B 2.52s -> 2.93s widened (scoring map over
+    # 5k docs is light; the exchange costs more than it spreads)
     d = _t(spark, sf_dir, "documents")
     scored = textan.quality_score(d)
     kept = scored.filter(F.col("quality") >= 0.75)
@@ -4937,6 +4939,7 @@ def q_training_set_pipeline(spark, sf_dir):
     # the dedup hash.
     from bubbles_spark.ops import textprep
 
+    # not widened: r13 A/B 2.33s -> 2.74s widened (same as docs_prep)
     d = _t(spark, sf_dir, "documents")
     kept = textan.quality_score(d).filter(F.col("quality") >= 0.75)
     # shuffle strategy: the scored pipeline upstream is expensive —
