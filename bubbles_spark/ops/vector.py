@@ -427,12 +427,27 @@ def cosine_topk_lsh(
         F.round(
             _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")), 6
         ),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # multi-table/multi-probe duplicates of a (query, neighbor) pair
+    # carry IDENTICAL (cosine, neighbor_id), so under the rank
+    # window's own total order they sort adjacent — drop repeats with
+    # one lag pass and rank the survivors under the SAME sort: one
+    # exchange + one sort total, where dropDuplicates added its own
+    # aggregate exchange before the window's (r13, §2.4 "two
+    # operations keyed the same way share one exchange")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    deduped = (
+        sim.withColumn("__prev", F.lag("neighbor_id").over(w))
+        .filter(
+            F.col("__prev").isNull()
+            | (F.col("__prev") != F.col("neighbor_id"))
+        )
+        .drop("__prev")
+    )
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        deduped.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
