@@ -354,6 +354,11 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+# Edge-count ceiling for the connected_components single-task
+# union-find fast path.  Module-level so tests can pin either path.
+_CC_FAST_PATH_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -422,6 +427,64 @@ def connected_components(
             .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
             .distinct()
         )
+        # Small-graph fast path — the same adaptive-by-measured-size
+        # pattern as drift._cum_counts_table: the PAIR graph is
+        # candidate-pair-sized (≪ corpus — near-dup hits, not rows),
+        # and below a few million edges the iterative machinery's
+        # ~16 materialization cuts cost 10-30× more than solving the
+        # whole thing in ONE task.  The count is metadata-only (edges
+        # was just cut to parquet — parquet count reads footers).
+        # Union-find with per-component min relabeling produces
+        # EXACTLY the big path's output (component = min node id —
+        # partitioning- and order-independent), so results are
+        # bit-identical; the iterative path stays the contract for
+        # graphs that outgrow one task.
+        n_edges = edges.count()
+        if n_edges <= _CC_FAST_PATH_MAX_EDGES:
+
+            def _union_find(batches):
+                import pandas as pd
+
+                parent: dict = {}
+
+                def find(x):
+                    r = x
+                    while parent[r] != r:
+                        r = parent[r]
+                    while parent[x] != r:
+                        parent[x], x = r, parent[x]
+                    return r
+
+                for pdf in batches:
+                    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                        if u not in parent:
+                            parent[u] = u
+                        if v not in parent:
+                            parent[v] = v
+                        ru, rv = find(u), find(v)
+                        if ru != rv:
+                            parent[ru] = rv
+                comp_min: dict = {}
+                for x in parent:
+                    r = find(x)
+                    m = comp_min.get(r)
+                    if m is None or x < m:
+                        comp_min[r] = x
+                yield pd.DataFrame(
+                    {
+                        "node_id": list(parent),
+                        "component": [comp_min[find(x)] for x in parent],
+                    }
+                )
+
+            # node dtype follows the input (string keys order the same
+            # under Python < and Spark's UTF8 binary compare)
+            t = edges.schema["u"].dataType.simpleString()
+            out = edges.coalesce(1).mapInPandas(
+                _union_find, schema=f"node_id {t}, component {t}"
+            )
+            # materialize OFF the temp dir before the finally-cleanup
+            return out.localCheckpoint()
         labels = cut(
             edges.select(F.col("u").alias("node_id"))
             .distinct()

@@ -168,6 +168,41 @@ def test_connected_components_random_vs_union_find(spark):
     assert got == expect
 
 
+def test_connected_components_fast_and_iterative_paths_agree(
+    spark, monkeypatch
+):
+    """The single-task union-find fast path and the iterative
+    hook/pointer-jump path must emit identical (node_id, component)
+    maps — including on string ids, where the fast path's Python
+    ``<`` must agree with Spark's UTF8 binary min."""
+    import random
+
+    rng = random.Random(13)
+    edges = [
+        (f"doc-{rng.randrange(60):03d}", f"doc-{rng.randrange(60):03d}")
+        for _ in range(70)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+
+    fast = {r["node_id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    monkeypatch.setattr(dedup, "_CC_FAST_PATH_MAX_EDGES", -1)
+    slow = {r["node_id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert fast == slow
+    # min-label contract: every component label is the min node in it
+    by_comp: dict = {}
+    for n, c in fast.items():
+        by_comp.setdefault(c, []).append(n)
+    assert all(c == min(ns) for c, ns in by_comp.items())
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).collect() == []
+
+
 def test_dup_clusters_singletons(spark):
     df = spark.createDataFrame([(i, f"t{i}") for i in range(5)],
                                "doc_id long, text string")
