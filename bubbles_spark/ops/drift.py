@@ -829,7 +829,12 @@ def hosmer_lemeshow(
     )
 
 
-def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:
+def _grouped_cum_counts(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    small_hint: bool | None = None,
+) -> DataFrame:
     """Per-group cumulative value counts without a per-group sort:
     per-(group, value) counts (map-side combined — a giant group
     collapses to its distinct values) cumulated by the two-phase
@@ -861,17 +866,28 @@ def _grouped_cum_counts(df: DataFrame, group_col: str, col: str) -> DataFrame:
     proxy = _core._rank_proxy(counts, col)
     if proxy is None:
         return _grouped_cum_counts_by_pid(counts, group_col, col)
-    return _cum_counts_table(counts, group_col, col)
+    return _cum_counts_table(counts, group_col, col, small_hint=small_hint)
 
 
-def _cum_counts_table(counts: DataFrame, group_col: str, col: str) -> DataFrame:
+def _cum_counts_table(
+    counts: DataFrame,
+    group_col: str,
+    col: str,
+    small_hint: bool | None = None,
+) -> DataFrame:
     """The cumulation tail of ``_grouped_cum_counts`` over a PREBUILT
     per-(group, value) counts table (column ``__c``) — callers that
     need cumulative counts over a value grid the raw rows cannot
     express (zero-filled cells, e.g. ``stattests.jonckheere_terpstra``)
     build the table themselves and reuse the same small-path /
     two-phase machinery.  ``col`` must be numeric (``_rank_proxy``
-    resolvable).  Output contract matches ``_grouped_cum_counts``."""
+    resolvable).  Output contract matches ``_grouped_cum_counts``.
+
+    ``small_hint``: callers that already PROVED the counts table fits
+    under ``_SMALL_RANK_ROWS`` (e.g. via one limit-probe on the
+    pre-aggregate rows, an upper bound on distinct values) pass True
+    to skip the limit probe — which re-evaluates the whole upstream
+    aggregate — entirely; None sizes here as always."""
     from bubbles_spark.ops import core as _core
     # the counts table is one row per (group, DISTINCT value) — when
     # small, the per-group ordered window IS the right plan (one
@@ -882,7 +898,7 @@ def _cum_counts_table(counts: DataFrame, group_col: str, col: str) -> DataFrame:
     # columns is corpus-sized, exactly the eager-checkpoint-before-
     # sizing hazard _pin_and_count's contract forbids; only the
     # multi-consumer two-phase path below pays the checkpoint
-    if _core._small_enough(counts):
+    if small_hint if small_hint is not None else _core._small_enough(counts):
         w_in = (
             Window.partitionBy(group_col)
             .orderBy(col)

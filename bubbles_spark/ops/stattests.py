@@ -777,6 +777,62 @@ def paired_t_test(
     )
 
 
+def _spearman_suffstats(base: DataFrame) -> DataFrame:
+    """Shared Spearman machinery over ``(__g, __x, __y)`` rows (NULLs
+    already dropped): doubled average x-ranks joined on, then ONE
+    map-side-combined aggregate per ``(__g, __y)`` carrying the row
+    count ``__c`` and the exact decimal partials ``__tx = Σ r2x`` /
+    ``__txx = Σ r2x²`` — that aggregate IS the per-(group, value)
+    counts table the cumulative-rank machinery wants, so the y ranks
+    come from feeding it straight to ``_cum_counts_table`` (prebuilt-
+    counts entry point) and the y side NEVER joins back to the raw
+    rows.  r13: vs the symmetric two-rank-join shape this removes one
+    full counts pass over the corpus and the corpus↔rank-table y join
+    (the dominant shuffle when y is near-unique), and moves the
+    five-sum moment aggregate from corpus-sized to distinct-y-sized.
+
+    Exactness: ``__c``/``__tx``/``__txx`` are exact integer /
+    DECIMAL(38,0) sums; regrouping Σ r2x·f(y) as Σ_y (Σ r2x)·f(y) is
+    reassociation of exact integer addition — every downstream
+    sufficient statistic is value-identical to the join-based shape,
+    so rho's IEEE sequence is bit-identical.  Non-numeric ``__y``
+    falls back to the same pid-based cumulative the old path used.
+
+    Output: one row per (__g, __y) with __c (bigint), __tx, __txx
+    (decimal(38,0)), __r2y (bigint doubled average y-rank)."""
+    from bubbles_spark.ops import core as _core
+    from bubbles_spark.ops.drift import (
+        _cum_counts_table,
+        _grouped_cum_counts,
+        _grouped_cum_counts_by_pid,
+    )
+
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    r2 = lambda: (  # noqa: E731
+        F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)
+    ).cast("bigint")
+    # ONE early-terminating limit probe on the raw rows sizes BOTH
+    # counts tables: distinct values ≤ rows, so a small base proves
+    # both small paths and the per-table probes (each a re-evaluation
+    # of its whole upstream aggregate) are skipped.  A big base
+    # proves nothing — each table sizes itself as before.
+    hint = True if _core._small_enough(base) else None
+    cumx = _grouped_cum_counts(base, "__g", "__x", small_hint=hint)
+    rx = cumx.select("__g", "__x", r2().alias("__r2x"))
+    withx = base.join(rx, ["__g", "__x"])
+    g = withx.groupBy("__g", "__y").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(d(F.col("__r2x"))).alias("__tx"),
+        F.sum(d(F.col("__r2x")) * F.col("__r2x")).alias("__txx"),
+    )
+    cum = (
+        _cum_counts_table(g, "__g", "__y", small_hint=hint)
+        if _core._rank_proxy(g, "__y") is not None
+        else _grouped_cum_counts_by_pid(g, "__g", "__y")
+    )
+    return cum.withColumn("__r2y", r2())
+
+
 def spearman_corr(
     df: DataFrame,
     x_col: str,
@@ -801,42 +857,32 @@ def spearman_corr(
     Ties in BOTH columns are handled; zero rank variance on either
     side (all values equal) yields NULL rho.
 
-    Scale: per-column rank tables are one keyed count over DISTINCT
-    values plus the two-phase cumulative (``_grouped_cum_counts`` —
-    no single-task sort), joined back on the value (hash join, one
-    shuffle each); the moments are ONE map-side-combined aggregate.
+    Scale: the x rank table is one keyed count over DISTINCT values
+    plus the two-phase cumulative (``_grouped_cum_counts`` — no
+    single-task sort), joined back on the value; the y side never
+    joins back at all — see ``_spearman_suffstats``.
 
     Output (one row): n (bigint), rho (double)."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
-
-    # NOT widened (core.widen_scan): measured r13 — the map side is a
-    # light partial count and ``base`` has three consumers, so the
-    # extra round-robin exchange was re-paid per consumer (2.6s →
-    # 4.3s); the real cost is the near-unique-value rank-join
-    # shuffles, which are already parallel
     base = df.filter(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
-
-    def rank_table(col: str, out: str) -> DataFrame:
-        cum = _grouped_cum_counts(
-            base.withColumn("__g", F.lit(0)), "__g", col
-        )
-        r2 = (
-            F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)
-        ).cast("bigint")
-        return cum.select(F.col(col), r2.alias(out))
-
-    withx = base.join(rank_table("__x", "__r2x"), "__x")
-    both = withx.join(rank_table("__y", "__r2y"), "__y")
+    ).select(
+        F.lit(0).alias("__g"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+    t = _spearman_suffstats(base)
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    agg = both.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(d(F.col("__r2x"))).alias("__sx"),
-        F.sum(d(F.col("__r2y"))).alias("__sy"),
-        F.sum(d(F.col("__r2x")) * F.col("__r2y")).alias("__sxy"),
-        F.sum(d(F.col("__r2x")) * F.col("__r2x")).alias("__sxx"),
-        F.sum(d(F.col("__r2y")) * F.col("__r2y")).alias("__syy"),
+    agg = t.agg(
+        # coalesce: empty input still emits ONE row with n = 0, the
+        # row-count aggregate's contract (sums stay NULL → rho NULL)
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n"),
+        F.sum(F.col("__tx")).alias("__sx"),
+        F.sum(d(F.col("__c")) * F.col("__r2y")).alias("__sy"),
+        F.sum(F.col("__tx") * F.col("__r2y")).alias("__sxy"),
+        F.sum(F.col("__txx")).alias("__sxx"),
+        F.sum(d(F.col("__c")) * F.col("__r2y") * F.col("__r2y")).alias(
+            "__syy"
+        ),
     )
     n = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")
@@ -1202,14 +1248,15 @@ def spearman_by(
     statistics per group, one sqrt + one division.  Groups with zero
     rank variance on either side emit NULL rho.
 
-    Scale: the rank tables are ``_grouped_cum_counts`` passes (keyed
+    Scale: the x rank table is a ``_grouped_cum_counts`` pass (keyed
     counts over distinct (group, value) pairs + the two-phase
-    cumulative — no per-group sort of raw rows), joined back on
-    (group, value); moments are ONE map-side-combined aggregate.
+    cumulative — no per-group sort of raw rows) joined back on
+    (group, value); the y side never joins back — the per-(group, y)
+    moment partials double as the y counts table
+    (``_spearman_suffstats``); moments are ONE map-side-combined
+    aggregate over the distinct-y-sized table.
 
     Output: group, n (bigint), rho (double)."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
-
     base = df.filter(
         F.col(group_col).isNotNull()
         & F.col(x_col).isNotNull()
@@ -1219,24 +1266,17 @@ def spearman_by(
         F.col(x_col).alias("__x"),
         F.col(y_col).alias("__y"),
     )
-
-    def rank_table(col: str, out: str) -> DataFrame:
-        cum = _grouped_cum_counts(base, "__g", col)
-        r2 = (
-            F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)
-        ).cast("bigint")
-        return cum.select(F.col("__g"), F.col(col), r2.alias(out))
-
-    withx = base.join(rank_table("__x", "__r2x"), ["__g", "__x"])
-    both = withx.join(rank_table("__y", "__r2y"), ["__g", "__y"])
+    t = _spearman_suffstats(base)
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    agg = both.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(d(F.col("__r2x"))).alias("__sx"),
-        F.sum(d(F.col("__r2y"))).alias("__sy"),
-        F.sum(d(F.col("__r2x")) * F.col("__r2y")).alias("__sxy"),
-        F.sum(d(F.col("__r2x")) * F.col("__r2x")).alias("__sxx"),
-        F.sum(d(F.col("__r2y")) * F.col("__r2y")).alias("__syy"),
+    agg = t.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(F.col("__tx")).alias("__sx"),
+        F.sum(d(F.col("__c")) * F.col("__r2y")).alias("__sy"),
+        F.sum(F.col("__tx") * F.col("__r2y")).alias("__sxy"),
+        F.sum(F.col("__txx")).alias("__sxx"),
+        F.sum(d(F.col("__c")) * F.col("__r2y") * F.col("__r2y")).alias(
+            "__syy"
+        ),
     )
     n = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")

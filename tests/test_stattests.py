@@ -373,6 +373,33 @@ def test_spearman_corr_hand_computed(spark):
     assert spearman_corr(df4, "x", "y").collect()[0]["rho"] is None
 
 
+def test_spearman_corr_string_y_and_empty(spark):
+    """r13 internals: the y side no longer joins back — its ranks come
+    from the per-(group, y) moment aggregate fed straight to the cum
+    machinery, with the non-numeric-y dispatch now inside
+    ``_spearman_suffstats``.  Pin the string-y pid-fallback path and
+    the empty-input one-row n=0 contract."""
+    from bubbles_spark.ops.stattests import spearman_by, spearman_corr
+
+    # string y ranks lexicographically: "s00" < "s01" < ... so x=i%5
+    # against y=f"s{i%5}" is a perfect monotone association
+    df = spark.createDataFrame(
+        [(i % 5, f"s{i % 5:02d}") for i in range(40)], "x int, y string"
+    )
+    row = spearman_corr(df, "x", "y").collect()[0]
+    assert row["n"] == 40 and row["rho"] == 1.0
+
+    # empty input: still exactly one row, n = 0, rho NULL
+    empty = spark.createDataFrame([], "x int, y string")
+    row = spearman_corr(empty, "x", "y").collect()[0]
+    assert row["n"] == 0 and row["rho"] is None
+    # grouped twin: no groups -> no rows
+    assert spearman_by(
+        spark.createDataFrame([], "g string, x int, y double"),
+        "g", "x", "y",
+    ).collect() == []
+
+
 def test_fdr_correct_hand_computed(spark):
     from bubbles_spark.ops.stattests import fdr_correct
 
