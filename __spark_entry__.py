@@ -3563,8 +3563,11 @@ def q_docs_prep(spark, sf_dir):
     # end-to-end in SQL.
     # not widened: r13 A/B 2.52s -> 2.93s widened (scoring map over
     # 5k docs is light; the exchange costs more than it spreads)
+    # pushdown_fence: without it Spark 4 pushes the quality predicate
+    # to the scan with the whole scoring tree re-inlined (r13: the
+    # norm regex 14x in the pushed Filter; kept 2.8s -> 0.4s fenced)
     d = _t(spark, sf_dir, "documents")
-    scored = textan.quality_score(d)
+    scored = core.pushdown_fence(textan.quality_score(d), "quality")
     kept = scored.filter(F.col("quality") >= 0.75)
     deduped = dedup.exact_dedup(kept, strategy="shuffle")
     return (
@@ -4940,8 +4943,12 @@ def q_training_set_pipeline(spark, sf_dir):
     from bubbles_spark.ops import textprep
 
     # not widened: r13 A/B 2.33s -> 2.74s widened (same as docs_prep)
+    # pushdown_fence: same scoring-tree-inlined-into-the-pushed-
+    # predicate hazard as docs_prep_pipeline
     d = _t(spark, sf_dir, "documents")
-    kept = textan.quality_score(d).filter(F.col("quality") >= 0.75)
+    kept = core.pushdown_fence(
+        textan.quality_score(d), "quality"
+    ).filter(F.col("quality") >= 0.75)
     # shuffle strategy: the scored pipeline upstream is expensive —
     # one payload shuffle beats re-evaluating the scoring twice
     deduped = dedup.exact_dedup(kept, strategy="shuffle")

@@ -115,6 +115,42 @@ def widen_scan(df: DataFrame, width: int | None = None) -> DataFrame:
     return df if cur >= target else df.repartition(target)
 
 
+def pushdown_fence(df: DataFrame, *cols: str) -> DataFrame:
+    """Re-emit ``cols`` through a one-element explode so that filters
+    on them CANNOT be pushed below this point in the plan.
+
+    Why: Spark 4's ``PushDownPredicates`` pushes a predicate through
+    every deterministic Project — even a predicate that is itself
+    non-deterministic — substituting each referenced alias with its
+    defining expression as it goes.  A filter on an expensive derived
+    column (e.g. a text-quality score built from several regex
+    passes) therefore lands at the scan with the WHOLE expression
+    tree re-inlined into the predicate (measured on
+    ``textan.quality_score``: the normalization regex appears ~14×
+    in the pushed predicate, 2.8 s vs 0.4 s on sf0.1 documents), and
+    the projections above recompute it all again.  No expression-
+    level guard survives (rand/randn/pid/mono-id wrappers are all
+    folded or pushed); a Generate whose OUTPUT the predicate
+    references is a hard barrier — ``PushPredicateThroughNonJoin``
+    cannot move a predicate below the Generate that produces its
+    input, and ``explode(array(col))`` emits exactly one row per
+    input row with the column's value unchanged, so the frame is
+    row-for-row identical.
+
+    The fenced columns replace the originals in place (same names,
+    same schema order).  Works on streaming frames too (explode is
+    supported in streaming plans).  Cost: one extra codegen'd
+    operator, no shuffle, no materialization."""
+    if not cols:
+        return df
+    fenced = df.withColumn(
+        "__fence", F.explode(F.array(F.struct(*[F.col(c) for c in cols])))
+    )
+    for c in cols:
+        fenced = fenced.withColumn(c, F.col(f"__fence.{c}"))
+    return fenced.drop("__fence")
+
+
 # ---------------------------------------------------------------------
 # Projection / renaming (SURVEY.md §2.2; bubbles/ops/rows.py::field_filter)
 # ---------------------------------------------------------------------

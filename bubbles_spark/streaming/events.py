@@ -1168,8 +1168,12 @@ def docs_ingest_dedup_stream(
     dedup horizon; for bounded backfills (this shape) the full-state
     form is exact."""
     from bubbles_spark.ops import textan
+    from bubbles_spark.ops.core import pushdown_fence
 
-    scored = textan.quality_score(docs, text_col)
+    # fence: Spark 4 would otherwise push the quality predicate below
+    # the scoring projections with the whole feature tree re-inlined
+    # (see core.pushdown_fence) — in each micro-batch's plan too
+    scored = pushdown_fence(textan.quality_score(docs, text_col), "quality")
     kept = scored.filter(F.col("quality") >= min_quality)
     keyed = kept.withColumn("__content_h", F.md5(F.col(text_col)))
     return keyed.dropDuplicates([shard_col, "__content_h"]).drop("__content_h")

@@ -976,3 +976,47 @@ def test_temporal_split_validation(spark):
         # 1-day val window, 2-day embargo: nothing can be val
         core.temporal_split(df, "ts", "2024-01-20", "2024-01-21",
                             embargo_seconds=2 * 86400)
+
+
+def test_pushdown_fence_blocks_predicate_and_preserves_rows(spark):
+    """r13: a filter on an expensive derived column gets pushed below
+    the defining projections with the whole expression tree re-inlined
+    into the predicate (Spark 4 pushes even non-deterministic
+    predicates through deterministic Projects).  The fence must (a)
+    keep the frame row-for-row identical, (b) actually stop the push:
+    the optimized plan keeps a Generate, and the filter sits above it
+    referencing the fenced column, never the inlined expression."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7)) for i in range(100)], "id long, text string"
+    )
+    heavy = F.length(F.regexp_replace(F.col("text"), r"\s+", " "))
+    scored = df.withColumn("score", heavy)
+    plain = scored.filter(F.col("score") >= 5)
+    fenced = core.pushdown_fence(scored, "score").filter(F.col("score") >= 5)
+
+    assert fenced.columns == plain.columns
+    assert sorted(map(tuple, fenced.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    plan = fenced._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate explode" in plan
+    # the pushed-plain plan inlines regexp_replace into the Filter;
+    # the fenced plan's Filter must reference the generate output only
+    filter_lines = [l for l in plan.splitlines() if "Filter" in l]
+    assert filter_lines and all(
+        "regexp_replace" not in l for l in filter_lines
+    )
+
+    # multi-column fence keeps every fenced column's values
+    two = core.pushdown_fence(
+        scored.withColumn("score2", F.col("score") * 2), "score", "score2"
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(
+        map(tuple, scored.withColumn("score2", F.col("score") * 2).collect())
+    )
+
+    # zero columns: identity
+    assert core.pushdown_fence(scored) is scored
