@@ -1188,8 +1188,14 @@ def collocations(
     w2_count, total_bigrams, pmi."""
     if min_count < 1:
         raise ValueError("collocations: need min_count >= 1")
+    from bubbles_spark.ops.core import pushdown_fence
+
     toks = _tokens(_norm_ws(F.lower(F.col(text_col))))
-    base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    # Fence __t: PushDownPredicates otherwise re-inlines the tokenizer
+    # into the size() predicate at the scan (runs twice per row).
+    base = pushdown_fence(df.select(toks.alias("__t")), "__t").filter(
+        F.size("__t") >= 2
+    )
     # adjacent pairs via one sequence-transform (codegen'd; arrays
     # are 1-indexed under element_at)
     bigrams = base.select(
