@@ -394,8 +394,6 @@ def connected_components(
     import shutil
     import tempfile
 
-    from pyspark.sql import Observation
-
     spark = pairs.sparkSession
     workdir = tempfile.mkdtemp(prefix="bubbles_cc_")
     seq = [0]
@@ -407,19 +405,20 @@ def connected_components(
         return spark.read.parquet(p)
 
     def cut_counting(df: DataFrame, flag: str) -> tuple[DataFrame, int]:
-        """cut() + "how many rows have boolean ``flag`` set", with the
-        count OBSERVED on the write job itself (CollectMetrics) instead
-        of a second full pass — iterative convergence checks previously
-        doubled every round's job count (write, then count), and each
-        extra job is a full pass over the round's state at any scale."""
-        obs = Observation()
-        out = cut(
-            df.observe(
-                obs, F.sum(F.col(flag).cast("bigint")).alias("n")
-            ).drop(flag)
-        )
-        n = obs.get["n"]
-        return out, int(n or 0)
+        """cut() + "how many rows have boolean ``flag`` set".  The flag
+        rides the cut's own parquet and is counted with a column-pruned
+        scan of the just-written state file (footer + one boolean
+        column) — never a recompute of the round's join.  NOT an
+        ``Observation``/CollectMetrics on the write job: a registered
+        Observation leaves the session's ObservationManager reachable
+        from later plans, and any subsequent Spark-ML UDF query on the
+        same session then dies with ``NotSerializableException:
+        ObservationManager`` at task-closure serialization (found by
+        the full suite after the r13 observe change; the tiny count job
+        it saved is state-file-sized, the poisoning is session-wide)."""
+        out = cut(df)
+        n = out.filter(F.col(flag)).count()
+        return out.drop(flag), int(n)
 
     try:
         edges = cut(

@@ -203,6 +203,45 @@ def test_connected_components_empty_pairs(spark):
     assert dedup.connected_components(pairs).collect() == []
 
 
+def test_connected_components_leaves_session_ml_serializable(
+    spark, monkeypatch, tmp_path
+):
+    """Regression: the iterative path's convergence counts must NOT
+    register a pyspark ``Observation`` on the session — a registered
+    observation leaves ``ObservationManager`` reachable from later
+    plans, and any subsequent Spark-ML UDF query on the same session
+    dies with ``NotSerializableException: ObservationManager`` at
+    task-closure serialization (caught by the full suite in r13)."""
+    from bubbles_spark.ops import textan
+
+    monkeypatch.setattr(dedup, "_CC_FAST_PATH_MAX_EDGES", -1)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    dedup.connected_components(pairs).collect()
+
+    docs = spark.createDataFrame(
+        [(i, ("good clean prose" if i % 2 else "zz spam zz") + f" {i}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    model = textan.train_quality_classifier(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
+        max_iter=5,
+    )
+    # scoring must run over a PARQUET source: the poisoned-session
+    # failure is at task-closure serialization of the scan→UDF stage
+    # (a LocalTableScan input never hits it) — the assert is on
+    # serializability, not the 8-row data
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    scored = textan.quality_classifier_scores(spark.read.parquet(p), model)
+    # the count must CONSUME the model's output column — a bare count()
+    # lets Catalyst prune the ScalaUDF away and nothing poisoned ever
+    # reaches a task closure
+    assert scored.filter(F.col("quality_pred") >= 0.0).count() == 8
+
+
 def test_dup_clusters_singletons(spark):
     df = spark.createDataFrame([(i, f"t{i}") for i in range(5)],
                                "doc_id long, text string")
