@@ -1639,6 +1639,15 @@ def pairs_against_index(
     # must not pick it up (at 100x corpus the ~8M-row build side
     # OOM'd the driver's broadcast budget); the semi join stays a
     # shuffle at any scale
+    #
+    # Negative A/B (r13): under broadcast_batch, pre-filtering iband by
+    # a broadcast of bband's bucket list before sizing (removing every
+    # index-side shuffle) measured +1.2 s on admit_and_extend_planted
+    # locally (the saved (id, band, bucket) shuffle is small; the added
+    # bkeys → sizes broadcast chain serializes three tiny stages) and
+    # was flat at 8× and 32× corpus (alpha 0.27/0.33 both ways) — the
+    # shuffle it removes is already only band-key triples, never
+    # signatures, so the asymptotic win never materializes.
     iband = iband.join(sizes.hint("merge"), ["band", "bucket"], "left_semi")
 
     cand = (
