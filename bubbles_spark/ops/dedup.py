@@ -215,13 +215,17 @@ def _minhash_sigs(
     # slot, but long arithmetic overflows throw under ANSI mode —
     # default-on in Spark 4 — so each slot re-hashes the short
     # shingle; xxhash64 is codegen'd and ~ns per call.)
-    aggs = [
-        F.min(F.xxhash64(F.col("__g"), F.lit(i))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    sigrow = ex.groupBy(id_col).agg(*aggs)
-    sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)])
-    return sigrow.select(id_col, sig.alias("minhash"))
+    # ONE parsed expression instead of 128 Column-builder aggregates:
+    # constructing the per-slot F.min(F.xxhash64(...)) list costs ~800
+    # py4j round trips (~0.7 s of driver time PER SIGNING CALL — the
+    # admission queries build this 4-5×/run, r13).  The SQL string
+    # parses in a single call to the same expression tree: bare int
+    # literals are IntegerType exactly like F.lit(int), so slot hashes
+    # are bit-identical.
+    sig = "array({})".format(
+        ",".join(f"min(xxhash64(__g, {i}))" for i in range(num_hashes))
+    )
+    return ex.groupBy(id_col).agg(F.expr(sig).alias("minhash"))
 
 
 def minhash_signature(
@@ -249,16 +253,21 @@ def _band_chunks(num_hashes: int, bands: int, sig_col: str = "minhash") -> Colum
     HOF lambdas (measured ~20ms/row for the nested-transform
     formulation vs ~0 for this one)."""
     rows_per_band = num_hashes // bands
-    return F.array(
-        *[
-            F.xxhash64(
-                *[
-                    F.element_at(F.col(sig_col), b * rows_per_band + i + 1)
-                    for i in range(rows_per_band)
-                ]
+    # single parsed expression — the Column-builder form cost ~160 py4j
+    # round trips (~0.3 s of driver time per banding site, r13); the
+    # string parses to the identical element_at/xxhash64 tree
+    return F.expr(
+        "array({})".format(
+            ",".join(
+                "xxhash64({})".format(
+                    ",".join(
+                        f"element_at({sig_col}, {b * rows_per_band + i + 1})"
+                        for i in range(rows_per_band)
+                    )
+                )
+                for b in range(bands)
             )
-            for b in range(bands)
-        ]
+        )
     )
 
 
@@ -691,22 +700,20 @@ def simhash(
     toks = widen_scan(df.select(id_col, text_col)).select(
         id_col, F.explode(_tokens(F.lower(F.col(text_col)))).alias("__t")
     )
-    h = F.xxhash64(F.col("__t"))
-    aggs = [
-        F.sum(
-            F.when(F.call_function("getbit", h, F.lit(b)) == 1, 1).otherwise(-1)
-        ).alias(f"__c{b}")
+    # ONE parsed expression for the 64 per-bit majority sums + the sig
+    # fold: the Column-builder form cost ~900 py4j round trips (~0.6 s
+    # of driver time per call, r13 — same construction hazard as
+    # _minhash_sigs).  The string parses to the identical tree (bare
+    # int literals are IntegerType like F.lit(int); CAST(x AS BIGINT)
+    # ≡ .cast("long")), so signatures are bit-identical; codegen CSEs
+    # the repeated xxhash64(__t).
+    sig = " | ".join(
+        "(case when sum(case when getbit(xxhash64(__t), {b}) = 1 "
+        "then 1 else -1 end) > 0 then shiftleft(cast(1 as bigint), {b}) "
+        "else cast(0 as bigint) end)".format(b=b)
         for b in range(bits)
-    ]
-    counts = toks.groupBy(id_col).agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"__c{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    sigs = counts.select(id_col, sig.alias(out))
+    )
+    sigs = toks.groupBy(id_col).agg(F.expr(sig).alias(out))
     return df.join(sigs, id_col, "left")
 
 
