@@ -53,6 +53,7 @@ def frequent_pairs(
     item_col: str,
     min_support: int = 2,
     max_basket_size: int | None = None,
+    _bi: DataFrame | None = None,
 ) -> DataFrame:
     """Item pairs co-occurring in ≥ ``min_support`` baskets.
 
@@ -64,7 +65,15 @@ def frequent_pairs(
     None = no cap.
 
     Output: item_a, item_b (item_a < item_b), pair_support."""
-    bi = _basket_items(df, basket_col, item_col)
+    # pin the distinct membership table once (eager localCheckpoint):
+    # it feeds the frequent-item count AND the pruned pair join (and
+    # the rule finisher's counts when called from association_rules) —
+    # unpinned, each consumer re-runs the corpus distinct (guide §2.4:
+    # remove repeated shuffles outright; widening it instead was the
+    # measured-negative A/B above)
+    bi = _bi if _bi is not None else _basket_items(
+        df, basket_col, item_col
+    ).localCheckpoint(eager=False)
     frequent = (
         bi.groupBy("__i")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -123,14 +132,16 @@ def association_rules(
 
     Output: antecedent, consequent, pair_support, antecedent_support,
     consequent_support, n_baskets, confidence, lift."""
-    bi = _basket_items(df, basket_col, item_col)
+    # ONE corpus distinct for the whole rule mine (pinned): baseline,
+    # item counts, and the pair join all read the checkpointed table
+    bi = _basket_items(df, basket_col, item_col).localCheckpoint(eager=False)
     # one tiny agg for the independence baseline — 1 driver scalar
     n_baskets = bi.select(
         F.countDistinct("__b").alias("n")
     ).first()["n"]
     counts = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__c"))
     pairs = frequent_pairs(
-        df, basket_col, item_col, min_support, max_basket_size
+        df, basket_col, item_col, min_support, max_basket_size, _bi=bi
     )
     both = pairs.select(
         F.col("item_a").alias("antecedent"),

@@ -1126,7 +1126,7 @@ def embedding_dup_pairs(
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        _norm_col(F.col(vec_col), dim).alias("__n"),
+        _norm_col(vec_col, dim).alias("__n"),
     ).filter(F.col("__n") > 0)
     v.persist()
 
@@ -1201,7 +1201,7 @@ def embedding_dup_pairs(
     vb = v.select(
         F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
     )
-    cos = _dot(F.col("__va"), F.col("__vb"), dim) / (F.col("__na") * F.col("__nb"))
+    cos = _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -1275,7 +1275,7 @@ def semantic_dup_pairs(
     v = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        _norm_col(F.col(vec_col), dim).alias("__n"),
+        _norm_col(vec_col, dim).alias("__n"),
     ).filter(F.col("__n") > 0)
 
     if n_clusters == 1:
@@ -1316,7 +1316,7 @@ def semantic_dup_pairs(
     vb = v.select(
         F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
     )
-    cos = _dot(F.col("__va"), F.col("__vb"), dim) / (F.col("__na") * F.col("__nb"))
+    cos = _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -855,14 +855,28 @@ def _grouped_cum_counts(
 
     Output: group_col, col, __c (value count), __cum (cumulative
     count ≤ value within group), __n (group total)."""
-    from bubbles_spark.ops import core as _core
-
     c = F.col(col)
     counts = (
         df.filter(c.isNotNull())
         .groupBy(group_col, col)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    return _cum_counts_prebuilt(counts, group_col, col, small_hint)
+
+
+def _cum_counts_prebuilt(
+    counts: DataFrame,
+    group_col: str,
+    col: str,
+    small_hint: bool | None = None,
+) -> DataFrame:
+    """Dispatch tail of ``_grouped_cum_counts`` over a PREBUILT
+    per-(group, value) counts table (column ``__c``) — callers that
+    already hold the counts (e.g. derived from a pinned finer-grained
+    count table) reuse the numeric two-phase / pid-fallback dispatch
+    without a second pass over the raw rows."""
+    from bubbles_spark.ops import core as _core
+
     proxy = _core._rank_proxy(counts, col)
     if proxy is None:
         return _grouped_cum_counts_by_pid(counts, group_col, col)

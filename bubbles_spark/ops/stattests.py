@@ -475,7 +475,7 @@ def mann_whitney_u(
     P-values deliberately not emitted (module docstring).
 
     Output (one row): n_a, n_b, u_a, u_b, rank_sum_a, mean_u, z."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
+    from bubbles_spark.ops.drift import _cum_counts_prebuilt
 
     both = df.filter(
         F.col(group_col).isin([group_a, group_b])
@@ -485,8 +485,20 @@ def mann_whitney_u(
         F.col(value_col).alias("__v"),
         F.lit(0).alias("__g"),
     )
-    cum = _grouped_cum_counts(both, "__g", "__v")
-    ca = both.groupBy("__v").agg(F.sum("__isa").alias("__ca"))
+    # ONE corpus pass (the kruskal_wallis discipline): pooled count
+    # and arm-a count per value in the same keyed aggregate, pinned;
+    # the cumulative machinery runs on the reduced table — counts are
+    # identical, so every downstream operand is bit-exact
+    cva = (
+        both.groupBy("__g", "__v")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__isa").alias("__ca"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cum = _cum_counts_prebuilt(cva.select("__g", "__v", "__c"), "__g", "__v")
+    ca = cva.select("__v", "__ca")
     j = cum.join(ca, "__v")
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = j.agg(
@@ -555,17 +567,27 @@ def kruskal_wallis(
     yield NULL.
 
     Output (one row): k, n, df, h_stat, tie_divisor, h_tied."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
+    from bubbles_spark.ops.drift import _cum_counts_prebuilt
 
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
-    tagged = base.withColumn("__g", F.lit(0))
-    cum = _grouped_cum_counts(tagged, "__g", "__v").select(
-        "__v", "__c", "__cum"
+    # ONE corpus pass: the per-(group, value) count table is pinned,
+    # and the pooled ranking counts derive from it by summing over
+    # groups (exact integers — identical to counting the raw rows)
+    # instead of a second corpus aggregation
+    cgv = (
+        base.groupBy("__grp", "__v")
+        .agg(F.count(F.lit(1)).alias("__cg"))
+        .localCheckpoint(eager=False)
     )
-    cgv = base.groupBy("__grp", "__v").agg(
-        F.count(F.lit(1)).alias("__cg")
+    pooled = (
+        cgv.groupBy("__v")
+        .agg(F.sum("__cg").cast("bigint").alias("__c"))
+        .withColumn("__g", F.lit(0))
+    )
+    cum = _cum_counts_prebuilt(pooled, "__g", "__v").select(
+        "__v", "__c", "__cum"
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_group = (
@@ -1119,6 +1141,10 @@ def mann_kendall(
             F.col(y_col).cast("double").alias("__y"),
         )
     )
+    # NOT pinned (localCheckpoint): measured r13 — the cut to a
+    # LogicalRDD loses the aggregate's size stats, degrading the pair
+    # join's strategy (+0.5 s), while the re-evaluated branches run in
+    # parallel stages anyway
     left, right = pts.alias("l"), pts.alias("r")
     s = (
         left.join(right, F.col("l.grp") == F.col("r.grp"))
@@ -1131,21 +1157,20 @@ def mann_kendall(
         )
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # n_points = Σ t over the per-(grp, y) counts — exact, so the
+    # separate whole-series count pass folds into the tie aggregate
     ties = (
         pts.groupBy("grp", "__y")
         .agg(F.count(F.lit(1)).alias("__t"))
         .groupBy("grp")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("__n_from_ties"),
+            F.sum("__t").cast("bigint").alias("n_points"),
             F.sum(
                 d(F.col("__t"))
                 * (F.col("__t") - 1)
                 * (2 * F.col("__t") + 5)
             ).alias("__tt"),
         )
-    )
-    counts = pts.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_points")
     )
     n = F.col("n_points")
     num = d(n) * (n - 1) * (2 * n + 5) - F.col("__tt")
@@ -1158,8 +1183,7 @@ def mann_kendall(
         (var_s > 0) & (sb < 0), (sd + F.lit(1.0)) / F.sqrt(var_s)
     ).when((var_s > 0) & (sb == 0), F.lit(0.0))
     return (
-        counts.join(ties, "grp")
-        .join(s, "grp", "left")
+        ties.join(s, "grp", "left")
         .select(
             F.col("grp").alias(group_col),
             "n_points",
@@ -1426,15 +1450,20 @@ def kendall_tau_by(
     parallelize.  n₀/n₁/n₂ come from counts — no ranking pass at all.
 
     Output: group_col, n_points, s_stat, tau_b."""
-    base = df.filter(
-        F.col(group_col).isNotNull()
-        & F.col(x_col).isNotNull()
-        & F.col(y_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("__g"),
-        F.col(x_col).alias("__x"),
-        F.col(y_col).alias("__y"),
+    base = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+        )
     )
+    # NOT pinned — see mann_kendall (join-strategy regression under
+    # the stat-less LogicalRDD cut)
     l, r = base.alias("l"), base.alias("r")
     # every unordered pair once: total (x, y)-lexicographic order with
     # strict-< on the composite — ties in x pair via the y tiebreak,
@@ -1458,14 +1487,16 @@ def kendall_tau_by(
         F.sum(sgn.cast("int")).cast("bigint").alias("s_stat")
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    n_g = base.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_points")
-    )
+    # n_points = Σ t over the per-(g, x) counts — exact, so the
+    # separate whole-series count pass folds into the x-tie aggregate
     tx = (
         base.groupBy("__g", "__x")
         .agg(F.count(F.lit(1)).alias("__t"))
         .groupBy("__g")
-        .agg(F.sum(d(F.col("__t")) * (F.col("__t") - 1)).alias("__tx2"))
+        .agg(
+            F.sum("__t").cast("bigint").alias("n_points"),
+            F.sum(d(F.col("__t")) * (F.col("__t") - 1)).alias("__tx2"),
+        )
     )
     ty = (
         base.groupBy("__g", "__y")
@@ -1473,7 +1504,7 @@ def kendall_tau_by(
         .groupBy("__g")
         .agg(F.sum(d(F.col("__t")) * (F.col("__t") - 1)).alias("__ty2"))
     )
-    j = n_g.join(s, "__g", "left").join(tx, "__g").join(ty, "__g")
+    j = tx.join(s, "__g", "left").join(ty, "__g")
     nn = F.col("n_points")
     n0x2 = d(nn) * (nn - 1)  # 2·n0 = n(n−1)
     denx = (n0x2 - F.col("__tx2")).cast("double") / F.lit(2.0)
@@ -1615,16 +1646,26 @@ def dunn_test(
 
     Output: group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z
     (one row per unordered pair, group_a < group_b)."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
+    from bubbles_spark.ops.drift import _cum_counts_prebuilt
 
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
-    tagged = base.withColumn("__g", F.lit(0))
-    cum = _grouped_cum_counts(tagged, "__g", "__v").select(
+    # ONE corpus pass (see kruskal_wallis): pin the per-(group, value)
+    # counts, derive the pooled ranking counts from them exactly
+    cgv = (
+        base.groupBy("__grp", "__v")
+        .agg(F.count(F.lit(1)).alias("__cg"))
+        .localCheckpoint(eager=False)
+    )
+    pooled = (
+        cgv.groupBy("__v")
+        .agg(F.sum("__cg").cast("bigint").alias("__c"))
+        .withColumn("__g", F.lit(0))
+    )
+    cum = _cum_counts_prebuilt(pooled, "__g", "__v").select(
         "__v", "__c", "__cum"
     )
-    cgv = base.groupBy("__grp", "__v").agg(F.count(F.lit(1)).alias("__cg"))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_group = (
         cgv.join(cum, "__v")
@@ -1888,25 +1929,43 @@ def mood_median_test(
 
     Output (one row): k, n, df, grand_median (double), n_above
     (bigint), chi2 (double)."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
+    from bubbles_spark.ops.drift import _cum_counts_prebuilt
 
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
-    cum = _grouped_cum_counts(base.withColumn("__g", F.lit(0)), "__g", "__v")
+    # ONE corpus pass (the kruskal_wallis discipline): pin the
+    # per-(group, value) counts; the pooled median selection AND the
+    # per-group above-median classification both derive from it by
+    # exact integer sums
+    cgv = (
+        base.groupBy("__grp", "__v")
+        .agg(F.count(F.lit(1)).alias("__cg"))
+        .localCheckpoint(eager=False)
+    )
+    pooled = (
+        cgv.groupBy("__v")
+        .agg(F.sum("__cg").cast("bigint").alias("__c"))
+        .withColumn("__g", F.lit(0))
+    )
+    cum = _cum_counts_prebuilt(pooled, "__g", "__v")
     med = (
         cum.filter(F.lit(2) * F.col("__cum") >= F.col("__n"))
         .agg(F.min("__v").alias("__med"))
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     per_group = (
-        base.join(F.broadcast(med))
+        cgv.join(F.broadcast(med))
         .groupBy("__grp")
         .agg(
-            F.sum((F.col("__v") > F.col("__med")).cast("bigint"))
+            F.sum(
+                F.when(F.col("__v") > F.col("__med"), F.col("__cg")).otherwise(
+                    F.lit(0)
+                )
+            )
             .cast("bigint")
             .alias("__a"),
-            F.count(F.lit(1)).cast("bigint").alias("__ng"),
+            F.sum("__cg").cast("bigint").alias("__ng"),
             F.first("__med").alias("__med"),
         )
     )
@@ -1982,6 +2041,9 @@ def jonckheere_terpstra(
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
+    # NOT pinned (localCheckpoint): measured r13 — the stat-less
+    # LogicalRDD cut degraded the grid join (+0.3 s) while the four
+    # re-evaluated count branches run in parallel stages anyway
     cgv = base.groupBy("__grp", "__v").agg(F.count(F.lit(1)).alias("__cg"))
     groups = cgv.select("__grp").distinct()
     vals = cgv.groupBy("__v").agg(F.sum("__cg").alias("__tv"))
@@ -2179,7 +2241,7 @@ def wilcoxon_signed_rank(
 
     Output (one row): n (bigint, nonzero pairs), w2_plus (2·W⁺,
     bigint), w_plus (double), mean_w (double), z (double)."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
+    from bubbles_spark.ops.drift import _cum_counts_prebuilt
 
     dd = F.col(a_col).cast("double") - F.col(b_col).cast("double")
     base = (
@@ -2191,12 +2253,23 @@ def wilcoxon_signed_rank(
             (F.col("__d") > 0).alias("__pos"),
         )
     )
-    cum = _grouped_cum_counts(
-        base.withColumn("__g", F.lit(0)), "__g", "__v"
-    ).select("__v", "__c", "__cum")
-    pos = base.filter(F.col("__pos")).groupBy("__v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cp")
+    # ONE corpus pass (the mann_whitney_u discipline): per-|d| total
+    # and positive counts in the same keyed aggregate, pinned; values
+    # with zero positives carry __cp = 0, which the coalesce below
+    # already treated identically to "absent from the pos table"
+    cva = (
+        base.groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(F.col("__pos").cast("int")).cast("bigint").alias("__cp"),
+        )
+        .withColumn("__g", F.lit(0))
+        .localCheckpoint(eager=False)
     )
+    cum = _cum_counts_prebuilt(cva.select("__g", "__v", "__c"), "__g", "__v").select(
+        "__v", "__c", "__cum"
+    )
+    pos = cva.select("__v", "__cp")
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     w2 = (
         cum.join(pos, "__v", "left")
@@ -2364,7 +2437,13 @@ def anderson_darling_k(
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
-    cgv = base.groupBy("__grp", "__v").agg(F.count(F.lit(1)).alias("__cg"))
+    # same multi-consumer shape as jonckheere_terpstra: pin the
+    # reduced per-(arm, value) count table once
+    cgv = (
+        base.groupBy("__grp", "__v")
+        .agg(F.count(F.lit(1)).alias("__cg"))
+        .localCheckpoint(eager=False)
+    )
     groups = cgv.select("__grp").distinct()
     vals = cgv.groupBy("__v").agg(F.sum("__cg").alias("__l"))
     grid = (
@@ -2546,7 +2625,7 @@ def cliffs_delta(
 
     Output (one row): n_a, n_b, u2_a (2·U_a, bigint), delta
     (double)."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
+    from bubbles_spark.ops.drift import _cum_counts_prebuilt
 
     both = df.filter(
         F.col(group_col).isin([group_a, group_b])
@@ -2556,8 +2635,20 @@ def cliffs_delta(
         F.col(value_col).alias("__v"),
         F.lit(0).alias("__g"),
     )
-    cum = _grouped_cum_counts(both, "__g", "__v")
-    ca = both.groupBy("__v").agg(F.sum("__isa").alias("__ca"))
+    # ONE corpus pass (the kruskal_wallis discipline): pooled count
+    # and arm-a count per value in the same keyed aggregate, pinned;
+    # the cumulative machinery runs on the reduced table — counts are
+    # identical, so every downstream operand is bit-exact
+    cva = (
+        both.groupBy("__g", "__v")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__isa").alias("__ca"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cum = _cum_counts_prebuilt(cva.select("__g", "__v", "__c"), "__g", "__v")
+    ca = cva.select("__v", "__ca")
     j = cum.join(ca, "__v")
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = j.agg(
@@ -2609,7 +2700,7 @@ def ansari_bradley(
     or zero score variance (N < 3, all tied) yields NULL z.
 
     Output (one row): n_a, n_b, w_stat, mean_w, z (double)."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
+    from bubbles_spark.ops.drift import _cum_counts_prebuilt
 
     both = df.filter(
         F.col(group_col).isin([group_a, group_b])
@@ -2619,8 +2710,20 @@ def ansari_bradley(
         F.col(value_col).alias("__v"),
         F.lit(0).alias("__g"),
     )
-    cum = _grouped_cum_counts(both, "__g", "__v")
-    ca = both.groupBy("__v").agg(F.sum("__isa").alias("__ca"))
+    # ONE corpus pass (the kruskal_wallis discipline): pooled count
+    # and arm-a count per value in the same keyed aggregate, pinned;
+    # the cumulative machinery runs on the reduced table — counts are
+    # identical, so every downstream operand is bit-exact
+    cva = (
+        both.groupBy("__g", "__v")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__isa").alias("__ca"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cum = _cum_counts_prebuilt(cva.select("__g", "__v", "__c"), "__g", "__v")
+    ca = cva.select("__v", "__ca")
     j = cum.join(ca, "__v")
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     n_all = F.col("__n")
@@ -2697,7 +2800,7 @@ def brunner_munzel(
     or all tied) yield NULL w/df.
 
     Output (one row): n_a, n_b, p_hat, w_stat, df_bm (double)."""
-    from bubbles_spark.ops.drift import _grouped_cum_counts
+    from bubbles_spark.ops.drift import _cum_counts_prebuilt
 
     both = df.filter(
         F.col(group_col).isin([group_a, group_b])
@@ -2708,10 +2811,24 @@ def brunner_munzel(
         .alias("__arm"),
         F.col(value_col).alias("__v"),
     )
-    pooled = _grouped_cum_counts(
-        both.withColumn("__g", F.lit(0)), "__g", "__v"
-    ).select("__v", F.col("__c").alias("__cp"), F.col("__cum").alias("__cum_p"))
-    within = _grouped_cum_counts(both, "__arm", "__v").select(
+    # ONE corpus pass: the per-(arm, value) counts are exactly what
+    # _grouped_cum_counts builds internally for the within ranking —
+    # pin them and derive the pooled per-value counts by summing over
+    # arms (exact), so the corpus is never aggregated twice
+    cav = (
+        both.groupBy("__arm", "__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    pooled_counts = (
+        cav.groupBy("__v")
+        .agg(F.sum("__c").cast("bigint").alias("__c"))
+        .withColumn("__g", F.lit(0))
+    )
+    pooled = _cum_counts_prebuilt(pooled_counts, "__g", "__v").select(
+        "__v", F.col("__c").alias("__cp"), F.col("__cum").alias("__cum_p")
+    )
+    within = _cum_counts_prebuilt(cav, "__arm", "__v").select(
         "__arm", "__v", "__c", "__cum", F.col("__n").alias("__ng")
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731

@@ -27,14 +27,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def _dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Dot product in double precision.
 
     With ``dim`` known, unrolls into element_at products — plain
     codegen'd expressions (~ns per term).  The zip_with/aggregate
     fallback evaluates interpreted at ~10µs per element (round-1
     measured ~1ms per 64-dim pair — 1000× slower), so every hot path
-    passes dim."""
+    passes dim.  Pass ``a``/``b`` as column NAMES (str): the unrolled
+    form then parses as ONE SQL expression instead of ~5·dim py4j
+    Column calls (~0.3 s of driver time per expression at dim=64,
+    paid at every query construction — the ``_minhash_sigs``
+    discipline; the parsed tree is term-for-term identical, so values
+    are bit-exact)."""
+    if dim and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            "+".join(
+                f"(CAST(element_at(`{a}`,{i + 1}) AS DOUBLE)"
+                f"*CAST(element_at(`{b}`,{i + 1}) AS DOUBLE))"
+                for i in range(dim)
+            )
+        )
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     if dim:
         terms = [
             F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
@@ -51,7 +68,19 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def _norm_col(v: Column, dim: int | None = None) -> Column:
+def _norm_col(v: Column | str, dim: int | None = None) -> Column:
+    if dim and isinstance(v, str):
+        return F.expr(
+            "SQRT({})".format(
+                "+".join(
+                    f"(CAST(element_at(`{v}`,{i + 1}) AS DOUBLE)"
+                    f"*CAST(element_at(`{v}`,{i + 1}) AS DOUBLE))"
+                    for i in range(dim)
+                )
+            )
+        )
+    if isinstance(v, str):
+        v = F.col(v)
     if dim:
         terms = [
             F.element_at(v, i + 1).cast("double") * F.element_at(v, i + 1).cast("double")
@@ -387,7 +416,7 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        _norm_col(F.col(vec_col), dim).alias("__cn"),
+        _norm_col(vec_col, dim).alias("__cn"),
         bucketize(F.col(vec_col)).alias("__bkts"),
     ).filter(F.col("__cn") > 0)
     c = c.select(
@@ -397,7 +426,7 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        _norm_col(F.col(vec_col), dim).alias("__qn"),
+        _norm_col(vec_col, dim).alias("__qn"),
         bucketize(F.col(vec_col)).alias("__bkts"),
     ).filter(F.col("__qn") > 0)
     q = q.select(
@@ -425,7 +454,7 @@ def cosine_topk_lsh(
     sim = joined.withColumn(
         "cosine",
         F.round(
-            _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")), 6
+            _dot("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")), 6
         ),
     )
     # multi-table/multi-probe duplicates of a (query, neighbor) pair
@@ -526,8 +555,8 @@ def cosine_topk_ivf(
     joined = assigned.join(F.broadcast(probes), "__list")
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("__qv"), F.col("__cv"), dim) / (
-        _norm_col(F.col("__qv"), dim) * _norm_col(F.col("__cv"), dim)
+    cos = _dot("__qv", "__cv", dim) / (
+        _norm_col("__qv", dim) * _norm_col("__cv", dim)
     )
     sim = joined.withColumn("cosine", F.round(cos, 6))
     w = Window.partitionBy("query_id").orderBy(
@@ -752,7 +781,7 @@ def cosine_topk_pq(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     joined = c.join(F.broadcast(cands.dropDuplicates(["query_id", "neighbor_id"])),
                     "neighbor_id").join(F.broadcast(qdf), "query_id")
-    cos = _dot(F.col("__qv"), F.col("__cv"), dim) / _norm_col(F.col("__cv"), dim)
+    cos = _dot("__qv", "__cv", dim) / _norm_col("__cv", dim)
     sim = joined.withColumn("cosine", F.round(cos, 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

