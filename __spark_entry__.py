@@ -1894,7 +1894,7 @@ def q_stream_admit_against_index(spark, sf_dir):
         # materialize before the tmp dir vanishes (the driver only
         # collects the returned frame, after this function exits)
         rows = got.select("doc_id")
-        out = spark.createDataFrame(rows.collect(), rows.schema)
+        out = core.local_table(spark, rows.collect(), rows.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -4318,7 +4318,7 @@ def q_unpivot(spark, sf_dir):
 )
 def q_range_join(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    tiers = spark.createDataFrame(
+    tiers = core.local_table(spark,
         [
             ("budget", 0.0, 50000.0),
             ("mid", 50000.0, 150000.0),
@@ -5327,7 +5327,7 @@ def _run_warc_pipeline(spark, sf_dir, splittable: bool):
         out = docs.select(
             "doc_id", "url", F.col("date").alias("warc_date"), "text"
         )
-        res = spark.createDataFrame(out.collect(), out.schema)
+        res = core.local_table(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res
@@ -5872,7 +5872,7 @@ def q_decontaminate(spark, sf_dir):
             F.concat_ws(" ", F.col("text"), F.lit(_BENCH_SENTENCE)),
         ).otherwise(F.col("text")),
     )
-    bench = spark.createDataFrame([(_BENCH_SENTENCE,)], "text string")
+    bench = core.local_table(spark, [(_BENCH_SENTENCE,)], "text string")
     out = textprep.decontaminate(d, bench, n=5)
     return out.select("doc_id", "contaminated")
 
@@ -6392,7 +6392,7 @@ def q_stream_funnel(spark, sf_dir):
         fs, _stream_name("s_funnel"), output_mode="append"
     )
     counts = out.groupBy("step").agg(F.count(F.lit(1)).alias("__n"))
-    frame = spark.createDataFrame([(0,), (1,), (2,)], "step int")
+    frame = core.local_table(spark, [(0,), (1,), (2,)], "step int")
     return (
         frame.join(counts, "step", "left")
         .select(
@@ -6951,7 +6951,7 @@ def q_rollup_upsert_events(spark, sf_dir):
             F.col("value_max"),
             "record_count",
         )
-        res = spark.createDataFrame(out.collect(), out.schema)
+        res = core.local_table(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res
@@ -7462,7 +7462,7 @@ def q_orc_roundtrip_orders(spark, sf_dir):
         store = ORCStore(spark, tmp)
         store.create("orders", from_obj=o)
         out = agg(store.get_object("orders"))
-        res = spark.createDataFrame(out.collect(), out.schema)
+        res = core.local_table(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res
@@ -8898,7 +8898,8 @@ def q_bpe_train_planted(spark, sf_dir):
         .alias("text")
     )
     merges = textan.bpe_train(corpus, num_merges=10)
-    return spark.createDataFrame(
+    return core.local_table(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left_sym string, right_sym string",
     )
@@ -12653,11 +12654,11 @@ def q_snapshot_restore_orders(spark, sf_dir):
             (F.col("o_custkey") + 1).alias("o_custkey"),
             (F.col("price_cents") + 100).cast("bigint").alias("price_cents"),
         )
-        store.upsert("orders", spark.createDataFrame(
-            mut.collect(), mut.schema), keys="o_orderkey")
+        store.upsert("orders", core.local_table(
+            spark, mut.collect(), mut.schema), keys="o_orderkey")
         store.restore("orders", tag)
         out = store.get_object("orders")
-        res = spark.createDataFrame(out.collect(), out.schema)
+        res = core.local_table(spark, out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res

@@ -508,7 +508,10 @@ def schema_drift_report(
                 (n_nulls[c] / n_rows) if in_n and n_rows else None,
             )
         )
-    return spark.createDataFrame(
+    from bubbles_spark.ops.core import local_table
+
+    return local_table(
+        spark,
         out,
         "col_name string, status string, old_type string, new_type string, "
         "old_nulls bigint, old_rows bigint, new_nulls bigint, "

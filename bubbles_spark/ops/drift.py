@@ -337,7 +337,9 @@ def ks_distance(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
         )
         # materialize before unpersist: the 1-row result costs nothing
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        from bubbles_spark.ops.core import local_table
+
+        return local_table(spark, rows, out.schema)
     finally:
         parted.unpersist()
 
@@ -395,7 +397,9 @@ def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             F.lit(n_neg).cast("bigint").alias("n_neg"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        from bubbles_spark.ops.core import local_table
+
+        return local_table(spark, rows, out.schema)
     finally:
         parted.unpersist()
 
@@ -1794,8 +1798,10 @@ def qq_table(
         (p, float(x), float(y), float(x) - float(y))
         for p, x, y in zip(qs, a, b)
     ]
-    return spark.createDataFrame(
-        rows, "p double, q_a double, q_b double, diff double"
+    from bubbles_spark.ops.core import local_table
+
+    return local_table(
+        spark, rows, "p double, q_a double, q_b double, diff double"
     )
 
 

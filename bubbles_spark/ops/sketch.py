@@ -88,8 +88,11 @@ def approx_quantile_ranks(
         (float(p), float(v), int(ranks[f"__r_{i}"]), int(n))
         for i, (p, v) in enumerate(zip(probs, values))
     ]
-    return spark.createDataFrame(
-        rows, "prob double, approx_value double, true_rank long, n_rows long"
+    from bubbles_spark.ops.core import local_table
+
+    return local_table(
+        spark, rows,
+        "prob double, approx_value double, true_rank long, n_rows long",
     )
 
 

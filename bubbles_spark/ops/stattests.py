@@ -1563,8 +1563,10 @@ def srm_check(
     shares = {g: w / tot for g, w in fr.items()}
     spark = df.sparkSession
     wrows = [(g, s.numerator, s.denominator) for g, s in shares.items()]
-    wtab = spark.createDataFrame(
-        wrows, f"{group_col} string, __num long, __den long"
+    from bubbles_spark.ops.core import local_table
+
+    wtab = local_table(
+        spark, wrows, f"{group_col} string, __num long, __den long"
     ).select(
         F.col(group_col).cast(dict(df.dtypes)[group_col]).alias("__wg"),
         "__num",

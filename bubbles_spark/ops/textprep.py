@@ -110,8 +110,10 @@ def domain_filter(
     if isinstance(blocklist, DataFrame):
         bl = blocklist.toDF("domain")
     else:
-        bl = df.sparkSession.createDataFrame(
-            [(d,) for d in blocklist], "domain string"
+        from bubbles_spark.ops.core import local_table
+
+        bl = local_table(
+            df.sparkSession, [(d,) for d in blocklist], "domain string"
         )
     doms = extract_urls(df, id_col, text_col).select(id_col, "domain")
     flagged = (
@@ -616,7 +618,10 @@ def mixture_plan(
         token_col = "__ntok"
     # weights SPINE, not a filter-side map: a weighted group with no
     # rows at all must still appear (zero supply pins T to 0)
-    spine = df.sparkSession.createDataFrame(
+    from bubbles_spark.ops.core import local_table
+
+    spine = local_table(
+        df.sparkSession,
         [(k, float(v)) for k, v in weights.items()],
         "group string, target_share double",
     )

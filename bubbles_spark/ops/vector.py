@@ -547,8 +547,10 @@ def cosine_topk_ivf(
         top = np.argsort(-((qv / nq) @ cent.T))[: min(n_probe, n_c)]
         probe_rows.extend((int(r[0]), list(map(float, qv)), int(c_)) for c_ in top)
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"query_id long, __qv array<double>, __list long"
+    from bubbles_spark.ops.core import local_table
+
+    probes = local_table(
+        spark, probe_rows, "query_id long, __qv array<double>, __list long"
     )
 
     # -- 4. candidate join on list id + exact rescore -----------------
@@ -774,7 +776,10 @@ def cosine_topk_pq(
     # exact rescore: candidate ids are broadcast-sized (≤ rescore·k·q·
     # batches); the corpus is filtered by a broadcast semi-ish join,
     # never shuffled
-    qdf = spark.createDataFrame(
+    from bubbles_spark.ops.core import local_table
+
+    qdf = local_table(
+        spark,
         [(int(i), [float(x) for x in qm[j]]) for j, i in enumerate(q_ids)],
         "query_id long, __qv array<double>",
     )

@@ -71,7 +71,12 @@ def read_testdata_event_stream(
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        _set_state_shard_hint(os.path.getsize(src))
+    except OSError:
+        pass
+    probe = spark.read.parquet(src)
     ts_dt = dict(probe.dtypes).get("ts", "timestamp")
 
     if ts_dt == "bigint":  # legacy TIMESTAMP(NANOS) read as long
@@ -278,7 +283,10 @@ def finish_srm(
     tot_w = sum(fr.values())
     shares = {g: w / tot_w for g, w in fr.items()}
     spark = counts.sparkSession
-    wtab = spark.createDataFrame(
+    from bubbles_spark.ops.core import local_table
+
+    wtab = local_table(
+        spark,
         [(g, s.numerator, s.denominator) for g, s in shares.items()],
         f"{key_col} string, __num long, __den long",
     ).select(
@@ -1132,7 +1140,12 @@ def read_testdata_table_stream(
     the driver wrote."""
     import os
 
-    probe = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        _set_state_shard_hint(os.path.getsize(src))
+    except OSError:
+        pass
+    probe = spark.read.parquet(src)
     return read_event_stream(
         spark,
         sf_dir,
@@ -1181,10 +1194,63 @@ def docs_ingest_dedup_stream(
 
 _SHARD_TUNE_LOCK = threading.Lock()
 _SHARD_TUNE_DEPTH = 0
+# per-thread input-size hint (bytes) set by the testdata stream
+# readers and consumed by the NEXT _sane_state_shards call on the
+# same thread — see _set_state_shard_hint
+_STATE_SHARD_HINT: dict[int, int] = {}
+
+
+def _set_state_shard_hint(n_bytes: int) -> None:
+    """Record the stream source's on-disk size for the next drain on
+    this thread.
+
+    Stateful streaming shards its state store by
+    ``spark.sql.shuffle.partitions`` at query start, and AQE never
+    coalesces a streaming exchange — so a small drain pays one state
+    commit (file create + fsync) and one task per shard per
+    micro-batch regardless of input size (guide §2: derive the
+    partitioning from input size instead of a constant).  The source
+    readers know the input's byte size for free (``os.path.getsize``
+    on the driver — no Spark job), and the drain helpers consume the
+    hint to cap the state shards at ~4 MB of source per shard, floor
+    2, never above the session's configured width.  The hint only
+    ever REDUCES shard count below the session conf — a production
+    deployment that sets shuffle.partitions for its cluster keeps
+    full width on any real input (TB-scale sources hit the conf cap
+    immediately), and shard count never changes results (state is
+    hash-partitioned; the aggregations are associative — the drained
+    output is oracle-checked either way)."""
+    _STATE_SHARD_HINT[threading.get_ident()] = int(n_bytes)
 _SHARD_TUNE_PREV: str | None = None
 
 
-def _sane_state_shards(spark: SparkSession) -> str | None:
+def _has_python_keyed_state(df: DataFrame) -> bool:
+    """True when the streaming plan holds a per-KEY Python state
+    operator (applyInPandasWithState / transformWithState family).
+    Those serialize each key group through one Python worker call, so
+    their wall-clock tracks the TASK count — shrinking the state
+    shards to the input size serializes the per-key work (measured
+    r13: stream_ewma 2.1 → 4.2 s at 2 shards) even though the same
+    shrink wins for JVM window aggregations.  Plan inspection only;
+    never throws (defaults False on any introspection failure)."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return any(
+        m in s
+        for m in (
+            "FlatMapGroupsInPandasWithState",
+            "ApplyInPandasWithState",
+            "FlatMapGroupsWithState",
+            "TransformWithState",
+        )
+    )
+
+
+def _sane_state_shards(
+    spark: SparkSession, keep_width: bool = False
+) -> str | None:
     """Stateful streaming shards its state store by
     spark.sql.shuffle.partitions AT QUERY START — AQE never coalesces
     a streaming exchange, so an untuned session's default (200) means
@@ -1210,6 +1276,9 @@ def _sane_state_shards(spark: SparkSession) -> str | None:
         cur = spark.conf.get("spark.sql.shuffle.partitions")
     except Exception:
         return None
+    hint = _STATE_SHARD_HINT.pop(threading.get_ident(), None)
+    if keep_width:
+        hint = None  # per-key Python state: width IS the parallelism
     with _SHARD_TUNE_LOCK:
         if _SHARD_TUNE_DEPTH > 0:
             # already tuned by an outer/concurrent helper: just nest
@@ -1221,6 +1290,20 @@ def _sane_state_shards(spark: SparkSession) -> str | None:
             _SHARD_TUNE_DEPTH = 1
             _SHARD_TUNE_PREV = cur
             return "__outer__"
+        if (
+            hint is not None
+            and cur is not None
+            and cur.isdigit()
+        ):
+            # input-size-derived shard count (see _set_state_shard_hint):
+            # ~4 MB of source per state shard, floor 2, capped at the
+            # session width — only ever narrows for small inputs
+            n = max(2, min(int(cur), -(-hint // (4 << 20))))
+            if n < int(cur):
+                spark.conf.set("spark.sql.shuffle.partitions", str(n))
+                _SHARD_TUNE_DEPTH = 1
+                _SHARD_TUNE_PREV = cur
+                return "__outer__"
     return None
 
 
@@ -1257,6 +1340,7 @@ def stream_to_parquet(
     columns propagate to the directory layout, so downstream batch
     reads get partition pruning over the streamed output."""
     spark = stream_df.sparkSession
+    keep_w = _has_python_keyed_state(stream_df)
     writer = (
         stream_df.writeStream.format("parquet")
         .option("path", path)
@@ -1265,7 +1349,7 @@ def stream_to_parquet(
     )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    prev = _sane_state_shards(spark)
+    prev = _sane_state_shards(spark, keep_width=keep_w)
     finished = False
     try:
         q = writer.start()
@@ -1301,7 +1385,9 @@ def run_batchlike(
     final windows of a finite input never appear.
     """
     spark = stream_df.sparkSession
-    prev = _sane_state_shards(spark)
+    prev = _sane_state_shards(
+        spark, keep_width=_has_python_keyed_state(stream_df)
+    )
     finished = False
     try:
         q = (
