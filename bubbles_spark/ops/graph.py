@@ -239,6 +239,11 @@ def pagerank(
     # connected_components needs per-round ACTIONS to bite, which this
     # loop does not have).  One final localCheckpoint still
     # materializes the result before e/nodes unpersist.
+    # the out-degree join is LOOP-INVARIANT: attach it to the edge
+    # table once (r13) so each iteration pays one join (ranks), not
+    # two — per-edge operands are identical, so every rank is
+    # bit-exact
+    e_od = e.join(out_deg.withColumnRenamed("node", "u"), "u").persist()
     ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
     for _ in range(int(iters)):
         per_edge = (
@@ -247,8 +252,7 @@ def pagerank(
             else (F.col("rank") / F.col("__od").cast("double"))
         )
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "u"), "u")
-            .join(out_deg.withColumnRenamed("node", "u"), "u")
+            e_od.join(ranks.withColumnRenamed("node", "u"), "u")
             .select(
                 F.col("v").alias("node"),
                 per_edge.cast("decimal(38,18)").alias("__c"),
@@ -271,6 +275,7 @@ def pagerank(
         )
     ranks = ranks.localCheckpoint()
     e.unpersist()
+    e_od.unpersist()
     nodes.unpersist()
     return ranks
 
@@ -309,8 +314,14 @@ def hits_scores(
         .distinct()
         .persist()
     )
-    auth = nodes.withColumn("a", F.lit(1).cast("decimal(38,0)"))
+    # PARTIAL score tables through the loop (r13): a node absent from
+    # auth/hub means score 0, and zero scores contribute nothing to
+    # the next half-round's sums — so the per-half-round
+    # nodes-left-join + zero-fill (2 joins × iters of node-sized
+    # tables) is deferred to the single zero-fill at the output.
+    # Sums are identical (adding zeros), so scores are bit-exact.
     hub = nodes.withColumn("h", F.lit(1).cast("decimal(38,0)"))
+    auth = None
     for _ in range(int(iters)):
         # auth <- sum of in-neighbors' hub
         # no per-half-round materialization: fixed iteration count,
@@ -318,25 +329,15 @@ def hits_scores(
         # the final localCheckpoint (see pagerank; r12 paid an eager
         # checkpoint job per half-round)
         auth = (
-            nodes.join(
-                e.join(hub.withColumnRenamed("node", "u"), "u")
-                .groupBy(F.col("v").alias("node"))
-                .agg(F.sum("h").alias("a")),
-                "node",
-                "left",
-            )
-            .select("node", F.coalesce("a", F.lit(0).cast("decimal(38,0)")).alias("a"))
+            e.join(hub.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("h").alias("a"))
         )
         # hub <- sum of out-neighbors' auth
         hub = (
-            nodes.join(
-                e.join(auth.withColumnRenamed("node", "v"), "v")
-                .groupBy(F.col("u").alias("node"))
-                .agg(F.sum("a").alias("h")),
-                "node",
-                "left",
-            )
-            .select("node", F.coalesce("h", F.lit(0).cast("decimal(38,0)")).alias("h"))
+            e.join(auth.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("a").alias("h"))
         )
     out = nodes.join(hub, "node", "left").join(auth, "node", "left").select(
         "node",
