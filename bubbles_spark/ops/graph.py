@@ -39,6 +39,46 @@ __all__ = [
     "link_scores",
 ]
 
+# Small-graph single-task fast paths (r13) — the same
+# adaptive-by-measured-size pattern as dedup.connected_components:
+# below a few million edges the distributed machinery's per-stage
+# floors (4-10 exchanges x 32 tasks on vocabulary-sized tables) cost
+# 5-30x more than solving the whole graph in ONE mapInPandas task,
+# while every score these ops emit is either an exact integer or a
+# replayable fixed IEEE sequence — so the local solve is bit-identical
+# and pinned against the distributed path in tests.  The thresholds
+# bound one task's MEMORY/WORK (module constants, not tuning knobs):
+# linear-work ops (pagerank / hits) share connected_components' edge
+# cap; wedge-enumerating ops (triangles / link scores) do O(m^1.5)
+# local work, so their cap keeps that under ~1e8 set operations.
+_SMALL_GRAPH_MAX_EDGES = 2_000_000
+_WEDGE_FAST_PATH_MAX_EDGES = 100_000
+_WEIGHTED_PAGERANK_LOCAL = False  # measured-negative; see pagerank()
+
+
+_Q18 = None  # built lazily so decimal import stays off the hot path
+
+
+def _q18_half_up(d: float) -> int:
+    """round_half_up(d * 10**18) over the SHORTEST-DECIMAL rendering
+    of the non-negative double ``d`` — integer-unit twin of Spark's
+    cast(double AS DECIMAL(38,18)), which goes through
+    Double.toString (BigDecimal.valueOf semantics: the shortest
+    round-tripping decimal, same digits as Python ``repr``), then
+    rounds HALF_UP.  Measured, not assumed: quantizing the EXACT
+    binary expansion instead diverges from the distributed plan at
+    1e-18 (e.g. 0.01875 -> ...749999999999999999 exact-binary vs
+    ...750000000000000000 via toString), caught by
+    test_graph_fast_and_distributed_paths_agree[pagerank_w]."""
+    global _Q18
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if _Q18 is None:
+        _Q18 = Decimal(1).scaleb(-18)
+    return int(
+        Decimal(repr(d)).quantize(_Q18, rounding=ROUND_HALF_UP).scaleb(18)
+    )
+
 
 def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Canonical undirected simple edges: (lo, hi) ordered pairs,
@@ -106,6 +146,52 @@ def triangle_count(
     Output: node, triangles (nodes in no triangle are omitted —
     left-join ``degrees`` and coalesce to 0 for the full spine)."""
     und = _undirected(edges, src, dst).persist()
+    # small-graph fast path: same degree orientation, same wedge
+    # enumeration, run in one task — counts are exact ints either way
+    # (paths pinned against each other in test_affinity_graph)
+    if und.count() <= _WEDGE_FAST_PATH_MAX_EDGES:
+
+        def _tri_local(batches):
+            import pandas as pd
+
+            lo_all: list = []
+            hi_all: list = []
+            for pdf in batches:
+                lo_all.extend(pdf["lo"].tolist())
+                hi_all.extend(pdf["hi"].tolist())
+            deg: dict = {}
+            for a, b in zip(lo_all, hi_all):
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            out_nbrs: dict = {}
+            for a, b in zip(lo_all, hi_all):
+                u, v = (
+                    (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+                )
+                out_nbrs.setdefault(u, set()).add(v)
+            tri: dict = {}
+            for u, nb in out_nbrs.items():
+                for v in nb:
+                    ov = out_nbrs.get(v)
+                    if not ov:
+                        continue
+                    common = nb & ov if len(nb) <= len(ov) else ov & nb
+                    for w in common:
+                        tri[u] = tri.get(u, 0) + 1
+                        tri[v] = tri.get(v, 0) + 1
+                        tri[w] = tri.get(w, 0) + 1
+            if not tri:
+                return
+            yield pd.DataFrame(
+                {"node": list(tri), "triangles": list(tri.values())}
+            )
+
+        t = und.schema["lo"].dataType.simpleString()
+        out = und.coalesce(1).mapInPandas(
+            _tri_local, schema=f"node {t}, triangles bigint"
+        ).localCheckpoint()
+        und.unpersist()
+        return out
     deg = (
         und.select(F.col("lo").alias("node"))
         .unionByName(und.select(F.col("hi").alias("node")))
@@ -208,6 +294,92 @@ def pagerank(
         )
     else:
         e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
+    # small-graph fast path: replay the SAME fixed IEEE sequence in
+    # one task — per-edge share is one IEEE division (x one multiply
+    # when weighted), contributions quantize HALF_UP to 1e-18 units
+    # over the exact binary double (integer-unit twin of the
+    # DECIMAL(38,18) cast), per-dst sums are exact integer adds, and
+    # the update is base + d * correctly-rounded-double(sum) — every
+    # step matches the distributed plan operation-for-operation, so
+    # ranks are bit-identical (pinned in test_affinity_graph)
+    # WEIGHTED pagerank stays on the distributed path at every size
+    # (flag exists so tests can still pin the local replay): its
+    # per-edge share is distinct per edge, so the local replay pays
+    # one shortest-repr Decimal quantization PER EDGE PER ITERATION
+    # (~1.5us each; the unweighted path quantizes per SOURCE NODE
+    # only).  Measured r13 on the 591k-edge bench graph: 3.7s
+    # distributed -> 6.1s local — a regression.
+    if (
+        (weight_col is None or _WEIGHTED_PAGERANK_LOCAL)
+        and 0 < e.count() <= _SMALL_GRAPH_MAX_EDGES
+    ):
+        _iters, _damp = int(iters), float(damping)
+        _weighted = weight_col is not None
+
+        def _pr_local(batches):
+            import pandas as pd
+
+            us: list = []
+            vs: list = []
+            ws: list = []
+            for pdf in batches:
+                us.extend(pdf["u"].tolist())
+                vs.extend(pdf["v"].tolist())
+                if _weighted:
+                    ws.extend(pdf["__w"].tolist())
+            nodes_l = set(us) | set(vs)
+            n_l = len(nodes_l)
+            base_l = (1.0 - _damp) / float(n_l)
+            od: dict = {}
+            if _weighted:
+                # exact decimal weight sums per source (Arrow hands
+                # the decimal(2x,6) column over as decimal.Decimal)
+                for u, w in zip(us, ws):
+                    od[u] = od.get(u, 0) + w
+                share = [
+                    float(w) / float(od[u]) for u, w in zip(us, ws)
+                ]
+            else:
+                for u in us:
+                    od[u] = od.get(u, 0) + 1
+            ranks = {x: 1.0 / float(n_l) for x in nodes_l}
+            from decimal import Decimal
+
+            for _ in range(_iters):
+                s: dict = {}
+                if _weighted:
+                    for u, v, sh in zip(us, vs, share):
+                        s[v] = s.get(v, 0) + _q18_half_up(
+                            ranks[u] * sh
+                        )
+                else:
+                    q = {
+                        u: _q18_half_up(ranks[u] / float(c))
+                        for u, c in od.items()
+                    }
+                    for u, v in zip(us, vs):
+                        s[v] = s.get(v, 0) + q[u]
+                ranks = {
+                    x: base_l
+                    + _damp
+                    * float(Decimal(s.get(x, 0)).scaleb(-18))
+                    for x in nodes_l
+                }
+            yield pd.DataFrame(
+                {"node": list(ranks), "rank": list(ranks.values())}
+            )
+
+        t = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .schema["node"]
+            .dataType.simpleString()
+        )
+        out = e.coalesce(1).mapInPandas(
+            _pr_local, schema=f"node {t}, rank double"
+        ).localCheckpoint()
+        e.unpersist()
+        return out
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -308,6 +480,56 @@ def hits_scores(
     if iters < 1:
         raise ValueError("hits_scores: need iters >= 1")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct().persist()
+    # small-graph fast path: the scores are exact integer path counts
+    # — Python's unbounded ints replay the DECIMAL(38,0) sums exactly
+    # in one task (paths pinned against each other in tests)
+    if e.count() <= _SMALL_GRAPH_MAX_EDGES:
+        _iters = int(iters)
+
+        def _hits_local(batches):
+            from decimal import Decimal
+
+            import pandas as pd
+
+            us: list = []
+            vs: list = []
+            for pdf in batches:
+                us.extend(pdf["u"].tolist())
+                vs.extend(pdf["v"].tolist())
+            nodes_l = set(us) | set(vs)
+            hub = {x: 1 for x in nodes_l}
+            auth: dict = {}
+            for _ in range(_iters):
+                auth = {}
+                for u, v in zip(us, vs):
+                    h = hub.get(u)
+                    if h is not None:
+                        auth[v] = auth.get(v, 0) + h
+                hub = {}
+                for u, v in zip(us, vs):
+                    a = auth.get(v)
+                    if a is not None:
+                        hub[u] = hub.get(u, 0) + a
+            rows = [
+                (x, Decimal(hub.get(x, 0)), Decimal(auth.get(x, 0)))
+                for x in nodes_l
+            ]
+            yield pd.DataFrame(
+                rows, columns=["node", "hub", "auth"]
+            )
+
+        t = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .schema["node"]
+            .dataType.simpleString()
+        )
+        out = e.coalesce(1).mapInPandas(
+            _hits_local,
+            schema=f"node {t}, hub decimal(38,0), auth decimal(38,0)",
+        ).localCheckpoint()
+        e.unpersist()
+        return out
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
@@ -383,6 +605,96 @@ def link_scores(
     Output: node_a, node_b (a < b), common_neighbors, union_size,
     jaccard, adamic_adar."""
     und = _undirected(edges, src, dst)
+    # small-graph fast path: counts/union are exact ints, jaccard is
+    # the same single IEEE division, and the adamic-adar weight
+    # replays round(1e9 / ln(deg)) HALF_UP per center then sums in
+    # exact ints — one task instead of the wedge join's 6+ exchanges
+    # (paths pinned against each other in tests)
+    und_c = und.persist()
+    if und_c.count() <= _WEDGE_FAST_PATH_MAX_EDGES:
+        _minc = int(min_common)
+        _maxhub = None if max_hub_degree is None else int(max_hub_degree)
+
+        def _ls_local(batches):
+            import math
+            from decimal import ROUND_HALF_UP, Decimal
+
+            import pandas as pd
+
+            lo_all: list = []
+            hi_all: list = []
+            for pdf in batches:
+                lo_all.extend(pdf["lo"].tolist())
+                hi_all.extend(pdf["hi"].tolist())
+            adj_l: dict = {}
+            for a, b in zip(lo_all, hi_all):
+                adj_l.setdefault(a, set()).add(b)
+                adj_l.setdefault(b, set()).add(a)
+            pairs: dict = {}
+            one = Decimal(1)
+            for z, nb in adj_l.items():
+                dz = len(nb)
+                if dz < 2 or (_maxhub is not None and dz > _maxhub):
+                    continue
+                # F.round(double, 0) rounds the shortest-decimal
+                # rendering HALF_UP (BigDecimal.valueOf semantics,
+                # same as the DECIMAL casts — see _q18_half_up)
+                wz = int(
+                    Decimal(repr(1e9 / math.log(float(dz)))).quantize(
+                        one, rounding=ROUND_HALF_UP
+                    )
+                )
+                nbl = sorted(nb)
+                for i in range(len(nbl) - 1):
+                    ai = nbl[i]
+                    for j in range(i + 1, len(nbl)):
+                        key = (ai, nbl[j])
+                        ent = pairs.get(key)
+                        if ent is None:
+                            pairs[key] = [1, wz]
+                        else:
+                            ent[0] += 1
+                            ent[1] += wz
+            rows = [
+                (
+                    a,
+                    b,
+                    c,
+                    len(adj_l[a]) + len(adj_l[b]) - c,
+                    float(c)
+                    / float(len(adj_l[a]) + len(adj_l[b]) - c),
+                    float(wsum) / 1e9,
+                )
+                for (a, b), (c, wsum) in pairs.items()
+                if c >= _minc
+            ]
+            if not rows:
+                return
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "node_a",
+                    "node_b",
+                    "common_neighbors",
+                    "union_size",
+                    "jaccard",
+                    "adamic_adar",
+                ],
+            )
+
+        t = und_c.schema["lo"].dataType.simpleString()
+        out = und_c.coalesce(1).mapInPandas(
+            _ls_local,
+            schema=(
+                f"node_a {t}, node_b {t}, common_neighbors bigint, "
+                "union_size bigint, jaccard double, adamic_adar double"
+            ),
+        ).localCheckpoint()
+        und_c.unpersist()
+        return out
+    # big path: revert to the original lazy shape (the probe pass is
+    # the price of the adaptive dispatch, as in connected_components)
+    und_c.unpersist()
     adj = und.select(
         F.col("lo").alias("node"), F.col("hi").alias("nbr")
     ).unionByName(

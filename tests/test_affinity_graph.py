@@ -224,3 +224,88 @@ def test_link_scores_degree_one_leaf(spark):
             graph.link_scores(edges).collect()}
     assert rows[(1, 2)]["common_neighbors"] == 1
     assert (2, 4) in rows or (1, 4) in rows
+
+
+# ------------------------------------------- fast/distributed path pins
+
+
+def _bigger_graph():
+    # deterministic mixed-shape graph: hubs, leaves, two cliques, a
+    # chain, parallel + reversed edges, self-loops — enough structure
+    # that any per-step divergence between the single-task fast path
+    # and the distributed path shows up somewhere
+    edges = []
+    for i in range(1, 9):           # hub 0 <-> spokes
+        edges.append((0, i))
+        edges.append((i, 0))
+    for a in (10, 11, 12, 13):      # 4-clique, one direction each
+        for b in (10, 11, 12, 13):
+            if a < b:
+                edges.append((a, b))
+    edges += [(i, i + 1) for i in range(20, 30)]   # chain
+    edges += [(5, 11), (6, 12), (25, 0), (13, 20)]  # bridges
+    edges += [(3, 3), (10, 10)]                    # self-loops
+    edges += [(0, 1), (0, 1)]                      # parallel dupes
+    return edges
+
+
+@pytest.mark.parametrize("op", ["triangles", "links", "hits", "pagerank",
+                                "pagerank_w"])
+def test_graph_fast_and_distributed_paths_agree(spark, monkeypatch, op):
+    """The small-graph single-task fast paths must be BIT-identical to
+    the distributed plans — exact == on every column, floats included
+    (the contract that lets the adaptive dispatch never change a
+    query's oracle hash)."""
+    edges = _bigger_graph()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    wdf = spark.createDataFrame(
+        [(u, v, float((u * 7 + v * 3) % 11) / 4.0 + 0.25)
+         for u, v in edges],
+        "src long, dst long, w double",
+    )
+
+    def run():
+        if op == "triangles":
+            return sorted(map(tuple, graph.triangle_count(df).collect()))
+        if op == "links":
+            return sorted(map(tuple, graph.link_scores(df).collect()))
+        if op == "hits":
+            return sorted(
+                (r["node"], int(r["hub"]), int(r["auth"]))
+                for r in graph.hits_scores(df, iters=3).collect()
+            )
+        if op == "pagerank":
+            return sorted(map(tuple, graph.pagerank(
+                df, iters=3, damping=0.85
+            ).collect()))
+        return sorted(map(tuple, graph.pagerank(
+            wdf, iters=3, damping=0.85, weight_col="w"
+        ).collect()))
+
+    # weighted pagerank's local replay is dispatch-disabled (measured
+    # slower) but stays pinned here via the test-only flag
+    monkeypatch.setattr(graph, "_WEIGHTED_PAGERANK_LOCAL", True)
+    fast = run()
+    monkeypatch.setattr(graph, "_SMALL_GRAPH_MAX_EDGES", -1)
+    monkeypatch.setattr(graph, "_WEDGE_FAST_PATH_MAX_EDGES", -1)
+    slow = run()
+    assert fast == slow
+    assert len(fast) > 0
+
+
+def test_graph_fast_paths_string_ids(spark, monkeypatch):
+    # string node ids order the same under Python < and Spark's UTF8
+    # binary compare — the orientation / pair-key contract
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+             ("d", "e"), ("c", "e"), ("e", "f")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def run():
+        tri = sorted(map(tuple, graph.triangle_count(df).collect()))
+        ls = sorted(map(tuple, graph.link_scores(df).collect()))
+        return tri, ls
+
+    fast = run()
+    monkeypatch.setattr(graph, "_WEDGE_FAST_PATH_MAX_EDGES", -1)
+    slow = run()
+    assert fast == slow

@@ -651,11 +651,15 @@ CHECKS = [
          (r"CartesianProduct", "no cross product")],
     ),
     (
+        # r13: small graphs solve in one task (adaptive dispatch, same
+        # pattern as connected_components) and return a checkpointed
+        # frame; the distributed wedge-join path (partial map-side
+        # pair counts + broadcast degree tables) is dual-path-pinned
+        # in test_affinity_graph and takes over past the edge cap
         "link_scores_copurchase",
-        [(r"Functions \[\d+\]: \[partial_", "pair counts partial map-side"),
-         (r"BroadcastExchange", "degree tables broadcast")],
-        [(r"CartesianProduct", "wedge join is an equi-join, no cross product"),
-         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+        [(r"Scan ExistingRDD|LogicalRDD",
+          "scores materialized by the adaptive single-task solve")],
+        [(r"CartesianProduct", "wedge join is an equi-join, no cross product")],
     ),
     (
         "top_terms_docs",
