@@ -1227,12 +1227,13 @@ _SHARD_TUNE_PREV: str | None = None
 def _has_python_keyed_state(df: DataFrame) -> bool:
     """True when the streaming plan holds a per-KEY Python state
     operator (applyInPandasWithState / transformWithState family).
-    Those serialize each key group through one Python worker call, so
-    their wall-clock tracks the TASK count — shrinking the state
-    shards to the input size serializes the per-key work (measured
-    r13: stream_ewma 2.1 → 4.2 s at 2 shards) even though the same
-    shrink wins for JVM window aggregations.  Plan inspection only;
-    never throws (defaults False on any introspection failure)."""
+    Those pay a fixed Python state-channel setup per TASK and
+    serialize the per-key work within a task, so they get their own
+    shard-sizing budget in ``_sane_state_shards`` (finer than the JVM
+    window-state rule, floored so the per-key work stays parallel —
+    2 shards regressed stream_ewma 2.1 → 4.2 s, r13).  Plan
+    inspection only; never throws (defaults False on any
+    introspection failure)."""
     try:
         s = df._jdf.queryExecution().analyzed().toString()
     except Exception:
@@ -1277,8 +1278,21 @@ def _sane_state_shards(
     except Exception:
         return None
     hint = _STATE_SHARD_HINT.pop(threading.get_ident(), None)
-    if keep_width:
-        hint = None  # per-key Python state: width IS the parallelism
+    # Per-key Python state ops (applyInPandasWithState family) size
+    # by a 32x FINER byte budget than JVM window state instead of
+    # pinning full width: every stateful task pays a fixed Python
+    # state-channel setup (~60-100 ms measured r13 — a 10-row
+    # 5-key stream costs ~3 s/batch at 32 shards, ~0.5 s at 2), so
+    # small inputs want fewer, fatter tasks; but the per-KEY work
+    # serializes inside a task (2 shards regressed stream_ewma
+    # 2.1 -> 4.2 s, the r13 #18 finding), so the floor is 8 and the
+    # budget is 128 KB/shard (16 shards on the 2 MB bench input —
+    # the measured optimum across the seven python-state streams;
+    # JVM-state streams keep the 4 MB rule).  Any real multi-MB
+    # input hits the session-width cap, so at scale both families
+    # run full width — the narrowing exists only for small inputs.
+    budget = (128 << 10) if keep_width else (4 << 20)
+    floor = 8 if keep_width else 2
     with _SHARD_TUNE_LOCK:
         if _SHARD_TUNE_DEPTH > 0:
             # already tuned by an outer/concurrent helper: just nest
@@ -1296,9 +1310,9 @@ def _sane_state_shards(
             and cur.isdigit()
         ):
             # input-size-derived shard count (see _set_state_shard_hint):
-            # ~4 MB of source per state shard, floor 2, capped at the
-            # session width — only ever narrows for small inputs
-            n = max(2, min(int(cur), -(-hint // (4 << 20))))
+            # per-family byte budget per state shard, floored, capped
+            # at the session width — only ever narrows for small inputs
+            n = min(int(cur), max(floor, -(-hint // budget)))
             if n < int(cur):
                 spark.conf.set("spark.sql.shuffle.partitions", str(n))
                 _SHARD_TUNE_DEPTH = 1
