@@ -880,7 +880,15 @@ def _ordered_token_sets(
     ``__g``) shingle postings and the per-doc table (``__id``,
     ``__toks`` sorted rarest-first by (global df, shingle), ``__sz``).
     The rarest-first TOTAL order is what makes a set's prefix its
-    best candidate filter (SSJoin family)."""
+    best candidate filter (SSJoin family).
+
+    Measured and REJECTED (r13): localCheckpoint(eager=False) pins on
+    ``tok`` and/or ``docs`` to share the scaffolding across the 3-4
+    consumers — pinning tok materializes the full postings table for
+    nothing, and a pinned docs loses stats and flips the final
+    candidate joins off broadcast: prefix_jaccard 4.4-5.6 -> 8-9 s,
+    containment flat (interleaved A/Bs).  Spark's ReuseExchange
+    already shares the identical aggregate subtrees here."""
     # widen before the shingle fan-out — the exploded postings feed a
     # keyed count AND a per-doc sort-collect; map-side work above a
     # single-row-group scan is otherwise one task (core.widen_scan)
@@ -1641,11 +1649,15 @@ def pairs_against_index(
         .filter(F.col("__bn") <= max_bucket)
         .select("band", "bucket")
     )
-    # merge hint: the surviving-bucket list is O(index buckets) — it
-    # grows with the corpus, so the 64 MB auto-broadcast threshold
-    # must not pick it up (at 100x corpus the ~8M-row build side
-    # OOM'd the driver's broadcast budget); the semi join stays a
-    # shuffle at any scale
+    # shuffle_hash hint: the surviving-bucket list is O(index buckets)
+    # — it grows with the corpus, so the 64 MB auto-broadcast
+    # threshold must not pick it up (at 100x corpus the ~8M-row build
+    # side OOM'd the driver's broadcast budget); the semi join stays a
+    # shuffle at any scale.  HASH, not MERGE (r13): a merge semi join
+    # SORTS the corpus-sized band-triple side per admission — pure
+    # waste when the build side is the (much smaller, per-partition)
+    # bucket list; interleaved A/B minimums: admit_and_extend 7.9 ->
+    # 6.3 s, dedup/index_pairs flat-to-better.
     #
     # Negative A/B (r13): under broadcast_batch, pre-filtering iband by
     # a broadcast of bband's bucket list before sizing (removing every
@@ -1655,7 +1667,7 @@ def pairs_against_index(
     # was flat at 8× and 32× corpus (alpha 0.27/0.33 both ways) — the
     # shuffle it removes is already only band-key triples, never
     # signatures, so the asymptotic win never materializes.
-    iband = iband.join(sizes.hint("merge"), ["band", "bucket"], "left_semi")
+    iband = iband.join(sizes.hint("shuffle_hash"), ["band", "bucket"], "left_semi")
 
     cand = (
         iband.join(F.broadcast(bband) if broadcast_batch else bband, ["band", "bucket"])
