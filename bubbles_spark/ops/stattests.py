@@ -1096,6 +1096,152 @@ def fdr_correct(
     )
 
 
+def _kendall_group_stats(pts: DataFrame) -> DataFrame:
+    """Per-group exact Kendall scaffolding in ONE pass — the shared
+    core of ``mann_kendall`` and ``kendall_tau_by``: for input columns
+    (grp, __x, __y), all non-NULL, emits one row per group with
+
+    - ``n_points``  — group row count (bigint),
+    - ``s_stat``    — ``S = C − D`` over pairs with x strictly
+      differing (bigint; pairs with tied x or tied y contribute 0,
+      exactly the pair-join semantics both callers used),
+    - ``__tt``      — Σ t(t−1)(2t+5) over y tie groups (decimal(38,0)),
+    - ``__tx2``/``__ty2`` — Σ t(t−1) over x / y tie groups.
+
+    Why not the per-group pair self-join: S only needs the DISCORDANT
+    count, and that is an inversion count — sort by (x, y) and count
+    i<j with y_i > y_j (Knight 1966, public).  With n₀ = n(n−1)/2 and
+    n₁/n₂/n₃ the tied-x / tied-y / tied-both pair counts,
+    ``S = n₀ − n₁ − n₂ + n₃ − 2·D`` — every term an exact integer, so
+    the result is bit-identical to the pair sum while the O(n_g²)
+    join (and its second and third corpus-side aggregation passes for
+    the tie terms) collapses into one O(n_g log n_g) pass that also
+    evaluates the upstream series exactly ONCE.
+
+    Values are reduced to dense ranks under their natural order before
+    any counting (``np.unique`` — exact for ints/doubles/decimals/
+    strings/dates; float NaN handled as one tied greatest value, the
+    Spark sort order), so D and every tie count are pure integer
+    facts about the order structure — no float arithmetic anywhere.
+
+    Scale: one hash exchange on the group key at explicit width, one
+    fused ``mapInPandas`` over key-contiguous rows (the
+    ``_keyed_ordered_map`` discipline).  Each group must fit one task
+    — the operators' documented contract (pre-aggregated series, ~10k
+    points per group); note the replaced pair join had the same
+    single-partition-per-group bound with O(n_g²) work instead."""
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from bubbles_spark.ops.events import _keyed_ordered_map
+
+    gf = pts.schema["grp"]
+    schema = StructType(
+        [
+            StructField("grp", gf.dataType, True),
+            StructField("n_points", LongType(), False),
+            StructField("s_stat", LongType(), False),
+            StructField("__tt", DecimalType(38, 0), False),
+            StructField("__tx2", DecimalType(38, 0), False),
+            StructField("__ty2", DecimalType(38, 0), False),
+        ]
+    )
+
+    def _stats(pdf):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        def codes(a):
+            # dense ranks under the column's natural order; NaN → one
+            # tied greatest value (Spark's sort/grouping semantics)
+            if a.dtype.kind == "f":
+                nan = np.isnan(a)
+                if nan.any():
+                    u = np.unique(a[~nan])
+                    c = np.searchsorted(u, a).astype(np.int64)
+                    c[nan] = len(u)
+                    return c
+                return np.searchsorted(np.unique(a), a).astype(np.int64)
+            _, inv = np.unique(a, return_inverse=True)
+            return np.asarray(inv, dtype=np.int64)
+
+        def inversions(a):
+            # strict inversions i<j with a[i] > a[j]: bottom-up merge
+            # count, cross-block counts vectorized via searchsorted
+            n = len(a)
+            a = a.copy()
+            inv = 0
+            width = 1
+            while width < n:
+                for lo in range(0, n, 2 * width):
+                    mid = lo + width
+                    hi = min(lo + 2 * width, n)
+                    if mid >= hi:
+                        continue
+                    pos = np.searchsorted(a[lo:mid], a[mid:hi], side="right")
+                    inv += int((mid - lo - pos).sum())
+                    a[lo:hi] = np.sort(a[lo:hi], kind="stable")
+                width *= 2
+            return inv
+
+        def pairsum(counts):
+            # Σ t(t−1)/2 as an unbounded Python int
+            return sum(int(t) * (int(t) - 1) for t in counts[counts > 1]) // 2
+
+        gcodes, _ = pd.factorize(pdf["grp"], use_na_sentinel=False)
+        xs_all = pdf["__x"].to_numpy()
+        ys_all = pdf["__y"].to_numpy()
+        cuts = np.flatnonzero(
+            np.r_[True, gcodes[1:] != gcodes[:-1], True]
+        )
+        n_out, s_out, tt_out, tx2_out, ty2_out = [], [], [], [], []
+        for b0, b1 in zip(cuts[:-1], cuts[1:]):
+            n = int(b1 - b0)
+            cx = codes(xs_all[b0:b1])
+            cy = codes(ys_all[b0:b1])
+            order = np.lexsort((cy, cx))
+            d_inv = inversions(cy[order])
+            tx = np.bincount(cx)
+            ty = np.bincount(cy)
+            # tied-both runs off the (x, y)-sorted codes
+            sx, sy = cx[order], cy[order]
+            new = np.r_[True, (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])]
+            txy = np.diff(np.r_[np.flatnonzero(new), n])
+            n0 = n * (n - 1) // 2
+            s = n0 - pairsum(tx) - pairsum(ty) + pairsum(txy) - 2 * d_inv
+            tt = sum(
+                int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                for t in ty[ty > 1]
+            )
+            n_out.append(n)
+            s_out.append(s)
+            tt_out.append(Decimal(tt))
+            tx2_out.append(
+                Decimal(sum(int(t) * (int(t) - 1) for t in tx[tx > 1]))
+            )
+            ty2_out.append(
+                Decimal(sum(int(t) * (int(t) - 1) for t in ty[ty > 1]))
+            )
+        return pd.DataFrame(
+            {
+                "grp": pdf["grp"].iloc[cuts[:-1]].reset_index(drop=True),
+                "n_points": pd.Series(n_out, dtype="int64"),
+                "s_stat": pd.Series(s_out, dtype="int64"),
+                "__tt": pd.Series(tt_out, dtype="object"),
+                "__tx2": pd.Series(tx2_out, dtype="object"),
+                "__ty2": pd.Series(ty2_out, dtype="object"),
+            }
+        )
+
+    return _keyed_ordered_map(pts, ["grp"], [], _stats, schema)
+
+
 def mann_kendall(
     df: DataFrame,
     group_col: str,
@@ -1123,9 +1269,11 @@ def mann_kendall(
     (S−1 or S+1); all-tied groups (Var 0) and single-point groups
     emit NULL z.
 
-    Scale: pairs come from the same per-group self-equi-join as
-    theil_sen — O(n_g²) BY DEFINITION; intended for per-entity series
-    up to ~10k points per group, pre-aggregated.
+    Scale: S and the tie terms come from ONE fused pass per group
+    (``_kendall_group_stats`` — inversion count, O(n_g log n_g) where
+    the r13-replaced pair self-join was O(n_g²), with the upstream
+    series evaluated once instead of twice); intended for per-entity
+    series up to ~10k points per group, pre-aggregated.
 
     Output: group, n_points (bigint), s_stat (bigint), var_s
     (double), z (double)."""
@@ -1141,37 +1289,8 @@ def mann_kendall(
             F.col(y_col).cast("double").alias("__y"),
         )
     )
-    # NOT pinned (localCheckpoint): measured r13 — the cut to a
-    # LogicalRDD loses the aggregate's size stats, degrading the pair
-    # join's strategy (+0.5 s), while the re-evaluated branches run in
-    # parallel stages anyway
-    left, right = pts.alias("l"), pts.alias("r")
-    s = (
-        left.join(right, F.col("l.grp") == F.col("r.grp"))
-        .filter(F.col("l.__x") < F.col("r.__x"))
-        .groupBy(F.col("l.grp").alias("grp"))
-        .agg(
-            F.sum(F.signum(F.col("r.__y") - F.col("l.__y")).cast("int"))
-            .cast("bigint")
-            .alias("s_stat")
-        )
-    )
+    stats = _kendall_group_stats(pts)
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # n_points = Σ t over the per-(grp, y) counts — exact, so the
-    # separate whole-series count pass folds into the tie aggregate
-    ties = (
-        pts.groupBy("grp", "__y")
-        .agg(F.count(F.lit(1)).alias("__t"))
-        .groupBy("grp")
-        .agg(
-            F.sum("__t").cast("bigint").alias("n_points"),
-            F.sum(
-                d(F.col("__t"))
-                * (F.col("__t") - 1)
-                * (2 * F.col("__t") + 5)
-            ).alias("__tt"),
-        )
-    )
     n = F.col("n_points")
     num = d(n) * (n - 1) * (2 * n + 5) - F.col("__tt")
     var_s = num.cast("double") / F.lit(18.0)
@@ -1182,15 +1301,12 @@ def mann_kendall(
     ).when(
         (var_s > 0) & (sb < 0), (sd + F.lit(1.0)) / F.sqrt(var_s)
     ).when((var_s > 0) & (sb == 0), F.lit(0.0))
-    return (
-        ties.join(s, "grp", "left")
-        .select(
-            F.col("grp").alias(group_col),
-            "n_points",
-            sb.alias("s_stat"),
-            F.when(n > 1, var_s).alias("var_s"),
-            F.when(n > 1, z).alias("z"),
-        )
+    return stats.select(
+        F.col("grp").alias(group_col),
+        "n_points",
+        sb.alias("s_stat"),
+        F.when(n > 1, var_s).alias("var_s"),
+        F.when(n > 1, z).alias("z"),
     )
 
 
@@ -1438,16 +1554,19 @@ def kendall_tau_by(
     and y.
 
     Contract: like ``mann_kendall``/``theil_sen``, feed PRE-AGGREGATED
-    series (daily rollups per group) — the pair set is an in-group
-    self-join, O(n_g²) by definition.
+    series (daily rollups per group) — the pair SET is O(n_g²) by
+    definition, but it is never materialized (see Scale).
 
     Exactness: C, D, and every tie term are exact integer counts
-    (one IEEE subtract feeds each ``sign``, exact ±1/0); τ_b is one
-    division and one sqrt on the exact operands.  Groups where either
-    variable is constant (denominator 0) yield NULL.
+    (dense-rank order structure — ``_kendall_group_stats``); τ_b is
+    one division and one sqrt on the exact operands.  Groups where
+    either variable is constant (denominator 0) yield NULL.
 
-    Scale: the self-join shuffles on the group key only; groups
-    parallelize.  n₀/n₁/n₂ come from counts — no ranking pass at all.
+    Scale: ONE hash exchange on the group key + one fused
+    O(n_g log n_g) pass computes S and every tie sum
+    (``_kendall_group_stats`` — the r13-replaced pair self-join was
+    O(n_g²) and evaluated the upstream series three times); groups
+    parallelize.
 
     Output: group_col, n_points, s_stat, tau_b."""
     base = (
@@ -1462,49 +1581,17 @@ def kendall_tau_by(
             F.col(y_col).alias("__y"),
         )
     )
-    # NOT pinned — see mann_kendall (join-strategy regression under
-    # the stat-less LogicalRDD cut)
-    l, r = base.alias("l"), base.alias("r")
-    # every unordered pair once: total (x, y)-lexicographic order with
-    # strict-< on the composite — ties in x pair via the y tiebreak,
-    # (x,y)-identical rows contribute nothing to C, D, or the pair
-    # terms below, so dropping self-vs-duplicate pairs is exact
-    pairs = l.join(
-        r,
-        (F.col("l.__g") == F.col("r.__g"))
-        & (
-            (F.col("l.__x") < F.col("r.__x"))
-            | (
-                (F.col("l.__x") == F.col("r.__x"))
-                & (F.col("l.__y") < F.col("r.__y"))
-            )
-        ),
-    )
-    sgn = F.signum(
-        (F.col("r.__y") - F.col("l.__y")).cast("double")
-    ) * F.signum((F.col("r.__x") - F.col("l.__x")).cast("double"))
-    s = pairs.groupBy(F.col("l.__g").alias("__g")).agg(
-        F.sum(sgn.cast("int")).cast("bigint").alias("s_stat")
-    )
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # n_points = Σ t over the per-(g, x) counts — exact, so the
-    # separate whole-series count pass folds into the x-tie aggregate
-    tx = (
-        base.groupBy("__g", "__x")
-        .agg(F.count(F.lit(1)).alias("__t"))
-        .groupBy("__g")
-        .agg(
-            F.sum("__t").cast("bigint").alias("n_points"),
-            F.sum(d(F.col("__t")) * (F.col("__t") - 1)).alias("__tx2"),
+    # ONE fused pass per group (r13): S via the inversion count, the
+    # x/y tie sums off the same dense ranks — the pair self-join and
+    # the two extra corpus-side count aggregations are gone, and the
+    # upstream series is evaluated once instead of three times (see
+    # _kendall_group_stats for the exactness argument)
+    j = _kendall_group_stats(
+        base.select(
+            F.col("__g").alias("grp"), "__x", "__y"
         )
-    )
-    ty = (
-        base.groupBy("__g", "__y")
-        .agg(F.count(F.lit(1)).alias("__t"))
-        .groupBy("__g")
-        .agg(F.sum(d(F.col("__t")) * (F.col("__t") - 1)).alias("__ty2"))
-    )
-    j = tx.join(s, "__g", "left").join(ty, "__g")
+    ).withColumnRenamed("grp", "__g")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     nn = F.col("n_points")
     n0x2 = d(nn) * (nn - 1)  # 2·n0 = n(n−1)
     denx = (n0x2 - F.col("__tx2")).cast("double") / F.lit(2.0)

@@ -1369,3 +1369,74 @@ def test_lepage_composes_components(spark):
     )
     rf = stattests.lepage_test(flat, "g", "v", "a", "b").collect()[0]
     assert rf["d_stat"] is None and rf["df_lepage"] is None
+
+
+def test_kendall_inversion_path_matches_bruteforce_pairs(spark):
+    # r13 pin: the fused inversion-count path (_kendall_group_stats)
+    # must reproduce the exact pair-loop semantics the operators'
+    # original per-group self-joins computed — S, every tie term, and
+    # the downstream IEEE tails — on adversarial tie structure
+    import math
+    import random
+
+    from bubbles_spark.ops.stattests import kendall_tau_by, mann_kendall
+
+    rng = random.Random(1309)
+    rows = []
+    for g in ("a", "b", "c"):
+        n = rng.choice((37, 64, 101))
+        for _ in range(n):
+            # heavy ties in both axes, plus float noise values
+            x = float(rng.randint(0, 12))
+            y = rng.choice(
+                (float(rng.randint(0, 5)), rng.random() * 4.0)
+            )
+            rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+
+    def brute(grp_rows, strict_x_only):
+        # exact pair loop: S over pairs with x strictly differing
+        s = 0
+        for i in range(len(grp_rows)):
+            for j in range(i + 1, len(grp_rows)):
+                xi, yi = grp_rows[i]
+                xj, yj = grp_rows[j]
+                if xi == xj:
+                    continue
+                sx = 1 if xj > xi else -1
+                sy = 0 if yj == yi else (1 if yj > yi else -1)
+                s += sx * sy
+        return s
+
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, []).append((x, y))
+
+    got_mk = {r["g"]: r for r in mann_kendall(df, "g", "x", "y").collect()}
+    got_kt = {r["g"]: r for r in kendall_tau_by(df, "g", "x", "y").collect()}
+    for g, pts in by_g.items():
+        s_exp = brute(pts, True)
+        n = len(pts)
+        assert got_mk[g]["n_points"] == n and got_kt[g]["n_points"] == n
+        assert got_mk[g]["s_stat"] == s_exp, g
+        assert got_kt[g]["s_stat"] == s_exp, g
+        # tie terms via the documented formulas
+        from collections import Counter
+
+        ty = Counter(y for _, y in pts)
+        tx = Counter(x for x, _ in pts)
+        tt = sum(t * (t - 1) * (2 * t + 5) for t in ty.values())
+        var = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+        if var > 0:
+            zexp = (
+                (s_exp - 1.0) / math.sqrt(var)
+                if s_exp > 0
+                else ((s_exp + 1.0) / math.sqrt(var) if s_exp < 0 else 0.0)
+            )
+            assert got_mk[g]["var_s"] == var and got_mk[g]["z"] == zexp, g
+        tx2 = sum(t * (t - 1) for t in tx.values())
+        ty2 = sum(t * (t - 1) for t in ty.values())
+        denx = (n * (n - 1) - tx2) / 2.0
+        deny = (n * (n - 1) - ty2) / 2.0
+        if denx > 0 and deny > 0:
+            assert got_kt[g]["tau_b"] == s_exp / math.sqrt(denx * deny), g
