@@ -1096,6 +1096,93 @@ def fdr_correct(
     )
 
 
+def _dense_codes(a):
+    """Dense ranks (int64) of a numpy array under the column's natural
+    order; float NaN → one tied greatest value (Spark's sort/grouping
+    semantics).  Exact for ints/doubles/decimals/strings/dates —
+    ``np.unique`` sorts object arrays with Python comparisons, which
+    match Spark's ordering for every type the rank operators accept
+    (UTF8 binary ≡ code-point order for strings — the r13 graph
+    fast-path precedent)."""
+    import numpy as np
+
+    if a.dtype.kind == "f":
+        nan = np.isnan(a)
+        if nan.any():
+            u = np.unique(a[~nan])
+            c = np.searchsorted(u, a).astype(np.int64)
+            c[nan] = len(u)
+            return c
+        return np.searchsorted(np.unique(a), a).astype(np.int64)
+    _, inv = np.unique(a, return_inverse=True)
+    return np.asarray(inv, dtype=np.int64)
+
+
+def _inversions(a):
+    """Strict inversions ``#{i<j : a[i] > a[j]}`` of an int64 code
+    array (Knight 1966, public).  Returns a Python int."""
+    import numpy as np
+
+    return _weighted_inversions(a, np.ones(len(a), dtype=np.int64))
+
+
+def _weighted_inversions(v, w):
+    """Weighted strict inversions ``Σ_{i<j, v[i]>v[j]} w[i]·w[j]`` over
+    dense int64 codes with int64 weights (each element stands for
+    ``w`` identical rows) — bottom-up merge count with EVERY level
+    fully vectorized: blocks are rows of one (n_blocks × 2·width)
+    matrix (power-of-two padding; pad values sort to the end, pad
+    weights are 0 so they can never contribute), the per-row
+    searchsorted collapses to ONE flat searchsorted via row offsets
+    (offset step > max code keeps the flattened array globally
+    sorted), and merges are one stable argsort per level.  A naive
+    per-block Python loop measured ~3 s on a 150k-cell table (75k
+    width-1 blocks); this shape runs the same count in ~40 ms.
+
+    Exactness: codes are dense ranks < n and the caller bounds Σw, so
+    row offsets (< n²) and the total inversion weight (≤ (Σw)²/2)
+    stay inside int64.  Returns a Python int."""
+    import numpy as np
+
+    n = len(v)
+    if n < 2:
+        return 0
+    m = 1 << (n - 1).bit_length()
+    step = np.int64(n + 1)  # > any code; sentinel n sorts last
+    vv = np.full(m, n, dtype=np.int64)
+    vv[:n] = v
+    ww = np.zeros(m, dtype=np.int64)
+    ww[:n] = w
+    inv = 0
+    width = 1
+    while width < m:
+        nb = m // (2 * width)
+        V = vv.reshape(nb, 2 * width)
+        W = ww.reshape(nb, 2 * width)
+        # weight of left-block values strictly greater than each
+        # right-block element: suffix weight sums indexed at the
+        # right-bisect position
+        sfx = np.zeros((nb, width + 1), dtype=np.int64)
+        sfx[:, :-1] = W[:, :width][:, ::-1].cumsum(axis=1)[:, ::-1]
+        off = np.arange(nb, dtype=np.int64)[:, None] * step
+        pos = (
+            np.searchsorted(
+                (V[:, :width] + off).ravel(),
+                (V[:, width:] + off).ravel(),
+                side="right",
+            ).reshape(nb, width)
+            - np.arange(nb, dtype=np.int64)[:, None] * width
+        )
+        inv += int(
+            (W[:, width:] * np.take_along_axis(sfx, pos, axis=1)).sum()
+        )
+        ordr = np.argsort(V, axis=1, kind="stable")
+        vv = np.take_along_axis(V, ordr, axis=1).ravel()
+        ww = np.take_along_axis(W, ordr, axis=1).ravel()
+        width *= 2
+    return inv
+
+
 def _kendall_group_stats(pts: DataFrame) -> DataFrame:
     """Per-group exact Kendall scaffolding in ONE pass — the shared
     core of ``mann_kendall`` and ``kendall_tau_by``: for input columns
@@ -1157,38 +1244,8 @@ def _kendall_group_stats(pts: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        def codes(a):
-            # dense ranks under the column's natural order; NaN → one
-            # tied greatest value (Spark's sort/grouping semantics)
-            if a.dtype.kind == "f":
-                nan = np.isnan(a)
-                if nan.any():
-                    u = np.unique(a[~nan])
-                    c = np.searchsorted(u, a).astype(np.int64)
-                    c[nan] = len(u)
-                    return c
-                return np.searchsorted(np.unique(a), a).astype(np.int64)
-            _, inv = np.unique(a, return_inverse=True)
-            return np.asarray(inv, dtype=np.int64)
-
-        def inversions(a):
-            # strict inversions i<j with a[i] > a[j]: bottom-up merge
-            # count, cross-block counts vectorized via searchsorted
-            n = len(a)
-            a = a.copy()
-            inv = 0
-            width = 1
-            while width < n:
-                for lo in range(0, n, 2 * width):
-                    mid = lo + width
-                    hi = min(lo + 2 * width, n)
-                    if mid >= hi:
-                        continue
-                    pos = np.searchsorted(a[lo:mid], a[mid:hi], side="right")
-                    inv += int((mid - lo - pos).sum())
-                    a[lo:hi] = np.sort(a[lo:hi], kind="stable")
-                width *= 2
-            return inv
+        codes = _dense_codes
+        inversions = _inversions
 
         def pairsum(counts):
             # Σ t(t−1)/2 as an unbounded Python int
@@ -2094,6 +2151,102 @@ def mood_median_test(
     )
 
 
+# jonckheere fast-path caps — they bound ONE task's memory (cells)
+# and int64 exactness of the weighted inversion fold ((Σ rows)²/2
+# must fit int64), not a tuning knob; inputs past either cap take the
+# distributed grid path unchanged
+_JT_LOCAL_CELLS = 2_000_000
+_JT_LOCAL_ROWS = 100_000_000
+
+
+def _jt_local_stats(cgv: DataFrame) -> DataFrame:
+    """Single-task Jonckheere sufficient statistics over the
+    per-(arm, value) cell table (columns __grp, __v, __cg): one row
+    with the exact-integer folds the distributed path assembles from
+    grid/cum/ng/vals — k, n, Σn_g², the three group tie terms, the
+    three pooled-value tie terms, and 2J via the weighted-inversion
+    identity (see ``jonckheere_terpstra``).  Exact: dense ranks +
+    integer counting only; cubic tie terms in unbounded Python ints
+    (they overflow int64 near n ≈ 2M)."""
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("__sn2", DecimalType(38, 0), False),
+            StructField("__g25", DecimalType(38, 0), False),
+            StructField("__g3", DecimalType(38, 0), False),
+            StructField("__g2", DecimalType(38, 0), False),
+            StructField("__t25", DecimalType(38, 0), False),
+            StructField("__t3", DecimalType(38, 0), False),
+            StructField("__t2", DecimalType(38, 0), False),
+            StructField("__j2", DecimalType(38, 0), False),
+        ]
+    )
+
+    def _stats(it):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        cg = _dense_codes(pdf["__grp"].to_numpy())
+        cv = _dense_codes(pdf["__v"].to_numpy())
+        w = pdf["__cg"].to_numpy().astype(np.int64)
+        order = np.lexsort((cv, cg))
+        d_inv = _weighted_inversions(cv[order], w[order])
+        ngs = np.zeros(int(cg.max()) + 1, dtype=np.int64)
+        np.add.at(ngs, cg, w)
+        tvs = np.zeros(int(cv.max()) + 1, dtype=np.int64)
+        np.add.at(tvs, cv, w)
+        n = int(w.sum())
+        n0 = n * (n - 1) // 2
+        n1 = sum(int(t) * (int(t) - 1) for t in ngs) // 2
+        n2 = sum(int(t) * (int(t) - 1) for t in tvs[tvs > 1]) // 2
+        n3 = sum(int(t) * (int(t) - 1) for t in w[w > 1]) // 2
+        j2 = 2 * (n0 - n1) - n2 + n3 - 2 * d_inv
+
+        def t25_t3_t2(counts):
+            t25 = t3 = t2 = 0
+            for t in counts:
+                t = int(t)
+                if t > 1:
+                    t2_ = t * (t - 1)
+                    t2 += t2_
+                    t25 += t2_ * (2 * t + 5)
+                    t3 += t2_ * (t - 2)
+            return t25, t3, t2
+
+        g25, g3, g2 = t25_t3_t2(ngs)
+        t25, t3, t2 = t25_t3_t2(tvs[tvs > 1])
+        yield pd.DataFrame(
+            {
+                "k": pd.Series([len(ngs)], dtype="int64"),
+                "n": pd.Series([n], dtype="int64"),
+                "__sn2": [Decimal(int(sum(int(t) * int(t) for t in ngs)))],
+                "__g25": [Decimal(g25)],
+                "__g3": [Decimal(g3)],
+                "__g2": [Decimal(g2)],
+                "__t25": [Decimal(t25)],
+                "__t3": [Decimal(t3)],
+                "__t2": [Decimal(t2)],
+                "__j2": [Decimal(j2)],
+            }
+        )
+
+    return cgv.coalesce(1).mapInPandas(_stats, schema=schema)
+
+
 def jonckheere_terpstra(
     df: DataFrame,
     group_col: str,
@@ -2107,13 +2260,31 @@ def jonckheere_terpstra(
     (priority tiers, dose levels).
 
     ``J = Σ_{i<j} U_ij`` over ordered group pairs, each ``U_ij`` the
-    Mann–Whitney count ``#(x<y) + ½#(x=y)``.  No pair explosion:
-    per-(group, value) counts spread onto the pooled value grid
-    (distinct values × k arms, zero-filled), cumulated per arm by the
-    shared two-phase rank machinery (``drift._cum_counts_table`` — no
-    single-task sort at any distinct-value count), then one k-row
-    window per value accumulates the strictly-below / tied counts of
-    all PRECEDING arms — so ``2J`` is one exact integer fold.
+    Mann–Whitney count ``#(x<y) + ½#(x=y)``.  No pair explosion, two
+    code paths dispatched by the MEASURED cell-table size (the r13
+    graph fast-path discipline — the threshold bounds one task's
+    memory, not a tuning knob):
+
+    - cell table ≤ the module caps: ``2J`` is a weighted Kendall
+      concordance between the arm order and the value — with N total
+      rows, n₁/n₂/n₃ the arm-tied / value-tied / cell-tied pair
+      counts and D the weighted strict-inversion count of values
+      under the (arm, value) sort, ``2J = 2(n₀−n₁) − n₂ + n₃ − 2D``
+      (expand U_ij over cells to verify; every term an exact
+      integer).  One ``mapInPandas`` task over the already-aggregated
+      (arm, value, count) cells — no grid, no quantile probe, no
+      per-value window.
+    - larger: per-(group, value) counts spread onto the pooled value
+      grid (distinct values × k arms, zero-filled), cumulated per arm
+      by the shared two-phase rank machinery
+      (``drift._cum_counts_table`` — no single-task sort at any
+      distinct-value count), then one k-row window per value
+      accumulates the strictly-below / tied counts of all PRECEDING
+      arms.
+
+    Both paths fold the same exact integers, so they are
+    bit-identical (pinned against each other in
+    ``tests/test_stattests.py``).
 
     Exactness: 2J, every tie term, and the variance components are
     exact integers (DECIMAL(38,0)); the tie-corrected null variance
@@ -2130,68 +2301,92 @@ def jonckheere_terpstra(
     base = df.filter(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
     ).select(F.col(group_col).alias("__grp"), F.col(value_col).alias("__v"))
-    # NOT pinned (localCheckpoint): measured r13 — the stat-less
-    # LogicalRDD cut degraded the grid join (+0.3 s) while the four
-    # re-evaluated count branches run in parallel stages anyway
-    cgv = base.groupBy("__grp", "__v").agg(F.count(F.lit(1)).alias("__cg"))
-    groups = cgv.select("__grp").distinct()
-    vals = cgv.groupBy("__v").agg(F.sum("__cg").alias("__tv"))
-    # zero-filled grid: every (arm, pooled value) cell — k is the
-    # arm count (small by contract), so the grid is k× the pooled
-    # distinct-value table and the broadcast is k rows
-    grid = (
-        vals.select("__v")
-        .crossJoin(F.broadcast(groups))
-        .join(cgv, ["__grp", "__v"], "left")
-        .select("__grp", "__v", F.coalesce("__cg", F.lit(0)).alias("__c"))
+    # LAZY pin (r13): the count table feeds every downstream consumer
+    # (size fold + the fast path, or grid probe / grid join / ng /
+    # tstats on the distributed path) — unpinned, each re-ran the
+    # full corpus aggregation (~8 scans per run measured).
+    # eager=False: the RDD cut materializes inside the size fold's
+    # own job, no separate blocking pin.
+    cgv = (
+        base.groupBy("__grp", "__v")
+        .agg(F.count(F.lit(1)).alias("__cg"))
+        .localCheckpoint(eager=False)
     )
-    cum = _cum_counts_table(grid, "__grp", "__v")
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # per value, accumulate the strictly-below and tied counts of all
-    # PRECEDING arms (k rows per partition — bounded, no skew)
-    w_prev = (
-        Window.partitionBy("__v")
-        .orderBy("__grp")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pref = cum.select(
-        "__grp",
-        "__v",
-        "__c",
-        F.coalesce(
-            F.sum(F.col("__cum") - F.col("__c")).over(w_prev), F.lit(0)
-        ).alias("__plt"),
-        F.coalesce(F.sum("__c").over(w_prev), F.lit(0)).alias("__peq"),
-    )
-    j2 = pref.agg(
-        F.sum(
-            d(F.col("__c"))
-            * (F.lit(2) * F.col("__plt") + F.col("__peq"))
-        ).alias("__j2")
-    )
-    ng = cgv.groupBy("__grp").agg(F.sum("__cg").alias("__ng"))
-    gstats = ng.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("__ng").cast("bigint").alias("n"),
-        F.sum(d(F.col("__ng")) * F.col("__ng")).alias("__sn2"),
-        F.sum(
-            d(F.col("__ng")) * (F.col("__ng") - 1) * (2 * F.col("__ng") + 5)
-        ).alias("__g25"),
-        F.sum(
-            d(F.col("__ng")) * (F.col("__ng") - 1) * (F.col("__ng") - 2)
-        ).alias("__g3"),
-        F.sum(d(F.col("__ng")) * (F.col("__ng") - 1)).alias("__g2"),
-    )
-    tstats = vals.agg(
-        F.sum(
-            d(F.col("__tv")) * (F.col("__tv") - 1) * (2 * F.col("__tv") + 5)
-        ).alias("__t25"),
-        F.sum(
-            d(F.col("__tv")) * (F.col("__tv") - 1) * (F.col("__tv") - 2)
-        ).alias("__t3"),
-        F.sum(d(F.col("__tv")) * (F.col("__tv") - 1)).alias("__t2"),
-    )
-    agg = gstats.crossJoin(F.broadcast(tstats)).crossJoin(F.broadcast(j2))
+    # 1-row size/shape fold (the cronbach contract-fold discipline):
+    # picks the code path and materializes the pin in the same job
+    sz = cgv.agg(
+        F.count(F.lit(1)).alias("__cells"), F.sum("__cg").alias("__rows")
+    ).collect()[0]
+    n_cells, n_rows = sz["__cells"], int(sz["__rows"] or 0)
+    if 0 < n_cells <= _JT_LOCAL_CELLS and n_rows <= _JT_LOCAL_ROWS:
+        agg = _jt_local_stats(cgv)
+    else:
+        groups = cgv.select("__grp").distinct()
+        vals = cgv.groupBy("__v").agg(F.sum("__cg").alias("__tv"))
+        # zero-filled grid: every (arm, pooled value) cell — k is the
+        # arm count (small by contract), so the grid is k× the pooled
+        # distinct-value table and the broadcast is k rows
+        grid = (
+            vals.select("__v")
+            .crossJoin(F.broadcast(groups))
+            .join(cgv.hint("shuffle_hash"), ["__grp", "__v"], "left")
+            .select(
+                "__grp", "__v", F.coalesce("__cg", F.lit(0)).alias("__c")
+            )
+        )
+        cum = _cum_counts_table(grid, "__grp", "__v")
+        # per value, accumulate the strictly-below and tied counts of
+        # all PRECEDING arms (k rows per partition — bounded, no skew)
+        w_prev = (
+            Window.partitionBy("__v")
+            .orderBy("__grp")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pref = cum.select(
+            "__grp",
+            "__v",
+            "__c",
+            F.coalesce(
+                F.sum(F.col("__cum") - F.col("__c")).over(w_prev), F.lit(0)
+            ).alias("__plt"),
+            F.coalesce(F.sum("__c").over(w_prev), F.lit(0)).alias("__peq"),
+        )
+        j2 = pref.agg(
+            F.sum(
+                d(F.col("__c"))
+                * (F.lit(2) * F.col("__plt") + F.col("__peq"))
+            ).alias("__j2")
+        )
+        ng = cgv.groupBy("__grp").agg(F.sum("__cg").alias("__ng"))
+        gstats = ng.agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("__ng").cast("bigint").alias("n"),
+            F.sum(d(F.col("__ng")) * F.col("__ng")).alias("__sn2"),
+            F.sum(
+                d(F.col("__ng"))
+                * (F.col("__ng") - 1)
+                * (2 * F.col("__ng") + 5)
+            ).alias("__g25"),
+            F.sum(
+                d(F.col("__ng")) * (F.col("__ng") - 1) * (F.col("__ng") - 2)
+            ).alias("__g3"),
+            F.sum(d(F.col("__ng")) * (F.col("__ng") - 1)).alias("__g2"),
+        )
+        tstats = vals.agg(
+            F.sum(
+                d(F.col("__tv"))
+                * (F.col("__tv") - 1)
+                * (2 * F.col("__tv") + 5)
+            ).alias("__t25"),
+            F.sum(
+                d(F.col("__tv")) * (F.col("__tv") - 1) * (F.col("__tv") - 2)
+            ).alias("__t3"),
+            F.sum(d(F.col("__tv")) * (F.col("__tv") - 1)).alias("__t2"),
+        )
+        agg = gstats.crossJoin(F.broadcast(tstats)).crossJoin(
+            F.broadcast(j2)
+        )
     nd = F.col("n").cast("double")
     n38 = d(F.col("n"))
     a_term = (

@@ -1440,3 +1440,47 @@ def test_kendall_inversion_path_matches_bruteforce_pairs(spark):
         deny = (n * (n - 1) - ty2) / 2.0
         if denx > 0 and deny > 0:
             assert got_kt[g]["tau_b"] == s_exp / math.sqrt(denx * deny), g
+
+
+def test_jonckheere_local_and_grid_paths_agree(spark):
+    # r13 pin: the single-task weighted-inversion fast path must be
+    # bit-identical to the distributed grid/cum path — same exact
+    # integer folds by construction, checked on tie-heavy data with
+    # string arms (natural-sort arm order) and negative trends
+    import random
+
+    from bubbles_spark.ops import stattests as st
+
+    rng = random.Random(77)
+    rows = []
+    for gi, g in enumerate(("arm_a", "arm_b", "arm_c", "arm_d")):
+        for _ in range(120):
+            # downward trend with heavy ties across arms
+            rows.append((g, float(rng.randint(0, 15) - gi)))
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    fast = st.jonckheere_terpstra(df, "g", "v").collect()[0]
+    old_cells = st._JT_LOCAL_CELLS
+    st._JT_LOCAL_CELLS = 0  # force the distributed grid path
+    try:
+        grid = st.jonckheere_terpstra(df, "g", "v").collect()[0]
+    finally:
+        st._JT_LOCAL_CELLS = old_cells
+    assert fast.asDict() == grid.asDict()
+    # sanity: trend is downward -> z decidedly negative
+    assert fast["z"] < -3.0
+
+    # degenerate inputs agree too: all values tied, and a single arm
+    flat = spark.createDataFrame(
+        [("a", 1.0)] * 5 + [("b", 1.0)] * 5, "g string, v double"
+    )
+    one = spark.createDataFrame([("a", float(i)) for i in range(5)],
+                                "g string, v double")
+    for d in (flat, one):
+        f = st.jonckheere_terpstra(d, "g", "v").collect()[0]
+        st._JT_LOCAL_CELLS = 0
+        try:
+            g = st.jonckheere_terpstra(d, "g", "v").collect()[0]
+        finally:
+            st._JT_LOCAL_CELLS = old_cells
+        assert f.asDict() == g.asDict()
