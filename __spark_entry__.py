@@ -3426,6 +3426,12 @@ def q_tpch_q11_like(spark, sf_dir):
         ps.join(F.broadcast(nat_supp), ps.ps_suppkey == F.col("s_suppkey"))
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("supplycost") * F.col("availqty")).alias("__vdec"))
+        # LAZY pin (r13): scoped feeds both the per-part values and the
+        # grand-total threshold — unpinned, the full lineitem aggregate
+        # ran twice per action (locally flat: interleaved A/B min
+        # 1.435 -> 1.378 s; at scale one corpus aggregation instead of
+        # two)
+        .localCheckpoint(eager=False)
     )
     total = scoped.agg(
         (F.sum("__vdec").cast("double") * F.lit(0.001)).alias("__thr")
