@@ -2151,12 +2151,14 @@ def mood_median_test(
     )
 
 
-# jonckheere fast-path caps — they bound ONE task's memory (cells)
-# and int64 exactness of the weighted inversion fold ((Σ rows)²/2
-# must fit int64), not a tuning knob; inputs past either cap take the
-# distributed grid path unchanged
-_JT_LOCAL_CELLS = 2_000_000
-_JT_LOCAL_ROWS = 100_000_000
+# cell-fold fast-path caps, shared by the rank-family single-task
+# folds (jonckheere, anderson_darling_k): they bound ONE task's
+# memory (cells / the zero-filled k×V grid) and int64 exactness of
+# the integer folds ((Σ rows)²/2 must fit int64), not a tuning knob;
+# inputs past any cap take the distributed grid path unchanged
+_CELL_FOLD_MAX_CELLS = 2_000_000
+_CELL_FOLD_MAX_ROWS = 100_000_000
+_CELL_FOLD_MAX_GRID = 4_000_000
 
 
 def _jt_local_stats(cgv: DataFrame) -> DataFrame:
@@ -2319,7 +2321,7 @@ def jonckheere_terpstra(
         F.count(F.lit(1)).alias("__cells"), F.sum("__cg").alias("__rows")
     ).collect()[0]
     n_cells, n_rows = sz["__cells"], int(sz["__rows"] or 0)
-    if 0 < n_cells <= _JT_LOCAL_CELLS and n_rows <= _JT_LOCAL_ROWS:
+    if 0 < n_cells <= _CELL_FOLD_MAX_CELLS and n_rows <= _CELL_FOLD_MAX_ROWS:
         agg = _jt_local_stats(cgv)
     else:
         groups = cgv.select("__grp").distinct()
@@ -2686,6 +2688,122 @@ def mantel_haenszel(
     )
 
 
+def _ad_local_stats(cgv: DataFrame) -> DataFrame:
+    """Single-task Anderson–Darling sufficient statistics over the
+    per-(arm, value) cell table (columns __grp, __v, __cg): one row
+    with exactly the distributed path's final aggregate — k, n, __sq
+    (micro-quantized term sum, decimal(38,0)), __at (all-tied flag).
+
+    Bit-exactness is replayed operation for operation on the dense
+    k×V grid: integer cums/l/d2/N in int64 (caller-capped), each term
+    the same IEEE sequence ``l/N · (num·num) / den`` on the same
+    correctly-rounded double operands, and the 1e-6 micro-quantization
+    reproduced as Spark computes it — ``round(double, 0)`` goes
+    through the shortest-decimal rendering with HALF_UP, which for
+    non-negative doubles equals round-half-even EXCEPT at exact
+    binary .5 fractions (a ".5" rendering round-trips only for an
+    exact .5 double), where HALF_UP adds one — the r13 graph-replay
+    quantization discipline."""
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("n", LongType(), False),
+            # NULL when no pooled value passes the den > 0 gate (the
+            # distributed path's SUM over zero non-NULL terms)
+            StructField("__sq", DecimalType(38, 0), True),
+            StructField("__at", IntegerType(), False),
+        ]
+    )
+
+    def _q_halfup(x):
+        # Spark round(double, 0): HALF_UP over the shortest-decimal
+        # rendering; == np.round except exact .5 fractions (x >= 0)
+        import numpy as np
+
+        r = np.round(x)
+        half = (x - np.floor(x)) == 0.5
+        if half.any():
+            r = np.where(half, np.floor(x) + 1.0, r)
+        return r
+
+    def _stats(it):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        cg = _dense_codes(pdf["__grp"].to_numpy())
+        cv = _dense_codes(pdf["__v"].to_numpy())
+        w = pdf["__cg"].to_numpy().astype(np.int64)
+        k = int(cg.max()) + 1
+        nv = int(cv.max()) + 1
+        C = np.zeros((k, nv), dtype=np.int64)
+        C[cg, cv] = w
+        cum = C.cumsum(axis=1)
+        ng = C.sum(axis=1)
+        l = C.sum(axis=0)
+        n = int(l.sum())
+        t2 = 2 * cum - C
+        d2 = t2.sum(axis=0)
+        num = (n * t2 - d2[None, :] * ng[:, None]).astype(np.float64)
+        den = d2 * (2 * n - d2) - np.int64(n) * l
+        # den is a pooled (per-value) quantity, so the NULL-term mask
+        # is uniform across groups
+        ok = den > 0
+        at = int((l == n).any())
+        if not ok.any():
+            sq = None
+        else:
+            ld = l.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                term = (
+                    (ld / float(n))[None, :]
+                    * (num * num)
+                    / den.astype(np.float64)[None, :]
+                )
+                qt = _q_halfup(term * 1e6)
+            qt = qt[:, ok]
+            # per-group quantized term sums as exact ints (the
+            # decimal(38,0) folds): int64 vector sum when provably
+            # in-range, unbounded Python ints otherwise — the rounded
+            # doubles are integral, so the conversions are exact
+            sq = 0
+            for g in range(k):
+                row = qt[g]
+                if row.size and float(np.abs(row).max()) * row.size < 2**62:
+                    tq = int(row.astype(np.int64).sum())
+                else:
+                    tq = sum(int(Decimal(float(x))) for x in row)
+                inner = (float(tq) / 1e6) / float(ng[g])
+                v = inner * 1e6
+                r = np.round(v)
+                if (v - np.floor(v)) == 0.5:
+                    r = np.floor(v) + 1.0
+                sq += int(Decimal(float(r)))
+        yield pd.DataFrame(
+            {
+                "k": pd.Series([k], dtype="int64"),
+                "n": pd.Series([n], dtype="int64"),
+                "__sq": [None if sq is None else Decimal(sq)],
+                "__at": pd.Series([at], dtype="int32"),
+            }
+        )
+
+    return cgv.coalesce(1).mapInPandas(_stats, schema=schema)
+
+
 def anderson_darling_k(
     df: DataFrame,
     group_col: str,
@@ -2728,65 +2846,88 @@ def anderson_darling_k(
         .agg(F.count(F.lit(1)).alias("__cg"))
         .localCheckpoint(eager=False)
     )
-    groups = cgv.select("__grp").distinct()
-    vals = cgv.groupBy("__v").agg(F.sum("__cg").alias("__l"))
-    grid = (
-        vals.select("__v")
-        .crossJoin(F.broadcast(groups))
-        .join(cgv, ["__grp", "__v"], "left")
-        .select("__grp", "__v", F.coalesce("__cg", F.lit(0)).alias("__c"))
-    )
-    cum = _cum_counts_table(grid, "__grp", "__v")
-    w_val = Window.partitionBy("__v")
-    # pooled multiplicity and pooled doubled midrank cum per value
-    # (sums over the k arms at that value — k rows per partition)
-    enriched = cum.select(
-        "__grp",
-        "__v",
-        "__c",
-        "__cum",
-        F.col("__n").alias("__ng"),
-        F.sum("__c").over(w_val).alias("__l"),
-        F.sum(F.lit(2) * F.col("__cum") - F.col("__c"))
-        .over(w_val)
-        .alias("__d2"),
-    )
-    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    # pooled N as a 1-row aggregate broadcast onto the grid — NOT an
-    # unpartitioned Window, which would funnel the whole (values × k)
-    # grid through a single task at high value cardinality
-    n_row = grid.agg(F.sum("__c").alias("__N"))
-    withn = enriched.crossJoin(F.broadcast(n_row))
-    t2 = F.lit(2) * F.col("__cum") - F.col("__c")
-    num = d38(F.col("__N")) * t2 - d38(F.col("__d2")) * F.col("__ng")
-    den = d38(F.col("__d2")) * (
-        F.lit(2) * F.col("__N") - F.col("__d2")
-    ) - d38(F.col("__N")) * F.col("__l")
-    term = F.when(
-        den > 0,
-        F.col("__l").cast("double")
-        / F.col("__N").cast("double")
-        * (num.cast("double") * num.cast("double"))
-        / den.cast("double"),
-    )
-    q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")  # noqa: E731
-    per_group = withn.groupBy("__grp").agg(
-        F.first("__ng").alias("__ng"),
-        F.first("__N").alias("__N"),
-        F.sum(q(term)).alias("__tq"),
-        F.max((F.col("__l") == F.col("__N")).cast("int")).alias("__alltied"),
-    )
-    inner = (
-        F.col("__tq").cast("double")
-        / F.lit(1e6)
-        / F.col("__ng").cast("double")
-    )
-    agg = per_group.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.first("__N").cast("bigint").alias("n"),
-        F.sum(q(inner)).alias("__sq"),
-        F.max("__alltied").alias("__at"),
-    )
+    # 1-row size/shape fold (the jonckheere dispatch): picks the code
+    # path and materializes the pin in the same job; the grid cap
+    # bounds the fast path's dense k×V matrix
+    sz = cgv.agg(
+        F.count(F.lit(1)).alias("__cells"),
+        F.sum("__cg").alias("__rows"),
+        F.countDistinct("__grp").alias("__k"),
+        F.countDistinct("__v").alias("__nv"),
+    ).collect()[0]
+    n_cells, n_rows = sz["__cells"], int(sz["__rows"] or 0)
+    grid_sz = int(sz["__k"] or 0) * int(sz["__nv"] or 0)
+    if (
+        0 < n_cells <= _CELL_FOLD_MAX_CELLS
+        and n_rows <= _CELL_FOLD_MAX_ROWS
+        and grid_sz <= _CELL_FOLD_MAX_GRID
+    ):
+        agg = _ad_local_stats(cgv)
+    else:
+        groups = cgv.select("__grp").distinct()
+        vals = cgv.groupBy("__v").agg(F.sum("__cg").alias("__l"))
+        grid = (
+            vals.select("__v")
+            .crossJoin(F.broadcast(groups))
+            .join(cgv, ["__grp", "__v"], "left")
+            .select(
+                "__grp", "__v", F.coalesce("__cg", F.lit(0)).alias("__c")
+            )
+        )
+        cum = _cum_counts_table(grid, "__grp", "__v")
+        w_val = Window.partitionBy("__v")
+        # pooled multiplicity and pooled doubled midrank cum per value
+        # (sums over the k arms at that value — k rows per partition)
+        enriched = cum.select(
+            "__grp",
+            "__v",
+            "__c",
+            "__cum",
+            F.col("__n").alias("__ng"),
+            F.sum("__c").over(w_val).alias("__l"),
+            F.sum(F.lit(2) * F.col("__cum") - F.col("__c"))
+            .over(w_val)
+            .alias("__d2"),
+        )
+        d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        # pooled N as a 1-row aggregate broadcast onto the grid — NOT
+        # an unpartitioned Window, which would funnel the whole
+        # (values × k) grid through a single task at high value
+        # cardinality
+        n_row = grid.agg(F.sum("__c").alias("__N"))
+        withn = enriched.crossJoin(F.broadcast(n_row))
+        t2 = F.lit(2) * F.col("__cum") - F.col("__c")
+        num = d38(F.col("__N")) * t2 - d38(F.col("__d2")) * F.col("__ng")
+        den = d38(F.col("__d2")) * (
+            F.lit(2) * F.col("__N") - F.col("__d2")
+        ) - d38(F.col("__N")) * F.col("__l")
+        term = F.when(
+            den > 0,
+            F.col("__l").cast("double")
+            / F.col("__N").cast("double")
+            * (num.cast("double") * num.cast("double"))
+            / den.cast("double"),
+        )
+        q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")  # noqa: E731
+        per_group = withn.groupBy("__grp").agg(
+            F.first("__ng").alias("__ng"),
+            F.first("__N").alias("__N"),
+            F.sum(q(term)).alias("__tq"),
+            F.max(
+                (F.col("__l") == F.col("__N")).cast("int")
+            ).alias("__alltied"),
+        )
+        inner = (
+            F.col("__tq").cast("double")
+            / F.lit(1e6)
+            / F.col("__ng").cast("double")
+        )
+        agg = per_group.agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.first("__N").cast("bigint").alias("n"),
+            F.sum(q(inner)).alias("__sq"),
+            F.max("__alltied").alias("__at"),
+        )
     nd = F.col("n").cast("double")
     a2 = (
         (nd - F.lit(1.0))

@@ -1460,12 +1460,12 @@ def test_jonckheere_local_and_grid_paths_agree(spark):
     df = spark.createDataFrame(rows, "g string, v double")
 
     fast = st.jonckheere_terpstra(df, "g", "v").collect()[0]
-    old_cells = st._JT_LOCAL_CELLS
-    st._JT_LOCAL_CELLS = 0  # force the distributed grid path
+    old_cells = st._CELL_FOLD_MAX_CELLS
+    st._CELL_FOLD_MAX_CELLS = 0  # force the distributed grid path
     try:
         grid = st.jonckheere_terpstra(df, "g", "v").collect()[0]
     finally:
-        st._JT_LOCAL_CELLS = old_cells
+        st._CELL_FOLD_MAX_CELLS = old_cells
     assert fast.asDict() == grid.asDict()
     # sanity: trend is downward -> z decidedly negative
     assert fast["z"] < -3.0
@@ -1478,9 +1478,50 @@ def test_jonckheere_local_and_grid_paths_agree(spark):
                                 "g string, v double")
     for d in (flat, one):
         f = st.jonckheere_terpstra(d, "g", "v").collect()[0]
-        st._JT_LOCAL_CELLS = 0
+        st._CELL_FOLD_MAX_CELLS = 0
         try:
             g = st.jonckheere_terpstra(d, "g", "v").collect()[0]
         finally:
-            st._JT_LOCAL_CELLS = old_cells
+            st._CELL_FOLD_MAX_CELLS = old_cells
         assert f.asDict() == g.asDict()
+
+
+def test_anderson_darling_local_and_grid_paths_agree(spark):
+    # r13 pin: the single-task dense-grid fold must be bit-identical
+    # to the distributed grid/cum path, including the 1e-6 HALF_UP
+    # micro-quantization — checked on tie-heavy multi-arm data and on
+    # near-unique doubles (where rounding boundaries actually bite)
+    import random
+
+    from bubbles_spark.ops import stattests as st
+
+    rng = random.Random(4242)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(400):
+            rows.append((g, float(rng.randint(0, 30))))   # heavy ties
+        for _ in range(400):
+            rows.append((g, rng.gauss(0.0, 1.0)))         # near-unique
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    fast = st.anderson_darling_k(df, "g", "v").collect()[0]
+    old = st._CELL_FOLD_MAX_CELLS
+    st._CELL_FOLD_MAX_CELLS = 0  # force the distributed grid path
+    try:
+        grid = st.anderson_darling_k(df, "g", "v").collect()[0]
+    finally:
+        st._CELL_FOLD_MAX_CELLS = old
+    assert fast.asDict() == grid.asDict()
+    assert fast["a2_akn"] is not None
+
+    # degenerate: all tied -> NULL statistic on both paths
+    flat = spark.createDataFrame(
+        [("a", 1.0)] * 4 + [("b", 1.0)] * 4, "g string, v double"
+    )
+    f = st.anderson_darling_k(flat, "g", "v").collect()[0]
+    st._CELL_FOLD_MAX_CELLS = 0
+    try:
+        g = st.anderson_darling_k(flat, "g", "v").collect()[0]
+    finally:
+        st._CELL_FOLD_MAX_CELLS = old
+    assert f.asDict() == g.asDict() and f["a2_akn"] is None
