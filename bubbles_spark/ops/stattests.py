@@ -545,6 +545,91 @@ def mann_whitney_u(
     )
 
 
+def _kw_local_stats(cgv: DataFrame) -> DataFrame:
+    """Single-task Kruskal–Wallis sufficient statistics over the
+    per-(group, value) cell table (columns __grp, __v, __cg): one row
+    with the distributed path's final aggregate — k, n, __s (the
+    micro-quantized Σ R_g²/n_g fold, decimal(38,0)), __tie3.
+
+    Exact replay: pooled cums/doubled rank sums are integer folds on
+    dense value ranks; each group's term repeats the same IEEE
+    sequence ``(2R_g)²/(4·n_g)·1e6`` on the same correctly-rounded
+    double operands with the HALF_UP shortest-decimal quantization
+    (see ``_ad_local_stats``); the cubic tie sum uses unbounded
+    Python ints."""
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("__s", DecimalType(38, 0), False),
+            StructField("__tie3", DecimalType(38, 0), False),
+        ]
+    )
+
+    def _stats(it):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        cg = _dense_codes(pdf["__grp"].to_numpy())
+        cv = _dense_codes(pdf["__v"].to_numpy())
+        w = pdf["__cg"].to_numpy().astype(np.int64)
+        k = int(cg.max()) + 1
+        nv = int(cv.max()) + 1
+        # pooled per-value counts and cumulative (value-rank order)
+        c = np.zeros(nv, dtype=np.int64)
+        np.add.at(c, cv, w)
+        cum = c.cumsum()
+        n = int(cum[-1])
+        # per-group doubled rank sums: Σ_cells cg·(2·cum_v − c_v + 1);
+        # n ≤ the caller's row cap, so per-cell products fit int64,
+        # but the per-group SUMS can pass 2^63 — fold as Python ints
+        contrib = w * (2 * cum[cv] - c[cv] + 1)
+        ng = np.zeros(k, dtype=np.int64)
+        np.add.at(ng, cg, w)
+        order = np.argsort(cg, kind="stable")
+        bounds = np.flatnonzero(
+            np.r_[True, cg[order][1:] != cg[order][:-1], True]
+        )
+        s = 0
+        for i in range(len(bounds) - 1):
+            seg = order[bounds[i] : bounds[i + 1]]
+            g = int(cg[seg[0]])
+            two_rg = sum(int(x) for x in contrib[seg])
+            term = (
+                (float(two_rg) * float(two_rg))
+                / (4.0 * float(ng[g]))
+                * 1e6
+            )
+            r = np.round(term)
+            if (term - np.floor(term)) == 0.5:
+                r = np.floor(term) + 1.0
+            s += int(Decimal(float(r)))
+        tie3 = sum(int(t) ** 3 - int(t) for t in c[c > 1])
+        yield pd.DataFrame(
+            {
+                "k": pd.Series([k], dtype="int64"),
+                "n": pd.Series([n], dtype="int64"),
+                "__s": [Decimal(s)],
+                "__tie3": [Decimal(tie3)],
+            }
+        )
+
+    return cgv.coalesce(1).mapInPandas(_stats, schema=schema)
+
+
 def kruskal_wallis(
     df: DataFrame,
     group_col: str,
@@ -581,48 +666,59 @@ def kruskal_wallis(
         .agg(F.count(F.lit(1)).alias("__cg"))
         .localCheckpoint(eager=False)
     )
-    pooled = (
-        cgv.groupBy("__v")
-        .agg(F.sum("__cg").cast("bigint").alias("__c"))
-        .withColumn("__g", F.lit(0))
-    )
-    cum = _cum_counts_prebuilt(pooled, "__g", "__v").select(
-        "__v", "__c", "__cum"
-    )
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    per_group = (
-        cgv.join(cum, "__v")
-        .groupBy("__grp")
-        .agg(
-            F.sum(
-                d(F.col("__cg"))
-                * d(F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
-            ).alias("__2rg"),
-            F.sum("__cg").cast("bigint").alias("__ng"),
+    # 1-row size fold (the jonckheere dispatch): picks the code path
+    # and materializes the pin in the same job
+    sz = cgv.agg(
+        F.count(F.lit(1)).alias("__cells"), F.sum("__cg").alias("__rows")
+    ).collect()[0]
+    n_cells, n_rows = sz["__cells"], int(sz["__rows"] or 0)
+    if 0 < n_cells <= _CELL_FOLD_MAX_CELLS and n_rows <= _CELL_FOLD_MAX_ROWS:
+        agg = _kw_local_stats(cgv)
+    else:
+        pooled = (
+            cgv.groupBy("__v")
+            .agg(F.sum("__cg").cast("bigint").alias("__c"))
+            .withColumn("__g", F.lit(0))
         )
-    )
-    two_rg = F.col("__2rg").cast("double")
-    # micro-quantized INTEGER decimal, not CAST(... AS DECIMAL(38,6)):
-    # the term needs ~17 significant digits and fractional-scale
-    # double→decimal conversion diverges 1 ulp between engines there
-    # (measured on this very query); round-to-integer of a shared
-    # IEEE product is identical in both, and an INTEGER decimal →
-    # double cast is the correctly-rounded int conversion both ways
-    term = F.round(
-        (two_rg * two_rg)
-        / (F.lit(4.0) * F.col("__ng").cast("double"))
-        * F.lit(1e6),
-        0,
-    ).cast("decimal(38,0)")
-    ties = cum.agg(
-        F.sum(d(F.col("__c")) * F.col("__c") * F.col("__c") - F.col("__c"))
-        .alias("__tie3")
-    )
-    agg = per_group.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("__ng").cast("bigint").alias("n"),
-        F.sum(term).alias("__s"),
-    ).crossJoin(F.broadcast(ties))
+        cum = _cum_counts_prebuilt(pooled, "__g", "__v").select(
+            "__v", "__c", "__cum"
+        )
+        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        per_group = (
+            cgv.join(cum, "__v")
+            .groupBy("__grp")
+            .agg(
+                F.sum(
+                    d(F.col("__cg"))
+                    * d(F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+                ).alias("__2rg"),
+                F.sum("__cg").cast("bigint").alias("__ng"),
+            )
+        )
+        two_rg = F.col("__2rg").cast("double")
+        # micro-quantized INTEGER decimal, not CAST(... AS
+        # DECIMAL(38,6)): the term needs ~17 significant digits and
+        # fractional-scale double→decimal conversion diverges 1 ulp
+        # between engines there (measured on this very query);
+        # round-to-integer of a shared IEEE product is identical in
+        # both, and an INTEGER decimal → double cast is the
+        # correctly-rounded int conversion both ways
+        term = F.round(
+            (two_rg * two_rg)
+            / (F.lit(4.0) * F.col("__ng").cast("double"))
+            * F.lit(1e6),
+            0,
+        ).cast("decimal(38,0)")
+        ties = cum.agg(
+            F.sum(
+                d(F.col("__c")) * F.col("__c") * F.col("__c") - F.col("__c")
+            ).alias("__tie3")
+        )
+        agg = per_group.agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("__ng").cast("bigint").alias("n"),
+            F.sum(term).alias("__s"),
+        ).crossJoin(F.broadcast(ties))
     nd = F.col("n").cast("double")
     sd = F.col("__s").cast("double") / F.lit(1e6)
     h = (

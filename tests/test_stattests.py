@@ -1525,3 +1525,30 @@ def test_anderson_darling_local_and_grid_paths_agree(spark):
     finally:
         st._CELL_FOLD_MAX_CELLS = old
     assert f.asDict() == g.asDict() and f["a2_akn"] is None
+
+
+def test_kruskal_local_and_distributed_paths_agree(spark):
+    # r13 pin: single-task fold vs distributed cum machinery,
+    # including the 1e-6 HALF_UP micro-quantized rank-sum terms
+    import random
+
+    from bubbles_spark.ops import stattests as st
+
+    rng = random.Random(909)
+    rows = []
+    for g in ("x", "y", "z"):
+        for _ in range(300):
+            rows.append((g, float(rng.randint(0, 25))))
+        for _ in range(300):
+            rows.append((g, rng.gauss(5.0, 3.0)))
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    fast = st.kruskal_wallis(df, "g", "v").collect()[0]
+    old = st._CELL_FOLD_MAX_CELLS
+    st._CELL_FOLD_MAX_CELLS = 0
+    try:
+        dist = st.kruskal_wallis(df, "g", "v").collect()[0]
+    finally:
+        st._CELL_FOLD_MAX_CELLS = old
+    assert fast.asDict() == dist.asDict()
+    assert fast["h_tied"] is not None
