@@ -2143,6 +2143,84 @@ def friedman_test(
     )
 
 
+def _mood_local_stats(cgv: DataFrame) -> DataFrame:
+    """Single-task Mood's-median sufficient statistics over the
+    per-(group, value) cell table (columns __grp, __v, __cg): one row
+    with the distributed path's final aggregate — k, n, n_above,
+    __med (input value type), __s (micro-quantized per-group term
+    sum, decimal(38,0)).  Exact replay: the type-1 lower median and
+    the above-median counts are pure integer facts on dense value
+    ranks; each term repeats ``(a·N − n_g·A)² / n_g · 1e6`` as the
+    same IEEE sequence with HALF_UP shortest-decimal quantization
+    (see ``_ad_local_stats``)."""
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    vf = cgv.schema["__v"]
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("n_above", LongType(), False),
+            StructField("__med", vf.dataType, True),
+            StructField("__s", DecimalType(38, 0), False),
+        ]
+    )
+
+    def _stats(it):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        cg = _dense_codes(pdf["__grp"].to_numpy())
+        cv = _dense_codes(pdf["__v"].to_numpy())
+        w = pdf["__cg"].to_numpy().astype(np.int64)
+        k = int(cg.max()) + 1
+        nv = int(cv.max()) + 1
+        c = np.zeros(nv, dtype=np.int64)
+        np.add.at(c, cv, w)
+        cum = c.cumsum()
+        n = int(cum[-1])
+        med_code = int(np.flatnonzero(2 * cum >= n)[0])
+        # median VALUE in the input's own type: any cell row whose
+        # value code equals med_code carries it
+        med_val = pdf["__v"].iloc[int(np.flatnonzero(cv == med_code)[0])]
+        above = cv > med_code
+        a = np.zeros(k, dtype=np.int64)
+        np.add.at(a, cg[above], w[above])
+        ng = np.zeros(k, dtype=np.int64)
+        np.add.at(ng, cg, w)
+        ta = int(a.sum())
+        s = 0
+        for g in range(k):
+            diff = float(int(a[g]) * n - int(ng[g]) * ta)
+            term = diff * diff / float(ng[g]) * 1e6
+            r = np.round(term)
+            if (term - np.floor(term)) == 0.5:
+                r = np.floor(term) + 1.0
+            s += int(Decimal(float(r)))
+        yield pd.DataFrame(
+            {
+                "k": pd.Series([k], dtype="int64"),
+                "n": pd.Series([n], dtype="int64"),
+                "n_above": pd.Series([ta], dtype="int64"),
+                "__med": pd.Series([med_val]),
+                "__s": [Decimal(s)],
+            }
+        )
+
+    return cgv.coalesce(1).mapInPandas(_stats, schema=schema)
+
+
 def mood_median_test(
     df: DataFrame,
     group_col: str,
@@ -2185,54 +2263,63 @@ def mood_median_test(
         .agg(F.count(F.lit(1)).alias("__cg"))
         .localCheckpoint(eager=False)
     )
-    pooled = (
-        cgv.groupBy("__v")
-        .agg(F.sum("__cg").cast("bigint").alias("__c"))
-        .withColumn("__g", F.lit(0))
-    )
-    cum = _cum_counts_prebuilt(pooled, "__g", "__v")
-    med = (
-        cum.filter(F.lit(2) * F.col("__cum") >= F.col("__n"))
-        .agg(F.min("__v").alias("__med"))
-    )
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    per_group = (
-        cgv.join(F.broadcast(med))
-        .groupBy("__grp")
-        .agg(
-            F.sum(
-                F.when(F.col("__v") > F.col("__med"), F.col("__cg")).otherwise(
-                    F.lit(0)
-                )
-            )
-            .cast("bigint")
-            .alias("__a"),
-            F.sum("__cg").cast("bigint").alias("__ng"),
-            F.first("__med").alias("__med"),
+    # 1-row size fold (the jonckheere dispatch): picks the code path
+    # and materializes the pin in the same job
+    sz = cgv.agg(
+        F.count(F.lit(1)).alias("__cells"), F.sum("__cg").alias("__rows")
+    ).collect()[0]
+    n_cells, n_rows = sz["__cells"], int(sz["__rows"] or 0)
+    if 0 < n_cells <= _CELL_FOLD_MAX_CELLS and n_rows <= _CELL_FOLD_MAX_ROWS:
+        agg = _mood_local_stats(cgv)
+    else:
+        pooled = (
+            cgv.groupBy("__v")
+            .agg(F.sum("__cg").cast("bigint").alias("__c"))
+            .withColumn("__g", F.lit(0))
         )
-    )
-    tot = per_group.groupBy().agg(
-        F.sum("__a").cast("bigint").alias("__ta"),
-        F.sum("__ng").cast("bigint").alias("__tn"),
-        F.count(F.lit(1)).cast("bigint").alias("__k"),
-    )
-    j = per_group.crossJoin(F.broadcast(tot))
-    # exact integer numerator in decimal, cast double once (the
-    # kruskal two_rg budget: correctly-rounded ~17 significant
-    # digits), per-group division fixed-IEEE, micro-quantized sum
-    diff = (
-        d(F.col("__a")) * F.col("__tn") - d(F.col("__ng")) * F.col("__ta")
-    ).cast("double")
-    term = F.round(
-        diff * diff / F.col("__ng").cast("double") * F.lit(1e6), 0
-    ).cast("decimal(38,0)")
-    agg = j.groupBy().agg(
-        F.first(F.col("__k")).alias("k"),
-        F.first(F.col("__tn")).alias("n"),
-        F.first(F.col("__ta")).alias("n_above"),
-        F.first(F.col("__med")).alias("__med"),
-        F.sum(term).alias("__s"),
-    )
+        cum = _cum_counts_prebuilt(pooled, "__g", "__v")
+        med = (
+            cum.filter(F.lit(2) * F.col("__cum") >= F.col("__n"))
+            .agg(F.min("__v").alias("__med"))
+        )
+        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        per_group = (
+            cgv.join(F.broadcast(med))
+            .groupBy("__grp")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("__v") > F.col("__med"), F.col("__cg")
+                    ).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias("__a"),
+                F.sum("__cg").cast("bigint").alias("__ng"),
+                F.first("__med").alias("__med"),
+            )
+        )
+        tot = per_group.groupBy().agg(
+            F.sum("__a").cast("bigint").alias("__ta"),
+            F.sum("__ng").cast("bigint").alias("__tn"),
+            F.count(F.lit(1)).cast("bigint").alias("__k"),
+        )
+        j = per_group.crossJoin(F.broadcast(tot))
+        # exact integer numerator in decimal, cast double once (the
+        # kruskal two_rg budget: correctly-rounded ~17 significant
+        # digits), per-group division fixed-IEEE, micro-quantized sum
+        diff = (
+            d(F.col("__a")) * F.col("__tn") - d(F.col("__ng")) * F.col("__ta")
+        ).cast("double")
+        term = F.round(
+            diff * diff / F.col("__ng").cast("double") * F.lit(1e6), 0
+        ).cast("decimal(38,0)")
+        agg = j.groupBy().agg(
+            F.first(F.col("__k")).alias("k"),
+            F.first(F.col("__tn")).alias("n"),
+            F.first(F.col("__ta")).alias("n_above"),
+            F.first(F.col("__med")).alias("__med"),
+            F.sum(term).alias("__s"),
+        )
     a_tot = F.col("n_above").cast("double")
     b_tot = (F.col("n") - F.col("n_above")).cast("double")
     chi2 = F.col("__s").cast("double") / F.lit(1e6) / (a_tot * b_tot)

@@ -1552,3 +1552,37 @@ def test_kruskal_local_and_distributed_paths_agree(spark):
         st._CELL_FOLD_MAX_CELLS = old
     assert fast.asDict() == dist.asDict()
     assert fast["h_tied"] is not None
+
+
+def test_mood_local_and_distributed_paths_agree(spark):
+    # r13 pin: single-task fold vs distributed median/classification
+    import random
+
+    from bubbles_spark.ops import stattests as st
+
+    rng = random.Random(31)
+    rows = [(g, float(rng.randint(0, 40)) + (0.5 if rng.random() < 0.3 else 0.0))
+            for g in ("p", "q", "r") for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    fast = st.mood_median_test(df, "g", "v").collect()[0]
+    old = st._CELL_FOLD_MAX_CELLS
+    st._CELL_FOLD_MAX_CELLS = 0
+    try:
+        dist = st.mood_median_test(df, "g", "v").collect()[0]
+    finally:
+        st._CELL_FOLD_MAX_CELLS = old
+    assert fast.asDict() == dist.asDict()
+    assert fast["chi2"] is not None
+
+    # degenerate: all values equal -> B = 0 -> NULL chi2, both paths
+    flat = spark.createDataFrame(
+        [("a", 2.0)] * 4 + [("b", 2.0)] * 4, "g string, v double"
+    )
+    f = st.mood_median_test(flat, "g", "v").collect()[0]
+    st._CELL_FOLD_MAX_CELLS = 0
+    try:
+        g2 = st.mood_median_test(flat, "g", "v").collect()[0]
+    finally:
+        st._CELL_FOLD_MAX_CELLS = old
+    assert f.asDict() == g2.asDict() and f["chi2"] is None
