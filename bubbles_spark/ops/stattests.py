@@ -447,6 +447,167 @@ def bootstrap_ci(
     )
 
 
+def _cva_cells_fit(cva: DataFrame) -> bool:
+    """1-row size fold over a pinned two-arm (__g, __v, __c, __ca)
+    count table (the jonckheere dispatch): True when the single-task
+    cell fold applies; materializes the pin either way, in this
+    fold's own job."""
+    sz = cva.agg(
+        F.count(F.lit(1)).alias("__cells"), F.sum("__c").alias("__rows")
+    ).collect()[0]
+    n_cells, n_rows = sz["__cells"], int(sz["__rows"] or 0)
+    return 0 < n_cells <= _CELL_FOLD_MAX_CELLS and (
+        n_rows <= _CELL_FOLD_MAX_ROWS
+    )
+
+
+def _cva_local_stats(cva: DataFrame) -> DataFrame:
+    """Single-task rank-sum sufficient statistics over the pooled
+    two-arm value-count table (columns __v, __c, __ca): one row with
+    the doubled arm-a rank sum ``2R₁ = Σ c_a·(2·cum − c + 1)``, arm-a
+    and total counts, and the cubic tie sum — the shared final
+    aggregate of ``mann_whitney_u`` and ``cliffs_delta``.  Pure exact
+    integer folds on dense value ranks (unbounded Python ints for the
+    sums); no IEEE arithmetic at all, so bit-identity with the
+    distributed cum machinery is by construction."""
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("__2r1", DecimalType(38, 0), False),
+            StructField("n_a", LongType(), False),
+            StructField("__n", LongType(), False),
+            StructField("__tie3", DecimalType(38, 0), False),
+        ]
+    )
+
+    def _stats(it):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        cv = _dense_codes(pdf["__v"].to_numpy())
+        c = pdf["__c"].to_numpy().astype(np.int64)
+        ca = pdf["__ca"].to_numpy().astype(np.int64)
+        order = np.argsort(cv, kind="stable")
+        c, ca = c[order], ca[order]
+        cum = c.cumsum()
+        two_r1 = sum(
+            int(a) * (2 * int(u) - int(t) + 1)
+            for a, u, t in zip(ca, cum, c)
+            if a
+        )
+        tie3 = sum(int(t) ** 3 - int(t) for t in c[c > 1])
+        yield pd.DataFrame(
+            {
+                "__2r1": [Decimal(two_r1)],
+                "n_a": pd.Series([int(ca.sum())], dtype="int64"),
+                "__n": pd.Series([int(cum[-1])], dtype="int64"),
+                "__tie3": [Decimal(tie3)],
+            }
+        )
+
+    return cva.coalesce(1).mapInPandas(_stats, schema=schema)
+
+
+def _ab_local_stats(cva: DataFrame) -> DataFrame:
+    """Single-task Ansari–Bradley sufficient statistics over the same
+    pooled two-arm value-count table: one row with n_a, total count,
+    the exact block-score sum Σa, and the HALF_UP micro-quantized
+    ``c_a·S/c`` and ``S²/c`` block-term sums (see ``ansari_bradley``
+    for the closed forms; the per-block IEEE sequences and the
+    quantization are replayed exactly — the ``_ad_local_stats``
+    discipline)."""
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("n_a", LongType(), False),
+            StructField("__nt", LongType(), False),
+            StructField("__sa", DecimalType(38, 0), False),
+            StructField("__wq", DecimalType(38, 0), False),
+            StructField("__sq", DecimalType(38, 0), False),
+        ]
+    )
+
+    def _stats(it):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        cv = _dense_codes(pdf["__v"].to_numpy())
+        c = pdf["__c"].to_numpy().astype(np.int64)
+        ca = pdf["__ca"].to_numpy().astype(np.int64)
+        order = np.argsort(cv, kind="stable")
+        c, ca = c[order], ca[order]
+        cum = c.cumsum()
+        n = int(cum[-1])
+        h = (n + 1) // 2
+
+        def s_prefix(x):
+            # S(x) = Σ_{r≤x} min(r, N+1−r), exact integer closed form
+            # vectorized in int64 (bounded ≤ N²/2 under the row cap;
+            # x(x+1)/2 is integral, so the decimal /2 was exact too)
+            up = x * (x + 1) // 2
+            tail = (
+                h * (h + 1) // 2
+                + (x - h) * (n + 1)
+                - (up - h * (h + 1) // 2)
+            )
+            return np.where(x <= h, up, tail)
+
+        blk = s_prefix(cum) - s_prefix(cum - c)
+        sa = int(blk.sum())  # ≤ S(N) ≤ N²/4 — int64-safe under the cap
+        cd = c.astype(np.float64)
+        bd = blk.astype(np.float64)
+        w_term = ca.astype(np.float64) * bd / cd
+        sq_term = bd * bd / cd
+
+        def q_sum(vals):
+            # HALF_UP shortest-decimal micro-quantization, summed as
+            # exact ints (the _ad_local_stats discipline)
+            t = vals * 1e6
+            r = np.round(t)
+            half = (t - np.floor(t)) == 0.5
+            if half.any():
+                r = np.where(half, np.floor(t) + 1.0, r)
+            if r.size and float(np.abs(r).max()) * r.size < 2**62:
+                return int(r.astype(np.int64).sum())
+            return sum(int(Decimal(float(x))) for x in r)
+
+        yield pd.DataFrame(
+            {
+                "n_a": pd.Series([int(ca.sum())], dtype="int64"),
+                "__nt": pd.Series([n], dtype="int64"),
+                "__sa": [Decimal(sa)],
+                "__wq": [Decimal(q_sum(w_term))],
+                "__sq": [Decimal(q_sum(sq_term))],
+            }
+        )
+
+    return cva.coalesce(1).mapInPandas(_stats, schema=schema)
+
+
 def mann_whitney_u(
     df: DataFrame,
     group_col: str,
@@ -497,20 +658,26 @@ def mann_whitney_u(
         )
         .localCheckpoint(eager=False)
     )
-    cum = _cum_counts_prebuilt(cva.select("__g", "__v", "__c"), "__g", "__v")
-    ca = cva.select("__v", "__ca")
-    j = cum.join(ca, "__v")
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    agg = j.agg(
-        F.sum(
-            d(F.col("__ca"))
-            * d(F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
-        ).alias("__2r1"),
-        F.sum("__ca").cast("bigint").alias("n_a"),
-        F.sum("__c").cast("bigint").alias("__n"),
-        F.sum(d(F.col("__c")) * F.col("__c") * F.col("__c") - F.col("__c"))
-        .alias("__tie3"),
-    )
+    if _cva_cells_fit(cva):
+        agg = _cva_local_stats(cva)
+    else:
+        cum = _cum_counts_prebuilt(
+            cva.select("__g", "__v", "__c"), "__g", "__v"
+        )
+        ca = cva.select("__v", "__ca")
+        j = cum.join(ca, "__v")
+        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        agg = j.agg(
+            F.sum(
+                d(F.col("__ca"))
+                * d(F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1))
+            ).alias("__2r1"),
+            F.sum("__ca").cast("bigint").alias("n_a"),
+            F.sum("__c").cast("bigint").alias("__n"),
+            F.sum(
+                d(F.col("__c")) * F.col("__c") * F.col("__c") - F.col("__c")
+            ).alias("__tie3"),
+        )
     n1 = F.col("n_a").cast("double")
     n2 = F.col("n_b").cast("double")
     nd = F.col("__n").cast("double")
@@ -3255,6 +3422,11 @@ def cliffs_delta(
         )
         .localCheckpoint(eager=False)
     )
+    # NOT dispatched to the _cva_local_stats fold (r13): cliffs' tail
+    # is a single aggregate with no tie term — the interleaved A/B
+    # read flat-to-slightly-negative (0.53-0.61 -> 0.60-0.71 s), the
+    # extra size-fold job buying nothing here, unlike
+    # mann_whitney/ansari whose probe+window+join it replaces
     cum = _cum_counts_prebuilt(cva.select("__g", "__v", "__c"), "__g", "__v")
     ca = cva.select("__v", "__ca")
     j = cum.join(ca, "__v")
@@ -3330,36 +3502,45 @@ def ansari_bradley(
         )
         .localCheckpoint(eager=False)
     )
-    cum = _cum_counts_prebuilt(cva.select("__g", "__v", "__c"), "__g", "__v")
-    ca = cva.select("__v", "__ca")
-    j = cum.join(ca, "__v")
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    n_all = F.col("__n")
-    h = F.floor((n_all + 1) / 2)
-
-    def s_prefix(x):
-        # S(x) = sum_{r<=x} min(r, N+1-r), exact integer closed form
-        up = d(x) * (x + 1) / 2
-        tail = (
-            d(h) * (h + 1) / 2
-            + d(x - h) * (n_all + 1)
-            - (d(x) * (x + 1) / 2 - d(h) * (h + 1) / 2)
+    if _cva_cells_fit(cva):
+        agg = _ab_local_stats(cva)
+    else:
+        cum = _cum_counts_prebuilt(
+            cva.select("__g", "__v", "__c"), "__g", "__v"
         )
-        return F.when(x <= h, up).otherwise(tail)
+        ca = cva.select("__v", "__ca")
+        j = cum.join(ca, "__v")
+        d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        n_all = F.col("__n")
+        h = F.floor((n_all + 1) / 2)
 
-    lo = F.col("__cum") - F.col("__c")
-    s_blk = (s_prefix(F.col("__cum")) - s_prefix(lo)).cast("decimal(38,0)")
-    cd = F.col("__c").cast("double")
-    q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")  # noqa: E731
-    w_term = F.col("__ca").cast("double") * s_blk.cast("double") / cd
-    sq_term = s_blk.cast("double") * s_blk.cast("double") / cd
-    agg = j.agg(
-        F.sum("__ca").cast("bigint").alias("n_a"),
-        F.sum("__c").cast("bigint").alias("__nt"),
-        F.sum(s_blk).alias("__sa"),
-        F.sum(q(w_term)).alias("__wq"),
-        F.sum(q(sq_term)).alias("__sq"),
-    ).withColumn("n_b", (F.col("__nt") - F.col("n_a")).cast("bigint"))
+        def s_prefix(x):
+            # S(x) = sum_{r<=x} min(r, N+1-r), exact integer closed
+            # form
+            up = d(x) * (x + 1) / 2
+            tail = (
+                d(h) * (h + 1) / 2
+                + d(x - h) * (n_all + 1)
+                - (d(x) * (x + 1) / 2 - d(h) * (h + 1) / 2)
+            )
+            return F.when(x <= h, up).otherwise(tail)
+
+        lo = F.col("__cum") - F.col("__c")
+        s_blk = (
+            s_prefix(F.col("__cum")) - s_prefix(lo)
+        ).cast("decimal(38,0)")
+        cd = F.col("__c").cast("double")
+        q = lambda c: F.round(c * F.lit(1e6), 0).cast("decimal(38,0)")  # noqa: E731
+        w_term = F.col("__ca").cast("double") * s_blk.cast("double") / cd
+        sq_term = s_blk.cast("double") * s_blk.cast("double") / cd
+        agg = j.agg(
+            F.sum("__ca").cast("bigint").alias("n_a"),
+            F.sum("__c").cast("bigint").alias("__nt"),
+            F.sum(s_blk).alias("__sa"),
+            F.sum(q(w_term)).alias("__wq"),
+            F.sum(q(sq_term)).alias("__sq"),
+        )
+    agg = agg.withColumn("n_b", (F.col("__nt") - F.col("n_a")).cast("bigint"))
     nd = F.col("__nt").cast("double")
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")

@@ -1586,3 +1586,42 @@ def test_mood_local_and_distributed_paths_agree(spark):
     finally:
         st._CELL_FOLD_MAX_CELLS = old
     assert f.asDict() == g2.asDict() and f["chi2"] is None
+
+
+def test_two_arm_local_and_distributed_paths_agree(spark):
+    # r13 pin: the shared cva single-task folds (mann_whitney/cliffs
+    # rank sums, ansari block scores incl. micro-quantization) vs the
+    # distributed cum machinery
+    import random
+
+    from bubbles_spark.ops import stattests as st
+
+    rng = random.Random(555)
+    rows = (
+        [("a", float(rng.randint(0, 20))) for _ in range(400)]
+        + [("b", float(rng.randint(0, 20)) + 0.25) for _ in range(300)]
+        + [("a", rng.gauss(0, 2)) for _ in range(300)]
+        + [("b", rng.gauss(1, 4)) for _ in range(300)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    old = st._CELL_FOLD_MAX_CELLS
+    for op in (st.mann_whitney_u, st.cliffs_delta, st.ansari_bradley,
+               st.lepage_test):
+        fast = op(df, "g", "v", "a", "b").collect()[0]
+        st._CELL_FOLD_MAX_CELLS = 0
+        try:
+            dist = op(df, "g", "v", "a", "b").collect()[0]
+        finally:
+            st._CELL_FOLD_MAX_CELLS = old
+        assert fast.asDict() == dist.asDict(), op.__name__
+
+    # empty arm: documented NULL-z single row on both paths
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    f = st.mann_whitney_u(one, "g", "v", "a", "b").collect()[0]
+    st._CELL_FOLD_MAX_CELLS = 0
+    try:
+        d2 = st.mann_whitney_u(one, "g", "v", "a", "b").collect()[0]
+    finally:
+        st._CELL_FOLD_MAX_CELLS = old
+    assert f.asDict() == d2.asDict() and f["z"] is None
