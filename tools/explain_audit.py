@@ -142,14 +142,23 @@ CHECKS = [
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
+        # r13 cell fold: the pinned per-(group,value) counts (one
+        # corpus aggregate, materialized behind the RDD cut) feed ONE
+        # fused Arrow fold task; past the cell caps the distributed
+        # cum machinery returns (dual-path pinned in tests)
         "kruskal_wallis_events",
-        [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
-        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+        [(r"Scan ExistingRDD", "pinned cell counts — corpus aggregated once"),
+         (r"MapInPandas", "one fused Arrow-batched rank fold task")],
+        [(r"BatchEvalPython", "no row-at-a-time Python"),
+         (r"CartesianProduct", "no unkeyed product")],
     ),
     (
+        # r13 cell fold (see kruskal_wallis_events)
         "mann_whitney_events",
-        [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
-        [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
+        [(r"Scan ExistingRDD", "pinned two-arm value counts — corpus aggregated once"),
+         (r"MapInPandas", "one fused Arrow-batched rank-sum fold task")],
+        [(r"BatchEvalPython", "no row-at-a-time Python"),
+         (r"CartesianProduct", "no unkeyed product")],
     ),
     (
         "bootstrap_ci_events_value",
@@ -368,9 +377,13 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
+        # r13: the scoped per-part aggregate is lazily pinned (one
+        # lineitem aggregation for both the values and the grand
+        # total); the nation-supplier broadcast join now sits inside
+        # the pin subtree, invisible in the final static dump
         "tpch_q11_important_stock",
-        [(r"BroadcastHashJoin", "the nation-scoped supplier set broadcasts"),
-         (r"Functions \[\d+\]: \[partial_", "value sums partial-aggregate map-side")],
+        [(r"Scan ExistingRDD", "pinned scoped aggregate — lineitem aggregated once"),
+         (r"BroadcastExchange|BroadcastNestedLoopJoin", "the 1-row grand-total threshold broadcasts")],
         [(r"(BatchEvalPython|ArrowEvalPython)", "pure codegen, no Python")],
     ),
     (
@@ -1304,13 +1317,16 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
-        # pair generation must shuffle on the GROUP key (equi-join)
-        # with the lexicographic-< as a post-join filter, never a
-        # cartesian over the series
+        # r13: no pair join at all — S and every tie term come from
+        # ONE fused inversion-count pass per group (hash exchange on
+        # the group key + MapInPandas over key-contiguous rows)
         "kendall_tau_daily_revenue",
-        [(r"Functions \[\d+\]: \[partial_", "daily rollup + tie counts partial-aggregate map-side")],
-        [(r"CartesianProduct|BroadcastNestedLoopJoin", "pair join is keyed on the group"),
-         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+        [(r"Functions \[\d+\]: \[partial_", "daily rollup partial-aggregates map-side"),
+         (r"hashpartitioning\(grp", "groups shuffle once on the group key"),
+         (r"MapInPandas", "one fused Arrow-batched inversion-count pass")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no pair explosion"),
+         (r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", "no pair self-join at all"),
+         (r"BatchEvalPython", "no row-at-a-time Python")],
     ),
     (
         # the group-pair table is k rows; its inequality self-join MAY
@@ -1351,22 +1367,23 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        # r13 cell fold (see kruskal_wallis_events)
         "mood_median_events",
-        [(r"Functions \[\d+\]: \[partial_", "value counts partial-aggregate map-side"),
-         (r"BroadcastExchange", "1-row median + totals broadcast")],
-        [(r"SortMergeJoin", "nothing data-sized joins — median/totals are broadcast 1-rows"),
+        [(r"Scan ExistingRDD", "pinned cell counts — corpus aggregated once"),
+         (r"MapInPandas", "one fused Arrow-batched median/classification fold task")],
+        [(r"SortMergeJoin", "nothing data-sized joins"),
          (r"CartesianProduct", "no unkeyed data-sized product"),
-         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+         (r"BatchEvalPython", "no row-at-a-time Python")],
     ),
     (
-        # the k-arm groups table broadcasts onto the pooled value
-        # grid (BNL over k rows is the design); the grid fill join is
-        # keyed; nothing may cartesian
+        # r13 cell fold: 2J via the weighted-inversion identity over
+        # the pinned cells in ONE task (see kruskal_wallis_events);
+        # past the caps the zero-filled grid machinery returns
         "jonckheere_orders_priority",
-        [(r"Functions \[\d+\]: \[partial_", "per-(arm,value) counts partial-aggregate map-side"),
-         (r"BroadcastExchange", "k-row arms table + 1-row folds broadcast")],
+        [(r"Scan ExistingRDD", "pinned cell counts — corpus aggregated once"),
+         (r"MapInPandas", "one fused Arrow-batched weighted-inversion fold task")],
         [(r"CartesianProduct", "no unkeyed data-sized product"),
-         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+         (r"BatchEvalPython", "no row-at-a-time Python")],
     ),
     (
         "krippendorff_events",
@@ -1427,11 +1444,13 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        # r13 cell fold (see kruskal_wallis_events): the dense k×V
+        # grid folds in ONE task under the cell/grid caps
         "anderson_darling_events",
-        [(r"Functions \[\d+\]: \[partial_", "per-(arm,value) counts partial-aggregate map-side"),
-         (r"BroadcastExchange", "k-row arms table broadcast onto the value grid")],
+        [(r"Scan ExistingRDD", "pinned cell counts — corpus aggregated once"),
+         (r"MapInPandas", "one fused Arrow-batched midrank fold task")],
         [(r"CartesianProduct", "no unkeyed data-sized product"),
-         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+         (r"BatchEvalPython", "no row-at-a-time Python")],
     ),
     (
         # ONE stacked pass: covariates explode inline (Generate/Expand
@@ -1448,10 +1467,12 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        # r13 cell fold (see kruskal_wallis_events)
         "ansari_bradley_events",
-        [(r"Functions \[\d+\]: \[partial_", "per-value counts partial-aggregate map-side")],
+        [(r"Scan ExistingRDD", "pinned two-arm value counts — corpus aggregated once"),
+         (r"MapInPandas", "one fused Arrow-batched block-score fold task")],
         [(r"CartesianProduct", "closed-form block sums — no per-rank explode"),
-         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+         (r"BatchEvalPython", "no row-at-a-time Python")],
     ),
     (
         "brunner_munzel_events",
