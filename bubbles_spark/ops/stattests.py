@@ -1062,7 +1062,148 @@ def paired_t_test(
     )
 
 
-def _spearman_suffstats(base: DataFrame) -> DataFrame:
+# spearman fold cap: Σ c·r2x·r2y ≤ 4n³ must fit int64, so the
+# single-task moment fold only dispatches under 1M input rows;
+# bigger inputs take the distributed cells machinery unchanged
+_SPEARMAN_FOLD_MAX_ROWS = 1_000_000
+
+
+def _spearman_cells(base: DataFrame) -> DataFrame:
+    """The shared reduction both spearman paths start from: one
+    map-side-combined count per (group, x, y) triple, lazily pinned
+    (one corpus aggregation for everything downstream — the fast
+    fold, or the distributed rank machinery which now joins
+    cells-sized tables instead of raw rows)."""
+    return (
+        base.groupBy("__g", "__x", "__y")
+        .agg(F.count(F.lit(1)).alias("__cc"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _spearman_local_moments(cells: DataFrame) -> DataFrame:
+    """Single-task Spearman sufficient statistics over the pinned
+    (group, x, y, count) cell table: one row per group with n and the
+    five exact sums (Σ2Rx, Σ2Ry, Σ2Rx·2Ry, Σ(2Rx)², Σ(2Ry)² — all
+    DECIMAL(38,0)) the rho tail consumes.  Doubled average ranks per
+    (group, value) come from per-group cumulative counts on dense
+    value ranks; every product stays int64 under the caller's row cap
+    (4n³ < 2⁶³), so the fold is pure vectorized integer arithmetic —
+    bit-identity with the distributed machinery is reassociation of
+    exact sums."""
+    from pyspark.sql.types import (
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gf = cells.schema["__g"]
+    schema = StructType(
+        [
+            StructField("__g", gf.dataType, True),
+            StructField("n", LongType(), False),
+            StructField("__sx", DecimalType(38, 0), False),
+            StructField("__sy", DecimalType(38, 0), False),
+            StructField("__sxy", DecimalType(38, 0), False),
+            StructField("__sxx", DecimalType(38, 0), False),
+            StructField("__syy", DecimalType(38, 0), False),
+        ]
+    )
+
+    def _stats(it):
+        from decimal import Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        gix, guniq = pd.factorize(pdf["__g"], use_na_sentinel=False)
+        gix = np.asarray(gix, dtype=np.int64)
+        k = int(gix.max()) + 1
+        cc = pdf["__cc"].to_numpy().astype(np.int64)
+
+        def doubled_ranks(codes):
+            # per-cell doubled average rank of its (group, value):
+            # 2R = 2·cum − c + 1 over the group's value-ordered counts
+            o = np.lexsort((codes, gix))
+            gs, cs, ws = gix[o], codes[o], cc[o]
+            new = np.r_[True, (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])]
+            seg = np.cumsum(new) - 1
+            segw = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+            np.add.at(segw, seg, ws)
+            seg_g = gs[np.flatnonzero(new)]
+            cumw = np.cumsum(segw)
+            gstart = np.r_[True, seg_g[1:] != seg_g[:-1]]
+            starts = np.flatnonzero(gstart)
+            base_off = np.r_[0, cumw[:-1]][starts]
+            off = base_off[np.cumsum(gstart) - 1]
+            r2 = 2 * (cumw - off) - segw + 1
+            out = np.empty(len(cc), dtype=np.int64)
+            out[o] = r2[seg]
+            return out
+
+        r2x = doubled_ranks(_dense_codes(pdf["__x"].to_numpy()))
+        r2y = doubled_ranks(_dense_codes(pdf["__y"].to_numpy()))
+
+        def gsum(vals):
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, gix, vals)
+            return acc
+
+        n_g = gsum(cc)
+        sx = gsum(cc * r2x)
+        sy = gsum(cc * r2y)
+        sxy = gsum(cc * r2x * r2y)
+        sxx = gsum(cc * r2x * r2x)
+        syy = gsum(cc * r2y * r2y)
+        yield pd.DataFrame(
+            {
+                "__g": pd.Series(guniq),
+                "n": pd.Series(n_g, dtype="int64"),
+                "__sx": [Decimal(int(v)) for v in sx],
+                "__sy": [Decimal(int(v)) for v in sy],
+                "__sxy": [Decimal(int(v)) for v in sxy],
+                "__sxx": [Decimal(int(v)) for v in sxx],
+                "__syy": [Decimal(int(v)) for v in syy],
+            }
+        )
+
+    return cells.coalesce(1).mapInPandas(_stats, schema=schema)
+
+
+def _spearman_moments(base: DataFrame) -> DataFrame:
+    """Per-group Spearman moments table (__g, n, __sx, __sy, __sxy,
+    __sxx, __syy) — dispatched by measured cell/row size (the r13
+    cell-fold discipline): small inputs fold in one task, larger ones
+    run the distributed rank machinery over the same pinned cells."""
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = _spearman_cells(base)
+    sz = cells.agg(
+        F.count(F.lit(1)).alias("__cells"), F.sum("__cc").alias("__rows")
+    ).collect()[0]
+    n_cells, n_rows = sz["__cells"], int(sz["__rows"] or 0)
+    if 0 < n_cells <= _CELL_FOLD_MAX_CELLS and (
+        n_rows <= _SPEARMAN_FOLD_MAX_ROWS
+    ):
+        return _spearman_local_moments(cells)
+    t = _spearman_suffstats(cells)
+    return t.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum(F.col("__tx")).alias("__sx"),
+        F.sum(d(F.col("__c")) * F.col("__r2y")).alias("__sy"),
+        F.sum(F.col("__tx") * F.col("__r2y")).alias("__sxy"),
+        F.sum(F.col("__txx")).alias("__sxx"),
+        F.sum(d(F.col("__c")) * F.col("__r2y") * F.col("__r2y")).alias(
+            "__syy"
+        ),
+    )
+
+
+def _spearman_suffstats(cells: DataFrame) -> DataFrame:
     """Shared Spearman machinery over ``(__g, __x, __y)`` rows (NULLs
     already dropped): doubled average x-ranks joined on, then ONE
     map-side-combined aggregate per ``(__g, __y)`` carrying the row
@@ -1084,11 +1225,18 @@ def _spearman_suffstats(base: DataFrame) -> DataFrame:
     falls back to the same pid-based cumulative the old path used.
 
     Output: one row per (__g, __y) with __c (bigint), __tx, __txx
-    (decimal(38,0)), __r2y (bigint doubled average y-rank)."""
+    (decimal(38,0)), __r2y (bigint doubled average y-rank).
+
+    r13 fourth session: the input is now the PINNED (group, x, y,
+    count) cell table (``_spearman_cells``) rather than raw rows —
+    the x-rank join and the per-(g, y) moment aggregate run on
+    cells-sized tables, and every sum regroups the same exact
+    integers (Σ over rows of f(r2x) = Σ over cells of count·f(r2x)),
+    so all downstream operands stay bit-identical."""
     from bubbles_spark.ops import core as _core
     from bubbles_spark.ops.drift import (
+        _cum_counts_prebuilt,
         _cum_counts_table,
-        _grouped_cum_counts,
         _grouped_cum_counts_by_pid,
     )
 
@@ -1096,19 +1244,22 @@ def _spearman_suffstats(base: DataFrame) -> DataFrame:
     r2 = lambda: (  # noqa: E731
         F.lit(2) * F.col("__cum") - F.col("__c") + F.lit(1)
     ).cast("bigint")
-    # ONE early-terminating limit probe on the raw rows sizes BOTH
-    # counts tables: distinct values ≤ rows, so a small base proves
-    # both small paths and the per-table probes (each a re-evaluation
-    # of its whole upstream aggregate) are skipped.  A big base
-    # proves nothing — each table sizes itself as before.
-    hint = True if _core._small_enough(base) else None
-    cumx = _grouped_cum_counts(base, "__g", "__x", small_hint=hint)
+    # ONE early-terminating limit probe on the pinned cells sizes BOTH
+    # counts tables: distinct values ≤ cells, so a small cell table
+    # proves both small paths and the per-table probes are skipped.
+    hint = True if _core._small_enough(cells) else None
+    cgx = cells.groupBy("__g", "__x").agg(
+        F.sum("__cc").cast("bigint").alias("__c")
+    )
+    cumx = _cum_counts_prebuilt(cgx, "__g", "__x", small_hint=hint)
     rx = cumx.select("__g", "__x", r2().alias("__r2x"))
-    withx = base.join(rx, ["__g", "__x"])
+    withx = cells.join(rx, ["__g", "__x"])
     g = withx.groupBy("__g", "__y").agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.sum(d(F.col("__r2x"))).alias("__tx"),
-        F.sum(d(F.col("__r2x")) * F.col("__r2x")).alias("__txx"),
+        F.sum("__cc").alias("__c"),
+        F.sum(d(F.col("__r2x")) * F.col("__cc")).alias("__tx"),
+        F.sum(
+            d(F.col("__r2x")) * F.col("__r2x") * F.col("__cc")
+        ).alias("__txx"),
     )
     cum = (
         _cum_counts_table(g, "__g", "__y", small_hint=hint)
@@ -1155,19 +1306,17 @@ def spearman_corr(
         F.col(x_col).alias("__x"),
         F.col(y_col).alias("__y"),
     )
-    t = _spearman_suffstats(base)
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    agg = t.agg(
-        # coalesce: empty input still emits ONE row with n = 0, the
-        # row-count aggregate's contract (sums stay NULL → rho NULL)
-        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("n"),
-        F.sum(F.col("__tx")).alias("__sx"),
-        F.sum(d(F.col("__c")) * F.col("__r2y")).alias("__sy"),
-        F.sum(F.col("__tx") * F.col("__r2y")).alias("__sxy"),
-        F.sum(F.col("__txx")).alias("__sxx"),
-        F.sum(d(F.col("__c")) * F.col("__r2y") * F.col("__r2y")).alias(
-            "__syy"
-        ),
+    m = _spearman_moments(base)
+    # re-sum the ≤1-row per-group moments globally: identity on one
+    # group, and an empty input still emits ONE row with n = 0, the
+    # row-count aggregate's contract (sums stay NULL → rho NULL)
+    agg = m.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n"),
+        F.sum("__sx").alias("__sx"),
+        F.sum("__sy").alias("__sy"),
+        F.sum("__sxy").alias("__sxy"),
+        F.sum("__sxx").alias("__sxx"),
+        F.sum("__syy").alias("__syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")
@@ -1726,18 +1875,7 @@ def spearman_by(
         F.col(x_col).alias("__x"),
         F.col(y_col).alias("__y"),
     )
-    t = _spearman_suffstats(base)
-    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    agg = t.groupBy("__g").agg(
-        F.sum("__c").cast("bigint").alias("n"),
-        F.sum(F.col("__tx")).alias("__sx"),
-        F.sum(d(F.col("__c")) * F.col("__r2y")).alias("__sy"),
-        F.sum(F.col("__tx") * F.col("__r2y")).alias("__sxy"),
-        F.sum(F.col("__txx")).alias("__sxx"),
-        F.sum(d(F.col("__c")) * F.col("__r2y") * F.col("__r2y")).alias(
-            "__syy"
-        ),
-    )
+    agg = _spearman_moments(base)
     n = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")
     sy = F.col("__sy").cast("double")

@@ -1625,3 +1625,46 @@ def test_two_arm_local_and_distributed_paths_agree(spark):
     finally:
         st._CELL_FOLD_MAX_CELLS = old
     assert f.asDict() == d2.asDict() and f["z"] is None
+
+
+def test_spearman_local_and_distributed_paths_agree(spark):
+    # r13 pin: the single-task moment fold vs the distributed cells
+    # machinery — exact integer sums either way, so bit-identical rho
+    import random
+
+    from bubbles_spark.ops import stattests as st
+
+    rng = random.Random(808)
+    rows = []
+    for g in ("m", "n"):
+        for i in range(500):
+            x = float(rng.randint(0, 60))           # tie-heavy x
+            y = x * 0.5 + rng.gauss(0, 3.0)          # monotone-ish y
+            rows.append((g, x, y))
+        for _ in range(100):
+            rows.append((g, rng.random() * 60, float(rng.randint(0, 9))))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+
+    old = st._CELL_FOLD_MAX_CELLS
+    fast_by = {r["g"]: r for r in st.spearman_by(df, "g", "x", "y").collect()}
+    fast_c = st.spearman_corr(df, "x", "y").collect()[0]
+    st._CELL_FOLD_MAX_CELLS = 0
+    try:
+        dist_by = {r["g"]: r
+                   for r in st.spearman_by(df, "g", "x", "y").collect()}
+        dist_c = st.spearman_corr(df, "x", "y").collect()[0]
+    finally:
+        st._CELL_FOLD_MAX_CELLS = old
+    assert fast_c.asDict() == dist_c.asDict() and fast_c["rho"] is not None
+    for g in fast_by:
+        assert fast_by[g].asDict() == dist_by[g].asDict(), g
+
+    # empty input: spearman_corr's one-row n=0 contract on both paths
+    empty = spark.createDataFrame([], "g string, x double, y double")
+    e1 = st.spearman_corr(empty, "x", "y").collect()[0]
+    st._CELL_FOLD_MAX_CELLS = 0
+    try:
+        e2 = st.spearman_corr(empty, "x", "y").collect()[0]
+    finally:
+        st._CELL_FOLD_MAX_CELLS = old
+    assert e1.asDict() == e2.asDict() == {"n": 0, "rho": None}

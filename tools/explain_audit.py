@@ -1288,10 +1288,15 @@ CHECKS = [
          (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
     ),
     (
+        # r13 cell fold (see kruskal_wallis_events): both rank systems
+        # and the five moments fold in ONE task over the pinned
+        # (x, y, count) cells; past the caps the distributed cells
+        # machinery returns (dual-path pinned in tests)
         "spearman_lineitem_qty_price",
-        [(r"Functions \[\d+\]: \[partial_", "rank tables + moments partial-aggregate map-side")],
-        [(r"CartesianProduct|BroadcastNestedLoopJoin", "rank join-backs are value equi-joins"),
-         (r"(BatchEvalPython|ArrowEvalPython|MapInPandas)", "pure codegen, no Python")],
+        [(r"Scan ExistingRDD", "pinned (x,y) cell counts — corpus aggregated once"),
+         (r"MapInPandas", "one fused Arrow-batched rank/moment fold task")],
+        [(r"CartesianProduct|BroadcastNestedLoopJoin", "no products"),
+         (r"BatchEvalPython", "no row-at-a-time Python")],
     ),
     (
         "fdr_bh_customers",
